@@ -1,0 +1,156 @@
+"""Ray Data stages that build and merge sketch partials.
+
+This is the architectural replacement for the reference's distributed
+phases (SURVEY.md section 3.3):
+
+* ``distributedAdd`` (main.cpp:432-472, one sketch per simulated peer)
+  becomes ``map_batches(partial_sketch_builder)`` -- stateless tasks that
+  emit ONE serialized-sketch row per (block, group).  Stateless-per-block
+  is deliberately chosen over a long-lived actor accumulator: a retried
+  task reproduces the identical partial, which is what makes the pipeline
+  deterministic and resumable (SURVEY.md section 4).
+* ``distributedCommunication`` (main.cpp:475-658, gossip rounds until
+  convergence) becomes one deterministic reduction over those tiny rows:
+  either ``groupby(keys).map_groups(merge)`` / ``AggregateFnV2`` (shuffle
+  tree merge) or a driver-side fold for the global (single-group) case --
+  partials are <= bin_limit bins ~ 6 KB each, so the merge stage moves
+  kilobytes, not data.
+
+All hot-path math is vectorized numpy over zero-copy Arrow columns.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Iterable, Sequence
+
+import numpy as np
+import pyarrow as pa
+
+from ..config import DEFAULT_ALPHA, DEFAULT_BIN_LIMIT, DEFAULT_OFFSET
+from ..sketches.ddsketch import DDSketch
+
+SKETCH_FIELDS = [
+    ("keys", pa.list_(pa.int64())),
+    ("counts", pa.list_(pa.float64())),
+    ("n", pa.float64()),
+    ("generation", pa.int64()),
+    ("alpha0", pa.float64()),
+    ("bin_limit", pa.int64()),
+    ("offset", pa.int64()),
+    ("mode", pa.string()),
+    ("kmin", pa.int64()),
+    ("kmax", pa.int64()),
+]
+
+
+def sketch_rows_to_table(rows: Sequence[dict], group_values: dict | None = None) -> pa.Table:
+    """Pack DDSketch.to_row() dicts (plus optional group-key columns) into
+    an Arrow table."""
+    cols: dict[str, pa.Array] = {}
+    if group_values:
+        for name, values in group_values.items():
+            cols[name] = pa.array(values)
+    for name, typ in SKETCH_FIELDS:
+        cols[name] = pa.array([r[name] for r in rows], type=typ)
+    return pa.table(cols)
+
+
+def _sketch_from_table_row(table: pa.Table, i: int) -> DDSketch:
+    return DDSketch.from_row({
+        "keys": np.asarray(table["keys"][i].as_py(), dtype=np.int64),
+        "counts": np.asarray(table["counts"][i].as_py(), dtype=np.float64),
+        "n": table["n"][i].as_py(),
+        "generation": table["generation"][i].as_py(),
+        "alpha0": table["alpha0"][i].as_py(),
+        "bin_limit": table["bin_limit"][i].as_py(),
+        "offset": table["offset"][i].as_py(),
+        "mode": table["mode"][i].as_py(),
+        "kmin": table["kmin"][i].as_py(),
+        "kmax": table["kmax"][i].as_py(),
+    })
+
+
+def merge_sketch_table(table: pa.Table) -> DDSketch:
+    """Fold all serialized-sketch rows of an Arrow table into one sketch."""
+    if table.num_rows == 0:
+        raise ValueError("no sketch rows to merge")
+    acc = _sketch_from_table_row(table, 0)
+    for i in range(1, table.num_rows):
+        acc.merge(_sketch_from_table_row(table, i))
+    return acc
+
+
+def build_partials(batch: pa.Table, *, value_col: str,
+                   group_cols: Sequence[str] | None = None,
+                   alpha: float = DEFAULT_ALPHA,
+                   bin_limit: int = DEFAULT_BIN_LIMIT,
+                   offset: int = DEFAULT_OFFSET,
+                   mode: str = "uniform") -> pa.Table:
+    """map_batches body: one partial-sketch row per (batch, group).
+
+    Nulls in the value column are dropped (the reference's scalar stream
+    has no notion of null, main.cpp:967-1000).
+    """
+    col = batch[value_col]
+    if col.null_count:
+        keep = col.is_valid()
+        batch = batch.filter(keep)
+        col = batch[value_col]
+    values = col.to_numpy(zero_copy_only=False).astype(np.float64, copy=False)
+
+    if not group_cols:
+        s = DDSketch(alpha, bin_limit, offset, mode)
+        s.add_batch(values)
+        return sketch_rows_to_table([s.to_row()])
+
+    if len(group_cols) == 1:
+        gv = batch[group_cols[0]].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(gv, return_inverse=True)
+        group_values = {group_cols[0]: uniq.tolist()}
+    else:
+        arrs = [batch[c].to_numpy(zero_copy_only=False) for c in group_cols]
+        combined = np.core.records.fromarrays(arrs)
+        uniq, inv = np.unique(combined, return_inverse=True)
+        group_values = {c: [u[j] for u in uniq.tolist()]
+                        for j, c in enumerate(group_cols)}
+
+    order = np.argsort(inv, kind="stable")
+    bounds = np.searchsorted(inv[order], np.arange(len(uniq) + 1))
+    rows = []
+    for g in range(len(uniq)):
+        s = DDSketch(alpha, bin_limit, offset, mode)
+        s.add_batch(values[order[bounds[g]:bounds[g + 1]]])
+        rows.append(s.to_row())
+    return sketch_rows_to_table(rows, group_values)
+
+
+def partial_builder(value_col: str, group_cols: Sequence[str] | None = None,
+                    **sketch_kwargs):
+    """Picklable map_batches callable (stateless task)."""
+    return partial(build_partials, value_col=value_col,
+                   group_cols=tuple(group_cols) if group_cols else None,
+                   **sketch_kwargs)
+
+
+def quantile_finalizer(group_cols: Sequence[str] | None,
+                       quantiles: Sequence[float],
+                       round_digits: int | None = None):
+    """map_groups body factory: merge a group's partial rows and emit one
+    row per quantile: group keys + (q, bucket_key, est)."""
+    group_cols = tuple(group_cols) if group_cols else ()
+    qs = tuple(quantiles)
+
+    def finalize(group: pa.Table) -> pa.Table:
+        sketch = merge_sketch_table(group)
+        out: dict[str, list] = {c: [group[c][0].as_py()] * len(qs)
+                                for c in group_cols}
+        out["q"] = list(qs)
+        out["bucket_key"] = [sketch.quantile_key(q) for q in qs]
+        ests = [sketch._bucket_estimate(k) for k in out["bucket_key"]]
+        if round_digits is not None:
+            ests = [round(e, round_digits) for e in ests]
+        out["est"] = ests
+        return pa.table(out)
+
+    return finalize

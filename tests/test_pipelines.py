@@ -1,0 +1,90 @@
+"""End-to-end Ray Data pipeline tests against exact oracles on the driver
+testdata (TESTDATA.md) -- the distributed analog of the reference's
+testQuantile harness (main.cpp:1041-1082)."""
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from p2pddsketch_ray.config import PRACTICAL_ALPHA
+from p2pddsketch_ray.pipelines.quantiles import (dds_quantiles_global,
+                                                 dds_quantiles_grouped,
+                                                 dds_sketch_global)
+from p2pddsketch_ray.sketches.ddsketch import DDSketch
+
+from .test_ddsketch import exact_quantile, rel_err
+
+SF = "/root/testdata/sf0.001"
+QS = (0.1, 0.5, 0.9, 0.99)
+
+
+@pytest.fixture(scope="module")
+def lineitem_ds(ray_session):
+    import ray.data
+    return ray.data.read_parquet(f"{SF}/lineitem.parquet",
+                                 columns=["l_extendedprice", "l_returnflag"])
+
+
+def test_global_quantiles_match_oracle(lineitem_ds):
+    vals = pq.read_table(f"{SF}/lineitem.parquet",
+                         columns=["l_extendedprice"])["l_extendedprice"].to_numpy()
+    out = dds_quantiles_global(lineitem_ds, "l_extendedprice", QS,
+                               alpha=PRACTICAL_ALPHA)
+    for q, est in zip(out["q"].to_pylist(), out["est"].to_pylist()):
+        real = exact_quantile(vals, q)
+        assert rel_err(est, real) <= PRACTICAL_ALPHA + 1e-12
+
+
+def test_distributed_equals_local_bit_identical(lineitem_ds):
+    """The Ray-built merged sketch must be bit-identical to a sketch built
+    sequentially over the same values -- merge-order independence across
+    real block boundaries."""
+    vals = pq.read_table(f"{SF}/lineitem.parquet",
+                         columns=["l_extendedprice"])["l_extendedprice"].to_numpy()
+    local = DDSketch(alpha=PRACTICAL_ALPHA)
+    local.add_batch(vals.astype(np.float64))
+    dist = dds_sketch_global(lineitem_ds, "l_extendedprice",
+                             alpha=PRACTICAL_ALPHA)
+    assert dist.to_bytes() == local.to_bytes()
+
+
+def test_grouped_quantiles_match_per_group_oracle(lineitem_ds):
+    t = pq.read_table(f"{SF}/lineitem.parquet",
+                      columns=["l_extendedprice", "l_returnflag"])
+    df = t.to_pandas()
+    out = dds_quantiles_grouped(lineitem_ds, "l_extendedprice",
+                                ["l_returnflag"], QS,
+                                alpha=PRACTICAL_ALPHA).to_pandas()
+    assert set(out["l_returnflag"]) == set(df["l_returnflag"])
+    for (_, row) in out.iterrows():
+        grp = df[df["l_returnflag"] == row["l_returnflag"]]["l_extendedprice"].to_numpy()
+        real = exact_quantile(grp, row["q"])
+        assert rel_err(row["est"], real) <= PRACTICAL_ALPHA + 1e-12, (
+            row["l_returnflag"], row["q"])
+
+
+def test_grouped_matches_aggregate_fn_v2(lineitem_ds):
+    """The AggregateFnV2 one-liner and the explicit two-stage pipeline must
+    produce identical estimates."""
+    from p2pddsketch_ray.stages.sketch_agg import DDSketchQuantiles
+    assert DDSketchQuantiles is not None
+    agg_out = (lineitem_ds.groupby("l_returnflag")
+               .aggregate(DDSketchQuantiles(on="l_extendedprice", quantiles=QS,
+                                            alpha=PRACTICAL_ALPHA,
+                                            alias_name="ests"))
+               ).to_pandas().set_index("l_returnflag")
+    grouped = dds_quantiles_grouped(lineitem_ds, "l_extendedprice",
+                                    ["l_returnflag"], QS,
+                                    alpha=PRACTICAL_ALPHA).to_pandas()
+    for flag, sub in grouped.groupby("l_returnflag"):
+        ests = sub.sort_values("q")["est"].tolist()
+        assert ests == pytest.approx(list(agg_out.loc[flag, "ests"]), abs=0.0)
+
+
+def test_null_values_dropped(ray_session):
+    import ray.data
+    import pandas as pd
+    df = pd.DataFrame({"v": [1.0, None, 2.0, 3.0, None], "g": list("aabab")})
+    ds = ray.data.from_pandas(df)
+    s = dds_sketch_global(ds, "v", alpha=PRACTICAL_ALPHA)
+    assert s.n == 3
