@@ -3,14 +3,18 @@
 The driver's verify calls ``entry()`` as a smoke check (Ray is already
 initialised, local mode), runs each ``queries()[name](sf_dir)`` at
 sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+DuckDB (row-count + schema + order-insensitive value-hash).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here (nor in p2pddsketch_ray library code) calls ray.init()/ray.shutdown().
+
+Determinism notes for the value-hash compare (see pipelines/relational.py):
+floating aggregates are accumulated as integers ("cents trick"), ratios are
+emitted as exact integer divisions with the same op order as the SQL, and
+the DDSketch estimates are replicated in SQL by re-deriving the exact
+bucket math (ceil(ln x / ln gamma) keys, cumulative walk, geometric
+midpoint) -- numpy and DuckDB produce bit-identical bucket keys (verified
+in tests/test_oracle_parity.py).
 """
 
 from __future__ import annotations
@@ -18,27 +22,202 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+OFFSET = 1073741824  # 2^30, the reference default (main.cpp:49)
+ALPHA = 0.01         # practical tier: key span << bin_limit, no collapse
+BIN_LIMIT = 2048     # roomy so the SQL replica needs no collapse emulation
+GAMMA_SQL = "((1.0+0.01)/(1.0-0.01))"
+QS = (0.5, 0.95, 0.99)
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on /root/testdata/sf0.001: DDSketch quantiles of
+    document length, globally and per lang."""
+    import ray.data
+    from p2pddsketch_ray.pipelines.quantiles import dds_quantiles_grouped
+
+    sf_dir = "/root/testdata/sf0.001"
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["lang", "n_chars"])
+    out = dds_quantiles_grouped(ds, "n_chars", ["lang"], QS,
+                                alpha=ALPHA, bin_limit=BIN_LIMIT,
+                                round_digits=6)
+    return out.sort(["lang", "q"])
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+def _dds_global(table: str, col: str):
+    def run(sf_dir: str):
+        import ray.data
+        from p2pddsketch_ray.pipelines.quantiles import dds_quantiles_global
+        ds = ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=[col])
+        return dds_quantiles_global(ds, col, QS, alpha=ALPHA,
+                                    bin_limit=BIN_LIMIT, round_digits=6)
+    return run
+
+
+def _dds_grouped(table: str, col: str, group: str):
+    def run(sf_dir: str):
+        import ray.data
+        from p2pddsketch_ray.pipelines.quantiles import dds_quantiles_grouped
+        ds = ray.data.read_parquet(f"{sf_dir}/{table}.parquet",
+                                   columns=[group, col])
+        return dds_quantiles_grouped(ds, col, [group], QS, alpha=ALPHA,
+                                     bin_limit=BIN_LIMIT, round_digits=6)
+    return run
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from p2pddsketch_ray.pipelines import relational as R
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # sketch quantiles (DDSketch replicated exactly in oracle SQL)
+        "dds_price_global": _dds_global("lineitem", "l_extendedprice"),
+        "dds_price_by_flag": _dds_grouped("lineitem", "l_extendedprice",
+                                          "l_returnflag"),
+        "dds_nchars_by_lang": _dds_grouped("documents", "n_chars", "lang"),
+        "dds_event_value_global": _dds_global("events", "value"),
+        # relational / dataflow operators (exact)
+        "pricing_summary": R.pricing_summary,
+        "topk_orders": R.topk_orders,
+        "customer_nation_rollup": R.customer_nation_rollup,
+        "events_hourly_window": R.events_hourly_window,
+        "docs_by_lang": R.docs_by_lang,
+        "distinct_user_count": R.distinct_user_count,
+        # text analysis (exact, SQL-replicable definitions)
+        "token_stats_by_lang": R.token_stats_by_lang,
+        # dedup (exact content-hash)
+        "dedup_exact_docs": R.dedup_exact_docs,
+        # similarity search (brute-force cosine baseline)
+        "knn_cosine_topk": R.knn_cosine_topk,
+    }
+
+
+# ---------------------------------------------------------------------------
+# oracle SQL
+# ---------------------------------------------------------------------------
+
+def _dds_sql(table: str, col: str, group: str | None = None) -> str:
+    """DuckDB replica of the DDSketch pipeline: identical bucket keys
+    (ceil(ln x/ln gamma) +/- offset, sign-mirrored, 0 -> 0), identical
+    cumulative walk (first key whose running count exceeds q*(n-1)),
+    identical midpoint estimate 2*gamma^m/(gamma+1), rounded to 6."""
+    g = GAMMA_SQL
+    qs_values = ", ".join(f"({q})" for q in QS)
+    if group is None:
+        return f"""
+WITH src AS (SELECT CAST({col} AS DOUBLE) AS x FROM {table} WHERE {col} IS NOT NULL),
+keyed AS (SELECT CASE WHEN x > 0 THEN CAST(ceil(ln(x)/ln({g})) AS BIGINT) + {OFFSET}
+                      WHEN x < 0 THEN -CAST(ceil(ln(-x)/ln({g})) AS BIGINT) - {OFFSET}
+                      ELSE 0 END AS k FROM src),
+bins AS (SELECT k, CAST(count(*) AS DOUBLE) AS c FROM keyed GROUP BY k),
+tot AS (SELECT sum(c) AS n FROM bins),
+walk AS (SELECT k, sum(c) OVER (ORDER BY k) AS cum FROM bins),
+qs(q) AS (VALUES {qs_values}),
+pick AS (SELECT qs.q AS q, min(walk.k) AS bucket_key
+         FROM qs CROSS JOIN walk CROSS JOIN tot
+         WHERE walk.cum > qs.q * (tot.n - 1) GROUP BY qs.q)
+SELECT q, bucket_key,
+       round(CASE WHEN bucket_key > 0 THEN 2*pow({g}, bucket_key - {OFFSET})/({g}+1)
+                  WHEN bucket_key < 0 THEN -2*pow({g}, -bucket_key - {OFFSET})/({g}+1)
+                  ELSE 0.0 END, 6) AS est
+FROM pick"""
+    return f"""
+WITH src AS (SELECT {group} AS grp, CAST({col} AS DOUBLE) AS x
+             FROM {table} WHERE {col} IS NOT NULL),
+keyed AS (SELECT grp, CASE WHEN x > 0 THEN CAST(ceil(ln(x)/ln({g})) AS BIGINT) + {OFFSET}
+                           WHEN x < 0 THEN -CAST(ceil(ln(-x)/ln({g})) AS BIGINT) - {OFFSET}
+                           ELSE 0 END AS k FROM src),
+bins AS (SELECT grp, k, CAST(count(*) AS DOUBLE) AS c FROM keyed GROUP BY grp, k),
+tot AS (SELECT grp, sum(c) AS n FROM bins GROUP BY grp),
+walk AS (SELECT grp, k, sum(c) OVER (PARTITION BY grp ORDER BY k) AS cum FROM bins),
+qs(q) AS (VALUES {qs_values}),
+pick AS (SELECT walk.grp AS grp, qs.q AS q, min(walk.k) AS bucket_key
+         FROM qs CROSS JOIN walk JOIN tot ON walk.grp = tot.grp
+         WHERE walk.cum > qs.q * (tot.n - 1) GROUP BY walk.grp, qs.q)
+SELECT grp AS {group}, q, bucket_key,
+       round(CASE WHEN bucket_key > 0 THEN 2*pow({g}, bucket_key - {OFFSET})/({g}+1)
+                  WHEN bucket_key < 0 THEN -2*pow({g}, -bucket_key - {OFFSET})/({g}+1)
+                  ELSE 0.0 END, 6) AS est
+FROM pick"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from p2pddsketch_ray.functions.text import STOPWORDS
+    stoplist = ",".join(f"'{w}'" for w in STOPWORDS)
+
+    return {
+        "dds_price_global": _dds_sql("lineitem", "l_extendedprice"),
+        "dds_price_by_flag": _dds_sql("lineitem", "l_extendedprice",
+                                      "l_returnflag"),
+        "dds_nchars_by_lang": _dds_sql("documents", "n_chars", "lang"),
+        "dds_event_value_global": _dds_sql("events", "value"),
+        "pricing_summary": """
+SELECT l_returnflag, l_linestatus,
+       sum(CAST(l_quantity AS BIGINT)) AS sum_qty,
+       CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS DOUBLE)/100.0
+           AS sum_base_price,
+       CAST(sum(CAST(round(l_extendedprice*(1.0-l_discount)*10000.0) AS BIGINT)) AS DOUBLE)/10000.0
+           AS sum_disc_price,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE)/CAST(count(*) AS DOUBLE)
+           AS avg_qty,
+       count(*) AS n_rows
+FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+        "topk_orders": """
+SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
+        "customer_nation_rollup": """
+SELECT n_name, count(*) AS n_customers,
+       CAST(sum(CAST(round(c_acctbal*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_acctbal
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name""",
+        "events_hourly_window": """
+SELECT event_type,
+       (CAST(ts AS BIGINT)//3600000000)*3600 AS window_start,
+       count(*) AS n_events,
+       CAST(sum(CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_value
+FROM (SELECT event_type, epoch_us(ts) AS ts, value FROM events) GROUP BY 1, 2""",
+        "docs_by_lang": """
+SELECT lang, count(*) AS n_docs, min(n_chars) AS min_chars,
+       max(n_chars) AS max_chars
+FROM documents GROUP BY lang""",
+        "distinct_user_count": """
+SELECT count(DISTINCT user_id) AS n_distinct FROM events""",
+        "token_stats_by_lang": f"""
+WITH m AS (
+  SELECT lang,
+         length(regexp_extract_all(text, '[A-Za-z0-9]+')) AS tokens,
+         length(regexp_extract_all(text, '[.,;:!?]')) AS punct,
+         length(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+                            t -> t IN ({stoplist}))) AS stops
+  FROM documents),
+s AS (
+  SELECT lang, tokens, punct, stops,
+         CAST(floor((
+             0.4*least(1.0, CAST(tokens AS DOUBLE)/100.0)
+           + 0.3*(1.0 - least(1.0, CAST(punct AS DOUBLE)/greatest(CAST(tokens AS DOUBLE), 1.0)))
+           + 0.3*least(1.0, 5.0*CAST(stops AS DOUBLE)/greatest(CAST(tokens AS DOUBLE), 1.0))
+           )*1000000.0 + 0.5) AS BIGINT) AS quality_micro
+  FROM m)
+SELECT lang, count(*) AS n_docs, sum(tokens) AS sum_tokens,
+       sum(punct) AS sum_punct, sum(stops) AS sum_stops,
+       CAST(sum(quality_micro) AS DOUBLE)/1000000.0/CAST(count(*) AS DOUBLE)
+           AS avg_quality
+FROM s GROUP BY lang""",
+        "dedup_exact_docs": """
+SELECT md5(text) AS text_md5, min(doc_id) AS first_doc_id,
+       count(*) AS dup_count
+FROM documents GROUP BY md5(text)""",
+        "knn_cosine_topk": """
+WITH q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+           FROM embeddings WHERE vec_id = 0),
+scored AS (
+  SELECT vec_id,
+         round(list_cosine_similarity(
+             list_transform(embedding, x -> CAST(x AS DOUBLE)), q.qv), 4)
+             AS cos_sim
+  FROM embeddings CROSS JOIN q)
+SELECT vec_id, cos_sim FROM scored ORDER BY cos_sim DESC, vec_id LIMIT 10""",
+    }

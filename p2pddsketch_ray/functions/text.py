@@ -76,7 +76,9 @@ def quality_score(texts: pa.Array) -> pa.Array:
       + 0.3 * (1 - min(1, punct/tokens))    (punctuation density)
       + 0.3 * min(1, 5*stopwords/tokens)    (naturalness)
 
-    rounded to 6 digits.  SQL-replicable (see oracle_sql in __ray_entry__).
+    Returned unrounded: the expression uses the same op order as its SQL
+    replica, so the float64 result is bit-identical to DuckDB's
+    (see oracle_sql in __ray_entry__).
     """
     toks = token_count(texts).to_numpy(zero_copy_only=False).astype(np.float64)
     punct = punct_count(texts).to_numpy(zero_copy_only=False).astype(np.float64)
@@ -85,7 +87,7 @@ def quality_score(texts: pa.Array) -> pa.Array:
     score = (0.4 * np.minimum(1.0, toks / 100.0)
              + 0.3 * (1.0 - np.minimum(1.0, punct / safe_toks))
              + 0.3 * np.minimum(1.0, 5.0 * stops / safe_toks))
-    return pa.array(np.round(score, 6), type=pa.float64())
+    return pa.array(score, type=pa.float64())
 
 
 def fingerprint64(texts: pa.Array) -> pa.Array:

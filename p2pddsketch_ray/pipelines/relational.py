@@ -1,0 +1,289 @@
+"""Relational demo pipelines over the driver testdata tables.
+
+These exercise the engine's general dataflow operators (filter, project,
+vectorized map, broadcast join, grouped aggregation, window bucketing,
+sort/top-k) with Ray Data idioms, and are each paired with an ANSI-SQL
+oracle in __ray_entry__.oracle_sql.
+
+Determinism for the driver's value-hash compare: every floating aggregate
+is accumulated in integer units ("cents trick": per-row doubles are
+bit-identical between numpy and DuckDB, so round(x*scale) -> int64 -> sum
+is order-independent and hash-exact), and ratios are computed from those
+integers at the end.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+from ray.data.aggregate import Count, Max, Min, Sum
+
+
+def _read(sf_dir: str, table: str, columns=None) -> "ray.data.Dataset":
+    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def _int_units(col: pa.ChunkedArray | pa.Array, scale: float) -> pa.Array:
+    """round(col*scale) as int64 -- order-independent summation units."""
+    scaled = pc.multiply(pc.cast(col, pa.float64()), pa.scalar(float(scale)))
+    return pc.cast(pc.round(scaled), pa.int64())
+
+
+def pricing_summary(sf_dir: str) -> "ray.data.Dataset":
+    """TPC-H-Q1-shaped grouped aggregation over lineitem (exact)."""
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_quantity",
+                "l_extendedprice", "l_discount"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        qty = pc.cast(t["l_quantity"], pa.int64())
+        base_cents = _int_units(t["l_extendedprice"], 100)
+        disc_price = pc.multiply(
+            pc.cast(t["l_extendedprice"], pa.float64()),
+            pc.subtract(pa.scalar(1.0), pc.cast(t["l_discount"], pa.float64())))
+        disc_units = pc.cast(pc.round(pc.multiply(disc_price, pa.scalar(10000.0))),
+                             pa.int64())
+        return pa.table({
+            "l_returnflag": t["l_returnflag"],
+            "l_linestatus": t["l_linestatus"],
+            "qty": qty, "base_cents": base_cents, "disc_units": disc_units,
+        })
+
+    agg = (ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+           .groupby(["l_returnflag", "l_linestatus"])
+           .aggregate(Sum("qty", alias_name="sum_qty"),
+                      Sum("base_cents", alias_name="base_cents"),
+                      Sum("disc_units", alias_name="disc_units"),
+                      Count(alias_name="n_rows")))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_returnflag": t["l_returnflag"],
+            "l_linestatus": t["l_linestatus"],
+            "sum_qty": pc.cast(t["sum_qty"], pa.int64()),
+            "sum_base_price": pc.divide(pc.cast(t["base_cents"], pa.float64()),
+                                        pa.scalar(100.0)),
+            "sum_disc_price": pc.divide(pc.cast(t["disc_units"], pa.float64()),
+                                        pa.scalar(10000.0)),
+            # exact ratio of deterministic integers -- bit-identical to the
+            # SQL division, no rounding needed (rounding near ratio
+            # boundaries would differ: pyarrow half-to-even vs DuckDB
+            # half-away-from-zero)
+            "avg_qty": pc.divide(pc.cast(t["sum_qty"], pa.float64()),
+                                 pc.cast(t["n_rows"], pa.float64())),
+            "n_rows": pc.cast(t["n_rows"], pa.int64()),
+        })
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+def topk_orders(sf_dir: str, k: int = 10) -> "ray.data.Dataset":
+    """Global sort + limit (distributed top-k)."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    return ds.sort(["o_totalprice", "o_orderkey"],
+                   descending=[True, False]).limit(k)
+
+
+def customer_nation_rollup(sf_dir: str) -> "ray.data.Dataset":
+    """Broadcast join: nation (25 rows) is ray.put once and looked up
+    inside map_batches -- no shuffle join for a small dimension side
+    (SURVEY.md section 2.4: the reference has no joins; this is the
+    engine-level lookup pattern for small sides)."""
+    import pyarrow.parquet as pq
+    nation = pq.read_table(f"{sf_dir}/nation.parquet",
+                           columns=["n_nationkey", "n_name"])
+    lookup_ref = ray.put(dict(zip(nation["n_nationkey"].to_pylist(),
+                                  nation["n_name"].to_pylist())))
+    ds = _read(sf_dir, "customer", ["c_nationkey", "c_acctbal"])
+
+    def join_batch(t: pa.Table) -> pa.Table:
+        lookup = ray.get(lookup_ref)
+        keys = t["c_nationkey"].to_numpy(zero_copy_only=False)
+        names = pa.array([lookup[int(k)] for k in keys], type=pa.string())
+        return pa.table({
+            "n_name": names,
+            "acct_cents": _int_units(t["c_acctbal"], 100),
+        })
+
+    agg = (ds.map_batches(join_batch, batch_format="pyarrow")
+           .groupby("n_name")
+           .aggregate(Count(alias_name="n_customers"),
+                      Sum("acct_cents", alias_name="acct_cents")))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "n_name": t["n_name"],
+            "n_customers": pc.cast(t["n_customers"], pa.int64()),
+            "sum_acctbal": pc.divide(pc.cast(t["acct_cents"], pa.float64()),
+                                     pa.scalar(100.0)),
+        })
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+def events_hourly_window(sf_dir: str) -> "ray.data.Dataset":
+    """Tumbling 1-hour event-time window per event_type (batch analog of a
+    streaming window; Ray Data has no watermarks -- see ray_guide):
+    window_start = unix seconds of the hour bucket."""
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def bucket(t: pa.Table) -> pa.Table:
+        us = pc.cast(t["ts"], pa.int64())  # timestamp[us] -> microseconds
+        hours = pc.divide(us, pa.scalar(3_600_000_000))
+        return pa.table({
+            "event_type": t["event_type"],
+            "window_start": pc.multiply(hours, pa.scalar(3600)),
+            "value_cents": _int_units(t["value"], 100),
+        })
+
+    agg = (ds.map_batches(bucket, batch_format="pyarrow", zero_copy_batch=True)
+           .groupby(["event_type", "window_start"])
+           .aggregate(Count(alias_name="n_events"),
+                      Sum("value_cents", alias_name="value_cents")))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": t["event_type"],
+            "window_start": pc.cast(t["window_start"], pa.int64()),
+            "n_events": pc.cast(t["n_events"], pa.int64()),
+            "sum_value": pc.divide(pc.cast(t["value_cents"], pa.float64()),
+                                   pa.scalar(100.0)),
+        })
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+def docs_by_lang(sf_dir: str) -> "ray.data.Dataset":
+    """Exact grouped count + min/max metric (documents)."""
+    ds = _read(sf_dir, "documents", ["lang", "n_chars"])
+    agg = (ds.groupby("lang")
+           .aggregate(Count(alias_name="n_docs"),
+                      Min("n_chars", alias_name="min_chars"),
+                      Max("n_chars", alias_name="max_chars")))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "lang": t["lang"],
+            "n_docs": pc.cast(t["n_docs"], pa.int64()),
+            "min_chars": pc.cast(t["min_chars"], pa.int64()),
+            "max_chars": pc.cast(t["max_chars"], pa.int64()),
+        })
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+def distinct_user_count(sf_dir: str) -> pa.Table:
+    """Exact distinct count via shuffle groupby (the exact twin of the HLL
+    estimate pipeline)."""
+    ds = _read(sf_dir, "events", ["user_id"])
+    n = ds.groupby("user_id").count().count()
+    return pa.table({"n_distinct": pa.array([n], type=pa.int64())})
+
+
+def token_stats_by_lang(sf_dir: str) -> "ray.data.Dataset":
+    """Vectorized text metrics -> grouped aggregation (documents)."""
+    from ..functions.text import (punct_count, quality_score, stopword_count,
+                                  token_count)
+    ds = _read(sf_dir, "documents", ["lang", "text"])
+
+    def metrics(t: pa.Table) -> pa.Table:
+        texts = t["text"].combine_chunks() if isinstance(t["text"], pa.ChunkedArray) else t["text"]
+        q = quality_score(texts)
+        return pa.table({
+            "lang": t["lang"],
+            "tokens": token_count(texts),
+            "punct": punct_count(texts),
+            "stops": stopword_count(texts),
+            # floor(x*1e6 + 0.5) on BOTH sides: immune to the numpy
+            # half-to-even vs DuckDB half-away rounding split at exact .5
+            "quality_micro": pc.cast(
+                pc.floor(pc.add(pc.multiply(q, pa.scalar(1e6)),
+                                pa.scalar(0.5))), pa.int64()),
+        })
+
+    agg = (ds.map_batches(metrics, batch_format="pyarrow", zero_copy_batch=True)
+           .groupby("lang")
+           .aggregate(Count(alias_name="n_docs"),
+                      Sum("tokens", alias_name="sum_tokens"),
+                      Sum("punct", alias_name="sum_punct"),
+                      Sum("stops", alias_name="sum_stops"),
+                      Sum("quality_micro", alias_name="quality_micro")))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "lang": t["lang"],
+            "n_docs": pc.cast(t["n_docs"], pa.int64()),
+            "sum_tokens": pc.cast(t["sum_tokens"], pa.int64()),
+            "sum_punct": pc.cast(t["sum_punct"], pa.int64()),
+            "sum_stops": pc.cast(t["sum_stops"], pa.int64()),
+            # exact: (int / 1e6) / int, same op order as the oracle SQL
+            "avg_quality": pc.divide(
+                pc.divide(pc.cast(t["quality_micro"], pa.float64()),
+                          pa.scalar(1e6)),
+                pc.cast(t["n_docs"], pa.float64())),
+        })
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+def dedup_exact_docs(sf_dir: str) -> "ray.data.Dataset":
+    """Exact dedup by content hash: md5(text) -> (first doc_id, dup count).
+    Hash-partition groupby on the digest; at 100 TB the md5 column is the
+    only thing shuffled besides doc_id."""
+    from ..hashing import md5_hex
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def hash_batch(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "text_md5": pa.array(md5_hex(t["text"]), type=pa.string()),
+            "doc_id": t["doc_id"],
+        })
+
+    agg = (ds.map_batches(hash_batch, batch_format="pyarrow")
+           .groupby("text_md5")
+           .aggregate(Min("doc_id", alias_name="first_doc_id"),
+                      Count(alias_name="dup_count")))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "text_md5": t["text_md5"],
+            "first_doc_id": pc.cast(t["first_doc_id"], pa.int64()),
+            "dup_count": pc.cast(t["dup_count"], pa.int64()),
+        })
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+def knn_cosine_topk(sf_dir: str, query_vec_id: int = 0,
+                    k: int = 10) -> "ray.data.Dataset":
+    """Brute-force cosine top-k over the embedding column: the query vector
+    is broadcast (ray.put) and each batch does one float64 matmul -- the
+    baseline ANN path (scale path: IVF in pipelines.knn)."""
+    import pyarrow.parquet as pq
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                        columns=["vec_id", "embedding"])
+    qrow = emb.filter(pc.equal(emb["vec_id"], query_vec_id))
+    qvec = np.asarray(qrow["embedding"][0].as_py(), dtype=np.float64)
+    qvec = qvec / np.linalg.norm(qvec)
+    q_ref = ray.put(qvec)
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def score(t: pa.Table) -> pa.Table:
+        q = ray.get(q_ref)
+        mat = np.asarray(t["embedding"].combine_chunks().to_pylist()
+                         if isinstance(t["embedding"], pa.ChunkedArray)
+                         else t["embedding"].to_pylist(), dtype=np.float64)
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        sims = (mat @ q) / norms
+        return pa.table({
+            "vec_id": t["vec_id"],
+            "cos_sim": pa.array(np.round(sims, 4), type=pa.float64()),
+        })
+
+    return (ds.map_batches(score, batch_format="pyarrow")
+            .sort(["cos_sim", "vec_id"], descending=[True, False]).limit(k))
