@@ -70,6 +70,7 @@ def _dds_grouped(table: str, col: str, group: str):
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    from p2pddsketch_ray.pipelines import approx as A
     from p2pddsketch_ray.pipelines import relational as R
 
     return {
@@ -92,6 +93,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact_docs": R.dedup_exact_docs,
         # similarity search (brute-force cosine baseline)
         "knn_cosine_topk": R.knn_cosine_topk,
+        # approximate aggregation (HLL / count-min / Bloom semi-join)
+        "hll_distinct_users": A.hll_distinct_users,
+        "cms_user_counts": A.cms_user_counts,
+        "bloom_semijoin_orders": A.bloom_semijoin_orders,
     }
 
 
@@ -210,6 +215,51 @@ FROM s GROUP BY lang""",
 SELECT md5(text) AS text_md5, min(doc_id) AS first_doc_id,
        count(*) AS dup_count
 FROM documents GROUP BY md5(text)""",
+        # HLL replica: identical registers via hash(user_id), rho computed
+        # with the same float path; estimator branches exactly as
+        # HyperLogLog.estimate (linear counting when raw <= 2.5m & zeros>0)
+        "hll_distinct_users": """
+WITH hashes AS (SELECT hash(user_id::BIGINT) AS hv FROM events),
+regs AS (SELECT CAST(hv >> 52 AS BIGINT) AS idx,
+                CASE WHEN (hv & 4503599627370495::UBIGINT) = 0 THEN 53
+                     ELSE 52 - CAST(floor(log2(CAST(hv & 4503599627370495::UBIGINT AS DOUBLE))) AS BIGINT)
+                END AS rho
+         FROM hashes),
+mx AS (SELECT idx, max(rho) AS r FROM regs GROUP BY idx),
+stats AS (SELECT count(*) AS nonzero, CAST(sum(r) AS BIGINT) AS sumr,
+                 sum(pow(2.0, -CAST(r AS DOUBLE))) AS s_nonzero
+          FROM mx),
+est AS (SELECT nonzero, sumr,
+               4096 - nonzero AS zeros,
+               (0.7213/(1.0 + 1.079/4096)) * 4096 * 4096 /
+                   (s_nonzero + CAST(4096 - nonzero AS DOUBLE)) AS raw
+        FROM stats)
+SELECT 4096::BIGINT AS m, nonzero AS nonzero_registers, sumr AS sum_registers,
+       round(CASE WHEN raw <= 2.5*4096 AND zeros > 0
+                  THEN 4096 * ln(4096.0 / CAST(zeros AS DOUBLE))
+                  ELSE raw END, 6) AS hll_estimate
+FROM est""",
+        # count-min replica: same cells via hash(xor(key, seed_d)) % width,
+        # same integer counters, min over depth rows
+        "cms_user_counts": """
+WITH counts AS (SELECT user_id AS k, count(*) AS c FROM events GROUP BY user_id),
+seeds(d, s) AS (VALUES (0, 461845907), (1, 3432918353), (2, 2245366699),
+                        (3, 3266489909)),
+cells AS (SELECT s.d AS d, hash(xor(c.k, CAST(s.s AS BIGINT))) % 8192 AS cell,
+                 CAST(sum(c.c) AS BIGINT) AS tot
+          FROM counts c CROSS JOIN seeds s GROUP BY s.d, cell)
+SELECT c.k AS user_id, CAST(min(cells.tot) AS BIGINT) AS est_count
+FROM counts c CROSS JOIN seeds s
+JOIN cells ON cells.d = s.d
+          AND cells.cell = hash(xor(c.k, CAST(s.s AS BIGINT))) % 8192
+GROUP BY c.k""",
+        # the Bloom prefilter is exact-confirmed, so the result equals the
+        # plain semi-join
+        "bloom_semijoin_orders": """
+SELECT o_orderstatus, count(*) AS n_orders
+FROM orders
+WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 7000.0)
+GROUP BY o_orderstatus""",
         "knn_cosine_topk": """
 WITH q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
            FROM embeddings WHERE vec_id = 0),

@@ -47,10 +47,23 @@ def pricing_summary(sf_dir: str) -> "ray.data.Dataset":
             pc.subtract(pa.scalar(1.0), pc.cast(t["l_discount"], pa.float64())))
         disc_units = pc.cast(pc.round(pc.multiply(disc_price, pa.scalar(10000.0))),
                              pa.int64())
-        return pa.table({
+        staged = pa.table({
             "l_returnflag": t["l_returnflag"],
             "l_linestatus": t["l_linestatus"],
             "qty": qty, "base_cents": base_cents, "disc_units": disc_units,
+        })
+        # combiner: pre-aggregate inside the batch (pyarrow C++ hash agg) so
+        # the shuffle moves ~6 rows per block instead of the whole block
+        g = staged.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("qty", "sum"), ("base_cents", "sum"), ("disc_units", "sum"),
+             ("qty", "count")])
+        return pa.table({
+            "l_returnflag": g["l_returnflag"],
+            "l_linestatus": g["l_linestatus"],
+            "qty": g["qty_sum"],
+            "base_cents": g["base_cents_sum"],
+            "disc_units": g["disc_units_sum"],
+            "rows": pc.cast(g["qty_count"], pa.int64()),
         })
 
     agg = (ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
@@ -58,7 +71,7 @@ def pricing_summary(sf_dir: str) -> "ray.data.Dataset":
            .aggregate(Sum("qty", alias_name="sum_qty"),
                       Sum("base_cents", alias_name="base_cents"),
                       Sum("disc_units", alias_name="disc_units"),
-                      Count(alias_name="n_rows")))
+                      Sum("rows", alias_name="n_rows")))
 
     def finalize(t: pa.Table) -> pa.Table:
         return pa.table({

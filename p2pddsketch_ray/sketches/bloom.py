@@ -83,6 +83,12 @@ class BloomFilter:
         self.n_added += other.n_added
         return self
 
+    def copy(self) -> "BloomFilter":
+        c = BloomFilter(self.n_bits, self.k)
+        c.bits = self.bits.copy()
+        c.n_added = self.n_added
+        return c
+
     # -- serialization -----------------------------------------------------
 
     def to_row(self) -> dict:
