@@ -1,0 +1,121 @@
+"""Webpages fixture, byte-identity extraction invariant, flagship metric
+pipeline, and multimodal (binary) actor-pool plumbing."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from p2pddsketch_ray.sources.webpages import (LANGS, generate_webpages,
+                                              generate_webpages_local,
+                                              make_rows)
+from p2pddsketch_ray.stages.extract import extract_text
+
+from .test_ddsketch import exact_quantile, rel_err
+
+
+@pytest.fixture(scope="module")
+def pages() -> pa.Table:
+    return generate_webpages_local(2000)
+
+
+def test_schema_and_determinism(pages):
+    assert pages.schema.names == ["url", "warc_ts", "html", "text", "lang"]
+    again = generate_webpages_local(2000)
+    assert pages.equals(again)
+    # partition-independence: rows generated in any batching are identical
+    chunk = make_rows(np.arange(500, 700))
+    assert chunk.equals(pages.slice(500, 200))
+
+
+def test_extraction_byte_identity(pages):
+    """The driver invariant: extract_text(html) == text, byte for byte."""
+    for i in range(pages.num_rows):
+        html = pages["html"][i].as_py()
+        assert extract_text(html).encode() == pages["text"][i].as_py().encode()
+
+
+def test_lang_skew(pages):
+    langs = pages["lang"].to_pylist()
+    frac_en = langs.count("en") / len(langs)
+    assert 0.5 < frac_en < 0.7           # Zipf head
+    assert set(langs) <= set(LANGS)
+
+
+def test_planted_duplicates(pages):
+    texts = pages["text"].to_pylist()
+    # exact dups: i % 53 == 3 with base source at i-3
+    found_exact = sum(1 for i in range(3, len(texts))
+                      if i % 53 == 3 and texts[i].split("\n", 1)[-1] ==
+                      texts[i - 3].split("\n", 1)[-1])
+    assert found_exact > 10
+    # near dups: i % 37 == 1, body = source body + " extra"
+    bodies = [t.split("\n", 1)[-1] for t in texts]
+    found_near = sum(1 for i in range(1, len(texts))
+                     if i % 37 == 1 and bodies[i] == bodies[i - 1] + " extra")
+    assert found_near > 10
+
+
+def test_heavy_tail_lengths(pages):
+    lens = np.array([len(t) for t in pages["text"].to_pylist()])
+    assert np.quantile(lens, 0.99) > 4 * np.median(lens)
+
+
+def test_flagship_pipeline_accuracy(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+    from p2pddsketch_ray.pipelines.webpages import webpage_quantiles
+    path = str(tmp_path / "pages")
+    generate_webpages(path, 4000, num_blocks=8)
+    files = sorted(__import__("glob").glob(f"{path}/*.parquet"))
+    assert len(files) >= 2              # partitioned output
+    table = pa.concat_tables([pq.read_table(f, columns=["text", "lang"])
+                              for f in files])
+    true_lens = np.array([len(t) for t in table["text"].to_pylist()],
+                         dtype=np.float64)
+    glob_t, grouped = webpage_quantiles(path, "text_len",
+                                        (0.5, 0.95, 0.99), verify=True)
+    for q, est in zip(glob_t["q"].to_pylist(), glob_t["est"].to_pylist()):
+        real = exact_quantile(true_lens, q)
+        assert rel_err(est, real) <= 0.01 + 1e-12
+    gdf = grouped.to_pandas()
+    langs = table["lang"].to_pylist()
+    for lang in ("en", "de"):
+        sub = np.array([l_ for l_, g in zip(true_lens, langs) if g == lang])
+        row = gdf[(gdf["lang"] == lang) & (gdf["q"] == 0.5)].iloc[0]
+        assert rel_err(row["est"], exact_quantile(sub, 0.5)) <= 0.01 + 1e-12
+
+
+def test_extraction_verify_catches_corruption(ray_session, tmp_path):
+    import ray.data
+    from p2pddsketch_ray.pipelines.webpages import webpage_metrics_ds
+    t = generate_webpages_local(50)
+    # corrupt one text cell
+    texts = t["text"].to_pylist()
+    texts[7] = texts[7] + "XX"
+    bad = t.set_column(3, "text", pa.array(texts, type=pa.string()))
+    path = str(tmp_path / "bad.parquet")
+    import pyarrow.parquet as pq
+    pq.write_table(bad, path)
+    with pytest.raises(Exception) as exc_info:
+        webpage_metrics_ds(path, verify=True).to_pandas()
+    assert "extraction mismatch" in str(exc_info.value)
+
+
+def test_multimodal_binary_features(ray_session, tmp_path):
+    import ray.data
+    from p2pddsketch_ray.stages.multimodal import BinaryFeatureExtract
+    t = generate_webpages_local(300)
+    ds = ray.data.from_arrow(t.select(["html"]))
+    out = ds.map_batches(BinaryFeatureExtract, batch_format="pyarrow",
+                         batch_size=64, concurrency=2, num_cpus=1).to_pandas()
+    assert len(out) == 300
+    assert (out["payload_size"] > 0).all()
+    feats = np.stack(out["features"].to_numpy())
+    assert feats.shape == (300, 16)
+    np.testing.assert_allclose(feats.sum(axis=1), 1.0, atol=1e-9)
+    # deterministic across runs
+    out2 = ds.map_batches(BinaryFeatureExtract, batch_format="pyarrow",
+                          batch_size=64, concurrency=2, num_cpus=1).to_pandas()
+    assert np.array_equal(feats, np.stack(out2["features"].to_numpy()))
+    # the real-decoder path is stubbed
+    with pytest.raises(NotImplementedError):
+        BinaryFeatureExtract(decode="real")
