@@ -97,7 +97,73 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_distinct_users": A.hll_distinct_users,
         "cms_user_counts": A.cms_user_counts,
         "bloom_semijoin_orders": A.bloom_semijoin_orders,
+        # near-duplicate detection (rows-only for the signature methods --
+        # MinHash/SimHash are not SQL-expressible; embedding cosine is)
+        "minhash_neardup_docs": _minhash_neardup_docs,
+        "simhash_neardup_docs": _simhash_neardup_docs,
+        "embedding_neardup_pairs": _embedding_neardup_pairs,
+        # similarity search scale path: IVF probing all clusters must
+        # reproduce the exhaustive top-k (oracle = brute-force SQL)
+        "ivf_knn_exhaustive": _ivf_knn_exhaustive,
+        # KLL comparison-based quantiles (randomized compaction: rows-only)
+        "kll_quantiles_price": _kll_quantiles_price,
     }
+
+
+def _minhash_neardup_docs(sf_dir: str):
+    import ray.data
+    from p2pddsketch_ray.pipelines.dedup import minhash_near_dups
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    return minhash_near_dups(ds, "doc_id", "text", threshold=0.7)
+
+
+def _simhash_neardup_docs(sf_dir: str):
+    import ray.data
+    from p2pddsketch_ray.pipelines.dedup import simhash_near_dups
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    return simhash_near_dups(ds, "doc_id", "text", max_hamming=3)
+
+
+def _embedding_neardup_pairs(sf_dir: str):
+    from p2pddsketch_ray.pipelines.dedup import embedding_near_dup_pairs
+    return embedding_near_dup_pairs(sf_dir, threshold=0.3)
+
+
+def _ivf_knn_exhaustive(sf_dir: str):
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray.data
+    from p2pddsketch_ray.pipelines.knn import IVFIndex
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                        columns=["vec_id", "embedding"])
+    query = np.asarray(
+        emb.filter(__import__("pyarrow").compute.equal(emb["vec_id"], 0))
+        ["embedding"][0].as_py(), dtype=np.float64)
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    index = IVFIndex.build(ds, n_clusters=8, seed=42)
+    return index.search(query, k=10, n_probe=8)
+
+
+def _kll_quantiles_price(sf_dir: str):
+    import pyarrow as pa
+    import ray.data
+    from p2pddsketch_ray.sketches.kll import KLLSketch
+    from p2pddsketch_ray.stages.generic_build import build_and_merge
+    ds = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_extendedprice"])
+
+    def add(s, t):
+        s.add_batch(t["l_extendedprice"].to_numpy(zero_copy_only=False))
+
+    kll = build_and_merge(ds, ["l_extendedprice"],
+                          lambda: KLLSketch(k=200, seed=7), add)
+    qs = [0.5, 0.95, 0.99]
+    return pa.table({"q": pa.array(qs, type=pa.float64()),
+                     "est": pa.array([kll.quantile(q) for q in qs],
+                                     type=pa.float64())})
 
 
 # ---------------------------------------------------------------------------
@@ -270,4 +336,23 @@ scored AS (
              AS cos_sim
   FROM embeddings CROSS JOIN q)
 SELECT vec_id, cos_sim FROM scored ORDER BY cos_sim DESC, vec_id LIMIT 10""",
+        # IVF with all clusters probed == exhaustive cosine top-k
+        "ivf_knn_exhaustive": """
+WITH q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+           FROM embeddings WHERE vec_id = 0),
+scored AS (
+  SELECT vec_id,
+         round(list_cosine_similarity(
+             list_transform(embedding, x -> CAST(x AS DOUBLE)), q.qv), 6)
+             AS cos_sim
+  FROM embeddings CROSS JOIN q)
+SELECT vec_id, cos_sim FROM scored ORDER BY cos_sim DESC, vec_id LIMIT 10""",
+        "embedding_neardup_pairs": """
+WITH u AS (SELECT vec_id,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_cosine_similarity(a.v, b.v), 4) AS cos_sim
+FROM u a JOIN u b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.v, b.v) >= 0.3""",
     }

@@ -1,0 +1,138 @@
+"""MinHash signatures and SimHash fingerprints for near-duplicate
+detection (Broder 1997; Charikar 2002) -- the training-data-pipeline
+operators layered on the engine (BASELINE.md north star additions).
+
+All vectorized over the flat Arrow string buffer: byte-level k-shingles
+are hashed with one polynomial rolling hash pass (window dot-product over
+the whole concatenated buffer), then num_perm seeded avalanches with
+segmented minima (np.minimum.reduceat) produce the signature matrix.
+No per-row Python in the hot path.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..hashing import splitmix64
+
+_P = np.uint64(1099511628211)  # FNV prime as polynomial base
+
+
+def _string_buffer(texts) -> tuple[np.ndarray, np.ndarray]:
+    """(flat utf-8 bytes, int64 offsets) of an Arrow string column."""
+    arr = texts.combine_chunks() if isinstance(texts, pa.ChunkedArray) else texts
+    if arr.null_count:
+        arr = arr.fill_null("")
+    bufs = arr.buffers()
+    offs = np.frombuffer(bufs[1], dtype=np.int32, count=len(arr) + 1,
+                         offset=arr.offset * 4).astype(np.int64)
+    data = (np.frombuffer(bufs[2], dtype=np.uint8) if bufs[2] is not None
+            else np.empty(0, dtype=np.uint8))
+    return data, offs
+
+
+def shingle_hashes(texts, k: int = 5) -> tuple[np.ndarray, np.ndarray]:
+    """All byte k-shingle hashes of every string, concatenated.
+
+    Returns (hashes uint64, doc_offsets int64) where doc d's shingles are
+    hashes[doc_offsets[d]:doc_offsets[d+1]].  A doc shorter than k
+    contributes one whole-text shingle.
+    """
+    data, offs = _string_buffer(texts)
+    n_docs = offs.shape[0] - 1
+    lengths = np.diff(offs)
+    counts = np.maximum(lengths - k + 1, np.minimum(lengths, 1))
+    doc_offsets = np.concatenate([[0], np.cumsum(counts)])
+    total = int(doc_offsets[-1])
+    out = np.zeros(total, dtype=np.uint64)
+    if data.shape[0] >= k:
+        # rolling polynomial over the whole buffer (k vector passes)
+        with np.errstate(over="ignore"):
+            roll = np.zeros(data.shape[0] - k + 1, dtype=np.uint64)
+            for j in range(k):
+                roll = roll * _P + data[j:data.shape[0] - k + 1 + j]
+    else:
+        roll = np.zeros(0, dtype=np.uint64)
+    # per-doc: copy its valid window positions (or its short-text hash)
+    pos = 0
+    for d in range(n_docs):
+        ln = int(lengths[d])
+        if ln >= k:
+            c = ln - k + 1
+            out[pos:pos + c] = roll[offs[d]:offs[d] + c]
+            pos += c
+        elif ln > 0:
+            with np.errstate(over="ignore"):
+                h = np.uint64(0)
+                for b in data[offs[d]:offs[d + 1]]:
+                    h = h * _P + np.uint64(b)
+            out[pos] = h
+            pos += 1
+    return out, doc_offsets
+
+
+def minhash_signatures(texts, num_perm: int = 64, k: int = 5) -> np.ndarray:
+    """(n_docs, num_perm) uint64 signature matrix."""
+    hashes, doc_offsets = shingle_hashes(texts, k)
+    n_docs = doc_offsets.shape[0] - 1
+    sig = np.full((n_docs, num_perm), np.iinfo(np.uint64).max,
+                  dtype=np.uint64)
+    nonempty = np.diff(doc_offsets) > 0
+    starts = doc_offsets[:-1][nonempty]
+    for i in range(num_perm):
+        g = splitmix64(hashes.view(np.int64), seed=i)
+        if starts.shape[0]:
+            sig[nonempty, i] = np.minimum.reduceat(g, starts)
+    return sig
+
+
+def estimate_jaccard(sig_a: np.ndarray, sig_b: np.ndarray) -> np.ndarray:
+    """Fraction of equal signature coordinates (rowwise)."""
+    return (np.asarray(sig_a) == np.asarray(sig_b)).mean(axis=-1)
+
+
+def band_hashes(sig: np.ndarray, bands: int) -> np.ndarray:
+    """(n_docs, bands) uint64: one combined hash per signature band.
+    Docs sharing any band hash are LSH candidates."""
+    n_docs, num_perm = sig.shape
+    if num_perm % bands:
+        raise ValueError("num_perm must be divisible by bands")
+    r = num_perm // bands
+    out = np.zeros((n_docs, bands), dtype=np.uint64)
+    for b in range(bands):
+        h = np.full(n_docs, np.uint64(b + 1))
+        for j in range(r):
+            h = splitmix64((h ^ sig[:, b * r + j]).view(np.int64),
+                           seed=b * r + j)
+        out[:, b] = h
+    return out
+
+
+def simhash64(texts, k: int = 5) -> np.ndarray:
+    """64-bit SimHash per doc over byte k-shingle hashes: bit j of the
+    output is the sign of sum over shingles of (bit j ? +1 : -1)."""
+    hashes, doc_offsets = shingle_hashes(texts, k)
+    n_docs = doc_offsets.shape[0] - 1
+    out = np.zeros(n_docs, dtype=np.uint64)
+    nonempty = np.diff(doc_offsets) > 0
+    starts = doc_offsets[:-1][nonempty]
+    if not starts.shape[0]:
+        return out
+    vals = np.zeros(starts.shape[0], dtype=np.uint64)
+    # 16 bits at a time keeps the +/-1 matrix small (int32 segment sums)
+    for lo in range(0, 64, 16):
+        shifts = np.arange(lo, lo + 16, dtype=np.uint64)
+        bits = ((hashes[:, None] >> shifts[None, :]) & np.uint64(1)
+                ).astype(np.int32) * 2 - 1
+        sums = np.add.reduceat(bits, starts, axis=0)
+        signs = (sums > 0).astype(np.uint64)
+        vals |= (signs << shifts[None, :]).sum(axis=1, dtype=np.uint64)
+    out[nonempty] = vals
+    return out
+
+
+def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    x = np.asarray(a, dtype=np.uint64) ^ np.asarray(b, dtype=np.uint64)
+    return np.unpackbits(x.view(np.uint8).reshape(-1, 8),
+                         axis=1).sum(axis=1)

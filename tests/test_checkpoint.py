@@ -1,0 +1,106 @@
+"""Checkpoint/resume with per-partition lineage, and IVF ANN recall."""
+
+import glob
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from p2pddsketch_ray.sketches.ddsketch import DDSketch
+from p2pddsketch_ray.state.checkpoint import CheckpointedSketchBuild
+
+
+@pytest.fixture(scope="module")
+def shards(tmp_path_factory):
+    """Four parquet input shards of a scalar stream."""
+    rng = np.random.default_rng(11)
+    d = tmp_path_factory.mktemp("shards")
+    paths, all_vals = [], []
+    for i in range(4):
+        vals = rng.lognormal(0, 2, 5000)
+        all_vals.append(vals)
+        p = str(d / f"shard-{i}.parquet")
+        pq.write_table(pa.table({"value": vals,
+                                 "grp": (["a", "b"] * 2500)}), p)
+        paths.append(p)
+    return paths, np.concatenate(all_vals)
+
+
+def test_checkpoint_build_resume_identical(ray_session, shards, tmp_path):
+    paths, all_vals = shards
+    ck = CheckpointedSketchBuild(str(tmp_path / "ck"), "value", alpha=0.01)
+    ck.build(paths)
+    assert set(ck.built_inputs) == set(paths) and not ck.skipped_inputs
+    merged1 = ck.merged(paths)
+
+    # resume: nothing rebuilt, identical result
+    ck2 = CheckpointedSketchBuild(str(tmp_path / "ck"), "value", alpha=0.01)
+    ck2.build(paths)
+    assert not ck2.built_inputs and set(ck2.skipped_inputs) == set(paths)
+    assert ck2.merged(paths).to_bytes() == merged1.to_bytes()
+
+    # equals the direct sequential build, bit for bit
+    direct = DDSketch(alpha=0.01)
+    direct.add_batch(all_vals)
+    assert merged1.to_bytes() == direct.to_bytes()
+
+
+def test_checkpoint_partial_failure_resume(ray_session, shards, tmp_path):
+    paths, _ = shards
+    ckdir = str(tmp_path / "ck2")
+    ck = CheckpointedSketchBuild(ckdir, "value", alpha=0.01)
+    ck.build(paths[:2])                  # "crash" after two inputs
+    survivors = set(glob.glob(f"{ckdir}/partial-*.parquet"))
+    assert len(survivors) == 2
+    ck2 = CheckpointedSketchBuild(ckdir, "value", alpha=0.01)
+    ck2.build(paths)                     # resume the full job
+    assert set(ck2.skipped_inputs) == set(paths[:2])
+    assert set(ck2.built_inputs) == set(paths[2:])
+    assert ck2.merged(paths).n == 20000
+
+
+def test_checkpoint_key_depends_on_params(ray_session, shards, tmp_path):
+    paths, _ = shards
+    ckdir = str(tmp_path / "ck3")
+    a = CheckpointedSketchBuild(ckdir, "value", alpha=0.01)
+    a.build(paths[:1])
+    b = CheckpointedSketchBuild(ckdir, "value", alpha=0.02)
+    b.build(paths[:1])
+    assert b.built_inputs == paths[:1]   # different alpha -> rebuilt
+    assert len(glob.glob(f"{ckdir}/partial-*.parquet")) == 2
+    assert not glob.glob(f"{ckdir}/*.tmp")  # atomic publish left no temps
+
+
+def test_checkpoint_grouped(ray_session, shards, tmp_path):
+    paths, all_vals = shards
+    ck = CheckpointedSketchBuild(str(tmp_path / "ck4"), "value",
+                                 group_cols=["grp"], alpha=0.01)
+    ck.build(paths)
+    by_group = ck.merged_by_group(paths)
+    assert set(by_group) == {"a", "b"}
+    assert by_group["a"].n + by_group["b"].n == 20000
+
+
+def test_ivf_recall_vs_brute_force(ray_session):
+    import ray.data
+    from p2pddsketch_ray.pipelines.knn import IVFIndex
+    ds = ray.data.read_parquet("/root/testdata/sf0.001/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    emb = pq.read_table("/root/testdata/sf0.001/embeddings.parquet")
+    mat = np.asarray(emb["embedding"].to_pylist(), dtype=np.float64)
+    ids = emb["vec_id"].to_numpy()
+    query = mat[17]
+
+    index = IVFIndex.build(ds, n_clusters=8, seed=42)
+    got = index.search(query, k=10, n_probe=4).to_pandas()
+    # brute-force truth
+    unit = mat / np.maximum(np.linalg.norm(mat, axis=1), 1e-12)[:, None]
+    q = query / np.linalg.norm(query)
+    truth_ids = set(ids[np.argsort(-(unit @ q))[:10]].tolist())
+    recall = len(set(got["vec_id"]) & truth_ids) / 10
+    assert recall >= 0.7, recall
+    # probing all clusters must reproduce brute force exactly
+    full = index.search(query, k=10, n_probe=8).to_pandas()
+    assert set(full["vec_id"]) == truth_ids

@@ -1,0 +1,156 @@
+"""Near-duplicate detection over the webpages fixture's planted dups, and
+KLL rank-error bounds."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from p2pddsketch_ray.sketches.kll import KLLSketch
+from p2pddsketch_ray.sketches.minhash import (estimate_jaccard, hamming64,
+                                              minhash_signatures, simhash64)
+from p2pddsketch_ray.sources.webpages import generate_webpages_local
+
+from .test_ddsketch import exact_quantile
+
+
+@pytest.fixture(scope="module")
+def pages():
+    return generate_webpages_local(1500)
+
+
+def planted_pairs(n: int) -> set[tuple[int, int]]:
+    from p2pddsketch_ray.sources.webpages import _is_base
+    exact = {(i - 3, i) for i in range(3, n)
+             if i % 53 == 3 and _is_base(i - 3)}
+    near = {(i - 1, i) for i in range(1, n)
+            if i % 37 == 1 and _is_base(i - 1)}
+    return exact | near
+
+
+# -- signature kernels -----------------------------------------------------
+
+def test_minhash_identical_and_disjoint(pages):
+    texts = pa.array(["abcde fghij klmno", "abcde fghij klmno",
+                      "zzzzz yyyyy xxxxx"])
+    sig = minhash_signatures(texts, num_perm=64)
+    assert (sig[0] == sig[1]).all()
+    assert estimate_jaccard(sig[0], sig[2]) < 0.2
+
+
+def test_minhash_detects_planted_near_dups(pages):
+    texts = pages["text"]
+    sig = minhash_signatures(texts, num_perm=64)
+    hits, total = 0, 0
+    for a, b in planted_pairs(pages.num_rows):
+        total += 1
+        if estimate_jaccard(sig[a], sig[b]) >= 0.7:
+            hits += 1
+    assert total > 20
+    assert hits / total > 0.9
+
+
+def test_simhash_hamming_close_for_dups(pages):
+    sh = simhash64(pages["text"])
+    dists = [hamming64(np.array([sh[a]]), np.array([sh[b]]))[0]
+             for a, b in planted_pairs(pages.num_rows)]
+    assert np.median(dists) <= 3
+
+
+# -- distributed dedup pipelines ------------------------------------------
+
+@pytest.fixture(scope="module")
+def pages_ds(ray_session, pages, tmp_path_factory):
+    import pyarrow.parquet as pq
+    import ray.data
+    p = tmp_path_factory.mktemp("dedup") / "pages.parquet"
+    pq.write_table(pages.append_column(
+        "doc_id", pa.array(np.arange(pages.num_rows), type=pa.int64())),
+        str(p))
+    return ray.data.read_parquet(str(p), columns=["doc_id", "text"])
+
+
+def test_minhash_lsh_pipeline_finds_planted(pages_ds, pages):
+    from p2pddsketch_ray.pipelines.dedup import minhash_near_dups
+    out = minhash_near_dups(pages_ds, "doc_id", "text",
+                            threshold=0.7).to_pandas()
+    found = {(int(a), int(b)) for a, b in zip(out["doc_a"], out["doc_b"])}
+    truth = planted_pairs(pages.num_rows)
+    recall = len(found & truth) / len(truth)
+    assert recall > 0.9, (recall, len(found))
+    # precision: everything found should be genuinely similar
+    texts = pages["text"].to_pylist()
+    from p2pddsketch_ray.pipelines.dedup import ngram_jaccard_verify
+    if len(found):
+        fa, fb = zip(*sorted(found)[:200])
+        jac = ngram_jaccard_verify([texts[a] for a in fa],
+                                   [texts[b] for b in fb])
+        assert (jac >= 0.5).mean() > 0.9
+
+
+def test_simhash_pipeline_finds_planted(pages_ds, pages):
+    from p2pddsketch_ray.pipelines.dedup import simhash_near_dups
+    out = simhash_near_dups(pages_ds, "doc_id", "text",
+                            max_hamming=3).to_pandas()
+    found = {(int(a), int(b)) for a, b in zip(out["doc_a"], out["doc_b"])}
+    truth = planted_pairs(pages.num_rows)
+    assert len(found & truth) / len(truth) > 0.6
+
+
+def test_embedding_near_dup_pairs(ray_session):
+    from p2pddsketch_ray.pipelines.dedup import embedding_near_dup_pairs
+    # the synthetic embeddings have no >=0.9 pairs; 0.3 yields a real set
+    out = embedding_near_dup_pairs("/root/testdata/sf0.001", threshold=0.3)
+    df = out.to_pandas()
+    assert len(df) > 0
+    assert (df["vec_a"] < df["vec_b"]).all()
+    assert df.duplicated(["vec_a", "vec_b"]).sum() == 0
+    assert (df["cos_sim"] >= 0.3).all()
+    # empty-threshold result keeps its schema
+    empty = embedding_near_dup_pairs("/root/testdata/sf0.001",
+                                     threshold=0.999)
+    assert empty.schema.names == ["vec_a", "vec_b", "cos_sim"]
+    assert empty.num_rows == 0
+
+
+# -- KLL -------------------------------------------------------------------
+
+def test_kll_rank_error_bound():
+    rng = np.random.default_rng(3)
+    data = rng.lognormal(0, 2, 100_000)
+    s = KLLSketch(k=200)
+    for chunk in np.array_split(data, 20):
+        s.add_batch(chunk)
+    assert s.n == 100_000
+    sorted_data = np.sort(data)
+    for q in (0.01, 0.1, 0.5, 0.9, 0.99):
+        est = s.quantile(q)
+        true_rank = np.searchsorted(sorted_data, est, side="right") / len(data)
+        assert abs(true_rank - q) < 0.02, (q, true_rank)
+
+
+def test_kll_merge_preserves_weight_and_accuracy():
+    rng = np.random.default_rng(5)
+    data = rng.normal(0, 1, 60_000)
+    parts = []
+    for i, chunk in enumerate(np.array_split(data, 6)):
+        s = KLLSketch(k=200, seed=i + 1)
+        s.add_batch(chunk)
+        parts.append(s)
+    merged = parts[0].copy()
+    for p in parts[1:]:
+        merged.merge(p)
+    assert merged.n == 60_000
+    # total stored weight equals n
+    total_w = sum(a.shape[0] * (1 << lvl)
+                  for lvl, a in enumerate(merged.compactors))
+    assert total_w == 60_000
+    sorted_data = np.sort(data)
+    for q in (0.1, 0.5, 0.9):
+        est = merged.quantile(q)
+        true_rank = np.searchsorted(sorted_data, est, side="right") / len(data)
+        assert abs(true_rank - q) < 0.03
+
+
+def test_kll_mismatched_k_raises():
+    with pytest.raises(ValueError):
+        KLLSketch(k=100).merge(KLLSketch(k=200))
