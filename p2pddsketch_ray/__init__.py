@@ -12,5 +12,40 @@ MinHash/SimHash, dedup, text analysis, and ANN similarity-search pipelines.
 from .config import SketchConfig
 from .sketches import DDSketch
 
+
+def configure_for_cluster(num_cpus: int | None = None) -> None:
+    """Tune Ray Data for this engine.
+
+    Strategy note (measured on Ray 2.49, local mode): the HASH_SHUFFLE
+    strategy's aggregator actors throttle upstream map stages at low CPU
+    counts (~1.3 of 8 CPUs utilized), so the engine keeps the default
+    sort-based shuffle and co-locates LSH buckets via an explicit coarse
+    partition column + groupby().map_groups instead of keyed repartition.
+    The hash-shuffle parallelism knobs are still bounded here (Ray's
+    default of 200 partitions deadlocks a small cluster) in case a caller
+    opts into HASH_SHUFFLE."""
+    import os
+    try:
+        from ray.data.context import DataContext
+        if num_cpus is None:
+            try:
+                import ray
+                if ray.is_initialized():
+                    num_cpus = int(ray.cluster_resources().get(
+                        "CPU", os.cpu_count() or 8))
+            except Exception:
+                pass
+        if num_cpus is None:
+            num_cpus = os.cpu_count() or 8
+        ctx = DataContext.get_current()
+        parallelism = max(2, min(64, int(num_cpus)))
+        ctx.default_hash_shuffle_parallelism = parallelism
+        ctx.max_hash_shuffle_aggregators = parallelism
+    except Exception:  # pragma: no cover - ray.data unavailable/changed
+        pass
+
+
+configure_for_cluster()
+
 __all__ = ["DDSketch", "SketchConfig"]
 __version__ = "0.1.0"

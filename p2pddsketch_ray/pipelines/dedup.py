@@ -3,16 +3,16 @@ verification, and embedding-cosine near-dup.
 
 Dataflow shape (the scalable pattern for 100 TB):
 
-    docs -> map_batches(signatures)              # vectorized, no shuffle
-         -> flat band rows (band_id, band_hash, doc_id, signature)
-         -> groupby(band_hash)                   # the ONE shuffle;
-                                                 # band rows are tiny
-         -> map_groups: candidate pairs within bucket
-         -> estimate/verify similarity -> dedupe pair list
+    docs -> map_batches(signatures)             # vectorized, no shuffle
+         -> 16-byte (band_hash, doc_id) rows    # signatures DON'T ride
+         -> coarse-partition shuffle            # the one (tiny) shuffle
+         -> vectorized bucket-run pair extraction per partition
+         -> verify: second signature map over candidate docs only
 
-The signature travels with the band row, so pair verification needs no
-join back to the documents table (signatures are ~0.5 KB vs multi-KB
-texts).  Exact dedup is in pipelines.relational.dedup_exact_docs.
+Keeping the signatures out of the shuffle is the load-bearing choice:
+shipping a 128-512B signature with each of bands x n_docs rows made the
+exchange ~30x heavier than the 16-byte candidate rows.  Exact dedup is in
+pipelines.relational.dedup_exact_docs.
 """
 
 from __future__ import annotations
@@ -28,77 +28,142 @@ from ..sketches.minhash import (band_hashes, estimate_jaccard, hamming64,
                                 minhash_signatures, simhash64)
 
 
+def _fit_partitions(requested: int) -> int:
+    """Cap the coarse partition count to the cluster CPU count -- more
+    groups than workers only adds per-group overhead."""
+    try:
+        import ray as _ray
+        cpus = int(_ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    return max(2, min(requested, cpus))
+
+
+def _partition_by(ds, cols: list[str], num_partitions: int,
+                  fn, out_empty: pa.Table):
+    """Co-locate rows by hash(cols) % num_partitions and apply ``fn`` to
+    each whole partition: an explicit coarse repartition via a partition
+    column + groupby().map_groups.
+
+    This deliberately uses the default sort-based shuffle on the small
+    integer partition key instead of Ray's keyed repartition: measured on
+    Ray 2.49 local mode, HASH_SHUFFLE aggregator actors throttle the
+    upstream map stage (~1.3 of 8 CPUs busy), while sorting a single int64
+    column scales normally."""
+
+    def add_part(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column("_part", pa.array([], type=pa.int64()))
+        acc = np.zeros(t.num_rows, dtype=np.int64)
+        for c in cols:
+            acc = acc * 1_000_003 + t[c].to_numpy(zero_copy_only=False)
+        part = (acc % num_partitions + num_partitions) % num_partitions
+        return t.append_column("_part", pa.array(part, type=pa.int64()))
+
+    def apply(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return out_empty
+        return fn(group.drop_columns(["_part"]))
+
+    return (ds.map_batches(add_part, batch_format="pyarrow")
+            .groupby("_part").map_groups(apply, batch_format="pyarrow"))
+
+
 def minhash_band_rows(batch: pa.Table, *, id_col: str, text_col: str,
                       num_perm: int = 64, bands: int = 16,
                       k: int = 5) -> pa.Table:
+    """(band_hash, doc_id) rows -- the candidate-generation shuffle
+    payload (16 bytes/row).
+
+    Signatures deliberately do NOT ride the shuffle: candidate pairs are
+    verified in a second, tiny signature pass over just the candidate
+    docs.  band_id is omitted: band hashes are seeded per band, so a
+    cross-band bucket collision is ~2^-64 and would only yield a duplicate
+    candidate pair, which dedup removes."""
     sig = minhash_signatures(batch[text_col], num_perm=num_perm, k=k)
     bh = band_hashes(sig, bands)
-    n = sig.shape[0]
     ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
     return pa.table({
-        "band_id": pa.array(np.repeat(np.arange(bands, dtype=np.int64), n)),
         "band_hash": pa.array(bh.T.reshape(-1).view(np.int64),
                               type=pa.int64()),
         "doc_id": pa.array(np.tile(ids, bands), type=pa.int64()),
-        "signature": pa.array(list(np.tile(sig.view(np.int64), (bands, 1))),
-                              type=pa.list_(pa.int64())),
     })
 
 
-def _partition_pairs(group: pa.Table, threshold: float) -> pa.Table:
-    """All candidate pairs inside one coarse partition: sort its band rows
-    by bucket key, detect multi-row buckets vectorized (one Python call
-    per PARTITION, not per bucket -- groupby().map_groups over millions of
+MAX_BUCKET_QUADRATIC = 512
+
+
+def _candidate_pairs(group: pa.Table) -> pa.Table:
+    """Candidate pairs inside one coarse partition: sort its (band_hash,
+    doc_id) rows, detect multi-row buckets vectorized -- one Python call
+    per PARTITION, not per bucket (groupby().map_groups over millions of
     near-singleton LSH buckets would be per-group Python overhead)."""
     empty = pa.table({"doc_a": pa.array([], type=pa.int64()),
-                      "doc_b": pa.array([], type=pa.int64()),
-                      "est_jaccard": pa.array([], type=pa.float64())})
+                      "doc_b": pa.array([], type=pa.int64())})
     if group.num_rows < 2:
         return empty
-    band = group["band_id"].to_numpy(zero_copy_only=False)
     bh = group["band_hash"].to_numpy(zero_copy_only=False)
     ids = group["doc_id"].to_numpy(zero_copy_only=False)
-    order = np.lexsort((ids, bh, band))
-    band, bh, ids = band[order], bh[order], ids[order]
-    # composite bucket key: runs of equal (band_id, band_hash)
-    key_change = (np.diff(band) != 0) | (np.diff(bh) != 0)
+    order = np.lexsort((ids, bh))
+    bh, ids = bh[order], ids[order]
+    key_change = np.diff(bh) != 0
     starts = np.concatenate([[0], np.nonzero(key_change)[0] + 1])
     ends = np.concatenate([starts[1:], [ids.shape[0]]])
     multi = ends - starts >= 2
     if not multi.any():
         return empty
-    sigs = None
-    out_a, out_b, out_j = [], [], []
+    out_a, out_b = [], []
     for s, e in zip(starts[multi], ends[multi]):
-        if sigs is None:  # lazy: only decode signatures if needed
-            sigs = np.asarray(group["signature"].to_pylist(),
-                              dtype=np.int64)[order]
-        ai, bi = np.triu_indices(e - s, k=1)
-        est = estimate_jaccard(sigs[s + ai], sigs[s + bi])
-        keep = est >= threshold
-        out_a.append(ids[s + ai[keep]])
-        out_b.append(ids[s + bi[keep]])
-        out_j.append(est[keep])
+        n_b = e - s
+        if n_b <= MAX_BUCKET_QUADRATIC:
+            ai, bi = np.triu_indices(n_b, k=1)
+        else:
+            # oversized bucket (pathological corpus-wide similarity or a
+            # giant identical-content cluster): quadratic pair emission
+            # would be O(n_b^2).  Compare each doc to its W successors in
+            # doc_id order instead -- keeps identical clusters connected
+            # (for a connected-components pass) at O(n_b * W).
+            W = 16
+            base_ = np.arange(n_b)
+            ai = np.repeat(base_, W)
+            bi = ai + np.tile(np.arange(1, W + 1), n_b)
+            keep_w = bi < n_b
+            ai, bi = ai[keep_w], bi[keep_w]
+        out_a.append(ids[s + ai])
+        out_b.append(ids[s + bi])
+    a = np.concatenate(out_a)
+    b = np.concatenate(out_b)
+    # dedupe within the partition (same pair can collide in many bands)
+    pair_key = a * np.int64(2_000_003) + b
+    _, first = np.unique(pair_key, return_index=True)
     return pa.table({
-        "doc_a": pa.array(np.concatenate(out_a), type=pa.int64()),
-        "doc_b": pa.array(np.concatenate(out_b), type=pa.int64()),
-        "est_jaccard": pa.array(np.round(np.concatenate(out_j), 6),
-                                type=pa.float64()),
+        "doc_a": pa.array(a[first], type=pa.int64()),
+        "doc_b": pa.array(b[first], type=pa.int64()),
     })
 
 
 def minhash_near_dups(ds: "ray.data.Dataset", id_col: str, text_col: str,
-                      *, num_perm: int = 64, bands: int = 16, k: int = 5,
+                      *, num_perm: int = 64, bands: int = 16, k: int = 9,
                       threshold: float = 0.7,
-                      num_partitions: int = 64) -> "ray.data.Dataset":
-    """Near-duplicate pairs via MinHash + LSH banding.
+                      num_partitions: int = 64) -> pa.Table:
+    """Near-duplicate pairs via MinHash + LSH banding, two-pass:
 
-    Partitioning assumptions: (a) a duplicate pair collides in >= 1 band
-    bucket (probability 1-(1-j^r)^b); (b) same bucket => same coarse
-    partition (band_hash % num_partitions), so pair extraction is local to
-    a partition.  Bucket skew only arises from genuinely identical
-    content, which is exactly what belongs in one bucket; partitions are
-    balanced because band_hash is a 64-bit hash.
+    1. Candidates: one map computes signatures and emits 16-byte
+       (band_hash, doc_id) rows; one coarse-partition shuffle co-locates
+       buckets; vectorized run detection emits candidate pairs.  The
+       signature never rides the shuffle.
+    2. Verify: a second map recomputes signatures for just the candidate
+       docs (the candidate id set is broadcast via ray.put) and the pairs
+       are Jaccard-estimated vectorized on the driver.
+
+    Partitioning assumptions: a duplicate pair collides in >= 1 band
+    bucket (probability 1-(1-j^r)^b); same bucket => same coarse
+    partition.  The candidate set is assumed driver-sized (O(duplicate
+    pairs), enforced upstream by the per-bucket chain cap); at larger
+    candidate volumes pass 2 becomes a doc_id-keyed distributed join.
+
+    Returns a pa.Table (doc_a, doc_b, est_jaccard), pairs with
+    est >= threshold.
     """
     from functools import partial
     band_rows = ds.map_batches(
@@ -106,23 +171,64 @@ def minhash_near_dups(ds: "ray.data.Dataset", id_col: str, text_col: str,
                 num_perm=num_perm, bands=bands, k=k),
         batch_format="pyarrow", batch_size=4096, zero_copy_batch=True)
 
-    def add_part(t: pa.Table) -> pa.Table:
-        part = (t["band_hash"].to_numpy(zero_copy_only=False)
-                % num_partitions).astype(np.int64)
-        return t.append_column("part", pa.array(part, type=pa.int64()))
+    num_partitions = _fit_partitions(num_partitions)
+    _CAND_EMPTY = pa.table({"doc_a": pa.array([], type=pa.int64()),
+                            "doc_b": pa.array([], type=pa.int64())})
+    cand = _partition_by(band_rows, ["band_hash"], num_partitions,
+                         _candidate_pairs, _CAND_EMPTY).to_arrow_refs()
+    cand_tables = [t for t in map(ray.get, cand) if t.num_rows]
+    empty_out = pa.table({"doc_a": pa.array([], type=pa.int64()),
+                          "doc_b": pa.array([], type=pa.int64()),
+                          "est_jaccard": pa.array([], type=pa.float64())})
+    if not cand_tables:
+        return empty_out
+    cand_t = pa.concat_tables(cand_tables)
+    a = cand_t["doc_a"].to_numpy(zero_copy_only=False)
+    b = cand_t["doc_b"].to_numpy(zero_copy_only=False)
+    pair_key = a * np.int64(2_000_003) + b
+    _, first = np.unique(pair_key, return_index=True)
+    a, b = a[first], b[first]
 
-    pairs = (band_rows.map_batches(add_part, batch_format="pyarrow")
-             .groupby("part")
-             .map_groups(partial(_partition_pairs, threshold=threshold),
-                         batch_format="pyarrow"))
-    # a pair may collide in several bands: dedupe on (doc_a, doc_b)
-    from ray.data.aggregate import Max
-    return (pairs.groupby(["doc_a", "doc_b"])
-            .aggregate(Max("est_jaccard", alias_name="est_jaccard")))
+    # pass 2: signatures for candidate docs only
+    need = frozenset(np.union1d(a, b).tolist())
+    need_ref = ray.put(need)
+
+    def sigs_for_candidates(t: pa.Table) -> pa.Table:
+        wanted = ray.get(need_ref)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        mask = np.fromiter((int(i) in wanted for i in ids), dtype=bool,
+                           count=len(ids))
+        if not mask.any():
+            return pa.table({"doc_id": pa.array([], type=pa.int64()),
+                             "sig": pa.array([], type=pa.large_binary())})
+        sub = t.filter(pa.array(mask))
+        sig = minhash_signatures(sub[text_col], num_perm=num_perm, k=k)
+        return pa.table({
+            "doc_id": pa.compute.cast(sub[id_col], pa.int64()),
+            "sig": pa.array([s.tobytes() for s in sig],
+                            type=pa.large_binary()),
+        })
+
+    sig_map: dict[int, np.ndarray] = {}
+    sig_ds = ds.map_batches(sigs_for_candidates, batch_format="pyarrow",
+                            batch_size=4096, zero_copy_batch=True)
+    for ref in sig_ds.to_arrow_refs():
+        t = ray.get(ref)
+        for did, blob in zip(t["doc_id"].to_pylist(), t["sig"].to_pylist()):
+            sig_map[did] = np.frombuffer(blob, dtype=np.uint64)
+    sa = np.stack([sig_map[int(x)] for x in a]) if len(a) else np.zeros((0, num_perm))
+    sb = np.stack([sig_map[int(x)] for x in b]) if len(a) else np.zeros((0, num_perm))
+    est = estimate_jaccard(sa, sb)
+    keep = est >= threshold
+    return pa.table({
+        "doc_a": pa.array(a[keep], type=pa.int64()),
+        "doc_b": pa.array(b[keep], type=pa.int64()),
+        "est_jaccard": pa.array(np.round(est[keep], 6), type=pa.float64()),
+    })
 
 
 def simhash_near_dups(ds: "ray.data.Dataset", id_col: str, text_col: str,
-                      *, k: int = 5, max_hamming: int = 3) -> "ray.data.Dataset":
+                      *, k: int = 9, max_hamming: int = 3) -> "ray.data.Dataset":
     """Near-duplicate pairs via 64-bit SimHash, bucketed by 16-bit chunks
     (two docs within hamming distance 3 share >= 1 of the 4 chunks)."""
 
@@ -141,6 +247,12 @@ def simhash_near_dups(ds: "ray.data.Dataset", id_col: str, text_col: str,
         })
 
     def partition_pairs(group: pa.Table) -> pa.Table:
+        """Windowed comparison within each (chunk_id, chunk_val) bucket
+        (the sorted-fingerprint technique of Manku, Jain, Sarma, WWW 2007):
+        rows sorted by full simhash, each compared to its next W
+        neighbors -- O(bucket * W), never quadratic.  Near-identical
+        fingerprints sort adjacently, so planted dups are found; recall on
+        arbitrary hamming<=3 pairs inside giant buckets is best-effort."""
         empty = pa.table({"doc_a": pa.array([], type=pa.int64()),
                           "doc_b": pa.array([], type=pa.int64()),
                           "hamming": pa.array([], type=pa.int64())})
@@ -150,20 +262,31 @@ def simhash_near_dups(ds: "ray.data.Dataset", id_col: str, text_col: str,
         cval = group["chunk_val"].to_numpy(zero_copy_only=False)
         ids = group["doc_id"].to_numpy(zero_copy_only=False)
         sh = group["simhash"].to_numpy(zero_copy_only=False).view(np.uint64)
-        order = np.lexsort((ids, cval, cid))
+        order = np.lexsort((ids, sh, cval, cid))
         cid, cval, ids, sh = cid[order], cval[order], ids[order], sh[order]
-        change = (np.diff(cid) != 0) | (np.diff(cval) != 0)
-        starts = np.concatenate([[0], np.nonzero(change)[0] + 1])
-        ends = np.concatenate([starts[1:], [ids.shape[0]]])
+        W = 32
+        same_bucket = (np.diff(cid.astype(np.int64)) == 0) & \
+            (np.diff(cval.astype(np.int64)) == 0)
         out_a, out_b, out_h = [], [], []
-        for s, e in zip(starts[ends - starts >= 2],
-                        ends[ends - starts >= 2]):
-            ai, bi = np.triu_indices(e - s, k=1)
-            dist = hamming64(sh[s + ai], sh[s + bi])
+        n = ids.shape[0]
+        in_bucket_run = np.concatenate([[0], np.cumsum(~same_bucket)])
+        for d in range(1, W + 1):
+            if d >= n:
+                break
+            ok = in_bucket_run[:-d] == in_bucket_run[d:]
+            if not ok.any():
+                break
+            ai = np.nonzero(ok)[0]
+            bi = ai + d
+            dist = hamming64(sh[ai], sh[bi])
             keep = dist <= max_hamming
-            out_a.append(ids[s + ai[keep]])
-            out_b.append(ids[s + bi[keep]])
-            out_h.append(dist[keep].astype(np.int64))
+            if keep.any():
+                a_ids, b_ids = ids[ai[keep]], ids[bi[keep]]
+                lo = np.minimum(a_ids, b_ids)
+                hi = np.maximum(a_ids, b_ids)
+                out_a.append(lo)
+                out_b.append(hi)
+                out_h.append(dist[keep].astype(np.int64))
         if not out_a:
             return empty
         return pa.table({
@@ -172,19 +295,33 @@ def simhash_near_dups(ds: "ray.data.Dataset", id_col: str, text_col: str,
             "hamming": pa.array(np.concatenate(out_h), type=pa.int64()),
         })
 
-    def add_part(t: pa.Table) -> pa.Table:
-        part = ((t["chunk_id"].to_numpy(zero_copy_only=False) * 65536
-                 + t["chunk_val"].to_numpy(zero_copy_only=False)) % 64)
-        return t.append_column("part", pa.array(part.astype(np.int64)))
-
     band_rows = ds.map_batches(rows, batch_format="pyarrow",
                                batch_size=2048, zero_copy_batch=True)
-    pairs = (band_rows.map_batches(add_part, batch_format="pyarrow")
-             .groupby("part").map_groups(partition_pairs,
-                                         batch_format="pyarrow"))
-    from ray.data.aggregate import Min
-    return (pairs.groupby(["doc_a", "doc_b"])
-            .aggregate(Min("hamming", alias_name="hamming")))
+    nparts = _fit_partitions(64)
+    _EMPTY = pa.table({"doc_a": pa.array([], type=pa.int64()),
+                       "doc_b": pa.array([], type=pa.int64()),
+                       "hamming": pa.array([], type=pa.int64())})
+    pairs = _partition_by(band_rows, ["chunk_id", "chunk_val"], nparts,
+                          partition_pairs, _EMPTY)
+
+    def dedupe_min(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return block
+        a = block["doc_a"].to_numpy(zero_copy_only=False)
+        b = block["doc_b"].to_numpy(zero_copy_only=False)
+        h = block["hamming"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((-h, b, a))
+        a, b, h = a[order], b[order], h[order]
+        change = (np.diff(a) != 0) | (np.diff(b) != 0)
+        ends = np.concatenate([np.nonzero(change)[0] + 1, [a.shape[0]]]) - 1
+        return pa.table({
+            "doc_a": pa.array(a[ends], type=pa.int64()),
+            "doc_b": pa.array(b[ends], type=pa.int64()),
+            "hamming": pa.array(h[ends], type=pa.int64()),
+        })
+
+    return _partition_by(pairs, ["doc_a", "doc_b"], max(2, nparts // 4),
+                         dedupe_min, _EMPTY)
 
 
 def ngram_jaccard_verify(texts_a, texts_b, k: int = 5) -> np.ndarray:

@@ -60,12 +60,48 @@ def webpage_quantiles(paths, metric: str = "text_len",
                       quantiles: Sequence[float] = HEADLINE_QUANTILES,
                       by_lang: bool = True, *, alpha: float = PRACTICAL_ALPHA,
                       bin_limit: int = 2048, verify: bool = False):
-    """Returns (global pa.Table, per-lang Dataset or None)."""
+    """Returns (global pa.Table, per-lang pa.Table or None).
+
+    ONE distributed pass: per-(block, lang) partial sketches are built
+    once; the per-lang sketches AND the global sketch (merge of all
+    partials -- identical to an ungrouped build because the exact-sum
+    merge is associative over any partitioning of the multiset) both
+    derive from the same collected kilobyte-sized partial rows."""
+    import ray
+    from ..sketches.ddsketch import DDSketch
+    from ..stages.sketch_build import merge_sketch_table
+    from .quantiles import build_partials_ds
+
     metrics = webpage_metrics_ds(paths, verify=verify)
-    glob = dds_quantiles_global(metrics, metric, quantiles, alpha=alpha,
-                                bin_limit=bin_limit)
+    partials = build_partials_ds(metrics, metric,
+                                 ["lang"] if by_lang else None,
+                                 alpha=alpha, bin_limit=bin_limit)
+    tables = [t for t in map(ray.get, partials.to_arrow_refs())
+              if t.num_rows]
+    if not tables:
+        raise ValueError("empty dataset")
+    all_partials = pa.concat_tables(tables)
+    glob_sketch = merge_sketch_table(all_partials)
+
+    def q_table(sketch: DDSketch, extra: dict | None = None) -> dict:
+        keys = [sketch.quantile_key(q) for q in quantiles]
+        out = dict(extra or {})
+        out.update({
+            "q": list(quantiles),
+            "bucket_key": keys,
+            "est": [sketch._bucket_estimate(k) for k in keys],
+        })
+        return out
+
+    glob = pa.table({k: pa.array(v) if not isinstance(v, pa.Array) else v
+                     for k, v in q_table(glob_sketch).items()})
     grouped = None
     if by_lang:
-        grouped = dds_quantiles_grouped(metrics, metric, ["lang"], quantiles,
-                                        alpha=alpha, bin_limit=bin_limit)
+        rows = []
+        for lang in sorted(set(all_partials["lang"].to_pylist())):
+            sub = merge_sketch_table(all_partials.filter(
+                pc.equal(all_partials["lang"], lang)))
+            d = q_table(sub, {"lang": [lang] * len(quantiles)})
+            rows.append(pa.table({k: pa.array(v) for k, v in d.items()}))
+        grouped = pa.concat_tables(rows)
     return glob, grouped

@@ -20,13 +20,23 @@ _P = np.uint64(1099511628211)  # FNV prime as polynomial base
 
 
 def _string_buffer(texts) -> tuple[np.ndarray, np.ndarray]:
-    """(flat utf-8 bytes, int64 offsets) of an Arrow string column."""
+    """(flat utf-8 bytes, int64 offsets) of an Arrow string column.
+
+    Handles both string (int32 offsets) and large_string (int64 offsets) --
+    Ray Data batches may arrive as either."""
     arr = texts.combine_chunks() if isinstance(texts, pa.ChunkedArray) else texts
     if arr.null_count:
         arr = arr.fill_null("")
+    if pa.types.is_large_string(arr.type) or pa.types.is_large_binary(arr.type):
+        off_dtype, off_width = np.int64, 8
+    elif pa.types.is_string(arr.type) or pa.types.is_binary(arr.type):
+        off_dtype, off_width = np.int32, 4
+    else:
+        raise TypeError(f"expected a (large_)string/binary column, "
+                        f"got {arr.type}")
     bufs = arr.buffers()
-    offs = np.frombuffer(bufs[1], dtype=np.int32, count=len(arr) + 1,
-                         offset=arr.offset * 4).astype(np.int64)
+    offs = np.frombuffer(bufs[1], dtype=off_dtype, count=len(arr) + 1,
+                         offset=arr.offset * off_width).astype(np.int64)
     data = (np.frombuffer(bufs[2], dtype=np.uint8) if bufs[2] is not None
             else np.empty(0, dtype=np.uint8))
     return data, offs
@@ -72,17 +82,31 @@ def shingle_hashes(texts, k: int = 5) -> tuple[np.ndarray, np.ndarray]:
     return out, doc_offsets
 
 
+def _perm_constants(num_perm: int) -> tuple[np.ndarray, np.ndarray]:
+    idx = np.arange(num_perm, dtype=np.int64)
+    a = splitmix64(idx, seed=0x5EED) | np.uint64(1)  # odd multipliers
+    b = splitmix64(idx, seed=0xB0B5)
+    return a, b
+
+
 def minhash_signatures(texts, num_perm: int = 64, k: int = 5) -> np.ndarray:
-    """(n_docs, num_perm) uint64 signature matrix."""
+    """(n_docs, num_perm) uint64 signature matrix.
+
+    Permutation i is the multiply-add universal hash a_i*h + b_i (mod
+    2^64, odd a_i) over the well-mixed shingle hashes -- 2 vector ops per
+    permutation instead of a full avalanche."""
     hashes, doc_offsets = shingle_hashes(texts, k)
     n_docs = doc_offsets.shape[0] - 1
     sig = np.full((n_docs, num_perm), np.iinfo(np.uint64).max,
                   dtype=np.uint64)
     nonempty = np.diff(doc_offsets) > 0
     starts = doc_offsets[:-1][nonempty]
-    for i in range(num_perm):
-        g = splitmix64(hashes.view(np.int64), seed=i)
-        if starts.shape[0]:
+    if not starts.shape[0]:
+        return sig
+    a, b = _perm_constants(num_perm)
+    with np.errstate(over="ignore"):
+        for i in range(num_perm):
+            g = hashes * a[i] + b[i]
             sig[nonempty, i] = np.minimum.reduceat(g, starts)
     return sig
 
@@ -115,20 +139,27 @@ def simhash64(texts, k: int = 5) -> np.ndarray:
     hashes, doc_offsets = shingle_hashes(texts, k)
     n_docs = doc_offsets.shape[0] - 1
     out = np.zeros(n_docs, dtype=np.uint64)
-    nonempty = np.diff(doc_offsets) > 0
-    starts = doc_offsets[:-1][nonempty]
-    if not starts.shape[0]:
+    seg_lengths = np.diff(doc_offsets)
+    if hashes.shape[0] == 0:
         return out
-    vals = np.zeros(starts.shape[0], dtype=np.uint64)
-    # 16 bits at a time keeps the +/-1 matrix small (int32 segment sums)
-    for lo in range(0, 64, 16):
-        shifts = np.arange(lo, lo + 16, dtype=np.uint64)
-        bits = ((hashes[:, None] >> shifts[None, :]) & np.uint64(1)
-                ).astype(np.int32) * 2 - 1
-        sums = np.add.reduceat(bits, starts, axis=0)
-        signs = (sums > 0).astype(np.uint64)
-        vals |= (signs << shifts[None, :]).sum(axis=1, dtype=np.uint64)
-    out[nonempty] = vals
+    # Per-doc per-bit popcounts WITHOUT expanding a shingles x 64 bit
+    # matrix: histogram each of the 8 hash bytes per doc (bincount), then
+    # one 256x8 bit-LUT matmul recovers the 8 bit-sums of that byte.
+    doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), seg_lengths)
+    byte_view = hashes.view(np.uint8).reshape(-1, 8)  # little-endian
+    lut = ((np.arange(256)[:, None] >> np.arange(8)[None, :]) & 1
+           ).astype(np.int64)
+    bitsums = np.empty((n_docs, 64), dtype=np.int64)
+    base = doc_idx * 256
+    for j in range(8):
+        hist = np.bincount(base + byte_view[:, j],
+                           minlength=n_docs * 256).reshape(n_docs, 256)
+        bitsums[:, j * 8:(j + 1) * 8] = hist @ lut
+    # sign of sum(+1/-1) == (2*ones - total) > 0
+    signs = (2 * bitsums > seg_lengths[:, None]).astype(np.uint64)
+    vals = (signs << np.arange(64, dtype=np.uint64)[None, :]).sum(
+        axis=1, dtype=np.uint64)
+    out[seg_lengths > 0] = vals[seg_lengths > 0]
     return out
 
 

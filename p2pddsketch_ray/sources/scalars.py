@@ -1,0 +1,58 @@
+"""Seeded scalar-distribution fixtures (FIXTURES.md F2) -- the engine twin
+of the reference's generateDataset (main.cpp:1002-1039: seeded normal /
+exponential / uniform draws) plus the adversarial sorted-range-partitioned
+variant (main.cpp:285 sort + main.cpp:691-748 jittered contiguous slices).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+# reference defaults: normal(mean=1, stddev=3) (main.cpp:39-40)
+DISTRIBUTIONS = {
+    "normal": lambda rng, n: rng.normal(1.0, 3.0, n),
+    "exponential": lambda rng, n: rng.exponential(1.0, n),
+    "uniform": lambda rng, n: rng.uniform(0.0, 1000.0, n),
+}
+
+
+def generate_scalars(dist: str, n: int, seed: int = 1) -> np.ndarray:
+    if dist not in DISTRIBUTIONS:
+        raise ValueError(f"unknown distribution {dist!r}; "
+                         f"choose from {sorted(DISTRIBUTIONS)}")
+    return DISTRIBUTIONS[dist](np.random.default_rng(seed), n)
+
+
+def jittered_boundaries(n: int, parts: int, seed: int = 0) -> list[int]:
+    """Contiguous slice boundaries with +/-10% jitter (the reference
+    partitioner's shape, main.cpp:707-714)."""
+    import random
+    rng = random.Random(seed)
+    bounds = [round(i * n / parts) for i in range(parts + 1)]
+    span = max(1, n // parts)
+    for i in range(1, parts):
+        bounds[i] = min(max(bounds[i] + rng.randint(-span // 10, span // 10),
+                            bounds[i - 1]), n)
+    return bounds
+
+
+def write_scalar_shards(out_dir: str, dist: str, n: int, parts: int,
+                        seed: int = 1, *, sort_first: bool = False) -> list[str]:
+    """Write the stream as ``parts`` parquet shards.  ``sort_first=True``
+    reproduces the reference's adversarial regime: globally sorted, so
+    each shard holds a disjoint value range (worst case for
+    collapse-on-merge, ddsketch.cc:625-638)."""
+    import os
+    os.makedirs(out_dir, exist_ok=True)
+    data = generate_scalars(dist, n, seed)
+    if sort_first:
+        data = np.sort(data)
+    bounds = jittered_boundaries(n, parts, seed)
+    paths = []
+    for i in range(parts):
+        p = os.path.join(out_dir, f"{dist}-{i:04d}.parquet")
+        pq.write_table(pa.table({"value": data[bounds[i]:bounds[i + 1]]}), p)
+        paths.append(p)
+    return paths

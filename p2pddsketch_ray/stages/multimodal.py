@@ -27,9 +27,13 @@ def _byte_histogram_features(payloads: pa.Array, n_bins: int = 16) -> np.ndarray
     (np.add.reduceat over value bytes -- no per-byte Python)."""
     arr = payloads.combine_chunks() if isinstance(payloads, pa.ChunkedArray) else payloads
     arr = arr.fill_null(b"") if arr.null_count else arr
+    if pa.types.is_large_binary(arr.type) or pa.types.is_large_string(arr.type):
+        off_dtype, off_width = np.int64, 8
+    else:
+        off_dtype, off_width = np.int32, 4
     buffers = arr.buffers()
-    offs = np.frombuffer(buffers[1], dtype=np.int32, count=len(arr) + 1,
-                         offset=arr.offset * 4).astype(np.int64)
+    offs = np.frombuffer(buffers[1], dtype=off_dtype, count=len(arr) + 1,
+                         offset=arr.offset * off_width).astype(np.int64)
     data = np.frombuffer(buffers[2], dtype=np.uint8) if buffers[2] else \
         np.empty(0, dtype=np.uint8)
     binned = (data >> np.uint8(4)).astype(np.int64) if n_bins == 16 else \

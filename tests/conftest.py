@@ -10,6 +10,8 @@ def ray_session():
 
     ray.init(address="local", num_cpus=4, include_dashboard=False,
              ignore_reinit_error=True, logging_level="ERROR")
+    import p2pddsketch_ray
+    p2pddsketch_ray.configure_for_cluster(4)
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
     ctx.execution_options.verbose_progress = False

@@ -69,6 +69,8 @@ def main() -> int:
     if not ray.is_initialized():
         ray.init(address="local", num_cpus=8, include_dashboard=False,
                  ignore_reinit_error=True, logging_level="ERROR")
+    import p2pddsketch_ray
+    p2pddsketch_ray.configure_for_cluster(8)
     from ray.data import DataContext
     DataContext.get_current().enable_progress_bars = False
 
