@@ -89,6 +89,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_user_count": R.distinct_user_count,
         # text analysis (exact, SQL-replicable definitions)
         "token_stats_by_lang": R.token_stats_by_lang,
+        "quality_filter_by_lang": R.quality_filter_by_lang,
+        "top_users_exact": R.top_users_exact,
+        "lang_id_counts": R.lang_id_counts,
         # dedup (exact content-hash)
         "dedup_exact_docs": R.dedup_exact_docs,
         # similarity search (brute-force cosine baseline)
@@ -277,6 +280,26 @@ SELECT lang, count(*) AS n_docs, sum(tokens) AS sum_tokens,
        CAST(sum(quality_micro) AS DOUBLE)/1000000.0/CAST(count(*) AS DOUBLE)
            AS avg_quality
 FROM s GROUP BY lang""",
+        "quality_filter_by_lang": f"""
+WITH m AS (
+  SELECT lang,
+         length(regexp_extract_all(text, '[A-Za-z0-9]+')) AS tokens,
+         length(regexp_extract_all(text, '[.,;:!?]')) AS punct,
+         length(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+                            t -> t IN ({stoplist}))) AS stops
+  FROM documents),
+s AS (
+  SELECT lang, tokens,
+         (0.4*least(1.0, CAST(tokens AS DOUBLE)/100.0)
+        + 0.3*(1.0 - least(1.0, CAST(punct AS DOUBLE)/greatest(CAST(tokens AS DOUBLE), 1.0)))
+        + 0.3*least(1.0, 5.0*CAST(stops AS DOUBLE)/greatest(CAST(tokens AS DOUBLE), 1.0)))
+           AS score
+  FROM m)
+SELECT lang, count(*) AS n_kept, sum(tokens) AS sum_tokens
+FROM s WHERE score >= 0.8 GROUP BY lang""",
+        "top_users_exact": """
+SELECT user_id, count(*) AS n_events FROM events
+GROUP BY user_id ORDER BY n_events DESC, user_id LIMIT 10""",
         "dedup_exact_docs": """
 SELECT md5(text) AS text_md5, min(doc_id) AS first_doc_id,
        count(*) AS dup_count

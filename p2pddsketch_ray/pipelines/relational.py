@@ -271,6 +271,81 @@ def dedup_exact_docs(sf_dir: str) -> "ray.data.Dataset":
     return agg.map_batches(finalize, batch_format="pyarrow")
 
 
+def quality_filter_by_lang(sf_dir: str,
+                           min_quality: float = 0.8) -> "ray.data.Dataset":
+    """Vectorized predicate filter (quality score >= threshold) inside
+    map_batches -> grouped aggregate: the quality-filtering stage of a
+    training-data pipeline, exact and SQL-replicable (the score expression
+    is bit-identical to the oracle's)."""
+    from ..functions.text import quality_score, token_count
+    ds = _read(sf_dir, "documents", ["lang", "text"])
+
+    def filt(t: pa.Table) -> pa.Table:
+        texts = t["text"].combine_chunks() if isinstance(
+            t["text"], pa.ChunkedArray) else t["text"]
+        q = quality_score(texts)
+        keep = pc.greater_equal(q, pa.scalar(float(min_quality)))
+        kept = t.filter(keep)
+        kt = kept["text"].combine_chunks() if isinstance(
+            kept["text"], pa.ChunkedArray) else kept["text"]
+        return pa.table({
+            "lang": kept["lang"],
+            "tokens": token_count(kt),
+        })
+
+    agg = (ds.map_batches(filt, batch_format="pyarrow", zero_copy_batch=True)
+           .groupby("lang")
+           .aggregate(Count(alias_name="n_kept"),
+                      Sum("tokens", alias_name="sum_tokens")))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "lang": t["lang"],
+            "n_kept": pc.cast(t["n_kept"], pa.int64()),
+            "sum_tokens": pc.cast(t["sum_tokens"], pa.int64()),
+        })
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+def top_users_exact(sf_dir: str, k: int = 10) -> "ray.data.Dataset":
+    """Exact heavy hitters: event count per user -> top k (the exact twin
+    of the count-min estimates in pipelines.approx)."""
+    ds = _read(sf_dir, "events", ["user_id"])
+    agg = ds.groupby("user_id").aggregate(Count(alias_name="n_events"))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": pc.cast(t["user_id"], pa.int64()),
+            "n_events": pc.cast(t["n_events"], pa.int64()),
+        })
+
+    return (agg.map_batches(finalize, batch_format="pyarrow")
+            .sort(["n_events", "user_id"], descending=[True, False])
+            .limit(k))
+
+
+def lang_id_counts(sf_dir: str) -> "ray.data.Dataset":
+    """Trigram language-ID heuristic over documents -> predicted-language
+    histogram (heuristic stage: rows-only check, not SQL-expressible)."""
+    from ..functions.text import lang_id
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def predict(t: pa.Table) -> pa.Table:
+        texts = t["text"].combine_chunks() if isinstance(
+            t["text"], pa.ChunkedArray) else t["text"]
+        return pa.table({"pred_lang": lang_id(texts)})
+
+    agg = (ds.map_batches(predict, batch_format="pyarrow")
+           .groupby("pred_lang").aggregate(Count(alias_name="n_docs")))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        return pa.table({"pred_lang": t["pred_lang"],
+                         "n_docs": pc.cast(t["n_docs"], pa.int64())})
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
 def knn_cosine_topk(sf_dir: str, query_vec_id: int = 0,
                     k: int = 10) -> "ray.data.Dataset":
     """Brute-force cosine top-k over the embedding column: the query vector

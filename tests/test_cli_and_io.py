@@ -1,0 +1,103 @@
+"""CLI surface, scalar fixtures, sketch-state sinks, generic sketch UDAF."""
+
+import json
+import subprocess
+import sys
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from p2pddsketch_ray.sketches.ddsketch import DDSketch
+from p2pddsketch_ray.sources.scalars import (generate_scalars,
+                                             jittered_boundaries,
+                                             write_scalar_shards)
+from p2pddsketch_ray.stages.sketch_io import (dump_sketch_csv,
+                                              read_sketch_parquet,
+                                              sketch_bins_table,
+                                              write_sketch_parquet)
+
+
+def test_generate_scalars_deterministic():
+    a = generate_scalars("normal", 508, seed=1)
+    b = generate_scalars("normal", 508, seed=1)
+    assert np.array_equal(a, b)
+    assert len(a) == 508
+    with pytest.raises(ValueError):
+        generate_scalars("zipf", 10)
+
+
+def test_jittered_boundaries_cover_stream():
+    bounds = jittered_boundaries(10_000, 7, seed=3)
+    assert bounds[0] == 0 and bounds[-1] == 10_000
+    assert all(b2 >= b1 for b1, b2 in zip(bounds, bounds[1:]))
+
+
+def test_scalar_shards_sorted_regime(tmp_path):
+    paths = write_scalar_shards(str(tmp_path), "exponential", 5000, 4,
+                                sort_first=True)
+    assert len(paths) == 4
+    maxes = []
+    for p in paths:
+        vals = pq.read_table(p)["value"].to_numpy()
+        assert (np.diff(vals) >= 0).all()      # sorted within shard
+        if len(vals):
+            maxes.append((vals.min(), vals.max()))
+    for (lo1, hi1), (lo2, hi2) in zip(maxes, maxes[1:]):
+        assert hi1 <= lo2                       # disjoint ranges
+
+
+def test_sketch_io_roundtrip(tmp_path):
+    s = DDSketch(alpha=0.01)
+    s.add_batch(np.random.default_rng(1).lognormal(0, 2, 10_000))
+    t = sketch_bins_table(s)
+    assert t.num_rows == s.size
+    assert t["count"].to_numpy().sum() == pytest.approx(s.n)
+    csv = dump_sketch_csv(s, str(tmp_path / "bins.csv"))
+    assert open(csv).readline().strip().replace('"', "") == \
+        "key,count,kmax,kmin,length"
+    pqp = write_sketch_parquet(s, str(tmp_path / "state.parquet"))
+    s2 = read_sketch_parquet(pqp)
+    assert s2.to_bytes() == s.to_bytes()
+
+
+def test_generic_sketch_aggregate_hll(ray_session):
+    import ray.data
+    from p2pddsketch_ray.sketches.hll import HyperLogLog
+    from p2pddsketch_ray.stages.generic_agg import SketchAggregate
+    ds = ray.data.read_parquet("/root/testdata/sf0.001/events.parquet",
+                               columns=["event_type", "user_id"])
+    out = (ds.groupby("event_type")
+           .aggregate(SketchAggregate(
+               on="user_id", factory=lambda: HyperLogLog(p=12),
+               finalize=lambda h: round(h.estimate(), 6),
+               alias_name="distinct_users_est"))).to_pandas()
+    # verify per-group estimate against exact distinct counts
+    import pandas as pd
+    df = pq.read_table("/root/testdata/sf0.001/events.parquet").to_pandas()
+    exact = df.groupby("event_type")["user_id"].nunique()
+    for _, row in out.iterrows():
+        e = exact[row["event_type"]]
+        assert abs(row["distinct_users_est"] - e) / max(e, 1) < 0.15
+
+
+def test_cli_synthetic_normal(tmp_path):
+    out_json = str(tmp_path / "res.json")
+    proc = subprocess.run(
+        [sys.executable, "-m", "p2pddsketch_ray.cli", "--normal",
+         "--ni", "20000", "--alpha", "0.01", "--q", "0.5", "0.9",
+         "--num-cpus", "4", "--out", out_json],
+        capture_output=True, text=True, cwd="/root/repo", timeout=300)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    res = json.load(open(out_json))
+    assert [r["q"] for r in res["quantiles"]] == [0.5, 0.9]
+    for r in res["quantiles"]:
+        assert r["rel_error"] <= 0.06  # post-collapse alpha bound
+
+
+def test_cli_conflicting_sources():
+    proc = subprocess.run(
+        [sys.executable, "-m", "p2pddsketch_ray.cli", "--normal",
+         "--uniform"], capture_output=True, text=True, cwd="/root/repo")
+    assert proc.returncode != 0
+    assert "not allowed with" in proc.stderr
