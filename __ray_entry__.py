@@ -228,9 +228,14 @@ def oracle_sql() -> dict[str, str]:
                                       "l_returnflag"),
         "dds_nchars_by_lang": _dds_sql("documents", "n_chars", "lang"),
         "dds_event_value_global": _dds_sql("events", "value"),
+        # NOTE: every bare sum(BIGINT) is CAST back to BIGINT -- DuckDB's
+        # sum over integers returns HUGEINT, which .df() converts to
+        # float64 and the driver's dtype-sensitive value hash then
+        # mismatches the Ray side's int64 (round-1 lesson: the values were
+        # equal, the dtypes were not).
         "pricing_summary": """
 SELECT l_returnflag, l_linestatus,
-       sum(CAST(l_quantity AS BIGINT)) AS sum_qty,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
        CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS DOUBLE)/100.0
            AS sum_base_price,
        CAST(sum(CAST(round(l_extendedprice*(1.0-l_discount)*10000.0) AS BIGINT)) AS DOUBLE)/10000.0
@@ -275,8 +280,9 @@ s AS (
            + 0.3*least(1.0, 5.0*CAST(stops AS DOUBLE)/greatest(CAST(tokens AS DOUBLE), 1.0))
            )*1000000.0 + 0.5) AS BIGINT) AS quality_micro
   FROM m)
-SELECT lang, count(*) AS n_docs, sum(tokens) AS sum_tokens,
-       sum(punct) AS sum_punct, sum(stops) AS sum_stops,
+SELECT lang, count(*) AS n_docs, CAST(sum(tokens) AS BIGINT) AS sum_tokens,
+       CAST(sum(punct) AS BIGINT) AS sum_punct,
+       CAST(sum(stops) AS BIGINT) AS sum_stops,
        CAST(sum(quality_micro) AS DOUBLE)/1000000.0/CAST(count(*) AS DOUBLE)
            AS avg_quality
 FROM s GROUP BY lang""",
@@ -295,7 +301,7 @@ s AS (
         + 0.3*least(1.0, 5.0*CAST(stops AS DOUBLE)/greatest(CAST(tokens AS DOUBLE), 1.0)))
            AS score
   FROM m)
-SELECT lang, count(*) AS n_kept, sum(tokens) AS sum_tokens
+SELECT lang, count(*) AS n_kept, CAST(sum(tokens) AS BIGINT) AS sum_tokens
 FROM s WHERE score >= 0.8 GROUP BY lang""",
         "top_users_exact": """
 SELECT user_id, count(*) AS n_events FROM events

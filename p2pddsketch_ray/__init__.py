@@ -41,8 +41,35 @@ def configure_for_cluster(num_cpus: int | None = None) -> None:
         parallelism = max(2, min(64, int(num_cpus)))
         ctx.default_hash_shuffle_parallelism = parallelism
         ctx.max_hash_shuffle_aggregators = parallelism
+        _mute_empty_bundle_schema_warning()
     except Exception:  # pragma: no cover - ray.data unavailable/changed
         pass
+
+
+class _EmptyBundleSchemaFilter:
+    """Drop Ray 2.49's streaming-executor warning for EMPTY-schema bundles.
+
+    ``groupby().aggregate()``'s sort-based shuffle emits zero-row,
+    schemaless blocks for empty partitions (more partitions than groups),
+    and the executor logs 'Operator produced a RefBundle with a different
+    schema ... new schema: .' for each -- an internal cosmetic artifact,
+    not a pipeline bug.  Genuine schema mismatches (non-empty new schema)
+    still log."""
+
+    def filter(self, record) -> bool:
+        msg = record.getMessage()
+        return not ("RefBundle with a different schema" in msg
+                    and msg.rstrip().endswith("new schema: . This may lead "
+                                              "to unexpected behavior."))
+
+
+def _mute_empty_bundle_schema_warning() -> None:
+    import logging
+    logger = logging.getLogger(
+        "ray.data._internal.execution.streaming_executor_state")
+    if not any(isinstance(f, _EmptyBundleSchemaFilter)
+               for f in logger.filters):
+        logger.addFilter(_EmptyBundleSchemaFilter())
 
 
 configure_for_cluster()

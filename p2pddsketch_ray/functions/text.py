@@ -64,7 +64,11 @@ def stopword_count(texts: pa.Array) -> pa.Array:
     len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'), ...))
     because tokens are maximal [a-z0-9]+ runs.
     """
-    lower = pc.utf8_lower(texts)
+    # RE2's \b treats '_' as a word char ([0-9A-Za-z_], ASCII), while the
+    # oracle tokenizes on maximal [a-z0-9]+ runs -- 'the_end' would yield a
+    # stopword in SQL but not here.  RE2 has no lookarounds, so instead map
+    # '_' to ' ' first: token boundaries then coincide exactly.
+    lower = pc.replace_substring(pc.utf8_lower(texts), "_", " ")
     pattern = r"\b(?:" + "|".join(STOPWORDS) + r")\b"
     return pc.cast(pc.count_substring_regex(lower, pattern), pa.int64())
 

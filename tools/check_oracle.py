@@ -50,6 +50,11 @@ def compare(name: str, got: pd.DataFrame, want: pd.DataFrame) -> list[str]:
     g, w = canon(got), canon(want)
     for col in g.columns:
         gv, wv = g[col].to_numpy(), w[col].to_numpy()
+        # the driver's value hash is dtype-sensitive: DuckDB sum(BIGINT)
+        # -> HUGEINT -> pandas float64 hashed a numerically-equal int64
+        # column to a different digest in round 1.  Flag kind mismatches.
+        if gv.dtype.kind != wv.dtype.kind:
+            problems.append(f"dtype[{col}]: ray={gv.dtype} sql={wv.dtype}")
         neq = gv != wv
         try:
             import numpy as np
