@@ -88,9 +88,9 @@ def bloom_semijoin_orders(sf_dir: str, min_acctbal: float = 7000.0) -> "ray.data
                                   min_acctbal))["c_custkey"].to_numpy()
     bloom = BloomFilter.sized_for(max(64, len(keys)), fp_rate=0.01)
     bloom.add_batch(keys.astype(np.int64))
-    exact = frozenset(int(k) for k in keys)
     bloom_ref = ray.put(bloom.to_row())
-    exact_ref = ray.put(exact)
+    # exact-confirm side: broadcast sorted int64 array, probed with np.isin
+    exact_ref = ray.put(np.unique(keys.astype(np.int64)))
 
     ds = _read(sf_dir, "orders", ["o_custkey", "o_orderstatus"])
 
@@ -100,9 +100,7 @@ def bloom_semijoin_orders(sf_dir: str, min_acctbal: float = 7000.0) -> "ray.data
                                 .astype(np.int64))
         t = t.filter(pa.array(cand))
         confirm = ray.get(exact_ref)
-        ok = np.fromiter((int(k) in confirm
-                          for k in t["o_custkey"].to_numpy(zero_copy_only=False)),
-                         dtype=bool, count=t.num_rows)
+        ok = np.isin(t["o_custkey"].to_numpy(zero_copy_only=False), confirm)
         return t.filter(pa.array(ok))
 
     from ray.data.aggregate import Count

@@ -93,6 +93,18 @@ def minhash_band_rows(batch: pa.Table, *, id_col: str, text_col: str,
 MAX_BUCKET_QUADRATIC = 512
 
 
+def _unique_pairs(a: np.ndarray, b: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Deduplicate (a, b) pairs on the actual pair, not a combined key
+    (a*K+b collides/wraps for int64 doc ids beyond K): lexsort by (a, b),
+    keep rows where either component changes."""
+    if a.shape[0] == 0:
+        return a, b
+    order = np.lexsort((b, a))
+    a, b = a[order], b[order]
+    keep = np.concatenate([[True], (np.diff(a) != 0) | (np.diff(b) != 0)])
+    return a[keep], b[keep]
+
+
 def _candidate_pairs(group: pa.Table) -> pa.Table:
     """Candidate pairs inside one coarse partition: sort its (band_hash,
     doc_id) rows, detect multi-row buckets vectorized -- one Python call
@@ -131,38 +143,55 @@ def _candidate_pairs(group: pa.Table) -> pa.Table:
             ai, bi = ai[keep_w], bi[keep_w]
         out_a.append(ids[s + ai])
         out_b.append(ids[s + bi])
-    a = np.concatenate(out_a)
-    b = np.concatenate(out_b)
     # dedupe within the partition (same pair can collide in many bands)
-    pair_key = a * np.int64(2_000_003) + b
-    _, first = np.unique(pair_key, return_index=True)
+    a, b = _unique_pairs(np.concatenate(out_a), np.concatenate(out_b))
     return pa.table({
-        "doc_a": pa.array(a[first], type=pa.int64()),
-        "doc_b": pa.array(b[first], type=pa.int64()),
+        "doc_a": pa.array(a, type=pa.int64()),
+        "doc_b": pa.array(b, type=pa.int64()),
     })
+
+
+def _blob_matrix(col: pa.Array | pa.ChunkedArray,
+                 dtype=np.uint64) -> np.ndarray:
+    """(n, width) matrix view of a binary column of equal-length blobs --
+    one flat-buffer slice + copy-for-alignment, no per-row Python."""
+    from ..sketches.minhash import _string_buffer
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    n = len(arr)
+    if n == 0:
+        return np.zeros((0, 0), dtype=dtype)
+    data, offs = _string_buffer(arr)
+    widths = np.diff(offs)
+    if not (widths == widths[0]).all():
+        raise ValueError("expected equal-length signature blobs")
+    flat = data[offs[0]:offs[-1]].copy().view(dtype)
+    return flat.reshape(n, -1)
 
 
 def minhash_near_dups(ds: "ray.data.Dataset", id_col: str, text_col: str,
                       *, num_perm: int = 64, bands: int = 16, k: int = 9,
                       threshold: float = 0.7,
-                      num_partitions: int = 64) -> pa.Table:
+                      num_partitions: int = 64) -> "ray.data.Dataset":
     """Near-duplicate pairs via MinHash + LSH banding, two-pass:
 
     1. Candidates: one map computes signatures and emits 16-byte
        (band_hash, doc_id) rows; one coarse-partition shuffle co-locates
-       buckets; vectorized run detection emits candidate pairs.  The
-       signature never rides the shuffle.
-    2. Verify: a second map recomputes signatures for just the candidate
-       docs (the candidate id set is broadcast via ray.put) and the pairs
-       are Jaccard-estimated vectorized on the driver.
+       buckets; vectorized run detection emits candidate pairs, deduped
+       by a second tiny (doc_a, doc_b) shuffle.  The signature never
+       rides a shuffle in this pass.
+    2. Verify (distributed): a second map recomputes signatures for just
+       the candidate docs (only the candidate *id array* is broadcast --
+       O(candidate pairs) int64s), and two doc_id-keyed hash joins attach
+       sig_a / sig_b to each pair; the Jaccard estimate is computed
+       vectorized inside the join output's map_batches.  No signature
+       table is ever materialized on the driver.
 
     Partitioning assumptions: a duplicate pair collides in >= 1 band
     bucket (probability 1-(1-j^r)^b); same bucket => same coarse
-    partition.  The candidate set is assumed driver-sized (O(duplicate
-    pairs), enforced upstream by the per-bucket chain cap); at larger
-    candidate volumes pass 2 becomes a doc_id-keyed distributed join.
+    partition.  Join traffic is O(candidate pairs) rows of
+    num_perm*8-byte blobs.
 
-    Returns a pa.Table (doc_a, doc_b, est_jaccard), pairs with
+    Returns a Dataset (doc_a, doc_b, est_jaccard), pairs with
     est >= threshold.
     """
     from functools import partial
@@ -174,57 +203,80 @@ def minhash_near_dups(ds: "ray.data.Dataset", id_col: str, text_col: str,
     num_partitions = _fit_partitions(num_partitions)
     _CAND_EMPTY = pa.table({"doc_a": pa.array([], type=pa.int64()),
                             "doc_b": pa.array([], type=pa.int64())})
-    cand = _partition_by(band_rows, ["band_hash"], num_partitions,
-                         _candidate_pairs, _CAND_EMPTY).to_arrow_refs()
-    cand_tables = [t for t in map(ray.get, cand) if t.num_rows]
     empty_out = pa.table({"doc_a": pa.array([], type=pa.int64()),
                           "doc_b": pa.array([], type=pa.int64()),
                           "est_jaccard": pa.array([], type=pa.float64())})
-    if not cand_tables:
-        return empty_out
-    cand_t = pa.concat_tables(cand_tables)
-    a = cand_t["doc_a"].to_numpy(zero_copy_only=False)
-    b = cand_t["doc_b"].to_numpy(zero_copy_only=False)
-    pair_key = a * np.int64(2_000_003) + b
-    _, first = np.unique(pair_key, return_index=True)
-    a, b = a[first], b[first]
 
-    # pass 2: signatures for candidate docs only
-    need = frozenset(np.union1d(a, b).tolist())
+    def dedupe_block(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return _CAND_EMPTY
+        a, b = _unique_pairs(block["doc_a"].to_numpy(zero_copy_only=False),
+                             block["doc_b"].to_numpy(zero_copy_only=False))
+        return pa.table({"doc_a": pa.array(a, type=pa.int64()),
+                         "doc_b": pa.array(b, type=pa.int64())})
+
+    cand = _partition_by(band_rows, ["band_hash"], num_partitions,
+                         _candidate_pairs, _CAND_EMPTY)
+    cand = _partition_by(cand, ["doc_a", "doc_b"],
+                         max(2, num_partitions // 4),
+                         dedupe_block, _CAND_EMPTY).materialize()
+
+    # candidate id set: only the int64 ids come to the driver (broadcast
+    # input for the pruned signature pass), never the signatures
+    id_chunks = [np.union1d(t["doc_a"].to_numpy(zero_copy_only=False),
+                            t["doc_b"].to_numpy(zero_copy_only=False))
+                 for t in map(ray.get, cand.to_arrow_refs()) if t.num_rows]
+    if not id_chunks:
+        return ray.data.from_arrow(empty_out)
+    need = np.unique(np.concatenate(id_chunks))
     need_ref = ray.put(need)
 
     def sigs_for_candidates(t: pa.Table) -> pa.Table:
         wanted = ray.get(need_ref)
         ids = t[id_col].to_numpy(zero_copy_only=False)
-        mask = np.fromiter((int(i) in wanted for i in ids), dtype=bool,
-                           count=len(ids))
+        mask = np.isin(ids, wanted)
         if not mask.any():
             return pa.table({"doc_id": pa.array([], type=pa.int64()),
-                             "sig": pa.array([], type=pa.large_binary())})
+                             "sig": pa.array([], type=pa.binary())})
         sub = t.filter(pa.array(mask))
         sig = minhash_signatures(sub[text_col], num_perm=num_perm, k=k)
         return pa.table({
             "doc_id": pa.compute.cast(sub[id_col], pa.int64()),
-            "sig": pa.array([s.tobytes() for s in sig],
-                            type=pa.large_binary()),
+            "sig": pa.array([s.tobytes() for s in sig], type=pa.binary()),
         })
 
-    sig_map: dict[int, np.ndarray] = {}
-    sig_ds = ds.map_batches(sigs_for_candidates, batch_format="pyarrow",
-                            batch_size=4096, zero_copy_batch=True)
-    for ref in sig_ds.to_arrow_refs():
-        t = ray.get(ref)
-        for did, blob in zip(t["doc_id"].to_pylist(), t["sig"].to_pylist()):
-            sig_map[did] = np.frombuffer(blob, dtype=np.uint64)
-    sa = np.stack([sig_map[int(x)] for x in a]) if len(a) else np.zeros((0, num_perm))
-    sb = np.stack([sig_map[int(x)] for x in b]) if len(a) else np.zeros((0, num_perm))
-    est = estimate_jaccard(sa, sb)
-    keep = est >= threshold
-    return pa.table({
-        "doc_a": pa.array(a[keep], type=pa.int64()),
-        "doc_b": pa.array(b[keep], type=pa.int64()),
-        "est_jaccard": pa.array(np.round(est[keep], 6), type=pa.float64()),
-    })
+    sigs = ds.map_batches(sigs_for_candidates, batch_format="pyarrow",
+                          batch_size=4096, zero_copy_batch=True).materialize()
+
+    join_parts = max(2, min(num_partitions, 16))
+    with_a = cand.join(sigs, "inner", num_partitions=join_parts,
+                       on=("doc_a",), right_on=("doc_id",))
+
+    def rename_sig_a(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_a": t["doc_a"], "doc_b": t["doc_b"],
+                         "sig_a": t["sig"]})
+
+    with_both = (with_a.map_batches(rename_sig_a, batch_format="pyarrow")
+                 .join(sigs, "inner", num_partitions=join_parts,
+                       on=("doc_b",), right_on=("doc_id",)))
+
+    def score(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty_out
+        sa = _blob_matrix(t["sig_a"])
+        sb = _blob_matrix(t["sig"])
+        est = estimate_jaccard(sa, sb)
+        keep = est >= threshold
+        return pa.table({
+            "doc_a": pa.compute.cast(t["doc_a"], pa.int64()).filter(
+                pa.array(keep)),
+            "doc_b": pa.compute.cast(t["doc_b"], pa.int64()).filter(
+                pa.array(keep)),
+            "est_jaccard": pa.array(np.round(est[keep], 6),
+                                    type=pa.float64()),
+        })
+
+    return with_both.map_batches(score, batch_format="pyarrow")
 
 
 def simhash_near_dups(ds: "ray.data.Dataset", id_col: str, text_col: str,
@@ -341,42 +393,130 @@ def ngram_jaccard_verify(texts_a, texts_b, k: int = 5) -> np.ndarray:
     return out
 
 
-def embedding_near_dup_pairs(sf_dir: str, threshold: float = 0.9) -> pa.Table:
-    """Embedding-cosine near-duplicate pairs (brute force against a
-    broadcast normalized matrix -- the small-side pattern; the scale path
-    buckets by IVF cluster first, see pipelines.knn)."""
-    import pyarrow.parquet as pq
-    emb = pq.read_table(f"{sf_dir}/embeddings.parquet",
-                        columns=["vec_id", "embedding"])
-    ids = emb["vec_id"].to_numpy()
-    mat = np.asarray(emb["embedding"].to_pylist(), dtype=np.float64)
-    norms = np.linalg.norm(mat, axis=1)
-    norms[norms == 0] = 1.0
-    unit = mat / norms[:, None]
-    ref = ray.put((ids, unit))
+def embedding_near_dup_pairs(sf_dir: str, threshold: float = 0.9, *,
+                             n_clusters: int = 8,
+                             n_assign: int | None = None,
+                             sample_size: int = 10_000,
+                             seed: int = 42) -> "ray.data.Dataset":
+    """Embedding-cosine near-duplicate pairs, bucketed by IVF cluster.
+
+    Dataflow (no full-matrix broadcast, no all-pairs scoring):
+
+        sample -> k-means centroids (driver, broadcast via ray.put)
+        map_batches: unit-normalize, assign each vector to its n_assign
+            nearest clusters (multi-probe assignment so boundary pairs
+            still co-occur in >= 1 bucket)
+        coarse-partition shuffle on cluster id (rows: cluster, vec_id,
+            unit vector -- O(n * d * n_assign) linear traffic)
+        per cluster: chunked members x members^T matmul, emit pairs
+            >= threshold
+        pair dedupe shuffle on (vec_a, vec_b)
+
+    Compute is O(sum cluster_size^2), not O(n^2); each task holds one
+    cluster, not the corpus.  Partitioning assumptions: ``n_clusters`` is
+    sized so a cluster's members fit a worker (at 10^12 rows: tens of
+    thousands of clusters), and a qualifying pair shares >= 1 of the
+    n_assign probed clusters -- exact when n_assign == n_clusters (the
+    oracle-checked test configuration), tunable recall at scale (e.g.
+    n_assign=2).
+    """
+    from ..functions.vectors import list_to_matrix
+    from .knn import _unit_rows, kmeans_fit
 
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
                                columns=["vec_id", "embedding"])
+    sample = pa.concat_tables(
+        [ray.get(r) for r in ds.limit(sample_size).to_arrow_refs()])
+    cents = kmeans_fit(list_to_matrix(sample["embedding"]), n_clusters,
+                       seed=seed)
+    k = cents.shape[0]
+    p = k if n_assign is None else max(1, min(n_assign, k))
+    cref = ray.put(cents)
 
-    def score(t: pa.Table) -> pa.Table:
-        all_ids, all_unit = ray.get(ref)
-        bids = t["vec_id"].to_numpy(zero_copy_only=False)
-        bmat = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
-        bnorm = np.linalg.norm(bmat, axis=1)
-        bnorm[bnorm == 0] = 1.0
-        sims = (bmat / bnorm[:, None]) @ all_unit.T
-        bi, ai = np.nonzero(sims >= threshold)
-        keep = bids[bi] < all_ids[ai]          # a < b, no self-pairs
+    def assign(t: pa.Table) -> pa.Table:
+        c = ray.get(cref)
+        d = c.shape[1]
+        if t.num_rows == 0:  # schema-stable empty output (d from centroids)
+            return pa.table({
+                "cluster": pa.array([], type=pa.int64()),
+                "vec_id": pa.array([], type=pa.int64()),
+                "unit": pa.array([], type=pa.list_(pa.float64(), d)),
+            })
+        ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        unit = _unit_rows(list_to_matrix(t["embedding"]))
+        n = unit.shape[0]
+        sims = unit @ c.T
+        if p >= k:
+            top = np.tile(np.arange(k, dtype=np.int64), (n, 1))
+        else:
+            top = np.argpartition(-sims, p - 1, axis=1)[:, :p].astype(np.int64)
+        flat_unit = np.repeat(unit, p, axis=0).reshape(-1)
         return pa.table({
-            "vec_a": pa.array(bids[bi[keep]].astype(np.int64)),
-            "vec_b": pa.array(all_ids[ai[keep]].astype(np.int64)),
-            "cos_sim": pa.array(np.round(sims[bi[keep], ai[keep]], 4),
+            "cluster": pa.array(top.reshape(-1), type=pa.int64()),
+            "vec_id": pa.array(np.repeat(ids, p), type=pa.int64()),
+            "unit": pa.FixedSizeListArray.from_arrays(flat_unit, d),
+        })
+
+    rows = ds.map_batches(assign, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+    empty = pa.table({"vec_a": pa.array([], type=pa.int64()),
+                      "vec_b": pa.array([], type=pa.int64()),
+                      "cos_sim": pa.array([], type=pa.float64())})
+
+    def cluster_pairs(group: pa.Table) -> pa.Table:
+        if group.num_rows < 2:
+            return empty
+        cl = group["cluster"].to_numpy(zero_copy_only=False)
+        ids = group["vec_id"].to_numpy(zero_copy_only=False)
+        unit = list_to_matrix(group["unit"])
+        order = np.lexsort((ids, cl))
+        cl, ids, unit = cl[order], ids[order], unit[order]
+        starts = np.concatenate(
+            [[0], np.nonzero(np.diff(cl) != 0)[0] + 1])
+        ends = np.concatenate([starts[1:], [cl.shape[0]]])
+        out_a, out_b, out_s = [], [], []
+        CHUNK = 2048  # bound the matmul block: CHUNK x cluster_size floats
+        for s, e in zip(starts, ends):
+            m = e - s
+            if m < 2:
+                continue
+            sub, sid = unit[s:e], ids[s:e]
+            for cs in range(0, m, CHUNK):
+                block = sub[cs:cs + CHUNK] @ sub.T
+                bi, aj = np.nonzero(block >= threshold)
+                gi = bi + cs
+                keep = sid[gi] < sid[aj]       # a < b, no self-pairs
+                if keep.any():
+                    out_a.append(sid[gi[keep]])
+                    out_b.append(sid[aj[keep]])
+                    out_s.append(block[bi[keep], aj[keep]])
+        if not out_a:
+            return empty
+        return pa.table({
+            "vec_a": pa.array(np.concatenate(out_a), type=pa.int64()),
+            "vec_b": pa.array(np.concatenate(out_b), type=pa.int64()),
+            "cos_sim": pa.array(np.round(np.concatenate(out_s), 4),
                                 type=pa.float64()),
         })
 
-    out = ds.map_batches(score, batch_format="pyarrow").to_pandas()
-    schema = pa.schema([("vec_a", pa.int64()), ("vec_b", pa.int64()),
-                        ("cos_sim", pa.float64())])
-    if out.empty:  # an all-empty result loses column dtypes via pandas
-        return schema.empty_table()
-    return pa.Table.from_pandas(out, preserve_index=False, schema=schema)
+    nparts = _fit_partitions(32)
+    pairs = _partition_by(rows, ["cluster"], nparts, cluster_pairs, empty)
+
+    def dedupe_pairs(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return empty
+        a = block["vec_a"].to_numpy(zero_copy_only=False)
+        b = block["vec_b"].to_numpy(zero_copy_only=False)
+        s = block["cos_sim"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((b, a))
+        a, b, s = a[order], b[order], s[order]
+        keep = np.concatenate([[True], (np.diff(a) != 0) | (np.diff(b) != 0)])
+        return pa.table({
+            "vec_a": pa.array(a[keep], type=pa.int64()),
+            "vec_b": pa.array(b[keep], type=pa.int64()),
+            "cos_sim": pa.array(s[keep], type=pa.float64()),
+        })
+
+    return _partition_by(pairs, ["vec_a", "vec_b"], max(2, nparts // 4),
+                         dedupe_pairs, empty)

