@@ -21,6 +21,7 @@ import json
 import sys
 
 import numpy as np
+import pyarrow as pa
 
 from .config import (DEFAULT_ALPHA, DEFAULT_BIN_LIMIT, DEFAULT_OFFSET,
                      DEFAULT_QUANTILES)
@@ -31,7 +32,10 @@ def build_parser() -> argparse.ArgumentParser:
         prog="p2pddsketch_ray",
         description="Ray-Data-native DDSketch quantile pipeline")
     src = p.add_mutually_exclusive_group(required=True)
-    src.add_argument("--dataset", help="parquet path(s) to sketch")
+    src.add_argument("--dataset",
+                     help="input path(s) to sketch: parquet, or the "
+                          "reference's newline-delimited-doubles text "
+                          "format for *.txt (main.cpp:967-1000)")
     src.add_argument("--normal", action="store_true",
                      help="seeded normal(1,3) synthetic stream")
     src.add_argument("--exponential", action="store_true",
@@ -53,6 +57,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--q", type=float, nargs="+",
                    default=list(DEFAULT_QUANTILES))
     p.add_argument("--out", default=None, help="write JSON result here")
+    p.add_argument("--accuracy", action="store_true",
+                   help="also compute the exact-oracle accuracy table for "
+                        "a --dataset input (collects the column to the "
+                        "driver -- test-scale only; synthetic streams "
+                        "always print it, like the reference)")
     p.add_argument("--num-cpus", type=int, default=None)
     return p
 
@@ -78,9 +87,18 @@ def main(argv=None) -> int:
 
     oracle_values = None
     if args.dataset:
-        ds = ray.data.read_parquet(
-            args.dataset, columns=[c for c in (args.column, args.group_by)
-                                   if c])
+        if args.dataset.endswith(".txt"):
+            from .sources.scalars import read_scalar_text
+            ds = read_scalar_text(args.dataset, column=args.column)
+        else:
+            ds = ray.data.read_parquet(
+                args.dataset, columns=[c for c in (args.column, args.group_by)
+                                       if c])
+        if args.accuracy and not args.group_by:
+            vals = pa.concat_tables(
+                [ray.get(r) for r in
+                 ds.select_columns([args.column]).to_arrow_refs()])
+            oracle_values = vals[args.column].to_numpy(zero_copy_only=False)
     else:
         from .sources.scalars import generate_scalars
         dist = ("normal" if args.normal else

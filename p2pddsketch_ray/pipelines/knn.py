@@ -52,12 +52,20 @@ def kmeans_fit(vectors: np.ndarray, n_clusters: int, n_iter: int = 10,
 
 
 class IVFIndex:
-    """Driver-held centroids + a Ray Dataset of (vec_id, cluster,
-    embedding) rows.  ``search`` probes n_probe clusters."""
+    """Driver-held centroids + the assigned (vec_id, cluster, embedding)
+    rows, either as an in-memory Dataset or as a cluster-partitioned
+    Parquet index on disk.  ``search`` probes n_probe clusters; with a
+    written index the read itself is pruned to the probed partitions
+    (n_probe/n_clusters of the files ever leave storage)."""
 
-    def __init__(self, centroids: np.ndarray, assigned: "ray.data.Dataset"):
+    def __init__(self, centroids: np.ndarray,
+                 assigned: "ray.data.Dataset | None" = None,
+                 index_path: str | None = None):
+        if assigned is None and index_path is None:
+            raise ValueError("need an assigned dataset or an index path")
         self.centroids = centroids
         self.assigned = assigned
+        self.index_path = index_path
 
     @staticmethod
     def build(ds: "ray.data.Dataset", n_clusters: int = 16,
@@ -77,6 +85,39 @@ class IVFIndex:
         return IVFIndex(centroids,
                         ds.map_batches(assign, batch_format="pyarrow"))
 
+    def write(self, path: str) -> "IVFIndex":
+        """Persist as a cluster-partitioned Parquet index (hive layout,
+        one directory per cluster) plus the centroid matrix; returns the
+        reopened, partition-pruned index."""
+        import os
+
+        import pyarrow.parquet as pq
+        self.assigned.write_parquet(path, partition_cols=["cluster"])
+        cent = self.centroids
+        pq.write_table(
+            pa.table({"cluster": pa.array(np.arange(cent.shape[0],
+                                                    dtype=np.int64)),
+                      "centroid": pa.FixedSizeListArray.from_arrays(
+                          cent.reshape(-1), cent.shape[1])}),
+            os.path.join(path, "_centroids.parquet"))
+        return IVFIndex.open(path)
+
+    @staticmethod
+    def open(path: str) -> "IVFIndex":
+        import os
+
+        import pyarrow.parquet as pq
+        from ..functions.vectors import list_to_matrix
+        cent_t = pq.read_table(os.path.join(path, "_centroids.parquet"))
+        order = np.argsort(cent_t["cluster"].to_numpy())
+        cents = list_to_matrix(cent_t["centroid"])[order]
+        return IVFIndex(cents, index_path=path)
+
+    def _probe_paths(self, probes: list[int]) -> list[str]:
+        import os
+        return [os.path.join(self.index_path, f"cluster={int(c)}")
+                for c in probes]
+
     def search(self, query: np.ndarray, k: int = 10,
                n_probe: int = 4) -> pa.Table:
         q = np.asarray(query, dtype=np.float64)
@@ -84,11 +125,31 @@ class IVFIndex:
         probes = np.argsort(-(self.centroids @ q))[:n_probe].tolist()
         qref = ray.put(q)
 
+        if self.index_path is not None:
+            # partition-pruned read: only the probed cluster directories'
+            # files are listed/scanned -- no post-read cluster filter
+            # needed (ray.data.read_parquet treats a path LIST as files,
+            # so expand each probe directory explicitly)
+            import glob
+            import os
+            files = [f for p in self._probe_paths(probes)
+                     for f in sorted(glob.glob(os.path.join(p, "*.parquet")))]
+            if not files:
+                return pa.table({"vec_id": pa.array([], type=pa.int64()),
+                                 "cos_sim": pa.array([], type=pa.float64())})
+            src = ray.data.read_parquet(files,
+                                        columns=["vec_id", "embedding"])
+            prefiltered = True
+        else:
+            src = self.assigned
+            prefiltered = False
+
         def score(t: pa.Table) -> pa.Table:
             import pyarrow.compute as pc
             from ..functions.vectors import list_to_matrix
-            t = t.filter(pc.is_in(t["cluster"],
-                                  value_set=pa.array(probes, type=pa.int64())))
+            if not prefiltered:
+                t = t.filter(pc.is_in(
+                    t["cluster"], value_set=pa.array(probes, type=pa.int64())))
             if t.num_rows == 0:
                 return pa.table({"vec_id": pa.array([], type=pa.int64()),
                                  "cos_sim": pa.array([], type=pa.float64())})
@@ -100,7 +161,6 @@ class IVFIndex:
                 "cos_sim": pa.array(np.round(sims, 6), type=pa.float64()),
             })
 
-        return (self.assigned
-                .map_batches(score, batch_format="pyarrow")
-                .sort(["cos_sim", "vec_id"], descending=[True, False])
-                .limit(k))
+        from ..stages.topk import topk
+        return topk(src.map_batches(score, batch_format="pyarrow"),
+                    [("cos_sim", "descending"), ("vec_id", "ascending")], k)

@@ -4,7 +4,7 @@ Replaces the reference's whole main() simulation (main.cpp:214-396):
 
     read -> project metric column -> map_batches(partial sketches)
          -> groupby(keys).map_groups(merge + quantile)      # grouped
-         -> (or) driver fold of the tiny partial rows       # global
+         -> (or) distributed tree reduce of partial rows    # global
 
 The only shuffle moves serialized partials (<= ~6 KB per (block, group)):
 classic partial aggregation, so a Zipf-skewed group key (lang ~ 60% 'en')
@@ -22,8 +22,7 @@ import ray.data
 from ..config import (DEFAULT_ALPHA, DEFAULT_BIN_LIMIT, DEFAULT_OFFSET,
                       HEADLINE_QUANTILES)
 from ..sketches.ddsketch import DDSketch
-from ..stages.sketch_build import (merge_sketch_table, partial_builder,
-                                   quantile_finalizer)
+from ..stages.sketch_build import partial_builder, quantile_finalizer
 
 
 def build_partials_ds(ds: "ray.data.Dataset", value_col: str,
@@ -44,9 +43,8 @@ def dds_quantiles_global(ds: "ray.data.Dataset", value_col: str,
                          quantiles: Sequence[float] = HEADLINE_QUANTILES,
                          *, round_digits: int | None = None,
                          **sketch_kwargs) -> pa.Table:
-    """Global quantiles: distributed partial build, driver-side final fold
-    (the partials are kilobytes -- materializing them is the cheap, correct
-    move; the data itself is never collected)."""
+    """Global quantiles: distributed partial build + distributed tree
+    merge; only the single merged sketch row reaches the driver."""
     sketch = dds_sketch_global(ds, value_col, **sketch_kwargs)
     keys = [sketch.quantile_key(q) for q in quantiles]
     ests = [sketch._bucket_estimate(k) for k in keys]
@@ -60,19 +58,13 @@ def dds_quantiles_global(ds: "ray.data.Dataset", value_col: str,
 def dds_sketch_global(ds: "ray.data.Dataset", value_col: str,
                       **sketch_kwargs) -> DDSketch:
     """The merged global sketch itself (for callers that want the full
-    accumulator, e.g. checkpointing or repeated queries)."""
-    import ray as _ray
+    accumulator, e.g. checkpointing or repeated queries).
+
+    The merge is a distributed tree reduce (stages.sketch_build.
+    tree_merge_sketches): the driver deserializes exactly one row."""
+    from ..stages.sketch_build import tree_merge_sketches
     partials = build_partials_ds(ds, value_col, None, **sketch_kwargs)
-    merged = None
-    for ref in partials.to_arrow_refs():
-        t = _ray.get(ref)
-        if t.num_rows == 0:
-            continue
-        s = merge_sketch_table(t)
-        merged = s if merged is None else merged.merge(s)
-    if merged is None:
-        raise ValueError("empty dataset")
-    return merged
+    return tree_merge_sketches(partials)
 
 
 def dds_quantiles_grouped(ds: "ray.data.Dataset", value_col: str,

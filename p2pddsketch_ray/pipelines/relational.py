@@ -95,10 +95,12 @@ def pricing_summary(sf_dir: str) -> "ray.data.Dataset":
 
 
 def topk_orders(sf_dir: str, k: int = 10) -> "ray.data.Dataset":
-    """Global sort + limit (distributed top-k)."""
+    """Distributed top-k: per-block prereduce, then global sort + limit
+    over O(blocks * k) rows."""
+    from ..stages.topk import topk
     ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
-    return ds.sort(["o_totalprice", "o_orderkey"],
-                   descending=[True, False]).limit(k)
+    return topk(ds, [("o_totalprice", "descending"),
+                     ("o_orderkey", "ascending")], k)
 
 
 def customer_nation_rollup(sf_dir: str) -> "ray.data.Dataset":
@@ -321,9 +323,9 @@ def top_users_exact(sf_dir: str, k: int = 10) -> "ray.data.Dataset":
             "n_events": pc.cast(t["n_events"], pa.int64()),
         })
 
-    return (agg.map_batches(finalize, batch_format="pyarrow")
-            .sort(["n_events", "user_id"], descending=[True, False])
-            .limit(k))
+    from ..stages.topk import topk
+    return topk(agg.map_batches(finalize, batch_format="pyarrow"),
+                [("n_events", "descending"), ("user_id", "ascending")], k)
 
 
 def lang_id_counts(sf_dir: str) -> "ray.data.Dataset":
@@ -373,5 +375,6 @@ def knn_cosine_topk(sf_dir: str, query_vec_id: int = 0,
             "cos_sim": pa.array(np.round(sims, 4), type=pa.float64()),
         })
 
-    return (ds.map_batches(score, batch_format="pyarrow")
-            .sort(["cos_sim", "vec_id"], descending=[True, False]).limit(k))
+    from ..stages.topk import topk
+    return topk(ds.map_batches(score, batch_format="pyarrow"),
+                [("cos_sim", "descending"), ("vec_id", "ascending")], k)

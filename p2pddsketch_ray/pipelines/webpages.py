@@ -62,46 +62,40 @@ def webpage_quantiles(paths, metric: str = "text_len",
                       bin_limit: int = 2048, verify: bool = False):
     """Returns (global pa.Table, per-lang pa.Table or None).
 
-    ONE distributed pass: per-(block, lang) partial sketches are built
-    once; the per-lang sketches AND the global sketch (merge of all
-    partials -- identical to an ungrouped build because the exact-sum
-    merge is associative over any partitioning of the multiset) both
-    derive from the same collected kilobyte-sized partial rows."""
+    ONE distributed build pass: per-(block, lang) partial sketches are
+    built once and materialized (kilobyte rows); the per-lang answers come
+    from a ``groupby(lang).map_groups`` shuffle-merge over those rows and
+    the global answer from a distributed tree reduce of the same rows
+    (identical to an ungrouped build because the exact-sum merge is
+    associative over any partitioning of the multiset).  The driver only
+    receives the final answer rows, never the partial set."""
     import ray
-    from ..sketches.ddsketch import DDSketch
-    from ..stages.sketch_build import merge_sketch_table
+    from ..stages.sketch_build import (quantile_finalizer,
+                                       tree_merge_sketches)
     from .quantiles import build_partials_ds
 
     metrics = webpage_metrics_ds(paths, verify=verify)
     partials = build_partials_ds(metrics, metric,
                                  ["lang"] if by_lang else None,
                                  alpha=alpha, bin_limit=bin_limit)
-    tables = [t for t in map(ray.get, partials.to_arrow_refs())
-              if t.num_rows]
-    if not tables:
-        raise ValueError("empty dataset")
-    all_partials = pa.concat_tables(tables)
-    glob_sketch = merge_sketch_table(all_partials)
+    if by_lang:
+        partials = partials.materialize()  # built once, consumed twice
 
-    def q_table(sketch: DDSketch, extra: dict | None = None) -> dict:
-        keys = [sketch.quantile_key(q) for q in quantiles]
-        out = dict(extra or {})
-        out.update({
-            "q": list(quantiles),
-            "bucket_key": keys,
-            "est": [sketch._bucket_estimate(k) for k in keys],
-        })
-        return out
+    glob_sketch = tree_merge_sketches(partials)
+    keys = [glob_sketch.quantile_key(q) for q in quantiles]
+    glob = pa.table({
+        "q": pa.array(list(quantiles), type=pa.float64()),
+        "bucket_key": pa.array(keys, type=pa.int64()),
+        "est": pa.array([glob_sketch._bucket_estimate(k) for k in keys],
+                        type=pa.float64()),
+    })
 
-    glob = pa.table({k: pa.array(v) if not isinstance(v, pa.Array) else v
-                     for k, v in q_table(glob_sketch).items()})
     grouped = None
     if by_lang:
-        rows = []
-        for lang in sorted(set(all_partials["lang"].to_pylist())):
-            sub = merge_sketch_table(all_partials.filter(
-                pc.equal(all_partials["lang"], lang)))
-            d = q_table(sub, {"lang": [lang] * len(quantiles)})
-            rows.append(pa.table({k: pa.array(v) for k, v in d.items()}))
-        grouped = pa.concat_tables(rows)
+        grouped_ds = partials.groupby("lang").map_groups(
+            quantile_finalizer(["lang"], quantiles), batch_format="pyarrow")
+        tables = [t for t in map(ray.get, grouped_ds.to_arrow_refs())
+                  if t.num_rows]
+        grouped = pa.concat_tables(tables).sort_by(
+            [("lang", "ascending"), ("q", "ascending")])
     return glob, grouped

@@ -25,6 +25,25 @@ def generate_scalars(dist: str, n: int, seed: int = 1) -> np.ndarray:
     return DISTRIBUTIONS[dist](np.random.default_rng(seed), n)
 
 
+def read_scalar_text(paths, column: str = "value"):
+    """The reference's native input format -- a newline-delimited text file
+    of doubles (loadDataset, main.cpp:967-1000; line count via
+    getDatasetSize, main.cpp:950-965) -- as a Ray Dataset: ``read_text``
+    splits lines across blocks and a vectorized Arrow string->float64 cast
+    replaces the per-line ``stod`` loop.  Blank lines are skipped."""
+    import pyarrow.compute as pc
+
+    import ray.data
+
+    def parse(t: pa.Table) -> pa.Table:
+        col = pc.utf8_trim_whitespace(t["text"])
+        col = col.filter(pc.not_equal(col, ""))
+        return pa.table({column: pc.cast(col, pa.float64())})
+
+    return ray.data.read_text(paths).map_batches(
+        parse, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def jittered_boundaries(n: int, parts: int, seed: int = 0) -> list[int]:
     """Contiguous slice boundaries with +/-10% jitter (the reference
     partitioner's shape, main.cpp:707-714)."""

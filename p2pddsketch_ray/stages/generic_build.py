@@ -32,12 +32,29 @@ def sketch_partials_ds(ds, columns: list[str],
         zero_copy_batch=True)
 
 
-def merge_partials(partials_ds):
-    """Driver-side fold of the tiny partial blobs (the final merge of an
-    already-distributed partial aggregation)."""
-    import ray
+def _merge_blob_block(t: pa.Table) -> pa.Table:
+    """Fold a block of pickled partials into one partial row."""
+    if t.num_rows == 0:
+        return pa.table({"blob": pa.array([], type=pa.binary())})
     merged = None
-    for ref in partials_ds.to_arrow_refs():
+    for blob in t["blob"].to_pylist():
+        s = pickle.loads(blob)
+        merged = s if merged is None else merged.merge(s)
+    return pa.table({"blob": pa.array([pickle.dumps(merged)],
+                                      type=pa.binary())})
+
+
+def merge_partials(partials_ds, *, fanin: int = 32):
+    """Distributed tree reduce of the tiny partial blobs: fanin leaf merge
+    tasks, one root merge task; the driver unpickles exactly one blob
+    (O(1) driver memory for any input block count)."""
+    import ray
+    leaves = partials_ds.repartition(fanin).map_batches(
+        _merge_blob_block, batch_format="pyarrow", batch_size=None)
+    root = leaves.repartition(1).map_batches(
+        _merge_blob_block, batch_format="pyarrow", batch_size=None)
+    merged = None
+    for ref in root.to_arrow_refs():
         t = ray.get(ref)
         for blob in t["blob"].to_pylist():
             s = pickle.loads(blob)

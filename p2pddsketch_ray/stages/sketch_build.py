@@ -81,6 +81,41 @@ def merge_sketch_table(table: pa.Table) -> DDSketch:
     return acc
 
 
+_SKETCH_COL_NAMES = [name for name, _ in SKETCH_FIELDS]
+
+
+def _merge_block_to_row(t: pa.Table) -> pa.Table:
+    """map_batches body: fold a block of partial-sketch rows into one row
+    (group columns, if any, are dropped -- this is the global path)."""
+    empty = pa.table({name: pa.array([], type=typ)
+                      for name, typ in SKETCH_FIELDS})
+    if t.num_rows == 0:
+        return empty
+    return sketch_rows_to_table(
+        [merge_sketch_table(t.select(_SKETCH_COL_NAMES)).to_row()])
+
+
+def tree_merge_sketches(partials_ds, *, fanin: int = 32) -> DDSketch:
+    """Distributed tree reduce over serialized-sketch rows.
+
+    Replaces the driver-side sequential fold: a coarse repartition bounds
+    the leaf merge tasks to ``fanin``, each folds its rows remotely, and a
+    single root task folds the ``fanin`` leaf rows -- the driver only ever
+    deserializes the final row, so driver memory/CPU is O(1) sketches
+    regardless of input block count (at 10^6 blocks the old fold held and
+    merged 10^6 sketches serially on the driver).
+    """
+    leaves = partials_ds.repartition(fanin).map_batches(
+        _merge_block_to_row, batch_format="pyarrow", batch_size=None)
+    root = leaves.repartition(1).map_batches(
+        _merge_block_to_row, batch_format="pyarrow", batch_size=None)
+    import ray as _ray
+    tables = [t for t in map(_ray.get, root.to_arrow_refs()) if t.num_rows]
+    if not tables:
+        raise ValueError("empty dataset")
+    return merge_sketch_table(pa.concat_tables(tables))
+
+
 def build_partials(batch: pa.Table, *, value_col: str,
                    group_cols: Sequence[str] | None = None,
                    alpha: float = DEFAULT_ALPHA,

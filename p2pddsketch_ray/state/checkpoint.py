@@ -80,7 +80,17 @@ class CheckpointedSketchBuild:
             partials = build_partials_ds(ds, self.value_col, self.group_cols,
                                          **self.sketch_kwargs)
             chunks = [ray.get(r) for r in partials.to_arrow_refs()]
-            table = pa.concat_tables([t for t in chunks if t.num_rows])
+            nonempty = [t for t in chunks if t.num_rows]
+            if nonempty:
+                table = pa.concat_tables(nonempty)
+            elif chunks:
+                # all-empty input: publish a zero-row partial anyway so
+                # resume skips this input instead of re-failing every run;
+                # merge treats it as identity
+                table = chunks[0]
+            else:
+                from ..stages.sketch_build import sketch_rows_to_table
+                table = sketch_rows_to_table([])
             tmp = out + ".tmp"
             pq.write_table(table, tmp)
             os.replace(tmp, out)           # atomic publish
@@ -89,7 +99,10 @@ class CheckpointedSketchBuild:
     def merged(self, input_paths: Sequence[str]) -> DDSketch:
         """Global merged sketch from the checkpointed partials."""
         tables = [pq.read_table(self._partial_path(p)) for p in input_paths]
-        return merge_sketch_table(pa.concat_tables(tables))
+        # permissive: a zero-row partial from an empty input may carry
+        # null-typed group columns
+        return merge_sketch_table(
+            pa.concat_tables(tables, promote_options="permissive"))
 
     def merged_by_group(self, input_paths: Sequence[str]) -> dict:
         """group value -> merged DDSketch (single group column)."""
@@ -97,7 +110,8 @@ class CheckpointedSketchBuild:
             raise ValueError("merged_by_group requires one group column")
         gcol = self.group_cols[0]
         table = pa.concat_tables(
-            [pq.read_table(self._partial_path(p)) for p in input_paths])
+            [pq.read_table(self._partial_path(p)) for p in input_paths],
+            promote_options="permissive")
         out = {}
         for gval in set(table[gcol].to_pylist()):
             sub = table.filter(pa.compute.equal(table[gcol], gval))

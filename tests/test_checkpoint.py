@@ -83,6 +83,29 @@ def test_checkpoint_grouped(ray_session, shards, tmp_path):
     assert by_group["a"].n + by_group["b"].n == 20000
 
 
+def test_checkpoint_empty_input_publishes_partial(ray_session, shards,
+                                                  tmp_path):
+    """An all-empty input parquet must still publish a (zero-row) partial
+    so resume skips it, and the merge treats it as identity."""
+    paths, all_vals = shards
+    empty_p = str(tmp_path / "empty.parquet")
+    pq.write_table(pa.table({"value": pa.array([], type=pa.float64()),
+                             "grp": pa.array([], type=pa.string())}),
+                   empty_p)
+    ckdir = str(tmp_path / "ck5")
+    ck = CheckpointedSketchBuild(ckdir, "value", alpha=0.01)
+    inputs = [empty_p] + list(paths)
+    ck.build(inputs)
+    assert empty_p in ck.built_inputs
+    # resume: the empty input is now satisfied from checkpoint
+    ck2 = CheckpointedSketchBuild(ckdir, "value", alpha=0.01)
+    ck2.build(inputs)
+    assert empty_p in ck2.skipped_inputs
+    direct = DDSketch(alpha=0.01)
+    direct.add_batch(all_vals)
+    assert ck2.merged(inputs).to_bytes() == direct.to_bytes()
+
+
 def test_ivf_recall_vs_brute_force(ray_session):
     import ray.data
     from p2pddsketch_ray.pipelines.knn import IVFIndex
@@ -104,3 +127,37 @@ def test_ivf_recall_vs_brute_force(ray_session):
     # probing all clusters must reproduce brute force exactly
     full = index.search(query, k=10, n_probe=8).to_pandas()
     assert set(full["vec_id"]) == truth_ids
+
+
+def test_ivf_written_index_prunes_partitions(ray_session, tmp_path):
+    import os
+
+    import ray.data
+    from p2pddsketch_ray.pipelines.knn import IVFIndex
+    ds = ray.data.read_parquet("/root/testdata/sf0.001/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    built = IVFIndex.build(ds, n_clusters=8, seed=42)
+    path = str(tmp_path / "ivf")
+    index = built.write(path)
+    assert index.index_path == path
+    # hive layout: one directory per cluster
+    cluster_dirs = sorted(d for d in os.listdir(path)
+                          if d.startswith("cluster="))
+    assert len(cluster_dirs) >= 2
+    # the pruned search plans a read over exactly n_probe of the
+    # n_clusters partition directories
+    emb = pq.read_table("/root/testdata/sf0.001/embeddings.parquet")
+    query = np.asarray(emb["embedding"][17].as_py(), dtype=np.float64)
+    probes = np.argsort(-(index.centroids @
+                          (query / np.linalg.norm(query))))[:2].tolist()
+    probe_paths = index._probe_paths(probes)
+    assert len(probe_paths) == 2
+    assert all(os.path.basename(p) in cluster_dirs for p in probe_paths)
+    # full-probe search on the written index == the in-memory index's
+    # exhaustive result (centroid/assignment round-trip is lossless)
+    got = index.search(query, k=10, n_probe=8).to_pandas()
+    want = built.search(query, k=10, n_probe=8).to_pandas()
+    assert list(got["vec_id"]) == list(want["vec_id"])
+    # pruned search returns only vectors from the probed clusters
+    pruned = index.search(query, k=10, n_probe=2).to_pandas()
+    assert len(pruned) == 10

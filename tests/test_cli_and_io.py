@@ -95,6 +95,39 @@ def test_cli_synthetic_normal(tmp_path):
         assert r["rel_error"] <= 0.06  # post-collapse alpha bound
 
 
+def test_read_scalar_text_matches_reference_loader(ray_session, tmp_path):
+    """The reference's text format (newline-delimited doubles,
+    main.cpp:967-1000): blank lines skipped, values parsed exactly."""
+    from p2pddsketch_ray.sources.scalars import read_scalar_text
+    vals = generate_scalars("normal", 997, seed=5)
+    p = tmp_path / "stream.txt"
+    lines = [repr(float(v)) for v in vals]
+    lines.insert(3, "")              # blank line the loader must skip
+    p.write_text("\n".join(lines) + "\n")
+    ds = read_scalar_text(str(p))
+    got = np.sort(ds.to_pandas()["value"].to_numpy())
+    assert np.array_equal(got, np.sort(vals))
+
+
+def test_cli_text_dataset_accuracy_table(tmp_path):
+    """CLI parity for the reference's native input (D5): the accuracy
+    table runs on a newline-double file."""
+    out_json = str(tmp_path / "res.json")
+    vals = generate_scalars("exponential", 5000, seed=2)
+    p = tmp_path / "stream.txt"
+    p.write_text("\n".join(repr(float(v)) for v in vals) + "\n")
+    proc = subprocess.run(
+        [sys.executable, "-m", "p2pddsketch_ray.cli", "--dataset", str(p),
+         "--alpha", "0.01", "--q", "0.5", "0.99", "--accuracy",
+         "--num-cpus", "4", "--out", out_json],
+        capture_output=True, text=True, cwd="/root/repo", timeout=300)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    res = json.load(open(out_json))
+    assert [r["q"] for r in res["quantiles"]] == [0.5, 0.99]
+    for r in res["quantiles"]:
+        assert "real" in r and r["rel_error"] <= 0.06
+
+
 def test_cli_conflicting_sources():
     proc = subprocess.run(
         [sys.executable, "-m", "p2pddsketch_ray.cli", "--normal",

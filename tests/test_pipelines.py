@@ -48,6 +48,32 @@ def test_distributed_equals_local_bit_identical(lineitem_ds):
     assert dist.to_bytes() == local.to_bytes()
 
 
+def test_global_merge_never_folds_on_driver(ray_session, monkeypatch):
+    """The global path is a distributed tree reduce: the driver receives
+    exactly ONE merged row, so DDSketch.merge never runs in the driver
+    process (workers are separate processes; the patched counter only
+    observes driver-side calls)."""
+    import ray.data
+    calls = {"n": 0}
+    orig = DDSketch.merge
+
+    def counting(self, other):
+        calls["n"] += 1
+        return orig(self, other)
+
+    monkeypatch.setattr(DDSketch, "merge", counting)
+    ds = ray.data.read_parquet(f"{SF}/lineitem.parquet",
+                               columns=["l_extendedprice"],
+                               override_num_blocks=16)
+    dist = dds_sketch_global(ds, "l_extendedprice", alpha=PRACTICAL_ALPHA)
+    assert calls["n"] == 0
+    vals = pq.read_table(f"{SF}/lineitem.parquet",
+                         columns=["l_extendedprice"])["l_extendedprice"].to_numpy()
+    local = DDSketch(alpha=PRACTICAL_ALPHA)
+    local.add_batch(vals.astype(np.float64))
+    assert dist.to_bytes() == local.to_bytes()
+
+
 def test_grouped_quantiles_match_per_group_oracle(lineitem_ds):
     t = pq.read_table(f"{SF}/lineitem.parquet",
                       columns=["l_extendedprice", "l_returnflag"])
