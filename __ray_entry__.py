@@ -87,6 +87,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly_window": R.events_hourly_window,
         "docs_by_lang": R.docs_by_lang,
         "distinct_user_count": R.distinct_user_count,
+        # stateful ordered window (sessionization), deterministic sampling,
+        # two-hop broadcast join
+        "events_sessionized": R.events_sessionized,
+        "sampled_events_by_type": R.sampled_events_by_type,
+        "supplier_region_rollup": R.supplier_region_rollup,
         # text analysis (exact, SQL-replicable definitions)
         "token_stats_by_lang": R.token_stats_by_lang,
         "quality_filter_by_lang": R.quality_filter_by_lang,
@@ -110,6 +115,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ivf_knn_exhaustive": _ivf_knn_exhaustive,
         # KLL comparison-based quantiles (randomized compaction: rows-only)
         "kll_quantiles_price": _kll_quantiles_price,
+        # t-digest quantiles (interpolated centroids: rows-only)
+        "tdigest_quantiles_price": _tdigest_quantiles_price,
     }
 
 
@@ -148,6 +155,25 @@ def _ivf_knn_exhaustive(sf_dir: str):
                                columns=["vec_id", "embedding"])
     index = IVFIndex.build(ds, n_clusters=8, seed=42)
     return index.search(query, k=10, n_probe=8)
+
+
+def _tdigest_quantiles_price(sf_dir: str):
+    import pyarrow as pa
+    import ray.data
+    from p2pddsketch_ray.sketches.tdigest import TDigest
+    from p2pddsketch_ray.stages.generic_build import build_and_merge
+    ds = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_extendedprice"])
+
+    def add(s, t):
+        s.add_batch(t["l_extendedprice"].to_numpy(zero_copy_only=False))
+
+    td = build_and_merge(ds, ["l_extendedprice"],
+                         lambda: TDigest(compression=100), add)
+    qs = [0.5, 0.95, 0.99]
+    return pa.table({"q": pa.array(qs, type=pa.float64()),
+                     "est": pa.array([td.quantile(q) for q in qs],
+                                     type=pa.float64())})
 
 
 def _kll_quantiles_price(sf_dir: str):
@@ -262,6 +288,27 @@ FROM (SELECT event_type, epoch_us(ts) AS ts, value FROM events) GROUP BY 1, 2"""
 SELECT lang, count(*) AS n_docs, min(n_chars) AS min_chars,
        max(n_chars) AS max_chars
 FROM documents GROUP BY lang""",
+        "events_sessionized": """
+WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+d AS (SELECT user_id,
+             CASE WHEN lag(us) OVER w IS NULL
+                       OR us - lag(us) OVER w > 1800000000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us))
+SELECT user_id, CAST(sum(new_s) AS BIGINT) AS n_sessions,
+       count(*) AS n_events
+FROM d GROUP BY user_id""",
+        "sampled_events_by_type": """
+SELECT event_type, count(*) AS n_sampled,
+       CAST(sum(CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_value
+FROM events WHERE hash(event_id::BIGINT) % 16 = 0
+GROUP BY event_type""",
+        "supplier_region_rollup": """
+SELECT r_name, count(*) AS n_suppliers,
+       CAST(sum(CAST(round(s_acctbal*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_acctbal
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name""",
         "distinct_user_count": """
 SELECT count(DISTINCT user_id) AS n_distinct FROM events""",
         "token_stats_by_lang": f"""

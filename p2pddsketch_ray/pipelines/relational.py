@@ -349,6 +349,126 @@ def lang_id_counts(sf_dir: str) -> "ray.data.Dataset":
     return agg.map_batches(finalize, batch_format="pyarrow")
 
 
+def events_sessionized(sf_dir: str,
+                       gap_minutes: int = 30) -> "ray.data.Dataset":
+    """Gap-based sessionization: the stateful ordered-window operator of a
+    clickstream pipeline (no Ray Data primitive exists -- SURVEY.md
+    section 2.4 'streaming windows').  Co-locate events by user via one
+    coarse hash partition, then detect session starts vectorized inside
+    each partition (sort by (user, ts); a session starts at a user change
+    or a gap > gap_minutes).  Partitioning assumption: one user's events
+    fit one partition (events are tiny rows; partitions ~ CPUs)."""
+    from ..stages.partition import fit_partitions, partition_by
+    gap_us = int(gap_minutes) * 60 * 1_000_000
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": pc.cast(t["user_id"], pa.int64()),
+            "us": pc.cast(t["ts"], pa.int64()),
+        })
+
+    empty = pa.table({"user_id": pa.array([], type=pa.int64()),
+                      "n_sessions": pa.array([], type=pa.int64()),
+                      "n_events": pa.array([], type=pa.int64())})
+
+    def sessions(group: pa.Table) -> pa.Table:
+        u = group["user_id"].to_numpy(zero_copy_only=False)
+        us = group["us"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((us, u))
+        u, us = u[order], us[order]
+        new_user = np.diff(u) != 0
+        new_session = np.concatenate(
+            [[True], new_user | (np.diff(us) > gap_us)]).astype(np.int64)
+        starts = np.concatenate([[0], np.nonzero(new_user)[0] + 1])
+        ends = np.concatenate([starts[1:], [u.shape[0]]])
+        return pa.table({
+            "user_id": pa.array(u[starts], type=pa.int64()),
+            "n_sessions": pa.array(np.add.reduceat(new_session, starts),
+                                   type=pa.int64()),
+            "n_events": pa.array(ends - starts, type=pa.int64()),
+        })
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    return partition_by(prepped, ["user_id"], fit_partitions(32),
+                        sessions, empty)
+
+
+def sampled_events_by_type(sf_dir: str, mod: int = 16) -> "ray.data.Dataset":
+    """Deterministic hash sampling (keep rows where hash(event_id) % mod
+    == 0) -> grouped stats over the sample.  The sample predicate is
+    pushed into the first map, so at 100 TB only 1/mod of the rows leave
+    the scan stage; murmur64 replicates DuckDB's hash(BIGINT) bit-for-bit
+    so the oracle sees the identical sample."""
+    from ..hashing import murmur64
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def samp(t: pa.Table) -> pa.Table:
+        keys = t["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = murmur64(keys) % np.uint64(mod) == 0
+        kt = t.filter(pa.array(keep))
+        return pa.table({
+            "event_type": kt["event_type"],
+            "value_cents": _int_units(kt["value"], 100),
+        })
+
+    agg = (ds.map_batches(samp, batch_format="pyarrow", zero_copy_batch=True)
+           .groupby("event_type")
+           .aggregate(Count(alias_name="n_sampled"),
+                      Sum("value_cents", alias_name="value_cents")))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": t["event_type"],
+            "n_sampled": pc.cast(t["n_sampled"], pa.int64()),
+            "sum_value": pc.divide(pc.cast(t["value_cents"], pa.float64()),
+                                   pa.scalar(100.0)),
+        })
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+def supplier_region_rollup(sf_dir: str) -> "ray.data.Dataset":
+    """Two-hop broadcast join (supplier -> nation -> region): the
+    dimension chain is composed driver-side into one 25-row lookup,
+    broadcast once, and applied with pc.index_in/take -- no shuffle join
+    for small-side chains."""
+    import pyarrow.parquet as pq
+    nation = pq.read_table(f"{sf_dir}/nation.parquet",
+                           columns=["n_nationkey", "n_regionkey"])
+    region = pq.read_table(f"{sf_dir}/region.parquet",
+                           columns=["r_regionkey", "r_name"])
+    ridx = pc.index_in(nation["n_regionkey"], value_set=region["r_regionkey"]
+                       .combine_chunks())
+    lookup_ref = ray.put((nation["n_nationkey"].combine_chunks(),
+                          pc.take(region["r_name"].combine_chunks(), ridx)))
+    ds = _read(sf_dir, "supplier", ["s_nationkey", "s_acctbal"])
+
+    def join_batch(t: pa.Table) -> pa.Table:
+        dim_keys, dim_rnames = ray.get(lookup_ref)
+        idx = pc.index_in(t["s_nationkey"], value_set=dim_keys)
+        return pa.table({
+            "r_name": pc.take(dim_rnames, idx),
+            "acct_cents": _int_units(t["s_acctbal"], 100),
+        })
+
+    agg = (ds.map_batches(join_batch, batch_format="pyarrow")
+           .groupby("r_name")
+           .aggregate(Count(alias_name="n_suppliers"),
+                      Sum("acct_cents", alias_name="acct_cents")))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "r_name": t["r_name"],
+            "n_suppliers": pc.cast(t["n_suppliers"], pa.int64()),
+            "sum_acctbal": pc.divide(pc.cast(t["acct_cents"], pa.float64()),
+                                     pa.scalar(100.0)),
+        })
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
 def knn_cosine_topk(sf_dir: str, query_vec_id: int = 0,
                     k: int = 10) -> "ray.data.Dataset":
     """Brute-force cosine top-k over the embedding column: the query vector

@@ -301,6 +301,50 @@ class DDSketch:
         self._enforce_limit()
         return self
 
+    def merge_averaged(self, other: "DDSketch") -> "DDSketch":
+        """Gossip-averaging merge -- COMPAT MODE (in place; returns self).
+
+        Reproduces the reference's ``DDS_MergeCollapse`` exactly
+        (ddsketch.cc:559-647): equalize alpha (gamma^2-collapse the finer
+        sketch), bin-wise sum, then halve EVERY bin (ddsketch.cc:613-615)
+        and set ``n = n1/2 + n2/2`` (ddsketch.cc:641).  Counts become
+        fractional push-sum mass; recover the global sum with
+        ``finalize_gossip`` (K25).  The production path is ``merge``
+        (exact sum); this exists for side-by-side validation against the
+        reference binary's converged-average numbers.
+        """
+        if (other.alpha0 != self.alpha0 or other.offset != self.offset
+                or other.bin_limit != self.bin_limit):
+            raise ValueError("cannot merge sketches with different parameters")
+        if self.mode != "uniform" or other.mode != "uniform":
+            raise ValueError("gossip averaging is defined for uniform mode "
+                             "(the reference gossips via DDS_MergeCollapse)")
+        while self.generation < other.generation:
+            self.collapse()
+        if other.generation < self.generation:
+            other = other.copy()
+            while other.generation < self.generation:
+                other.collapse()
+        bins = self.bins
+        for k, c in other.bins.items():
+            bins[k] = bins.get(k, 0.0) + c
+        for k in bins:
+            bins[k] = bins[k] / 2.0
+        self.n = self.n / 2.0 + other.n / 2.0
+        self._enforce_limit()
+        return self
+
+    def finalize_gossip(self, weight: float) -> "DDSketch":
+        """Push-sum reconstruction (DDS_finalizeGossip,
+        ddsketch.cc:988-1002): divide all bins and n by the gossip weight
+        to recover the global sum from the converged average."""
+        if weight <= 0:
+            raise ValueError("gossip weight must be positive")
+        for k in self.bins:
+            self.bins[k] = self.bins[k] / weight
+        self.n = self.n / weight
+        return self
+
     def copy(self) -> "DDSketch":
         c = DDSketch(self.alpha0, self.bin_limit, self.offset, self.mode)
         c.generation = self.generation

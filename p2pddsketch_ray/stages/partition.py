@@ -1,0 +1,52 @@
+"""Coarse hash co-partitioning: the engine's workhorse for "apply a
+vectorized function to all rows sharing a key" without per-group Python.
+
+``partition_by`` co-locates rows by hash(cols) % num_partitions and
+applies ``fn`` once per whole partition.  This deliberately uses the
+default sort-based shuffle on a single small int64 partition column
+instead of Ray's keyed repartition: measured on Ray 2.49 local mode,
+HASH_SHUFFLE aggregator actors throttle the upstream map stage (~1.3 of
+8 CPUs busy), while sorting an int64 column scales normally.  And it
+applies ONE vectorized call per partition, not per group --
+``groupby().map_groups`` over millions of near-singleton groups is
+per-group Python overhead (measured: minutes vs seconds on LSH buckets).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def fit_partitions(requested: int) -> int:
+    """Cap the coarse partition count to the cluster CPU count -- more
+    groups than workers only adds per-group overhead."""
+    try:
+        import ray as _ray
+        cpus = int(_ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    return max(2, min(requested, cpus))
+
+
+def partition_by(ds, cols: list[str], num_partitions: int,
+                 fn, out_empty: pa.Table):
+    """Co-locate rows by hash(cols) % num_partitions and apply ``fn`` to
+    each whole partition (fn sees all rows of every key it sees)."""
+
+    def add_part(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column("_part", pa.array([], type=pa.int64()))
+        acc = np.zeros(t.num_rows, dtype=np.int64)
+        for c in cols:
+            acc = acc * 1_000_003 + t[c].to_numpy(zero_copy_only=False)
+        part = (acc % num_partitions + num_partitions) % num_partitions
+        return t.append_column("_part", pa.array(part, type=pa.int64()))
+
+    def apply(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return out_empty
+        return fn(group.drop_columns(["_part"]))
+
+    return (ds.map_batches(add_part, batch_format="pyarrow")
+            .groupby("_part").map_groups(apply, batch_format="pyarrow"))

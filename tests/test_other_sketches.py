@@ -158,3 +158,102 @@ def test_bloom_string_values_roundtrip():
     assert b.contains_batch(vals).all()
     r = BloomFilter.from_row(b.to_row())
     assert r.to_bytes() == b.to_bytes()
+
+
+# -- t-digest --------------------------------------------------------------
+
+def exact_q(vals, q):
+    return float(np.quantile(vals, q, method="lower"))
+
+
+def rank_of(vals_sorted, x):
+    return np.searchsorted(vals_sorted, x, side="left") / len(vals_sorted)
+
+
+def test_tdigest_rank_error_bound():
+    from p2pddsketch_ray.sketches.tdigest import TDigest
+    rng = np.random.default_rng(9)
+    vals = rng.lognormal(0, 2, 200_000)
+    t = TDigest(compression=100)
+    for chunk in np.array_split(vals, 37):
+        t.add_batch(chunk)
+    s = np.sort(vals)
+    for q in (0.01, 0.1, 0.5, 0.9, 0.99, 0.999):
+        est = t.quantile(q)
+        assert abs(rank_of(s, est) - q) <= 0.02, (q, est)
+    # tails should be tighter than the middle (the t-digest promise)
+    for q in (0.001, 0.999):
+        est = t.quantile(q)
+        assert abs(rank_of(s, est) - q) <= 0.005, (q, est)
+
+
+def test_tdigest_merge_partitions_preserves_accuracy():
+    from p2pddsketch_ray.sketches.tdigest import TDigest
+    rng = np.random.default_rng(10)
+    vals = rng.normal(100, 15, 120_000)
+    parts = np.array_split(vals, 16)
+    digests = []
+    for p in parts:
+        d = TDigest(compression=100)
+        d.add_batch(p)
+        digests.append(d)
+    merged = digests[0]
+    for d in digests[1:]:
+        merged = merged.merge(d)
+    assert merged.n == len(vals)
+    s = np.sort(vals)
+    for q in (0.05, 0.5, 0.95):
+        assert abs(rank_of(s, merged.quantile(q)) - q) <= 0.03
+
+
+def test_tdigest_row_roundtrip_and_bounds():
+    from p2pddsketch_ray.sketches.tdigest import TDigest
+    rng = np.random.default_rng(11)
+    vals = rng.uniform(-50, 50, 30_000)
+    t = TDigest(compression=64)
+    t.add_batch(vals)
+    t2 = TDigest.from_row(t.to_row())
+    assert t2.quantile(0.5) == t.quantile(0.5)
+    assert t.quantile(0.0) == vals.min()
+    assert t.quantile(1.0) == vals.max()
+    # centroid count bounded by the fixed k-space boundary count
+    assert t.to_row()["means"].size <= len(t._bounds) + 1
+
+
+# -- gossip compat mode ----------------------------------------------------
+
+def test_merge_averaged_matches_reference_semantics():
+    from p2pddsketch_ray.sketches.ddsketch import DDSketch
+    a = DDSketch(alpha=0.01)
+    b = DDSketch(alpha=0.01)
+    a.add_batch(np.array([1.0, 2.0, 3.0]))
+    b.add_batch(np.array([3.0, 100.0]))
+    bins_a = dict(a.bins)
+    bins_b = dict(b.bins)
+    a.merge_averaged(b)
+    for k in set(bins_a) | set(bins_b):
+        want = (bins_a.get(k, 0.0) + bins_b.get(k, 0.0)) / 2.0
+        assert a.bins.get(k, 0.0) == want
+    assert a.n == (3 + 2) / 2.0
+
+
+def test_gossip_converges_to_exact_global():
+    """The compat harness reproduces the reference's convergence claim:
+    every finalized peer approximates the exact global sketch, and
+    1/weight[0] estimates the peer count (main.cpp:640)."""
+    from p2pddsketch_ray.sketches.ddsketch import DDSketch
+    from p2pddsketch_ray.sketches.gossip import gossip_simulate
+    rng = np.random.default_rng(12)
+    vals = rng.lognormal(0, 2, 50_000)
+    peers = 10
+    parts = np.array_split(np.sort(vals), peers)  # adversarial sorted split
+    finalized, weights = gossip_simulate(parts, alpha=0.01, rounds=30,
+                                         fan_out=2, seed=42)
+    exact = DDSketch(alpha=0.01)
+    exact.add_batch(vals)
+    assert abs(1.0 / weights[0] - peers) / peers < 0.05
+    for s in finalized:
+        assert abs(s.n - exact.n) / exact.n < 1e-6
+        for q in (0.1, 0.5, 0.9, 0.99):
+            assert abs(s.quantile(q) - exact.quantile(q)) \
+                <= 0.03 * abs(exact.quantile(q))

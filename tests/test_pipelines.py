@@ -114,3 +114,28 @@ def test_null_values_dropped(ray_session):
     ds = ray.data.from_pandas(df)
     s = dds_sketch_global(ds, "v", alpha=PRACTICAL_ALPHA)
     assert s.n == 3
+
+
+def test_events_sessionized_edges(ray_session, tmp_path):
+    """Gap-based sessionization edge cases: gap exactly == threshold is
+    NOT a new session (strict >), user changes always start one."""
+    import pyarrow as pa
+    from p2pddsketch_ray.pipelines.relational import events_sessionized
+    M = 60 * 1_000_000  # one minute in us
+    rows = [  # (user, minute)
+        (1, 0), (1, 10), (1, 50),      # 40min gap -> 2 sessions
+        (2, 5),                        # singleton -> 1 session
+        (3, 0), (3, 30),               # exactly 30min -> still 1 session
+        (4, 0), (4, 31),               # 31min -> 2 sessions
+    ]
+    t = pa.table({
+        "user_id": pa.array([u for u, _ in rows], type=pa.int64()),
+        "ts": pa.array([m * M for _, m in rows],
+                       type=pa.timestamp("us")),
+    })
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    out = events_sessionized(str(tmp_path), gap_minutes=30).to_pandas()
+    got = dict(zip(out["user_id"], out["n_sessions"]))
+    assert got == {1: 2, 2: 1, 3: 1, 4: 2}
+    ev = dict(zip(out["user_id"], out["n_events"]))
+    assert ev == {1: 3, 2: 1, 3: 2, 4: 2}
