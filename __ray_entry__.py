@@ -117,6 +117,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kll_quantiles_price": _kll_quantiles_price,
         # t-digest quantiles (interpolated centroids: rows-only)
         "tdigest_quantiles_price": _tdigest_quantiles_price,
+        # multimodal binary-payload stage (plumbing oracle-checked via
+        # byte counts; decoder features verified in unit tests)
+        "multimodal_doc_features": _multimodal_doc_features,
     }
 
 
@@ -174,6 +177,18 @@ def _tdigest_quantiles_price(sf_dir: str):
     return pa.table({"q": pa.array(qs, type=pa.float64()),
                      "est": pa.array([td.quantile(q) for q in qs],
                                      type=pa.float64())})
+
+
+def _multimodal_doc_features(sf_dir: str):
+    import ray.data
+    from p2pddsketch_ray.stages.multimodal import binary_features_by_group
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["lang", "text"])
+    out = binary_features_by_group(ds, "text", "lang")
+    # the oracle checks the SQL-replicable plumbing columns; the decoder
+    # feature vector is asserted in tests (not SQL-expressible)
+    return out.map_batches(lambda t: t.drop_columns(["mean_features"]),
+                           batch_format="pyarrow")
 
 
 def _kll_quantiles_price(sf_dir: str):
@@ -309,6 +324,12 @@ SELECT r_name, count(*) AS n_suppliers,
 FROM supplier JOIN nation ON s_nationkey = n_nationkey
               JOIN region ON n_regionkey = r_regionkey
 GROUP BY r_name""",
+        # strlen() is BYTE length in DuckDB == binary_length of the
+        # utf-8 payload the multimodal stage sees
+        "multimodal_doc_features": """
+SELECT lang, count(*) AS n_docs,
+       CAST(sum(strlen(text)) AS BIGINT) AS sum_payload_bytes
+FROM documents GROUP BY lang""",
         "distinct_user_count": """
 SELECT count(DISTINCT user_id) AS n_distinct FROM events""",
         "token_stats_by_lang": f"""

@@ -45,16 +45,21 @@ def _merge_blob_block(t: pa.Table) -> pa.Table:
 
 
 def merge_partials(partials_ds, *, fanin: int = 32):
-    """Distributed tree reduce of the tiny partial blobs: fanin leaf merge
-    tasks, one root merge task; the driver unpickles exactly one blob
-    (O(1) driver memory for any input block count)."""
+    """Distributed tree reduce of the tiny partial blobs: a block-local
+    leaf merge fused into the build stage (no shuffle), repartition+merge
+    rounds only while more than ``fanin`` blocks remain, then a driver
+    fold of <= fanin blobs -- driver work bounded by the constant fanin
+    for any input block count."""
     import ray
-    leaves = partials_ds.repartition(fanin).map_batches(
-        _merge_blob_block, batch_format="pyarrow", batch_size=None)
-    root = leaves.repartition(1).map_batches(
-        _merge_blob_block, batch_format="pyarrow", batch_size=None)
+    leaves = partials_ds.map_batches(
+        _merge_blob_block, batch_format="pyarrow",
+        batch_size=None).materialize()
+    while leaves.num_blocks() > fanin:
+        leaves = leaves.repartition(fanin).map_batches(
+            _merge_blob_block, batch_format="pyarrow",
+            batch_size=None).materialize()
     merged = None
-    for ref in root.to_arrow_refs():
+    for ref in leaves.to_arrow_refs():
         t = ray.get(ref)
         for blob in t["blob"].to_pylist():
             s = pickle.loads(blob)

@@ -98,19 +98,32 @@ def _merge_block_to_row(t: pa.Table) -> pa.Table:
 def tree_merge_sketches(partials_ds, *, fanin: int = 32) -> DDSketch:
     """Distributed tree reduce over serialized-sketch rows.
 
-    Replaces the driver-side sequential fold: a coarse repartition bounds
-    the leaf merge tasks to ``fanin``, each folds its rows remotely, and a
-    single root task folds the ``fanin`` leaf rows -- the driver only ever
-    deserializes the final row, so driver memory/CPU is O(1) sketches
-    regardless of input block count (at 10^6 blocks the old fold held and
-    merged 10^6 sketches serially on the driver).
+    Replaces the driver-side sequential fold (at 10^6 input blocks the
+    old fold held and merged 10^6 sketches serially on the driver):
+
+    1. leaf: a block-local merge FUSED into the build stage (no shuffle,
+       no barrier) folds each block's partial rows to one row, so the
+       dataset shrinks to <= 1 row per block;
+    2. reduce rounds: while more than ``fanin`` blocks remain, one
+       repartition(fanin) + per-block merge folds them remotely (tiny
+       rows -- the shuffle moves kilobytes);
+    3. root: the driver folds the <= ``fanin`` remaining single-row
+       tables -- bounded by the constant fanin, independent of input
+       size.
+
+    The common case (blocks <= fanin after the leaf merge) therefore pays
+    ZERO extra shuffle barriers over the build itself.
     """
-    leaves = partials_ds.repartition(fanin).map_batches(
-        _merge_block_to_row, batch_format="pyarrow", batch_size=None)
-    root = leaves.repartition(1).map_batches(
-        _merge_block_to_row, batch_format="pyarrow", batch_size=None)
     import ray as _ray
-    tables = [t for t in map(_ray.get, root.to_arrow_refs()) if t.num_rows]
+    leaves = partials_ds.map_batches(
+        _merge_block_to_row, batch_format="pyarrow",
+        batch_size=None).materialize()
+    while leaves.num_blocks() > fanin:
+        leaves = leaves.repartition(fanin).map_batches(
+            _merge_block_to_row, batch_format="pyarrow",
+            batch_size=None).materialize()
+    tables = [t for t in map(_ray.get, leaves.to_arrow_refs())
+              if t.num_rows]
     if not tables:
         raise ValueError("empty dataset")
     return merge_sketch_table(pa.concat_tables(tables))

@@ -49,10 +49,11 @@ def test_distributed_equals_local_bit_identical(lineitem_ds):
 
 
 def test_global_merge_never_folds_on_driver(ray_session, monkeypatch):
-    """The global path is a distributed tree reduce: the driver receives
-    exactly ONE merged row, so DDSketch.merge never runs in the driver
-    process (workers are separate processes; the patched counter only
-    observes driver-side calls)."""
+    """The global path is a distributed tree reduce: block merges run in
+    workers and the driver folds at most ``fanin`` (32) leaf rows -- a
+    constant independent of input block count, never one per block
+    (workers are separate processes; the patched counter only observes
+    driver-side calls)."""
     import ray.data
     calls = {"n": 0}
     orig = DDSketch.merge
@@ -64,9 +65,9 @@ def test_global_merge_never_folds_on_driver(ray_session, monkeypatch):
     monkeypatch.setattr(DDSketch, "merge", counting)
     ds = ray.data.read_parquet(f"{SF}/lineitem.parquet",
                                columns=["l_extendedprice"],
-                               override_num_blocks=16)
+                               override_num_blocks=64)
     dist = dds_sketch_global(ds, "l_extendedprice", alpha=PRACTICAL_ALPHA)
-    assert calls["n"] == 0
+    assert calls["n"] < 32, calls["n"]
     vals = pq.read_table(f"{SF}/lineitem.parquet",
                          columns=["l_extendedprice"])["l_extendedprice"].to_numpy()
     local = DDSketch(alpha=PRACTICAL_ALPHA)

@@ -119,3 +119,30 @@ def test_multimodal_binary_features(ray_session, tmp_path):
     # the real-decoder path is stubbed
     with pytest.raises(NotImplementedError):
         BinaryFeatureExtract(decode="real")
+
+
+def test_multimodal_grouped_pipeline_matches_numpy(ray_session):
+    """binary_features_by_group over documents: byte counts and the mean
+    feature vector both reproduce a local numpy computation."""
+    import pyarrow.parquet as pq
+    import ray.data
+    from p2pddsketch_ray.stages.multimodal import (_byte_histogram_features,
+                                                   binary_features_by_group)
+    sf = "/root/testdata/sf0.001"
+    ds = ray.data.read_parquet(f"{sf}/documents.parquet",
+                               columns=["lang", "text"])
+    out = binary_features_by_group(ds, "text", "lang").to_pandas()
+    t = pq.read_table(f"{sf}/documents.parquet", columns=["lang", "text"])
+    texts = t["text"].to_pylist()
+    langs = np.asarray(t["lang"].to_pylist())
+    payload = pa.array([s.encode() for s in texts], type=pa.binary())
+    feats = _byte_histogram_features(payload)
+    sizes = np.asarray([len(s.encode()) for s in texts])
+    for _, row in out.iterrows():
+        m = langs == row["lang"]
+        assert row["n_docs"] == int(m.sum())
+        assert row["sum_payload_bytes"] == int(sizes[m].sum())
+        micro = np.floor(feats[m] * 1e6 + 0.5)
+        want = micro.sum(axis=0) / 1e6 / m.sum()
+        np.testing.assert_allclose(np.asarray(row["mean_features"]), want,
+                                   atol=1e-12)
