@@ -92,13 +92,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessionized": R.events_sessionized,
         "sampled_events_by_type": R.sampled_events_by_type,
         "supplier_region_rollup": R.supplier_region_rollup,
+        "props_extract_stats": R.props_extract_stats,
         # text analysis (exact, SQL-replicable definitions)
         "token_stats_by_lang": R.token_stats_by_lang,
         "quality_filter_by_lang": R.quality_filter_by_lang,
         "top_users_exact": R.top_users_exact,
         "lang_id_counts": R.lang_id_counts,
-        # dedup (exact content-hash)
+        # dedup (exact content-hash): stats + materialized kept corpus
         "dedup_exact_docs": R.dedup_exact_docs,
+        "dedup_exact_keep": R.dedup_exact_keep,
         # similarity search (brute-force cosine baseline)
         "knn_cosine_topk": R.knn_cosine_topk,
         # approximate aggregation (HLL / count-min / Bloom semi-join)
@@ -324,6 +326,11 @@ SELECT r_name, count(*) AS n_suppliers,
 FROM supplier JOIN nation ON s_nationkey = n_nationkey
               JOIN region ON n_regionkey = r_regionkey
 GROUP BY r_name""",
+        "props_extract_stats": """
+SELECT event_type, count(*) AS n_events,
+       CAST(sum(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(max(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT)) AS BIGINT) AS max_k
+FROM events GROUP BY event_type""",
         # strlen() is BYTE length in DuckDB == binary_length of the
         # utf-8 payload the multimodal stage sees
         "multimodal_doc_features": """
@@ -378,6 +385,9 @@ GROUP BY user_id ORDER BY n_events DESC, user_id LIMIT 10""",
 SELECT md5(text) AS text_md5, min(doc_id) AS first_doc_id,
        count(*) AS dup_count
 FROM documents GROUP BY md5(text)""",
+        "dedup_exact_keep": """
+SELECT doc_id, lang, n_chars FROM documents
+WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY md5(text))""",
         # HLL replica: identical registers via hash(user_id), rho computed
         # with the same float path; estimator branches exactly as
         # HyperLogLog.estimate (linear counting when raw <= 2.5m & zeros>0)

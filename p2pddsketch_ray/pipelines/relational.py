@@ -274,6 +274,44 @@ def dedup_exact_docs(sf_dir: str) -> "ray.data.Dataset":
     return agg.map_batches(finalize, batch_format="pyarrow")
 
 
+def dedup_exact_keep(sf_dir: str) -> "ray.data.Dataset":
+    """Materialize the deduplicated corpus: keep the first (min doc_id)
+    document of every distinct text.  Two passes: (1) the content-hash
+    groupby produces the keep-set of doc_ids (one int64 per DISTINCT
+    text -- small even when the corpus is huge and duplicate-heavy);
+    (2) the keep-set is broadcast and the corpus is filtered with np.isin
+    inside map_batches -- the actual dedup-filter stage of a training-data
+    pipeline, streaming and shuffle-free in pass 2."""
+    from ..hashing import md5_hex
+    from ray.data.aggregate import Min as _Min
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def hash_batch(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "text_md5": pa.array(md5_hex(t["text"]), type=pa.string()),
+            "doc_id": t["doc_id"],
+        })
+
+    firsts = (ds.map_batches(hash_batch, batch_format="pyarrow")
+              .groupby("text_md5")
+              .aggregate(_Min("doc_id", alias_name="keep_id")))
+    keep_chunks = [t["keep_id"].to_numpy(zero_copy_only=False)
+                   for t in map(ray.get, firsts.to_arrow_refs())
+                   if t.num_rows]
+    keep = np.unique(np.concatenate(keep_chunks)) if keep_chunks else \
+        np.zeros(0, dtype=np.int64)
+    keep_ref = ray.put(keep)
+
+    docs = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+
+    def filt(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(np.isin(ids, ray.get(keep_ref))))
+
+    return docs.map_batches(filt, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+
 def quality_filter_by_lang(sf_dir: str,
                            min_quality: float = 0.8) -> "ray.data.Dataset":
     """Vectorized predicate filter (quality score >= threshold) inside
@@ -464,6 +502,38 @@ def supplier_region_rollup(sf_dir: str) -> "ray.data.Dataset":
             "n_suppliers": pc.cast(t["n_suppliers"], pa.int64()),
             "sum_acctbal": pc.divide(pc.cast(t["acct_cents"], pa.float64()),
                                      pa.scalar(100.0)),
+        })
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+def props_extract_stats(sf_dir: str) -> "ray.data.Dataset":
+    """Semi-structured field extraction: pull the integer ``k`` out of the
+    JSON ``props`` column with one vectorized RE2 pass (pc.extract_regex)
+    and aggregate per event type -- the schema-on-read pattern for log
+    payloads, exactly replicable in SQL via regexp_extract."""
+    ds = _read(sf_dir, "events", ["event_type", "props"])
+
+    def extract(t: pa.Table) -> pa.Table:
+        s = pc.extract_regex(t["props"], r'"k": (?P<k>\d+)')
+        return pa.table({
+            "event_type": t["event_type"],
+            "k": pc.cast(pc.struct_field(s, "k"), pa.int64()),
+        })
+
+    agg = (ds.map_batches(extract, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("event_type")
+           .aggregate(Count(alias_name="n_events"),
+                      Sum("k", alias_name="sum_k"),
+                      Max("k", alias_name="max_k")))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": t["event_type"],
+            "n_events": pc.cast(t["n_events"], pa.int64()),
+            "sum_k": pc.cast(t["sum_k"], pa.int64()),
+            "max_k": pc.cast(t["max_k"], pa.int64()),
         })
 
     return agg.map_batches(finalize, batch_format="pyarrow")
