@@ -29,6 +29,14 @@ from ..sketches.minhash import (band_hashes, estimate_jaccard, hamming64,
 from ..stages.partition import fit_partitions as _fit_partitions
 from ..stages.partition import partition_by as _partition_by
 
+# Shingle-hashing stages allocate transient arrays proportional to batch
+# byte size (flat rolling-hash buffer + per-perm temporaries).  Batches of
+# ~4k docs (~130 MB of temporaries each) collapse under 32-way
+# concurrency -- page-fault/THP-compaction thrash made the map stage 12x
+# slower than with 512-doc batches (measured).  Keep shingle batches
+# small; Ray pipelines many small batches through each task just fine.
+SHINGLE_BATCH = 512
+
 
 def minhash_band_rows(batch: pa.Table, *, id_col: str, text_col: str,
                       num_perm: int = 64, bands: int = 16,
@@ -159,7 +167,8 @@ def minhash_near_dups(ds: "ray.data.Dataset", id_col: str, text_col: str,
     band_rows = ds.map_batches(
         partial(minhash_band_rows, id_col=id_col, text_col=text_col,
                 num_perm=num_perm, bands=bands, k=k),
-        batch_format="pyarrow", batch_size=4096, zero_copy_batch=True)
+        batch_format="pyarrow", batch_size=SHINGLE_BATCH,
+        zero_copy_batch=True)
 
     num_partitions = _fit_partitions(num_partitions)
     _CAND_EMPTY = pa.table({"doc_a": pa.array([], type=pa.int64()),
@@ -207,7 +216,8 @@ def minhash_near_dups(ds: "ray.data.Dataset", id_col: str, text_col: str,
         })
 
     sigs = ds.map_batches(sigs_for_candidates, batch_format="pyarrow",
-                          batch_size=4096, zero_copy_batch=True).materialize()
+                          batch_size=SHINGLE_BATCH,
+                          zero_copy_batch=True).materialize()
 
     join_parts = max(2, min(num_partitions, 16))
     with_a = cand.join(sigs, "inner", num_partitions=join_parts,
@@ -309,7 +319,7 @@ def simhash_near_dups(ds: "ray.data.Dataset", id_col: str, text_col: str,
         })
 
     band_rows = ds.map_batches(rows, batch_format="pyarrow",
-                               batch_size=2048, zero_copy_batch=True)
+                               batch_size=SHINGLE_BATCH, zero_copy_batch=True)
     nparts = _fit_partitions(64)
     _EMPTY = pa.table({"doc_a": pa.array([], type=pa.int64()),
                        "doc_b": pa.array([], type=pa.int64()),

@@ -89,25 +89,52 @@ def _perm_constants(num_perm: int) -> tuple[np.ndarray, np.ndarray]:
     return a, b
 
 
+_SIG_BLOCK_HASHES = 65536  # ~0.5 MB of uint64 -- stays L2-resident
+
+
 def minhash_signatures(texts, num_perm: int = 64, k: int = 5) -> np.ndarray:
     """(n_docs, num_perm) uint64 signature matrix.
 
     Permutation i is the multiply-add universal hash a_i*h + b_i (mod
     2^64, odd a_i) over the well-mixed shingle hashes -- 2 vector ops per
-    permutation instead of a full avalanche."""
+    permutation instead of a full avalanche.
+
+    Cache-blocked: the shingle-hash array is processed in L2-sized chunks
+    (split on document boundaries) with all num_perm permutations applied
+    per chunk.  The naive loop streams the full array through DRAM
+    num_perm times; at 32 cores that saturates memory bandwidth and the
+    map stage stops scaling (measured: 32-cpu run burned 2x the
+    cpu-seconds of the 8-cpu run on identical work).  Blocking cuts DRAM
+    traffic ~num_perm-fold.
+    """
     hashes, doc_offsets = shingle_hashes(texts, k)
     n_docs = doc_offsets.shape[0] - 1
     sig = np.full((n_docs, num_perm), np.iinfo(np.uint64).max,
                   dtype=np.uint64)
     nonempty = np.diff(doc_offsets) > 0
-    starts = doc_offsets[:-1][nonempty]
-    if not starts.shape[0]:
+    if not nonempty.any():
         return sig
     a, b = _perm_constants(num_perm)
+    doc_idx = np.nonzero(nonempty)[0]
+    # chunk boundaries in DOC space such that each chunk's hash span is
+    # <= _SIG_BLOCK_HASHES (single oversized docs get a chunk to themselves)
+    spans = doc_offsets[doc_idx + 1] - doc_offsets[doc_idx]
+    block_id = (np.cumsum(spans) - 1) // _SIG_BLOCK_HASHES
+    chunk_ends = (np.nonzero(np.diff(block_id))[0] + 1).tolist()
+    if not chunk_ends or chunk_ends[-1] != doc_idx.shape[0]:
+        chunk_ends.append(doc_idx.shape[0])
     with np.errstate(over="ignore"):
-        for i in range(num_perm):
-            g = hashes * a[i] + b[i]
-            sig[nonempty, i] = np.minimum.reduceat(g, starts)
+        lo = 0
+        for hi in chunk_ends:
+            docs = doc_idx[lo:hi]
+            h0 = doc_offsets[docs[0]]
+            h1 = doc_offsets[docs[-1] + 1]
+            chunk = hashes[h0:h1]
+            starts = (doc_offsets[docs] - h0)
+            for i in range(num_perm):
+                g = chunk * a[i] + b[i]
+                sig[docs, i] = np.minimum.reduceat(g, starts)
+            lo = hi
     return sig
 
 
