@@ -122,6 +122,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # multimodal binary-payload stage (plumbing oracle-checked via
         # byte counts; decoder features verified in unit tests)
         "multimodal_doc_features": _multimodal_doc_features,
+        # sliding-window quantiles (turnstile add/delete of whole hour
+        # buckets -- the kernel capability the reference never drove)
+        "sliding_window_quantiles": _sliding_window_quantiles,
     }
 
 
@@ -179,6 +182,25 @@ def _tdigest_quantiles_price(sf_dir: str):
     return pa.table({"q": pa.array(qs, type=pa.float64()),
                      "est": pa.array([td.quantile(q) for q in qs],
                                      type=pa.float64())})
+
+
+def _sliding_window_quantiles(sf_dir: str):
+    import pyarrow as pa
+    import pyarrow.compute as pcc
+    import ray.data
+    from p2pddsketch_ray.pipelines.sliding import sliding_window_quantiles
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["ts", "value"])
+    out = sliding_window_quantiles(ds, "ts", "value", window_hours=24,
+                                   quantiles=QS, alpha=ALPHA,
+                                   bin_limit=BIN_LIMIT)
+    return pa.table({
+        "window_end": out["window_end"],
+        "q": out["q"],
+        "est": pa.array([round(v, 6) for v in out["est"].to_pylist()],
+                        type=pa.float64()),
+        "n": pcc.cast(out["n"], pa.int64()),
+    })
 
 
 def _multimodal_doc_features(sf_dir: str):
@@ -326,6 +348,29 @@ SELECT r_name, count(*) AS n_suppliers,
 FROM supplier JOIN nation ON s_nationkey = n_nationkey
               JOIN region ON n_regionkey = r_regionkey
 GROUP BY r_name""",
+        "sliding_window_quantiles": f"""
+WITH src AS (SELECT epoch_us(ts)//3600000000 AS b,
+                    CASE WHEN value > 0 THEN CAST(ceil(ln(CAST(value AS DOUBLE))/ln({GAMMA_SQL})) AS BIGINT) + {OFFSET}
+                         WHEN value < 0 THEN -CAST(ceil(ln(-CAST(value AS DOUBLE))/ln({GAMMA_SQL})) AS BIGINT) - {OFFSET}
+                         ELSE 0 END AS k
+             FROM events WHERE value IS NOT NULL),
+bounds AS (SELECT min(b) AS lo, max(b) AS hi FROM src),
+hours AS (SELECT unnest(generate_series(lo, hi)) AS h FROM bounds),
+bins AS (SELECT hours.h AS h, src.k AS k, CAST(count(*) AS DOUBLE) AS c
+         FROM hours JOIN src ON src.b > hours.h - 24 AND src.b <= hours.h
+         GROUP BY hours.h, src.k),
+tot AS (SELECT h, sum(c) AS n FROM bins GROUP BY h),
+walk AS (SELECT h, k, sum(c) OVER (PARTITION BY h ORDER BY k) AS cum FROM bins),
+qs(q) AS (VALUES (0.5), (0.95), (0.99)),
+pick AS (SELECT walk.h AS h, qs.q AS q, min(walk.k) AS bucket_key
+         FROM qs CROSS JOIN walk JOIN tot ON walk.h = tot.h
+         WHERE walk.cum > qs.q * (tot.n - 1) GROUP BY walk.h, qs.q)
+SELECT pick.h*3600 AS window_end, pick.q AS q,
+       round(CASE WHEN bucket_key > 0 THEN 2*pow({GAMMA_SQL}, bucket_key - {OFFSET})/({GAMMA_SQL}+1)
+                  WHEN bucket_key < 0 THEN -2*pow({GAMMA_SQL}, -bucket_key - {OFFSET})/({GAMMA_SQL}+1)
+                  ELSE 0.0 END, 6) AS est,
+       CAST(tot.n AS BIGINT) AS n
+FROM pick JOIN tot ON pick.h = tot.h""",
         "props_extract_stats": """
 SELECT event_type, count(*) AS n_events,
        CAST(sum(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,

@@ -1,0 +1,137 @@
+"""Sliding-window quantiles: the turnstile use of the DDSketch kernel.
+
+The reference supports deletes at the data-structure level
+(DDS_DeleteCollapse*, ddsketch.cc:343-518) but its driver never uses
+them (SURVEY.md section 2.4: "a sliding-window build is possible but
+unimplemented").  This module implements it: quantiles over the trailing
+W hours at every hour boundary, in ONE distributed pass.
+
+Dataflow (no per-event streaming state, no reprocessing):
+
+    events -> map_batches: per-(block, hour-bucket) partial sketches
+           -> groupby(bucket).map_groups(merge)   # one sketch per hour
+           -> driver: for each hour h, window sketch = window sketch
+              + sketch[h] - sketch[h-W]  (exact add/delete of whole
+              buckets -- integer bin counts make this lossless)
+
+    The per-hour sketches are kilobytes, so the sliding pass over
+    buckets is driver-trivial no matter how many events each hour holds;
+    the heavy lifting stays in the distributed partial build.
+
+Window semantics: window(h) covers buckets (h-W, h] (trailing W hours
+inclusive of the current hour).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+
+from ..config import DEFAULT_BIN_LIMIT, DEFAULT_OFFSET, PRACTICAL_ALPHA
+from ..sketches.ddsketch import DDSketch
+from ..stages.sketch_build import merge_sketch_table
+
+
+def sliding_window_quantiles(ds: "ray.data.Dataset", ts_col: str,
+                             value_col: str, *,
+                             window_hours: int = 24,
+                             quantiles: Sequence[float] = (0.5, 0.95, 0.99),
+                             alpha: float = PRACTICAL_ALPHA,
+                             bin_limit: int = DEFAULT_BIN_LIMIT,
+                             offset: int = DEFAULT_OFFSET) -> pa.Table:
+    """One row per (hour, q): quantile estimates over the trailing
+    ``window_hours`` at every hour boundary present in the data.
+
+    The subtraction step requires uniform mode with NO gamma^2 collapse
+    drift between buckets: all bucket sketches share (alpha, generation
+    0) by construction here (bin_limit is sized for the key span), so
+    delete == exact bin-wise subtraction.
+    """
+    from ..stages.sketch_build import partial_builder
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        us = pc.cast(t[ts_col], pa.int64())
+        return pa.table({
+            "bucket": pc.divide(us, pa.scalar(3_600_000_000)),
+            value_col: t[value_col],
+        })
+
+    partials = (ds.map_batches(bucketize, batch_format="pyarrow",
+                               zero_copy_batch=True)
+                .map_batches(partial_builder(value_col, ["bucket"],
+                                             alpha=alpha,
+                                             bin_limit=bin_limit,
+                                             offset=offset),
+                             batch_format="pyarrow", batch_size=65536,
+                             zero_copy_batch=True))
+    per_bucket = partials.groupby("bucket").map_groups(
+        _merge_keep_bucket, batch_format="pyarrow")
+
+    tables = [t for t in map(ray.get, per_bucket.to_arrow_refs())
+              if t.num_rows]
+    if not tables:
+        raise ValueError("empty dataset")
+    all_rows = pa.concat_tables(tables)
+    order = np.argsort(all_rows["bucket"].to_numpy(zero_copy_only=False))
+    buckets = all_rows["bucket"].to_numpy(zero_copy_only=False)[order]
+    sketches = {}
+    for i in order.tolist():
+        b = int(all_rows["bucket"][i].as_py())
+        sketches[b] = merge_sketch_table(all_rows.slice(i, 1))
+
+    qs = tuple(quantiles)
+    out_hour, out_q, out_est, out_n = [], [], [], []
+    window = DDSketch(alpha, bin_limit, offset, "uniform")
+    lo, hi = int(buckets[0]), int(buckets[-1])
+    for h in range(lo, hi + 1):
+        s_in = sketches.get(h)
+        if s_in is not None:
+            window.merge(s_in.copy())
+        drop = sketches.get(h - window_hours)
+        if drop is not None:
+            _subtract(window, drop)
+        if window.n <= 0:
+            continue
+        for q in qs:
+            out_hour.append(h * 3600)
+            out_q.append(q)
+            out_est.append(window.quantile(q))
+            out_n.append(window.n)
+    return pa.table({
+        "window_end": pa.array(out_hour, type=pa.int64()),
+        "q": pa.array(out_q, type=pa.float64()),
+        "est": pa.array(out_est, type=pa.float64()),
+        "n": pa.array(out_n, type=pa.float64()),
+    })
+
+
+def _merge_keep_bucket(group: pa.Table) -> pa.Table:
+    """map_groups body: fold one bucket's partial rows to a single row,
+    keeping the bucket column."""
+    from ..stages.sketch_build import sketch_rows_to_table
+    merged = merge_sketch_table(group)
+    out = sketch_rows_to_table([merged.to_row()])
+    return out.add_column(0, "bucket", pa.array(
+        [group["bucket"][0].as_py()], type=pa.int64()))
+
+
+def _subtract(acc: DDSketch, other: DDSketch) -> None:
+    """Exact bin-wise subtraction (the bulk form of DDS_DeleteCollapse,
+    ddsketch.cc:343-393): every bin of ``other`` was previously merged
+    into ``acc`` and bin counts are integers, so this is lossless."""
+    if acc.generation != other.generation:
+        raise ValueError("subtract requires equal collapse generation")
+    bins = acc.bins
+    for k, c in other.bins.items():
+        cur = bins.get(k, 0.0)
+        if cur - c <= 0:
+            bins.pop(k, None)
+        else:
+            bins[k] = cur - c
+    acc.n -= other.n

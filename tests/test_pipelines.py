@@ -140,3 +140,35 @@ def test_events_sessionized_edges(ray_session, tmp_path):
     assert got == {1: 2, 2: 1, 3: 1, 4: 2}
     ev = dict(zip(out["user_id"], out["n_events"]))
     assert ev == {1: 3, 2: 1, 3: 2, 4: 2}
+
+
+def test_sliding_window_quantiles_accuracy(ray_session):
+    """Sliding-window sketch answers match exact trailing-window
+    quantiles within alpha, and window counts are exact (turnstile
+    add/delete of whole hour buckets is lossless)."""
+    import pyarrow as pa
+    import ray.data
+    from p2pddsketch_ray.pipelines.sliding import sliding_window_quantiles
+    sf = "/root/testdata/sf0.001"
+    out = sliding_window_quantiles(
+        ray.data.read_parquet(f"{sf}/events.parquet",
+                              columns=["ts", "value"]),
+        "ts", "value", window_hours=24, quantiles=(0.5, 0.95),
+        alpha=0.01, bin_limit=2048).to_pandas()
+    assert len(out) > 0
+    t = pq.read_table(f"{sf}/events.parquet", columns=["ts", "value"])
+    us = t["ts"].cast(pa.int64()).to_numpy()
+    vals = t["value"].to_numpy()
+    buckets = us // 3_600_000_000
+    checked = 0
+    for (we), grp in out.groupby("window_end"):
+        h = we // 3600
+        m = (buckets > h - 24) & (buckets <= h)
+        w = vals[m]
+        assert grp["n"].iloc[0] == len(w)
+        for _, row in grp.iterrows():
+            real = exact_quantile(w, row["q"])
+            assert rel_err(row["est"], real) <= 0.01 + 1e-12
+        checked += 1
+        if checked > 50:
+            break
