@@ -62,6 +62,9 @@ def sliding_window_quantiles(ds: "ray.data.Dataset", ts_col: str,
             value_col: t[value_col],
         })
 
+    from ..stages.partition import fit_partitions, partition_by
+    from ..stages.sketch_build import SKETCH_FIELDS
+
     partials = (ds.map_batches(bucketize, batch_format="pyarrow",
                                zero_copy_batch=True)
                 .map_batches(partial_builder(value_col, ["bucket"],
@@ -70,20 +73,26 @@ def sliding_window_quantiles(ds: "ray.data.Dataset", ts_col: str,
                                              offset=offset),
                              batch_format="pyarrow", batch_size=65536,
                              zero_copy_batch=True))
-    per_bucket = partials.groupby("bucket").map_groups(
-        _merge_keep_bucket, batch_format="pyarrow")
+    empty = pa.table({"bucket": pa.array([], type=pa.int64()),
+                      **{name: pa.array([], type=typ)
+                         for name, typ in SKETCH_FIELDS}})
+    # one coarse partition per worker, many buckets per call -- NOT
+    # groupby().map_groups (one Python call per bucket: ~10 ms x
+    # thousands of hour buckets of pure overhead)
+    per_bucket = partition_by(partials, ["bucket"], fit_partitions(32),
+                              _merge_partition_buckets, empty)
 
     tables = [t for t in map(ray.get, per_bucket.to_arrow_refs())
               if t.num_rows]
     if not tables:
         raise ValueError("empty dataset")
     all_rows = pa.concat_tables(tables)
-    order = np.argsort(all_rows["bucket"].to_numpy(zero_copy_only=False))
-    buckets = all_rows["bucket"].to_numpy(zero_copy_only=False)[order]
+    bucket_vals = all_rows["bucket"].to_numpy(zero_copy_only=False)
+    buckets = np.sort(bucket_vals)
     sketches = {}
-    for i in order.tolist():
-        b = int(all_rows["bucket"][i].as_py())
-        sketches[b] = merge_sketch_table(all_rows.slice(i, 1))
+    for i in range(all_rows.num_rows):
+        sketches[int(bucket_vals[i])] = merge_sketch_table(
+            all_rows.slice(i, 1))
 
     qs = tuple(quantiles)
     out_hour, out_q, out_est, out_n = [], [], [], []
@@ -111,14 +120,24 @@ def sliding_window_quantiles(ds: "ray.data.Dataset", ts_col: str,
     })
 
 
-def _merge_keep_bucket(group: pa.Table) -> pa.Table:
-    """map_groups body: fold one bucket's partial rows to a single row,
-    keeping the bucket column."""
+def _merge_partition_buckets(part: pa.Table) -> pa.Table:
+    """partition_by body: fold each bucket's partial rows within this
+    partition to one row per bucket (vectorized run detection over the
+    sorted bucket column; one Python merge loop per bucket, zero Ray
+    per-group overhead)."""
     from ..stages.sketch_build import sketch_rows_to_table
-    merged = merge_sketch_table(group)
-    out = sketch_rows_to_table([merged.to_row()])
-    return out.add_column(0, "bucket", pa.array(
-        [group["bucket"][0].as_py()], type=pa.int64()))
+    b = part["bucket"].to_numpy(zero_copy_only=False)
+    order = np.argsort(b, kind="mergesort")
+    part = part.take(pa.array(order))
+    b = b[order]
+    starts = np.concatenate([[0], np.nonzero(np.diff(b) != 0)[0] + 1])
+    ends = np.concatenate([starts[1:], [b.shape[0]]])
+    rows, vals = [], []
+    for s, e in zip(starts.tolist(), ends.tolist()):
+        rows.append(merge_sketch_table(part.slice(s, e - s)).to_row())
+        vals.append(int(b[s]))
+    out = sketch_rows_to_table(rows)
+    return out.add_column(0, "bucket", pa.array(vals, type=pa.int64()))
 
 
 def _subtract(acc: DDSketch, other: DDSketch) -> None:

@@ -167,3 +167,25 @@ def test_kll_merge_preserves_weight_and_accuracy():
 def test_kll_mismatched_k_raises():
     with pytest.raises(ValueError):
         KLLSketch(k=100).merge(KLLSketch(k=200))
+
+
+def test_embedding_near_dup_scale_mode_subset(ray_session):
+    """n_assign=2 (the 100TB configuration: each vector probes only its
+    2 nearest clusters) must return a SUBSET of the exact pair set with
+    identical similarity values -- bucketing may lose boundary pairs but
+    never invents them."""
+    from p2pddsketch_ray.pipelines.dedup import embedding_near_dup_pairs
+    exact = embedding_near_dup_pairs("/root/testdata/sf0.001",
+                                     threshold=0.3).to_pandas()
+    approx = embedding_near_dup_pairs("/root/testdata/sf0.001",
+                                      threshold=0.3,
+                                      n_assign=2).to_pandas()
+    exact_pairs = {(a, b): s for a, b, s in
+                   zip(exact["vec_a"], exact["vec_b"], exact["cos_sim"])}
+    assert 0 < len(approx) <= len(exact)
+    for a, b, s in zip(approx["vec_a"], approx["vec_b"],
+                       approx["cos_sim"]):
+        assert (a, b) in exact_pairs
+        assert s == exact_pairs[(a, b)]
+    # multi-probe assignment keeps recall reasonable even at low probes
+    assert len(approx) / len(exact) > 0.3, len(approx) / len(exact)
