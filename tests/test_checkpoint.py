@@ -161,3 +161,38 @@ def test_ivf_written_index_prunes_partitions(ray_session, tmp_path):
     # pruned search returns only vectors from the probed clusters
     pruned = index.search(query, k=10, n_probe=2).to_pandas()
     assert len(pruned) == 10
+
+
+def test_resumable_map_write(ray_session, shards, tmp_path):
+    """Per-shard resumable output: crash after two shards, resume
+    finishes only the rest; a stale .tmp from the crash is redone; the
+    combined output equals a direct full transform."""
+    import pyarrow.compute as pc
+    from p2pddsketch_ray.state.resume_write import ResumableMapWrite
+    paths, all_vals = shards
+
+    def double(t: pa.Table) -> pa.Table:
+        return pa.table({"value2": pc.multiply(t["value"], 2.0)})
+
+    out = str(tmp_path / "out")
+    w = ResumableMapWrite(out, "double", double, {"v": 1},
+                          columns=["value"])
+    w.run(paths[:2])                       # "crash" after two shards
+    assert len(w.written) == 2
+    # simulate a crash mid-write of shard 3: stale tmp dir
+    stale = w._shard_dir(paths[2]) + ".tmp"
+    os.makedirs(stale)
+    w2 = ResumableMapWrite(out, "double", double, {"v": 1},
+                           columns=["value"])
+    dirs = w2.run(paths)
+    assert set(w2.skipped) == set(paths[:2])
+    assert set(w2.written) == set(paths[2:])
+    assert not os.path.isdir(stale)
+    assert len(dirs) == 4 and all(os.path.isdir(d) for d in dirs)
+    got = np.sort(w2.output_dataset(paths).to_pandas()["value2"].to_numpy())
+    assert np.array_equal(got, np.sort(all_vals * 2.0))
+    # params are part of the lineage key: different params -> rebuilt
+    w3 = ResumableMapWrite(out, "double", double, {"v": 2},
+                           columns=["value"])
+    w3.run(paths[:1])
+    assert w3.written == paths[:1]
