@@ -461,7 +461,7 @@ FROM est""",
         # same integer counters, min over depth rows
         "cms_user_counts": """
 WITH counts AS (SELECT user_id AS k, count(*) AS c FROM events GROUP BY user_id),
-seeds(d, s) AS (VALUES (0, 461845907), (1, 3432918353), (2, 2245366699),
+seeds(d, s) AS (VALUES (0, 461845907), (1, 3432918353), (2, 2246822507),
                         (3, 3266489909)),
 cells AS (SELECT s.d AS d, hash(xor(c.k, CAST(s.s AS BIGINT))) % 8192 AS cell,
                  CAST(sum(c.c) AS BIGINT) AS tot
