@@ -93,6 +93,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sampled_events_by_type": R.sampled_events_by_type,
         "supplier_region_rollup": R.supplier_region_rollup,
         "props_extract_stats": R.props_extract_stats,
+        # distributed hash join (large dimension side, no broadcast)
+        "orders_customer_join_agg": R.orders_customer_join_agg,
         # text analysis (exact, SQL-replicable definitions)
         "token_stats_by_lang": R.token_stats_by_lang,
         "quality_filter_by_lang": R.quality_filter_by_lang,
@@ -348,6 +350,12 @@ SELECT r_name, count(*) AS n_suppliers,
 FROM supplier JOIN nation ON s_nationkey = n_nationkey
               JOIN region ON n_regionkey = r_regionkey
 GROUP BY r_name""",
+        "orders_customer_join_agg": """
+SELECT c_nationkey, o_orderstatus, count(*) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS DOUBLE)/100.0
+           AS sum_price
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_nationkey, o_orderstatus""",
         "sliding_window_quantiles": f"""
 WITH src AS (SELECT epoch_us(ts)//3600000000 AS b,
                     CASE WHEN value > 0 THEN CAST(ceil(ln(CAST(value AS DOUBLE))/ln({GAMMA_SQL})) AS BIGINT) + {OFFSET}

@@ -507,6 +507,56 @@ def supplier_region_rollup(sf_dir: str) -> "ray.data.Dataset":
     return agg.map_batches(finalize, batch_format="pyarrow")
 
 
+def orders_customer_join_agg(sf_dir: str) -> "ray.data.Dataset":
+    """Distributed hash join for a LARGE dimension side (the complement
+    of the broadcast-lookup pattern): orders JOIN customer on custkey via
+    Ray's hash-shuffle join, then a grouped aggregate over the joined
+    rows.  Column pruning keeps the exchange to 3 + 2 columns; at 100 TB
+    this is the shape for fact-to-fact joins where neither side fits a
+    broadcast."""
+    orders = _read(sf_dir, "orders",
+                   ["o_custkey", "o_orderstatus", "o_totalprice"])
+
+    def prep_orders(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_custkey": pc.cast(t["o_custkey"], pa.int64()),
+            "o_orderstatus": t["o_orderstatus"],
+            "price_cents": _int_units(t["o_totalprice"], 100),
+        })
+
+    customer = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+
+    def prep_cust(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_custkey": pc.cast(t["c_custkey"], pa.int64()),
+            "c_nationkey": pc.cast(t["c_nationkey"], pa.int64()),
+        })
+
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    joined = orders.map_batches(prep_orders, batch_format="pyarrow").join(
+        customer.map_batches(prep_cust, batch_format="pyarrow"),
+        "inner", num_partitions=max(2, min(cpus, 16)),
+        on=("o_custkey",), right_on=("c_custkey",))
+
+    agg = (joined.groupby(["c_nationkey", "o_orderstatus"])
+           .aggregate(Count(alias_name="n_orders"),
+                      Sum("price_cents", alias_name="price_cents")))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_nationkey": pc.cast(t["c_nationkey"], pa.int64()),
+            "o_orderstatus": t["o_orderstatus"],
+            "n_orders": pc.cast(t["n_orders"], pa.int64()),
+            "sum_price": pc.divide(pc.cast(t["price_cents"], pa.float64()),
+                                   pa.scalar(100.0)),
+        })
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
 def props_extract_stats(sf_dir: str) -> "ray.data.Dataset":
     """Semi-structured field extraction: pull the integer ``k`` out of the
     JSON ``props`` column with one vectorized RE2 pass (pc.extract_regex)
