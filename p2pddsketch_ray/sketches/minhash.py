@@ -64,21 +64,31 @@ def shingle_hashes(texts, k: int = 5) -> tuple[np.ndarray, np.ndarray]:
                 roll = roll * _P + data[j:data.shape[0] - k + 1 + j]
     else:
         roll = np.zeros(0, dtype=np.uint64)
-    # per-doc: copy its valid window positions (or its short-text hash)
-    pos = 0
-    for d in range(n_docs):
-        ln = int(lengths[d])
-        if ln >= k:
-            c = ln - k + 1
-            out[pos:pos + c] = roll[offs[d]:offs[d] + c]
-            pos += c
-        elif ln > 0:
-            with np.errstate(over="ignore"):
-                h = np.uint64(0)
-                for b in data[offs[d]:offs[d + 1]]:
-                    h = h * _P + np.uint64(b)
-            out[pos] = h
-            pos += 1
+    # gather each doc's valid window positions out of `roll` with one
+    # boolean-mask-free fancy index (windows crossing a doc boundary are
+    # simply never addressed): for long docs both the source range (in
+    # roll, starting at offs[d]) and the destination range (in out,
+    # starting at doc_offsets[d]) have length counts[d], so one shared
+    # per-segment rank vector drives both sides of the scatter-gather.
+    long_docs = np.nonzero(lengths >= k)[0]
+    if long_docs.shape[0]:
+        c = counts[long_docs]
+        ranks = np.arange(int(c.sum()), dtype=np.int64) \
+            - np.repeat(np.cumsum(c) - c, c)
+        src = np.repeat(offs[long_docs], c) + ranks
+        dst = np.repeat(doc_offsets[long_docs], c) + ranks
+        out[dst] = roll[src]
+    # short docs (0 < len < k): one whole-text polynomial hash each,
+    # vectorized across the short docs with <= k-1 byte passes
+    short_docs = np.nonzero((lengths > 0) & (lengths < k))[0]
+    if short_docs.shape[0]:
+        sl = lengths[short_docs]
+        h = np.zeros(short_docs.shape[0], dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            for j in range(int(sl.max())):
+                live = sl > j
+                h[live] = h[live] * _P + data[offs[short_docs[live]] + j]
+        out[doc_offsets[short_docs]] = h
     return out, doc_offsets
 
 
