@@ -100,9 +100,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_filter_by_lang": R.quality_filter_by_lang,
         "top_users_exact": R.top_users_exact,
         "lang_id_counts": R.lang_id_counts,
-        # dedup (exact content-hash): stats + materialized kept corpus
-        "dedup_exact_docs": R.dedup_exact_docs,
-        "dedup_exact_keep": R.dedup_exact_keep,
+        # dedup (exact content-hash): stats + materialized kept corpus.
+        # The oracle queries pin the md5 tier (SQL-replicable); the
+        # pipeline default is the vectorized fp64 fast tier (100 TB path)
+        "dedup_exact_docs": lambda sf: R.dedup_exact_docs(
+            sf, hash_tier="md5"),
+        "dedup_exact_keep": lambda sf: R.dedup_exact_keep(
+            sf, hash_tier="md5"),
         # similarity search (brute-force cosine baseline)
         "knn_cosine_topk": R.knn_cosine_topk,
         # approximate aggregation (HLL / count-min / Bloom semi-join)
@@ -148,7 +152,9 @@ def _simhash_neardup_docs(sf_dir: str):
 
 def _embedding_neardup_pairs(sf_dir: str):
     from p2pddsketch_ray.pipelines.dedup import embedding_near_dup_pairs
-    return embedding_near_dup_pairs(sf_dir, threshold=0.3)
+    # n_assign=None probes all clusters: exact (parity mode) so the SQL
+    # all-pairs oracle matches; the pipeline's scale default is 2
+    return embedding_near_dup_pairs(sf_dir, threshold=0.3, n_assign=None)
 
 
 def _ivf_knn_exhaustive(sf_dir: str):

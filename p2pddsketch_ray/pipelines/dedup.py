@@ -148,12 +148,13 @@ def minhash_near_dups(ds: "ray.data.Dataset", id_col: str, text_col: str,
        buckets; vectorized run detection emits candidate pairs, deduped
        by a second tiny (doc_a, doc_b) shuffle.  The signature never
        rides a shuffle in this pass.
-    2. Verify (distributed): a second map recomputes signatures for just
-       the candidate docs (only the candidate *id array* is broadcast --
-       O(candidate pairs) int64s), and two doc_id-keyed hash joins attach
-       sig_a / sig_b to each pair; the Jaccard estimate is computed
-       vectorized inside the join output's map_batches.  No signature
-       table is ever materialized on the driver.
+    2. Verify (distributed): the candidate ids (union of doc_a/doc_b)
+       are distinct-ed with a groupby and semi-joined against the corpus
+       to select the signature-recompute docs; two more doc_id-keyed
+       hash joins attach sig_a / sig_b to each pair and the Jaccard
+       estimate is computed vectorized in the join output's map_batches.
+       Neither the candidate set nor any signature table ever touches
+       the driver.
 
     Partitioning assumptions: a duplicate pair collides in >= 1 band
     bucket (probability 1-(1-j^r)^b); same bucket => same coarse
@@ -191,35 +192,49 @@ def minhash_near_dups(ds: "ray.data.Dataset", id_col: str, text_col: str,
                          max(2, num_partitions // 4),
                          dedupe_block, _CAND_EMPTY).materialize()
 
-    # candidate id set: only the int64 ids come to the driver (broadcast
-    # input for the pruned signature pass), never the signatures
-    id_chunks = [np.union1d(t["doc_a"].to_numpy(zero_copy_only=False),
-                            t["doc_b"].to_numpy(zero_copy_only=False))
-                 for t in map(ray.get, cand.to_arrow_refs()) if t.num_rows]
-    if not id_chunks:
+    if cand.count() == 0:
         return ray.data.from_arrow(empty_out)
-    need = np.unique(np.concatenate(id_chunks))
-    need_ref = ray.put(need)
+
+    join_parts = max(2, min(num_partitions, 16))
+
+    # candidate id set, fully distributed: union of doc_a/doc_b ->
+    # distributed distinct (groupby) -> semi-join the corpus against it
+    # to select the signature-recompute docs.  Nothing O(candidate
+    # pairs) ever reaches the driver (on a duplicate-heavy crawl the
+    # candidate set is billions of ids).
+    def both_ids(t: pa.Table) -> pa.Table:
+        ids = pa.concat_arrays([
+            pa.compute.cast(t["doc_a"], pa.int64()).combine_chunks(),
+            pa.compute.cast(t["doc_b"], pa.int64()).combine_chunks()])
+        return pa.table({"need_id": ids})
+
+    from ray.data.aggregate import Count as _Count
+    need_ids = (cand.map_batches(both_ids, batch_format="pyarrow")
+                .groupby("need_id").aggregate(_Count(alias_name="_c"))
+                .map_batches(lambda t: t.select(["need_id"]),
+                             batch_format="pyarrow"))
+
+    corpus = ds.map_batches(
+        lambda t: pa.table({id_col: pa.compute.cast(t[id_col], pa.int64()),
+                            text_col: t[text_col]}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    needed_docs = corpus.join(need_ids, "inner",
+                              num_partitions=join_parts,
+                              on=(id_col,), right_on=("need_id",))
 
     def sigs_for_candidates(t: pa.Table) -> pa.Table:
-        wanted = ray.get(need_ref)
-        ids = t[id_col].to_numpy(zero_copy_only=False)
-        mask = np.isin(ids, wanted)
-        if not mask.any():
+        if t.num_rows == 0:
             return pa.table({"doc_id": pa.array([], type=pa.int64()),
                              "sig": pa.array([], type=pa.binary())})
-        sub = t.filter(pa.array(mask))
-        sig = minhash_signatures(sub[text_col], num_perm=num_perm, k=k)
+        sig = minhash_signatures(t[text_col], num_perm=num_perm, k=k)
         return pa.table({
-            "doc_id": pa.compute.cast(sub[id_col], pa.int64()),
+            "doc_id": pa.compute.cast(t[id_col], pa.int64()),
             "sig": pa.array([s.tobytes() for s in sig], type=pa.binary()),
         })
 
-    sigs = ds.map_batches(sigs_for_candidates, batch_format="pyarrow",
-                          batch_size=SHINGLE_BATCH,
-                          zero_copy_batch=True).materialize()
-
-    join_parts = max(2, min(num_partitions, 16))
+    sigs = needed_docs.map_batches(sigs_for_candidates,
+                                   batch_format="pyarrow",
+                                   batch_size=SHINGLE_BATCH).materialize()
     with_a = cand.join(sigs, "inner", num_partitions=join_parts,
                        on=("doc_a",), right_on=("doc_id",))
 
@@ -366,7 +381,7 @@ def ngram_jaccard_verify(texts_a, texts_b, k: int = 5) -> np.ndarray:
 
 def embedding_near_dup_pairs(sf_dir: str, threshold: float = 0.9, *,
                              n_clusters: int = 8,
-                             n_assign: int | None = None,
+                             n_assign: int | None = 2,
                              sample_size: int = 10_000,
                              seed: int = 42) -> "ray.data.Dataset":
     """Embedding-cosine near-duplicate pairs, bucketed by IVF cluster.
@@ -388,8 +403,10 @@ def embedding_near_dup_pairs(sf_dir: str, threshold: float = 0.9, *,
     sized so a cluster's members fit a worker (at 10^12 rows: tens of
     thousands of clusters), and a qualifying pair shares >= 1 of the
     n_assign probed clusters -- exact when n_assign == n_clusters (the
-    oracle-checked test configuration), tunable recall at scale (e.g.
-    n_assign=2).
+    oracle-checked configuration, which callers must request explicitly
+    with n_assign=n_clusters or None), tunable recall at the default
+    n_assign=2 (the scale path: ~2x the linear traffic of single-probe
+    instead of n_clusters-fold).
     """
     from ..functions.vectors import list_to_matrix
     from .knn import _unit_rows, kmeans_fit

@@ -101,14 +101,16 @@ def test_simhash_pipeline_finds_planted(pages_ds, pages):
 
 def test_embedding_near_dup_pairs(ray_session):
     from p2pddsketch_ray.pipelines.dedup import embedding_near_dup_pairs
-    # the synthetic embeddings have no >=0.9 pairs; 0.3 yields a real set
-    out = embedding_near_dup_pairs("/root/testdata/sf0.001", threshold=0.3)
+    # the synthetic embeddings have no >=0.9 pairs; 0.3 yields a real set.
+    # n_assign=None = parity mode (probe every cluster; exact)
+    out = embedding_near_dup_pairs("/root/testdata/sf0.001", threshold=0.3,
+                                   n_assign=None)
     df = out.to_pandas()
     assert len(df) > 0
     assert (df["vec_a"] < df["vec_b"]).all()
     assert df.duplicated(["vec_a", "vec_b"]).sum() == 0
     assert (df["cos_sim"] >= 0.3).all()
-    # exactness vs the brute-force all-pairs oracle (default n_assign
+    # exactness vs the brute-force all-pairs oracle (n_assign=None
     # probes every cluster, so bucketing must not lose pairs)
     import duckdb
     want = duckdb.sql("""
@@ -121,7 +123,7 @@ def test_embedding_near_dup_pairs(ray_session):
     # empty-threshold result: no rows, no crash (Ray drops the schema of a
     # fully-empty dataset, so only the count is assertable)
     empty_ds = embedding_near_dup_pairs("/root/testdata/sf0.001",
-                                        threshold=1.001)
+                                        threshold=1.001, n_assign=None)
     assert empty_ds.count() == 0
 
 
@@ -176,10 +178,11 @@ def test_embedding_near_dup_scale_mode_subset(ray_session):
     never invents them."""
     from p2pddsketch_ray.pipelines.dedup import embedding_near_dup_pairs
     exact = embedding_near_dup_pairs("/root/testdata/sf0.001",
-                                     threshold=0.3).to_pandas()
+                                     threshold=0.3,
+                                     n_assign=None).to_pandas()
+    # n_assign=2 is the signature default (the 100TB path)
     approx = embedding_near_dup_pairs("/root/testdata/sf0.001",
-                                      threshold=0.3,
-                                      n_assign=2).to_pandas()
+                                      threshold=0.3).to_pandas()
     exact_pairs = {(a, b): s for a, b, s in
                    zip(exact["vec_a"], exact["vec_b"], exact["cos_sim"])}
     assert 0 < len(approx) <= len(exact)
