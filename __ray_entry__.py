@@ -187,9 +187,15 @@ def _tdigest_quantiles_price(sf_dir: str):
     td = build_and_merge(ds, ["l_extendedprice"],
                          lambda: TDigest(compression=100), add)
     qs = [0.5, 0.95, 0.99]
+    ests = [td.quantile(q) for q in qs]
+    # distributed exact-rank self-check: a broken/mis-merged digest fails
+    # the gate here instead of silently emitting bad rows (rows-only query)
+    from p2pddsketch_ray.pipelines.quantiles import rank_errors
+    errs = rank_errors(ds, "l_extendedprice", qs, ests, max_rank_err=0.05)
     return pa.table({"q": pa.array(qs, type=pa.float64()),
-                     "est": pa.array([td.quantile(q) for q in qs],
-                                     type=pa.float64())})
+                     "est": pa.array(ests, type=pa.float64()),
+                     "rank_err": pa.array([round(e, 6) for e in errs],
+                                          type=pa.float64())})
 
 
 def _sliding_window_quantiles(sf_dir: str):
@@ -237,9 +243,14 @@ def _kll_quantiles_price(sf_dir: str):
     kll = build_and_merge(ds, ["l_extendedprice"],
                           lambda: KLLSketch(k=200, seed=7), add)
     qs = [0.5, 0.95, 0.99]
+    ests = [kll.quantile(q) for q in qs]
+    # distributed exact-rank self-check (see _tdigest_quantiles_price)
+    from p2pddsketch_ray.pipelines.quantiles import rank_errors
+    errs = rank_errors(ds, "l_extendedprice", qs, ests, max_rank_err=0.05)
     return pa.table({"q": pa.array(qs, type=pa.float64()),
-                     "est": pa.array([kll.quantile(q) for q in qs],
-                                     type=pa.float64())})
+                     "est": pa.array(ests, type=pa.float64()),
+                     "rank_err": pa.array([round(e, 6) for e in errs],
+                                          type=pa.float64())})
 
 
 # ---------------------------------------------------------------------------
@@ -289,6 +300,36 @@ SELECT grp AS {group}, q, bucket_key,
                   WHEN bucket_key < 0 THEN -2*pow({g}, -bucket_key - {OFFSET})/({g}+1)
                   ELSE 0.0 END, 6) AS est
 FROM pick"""
+
+
+def _lang_id_sql() -> str:
+    """SQL replica of functions.text.lang_id: per-language scores are sums
+    of non-overlapping trigram occurrence counts (strlen/replace
+    arithmetic == pc.count_substring, byte-verified in
+    tests/test_oracle_parity.py), argmax with first-in-alphabetical-order
+    tie-break (the CASE checks langs in sorted order, mirroring
+    np.argmax's first-max)."""
+    from p2pddsketch_ray.functions.text import _LANG_TRIGRAMS
+    langs = sorted(_LANG_TRIGRAMS)
+
+    def count_expr(tri: str) -> str:
+        esc = tri.replace("'", "''")
+        blen = len(tri.encode("utf-8"))
+        return f"(strlen(t)-strlen(replace(t,'{esc}','')))//{blen}"
+
+    score_cols = ",\n  ".join(
+        " + ".join(count_expr(tri) for tri in _LANG_TRIGRAMS[lang])
+        + f" AS s_{lang}" for lang in langs)
+    gmax = "greatest(" + ", ".join(f"s_{lg}" for lg in langs) + ")"
+    case = " ".join(f"WHEN s_{lg} = m THEN '{lg}'" for lg in langs)
+    return f"""
+WITH lt AS (SELECT lower(text) AS t FROM documents),
+s AS (SELECT
+  {score_cols}
+FROM lt),
+g AS (SELECT *, {gmax} AS m FROM s)
+SELECT CASE {case} END AS pred_lang, count(*) AS n_docs
+FROM g GROUP BY pred_lang"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -440,6 +481,7 @@ FROM s WHERE score >= 0.8 GROUP BY lang""",
         "top_users_exact": """
 SELECT user_id, count(*) AS n_events FROM events
 GROUP BY user_id ORDER BY n_events DESC, user_id LIMIT 10""",
+        "lang_id_counts": _lang_id_sql(),
         "dedup_exact_docs": """
 SELECT md5(text) AS text_md5, min(doc_id) AS first_doc_id,
        count(*) AS dup_count

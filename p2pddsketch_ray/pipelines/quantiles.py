@@ -67,6 +67,61 @@ def dds_sketch_global(ds: "ray.data.Dataset", value_col: str,
     return tree_merge_sketches(partials)
 
 
+def rank_errors(ds: "ray.data.Dataset", value_col: str,
+                quantiles: Sequence[float], estimates: Sequence[float],
+                *, max_rank_err: float | None = None) -> list[float]:
+    """Distributed exact-rank self-check for quantile estimates.
+
+    One extra map pass computes per-block counts of values strictly below
+    / at-or-below each estimate (3 vectorized compares per row); the tiny
+    per-block count rows are summed by Ray.  The rank error of estimate
+    e_i for target q_i is then
+
+        err_i = max(0, q_i - rank_le(e_i), rank_lt(e_i) - q_i)
+
+    (zero whenever q_i lies inside [count(x < e)/n, count(x <= e)/n] --
+    the standard containment interval for discrete data with ties).
+
+    Raises ValueError when ``max_rank_err`` is given and exceeded: a
+    mis-configured or broken sketch (KLL / t-digest / DDSketch) fails at
+    the pipeline boundary instead of silently emitting bad estimates.
+    """
+    import numpy as np
+    est = np.asarray(list(estimates), dtype=np.float64)
+    qs = np.asarray(list(quantiles), dtype=np.float64)
+
+    def counts(t: pa.Table) -> pa.Table:
+        v = t[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        v = v[~np.isnan(v)]
+        lt = (v[:, None] < est[None, :]).sum(axis=0)
+        le = (v[:, None] <= est[None, :]).sum(axis=0)
+        cols = {f"lt_{i}": pa.array([int(lt[i])], type=pa.int64())
+                for i in range(est.shape[0])}
+        cols.update({f"le_{i}": pa.array([int(le[i])], type=pa.int64())
+                     for i in range(est.shape[0])})
+        cols["cnt"] = pa.array([int(v.shape[0])], type=pa.int64())
+        return pa.table(cols)
+
+    names = ([f"lt_{i}" for i in range(est.shape[0])]
+             + [f"le_{i}" for i in range(est.shape[0])] + ["cnt"])
+    sums = (ds.select_columns([value_col])
+            .map_batches(counts, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .sum(names))
+    n = max(int(sums["sum(cnt)"]), 1)
+    errs = []
+    for i, q in enumerate(qs):
+        r_lt = sums[f"sum(lt_{i})"] / n
+        r_le = sums[f"sum(le_{i})"] / n
+        errs.append(max(0.0, q - r_le, r_lt - q))
+    if max_rank_err is not None and max(errs) > max_rank_err:
+        raise ValueError(
+            f"quantile self-check failed: rank errors {errs} exceed "
+            f"{max_rank_err} for quantiles {list(qs)} -- the sketch "
+            "configuration does not meet its accuracy bound")
+    return errs
+
+
 def dds_quantiles_grouped(ds: "ray.data.Dataset", value_col: str,
                           group_cols: Sequence[str],
                           quantiles: Sequence[float] = HEADLINE_QUANTILES,

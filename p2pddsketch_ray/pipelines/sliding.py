@@ -89,10 +89,27 @@ def sliding_window_quantiles(ds: "ray.data.Dataset", ts_col: str,
     all_rows = pa.concat_tables(tables)
     bucket_vals = all_rows["bucket"].to_numpy(zero_copy_only=False)
     buckets = np.sort(bucket_vals)
-    sketches = {}
-    for i in range(all_rows.num_rows):
-        sketches[int(bucket_vals[i])] = merge_sketch_table(
-            all_rows.slice(i, 1))
+    from ..stages.sketch_build import sketches_from_table
+    decoded = sketches_from_table(all_rows)  # columnar batch decode
+    sketches = {int(b): s for b, s in zip(bucket_vals, decoded)}
+
+    # validate the turnstile contract up front (ADVICE r2): the sliding
+    # subtraction needs every bucket sketch at generation 0 AND the merged
+    # key span within bin_limit, else a collapse (generation bump) during
+    # the walk would raise an opaque generation-mismatch mid-loop.
+    if any(s.generation != 0 for s in decoded):
+        raise ValueError(
+            f"sliding_window_quantiles: bin_limit={bin_limit} is too small "
+            f"for a single hour bucket at alpha={alpha} (a bucket sketch "
+            "already collapsed); raise bin_limit or alpha")
+    distinct_keys = len(set().union(*(s.bins.keys() for s in decoded)))
+    if distinct_keys > bin_limit:
+        raise ValueError(
+            f"sliding_window_quantiles: the union of bucket sketches has "
+            f"{distinct_keys} distinct bins, exceeding bin_limit="
+            f"{bin_limit} at alpha={alpha}; the accumulating window would "
+            f"collapse mid-walk -- raise bin_limit (to >= {distinct_keys}) "
+            "or increase alpha")
 
     qs = tuple(quantiles)
     out_hour, out_q, out_est, out_n = [], [], [], []

@@ -71,6 +71,29 @@ def _sketch_from_table_row(table: pa.Table, i: int) -> DDSketch:
     })
 
 
+def sketches_from_table(table: pa.Table) -> list[DDSketch]:
+    """Decode every serialized-sketch row of a table with columnar
+    operations (one offsets/values buffer pair per list column instead of
+    per-row as_py round-trips)."""
+    keys_col = table["keys"].combine_chunks()
+    counts_col = table["counts"].combine_chunks()
+    koffs = keys_col.offsets.to_numpy(zero_copy_only=False)
+    kvals = keys_col.values.to_numpy(zero_copy_only=False)
+    coffs = counts_col.offsets.to_numpy(zero_copy_only=False)
+    cvals = counts_col.values.to_numpy(zero_copy_only=False)
+    scalars = {name: table[name].to_pylist()
+               for name, _ in SKETCH_FIELDS if name not in ("keys", "counts")}
+    out = []
+    for i in range(table.num_rows):
+        row = {name: vals[i] for name, vals in scalars.items()}
+        row["keys"] = np.asarray(kvals[koffs[i]:koffs[i + 1]],
+                                 dtype=np.int64)
+        row["counts"] = np.asarray(cvals[coffs[i]:coffs[i + 1]],
+                                   dtype=np.float64)
+        out.append(DDSketch.from_row(row))
+    return out
+
+
 def merge_sketch_table(table: pa.Table) -> DDSketch:
     """Fold all serialized-sketch rows of an Arrow table into one sketch."""
     if table.num_rows == 0:

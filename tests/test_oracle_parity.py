@@ -69,3 +69,33 @@ def test_murmur64_replicates_duckdb_hash():
         "SELECT hash(k::BIGINT) AS h FROM t").df()["h"].to_numpy(
             dtype=np.uint64)
     assert (got == want).all()
+
+
+def test_count_substring_replicates_duckdb_replace_arith():
+    """The lang_id oracle counts trigrams in SQL as
+    (strlen(t)-strlen(replace(t,tri,'')))//bytelen; pc.count_substring
+    must agree (both are left-to-right non-overlapping) on every
+    configured trigram, including multi-byte ones and self-overlapping
+    patterns."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from p2pddsketch_ray.functions.text import _LANG_TRIGRAMS
+
+    docs = ["the theatre of the thing", "aaaa", "", " de der dent ",
+            "これは日本語のの文です", "на нане наты", "què que quelle",
+            "ión alción ión"]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE d AS SELECT * FROM (VALUES "
+                + ",".join(f"($${t}$$)" for t in docs) + ") v(text)")
+    lower = pc.utf8_lower(pa.array(docs))
+    tris = sorted({t for v in _LANG_TRIGRAMS.values() for t in v} | {"aa"})
+    for tri in tris:
+        esc = tri.replace("'", "''")
+        blen = len(tri.encode("utf-8"))
+        want = con.execute(
+            f"SELECT (strlen(lower(text))-strlen(replace(lower(text),"
+            f"'{esc}','')))//{blen} FROM d").df().iloc[:, 0].to_numpy()
+        got = pc.count_substring(lower, tri).to_numpy(zero_copy_only=False)
+        assert np.array_equal(got.astype(np.int64), want.astype(np.int64)), tri

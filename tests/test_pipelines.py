@@ -172,3 +172,48 @@ def test_sliding_window_quantiles_accuracy(ray_session):
         checked += 1
         if checked > 50:
             break
+
+
+def test_rank_errors_selfcheck_and_raise(ray_session):
+    """The distributed exact-rank self-check: correct estimates pass the
+    bound; a wildly wrong estimate trips the in-pipeline ValueError."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray.data
+    from p2pddsketch_ray.pipelines.quantiles import rank_errors
+    ds = ray.data.read_parquet(f"{SF}/lineitem.parquet",
+                               columns=["l_extendedprice"])
+    vals = pq.read_table(f"{SF}/lineitem.parquet",
+                         columns=["l_extendedprice"]
+                         )["l_extendedprice"].to_numpy()
+    qs = (0.5, 0.95, 0.99)
+    exact = [float(np.quantile(vals, q, method="lower")) for q in qs]
+    errs = rank_errors(ds, "l_extendedprice", qs, exact, max_rank_err=0.01)
+    assert max(errs) <= 1.0 / len(vals) + 1e-12
+    with pytest.raises(ValueError, match="self-check failed"):
+        rank_errors(ds, "l_extendedprice", (0.99,), [float(vals.min())],
+                    max_rank_err=0.05)
+
+
+def test_kll_tdigest_gate_rank_error_sf01(ray_session):
+    """The KLL / t-digest driver queries self-verify: at sf0.1 (600k rows)
+    the emitted rank_err column must be within the sketches' practical
+    bounds (KLL k=200, t-digest compression=100: both ~1e-2)."""
+    import __ray_entry__ as e
+    sf = "/root/testdata/sf0.1"
+    for name in ("kll_quantiles_price", "tdigest_quantiles_price"):
+        out = e.queries()[name](sf)
+        errs = out["rank_err"].to_pylist()
+        assert max(errs) <= 0.02, (name, errs)
+
+
+def test_sliding_window_bin_limit_validated(ray_session):
+    """An under-sized bin_limit fails up front with a targeted
+    configuration error, not a mid-walk generation mismatch."""
+    import ray.data
+    from p2pddsketch_ray.pipelines.sliding import sliding_window_quantiles
+    ds = ray.data.read_parquet(f"{SF}/events.parquet",
+                               columns=["ts", "value"])
+    with pytest.raises(ValueError, match="bin_limit"):
+        sliding_window_quantiles(ds, "ts", "value", window_hours=4,
+                                 alpha=0.0005, bin_limit=32)
