@@ -146,9 +146,21 @@ def ensure_scaling_fixture() -> str:
 
 
 def run_scaling_child() -> dict:
-    """One measured pass of the flagship webpages workload (invoked in a
-    fresh process per parallelism level): DDSketch metric quantiles
-    (global + per-lang) and the MinHash signature/LSH near-dup pass."""
+    """One measured pass of the flagship fused sketch-build workload
+    (invoked in a fresh process per parallelism level): ONE dataset
+    execution that per batch verifies extraction byte-identity, computes
+    text metrics, builds DDSketch partials (global + per-lang) and the
+    MinHash signature/band kernel, then merges through a single tiny
+    groupby(lang) shuffle.  Fusing the former three phases removes two
+    driver planning/barrier rounds whose fixed cost diluted the measured
+    scaling ratio (VERDICT r2 task 1c).
+
+    Besides wall-clock, the child reports the total CPU-seconds spent
+    inside the batch kernels (time.thread_time per batch, summed through
+    the aggregate): descheduled time does not count, so cpu_sec is the
+    host-noise-immune work measure -- equal cpu_sec at both parallelism
+    levels proves work conservation even when wall-clock is noisy.
+    """
     import ray
     ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
              ignore_reinit_error=True, logging_level="ERROR")
@@ -158,104 +170,57 @@ def run_scaling_child() -> dict:
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
     import ray.data
-    from p2pddsketch_ray.pipelines.webpages import webpage_quantiles
+    from p2pddsketch_ray.pipelines.webpages import fused_sketch_build
 
-    # warm worker pool + page cache
+    # warm worker pool + page cache (untimed)
     ray.data.range(256, override_num_blocks=128).map_batches(
         lambda b: b).materialize()
     ray.data.read_parquet(SCALING_DIR).map_batches(
         lambda b: b.slice(0, 1), batch_format="pyarrow").materialize()
 
-    # single pass per phase by default: shorter children pair the 8- and
-    # 32-cpu runs closer in time (host drift >2x/min makes tight pairing
-    # more valuable than within-child best-of); median-of-reps in the
-    # parent absorbs blips
-    PASSES = int(os.environ.get("GRAFT_SCALING_PASSES", "1"))
-
-    def best_of(n, fn):
-        best = float("inf")
-        for _ in range(max(n, PASSES) if PASSES > 1 else 1):
-            t0 = time.perf_counter()
-            fn()
-            best = min(best, time.perf_counter() - t0)
-        return best
-
-    # phase 1: flagship quantiles with the per-url extraction invariant
-    # verified inline (real per-doc compute, zero shuffle weight)
-    def phase_quantiles():
-        glob_t, grouped = webpage_quantiles(SCALING_DIR, "text_len",
-                                            (0.5, 0.95, 0.99), verify=True)
-        grouped.to_pandas()
-    t_quant = best_of(2, phase_quantiles)
-
-    # phase 2: per-doc text analysis -> grouped aggregate
-    import pyarrow as pa
-    import pyarrow.compute as pc
-    from ray.data.aggregate import Count, Sum
-    from p2pddsketch_ray.functions.text import (punct_count, quality_score,
-                                                stopword_count, token_count)
-
-    def metrics(t: pa.Table) -> pa.Table:
-        texts = t["text"].combine_chunks() if isinstance(
-            t["text"], pa.ChunkedArray) else t["text"]
-        q = quality_score(texts)
-        return pa.table({
-            "lang": t["lang"],
-            "tokens": token_count(texts),
-            "punct": punct_count(texts),
-            "stops": stopword_count(texts),
-            "q_micro": pc.cast(pc.floor(pc.add(pc.multiply(
-                q, pa.scalar(1e6)), pa.scalar(0.5))), pa.int64()),
-        })
-
-    def phase_text():
-        (ray.data.read_parquet(SCALING_DIR, columns=["lang", "text"])
-         .map_batches(metrics, batch_format="pyarrow", zero_copy_batch=True)
-         .groupby("lang")
-         .aggregate(Count(alias_name="n"), Sum("tokens", alias_name="t"),
-                    Sum("punct", alias_name="p"), Sum("stops", alias_name="s"),
-                    Sum("q_micro", alias_name="q"))).to_pandas()
-    t_text = best_of(2, phase_text)
-
-    # phase 3: MinHash signature build (the heaviest per-doc sketch
-    # compute; map-only -- the merge side of every sketch pipeline moves
-    # kilobytes of partials and is O(blocks), so BUILD throughput is what
-    # scales with cluster size, which is exactly the north-rule metric)
-    from functools import partial as _partial
-    from p2pddsketch_ray.functions.text import fingerprint64
-    from p2pddsketch_ray.pipelines.dedup import minhash_band_rows
-
-    def phase_signatures():
-        ds = ray.data.read_parquet(SCALING_DIR, columns=["url", "text"])
-        ds = ds.map_batches(
-            lambda t: t.append_column("doc_id", fingerprint64(t["url"])),
-            batch_format="pyarrow")
-        from p2pddsketch_ray.pipelines.dedup import SHINGLE_BATCH
-        ds.map_batches(_partial(minhash_band_rows, id_col="doc_id",
-                                text_col="text", k=9),
-                       batch_format="pyarrow", batch_size=SHINGLE_BATCH,
-                       zero_copy_batch=True).count()
-    t_sigs = best_of(2, phase_signatures)
+    # single pass by default: a short child keeps the lo/hi runs of a rep
+    # temporally adjacent (host drift >2x/min makes tight pairing more
+    # valuable than within-child best-of); the parent's pooled median
+    # over >= 10 reps absorbs blips
+    passes = int(os.environ.get("GRAFT_SCALING_PASSES", "1"))
+    best_sec, best = float("inf"), None
+    for _ in range(max(1, passes)):
+        t0 = time.perf_counter()
+        res = fused_sketch_build(SCALING_DIR)
+        dt = time.perf_counter() - t0
+        if dt < best_sec:
+            best_sec, best = dt, res
     ray.shutdown()
-    total = t_quant + t_text + t_sigs
-    return {"num_cpus": NUM_CPUS, "docs": SCALING_DOCS,
-            "sec_quantiles_verified": round(t_quant, 3),
-            "sec_text_analysis": round(t_text, 3),
-            "sec_minhash_signatures": round(t_sigs, 3),
-            "sec_total": round(total, 3),
-            "docs_per_sec": round(SCALING_DOCS / total, 1)}
+    return {"num_cpus": NUM_CPUS, "docs": best["docs"],
+            "sec_total": round(best_sec, 3),
+            "cpu_sec": round(best["cpu_sec"], 3),
+            "band_checksum": best["band_checksum"],
+            "docs_per_sec": round(best["docs"] / best_sec, 1)}
 
 
-SCALING_REPS = int(os.environ.get("GRAFT_SCALING_REPS", "3"))
+SCALING_REPS = int(os.environ.get("GRAFT_SCALING_REPS", "10"))
+
+
+def _median(xs):
+    s = sorted(xs)
+    n = len(s)
+    return s[n // 2] if n % 2 else 0.5 * (s[n // 2 - 1] + s[n // 2])
 
 
 def run_scaling() -> dict:
     """Paired-repetition protocol: the sandbox host's throughput drifts
-    >2x over minutes (measured on identical code), so single 8-cpu and
-    32-cpu runs minutes apart sample incomparable machines.  Each rep
-    runs the 8-cpu and 32-cpu children back to back (temporally
-    adjacent), yielding a per-rep efficiency ratio; the reported number
-    is the MEDIAN ratio across reps (robust to one drift-poisoned rep).
+    >2x over minutes (measured on identical code), so single lo-cpu and
+    hi-cpu runs minutes apart sample incomparable machines.  Each rep
+    runs both children back to back (temporally adjacent) with the order
+    ALTERNATING rep to rep (lo,hi / hi,lo / ...) so monotone host drift
+    within a rep cancels across reps; the headline number is the POOLED
+    MEDIAN efficiency across all reps (default 10) from one invocation
+    -- no picking the best of repeated runs.
+
+    Work-conservation control: each child also reports kernel
+    CPU-seconds (thread_time, immune to descheduling by host noise); the
+    per-rep ratio cpu_lo/cpu_hi ~= 1.0 demonstrates the hi level did not
+    burn extra CPU on contention even when its wall-clock is noisy.
     """
     ensure_scaling_fixture()
 
@@ -277,24 +242,41 @@ def run_scaling() -> dict:
     cpus_env = os.environ.get("GRAFT_SCALING_CPUS", "4,16").split(",")
     lo_cpus, hi_cpus = int(cpus_env[0]), int(cpus_env[1])
     reps = []
-    for _ in range(SCALING_REPS):
-        lo, hi = child(lo_cpus), child(hi_cpus)
+    for i in range(SCALING_REPS):
+        if i % 2 == 0:
+            lo, hi = child(lo_cpus), child(hi_cpus)
+        else:
+            hi, lo = child(hi_cpus), child(lo_cpus)
         eff = (lo["sec_total"] / hi["sec_total"]) / (hi_cpus / lo_cpus)
-        reps.append({"efficiency": round(eff, 3), "lo": lo, "hi": hi})
-    order = sorted(range(len(reps)), key=lambda i: reps[i]["efficiency"])
-    mid = reps[order[len(order) // 2]]
+        wc = lo["cpu_sec"] / max(hi["cpu_sec"], 1e-9)
+        reps.append({"efficiency": round(eff, 3),
+                     "work_conservation": round(wc, 3),
+                     "lo": lo, "hi": hi})
+    effs = [r["efficiency"] for r in reps]
+    wcs = [r["work_conservation"] for r in reps]
     return {
         "metric": f"scaling efficiency from {lo_cpus} to {hi_cpus} CPUs "
-                  "(N to 4N, fresh processes), same webpages input "
-                  "(verified quantiles + text analysis + MinHash signature "
-                  f"build); median of {SCALING_REPS} temporally-paired reps",
+                  "(N to 4N, fresh processes), same webpages input, fused "
+                  "sketch-build (verified extraction + text metrics + "
+                  "DDSketch + MinHash kernels, one execution); pooled "
+                  f"median of {SCALING_REPS} order-alternated paired reps",
         "docs": SCALING_DOCS,
-        "sec_8": mid["lo"]["sec_total"], "sec_32": mid["hi"]["sec_total"],
-        "docs_per_sec_8": mid["lo"]["docs_per_sec"],
-        "docs_per_sec_32": mid["hi"]["docs_per_sec"],
-        "scaling_efficiency": mid["efficiency"],
-        "rep_efficiencies": [r["efficiency"] for r in reps],
-        "detail_8": mid["lo"], "detail_32": mid["hi"],
+        "lo_cpus": lo_cpus, "hi_cpus": hi_cpus,
+        "scaling_efficiency": round(_median(effs), 3),
+        "rep_efficiencies": effs,
+        "work_conservation_median": round(_median(wcs), 3),
+        "rep_work_conservation": wcs,
+        "sec_lo": round(_median([r["lo"]["sec_total"] for r in reps]), 3),
+        "sec_hi": round(_median([r["hi"]["sec_total"] for r in reps]), 3),
+        "docs_per_sec_lo": round(_median(
+            [r["lo"]["docs_per_sec"] for r in reps]), 1),
+        "docs_per_sec_hi": round(_median(
+            [r["hi"]["docs_per_sec"] for r in reps]), 1),
+        "cpu_sec_lo": round(_median([r["lo"]["cpu_sec"] for r in reps]), 3),
+        "cpu_sec_hi": round(_median([r["hi"]["cpu_sec"] for r in reps]), 3),
+        "checksum_consistent": len({r[side]["band_checksum"]
+                                    for r in reps
+                                    for side in ("lo", "hi")}) == 1,
     }
 
 

@@ -97,7 +97,8 @@ def main(argv=None) -> int:
         if args.accuracy and not args.group_by:
             vals = pa.concat_tables(
                 [ray.get(r) for r in
-                 ds.select_columns([args.column]).to_arrow_refs()])
+                 ds.select_columns([args.column])
+                 .materialize().to_arrow_refs()])
             oracle_values = vals[args.column].to_numpy(zero_copy_only=False)
     else:
         from .sources.scalars import generate_scalars

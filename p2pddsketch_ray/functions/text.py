@@ -73,6 +73,20 @@ def stopword_count(texts: pa.Array) -> pa.Array:
     return pc.cast(pc.count_substring_regex(lower, pattern), pa.int64())
 
 
+def quality_score_from_counts(toks, punct, stops) -> pa.Array:
+    """quality_score when the three counts are already computed (one
+    regex pass each -- callers that also aggregate the counts should use
+    this to avoid recomputing them)."""
+    toks = np.asarray(toks, dtype=np.float64)
+    punct = np.asarray(punct, dtype=np.float64)
+    stops = np.asarray(stops, dtype=np.float64)
+    safe_toks = np.maximum(toks, 1.0)
+    score = (0.4 * np.minimum(1.0, toks / 100.0)
+             + 0.3 * (1.0 - np.minimum(1.0, punct / safe_toks))
+             + 0.3 * np.minimum(1.0, 5.0 * stops / safe_toks))
+    return pa.array(score, type=pa.float64())
+
+
 def quality_score(texts: pa.Array) -> pa.Array:
     """Deterministic document-quality heuristic in [0, 1]:
 
@@ -84,14 +98,10 @@ def quality_score(texts: pa.Array) -> pa.Array:
     replica, so the float64 result is bit-identical to DuckDB's
     (see oracle_sql in __ray_entry__).
     """
-    toks = token_count(texts).to_numpy(zero_copy_only=False).astype(np.float64)
-    punct = punct_count(texts).to_numpy(zero_copy_only=False).astype(np.float64)
-    stops = stopword_count(texts).to_numpy(zero_copy_only=False).astype(np.float64)
-    safe_toks = np.maximum(toks, 1.0)
-    score = (0.4 * np.minimum(1.0, toks / 100.0)
-             + 0.3 * (1.0 - np.minimum(1.0, punct / safe_toks))
-             + 0.3 * np.minimum(1.0, 5.0 * stops / safe_toks))
-    return pa.array(score, type=pa.float64())
+    return quality_score_from_counts(
+        token_count(texts).to_numpy(zero_copy_only=False),
+        punct_count(texts).to_numpy(zero_copy_only=False),
+        stopword_count(texts).to_numpy(zero_copy_only=False))
 
 
 def fingerprint64(texts: pa.Array) -> pa.Array:

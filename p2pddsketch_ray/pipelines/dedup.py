@@ -414,7 +414,8 @@ def embedding_near_dup_pairs(sf_dir: str, threshold: float = 0.9, *,
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
                                columns=["vec_id", "embedding"])
     sample = pa.concat_tables(
-        [ray.get(r) for r in ds.limit(sample_size).to_arrow_refs()])
+        [ray.get(r) for r in
+         ds.limit(sample_size).materialize().to_arrow_refs()])
     cents = kmeans_fit(list_to_matrix(sample["embedding"]), n_clusters,
                        seed=seed)
     k = cents.shape[0]

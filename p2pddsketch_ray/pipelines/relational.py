@@ -202,18 +202,23 @@ def distinct_user_count(sf_dir: str) -> pa.Table:
 
 def token_stats_by_lang(sf_dir: str) -> "ray.data.Dataset":
     """Vectorized text metrics -> grouped aggregation (documents)."""
-    from ..functions.text import (punct_count, quality_score, stopword_count,
-                                  token_count)
+    from ..functions.text import (punct_count, quality_score_from_counts,
+                                  stopword_count, token_count)
     ds = _read(sf_dir, "documents", ["lang", "text"])
 
     def metrics(t: pa.Table) -> pa.Table:
         texts = t["text"].combine_chunks() if isinstance(t["text"], pa.ChunkedArray) else t["text"]
-        q = quality_score(texts)
+        tokens, punct, stops = (token_count(texts), punct_count(texts),
+                                stopword_count(texts))
+        q = quality_score_from_counts(
+            tokens.to_numpy(zero_copy_only=False),
+            punct.to_numpy(zero_copy_only=False),
+            stops.to_numpy(zero_copy_only=False))
         return pa.table({
             "lang": t["lang"],
-            "tokens": token_count(texts),
-            "punct": punct_count(texts),
-            "stops": stopword_count(texts),
+            "tokens": tokens,
+            "punct": punct,
+            "stops": stops,
             # floor(x*1e6 + 0.5) on BOTH sides: immune to the numpy
             # half-to-even vs DuckDB half-away rounding split at exact .5
             "quality_micro": pc.cast(

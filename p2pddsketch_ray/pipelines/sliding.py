@@ -82,7 +82,8 @@ def sliding_window_quantiles(ds: "ray.data.Dataset", ts_col: str,
     per_bucket = partition_by(partials, ["bucket"], fit_partitions(32),
                               _merge_partition_buckets, empty)
 
-    tables = [t for t in map(ray.get, per_bucket.to_arrow_refs())
+    tables = [t for t in map(ray.get,
+                             per_bucket.materialize().to_arrow_refs())
               if t.num_rows]
     if not tables:
         raise ValueError("empty dataset")

@@ -18,6 +18,8 @@ from ..hashing import splitmix64
 
 _P = np.uint64(1099511628211)  # FNV prime as polynomial base
 
+_GATHER_WINDOWS = 1 << 16  # shingle-gather chunk: 64k windows ~ 1.5 MB tmp
+
 
 def _string_buffer(texts) -> tuple[np.ndarray, np.ndarray]:
     """(flat utf-8 bytes, int64 offsets) of an Arrow string column.
@@ -64,20 +66,34 @@ def shingle_hashes(texts, k: int = 5) -> tuple[np.ndarray, np.ndarray]:
                 roll = roll * _P + data[j:data.shape[0] - k + 1 + j]
     else:
         roll = np.zeros(0, dtype=np.uint64)
-    # gather each doc's valid window positions out of `roll` with one
-    # boolean-mask-free fancy index (windows crossing a doc boundary are
-    # simply never addressed): for long docs both the source range (in
-    # roll, starting at offs[d]) and the destination range (in out,
-    # starting at doc_offsets[d]) have length counts[d], so one shared
-    # per-segment rank vector drives both sides of the scatter-gather.
+    # gather each doc's valid window positions out of `roll` with a fancy
+    # index (windows crossing a doc boundary are simply never addressed):
+    # for long docs both the source range (in roll, starting at offs[d])
+    # and the destination range (in out, starting at doc_offsets[d]) have
+    # length counts[d], so one shared per-segment rank vector drives both
+    # sides of the scatter-gather.  The gather is CHUNKED to bound the
+    # ranks/src/dst temporaries at ~1.5 MB: an unbounded gather allocates
+    # ~27 MB of int64 temporaries per 512-doc batch, and under 16-32-way
+    # map concurrency that transient churn made the kernel 2-4x slower
+    # (measured 404 -> 101 kernel-cpu-sec on the 300k-doc fixture) --
+    # the same allocation-thrash failure mode as BASELINE.md lesson 2.
     long_docs = np.nonzero(lengths >= k)[0]
-    if long_docs.shape[0]:
-        c = counts[long_docs]
+    i, n_long = 0, long_docs.shape[0]
+    while i < n_long:
+        acc, j = 0, i
+        while j < n_long and acc + counts[long_docs[j]] <= _GATHER_WINDOWS:
+            acc += counts[long_docs[j]]
+            j += 1
+        if j == i:  # single doc larger than the chunk budget
+            j = i + 1
+        dsel = long_docs[i:j]
+        c = counts[dsel]
         ranks = np.arange(int(c.sum()), dtype=np.int64) \
             - np.repeat(np.cumsum(c) - c, c)
-        src = np.repeat(offs[long_docs], c) + ranks
-        dst = np.repeat(doc_offsets[long_docs], c) + ranks
+        src = np.repeat(offs[dsel], c) + ranks
+        dst = np.repeat(doc_offsets[dsel], c) + ranks
         out[dst] = roll[src]
+        i = j
     # short docs (0 < len < k): one whole-text polynomial hash each,
     # vectorized across the short docs with <= k-1 byte passes
     short_docs = np.nonzero((lengths > 0) & (lengths < k))[0]

@@ -79,7 +79,8 @@ class CheckpointedSketchBuild:
             ds = ray.data.read_parquet(path)
             partials = build_partials_ds(ds, self.value_col, self.group_cols,
                                          **self.sketch_kwargs)
-            chunks = [ray.get(r) for r in partials.to_arrow_refs()]
+            chunks = [ray.get(r)
+                      for r in partials.materialize().to_arrow_refs()]
             nonempty = [t for t in chunks if t.num_rows]
             if nonempty:
                 table = pa.concat_tables(nonempty)

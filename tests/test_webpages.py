@@ -146,3 +146,33 @@ def test_multimodal_grouped_pipeline_matches_numpy(ray_session):
         want = micro.sum(axis=0) / 1e6 / m.sum()
         np.testing.assert_allclose(np.asarray(row["mean_features"]), want,
                                    atol=1e-12)
+
+
+def test_fused_sketch_build_matches_unfused(ray_session, tmp_path):
+    """The scaling-bench fused pipeline (extract-verify + text metrics +
+    DDSketch + MinHash in ONE map) must reproduce the unfused flagship
+    quantiles bit-identically and aggregate the same text metrics."""
+    import pyarrow.parquet as pq
+    from p2pddsketch_ray.functions.text import token_count
+    from p2pddsketch_ray.pipelines.webpages import (fused_sketch_build,
+                                                    webpage_quantiles)
+    path = str(tmp_path / "pages")
+    generate_webpages(path, 1500, num_blocks=6)
+    res = fused_sketch_build(path, (0.5, 0.95, 0.99))
+    glob_t, grouped = webpage_quantiles(path, "text_len",
+                                        (0.5, 0.95, 0.99), verify=True)
+    assert res["global"].equals(glob_t)           # bit-identical estimates
+    assert res["per_lang"].select(["lang", "q", "est"]).equals(
+        grouped.select(["lang", "q", "est"]))
+    assert res["docs"] == 1500
+    assert res["cpu_sec"] > 0
+    # token total matches a direct count over the raw table
+    files = sorted(__import__("glob").glob(f"{path}/*.parquet"))
+    table = pa.concat_tables([pq.read_table(f, columns=["text"])
+                              for f in files])
+    want = sum(token_count(table["text"].combine_chunks()).to_pylist())
+    assert res["tokens"] == want
+    # checksum is deterministic across runs (drives the bench's
+    # cross-parallelism consistency assertion)
+    res2 = fused_sketch_build(path, (0.5, 0.95, 0.99))
+    assert res2["band_checksum"] == res["band_checksum"]
