@@ -26,6 +26,9 @@ OFFSET = 1073741824  # 2^30, the reference default (main.cpp:49)
 ALPHA = 0.01         # practical tier: key span << bin_limit, no collapse
 BIN_LIMIT = 2048     # roomy so the SQL replica needs no collapse emulation
 GAMMA_SQL = "((1.0+0.01)/(1.0-0.01))"
+
+from p2pddsketch_ray.pipelines.temporal import (  # noqa: E402
+    EVENTS_ASOF_ORDERS_SQL as _EVENTS_ASOF_ORDERS_SQL)
 QS = (0.5, 0.95, 0.99)
 
 
@@ -131,7 +134,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # sliding-window quantiles (turnstile add/delete of whole hour
         # buckets -- the kernel capability the reference never drove)
         "sliding_window_quantiles": _sliding_window_quantiles,
+        # distributed as-of join (vectorized rank-composite kernel over
+        # coarse hash co-partitions; oracle = DuckDB ASOF JOIN)
+        "events_asof_orders": _events_asof_orders,
     }
+
+
+def _events_asof_orders(sf_dir: str):
+    from p2pddsketch_ray.pipelines.temporal import events_asof_orders
+    return events_asof_orders(sf_dir)
 
 
 def _minhash_neardup_docs(sf_dir: str):
@@ -563,4 +574,5 @@ SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        round(list_cosine_similarity(a.v, b.v), 4) AS cos_sim
 FROM u a JOIN u b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(a.v, b.v) >= 0.3""",
+        "events_asof_orders": _EVENTS_ASOF_ORDERS_SQL,
     }
