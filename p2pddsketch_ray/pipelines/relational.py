@@ -471,6 +471,104 @@ def events_sessionized(sf_dir: str,
                         sessions, empty)
 
 
+def events_sessionized_split(sf_dir: str, gap_minutes: int = 30,
+                             split_hours: int = 24) -> "ray.data.Dataset":
+    """Skew-tolerant exact sessionization: the fallback for a user whose
+    history exceeds one partition (the one documented partitioning
+    assumption of `events_sessionized` without a fallback -- VERDICT r2
+    task 9).  Two levels, both vectorized:
+
+    1. co-partition by (user, time-bucket of ``split_hours``): each
+       partition sessionizes its bucket locally AND emits one summary
+       row per (user, bucket) -- (n_sessions, n_events, first_us,
+       last_us).  A hot user's events now spread over many partitions;
+       per-partition memory is bounded by events-per-bucket, not
+       events-per-user.
+    2. co-partition the summaries by user (tiny: one row per ACTIVE
+       bucket, so even 10^9 events in a year is ~365 rows) and stitch:
+       a session spanning a bucket boundary was double-counted once per
+       crossing, so subtract the crossings where the gap between one
+       bucket's last event and the next active bucket's first event is
+       <= the session gap.  Exact for any bucket width >= 1 event: the
+       stitch compares real timestamps of ADJACENT ACTIVE buckets, so
+       empty buckets in between do not break it.
+
+    Output == `events_sessionized` row for row (asserted in tests).
+    """
+    from ..stages.partition import fit_partitions, partition_by
+    gap_us = int(gap_minutes) * 60 * 1_000_000
+    bucket_us = int(split_hours) * 3600 * 1_000_000
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        us = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "user_id": pc.cast(t["user_id"], pa.int64()),
+            "us": pa.array(us, type=pa.int64()),
+            "bucket": pa.array(us // bucket_us, type=pa.int64()),
+        })
+
+    sum_empty = pa.table({name: pa.array([], type=pa.int64())
+                          for name in ("user_id", "bucket", "n_sessions",
+                                       "n_events", "first_us", "last_us")})
+
+    def bucket_sessions(group: pa.Table) -> pa.Table:
+        u = group["user_id"].to_numpy(zero_copy_only=False)
+        us = group["us"].to_numpy(zero_copy_only=False)
+        b = group["bucket"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((us, b, u))
+        u, us, b = u[order], us[order], b[order]
+        new_grp = (np.diff(u) != 0) | (np.diff(b) != 0)
+        new_session = np.concatenate(
+            [[True], new_grp | (np.diff(us) > gap_us)]).astype(np.int64)
+        starts = np.concatenate([[0], np.nonzero(new_grp)[0] + 1])
+        ends = np.concatenate([starts[1:], [u.shape[0]]])
+        return pa.table({
+            "user_id": pa.array(u[starts], type=pa.int64()),
+            "bucket": pa.array(b[starts], type=pa.int64()),
+            "n_sessions": pa.array(np.add.reduceat(new_session, starts),
+                                   type=pa.int64()),
+            "n_events": pa.array(ends - starts, type=pa.int64()),
+            "first_us": pa.array(us[starts], type=pa.int64()),
+            "last_us": pa.array(us[ends - 1], type=pa.int64()),
+        })
+
+    empty = pa.table({"user_id": pa.array([], type=pa.int64()),
+                      "n_sessions": pa.array([], type=pa.int64()),
+                      "n_events": pa.array([], type=pa.int64())})
+
+    def stitch(group: pa.Table) -> pa.Table:
+        u = group["user_id"].to_numpy(zero_copy_only=False)
+        b = group["bucket"].to_numpy(zero_copy_only=False)
+        ns = group["n_sessions"].to_numpy(zero_copy_only=False)
+        ne = group["n_events"].to_numpy(zero_copy_only=False)
+        first = group["first_us"].to_numpy(zero_copy_only=False)
+        last = group["last_us"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((b, u))
+        u, ns, ne = u[order], ns[order], ne[order]
+        first, last = first[order], last[order]
+        same_user = np.diff(u) == 0
+        merged = same_user & (first[1:] - last[:-1] <= gap_us)
+        starts = np.concatenate([[0], np.nonzero(~same_user)[0] + 1])
+        ends = np.concatenate([starts[1:], [u.shape[0]]])
+        minus = np.add.reduceat(
+            np.concatenate([[0], merged.astype(np.int64)]), starts)
+        return pa.table({
+            "user_id": pa.array(u[starts], type=pa.int64()),
+            "n_sessions": pa.array(
+                np.add.reduceat(ns, starts) - minus, type=pa.int64()),
+            "n_events": pa.array(np.add.reduceat(ne, starts),
+                                 type=pa.int64()),
+        })
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    summaries = partition_by(prepped, ["user_id", "bucket"],
+                             fit_partitions(32), bucket_sessions, sum_empty)
+    return partition_by(summaries, ["user_id"], fit_partitions(32),
+                        stitch, empty)
+
+
 def sampled_events_by_type(sf_dir: str, mod: int = 16) -> "ray.data.Dataset":
     """Deterministic hash sampling (keep rows where hash(event_id) % mod
     == 0) -> grouped stats over the sample.  The sample predicate is

@@ -217,3 +217,48 @@ def test_sliding_window_bin_limit_validated(ray_session):
     with pytest.raises(ValueError, match="bin_limit"):
         sliding_window_quantiles(ds, "ts", "value", window_hours=4,
                                  alpha=0.0005, bin_limit=32)
+
+
+def test_sessionized_split_matches_unsplit(ray_session, tmp_path):
+    """The skew-tolerant two-level sessionization (time-bucket split +
+    per-user boundary stitch) is exact: identical output to the
+    single-partition path, including sessions that span bucket
+    boundaries and users with empty buckets in between."""
+    import numpy as np
+    import pyarrow as pa
+    from p2pddsketch_ray.pipelines.relational import (
+        events_sessionized, events_sessionized_split)
+    M = 60 * 1_000_000
+    H = 60  # minutes per hour
+    rows = [
+        # user 1: session crossing a 1-hour bucket boundary (55 -> 65)
+        (1, 40), (1, 55), (1, 65), (1, 200),
+        # user 2: three buckets active, middle bucket empty for user 3
+        (2, 10), (2, 70), (2, 130),          # 60min gaps -> 3 sessions
+        # user 3: events in buckets 0 and 4 only (empty buckets between)
+        (3, 5), (3, 250),
+        # user 4: dense session spanning THREE buckets
+        (4, 50), (4, 75), (4, 100), (4, 125),
+    ]
+    t = pa.table({
+        "user_id": pa.array([u for u, _ in rows], type=pa.int64()),
+        "ts": pa.array([m * M for _, m in rows], type=pa.timestamp("us")),
+    })
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    base = (events_sessionized(str(tmp_path), gap_minutes=30)
+            .to_pandas().sort_values("user_id").reset_index(drop=True))
+    split = (events_sessionized_split(str(tmp_path), gap_minutes=30,
+                                      split_hours=1)
+             .to_pandas().sort_values("user_id").reset_index(drop=True))
+    assert base.equals(split)
+    got = dict(zip(split["user_id"], split["n_sessions"]))
+    assert got == {1: 2, 2: 3, 3: 2, 4: 1}
+
+    # and on the real events table (sf0.001), tiny buckets to force many
+    # boundary crossings
+    sf = "/root/testdata/sf0.001"
+    base = (events_sessionized(sf, gap_minutes=30)
+            .to_pandas().sort_values("user_id").reset_index(drop=True))
+    split = (events_sessionized_split(sf, gap_minutes=30, split_hours=1)
+             .to_pandas().sort_values("user_id").reset_index(drop=True))
+    assert base.equals(split)
