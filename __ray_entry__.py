@@ -28,7 +28,12 @@ BIN_LIMIT = 2048     # roomy so the SQL replica needs no collapse emulation
 GAMMA_SQL = "((1.0+0.01)/(1.0-0.01))"
 
 from p2pddsketch_ray.pipelines.temporal import (  # noqa: E402
-    EVENTS_ASOF_ORDERS_SQL as _EVENTS_ASOF_ORDERS_SQL)
+    EVENTS_ASOF_ORDERS_SQL as _EVENTS_ASOF_ORDERS_SQL,
+    ORDERS_EVENT_WINDOW_SQL as _ORDERS_EVENT_WINDOW_SQL,
+    USER_EVENT_LAG_SQL as _USER_EVENT_LAG_SQL)
+from p2pddsketch_ray.pipelines.relational import (  # noqa: E402
+    REPETITION_STATS_SQL as _REPETITION_STATS_SQL,
+    STRATIFIED_SAMPLE_SQL as _STRATIFIED_SAMPLE_SQL)
 QS = (0.5, 0.95, 0.99)
 
 
@@ -137,12 +142,33 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # distributed as-of join (vectorized rank-composite kernel over
         # coarse hash co-partitions; oracle = DuckDB ASOF JOIN)
         "events_asof_orders": _events_asof_orders,
+        # distributed range (interval-overlap) join: time-bucket
+        # co-partition, <= 2x replication of the small side only
+        "orders_event_window_stats": _orders_event_window_stats,
+        # SQL window functions (lag per user ordered by ts) as a
+        # co-partitioned vectorized kernel
+        "user_event_lag_stats": _user_event_lag_stats,
+        # Gopher-style repetition quality signals over documents
+        "repetition_stats_by_lang": R.repetition_stats_by_lang,
+        # distributed stratified sampling (per-group deterministic k-row
+        # hash sample, block-local prereduce)
+        "stratified_sample_events": R.stratified_sample_events,
     }
 
 
 def _events_asof_orders(sf_dir: str):
     from p2pddsketch_ray.pipelines.temporal import events_asof_orders
     return events_asof_orders(sf_dir)
+
+
+def _orders_event_window_stats(sf_dir: str):
+    from p2pddsketch_ray.pipelines.temporal import orders_event_window_stats
+    return orders_event_window_stats(sf_dir)
+
+
+def _user_event_lag_stats(sf_dir: str):
+    from p2pddsketch_ray.pipelines.temporal import user_event_lag_stats
+    return user_event_lag_stats(sf_dir)
 
 
 def _minhash_neardup_docs(sf_dir: str):
@@ -575,4 +601,8 @@ SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
 FROM u a JOIN u b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(a.v, b.v) >= 0.3""",
         "events_asof_orders": _EVENTS_ASOF_ORDERS_SQL,
+        "orders_event_window_stats": _ORDERS_EVENT_WINDOW_SQL,
+        "user_event_lag_stats": _USER_EVENT_LAG_SQL,
+        "repetition_stats_by_lang": _REPETITION_STATS_SQL,
+        "stratified_sample_events": _STRATIFIED_SAMPLE_SQL,
     }

@@ -754,3 +754,171 @@ def knn_cosine_topk(sf_dir: str, query_vec_id: int = 0,
     from ..stages.topk import topk
     return topk(ds.map_batches(score, batch_format="pyarrow"),
                 [("cos_sim", "descending"), ("vec_id", "ascending")], k)
+
+
+def repetition_stats_by_lang(sf_dir: str) -> "ray.data.Dataset":
+    """Gopher-style repetition quality signals, rolled up per language:
+    per document, the whitespace token count, the count of the most
+    frequent token, and the distinct-token count; per lang, their exact
+    integer sums (the per-corpus inputs to "fraction of text in the top
+    token" / type-token-ratio filters used by web-corpus curation).
+
+    Fully vectorized per batch: one Arrow ``split_pattern`` pass, then
+    token occurrences are counted by np.unique over (doc, token-rank)
+    composites -- no per-document Python.  Token identity is Arrow
+    dictionary encoding (exact, C-vectorized, no hash collisions).  All
+    outputs are integer sums, so the per-lang rollup is merge-order-proof
+    and hash-matches the DuckDB string_split/unnest oracle."""
+    ds = _read(sf_dir, "documents", ["text", "lang"])
+
+    def doc_stats(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t["text"], pattern=" ")
+        flat = pc.list_flatten(toks).combine_chunks()
+        counts = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        counts = counts.astype(np.int64)
+        doc_idx = np.repeat(np.arange(t.num_rows, dtype=np.int64), counts)
+        dic = flat.dictionary_encode()
+        trank = dic.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        n_vocab = len(dic.dictionary)
+        # (doc, token) pair counts via one sort: composite of doc index
+        # and dense token rank fits int64 comfortably at batch scale
+        comp = doc_idx * np.int64(n_vocab + 1) + trank
+        upair, pair_counts = np.unique(comp, return_counts=True)
+        pair_doc = upair // np.int64(n_vocab + 1)
+        c_max = np.zeros(t.num_rows, dtype=np.int64)
+        np.maximum.at(c_max, pair_doc, pair_counts)
+        n_distinct = np.bincount(pair_doc, minlength=t.num_rows)
+        return pa.table({
+            "lang": t["lang"],
+            "docs": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+            "n_tok": pa.array(counts),
+            "c_max": pa.array(c_max),
+            "n_distinct": pa.array(n_distinct.astype(np.int64)),
+        })
+
+    # per-batch combiner: fold to per-lang partials before the shuffle
+    def combine(t: pa.Table) -> pa.Table:
+        lang = t["lang"].to_numpy(zero_copy_only=False)
+        ul, inv = np.unique(lang, return_inverse=True)
+        out = {"lang": pa.array(ul.tolist(), type=pa.string())}
+        for col in ("docs", "n_tok", "c_max", "n_distinct"):
+            acc = np.zeros(ul.shape[0], dtype=np.int64)
+            np.add.at(acc, inv, t[col].to_numpy(zero_copy_only=False))
+            out[col] = pa.array(acc)
+        return pa.table(out)
+
+    agg = (ds.map_batches(doc_stats, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .map_batches(combine, batch_format="pyarrow")
+           .groupby("lang")
+           .aggregate(Sum("docs", alias_name="docs"),
+                      Sum("n_tok", alias_name="sum_tokens"),
+                      Sum("c_max", alias_name="sum_top_token"),
+                      Sum("n_distinct", alias_name="sum_distinct_tokens")))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "lang": t["lang"],
+            "docs": pc.cast(t["docs"], pa.int64()),
+            "sum_tokens": pc.cast(t["sum_tokens"], pa.int64()),
+            "sum_top_token": pc.cast(t["sum_top_token"], pa.int64()),
+            "sum_distinct_tokens": pc.cast(t["sum_distinct_tokens"],
+                                           pa.int64()),
+        })
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+REPETITION_STATS_SQL = """
+WITH toks AS (
+  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+  FROM documents
+), per AS (
+  SELECT doc_id, lang, w, count(*) AS c
+  FROM toks GROUP BY 1, 2, 3
+), doc AS (
+  SELECT doc_id, lang,
+         CAST(sum(c) AS BIGINT) AS n_tok,
+         CAST(max(c) AS BIGINT) AS c_max,
+         CAST(count(*) AS BIGINT) AS n_distinct
+  FROM per GROUP BY 1, 2
+)
+SELECT lang,
+       count(*) AS docs,
+       CAST(sum(n_tok) AS BIGINT) AS sum_tokens,
+       CAST(sum(c_max) AS BIGINT) AS sum_top_token,
+       CAST(sum(n_distinct) AS BIGINT) AS sum_distinct_tokens
+FROM doc
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+def stratified_sample_events(sf_dir: str, k: int = 5) -> "ray.data.Dataset":
+    """Distributed stratified sampling: a deterministic k-row sample per
+    group (event_type), selected as the k rows with the smallest
+    ``murmur64(event_id)`` -- hash order is a uniform random permutation,
+    so this IS a per-stratum uniform sample, yet fully reproducible and
+    mergeable (the "reservoir" union is just keep-k-smallest again).
+
+    Scale shape: a block-local prereduce keeps at most k rows per group
+    per block, so the shuffle moves O(groups x k x blocks) tiny rows no
+    matter how large the input; the same kernel then reduces each
+    group's partials.  murmur64 bit-replicates DuckDB ``hash(BIGINT)``,
+    making the sample exactly SQL-replicable (QUALIFY row_number()).
+    """
+    from ..hashing import murmur64
+    from ..stages.partition import partition_by
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    empty = pa.table({"event_type": pa.array([], type=pa.string()),
+                      "event_id": pa.array([], type=pa.int64()),
+                      "value_units": pa.array([], type=pa.int64())})
+
+    def keep_k(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        hh = murmur64(eid)  # uint64, compare unsigned like DuckDB UBIGINT
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        ut, tcode = np.unique(et, return_inverse=True)
+        order = np.lexsort((eid, hh, tcode))
+        tc_s = tcode[order]
+        new_grp = np.ones(order.shape[0], dtype=bool)
+        new_grp[1:] = tc_s[1:] != tc_s[:-1]
+        starts = np.nonzero(new_grp)[0]
+        first = np.repeat(starts, np.diff(np.append(starts,
+                                                    order.shape[0])))
+        rank = np.arange(order.shape[0]) - first
+        keep = order[rank < k]
+        if "value_units" in t.column_names:
+            vu = t["value_units"].take(pa.array(keep))
+        else:
+            vals = t["value"].to_numpy(zero_copy_only=False)[keep]
+            vu = pa.array(np.floor(vals * 1e6 + 0.5).astype(np.int64))
+        return pa.table({
+            "event_type": t["event_type"].take(pa.array(keep)),
+            "event_id": t["event_id"].take(pa.array(keep)),
+            "value_units": vu,
+        })
+
+    prereduced = ds.map_batches(keep_k, batch_format="pyarrow",
+                                zero_copy_batch=True)
+    # the union of per-block keeps is O(groups x k x blocks) tiny rows;
+    # one final keep-k pass over a single partition finishes the sample
+    return partition_by(prereduced, [], 1, keep_k, empty)
+
+
+STRATIFIED_SAMPLE_SQL = """
+WITH h AS (
+  SELECT event_type, event_id,
+         CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS value_units,
+         hash(event_id) AS hh
+  FROM events
+)
+SELECT event_type, event_id, value_units
+FROM h
+QUALIFY row_number() OVER (PARTITION BY event_type
+                           ORDER BY hh, event_id) <= 5
+ORDER BY 1, 2
+"""

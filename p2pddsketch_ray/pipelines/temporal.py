@@ -267,3 +267,277 @@ ASOF JOIN uniq o
 GROUP BY 1, 2
 ORDER BY 1, 2
 """
+
+
+# ---------------------------------------------------------------------------
+# Range (interval-overlap) join
+# ---------------------------------------------------------------------------
+
+def range_join_agg(point_ds, range_ds, *, point_ts: str, value_col: str,
+                   range_key: str, range_start: str, window_us: int,
+                   value_scale: float = 1e6,
+                   num_partitions: int | None = None,
+                   point_schema: pa.Schema | None = None,
+                   range_schema: pa.Schema | None = None):
+    """Distributed interval-overlap join with fused aggregation: for every
+    range row ``[range_start, range_start + window_us)`` count the point
+    rows whose ``point_ts`` falls inside it and sum their ``value_col``
+    (in exact integer units of ``1/value_scale``).  LEFT semantics: every
+    range row appears in the output, zero-filled when nothing overlaps.
+
+    Another "operator Ray Data lacks" (no interval-join primitive; naive
+    SQL engines run it as an inequality nested loop).  Dataflow:
+
+    1. time-bucket both sides with bucket width == window length: a point
+       lands in exactly ``floor(ts / W)``; a range overlaps at most TWO
+       consecutive buckets, so ranges are replicated <= 2x while points
+       -- the big side at web scale -- are never duplicated;
+    2. coarse hash co-partition on the bucket id (``partition_by``);
+    3. per partition, one vectorized kernel: lexsort points by
+       (bucket, ts), dense-rank the union of point timestamps and range
+       endpoints, form rank-composites ``bucket * K + ts_rank`` and
+       answer every replica's [start, end) slice with two
+       ``np.searchsorted`` calls against the sorted composites plus a
+       prefix-sum gather for the value sum -- no per-range Python;
+    4. per-replica partials (<= 2 small rows per range) flow through one
+       ``groupby(range_key).sum`` whose shuffle moves O(ranges) 24-byte
+       rows, never the points.
+
+    Replicas of one range live in different buckets and a bucket's points
+    all satisfy ``bucket == floor(ts / W)``, so the two replica slices are
+    disjoint by construction -- no double counting and no clamp logic.
+    """
+    if point_schema is None:
+        point_schema = point_ds.schema()
+    if range_schema is None:
+        range_schema = range_ds.schema()
+    w = np.int64(window_us)
+
+    def norm_points(t: pa.Table) -> pa.Table:
+        ts = _as_int64(t[point_ts])
+        vals = t[value_col].to_numpy(zero_copy_only=False)
+        units = np.floor(vals * value_scale + 0.5).astype(np.int64)
+        return pa.table({
+            "_bucket": pa.array(ts // w, type=pa.int64()),
+            "_ts": pa.array(ts, type=pa.int64()),
+            "_key": pa.nulls(t.num_rows, type=pa.int64()),
+            "_units": pa.array(units),
+            "_side": pa.array(np.zeros(t.num_rows, dtype=np.int8)),
+        })
+
+    def norm_ranges(t: pa.Table) -> pa.Table:
+        s = _as_int64(t[range_start])
+        key = pc.cast(t[range_key], pa.int64()).to_numpy(zero_copy_only=False)
+        b0 = s // w
+        b1 = (s + w - 1) // w  # last bucket the half-open range touches
+        extra = np.nonzero(b1 != b0)[0]  # second replica only when it differs
+        bb = np.concatenate([b0, b1[extra]])
+        ss = np.concatenate([s, s[extra]])
+        kk = np.concatenate([key, key[extra]])
+        return pa.table({
+            "_bucket": pa.array(bb, type=pa.int64()),
+            "_ts": pa.array(ss, type=pa.int64()),
+            "_key": pa.array(kk, type=pa.int64()),
+            "_units": pa.array(np.zeros(bb.shape[0], dtype=np.int64)),
+            "_side": pa.array(np.ones(bb.shape[0], dtype=np.int8)),
+        })
+
+    points = point_ds.map_batches(norm_points, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+    ranges = range_ds.map_batches(norm_ranges, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+    both = points.union(ranges)
+
+    empty = pa.table({range_key: pa.array([], type=pa.int64()),
+                      "_n": pa.array([], type=pa.int64()),
+                      "_sum": pa.array([], type=pa.int64())})
+
+    def kernel(t: pa.Table) -> pa.Table:
+        side = t["_side"].to_numpy(zero_copy_only=False)
+        bucket = t["_bucket"].to_numpy(zero_copy_only=False)
+        ts = t["_ts"].to_numpy(zero_copy_only=False)
+        pi = np.nonzero(side == 0)[0]
+        ri = np.nonzero(side == 1)[0]
+        if ri.shape[0] == 0:
+            return empty
+        # dense ranks over the union of point ts and range endpoints keep
+        # the composite faithful to (bucket, ts) lexicographic order
+        starts = ts[ri]
+        ends = starts + w
+        uts = np.unique(np.concatenate([ts[pi], starts, ends]))
+        k = np.int64(uts.shape[0] + 1)
+        comp_p = bucket[pi] * k + np.searchsorted(uts, ts[pi])
+        order = np.argsort(comp_p, kind="stable")
+        comp_sorted = comp_p[order]
+        units_sorted = t["_units"].to_numpy(zero_copy_only=False)[pi][order]
+        csum = np.concatenate([[0], np.cumsum(units_sorted)])
+        rb = bucket[ri]
+        lo = np.searchsorted(comp_sorted, rb * k + np.searchsorted(uts, starts))
+        hi = np.searchsorted(comp_sorted, rb * k + np.searchsorted(uts, ends))
+        return pa.table({
+            range_key: t["_key"].take(pa.array(ri)),
+            "_n": pa.array((hi - lo).astype(np.int64)),
+            "_sum": pa.array(csum[hi] - csum[lo]),
+        })
+
+    parts = (num_partitions if num_partitions is not None
+             else fit_partitions(32))
+    partials = partition_by(both, ["_bucket"], parts, kernel, empty)
+    from ray.data.aggregate import Sum
+    return (partials.groupby(range_key)
+            .aggregate(Sum("_n", alias_name="_n"),
+                       Sum("_sum", alias_name="_sum")))
+
+
+def orders_event_window_stats(sf_dir: str,
+                              window_days: int = 7) -> "ray.data.Dataset":
+    """Driver query: for every order, the number of events (any user) in
+    the ``window_days`` window starting at its order date and their total
+    value in integer micro-units.  Exercises the interval join with LEFT
+    semantics; integer sums keep the rollup merge-order-proof."""
+    events = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                                   columns=["ts", "value"])
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                   columns=["o_orderkey", "o_orderdate"])
+    agg = range_join_agg(
+        events, orders, point_ts="ts", value_col="value",
+        range_key="o_orderkey", range_start="o_orderdate",
+        window_us=window_days * 86_400_000_000)
+
+    def finalize(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": pc.cast(t["o_orderkey"], pa.int64()),
+            "n_events": pc.cast(t["_n"], pa.int64()),
+            "sum_value_micros": pc.cast(t["_sum"], pa.int64()),
+        })
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+ORDERS_EVENT_WINDOW_SQL = """
+SELECT o.o_orderkey,
+       count(e.ts) AS n_events,
+       CAST(coalesce(sum(CAST(floor(e.value * 1000000.0 + 0.5) AS BIGINT)),
+                     0) AS BIGINT) AS sum_value_micros
+FROM orders o
+LEFT JOIN events e
+  ON e.ts >= o.o_orderdate
+ AND e.ts < o.o_orderdate + INTERVAL 7 DAY
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Per-key ordered window functions (lag / delta)
+# ---------------------------------------------------------------------------
+
+def user_event_lag_stats(sf_dir: str) -> "ray.data.Dataset":
+    """Driver query: SQL window functions ``lag(...) OVER (PARTITION BY
+    user_id ORDER BY ts, event_id)`` as a distributed operator -- per
+    user, each event's value delta and time gap versus that user's
+    previous event, rolled up per event_type.
+
+    Dataflow: coarse hash co-partition on user_id (every user's history
+    lands in one partition -- same assumption as sessionization, with the
+    same time-split escape hatch if a user ever outgrows a partition),
+    then ONE vectorized kernel per partition: lexsort by (user, ts,
+    event_id), shift-compare to find same-user predecessors, integer
+    micro-unit diffs.  Partials are (event_type, n, sum, sum) rows, so
+    the final shuffle moves O(types) rows per partition.
+
+    Values are diffed in integer micro-units (exact, associative); the
+    (ts, event_id) ordering makes the lag deterministic under ties.
+    """
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type", "value"])
+
+    empty = pa.table({"event_type": pa.array([], type=pa.string()),
+                      "n_with_prev": pa.array([], type=pa.int64()),
+                      "sum_dvalue_units": pa.array([], type=pa.int64()),
+                      "sum_gap_us": pa.array([], type=pa.int64())})
+
+    def prep(t: pa.Table) -> pa.Table:
+        units = np.floor(
+            t["value"].to_numpy(zero_copy_only=False) * 1e6 + 0.5
+        ).astype(np.int64)
+        return pa.table({
+            "user_id": t["user_id"],
+            "ts": pa.array(_as_int64(t["ts"]), type=pa.int64()),
+            "event_id": t["event_id"],
+            "event_type": t["event_type"],
+            "units": pa.array(units),
+        })
+
+    def lag_kernel(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        ts = t["ts"].to_numpy(zero_copy_only=False)
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        units = t["units"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, uid))
+        uid_s, ts_s, units_s = uid[order], ts[order], units[order]
+        has_prev = np.zeros(order.shape[0], dtype=bool)
+        has_prev[1:] = uid_s[1:] == uid_s[:-1]
+        du = np.zeros(order.shape[0], dtype=np.int64)
+        gap = np.zeros(order.shape[0], dtype=np.int64)
+        du[1:] = units_s[1:] - units_s[:-1]
+        gap[1:] = ts_s[1:] - ts_s[:-1]
+        et = t["event_type"].to_numpy(zero_copy_only=False)[order]
+        ue, inv = np.unique(et, return_inverse=True)
+        n = np.zeros(ue.shape[0], dtype=np.int64)
+        np.add.at(n, inv[has_prev], 1)
+        sdu = np.zeros(ue.shape[0], dtype=np.int64)
+        np.add.at(sdu, inv[has_prev], du[has_prev])
+        sgap = np.zeros(ue.shape[0], dtype=np.int64)
+        np.add.at(sgap, inv[has_prev], gap[has_prev])
+        return pa.table({
+            "event_type": pa.array(ue.tolist(), type=pa.string()),
+            "n_with_prev": pa.array(n),
+            "sum_dvalue_units": pa.array(sdu),
+            "sum_gap_us": pa.array(sgap),
+        })
+
+    prepped = events.map_batches(prep, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+    partials = partition_by(prepped, ["user_id"], fit_partitions(32),
+                            lag_kernel, empty)
+    from ray.data.aggregate import Sum
+    agg = (partials.groupby("event_type")
+           .aggregate(Sum("n_with_prev", alias_name="n_with_prev"),
+                      Sum("sum_dvalue_units", alias_name="sum_dvalue_units"),
+                      Sum("sum_gap_us", alias_name="sum_gap_us")))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": t["event_type"],
+            "n_with_prev": pc.cast(t["n_with_prev"], pa.int64()),
+            "sum_dvalue_units": pc.cast(t["sum_dvalue_units"], pa.int64()),
+            "sum_gap_us": pc.cast(t["sum_gap_us"], pa.int64()),
+        })
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+USER_EVENT_LAG_SQL = """
+WITH v AS (
+  SELECT user_id, ts, event_id, event_type,
+         CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS units
+  FROM events
+), w AS (
+  SELECT event_type,
+         units - lag(units) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS du,
+         date_diff('microsecond',
+                   lag(ts) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id), ts) AS gap
+  FROM v
+)
+SELECT event_type,
+       count(du) AS n_with_prev,
+       CAST(coalesce(sum(du), 0) AS BIGINT) AS sum_dvalue_units,
+       CAST(coalesce(sum(gap), 0) AS BIGINT) AS sum_gap_us
+FROM w
+GROUP BY 1
+ORDER BY 1
+"""

@@ -3,6 +3,7 @@ testdata (TESTDATA.md) -- the distributed analog of the reference's
 testQuantile harness (main.cpp:1041-1082)."""
 
 import numpy as np
+import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
 
@@ -262,3 +263,54 @@ def test_sessionized_split_matches_unsplit(ray_session, tmp_path):
     split = (events_sessionized_split(sf, gap_minutes=30, split_hours=1)
              .to_pandas().sort_values("user_id").reset_index(drop=True))
     assert base.equals(split)
+
+
+def test_repetition_stats_matches_duckdb(ray_session):
+    duckdb = pytest.importorskip("duckdb")
+    from p2pddsketch_ray.pipelines.relational import (
+        REPETITION_STATS_SQL, repetition_stats_by_lang)
+    sf = "/root/testdata/sf0.001"
+    got = (repetition_stats_by_lang(sf).to_pandas()
+           .sort_values("lang").reset_index(drop=True))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf}/documents.parquet')")
+    want = con.execute(REPETITION_STATS_SQL).df()
+    assert got.equals(want.reset_index(drop=True))
+
+
+def test_repetition_stats_kernel_edges(ray_session, tmp_path):
+    """Repeated-token, single-token, and empty-string documents."""
+    import pyarrow.parquet as pq
+    from p2pddsketch_ray.pipelines.relational import repetition_stats_by_lang
+    t = pa.table({
+        "text": pa.array(["a a a b", "solo", "", "x  y"]),  # "" and double
+        "lang": pa.array(["en", "en", "de", "de"]),         # space edges
+    })
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    got = (repetition_stats_by_lang(str(tmp_path)).to_pandas()
+           .sort_values("lang").reset_index(drop=True))
+    # de: "" -> 1 empty token; "x  y" -> ["x", "", "y"] (3 tokens, all
+    #     counts: x:1, "":1, y:1 ... but "" appears once in each doc)
+    de = got[got["lang"] == "de"].iloc[0]
+    assert de["docs"] == 2 and de["sum_tokens"] == 1 + 3
+    assert de["sum_top_token"] == 1 + 1 and de["sum_distinct_tokens"] == 1 + 3
+    en = got[got["lang"] == "en"].iloc[0]
+    assert en["docs"] == 2 and en["sum_tokens"] == 4 + 1
+    assert en["sum_top_token"] == 3 + 1 and en["sum_distinct_tokens"] == 2 + 1
+
+
+def test_stratified_sample_matches_duckdb(ray_session):
+    duckdb = pytest.importorskip("duckdb")
+    from p2pddsketch_ray.pipelines.relational import (
+        STRATIFIED_SAMPLE_SQL, stratified_sample_events)
+    sf = "/root/testdata/sf0.001"
+    got = (stratified_sample_events(sf).to_pandas()
+           .sort_values(["event_type", "event_id"]).reset_index(drop=True))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{sf}/events.parquet')")
+    want = con.execute(STRATIFIED_SAMPLE_SQL).df()
+    assert got.equals(want.reset_index(drop=True))
+    # every present stratum is sampled at exactly k (table is big enough)
+    assert (got.groupby("event_type").size() == 5).all()

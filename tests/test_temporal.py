@@ -89,3 +89,71 @@ def test_events_asof_orders_matches_duckdb(ray_session):
                     f"read_parquet('{sf}/{t}.parquet')")
     want = con.execute(EVENTS_ASOF_ORDERS_SQL).df()
     assert got.equals(want.reset_index(drop=True))
+
+
+def _collect(ds) -> pa.Table:
+    import ray
+    return pa.concat_tables(
+        [t for t in map(ray.get, ds.materialize().to_arrow_refs())
+         if t.num_rows])
+
+
+def test_range_join_agg_brute_force(ray_session):
+    """Bucketed interval join == brute-force nested loop, including
+    bucket-boundary-aligned and cross-bucket ranges and empty windows."""
+    from p2pddsketch_ray.pipelines.temporal import range_join_agg
+    rng = np.random.default_rng(11)
+    n_p, n_r, w = 3000, 200, 1000
+    pts = pa.table({
+        "ts": pa.array(rng.integers(0, 50_000, n_p), type=pa.int64()),
+        "v": pa.array(rng.normal(10, 3, n_p)),
+    })
+    starts = rng.integers(0, 50_000, n_r - 2)
+    # edge: bucket-aligned start + a range beyond every point
+    starts = np.concatenate([starts, [7000, 1_000_000]])
+    rngs = pa.table({
+        "rid": pa.array(np.arange(n_r), type=pa.int64()),
+        "start": pa.array(starts, type=pa.int64()),
+    })
+    out = _collect(range_join_agg(
+        _make_ds(pts), _make_ds(rngs), point_ts="ts", value_col="v",
+        range_key="rid", range_start="start", window_us=w,
+        num_partitions=4)).sort_by([("rid", "ascending")])
+    assert out.num_rows == n_r  # LEFT semantics: every range present
+    ts = pts["ts"].to_numpy()
+    units = np.floor(pts["v"].to_numpy() * 1e6 + 0.5).astype(np.int64)
+    got_n = dict(zip(out["rid"].to_pylist(), out["_n"].to_pylist()))
+    got_s = dict(zip(out["rid"].to_pylist(), out["_sum"].to_pylist()))
+    for rid, s in zip(rngs["rid"].to_pylist(), starts):
+        m = (ts >= s) & (ts < s + w)
+        assert got_n[rid] == int(m.sum())
+        assert got_s[rid] == int(units[m].sum())
+
+
+def test_orders_event_window_matches_duckdb(ray_session):
+    duckdb = pytest.importorskip("duckdb")
+    from p2pddsketch_ray.pipelines.temporal import (
+        ORDERS_EVENT_WINDOW_SQL, orders_event_window_stats)
+    sf = "/root/testdata/sf0.001"
+    got = (orders_event_window_stats(sf).to_pandas()
+           .sort_values("o_orderkey").reset_index(drop=True))
+    con = duckdb.connect()
+    for t in ("events", "orders"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{sf}/{t}.parquet')")
+    want = con.execute(ORDERS_EVENT_WINDOW_SQL).df()
+    assert got.equals(want.reset_index(drop=True))
+
+
+def test_user_event_lag_matches_duckdb(ray_session):
+    duckdb = pytest.importorskip("duckdb")
+    from p2pddsketch_ray.pipelines.temporal import (USER_EVENT_LAG_SQL,
+                                                    user_event_lag_stats)
+    sf = "/root/testdata/sf0.001"
+    got = (user_event_lag_stats(sf).to_pandas()
+           .sort_values("event_type").reset_index(drop=True))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{sf}/events.parquet')")
+    want = con.execute(USER_EVENT_LAG_SQL).df()
+    assert got.equals(want.reset_index(drop=True))
