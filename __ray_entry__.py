@@ -33,7 +33,9 @@ from p2pddsketch_ray.pipelines.temporal import (  # noqa: E402
     USER_EVENT_LAG_SQL as _USER_EVENT_LAG_SQL)
 from p2pddsketch_ray.pipelines.relational import (  # noqa: E402
     REPETITION_STATS_SQL as _REPETITION_STATS_SQL,
-    STRATIFIED_SAMPLE_SQL as _STRATIFIED_SAMPLE_SQL)
+    STRATIFIED_SAMPLE_SQL as _STRATIFIED_SAMPLE_SQL,
+    TOP_EVENTS_PER_TYPE_SQL as _TOP_EVENTS_PER_TYPE_SQL,
+    CUSTOMERS_WITHOUT_EVENTS_SQL as _CUSTOMERS_WITHOUT_EVENTS_SQL)
 QS = (0.5, 0.95, 0.99)
 
 
@@ -153,6 +155,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # distributed stratified sampling (per-group deterministic k-row
         # hash sample, block-local prereduce)
         "stratified_sample_events": R.stratified_sample_events,
+        # per-group top-N (row_number-over-partition semantics via
+        # block-local keep-n prereduce)
+        "top_events_per_type": R.top_events_per_type,
+        # exact distributed anti-join (NOT EXISTS) via Ray's native
+        # left_anti hash-shuffle join
+        "customers_without_events": R.customers_without_events,
     }
 
 
@@ -605,4 +613,6 @@ WHERE list_cosine_similarity(a.v, b.v) >= 0.3""",
         "user_event_lag_stats": _USER_EVENT_LAG_SQL,
         "repetition_stats_by_lang": _REPETITION_STATS_SQL,
         "stratified_sample_events": _STRATIFIED_SAMPLE_SQL,
+        "top_events_per_type": _TOP_EVENTS_PER_TYPE_SQL,
+        "customers_without_events": _CUSTOMERS_WITHOUT_EVENTS_SQL,
     }

@@ -922,3 +922,149 @@ QUALIFY row_number() OVER (PARTITION BY event_type
                            ORDER BY hh, event_id) <= 5
 ORDER BY 1, 2
 """
+
+
+def top_events_per_type(sf_dir: str, n: int = 3) -> "ray.data.Dataset":
+    """Per-group top-N: for every event_type, the ``n`` highest-value
+    events with a deterministic (value desc, event_id asc) tie order --
+    the distributed form of ``row_number() OVER (PARTITION BY g ORDER BY
+    v DESC) <= n``, an operator Ray Data's sort/limit cannot express
+    per group.
+
+    Scale shape (same as ``stratified_sample_events``): a block-local
+    prereduce keeps at most n rows per group per block, so the shuffle
+    moves O(groups x n x blocks) tiny rows regardless of input size; one
+    final single-partition pass reduces the partials and assigns ranks.
+    Ordering compares exact int64 micro-units (identical in numpy and
+    DuckDB), never raw doubles, so the selection is hash-replicable.
+    """
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    empty = pa.table({"event_type": pa.array([], type=pa.string()),
+                      "event_id": pa.array([], type=pa.int64()),
+                      "value_units": pa.array([], type=pa.int64()),
+                      "rnk": pa.array([], type=pa.int64())})
+
+    def keep_n(t: pa.Table, with_rank: bool) -> pa.Table:
+        if t.num_rows == 0:
+            return empty if with_rank else empty.drop_columns(["rnk"])
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        if "value_units" in t.column_names:
+            units = t["value_units"].to_numpy(zero_copy_only=False)
+        else:
+            vals = t["value"].to_numpy(zero_copy_only=False)
+            units = np.floor(vals * 1e6 + 0.5).astype(np.int64)
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        ut, tcode = np.unique(et, return_inverse=True)
+        order = np.lexsort((eid, -units, tcode))
+        tc_s = tcode[order]
+        new_grp = np.ones(order.shape[0], dtype=bool)
+        new_grp[1:] = tc_s[1:] != tc_s[:-1]
+        starts = np.nonzero(new_grp)[0]
+        first = np.repeat(starts,
+                          np.diff(np.append(starts, order.shape[0])))
+        rank = np.arange(order.shape[0]) - first
+        sel = rank < n
+        keep = order[sel]
+        out = {
+            "event_type": pa.array(ut[tc_s[sel]].tolist(),
+                                   type=pa.string()),
+            "event_id": pa.array(eid[keep]),
+            "value_units": pa.array(units[keep]),
+        }
+        if with_rank:
+            out["rnk"] = pa.array(rank[sel] + 1)
+        return pa.table(out)
+
+    prereduced = ds.map_batches(lambda t: keep_n(t, False),
+                                batch_format="pyarrow",
+                                zero_copy_batch=True)
+    from ..stages.partition import partition_by
+    return partition_by(prereduced, [], 1, lambda t: keep_n(t, True), empty)
+
+
+TOP_EVENTS_PER_TYPE_SQL = """
+WITH h AS (
+  SELECT event_type, event_id,
+         CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS value_units
+  FROM events
+)
+SELECT event_type, event_id, value_units,
+       CAST(row_number() OVER (PARTITION BY event_type
+                               ORDER BY value_units DESC, event_id)
+            AS BIGINT) AS rnk
+FROM h
+QUALIFY rnk <= 3
+ORDER BY 1, 4
+"""
+
+
+def customers_without_events(sf_dir: str) -> "ray.data.Dataset":
+    """Distributed ANTI-join: customers with no activity in the events
+    table, rolled up per nation (count + exact acctbal cents).  Uses Ray
+    Data's native hash-shuffle ``join(join_type="left_anti")`` -- the
+    complement of the Bloom semi-join (`approx.bloom_semijoin_orders`):
+    an exact "NOT EXISTS" against a fact table too large to broadcast.
+    Both sides are pruned to join + payload columns before the exchange;
+    the nation name is a broadcast lookup after the rollup (25 rows)."""
+    import pyarrow.parquet as pq
+    cust = _read(sf_dir, "customer",
+                 ["c_custkey", "c_nationkey", "c_acctbal"])
+
+    def prep_cust(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_custkey": pc.cast(t["c_custkey"], pa.int64()),
+            "c_nationkey": pc.cast(t["c_nationkey"], pa.int64()),
+            "acct_cents": _int_units(t["c_acctbal"], 100),
+        })
+
+    events = _read(sf_dir, "events", ["user_id"])
+
+    def prep_events(t: pa.Table) -> pa.Table:
+        return pa.table({"user_id": pc.cast(t["user_id"], pa.int64())})
+
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    anti = cust.map_batches(prep_cust, batch_format="pyarrow").join(
+        events.map_batches(prep_events, batch_format="pyarrow"),
+        "left_anti", num_partitions=max(2, min(cpus, 16)),
+        on=("c_custkey",), right_on=("user_id",))
+
+    agg = (anti.groupby("c_nationkey")
+           .aggregate(Count(alias_name="n_customers"),
+                      Sum("acct_cents", alias_name="acct_cents")))
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet",
+                           columns=["n_nationkey", "n_name"])
+    lookup_ref = ray.put((nation["n_nationkey"].combine_chunks(),
+                          nation["n_name"].combine_chunks()))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "c_nationkey" not in t.column_names:
+            return pa.table({"n_name": pa.array([], type=pa.string()),
+                             "n_customers": pa.array([], type=pa.int64()),
+                             "acct_cents": pa.array([], type=pa.int64())})
+        dim_keys, dim_names = ray.get(lookup_ref)
+        idx = pc.index_in(pc.cast(t["c_nationkey"], pa.int64()),
+                          value_set=pc.cast(dim_keys, pa.int64()))
+        return pa.table({
+            "n_name": pc.take(dim_names, idx),
+            "n_customers": pc.cast(t["n_customers"], pa.int64()),
+            "acct_cents": pc.cast(t["acct_cents"], pa.int64()),
+        })
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+CUSTOMERS_WITHOUT_EVENTS_SQL = """
+SELECT n_name,
+       count(*) AS n_customers,
+       CAST(sum(CAST(round(c_acctbal*100) AS BIGINT)) AS BIGINT)
+           AS acct_cents
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+WHERE NOT EXISTS (SELECT 1 FROM events e WHERE e.user_id = c_custkey)
+GROUP BY 1
+ORDER BY 1
+"""

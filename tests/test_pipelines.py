@@ -314,3 +314,50 @@ def test_stratified_sample_matches_duckdb(ray_session):
     assert got.equals(want.reset_index(drop=True))
     # every present stratum is sampled at exactly k (table is big enough)
     assert (got.groupby("event_type").size() == 5).all()
+
+
+def test_top_events_per_type_matches_duckdb(ray_session):
+    duckdb = pytest.importorskip("duckdb")
+    from p2pddsketch_ray.pipelines.relational import (
+        TOP_EVENTS_PER_TYPE_SQL, top_events_per_type)
+    sf = "/root/testdata/sf0.001"
+    got = (top_events_per_type(sf).to_pandas()
+           .sort_values(["event_type", "rnk"]).reset_index(drop=True))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{sf}/events.parquet')")
+    want = con.execute(TOP_EVENTS_PER_TYPE_SQL).df()
+    assert got.equals(want.reset_index(drop=True))
+    assert (got.groupby("event_type")["rnk"].max() == 3).all()
+
+
+def test_top_events_per_type_tie_break(ray_session, tmp_path):
+    """Equal micro-unit values must resolve by event_id ascending."""
+    import pyarrow.parquet as pq
+    from p2pddsketch_ray.pipelines.relational import top_events_per_type
+    t = pa.table({
+        "event_id": pa.array([5, 1, 3, 2, 4], type=pa.int64()),
+        "event_type": pa.array(["a"] * 5),
+        "value": pa.array([2.0, 2.0, 2.0, 1.0, 3.0]),
+    })
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    got = (top_events_per_type(str(tmp_path)).to_pandas()
+           .sort_values("rnk").reset_index(drop=True))
+    assert got["event_id"].tolist() == [4, 1, 3]
+    assert got["rnk"].tolist() == [1, 2, 3]
+
+
+def test_customers_without_events_matches_duckdb(ray_session):
+    duckdb = pytest.importorskip("duckdb")
+    from p2pddsketch_ray.pipelines.relational import (
+        CUSTOMERS_WITHOUT_EVENTS_SQL, customers_without_events)
+    sf = "/root/testdata/sf0.001"
+    got = (customers_without_events(sf).to_pandas()
+           .sort_values("n_name").reset_index(drop=True))
+    con = duckdb.connect()
+    for t in ("customer", "events", "nation"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{sf}/{t}.parquet')")
+    want = con.execute(CUSTOMERS_WITHOUT_EVENTS_SQL).df()
+    assert got.equals(want.reset_index(drop=True))
+    assert got["n_customers"].sum() > 0  # anti-join actually selects rows
