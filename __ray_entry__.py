@@ -161,7 +161,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # exact distributed anti-join (NOT EXISTS) via Ray's native
         # left_anti hash-shuffle join
         "customers_without_events": R.customers_without_events,
+        # EXACT distributed quantiles (selection, not sketch): iterative
+        # histogram bisection over integer float order-keys -- no global
+        # sort, bounded driver pull (oracle = DuckDB quantile_disc)
+        "exact_quantiles_price": _exact_quantiles_price,
     }
+
+
+def _exact_quantiles_price(sf_dir: str):
+    import ray.data
+    from p2pddsketch_ray.pipelines.quantiles import exact_quantiles
+    ds = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_extendedprice"])
+    # collect_limit=5000 forces a real bisection round even at sf0.01
+    # (the 100 TB default is 2M candidates ~ one driver-sized block)
+    return exact_quantiles(ds, "l_extendedprice",
+                           (0.01, 0.25, 0.5, 0.75, 0.99),
+                           collect_limit=5000)
 
 
 def _events_asof_orders(sf_dir: str):
@@ -615,4 +631,13 @@ WHERE list_cosine_similarity(a.v, b.v) >= 0.3""",
         "stratified_sample_events": _STRATIFIED_SAMPLE_SQL,
         "top_events_per_type": _TOP_EVENTS_PER_TYPE_SQL,
         "customers_without_events": _CUSTOMERS_WITHOUT_EVENTS_SQL,
+        # quantile_disc returns an actual data element at 0-based rank
+        # max(0, ceil(q*n)-1) -- the same selection exact_quantiles makes,
+        # so values are bit-identical (no rounding needed)
+        "exact_quantiles_price": """
+WITH v AS (SELECT quantile_disc(l_extendedprice,
+                                [0.01, 0.25, 0.5, 0.75, 0.99]) AS vs
+           FROM lineitem)
+SELECT unnest([0.01, 0.25, 0.5, 0.75, 0.99]) AS q,
+       unnest(vs) AS value FROM v""",
     }

@@ -1,0 +1,85 @@
+"""Exact distributed quantiles (histogram bisection) vs sort-based oracles.
+
+The operator (pipelines.quantiles.exact_quantiles) must return the actual
+data element at 0-based rank max(0, ceil(q*n)-1) -- DuckDB's
+``quantile_disc`` semantics -- for any float64 column, without a global
+sort.  Verified here against numpy selection and DuckDB directly, across
+collect limits that force 0, 1 and multiple bisection rounds.
+"""
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from p2pddsketch_ray.pipelines.quantiles import (
+    _float_order_keys, _key_to_float, exact_quantiles)
+
+QS = (0.01, 0.25, 0.5, 0.75, 0.99)
+
+
+def _np_quantile_disc(vals: np.ndarray, q: float) -> float:
+    s = np.sort(vals)
+    r = max(0, int(np.ceil(q * s.shape[0])) - 1)
+    return float(s[min(r, s.shape[0] - 1)])
+
+
+def _make_ds(vals: np.ndarray, blocks: int = 8):
+    import ray.data
+    t = pa.table({"x": pa.array(vals, type=pa.float64())})
+    return ray.data.from_arrow(t).repartition(blocks)
+
+
+def test_order_key_roundtrip_and_order():
+    rng = np.random.default_rng(0)
+    v = np.concatenate([rng.normal(0, 1e6, 500), [-0.0, 0.0, 1e-300,
+                                                  -1e-300, 1e300, -1e300]])
+    keys = _float_order_keys(v)
+    # key order == value order (total order over non-NaN floats)
+    order_v = np.argsort(v, kind="stable")
+    assert np.array_equal(np.sort(keys), keys[order_v])
+    # roundtrip: every key decodes back to a bit-equal float (modulo -0.0,
+    # which shares its order slot with +0.0 only if keys differ -- they do)
+    for x in [1.5, -1.5, 0.0, 1e300, -1e-300]:
+        k = int(_float_order_keys(np.array([x]))[0])
+        assert _key_to_float(k) == x
+
+
+@pytest.mark.parametrize("collect_limit", [10**9, 200, 8])
+def test_exact_quantiles_matches_numpy(ray_session, collect_limit):
+    rng = np.random.default_rng(42)
+    vals = np.concatenate([
+        rng.lognormal(8, 2, 3000),            # heavy tail
+        -rng.exponential(100, 1000),          # negatives
+        np.zeros(50),                         # zeros
+        np.repeat(1234.5678, 500),            # heavy duplicates
+    ])
+    rng.shuffle(vals)
+    out = exact_quantiles(_make_ds(vals), "x", QS,
+                          collect_limit=collect_limit, bins=64)
+    got = dict(zip(out["q"].to_pylist(), out["value"].to_pylist()))
+    for q in QS:
+        assert got[q] == _np_quantile_disc(vals, q), q
+
+
+def test_exact_quantiles_matches_duckdb(ray_session):
+    rng = np.random.default_rng(7)
+    vals = np.round(rng.normal(1000, 300, 5000), 2)
+    out = exact_quantiles(_make_ds(vals), "x", QS, collect_limit=300,
+                          bins=32)
+    con = duckdb.connect()
+    con.register("t", pa.table({"x": vals}))
+    for q, v in zip(out["q"].to_pylist(), out["value"].to_pylist()):
+        exp = con.execute("SELECT quantile_disc(x, ?) FROM t",
+                          [q]).fetchone()[0]
+        assert v == exp, q
+    con.close()
+
+
+def test_exact_quantiles_all_equal_and_tiny(ray_session):
+    out = exact_quantiles(_make_ds(np.repeat(3.25, 100), blocks=4), "x",
+                          (0.0, 0.5, 1.0), collect_limit=5, bins=8)
+    assert out["value"].to_pylist() == [3.25, 3.25, 3.25]
+    out2 = exact_quantiles(_make_ds(np.array([2.0]), blocks=1), "x",
+                           (0.5,), collect_limit=10**9)
+    assert out2["value"].to_pylist() == [2.0]
