@@ -165,6 +165,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # histogram bisection over integer float order-keys -- no global
         # sort, bounded driver pull (oracle = DuckDB quantile_disc)
         "exact_quantiles_price": _exact_quantiles_price,
+        # grouped exact quantiles: one shared histogram pass per round
+        # for ALL (group, q) targets (low-cardinality group keys)
+        "exact_quantiles_by_flag": _exact_quantiles_by_flag,
     }
 
 
@@ -178,6 +181,15 @@ def _exact_quantiles_price(sf_dir: str):
     return exact_quantiles(ds, "l_extendedprice",
                            (0.01, 0.25, 0.5, 0.75, 0.99),
                            collect_limit=5000)
+
+
+def _exact_quantiles_by_flag(sf_dir: str):
+    import ray.data
+    from p2pddsketch_ray.pipelines.quantiles import exact_quantiles_grouped
+    ds = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_returnflag", "l_extendedprice"])
+    return exact_quantiles_grouped(ds, "l_extendedprice", "l_returnflag",
+                                   (0.25, 0.5, 0.75), collect_limit=2000)
 
 
 def _events_asof_orders(sf_dir: str):
@@ -639,5 +651,11 @@ WITH v AS (SELECT quantile_disc(l_extendedprice,
                                 [0.01, 0.25, 0.5, 0.75, 0.99]) AS vs
            FROM lineitem)
 SELECT unnest([0.01, 0.25, 0.5, 0.75, 0.99]) AS q,
+       unnest(vs) AS value FROM v""",
+        "exact_quantiles_by_flag": """
+WITH v AS (SELECT l_returnflag,
+                  quantile_disc(l_extendedprice, [0.25, 0.5, 0.75]) AS vs
+           FROM lineitem GROUP BY l_returnflag)
+SELECT l_returnflag, unnest([0.25, 0.5, 0.75]) AS q,
        unnest(vs) AS value FROM v""",
     }

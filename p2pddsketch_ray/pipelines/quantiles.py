@@ -167,27 +167,53 @@ class _IntervalHist:
 
     ``intervals`` is a list of (lo, hi) inclusive uint64 key ranges, one
     per still-unresolved quantile target; each has ``bins`` buckets of
-    exact integer width ceil(span/bins).  Mergeable accumulator shape ==
-    the engine's Sketch protocol, so the distributed reduction reuses
-    stages.generic_build.build_and_merge (tiny 32 KB blobs, tree merge).
+    exact integer width ceil(span/bins).  With ``group_col`` set, each
+    interval additionally carries a group value (``groups[i]``) and only
+    counts rows of that group -- the grouped-quantile variant.  Mergeable
+    accumulator shape == the engine's Sketch protocol, so the distributed
+    reduction reuses stages.generic_build.build_and_merge (tiny blobs,
+    tree merge).
     """
 
-    def __init__(self, value_col: str, intervals, bins: int):
+    def __init__(self, value_col: str, intervals, bins: int,
+                 group_col: str | None = None, groups=None):
         import numpy as np
         self.value_col = value_col
         self.intervals = [(int(lo), int(hi)) for lo, hi in intervals]
         self.bins = bins
+        self.group_col = group_col
         self.widths = [max(1, -((hi - lo + 1) // -bins))
                        for lo, hi in self.intervals]
         self.counts = np.zeros((len(self.intervals), bins), dtype=np.int64)
+        if group_col is None:
+            self.group_values, self.codes = None, None
+        else:
+            # distinct group values of the active intervals; interval i
+            # matches rows whose group encodes to codes[i]
+            self.group_values = sorted(set(groups))
+            lut = {g: c for c, g in enumerate(self.group_values)}
+            self.codes = [lut[g] for g in groups]
+
+    def _keys_and_codes(self, t: pa.Table):
+        import numpy as np
+        import pyarrow.compute as pc
+        v = t[self.value_col].to_numpy(zero_copy_only=False)
+        ok = ~np.isnan(v)
+        if self.group_col is None:
+            return _float_order_keys(v[ok]), None
+        gc = pc.fill_null(pc.index_in(
+            t[self.group_col],
+            value_set=pa.array(self.group_values)), -1).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+        return _float_order_keys(v[ok]), gc[ok]
 
     def add_batch(self, t: pa.Table) -> None:
         import numpy as np
-        v = t[self.value_col].to_numpy(zero_copy_only=False)
-        v = v[~np.isnan(v)]
-        keys = _float_order_keys(v)
+        keys, gcodes = self._keys_and_codes(t)
         for i, (lo, hi) in enumerate(self.intervals):
             m = (keys >= np.uint64(lo)) & (keys <= np.uint64(hi))
+            if gcodes is not None:
+                m &= gcodes == self.codes[i]
             if not m.any():
                 continue
             idx = ((keys[m] - np.uint64(lo))
@@ -197,6 +223,98 @@ class _IntervalHist:
     def merge(self, other: "_IntervalHist") -> "_IntervalHist":
         self.counts += other.counts
         return self
+
+
+def _resolve_exact_targets(ds, value_col: str, targets, *, bins: int,
+                           collect_limit: int, max_rounds: int,
+                           group_col: str | None = None) -> None:
+    """Shared bisection driver: narrow every target's key interval by
+    ~``bins``x per round with ONE mergeable multi-interval histogram pass
+    (tiny blobs through the tree merge), then resolve the survivors with
+    one pruned collect pass (<= collect_limit candidate keys per target).
+    Mutates each target dict's ``value`` in place.  Targets carry an
+    optional ``group`` value when ``group_col`` is set."""
+    import numpy as np
+
+    from ..stages.generic_build import build_and_merge
+
+    cols = [value_col] + ([group_col] if group_col else [])
+
+    for _ in range(max_rounds):
+        active = [t for t in targets
+                  if t["value"] is None and t["in_interval"] > collect_limit
+                  and t["lo"] < t["hi"]]
+        if not active:
+            break
+        groups = ([t["group"] for t in active] if group_col else None)
+        hist = build_and_merge(
+            ds, cols,
+            lambda: _IntervalHist(value_col,
+                                  [(t["lo"], t["hi"]) for t in active],
+                                  bins, group_col, groups),
+            lambda s, batch: s.add_batch(batch))
+        for i, t in enumerate(active):
+            cum = np.cumsum(hist.counts[i])
+            r_local = t["rank"] - t["below"]
+            b = int(np.searchsorted(cum, r_local + 1))
+            w = hist.widths[i]
+            t["below"] += int(cum[b - 1]) if b > 0 else 0
+            t["lo"], t["hi"] = (t["lo"] + b * w,
+                                min(t["lo"] + (b + 1) * w - 1, t["hi"]))
+            t["in_interval"] = int(hist.counts[i][b])
+        for t in targets:
+            if t["value"] is None and t["lo"] == t["hi"]:
+                t["value"] = _key_to_float(t["lo"])
+
+    pending = [t for t in targets if t["value"] is None]
+    if not pending:
+        return
+    los = np.array([t["lo"] for t in pending], dtype=np.uint64)
+    his = np.array([t["hi"] for t in pending], dtype=np.uint64)
+    if group_col:
+        gvals = sorted({t["group"] for t in pending})
+        lut = {g: c for c, g in enumerate(gvals)}
+        pcodes = np.array([lut[t["group"]] for t in pending],
+                          dtype=np.int64)
+
+    def collect(tab: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        v = tab[value_col].to_numpy(zero_copy_only=False)
+        ok = ~np.isnan(v)
+        keys = _float_order_keys(v[ok])
+        inr = ((keys[:, None] >= los[None, :])
+               & (keys[:, None] <= his[None, :]))
+        if group_col:
+            gc = pc.fill_null(pc.index_in(
+                tab[group_col], value_set=pa.array(gvals)), -1).to_numpy(
+                    zero_copy_only=False).astype(np.int64)[ok]
+            inr &= gc[:, None] == pcodes[None, :]
+            m = inr.any(axis=1)
+            return pa.table({"k": pa.array(keys[m], type=pa.uint64()),
+                             "g": pa.array(gc[m], type=pa.int64())})
+        m = inr.any(axis=1)
+        return pa.table({"k": pa.array(keys[m], type=pa.uint64())})
+
+    import ray as _ray
+    picked = (ds.select_columns(cols)
+              .map_batches(collect, batch_format="pyarrow",
+                           zero_copy_batch=True))
+    parts = [tt for tt in map(_ray.get, picked.to_arrow_refs())
+             if tt.num_rows]
+    if parts:
+        allt = pa.concat_tables(parts)
+        allk = allt["k"].to_numpy(zero_copy_only=False)
+        allg = (allt["g"].to_numpy(zero_copy_only=False)
+                if group_col else None)
+    else:
+        allk = np.array([], dtype=np.uint64)
+        allg = None
+    for j, t in enumerate(pending):
+        m = (allk >= los[j]) & (allk <= his[j])
+        if allg is not None:
+            m &= allg == pcodes[j]
+        sel = np.sort(allk[m])
+        t["value"] = _key_to_float(int(sel[t["rank"] - t["below"]]))
 
 
 def exact_quantiles(ds: "ray.data.Dataset", value_col: str,
@@ -228,7 +346,6 @@ def exact_quantiles(ds: "ray.data.Dataset", value_col: str,
     import numpy as np
 
     from ray.data.aggregate import Max, Min, Sum
-    from ..stages.generic_build import build_and_merge
 
     def block_stats(t: pa.Table) -> pa.Table:
         v = t[value_col].to_numpy(zero_copy_only=False)
@@ -262,59 +379,86 @@ def exact_quantiles(ds: "ray.data.Dataset", value_col: str,
         targets.append({"rank": min(r, n - 1), "lo": kmin, "hi": kmax,
                         "below": 0, "in_interval": n, "value": None})
 
-    for _ in range(max_rounds):
-        active = [t for t in targets
-                  if t["value"] is None and t["in_interval"] > collect_limit
-                  and t["lo"] < t["hi"]]
-        if not active:
-            break
-        hist = build_and_merge(
-            ds, [value_col],
-            lambda: _IntervalHist(value_col,
-                                  [(t["lo"], t["hi"]) for t in active],
-                                  bins),
-            lambda s, batch: s.add_batch(batch))
-        for i, t in enumerate(active):
-            cum = np.cumsum(hist.counts[i])
-            r_local = t["rank"] - t["below"]
-            b = int(np.searchsorted(cum, r_local + 1))
-            w = hist.widths[i]
-            t["below"] += int(cum[b - 1]) if b > 0 else 0
-            t["lo"], t["hi"] = (t["lo"] + b * w,
-                                min(t["lo"] + (b + 1) * w - 1, t["hi"]))
-            t["in_interval"] = int(hist.counts[i][b])
-        for t in targets:
-            if t["value"] is None and t["lo"] == t["hi"]:
-                t["value"] = _key_to_float(t["lo"])
-
-    pending = [t for t in targets if t["value"] is None]
-    if pending:
-        ivs = [(t["lo"], t["hi"]) for t in pending]
-        los = np.array([lo for lo, _ in ivs], dtype=np.uint64)
-        his = np.array([hi for _, hi in ivs], dtype=np.uint64)
-
-        def collect(tab: pa.Table) -> pa.Table:
-            v = tab[value_col].to_numpy(zero_copy_only=False)
-            v = v[~np.isnan(v)]
-            keys = _float_order_keys(v)
-            m = ((keys[:, None] >= los[None, :])
-                 & (keys[:, None] <= his[None, :])).any(axis=1)
-            return pa.table({"k": pa.array(keys[m], type=pa.uint64())})
-
-        import ray as _ray
-        picked = (ds.select_columns([value_col])
-                  .map_batches(collect, batch_format="pyarrow",
-                               zero_copy_batch=True))
-        parts = [tt["k"].to_numpy(zero_copy_only=False)
-                 for tt in map(_ray.get, picked.to_arrow_refs())
-                 if tt.num_rows]
-        allk = (np.concatenate(parts) if parts
-                else np.array([], dtype=np.uint64))
-        for t, lo, hi in zip(pending, los, his):
-            sel = np.sort(allk[(allk >= lo) & (allk <= hi)])
-            t["value"] = _key_to_float(int(sel[t["rank"] - t["below"]]))
+    _resolve_exact_targets(ds, value_col, targets, bins=bins,
+                           collect_limit=collect_limit,
+                           max_rounds=max_rounds)
 
     return pa.table({
         "q": pa.array(qs, type=pa.float64()),
+        "value": pa.array([t["value"] for t in targets], type=pa.float64()),
+    })
+
+
+def exact_quantiles_grouped(ds: "ray.data.Dataset", value_col: str,
+                            group_col: str, quantiles: Sequence[float],
+                            *, bins: int = 4096,
+                            collect_limit: int = 2_000_000,
+                            max_rounds: int = 8) -> pa.Table:
+    """Per-group EXACT quantiles (``quantile_disc`` semantics per group)
+    by the same histogram-bisection machinery: one grouped stats pass
+    (per-block per-group tiny rows -> groupby agg), then shared rounds in
+    which every still-unresolved (group, q) target contributes one
+    interval row to the SAME multi-interval histogram -- one data pass
+    per round total, regardless of group count.
+
+    Intended for low-cardinality group keys (flags, languages,
+    categories): histogram blob size is O(groups x quantiles x bins).
+    For high-cardinality keys use dds_quantiles_grouped (sketch tier)."""
+    import math
+
+    import numpy as np
+
+    from ray.data.aggregate import Max, Min, Sum
+
+    def block_stats(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        v = t[value_col].to_numpy(zero_copy_only=False)
+        ok = ~np.isnan(v)
+        garr = t[group_col].filter(pa.array(ok))
+        keys = _float_order_keys(v[ok])
+        enc = garr.combine_chunks().dictionary_encode()
+        codes = (enc.indices.to_numpy(zero_copy_only=False)
+                 .astype(np.int64))
+        uniq = enc.dictionary
+        cnt = np.bincount(codes, minlength=len(uniq))
+        kmin = np.full(len(uniq), np.iinfo(np.uint64).max, dtype=np.uint64)
+        kmax = np.zeros(len(uniq), dtype=np.uint64)
+        np.minimum.at(kmin, codes, keys)
+        np.maximum.at(kmax, codes, keys)
+        return pa.table({group_col: uniq,
+                         "cnt": pa.array(cnt, type=pa.int64()),
+                         "kmin": pa.array(kmin, type=pa.uint64()),
+                         "kmax": pa.array(kmax, type=pa.uint64())})
+
+    stats = (ds.select_columns([value_col, group_col])
+             .map_batches(block_stats, batch_format="pyarrow",
+                          zero_copy_batch=True)
+             .groupby(group_col)
+             .aggregate(Sum("cnt", alias_name="n"),
+                        Min("kmin", alias_name="kmin"),
+                        Max("kmax", alias_name="kmax"))
+             .take_all())
+
+    qs = list(quantiles)
+    targets = []
+    for row in stats:
+        n = int(row["n"])
+        if n == 0:
+            continue
+        for q in qs:
+            r = max(0, int(math.ceil(q * n)) - 1)
+            targets.append({"group": row[group_col], "q": q,
+                            "rank": min(r, n - 1),
+                            "lo": int(row["kmin"]), "hi": int(row["kmax"]),
+                            "below": 0, "in_interval": n, "value": None})
+
+    _resolve_exact_targets(ds, value_col, targets, bins=bins,
+                           collect_limit=collect_limit,
+                           max_rounds=max_rounds, group_col=group_col)
+
+    targets.sort(key=lambda t: (str(t["group"]), t["q"]))
+    return pa.table({
+        group_col: pa.array([t["group"] for t in targets]),
+        "q": pa.array([t["q"] for t in targets], type=pa.float64()),
         "value": pa.array([t["value"] for t in targets], type=pa.float64()),
     })

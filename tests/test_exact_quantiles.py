@@ -13,7 +13,8 @@ import pyarrow as pa
 import pytest
 
 from p2pddsketch_ray.pipelines.quantiles import (
-    _float_order_keys, _key_to_float, exact_quantiles)
+    _float_order_keys, _key_to_float, exact_quantiles,
+    exact_quantiles_grouped)
 
 QS = (0.01, 0.25, 0.5, 0.75, 0.99)
 
@@ -74,6 +75,28 @@ def test_exact_quantiles_matches_duckdb(ray_session):
                           [q]).fetchone()[0]
         assert v == exp, q
     con.close()
+
+
+@pytest.mark.parametrize("collect_limit", [10**9, 50])
+def test_exact_quantiles_grouped_matches_numpy(ray_session, collect_limit):
+    import ray.data
+    rng = np.random.default_rng(3)
+    groups = rng.choice(["a", "b", "c"], 6000, p=[0.7, 0.2, 0.1])
+    vals = np.where(groups == "a", rng.lognormal(5, 1, 6000),
+                    rng.normal(0, 50, 6000))
+    t = pa.table({"g": pa.array(groups), "x": pa.array(vals)})
+    ds = ray.data.from_arrow(t).repartition(8)
+    qs = (0.1, 0.5, 0.9)
+    out = exact_quantiles_grouped(ds, "x", "g", qs,
+                                  collect_limit=collect_limit, bins=32)
+    got = {(g, q): v for g, q, v in zip(out["g"].to_pylist(),
+                                        out["q"].to_pylist(),
+                                        out["value"].to_pylist())}
+    assert len(got) == 9
+    for g in ("a", "b", "c"):
+        sub = vals[groups == g]
+        for q in qs:
+            assert got[(g, q)] == _np_quantile_disc(sub, q), (g, q)
 
 
 def test_exact_quantiles_all_equal_and_tiny(ray_session):
