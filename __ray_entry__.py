@@ -35,7 +35,12 @@ from p2pddsketch_ray.pipelines.relational import (  # noqa: E402
     REPETITION_STATS_SQL as _REPETITION_STATS_SQL,
     STRATIFIED_SAMPLE_SQL as _STRATIFIED_SAMPLE_SQL,
     TOP_EVENTS_PER_TYPE_SQL as _TOP_EVENTS_PER_TYPE_SQL,
-    CUSTOMERS_WITHOUT_EVENTS_SQL as _CUSTOMERS_WITHOUT_EVENTS_SQL)
+    CUSTOMERS_WITHOUT_EVENTS_SQL as _CUSTOMERS_WITHOUT_EVENTS_SQL,
+    QUANTILE_PRUNE_SQL as _QUANTILE_PRUNE_SQL,
+    TOP_TOKENS_SQL as _TOP_TOKENS_SQL,
+    CUSTOMER_EVENT_ACTIVITY_SQL as _CUSTOMER_EVENT_ACTIVITY_SQL)
+from p2pddsketch_ray.pipelines.fingerprint import (  # noqa: E402
+    WINNOW_FINGERPRINT_SQL as _WINNOW_FINGERPRINT_SQL)
 QS = (0.5, 0.95, 0.99)
 
 
@@ -168,7 +173,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # grouped exact quantiles: one shared histogram pass per round
         # for ALL (group, q) targets (low-cardinality group keys)
         "exact_quantiles_by_flag": _exact_quantiles_by_flag,
+        # quantile-threshold pruning: exact per-lang p90 feeds a
+        # broadcast-threshold filter pass (corpus-curation composition)
+        "quantile_prune_docs": R.quantile_prune_docs,
+        # per-language vocabulary head (top-k tokens, exact counts,
+        # deterministic tie order)
+        "top_tokens_by_lang": R.top_tokens_by_lang,
+        # LEFT-OUTER join with zero preservation (per-nation activity)
+        "customer_event_activity": R.customer_event_activity,
+        # winnowing fingerprints (Schleimer et al. 2003) with an exact
+        # SQL-replicable composite-min selection rule
+        "winnow_fingerprint_stats": _winnow_fingerprint_stats,
     }
+
+
+def _winnow_fingerprint_stats(sf_dir: str):
+    from p2pddsketch_ray.pipelines.fingerprint import (
+        winnow_fingerprint_stats)
+    return winnow_fingerprint_stats(sf_dir)
 
 
 def _exact_quantiles_price(sf_dir: str):
@@ -658,4 +680,8 @@ WITH v AS (SELECT l_returnflag,
            FROM lineitem GROUP BY l_returnflag)
 SELECT l_returnflag, unnest([0.25, 0.5, 0.75]) AS q,
        unnest(vs) AS value FROM v""",
+        "quantile_prune_docs": _QUANTILE_PRUNE_SQL,
+        "top_tokens_by_lang": _TOP_TOKENS_SQL,
+        "customer_event_activity": _CUSTOMER_EVENT_ACTIVITY_SQL,
+        "winnow_fingerprint_stats": _WINNOW_FINGERPRINT_SQL,
     }

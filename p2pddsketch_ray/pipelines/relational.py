@@ -1068,3 +1068,270 @@ WHERE NOT EXISTS (SELECT 1 FROM events e WHERE e.user_id = c_custkey)
 GROUP BY 1
 ORDER BY 1
 """
+
+
+def quantile_prune_docs(sf_dir: str, q: float = 0.9) -> "ray.data.Dataset":
+    """Quantile-threshold data pruning: keep documents whose length is at
+    or below the per-language q-quantile, and report the kept corpus per
+    lang (docs, total chars, the threshold applied).  This is the
+    standard web-corpus curation shape ("drop the longest 10% per lang")
+    and composes two engine layers: the EXACT distributed grouped
+    quantile (pipelines.quantiles.exact_quantiles_grouped -- histogram
+    bisection, no global sort) feeds a broadcast threshold lookup that
+    prunes the second streaming pass.
+
+    Scale shape: pass 1 computes thresholds with O(groups x bins) blob
+    traffic; the threshold table (one row per lang) is ray.put once and
+    read inside every filter task -- never re-shipped per batch; pass 2
+    is an embarrassingly parallel filter + per-lang integer rollup."""
+    from .quantiles import exact_quantiles_grouped
+    ds = _read(sf_dir, "documents", ["lang", "n_chars"])
+    th = exact_quantiles_grouped(ds, "n_chars", "lang", [q])
+    # n_chars is integral, and exact quantiles are actual data elements,
+    # so the threshold is an exact int64 (no float-compare hazards)
+    lookup_ref = ray.put((th["lang"].combine_chunks(),
+                          pc.cast(th["value"], pa.int64())))
+
+    def prune(t: pa.Table) -> pa.Table:
+        dim_langs, thr = ray.get(lookup_ref)
+        idx = pc.index_in(t["lang"], value_set=dim_langs)
+        keep = pc.less_equal(pc.cast(t["n_chars"], pa.int64()),
+                             pc.take(thr, idx))
+        kept = t.filter(pc.fill_null(keep, False))
+        # per-batch combiner: fold to per-lang partials pre-shuffle
+        lang = kept["lang"].to_numpy(zero_copy_only=False)
+        ul, inv = np.unique(lang, return_inverse=True)
+        docs = np.bincount(inv, minlength=ul.shape[0])
+        chars = np.zeros(ul.shape[0], dtype=np.int64)
+        np.add.at(chars, inv,
+                  kept["n_chars"].to_numpy(zero_copy_only=False))
+        uthr = pc.take(thr, pc.index_in(
+            pa.array(ul.tolist(), type=pa.string()), value_set=dim_langs))
+        return pa.table({
+            "lang": pa.array(ul.tolist(), type=pa.string()),
+            "kept_docs": pa.array(docs.astype(np.int64)),
+            "sum_chars": pa.array(chars),
+            "thr": uthr,
+        })
+
+    agg = (ds.map_batches(prune, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("lang")
+           .aggregate(Sum("kept_docs", alias_name="kept_docs"),
+                      Sum("sum_chars", alias_name="sum_chars"),
+                      Max("thr", alias_name="thr")))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "lang": t["lang"],
+            "kept_docs": pc.cast(t["kept_docs"], pa.int64()),
+            "sum_chars": pc.cast(t["sum_chars"], pa.int64()),
+            "thr": pc.cast(t["thr"], pa.int64()),
+        })
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+QUANTILE_PRUNE_SQL = """
+WITH th AS (
+  SELECT lang, CAST(quantile_disc(n_chars, 0.9) AS BIGINT) AS thr
+  FROM documents GROUP BY 1
+)
+SELECT d.lang,
+       count(*) AS kept_docs,
+       CAST(sum(d.n_chars) AS BIGINT) AS sum_chars,
+       max(t.thr) AS thr
+FROM documents d JOIN th t ON d.lang = t.lang
+WHERE d.n_chars <= t.thr
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+def top_tokens_by_lang(sf_dir: str, k: int = 10) -> "ray.data.Dataset":
+    """Per-language vocabulary head: the k most frequent whitespace
+    tokens with exact counts and a deterministic (count desc, token asc)
+    tie order -- corpus-curation vocabulary statistics as a distributed
+    pipeline.
+
+    Scale shape: per-batch token counting folds each block to its
+    (lang, token) partial counts BEFORE the shuffle (dictionary-encoded,
+    one np.unique over integer composites -- no per-row Python), so the
+    exchange moves O(langs x vocab x blocks) small rows, bounded by the
+    live vocabulary rather than the corpus; a multi-key groupby sums the
+    partials and a single-partition keep-k (vocab-sized input) ranks."""
+    from ..stages.partition import partition_by
+    ds = _read(sf_dir, "documents", ["lang", "text"])
+
+    def counts(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t["text"], pattern=" ")
+        flat = pc.list_flatten(toks).combine_chunks()
+        nper = pc.list_value_length(toks).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        lang = t["lang"].to_numpy(zero_copy_only=False)
+        ul, linv = np.unique(lang, return_inverse=True)
+        lcode = np.repeat(linv, nper)
+        dic = flat.dictionary_encode()
+        trank = dic.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        n_vocab = len(dic.dictionary)
+        comp = lcode * np.int64(n_vocab + 1) + trank
+        upair, cnt = np.unique(comp, return_counts=True)
+        return pa.table({
+            "lang": pa.array(ul[upair // np.int64(n_vocab + 1)].tolist(),
+                             type=pa.string()),
+            "tok": pc.take(dic.dictionary,
+                           pa.array(upair % np.int64(n_vocab + 1))),
+            "cnt": pa.array(cnt.astype(np.int64)),
+        })
+
+    agg = (ds.map_batches(counts, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby(["lang", "tok"])
+           .aggregate(Sum("cnt", alias_name="n")))
+
+    empty = pa.table({"lang": pa.array([], type=pa.string()),
+                      "tok": pa.array([], type=pa.string()),
+                      "n": pa.array([], type=pa.int64()),
+                      "rnk": pa.array([], type=pa.int64())})
+
+    def keep_k(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        n = pc.cast(t["n"], pa.int64()).to_numpy(zero_copy_only=False)
+        lang = np.asarray(t["lang"].to_pylist(), dtype=np.str_)
+        tok = np.asarray(t["tok"].to_pylist(), dtype=np.str_)
+        # numpy U-dtype compares by code point == DuckDB binary collation
+        # for the (verified-ASCII) corpus
+        order = np.lexsort((tok, -n, lang))
+        l_s = lang[order]
+        new_grp = np.ones(order.shape[0], dtype=bool)
+        new_grp[1:] = l_s[1:] != l_s[:-1]
+        starts = np.nonzero(new_grp)[0]
+        first = np.repeat(starts, np.diff(np.append(starts,
+                                                    order.shape[0])))
+        rank = np.arange(order.shape[0]) - first
+        sel = rank < k
+        keep = order[sel]
+        return pa.table({
+            "lang": pa.array(lang[keep].tolist(), type=pa.string()),
+            "tok": pa.array(tok[keep].tolist(), type=pa.string()),
+            "n": pa.array(n[keep]),
+            "rnk": pa.array(rank[sel] + 1),
+        })
+
+    # vocab-sized input: one partition finishes the ranking
+    return partition_by(agg, [], 1, keep_k, empty)
+
+
+TOP_TOKENS_SQL = """
+WITH toks AS (
+  SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents
+), cnt AS (
+  SELECT lang, tok, CAST(count(*) AS BIGINT) AS n
+  FROM toks GROUP BY 1, 2
+)
+SELECT lang, tok, n,
+       CAST(row_number() OVER (PARTITION BY lang
+                               ORDER BY n DESC, tok) AS BIGINT) AS rnk
+FROM cnt
+QUALIFY rnk <= 10
+ORDER BY 1, 4
+"""
+
+
+def customer_event_activity(sf_dir: str) -> "ray.data.Dataset":
+    """LEFT-OUTER join with zero preservation: every customer joined to
+    their event count (0 when absent), rolled up per nation as
+    (customers, active customers, total events).  The complement of the
+    anti-join (`customers_without_events`): inactive rows survive with
+    null-filled counts instead of being dropped.
+
+    Scale shape: events are pre-aggregated to one (user_id, n) row per
+    user BEFORE the join, so the hash exchange moves O(distinct users),
+    not O(events); both sides prune to join + payload columns; the
+    25-row nation dimension is a broadcast lookup after the rollup."""
+    import pyarrow.parquet as pq
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+
+    def prep_cust(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_custkey": pc.cast(t["c_custkey"], pa.int64()),
+            "c_nationkey": pc.cast(t["c_nationkey"], pa.int64()),
+        })
+
+    ev_counts = (_read(sf_dir, "events", ["user_id"])
+                 .groupby("user_id")
+                 .aggregate(Count(alias_name="n_ev")))
+
+    def prep_ev(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": pc.cast(t["user_id"], pa.int64()),
+            "n_ev": pc.cast(t["n_ev"], pa.int64()),
+        })
+
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    joined = cust.map_batches(prep_cust, batch_format="pyarrow").join(
+        ev_counts.map_batches(prep_ev, batch_format="pyarrow"),
+        "left_outer", num_partitions=max(2, min(cpus, 16)),
+        on=("c_custkey",), right_on=("user_id",))
+
+    def fold(t: pa.Table) -> pa.Table:
+        active = pc.cast(t["n_ev"].is_valid(), pa.int64())
+        nev = pc.fill_null(pc.cast(t["n_ev"], pa.int64()), 0)
+        return pa.table({
+            "c_nationkey": t["c_nationkey"],
+            "one": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+            "active": active.combine_chunks()
+            if isinstance(active, pa.ChunkedArray) else active,
+            "n_ev": nev.combine_chunks()
+            if isinstance(nev, pa.ChunkedArray) else nev,
+        })
+
+    agg = (joined.map_batches(fold, batch_format="pyarrow")
+           .groupby("c_nationkey")
+           .aggregate(Sum("one", alias_name="n_customers"),
+                      Sum("active", alias_name="n_active"),
+                      Sum("n_ev", alias_name="n_events")))
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet",
+                           columns=["n_nationkey", "n_name"])
+    lookup_ref = ray.put((nation["n_nationkey"].combine_chunks(),
+                          nation["n_name"].combine_chunks()))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "c_nationkey" not in t.column_names:
+            return pa.table({"n_name": pa.array([], type=pa.string()),
+                             "n_customers": pa.array([], type=pa.int64()),
+                             "n_active": pa.array([], type=pa.int64()),
+                             "n_events": pa.array([], type=pa.int64())})
+        dim_keys, dim_names = ray.get(lookup_ref)
+        idx = pc.index_in(pc.cast(t["c_nationkey"], pa.int64()),
+                          value_set=pc.cast(dim_keys, pa.int64()))
+        return pa.table({
+            "n_name": pc.take(dim_names, idx),
+            "n_customers": pc.cast(t["n_customers"], pa.int64()),
+            "n_active": pc.cast(t["n_active"], pa.int64()),
+            "n_events": pc.cast(t["n_events"], pa.int64()),
+        })
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+CUSTOMER_EVENT_ACTIVITY_SQL = """
+WITH ec AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1
+)
+SELECT n_name,
+       count(*) AS n_customers,
+       CAST(sum(CASE WHEN ec.user_id IS NULL THEN 0 ELSE 1 END)
+            AS BIGINT) AS n_active,
+       CAST(sum(coalesce(ec.n, 0)) AS BIGINT) AS n_events
+FROM customer c
+JOIN nation ON c_nationkey = n_nationkey
+LEFT JOIN ec ON ec.user_id = c.c_custkey
+GROUP BY 1
+ORDER BY 1
+"""

@@ -1,0 +1,159 @@
+"""Winnowing fingerprints + the round-3b relational operators
+(quantile-threshold pruning, vocabulary top-k, left-outer activity)."""
+
+import pyarrow as pa
+import pytest
+
+from p2pddsketch_ray.pipelines.fingerprint import (HASH_BASE, HASH_MOD,
+                                                   POS_BITS,
+                                                   winnow_doc_stats)
+
+
+def naive_winnow(text: str, k: int = 8, w: int = 8):
+    """Straight-from-the-paper reference: k-gram Horner hashes, trailing
+    windows of w grams, leftmost-min selection via the composite rule."""
+    b = text.encode()
+    n_grams = max(len(b) - k + 1, 0)
+    comps = []
+    for i in range(n_grams):
+        h = 0
+        for t in range(k):
+            h = (h * HASH_BASE + b[i + t]) % HASH_MOD
+        comps.append((h << POS_BITS) | i)
+    sel = {min(comps[j: j + w]) for j in range(len(comps) - w + 1)}
+    return n_grams, len(sel)
+
+
+DOCS = [
+    "the quick brown fox jumps over the lazy dog",
+    "pack my box with five dozen liquor jugs",
+    "the quick brown fox jumps over the lazy dog again and again",
+    "short",          # < k chars: no grams at all
+    "exactly8!",      # >= k but < k+w-1 chars: grams but no full window
+    "aaaaaaaaaaaaaaaaaaaaaaaaaaaa",  # degenerate: one repeated gram hash
+]
+
+
+def test_winnow_kernel_matches_naive():
+    t = pa.table({"lang": pa.array(["en"] * len(DOCS)),
+                  "text": pa.array(DOCS)})
+    got = winnow_doc_stats(t)
+    for i, doc in enumerate(DOCS):
+        n_grams, n_fp = naive_winnow(doc)
+        assert got["grams"][i].as_py() == n_grams, doc
+        assert got["fps"][i].as_py() == n_fp, doc
+    # selection density is ~2/(w+1) of grams on non-degenerate text
+    dense = got["fps"][0].as_py() / max(got["grams"][0].as_py(), 1)
+    assert 0.05 < dense < 0.8
+
+
+def test_winnow_kernel_doc_boundaries_isolated():
+    """Batched docs must fingerprint identically to one-doc batches --
+    windows and grams never cross document boundaries."""
+    batched = winnow_doc_stats(pa.table({
+        "lang": pa.array(["en"] * len(DOCS)), "text": pa.array(DOCS)}))
+    for i, doc in enumerate(DOCS):
+        solo = winnow_doc_stats(pa.table({"lang": pa.array(["en"]),
+                                          "text": pa.array([doc])}))
+        assert solo["grams"][0].as_py() == batched["grams"][i].as_py()
+        assert solo["fps"][0].as_py() == batched["fps"][i].as_py()
+
+
+def test_winnow_shared_substring_guarantee():
+    """The winnowing guarantee: substrings of length >= w + k - 1 shared
+    between documents produce at least one shared fingerprint (checked
+    on the reference implementation's selected-set identities)."""
+    shared = "zebra migrations cross the serengeti plains yearly"
+    a = "intro text before. " + shared + " and then more."
+    b = "completely different opening, " + shared + " closing words."
+
+    def sel_hashes(text, k=8, w=8):
+        by = text.encode()
+        comps = []
+        for i in range(len(by) - k + 1):
+            h = 0
+            for t in range(k):
+                h = (h * HASH_BASE + by[i + t]) % HASH_MOD
+            comps.append((h << POS_BITS) | i)
+        # fingerprint identity for cross-doc matching is the HASH part
+        return {min(comps[j: j + w]) >> POS_BITS
+                for j in range(len(comps) - w + 1)}
+
+    assert sel_hashes(a) & sel_hashes(b)
+
+
+def test_winnow_stats_matches_duckdb(ray_session):
+    duckdb = pytest.importorskip("duckdb")
+    from p2pddsketch_ray.pipelines.fingerprint import (
+        WINNOW_FINGERPRINT_SQL, winnow_fingerprint_stats)
+    sf = "/root/testdata/sf0.001"
+    got = (winnow_fingerprint_stats(sf).to_pandas()
+           .sort_values("lang").reset_index(drop=True))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf}/documents.parquet')")
+    want = con.execute(WINNOW_FINGERPRINT_SQL).df()
+    assert got.equals(want.reset_index(drop=True))
+    assert (got["sum_fingerprints"] > 0).all()
+
+
+def test_quantile_prune_docs_matches_duckdb(ray_session):
+    duckdb = pytest.importorskip("duckdb")
+    from p2pddsketch_ray.pipelines.relational import (QUANTILE_PRUNE_SQL,
+                                                      quantile_prune_docs)
+    sf = "/root/testdata/sf0.001"
+    got = (quantile_prune_docs(sf).to_pandas()
+           .sort_values("lang").reset_index(drop=True))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf}/documents.parquet')")
+    want = con.execute(QUANTILE_PRUNE_SQL).df()
+    assert got.equals(want.reset_index(drop=True))
+    # pruning is real: roughly 90% kept per lang, never more than all
+    totals = con.execute("SELECT lang, count(*) AS n FROM documents "
+                         "GROUP BY 1 ORDER BY 1").df()
+    frac = got["kept_docs"].to_numpy() / totals["n"].to_numpy()
+    assert (frac >= 0.85).all() and (frac < 1.0).any()
+
+
+def test_top_tokens_by_lang_matches_duckdb(ray_session):
+    duckdb = pytest.importorskip("duckdb")
+    from p2pddsketch_ray.pipelines.relational import (TOP_TOKENS_SQL,
+                                                      top_tokens_by_lang)
+    sf = "/root/testdata/sf0.001"
+    got = (top_tokens_by_lang(sf).to_pandas()
+           .sort_values(["lang", "rnk"]).reset_index(drop=True))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf}/documents.parquet')")
+    want = con.execute(TOP_TOKENS_SQL).df()
+    assert got.equals(want.reset_index(drop=True))
+    # counts are non-increasing within each lang (rank order is real)
+    for _, grp in got.groupby("lang"):
+        n = grp.sort_values("rnk")["n"].to_numpy()
+        assert (n[:-1] >= n[1:]).all()
+        assert len(grp) == 10
+
+
+def test_customer_event_activity_matches_duckdb(ray_session):
+    duckdb = pytest.importorskip("duckdb")
+    from p2pddsketch_ray.pipelines.relational import (
+        CUSTOMER_EVENT_ACTIVITY_SQL, customer_event_activity,
+        customers_without_events)
+    sf = "/root/testdata/sf0.001"
+    got = (customer_event_activity(sf).to_pandas()
+           .sort_values("n_name").reset_index(drop=True))
+    con = duckdb.connect()
+    for t in ("customer", "events", "nation"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{sf}/{t}.parquet')")
+    want = con.execute(CUSTOMER_EVENT_ACTIVITY_SQL).df()
+    assert got.equals(want.reset_index(drop=True))
+    # left-outer preserves inactive customers: the per-nation inactive
+    # counts must equal the anti-join pipeline's output
+    anti = (customers_without_events(sf).to_pandas()
+            .set_index("n_name")["n_customers"])
+    inactive = (got.set_index("n_name")["n_customers"]
+                - got.set_index("n_name")["n_active"])
+    inactive = inactive[inactive > 0]
+    assert inactive.sort_index().equals(anti.sort_index())
