@@ -38,7 +38,10 @@ from p2pddsketch_ray.pipelines.relational import (  # noqa: E402
     CUSTOMERS_WITHOUT_EVENTS_SQL as _CUSTOMERS_WITHOUT_EVENTS_SQL,
     QUANTILE_PRUNE_SQL as _QUANTILE_PRUNE_SQL,
     TOP_TOKENS_SQL as _TOP_TOKENS_SQL,
-    CUSTOMER_EVENT_ACTIVITY_SQL as _CUSTOMER_EVENT_ACTIVITY_SQL)
+    CUSTOMER_EVENT_ACTIVITY_SQL as _CUSTOMER_EVENT_ACTIVITY_SQL,
+    WINSORIZED_PRICE_SQL as _WINSORIZED_PRICE_SQL,
+    DISTINCT_USERS_PER_TYPE_SQL as _DISTINCT_USERS_PER_TYPE_SQL,
+    DOCS_PIVOT_SQL as _DOCS_PIVOT_SQL)
 from p2pddsketch_ray.pipelines.fingerprint import (  # noqa: E402
     WINNOW_FINGERPRINT_SQL as _WINNOW_FINGERPRINT_SQL)
 QS = (0.5, 0.95, 0.99)
@@ -184,7 +187,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # winnowing fingerprints (Schleimer et al. 2003) with an exact
         # SQL-replicable composite-min selection rule
         "winnow_fingerprint_stats": _winnow_fingerprint_stats,
+        # WEIGHTED DDSketch quantiles (each row adds its weight to its
+        # bucket; exact for integer-valued weights)
+        "dds_weighted_price": _dds_weighted_price,
+        # winsorized mean (exact p01/p99 clamp + integer-cents rollup)
+        "winsorized_price_stats": R.winsorized_price_stats,
+        # exact per-group COUNT(DISTINCT) with block-level dedup prereduce
+        "distinct_users_per_type": R.distinct_users_per_type,
+        # crosstab / PIVOT reshape (lang rows x source columns)
+        "docs_lang_source_pivot": R.docs_lang_source_pivot,
     }
+
+
+def _dds_weighted_price(sf_dir: str):
+    import ray.data
+    from p2pddsketch_ray.pipelines.quantiles import dds_quantiles_global
+    ds = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_extendedprice", "l_quantity"])
+    return dds_quantiles_global(ds, "l_extendedprice", QS,
+                                weight_col="l_quantity", alpha=ALPHA,
+                                bin_limit=BIN_LIMIT, round_digits=6)
 
 
 def _winnow_fingerprint_stats(sf_dir: str):
@@ -352,20 +374,25 @@ def _kll_quantiles_price(sf_dir: str):
 # oracle SQL
 # ---------------------------------------------------------------------------
 
-def _dds_sql(table: str, col: str, group: str | None = None) -> str:
+def _dds_sql(table: str, col: str, group: str | None = None,
+             weight: str | None = None) -> str:
     """DuckDB replica of the DDSketch pipeline: identical bucket keys
     (ceil(ln x/ln gamma) +/- offset, sign-mirrored, 0 -> 0), identical
     cumulative walk (first key whose running count exceeds q*(n-1)),
-    identical midpoint estimate 2*gamma^m/(gamma+1), rounded to 6."""
+    identical midpoint estimate 2*gamma^m/(gamma+1), rounded to 6.
+    ``weight`` swaps per-key counts for per-key weight sums (exact for
+    integer-valued weights: both sides sum them exactly in float64)."""
     g = GAMMA_SQL
     qs_values = ", ".join(f"({q})" for q in QS)
+    w_src = (f", CAST({weight} AS DOUBLE) AS w" if weight else "")
+    w_sum = (f"sum(w)" if weight else "CAST(count(*) AS DOUBLE)")
     if group is None:
         return f"""
-WITH src AS (SELECT CAST({col} AS DOUBLE) AS x FROM {table} WHERE {col} IS NOT NULL),
+WITH src AS (SELECT CAST({col} AS DOUBLE) AS x{w_src} FROM {table} WHERE {col} IS NOT NULL),
 keyed AS (SELECT CASE WHEN x > 0 THEN CAST(ceil(ln(x)/ln({g})) AS BIGINT) + {OFFSET}
                       WHEN x < 0 THEN -CAST(ceil(ln(-x)/ln({g})) AS BIGINT) - {OFFSET}
-                      ELSE 0 END AS k FROM src),
-bins AS (SELECT k, CAST(count(*) AS DOUBLE) AS c FROM keyed GROUP BY k),
+                      ELSE 0 END AS k{', w' if weight else ''} FROM src),
+bins AS (SELECT k, {w_sum} AS c FROM keyed GROUP BY k),
 tot AS (SELECT sum(c) AS n FROM bins),
 walk AS (SELECT k, sum(c) OVER (ORDER BY k) AS cum FROM bins),
 qs(q) AS (VALUES {qs_values}),
@@ -684,4 +711,9 @@ SELECT l_returnflag, unnest([0.25, 0.5, 0.75]) AS q,
         "top_tokens_by_lang": _TOP_TOKENS_SQL,
         "customer_event_activity": _CUSTOMER_EVENT_ACTIVITY_SQL,
         "winnow_fingerprint_stats": _WINNOW_FINGERPRINT_SQL,
+        "dds_weighted_price": _dds_sql("lineitem", "l_extendedprice",
+                                       weight="l_quantity"),
+        "winsorized_price_stats": _WINSORIZED_PRICE_SQL,
+        "distinct_users_per_type": _DISTINCT_USERS_PER_TYPE_SQL,
+        "docs_lang_source_pivot": _DOCS_PIVOT_SQL,
     }

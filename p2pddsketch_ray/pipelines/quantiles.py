@@ -27,15 +27,19 @@ from ..stages.sketch_build import partial_builder, quantile_finalizer
 
 def build_partials_ds(ds: "ray.data.Dataset", value_col: str,
                       group_cols: Sequence[str] | None = None,
-                      *, alpha: float = DEFAULT_ALPHA,
+                      *, weight_col: str | None = None,
+                      alpha: float = DEFAULT_ALPHA,
                       bin_limit: int = DEFAULT_BIN_LIMIT,
                       offset: int = DEFAULT_OFFSET, mode: str = "uniform",
                       batch_size: int | None = 65536) -> "ray.data.Dataset":
     """Stage 1: per-(block, group) partial sketch rows (stateless tasks)."""
     cols = [value_col] + list(group_cols or ())
+    if weight_col:
+        cols.append(weight_col)
     return ds.select_columns(cols).map_batches(
-        partial_builder(value_col, group_cols, alpha=alpha,
-                        bin_limit=bin_limit, offset=offset, mode=mode),
+        partial_builder(value_col, group_cols, weight_col=weight_col,
+                        alpha=alpha, bin_limit=bin_limit, offset=offset,
+                        mode=mode),
         batch_format="pyarrow", batch_size=batch_size, zero_copy_batch=True)
 
 

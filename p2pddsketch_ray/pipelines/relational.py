@@ -1335,3 +1335,203 @@ LEFT JOIN ec ON ec.user_id = c.c_custkey
 GROUP BY 1
 ORDER BY 1
 """
+
+
+def winsorized_price_stats(sf_dir: str, lo_q: float = 0.01,
+                           hi_q: float = 0.99) -> pa.Table:
+    """Winsorized mean: clamp every price into the exact [p01, p99]
+    interval, then aggregate -- the standard outlier-robust statistic for
+    heavy-tailed web data, composed from the engine's exact distributed
+    quantiles (histogram bisection, no global sort) and one streaming
+    clamp + integer-cents rollup pass.
+
+    Scale shape: the two thresholds are scalars broadcast into the clamp
+    pass; both passes stream; the driver sees one row."""
+    import ray.data
+    from .quantiles import exact_quantiles
+    ds = _read(sf_dir, "lineitem", ["l_extendedprice"])
+    th = exact_quantiles(ds, "l_extendedprice", [lo_q, hi_q])
+    lo, hi = th["value"][0].as_py(), th["value"][1].as_py()
+
+    def clamp(t: pa.Table) -> pa.Table:
+        v = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+        # clip the double first, THEN go to cents: both sides clamp the
+        # identical float64 and round identically
+        w = np.clip(v, lo, hi)
+        cents = np.floor(w * 100 + 0.5).astype(np.int64)
+        return pa.table({
+            "sum_cents": pa.array([int(cents.sum())], type=pa.int64()),
+            "n": pa.array([t.num_rows], type=pa.int64()),
+            "n_lo": pa.array([int((v < lo).sum())], type=pa.int64()),
+            "n_hi": pa.array([int((v > hi).sum())], type=pa.int64()),
+        })
+
+    sums = (ds.map_batches(clamp, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .sum(["sum_cents", "n", "n_lo", "n_hi"]))
+    sum_cents = int(sums["sum(sum_cents)"])
+    n = int(sums["sum(n)"])
+    return pa.table({
+        "sum_cents": pa.array([sum_cents], type=pa.int64()),
+        "n": pa.array([n], type=pa.int64()),
+        "n_clamped_lo": pa.array([int(sums["sum(n_lo)"])], type=pa.int64()),
+        "n_clamped_hi": pa.array([int(sums["sum(n_hi)"])], type=pa.int64()),
+        "winsorized_mean": pa.array([(sum_cents / 100.0) / n],
+                                    type=pa.float64()),
+    })
+
+
+WINSORIZED_PRICE_SQL = """
+WITH th AS (
+  SELECT quantile_disc(l_extendedprice, [0.01, 0.99]) AS v FROM lineitem
+), c AS (
+  SELECT CAST(floor(least(greatest(l_extendedprice, th.v[1]), th.v[2])
+              * 100 + 0.5) AS BIGINT) AS cents,
+         CAST(l_extendedprice < th.v[1] AS BIGINT) AS is_lo,
+         CAST(l_extendedprice > th.v[2] AS BIGINT) AS is_hi
+  FROM lineitem, th
+)
+SELECT CAST(sum(cents) AS BIGINT) AS sum_cents,
+       count(*) AS n,
+       CAST(sum(is_lo) AS BIGINT) AS n_clamped_lo,
+       CAST(sum(is_hi) AS BIGINT) AS n_clamped_hi,
+       (CAST(sum(cents) AS DOUBLE) / 100.0) / CAST(count(*) AS DOUBLE)
+           AS winsorized_mean
+FROM c
+"""
+
+
+def distinct_users_per_type(sf_dir: str) -> "ray.data.Dataset":
+    """Exact per-group COUNT(DISTINCT): distinct users and total events
+    per event_type.
+
+    Scale shape: each block first dedups its own (type, user) pairs with
+    one np.unique over integer composites -- the classic partial-distinct
+    prereduce, shrinking shuffle traffic from O(events) to O(distinct
+    pairs x blocks) -- then a (type, user) groupby finishes the global
+    dedup and a per-type combiner + tiny groupby counts survivors."""
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+
+    def block_dedup(t: pa.Table) -> pa.Table:
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ut, tcode = np.unique(et, return_inverse=True)
+        span = np.int64(uid.max() + 1) if uid.size else np.int64(1)
+        comp = tcode * span + uid
+        upair, cnt = np.unique(comp, return_counts=True)
+        return pa.table({
+            "event_type": pa.array(ut[(upair // span)].tolist(),
+                                   type=pa.string()),
+            "user_id": pa.array(upair % span),
+            "cnt": pa.array(cnt.astype(np.int64)),
+        })
+
+    pairs = (ds.map_batches(block_dedup, batch_format="pyarrow",
+                            zero_copy_batch=True)
+             .groupby(["event_type", "user_id"])
+             .aggregate(Sum("cnt", alias_name="cnt")))
+
+    def combine(t: pa.Table) -> pa.Table:
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        ut, inv = np.unique(et, return_inverse=True)
+        users = np.bincount(inv, minlength=ut.shape[0])
+        ev = np.zeros(ut.shape[0], dtype=np.int64)
+        np.add.at(ev, inv, pc.cast(t["cnt"], pa.int64())
+                  .to_numpy(zero_copy_only=False))
+        return pa.table({
+            "event_type": pa.array(ut.tolist(), type=pa.string()),
+            "n_users": pa.array(users.astype(np.int64)),
+            "n_events": pa.array(ev),
+        })
+
+    agg = (pairs.map_batches(combine, batch_format="pyarrow")
+           .groupby("event_type")
+           .aggregate(Sum("n_users", alias_name="n_users"),
+                      Sum("n_events", alias_name="n_events")))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": t["event_type"],
+            "n_users": pc.cast(t["n_users"], pa.int64()),
+            "n_events": pc.cast(t["n_events"], pa.int64()),
+        })
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+DISTINCT_USERS_PER_TYPE_SQL = """
+SELECT event_type,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       count(*) AS n_events
+FROM events
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+DOC_SOURCES = tuple(f"src{i}" for i in range(20))
+
+
+def docs_lang_source_pivot(sf_dir: str) -> "ray.data.Dataset":
+    """Crosstab / PIVOT: document counts per lang (rows) x source
+    (columns), the reshape every corpus dashboard needs.  The source
+    domain is a fixed schema-level contract (DOC_SOURCES) so the output
+    schema is stable even when a source is absent at small scale.
+
+    Scale shape: a per-batch combiner folds each block to its (lang x
+    source) partial count matrix, so the shuffle moves O(langs x sources
+    x blocks) tiny integer rows; the pivot itself happens on the
+    aggregated (langs x sources)-row table -- driver-sized by contract."""
+    from ..stages.partition import partition_by
+    ds = _read(sf_dir, "documents", ["lang", "source"])
+
+    def counts(t: pa.Table) -> pa.Table:
+        lang = t["lang"].to_numpy(zero_copy_only=False)
+        src = t["source"].to_numpy(zero_copy_only=False)
+        ul, linv = np.unique(lang, return_inverse=True)
+        us, sinv = np.unique(src, return_inverse=True)
+        comp = linv * np.int64(us.shape[0]) + sinv
+        upair, cnt = np.unique(comp, return_counts=True)
+        return pa.table({
+            "lang": pa.array(ul[upair // np.int64(us.shape[0])].tolist(),
+                             type=pa.string()),
+            "source": pa.array(us[upair % np.int64(us.shape[0])].tolist(),
+                               type=pa.string()),
+            "cnt": pa.array(cnt.astype(np.int64)),
+        })
+
+    agg = (ds.map_batches(counts, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby(["lang", "source"])
+           .aggregate(Sum("cnt", alias_name="cnt")))
+
+    empty = pa.table({"lang": pa.array([], type=pa.string()),
+                      **{s: pa.array([], type=pa.int64())
+                         for s in DOC_SOURCES}})
+
+    def pivot(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        lang = t["lang"].to_numpy(zero_copy_only=False)
+        src = t["source"].to_numpy(zero_copy_only=False)
+        cnt = pc.cast(t["cnt"], pa.int64()).to_numpy(zero_copy_only=False)
+        ul, linv = np.unique(lang, return_inverse=True)
+        mat = np.zeros((ul.shape[0], len(DOC_SOURCES)), dtype=np.int64)
+        scol = {s: j for j, s in enumerate(DOC_SOURCES)}
+        sidx = np.array([scol[s] for s in src.tolist()], dtype=np.int64)
+        np.add.at(mat, (linv, sidx), cnt)
+        out = {"lang": pa.array(ul.tolist(), type=pa.string())}
+        for j, s in enumerate(DOC_SOURCES):
+            out[s] = pa.array(mat[:, j])
+        return pa.table(out)
+
+    return partition_by(agg, [], 1, pivot, empty)
+
+
+DOCS_PIVOT_SQL = "\n".join(
+    ["SELECT lang,"]
+    + [f"       CAST(sum(CASE WHEN source = '{s}' THEN 1 ELSE 0 END) "
+       f"AS BIGINT) AS {s}," for s in DOC_SOURCES[:-1]]
+    + [f"       CAST(sum(CASE WHEN source = '{DOC_SOURCES[-1]}' THEN 1 "
+       f"ELSE 0 END) AS BIGINT) AS {DOC_SOURCES[-1]}"]
+    + ["FROM documents", "GROUP BY 1", "ORDER BY 1"])

@@ -179,19 +179,39 @@ class DDSketch:
 
     # -- build -------------------------------------------------------------
 
-    def add_batch(self, values) -> None:
+    def add_batch(self, values, weights=None) -> None:
         """Bulk insert (semantics of per-item DDS_AddCollapse*,
         ddsketch.cc:213-341, applied batch-wise: all inserts, then the
-        over-limit collapse loop)."""
+        over-limit collapse loop).
+
+        ``weights`` (optional, positive) turns the insert into a weighted
+        one: each value contributes its weight to its bucket count, and
+        quantiles become weighted quantiles (the bucket store already
+        holds float counts, so this is the natural generalization --
+        merge/collapse/delete semantics are unchanged)."""
         v = np.asarray(values, dtype=np.float64)
         if v.size == 0:
             return
         keys = compute_keys(v, self.ln_gamma, self.offset)
-        uniq, cnts = np.unique(keys, return_counts=True)
+        if weights is None:
+            uniq, cnts = np.unique(keys, return_counts=True)
+            added = float(v.size)
+        else:
+            w = np.asarray(weights, dtype=np.float64)
+            if w.shape != v.shape:
+                raise ValueError("weights must match values in length")
+            if (w < 0).any():
+                raise ValueError("weights must be non-negative")
+            uniq, inv = np.unique(keys, return_inverse=True)
+            cnts = np.zeros(uniq.shape[0], dtype=np.float64)
+            np.add.at(cnts, inv, w)
+            nonzero = cnts > 0  # zero-weight rows must not open bins
+            uniq, cnts = uniq[nonzero], cnts[nonzero]
+            added = float(w.sum())
         bins = self.bins
         for k, c in zip(uniq.tolist(), cnts.tolist()):
             bins[k] = bins.get(k, 0.0) + c
-        self.n += float(v.size)
+        self.n += added
         self._enforce_limit()
 
     def add(self, value: float) -> None:

@@ -154,6 +154,7 @@ def tree_merge_sketches(partials_ds, *, fanin: int = 32) -> DDSketch:
 
 def build_partials(batch: pa.Table, *, value_col: str,
                    group_cols: Sequence[str] | None = None,
+                   weight_col: str | None = None,
                    alpha: float = DEFAULT_ALPHA,
                    bin_limit: int = DEFAULT_BIN_LIMIT,
                    offset: int = DEFAULT_OFFSET,
@@ -161,7 +162,8 @@ def build_partials(batch: pa.Table, *, value_col: str,
     """map_batches body: one partial-sketch row per (batch, group).
 
     Nulls in the value column are dropped (the reference's scalar stream
-    has no notion of null, main.cpp:967-1000).
+    has no notion of null, main.cpp:967-1000).  ``weight_col`` makes the
+    partials weighted (each row adds its weight to its bucket).
     """
     col = batch[value_col]
     if col.null_count:
@@ -169,10 +171,12 @@ def build_partials(batch: pa.Table, *, value_col: str,
         batch = batch.filter(keep)
         col = batch[value_col]
     values = col.to_numpy(zero_copy_only=False).astype(np.float64, copy=False)
+    weights = (batch[weight_col].to_numpy(zero_copy_only=False)
+               .astype(np.float64, copy=False) if weight_col else None)
 
     if not group_cols:
         s = DDSketch(alpha, bin_limit, offset, mode)
-        s.add_batch(values)
+        s.add_batch(values, weights)
         return sketch_rows_to_table([s.to_row()])
 
     if len(group_cols) == 1:
@@ -190,8 +194,10 @@ def build_partials(batch: pa.Table, *, value_col: str,
     bounds = np.searchsorted(inv[order], np.arange(len(uniq) + 1))
     rows = []
     for g in range(len(uniq)):
+        sel = order[bounds[g]:bounds[g + 1]]
         s = DDSketch(alpha, bin_limit, offset, mode)
-        s.add_batch(values[order[bounds[g]:bounds[g + 1]]])
+        s.add_batch(values[sel],
+                    weights[sel] if weights is not None else None)
         rows.append(s.to_row())
     return sketch_rows_to_table(rows, group_values)
 
