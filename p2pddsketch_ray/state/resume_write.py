@@ -65,7 +65,18 @@ class ResumableMapWrite:
 
     def run(self, input_paths: Sequence[str]) -> list[str]:
         """Process every input shard whose output does not yet exist.
-        Returns the list of all shard output directories (done + new)."""
+        Returns the list of all shard output directories (done + new).
+
+        Each shard's directory carries a ``_METRICS.json`` manifest
+        (lineage key, rows in/out, bytes out, wall seconds) written
+        inside the tmp dir BEFORE the atomic publish -- so a shard is
+        done iff its metrics exist, and per-partition metrics survive
+        resume untouched."""
+        import glob
+        import time
+
+        import pyarrow.parquet as pq
+
         import ray.data
         self.written, self.skipped = [], []
         outs = []
@@ -78,14 +89,43 @@ class ResumableMapWrite:
             tmp = final + ".tmp"
             if os.path.isdir(tmp):       # crashed mid-write: redo
                 shutil.rmtree(tmp)
+            t0 = time.time()
             ds = ray.data.read_parquet(path, columns=self.columns)
             ds = ds.map_batches(self.transform, batch_format="pyarrow",
                                 batch_size=self.batch_size,
                                 zero_copy_batch=True)
             ds.write_parquet(tmp)
+            out_files = sorted(glob.glob(os.path.join(tmp, "*.parquet")))
+            manifest = {
+                "input": os.path.abspath(path),
+                "stage": self.stage,
+                "params": self.params,
+                "shard_key": _shard_key(path, self.stage, self.params),
+                "rows_in": pq.ParquetFile(path).metadata.num_rows,
+                "rows_out": sum(pq.ParquetFile(f).metadata.num_rows
+                                for f in out_files),
+                "bytes_out": sum(os.path.getsize(f) for f in out_files),
+                "files_out": len(out_files),
+                "wall_sec": round(time.time() - t0, 4),
+            }
+            with open(os.path.join(tmp, "_METRICS.json"), "w") as fh:
+                json.dump(manifest, fh, sort_keys=True)
             os.replace(tmp, final)       # atomic publish
             self.written.append(path)
         return outs
+
+    def metrics(self, input_paths: Sequence[str]) -> list[dict]:
+        """The per-partition metrics manifests, one dict per shard (in
+        input order).  Raises if any shard has not been run."""
+        out = []
+        for path in input_paths:
+            mpath = os.path.join(self._shard_dir(path), "_METRICS.json")
+            if not os.path.isfile(mpath):
+                raise FileNotFoundError(
+                    f"no metrics for shard {path!r}; call run() first")
+            with open(mpath) as fh:
+                out.append(json.load(fh))
+        return out
 
     def output_dataset(self, input_paths: Sequence[str]):
         """The combined output across all shards as one Dataset."""

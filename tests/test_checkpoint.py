@@ -196,3 +196,47 @@ def test_resumable_map_write(ray_session, shards, tmp_path):
                            columns=["value"])
     w3.run(paths[:1])
     assert w3.written == paths[:1]
+
+
+def test_resumable_write_metrics_manifest(ray_session, shards, tmp_path):
+    """Every published shard carries a _METRICS.json manifest (lineage
+    key, rows in/out, bytes, wall time); metrics survive a resume
+    untouched and fail loudly for un-run shards."""
+    import json
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import pytest
+    from p2pddsketch_ray.state.resume_write import ResumableMapWrite
+    paths, all_vals = shards
+
+    def keep_positive(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater(t["value"], 0.0))
+
+    out = str(tmp_path / "out")
+    w = ResumableMapWrite(out, "pos", keep_positive, {"v": 1},
+                          columns=["value"])
+    w.run(paths)
+    metrics = w.metrics(paths)
+    assert len(metrics) == len(paths)
+    for path, m in zip(paths, metrics):
+        assert m["rows_in"] == pq.ParquetFile(path).metadata.num_rows
+        assert m["rows_out"] <= m["rows_in"]
+        assert m["bytes_out"] > 0 and m["wall_sec"] >= 0
+        assert m["stage"] == "pos" and m["params"] == {"v": 1}
+    # total rows_out across manifests == the combined output's rows
+    assert (sum(m["rows_out"] for m in metrics)
+            == w.output_dataset(paths).count())
+    # resume rewrites nothing: manifests byte-identical after a second run
+    before = [json.dumps(m, sort_keys=True) for m in metrics]
+    w2 = ResumableMapWrite(out, "pos", keep_positive, {"v": 1},
+                           columns=["value"])
+    w2.run(paths)
+    assert set(w2.skipped) == set(paths) and not w2.written
+    after = [json.dumps(m, sort_keys=True) for m in w2.metrics(paths)]
+    assert before == after
+    # un-run lineage (different params) has no metrics
+    w3 = ResumableMapWrite(out, "pos", keep_positive, {"v": 9},
+                           columns=["value"])
+    with pytest.raises(FileNotFoundError):
+        w3.metrics(paths)
