@@ -30,7 +30,8 @@ GAMMA_SQL = "((1.0+0.01)/(1.0-0.01))"
 from p2pddsketch_ray.pipelines.temporal import (  # noqa: E402
     EVENTS_ASOF_ORDERS_SQL as _EVENTS_ASOF_ORDERS_SQL,
     ORDERS_EVENT_WINDOW_SQL as _ORDERS_EVENT_WINDOW_SQL,
-    USER_EVENT_LAG_SQL as _USER_EVENT_LAG_SQL)
+    USER_EVENT_LAG_SQL as _USER_EVENT_LAG_SQL,
+    USER_RUNNING_TOTALS_SQL as _USER_RUNNING_TOTALS_SQL)
 from p2pddsketch_ray.pipelines.relational import (  # noqa: E402
     REPETITION_STATS_SQL as _REPETITION_STATS_SQL,
     STRATIFIED_SAMPLE_SQL as _STRATIFIED_SAMPLE_SQL,
@@ -196,7 +197,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_users_per_type": R.distinct_users_per_type,
         # crosstab / PIVOT reshape (lang rows x source columns)
         "docs_lang_source_pivot": R.docs_lang_source_pivot,
+        # cumulative windowed aggregate (per-row running sums with
+        # per-user resets; prefix-sum kernel over co-partitions)
+        "user_running_totals": _user_running_totals,
     }
+
+
+def _user_running_totals(sf_dir: str):
+    from p2pddsketch_ray.pipelines.temporal import user_running_totals
+    return user_running_totals(sf_dir)
 
 
 def _dds_weighted_price(sf_dir: str):
@@ -716,4 +725,5 @@ SELECT l_returnflag, unnest([0.25, 0.5, 0.75]) AS q,
         "winsorized_price_stats": _WINSORIZED_PRICE_SQL,
         "distinct_users_per_type": _DISTINCT_USERS_PER_TYPE_SQL,
         "docs_lang_source_pivot": _DOCS_PIVOT_SQL,
+        "user_running_totals": _USER_RUNNING_TOTALS_SQL,
     }

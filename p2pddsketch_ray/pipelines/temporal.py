@@ -541,3 +541,78 @@ FROM w
 GROUP BY 1
 ORDER BY 1
 """
+
+
+def user_running_totals(sf_dir: str) -> "ray.data.Dataset":
+    """Cumulative windowed aggregate: per event, the running sum of the
+    user's values so far and the event's rank in the user's history --
+    ``sum(v) OVER (PARTITION BY user ORDER BY ts, id ROWS UNBOUNDED
+    PRECEDING)`` as a distributed per-ROW operator (unlike the lag
+    ROLLUP, the full O(events) result survives to the output).
+
+    Dataflow: the same coarse user-hash co-partition as the lag/session
+    kernels, then one vectorized pass per partition: lexsort by (user,
+    ts, event_id), one np.cumsum, and a per-user base subtraction
+    (cumsum minus the group's starting offset) -- prefix sums with
+    resets, no per-user Python.  Integer micro-units keep the running
+    sums exact and order-proof."""
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "value"])
+
+    empty = pa.table({"event_id": pa.array([], type=pa.int64()),
+                      "user_id": pa.array([], type=pa.int64()),
+                      "rnk": pa.array([], type=pa.int64()),
+                      "running_units": pa.array([], type=pa.int64())})
+
+    def prep(t: pa.Table) -> pa.Table:
+        units = np.floor(
+            t["value"].to_numpy(zero_copy_only=False) * 1e6 + 0.5
+        ).astype(np.int64)
+        return pa.table({
+            "user_id": pc.cast(t["user_id"], pa.int64()),
+            "ts": pa.array(_as_int64(t["ts"]), type=pa.int64()),
+            "event_id": pc.cast(t["event_id"], pa.int64()),
+            "units": pa.array(units),
+        })
+
+    def running_kernel(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        ts = t["ts"].to_numpy(zero_copy_only=False)
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        units = t["units"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, uid))
+        uid_s, units_s = uid[order], units[order]
+        cs = np.cumsum(units_s)
+        new_grp = np.ones(order.shape[0], dtype=bool)
+        new_grp[1:] = uid_s[1:] != uid_s[:-1]
+        starts = np.nonzero(new_grp)[0]
+        counts = np.diff(np.append(starts, order.shape[0]))
+        base = np.repeat(cs[starts] - units_s[starts], counts)
+        rank = np.arange(order.shape[0]) - np.repeat(starts, counts) + 1
+        return pa.table({
+            "event_id": pa.array(eid[order]),
+            "user_id": pa.array(uid_s),
+            "rnk": pa.array(rank.astype(np.int64)),
+            "running_units": pa.array(cs - base),
+        })
+
+    prepped = events.map_batches(prep, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+    return partition_by(prepped, ["user_id"], fit_partitions(32),
+                        running_kernel, empty)
+
+
+USER_RUNNING_TOTALS_SQL = """
+SELECT CAST(event_id AS BIGINT) AS event_id,
+       CAST(user_id AS BIGINT) AS user_id,
+       CAST(row_number() OVER w AS BIGINT) AS rnk,
+       CAST(sum(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT))
+            OVER w AS BIGINT) AS running_units
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+ORDER BY user_id, rnk
+"""

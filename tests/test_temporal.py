@@ -157,3 +157,21 @@ def test_user_event_lag_matches_duckdb(ray_session):
                 f"read_parquet('{sf}/events.parquet')")
     want = con.execute(USER_EVENT_LAG_SQL).df()
     assert got.equals(want.reset_index(drop=True))
+
+
+def test_user_running_totals_matches_duckdb(ray_session):
+    duckdb = pytest.importorskip("duckdb")
+    from p2pddsketch_ray.pipelines.temporal import (USER_RUNNING_TOTALS_SQL,
+                                                    user_running_totals)
+    sf = "/root/testdata/sf0.001"
+    got = (user_running_totals(sf).to_pandas()
+           .sort_values(["user_id", "rnk"]).reset_index(drop=True))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{sf}/events.parquet')")
+    want = con.execute(USER_RUNNING_TOTALS_SQL).df()
+    assert got.equals(want.reset_index(drop=True))
+    # per-user invariants: ranks are 1..n, running sums end at the total
+    per_user = got.groupby("user_id")
+    assert (per_user["rnk"].max() == per_user.size()).all()
+    assert (per_user["rnk"].min() == 1).all()
