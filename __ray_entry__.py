@@ -45,6 +45,8 @@ from p2pddsketch_ray.pipelines.relational import (  # noqa: E402
     DOCS_PIVOT_SQL as _DOCS_PIVOT_SQL)
 from p2pddsketch_ray.pipelines.fingerprint import (  # noqa: E402
     WINNOW_FINGERPRINT_SQL as _WINNOW_FINGERPRINT_SQL)
+from p2pddsketch_ray.pipelines.dedup import (  # noqa: E402
+    NGRAM_JACCARD_SQL as _NGRAM_JACCARD_SQL)
 QS = (0.5, 0.95, 0.99)
 
 
@@ -200,7 +202,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # cumulative windowed aggregate (per-row running sums with
         # per-user resets; prefix-sum kernel over co-partitions)
         "user_running_totals": _user_running_totals,
+        # exact n-gram Jaccard (the verification tier of the near-dup
+        # stack: actual shingle-set intersection, no hashing)
+        "ngram_jaccard_pairs": _ngram_jaccard_pairs,
     }
+
+
+def _ngram_jaccard_pairs(sf_dir: str):
+    from p2pddsketch_ray.pipelines.dedup import ngram_jaccard_pairs
+    return ngram_jaccard_pairs(sf_dir)
 
 
 def _user_running_totals(sf_dir: str):
@@ -726,4 +736,5 @@ SELECT l_returnflag, unnest([0.25, 0.5, 0.75]) AS q,
         "distinct_users_per_type": _DISTINCT_USERS_PER_TYPE_SQL,
         "docs_lang_source_pivot": _DOCS_PIVOT_SQL,
         "user_running_totals": _USER_RUNNING_TOTALS_SQL,
+        "ngram_jaccard_pairs": _NGRAM_JACCARD_SQL,
     }

@@ -509,3 +509,161 @@ def embedding_near_dup_pairs(sf_dir: str, threshold: float = 0.9, *,
 
     return _partition_by(pairs, ["vec_a", "vec_b"], max(2, nparts // 4),
                          dedupe_pairs, empty)
+
+
+def ngram_jaccard_pairs(sf_dir: str, k: int = 9,
+                        max_doc_id: int = 40) -> pa.Table:
+    """EXACT n-gram Jaccard for every document pair sharing at least one
+    k-character shingle, as (doc_a, doc_b, inter, uni) integer set sizes
+    -- the fully-verified tier of the near-dup stack (MinHash estimates
+    this; here the actual shingle SETS are intersected, no hashing, no
+    approximation, so the result is hash-identical to a substr/DISTINCT
+    SQL replica).
+
+    Bounded to ``doc_id < max_doc_id`` because all-pairs exact Jaccard
+    is inherently quadratic in the worst case -- this query is the
+    verification harness, not the scale path (that is minhash_near_dups).
+    The row filter is pushed into the parquet read.
+
+    Dataflow: per batch, distinct (doc, shingle-bytes) rows via one
+    sliding_window_view + lexsort (no per-document Python); shingles are
+    co-partitioned by their first-8-bytes integer (collisions only merge
+    partitions, equality stays co-located); per partition, one sorted
+    run-detection pass expands within-run pairs VECTORIZED (rank
+    arithmetic, no per-run loop) and np.unique counts each pair's shared
+    shingles.  Set sizes ride a tiny per-doc aggregate broadcast into
+    the finalize."""
+    import pyarrow.dataset as pads
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"],
+        filter=(pads.field("doc_id") < max_doc_id))
+
+    def shingle_rows(t: pa.Table) -> pa.Table:
+        empty = pa.table({"doc_id": pa.array([], type=pa.int64()),
+                          "sh": pa.array([], type=pa.binary()),
+                          "part": pa.array([], type=pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        txt = t["text"].combine_chunks()
+        bufs = txt.buffers()
+        if pa.types.is_large_string(txt.type):
+            off = np.frombuffer(bufs[1], dtype=np.int64)
+        else:
+            off = np.frombuffer(bufs[1], dtype=np.int32).astype(np.int64)
+        off = off[txt.offset: txt.offset + len(txt) + 1]
+        if bufs[2] is None:
+            return empty
+        data = np.frombuffer(bufs[2], dtype=np.uint8)[off[0]: off[-1]]
+        off = off - off[0]
+        total = int(off[-1])
+        n_grams = total - k + 1
+        if n_grams < 1:
+            return empty
+        lengths = np.diff(off)
+        doc_of_byte = np.repeat(np.arange(t.num_rows, dtype=np.int64),
+                                lengths)
+        valid = doc_of_byte[:n_grams] == doc_of_byte[k - 1:
+                                                     k - 1 + n_grams]
+        wins = np.lib.stride_tricks.sliding_window_view(data, k)[valid]
+        wins = np.ascontiguousarray(wins)
+        sh = wins.view(f"S{k}").ravel()
+        docs = doc_of_byte[:n_grams][valid]
+        order = np.lexsort((sh, docs))
+        sh_s, docs_s = sh[order], docs[order]
+        keep = np.ones(sh_s.shape[0], dtype=bool)
+        keep[1:] = (docs_s[1:] != docs_s[:-1]) | (sh_s[1:] != sh_s[:-1])
+        sh_u, docs_u = sh_s[keep], docs_s[keep]
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)[docs_u]
+        # co-partition key: the shingle's first 8 bytes as int64 (equal
+        # shingles always agree; prefix collisions only merge partitions)
+        wins_u = np.ascontiguousarray(wins[order][keep][:, :8])
+        part = wins_u.view("<i8").ravel()
+        return pa.table({
+            "doc_id": pa.array(ids.astype(np.int64)),
+            "sh": pa.array(sh_u.tolist(), type=pa.binary()),
+            "part": pa.array(part),
+        })
+
+    rows = ds.map_batches(shingle_rows, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+    # per-doc distinct-shingle sizes: tiny aggregate (<= max_doc_id rows)
+    from ray.data.aggregate import Count
+    sizes_t = (rows.groupby("doc_id").aggregate(Count(alias_name="n"))
+               .to_pandas())
+    size_of = dict(zip(sizes_t["doc_id"].astype(int),
+                       sizes_t["n"].astype(int)))
+
+    span = np.int64(max(max_doc_id, 2))
+    empty = pa.table({"pair": pa.array([], type=pa.int64()),
+                      "inter": pa.array([], type=pa.int64())})
+
+    def run_pairs(group: pa.Table) -> pa.Table:
+        if group.num_rows < 2:
+            return empty
+        sh = np.asarray(group["sh"].to_pylist(), dtype=object)
+        d = group["doc_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((d, sh))
+        sh_s, d_s = sh[order], d[order]
+        n = d_s.shape[0]
+        new_run = np.ones(n, dtype=bool)
+        new_run[1:] = sh_s[1:] != sh_s[:-1]
+        starts = np.nonzero(new_run)[0]
+        rlen = np.diff(np.append(starts, n))
+        # vectorized within-run (i < j) pair expansion by rank arithmetic
+        rank = np.arange(n) - np.repeat(starts, rlen)
+        cnt_a = np.repeat(rlen, rlen) - rank - 1
+        total = int(cnt_a.sum())
+        if total == 0:
+            return empty
+        a_idx = np.repeat(np.arange(n), cnt_a)
+        excl = np.concatenate([[0], np.cumsum(cnt_a)[:-1]])
+        b_idx = a_idx + (np.arange(total) - np.repeat(excl, cnt_a)) + 1
+        comp = d_s[a_idx] * span + d_s[b_idx]
+        upair, cnts = np.unique(comp, return_counts=True)
+        return pa.table({"pair": pa.array(upair),
+                         "inter": pa.array(cnts.astype(np.int64))})
+
+    from ray.data.aggregate import Sum
+    agg = (_partition_by(rows, ["part"], _fit_partitions(16), run_pairs,
+                         empty)
+           .groupby("pair").aggregate(Sum("inter", alias_name="inter"))
+           .to_pandas())
+
+    pair = agg["pair"].to_numpy().astype(np.int64)
+    inter = agg["inter"].to_numpy().astype(np.int64)
+    doc_a, doc_b = pair // span, pair % span
+    n_a = np.array([size_of[int(x)] for x in doc_a], dtype=np.int64)
+    n_b = np.array([size_of[int(x)] for x in doc_b], dtype=np.int64)
+    order = np.lexsort((doc_b, doc_a))
+    return pa.table({
+        "doc_a": pa.array(doc_a[order]),
+        "doc_b": pa.array(doc_b[order]),
+        "inter": pa.array(inter[order]),
+        "uni": pa.array((n_a + n_b - inter)[order]),
+    })
+
+
+NGRAM_JACCARD_SQL = """
+WITH nums AS (
+  SELECT CAST(range AS BIGINT) AS i FROM range(1, 1048576)
+), sh AS (
+  SELECT DISTINCT doc_id, substr(text, i, 9) AS s
+  FROM documents JOIN nums ON nums.i <= length(text) - 8
+  WHERE doc_id < 40
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM sh GROUP BY 1
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(count(*) AS BIGINT) AS inter
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, inter,
+       CAST(sa.n + sb.n - inter AS BIGINT) AS uni
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+ORDER BY 1, 2
+"""

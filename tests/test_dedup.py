@@ -192,3 +192,31 @@ def test_embedding_near_dup_scale_mode_subset(ray_session):
         assert s == exact_pairs[(a, b)]
     # multi-probe assignment keeps recall reasonable even at low probes
     assert len(approx) / len(exact) > 0.3, len(approx) / len(exact)
+
+
+def test_ngram_jaccard_pairs_matches_duckdb(ray_session):
+    duckdb = pytest.importorskip("duckdb")
+    from p2pddsketch_ray.pipelines.dedup import (NGRAM_JACCARD_SQL,
+                                                 ngram_jaccard_pairs)
+    sf = "/root/testdata/sf0.001"
+    got = ngram_jaccard_pairs(sf).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf}/documents.parquet')")
+    want = con.execute(NGRAM_JACCARD_SQL).df()
+    assert got.reset_index(drop=True).equals(want.reset_index(drop=True))
+    # set-arithmetic invariants and agreement with the pairwise verify
+    # kernel (shingle-hash tier) on a handful of pairs
+    assert (got["inter"] <= got["uni"]).all()
+    assert (got["inter"] > 0).all() and (got["uni"] > 0).all()
+    import pyarrow.parquet as pq
+    docs = pq.read_table(f"{sf}/documents.parquet",
+                         columns=["doc_id", "text"])
+    texts = dict(zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist()))
+    from p2pddsketch_ray.pipelines.dedup import ngram_jaccard_verify
+    head = got.head(5)
+    ja = ngram_jaccard_verify([texts[int(a)] for a in head["doc_a"]],
+                              [texts[int(b)] for b in head["doc_b"]], k=9)
+    got_j = (head["inter"] / head["uni"]).to_numpy()
+    # verify() hashes shingles (rare collisions possible); allow tiny slack
+    assert np.allclose(got_j, ja, atol=1e-6)
