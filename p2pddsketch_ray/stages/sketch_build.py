@@ -231,3 +231,64 @@ def quantile_finalizer(group_cols: Sequence[str] | None,
         return pa.table(out)
 
     return finalize
+
+
+def actor_pool_sketch_build(ds, value_col: str, *, n_actors: int = 8,
+                            alpha: float = DEFAULT_ALPHA,
+                            bin_limit: int = DEFAULT_BIN_LIMIT,
+                            offset: int = DEFAULT_OFFSET,
+                            mode: str = "uniform",
+                            weight_col: str | None = None) -> DDSketch:
+    """Stateful ACTOR-POOL build: ``n_actors`` long-lived Ray actors each
+    hold ONE DDSketch and stream their share of the dataset through it
+    (``streaming_split`` iterators), so exactly ``n_actors`` partial rows
+    exist no matter how many blocks the input has -- the "per-partition
+    sketch held in actor state" execution shape (north-star phrasing;
+    the reference's per-peer accumulation, main.cpp:432-472).
+
+    This is the raw-actor escape hatch the Dataset API needs here: a
+    map_batches callable class cannot flush accumulated state after its
+    last batch, so cross-batch accumulation genuinely requires actors
+    consuming split iterators.  The default path (build_partials +
+    tree_merge_sketches) stays stateless-per-block -- identical results
+    (merge associativity), better retry semantics; this pool variant
+    wins when per-block partial rows dominate (tiny blocks, huge block
+    counts) or when the accumulator is expensive to construct.
+
+    Returns the merged global sketch; bit-identical to the stateless
+    path by merge-order invariance (asserted in tests).
+    """
+    import ray as _ray
+
+    @_ray.remote
+    class _SketchActor:
+        def __init__(self):
+            self.sketch = DDSketch(alpha, bin_limit, offset, mode)
+
+        def consume(self, it) -> dict:
+            for batch in it.iter_batches(batch_format="pyarrow",
+                                         batch_size=65536):
+                col = batch[value_col]
+                if col.null_count:
+                    batch = batch.filter(col.is_valid())
+                    col = batch[value_col]
+                v = col.to_numpy(zero_copy_only=False).astype(
+                    np.float64, copy=False)
+                w = (batch[weight_col].to_numpy(zero_copy_only=False)
+                     .astype(np.float64, copy=False)
+                     if weight_col else None)
+                self.sketch.add_batch(v, w)
+            return self.sketch.to_row()
+
+    cols = [value_col] + ([weight_col] if weight_col else [])
+    splits = ds.select_columns(cols).streaming_split(
+        n_actors, equal=False)
+    actors = [_SketchActor.remote() for _ in range(n_actors)]
+    rows = _ray.get([a.consume.remote(it)
+                     for a, it in zip(actors, splits)])
+    for a in actors:
+        _ray.kill(a)
+    merged = DDSketch.from_row(rows[0])
+    for r in rows[1:]:
+        merged.merge(DDSketch.from_row(r))
+    return merged

@@ -361,3 +361,38 @@ def test_customers_without_events_matches_duckdb(ray_session):
     want = con.execute(CUSTOMERS_WITHOUT_EVENTS_SQL).df()
     assert got.equals(want.reset_index(drop=True))
     assert got["n_customers"].sum() > 0  # anti-join actually selects rows
+
+
+def test_actor_pool_build_bit_identical(ray_session):
+    """The stateful actor-pool build (n long-lived actors each holding
+    one sketch over a streaming split) must produce the exact same
+    merged sketch as the stateless per-block path -- merge-order
+    invariance makes the two execution shapes interchangeable."""
+    import ray.data
+    from p2pddsketch_ray.pipelines.quantiles import dds_sketch_global
+    from p2pddsketch_ray.stages.sketch_build import actor_pool_sketch_build
+    ds = ray.data.read_parquet("/root/testdata/sf0.001/lineitem.parquet",
+                               columns=["l_extendedprice"])
+    pool = actor_pool_sketch_build(ds, "l_extendedprice", n_actors=3,
+                                   alpha=0.01, bin_limit=2048)
+    tree = dds_sketch_global(ds, "l_extendedprice", alpha=0.01,
+                             bin_limit=2048)
+    assert pool.bins == tree.bins
+    assert pool.n == tree.n and pool.generation == tree.generation
+    for q in (0.5, 0.95, 0.99):
+        assert pool.quantile(q) == tree.quantile(q)
+
+
+def test_actor_pool_build_weighted(ray_session):
+    import ray.data
+    from p2pddsketch_ray.pipelines.quantiles import dds_sketch_global
+    from p2pddsketch_ray.stages.sketch_build import actor_pool_sketch_build
+    ds = ray.data.read_parquet("/root/testdata/sf0.001/lineitem.parquet",
+                               columns=["l_extendedprice", "l_quantity"])
+    pool = actor_pool_sketch_build(ds, "l_extendedprice", n_actors=3,
+                                   weight_col="l_quantity",
+                                   alpha=0.01, bin_limit=2048)
+    tree = dds_sketch_global(ds, "l_extendedprice",
+                             weight_col="l_quantity",
+                             alpha=0.01, bin_limit=2048)
+    assert pool.bins == tree.bins and pool.n == tree.n
