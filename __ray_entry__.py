@@ -205,7 +205,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # exact n-gram Jaccard (the verification tier of the near-dup
         # stack: actual shingle-set intersection, no hashing)
         "ngram_jaccard_pairs": _ngram_jaccard_pairs,
+        # multimodal frame sampling (video-ingest shape: every k-th
+        # fixed-size frame; plumbing oracle-checked via length math)
+        "multimodal_frame_sample": _multimodal_frame_sample,
     }
+
+
+def _multimodal_frame_sample(sf_dir: str):
+    import ray.data
+    from p2pddsketch_ray.stages.multimodal import frame_sample_stats_by_group
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["lang", "text"])
+    return frame_sample_stats_by_group(ds, "text", "lang")
 
 
 def _ngram_jaccard_pairs(sf_dir: str):
@@ -737,4 +748,14 @@ SELECT l_returnflag, unnest([0.25, 0.5, 0.75]) AS q,
         "docs_lang_source_pivot": _DOCS_PIVOT_SQL,
         "user_running_totals": _USER_RUNNING_TOTALS_SQL,
         "ngram_jaccard_pairs": _NGRAM_JACCARD_SQL,
+        "multimodal_frame_sample": """
+SELECT lang,
+       count(*) AS n_docs,
+       CAST(sum(length(text) // 256) AS BIGINT) AS sum_frames,
+       CAST(sum((length(text) // 256 + 3) // 4) AS BIGINT) AS sum_sampled,
+       CAST(sum(((length(text) // 256 + 3) // 4) * 256) AS BIGINT)
+           AS sum_sampled_bytes
+FROM documents
+GROUP BY 1
+ORDER BY 1""",
     }

@@ -176,3 +176,79 @@ def test_fused_sketch_build_matches_unfused(ray_session, tmp_path):
     # cross-parallelism consistency assertion)
     res2 = fused_sketch_build(path, (0.5, 0.95, 0.99))
     assert res2["band_checksum"] == res["band_checksum"]
+
+
+def test_frame_sample_matches_naive():
+    """FrameSample's vectorized flat-buffer gather == per-row slicing."""
+    from p2pddsketch_ray.stages.multimodal import FrameSample
+    payloads = [bytes(range(256)) * 5 + b"tail",   # 5 full frames + tail
+                b"",                                # empty
+                b"x" * 255,                         # shorter than a frame
+                bytes(range(200, 256)) * 100,       # many frames
+                b"y" * 256]                         # exactly one frame
+    fb, every = 256, 4
+    t = pa.table({"payload": pa.array(payloads, type=pa.binary())})
+    out = FrameSample(column="payload", frame_bytes=fb, every=every)(t)
+    for i, p in enumerate(payloads):
+        frames = [p[j * fb:(j + 1) * fb] for j in range(len(p) // fb)]
+        sampled = b"".join(frames[::every])
+        assert out["n_frames"][i].as_py() == len(frames)
+        assert out["n_sampled"][i].as_py() == len(frames[::every])
+        assert out["sampled"][i].as_py() == sampled
+
+
+def test_frame_sample_real_decode_is_gated():
+    import pytest
+    from p2pddsketch_ray.stages.multimodal import FrameSample, Resize
+    with pytest.raises(NotImplementedError):
+        FrameSample(decode="real")
+    with pytest.raises(NotImplementedError):
+        Resize(decode="real")
+
+
+def test_resize_matches_naive():
+    """Resize's broadcast index grid == per-row nearest-neighbor loops."""
+    from p2pddsketch_ray.stages.multimodal import Resize
+    rng = np.random.default_rng(3)
+    payloads = [bytes(rng.integers(0, 256, size=n, dtype=np.uint8).tolist())
+                for n in (5000, 64, 63, 1, 0, 4096)]
+    stride, target = 64, 8
+    t = pa.table({"payload": pa.array(payloads, type=pa.binary())})
+    out = Resize(column="payload", stride=stride, target=target)(t)
+    for i, p in enumerate(payloads):
+        got = np.asarray(out["thumb"][i].as_py(), dtype=np.int64)
+        if len(p) == 0:
+            assert (got == 0).all()
+            continue
+        H = max((len(p) + stride - 1) // stride, 1)
+        want = []
+        for j in range(target):
+            r = (j * H) // target
+            for k_ in range(target):
+                c = (k_ * stride) // target
+                want.append(p[min(r * stride + c, len(p) - 1)])
+        assert got.tolist() == want
+        assert out["payload_size"][i].as_py() == len(p)
+
+
+def test_frame_sample_grouped_pipeline(ray_session):
+    """The grouped rollup's integer plumbing matches direct arithmetic."""
+    import pyarrow.parquet as pq
+    from p2pddsketch_ray.stages.multimodal import frame_sample_stats_by_group
+    import ray.data
+    sf = "/root/testdata/sf0.001"
+    ds = ray.data.read_parquet(f"{sf}/documents.parquet",
+                               columns=["lang", "text"])
+    got = (frame_sample_stats_by_group(ds, "text", "lang").to_pandas()
+           .sort_values("lang").reset_index(drop=True))
+    docs = pq.read_table(f"{sf}/documents.parquet",
+                         columns=["lang", "text"]).to_pandas()
+    docs["nf"] = docs["text"].str.len() // 256
+    docs["ns"] = (docs["nf"] + 3) // 4
+    want = (docs.groupby("lang")
+            .agg(n_docs=("text", "size"), sum_frames=("nf", "sum"),
+                 sum_sampled=("ns", "sum")).reset_index())
+    assert got["n_docs"].tolist() == want["n_docs"].tolist()
+    assert got["sum_frames"].tolist() == want["sum_frames"].tolist()
+    assert got["sum_sampled"].tolist() == want["sum_sampled"].tolist()
+    assert (got["sum_sampled_bytes"] == got["sum_sampled"] * 256).all()
