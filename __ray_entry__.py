@@ -208,6 +208,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # multimodal frame sampling (video-ingest shape: every k-th
         # fixed-size frame; plumbing oracle-checked via length math)
         "multimodal_frame_sample": _multimodal_frame_sample,
+        # GROUPED HLL (approximate distinct per group, register-level
+        # oracle per group)
+        "hll_users_by_type": A.hll_users_by_type,
     }
 
 
@@ -743,6 +746,30 @@ SELECT l_returnflag, unnest([0.25, 0.5, 0.75]) AS q,
         "winnow_fingerprint_stats": _WINNOW_FINGERPRINT_SQL,
         "dds_weighted_price": _dds_sql("lineitem", "l_extendedprice",
                                        weight="l_quantity"),
+        "hll_users_by_type": """
+WITH hashes AS (SELECT event_type, hash(user_id::BIGINT) AS hv FROM events),
+regs AS (SELECT event_type, CAST(hv >> 52 AS BIGINT) AS idx,
+                CASE WHEN (hv & 4503599627370495::UBIGINT) = 0 THEN 53
+                     ELSE 52 - CAST(floor(log2(CAST(hv & 4503599627370495::UBIGINT AS DOUBLE))) AS BIGINT)
+                END AS rho
+         FROM hashes),
+mx AS (SELECT event_type, idx, max(rho) AS r FROM regs GROUP BY 1, 2),
+stats AS (SELECT event_type, count(*) AS nonzero,
+                 CAST(sum(r) AS BIGINT) AS sumr,
+                 sum(pow(2.0, -CAST(r AS DOUBLE))) AS s_nonzero
+          FROM mx GROUP BY 1),
+est AS (SELECT event_type, nonzero, sumr,
+               4096 - nonzero AS zeros,
+               (0.7213/(1.0 + 1.079/4096)) * 4096 * 4096 /
+                   (s_nonzero + CAST(4096 - nonzero AS DOUBLE)) AS raw
+        FROM stats)
+SELECT event_type, 4096::BIGINT AS m, nonzero AS nonzero_registers,
+       sumr AS sum_registers,
+       round(CASE WHEN raw <= 2.5*4096 AND zeros > 0
+                  THEN 4096 * ln(4096.0 / CAST(zeros AS DOUBLE))
+                  ELSE raw END, 6) AS hll_estimate
+FROM est
+ORDER BY 1""",
         "winsorized_price_stats": _WINSORIZED_PRICE_SQL,
         "distinct_users_per_type": _DISTINCT_USERS_PER_TYPE_SQL,
         "docs_lang_source_pivot": _DOCS_PIVOT_SQL,

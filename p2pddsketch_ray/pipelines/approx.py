@@ -112,3 +112,56 @@ def bloom_semijoin_orders(sf_dir: str, min_acctbal: float = 7000.0) -> "ray.data
                          "n_orders": pc.cast(t["n_orders"], pa.int64())})
 
     return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+def hll_users_by_type(sf_dir: str, p: int = 12) -> "ray.data.Dataset":
+    """GROUPED HLL: approximate distinct users per event_type -- the
+    generic-sketch dataflow with a group key (one partial accumulator per
+    (block, group), merged per group), emitting register-level stats so
+    the DuckDB replica verifies the whole per-group sketch state.
+
+    Scale shape: the shuffle moves one ~2^p-byte blob per (block, group)
+    -- classic partial aggregation, skew-immune like the DDSketch path
+    (a hot group still contributes one blob per block)."""
+    import pickle
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+
+    def partials(t: pa.Table) -> pa.Table:
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        uid = (t["user_id"].drop_null().to_numpy(zero_copy_only=False)
+               .astype(np.int64)
+               if t["user_id"].null_count else
+               t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64))
+        ut, inv = np.unique(et, return_inverse=True)
+        names, blobs = [], []
+        for g in range(ut.shape[0]):   # bounded by group cardinality
+            h = HyperLogLog(p, "murmur64")
+            h.add_batch(uid[inv == g])
+            names.append(ut[g])
+            blobs.append(pickle.dumps(h))
+        return pa.table({"event_type": pa.array(names, type=pa.string()),
+                         "blob": pa.array(blobs, type=pa.binary())})
+
+    def merge_group(group: pa.Table) -> pa.Table:
+        merged = None
+        for b in group["blob"].to_pylist():
+            s = pickle.loads(b)
+            merged = s if merged is None else merged.merge(s)
+        regs = merged.registers
+        return pa.table({
+            "event_type": pa.array([group["event_type"][0].as_py()],
+                                   type=pa.string()),
+            "m": pa.array([merged.m], type=pa.int64()),
+            "nonzero_registers": pa.array([int((regs > 0).sum())],
+                                          type=pa.int64()),
+            "sum_registers": pa.array([int(regs.astype(np.int64).sum())],
+                                      type=pa.int64()),
+            "hll_estimate": pa.array([round(merged.estimate(), 6)],
+                                     type=pa.float64()),
+        })
+
+    return (ds.map_batches(partials, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby("event_type")
+            .map_groups(merge_group, batch_format="pyarrow"))

@@ -257,3 +257,25 @@ def test_gossip_converges_to_exact_global():
         for q in (0.1, 0.5, 0.9, 0.99):
             assert abs(s.quantile(q) - exact.quantile(q)) \
                 <= 0.03 * abs(exact.quantile(q))
+
+
+def test_hll_users_by_type_grouped(ray_session):
+    """Grouped HLL: per-group estimates within the ~1.04/sqrt(m) rank
+    error of exact distinct counts, and register state matching the
+    per-group SQL replica."""
+    duckdb = pytest.importorskip("duckdb")
+    import __ray_entry__ as E
+    from p2pddsketch_ray.pipelines.approx import hll_users_by_type
+    sf = "/root/testdata/sf0.001"
+    got = (hll_users_by_type(sf).to_pandas()
+           .sort_values("event_type").reset_index(drop=True))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{sf}/events.parquet')")
+    want = con.execute(E.oracle_sql()["hll_users_by_type"]).df()
+    assert got.equals(want.reset_index(drop=True))
+    exact = con.execute("SELECT event_type, count(DISTINCT user_id) AS n "
+                        "FROM events GROUP BY 1 ORDER BY 1").df()
+    rel = abs(got["hll_estimate"].to_numpy()
+              - exact["n"].to_numpy()) / exact["n"].to_numpy()
+    assert (rel < 0.05).all()   # 3 sigma of 1.04/sqrt(4096) ~ 0.049
