@@ -42,7 +42,8 @@ from p2pddsketch_ray.pipelines.relational import (  # noqa: E402
     CUSTOMER_EVENT_ACTIVITY_SQL as _CUSTOMER_EVENT_ACTIVITY_SQL,
     WINSORIZED_PRICE_SQL as _WINSORIZED_PRICE_SQL,
     DISTINCT_USERS_PER_TYPE_SQL as _DISTINCT_USERS_PER_TYPE_SQL,
-    DOCS_PIVOT_SQL as _DOCS_PIVOT_SQL)
+    DOCS_PIVOT_SQL as _DOCS_PIVOT_SQL,
+    COMBINED_DAILY_SQL as _COMBINED_DAILY_SQL)
 from p2pddsketch_ray.pipelines.fingerprint import (  # noqa: E402
     WINNOW_FINGERPRINT_SQL as _WINNOW_FINGERPRINT_SQL)
 from p2pddsketch_ray.pipelines.dedup import (  # noqa: E402
@@ -211,6 +212,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # GROUPED HLL (approximate distinct per group, register-level
         # oracle per group)
         "hll_users_by_type": A.hll_users_by_type,
+        # Dataset.union of two differently-shaped sources into one
+        # normalized rollup (multi-source ingest shape)
+        "combined_daily_activity": R.combined_daily_activity,
     }
 
 
@@ -773,6 +777,7 @@ ORDER BY 1""",
         "winsorized_price_stats": _WINSORIZED_PRICE_SQL,
         "distinct_users_per_type": _DISTINCT_USERS_PER_TYPE_SQL,
         "docs_lang_source_pivot": _DOCS_PIVOT_SQL,
+        "combined_daily_activity": _COMBINED_DAILY_SQL,
         "user_running_totals": _USER_RUNNING_TOTALS_SQL,
         "ngram_jaccard_pairs": _NGRAM_JACCARD_SQL,
         "multimodal_frame_sample": """

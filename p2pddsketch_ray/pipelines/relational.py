@@ -1535,3 +1535,65 @@ DOCS_PIVOT_SQL = "\n".join(
     + [f"       CAST(sum(CASE WHEN source = '{DOC_SOURCES[-1]}' THEN 1 "
        f"ELSE 0 END) AS BIGINT) AS {DOC_SOURCES[-1]}"]
     + ["FROM documents", "GROUP BY 1", "ORDER BY 1"])
+
+
+def combined_daily_activity(sf_dir: str) -> "ray.data.Dataset":
+    """Dataset UNION: one activity timeline from two differently-shaped
+    tables (events.ts and orders.o_orderdate), normalized to a common
+    (day, src) schema with ``Dataset.union`` and rolled up per day and
+    source -- the multi-source-ingest shape (crawl A + crawl B -> one
+    corpus) exercised as an engine operator.
+
+    Scale shape: each side projects to two tiny columns and pre-folds
+    per batch to (day, src, n) partials before the union, so the merged
+    stream and the final shuffle carry O(days x blocks) rows."""
+    events = _read(sf_dir, "events", ["ts"])
+    orders = _read(sf_dir, "orders", ["o_orderdate"])
+
+    def fold(col: str, src: str):
+        def f(t: pa.Table) -> pa.Table:
+            us = t[col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+            day = us // np.int64(86_400_000_000)
+            ud, cnt = np.unique(day, return_counts=True)
+            return pa.table({
+                "day": pa.array(ud),
+                "src": pa.array([src] * ud.shape[0], type=pa.string()),
+                "n": pa.array(cnt.astype(np.int64)),
+            })
+        return f
+
+    unioned = (events.map_batches(fold("ts", "events"),
+                                  batch_format="pyarrow",
+                                  zero_copy_batch=True)
+               .union(orders.map_batches(fold("o_orderdate", "orders"),
+                                         batch_format="pyarrow",
+                                         zero_copy_batch=True)))
+
+    agg = (unioned.groupby(["day", "src"])
+           .aggregate(Sum("n", alias_name="n")))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "day": pc.cast(t["day"], pa.int64()),
+            "src": t["src"],
+            "n": pc.cast(t["n"], pa.int64()),
+        })
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+COMBINED_DAILY_SQL = """
+WITH u AS (
+  SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+         'events' AS src
+  FROM events
+  UNION ALL
+  SELECT CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT) AS day,
+         'orders' AS src
+  FROM orders
+)
+SELECT day, src, count(*) AS n
+FROM u
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""

@@ -396,3 +396,23 @@ def test_actor_pool_build_weighted(ray_session):
                              weight_col="l_quantity",
                              alpha=0.01, bin_limit=2048)
     assert pool.bins == tree.bins and pool.n == tree.n
+
+
+def test_combined_daily_activity_union(ray_session):
+    duckdb = pytest.importorskip("duckdb")
+    from p2pddsketch_ray.pipelines.relational import (COMBINED_DAILY_SQL,
+                                                      combined_daily_activity)
+    sf = "/root/testdata/sf0.001"
+    got = (combined_daily_activity(sf).to_pandas()
+           .sort_values(["day", "src"]).reset_index(drop=True))
+    con = duckdb.connect()
+    for t in ("events", "orders"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{sf}/{t}.parquet')")
+    want = con.execute(COMBINED_DAILY_SQL).df()
+    assert got.equals(want.reset_index(drop=True))
+    # both sources survive the union
+    assert set(got["src"]) == {"events", "orders"}
+    assert got.groupby("src")["n"].sum().to_dict() == {
+        "events": con.execute("SELECT count(*) FROM events").fetchone()[0],
+        "orders": con.execute("SELECT count(*) FROM orders").fetchone()[0]}
