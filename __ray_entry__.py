@@ -215,6 +215,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Dataset.union of two differently-shaped sources into one
         # normalized rollup (multi-source ingest shape)
         "combined_daily_activity": R.combined_daily_activity,
+        # KMV bottom-k theta sketch: per-group distinct estimates with the
+        # FULL stored hash set oracle-verified (murmur64 == DuckDB hash)
+        "kmv_distinct_users": A.kmv_distinct_users,
+        # KMV set algebra: union/intersection estimates between per-group
+        # sketches (the capability HLL lacks)
+        "kmv_user_overlap": A.kmv_user_overlap,
     }
 
 
@@ -790,4 +796,59 @@ SELECT lang,
 FROM documents
 GROUP BY 1
 ORDER BY 1""",
+        # KMV state replica: k smallest distinct hash(user_id) per group;
+        # kth hash split 32/32 (UBIGINT does not survive the pandas hash),
+        # mod-2^31 checksum over the stored set, estimator (k-1)*2^64/kth
+        # with the EXACT float op order of KMVSketch.estimate_f
+        "kmv_distinct_users": """
+WITH d AS (SELECT DISTINCT event_type, hash(user_id) AS hv FROM events),
+r AS (SELECT event_type, hv,
+             row_number() OVER (PARTITION BY event_type ORDER BY hv) rn
+      FROM d)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_mins,
+       CAST(max(hv) // 4294967296 AS BIGINT) AS kth_hi,
+       CAST(max(hv) % 4294967296 AS BIGINT) AS kth_lo,
+       CAST(sum(hv % 2147483648) AS BIGINT) AS mins_checksum,
+       CASE WHEN count(*) < 64 THEN CAST(count(*) AS BIGINT)
+            ELSE CAST(FLOOR(63 * (18446744073709551616.0 /
+                 CAST(max(hv) AS DOUBLE)) + 0.5) AS BIGINT)
+       END AS est_distinct
+FROM r WHERE rn <= 64
+GROUP BY event_type
+ORDER BY 1""",
+        "kmv_user_overlap": """
+WITH d AS (SELECT DISTINCT event_type, hash(user_id) AS hv FROM events),
+r AS (SELECT event_type, hv,
+             row_number() OVER (PARTITION BY event_type ORDER BY hv) rn
+      FROM d),
+topk AS (SELECT event_type, hv FROM r WHERE rn <= 64),
+pairs AS (SELECT a.event_type AS ta, b.event_type AS tb
+          FROM (SELECT DISTINCT event_type FROM events) a
+          JOIN (SELECT DISTINCT event_type FROM events) b
+            ON a.event_type < b.event_type),
+u AS (SELECT ta, tb, hv,
+             row_number() OVER (PARTITION BY ta, tb ORDER BY hv) rn
+      FROM (SELECT DISTINCT p.ta, p.tb, t.hv
+            FROM pairs p JOIN topk t
+              ON t.event_type = p.ta OR t.event_type = p.tb)),
+ul AS (SELECT ta, tb, hv FROM u WHERE rn <= 64),
+st AS (SELECT ta, tb, CAST(count(*) AS BIGINT) AS nl, max(hv) AS kth
+       FROM ul GROUP BY 1, 2),
+cm AS (SELECT ul.ta, ul.tb, CAST(count(*) AS BIGINT) AS c
+       FROM ul
+       JOIN topk x ON x.event_type = ul.ta AND x.hv = ul.hv
+       JOIN topk y ON y.event_type = ul.tb AND y.hv = ul.hv
+       GROUP BY 1, 2)
+SELECT st.ta AS type_a, st.tb AS type_b, st.nl AS n_l,
+       COALESCE(cm.c, 0) AS n_common,
+       CAST(FLOOR((CASE WHEN st.nl < 64 THEN CAST(st.nl AS DOUBLE)
+            ELSE 63 * (18446744073709551616.0 / CAST(st.kth AS DOUBLE))
+            END) + 0.5) AS BIGINT) AS est_union,
+       CAST(FLOOR(((CAST(COALESCE(cm.c, 0) AS DOUBLE) / st.nl) *
+            (CASE WHEN st.nl < 64 THEN CAST(st.nl AS DOUBLE)
+             ELSE 63 * (18446744073709551616.0 / CAST(st.kth AS DOUBLE))
+             END)) + 0.5) AS BIGINT) AS est_intersection
+FROM st LEFT JOIN cm ON cm.ta = st.ta AND cm.tb = st.tb
+ORDER BY 1, 2""",
     }

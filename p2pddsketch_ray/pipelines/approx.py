@@ -165,3 +165,126 @@ def hll_users_by_type(sf_dir: str, p: int = 12) -> "ray.data.Dataset":
                            zero_copy_batch=True)
             .groupby("event_type")
             .map_groups(merge_group, batch_format="pyarrow"))
+
+
+def _kmv_group_partials(ds, group_col: str, value_col: str, k: int):
+    """One pickled KMV partial per (block, group) -- the same skew-immune
+    partial-aggregation shape as the DDSketch / grouped-HLL paths."""
+    import pickle
+
+    from ..sketches.kmv import KMVSketch
+
+    def partials(t: pa.Table) -> pa.Table:
+        g = t[group_col].to_numpy(zero_copy_only=False)
+        v = (t[value_col].drop_null().to_numpy(zero_copy_only=False)
+             .astype(np.int64)
+             if t[value_col].null_count else
+             t[value_col].to_numpy(zero_copy_only=False).astype(np.int64))
+        ut, inv = np.unique(g, return_inverse=True)
+        names, blobs = [], []
+        for i in range(ut.shape[0]):   # bounded by group cardinality
+            s = KMVSketch(k)
+            s.add_batch(v[inv == i])
+            names.append(ut[i])
+            blobs.append(pickle.dumps(s))
+        return pa.table({group_col: pa.array(names, type=pa.string()),
+                         "blob": pa.array(blobs, type=pa.binary())})
+
+    return ds.map_batches(partials, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def kmv_sketches_by_group(sf_dir: str, k: int = 64) -> dict:
+    """Merged per-event_type KMV sketches of user_id (driver-side dict:
+    group cardinality is small by contract; each sketch is <= 8k bytes)."""
+    import pickle
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+    parts = _kmv_group_partials(ds, "event_type", "user_id", k)
+
+    def merge_group(group: pa.Table) -> pa.Table:
+        merged = None
+        for b in group["blob"].to_pylist():
+            s = pickle.loads(b)
+            merged = s if merged is None else merged.merge(s)
+        return pa.table({
+            "event_type": pa.array([group["event_type"][0].as_py()],
+                                   type=pa.string()),
+            "blob": pa.array([pickle.dumps(merged)], type=pa.binary()),
+        })
+
+    out = (parts.groupby("event_type")
+           .map_groups(merge_group, batch_format="pyarrow").to_arrow_refs())
+    import ray as _ray
+    sketches = {}
+    for ref in out:
+        t = _ray.get(ref)
+        if t.num_rows == 0:   # 0-row blocks arrive schema-less in Ray 2.49
+            continue
+        for et, blob in zip(t["event_type"].to_pylist(),
+                            t["blob"].to_pylist()):
+            sketches[et] = pickle.loads(blob)
+    return sketches
+
+
+def kmv_distinct_users(sf_dir: str, k: int = 64) -> pa.Table:
+    """KMV bottom-k distinct users per event_type with the FULL sketch
+    state oracle-verifiable: k-th hash (split 32/32 into int64 columns),
+    a mod-2^31 checksum over the stored set, and the estimate -- the
+    DuckDB replica recomputes all of it from ``hash(user_id)`` because
+    murmur64 bit-matches DuckDB ``hash(BIGINT)``."""
+    sketches = kmv_sketches_by_group(sf_dir, k)
+    rows = []
+    for et in sorted(sketches):
+        s = sketches[et]
+        kth = np.uint64(s.kth)
+        rows.append({
+            "event_type": et,
+            "n_mins": s.n_mins,
+            "kth_hi": int(kth >> np.uint64(32)),
+            "kth_lo": int(kth & np.uint64(0xFFFFFFFF)),
+            "mins_checksum": s.checksum(),
+            "est_distinct": s.estimate(),
+        })
+    return pa.table({
+        "event_type": pa.array([r["event_type"] for r in rows]),
+        "n_mins": pa.array([r["n_mins"] for r in rows], type=pa.int64()),
+        "kth_hi": pa.array([r["kth_hi"] for r in rows], type=pa.int64()),
+        "kth_lo": pa.array([r["kth_lo"] for r in rows], type=pa.int64()),
+        "mins_checksum": pa.array([r["mins_checksum"] for r in rows],
+                                  type=pa.int64()),
+        "est_distinct": pa.array([r["est_distinct"] for r in rows],
+                                 type=pa.int64()),
+    })
+
+
+def kmv_user_overlap(sf_dir: str, k: int = 64) -> pa.Table:
+    """Set ALGEBRA between per-group KMV sketches: estimated union and
+    intersection of the user sets of every event_type pair -- the
+    capability HLL lacks and the reason KMV is in the family.  All
+    arithmetic is float64 with the op order replicated in the oracle."""
+    sketches = kmv_sketches_by_group(sf_dir, k)
+    types = sorted(sketches)
+    rows = []
+    for i, ta in enumerate(types):
+        for tb in types[i + 1:]:
+            est_u, n_common, n_l = sketches[ta].union_intersection(
+                sketches[tb])
+            est_i = (np.float64(n_common) / n_l) * est_u
+            rows.append({
+                "type_a": ta, "type_b": tb, "n_l": n_l,
+                "n_common": n_common,
+                "est_union": int(np.floor(est_u + 0.5)),
+                "est_intersection": int(np.floor(est_i + 0.5)),
+            })
+    return pa.table({
+        "type_a": pa.array([r["type_a"] for r in rows]),
+        "type_b": pa.array([r["type_b"] for r in rows]),
+        "n_l": pa.array([r["n_l"] for r in rows], type=pa.int64()),
+        "n_common": pa.array([r["n_common"] for r in rows],
+                             type=pa.int64()),
+        "est_union": pa.array([r["est_union"] for r in rows],
+                              type=pa.int64()),
+        "est_intersection": pa.array([r["est_intersection"] for r in rows],
+                                     type=pa.int64()),
+    })

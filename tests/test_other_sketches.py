@@ -279,3 +279,76 @@ def test_hll_users_by_type_grouped(ray_session):
     rel = abs(got["hll_estimate"].to_numpy()
               - exact["n"].to_numpy()) / exact["n"].to_numpy()
     assert (rel < 0.05).all()   # 3 sigma of 1.04/sqrt(4096) ~ 0.049
+
+
+# --------------------------------------------------------------- KMV
+
+
+def test_kmv_merge_equals_bulk_and_is_idempotent():
+    from p2pddsketch_ray.sketches.kmv import KMVSketch
+    rng = np.random.default_rng(11)
+    vals = rng.integers(0, 10_000, size=50_000).astype(np.int64)
+    bulk = KMVSketch(64)
+    bulk.add_batch(vals)
+    parts = np.array_split(vals, 9)
+    merged = None
+    for p in parts:
+        s = KMVSketch(64)
+        s.add_batch(p)
+        merged = s if merged is None else merged.merge(s)
+    assert np.array_equal(merged.mins, bulk.mins)
+    # idempotent: merging a sketch with itself changes nothing
+    again = merged.merge(merged)
+    assert np.array_equal(again.mins, merged.mins)
+    # row round-trip
+    rt = KMVSketch.from_row(merged.to_row())
+    assert rt.k == merged.k and np.array_equal(rt.mins, merged.mins)
+
+
+def test_kmv_estimate_accuracy_and_exact_below_k():
+    from p2pddsketch_ray.sketches.kmv import KMVSketch
+    rng = np.random.default_rng(5)
+    # below k: exact
+    small = KMVSketch(64)
+    small.add_batch(np.arange(40, dtype=np.int64))
+    assert small.estimate() == 40
+    # above k: within 4 sigma of 1/sqrt(k-2)
+    vals = rng.integers(0, 1 << 40, size=30_000).astype(np.int64)
+    exact = np.unique(vals).shape[0]
+    big = KMVSketch(256)
+    big.add_batch(vals)
+    rel = abs(big.estimate() - exact) / exact
+    assert rel < 4.0 / np.sqrt(256 - 2)
+
+
+def test_kmv_union_intersection_estimates():
+    from p2pddsketch_ray.sketches.kmv import KMVSketch
+    rng = np.random.default_rng(9)
+    a = rng.integers(0, 4000, size=20_000).astype(np.int64)
+    b = rng.integers(2000, 6000, size=20_000).astype(np.int64)
+    sa, sb = KMVSketch(512), KMVSketch(512)
+    sa.add_batch(a)
+    sb.add_batch(b)
+    est_u, c, nl = sa.union_intersection(sb)
+    exact_u = np.union1d(a, b).shape[0]
+    exact_i = np.intersect1d(a, b).shape[0]
+    assert abs(est_u - exact_u) / exact_u < 4.0 / np.sqrt(512 - 2)
+    est_i = (c / nl) * est_u
+    # intersection error scales with union/intersection ratio; loose bound
+    assert abs(est_i - exact_i) / exact_i < 0.3
+
+
+def test_kmv_queries_match_duckdb(ray_session):
+    duckdb = pytest.importorskip("duckdb")
+    import __ray_entry__ as E
+    from p2pddsketch_ray.pipelines.approx import (kmv_distinct_users,
+                                                  kmv_user_overlap)
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{sf}/events.parquet')")
+    for name, fn in [("kmv_distinct_users", kmv_distinct_users),
+                     ("kmv_user_overlap", kmv_user_overlap)]:
+        got = fn(sf).to_pandas().reset_index(drop=True)
+        want = con.execute(E.oracle_sql()[name]).df()
+        assert got.equals(want.reset_index(drop=True)), name
