@@ -218,6 +218,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # KMV bottom-k theta sketch: per-group distinct estimates with the
         # FULL stored hash set oracle-verified (murmur64 == DuckDB hash)
         "kmv_distinct_users": A.kmv_distinct_users,
+        # connected components of the near-dup similarity graph
+        # (small-star/large-star over the edge Dataset; oracle =
+        # recursive-CTE transitive closure over the same Jaccard pairs)
+        "neardup_components": _neardup_components,
         # KMV set algebra: union/intersection estimates between per-group
         # sketches (the capability HLL lacks)
         "kmv_user_overlap": A.kmv_user_overlap,
@@ -235,6 +239,11 @@ def _multimodal_frame_sample(sf_dir: str):
 def _ngram_jaccard_pairs(sf_dir: str):
     from p2pddsketch_ray.pipelines.dedup import ngram_jaccard_pairs
     return ngram_jaccard_pairs(sf_dir)
+
+
+def _neardup_components(sf_dir: str):
+    from p2pddsketch_ray.pipelines.components import neardup_components
+    return neardup_components(sf_dir)
 
 
 def _user_running_totals(sf_dir: str):
@@ -786,6 +795,43 @@ ORDER BY 1""",
         "combined_daily_activity": _COMBINED_DAILY_SQL,
         "user_running_totals": _USER_RUNNING_TOTALS_SQL,
         "ngram_jaccard_pairs": _NGRAM_JACCARD_SQL,
+        # transitive closure of the Jaccard >= 1/16 similarity graph:
+        # same shingle/pairs CTEs as ngram_jaccard_pairs + a recursive
+        # min-label reachability walk (the SQL statement of what
+        # small-star/large-star computes distributed)
+        "neardup_components": """
+WITH RECURSIVE nums AS (
+  SELECT CAST(range AS BIGINT) AS i FROM range(1, 1048576)
+), sh AS (
+  SELECT DISTINCT doc_id, substr(text, i, 9) AS s
+  FROM documents JOIN nums ON nums.i <= length(text) - 8
+  WHERE doc_id < 40
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM sh GROUP BY 1
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(count(*) AS BIGINT) AS inter
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), jacc AS (
+  SELECT doc_a, doc_b, inter,
+         CAST(sa.n + sb.n - inter AS BIGINT) AS uni
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+), e AS (
+  SELECT doc_a AS a, doc_b AS b FROM jacc WHERE 16 * inter >= uni
+), nodes AS (
+  SELECT DISTINCT doc_id FROM documents WHERE doc_id < 40
+), e2 AS (
+  SELECT a, b FROM e UNION SELECT b, a FROM e
+), reach(node, lab) AS (
+  SELECT doc_id, doc_id FROM nodes
+  UNION
+  SELECT e2.b, r.lab FROM reach r JOIN e2 ON e2.a = r.node
+)
+SELECT node AS doc_id, CAST(min(lab) AS BIGINT) AS component
+FROM reach GROUP BY 1 ORDER BY 1""",
         "multimodal_frame_sample": """
 SELECT lang,
        count(*) AS n_docs,

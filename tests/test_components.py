@@ -1,0 +1,83 @@
+"""Connected components: small-star/large-star vs a union-find oracle,
+plus the composed near-dup clustering driver query vs its recursive-CTE
+replica."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def _uf_oracle(n, edges):
+    p = list(range(n))
+
+    def find(x):
+        while p[x] != x:
+            p[x] = p[p[x]]
+            x = p[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            p[max(ra, rb)] = min(ra, rb)
+    comp = {}
+    for i in range(n):
+        comp.setdefault(find(i), []).append(i)
+    lab = {}
+    for members in comp.values():
+        m = min(members)
+        for x in members:
+            lab[x] = m
+    return lab
+
+
+@pytest.mark.parametrize("n,ne,seed", [
+    (200, 150, 17),   # forest-ish: many small components
+    (100, 300, 1),    # dense: one giant component
+    (50, 0, 2),       # no edges: all singletons
+    (400, 200, 3),    # long chains (sparse random)
+])
+def test_connected_components_matches_union_find(ray_session, n, ne, seed):
+    import ray.data
+    from p2pddsketch_ray.pipelines.components import connected_components
+
+    rng = np.random.default_rng(seed)
+    e = rng.integers(0, n, size=(ne, 2)).astype(np.int64)
+    edges = ray.data.from_arrow(pa.table({"a": e[:, 0], "b": e[:, 1]}))
+    nodes = ray.data.from_arrow(
+        pa.table({"node": np.arange(n, dtype=np.int64)}))
+    got = (connected_components(edges, nodes).to_pandas()
+           .sort_values("node").reset_index(drop=True))
+    want = _uf_oracle(n, e.tolist())
+    assert len(got) == n
+    assert all(want[int(r.node)] == int(r.component)
+               for r in got.itertuples())
+
+
+def test_connected_components_path_graph_needs_multiple_rounds(ray_session):
+    """A single path 0-1-2-...-63 exercises the O(log n) round loop (a
+    one-round algorithm would leave distant nodes unlabeled)."""
+    import ray.data
+    from p2pddsketch_ray.pipelines.components import connected_components
+
+    n = 64
+    a = np.arange(n - 1, dtype=np.int64)
+    edges = ray.data.from_arrow(pa.table({"a": a, "b": a + 1}))
+    nodes = ray.data.from_arrow(
+        pa.table({"node": np.arange(n, dtype=np.int64)}))
+    got = connected_components(edges, nodes).to_pandas()
+    assert (got["component"] == 0).all() and len(got) == n
+
+
+def test_neardup_components_matches_recursive_cte(ray_session):
+    duckdb = pytest.importorskip("duckdb")
+    import __ray_entry__ as E
+    from p2pddsketch_ray.pipelines.components import neardup_components
+
+    sf = "/root/testdata/sf0.001"
+    got = neardup_components(sf).to_pandas().reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf}/documents.parquet')")
+    want = con.execute(E.oracle_sql()["neardup_components"]).df()
+    assert got.equals(want.reset_index(drop=True))
