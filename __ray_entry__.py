@@ -31,7 +31,8 @@ from p2pddsketch_ray.pipelines.temporal import (  # noqa: E402
     EVENTS_ASOF_ORDERS_SQL as _EVENTS_ASOF_ORDERS_SQL,
     ORDERS_EVENT_WINDOW_SQL as _ORDERS_EVENT_WINDOW_SQL,
     USER_EVENT_LAG_SQL as _USER_EVENT_LAG_SQL,
-    USER_RUNNING_TOTALS_SQL as _USER_RUNNING_TOTALS_SQL)
+    USER_RUNNING_TOTALS_SQL as _USER_RUNNING_TOTALS_SQL,
+    USER_MOVING_WINDOW_SQL as _USER_MOVING_WINDOW_SQL)
 from p2pddsketch_ray.pipelines.relational import (  # noqa: E402
     REPETITION_STATS_SQL as _REPETITION_STATS_SQL,
     STRATIFIED_SAMPLE_SQL as _STRATIFIED_SAMPLE_SQL,
@@ -203,6 +204,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # cumulative windowed aggregate (per-row running sums with
         # per-user resets; prefix-sum kernel over co-partitions)
         "user_running_totals": _user_running_totals,
+        # bounded ROLLING window (3 PRECEDING..CURRENT ROW moving sum)
+        # via cumsum-difference kernel over the same co-partitions
+        "user_moving_window": _user_moving_window,
         # exact n-gram Jaccard (the verification tier of the near-dup
         # stack: actual shingle-set intersection, no hashing)
         "ngram_jaccard_pairs": _ngram_jaccard_pairs,
@@ -249,6 +253,11 @@ def _neardup_components(sf_dir: str):
 def _user_running_totals(sf_dir: str):
     from p2pddsketch_ray.pipelines.temporal import user_running_totals
     return user_running_totals(sf_dir)
+
+
+def _user_moving_window(sf_dir: str):
+    from p2pddsketch_ray.pipelines.temporal import user_moving_window
+    return user_moving_window(sf_dir)
 
 
 def _dds_weighted_price(sf_dir: str):
@@ -794,6 +803,7 @@ ORDER BY 1""",
         "docs_lang_source_pivot": _DOCS_PIVOT_SQL,
         "combined_daily_activity": _COMBINED_DAILY_SQL,
         "user_running_totals": _USER_RUNNING_TOTALS_SQL,
+        "user_moving_window": _USER_MOVING_WINDOW_SQL,
         "ngram_jaccard_pairs": _NGRAM_JACCARD_SQL,
         # transitive closure of the Jaccard >= 1/16 similarity graph:
         # same shingle/pairs CTEs as ngram_jaccard_pairs + a recursive

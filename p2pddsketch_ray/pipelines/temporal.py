@@ -616,3 +616,79 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
 ORDER BY user_id, rnk
 """
+
+
+def user_moving_window(sf_dir: str, window: int = 4) -> "ray.data.Dataset":
+    """Bounded ROLLING window aggregate: per event, the sum/count of the
+    user's last ``window`` values -- ``sum(v) OVER (PARTITION BY user
+    ORDER BY ts, id ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)`` -- the
+    sliding companion of the UNBOUNDED-PRECEDING running total above.
+
+    Same coarse user-hash co-partition; per partition one lexsort + one
+    cumsum, then the windowed sum is a cumsum DIFFERENCE (inclusive
+    cumsum minus the exclusive cumsum at the clamped window start) --
+    no per-row loop, no per-user Python, exact int64 micro-units."""
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "value"])
+
+    empty = pa.table({"event_id": pa.array([], type=pa.int64()),
+                      "user_id": pa.array([], type=pa.int64()),
+                      "n_window": pa.array([], type=pa.int64()),
+                      "moving_units": pa.array([], type=pa.int64())})
+
+    def prep(t: pa.Table) -> pa.Table:
+        units = np.floor(
+            t["value"].to_numpy(zero_copy_only=False) * 1e6 + 0.5
+        ).astype(np.int64)
+        return pa.table({
+            "user_id": pc.cast(t["user_id"], pa.int64()),
+            "ts": pa.array(_as_int64(t["ts"]), type=pa.int64()),
+            "event_id": pc.cast(t["event_id"], pa.int64()),
+            "units": pa.array(units),
+        })
+
+    def window_kernel(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        ts = t["ts"].to_numpy(zero_copy_only=False)
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        units = t["units"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, uid))
+        uid_s, units_s = uid[order], units[order]
+        n = order.shape[0]
+        cs = np.cumsum(units_s)
+        ecs = cs - units_s                       # exclusive prefix sum
+        new_grp = np.ones(n, dtype=bool)
+        new_grp[1:] = uid_s[1:] != uid_s[:-1]
+        starts = np.nonzero(new_grp)[0]
+        counts = np.diff(np.append(starts, n))
+        starts_row = np.repeat(starts, counts)
+        r = np.arange(n) - starts_row            # 0-based in-group rank
+        lo = starts_row + np.maximum(0, r - (window - 1))
+        return pa.table({
+            "event_id": pa.array(eid[order]),
+            "user_id": pa.array(uid_s),
+            "n_window": pa.array(np.minimum(r + 1, window)
+                                 .astype(np.int64)),
+            "moving_units": pa.array(cs - ecs[lo]),
+        })
+
+    prepped = events.map_batches(prep, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+    return partition_by(prepped, ["user_id"], fit_partitions(32),
+                        window_kernel, empty)
+
+
+USER_MOVING_WINDOW_SQL = """
+SELECT CAST(event_id AS BIGINT) AS event_id,
+       CAST(user_id AS BIGINT) AS user_id,
+       CAST(count(*) OVER w AS BIGINT) AS n_window,
+       CAST(sum(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT))
+            OVER w AS BIGINT) AS moving_units
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+ORDER BY user_id, event_id
+"""

@@ -175,3 +175,22 @@ def test_user_running_totals_matches_duckdb(ray_session):
     per_user = got.groupby("user_id")
     assert (per_user["rnk"].max() == per_user.size()).all()
     assert (per_user["rnk"].min() == 1).all()
+
+
+def test_user_moving_window_matches_duckdb(ray_session):
+    duckdb = pytest.importorskip("duckdb")
+    from p2pddsketch_ray.pipelines.temporal import (USER_MOVING_WINDOW_SQL,
+                                                    user_moving_window)
+    sf = "/root/testdata/sf0.001"
+    got = (user_moving_window(sf).to_pandas()
+           .sort_values(["user_id", "event_id"]).reset_index(drop=True))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{sf}/events.parquet')")
+    want = con.execute(USER_MOVING_WINDOW_SQL).df()
+    assert got.equals(want.reset_index(drop=True))
+    # invariants: window count in [1, 4]; first event of each user has
+    # n_window == 1 (windows never cross user boundaries)
+    assert got["n_window"].between(1, 4).all()
+    firsts = got.groupby("user_id").head(1)
+    assert (firsts["n_window"] == 1).all()
