@@ -44,7 +44,8 @@ from p2pddsketch_ray.pipelines.relational import (  # noqa: E402
     WINSORIZED_PRICE_SQL as _WINSORIZED_PRICE_SQL,
     DISTINCT_USERS_PER_TYPE_SQL as _DISTINCT_USERS_PER_TYPE_SQL,
     DOCS_PIVOT_SQL as _DOCS_PIVOT_SQL,
-    COMBINED_DAILY_SQL as _COMBINED_DAILY_SQL)
+    COMBINED_DAILY_SQL as _COMBINED_DAILY_SQL,
+    USER_ACTIVITY_QUARTILES_SQL as _USER_ACTIVITY_QUARTILES_SQL)
 from p2pddsketch_ray.pipelines.fingerprint import (  # noqa: E402
     WINNOW_FINGERPRINT_SQL as _WINNOW_FINGERPRINT_SQL)
 from p2pddsketch_ray.pipelines.dedup import (  # noqa: E402
@@ -219,6 +220,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Dataset.union of two differently-shaped sources into one
         # normalized rollup (multi-source ingest shape)
         "combined_daily_activity": R.combined_daily_activity,
+        # percentile-bucket classification: exact quartile thresholds
+        # (histogram bisection, no global sort) -> broadcast compare
+        # -> cohort rollup
+        "user_activity_quartiles": R.user_activity_quartiles,
         # KMV bottom-k theta sketch: per-group distinct estimates with the
         # FULL stored hash set oracle-verified (murmur64 == DuckDB hash)
         "kmv_distinct_users": A.kmv_distinct_users,
@@ -802,6 +807,7 @@ ORDER BY 1""",
         "distinct_users_per_type": _DISTINCT_USERS_PER_TYPE_SQL,
         "docs_lang_source_pivot": _DOCS_PIVOT_SQL,
         "combined_daily_activity": _COMBINED_DAILY_SQL,
+        "user_activity_quartiles": _USER_ACTIVITY_QUARTILES_SQL,
         "user_running_totals": _USER_RUNNING_TOTALS_SQL,
         "user_moving_window": _USER_MOVING_WINDOW_SQL,
         "ngram_jaccard_pairs": _NGRAM_JACCARD_SQL,

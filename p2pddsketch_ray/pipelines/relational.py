@@ -1597,3 +1597,99 @@ FROM u
 GROUP BY 1, 2
 ORDER BY 1, 2
 """
+
+
+def user_activity_quartiles(sf_dir: str) -> pa.Table:
+    """Percentile-bucket classification: split users into activity
+    quartile COHORTS by exact p25/p50/p75 thresholds of their event
+    counts, then roll up each cohort -- the global-rank windowing
+    (ntile-style) pattern done scale-sanely: instead of a global sort to
+    assign row-position tiles, EXACT value thresholds come from the
+    histogram-bisection quantile machinery (no sort, bounded driver
+    pull) and bucketing is a broadcast threshold compare inside one
+    streaming pass.  Value-based buckets are also deterministic under
+    ties, which row-position ntile is not.
+
+    Composition: groupby count -> exact_quantiles -> broadcast compare
+    -> tiny (4-row) rollup."""
+    from .quantiles import exact_quantiles
+
+    ds = _read(sf_dir, "events", ["user_id"])
+    counts = ds.groupby("user_id").aggregate(Count(alias_name="n"))
+
+    def as_float(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": pc.cast(t["user_id"], pa.int64()),
+            "n": pc.cast(t["n"], pa.int64()),
+            "nf": pc.cast(t["n"], pa.float64()),
+        })
+
+    counts = counts.map_batches(as_float,
+                                batch_format="pyarrow").materialize()
+    th = exact_quantiles(counts, "nf", [0.25, 0.5, 0.75])
+    t25, t50, t75 = (float(v) for v in th["value"].to_pylist())
+
+    empty = pa.table({"bucket": pa.array([], type=pa.int64()),
+                      "n_users": pa.array([], type=pa.int64()),
+                      "min_events": pa.array([], type=pa.int64()),
+                      "max_events": pa.array([], type=pa.int64()),
+                      "sum_events": pa.array([], type=pa.int64())})
+
+    def bucket_partials(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        n = t["n"].to_numpy(zero_copy_only=False)
+        b = (1 + (n > t25).astype(np.int64) + (n > t50).astype(np.int64)
+             + (n > t75).astype(np.int64))
+        ub, inv = np.unique(b, return_inverse=True)
+        order = np.argsort(inv, kind="stable")
+        n_s = n[order]
+        starts = np.searchsorted(inv[order], np.arange(ub.shape[0]))
+        return pa.table({
+            "bucket": pa.array(ub),
+            "n_users": pa.array(np.bincount(inv).astype(np.int64)),
+            "min_events": pa.array(
+                np.minimum.reduceat(n_s, starts).astype(np.int64)),
+            "max_events": pa.array(
+                np.maximum.reduceat(n_s, starts).astype(np.int64)),
+            "sum_events": pa.array(np.bincount(
+                inv, weights=n).astype(np.int64)),
+        })
+
+    agg = (counts.map_batches(bucket_partials, batch_format="pyarrow")
+           .groupby("bucket")
+           .aggregate(Sum("n_users", alias_name="n_users"),
+                      Min("min_events", alias_name="min_events"),
+                      Max("max_events", alias_name="max_events"),
+                      Sum("sum_events", alias_name="sum_events")))
+
+    out = agg.to_pandas().sort_values("bucket").reset_index(drop=True)
+    return pa.table({
+        "bucket": pa.array(out["bucket"].astype("int64")),
+        "n_users": pa.array(out["n_users"].astype("int64")),
+        "min_events": pa.array(out["min_events"].astype("int64")),
+        "max_events": pa.array(out["max_events"].astype("int64")),
+        "sum_events": pa.array(out["sum_events"].astype("int64")),
+    })
+
+
+USER_ACTIVITY_QUARTILES_SQL = """
+WITH c AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1
+), t AS (
+  SELECT quantile_disc(n, 0.25) AS t25, quantile_disc(n, 0.5) AS t50,
+         quantile_disc(n, 0.75) AS t75 FROM c
+), b AS (
+  SELECT user_id, n,
+         1 + CASE WHEN n > t.t25 THEN 1 ELSE 0 END
+           + CASE WHEN n > t.t50 THEN 1 ELSE 0 END
+           + CASE WHEN n > t.t75 THEN 1 ELSE 0 END AS bucket
+  FROM c, t
+)
+SELECT CAST(bucket AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_users,
+       CAST(min(n) AS BIGINT) AS min_events,
+       CAST(max(n) AS BIGINT) AS max_events,
+       CAST(sum(n) AS BIGINT) AS sum_events
+FROM b GROUP BY 1 ORDER BY 1
+"""

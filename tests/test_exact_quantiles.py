@@ -106,3 +106,24 @@ def test_exact_quantiles_all_equal_and_tiny(ray_session):
     out2 = exact_quantiles(_make_ds(np.array([2.0]), blocks=1), "x",
                            (0.5,), collect_limit=10**9)
     assert out2["value"].to_pylist() == [2.0]
+
+
+def test_user_activity_quartiles_matches_duckdb(ray_session):
+    duckdb = pytest.importorskip("duckdb")
+    from p2pddsketch_ray.pipelines.relational import (
+        USER_ACTIVITY_QUARTILES_SQL, user_activity_quartiles)
+    sf = "/root/testdata/sf0.001"
+    got = user_activity_quartiles(sf).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{sf}/events.parquet')")
+    want = con.execute(USER_ACTIVITY_QUARTILES_SQL).df()
+    assert got.equals(want.reset_index(drop=True))
+    # cohort invariants: buckets partition all users; ranges are ordered
+    # and non-overlapping (value-based thresholds, deterministic ties)
+    n_users = con.execute(
+        "SELECT count(DISTINCT user_id) FROM events").fetchone()[0]
+    assert got["n_users"].sum() == n_users
+    assert (got["min_events"] <= got["max_events"]).all()
+    assert (got["max_events"].to_numpy()[:-1]
+            <= got["min_events"].to_numpy()[1:]).all()
