@@ -45,7 +45,8 @@ from p2pddsketch_ray.pipelines.relational import (  # noqa: E402
     DISTINCT_USERS_PER_TYPE_SQL as _DISTINCT_USERS_PER_TYPE_SQL,
     DOCS_PIVOT_SQL as _DOCS_PIVOT_SQL,
     COMBINED_DAILY_SQL as _COMBINED_DAILY_SQL,
-    USER_ACTIVITY_QUARTILES_SQL as _USER_ACTIVITY_QUARTILES_SQL)
+    USER_ACTIVITY_QUARTILES_SQL as _USER_ACTIVITY_QUARTILES_SQL,
+    LABEL_CENTROIDS_SQL as _LABEL_CENTROIDS_SQL)
 from p2pddsketch_ray.pipelines.fingerprint import (  # noqa: E402
     WINNOW_FINGERPRINT_SQL as _WINNOW_FINGERPRINT_SQL)
 from p2pddsketch_ray.pipelines.dedup import (  # noqa: E402
@@ -220,6 +221,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Dataset.union of two differently-shaped sources into one
         # normalized rollup (multi-source ingest shape)
         "combined_daily_activity": R.combined_daily_activity,
+        # grouped VECTOR aggregate: per-label embedding centroid sums
+        # as exact int64 micro-units (associative, merge-order-proof)
+        "label_centroids": R.label_centroids,
         # percentile-bucket classification: exact quartile thresholds
         # (histogram bisection, no global sort) -> broadcast compare
         # -> cohort rollup
@@ -808,6 +812,7 @@ ORDER BY 1""",
         "docs_lang_source_pivot": _DOCS_PIVOT_SQL,
         "combined_daily_activity": _COMBINED_DAILY_SQL,
         "user_activity_quartiles": _USER_ACTIVITY_QUARTILES_SQL,
+        "label_centroids": _LABEL_CENTROIDS_SQL,
         "user_running_totals": _USER_RUNNING_TOTALS_SQL,
         "user_moving_window": _USER_MOVING_WINDOW_SQL,
         "ngram_jaccard_pairs": _NGRAM_JACCARD_SQL,

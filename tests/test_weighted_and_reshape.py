@@ -106,3 +106,29 @@ def test_docs_lang_source_pivot(ray_session):
                            "GROUP BY 1 ORDER BY 1").df()
     assert (got[list(DOC_SOURCES)].sum(axis=1).to_numpy()
             == per_lang["n"].to_numpy()).all()
+
+
+def test_label_centroids_matches_duckdb(ray_session):
+    duckdb = pytest.importorskip("duckdb")
+    from p2pddsketch_ray.pipelines.relational import (LABEL_CENTROIDS_SQL,
+                                                      label_centroids)
+    sf = "/root/testdata/sf0.001"
+    got = (label_centroids(sf).to_pandas()
+           .sort_values(["label", "dim"]).reset_index(drop=True))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM "
+                f"read_parquet('{sf}/embeddings.parquet')")
+    want = con.execute(LABEL_CENTROIDS_SQL).df()
+    assert got.equals(want.reset_index(drop=True))
+    # centroid recovery: sum_units / n_vecs / 1e6 ~= the numpy mean
+    import pyarrow.parquet as pq
+    t = pq.read_table(f"{sf}/embeddings.parquet",
+                      columns=["label", "embedding"])
+    from p2pddsketch_ray.functions.vectors import list_to_matrix
+    mat = list_to_matrix(t["embedding"])
+    lab = t["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+    for label in np.unique(lab):
+        mean = mat[lab == label].mean(axis=0)
+        rows = got[got["label"] == label].sort_values("dim")
+        rec = rows["sum_units"].to_numpy() / rows["n_vecs"].to_numpy() / 1e6
+        assert np.abs(rec - mean).max() < 1e-5
