@@ -32,7 +32,8 @@ from p2pddsketch_ray.pipelines.temporal import (  # noqa: E402
     ORDERS_EVENT_WINDOW_SQL as _ORDERS_EVENT_WINDOW_SQL,
     USER_EVENT_LAG_SQL as _USER_EVENT_LAG_SQL,
     USER_RUNNING_TOTALS_SQL as _USER_RUNNING_TOTALS_SQL,
-    USER_MOVING_WINDOW_SQL as _USER_MOVING_WINDOW_SQL)
+    USER_MOVING_WINDOW_SQL as _USER_MOVING_WINDOW_SQL,
+    USER_EVENT_SEQUENCES_SQL as _USER_EVENT_SEQUENCES_SQL)
 from p2pddsketch_ray.pipelines.relational import (  # noqa: E402
     REPETITION_STATS_SQL as _REPETITION_STATS_SQL,
     STRATIFIED_SAMPLE_SQL as _STRATIFIED_SAMPLE_SQL,
@@ -209,6 +210,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # bounded ROLLING window (3 PRECEDING..CURRENT ROW moving sum)
         # via cumsum-difference kernel over the same co-partitions
         "user_moving_window": _user_moving_window,
+        # collect_list: per-user time-ordered behavior sequences with
+        # fully vectorized byte-buffer assembly (per-vocab scatter)
+        "user_event_sequences": _user_event_sequences,
         # exact n-gram Jaccard (the verification tier of the near-dup
         # stack: actual shingle-set intersection, no hashing)
         "ngram_jaccard_pairs": _ngram_jaccard_pairs,
@@ -267,6 +271,11 @@ def _user_running_totals(sf_dir: str):
 def _user_moving_window(sf_dir: str):
     from p2pddsketch_ray.pipelines.temporal import user_moving_window
     return user_moving_window(sf_dir)
+
+
+def _user_event_sequences(sf_dir: str):
+    from p2pddsketch_ray.pipelines.temporal import user_event_sequences
+    return user_event_sequences(sf_dir)
 
 
 def _dds_weighted_price(sf_dir: str):
@@ -815,6 +824,7 @@ ORDER BY 1""",
         "label_centroids": _LABEL_CENTROIDS_SQL,
         "user_running_totals": _USER_RUNNING_TOTALS_SQL,
         "user_moving_window": _USER_MOVING_WINDOW_SQL,
+        "user_event_sequences": _USER_EVENT_SEQUENCES_SQL,
         "ngram_jaccard_pairs": _NGRAM_JACCARD_SQL,
         # transitive closure of the Jaccard >= 1/16 similarity graph:
         # same shingle/pairs CTEs as ngram_jaccard_pairs + a recursive

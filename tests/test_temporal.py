@@ -194,3 +194,19 @@ def test_user_moving_window_matches_duckdb(ray_session):
     assert got["n_window"].between(1, 4).all()
     firsts = got.groupby("user_id").head(1)
     assert (firsts["n_window"] == 1).all()
+
+
+def test_user_event_sequences_matches_duckdb(ray_session):
+    duckdb = pytest.importorskip("duckdb")
+    from p2pddsketch_ray.pipelines.temporal import (USER_EVENT_SEQUENCES_SQL,
+                                                    user_event_sequences)
+    sf = "/root/testdata/sf0.001"
+    got = (user_event_sequences(sf).to_pandas()
+           .sort_values("user_id").reset_index(drop=True))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{sf}/events.parquet')")
+    want = con.execute(USER_EVENT_SEQUENCES_SQL).df()
+    assert got.equals(want.reset_index(drop=True))
+    # structure: comma count == n_events - 1 (no trailing separators)
+    assert (got["seq"].str.count(",") == got["n_events"] - 1).all()
