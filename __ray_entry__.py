@@ -47,7 +47,8 @@ from p2pddsketch_ray.pipelines.relational import (  # noqa: E402
     DOCS_PIVOT_SQL as _DOCS_PIVOT_SQL,
     COMBINED_DAILY_SQL as _COMBINED_DAILY_SQL,
     USER_ACTIVITY_QUARTILES_SQL as _USER_ACTIVITY_QUARTILES_SQL,
-    LABEL_CENTROIDS_SQL as _LABEL_CENTROIDS_SQL)
+    LABEL_CENTROIDS_SQL as _LABEL_CENTROIDS_SQL,
+    REDACT_PROPS_SQL as _REDACT_PROPS_SQL)
 from p2pddsketch_ray.pipelines.fingerprint import (  # noqa: E402
     WINNOW_FINGERPRINT_SQL as _WINNOW_FINGERPRINT_SQL)
 from p2pddsketch_ray.pipelines.dedup import (  # noqa: E402
@@ -225,6 +226,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Dataset.union of two differently-shaped sources into one
         # normalized rollup (multi-source ingest shape)
         "combined_daily_activity": R.combined_daily_activity,
+        # PII-scrub text rewrite (regex redaction) with per-group
+        # transform accounting (RE2 on both engines)
+        "redact_props_stats": R.redact_props_stats,
         # grouped VECTOR aggregate: per-label embedding centroid sums
         # as exact int64 micro-units (associative, merge-order-proof)
         "label_centroids": R.label_centroids,
@@ -822,6 +826,7 @@ ORDER BY 1""",
         "combined_daily_activity": _COMBINED_DAILY_SQL,
         "user_activity_quartiles": _USER_ACTIVITY_QUARTILES_SQL,
         "label_centroids": _LABEL_CENTROIDS_SQL,
+        "redact_props_stats": _REDACT_PROPS_SQL,
         "user_running_totals": _USER_RUNNING_TOTALS_SQL,
         "user_moving_window": _USER_MOVING_WINDOW_SQL,
         "user_event_sequences": _USER_EVENT_SEQUENCES_SQL,

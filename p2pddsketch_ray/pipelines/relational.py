@@ -1768,3 +1768,86 @@ FROM embeddings JOIN nums ON nums.i <= len(embedding)
 GROUP BY 1, 2
 ORDER BY 1, 2
 """
+
+
+def redact_props_stats(sf_dir: str) -> "ray.data.Dataset":
+    """PII-scrub-style text REWRITE: redact every digit run in the
+    semi-structured ``props`` payload (``[0-9]+`` -> ``#``) and account
+    for the transform per event type -- the anonymization pass a
+    training-data pipeline runs before corpus export, as a streaming
+    map with an in-batch combiner (shuffle rows = group cardinality).
+
+    Both engines run RE2-family regexes (pyarrow bundles RE2, DuckDB
+    uses it for regexp_*), so match counts and replacement outputs are
+    replicable: n_matches via pc.count_substring_regex, the redacted
+    text via pc.replace_substring_regex (global), lengths via
+    pc.utf8_length (ASCII payloads: chars == bytes)."""
+    ds = _read(sf_dir, "events", ["event_type", "props"])
+
+    empty = pa.table({"event_type": pa.array([], type=pa.string()),
+                      "n_events": pa.array([], type=pa.int64()),
+                      "n_matches": pa.array([], type=pa.int64()),
+                      "len_before": pa.array([], type=pa.int64()),
+                      "len_after": pa.array([], type=pa.int64())})
+
+    def partials(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        props = t["props"]
+        redacted = pc.replace_substring_regex(props, pattern="[0-9]+",
+                                              replacement="#")
+        nm = pc.count_substring_regex(props, pattern="[0-9]+")
+        cols = pa.table({
+            "event_type": t["event_type"],
+            "nm": pc.cast(nm, pa.int64()),
+            "lb": pc.cast(pc.utf8_length(props), pa.int64()),
+            "la": pc.cast(pc.utf8_length(redacted), pa.int64()),
+        })
+        et = cols["event_type"].to_numpy(zero_copy_only=False)
+        ut, inv = np.unique(et, return_inverse=True)
+        return pa.table({
+            "event_type": pa.array(ut, type=pa.string()),
+            "n_events": pa.array(np.bincount(inv).astype(np.int64)),
+            "n_matches": pa.array(np.bincount(
+                inv, weights=cols["nm"].to_numpy(zero_copy_only=False)
+            ).astype(np.int64)),
+            "len_before": pa.array(np.bincount(
+                inv, weights=cols["lb"].to_numpy(zero_copy_only=False)
+            ).astype(np.int64)),
+            "len_after": pa.array(np.bincount(
+                inv, weights=cols["la"].to_numpy(zero_copy_only=False)
+            ).astype(np.int64)),
+        })
+
+    agg = (ds.map_batches(partials, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("event_type")
+           .aggregate(Sum("n_events", alias_name="n_events"),
+                      Sum("n_matches", alias_name="n_matches"),
+                      Sum("len_before", alias_name="len_before"),
+                      Sum("len_after", alias_name="len_after")))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        return pa.table({
+            "event_type": t["event_type"],
+            "n_events": pc.cast(t["n_events"], pa.int64()),
+            "n_matches": pc.cast(t["n_matches"], pa.int64()),
+            "len_before": pc.cast(t["len_before"], pa.int64()),
+            "len_after": pc.cast(t["len_after"], pa.int64()),
+        })
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+REDACT_PROPS_SQL = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(len(regexp_extract_all(props, '[0-9]+'))) AS BIGINT)
+           AS n_matches,
+       CAST(sum(length(props)) AS BIGINT) AS len_before,
+       CAST(sum(length(regexp_replace(props, '[0-9]+', '#', 'g')))
+            AS BIGINT) AS len_after
+FROM events GROUP BY 1 ORDER BY 1
+"""

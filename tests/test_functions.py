@@ -96,3 +96,22 @@ def test_fingerprint_stable_and_collision_free_on_docs():
     assert f1 == f2
     uniq_texts = len(set(arr.to_pylist()))
     assert len(set(f1)) == uniq_texts
+
+
+def test_redact_props_stats_matches_duckdb(ray_session):
+    duckdb = pytest.importorskip("duckdb")
+    from p2pddsketch_ray.pipelines.relational import (REDACT_PROPS_SQL,
+                                                      redact_props_stats)
+    sf = "/root/testdata/sf0.001"
+    got = (redact_props_stats(sf).to_pandas()
+           .sort_values("event_type").reset_index(drop=True))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{sf}/events.parquet')")
+    want = con.execute(REDACT_PROPS_SQL).df()
+    assert got.equals(want.reset_index(drop=True))
+    # redaction accounting: each match shrinks its run to a single '#'
+    # so len_after == len_before - matched_chars + n_matches and every
+    # group actually matched something on this fixture
+    assert (got["n_matches"] > 0).all()
+    assert (got["len_after"] < got["len_before"]).all()
