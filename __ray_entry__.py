@@ -226,6 +226,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Dataset.union of two differently-shaped sources into one
         # normalized rollup (multi-source ingest shape)
         "combined_daily_activity": R.combined_daily_activity,
+        # sketch-driven CDF transform: broadcast DDSketch cumulative
+        # table maps every row to its estimated rank (quantile
+        # normalization without a global sort)
+        "sketch_cdf_by_type": _sketch_cdf_by_type,
         # PII-scrub text rewrite (regex redaction) with per-group
         # transform accounting (RE2 on both engines)
         "redact_props_stats": R.redact_props_stats,
@@ -265,6 +269,11 @@ def _ngram_jaccard_pairs(sf_dir: str):
 def _neardup_components(sf_dir: str):
     from p2pddsketch_ray.pipelines.components import neardup_components
     return neardup_components(sf_dir)
+
+
+def _sketch_cdf_by_type(sf_dir: str):
+    from p2pddsketch_ray.pipelines.quantiles import sketch_cdf_by_type
+    return sketch_cdf_by_type(sf_dir, alpha=ALPHA, bin_limit=BIN_LIMIT)
 
 
 def _user_running_totals(sf_dir: str):
@@ -827,6 +836,21 @@ ORDER BY 1""",
         "user_activity_quartiles": _USER_ACTIVITY_QUARTILES_SQL,
         "label_centroids": _LABEL_CENTROIDS_SQL,
         "redact_props_stats": _REDACT_PROPS_SQL,
+        "sketch_cdf_by_type": """
+WITH src AS (SELECT event_type, CAST(value AS DOUBLE) AS x
+             FROM events WHERE value IS NOT NULL),
+keyed AS (SELECT event_type,
+                 CASE WHEN x > 0 THEN CAST(ceil(ln(x)/ln(((1.0+0.01)/(1.0-0.01)))) AS BIGINT) + 1073741824
+                      WHEN x < 0 THEN -CAST(ceil(ln(-x)/ln(((1.0+0.01)/(1.0-0.01)))) AS BIGINT) - 1073741824
+                      ELSE 0 END AS k
+          FROM src),
+bins AS (SELECT k, CAST(count(*) AS BIGINT) AS c FROM keyed GROUP BY k),
+walk AS (SELECT k, CAST(sum(c) OVER (ORDER BY k) AS BIGINT) AS cum FROM bins)
+SELECT keyed.event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(walk.cum) AS BIGINT) AS sum_cum
+FROM keyed JOIN walk ON walk.k = keyed.k
+GROUP BY 1 ORDER BY 1""",
         "user_running_totals": _USER_RUNNING_TOTALS_SQL,
         "user_moving_window": _USER_MOVING_WINDOW_SQL,
         "user_event_sequences": _USER_EVENT_SEQUENCES_SQL,

@@ -15,7 +15,9 @@ from __future__ import annotations
 
 from typing import Sequence
 
+import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data
 
@@ -465,4 +467,85 @@ def exact_quantiles_grouped(ds: "ray.data.Dataset", value_col: str,
         group_col: pa.array([t["group"] for t in targets]),
         "q": pa.array([t["q"] for t in targets], type=pa.float64()),
         "value": pa.array([t["value"] for t in targets], type=pa.float64()),
+    })
+
+
+def sketch_cdf_by_type(sf_dir: str, *, alpha: float = 0.01,
+                       bin_limit: int = 2048) -> pa.Table:
+    """Sketch-driven CDF TRANSFORM: build the global DDSketch once, then
+    broadcast its (sorted keys, cumulative counts) table and map every
+    event to its estimated cumulative rank -- the quantile-normalization
+    step of a feature pipeline (value -> percentile), done with one tiny
+    broadcast instead of a global sort.
+
+    Two streaming passes: (1) the standard distributed partial build +
+    tree merge (one ~6 KB sketch row to the driver); (2) per batch,
+    vectorized bucket keys + one np.searchsorted into the broadcast
+    cumulative table, rolled up per event_type as exact int64 sums of
+    cumulative counts (counts never average, so they are integers and
+    the rollup is associative).  The DuckDB oracle re-derives the same
+    bucket histogram and inclusive cumulative walk in SQL.
+
+    At 10^12 rows the second pass is map-only: the CDF table is
+    O(bin_limit) entries, ray.put once, fetched per task."""
+    import ray as _ray
+
+    from ..stages.partition import fit_partitions  # noqa: F401 (doc link)
+
+    events = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                                   columns=["event_type", "value"])
+    sketch = dds_sketch_global(events, "value", alpha=alpha,
+                               bin_limit=bin_limit)
+    keys = np.fromiter(sketch.bins.keys(), dtype=np.int64,
+                       count=len(sketch.bins))
+    counts = np.fromiter(sketch.bins.values(), dtype=np.float64,
+                         count=len(sketch.bins))
+    order = np.argsort(keys)
+    keys_s = keys[order]
+    cum = np.cumsum(np.floor(counts[order] + 0.5).astype(np.int64))
+    cdf_ref = _ray.put((keys_s, cum))
+    ln_gamma, offset = sketch.ln_gamma, sketch.offset
+
+    empty = pa.table({"event_type": pa.array([], type=pa.string()),
+                      "n_events": pa.array([], type=pa.int64()),
+                      "sum_cum": pa.array([], type=pa.int64())})
+
+    def rollup(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        ks, cs = _ray.get(cdf_ref)
+        col = t["value"]
+        if col.null_count:
+            t = t.filter(pc.is_valid(col))
+            col = t["value"]
+        from ..sketches.ddsketch import compute_keys
+        k = compute_keys(col.to_numpy(zero_copy_only=False), ln_gamma,
+                         offset)
+        pos = np.searchsorted(ks, k, side="right") - 1
+        # every key was built from this same data, so pos >= 0 always;
+        # guard anyway for reuse with foreign sketches
+        c = np.where(pos >= 0, cs[np.maximum(pos, 0)], 0)
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        ut, inv = np.unique(et, return_inverse=True)
+        # int64 scatter-add, not bincount(weights=): float64 weight sums
+        # lose exactness once cum ranks reach 2^53-scale products
+        sums = np.zeros(ut.shape[0], dtype=np.int64)
+        np.add.at(sums, inv, c.astype(np.int64))
+        return pa.table({
+            "event_type": pa.array(ut, type=pa.string()),
+            "n_events": pa.array(np.bincount(inv).astype(np.int64)),
+            "sum_cum": pa.array(sums),
+        })
+
+    from ray.data.aggregate import Sum
+    agg = (events.map_batches(rollup, batch_format="pyarrow",
+                              zero_copy_batch=True)
+           .groupby("event_type")
+           .aggregate(Sum("n_events", alias_name="n_events"),
+                      Sum("sum_cum", alias_name="sum_cum")))
+    out = agg.to_pandas().sort_values("event_type").reset_index(drop=True)
+    return pa.table({
+        "event_type": pa.array(out["event_type"], type=pa.string()),
+        "n_events": pa.array(out["n_events"].astype("int64")),
+        "sum_cum": pa.array(out["sum_cum"].astype("int64")),
     })

@@ -127,3 +127,20 @@ def test_user_activity_quartiles_matches_duckdb(ray_session):
     assert (got["min_events"] <= got["max_events"]).all()
     assert (got["max_events"].to_numpy()[:-1]
             <= got["min_events"].to_numpy()[1:]).all()
+
+
+def test_sketch_cdf_by_type_matches_duckdb_and_centers(ray_session):
+    duckdb = pytest.importorskip("duckdb")
+    import __ray_entry__ as E
+    from p2pddsketch_ray.pipelines.quantiles import sketch_cdf_by_type
+    sf = "/root/testdata/sf0.001"
+    got = sketch_cdf_by_type(sf, alpha=0.01, bin_limit=2048).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{sf}/events.parquet')")
+    want = con.execute(E.oracle_sql()["sketch_cdf_by_type"]).df()
+    assert got.equals(want.reset_index(drop=True))
+    # the mean inclusive cumulative rank of a whole dataset is ~n/2
+    n = got["n_events"].sum()
+    mean_pct = got["sum_cum"].sum() / (n * n)
+    assert 0.45 < mean_pct < 0.56
