@@ -762,11 +762,21 @@ def user_event_sequences(sf_dir: str) -> "ray.data.Dataset":
         comma_rows = np.nonzero(~is_last)[0]
         buf[pos[comma_rows + 1] - 1] = ord(",")
 
-        # per-user string offsets: slice the buffer at user boundaries
-        user_off = np.concatenate([pos[starts], [total]]).astype(np.int32)
-        seq_arr = pa.StringArray.from_buffers(
-            starts.shape[0], pa.py_buffer(user_off.tobytes()),
-            pa.py_buffer(buf.tobytes()))
+        # per-user string offsets: slice the buffer at user boundaries.
+        # >2 GB of sequence bytes in one partition needs large offsets
+        # (a hot user's whole history lands in one partition -- same
+        # assumption as sessionization, documented there)
+        bounds = np.concatenate([pos[starts], [total]])
+        if total > np.iinfo(np.int32).max:
+            seq_arr = pa.LargeStringArray.from_buffers(
+                starts.shape[0],
+                pa.py_buffer(bounds.astype(np.int64).tobytes()),
+                pa.py_buffer(buf.tobytes()))
+        else:
+            seq_arr = pa.StringArray.from_buffers(
+                starts.shape[0],
+                pa.py_buffer(bounds.astype(np.int32).tobytes()),
+                pa.py_buffer(buf.tobytes()))
         return pa.table({
             "user_id": pa.array(uid_s[starts]),
             "n_events": pa.array(counts.astype(np.int64)),
