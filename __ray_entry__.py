@@ -226,6 +226,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Dataset.union of two differently-shaped sources into one
         # normalized rollup (multi-source ingest shape)
         "combined_daily_activity": R.combined_daily_activity,
+        # END-TO-END curation composition: quality filter + exact
+        # dedup of survivors + per-lang report in one fused text pass
+        # (md5 tier pinned for the oracle, fp64 default elsewhere)
+        "curated_corpus_stats": lambda sf: R.curated_corpus_stats(
+            sf, hash_tier="md5"),
         # sketch-driven CDF transform: broadcast DDSketch cumulative
         # table maps every row to its estimated rank (quantile
         # normalization without a global sort)
@@ -835,6 +840,28 @@ ORDER BY 1""",
         "combined_daily_activity": _COMBINED_DAILY_SQL,
         "user_activity_quartiles": _USER_ACTIVITY_QUARTILES_SQL,
         "label_centroids": _LABEL_CENTROIDS_SQL,
+        "curated_corpus_stats": f"""
+WITH m AS (
+  SELECT doc_id, lang, n_chars, text,
+         length(regexp_extract_all(text, '[A-Za-z0-9]+')) AS tokens,
+         length(regexp_extract_all(text, '[.,;:!?]')) AS punct,
+         length(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+                            t -> t IN ({stoplist}))) AS stops
+  FROM documents),
+s AS (
+  SELECT doc_id, lang, n_chars, text, tokens,
+         (0.4*least(1.0, CAST(tokens AS DOUBLE)/100.0)
+        + 0.3*(1.0 - least(1.0, CAST(punct AS DOUBLE)/greatest(CAST(tokens AS DOUBLE), 1.0)))
+        + 0.3*least(1.0, 5.0*CAST(stops AS DOUBLE)/greatest(CAST(tokens AS DOUBLE), 1.0)))
+           AS score
+  FROM m),
+kept AS (SELECT doc_id, lang, n_chars, tokens, text FROM s WHERE score >= 0.8),
+keepids AS (SELECT min(doc_id) AS kid FROM kept GROUP BY md5(text))
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(tokens) AS BIGINT) AS sum_tokens,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM kept JOIN keepids ON kept.doc_id = keepids.kid
+GROUP BY 1 ORDER BY 1""",
         "redact_props_stats": _REDACT_PROPS_SQL,
         "sketch_cdf_by_type": """
 WITH src AS (SELECT event_type, CAST(value AS DOUBLE) AS x

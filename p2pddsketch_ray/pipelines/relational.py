@@ -1851,3 +1851,90 @@ SELECT event_type,
             AS BIGINT) AS len_after
 FROM events GROUP BY 1 ORDER BY 1
 """
+
+
+def curated_corpus_stats(sf_dir: str, min_quality: float = 0.8,
+                         hash_tier: str = "fp64") -> pa.Table:
+    """The END-TO-END corpus curation flow a training-data user actually
+    runs: quality-filter -> exact-dedup the survivors -> per-lang report
+    -- composed as ONE fused text pass.  Each document's text is read
+    and scored exactly once; the same batch computes the content hash of
+    the survivors, so only (doc_id, lang, counts, hash) rows ride the
+    three downstream exchanges (hash groupby -> keep-id semi-join ->
+    lang rollup).  Text never enters a shuffle.
+
+    ``hash_tier`` as in dedup_exact_*: fp64 fingerprint default, md5 for
+    the SQL-replicable oracle gate."""
+    from functools import partial as _partial
+
+    from ray.data.aggregate import Min as _Min
+
+    from ..functions.text import quality_score, token_count
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "text", "n_chars"])
+
+    def score_and_hash(t: pa.Table) -> pa.Table:
+        texts = t["text"].combine_chunks() if isinstance(
+            t["text"], pa.ChunkedArray) else t["text"]
+        q = quality_score(texts)
+        keep = pc.greater_equal(q, pa.scalar(float(min_quality)))
+        kept = t.filter(keep)
+        kt = kept["text"].combine_chunks() if isinstance(
+            kept["text"], pa.ChunkedArray) else kept["text"]
+        hashed = _content_hash_batch(kept, hash_tier)
+        hash_col = "text_md5" if hash_tier == "md5" else "text_fp64"
+        return pa.table({
+            "doc_id": pc.cast(kept["doc_id"], pa.int64()),
+            "lang": kept["lang"],
+            "n_chars": pc.cast(kept["n_chars"], pa.int64()),
+            "tokens": pc.cast(token_count(kt), pa.int64()),
+            "h": hashed[hash_col],
+        })
+
+    rows = ds.map_batches(score_and_hash, batch_format="pyarrow",
+                          zero_copy_batch=True, batch_size=4096).materialize()
+
+    # keep-set semi-join via the engine's own doc_id co-partition (NOT
+    # Dataset.join: Ray 2.49's hash-shuffle join intermittently loses the
+    # key schema when a quality-filtered-empty block lands in a
+    # partition -- measured ~1-in-5 on this composition)
+    keep_rows = (rows.groupby("h")
+                 .aggregate(_Min("doc_id", alias_name="keep_id"))
+                 .map_batches(lambda t: pa.table({
+                     "doc_id": pc.cast(t["keep_id"], pa.int64()),
+                     "lang": pa.nulls(t.num_rows, type=pa.string()),
+                     "n_chars": pa.array(np.zeros(t.num_rows, np.int64)),
+                     "tokens": pa.array(np.zeros(t.num_rows, np.int64)),
+                     "flag": pa.array(np.ones(t.num_rows, np.int64)),
+                 }), batch_format="pyarrow"))
+    data_rows = rows.map_batches(
+        lambda t: t.select(["doc_id", "lang", "n_chars", "tokens"])
+        .append_column("flag", pa.array(np.zeros(t.num_rows, np.int64))),
+        batch_format="pyarrow")
+
+    sj_empty = pa.table({"doc_id": pa.array([], type=pa.int64()),
+                         "lang": pa.array([], type=pa.string()),
+                         "n_chars": pa.array([], type=pa.int64()),
+                         "tokens": pa.array([], type=pa.int64())})
+
+    def semi_join(t: pa.Table) -> pa.Table:
+        flag = t["flag"].to_numpy(zero_copy_only=False)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        keep = np.isin(ids, ids[flag == 1]) & (flag == 0)
+        return t.filter(pa.array(keep)).drop_columns(["flag"])
+
+    from ..stages.partition import fit_partitions, partition_by
+    joined = partition_by(data_rows.union(keep_rows), ["doc_id"],
+                          fit_partitions(16), semi_join, sj_empty)
+
+    agg = (joined.groupby("lang")
+           .aggregate(Count(alias_name="n_docs"),
+                      Sum("tokens", alias_name="sum_tokens"),
+                      Sum("n_chars", alias_name="sum_chars")))
+    out = agg.to_pandas().sort_values("lang").reset_index(drop=True)
+    return pa.table({
+        "lang": pa.array(out["lang"], type=pa.string()),
+        "n_docs": pa.array(out["n_docs"].astype("int64")),
+        "sum_tokens": pa.array(out["sum_tokens"].astype("int64")),
+        "sum_chars": pa.array(out["sum_chars"].astype("int64")),
+    })

@@ -416,3 +416,19 @@ def test_combined_daily_activity_union(ray_session):
     assert got.groupby("src")["n"].sum().to_dict() == {
         "events": con.execute("SELECT count(*) FROM events").fetchone()[0],
         "orders": con.execute("SELECT count(*) FROM orders").fetchone()[0]}
+
+
+def test_curated_corpus_stats_matches_duckdb_and_tiers_agree(ray_session):
+    duckdb = pytest.importorskip("duckdb")
+    import __ray_entry__ as E
+    from p2pddsketch_ray.pipelines.relational import curated_corpus_stats
+    sf = "/root/testdata/sf0.001"
+    got = curated_corpus_stats(sf, hash_tier="md5").to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf}/documents.parquet')")
+    want = con.execute(E.oracle_sql()["curated_corpus_stats"]).df()
+    assert got.equals(want.reset_index(drop=True))
+    # the fp64 fast tier curates the identical corpus on this fixture
+    fast = curated_corpus_stats(sf, hash_tier="fp64").to_pandas()
+    assert fast.equals(got)
