@@ -158,6 +158,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # sliding-window quantiles (turnstile add/delete of whole hour
         # buckets -- the kernel capability the reference never drove)
         "sliding_window_quantiles": _sliding_window_quantiles,
+        # sliding-window HLL: distinct users per trailing 24 h (window
+        # merge = register max over the hourly matrix)
+        "hll_sliding_users": _hll_sliding_users,
         # distributed as-of join (vectorized rank-composite kernel over
         # coarse hash co-partitions; oracle = DuckDB ASOF JOIN)
         "events_asof_orders": _events_asof_orders,
@@ -279,6 +282,11 @@ def _neardup_components(sf_dir: str):
 def _sketch_cdf_by_type(sf_dir: str):
     from p2pddsketch_ray.pipelines.quantiles import sketch_cdf_by_type
     return sketch_cdf_by_type(sf_dir, alpha=ALPHA, bin_limit=BIN_LIMIT)
+
+
+def _hll_sliding_users(sf_dir: str):
+    from p2pddsketch_ray.pipelines.sliding import hll_sliding_users
+    return hll_sliding_users(sf_dir)
 
 
 def _user_running_totals(sf_dir: str):
@@ -862,6 +870,32 @@ SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
        CAST(sum(n_chars) AS BIGINT) AS sum_chars
 FROM kept JOIN keepids ON kept.doc_id = keepids.kid
 GROUP BY 1 ORDER BY 1""",
+        "hll_sliding_users": """
+WITH h AS (SELECT CAST(epoch_us(ts) AS BIGINT)//3600000000 AS hr,
+                  hash(user_id::BIGINT) AS hv FROM events),
+regs AS (SELECT hr, CAST(hv >> 52 AS BIGINT) AS idx,
+                CASE WHEN (hv & 4503599627370495::UBIGINT) = 0 THEN 53
+                     ELSE 52 - CAST(floor(log2(CAST(hv & 4503599627370495::UBIGINT AS DOUBLE))) AS BIGINT)
+                END AS rho
+         FROM h),
+bounds AS (SELECT min(hr) AS mn, max(hr) AS mx FROM regs),
+nums AS (SELECT CAST(range AS BIGINT) AS i FROM range(0, 1048576)),
+wins AS (SELECT mn + i AS w FROM bounds JOIN nums ON i <= mx - mn),
+mx2 AS (SELECT w, idx, max(rho) AS r FROM wins
+        JOIN regs ON regs.hr BETWEEN w - 23 AND w GROUP BY 1, 2),
+stats AS (SELECT w, count(*) AS nonzero, CAST(sum(r) AS BIGINT) AS sumr,
+                 sum(pow(2.0, -CAST(r AS DOUBLE))) AS s_nonzero
+          FROM mx2 GROUP BY 1),
+est AS (SELECT w, nonzero, sumr, 4096 - nonzero AS zeros,
+               (0.7213/(1.0 + 1.079/4096)) * 4096 * 4096 /
+                   (s_nonzero + CAST(4096 - nonzero AS DOUBLE)) AS raw
+        FROM stats)
+SELECT w * 3600 AS window_start, 4096::BIGINT AS m,
+       nonzero AS nonzero_registers, sumr AS sum_registers,
+       round(CASE WHEN raw <= 2.5*4096 AND zeros > 0
+                  THEN 4096 * ln(4096.0 / CAST(zeros AS DOUBLE))
+                  ELSE raw END, 6) AS hll_estimate
+FROM est ORDER BY 1""",
         "redact_props_stats": _REDACT_PROPS_SQL,
         "sketch_cdf_by_type": """
 WITH src AS (SELECT event_type, CAST(value AS DOUBLE) AS x

@@ -172,3 +172,114 @@ def _subtract(acc: DDSketch, other: DDSketch) -> None:
         else:
             bins[k] = cur - c
     acc.n -= other.n
+
+
+def hll_sliding_users(sf_dir: str, *, window_hours: int = 24,
+                      p: int = 12) -> pa.Table:
+    """Sliding-window DISTINCT: HLL estimate of unique users over the
+    trailing ``window_hours`` at every hour boundary -- the
+    streaming-window x sketch composition for a register-max sketch
+    (the DDSketch version above subtracts whole buckets; HLL cannot
+    subtract, so the window merge is a per-window MAX over the hourly
+    register matrix -- one vectorized sliding_window_view pass).
+
+    Distributed part: per-(block, hour) register rows built with ONE
+    composite scatter-max per batch -> coarse-partitioned per-hour
+    register-max merge; the driver holds only the hours x m uint8
+    register matrix (90 days x 4 KB = ~9 MB), same driver bound as the
+    DDSketch sliding walk.  Window semantics match: window(h) covers
+    hours (h - W, h]."""
+    from ..sketches.hll import HyperLogLog
+
+    events = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                                   columns=["ts", "user_id"])
+
+    from ..hashing import murmur64
+    from ..sketches.hll import register_updates
+
+    m = 1 << p
+
+    def partials(t: pa.Table) -> pa.Table:
+        ts = t["ts"].combine_chunks() if isinstance(
+            t["ts"], pa.ChunkedArray) else t["ts"]
+        us = ts.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        hour = us // 3_600_000_000
+        uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        uh, inv = np.unique(hour, return_inverse=True)
+        idx, rho = register_updates(murmur64(uid), p)
+        # one composite scatter-max builds every hour's registers at once
+        # (no per-hour Python, no per-hour HLL objects)
+        mat = np.zeros((uh.shape[0], m), dtype=np.uint8)
+        np.maximum.at(mat, (inv, idx), rho)
+        return pa.table({
+            "hour": pa.array(uh.astype(np.int64)),
+            "blob": pa.array([mat[i].tobytes()
+                              for i in range(uh.shape[0])],
+                             type=pa.binary()),
+        })
+
+    merge_empty = pa.table({"hour": pa.array([], type=pa.int64()),
+                            "regs": pa.array([], type=pa.binary())})
+
+    def merge_partition(t: pa.Table) -> pa.Table:
+        # vectorized per-hour register max: one coarse partition holds
+        # many hours (groupby().map_groups at ~10 ms/group is the
+        # measured Ray 2.49 pathology this avoids)
+        hrs = t["hour"].to_numpy(zero_copy_only=False)
+        blobs = t["blob"].to_pylist()
+        regs = np.frombuffer(b"".join(blobs),
+                             dtype=np.uint8).reshape(len(blobs), -1)
+        order = np.argsort(hrs, kind="stable")
+        hrs_s, regs_s = hrs[order], regs[order]
+        new = np.ones(hrs_s.shape[0], dtype=bool)
+        new[1:] = hrs_s[1:] != hrs_s[:-1]
+        starts = np.nonzero(new)[0]
+        merged = np.maximum.reduceat(regs_s, starts, axis=0)
+        return pa.table({
+            "hour": pa.array(hrs_s[starts]),
+            "regs": pa.array([m.tobytes() for m in merged],
+                             type=pa.binary()),
+        })
+
+    from ..stages.partition import fit_partitions, partition_by
+    hourly = partition_by(
+        events.map_batches(partials, batch_format="pyarrow",
+                           zero_copy_batch=True),
+        ["hour"], fit_partitions(16), merge_partition, merge_empty)
+
+    m = 1 << p
+    rows = []
+    for ref in hourly.to_arrow_refs():
+        t = ray.get(ref)
+        if t.num_rows == 0:
+            continue
+        hs = t["hour"].to_numpy(zero_copy_only=False)
+        for i in range(t.num_rows):
+            rows.append((int(hs[i]), np.frombuffer(
+                t["regs"][i].as_py(), dtype=np.uint8)))
+    rows.sort(key=lambda r: r[0])
+    mn, mx = rows[0][0], rows[-1][0]
+    span = mx - mn + 1
+    mat = np.zeros((span + window_hours - 1, m), dtype=np.uint8)
+    for hr, regs in rows:
+        mat[hr - mn + window_hours - 1] = regs
+    # window(h) = max over the trailing W rows (leading zero-padding
+    # covers the clipped first windows)
+    win = np.lib.stride_tricks.sliding_window_view(
+        mat, window_hours, axis=0).max(axis=2)
+
+    sketch = HyperLogLog(p, "murmur64")
+    out_hours = np.arange(mn, mx + 1, dtype=np.int64)
+    nonzero = (win > 0).sum(axis=1).astype(np.int64)
+    sumr = win.astype(np.int64).sum(axis=1)
+    ests = []
+    for i in range(span):
+        sketch.registers = win[i]
+        ests.append(round(sketch.estimate(), 6))
+    return pa.table({
+        "window_start": pa.array(out_hours * 3600, type=pa.int64()),
+        "m": pa.array(np.full(span, m, dtype=np.int64)),
+        "nonzero_registers": pa.array(nonzero),
+        "sum_registers": pa.array(sumr),
+        "hll_estimate": pa.array(ests, type=pa.float64()),
+    })

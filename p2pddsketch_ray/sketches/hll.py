@@ -30,6 +30,25 @@ import numpy as np
 from ..hashing import md5_uint64, murmur64, splitmix64
 
 
+def register_updates(h, p: int) -> tuple[np.ndarray, np.ndarray]:
+    """(register index, rho) pairs for a batch of 64-bit hashes -- the
+    vectorized core of add_hashes, exposed so composite-keyed callers
+    (e.g. the sliding-window per-hour matrix) can scatter-max directly
+    without per-group HyperLogLog objects."""
+    h = np.asarray(h, dtype=np.uint64)
+    shift = np.uint64(64 - p)
+    idx = (h >> shift).astype(np.int64)
+    w = h & np.uint64((1 << (64 - p)) - 1)
+    rho = np.empty(h.shape[0], dtype=np.uint8)
+    zero = w == 0
+    rho[zero] = 64 - p + 1
+    nz = ~zero
+    # float path on purpose -- must match the SQL replica bit-for-bit
+    rho[nz] = (64 - p) - np.floor(
+        np.log2(w[nz].astype(np.float64))).astype(np.int64)
+    return idx, rho
+
+
 def _alpha_m(m: int) -> float:
     if m == 16:
         return 0.673
@@ -66,17 +85,7 @@ class HyperLogLog:
         return splitmix64(pd.util.hash_array(arr, categorize=False).view(np.int64))
 
     def add_hashes(self, h: np.ndarray) -> None:
-        h = np.asarray(h, dtype=np.uint64)
-        shift = np.uint64(64 - self.p)
-        idx = (h >> shift).astype(np.int64)
-        w = h & np.uint64((1 << (64 - self.p)) - 1)
-        rho = np.empty(h.shape[0], dtype=np.uint8)
-        zero = w == 0
-        rho[zero] = 64 - self.p + 1
-        nz = ~zero
-        # float path on purpose -- must match the SQL replica bit-for-bit
-        rho[nz] = (64 - self.p) - np.floor(
-            np.log2(w[nz].astype(np.float64))).astype(np.int64)
+        idx, rho = register_updates(h, self.p)
         np.maximum.at(self.registers, idx, rho)
 
     def add_batch(self, values) -> None:

@@ -432,3 +432,21 @@ def test_curated_corpus_stats_matches_duckdb_and_tiers_agree(ray_session):
     # the fp64 fast tier curates the identical corpus on this fixture
     fast = curated_corpus_stats(sf, hash_tier="fp64").to_pandas()
     assert fast.equals(got)
+
+
+def test_hll_sliding_users_matches_duckdb(ray_session):
+    duckdb = pytest.importorskip("duckdb")
+    import __ray_entry__ as E
+    from p2pddsketch_ray.pipelines.sliding import hll_sliding_users
+    sf = "/root/testdata/sf0.001"
+    got = hll_sliding_users(sf).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{sf}/events.parquet')")
+    want = con.execute(E.oracle_sql()["hll_sliding_users"]).df()
+    assert got.equals(want.reset_index(drop=True))
+    # windows are register-max unions: a window's estimate is at least
+    # its own single hour's (register max is monotone in window size is
+    # NOT guaranteed hour to hour, but nonzero registers never exceed m)
+    assert (got["nonzero_registers"] <= got["m"]).all()
+    assert (got["hll_estimate"] > 0).all()
