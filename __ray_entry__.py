@@ -52,7 +52,8 @@ from p2pddsketch_ray.pipelines.relational import (  # noqa: E402
 from p2pddsketch_ray.pipelines.fingerprint import (  # noqa: E402
     WINNOW_FINGERPRINT_SQL as _WINNOW_FINGERPRINT_SQL)
 from p2pddsketch_ray.pipelines.dedup import (  # noqa: E402
-    NGRAM_JACCARD_SQL as _NGRAM_JACCARD_SQL)
+    NGRAM_JACCARD_SQL as _NGRAM_JACCARD_SQL,
+    SIMHASH_SIGNATURES_SQL as _SIMHASH_SIGNATURES_SQL)
 QS = (0.5, 0.95, 0.99)
 
 
@@ -144,6 +145,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # MinHash/SimHash are not SQL-expressible; embedding cosine is)
         "minhash_neardup_docs": _minhash_neardup_docs,
         "simhash_neardup_docs": _simhash_neardup_docs,
+        # the SimHash signatures THEMSELVES are deterministic: a
+        # HUGEINT-Horner SQL replica verifies the sketch math even
+        # though windowed candidate recall cannot be oracle-checked
+        "simhash_signatures": _simhash_signatures,
         "embedding_neardup_pairs": _embedding_neardup_pairs,
         # similarity search scale path: IVF probing all clusters must
         # reproduce the exhaustive top-k (oracle = brute-force SQL)
@@ -277,6 +282,11 @@ def _ngram_jaccard_pairs(sf_dir: str):
 def _neardup_components(sf_dir: str):
     from p2pddsketch_ray.pipelines.components import neardup_components
     return neardup_components(sf_dir)
+
+
+def _simhash_signatures(sf_dir: str):
+    from p2pddsketch_ray.pipelines.dedup import simhash_signatures
+    return simhash_signatures(sf_dir)
 
 
 def _sketch_cdf_by_type(sf_dir: str):
@@ -916,6 +926,7 @@ GROUP BY 1 ORDER BY 1""",
         "user_moving_window": _USER_MOVING_WINDOW_SQL,
         "user_event_sequences": _USER_EVENT_SEQUENCES_SQL,
         "ngram_jaccard_pairs": _NGRAM_JACCARD_SQL,
+        "simhash_signatures": _SIMHASH_SIGNATURES_SQL,
         # transitive closure of the Jaccard >= 1/16 similarity graph:
         # same shingle/pairs CTEs as ngram_jaccard_pairs + a recursive
         # min-label reachability walk (the SQL statement of what

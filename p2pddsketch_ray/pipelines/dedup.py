@@ -667,3 +667,72 @@ JOIN sizes sa ON sa.doc_id = doc_a
 JOIN sizes sb ON sb.doc_id = doc_b
 ORDER BY 1, 2
 """
+
+
+def simhash_signatures(sf_dir: str, k: int = 9,
+                       max_doc_id: int = 40) -> pa.Table:
+    """The SimHash SIGNATURES themselves, oracle-verified: the 64-bit
+    fingerprint is a pure function of the text (per-bit majority over
+    all byte-9-shingle rolling hashes), so a DuckDB replica can recompute
+    it exactly -- HUGEINT Horner for the wrap-around polynomial hash,
+    64 per-bit majority sums, signature split hi/lo into int64.  This
+    upgrades the SimHash stack from rows-only (the windowed candidate
+    pairing is best-effort) to signature-level hash-green: the sketch
+    math is verified even though candidate recall cannot be."""
+    import pyarrow.dataset as pads
+
+    from ..sketches.minhash import simhash64
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"],
+        filter=(pads.field("doc_id") < max_doc_id))
+
+    def sigs(t: pa.Table) -> pa.Table:
+        lens = pc.utf8_length(t["text"])
+        t = t.filter(pc.greater_equal(lens, pa.scalar(k)))
+        if t.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], type=pa.int64()),
+                             "sig_hi": pa.array([], type=pa.int64()),
+                             "sig_lo": pa.array([], type=pa.int64())})
+        s = simhash64(t["text"], k=k)
+        return pa.table({
+            "doc_id": pa.array(t["doc_id"].to_numpy(zero_copy_only=False)
+                               .astype(np.int64)),
+            "sig_hi": pa.array((s >> np.uint64(32)).astype(np.int64)),
+            "sig_lo": pa.array((s & np.uint64(0xFFFFFFFF))
+                               .astype(np.int64)),
+        })
+
+    out = (ds.map_batches(sigs, batch_format="pyarrow",
+                          zero_copy_batch=True).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    return pa.table({
+        "doc_id": pa.array(out["doc_id"].astype("int64")),
+        "sig_hi": pa.array(out["sig_hi"].astype("int64")),
+        "sig_lo": pa.array(out["sig_lo"].astype("int64")),
+    })
+
+
+def _simhash_signatures_sql(k: int = 9, max_doc_id: int = 40) -> str:
+    horner = "0"
+    for j in range(k):
+        horner = (f"(({horner}) * 1099511628211 + "
+                  f"ord(substr(text, i + {j}, 1))) % 18446744073709551616")
+    bitsums = ", ".join(f"sum(CAST((hv >> {b}) & 1 AS BIGINT)) AS b{b}"
+                        for b in range(64))
+    hi = " + ".join(f"(CASE WHEN 2*b{b} > total THEN {1 << (b - 32)} "
+                    f"ELSE 0 END)" for b in range(32, 64))
+    lo = " + ".join(f"(CASE WHEN 2*b{b} > total THEN {1 << b} ELSE 0 END)"
+                    for b in range(0, 32))
+    return f"""
+WITH nums AS (SELECT CAST(range AS BIGINT) AS i FROM range(1, 1048576)),
+w AS (SELECT doc_id, CAST(({horner}) AS UBIGINT) AS hv
+      FROM documents JOIN nums ON nums.i <= length(text) - {k - 1}
+      WHERE doc_id < {max_doc_id} AND length(text) >= {k}),
+sums AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS total, {bitsums}
+         FROM w GROUP BY 1)
+SELECT doc_id, CAST({hi} AS BIGINT) AS sig_hi, CAST({lo} AS BIGINT) AS sig_lo
+FROM sums ORDER BY 1"""
+
+
+SIMHASH_SIGNATURES_SQL = _simhash_signatures_sql()

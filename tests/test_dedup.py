@@ -220,3 +220,16 @@ def test_ngram_jaccard_pairs_matches_duckdb(ray_session):
     got_j = (head["inter"] / head["uni"]).to_numpy()
     # verify() hashes shingles (rare collisions possible); allow tiny slack
     assert np.allclose(got_j, ja, atol=1e-6)
+
+
+def test_simhash_signatures_match_duckdb(ray_session):
+    duckdb = pytest.importorskip("duckdb")
+    from p2pddsketch_ray.pipelines.dedup import (SIMHASH_SIGNATURES_SQL,
+                                                 simhash_signatures)
+    sf = "/root/testdata/sf0.001"
+    got = simhash_signatures(sf).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf}/documents.parquet')")
+    want = con.execute(SIMHASH_SIGNATURES_SQL).df()
+    assert got.equals(want.reset_index(drop=True))
