@@ -53,7 +53,8 @@ from p2pddsketch_ray.pipelines.fingerprint import (  # noqa: E402
     WINNOW_FINGERPRINT_SQL as _WINNOW_FINGERPRINT_SQL)
 from p2pddsketch_ray.pipelines.dedup import (  # noqa: E402
     NGRAM_JACCARD_SQL as _NGRAM_JACCARD_SQL,
-    SIMHASH_SIGNATURES_SQL as _SIMHASH_SIGNATURES_SQL)
+    SIMHASH_SIGNATURES_SQL as _SIMHASH_SIGNATURES_SQL,
+    MINHASH_SIGNATURE_SQL as _MINHASH_SIGNATURE_SQL)
 QS = (0.5, 0.95, 0.99)
 
 
@@ -149,6 +150,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # HUGEINT-Horner SQL replica verifies the sketch math even
         # though windowed candidate recall cannot be oracle-checked
         "simhash_signatures": _simhash_signatures,
+        # ...and the MinHash signature matrix likewise (multiply-add
+        # permutation minima, checksum per doc)
+        "minhash_signature_stats": _minhash_signature_stats,
         "embedding_neardup_pairs": _embedding_neardup_pairs,
         # similarity search scale path: IVF probing all clusters must
         # reproduce the exhaustive top-k (oracle = brute-force SQL)
@@ -287,6 +291,11 @@ def _neardup_components(sf_dir: str):
 def _simhash_signatures(sf_dir: str):
     from p2pddsketch_ray.pipelines.dedup import simhash_signatures
     return simhash_signatures(sf_dir)
+
+
+def _minhash_signature_stats(sf_dir: str):
+    from p2pddsketch_ray.pipelines.dedup import minhash_signature_stats
+    return minhash_signature_stats(sf_dir)
 
 
 def _sketch_cdf_by_type(sf_dir: str):
@@ -927,6 +936,7 @@ GROUP BY 1 ORDER BY 1""",
         "user_event_sequences": _USER_EVENT_SEQUENCES_SQL,
         "ngram_jaccard_pairs": _NGRAM_JACCARD_SQL,
         "simhash_signatures": _SIMHASH_SIGNATURES_SQL,
+        "minhash_signature_stats": _MINHASH_SIGNATURE_SQL,
         # transitive closure of the Jaccard >= 1/16 similarity graph:
         # same shingle/pairs CTEs as ngram_jaccard_pairs + a recursive
         # min-label reachability walk (the SQL statement of what

@@ -736,3 +736,83 @@ FROM sums ORDER BY 1"""
 
 
 SIMHASH_SIGNATURES_SQL = _simhash_signatures_sql()
+
+
+def minhash_signature_stats(sf_dir: str, num_perm: int = 64, k: int = 9,
+                            max_doc_id: int = 40) -> pa.Table:
+    """MinHash SIGNATURES oracle-verified (companion of
+    simhash_signatures): each of the 64 permutation minima is a pure
+    function of the text (multiply-add mod 2^64 over the shingle rolling
+    hashes, constants derived from splitmix64 of the permutation index),
+    so a DuckDB replica recomputes the whole signature -- the wrap-around
+    multiply split into 32-bit halves to stay inside HUGEINT.  Emitted
+    per doc: the shingle-window count and a mod-2^31 checksum over all
+    num_perm minima (register-level verification of the exact signature
+    matrix the LSH banding consumes)."""
+    import pyarrow.dataset as pads
+
+    from ..sketches.minhash import minhash_signatures, shingle_hashes
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"],
+        filter=(pads.field("doc_id") < max_doc_id))
+
+    def stats(t: pa.Table) -> pa.Table:
+        lens = pc.utf8_length(t["text"])
+        t = t.filter(pc.greater_equal(lens, pa.scalar(k)))
+        if t.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], type=pa.int64()),
+                             "n_windows": pa.array([], type=pa.int64()),
+                             "sig_checksum": pa.array([], type=pa.int64())})
+        sig = minhash_signatures(t["text"], num_perm=num_perm, k=k)
+        _, doc_offsets = shingle_hashes(t["text"], k)
+        cks = (sig % np.uint64(2147483648)).astype(np.int64).sum(axis=1)
+        return pa.table({
+            "doc_id": pa.array(t["doc_id"].to_numpy(zero_copy_only=False)
+                               .astype(np.int64)),
+            "n_windows": pa.array(np.diff(doc_offsets).astype(np.int64)),
+            "sig_checksum": pa.array(cks),
+        })
+
+    out = (ds.map_batches(stats, batch_format="pyarrow",
+                          zero_copy_batch=True).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    return pa.table({
+        "doc_id": pa.array(out["doc_id"].astype("int64")),
+        "n_windows": pa.array(out["n_windows"].astype("int64")),
+        "sig_checksum": pa.array(out["sig_checksum"].astype("int64")),
+    })
+
+
+def _minhash_signature_sql(num_perm: int = 64, k: int = 9,
+                           max_doc_id: int = 40) -> str:
+    from ..sketches.minhash import _perm_constants
+    a, b = _perm_constants(num_perm)
+    rows = ", ".join(f"({i}, {int(x) >> 32}, {int(x) & 0xFFFFFFFF}, "
+                     f"{int(y)})"
+                     for i, (x, y) in enumerate(zip(a, b)))
+    horner = "0"
+    for j in range(k):
+        horner = (f"(({horner}) * 1099511628211 + "
+                  f"ord(substr(text, i + {j}, 1))) % 18446744073709551616")
+    return f"""
+WITH nums AS (SELECT CAST(range AS BIGINT) AS i FROM range(1, 1048576)),
+w AS (SELECT doc_id, CAST(({horner}) AS HUGEINT) AS hv
+      FROM documents JOIN nums ON nums.i <= length(text) - {k - 1}
+      WHERE doc_id < {max_doc_id} AND length(text) >= {k}),
+perms(perm, a_hi, a_lo, b) AS (VALUES {rows}),
+g AS (SELECT doc_id, perm,
+             ((hv * a_lo) % 18446744073709551616
+              + ((hv * a_hi) % 4294967296) * 4294967296
+              + b) % 18446744073709551616 AS pv
+      FROM w CROSS JOIN perms),
+mins AS (SELECT doc_id, perm, min(pv) AS m FROM g GROUP BY 1, 2),
+cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows
+        FROM w GROUP BY 1)
+SELECT mins.doc_id, cnt.n_windows,
+       CAST(sum(m % 2147483648) AS BIGINT) AS sig_checksum
+FROM mins JOIN cnt ON cnt.doc_id = mins.doc_id
+GROUP BY 1, 2 ORDER BY 1"""
+
+
+MINHASH_SIGNATURE_SQL = _minhash_signature_sql()

@@ -233,3 +233,16 @@ def test_simhash_signatures_match_duckdb(ray_session):
                 f"read_parquet('{sf}/documents.parquet')")
     want = con.execute(SIMHASH_SIGNATURES_SQL).df()
     assert got.equals(want.reset_index(drop=True))
+
+
+def test_minhash_signature_stats_match_duckdb(ray_session):
+    duckdb = pytest.importorskip("duckdb")
+    from p2pddsketch_ray.pipelines.dedup import (MINHASH_SIGNATURE_SQL,
+                                                 minhash_signature_stats)
+    sf = "/root/testdata/sf0.001"
+    got = minhash_signature_stats(sf).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf}/documents.parquet')")
+    want = con.execute(MINHASH_SIGNATURE_SQL).df()
+    assert got.equals(want.reset_index(drop=True))
