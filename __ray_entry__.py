@@ -48,7 +48,8 @@ from p2pddsketch_ray.pipelines.relational import (  # noqa: E402
     COMBINED_DAILY_SQL as _COMBINED_DAILY_SQL,
     USER_ACTIVITY_QUARTILES_SQL as _USER_ACTIVITY_QUARTILES_SQL,
     LABEL_CENTROIDS_SQL as _LABEL_CENTROIDS_SQL,
-    REDACT_PROPS_SQL as _REDACT_PROPS_SQL)
+    REDACT_PROPS_SQL as _REDACT_PROPS_SQL,
+    VALUE_HOUR_STATS_SQL as _VALUE_HOUR_STATS_SQL)
 from p2pddsketch_ray.pipelines.fingerprint import (  # noqa: E402
     WINNOW_FINGERPRINT_SQL as _WINNOW_FINGERPRINT_SQL)
 from p2pddsketch_ray.pipelines.dedup import (  # noqa: E402
@@ -247,6 +248,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # table maps every row to its estimated rank (quantile
         # normalization without a global sort)
         "sketch_cdf_by_type": _sketch_cdf_by_type,
+        # sufficient-statistics aggregate (exact integer moments for
+        # correlation/regression of value vs hour-of-day)
+        "value_hour_sufficient_stats": R.value_hour_sufficient_stats,
         # PII-scrub text rewrite (regex redaction) with per-group
         # transform accounting (RE2 on both engines)
         "redact_props_stats": R.redact_props_stats,
@@ -916,6 +920,7 @@ SELECT w * 3600 AS window_start, 4096::BIGINT AS m,
                   ELSE raw END, 6) AS hll_estimate
 FROM est ORDER BY 1""",
         "redact_props_stats": _REDACT_PROPS_SQL,
+        "value_hour_sufficient_stats": _VALUE_HOUR_STATS_SQL,
         "sketch_cdf_by_type": """
 WITH src AS (SELECT event_type, CAST(value AS DOUBLE) AS x
              FROM events WHERE value IS NOT NULL),

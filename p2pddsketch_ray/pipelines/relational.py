@@ -1938,3 +1938,87 @@ def curated_corpus_stats(sf_dir: str, min_quality: float = 0.8,
         "sum_tokens": pa.array(out["sum_tokens"].astype("int64")),
         "sum_chars": pa.array(out["sum_chars"].astype("int64")),
     })
+
+
+def value_hour_sufficient_stats(sf_dir: str) -> "ray.data.Dataset":
+    """Distributed SUFFICIENT STATISTICS for correlation/regression of
+    event value against hour-of-day, per event type: exact integer
+    moment sums (n, sum x, sum y, sum xy, sum x^2, sum y^2) from which
+    the driver -- or any downstream trainer -- derives slope/intercept/
+    Pearson r in closed form.  The ML-feature-pipeline shape: one
+    streaming map with an in-batch combiner, shuffle rows = group
+    cardinality, all moments associative int64 (value in cents so y^2
+    sums stay far from overflow)."""
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    empty = pa.table({"event_type": pa.array([], type=pa.string()),
+                      "n": pa.array([], type=pa.int64()),
+                      "sum_x": pa.array([], type=pa.int64()),
+                      "sum_y": pa.array([], type=pa.int64()),
+                      "sum_xy": pa.array([], type=pa.int64()),
+                      "sum_x2": pa.array([], type=pa.int64()),
+                      "sum_y2": pa.array([], type=pa.int64())})
+
+    def partials(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        us = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        x = (us // 3_600_000_000) % 24
+        y = np.floor(t["value"].to_numpy(zero_copy_only=False) * 100.0
+                     + 0.5).astype(np.int64)
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        ut, inv = np.unique(et, return_inverse=True)
+        k = ut.shape[0]
+
+        def grp(v):
+            out = np.zeros(k, dtype=np.int64)
+            np.add.at(out, inv, v)
+            return out
+
+        return pa.table({
+            "event_type": pa.array(ut, type=pa.string()),
+            "n": pa.array(np.bincount(inv, minlength=k).astype(np.int64)),
+            "sum_x": pa.array(grp(x)),
+            "sum_y": pa.array(grp(y)),
+            "sum_xy": pa.array(grp(x * y)),
+            "sum_x2": pa.array(grp(x * x)),
+            "sum_y2": pa.array(grp(y * y)),
+        })
+
+    agg = (ds.map_batches(partials, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("event_type")
+           .aggregate(Sum("n", alias_name="n"),
+                      Sum("sum_x", alias_name="sum_x"),
+                      Sum("sum_y", alias_name="sum_y"),
+                      Sum("sum_xy", alias_name="sum_xy"),
+                      Sum("sum_x2", alias_name="sum_x2"),
+                      Sum("sum_y2", alias_name="sum_y2")))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        return pa.table({
+            "event_type": t["event_type"],
+            **{c: pc.cast(t[c], pa.int64())
+               for c in ("n", "sum_x", "sum_y", "sum_xy", "sum_x2",
+                         "sum_y2")},
+        })
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+VALUE_HOUR_STATS_SQL = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(x) AS BIGINT) AS sum_x,
+       CAST(sum(y) AS BIGINT) AS sum_y,
+       CAST(sum(x * y) AS BIGINT) AS sum_xy,
+       CAST(sum(x * x) AS BIGINT) AS sum_x2,
+       CAST(sum(y * y) AS BIGINT) AS sum_y2
+FROM (SELECT event_type,
+             (CAST(epoch_us(ts) AS BIGINT) // 3600000000) % 24 AS x,
+             CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS y
+      FROM events)
+GROUP BY 1 ORDER BY 1
+"""

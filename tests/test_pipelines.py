@@ -450,3 +450,30 @@ def test_hll_sliding_users_matches_duckdb(ray_session):
     # NOT guaranteed hour to hour, but nonzero registers never exceed m)
     assert (got["nonzero_registers"] <= got["m"]).all()
     assert (got["hll_estimate"] > 0).all()
+
+
+def test_value_hour_sufficient_stats_and_pearson(ray_session):
+    duckdb = pytest.importorskip("duckdb")
+    from p2pddsketch_ray.pipelines.relational import (
+        VALUE_HOUR_STATS_SQL, value_hour_sufficient_stats)
+    sf = "/root/testdata/sf0.001"
+    got = (value_hour_sufficient_stats(sf).to_pandas()
+           .sort_values("event_type").reset_index(drop=True))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{sf}/events.parquet')")
+    want = con.execute(VALUE_HOUR_STATS_SQL).df()
+    assert got.equals(want.reset_index(drop=True))
+    # closed-form Pearson r from the moments matches DuckDB corr()
+    # within float tolerance (cents quantization is the only delta)
+    r_want = con.execute(
+        "SELECT event_type, corr((epoch_us(ts)//3600000000) % 24, value)"
+        " AS r FROM events GROUP BY 1 ORDER BY 1").df()
+    import numpy as np
+    n = got["n"].to_numpy(dtype=float)
+    sx, sy = got["sum_x"].to_numpy(float), got["sum_y"].to_numpy(float)
+    sxy = got["sum_xy"].to_numpy(float)
+    sx2, sy2 = got["sum_x2"].to_numpy(float), got["sum_y2"].to_numpy(float)
+    r = ((n * sxy - sx * sy)
+         / np.sqrt((n * sx2 - sx * sx) * (n * sy2 - sy * sy)))
+    assert np.abs(r - r_want["r"].to_numpy()).max() < 1e-4
