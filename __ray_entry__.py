@@ -49,7 +49,8 @@ from p2pddsketch_ray.pipelines.relational import (  # noqa: E402
     USER_ACTIVITY_QUARTILES_SQL as _USER_ACTIVITY_QUARTILES_SQL,
     LABEL_CENTROIDS_SQL as _LABEL_CENTROIDS_SQL,
     REDACT_PROPS_SQL as _REDACT_PROPS_SQL,
-    VALUE_HOUR_STATS_SQL as _VALUE_HOUR_STATS_SQL)
+    VALUE_HOUR_STATS_SQL as _VALUE_HOUR_STATS_SQL,
+    WEIGHTED_SAMPLE_SQL as _WEIGHTED_SAMPLE_SQL)
 from p2pddsketch_ray.pipelines.fingerprint import (  # noqa: E402
     WINNOW_FINGERPRINT_SQL as _WINNOW_FINGERPRINT_SQL)
 from p2pddsketch_ray.pipelines.dedup import (  # noqa: E402
@@ -248,6 +249,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # table maps every row to its estimated rank (quantile
         # normalization without a global sort)
         "sketch_cdf_by_type": _sketch_cdf_by_type,
+        # deterministic weighted sampling (Efraimidis-Spirakis A-Res
+        # with hash-derived uniforms, log-key form)
+        "weighted_sample_orders": R.weighted_sample_orders,
         # sufficient-statistics aggregate (exact integer moments for
         # correlation/regression of value vs hour-of-day)
         "value_hour_sufficient_stats": R.value_hour_sufficient_stats,
@@ -921,6 +925,7 @@ SELECT w * 3600 AS window_start, 4096::BIGINT AS m,
 FROM est ORDER BY 1""",
         "redact_props_stats": _REDACT_PROPS_SQL,
         "value_hour_sufficient_stats": _VALUE_HOUR_STATS_SQL,
+        "weighted_sample_orders": _WEIGHTED_SAMPLE_SQL,
         "sketch_cdf_by_type": """
 WITH src AS (SELECT event_type, CAST(value AS DOUBLE) AS x
              FROM events WHERE value IS NOT NULL),

@@ -2022,3 +2022,51 @@ FROM (SELECT event_type,
       FROM events)
 GROUP BY 1 ORDER BY 1
 """
+
+
+def weighted_sample_orders(sf_dir: str, k: int = 10) -> "ray.data.Dataset":
+    """DETERMINISTIC weighted sampling (Efraimidis-Spirakis A-Res):
+    sample k orders with probability proportional to o_totalprice,
+    reproducibly -- each row's uniform comes from the DuckDB-bit-equal
+    murmur64 hash of its key (u = hash/2^64) and its selection key is
+    ``ln(u)/w`` (the log form of u^(1/w): same ordering, and numpy
+    ln/division match DuckDB bit-for-bit where pow might not).  Top-k by
+    key is the block-local prereduce + tiny global sort, so the sample
+    is one streaming pass -- the weighted counterpart of the uniform
+    hash sampling in sampled_events_by_type."""
+    from ..hashing import murmur64
+    from ..stages.topk import topk
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+
+    def keyed(t: pa.Table) -> pa.Table:
+        okey = t["o_orderkey"].to_numpy(zero_copy_only=False)
+        w = t["o_totalprice"].to_numpy(zero_copy_only=False)
+        # +1 shifts the uniform to (0, 1]: hash(x) == 0 exists in
+        # real key spaces and ln(0) errors in DuckDB
+        u = ((murmur64(okey).astype(np.float64) + 1.0)
+             / 18446744073709551616.0)
+        with np.errstate(divide="ignore"):
+            key = np.log(u) / w
+        return pa.table({
+            "o_orderkey": pa.array(okey.astype(np.int64)),
+            "o_totalprice": t["o_totalprice"],
+            "skey": pa.array(key, type=pa.float64()),
+        })
+
+    out = topk(ds.map_batches(keyed, batch_format="pyarrow",
+                              zero_copy_batch=True),
+               [("skey", "descending"), ("o_orderkey", "ascending")], k)
+    return out.map_batches(
+        lambda t: t.select(["o_orderkey", "o_totalprice"]),
+        batch_format="pyarrow")
+
+
+WEIGHTED_SAMPLE_SQL = """
+SELECT o_orderkey, o_totalprice FROM orders
+QUALIFY row_number() OVER (
+    ORDER BY ln((CAST(hash(o_orderkey) AS DOUBLE) + 1.0)
+                / 18446744073709551616.0) / o_totalprice DESC,
+             o_orderkey) <= 10
+ORDER BY o_orderkey
+"""

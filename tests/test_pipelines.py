@@ -477,3 +477,21 @@ def test_value_hour_sufficient_stats_and_pearson(ray_session):
     r = ((n * sxy - sx * sy)
          / np.sqrt((n * sx2 - sx * sx) * (n * sy2 - sy * sy)))
     assert np.abs(r - r_want["r"].to_numpy()).max() < 1e-4
+
+
+def test_weighted_sample_orders_matches_duckdb_and_biases(ray_session):
+    duckdb = pytest.importorskip("duckdb")
+    from p2pddsketch_ray.pipelines.relational import (WEIGHTED_SAMPLE_SQL,
+                                                      weighted_sample_orders)
+    sf = "/root/testdata/sf0.001"
+    got = (weighted_sample_orders(sf).to_pandas()
+           .sort_values("o_orderkey").reset_index(drop=True))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW orders AS SELECT * FROM "
+                f"read_parquet('{sf}/orders.parquet')")
+    want = con.execute(WEIGHTED_SAMPLE_SQL).df()
+    assert got.equals(want.reset_index(drop=True))
+    # weighting works: the sample's mean price exceeds the population's
+    pop_mean = con.execute(
+        "SELECT avg(o_totalprice) FROM orders").fetchone()[0]
+    assert got["o_totalprice"].mean() > pop_mean
