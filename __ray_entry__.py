@@ -169,6 +169,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # sliding-window quantiles (turnstile add/delete of whole hour
         # buckets -- the kernel capability the reference never drove)
         "sliding_window_quantiles": _sliding_window_quantiles,
+        # sketch-driven anomaly detection: events above their own
+        # window's trailing-24h p99, compared in integer bucket-key
+        # space (composition of sliding sketch + broadcast threshold)
+        "sliding_anomaly_counts": _sliding_anomaly_counts,
         # sliding-window HLL: distinct users per trailing 24 h (window
         # merge = register max over the hourly matrix)
         "hll_sliding_users": _hll_sliding_users,
@@ -314,6 +318,11 @@ def _sketch_cdf_by_type(sf_dir: str):
 def _hll_sliding_users(sf_dir: str):
     from p2pddsketch_ray.pipelines.sliding import hll_sliding_users
     return hll_sliding_users(sf_dir)
+
+
+def _sliding_anomaly_counts(sf_dir: str):
+    from p2pddsketch_ray.pipelines.sliding import sliding_anomaly_counts
+    return sliding_anomaly_counts(sf_dir, alpha=ALPHA, bin_limit=BIN_LIMIT)
 
 
 def _user_running_totals(sf_dir: str):
@@ -923,6 +932,33 @@ SELECT w * 3600 AS window_start, 4096::BIGINT AS m,
                   THEN 4096 * ln(4096.0 / CAST(zeros AS DOUBLE))
                   ELSE raw END, 6) AS hll_estimate
 FROM est ORDER BY 1""",
+        "sliding_anomaly_counts": f"""
+WITH src AS (SELECT epoch_us(ts)//3600000000 AS b,
+                    CASE WHEN value > 0 THEN CAST(ceil(ln(CAST(value AS DOUBLE))/ln({GAMMA_SQL})) AS BIGINT) + {OFFSET}
+                         WHEN value < 0 THEN -CAST(ceil(ln(-CAST(value AS DOUBLE))/ln({GAMMA_SQL})) AS BIGINT) - {OFFSET}
+                         ELSE 0 END AS k
+             FROM events WHERE value IS NOT NULL),
+bounds AS (SELECT min(b) AS lo, max(b) AS hi FROM src),
+hours AS (SELECT unnest(generate_series(lo, hi)) AS h FROM bounds),
+bins AS (SELECT hours.h AS h, src.k AS k, CAST(count(*) AS DOUBLE) AS c
+         FROM hours JOIN src ON src.b > hours.h - 24 AND src.b <= hours.h
+         GROUP BY hours.h, src.k),
+tot AS (SELECT h, sum(c) AS n FROM bins GROUP BY h),
+walk AS (SELECT h, k, sum(c) OVER (PARTITION BY h ORDER BY k) AS cum FROM bins),
+pick AS (SELECT walk.h AS h, min(walk.k) AS thr
+         FROM walk JOIN tot ON walk.h = tot.h
+         WHERE walk.cum > 0.99 * (tot.n - 1) GROUP BY walk.h),
+ev AS (SELECT event_type, epoch_us(ts)//3600000000 AS b,
+              CASE WHEN value > 0 THEN CAST(ceil(ln(CAST(value AS DOUBLE))/ln({GAMMA_SQL})) AS BIGINT) + {OFFSET}
+                   WHEN value < 0 THEN -CAST(ceil(ln(-CAST(value AS DOUBLE))/ln({GAMMA_SQL})) AS BIGINT) - {OFFSET}
+                   ELSE 0 END AS k
+       FROM events WHERE value IS NOT NULL)
+SELECT ev.event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN ev.k > pick.thr THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_anomalies
+FROM ev JOIN pick ON pick.h = ev.b
+GROUP BY 1 ORDER BY 1""",
         "redact_props_stats": _REDACT_PROPS_SQL,
         "value_hour_sufficient_stats": _VALUE_HOUR_STATS_SQL,
         "weighted_sample_orders": _WEIGHTED_SAMPLE_SQL,

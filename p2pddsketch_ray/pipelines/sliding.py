@@ -44,7 +44,8 @@ def sliding_window_quantiles(ds: "ray.data.Dataset", ts_col: str,
                              quantiles: Sequence[float] = (0.5, 0.95, 0.99),
                              alpha: float = PRACTICAL_ALPHA,
                              bin_limit: int = DEFAULT_BIN_LIMIT,
-                             offset: int = DEFAULT_OFFSET) -> pa.Table:
+                             offset: int = DEFAULT_OFFSET,
+                             include_bucket_key: bool = False) -> pa.Table:
     """One row per (hour, q): quantile estimates over the trailing
     ``window_hours`` at every hour boundary present in the data.
 
@@ -113,7 +114,7 @@ def sliding_window_quantiles(ds: "ray.data.Dataset", ts_col: str,
             "or increase alpha")
 
     qs = tuple(quantiles)
-    out_hour, out_q, out_est, out_n = [], [], [], []
+    out_hour, out_q, out_est, out_n, out_key = [], [], [], [], []
     window = DDSketch(alpha, bin_limit, offset, "uniform")
     lo, hi = int(buckets[0]), int(buckets[-1])
     for h in range(lo, hi + 1):
@@ -126,16 +127,21 @@ def sliding_window_quantiles(ds: "ray.data.Dataset", ts_col: str,
         if window.n <= 0:
             continue
         for q in qs:
+            key = window.quantile_key(q)
             out_hour.append(h * 3600)
             out_q.append(q)
-            out_est.append(window.quantile(q))
+            out_est.append(window._bucket_estimate(key))
             out_n.append(window.n)
-    return pa.table({
+            out_key.append(key)
+    cols = {
         "window_end": pa.array(out_hour, type=pa.int64()),
         "q": pa.array(out_q, type=pa.float64()),
         "est": pa.array(out_est, type=pa.float64()),
         "n": pa.array(out_n, type=pa.float64()),
-    })
+    }
+    if include_bucket_key:
+        cols["bucket_key"] = pa.array(out_key, type=pa.int64())
+    return pa.table(cols)
 
 
 def _merge_partition_buckets(part: pa.Table) -> pa.Table:
@@ -282,4 +288,79 @@ def hll_sliding_users(sf_dir: str, *, window_hours: int = 24,
         "nonzero_registers": pa.array(nonzero),
         "sum_registers": pa.array(sumr),
         "hll_estimate": pa.array(ests, type=pa.float64()),
+    })
+
+
+def sliding_anomaly_counts(sf_dir: str, *, window_hours: int = 24,
+                           q: float = 0.99, alpha: float = 0.01,
+                           bin_limit: int = 2048) -> pa.Table:
+    """Sketch-driven ANOMALY DETECTION: count, per event type, the
+    events whose value exceeds the trailing-``window_hours`` q-quantile
+    of their own hour's window -- the alerting composition a streaming
+    analytics pipeline runs on top of the turnstile sliding sketch.
+
+    The comparison happens in BUCKET-KEY space (event bucket key >
+    window's quantile bucket key): pure integer compares, immune to
+    float estimate rounding, and exactly replicable by composing the
+    sliding-walk SQL with the key math.  The per-window threshold table
+    is O(hours) int64 pairs -- ray.put once, searchsorted per batch."""
+    import ray as _ray
+
+    from ..sketches.ddsketch import compute_keys
+
+    events = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                                   columns=["ts", "value"])
+    win = sliding_window_quantiles(events, "ts", "value",
+                                   window_hours=window_hours,
+                                   quantiles=(q,), alpha=alpha,
+                                   bin_limit=bin_limit,
+                                   include_bucket_key=True)
+    hours = (win["window_end"].to_numpy(zero_copy_only=False)
+             // 3600).astype(np.int64)
+    thr = win["bucket_key"].to_numpy(zero_copy_only=False).astype(np.int64)
+    thr_ref = _ray.put((hours, thr))
+    from ..sketches.ddsketch import DDSketch
+    probe = DDSketch(alpha, bin_limit, 1073741824, "uniform")
+    ln_gamma, offset = probe.ln_gamma, probe.offset
+
+    typed = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                                  columns=["event_type", "ts", "value"])
+
+    empty = pa.table({"event_type": pa.array([], type=pa.string()),
+                      "n_events": pa.array([], type=pa.int64()),
+                      "n_anomalies": pa.array([], type=pa.int64())})
+
+    def flag(t: pa.Table) -> pa.Table:
+        if t["value"].null_count:
+            t = t.filter(pc.is_valid(t["value"]))
+        if t.num_rows == 0:
+            return empty
+        hs, th = _ray.get(thr_ref)
+        us = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        hour = us // 3_600_000_000
+        k = compute_keys(t["value"].to_numpy(zero_copy_only=False),
+                         ln_gamma, offset)
+        pos = np.searchsorted(hs, hour)
+        # every event's hour has a window row by construction
+        anom = k > th[pos]
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        ut, inv = np.unique(et, return_inverse=True)
+        return pa.table({
+            "event_type": pa.array(ut, type=pa.string()),
+            "n_events": pa.array(np.bincount(inv).astype(np.int64)),
+            "n_anomalies": pa.array(np.bincount(
+                inv, weights=anom.astype(np.int64)).astype(np.int64)),
+        })
+
+    from ray.data.aggregate import Sum
+    agg = (typed.map_batches(flag, batch_format="pyarrow",
+                             zero_copy_batch=True)
+           .groupby("event_type")
+           .aggregate(Sum("n_events", alias_name="n_events"),
+                      Sum("n_anomalies", alias_name="n_anomalies")))
+    out = agg.to_pandas().sort_values("event_type").reset_index(drop=True)
+    return pa.table({
+        "event_type": pa.array(out["event_type"], type=pa.string()),
+        "n_events": pa.array(out["n_events"].astype("int64")),
+        "n_anomalies": pa.array(out["n_anomalies"].astype("int64")),
     })

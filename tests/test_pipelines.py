@@ -495,3 +495,22 @@ def test_weighted_sample_orders_matches_duckdb_and_biases(ray_session):
     pop_mean = con.execute(
         "SELECT avg(o_totalprice) FROM orders").fetchone()[0]
     assert got["o_totalprice"].mean() > pop_mean
+
+
+def test_sliding_anomaly_counts_matches_duckdb(ray_session):
+    duckdb = pytest.importorskip("duckdb")
+    import __ray_entry__ as E
+    from p2pddsketch_ray.pipelines.sliding import sliding_anomaly_counts
+    sf = "/root/testdata/sf0.001"
+    got = sliding_anomaly_counts(sf, alpha=0.01,
+                                 bin_limit=2048).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{sf}/events.parquet')")
+    want = con.execute(E.oracle_sql()["sliding_anomaly_counts"]).df()
+    assert got.equals(want.reset_index(drop=True))
+    # p99 threshold per self-containing window: anomaly rate ~1%, and
+    # strictly fewer anomalies than events
+    total = got["n_events"].sum()
+    anom = got["n_anomalies"].sum()
+    assert 0 < anom < 0.05 * total
