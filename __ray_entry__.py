@@ -169,6 +169,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # sliding-window quantiles (turnstile add/delete of whole hour
         # buckets -- the kernel capability the reference never drove)
         "sliding_window_quantiles": _sliding_window_quantiles,
+        # distribution-drift monitor: pairwise KS statistic between
+        # per-group DDSketch CDFs as an exact integer numerator
+        "drift_stats_pairs": _drift_stats_pairs,
         # sketch-driven anomaly detection: events above their own
         # window's trailing-24h p99, compared in integer bucket-key
         # space (composition of sliding sketch + broadcast threshold)
@@ -323,6 +326,11 @@ def _hll_sliding_users(sf_dir: str):
 def _sliding_anomaly_counts(sf_dir: str):
     from p2pddsketch_ray.pipelines.sliding import sliding_anomaly_counts
     return sliding_anomaly_counts(sf_dir, alpha=ALPHA, bin_limit=BIN_LIMIT)
+
+
+def _drift_stats_pairs(sf_dir: str):
+    from p2pddsketch_ray.pipelines.quantiles import drift_stats_pairs
+    return drift_stats_pairs(sf_dir, alpha=ALPHA, bin_limit=BIN_LIMIT)
 
 
 def _user_running_totals(sf_dir: str):
@@ -959,6 +967,32 @@ SELECT ev.event_type,
            AS n_anomalies
 FROM ev JOIN pick ON pick.h = ev.b
 GROUP BY 1 ORDER BY 1""",
+        "drift_stats_pairs": f"""
+WITH keyed AS (SELECT event_type AS g,
+                      CASE WHEN value > 0 THEN CAST(ceil(ln(CAST(value AS DOUBLE))/ln({GAMMA_SQL})) AS BIGINT) + {OFFSET}
+                           WHEN value < 0 THEN -CAST(ceil(ln(-CAST(value AS DOUBLE))/ln({GAMMA_SQL})) AS BIGINT) - {OFFSET}
+                           ELSE 0 END AS k
+               FROM events WHERE value IS NOT NULL),
+bins AS (SELECT g, k, CAST(count(*) AS BIGINT) AS c FROM keyed GROUP BY 1, 2),
+tot AS (SELECT g, CAST(sum(c) AS BIGINT) AS n FROM bins GROUP BY 1),
+pairs AS (SELECT a.g AS ta, b.g AS tb FROM tot a JOIN tot b ON a.g < b.g),
+allk AS (SELECT DISTINCT p.ta, p.tb, bins.k
+         FROM pairs p JOIN bins ON bins.g = p.ta OR bins.g = p.tb),
+ca AS (SELECT allk.ta, allk.tb, allk.k,
+              sum(COALESCE(b.c, 0)) OVER (PARTITION BY allk.ta, allk.tb
+                                          ORDER BY allk.k) AS cum_a
+       FROM allk LEFT JOIN bins b ON b.g = allk.ta AND b.k = allk.k),
+cb AS (SELECT allk.ta, allk.tb, allk.k,
+              sum(COALESCE(b.c, 0)) OVER (PARTITION BY allk.ta, allk.tb
+                                          ORDER BY allk.k) AS cum_b
+       FROM allk LEFT JOIN bins b ON b.g = allk.tb AND b.k = allk.k)
+SELECT ca.ta AS type_a, ca.tb AS type_b, tta.n AS n_a, ttb.n AS n_b,
+       CAST(max(abs(ca.cum_a * ttb.n - cb.cum_b * tta.n)) AS BIGINT)
+           AS ks_num
+FROM ca JOIN cb ON cb.ta = ca.ta AND cb.tb = ca.tb AND cb.k = ca.k
+JOIN tot tta ON tta.g = ca.ta
+JOIN tot ttb ON ttb.g = ca.tb
+GROUP BY 1, 2, 3, 4 ORDER BY 1, 2""",
         "redact_props_stats": _REDACT_PROPS_SQL,
         "value_hour_sufficient_stats": _VALUE_HOUR_STATS_SQL,
         "weighted_sample_orders": _WEIGHTED_SAMPLE_SQL,

@@ -549,3 +549,92 @@ def sketch_cdf_by_type(sf_dir: str, *, alpha: float = 0.01,
         "n_events": pa.array(out["n_events"].astype("int64")),
         "sum_cum": pa.array(out["sum_cum"].astype("int64")),
     })
+
+
+def dds_sketches_grouped(ds: "ray.data.Dataset", value_col: str,
+                         group_col: str, **sketch_kwargs) -> dict:
+    """Merged per-group DDSketches on the driver (dict: group value ->
+    sketch).  Bounded by group cardinality x sketch size; the shuffle
+    moves only partial rows, exactly like dds_quantiles_grouped."""
+    from ..stages.sketch_build import merge_sketch_table
+
+    partials = build_partials_ds(ds, value_col, [group_col],
+                                 **sketch_kwargs)
+
+    def merge_group(group: pa.Table) -> pa.Table:
+        merged = merge_sketch_table(group)
+        row = merged.to_row()
+        from ..stages.sketch_build import sketch_rows_to_table
+        t = sketch_rows_to_table([row])
+        return t.add_column(0, group_col, pa.array(
+            [group[group_col][0].as_py()]))
+
+    merged_ds = partials.groupby(group_col).map_groups(
+        merge_group, batch_format="pyarrow")
+    import ray as _ray
+    from ..stages.sketch_build import sketches_from_table
+    out = {}
+    for ref in merged_ds.to_arrow_refs():
+        t = _ray.get(ref)
+        if t.num_rows == 0:
+            continue
+        decoded = sketches_from_table(t)
+        for g, s in zip(t[group_col].to_pylist(), decoded):
+            out[g] = s
+    return out
+
+
+def drift_stats_pairs(sf_dir: str, *, alpha: float = 0.01,
+                      bin_limit: int = 2048) -> pa.Table:
+    """Distribution-DRIFT detection between groups: for every pair of
+    event types, the Kolmogorov-Smirnov statistic of their value
+    distributions estimated from the per-group DDSketches -- the
+    training-data drift monitor (did split A's distribution move vs
+    split B?) computed without any row-level comparison.
+
+    KS is emitted as an EXACT INTEGER cross-product numerator:
+    ``ks_num = max over bucket keys of |cum_a * n_b - cum_b * n_a|``
+    (KS = ks_num / (n_a * n_b)), so the distributed result hash-matches
+    the SQL replica with no float division anywhere.  Caveat: the
+    cross products need n_a * cum_b < 2^63 -- at >10^9-row groups emit
+    the float ratio instead."""
+    import ray.data as _rd
+
+    events = _rd.read_parquet(f"{sf_dir}/events.parquet",
+                              columns=["event_type", "value"])
+    sketches = dds_sketches_grouped(events, "value", "event_type",
+                                    alpha=alpha, bin_limit=bin_limit)
+    types = sorted(sketches)
+    rows = []
+    for i, ta in enumerate(types):
+        for tb in types[i + 1:]:
+            sa, sb = sketches[ta], sketches[tb]
+            ka = np.fromiter(sa.bins.keys(), dtype=np.int64,
+                             count=len(sa.bins))
+            ca = np.fromiter(sa.bins.values(), dtype=np.float64,
+                             count=len(sa.bins))
+            kb = np.fromiter(sb.bins.keys(), dtype=np.int64,
+                             count=len(sb.bins))
+            cb = np.fromiter(sb.bins.values(), dtype=np.float64,
+                             count=len(sb.bins))
+            allk = np.union1d(ka, kb)
+            oa, ob = np.argsort(ka), np.argsort(kb)
+            cum_a = np.zeros(allk.shape[0], dtype=np.int64)
+            cum_b = np.zeros(allk.shape[0], dtype=np.int64)
+            ia = np.searchsorted(ka[oa], allk, side="right")
+            ib = np.searchsorted(kb[ob], allk, side="right")
+            csa = np.concatenate([[0], np.cumsum(
+                np.floor(ca[oa] + 0.5).astype(np.int64))])
+            csb = np.concatenate([[0], np.cumsum(
+                np.floor(cb[ob] + 0.5).astype(np.int64))])
+            cum_a, cum_b = csa[ia], csb[ib]
+            n_a, n_b = int(csa[-1]), int(csb[-1])
+            ks_num = int(np.abs(cum_a * n_b - cum_b * n_a).max())
+            rows.append((ta, tb, n_a, n_b, ks_num))
+    return pa.table({
+        "type_a": pa.array([r[0] for r in rows], type=pa.string()),
+        "type_b": pa.array([r[1] for r in rows], type=pa.string()),
+        "n_a": pa.array([r[2] for r in rows], type=pa.int64()),
+        "n_b": pa.array([r[3] for r in rows], type=pa.int64()),
+        "ks_num": pa.array([r[4] for r in rows], type=pa.int64()),
+    })

@@ -144,3 +144,29 @@ def test_sketch_cdf_by_type_matches_duckdb_and_centers(ray_session):
     n = got["n_events"].sum()
     mean_pct = got["sum_cum"].sum() / (n * n)
     assert 0.45 < mean_pct < 0.56
+
+
+def test_drift_stats_pairs_matches_duckdb_and_scipy_free_ks(ray_session):
+    duckdb = pytest.importorskip("duckdb")
+    import __ray_entry__ as E
+    from p2pddsketch_ray.pipelines.quantiles import drift_stats_pairs
+    sf = "/root/testdata/sf0.001"
+    got = drift_stats_pairs(sf, alpha=0.01, bin_limit=2048).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{sf}/events.parquet')")
+    want = con.execute(E.oracle_sql()["drift_stats_pairs"]).df()
+    assert got.equals(want.reset_index(drop=True))
+    # the sketch-level KS tracks the exact empirical KS within alpha-ish
+    # bucket granularity: compare against a brute-force per-pair KS
+    df = con.execute("SELECT event_type, value FROM events "
+                     "WHERE value IS NOT NULL").df()
+    for r in got.itertuples():
+        a = np.sort(df[df.event_type == r.type_a]["value"].to_numpy())
+        b = np.sort(df[df.event_type == r.type_b]["value"].to_numpy())
+        grid = np.concatenate([a, b])
+        ca = np.searchsorted(a, grid, side="right") / a.shape[0]
+        cb = np.searchsorted(b, grid, side="right") / b.shape[0]
+        exact_ks = np.abs(ca - cb).max()
+        sketch_ks = r.ks_num / (r.n_a * r.n_b)
+        assert abs(sketch_ks - exact_ks) < 0.05
