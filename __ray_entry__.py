@@ -50,7 +50,8 @@ from p2pddsketch_ray.pipelines.relational import (  # noqa: E402
     LABEL_CENTROIDS_SQL as _LABEL_CENTROIDS_SQL,
     REDACT_PROPS_SQL as _REDACT_PROPS_SQL,
     VALUE_HOUR_STATS_SQL as _VALUE_HOUR_STATS_SQL,
-    WEIGHTED_SAMPLE_SQL as _WEIGHTED_SAMPLE_SQL)
+    WEIGHTED_SAMPLE_SQL as _WEIGHTED_SAMPLE_SQL,
+    VALIDATION_REPORT_SQL as _VALIDATION_REPORT_SQL)
 from p2pddsketch_ray.pipelines.fingerprint import (  # noqa: E402
     WINNOW_FINGERPRINT_SQL as _WINNOW_FINGERPRINT_SQL)
 from p2pddsketch_ray.pipelines.dedup import (  # noqa: E402
@@ -256,6 +257,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # table maps every row to its estimated rank (quantile
         # normalization without a global sort)
         "sketch_cdf_by_type": _sketch_cdf_by_type,
+        # data-quality constraint checks (nulls, domains, PK
+        # uniqueness, referential integrity) as one streaming report
+        "validation_report": R.validation_report,
         # deterministic weighted sampling (Efraimidis-Spirakis A-Res
         # with hash-derived uniforms, log-key form)
         "weighted_sample_orders": R.weighted_sample_orders,
@@ -996,6 +1000,7 @@ GROUP BY 1, 2, 3, 4 ORDER BY 1, 2""",
         "redact_props_stats": _REDACT_PROPS_SQL,
         "value_hour_sufficient_stats": _VALUE_HOUR_STATS_SQL,
         "weighted_sample_orders": _WEIGHTED_SAMPLE_SQL,
+        "validation_report": _VALIDATION_REPORT_SQL,
         "sketch_cdf_by_type": """
 WITH src AS (SELECT event_type, CAST(value AS DOUBLE) AS x
              FROM events WHERE value IS NOT NULL),

@@ -2070,3 +2070,119 @@ QUALIFY row_number() OVER (
              o_orderkey) <= 10
 ORDER BY o_orderkey
 """
+
+
+def validation_report(sf_dir: str) -> pa.Table:
+    """Data-quality CONSTRAINT CHECKS as one streaming report (the
+    Great-Expectations shape): each check is a distributed aggregate and
+    the report is one row per check -- the validation gate a training-
+    data pipeline runs before shipping a corpus.
+
+    Checks: column null counts, domain violations (negative order
+    totals, events outside the value domain), primary-key duplicates
+    (o_orderkey), and referential integrity (orders whose o_custkey has
+    no customer row -- broadcast-probe of the customer key set, the
+    small-side pattern).  Everything is a per-block partial + Sum merge;
+    the report is O(checks) rows."""
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_totalprice"])
+    customers = _read(sf_dir, "customer", ["c_custkey"])
+
+    cust_keys = np.sort(np.concatenate([
+        ray.get(r)["c_custkey"].to_numpy(zero_copy_only=False)
+        for r in customers.to_arrow_refs()
+    ]).astype(np.int64))
+    keys_ref = ray.put(cust_keys)
+
+    empty = pa.table({"check_name": pa.array([], type=pa.string()),
+                      "n_checked": pa.array([], type=pa.int64()),
+                      "n_violations": pa.array([], type=pa.int64())})
+
+    def order_checks(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        n = t.num_rows
+        ok = t["o_orderkey"]
+        null_key = int(ok.null_count)
+        price = t["o_totalprice"].to_numpy(zero_copy_only=False)
+        neg_price = int((price <= 0).sum())
+        ck = t["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        known = np.searchsorted(ray.get(keys_ref), ck)
+        keys = ray.get(keys_ref)
+        orphan = int((~((known < keys.shape[0])
+                        & (keys[np.minimum(known, keys.shape[0] - 1)]
+                           == ck))).sum())
+        return pa.table({
+            "check_name": pa.array(["orders.o_orderkey_not_null",
+                                    "orders.o_totalprice_positive",
+                                    "orders.o_custkey_references_customer"],
+                                   type=pa.string()),
+            "n_checked": pa.array([n, n, n], type=pa.int64()),
+            "n_violations": pa.array([null_key, neg_price, orphan],
+                                     type=pa.int64()),
+        })
+
+    agg_o = (orders.map_batches(order_checks, batch_format="pyarrow",
+                                zero_copy_batch=True)
+             .groupby("check_name")
+             .aggregate(Sum("n_checked", alias_name="n_checked"),
+                        Sum("n_violations", alias_name="n_violations")))
+
+    # primary-key duplicates: distributed groupby on the key, count>1
+    from ray.data.aggregate import Count as _Count
+    dup = (orders.groupby("o_orderkey")
+           .aggregate(_Count(alias_name="c")))
+
+    def dup_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        c = t["c"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "check_name": pa.array(["orders.o_orderkey_unique"],
+                                   type=pa.string()),
+            "n_checked": pa.array([int(t.num_rows)], type=pa.int64()),
+            "n_violations": pa.array([int((c > 1).sum())],
+                                     type=pa.int64()),
+        })
+
+    agg_d = (dup.map_batches(dup_partial, batch_format="pyarrow")
+             .groupby("check_name")
+             .aggregate(Sum("n_checked", alias_name="n_checked"),
+                        Sum("n_violations", alias_name="n_violations")))
+
+    out = (agg_o.union(agg_d).to_pandas()
+           .sort_values("check_name").reset_index(drop=True))
+    return pa.table({
+        "check_name": pa.array(out["check_name"], type=pa.string()),
+        "n_checked": pa.array(out["n_checked"].astype("int64")),
+        "n_violations": pa.array(out["n_violations"].astype("int64")),
+    })
+
+
+VALIDATION_REPORT_SQL = """
+SELECT * FROM (
+  SELECT 'orders.o_orderkey_not_null' AS check_name,
+         CAST(count(*) AS BIGINT) AS n_checked,
+         CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_violations
+  FROM orders
+  UNION ALL
+  SELECT 'orders.o_totalprice_positive',
+         CAST(count(*) AS BIGINT),
+         CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END)
+              AS BIGINT)
+  FROM orders
+  UNION ALL
+  SELECT 'orders.o_custkey_references_customer',
+         CAST(count(*) AS BIGINT),
+         CAST(sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END)
+              AS BIGINT)
+  FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+  UNION ALL
+  SELECT 'orders.o_orderkey_unique',
+         CAST(count(DISTINCT o_orderkey) AS BIGINT),
+         CAST(count(DISTINCT CASE WHEN c > 1 THEN o_orderkey END)
+              AS BIGINT)
+  FROM (SELECT o_orderkey, count(*) AS c FROM orders GROUP BY 1)
+) ORDER BY check_name
+"""

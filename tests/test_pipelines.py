@@ -514,3 +514,43 @@ def test_sliding_anomaly_counts_matches_duckdb(ray_session):
     total = got["n_events"].sum()
     anom = got["n_anomalies"].sum()
     assert 0 < anom < 0.05 * total
+
+
+def test_validation_report_matches_duckdb(ray_session):
+    duckdb = pytest.importorskip("duckdb")
+    from p2pddsketch_ray.pipelines.relational import (VALIDATION_REPORT_SQL,
+                                                      validation_report)
+    sf = "/root/testdata/sf0.001"
+    got = validation_report(sf).to_pandas()
+    con = duckdb.connect()
+    for tab in ("orders", "customer"):
+        con.execute(f"CREATE VIEW {tab} AS SELECT * FROM "
+                    f"read_parquet('{sf}/{tab}.parquet')")
+    want = con.execute(VALIDATION_REPORT_SQL).df()
+    assert got.equals(want.reset_index(drop=True))
+    # the synthetic tables are clean: every check passes
+    assert (got["n_violations"] == 0).all()
+    assert (got["n_checked"] > 0).all()
+
+
+def test_validation_report_catches_planted_violations(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+    from p2pddsketch_ray.pipelines.relational import validation_report
+    sf = "/root/testdata/sf0.001"
+    orders = pq.read_table(f"{sf}/orders.parquet")
+    # plant: one duplicate orderkey, one negative price, one orphan key
+    bad = orders.slice(0, 3).to_pydict()
+    bad["o_totalprice"][1] = -5.0
+    bad["o_custkey"][2] = 10_000_000
+    dirty = pa.concat_tables([orders, pa.table(
+        {k: pa.array(v, type=orders.schema.field(k).type)
+         for k, v in bad.items()})])
+    pq.write_table(dirty, tmp_path / "orders.parquet")
+    import shutil
+    shutil.copy(f"{sf}/customer.parquet", tmp_path / "customer.parquet")
+    got = (validation_report(str(tmp_path)).to_pandas()
+           .set_index("check_name"))
+    assert got.loc["orders.o_orderkey_unique", "n_violations"] == 3
+    assert got.loc["orders.o_totalprice_positive", "n_violations"] == 1
+    assert got.loc["orders.o_custkey_references_customer",
+                   "n_violations"] == 1
