@@ -51,7 +51,8 @@ from p2pddsketch_ray.pipelines.relational import (  # noqa: E402
     REDACT_PROPS_SQL as _REDACT_PROPS_SQL,
     VALUE_HOUR_STATS_SQL as _VALUE_HOUR_STATS_SQL,
     WEIGHTED_SAMPLE_SQL as _WEIGHTED_SAMPLE_SQL,
-    VALIDATION_REPORT_SQL as _VALIDATION_REPORT_SQL)
+    VALIDATION_REPORT_SQL as _VALIDATION_REPORT_SQL,
+    RETURNED_REVENUE_SQL as _RETURNED_REVENUE_SQL)
 from p2pddsketch_ray.pipelines.fingerprint import (  # noqa: E402
     WINNOW_FINGERPRINT_SQL as _WINNOW_FINGERPRINT_SQL)
 from p2pddsketch_ray.pipelines.dedup import (  # noqa: E402
@@ -257,6 +258,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # table maps every row to its estimated rank (quantile
         # normalization without a global sort)
         "sketch_cdf_by_type": _sketch_cdf_by_type,
+        # TPC-H Q10-shaped star join: fact pre-agg -> hash join ->
+        # broadcast dims -> top-k (4-table analytics composition)
+        "returned_revenue_top_customers": R.returned_revenue_top_customers,
         # data-quality constraint checks (nulls, domains, PK
         # uniqueness, referential integrity) as one streaming report
         "validation_report": R.validation_report,
@@ -1001,6 +1005,7 @@ GROUP BY 1, 2, 3, 4 ORDER BY 1, 2""",
         "value_hour_sufficient_stats": _VALUE_HOUR_STATS_SQL,
         "weighted_sample_orders": _WEIGHTED_SAMPLE_SQL,
         "validation_report": _VALIDATION_REPORT_SQL,
+        "returned_revenue_top_customers": _RETURNED_REVENUE_SQL,
         "sketch_cdf_by_type": """
 WITH src AS (SELECT event_type, CAST(value AS DOUBLE) AS x
              FROM events WHERE value IS NOT NULL),

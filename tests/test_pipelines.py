@@ -554,3 +554,19 @@ def test_validation_report_catches_planted_violations(ray_session, tmp_path):
     assert got.loc["orders.o_totalprice_positive", "n_violations"] == 1
     assert got.loc["orders.o_custkey_references_customer",
                    "n_violations"] == 1
+
+
+def test_returned_revenue_top_customers_matches_duckdb(ray_session):
+    duckdb = pytest.importorskip("duckdb")
+    from p2pddsketch_ray.pipelines.relational import (
+        RETURNED_REVENUE_SQL, returned_revenue_top_customers)
+    sf = "/root/testdata/sf0.001"
+    got = returned_revenue_top_customers(sf).to_pandas()
+    con = duckdb.connect()
+    for tab in ("lineitem", "orders", "customer", "nation"):
+        con.execute(f"CREATE VIEW {tab} AS SELECT * FROM "
+                    f"read_parquet('{sf}/{tab}.parquet')")
+    want = con.execute(RETURNED_REVENUE_SQL).df()
+    assert got.equals(want.reset_index(drop=True))
+    assert (got["revenue_units"].to_numpy()[:-1]
+            >= got["revenue_units"].to_numpy()[1:]).all()
