@@ -33,7 +33,8 @@ from p2pddsketch_ray.pipelines.temporal import (  # noqa: E402
     USER_EVENT_LAG_SQL as _USER_EVENT_LAG_SQL,
     USER_RUNNING_TOTALS_SQL as _USER_RUNNING_TOTALS_SQL,
     USER_MOVING_WINDOW_SQL as _USER_MOVING_WINDOW_SQL,
-    USER_EVENT_SEQUENCES_SQL as _USER_EVENT_SEQUENCES_SQL)
+    USER_EVENT_SEQUENCES_SQL as _USER_EVENT_SEQUENCES_SQL,
+    FUNNEL_COUNTS_SQL as _FUNNEL_COUNTS_SQL)
 from p2pddsketch_ray.pipelines.relational import (  # noqa: E402
     REPETITION_STATS_SQL as _REPETITION_STATS_SQL,
     STRATIFIED_SAMPLE_SQL as _STRATIFIED_SAMPLE_SQL,
@@ -234,6 +235,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # bounded ROLLING window (3 PRECEDING..CURRENT ROW moving sum)
         # via cumsum-difference kernel over the same co-partitions
         "user_moving_window": _user_moving_window,
+        # funnel analysis: ordered view->click->purchase sequence
+        # matching per user (vectorized multi-step scan)
+        "funnel_counts": _funnel_counts,
         # collect_list: per-user time-ordered behavior sequences with
         # fully vectorized byte-buffer assembly (per-vocab scatter)
         "user_event_sequences": _user_event_sequences,
@@ -354,6 +358,11 @@ def _user_moving_window(sf_dir: str):
 def _user_event_sequences(sf_dir: str):
     from p2pddsketch_ray.pipelines.temporal import user_event_sequences
     return user_event_sequences(sf_dir)
+
+
+def _funnel_counts(sf_dir: str):
+    from p2pddsketch_ray.pipelines.temporal import funnel_counts
+    return funnel_counts(sf_dir)
 
 
 def _dds_weighted_price(sf_dir: str):
@@ -1024,6 +1033,7 @@ GROUP BY 1 ORDER BY 1""",
         "user_running_totals": _USER_RUNNING_TOTALS_SQL,
         "user_moving_window": _USER_MOVING_WINDOW_SQL,
         "user_event_sequences": _USER_EVENT_SEQUENCES_SQL,
+        "funnel_counts": _FUNNEL_COUNTS_SQL,
         "ngram_jaccard_pairs": _NGRAM_JACCARD_SQL,
         "simhash_signatures": _SIMHASH_SIGNATURES_SQL,
         "minhash_signature_stats": _MINHASH_SIGNATURE_SQL,

@@ -795,3 +795,95 @@ SELECT CAST(user_id AS BIGINT) AS user_id,
        string_agg(event_type, ',' ORDER BY ts, event_id) AS seq
 FROM events GROUP BY 1 ORDER BY 1
 """
+
+
+def funnel_counts(sf_dir: str,
+                  steps: tuple = ("view", "click", "purchase")) -> pa.Table:
+    """Ordered-sequence FUNNEL analysis: how many users performed step 1,
+    then step 2 strictly after it, then step 3 strictly after that --
+    the product-analytics sequential-pattern operator, computed with one
+    user co-partition and a vectorized per-step scan (no per-user
+    Python, no joins).
+
+    Semantics (standard first-touch funnel): t1 = user's earliest
+    step-1 event; t_k = earliest step-k event strictly after t_{k-1};
+    the user counts for every step whose t_k exists.  Tie-break within
+    equal timestamps by event_id (the same total order the other
+    ordered-window kernels use)."""
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type"])
+
+    n_steps = len(steps)
+    empty = pa.table({f"n_step{i + 1}": pa.array([], type=pa.int64())
+                      for i in range(n_steps)})
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": pc.cast(t["user_id"], pa.int64()),
+            "ts": pa.array(_as_int64(t["ts"]), type=pa.int64()),
+            "event_id": pc.cast(t["event_id"], pa.int64()),
+            "event_type": t["event_type"],
+        })
+
+    def funnel_kernel(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        ts = t["ts"].to_numpy(zero_copy_only=False)
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, uid))
+        uid_s, ts_s, eid_s, et_s = (uid[order], ts[order], eid[order],
+                                    et[order])
+        n = uid_s.shape[0]
+        new_grp = np.ones(n, dtype=bool)
+        new_grp[1:] = uid_s[1:] != uid_s[:-1]
+        grp = np.cumsum(new_grp) - 1        # dense user index
+        n_users = int(grp[-1]) + 1
+        # composite rank: position within the global (user, ts, id) sort
+        # -- strictly increasing, so "strictly after" = larger position
+        pos = np.arange(n, dtype=np.int64)
+        INF = np.iinfo(np.int64).max
+        prev = np.full(n_users, -1, dtype=np.int64)  # pos of step k-1
+        counts = []
+        for step in steps:
+            is_step = et_s == step
+            # earliest step event strictly after prev[user]
+            cand = np.where(is_step & (pos > prev[grp]), pos, INF)
+            first = np.minimum.reduceat(cand, np.nonzero(new_grp)[0])
+            done = first < INF
+            counts.append(int(done.sum()))
+            prev = np.where(done, first, INF)
+        return pa.table({f"n_step{i + 1}": pa.array([c], type=pa.int64())
+                         for i, c in enumerate(counts)})
+
+    prepped = events.map_batches(prep, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+    per_part = partition_by(prepped, ["user_id"], fit_partitions(32),
+                            funnel_kernel, empty)
+    from ray.data.aggregate import Sum
+    agg = per_part.aggregate(*[Sum(f"n_step{i + 1}",
+                                   alias_name=f"n_step{i + 1}")
+                               for i in range(n_steps)])
+    return pa.table({f"n_step{i + 1}": pa.array(
+        [int(agg[f"n_step{i + 1}"] or 0)], type=pa.int64())
+        for i in range(n_steps)})
+
+
+FUNNEL_COUNTS_SQL = """
+WITH e AS (SELECT user_id, event_type,
+                  CAST(epoch_us(ts) AS HUGEINT) * 4294967296
+                  + CAST(event_id AS BIGINT) AS p FROM events),
+s1 AS (SELECT user_id, min(p) AS p1 FROM e
+       WHERE event_type = 'view' GROUP BY 1),
+s2 AS (SELECT e.user_id, min(e.p) AS p2
+       FROM e JOIN s1 ON s1.user_id = e.user_id
+       WHERE e.event_type = 'click' AND e.p > s1.p1 GROUP BY 1),
+s3 AS (SELECT e.user_id, min(e.p) AS p3
+       FROM e JOIN s2 ON s2.user_id = e.user_id
+       WHERE e.event_type = 'purchase' AND e.p > s2.p2 GROUP BY 1)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM s1) AS n_step1,
+       (SELECT CAST(count(*) AS BIGINT) FROM s2) AS n_step2,
+       (SELECT CAST(count(*) AS BIGINT) FROM s3) AS n_step3
+"""

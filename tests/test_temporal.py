@@ -210,3 +210,19 @@ def test_user_event_sequences_matches_duckdb(ray_session):
     assert got.equals(want.reset_index(drop=True))
     # structure: comma count == n_events - 1 (no trailing separators)
     assert (got["seq"].str.count(",") == got["n_events"] - 1).all()
+
+
+def test_funnel_counts_matches_duckdb_and_monotone(ray_session):
+    duckdb = pytest.importorskip("duckdb")
+    from p2pddsketch_ray.pipelines.temporal import (FUNNEL_COUNTS_SQL,
+                                                    funnel_counts)
+    sf = "/root/testdata/sf0.001"
+    got = funnel_counts(sf).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{sf}/events.parquet')")
+    want = con.execute(FUNNEL_COUNTS_SQL).df()
+    assert got.equals(want.reset_index(drop=True))
+    # funnel steps can only lose users
+    r = got.iloc[0]
+    assert r["n_step1"] >= r["n_step2"] >= r["n_step3"] > 0
