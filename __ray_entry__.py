@@ -34,7 +34,8 @@ from p2pddsketch_ray.pipelines.temporal import (  # noqa: E402
     USER_RUNNING_TOTALS_SQL as _USER_RUNNING_TOTALS_SQL,
     USER_MOVING_WINDOW_SQL as _USER_MOVING_WINDOW_SQL,
     USER_EVENT_SEQUENCES_SQL as _USER_EVENT_SEQUENCES_SQL,
-    FUNNEL_COUNTS_SQL as _FUNNEL_COUNTS_SQL)
+    FUNNEL_COUNTS_SQL as _FUNNEL_COUNTS_SQL,
+    COHORT_RETENTION_SQL as _COHORT_RETENTION_SQL)
 from p2pddsketch_ray.pipelines.relational import (  # noqa: E402
     REPETITION_STATS_SQL as _REPETITION_STATS_SQL,
     STRATIFIED_SAMPLE_SQL as _STRATIFIED_SAMPLE_SQL,
@@ -235,6 +236,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # bounded ROLLING window (3 PRECEDING..CURRENT ROW moving sum)
         # via cumsum-difference kernel over the same co-partitions
         "user_moving_window": _user_moving_window,
+        # cohort retention matrix (first-active-week cohorts x
+        # return-week offsets)
+        "cohort_retention": _cohort_retention,
         # funnel analysis: ordered view->click->purchase sequence
         # matching per user (vectorized multi-step scan)
         "funnel_counts": _funnel_counts,
@@ -363,6 +367,11 @@ def _user_event_sequences(sf_dir: str):
 def _funnel_counts(sf_dir: str):
     from p2pddsketch_ray.pipelines.temporal import funnel_counts
     return funnel_counts(sf_dir)
+
+
+def _cohort_retention(sf_dir: str):
+    from p2pddsketch_ray.pipelines.temporal import cohort_retention
+    return cohort_retention(sf_dir)
 
 
 def _dds_weighted_price(sf_dir: str):
@@ -1034,6 +1043,7 @@ GROUP BY 1 ORDER BY 1""",
         "user_moving_window": _USER_MOVING_WINDOW_SQL,
         "user_event_sequences": _USER_EVENT_SEQUENCES_SQL,
         "funnel_counts": _FUNNEL_COUNTS_SQL,
+        "cohort_retention": _COHORT_RETENTION_SQL,
         "ngram_jaccard_pairs": _NGRAM_JACCARD_SQL,
         "simhash_signatures": _SIMHASH_SIGNATURES_SQL,
         "minhash_signature_stats": _MINHASH_SIGNATURE_SQL,

@@ -887,3 +887,87 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM s1) AS n_step1,
        (SELECT CAST(count(*) AS BIGINT) FROM s2) AS n_step2,
        (SELECT CAST(count(*) AS BIGINT) FROM s3) AS n_step3
 """
+
+
+def cohort_retention(sf_dir: str) -> "ray.data.Dataset":
+    """COHORT RETENTION matrix: for every signup cohort (the user's
+    first active week) and week offset k, how many of that cohort's
+    users were active k weeks later -- the product-analytics retention
+    report, as one user co-partition + vectorized dedup/min kernel and
+    a tiny (cohort, offset)-keyed rollup.
+
+    Per partition: distinct (user, week) pairs via lexsort run
+    detection, per-user first week via minimum.reduceat, then each
+    distinct pair emits its (cohort_week, week_offset) -- no per-user
+    Python.  Shuffle rows are bounded by cohorts x offsets."""
+    events = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                                   columns=["ts", "user_id"])
+
+    empty = pa.table({"cohort_week": pa.array([], type=pa.int64()),
+                      "week_offset": pa.array([], type=pa.int64()),
+                      "n_users": pa.array([], type=pa.int64())})
+
+    def prep(t: pa.Table) -> pa.Table:
+        us = pa.array(_as_int64(t["ts"]), type=pa.int64())
+        wk = pc.divide(us, pa.scalar(604_800_000_000))
+        return pa.table({"user_id": pc.cast(t["user_id"], pa.int64()),
+                         "wk": wk})
+
+    def cohort_kernel(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        wk = t["wk"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((wk, uid))
+        uid_s, wk_s = uid[order], wk[order]
+        keep = np.ones(uid_s.shape[0], dtype=bool)
+        keep[1:] = (uid_s[1:] != uid_s[:-1]) | (wk_s[1:] != wk_s[:-1])
+        uid_u, wk_u = uid_s[keep], wk_s[keep]
+        new_grp = np.ones(uid_u.shape[0], dtype=bool)
+        new_grp[1:] = uid_u[1:] != uid_u[:-1]
+        starts = np.nonzero(new_grp)[0]
+        counts = np.diff(np.append(starts, uid_u.shape[0]))
+        first = np.repeat(np.minimum.reduceat(wk_u, starts), counts)
+        comp = first * np.int64(1 << 20) + (wk_u - first)
+        uc, cnt = np.unique(comp, return_counts=True)
+        return pa.table({
+            "cohort_week": pa.array((uc >> np.int64(20))
+                                    .astype(np.int64)),
+            "week_offset": pa.array((uc & np.int64((1 << 20) - 1))
+                                    .astype(np.int64)),
+            "n_users": pa.array(cnt.astype(np.int64)),
+        })
+
+    prepped = events.map_batches(prep, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+    per_part = partition_by(prepped, ["user_id"], fit_partitions(32),
+                            cohort_kernel, empty)
+    from ray.data.aggregate import Sum
+    agg = (per_part.groupby(["cohort_week", "week_offset"])
+           .aggregate(Sum("n_users", alias_name="n_users")))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        return pa.table({
+            "cohort_week": pc.multiply(
+                pc.cast(t["cohort_week"], pa.int64()),
+                pa.scalar(604_800, type=pa.int64())),
+            "week_offset": pc.cast(t["week_offset"], pa.int64()),
+            "n_users": pc.cast(t["n_users"], pa.int64()),
+        })
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+COHORT_RETENTION_SQL = """
+WITH uw AS (SELECT DISTINCT user_id,
+                   CAST(epoch_us(ts) AS BIGINT)//604800000000 AS wk
+            FROM events),
+f AS (SELECT user_id, min(wk) AS cw FROM uw GROUP BY 1)
+SELECT f.cw * 604800 AS cohort_week,
+       CAST(uw.wk - f.cw AS BIGINT) AS week_offset,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM uw JOIN f ON uw.user_id = f.user_id
+GROUP BY 1, 2 ORDER BY 1, 2
+"""

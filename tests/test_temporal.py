@@ -226,3 +226,23 @@ def test_funnel_counts_matches_duckdb_and_monotone(ray_session):
     # funnel steps can only lose users
     r = got.iloc[0]
     assert r["n_step1"] >= r["n_step2"] >= r["n_step3"] > 0
+
+
+def test_cohort_retention_matches_duckdb(ray_session):
+    duckdb = pytest.importorskip("duckdb")
+    from p2pddsketch_ray.pipelines.temporal import (COHORT_RETENTION_SQL,
+                                                    cohort_retention)
+    sf = "/root/testdata/sf0.001"
+    got = (cohort_retention(sf).to_pandas()
+           .sort_values(["cohort_week", "week_offset"])
+           .reset_index(drop=True))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{sf}/events.parquet')")
+    want = con.execute(COHORT_RETENTION_SQL).df()
+    assert got.equals(want.reset_index(drop=True))
+    # offset-0 of each cohort is the cohort size: no later offset of
+    # that cohort can exceed it
+    for cw, grp in got.groupby("cohort_week"):
+        base = grp[grp.week_offset == 0]["n_users"].iloc[0]
+        assert (grp["n_users"] <= base).all()
