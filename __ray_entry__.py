@@ -173,6 +173,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # sliding-window quantiles (turnstile add/delete of whole hour
         # buckets -- the kernel capability the reference never drove)
         "sliding_window_quantiles": _sliding_window_quantiles,
+        # robust statistics: two-pass sketch composition (median,
+        # then MAD around the broadcast median)
+        "mad_by_flag": _mad_by_flag,
         # distribution-drift monitor: pairwise KS statistic between
         # per-group DDSketch CDFs as an exact integer numerator
         "drift_stats_pairs": _drift_stats_pairs,
@@ -347,6 +350,11 @@ def _sliding_anomaly_counts(sf_dir: str):
 def _drift_stats_pairs(sf_dir: str):
     from p2pddsketch_ray.pipelines.quantiles import drift_stats_pairs
     return drift_stats_pairs(sf_dir, alpha=ALPHA, bin_limit=BIN_LIMIT)
+
+
+def _mad_by_flag(sf_dir: str):
+    from p2pddsketch_ray.pipelines.quantiles import mad_by_flag
+    return mad_by_flag(sf_dir, alpha=ALPHA, bin_limit=BIN_LIMIT)
 
 
 def _user_running_totals(sf_dir: str):
@@ -1019,6 +1027,28 @@ FROM ca JOIN cb ON cb.ta = ca.ta AND cb.tb = ca.tb AND cb.k = ca.k
 JOIN tot tta ON tta.g = ca.ta
 JOIN tot ttb ON ttb.g = ca.tb
 GROUP BY 1, 2, 3, 4 ORDER BY 1, 2""",
+        "mad_by_flag": f"""
+WITH src AS (SELECT l_returnflag AS g, CAST(l_extendedprice AS DOUBLE) AS x
+             FROM lineitem WHERE l_extendedprice IS NOT NULL),
+keyed AS (SELECT g, x, CASE WHEN x > 0 THEN CAST(ceil(ln(x)/ln({GAMMA_SQL})) AS BIGINT) + {OFFSET} WHEN x < 0 THEN -CAST(ceil(ln(-(x))/ln({GAMMA_SQL})) AS BIGINT) - {OFFSET} ELSE 0 END AS k FROM src),
+bins AS (SELECT g, k, CAST(count(*) AS DOUBLE) AS c FROM keyed GROUP BY 1, 2),
+tot AS (SELECT g, sum(c) AS n FROM bins GROUP BY 1),
+walk AS (SELECT g, k, sum(c) OVER (PARTITION BY g ORDER BY k) AS cum FROM bins),
+pick AS (SELECT walk.g, min(walk.k) AS bk FROM walk JOIN tot ON walk.g = tot.g
+         WHERE walk.cum > 0.5 * (tot.n - 1) GROUP BY 1),
+med AS (SELECT g, CASE WHEN bk > 0 THEN 2*pow({GAMMA_SQL}, bk - {OFFSET})/({GAMMA_SQL}+1) WHEN bk < 0 THEN -2*pow({GAMMA_SQL}, -(bk) - {OFFSET})/({GAMMA_SQL}+1) ELSE 0.0 END AS m FROM pick),
+r AS (SELECT src.g, abs(src.x - med.m) AS rx
+      FROM src JOIN med ON med.g = src.g),
+keyed2 AS (SELECT g, CASE WHEN rx > 0 THEN CAST(ceil(ln(rx)/ln({GAMMA_SQL})) AS BIGINT) + {OFFSET} WHEN rx < 0 THEN -CAST(ceil(ln(-(rx))/ln({GAMMA_SQL})) AS BIGINT) - {OFFSET} ELSE 0 END AS k FROM r),
+bins2 AS (SELECT g, k, CAST(count(*) AS DOUBLE) AS c FROM keyed2 GROUP BY 1, 2),
+tot2 AS (SELECT g, sum(c) AS n FROM bins2 GROUP BY 1),
+walk2 AS (SELECT g, k, sum(c) OVER (PARTITION BY g ORDER BY k) AS cum FROM bins2),
+pick2 AS (SELECT walk2.g, min(walk2.k) AS bk FROM walk2 JOIN tot2 ON walk2.g = tot2.g
+          WHERE walk2.cum > 0.5 * (tot2.n - 1) GROUP BY 1)
+SELECT med.g AS l_returnflag, round(med.m, 6) AS est_median,
+       round(CASE WHEN pick2.bk > 0 THEN 2*pow({GAMMA_SQL}, pick2.bk - {OFFSET})/({GAMMA_SQL}+1) WHEN pick2.bk < 0 THEN -2*pow({GAMMA_SQL}, -(pick2.bk) - {OFFSET})/({GAMMA_SQL}+1) ELSE 0.0 END, 6) AS est_mad
+FROM med JOIN pick2 ON pick2.g = med.g
+ORDER BY 1""",
         "redact_props_stats": _REDACT_PROPS_SQL,
         "value_hour_sufficient_stats": _VALUE_HOUR_STATS_SQL,
         "weighted_sample_orders": _WEIGHTED_SAMPLE_SQL,

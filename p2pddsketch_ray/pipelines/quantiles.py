@@ -638,3 +638,48 @@ def drift_stats_pairs(sf_dir: str, *, alpha: float = 0.01,
         "n_b": pa.array([r[3] for r in rows], type=pa.int64()),
         "ks_num": pa.array([r[4] for r in rows], type=pa.int64()),
     })
+
+
+def mad_by_flag(sf_dir: str, *, alpha: float = 0.01,
+                bin_limit: int = 2048) -> pa.Table:
+    """Robust statistics via TWO-PASS sketch composition: per
+    l_returnflag, the DDSketch median of l_extendedprice (pass 1) and
+    the median absolute deviation around it (pass 2: a second grouped
+    sketch over |x - median| with the pass-1 medians broadcast) -- the
+    outlier-robust scale estimate a feature pipeline prefers over
+    stddev.  Both passes are the standard partial-build + merge; the
+    oracle replays the identical two walks in SQL (the residual keys
+    are computed from the same float median estimate, so the bucket
+    math matches bit-for-bit)."""
+    import ray as _ray
+
+    col, grp = "l_extendedprice", "l_returnflag"
+    ds = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=[grp, col])
+    s1 = dds_sketches_grouped(ds, col, grp, alpha=alpha,
+                              bin_limit=bin_limit)
+    groups = sorted(s1)
+    med = {g: s1[g].quantile(0.5) for g in groups}
+    med_ref = _ray.put(med)
+
+    def residual(t: pa.Table) -> pa.Table:
+        m = _ray.get(med_ref)
+        g = t[grp].to_numpy(zero_copy_only=False)
+        x = t[col].to_numpy(zero_copy_only=False)
+        meds = np.empty(x.shape[0], dtype=np.float64)
+        for gv, mv in m.items():      # bounded by group cardinality
+            meds[g == gv] = mv
+        return pa.table({grp: t[grp],
+                         "resid": pa.array(np.abs(x - meds))})
+
+    resid_ds = ds.map_batches(residual, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    s2 = dds_sketches_grouped(resid_ds, "resid", grp, alpha=alpha,
+                              bin_limit=bin_limit)
+    return pa.table({
+        grp: pa.array(groups, type=pa.string()),
+        "est_median": pa.array([round(med[g], 6) for g in groups],
+                               type=pa.float64()),
+        "est_mad": pa.array([round(s2[g].quantile(0.5), 6)
+                             for g in groups], type=pa.float64()),
+    })

@@ -170,3 +170,31 @@ def test_drift_stats_pairs_matches_duckdb_and_scipy_free_ks(ray_session):
         exact_ks = np.abs(ca - cb).max()
         sketch_ks = r.ks_num / (r.n_a * r.n_b)
         assert abs(sketch_ks - exact_ks) < 0.05
+
+
+def test_mad_by_flag_matches_duckdb_and_tracks_exact(ray_session):
+    duckdb = pytest.importorskip("duckdb")
+    import __ray_entry__ as E
+    from p2pddsketch_ray.pipelines.quantiles import mad_by_flag
+    sf = "/root/testdata/sf0.001"
+    got = mad_by_flag(sf, alpha=0.01, bin_limit=2048).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW lineitem AS SELECT * FROM "
+                f"read_parquet('{sf}/lineitem.parquet')")
+    want = con.execute(E.oracle_sql()["mad_by_flag"]).df()
+    assert got.equals(want.reset_index(drop=True))
+    # sketch MAD tracks the exact MAD within the alpha relative bound
+    # (residual pass compounds two alpha-bounded estimates: allow 3x)
+    exact = con.execute("""
+        SELECT l_returnflag AS g, median(l_extendedprice) AS med,
+               median(abs(l_extendedprice -
+                   (SELECT median(l_extendedprice) FROM lineitem l2
+                    WHERE l2.l_returnflag = lineitem.l_returnflag)))
+                   AS mad
+        FROM lineitem GROUP BY 1 ORDER BY 1""").df()
+    rel_med = abs(got["est_median"].to_numpy()
+                  - exact["med"].to_numpy()) / exact["med"].to_numpy()
+    rel_mad = abs(got["est_mad"].to_numpy()
+                  - exact["mad"].to_numpy()) / exact["mad"].to_numpy()
+    assert rel_med.max() < 0.01 * 1.01
+    assert rel_mad.max() < 0.03
