@@ -173,6 +173,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # sliding-window quantiles (turnstile add/delete of whole hour
         # buckets -- the kernel capability the reference never drove)
         "sliding_window_quantiles": _sliding_window_quantiles,
+        # OLAP rollup from one sketch build: (lang, source) level +
+        # per-lang level produced by MERGING the finished sketches
+        "dds_rollup_lang_source": _dds_rollup_lang_source,
         # robust statistics: two-pass sketch composition (median,
         # then MAD around the broadcast median)
         "mad_by_flag": _mad_by_flag,
@@ -355,6 +358,12 @@ def _drift_stats_pairs(sf_dir: str):
 def _mad_by_flag(sf_dir: str):
     from p2pddsketch_ray.pipelines.quantiles import mad_by_flag
     return mad_by_flag(sf_dir, alpha=ALPHA, bin_limit=BIN_LIMIT)
+
+
+def _dds_rollup_lang_source(sf_dir: str):
+    from p2pddsketch_ray.pipelines.quantiles import dds_rollup_lang_source
+    return dds_rollup_lang_source(sf_dir, alpha=ALPHA,
+                                  bin_limit=BIN_LIMIT)
 
 
 def _user_running_totals(sf_dir: str):
@@ -1049,6 +1058,34 @@ SELECT med.g AS l_returnflag, round(med.m, 6) AS est_median,
        round(CASE WHEN pick2.bk > 0 THEN 2*pow({GAMMA_SQL}, pick2.bk - {OFFSET})/({GAMMA_SQL}+1) WHEN pick2.bk < 0 THEN -2*pow({GAMMA_SQL}, -(pick2.bk) - {OFFSET})/({GAMMA_SQL}+1) ELSE 0.0 END, 6) AS est_mad
 FROM med JOIN pick2 ON pick2.g = med.g
 ORDER BY 1""",
+        "dds_rollup_lang_source": f"""
+WITH src AS (SELECT lang, source, CAST(n_chars AS DOUBLE) AS x
+             FROM documents WHERE n_chars IS NOT NULL),
+keyed AS (SELECT lang, source, CASE WHEN x > 0 THEN CAST(ceil(ln(x)/ln({GAMMA_SQL})) AS BIGINT) + {OFFSET} WHEN x < 0 THEN -CAST(ceil(ln(-x)/ln({GAMMA_SQL})) AS BIGINT) - {OFFSET} ELSE 0 END AS k FROM src),
+qs(q) AS (VALUES (0.5), (0.95)),
+binsf AS (SELECT lang, source, k, CAST(count(*) AS DOUBLE) AS c
+          FROM keyed GROUP BY 1, 2, 3),
+totf AS (SELECT lang, source, sum(c) AS n FROM binsf GROUP BY 1, 2),
+walkf AS (SELECT lang, source, k,
+                 sum(c) OVER (PARTITION BY lang, source ORDER BY k) AS cum
+          FROM binsf),
+pickf AS (SELECT w.lang, w.source, qs.q, min(w.k) AS bk
+          FROM qs CROSS JOIN walkf w
+          JOIN totf t ON t.lang = w.lang AND t.source = w.source
+          WHERE w.cum > qs.q * (t.n - 1) GROUP BY 1, 2, 3),
+binsc AS (SELECT lang, k, CAST(count(*) AS DOUBLE) AS c
+          FROM keyed GROUP BY 1, 2),
+totc AS (SELECT lang, sum(c) AS n FROM binsc GROUP BY 1),
+walkc AS (SELECT lang, k,
+                 sum(c) OVER (PARTITION BY lang ORDER BY k) AS cum
+          FROM binsc),
+pickc AS (SELECT w.lang, qs.q, min(w.k) AS bk
+          FROM qs CROSS JOIN walkc w JOIN totc t ON t.lang = w.lang
+          WHERE w.cum > qs.q * (t.n - 1) GROUP BY 1, 2)
+SELECT lang, source, q, round(CASE WHEN bk > 0 THEN 2*pow({GAMMA_SQL}, bk - {OFFSET})/({GAMMA_SQL}+1) WHEN bk < 0 THEN -2*pow({GAMMA_SQL}, -bk - {OFFSET})/({GAMMA_SQL}+1) ELSE 0.0 END, 6) AS est FROM pickf
+UNION ALL
+SELECT lang, 'ALL' AS source, q, round(CASE WHEN bk > 0 THEN 2*pow({GAMMA_SQL}, bk - {OFFSET})/({GAMMA_SQL}+1) WHEN bk < 0 THEN -2*pow({GAMMA_SQL}, -bk - {OFFSET})/({GAMMA_SQL}+1) ELSE 0.0 END, 6) AS est FROM pickc
+ORDER BY 1, 2, 3""",
         "redact_props_stats": _REDACT_PROPS_SQL,
         "value_hour_sufficient_stats": _VALUE_HOUR_STATS_SQL,
         "weighted_sample_orders": _WEIGHTED_SAMPLE_SQL,

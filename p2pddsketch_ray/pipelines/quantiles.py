@@ -683,3 +683,76 @@ def mad_by_flag(sf_dir: str, *, alpha: float = 0.01,
         "est_mad": pa.array([round(s2[g].quantile(0.5), 6)
                              for g in groups], type=pa.float64()),
     })
+
+
+def dds_rollup_lang_source(sf_dir: str, *, alpha: float = 0.01,
+                           bin_limit: int = 2048,
+                           quantiles=(0.5, 0.95)) -> pa.Table:
+    """OLAP ROLLUP from ONE sketch build: per-(lang, source) DDSketch
+    quantiles of n_chars AND the per-lang totals, where the lang level
+    is produced by MERGING the finished (lang, source) sketches -- the
+    data is read once; coarser aggregation levels are sketch merges,
+    not re-scans.  This is the capability that makes mergeable sketches
+    the right tool for data-cube reporting at 100 TB (each extra level
+    costs kilobytes of merging, zero input passes).
+
+    Output: (lang, source, q, est) with source='ALL' rows for the
+    rolled-up level.  The oracle replays both group-bys from the raw
+    table -- equality of the merged level with a direct per-lang build
+    is exactly the merge-associativity contract the kernel property
+    tests pin down."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["lang", "source", "n_chars"])
+    # one build keyed by the FINEST grouping
+    partials = build_partials_ds(ds, "n_chars", ["lang", "source"],
+                                 alpha=alpha, bin_limit=bin_limit)
+
+    from ..stages.sketch_build import merge_sketch_table, sketch_rows_to_table
+
+    def merge_group(group: pa.Table) -> pa.Table:
+        merged = merge_sketch_table(group)
+        t = sketch_rows_to_table([merged.to_row()])
+        t = t.add_column(0, "source", pa.array(
+            [group["source"][0].as_py()]))
+        return t.add_column(0, "lang", pa.array(
+            [group["lang"][0].as_py()]))
+
+    fine = (partials.groupby(["lang", "source"])
+            .map_groups(merge_group, batch_format="pyarrow"))
+
+    import ray as _ray
+    from ..stages.sketch_build import sketches_from_table
+    per_pair: dict = {}
+    for ref in fine.to_arrow_refs():
+        t = _ray.get(ref)
+        if t.num_rows == 0:
+            continue
+        decoded = sketches_from_table(t)
+        for lang, source, s in zip(t["lang"].to_pylist(),
+                                   t["source"].to_pylist(), decoded):
+            per_pair[(lang, source)] = s
+
+    # roll the finished sketches up to lang (merge, no re-read)
+    per_lang: dict = {}
+    for (lang, _), s in sorted(per_pair.items()):
+        if lang in per_lang:
+            per_lang[lang] = per_lang[lang].merge(s.copy())
+        else:
+            per_lang[lang] = s.copy()
+
+    rows = []
+    for (lang, source) in sorted(per_pair):
+        for q in quantiles:
+            rows.append((lang, source, q,
+                         round(per_pair[(lang, source)].quantile(q), 6)))
+    for lang in sorted(per_lang):
+        for q in quantiles:
+            rows.append((lang, "ALL", q,
+                         round(per_lang[lang].quantile(q), 6)))
+    rows.sort()
+    return pa.table({
+        "lang": pa.array([r[0] for r in rows], type=pa.string()),
+        "source": pa.array([r[1] for r in rows], type=pa.string()),
+        "q": pa.array([r[2] for r in rows], type=pa.float64()),
+        "est": pa.array([r[3] for r in rows], type=pa.float64()),
+    })

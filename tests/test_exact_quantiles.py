@@ -198,3 +198,31 @@ def test_mad_by_flag_matches_duckdb_and_tracks_exact(ray_session):
                   - exact["mad"].to_numpy()) / exact["mad"].to_numpy()
     assert rel_med.max() < 0.01 * 1.01
     assert rel_mad.max() < 0.03
+
+
+def test_dds_rollup_merged_level_equals_direct_build(ray_session):
+    duckdb = pytest.importorskip("duckdb")
+    import __ray_entry__ as E
+    from p2pddsketch_ray.pipelines.quantiles import (dds_quantiles_grouped,
+                                                     dds_rollup_lang_source)
+    import ray.data
+    sf = "/root/testdata/sf0.001"
+    got = dds_rollup_lang_source(sf, alpha=0.01,
+                                 bin_limit=2048).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf}/documents.parquet')")
+    want = con.execute(E.oracle_sql()["dds_rollup_lang_source"]).df()
+    assert got.equals(want.reset_index(drop=True))
+    # the merged 'ALL' level == a direct per-lang build from the raw
+    # data (the merge-associativity contract, exercised end-to-end)
+    direct = (dds_quantiles_grouped(
+        ray.data.read_parquet(f"{sf}/documents.parquet",
+                              columns=["lang", "n_chars"]),
+        "n_chars", ["lang"], (0.5, 0.95), alpha=0.01, bin_limit=2048,
+        round_digits=6).to_pandas()
+        .sort_values(["lang", "q"]).reset_index(drop=True))
+    rolled = (got[got.source == "ALL"]
+              .sort_values(["lang", "q"]).reset_index(drop=True))
+    assert (rolled["est"].to_numpy()
+            == direct["est"].to_numpy()).all()
