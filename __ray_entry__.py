@@ -54,7 +54,8 @@ from p2pddsketch_ray.pipelines.relational import (  # noqa: E402
     VALUE_HOUR_STATS_SQL as _VALUE_HOUR_STATS_SQL,
     WEIGHTED_SAMPLE_SQL as _WEIGHTED_SAMPLE_SQL,
     VALIDATION_REPORT_SQL as _VALIDATION_REPORT_SQL,
-    RETURNED_REVENUE_SQL as _RETURNED_REVENUE_SQL)
+    RETURNED_REVENUE_SQL as _RETURNED_REVENUE_SQL,
+    DIVERSIFIED_TOP_SQL as _DIVERSIFIED_TOP_SQL)
 from p2pddsketch_ray.pipelines.fingerprint import (  # noqa: E402
     WINNOW_FINGERPRINT_SQL as _WINNOW_FINGERPRINT_SQL)
 from p2pddsketch_ray.pipelines.dedup import (  # noqa: E402
@@ -272,6 +273,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # table maps every row to its estimated rank (quantile
         # normalization without a global sort)
         "sketch_cdf_by_type": _sketch_cdf_by_type,
+        # diversity-constrained top-k (quota of 2 per customer)
+        "diversified_top_orders": R.diversified_top_orders,
         # TPC-H Q10-shaped star join: fact pre-agg -> hash join ->
         # broadcast dims -> top-k (4-table analytics composition)
         "returned_revenue_top_customers": R.returned_revenue_top_customers,
@@ -1091,6 +1094,7 @@ ORDER BY 1, 2, 3""",
         "weighted_sample_orders": _WEIGHTED_SAMPLE_SQL,
         "validation_report": _VALIDATION_REPORT_SQL,
         "returned_revenue_top_customers": _RETURNED_REVENUE_SQL,
+        "diversified_top_orders": _DIVERSIFIED_TOP_SQL,
         "sketch_cdf_by_type": """
 WITH src AS (SELECT event_type, CAST(value AS DOUBLE) AS x
              FROM events WHERE value IS NOT NULL),

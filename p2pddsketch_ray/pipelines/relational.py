@@ -2306,3 +2306,69 @@ WHERE l.l_returnflag = 'R'
 GROUP BY 1, 2, 3
 ORDER BY revenue_units DESC, c_custkey LIMIT 20
 """
+
+
+def diversified_top_orders(sf_dir: str, k: int = 10,
+                           per_customer: int = 2) -> pa.Table:
+    """DIVERSITY-CONSTRAINED top-k: the k highest-value orders subject
+    to a quota of at most ``per_customer`` per customer -- the balanced
+    ranking shape (search-result dedup, per-source sampling caps).
+
+    Two-stage reduction, both stages semigroup-safe: (1) block-local
+    per-customer quota prune (sort by (cust, price desc), vectorized
+    in-group rank, keep rank < quota -- correct per block because a
+    customer's global top-2 is within the union of its block top-2s);
+    (2) customer co-partition applies the quota exactly, then the
+    block-local top-k prereduce + tiny global sort finishes."""
+    from ..stages.topk import topk
+
+    ds = _read(sf_dir, "orders",
+               ["o_orderkey", "o_custkey", "o_totalprice"])
+
+    empty = pa.table({"o_orderkey": pa.array([], type=pa.int64()),
+                      "o_custkey": pa.array([], type=pa.int64()),
+                      "o_totalprice": pa.array([], type=pa.float64())})
+
+    def quota_prune(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        cust = t["o_custkey"].to_numpy(zero_copy_only=False)
+        price = t["o_totalprice"].to_numpy(zero_copy_only=False)
+        okey = t["o_orderkey"].to_numpy(zero_copy_only=False)
+        # sort: customer asc, price desc, orderkey asc (deterministic)
+        order = np.lexsort((okey, -price, cust))
+        cust_s = cust[order]
+        new_grp = np.ones(order.shape[0], dtype=bool)
+        new_grp[1:] = cust_s[1:] != cust_s[:-1]
+        starts = np.nonzero(new_grp)[0]
+        counts = np.diff(np.append(starts, order.shape[0]))
+        rank = np.arange(order.shape[0]) - np.repeat(starts, counts)
+        keep = order[rank < per_customer]
+        return pa.table({
+            "o_orderkey": pa.array(okey[keep].astype(np.int64)),
+            "o_custkey": pa.array(cust[keep].astype(np.int64)),
+            "o_totalprice": pa.array(price[keep], type=pa.float64()),
+        })
+
+    from ..stages.partition import fit_partitions, partition_by
+    pruned = ds.map_batches(quota_prune, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    exact_quota = partition_by(pruned, ["o_custkey"], fit_partitions(16),
+                               quota_prune, empty)
+    out = topk(exact_quota,
+               [("o_totalprice", "descending"),
+                ("o_orderkey", "ascending")], k)
+    res = out.to_pandas().reset_index(drop=True)
+    return pa.table({
+        "o_orderkey": pa.array(res["o_orderkey"].astype("int64")),
+        "o_custkey": pa.array(res["o_custkey"].astype("int64")),
+        "o_totalprice": pa.array(res["o_totalprice"], type=pa.float64()),
+    })
+
+
+DIVERSIFIED_TOP_SQL = """
+SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+QUALIFY row_number() OVER (PARTITION BY o_custkey
+                           ORDER BY o_totalprice DESC, o_orderkey) <= 2
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+"""

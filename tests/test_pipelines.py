@@ -570,3 +570,18 @@ def test_returned_revenue_top_customers_matches_duckdb(ray_session):
     assert got.equals(want.reset_index(drop=True))
     assert (got["revenue_units"].to_numpy()[:-1]
             >= got["revenue_units"].to_numpy()[1:]).all()
+
+
+def test_diversified_top_orders_matches_duckdb_and_respects_quota(
+        ray_session):
+    duckdb = pytest.importorskip("duckdb")
+    from p2pddsketch_ray.pipelines.relational import (DIVERSIFIED_TOP_SQL,
+                                                      diversified_top_orders)
+    sf = "/root/testdata/sf0.001"
+    got = diversified_top_orders(sf).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW orders AS SELECT * FROM "
+                f"read_parquet('{sf}/orders.parquet')")
+    want = con.execute(DIVERSIFIED_TOP_SQL).df()
+    assert got.equals(want.reset_index(drop=True))
+    assert got.groupby("o_custkey").size().max() <= 2
