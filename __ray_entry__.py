@@ -300,6 +300,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # KMV bottom-k theta sketch: per-group distinct estimates with the
         # FULL stored hash set oracle-verified (murmur64 == DuckDB hash)
         "kmv_distinct_users": A.kmv_distinct_users,
+        # ...and the KEEP step: one doc per component, per-lang
+        # surviving-corpus report
+        "neardup_keep_stats": _neardup_keep_stats,
         # connected components of the near-dup similarity graph
         # (small-star/large-star over the edge Dataset; oracle =
         # recursive-CTE transitive closure over the same Jaccard pairs)
@@ -326,6 +329,11 @@ def _ngram_jaccard_pairs(sf_dir: str):
 def _neardup_components(sf_dir: str):
     from p2pddsketch_ray.pipelines.components import neardup_components
     return neardup_components(sf_dir)
+
+
+def _neardup_keep_stats(sf_dir: str):
+    from p2pddsketch_ray.pipelines.components import neardup_keep_stats
+    return neardup_keep_stats(sf_dir)
 
 
 def _simhash_signatures(sf_dir: str):
@@ -1089,6 +1097,44 @@ SELECT lang, source, q, round(CASE WHEN bk > 0 THEN 2*pow({GAMMA_SQL}, bk - {OFF
 UNION ALL
 SELECT lang, 'ALL' AS source, q, round(CASE WHEN bk > 0 THEN 2*pow({GAMMA_SQL}, bk - {OFFSET})/({GAMMA_SQL}+1) WHEN bk < 0 THEN -2*pow({GAMMA_SQL}, -bk - {OFFSET})/({GAMMA_SQL}+1) ELSE 0.0 END, 6) AS est FROM pickc
 ORDER BY 1, 2, 3""",
+        "neardup_keep_stats": """
+WITH RECURSIVE nums AS (
+  SELECT CAST(range AS BIGINT) AS i FROM range(1, 1048576)
+), sh AS (
+  SELECT DISTINCT doc_id, substr(text, i, 9) AS s
+  FROM documents JOIN nums ON nums.i <= length(text) - 8
+  WHERE doc_id < 40
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM sh GROUP BY 1
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(count(*) AS BIGINT) AS inter
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), jacc AS (
+  SELECT doc_a, doc_b, inter,
+         CAST(sa.n + sb.n - inter AS BIGINT) AS uni
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+), e AS (
+  SELECT doc_a AS a, doc_b AS b FROM jacc WHERE 16 * inter >= uni
+), nodes AS (
+  SELECT DISTINCT doc_id FROM documents WHERE doc_id < 40
+), e2 AS (
+  SELECT a, b FROM e UNION SELECT b, a FROM e
+), reach(node, lab) AS (
+  SELECT doc_id, doc_id FROM nodes
+  UNION
+  SELECT e2.b, r.lab FROM reach r JOIN e2 ON e2.a = r.node
+), comp AS (
+  SELECT node AS doc_id, min(lab) AS component FROM reach GROUP BY 1
+)
+SELECT d.lang, CAST(count(*) AS BIGINT) AS n_kept,
+       CAST(sum(d.n_chars) AS BIGINT) AS sum_chars
+FROM comp JOIN documents d ON d.doc_id = comp.doc_id
+WHERE comp.doc_id = comp.component
+GROUP BY 1 ORDER BY 1""",
         "redact_props_stats": _REDACT_PROPS_SQL,
         "value_hour_sufficient_stats": _VALUE_HOUR_STATS_SQL,
         "weighted_sample_orders": _WEIGHTED_SAMPLE_SQL,

@@ -86,15 +86,14 @@ def _star_round(edges: "ray.data.Dataset", large: bool,
             out_b = np.concatenate([m_row[mask], m_run])
         return _canonical_dedup(out_a, out_b)
 
-    star = partition_by(edges.map_batches(both, batch_format="pyarrow"),
+    # dedup happens within each partition only: a canonical pair can
+    # survive in at most two partitions (its two centers), so the edge
+    # multiset stays within 2x of the distinct set -- and because the
+    # kernels and hash partitioning are deterministic, the multiset
+    # still reaches a fixpoint the signature detects.  Skipping a
+    # global-distinct exchange halves the executions per round.
+    return partition_by(edges.map_batches(both, batch_format="pyarrow"),
                         ["u"], nparts, kernel, _EMPTY_EDGES)
-    # global distinct: same canonical pair can be emitted by two centers;
-    # keyed on "a" alone co-locates all copies of a given (a, b)
-    return partition_by(
-        star, ["a"], nparts,
-        lambda t: _canonical_dedup(t["a"].to_numpy(zero_copy_only=False),
-                                   t["b"].to_numpy(zero_copy_only=False)),
-        _EMPTY_EDGES)
 
 
 def _edge_signature(edges: "ray.data.Dataset") -> tuple[int, int]:
@@ -183,4 +182,64 @@ def neardup_components(sf_dir: str, k: int = 9, max_doc_id: int = 40,
         "doc_id": pa.array(out["node"].to_numpy().astype(np.int64)),
         "component": pa.array(out["component"].to_numpy()
                               .astype(np.int64)),
+    })
+
+
+def neardup_keep_stats(sf_dir: str, k: int = 9, max_doc_id: int = 40,
+                       jacc_den: int = 16) -> pa.Table:
+    """The near-dup KEEP step: after clustering the similarity graph,
+    keep exactly one document per connected component (the component's
+    min doc_id) and report the surviving corpus per lang -- the
+    composition that turns candidate pairs into an actual deduplicated
+    training corpus (exact-dedup's dedup_exact_keep, near-dup edition).
+
+    Keep rule: a doc survives iff it IS its component's label (the
+    component id is already the min doc_id by construction)."""
+    comp = neardup_components(sf_dir, k=k, max_doc_id=max_doc_id,
+                              jacc_den=jacc_den)
+    keep_mask = pa.compute.equal(comp["doc_id"], comp["component"])
+    keep_ids = comp.filter(keep_mask)["doc_id"].to_numpy(
+        zero_copy_only=False)
+
+    import pyarrow.dataset as pads
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "lang", "n_chars"],
+        filter=(pads.field("doc_id") < max_doc_id))
+    ids_ref = ray.put(np.sort(keep_ids.astype(np.int64)))
+
+    empty = pa.table({"lang": pa.array([], type=pa.string()),
+                      "n_kept": pa.array([], type=pa.int64()),
+                      "sum_chars": pa.array([], type=pa.int64())})
+
+    def rollup(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        keep = ray.get(ids_ref)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sel = np.isin(ids, keep)
+        kept = t.filter(pa.array(sel))
+        if kept.num_rows == 0:
+            return empty
+        lang = kept["lang"].to_numpy(zero_copy_only=False)
+        chars = kept["n_chars"].to_numpy(zero_copy_only=False)
+        ul, inv = np.unique(lang, return_inverse=True)
+        return pa.table({
+            "lang": pa.array(ul, type=pa.string()),
+            "n_kept": pa.array(np.bincount(inv).astype(np.int64)),
+            "sum_chars": pa.array(np.bincount(
+                inv, weights=chars).astype(np.int64)),
+        })
+
+    from ray.data.aggregate import Sum
+    agg = (docs.map_batches(rollup, batch_format="pyarrow",
+                            zero_copy_batch=True)
+           .groupby("lang")
+           .aggregate(Sum("n_kept", alias_name="n_kept"),
+                      Sum("sum_chars", alias_name="sum_chars")))
+    out = agg.to_pandas().sort_values("lang").reset_index(drop=True)
+    return pa.table({
+        "lang": pa.array(out["lang"], type=pa.string()),
+        "n_kept": pa.array(out["n_kept"].astype("int64")),
+        "sum_chars": pa.array(out["sum_chars"].astype("int64")),
     })

@@ -81,3 +81,21 @@ def test_neardup_components_matches_recursive_cte(ray_session):
                 f"read_parquet('{sf}/documents.parquet')")
     want = con.execute(E.oracle_sql()["neardup_components"]).df()
     assert got.equals(want.reset_index(drop=True))
+
+
+def test_neardup_keep_stats_matches_recursive_cte(ray_session):
+    duckdb = pytest.importorskip("duckdb")
+    import __ray_entry__ as E
+    from p2pddsketch_ray.pipelines.components import neardup_keep_stats
+
+    sf = "/root/testdata/sf0.001"
+    got = neardup_keep_stats(sf).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf}/documents.parquet')")
+    want = con.execute(E.oracle_sql()["neardup_keep_stats"]).df()
+    assert got.equals(want.reset_index(drop=True))
+    # kept corpus = number of components (one survivor per cluster)
+    n_comp = con.execute(E.oracle_sql()["neardup_components"]).df()[
+        "component"].nunique()
+    assert got["n_kept"].sum() == n_comp
