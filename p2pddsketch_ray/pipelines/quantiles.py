@@ -490,8 +490,6 @@ def sketch_cdf_by_type(sf_dir: str, *, alpha: float = 0.01,
     O(bin_limit) entries, ray.put once, fetched per task."""
     import ray as _ray
 
-    from ..stages.partition import fit_partitions  # noqa: F401 (doc link)
-
     events = ray.data.read_parquet(f"{sf_dir}/events.parquet",
                                    columns=["event_type", "value"])
     sketch = dds_sketch_global(events, "value", alpha=alpha,
