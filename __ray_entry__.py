@@ -35,7 +35,8 @@ from p2pddsketch_ray.pipelines.temporal import (  # noqa: E402
     USER_MOVING_WINDOW_SQL as _USER_MOVING_WINDOW_SQL,
     USER_EVENT_SEQUENCES_SQL as _USER_EVENT_SEQUENCES_SQL,
     FUNNEL_COUNTS_SQL as _FUNNEL_COUNTS_SQL,
-    COHORT_RETENTION_SQL as _COHORT_RETENTION_SQL)
+    COHORT_RETENTION_SQL as _COHORT_RETENTION_SQL,
+    ACTIVE_USER_COUNTS_SQL as _ACTIVE_USER_COUNTS_SQL)
 from p2pddsketch_ray.pipelines.relational import (  # noqa: E402
     REPETITION_STATS_SQL as _REPETITION_STATS_SQL,
     STRATIFIED_SAMPLE_SQL as _STRATIFIED_SAMPLE_SQL,
@@ -243,6 +244,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # bounded ROLLING window (3 PRECEDING..CURRENT ROW moving sum)
         # via cumsum-difference kernel over the same co-partitions
         "user_moving_window": _user_moving_window,
+        # DAU / trailing-7-day WAU (exact windowed distinct via
+        # per-user interval expansion, no windowed shuffle)
+        "active_user_counts": _active_user_counts,
         # cohort retention matrix (first-active-week cohorts x
         # return-week offsets)
         "cohort_retention": _cohort_retention,
@@ -400,6 +404,11 @@ def _funnel_counts(sf_dir: str):
 def _cohort_retention(sf_dir: str):
     from p2pddsketch_ray.pipelines.temporal import cohort_retention
     return cohort_retention(sf_dir)
+
+
+def _active_user_counts(sf_dir: str):
+    from p2pddsketch_ray.pipelines.temporal import active_user_counts
+    return active_user_counts(sf_dir)
 
 
 def _dds_weighted_price(sf_dir: str):
@@ -1161,6 +1170,7 @@ GROUP BY 1 ORDER BY 1""",
         "user_event_sequences": _USER_EVENT_SEQUENCES_SQL,
         "funnel_counts": _FUNNEL_COUNTS_SQL,
         "cohort_retention": _COHORT_RETENTION_SQL,
+        "active_user_counts": _ACTIVE_USER_COUNTS_SQL,
         "ngram_jaccard_pairs": _NGRAM_JACCARD_SQL,
         "simhash_signatures": _SIMHASH_SIGNATURES_SQL,
         "minhash_signature_stats": _MINHASH_SIGNATURE_SQL,

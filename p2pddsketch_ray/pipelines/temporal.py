@@ -971,3 +971,101 @@ SELECT f.cw * 604800 AS cohort_week,
 FROM uw JOIN f ON uw.user_id = f.user_id
 GROUP BY 1, 2 ORDER BY 1, 2
 """
+
+
+def active_user_counts(sf_dir: str, window_days: int = 7) -> pa.Table:
+    """DAU / trailing-WAU report: per day, the exact count of distinct
+    users active that day and in the trailing ``window_days`` -- the
+    engagement metrics pair, computed EXACTLY with one user
+    co-partition and no windowed distinct shuffle: each user's distinct
+    active days expand to their covered window days (interval union,
+    vectorized), deduped per user, so the per-day rollup is a plain
+    count -- the classic distinct-within-window problem turned into a
+    linear expansion (output rows <= window_days x active pairs).
+
+    Days outside the observed [min_day, max_day] range are clipped, so
+    a day appears iff some user was active within its window."""
+    events = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                                   columns=["ts", "user_id"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        us = pa.array(_as_int64(t["ts"]), type=pa.int64())
+        return pa.table({"user_id": pc.cast(t["user_id"], pa.int64()),
+                         "day": pc.divide(us,
+                                          pa.scalar(86_400_000_000))})
+
+    prepped = events.map_batches(prep, batch_format="pyarrow",
+                                 zero_copy_batch=True).materialize()
+    from ray.data.aggregate import Max, Min
+    bounds = prepped.aggregate(Min("day", alias_name="mn"),
+                               Max("day", alias_name="mx"))
+    mn, mx = int(bounds["mn"]), int(bounds["mx"])
+
+    empty = pa.table({"day": pa.array([], type=pa.int64()),
+                      "dau": pa.array([], type=pa.int64()),
+                      "wau": pa.array([], type=pa.int64())})
+
+    def cover_kernel(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        day = t["day"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((day, uid))
+        uid_s, day_s = uid[order], day[order]
+        keep = np.ones(uid_s.shape[0], dtype=bool)
+        keep[1:] = (uid_s[1:] != uid_s[:-1]) | (day_s[1:] != day_s[:-1])
+        uid_u, day_u = uid_s[keep], day_s[keep]          # distinct pairs
+        # dau contributions: one per distinct (user, day)
+        du, dcnt = np.unique(day_u, return_counts=True)
+        # wau contributions: expand each pair to [day, day+W-1], dedup
+        # per user (two pairs of one user may cover overlapping days)
+        W = window_days
+        cov_day = (day_u[:, None]
+                   + np.arange(W, dtype=np.int64)[None, :]).ravel()
+        cov_uid = np.repeat(uid_u, W)
+        ok = cov_day <= mx
+        cov_day, cov_uid = cov_day[ok], cov_uid[ok]
+        order2 = np.lexsort((cov_day, cov_uid))
+        cd, cu = cov_day[order2], cov_uid[order2]
+        keep2 = np.ones(cd.shape[0], dtype=bool)
+        keep2[1:] = (cu[1:] != cu[:-1]) | (cd[1:] != cd[:-1])
+        wu, wcnt = np.unique(cd[keep2], return_counts=True)
+        days = np.union1d(du, wu)
+        dau = np.zeros(days.shape[0], dtype=np.int64)
+        dau[np.searchsorted(days, du)] = dcnt
+        wau = np.zeros(days.shape[0], dtype=np.int64)
+        wau[np.searchsorted(days, wu)] = wcnt
+        return pa.table({"day": pa.array(days),
+                         "dau": pa.array(dau),
+                         "wau": pa.array(wau)})
+
+    per_part = partition_by(prepped, ["user_id"], fit_partitions(32),
+                            cover_kernel, empty)
+    from ray.data.aggregate import Sum
+    agg = (per_part.groupby("day")
+           .aggregate(Sum("dau", alias_name="dau"),
+                      Sum("wau", alias_name="wau")))
+    out = agg.to_pandas().sort_values("day").reset_index(drop=True)
+    return pa.table({
+        "day_start": pa.array(out["day"].astype("int64") * 86_400),
+        "dau": pa.array(out["dau"].astype("int64")),
+        "wau": pa.array(out["wau"].astype("int64")),
+    })
+
+
+ACTIVE_USER_COUNTS_SQL = """
+WITH ud AS (SELECT DISTINCT user_id,
+                   CAST(epoch_us(ts) AS BIGINT)//86400000000 AS day
+            FROM events),
+bounds AS (SELECT min(day) AS mn, max(day) AS mx FROM ud),
+dau AS (SELECT day, CAST(count(*) AS BIGINT) AS dau FROM ud GROUP BY 1),
+cov AS (SELECT DISTINCT user_id, day + i AS d
+        FROM ud JOIN (SELECT CAST(range AS BIGINT) AS i
+                      FROM range(0, 7)) ON TRUE),
+wau AS (SELECT d, CAST(count(*) AS BIGINT) AS wau FROM cov
+        WHERE d <= (SELECT mx FROM bounds) GROUP BY d)
+SELECT wau.d * 86400 AS day_start,
+       COALESCE(dau.dau, 0) AS dau, wau.wau
+FROM wau LEFT JOIN dau ON dau.day = wau.d
+ORDER BY 1
+"""

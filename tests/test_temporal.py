@@ -246,3 +246,18 @@ def test_cohort_retention_matches_duckdb(ray_session):
     for cw, grp in got.groupby("cohort_week"):
         base = grp[grp.week_offset == 0]["n_users"].iloc[0]
         assert (grp["n_users"] <= base).all()
+
+
+def test_active_user_counts_matches_duckdb(ray_session):
+    duckdb = pytest.importorskip("duckdb")
+    from p2pddsketch_ray.pipelines.temporal import (ACTIVE_USER_COUNTS_SQL,
+                                                    active_user_counts)
+    sf = "/root/testdata/sf0.001"
+    got = active_user_counts(sf).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{sf}/events.parquet')")
+    want = con.execute(ACTIVE_USER_COUNTS_SQL).df()
+    assert got.equals(want.reset_index(drop=True))
+    # a day's trailing-7 distinct can never be below that day's distinct
+    assert (got["wau"] >= got["dau"]).all()
