@@ -175,6 +175,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # sliding-window quantiles (turnstile add/delete of whole hour
         # buckets -- the kernel capability the reference never drove)
         "sliding_window_quantiles": _sliding_window_quantiles,
+        # the reference accuracy harness as a distributed query:
+        # estimate vs exact order statistic, error in integer ppm
+        "quantile_error_report": _quantile_error_report,
         # OLAP rollup from one sketch build: (lang, source) level +
         # per-lang level produced by MERGING the finished sketches
         "dds_rollup_lang_source": _dds_rollup_lang_source,
@@ -373,6 +376,12 @@ def _drift_stats_pairs(sf_dir: str):
 def _mad_by_flag(sf_dir: str):
     from p2pddsketch_ray.pipelines.quantiles import mad_by_flag
     return mad_by_flag(sf_dir, alpha=ALPHA, bin_limit=BIN_LIMIT)
+
+
+def _quantile_error_report(sf_dir: str):
+    from p2pddsketch_ray.pipelines.quantiles import quantile_error_report
+    return quantile_error_report(sf_dir, alpha=ALPHA,
+                                 bin_limit=BIN_LIMIT)
 
 
 def _dds_rollup_lang_source(sf_dir: str):
@@ -1144,6 +1153,31 @@ SELECT d.lang, CAST(count(*) AS BIGINT) AS n_kept,
 FROM comp JOIN documents d ON d.doc_id = comp.doc_id
 WHERE comp.doc_id = comp.component
 GROUP BY 1 ORDER BY 1""",
+        "quantile_error_report": f"""
+WITH src AS (SELECT CAST(l_extendedprice AS DOUBLE) AS x
+             FROM lineitem WHERE l_extendedprice IS NOT NULL),
+keyed AS (SELECT x,
+                 CASE WHEN x > 0 THEN CAST(ceil(ln(x)/ln({GAMMA_SQL})) AS BIGINT) + {OFFSET}
+                      WHEN x < 0 THEN -CAST(ceil(ln(-x)/ln({GAMMA_SQL})) AS BIGINT) - {OFFSET}
+                      ELSE 0 END AS k FROM src),
+bins AS (SELECT k, CAST(count(*) AS DOUBLE) AS c FROM keyed GROUP BY k),
+tot AS (SELECT sum(c) AS n FROM bins),
+walk AS (SELECT k, sum(c) OVER (ORDER BY k) AS cum FROM bins),
+qs(q) AS (VALUES (0.5), (0.95), (0.99)),
+pick AS (SELECT qs.q AS q, min(walk.k) AS bk
+         FROM qs CROSS JOIN walk CROSS JOIN tot
+         WHERE walk.cum > qs.q * (tot.n - 1) GROUP BY qs.q),
+est AS (SELECT q, CASE WHEN bk > 0 THEN 2*pow({GAMMA_SQL}, bk - {OFFSET})/({GAMMA_SQL}+1)
+                       WHEN bk < 0 THEN -2*pow({GAMMA_SQL}, -bk - {OFFSET})/({GAMMA_SQL}+1)
+                       ELSE 0.0 END AS e FROM pick),
+ex AS (SELECT unnest([0.5, 0.95, 0.99]) AS q,
+              unnest(quantile_disc(x, [0.5, 0.95, 0.99])) AS x
+       FROM src)
+SELECT est.q AS q, round(est.e, 6) AS est, ex.x AS exact,
+       CAST(FLOOR(abs(est.e - ex.x) / ex.x * 1000000.0 + 0.5) AS BIGINT)
+           AS rel_err_ppm
+FROM est JOIN ex ON ex.q = est.q
+ORDER BY 1""",
         "redact_props_stats": _REDACT_PROPS_SQL,
         "value_hour_sufficient_stats": _VALUE_HOUR_STATS_SQL,
         "weighted_sample_orders": _WEIGHTED_SAMPLE_SQL,

@@ -754,3 +754,33 @@ def dds_rollup_lang_source(sf_dir: str, *, alpha: float = 0.01,
         "q": pa.array([r[2] for r in rows], type=pa.float64()),
         "est": pa.array([r[3] for r in rows], type=pa.float64()),
     })
+
+
+def quantile_error_report(sf_dir: str, *, alpha: float = 0.01,
+                          bin_limit: int = 2048,
+                          quantiles=(0.5, 0.95, 0.99)) -> pa.Table:
+    """The reference's accuracy harness (testQuantile,
+    /root/reference/main.cpp:1041-1082) as a first-class DISTRIBUTED
+    query: for each q, the DDSketch estimate, the EXACT order statistic
+    (histogram-bisection selection -- no global sort), and the relative
+    error in integer ppm.  The printed |q, estimate, real, error| table
+    of the reference becomes a self-auditing pipeline whose own oracle
+    verifies that error <= alpha -- trust, then verify, in the same
+    engine."""
+    col = "l_extendedprice"
+    ds = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=[col])
+    sketch = dds_sketch_global(ds, col, alpha=alpha, bin_limit=bin_limit)
+    ests = [sketch.quantile(q) for q in quantiles]
+    exact = exact_quantiles(ds, col, list(quantiles))
+    exact_vals = exact["value"].to_numpy(zero_copy_only=False)
+    rel_ppm = [int(np.floor(abs(e - x) / x * 1e6 + 0.5))
+               for e, x in zip(ests, exact_vals)]
+    assert all(p <= alpha * 1e6 * 1.01 for p in rel_ppm), \
+        "DDSketch violated its alpha bound"   # the reference's guarantee
+    return pa.table({
+        "q": pa.array(list(quantiles), type=pa.float64()),
+        "est": pa.array([round(e, 6) for e in ests], type=pa.float64()),
+        "exact": pa.array(exact_vals, type=pa.float64()),
+        "rel_err_ppm": pa.array(rel_ppm, type=pa.int64()),
+    })

@@ -226,3 +226,18 @@ def test_dds_rollup_merged_level_equals_direct_build(ray_session):
               .sort_values(["lang", "q"]).reset_index(drop=True))
     assert (rolled["est"].to_numpy()
             == direct["est"].to_numpy()).all()
+
+
+def test_quantile_error_report_matches_duckdb_and_meets_alpha(ray_session):
+    duckdb = pytest.importorskip("duckdb")
+    import __ray_entry__ as E
+    from p2pddsketch_ray.pipelines.quantiles import quantile_error_report
+    sf = "/root/testdata/sf0.001"
+    got = quantile_error_report(sf, alpha=0.01, bin_limit=2048).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW lineitem AS SELECT * FROM "
+                f"read_parquet('{sf}/lineitem.parquet')")
+    want = con.execute(E.oracle_sql()["quantile_error_report"]).df()
+    assert got.equals(want.reset_index(drop=True))
+    # the reference's guarantee, machine-checked: rel err <= alpha
+    assert (got["rel_err_ppm"] <= 10_000).all()
