@@ -56,7 +56,8 @@ from p2pddsketch_ray.pipelines.relational import (  # noqa: E402
     WEIGHTED_SAMPLE_SQL as _WEIGHTED_SAMPLE_SQL,
     VALIDATION_REPORT_SQL as _VALIDATION_REPORT_SQL,
     RETURNED_REVENUE_SQL as _RETURNED_REVENUE_SQL,
-    DIVERSIFIED_TOP_SQL as _DIVERSIFIED_TOP_SQL)
+    DIVERSIFIED_TOP_SQL as _DIVERSIFIED_TOP_SQL,
+    PARTITIONED_RT_SQL as _PARTITIONED_RT_SQL)
 from p2pddsketch_ray.pipelines.fingerprint import (  # noqa: E402
     WINNOW_FINGERPRINT_SQL as _WINNOW_FINGERPRINT_SQL)
 from p2pddsketch_ray.pipelines.dedup import (  # noqa: E402
@@ -280,6 +281,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # table maps every row to its estimated rank (quantile
         # normalization without a global sort)
         "sketch_cdf_by_type": _sketch_cdf_by_type,
+        # partitioned parquet sink + pruned read-back round-trip
+        "partitioned_write_read_stats": R.partitioned_write_read_stats,
         # diversity-constrained top-k (quota of 2 per customer)
         "diversified_top_orders": R.diversified_top_orders,
         # TPC-H Q10-shaped star join: fact pre-agg -> hash join ->
@@ -1184,6 +1187,7 @@ ORDER BY 1""",
         "validation_report": _VALIDATION_REPORT_SQL,
         "returned_revenue_top_customers": _RETURNED_REVENUE_SQL,
         "diversified_top_orders": _DIVERSIFIED_TOP_SQL,
+        "partitioned_write_read_stats": _PARTITIONED_RT_SQL,
         "sketch_cdf_by_type": """
 WITH src AS (SELECT event_type, CAST(value AS DOUBLE) AS x
              FROM events WHERE value IS NOT NULL),

@@ -2372,3 +2372,45 @@ QUALIFY row_number() OVER (PARTITION BY o_custkey
                            ORDER BY o_totalprice DESC, o_orderkey) <= 2
 ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
 """
+
+
+def partitioned_write_read_stats(sf_dir: str,
+                                 out_dir: str | None = None) -> pa.Table:
+    """SINK + SOURCE round-trip in one query: write the documents table
+    as lang-PARTITIONED parquet (one directory per lang -- the resumable
+    layout every 100 TB pipeline needs), then read it BACK with a
+    partition filter per lang and roll up -- verifying that what the
+    engine writes is what it reads, and that partition pruning works
+    (each per-lang read opens only that lang's files).
+
+    The report is built from the round-tripped data only; its oracle is
+    the direct rollup of the source table, so any write/read corruption
+    or partition misassignment breaks the hash."""
+    import shutil
+
+    out_dir = out_dir or "/tmp/p2pdds_gate/docs_by_lang"
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    ds.write_parquet(out_dir, partition_cols=["lang"])
+
+    langs = sorted(ds.unique("lang"))
+    rows = []
+    for lang in langs:     # each read opens ONE partition directory --
+        # pruning by path, the strongest form (zero foreign bytes read)
+        part = ray.data.read_parquet(f"{out_dir}/lang={lang}")
+        agg = part.aggregate(Count(alias_name="n"),
+                             Sum("n_chars", alias_name="sc"))
+        rows.append((lang, int(agg["n"] or 0), int(agg["sc"] or 0)))
+    return pa.table({
+        "lang": pa.array([r[0] for r in rows], type=pa.string()),
+        "n_docs": pa.array([r[1] for r in rows], type=pa.int64()),
+        "sum_chars": pa.array([r[2] for r in rows], type=pa.int64()),
+    })
+
+
+PARTITIONED_RT_SQL = """
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM documents GROUP BY 1 ORDER BY 1
+"""

@@ -585,3 +585,21 @@ def test_diversified_top_orders_matches_duckdb_and_respects_quota(
     want = con.execute(DIVERSIFIED_TOP_SQL).df()
     assert got.equals(want.reset_index(drop=True))
     assert got.groupby("o_custkey").size().max() <= 2
+
+
+def test_partitioned_write_read_stats_roundtrip(ray_session, tmp_path):
+    duckdb = pytest.importorskip("duckdb")
+    import os
+    from p2pddsketch_ray.pipelines.relational import (
+        PARTITIONED_RT_SQL, partitioned_write_read_stats)
+    sf = "/root/testdata/sf0.001"
+    out = str(tmp_path / "docs_by_lang")
+    got = partitioned_write_read_stats(sf, out_dir=out).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf}/documents.parquet')")
+    want = con.execute(PARTITIONED_RT_SQL).df()
+    assert got.equals(want.reset_index(drop=True))
+    # layout: one hive directory per lang
+    parts = sorted(d for d in os.listdir(out) if d.startswith("lang="))
+    assert parts == [f"lang={v}" for v in got["lang"]]
