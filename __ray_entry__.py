@@ -96,6 +96,23 @@ def _dds_global(table: str, col: str):
     return run
 
 
+def _dds_event_value_actor_pool(sf_dir: str):
+    import ray.data
+    import pyarrow as pa
+    from p2pddsketch_ray.stages.sketch_build import actor_pool_sketch_build
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["value"])
+    sketch = actor_pool_sketch_build(ds, "value", n_actors=4, alpha=ALPHA,
+                                     bin_limit=BIN_LIMIT)
+    keys = [sketch.quantile_key(q) for q in QS]
+    return pa.table({
+        "q": pa.array(list(QS), type=pa.float64()),
+        "bucket_key": pa.array(keys, type=pa.int64()),
+        "est": pa.array([round(sketch._bucket_estimate(k), 6)
+                         for k in keys], type=pa.float64()),
+    })
+
+
 def _dds_grouped(table: str, col: str, group: str):
     def run(sf_dir: str):
         import ray.data
@@ -118,6 +135,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                           "l_returnflag"),
         "dds_nchars_by_lang": _dds_grouped("documents", "n_chars", "lang"),
         "dds_event_value_global": _dds_global("events", "value"),
+        # the SAME global sketch built by the stateful ACTOR-POOL path
+        # (n long-lived actors over streaming splits) -- shares the
+        # stateless path's oracle: bit-identical by merge invariance
+        "dds_event_value_actor_pool": _dds_event_value_actor_pool,
         # relational / dataflow operators (exact)
         "pricing_summary": R.pricing_summary,
         "topk_orders": R.topk_orders,
@@ -688,6 +709,7 @@ def oracle_sql() -> dict[str, str]:
                                       "l_returnflag"),
         "dds_nchars_by_lang": _dds_sql("documents", "n_chars", "lang"),
         "dds_event_value_global": _dds_sql("events", "value"),
+        "dds_event_value_actor_pool": _dds_sql("events", "value"),
         # NOTE: every bare sum(BIGINT) is CAST back to BIGINT -- DuckDB's
         # sum over integers returns HUGEINT, which .df() converts to
         # float64 and the driver's dtype-sensitive value hash then
