@@ -149,6 +149,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # stateful ordered window (sessionization), deterministic sampling,
         # two-hop broadcast join
         "events_sessionized": R.events_sessionized,
+        # the skew-tolerant time-bucket-split variant under the SAME
+        # oracle: exact for a user of any size by boundary stitching
+        "events_sessionized_split": R.events_sessionized_split,
         "sampled_events_by_type": R.sampled_events_by_type,
         "supplier_region_rollup": R.supplier_region_rollup,
         "props_extract_stats": R.props_extract_stats,
@@ -744,6 +747,16 @@ FROM (SELECT event_type, epoch_us(ts) AS ts, value FROM events) GROUP BY 1, 2"""
 SELECT lang, count(*) AS n_docs, min(n_chars) AS min_chars,
        max(n_chars) AS max_chars
 FROM documents GROUP BY lang""",
+        "events_sessionized_split": """
+WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+d AS (SELECT user_id,
+             CASE WHEN lag(us) OVER w IS NULL
+                       OR us - lag(us) OVER w > 1800000000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us))
+SELECT user_id, CAST(sum(new_s) AS BIGINT) AS n_sessions,
+       count(*) AS n_events
+FROM d GROUP BY user_id""",
         "events_sessionized": """
 WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
 d AS (SELECT user_id,
