@@ -190,6 +190,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search scale path: IVF probing all clusters must
         # reproduce the exhaustive top-k (oracle = brute-force SQL)
         "ivf_knn_exhaustive": _ivf_knn_exhaustive,
+        # the WRITTEN on-disk IVF index (cluster-partitioned parquet,
+        # pruned partition reads) under the same brute-force oracle
+        "ivf_knn_written": _ivf_knn_written,
         # KLL comparison-based quantiles (randomized compaction: rows-only)
         "kll_quantiles_price": _kll_quantiles_price,
         # t-digest quantiles (interpolated centroids: rows-only)
@@ -535,6 +538,26 @@ def _ivf_knn_exhaustive(sf_dir: str):
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
                                columns=["vec_id", "embedding"])
     index = IVFIndex.build(ds, n_clusters=8, seed=42)
+    return index.search(query, k=10, n_probe=8)
+
+
+def _ivf_knn_written(sf_dir: str):
+    import shutil
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray.data
+    from p2pddsketch_ray.pipelines.knn import IVFIndex
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                        columns=["vec_id", "embedding"])
+    query = np.asarray(
+        emb.filter(__import__("pyarrow").compute.equal(emb["vec_id"], 0))
+        ["embedding"][0].as_py(), dtype=np.float64)
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    path = "/tmp/p2pdds_gate/ivf_index"
+    shutil.rmtree(path, ignore_errors=True)
+    IVFIndex.build(ds, n_clusters=8, seed=42).write(path)
+    index = IVFIndex.open(path)   # reads ONLY probed partition files
     return index.search(query, k=10, n_probe=8)
 
 
@@ -927,6 +950,16 @@ scored AS (
 SELECT vec_id, cos_sim FROM scored ORDER BY cos_sim DESC, vec_id LIMIT 10""",
         # IVF with all clusters probed == exhaustive cosine top-k
         "ivf_knn_exhaustive": """
+WITH q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+           FROM embeddings WHERE vec_id = 0),
+scored AS (
+  SELECT vec_id,
+         round(list_cosine_similarity(
+             list_transform(embedding, x -> CAST(x AS DOUBLE)), q.qv), 6)
+             AS cos_sim
+  FROM embeddings CROSS JOIN q)
+SELECT vec_id, cos_sim FROM scored ORDER BY cos_sim DESC, vec_id LIMIT 10""",
+        "ivf_knn_written": """
 WITH q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
            FROM embeddings WHERE vec_id = 0),
 scored AS (
