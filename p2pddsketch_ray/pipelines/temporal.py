@@ -694,6 +694,11 @@ ORDER BY user_id, event_id
 """
 
 
+# string-offset overflow boundary for sequence assembly; module-level so
+# tests can exercise the large-offset branch without 2 GB fixtures
+_SEQ_SMALL_OFFSET_MAX = np.iinfo(np.int32).max
+
+
 def user_event_sequences(sf_dir: str) -> "ray.data.Dataset":
     """collect_list as a distributed operator: per user, the
     time-ordered comma-joined sequence of event types -- the behavior-
@@ -767,7 +772,7 @@ def user_event_sequences(sf_dir: str) -> "ray.data.Dataset":
         # (a hot user's whole history lands in one partition -- same
         # assumption as sessionization, documented there)
         bounds = np.concatenate([pos[starts], [total]])
-        if total > np.iinfo(np.int32).max:
+        if total > _SEQ_SMALL_OFFSET_MAX:
             seq_arr = pa.LargeStringArray.from_buffers(
                 starts.shape[0],
                 pa.py_buffer(bounds.astype(np.int64).tobytes()),

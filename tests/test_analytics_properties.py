@@ -119,3 +119,84 @@ def test_cohort_retention_matches_bruteforce(ray_session,
            .astype({"cohort_week": "int64", "week_offset": "int64",
                     "n_users": "int64"}))
     assert got.equals(ref)
+
+
+def test_user_event_sequences_large_offset_branch(ray_session,
+                                                  monkeypatch):
+    """Force the LargeStringArray path (total bytes > threshold) and
+    assert output is identical to the int32-offset path."""
+    import p2pddsketch_ray.pipelines.temporal as T
+    sf = "/root/testdata/sf0.001"
+    small = (T.user_event_sequences(sf).to_pandas()
+             .sort_values("user_id").reset_index(drop=True))
+    monkeypatch.setattr(T, "_SEQ_SMALL_OFFSET_MAX", 10)
+    large = (T.user_event_sequences(sf).to_pandas()
+             .sort_values("user_id").reset_index(drop=True))
+    assert large.equals(small)
+
+
+def test_kmv_merge_order_bit_identity_hypothesis():
+    from hypothesis import given, settings, strategies as st
+    from p2pddsketch_ray.sketches.kmv import KMVSketch
+
+    @settings(max_examples=25, deadline=None)
+    @given(st.lists(st.integers(min_value=-2**40, max_value=2**40),
+                    min_size=1, max_size=400),
+           st.integers(min_value=2, max_value=6),
+           st.randoms(use_true_random=False))
+    def prop(vals, parts, rnd):
+        arr = np.asarray(vals, dtype=np.int64)
+        chunks = np.array_split(arr, parts)
+        sketches = []
+        for c in chunks:
+            s = KMVSketch(32)
+            s.add_batch(c)
+            sketches.append(s)
+        rnd.shuffle(sketches)
+        merged = sketches[0]
+        for s in sketches[1:]:
+            merged = merged.merge(s)
+        bulk = KMVSketch(32)
+        bulk.add_batch(arr)
+        assert np.array_equal(merged.mins, bulk.mins)
+        assert merged.to_row()["mins"] == bulk.to_row()["mins"]
+
+    prop()
+
+
+def test_connected_components_stress_random_graph(ray_session):
+    import ray.data
+    from p2pddsketch_ray.pipelines.components import connected_components
+
+    rng = np.random.default_rng(99)
+    n, ne = 2000, 5000
+    e = rng.integers(0, n, size=(ne, 2)).astype(np.int64)
+    edges = ray.data.from_arrow(pa.table({"a": e[:, 0], "b": e[:, 1]}))
+    nodes = ray.data.from_arrow(
+        pa.table({"node": np.arange(n, dtype=np.int64)}))
+    got = (connected_components(edges, nodes).to_pandas()
+           .sort_values("node").reset_index(drop=True))
+
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in e.tolist():
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comp = {}
+    for i in range(n):
+        comp.setdefault(find(i), []).append(i)
+    lab = {}
+    for members in comp.values():
+        m = min(members)
+        for x in members:
+            lab[x] = m
+    assert len(got) == n
+    assert all(lab[int(r.node)] == int(r.component)
+               for r in got.itertuples())
