@@ -44,6 +44,7 @@ from p2pddsketch_ray.pipelines.relational import (  # noqa: E402
     CUSTOMERS_WITHOUT_EVENTS_SQL as _CUSTOMERS_WITHOUT_EVENTS_SQL,
     QUANTILE_PRUNE_SQL as _QUANTILE_PRUNE_SQL,
     TOP_TOKENS_SQL as _TOP_TOKENS_SQL,
+    TFIDF_TOP_TERM_SQL as _TFIDF_TOP_TERM_SQL,
     CUSTOMER_EVENT_ACTIVITY_SQL as _CUSTOMER_EVENT_ACTIVITY_SQL,
     WINSORIZED_PRICE_SQL as _WINSORIZED_PRICE_SQL,
     DISTINCT_USERS_PER_TYPE_SQL as _DISTINCT_USERS_PER_TYPE_SQL,
@@ -255,6 +256,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # per-language vocabulary head (top-k tokens, exact counts,
         # deterministic tie order)
         "top_tokens_by_lang": R.top_tokens_by_lang,
+        # TF-IDF keyword extraction (integer-exact idf surrogate)
+        "tfidf_top_term_per_doc": R.tfidf_top_term_per_doc,
         # LEFT-OUTER join with zero preservation (per-nation activity)
         "customer_event_activity": R.customer_event_activity,
         # winnowing fingerprints (Schleimer et al. 2003) with an exact
@@ -1001,6 +1004,7 @@ SELECT l_returnflag, unnest([0.25, 0.5, 0.75]) AS q,
        unnest(vs) AS value FROM v""",
         "quantile_prune_docs": _QUANTILE_PRUNE_SQL,
         "top_tokens_by_lang": _TOP_TOKENS_SQL,
+        "tfidf_top_term_per_doc": _TFIDF_TOP_TERM_SQL,
         "customer_event_activity": _CUSTOMER_EVENT_ACTIVITY_SQL,
         "winnow_fingerprint_stats": _WINNOW_FINGERPRINT_SQL,
         "dds_weighted_price": _dds_sql("lineitem", "l_extendedprice",

@@ -2414,3 +2414,158 @@ SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
        CAST(sum(n_chars) AS BIGINT) AS sum_chars
 FROM documents GROUP BY 1 ORDER BY 1
 """
+
+
+def tfidf_top_term_per_doc(sf_dir: str) -> "ray.data.Dataset":
+    """Per-document KEYWORD EXTRACTION via TF-IDF: for every document,
+    the single term maximizing tf * idf with a deterministic tie order
+    (score desc, token asc).  idf uses the integer-exact surrogate
+    ``idf_milli = (N * 1000) // df`` -- monotone decreasing in df like
+    log(N/df) but free of floating point, so the DuckDB oracle
+    hash-matches bit-for-bit (cf. main.cpp:1074's relative-error metric,
+    which this engine replicates elsewhere with the same integer-units
+    discipline).
+
+    Scale shape (100 TB honest):
+    - pass 1 folds each block to its distinct (doc_id, tok, tf) rows via
+      one composite np.unique over dictionary codes -- text never rides
+      a shuffle; the tf table is materialized once (ints + tokens, far
+      smaller than the corpus, spillable) because both df and scoring
+      consume it.
+    - document frequency: per-batch value_counts partials -> Sum groupby;
+      the exchange is O(batch vocab x blocks), bounded by live
+      vocabulary, never by corpus rows (each (doc, tok) row exists
+      exactly once globally, so partial counts sum exactly).
+    - scoring join: tf rows and vocab-sized idf rows co-partition by a
+      token fingerprint (union + flag; Dataset.join avoided per the
+      measured empty-block flake) and score via one sorted lookup per
+      partition.
+    - per-doc argmax: each token partition prereduces to ONE candidate
+      row per document it sees, so the final doc_id exchange moves
+      O(docs x token_partitions) rows, then a doc co-partition picks the
+      global argmax.
+    """
+    import pyarrow.parquet as pq
+
+    from ..functions.text import fingerprint64
+    from ..stages.partition import fit_partitions, partition_by
+
+    n_docs = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def tf_counts(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t["text"], pattern=" ")
+        flat = pc.list_flatten(toks).combine_chunks()
+        nper = pc.list_value_length(toks).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        doc = pc.cast(t["doc_id"], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        dcode = np.repeat(np.arange(len(doc), dtype=np.int64), nper)
+        dic = flat.dictionary_encode()
+        trank = dic.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        nv = np.int64(len(dic.dictionary) + 1)
+        upair, cnt = np.unique(dcode * nv + trank, return_counts=True)
+        tok = pc.take(dic.dictionary, pa.array(upair % nv))
+        return pa.table({
+            "doc_id": pa.array(doc[upair // nv]),
+            "tok": pc.cast(tok, pa.string()),
+            "tf": pa.array(cnt.astype(np.int64)),
+            "th": fingerprint64(tok),
+        })
+
+    tf_ds = docs.map_batches(tf_counts, batch_format="pyarrow",
+                             zero_copy_batch=True).materialize()
+
+    def df_partial(t: pa.Table) -> pa.Table:
+        vc = pc.value_counts(t["tok"].combine_chunks())
+        tok = pc.cast(vc.field("values"), pa.string())
+        return pa.table({
+            "tok": tok,
+            "pdf": pc.cast(vc.field("counts"), pa.int64()),
+        })
+
+    df_ds = (tf_ds.map_batches(df_partial, batch_format="pyarrow")
+             .groupby("tok").aggregate(Sum("pdf", alias_name="df")))
+
+    idf_rows = df_ds.map_batches(lambda t: pa.table({
+        "doc_id": pa.array(np.zeros(t.num_rows, np.int64)),
+        "tok": pc.cast(t["tok"], pa.string()),
+        "tf": (np.int64(n_docs) * np.int64(1000)) //
+        pc.cast(t["df"], pa.int64()).to_numpy(zero_copy_only=False),
+        "th": fingerprint64(pc.cast(t["tok"], pa.string())),
+        "flag": pa.array(np.ones(t.num_rows, np.int64)),
+    }), batch_format="pyarrow")
+
+    data_rows = tf_ds.map_batches(
+        lambda t: t.append_column(
+            "flag", pa.array(np.zeros(t.num_rows, np.int64))),
+        batch_format="pyarrow")
+
+    cand_empty = pa.table({"doc_id": pa.array([], type=pa.int64()),
+                           "top_tok": pa.array([], type=pa.string()),
+                           "score": pa.array([], type=pa.int64())})
+
+    def _argmax_per_doc(doc: np.ndarray, tok: np.ndarray,
+                        score: np.ndarray) -> pa.Table:
+        order = np.lexsort((tok, -score, doc))
+        d_s = doc[order]
+        first = np.ones(order.shape[0], dtype=bool)
+        first[1:] = d_s[1:] != d_s[:-1]
+        keep = order[first]
+        return pa.table({
+            "doc_id": pa.array(doc[keep]),
+            "top_tok": pa.array(tok[keep].tolist(), type=pa.string()),
+            "score": pa.array(score[keep]),
+        })
+
+    def score_part(t: pa.Table) -> pa.Table:
+        flag = t["flag"].to_numpy(zero_copy_only=False)
+        is_idf = flag == 1
+        if not (~is_idf).any():
+            return cand_empty
+        # numpy U-dtype compares by code point == DuckDB binary collation
+        # for the (verified-ASCII) corpus
+        tok = np.asarray(t["tok"].to_pylist(), dtype=np.str_)
+        tfv = t["tf"].to_numpy(zero_copy_only=False)
+        it_o = np.argsort(tok[is_idf], kind="stable")
+        it_s = tok[is_idf][it_o]
+        iv_s = tfv[is_idf][it_o]          # idf_milli rides the tf column
+        dtok = tok[~is_idf]
+        pos = np.searchsorted(it_s, dtok)
+        score = tfv[~is_idf] * iv_s[pos]
+        return _argmax_per_doc(
+            t["doc_id"].to_numpy(zero_copy_only=False)[~is_idf],
+            dtok, score)
+
+    nparts = fit_partitions(16)
+    cands = partition_by(data_rows.union(idf_rows), ["th"], nparts,
+                         score_part, cand_empty)
+
+    def final_argmax(t: pa.Table) -> pa.Table:
+        return _argmax_per_doc(
+            t["doc_id"].to_numpy(zero_copy_only=False),
+            np.asarray(t["top_tok"].to_pylist(), dtype=np.str_),
+            t["score"].to_numpy(zero_copy_only=False))
+
+    return partition_by(cands, ["doc_id"], nparts, final_argmax,
+                        cand_empty)
+
+
+TFIDF_TOP_TERM_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+), tf AS (
+  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2
+), df AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
+), n AS (
+  SELECT CAST(count(*) AS BIGINT) AS n FROM documents
+)
+SELECT tf.doc_id,
+       tf.tok AS top_tok,
+       CAST(tf.tf * ((n.n * 1000) // df.df) AS BIGINT) AS score
+FROM tf JOIN df USING (tok) CROSS JOIN n
+QUALIFY row_number() OVER (PARTITION BY tf.doc_id
+                           ORDER BY score DESC, tf.tok) = 1
+ORDER BY 1
+"""

@@ -157,3 +157,22 @@ def test_customer_event_activity_matches_duckdb(ray_session):
                 - got.set_index("n_name")["n_active"])
     inactive = inactive[inactive > 0]
     assert inactive.sort_index().equals(anti.sort_index())
+
+
+def test_tfidf_top_term_per_doc_matches_duckdb(ray_session):
+    duckdb = pytest.importorskip("duckdb")
+    from p2pddsketch_ray.pipelines.relational import (TFIDF_TOP_TERM_SQL,
+                                                      tfidf_top_term_per_doc)
+    sf = "/root/testdata/sf0.001"
+    got = (tfidf_top_term_per_doc(sf).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf}/documents.parquet')")
+    want = con.execute(TFIDF_TOP_TERM_SQL).df()
+    assert got.equals(want.reset_index(drop=True))
+    # exactly one keyword per document, every document covered
+    n_docs = con.execute("SELECT count(*) FROM documents").fetchone()[0]
+    assert len(got) == n_docs
+    assert got["doc_id"].is_unique
+    assert (got["score"] > 0).all()
