@@ -45,6 +45,9 @@ from p2pddsketch_ray.pipelines.relational import (  # noqa: E402
     QUANTILE_PRUNE_SQL as _QUANTILE_PRUNE_SQL,
     TOP_TOKENS_SQL as _TOP_TOKENS_SQL,
     TFIDF_TOP_TERM_SQL as _TFIDF_TOP_TERM_SQL,
+    CUBE_PRICING_SQL as _CUBE_PRICING_SQL,
+    HOUR_ENTROPY_SQL as _HOUR_ENTROPY_SQL,
+    USER_CHURN_SQL as _USER_CHURN_SQL,
     CUSTOMER_EVENT_ACTIVITY_SQL as _CUSTOMER_EVENT_ACTIVITY_SQL,
     WINSORIZED_PRICE_SQL as _WINSORIZED_PRICE_SQL,
     DISTINCT_USERS_PER_TYPE_SQL as _DISTINCT_USERS_PER_TYPE_SQL,
@@ -62,6 +65,8 @@ from p2pddsketch_ray.pipelines.relational import (  # noqa: E402
 from p2pddsketch_ray.pipelines.fingerprint import (  # noqa: E402
     WINNOW_FINGERPRINT_SQL as _WINNOW_FINGERPRINT_SQL)
 from p2pddsketch_ray.pipelines.dedup import (  # noqa: E402
+    DECONTAMINATION_SQL as _DECONTAMINATION_SQL,
+    benchmark_decontamination as _benchmark_decontamination,
     NGRAM_JACCARD_SQL as _NGRAM_JACCARD_SQL,
     SIMHASH_SIGNATURES_SQL as _SIMHASH_SIGNATURES_SQL,
     MINHASH_SIGNATURE_SQL as _MINHASH_SIGNATURE_SQL)
@@ -258,6 +263,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_tokens_by_lang": R.top_tokens_by_lang,
         # TF-IDF keyword extraction (integer-exact idf surrogate)
         "tfidf_top_term_per_doc": R.tfidf_top_term_per_doc,
+        # CUBE grouping sets, entropy data-quality signal, churn set ops
+        "cube_pricing": R.cube_pricing,
+        "hour_entropy_by_type": R.hour_entropy_by_type,
+        "user_churn_sets": R.user_churn_sets,
+        # n-gram benchmark decontamination (training-data hygiene)
+        "benchmark_decontamination": _benchmark_decontamination,
         # LEFT-OUTER join with zero preservation (per-nation activity)
         "customer_event_activity": R.customer_event_activity,
         # winnowing fingerprints (Schleimer et al. 2003) with an exact
@@ -1005,6 +1016,10 @@ SELECT l_returnflag, unnest([0.25, 0.5, 0.75]) AS q,
         "quantile_prune_docs": _QUANTILE_PRUNE_SQL,
         "top_tokens_by_lang": _TOP_TOKENS_SQL,
         "tfidf_top_term_per_doc": _TFIDF_TOP_TERM_SQL,
+        "cube_pricing": _CUBE_PRICING_SQL,
+        "hour_entropy_by_type": _HOUR_ENTROPY_SQL,
+        "user_churn_sets": _USER_CHURN_SQL,
+        "benchmark_decontamination": _DECONTAMINATION_SQL,
         "customer_event_activity": _CUSTOMER_EVENT_ACTIVITY_SQL,
         "winnow_fingerprint_stats": _WINNOW_FINGERPRINT_SQL,
         "dds_weighted_price": _dds_sql("lineitem", "l_extendedprice",

@@ -816,3 +816,167 @@ GROUP BY 1, 2 ORDER BY 1"""
 
 
 MINHASH_SIGNATURE_SQL = _minhash_signature_sql()
+
+
+def benchmark_decontamination(sf_dir: str, k: int = 16,
+                              bench_source: str = "src0") -> pa.Table:
+    """BENCHMARK DECONTAMINATION -- the training-data hygiene pass every
+    LLM pipeline runs before training: flag every training document that
+    shares at least one distinct k-character shingle with any document
+    of the held-out benchmark set (here: ``source == bench_source``),
+    reported per language as (n_train, n_contaminated).  Exact set
+    containment, no hashing approximation, so the DuckDB substr replica
+    hash-matches.
+
+    Scale shape (the benchmark side is small, the training side is the
+    100 TB corpus):
+    - one pass shingles BOTH sides with a role flag: per block, distinct
+      (doc, shingle) rows via the flat-buffer sliding window + lexsort
+      kernel (no per-doc Python); text never rides a shuffle -- only
+      k-byte shingle rows do.
+    - shingles co-partition by their first-8-bytes integer (equal
+      shingles always co-locate; prefix collisions only merge
+      partitions).  Each partition sorts its benchmark shingles once and
+      marks training rows by searchsorted membership -- emitting at most
+      one (doc_id, lang) row per contaminated doc per partition.
+    - a (doc_id, lang) groupby dedups across partitions (O(contaminated
+      docs) tiny rows), and an integer per-lang rollup finishes; the
+      train-per-lang denominator is a separate cardinality-bounded
+      groupby.  Nothing larger than the contaminated-id stream ever
+      leaves the cluster, and the driver folds only lang-sized tables."""
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text", "lang",
+                                          "source"])
+
+    sh_empty = pa.table({"doc_id": pa.array([], type=pa.int64()),
+                         "lang": pa.array([], type=pa.string()),
+                         "role": pa.array([], type=pa.int64()),
+                         "sh": pa.array([], type=pa.binary()),
+                         "part": pa.array([], type=pa.int64())})
+
+    def sh_rows(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return sh_empty
+        txt = t["text"].combine_chunks()
+        bufs = txt.buffers()
+        if pa.types.is_large_string(txt.type):
+            off = np.frombuffer(bufs[1], dtype=np.int64)
+        else:
+            off = np.frombuffer(bufs[1], dtype=np.int32).astype(np.int64)
+        off = off[txt.offset: txt.offset + len(txt) + 1]
+        if bufs[2] is None:
+            return sh_empty
+        data = np.frombuffer(bufs[2], dtype=np.uint8)[off[0]: off[-1]]
+        off = off - off[0]
+        n_grams = int(off[-1]) - k + 1
+        if n_grams < 1:
+            return sh_empty
+        doc_of_byte = np.repeat(np.arange(t.num_rows, dtype=np.int64),
+                                np.diff(off))
+        valid = doc_of_byte[:n_grams] == doc_of_byte[k - 1:
+                                                     k - 1 + n_grams]
+        wins = np.lib.stride_tricks.sliding_window_view(data, k)[valid]
+        wins = np.ascontiguousarray(wins)
+        sh = wins.view(f"S{k}").ravel()
+        drow = doc_of_byte[:n_grams][valid]
+        order = np.lexsort((sh, drow))
+        sh_s, drow_s = sh[order], drow[order]
+        keep = np.ones(sh_s.shape[0], dtype=bool)
+        keep[1:] = (drow_s[1:] != drow_s[:-1]) | (sh_s[1:] != sh_s[:-1])
+        sh_u, drow_u = sh_s[keep], drow_s[keep]
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(
+            np.int64)[drow_u]
+        lang = np.asarray(t["lang"].to_pylist(), dtype=np.str_)[drow_u]
+        role = (np.asarray(t["source"].to_pylist(), dtype=np.str_)
+                == bench_source).astype(np.int64)[drow_u]
+        part = np.ascontiguousarray(
+            wins[order][keep][:, :8]).view("<i8").ravel()
+        return pa.table({
+            "doc_id": pa.array(ids),
+            "lang": pa.array(lang.tolist(), type=pa.string()),
+            "role": pa.array(role),
+            "sh": pa.array(sh_u.tolist(), type=pa.binary()),
+            "part": pa.array(part),
+        })
+
+    from ray.data.aggregate import Count, Sum
+
+    rows = docs.map_batches(sh_rows, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+    hit_empty = pa.table({"doc_id": pa.array([], type=pa.int64()),
+                          "lang": pa.array([], type=pa.string())})
+
+    def mark(group: pa.Table) -> pa.Table:
+        role = group["role"].to_numpy(zero_copy_only=False)
+        if not (role == 1).any() or not (role == 0).any():
+            return hit_empty
+        sh = np.asarray(group["sh"].to_pylist(), dtype=f"S{k}")
+        bench = np.unique(sh[role == 1])
+        tr = role == 0
+        pos = np.searchsorted(bench, sh[tr])
+        pos[pos == len(bench)] = 0
+        hit = bench[pos] == sh[tr]
+        if not hit.any():
+            return hit_empty
+        ids = group["doc_id"].to_numpy(zero_copy_only=False)[tr][hit]
+        lang = np.asarray(group["lang"].to_pylist(),
+                          dtype=np.str_)[tr][hit]
+        uid, first = np.unique(ids, return_index=True)
+        return pa.table({
+            "doc_id": pa.array(uid),
+            "lang": pa.array(lang[first].tolist(), type=pa.string()),
+        })
+
+    cont = _partition_by(rows, ["part"], _fit_partitions(16), mark,
+                         hit_empty)
+    # distinct contaminated docs across partitions, then per-lang count
+    cont_lang = (cont.groupby(["doc_id", "lang"])
+                 .aggregate(Count(alias_name="_dup"))
+                 .map_batches(lambda t: pa.table({
+                     "lang": pc.cast(t["lang"], pa.string()),
+                     "pn": pa.array(np.ones(t.num_rows, np.int64)),
+                 }), batch_format="pyarrow")
+                 .groupby("lang").aggregate(Sum("pn", alias_name="n_cont"))
+                 .to_pandas())
+    n_cont = dict(zip(cont_lang["lang"], cont_lang["n_cont"].astype(int)))
+
+    denom = (docs.map_batches(lambda t: pa.table({
+        "lang": pc.cast(t["lang"], pa.string()),
+        "tn": pc.cast(pc.not_equal(t["source"],
+                                   pa.scalar(bench_source)), pa.int64()),
+    }), batch_format="pyarrow")
+        .groupby("lang").aggregate(Sum("tn", alias_name="n_train"))
+        .to_pandas())
+
+    langs = sorted(denom.loc[denom["n_train"] > 0, "lang"])
+    nt = dict(zip(denom["lang"], denom["n_train"].astype(int)))
+    return pa.table({
+        "lang": pa.array(langs, type=pa.string()),
+        "n_train": pa.array([nt[x] for x in langs], type=pa.int64()),
+        "n_contaminated": pa.array([int(n_cont.get(x, 0)) for x in langs],
+                                   type=pa.int64()),
+    })
+
+
+DECONTAMINATION_SQL = """
+WITH nums AS (
+  SELECT CAST(range AS BIGINT) AS i FROM range(1, 1048576)
+), bsh AS (
+  SELECT DISTINCT substr(text, i, 16) AS s
+  FROM documents JOIN nums ON nums.i <= length(text) - 15
+  WHERE source = 'src0'
+), train AS (
+  SELECT doc_id, lang, text FROM documents WHERE source <> 'src0'
+), cont AS (
+  SELECT DISTINCT t.doc_id
+  FROM train t
+  JOIN nums ON nums.i <= length(t.text) - 15
+  JOIN bsh ON substr(t.text, i, 16) = bsh.s
+)
+SELECT tr.lang,
+       CAST(count(*) AS BIGINT) AS n_train,
+       CAST(count(c.doc_id) AS BIGINT) AS n_contaminated
+FROM train tr LEFT JOIN cont c USING (doc_id)
+GROUP BY 1 ORDER BY 1
+"""

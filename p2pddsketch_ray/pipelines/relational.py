@@ -2569,3 +2569,231 @@ QUALIFY row_number() OVER (PARTITION BY tf.doc_id
                            ORDER BY score DESC, tf.tok) = 1
 ORDER BY 1
 """
+
+
+def cube_pricing(sf_dir: str) -> pa.Table:
+    """CUBE grouping sets from ONE scan: all four grouping levels of
+    (l_returnflag, l_linestatus) -- (flag, status), (flag), (status) and
+    the grand total -- derived by merging the finest-level aggregate,
+    never by re-scanning (the exact-aggregate analog of
+    ``dds_rollup_lang_source``'s sketch-level merge-up).  Aggregated-out
+    dimensions carry the sentinel 'ALL' (COALESCE in the oracle), which
+    cannot collide with the single-char TPC-H domain values.
+
+    Scale shape: one pass folds each block to its (flag, status) integer
+    partials (composite np.unique, cents units); the shuffle moves
+    O(6 x blocks) rows; every coarser level is a driver-side fold of the
+    6-row finest table."""
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_linestatus",
+                                    "l_quantity", "l_extendedprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        flag = np.asarray(t["l_returnflag"].to_pylist(), dtype=np.str_)
+        status = np.asarray(t["l_linestatus"].to_pylist(), dtype=np.str_)
+        qty = _int_units(t["l_quantity"], 100).to_numpy(
+            zero_copy_only=False)
+        price = _int_units(t["l_extendedprice"], 100).to_numpy(
+            zero_copy_only=False)
+        uf, fi = np.unique(flag, return_inverse=True)
+        us, si = np.unique(status, return_inverse=True)
+        comp = fi.astype(np.int64) * np.int64(len(us)) + si
+        ucomp, inv = np.unique(comp, return_inverse=True)
+        n = np.bincount(inv).astype(np.int64)
+        sq = np.bincount(inv, weights=qty).astype(np.int64)
+        sp = np.bincount(inv, weights=price).astype(np.int64)
+        return pa.table({
+            "flag": pa.array(uf[ucomp // np.int64(len(us))].tolist(),
+                             type=pa.string()),
+            "status": pa.array(us[ucomp % np.int64(len(us))].tolist(),
+                               type=pa.string()),
+            "n": pa.array(n), "sum_qty_c": pa.array(sq),
+            "sum_price_c": pa.array(sp),
+        })
+
+    fine = (ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby(["flag", "status"])
+            .aggregate(Sum("n", alias_name="n"),
+                       Sum("sum_qty_c", alias_name="sum_qty_c"),
+                       Sum("sum_price_c", alias_name="sum_price_c"))
+            .to_pandas())
+
+    import pandas as pd
+    levels = [fine]
+    for keys, alls in ((["flag"], ["status"]), (["status"], ["flag"]),
+                       ([], ["flag", "status"])):
+        if keys:
+            lvl = (fine.groupby(keys, as_index=False)
+                   [["n", "sum_qty_c", "sum_price_c"]].sum())
+        else:
+            lvl = fine[["n", "sum_qty_c", "sum_price_c"]].sum().to_frame().T
+        for a in alls:
+            lvl[a] = "ALL"
+        levels.append(lvl[["flag", "status", "n", "sum_qty_c",
+                           "sum_price_c"]])
+    out = (pd.concat(levels, ignore_index=True)
+           .sort_values(["flag", "status"]).reset_index(drop=True))
+    return pa.table({
+        "flag": pa.array(out["flag"], type=pa.string()),
+        "status": pa.array(out["status"], type=pa.string()),
+        "n": pa.array(out["n"].astype("int64")),
+        "sum_qty_c": pa.array(out["sum_qty_c"].astype("int64")),
+        "sum_price_c": pa.array(out["sum_price_c"].astype("int64")),
+    })
+
+
+CUBE_PRICING_SQL = """
+SELECT COALESCE(l_returnflag, 'ALL') AS flag,
+       COALESCE(l_linestatus, 'ALL') AS status,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)
+         AS sum_qty_c,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         AS sum_price_c
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+ORDER BY 1, 2
+"""
+
+
+def hour_entropy_by_type(sf_dir: str) -> pa.Table:
+    """Shannon entropy of the hour-of-day distribution per event type --
+    an information-theoretic data-quality signal (uniform traffic -> high
+    entropy; a scraper hammering one hour -> low).  Reported in integer
+    MICRO-NATS with per-term flooring, the repo's order-independent
+    summation discipline: each histogram term floor((-p * ln p) * 1e6) is
+    a single-expression float that numpy and DuckDB evaluate bit-
+    identically (np.log == ln verified elsewhere), and the integer term
+    sum is permutation-proof where a float SUM would not be.
+
+    Scale shape: the only distributed work is the exact (type, hour)
+    histogram -- per-block composite-unique partials, O(types x 24 x
+    blocks) shuffle rows; the entropy finalize folds a types x 24 table
+    on the driver."""
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        us = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        hr = (us // np.int64(3_600_000_000)) % np.int64(24)
+        etype = np.asarray(t["event_type"].to_pylist(), dtype=np.str_)
+        ut, ti = np.unique(etype, return_inverse=True)
+        comp = ti.astype(np.int64) * np.int64(24) + hr
+        ucomp, inv = np.unique(comp, return_inverse=True)
+        cnt = np.bincount(inv).astype(np.int64)
+        return pa.table({
+            "event_type": pa.array(ut[ucomp // 24].tolist(),
+                                   type=pa.string()),
+            "hr": pa.array(ucomp % 24),
+            "cnt": pa.array(cnt),
+        })
+
+    hist = (ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby(["event_type", "hr"])
+            .aggregate(Sum("cnt", alias_name="cnt"))
+            .to_pandas())
+
+    rows = []
+    for etype, grp in hist.groupby("event_type"):
+        cnt = grp["cnt"].to_numpy(dtype=np.int64)
+        n = np.int64(cnt.sum())
+        p = cnt.astype(np.float64) / np.float64(n)
+        terms = np.floor((-p * np.log(p)) * 1e6).astype(np.int64)
+        rows.append((etype, int(n), int(terms.sum())))
+    rows.sort()
+    return pa.table({
+        "event_type": pa.array([r[0] for r in rows], type=pa.string()),
+        "n": pa.array([r[1] for r in rows], type=pa.int64()),
+        "entropy_unats": pa.array([r[2] for r in rows], type=pa.int64()),
+    })
+
+
+HOUR_ENTROPY_SQL = """
+WITH c AS (
+  SELECT event_type, CAST(date_part('hour', ts) AS BIGINT) AS hr,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1, 2
+), n AS (
+  SELECT event_type, CAST(sum(cnt) AS BIGINT) AS n FROM c GROUP BY 1
+)
+SELECT c.event_type, n.n,
+       CAST(sum(CAST(floor(
+         (-(CAST(c.cnt AS DOUBLE) / n.n)
+          * ln(CAST(c.cnt AS DOUBLE) / n.n)) * 1e6) AS BIGINT))
+         AS BIGINT) AS entropy_unats
+FROM c JOIN n USING (event_type)
+GROUP BY 1, 2
+ORDER BY 1
+"""
+
+
+def user_churn_sets(sf_dir: str,
+                    split: str = "2024-01-30") -> "ray.data.Dataset":
+    """Distributed SET ALGEBRA over user activity: split the event
+    timeline at ``split`` and classify every distinct user as retained
+    (INTERSECT: active both halves), churned (first EXCEPT second) or
+    new (second EXCEPT first) -- the cohort-transition counts a growth
+    dashboard runs.
+
+    Scale shape: each block folds to distinct (user, in1, in2) presence
+    partials before the shuffle (presence-OR is associative), the
+    groupby moves O(distinct users x blocks capped by block dedup) tiny
+    rows, and the classification rollup is another partial-friendly
+    integer exchange."""
+    import pandas as pd
+    split_us = np.int64(pd.Timestamp(split).value // 1000)
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def presence(t: pa.Table) -> pa.Table:
+        us = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        uid = pc.cast(t["user_id"], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        in1 = (us < split_us).astype(np.int64)
+        uu, inv = np.unique(uid, return_inverse=True)
+        p1 = np.zeros(len(uu), np.int64)
+        p2 = np.zeros(len(uu), np.int64)
+        np.maximum.at(p1, inv, in1)
+        np.maximum.at(p2, inv, 1 - in1)
+        return pa.table({"user_id": pa.array(uu), "in1": pa.array(p1),
+                         "in2": pa.array(p2)})
+
+    flags = (ds.map_batches(presence, batch_format="pyarrow",
+                            zero_copy_batch=True)
+             .groupby("user_id")
+             .aggregate(Max("in1", alias_name="in1"),
+                        Max("in2", alias_name="in2")))
+
+    def classify(t: pa.Table) -> pa.Table:
+        in1 = pc.cast(t["in1"], pa.int64()).to_numpy(zero_copy_only=False)
+        in2 = pc.cast(t["in2"], pa.int64()).to_numpy(zero_copy_only=False)
+        lab = np.where(in1 & in2, "retained",
+                       np.where(in1 == 1, "churned", "new"))
+        ul, inv = np.unique(lab, return_inverse=True)
+        return pa.table({
+            "status": pa.array(ul.tolist(), type=pa.string()),
+            "n_users": pa.array(np.bincount(inv).astype(np.int64)),
+        })
+
+    agg = (flags.map_batches(classify, batch_format="pyarrow")
+           .groupby("status").aggregate(Sum("n_users",
+                                            alias_name="n_users")))
+    return agg.map_batches(lambda t: pa.table({
+        "status": pc.cast(t["status"], pa.string()),
+        "n_users": pc.cast(t["n_users"], pa.int64()),
+    }), batch_format="pyarrow")
+
+
+USER_CHURN_SQL = """
+WITH f AS (
+  SELECT user_id,
+         CAST(max(CASE WHEN ts < TIMESTAMP '2024-01-30' THEN 1 ELSE 0
+                  END) AS BIGINT) AS in1,
+         CAST(max(CASE WHEN ts >= TIMESTAMP '2024-01-30' THEN 1 ELSE 0
+                  END) AS BIGINT) AS in2
+  FROM events GROUP BY 1
+)
+SELECT CASE WHEN in1 = 1 AND in2 = 1 THEN 'retained'
+            WHEN in1 = 1 THEN 'churned' ELSE 'new' END AS status,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM f GROUP BY 1 ORDER BY 1
+"""

@@ -176,3 +176,53 @@ def test_tfidf_top_term_per_doc_matches_duckdb(ray_session):
     assert len(got) == n_docs
     assert got["doc_id"].is_unique
     assert (got["score"] > 0).all()
+
+
+def test_cube_entropy_churn_match_duckdb(ray_session):
+    duckdb = pytest.importorskip("duckdb")
+    from p2pddsketch_ray.pipelines.relational import (
+        CUBE_PRICING_SQL, HOUR_ENTROPY_SQL, USER_CHURN_SQL, cube_pricing,
+        hour_entropy_by_type, user_churn_sets)
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    for t in ("lineitem", "events"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{sf}/{t}.parquet')")
+    for fn, sql, keys in [(cube_pricing, CUBE_PRICING_SQL,
+                           ["flag", "status"]),
+                          (hour_entropy_by_type, HOUR_ENTROPY_SQL,
+                           ["event_type"]),
+                          (user_churn_sets, USER_CHURN_SQL, ["status"])]:
+        got = fn(sf)
+        got = got.to_pandas() if hasattr(got, "to_pandas") else got
+        got = got.sort_values(keys).reset_index(drop=True)
+        want = con.execute(sql).df()
+        assert got.equals(want.reset_index(drop=True)), fn.__name__
+    # cube invariant: the grand total row equals the sum of the finest level
+    cube = cube_pricing(sf).to_pandas()
+    fine = cube[(cube.flag != "ALL") & (cube.status != "ALL")]
+    total = cube[(cube.flag == "ALL") & (cube.status == "ALL")]
+    assert int(total["n"].iloc[0]) == int(fine["n"].sum())
+    # entropy bounded by ln(24) micro-nats
+    ent = hour_entropy_by_type(sf).to_pandas()
+    assert (ent["entropy_unats"] >= 0).all()
+    assert (ent["entropy_unats"] <= 3_178_054).all()  # ln(24)*1e6
+
+
+def test_benchmark_decontamination_matches_duckdb(ray_session):
+    duckdb = pytest.importorskip("duckdb")
+    from p2pddsketch_ray.pipelines.dedup import (DECONTAMINATION_SQL,
+                                                 benchmark_decontamination)
+    sf = "/root/testdata/sf0.001"
+    got = benchmark_decontamination(sf).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf}/documents.parquet')")
+    want = con.execute(DECONTAMINATION_SQL).df()
+    assert got.equals(want.reset_index(drop=True))
+    assert (got["n_contaminated"] <= got["n_train"]).all()
+    # a doc that IS a benchmark doc's text must be flagged: plant one by
+    # construction -- the planted exact dups (doc_id % 53 == 3 family)
+    # guarantee shared 16-grams across sources in this corpus, so the
+    # contaminated count is nonzero at every scale
+    assert got["n_contaminated"].sum() > 0
