@@ -48,6 +48,7 @@ from p2pddsketch_ray.pipelines.relational import (  # noqa: E402
     CUBE_PRICING_SQL as _CUBE_PRICING_SQL,
     HOUR_ENTROPY_SQL as _HOUR_ENTROPY_SQL,
     USER_CHURN_SQL as _USER_CHURN_SQL,
+    ORDER_SKYLINE_SQL as _ORDER_SKYLINE_SQL,
     CUSTOMER_EVENT_ACTIVITY_SQL as _CUSTOMER_EVENT_ACTIVITY_SQL,
     WINSORIZED_PRICE_SQL as _WINSORIZED_PRICE_SQL,
     DISTINCT_USERS_PER_TYPE_SQL as _DISTINCT_USERS_PER_TYPE_SQL,
@@ -64,6 +65,8 @@ from p2pddsketch_ray.pipelines.relational import (  # noqa: E402
     PARTITIONED_RT_SQL as _PARTITIONED_RT_SQL)
 from p2pddsketch_ray.pipelines.fingerprint import (  # noqa: E402
     WINNOW_FINGERPRINT_SQL as _WINNOW_FINGERPRINT_SQL)
+from p2pddsketch_ray.pipelines.components import (  # noqa: E402
+    PAGERANK_SQL as _PAGERANK_SQL)
 from p2pddsketch_ray.pipelines.dedup import (  # noqa: E402
     DECONTAMINATION_SQL as _DECONTAMINATION_SQL,
     benchmark_decontamination as _benchmark_decontamination,
@@ -269,6 +272,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_churn_sets": R.user_churn_sets,
         # n-gram benchmark decontamination (training-data hygiene)
         "benchmark_decontamination": _benchmark_decontamination,
+        # iterative integer PageRank + Pareto-frontier skyline
+        "pagerank_part_supplier": _pagerank_part_supplier,
+        "order_skyline": R.order_skyline,
         # LEFT-OUTER join with zero preservation (per-nation activity)
         "customer_event_activity": R.customer_event_activity,
         # winnowing fingerprints (Schleimer et al. 2003) with an exact
@@ -380,6 +386,11 @@ def _ngram_jaccard_pairs(sf_dir: str):
 def _neardup_components(sf_dir: str):
     from p2pddsketch_ray.pipelines.components import neardup_components
     return neardup_components(sf_dir)
+
+
+def _pagerank_part_supplier(sf_dir: str):
+    from p2pddsketch_ray.pipelines.components import pagerank_part_supplier
+    return pagerank_part_supplier(sf_dir)
 
 
 def _neardup_keep_stats(sf_dir: str):
@@ -1020,6 +1031,8 @@ SELECT l_returnflag, unnest([0.25, 0.5, 0.75]) AS q,
         "hour_entropy_by_type": _HOUR_ENTROPY_SQL,
         "user_churn_sets": _USER_CHURN_SQL,
         "benchmark_decontamination": _DECONTAMINATION_SQL,
+        "pagerank_part_supplier": _PAGERANK_SQL,
+        "order_skyline": _ORDER_SKYLINE_SQL,
         "customer_event_activity": _CUSTOMER_EVENT_ACTIVITY_SQL,
         "winnow_fingerprint_stats": _WINNOW_FINGERPRINT_SQL,
         "dds_weighted_price": _dds_sql("lineitem", "l_extendedprice",

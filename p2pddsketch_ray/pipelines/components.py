@@ -243,3 +243,167 @@ def neardup_keep_stats(sf_dir: str, k: int = 9, max_doc_id: int = 40,
         "n_kept": pa.array(out["n_kept"].astype("int64")),
         "sum_chars": pa.array(out["sum_chars"].astype("int64")),
     })
+
+
+def pagerank_part_supplier(sf_dir: str, iters: int = 3,
+                           top_k: int = 20) -> pa.Table:
+    """Fixed-iteration PAGERANK over the part<->supplier bipartite graph
+    (edges = distinct (l_partkey, l_suppkey) pairs of lineitem) -- the
+    engine's iterative-numeric message-passing class, complementing the
+    label-propagation class above.  All arithmetic is INTEGER
+    (rank mass in parts-per-trillion, damping 85/100 applied as
+    ``(r * 85) // (100 * deg)`` with per-edge flooring), so the result
+    is bit-exact against a chained-CTE DuckDB replica -- no float
+    summation order anywhere.
+
+    Scale shape: the distinct-edge build is a composite-key groupby
+    (O(|E|) 16-byte rows); node degrees attach to edges ONCE via a
+    src-keyed co-partition (static across iterations, materialized).
+    The node set here is DIMENSION-sized (parts + suppliers), so each
+    round broadcasts the sorted (v, r) vector once via ray.put and every
+    edge batch looks ranks up by searchsorted, pre-combining per-dst
+    contributions in-batch -- the single O(|E|-combined) integer Sum
+    exchange is the only shuffle per round.  For a corpus-sized node set
+    (a web graph) swap the broadcast for the same src-keyed co-partition
+    ``attach_deg`` uses; the iteration body is otherwise identical."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Sum
+
+    SCALE = np.int64(1_000_000_000_000)
+    ds = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_partkey", "l_suppkey"])
+
+    def edge_partial(t: pa.Table) -> pa.Table:
+        p = pc.cast(t["l_partkey"], pa.int64()).to_numpy(
+            zero_copy_only=False) * np.int64(2)
+        s = pc.cast(t["l_suppkey"], pa.int64()).to_numpy(
+            zero_copy_only=False) * np.int64(2) + np.int64(1)
+        comp = np.unique((p << np.int64(32)) | s)
+        return pa.table({"pair": pa.array(comp)})
+
+    pairs = (ds.map_batches(edge_partial, batch_format="pyarrow",
+                            zero_copy_batch=True)
+             .groupby("pair").aggregate(Count(alias_name="_c")))
+
+    def expand(t: pa.Table) -> pa.Table:
+        comp = t["pair"].to_numpy(zero_copy_only=False)
+        a = comp >> np.int64(32)
+        b = comp & np.int64((1 << 32) - 1)
+        return pa.table({
+            "src": pa.array(np.concatenate([a, b])),
+            "dst": pa.array(np.concatenate([b, a])),
+        })
+
+    # edges and deg are each consumed by several stages -- pin them
+    edges = pairs.map_batches(expand,
+                              batch_format="pyarrow").materialize()
+    deg = edges.groupby("src").aggregate(
+        Count(alias_name="d")).materialize()
+
+    # attach static degree to edges once (src-keyed co-partition)
+    ewd_empty = pa.table({"src": pa.array([], type=pa.int64()),
+                          "dst": pa.array([], type=pa.int64()),
+                          "d": pa.array([], type=pa.int64())})
+
+    def attach_deg(t: pa.Table) -> pa.Table:
+        flag = t["flag"].to_numpy(zero_copy_only=False)
+        src = t["src"].to_numpy(zero_copy_only=False)
+        val = t["dst"].to_numpy(zero_copy_only=False)  # deg rides dst col
+        isd = flag == 1
+        dv, dd = src[isd], val[isd]
+        o = np.argsort(dv)
+        pos = np.searchsorted(dv[o], src[~isd])
+        return pa.table({
+            "src": pa.array(src[~isd]),
+            "dst": pa.array(val[~isd]),
+            "d": pa.array(dd[o][pos]),
+        })
+
+    nparts = fit_partitions(16)
+    deg_rows = deg.map_batches(lambda t: pa.table({
+        "src": pc.cast(t["src"], pa.int64()),
+        "dst": pc.cast(t["d"], pa.int64()),
+        "flag": pa.array(np.ones(t.num_rows, np.int64)),
+    }), batch_format="pyarrow")
+    edge_rows = edges.map_batches(
+        lambda t: t.append_column("flag",
+                                  pa.array(np.zeros(t.num_rows, np.int64))),
+        batch_format="pyarrow")
+    ewd = partition_by(edge_rows.union(deg_rows), ["src"], nparts,
+                       attach_deg, ewd_empty).materialize()
+
+    # dimension-sized node vector, broadcast per round
+    v_sorted = np.sort(deg.to_pandas()["src"].to_numpy(dtype=np.int64))
+    n_nodes = v_sorted.shape[0]
+    base = np.int64((int(SCALE) * 15) // (100 * n_nodes))
+    ranks = np.full(n_nodes, np.int64(int(SCALE) // n_nodes), np.int64)
+
+    for _ in range(iters):
+        ref = ray.put((v_sorted, ranks))
+
+        def contribute(t: pa.Table) -> pa.Table:
+            vs, rs = ray.get(ref)
+            src = t["src"].to_numpy(zero_copy_only=False)
+            dst = t["dst"].to_numpy(zero_copy_only=False)
+            d = t["d"].to_numpy(zero_copy_only=False)
+            r_of_src = rs[np.searchsorted(vs, src)]
+            c = (r_of_src * np.int64(85)) // (np.int64(100) * d)
+            # in-batch combiner: one row per distinct dst per block
+            ud, inv = np.unique(dst, return_inverse=True)
+            acc = np.zeros(ud.shape[0], np.int64)
+            np.add.at(acc, inv, c)     # exact int64 (bincount is float)
+            return pa.table({"dst": pa.array(ud), "c": pa.array(acc)})
+
+        summed = (ewd.map_batches(contribute, batch_format="pyarrow")
+                  .groupby("dst").aggregate(Sum("c", alias_name="c"))
+                  .to_pandas())
+        # every node of this undirected graph receives >= 1 contribution
+        pos = np.searchsorted(v_sorted,
+                              summed["dst"].to_numpy(dtype=np.int64))
+        new_r = np.full(n_nodes, base, np.int64)
+        new_r[pos] = base + summed["c"].to_numpy(dtype=np.int64)
+        ranks = new_r
+
+    o = np.lexsort((v_sorted, -ranks))[:top_k]
+    return pa.table({
+        "node_id": pa.array(v_sorted[o]),
+        "rank_ppt": pa.array(ranks[o]),
+    })
+
+
+def _pagerank_sql(iters: int = 3, top_k: int = 20) -> str:
+    prev = "r0"
+    its = ""
+    for i in range(1, iters + 1):
+        its += f""", r{i} AS (
+  SELECT e.dst AS v,
+         CAST((SELECT b FROM base)
+              + sum(({prev}.r * 85) // (100 * deg.d)) AS BIGINT) AS r
+  FROM edges e JOIN {prev} ON {prev}.v = e.src
+  JOIN deg ON deg.src = e.src
+  GROUP BY 1
+)"""
+        prev = f"r{i}"
+    return f"""
+WITH pairs AS (
+  SELECT DISTINCT l_partkey * 2 AS a, l_suppkey * 2 + 1 AS b FROM lineitem
+), edges AS (
+  SELECT a AS src, b AS dst FROM pairs
+  UNION ALL SELECT b AS src, a AS dst FROM pairs
+), deg AS (
+  SELECT src, CAST(count(*) AS BIGINT) AS d FROM edges GROUP BY 1
+), n AS (
+  SELECT CAST(count(*) AS BIGINT) AS n FROM deg
+), base AS (
+  SELECT CAST((1000000000000 * 15) // (100 * n.n) AS BIGINT) AS b FROM n
+), r0 AS (
+  SELECT src AS v, CAST(1000000000000 // n.n AS BIGINT) AS r
+  FROM deg CROSS JOIN n
+){its}
+SELECT v AS node_id, r AS rank_ppt FROM {prev}
+QUALIFY row_number() OVER (ORDER BY r DESC, v) <= {top_k}
+ORDER BY 2 DESC, 1
+"""
+
+
+PAGERANK_SQL = _pagerank_sql()

@@ -2797,3 +2797,89 @@ SELECT CASE WHEN in1 = 1 AND in2 = 1 THEN 'retained'
        CAST(count(*) AS BIGINT) AS n_users
 FROM f GROUP BY 1 ORDER BY 1
 """
+
+
+def order_skyline(sf_dir: str) -> pa.Table:
+    """SKYLINE (Pareto frontier) of orders over (minimize o_orderdate,
+    maximize o_totalprice): every order not strictly dominated by
+    another that is both no-later and no-cheaper.  The multi-objective
+    "best tradeoffs" operator -- classic in analytics, absent from
+    SQL-92 (expressed via QUALIFY window algebra in the oracle).
+
+    Scale shape: the frontier rule is a SEMIGROUP -- a block-local
+    frontier pass (sort by day asc / price desc + running strict max)
+    discards everything dominated within the block, so only per-block
+    frontier rows (typically O(log n) of a random block) reach the
+    single final partition, which re-runs the identical vectorized rule
+    exactly.  No all-to-all: the exchange is O(blocks x frontier)."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate",
+                                  "o_totalprice"])
+
+    empty = pa.table({"o_orderkey": pa.array([], type=pa.int64()),
+                      "day": pa.array([], type=pa.int64()),
+                      "price_c": pa.array([], type=pa.int64())})
+
+    def frontier(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        key = pc.cast(t["o_orderkey"], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        day = (pc.cast(t["o_orderdate"], pa.int64()).to_numpy(
+            zero_copy_only=False) // np.int64(86_400_000_000))
+        price = _int_units(t["o_totalprice"], 100).to_numpy(
+            zero_copy_only=False)
+        order = np.lexsort((key, -price, day))
+        d_s, p_s = day[order], price[order]
+        # per-day max: first row of each day group after the sort
+        new_day = np.ones(order.shape[0], dtype=bool)
+        new_day[1:] = d_s[1:] != d_s[:-1]
+        day_max = p_s[new_day][np.cumsum(new_day) - 1]
+        # strict running max of earlier days (shift the per-day max)
+        uniq_max = p_s[new_day]
+        run = np.maximum.accumulate(uniq_max)
+        prev_max = np.full(uniq_max.shape[0], np.int64(-1))
+        prev_max[1:] = run[:-1]
+        prev_of_row = prev_max[np.cumsum(new_day) - 1]
+        keep = (p_s == day_max) & (p_s > prev_of_row)
+        sel = order[keep]
+        return pa.table({"o_orderkey": pa.array(key[sel]),
+                         "day": pa.array(day[sel]),
+                         "price_c": pa.array(price[sel])})
+
+    local = ds.map_batches(frontier, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+    def final(t: pa.Table) -> pa.Table:
+        return frontier(pa.table({
+            "o_orderkey": pc.cast(t["o_orderkey"], pa.int64()),
+            "o_orderdate": pc.multiply(pc.cast(t["day"], pa.int64()),
+                                       pa.scalar(86_400_000_000)),
+            "o_totalprice": pc.divide(pc.cast(t["price_c"], pa.float64()),
+                                      pa.scalar(100.0)),
+        }))
+
+    from ..stages.partition import partition_by
+    out = partition_by(local, [], 1, final, empty).to_pandas()
+    out = out.sort_values(["day", "price_c", "o_orderkey"]).reset_index(
+        drop=True)
+    return pa.table({
+        "o_orderkey": pa.array(out["o_orderkey"].astype("int64")),
+        "day": pa.array(out["day"].astype("int64")),
+        "price_c": pa.array(out["price_c"].astype("int64")),
+    })
+
+
+ORDER_SKYLINE_SQL = """
+WITH pts AS (
+  SELECT o_orderkey,
+         CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT) AS day,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
+  FROM orders
+)
+SELECT o_orderkey, day, price_c FROM pts
+QUALIFY price_c = max(price_c) OVER (PARTITION BY day)
+    AND price_c > COALESCE(max(price_c) OVER (
+          ORDER BY day RANGE BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING), -1)
+ORDER BY 2, 3, 1
+"""

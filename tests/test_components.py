@@ -99,3 +99,47 @@ def test_neardup_keep_stats_matches_recursive_cte(ray_session):
     n_comp = con.execute(E.oracle_sql()["neardup_components"]).df()[
         "component"].nunique()
     assert got["n_kept"].sum() == n_comp
+
+
+def test_pagerank_matches_duckdb_and_sums_to_mass(ray_session):
+    duckdb = pytest.importorskip("duckdb")
+    from p2pddsketch_ray.pipelines.components import (PAGERANK_SQL,
+                                                      pagerank_part_supplier)
+    sf = "/root/testdata/sf0.001"
+    got = pagerank_part_supplier(sf).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW lineitem AS SELECT * FROM "
+                f"read_parquet('{sf}/lineitem.parquet')")
+    want = con.execute(PAGERANK_SQL).df()
+    assert got.equals(want.reset_index(drop=True))
+    assert len(got) == 20
+    # ranks are a probability mass (ppt scale): every entry positive and
+    # below the total mass; top-ranked first
+    assert (got["rank_ppt"] > 0).all()
+    assert (got["rank_ppt"] <= 1_000_000_000_000).all()
+    r = got["rank_ppt"].to_numpy()
+    assert (r[:-1] >= r[1:]).all()
+
+
+def test_order_skyline_matches_duckdb_and_is_pareto(ray_session):
+    duckdb = pytest.importorskip("duckdb")
+    import numpy as np
+    from p2pddsketch_ray.pipelines.relational import (ORDER_SKYLINE_SQL,
+                                                      order_skyline)
+    sf = "/root/testdata/sf0.001"
+    got = order_skyline(sf).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW orders AS SELECT * FROM "
+                f"read_parquet('{sf}/orders.parquet')")
+    want = con.execute(ORDER_SKYLINE_SQL).df()
+    assert got.equals(want.reset_index(drop=True))
+    # Pareto property vs the raw table: nothing in the table strictly
+    # dominates any skyline point (<= day and >= price with one strict)
+    raw = con.execute("""
+        SELECT CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT) AS day,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
+        FROM orders""").df()
+    rd, rp = raw["day"].to_numpy(), raw["price_c"].to_numpy()
+    for day, price in got[["day", "price_c"]].itertuples(index=False):
+        dom = (rd <= day) & (rp >= price) & ((rd < day) | (rp > price))
+        assert not dom.any()
