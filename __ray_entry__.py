@@ -70,6 +70,8 @@ from p2pddsketch_ray.pipelines.components import (  # noqa: E402
 from p2pddsketch_ray.pipelines.dedup import (  # noqa: E402
     DECONTAMINATION_SQL as _DECONTAMINATION_SQL,
     benchmark_decontamination as _benchmark_decontamination,
+    FUZZY_PROPS_SQL as _FUZZY_PROPS_SQL,
+    fuzzy_props_pairs as _fuzzy_props_pairs,
     NGRAM_JACCARD_SQL as _NGRAM_JACCARD_SQL,
     SIMHASH_SIGNATURES_SQL as _SIMHASH_SIGNATURES_SQL,
     MINHASH_SIGNATURE_SQL as _MINHASH_SIGNATURE_SQL)
@@ -275,6 +277,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # iterative integer PageRank + Pareto-frontier skyline
         "pagerank_part_supplier": _pagerank_part_supplier,
         "order_skyline": R.order_skyline,
+        # FastSS edit-distance-1 fuzzy self-join over payload strings
+        "fuzzy_props_pairs": _fuzzy_props_pairs,
         # LEFT-OUTER join with zero preservation (per-nation activity)
         "customer_event_activity": R.customer_event_activity,
         # winnowing fingerprints (Schleimer et al. 2003) with an exact
@@ -1033,6 +1037,7 @@ SELECT l_returnflag, unnest([0.25, 0.5, 0.75]) AS q,
         "benchmark_decontamination": _DECONTAMINATION_SQL,
         "pagerank_part_supplier": _PAGERANK_SQL,
         "order_skyline": _ORDER_SKYLINE_SQL,
+        "fuzzy_props_pairs": _FUZZY_PROPS_SQL,
         "customer_event_activity": _CUSTOMER_EVENT_ACTIVITY_SQL,
         "winnow_fingerprint_stats": _WINNOW_FINGERPRINT_SQL,
         "dds_weighted_price": _dds_sql("lineitem", "l_extendedprice",

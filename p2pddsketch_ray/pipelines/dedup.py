@@ -980,3 +980,171 @@ SELECT tr.lang,
 FROM train tr LEFT JOIN cont c USING (doc_id)
 GROUP BY 1 ORDER BY 1
 """
+
+
+def fuzzy_props_pairs(sf_dir: str) -> pa.Table:
+    """FUZZY SELF-JOIN at edit distance exactly 1 over the distinct
+    event payload strings -- FastSS deletion-neighborhood matching
+    (Bocek et al., 2007): two strings are one SUBSTITUTION apart iff
+    deleting the same position i from both yields equal strings, and one
+    INSERTION/DELETION apart iff one equals a 1-deletion variant of the
+    other.  No quadratic compare: the candidate space is the
+    deletion-variant hash join.  The typo-tolerant record-linkage /
+    vocabulary-merge primitive.
+
+    Scale shape: the corpus collapses to DISTINCT payloads first (per-
+    block unique partials -> one vocabulary groupby, the only corpus-
+    bounded exchange).  The per-token deletion explode is a vocabulary-
+    side loop (|vocab| << corpus, the dimension side of the join);
+    variants and tokens co-partition by the variant-string fingerprint,
+    each partition detects substitution runs and indel hits vectorized,
+    and a final distinct-pair groupby dedups the multi-position
+    witnesses.  Pairs, not payload rows, ride every exchange."""
+    from ray.data.aggregate import Count
+
+    from ..functions.text import fingerprint64
+    from ..stages.partition import fit_partitions, partition_by
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["props"])
+
+    def distinct_partial(t: pa.Table) -> pa.Table:
+        u = pc.unique(t["props"].combine_chunks())
+        return pa.table({"tok": pc.cast(u, pa.string())})
+
+    vocab = (ds.map_batches(distinct_partial, batch_format="pyarrow",
+                            zero_copy_batch=True)
+             .groupby("tok").aggregate(Count(alias_name="_c")))
+
+    row_empty = pa.table({"s": pa.array([], type=pa.string()),
+                          "i": pa.array([], type=pa.int64()),
+                          "tok": pa.array([], type=pa.string()),
+                          "flag": pa.array([], type=pa.int64()),
+                          "fp": pa.array([], type=pa.int64())})
+
+    def explode(t: pa.Table) -> pa.Table:
+        toks = t["tok"].to_pylist()
+        vs, ii, src = [], [], []
+        for tok in toks:                # vocabulary-side loop, not corpus
+            for i in range(len(tok)):
+                vs.append(tok[:i] + tok[i + 1:])
+                ii.append(i + 1)
+                src.append(tok)
+        var_rows = pa.table({
+            "s": pa.array(vs, type=pa.string()),
+            "i": pa.array(np.asarray(ii, dtype=np.int64)),
+            "tok": pa.array(src, type=pa.string()),
+            "flag": pa.array(np.zeros(len(vs), np.int64)),
+        })
+        tok_rows = pa.table({
+            "s": pa.array(toks, type=pa.string()),
+            "i": pa.array(np.zeros(len(toks), np.int64)),
+            "tok": pa.array(toks, type=pa.string()),
+            "flag": pa.array(np.ones(len(toks), np.int64)),
+        })
+        both = pa.concat_tables([var_rows, tok_rows])
+        return both.append_column("fp", fingerprint64(both["s"]))
+
+    rows = vocab.map_batches(explode, batch_format="pyarrow")
+
+    pair_empty = pa.table({"tok_a": pa.array([], type=pa.string()),
+                           "tok_b": pa.array([], type=pa.string()),
+                           "kind": pa.array([], type=pa.string())})
+
+    def match(group: pa.Table) -> pa.Table:
+        flag = group["flag"].to_numpy(zero_copy_only=False)
+        s = np.asarray(group["s"].to_pylist(), dtype=np.str_)
+        i = group["i"].to_numpy(zero_copy_only=False)
+        tok = np.asarray(group["tok"].to_pylist(), dtype=np.str_)
+        isv = flag == 0
+        out_a, out_b, out_k = [], [], []
+        # substitutions: variant rows grouped by (s, i); within-run pairs
+        vs, vi, vt = s[isv], i[isv], tok[isv]
+        if vs.shape[0] >= 2:
+            order = np.lexsort((vt, vi, vs))
+            s_s, i_s, t_s = vs[order], vi[order], vt[order]
+            new_run = np.ones(s_s.shape[0], dtype=bool)
+            new_run[1:] = (s_s[1:] != s_s[:-1]) | (i_s[1:] != i_s[:-1])
+            starts = np.nonzero(new_run)[0]
+            rlen = np.diff(np.append(starts, s_s.shape[0]))
+            rank = np.arange(s_s.shape[0]) - np.repeat(starts, rlen)
+            cnt_a = np.repeat(rlen, rlen) - rank - 1
+            total = int(cnt_a.sum())
+            if total:
+                a_idx = np.repeat(np.arange(s_s.shape[0]), cnt_a)
+                excl = np.concatenate([[0], np.cumsum(cnt_a)[:-1]])
+                b_idx = a_idx + (np.arange(total)
+                                 - np.repeat(excl, cnt_a)) + 1
+                ta, tb = t_s[a_idx], t_s[b_idx]
+                keep = ta != tb
+                x, y = ta[keep], tb[keep]
+                swap = x > y          # np.minimum lacks a str loop
+                lo, hi = np.where(swap, y, x), np.where(swap, x, y)
+                out_a.append(lo)
+                out_b.append(hi)
+                out_k.append(np.full(lo.shape[0], "sub"))
+        # indels: variant s equals a whole token s
+        ts = s[~isv]
+        if ts.shape[0] and vs.shape[0]:
+            o = np.argsort(ts)
+            ts_s = ts[o]
+            pos = np.searchsorted(ts_s, vs)
+            pos[pos == ts_s.shape[0]] = 0
+            hit = ts_s[pos] == vs
+            if hit.any():
+                x, y = vt[hit], ts_s[pos[hit]]
+                swap = x > y
+                lo, hi = np.where(swap, y, x), np.where(swap, x, y)
+                out_a.append(lo)
+                out_b.append(hi)
+                out_k.append(np.full(lo.shape[0], "indel"))
+        if not out_a:
+            return pair_empty
+        return pa.table({
+            "tok_a": pa.array(np.concatenate(out_a).tolist(),
+                              type=pa.string()),
+            "tok_b": pa.array(np.concatenate(out_b).tolist(),
+                              type=pa.string()),
+            "kind": pa.array(np.concatenate(out_k).tolist(),
+                             type=pa.string()),
+        })
+
+    cand = partition_by(rows, ["fp"], fit_partitions(16), match,
+                        pair_empty)
+    # multi-position witnesses of the same pair dedup here
+    out = (cand.groupby(["tok_a", "tok_b", "kind"])
+           .aggregate(Count(alias_name="_w"))
+           .to_pandas()
+           .sort_values(["kind", "tok_a", "tok_b"])
+           .reset_index(drop=True))
+    return pa.table({
+        "tok_a": pa.array(out["tok_a"], type=pa.string()),
+        "tok_b": pa.array(out["tok_b"], type=pa.string()),
+        "kind": pa.array(out["kind"], type=pa.string()),
+    })
+
+
+FUZZY_PROPS_SQL = """
+WITH toks AS (
+  SELECT DISTINCT props AS tok FROM events
+), nums AS (
+  SELECT CAST(range AS BIGINT) AS i FROM range(1, 4096)
+), vars AS (
+  SELECT tok, i, substr(tok, 1, i - 1) || substr(tok, i + 1) AS var
+  FROM toks JOIN nums ON nums.i <= length(tok)
+), subs AS (
+  SELECT DISTINCT least(a.tok, b.tok) AS tok_a,
+                  greatest(a.tok, b.tok) AS tok_b,
+                  'sub' AS kind
+  FROM vars a JOIN vars b
+    ON a.var = b.var AND a.i = b.i AND a.tok < b.tok
+), indel AS (
+  SELECT DISTINCT least(v.tok, t.tok) AS tok_a,
+                  greatest(v.tok, t.tok) AS tok_b,
+                  'indel' AS kind
+  FROM vars v JOIN toks t ON v.var = t.tok
+)
+SELECT tok_a, tok_b, kind
+FROM (SELECT * FROM subs UNION ALL SELECT * FROM indel)
+ORDER BY 3, 1, 2
+"""

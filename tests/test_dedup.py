@@ -246,3 +246,32 @@ def test_minhash_signature_stats_match_duckdb(ray_session):
                 f"read_parquet('{sf}/documents.parquet')")
     want = con.execute(MINHASH_SIGNATURE_SQL).df()
     assert got.equals(want.reset_index(drop=True))
+
+
+def test_fuzzy_props_pairs_matches_duckdb(ray_session):
+    duckdb = pytest.importorskip("duckdb")
+    from p2pddsketch_ray.pipelines.dedup import (FUZZY_PROPS_SQL,
+                                                 fuzzy_props_pairs)
+    sf = "/root/testdata/sf0.001"
+    got = fuzzy_props_pairs(sf).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{sf}/events.parquet')")
+    want = con.execute(FUZZY_PROPS_SQL).df()
+    assert got.equals(want.reset_index(drop=True))
+    # every reported pair really is at edit distance exactly 1
+    def edit1(a: str, b: str) -> bool:
+        if a == b:
+            return False
+        if len(a) == len(b):
+            return sum(x != y for x, y in zip(a, b)) == 1
+        if abs(len(a) - len(b)) != 1:
+            return False
+        s, l = (a, b) if len(a) < len(b) else (b, a)
+        for i in range(len(l)):
+            if l[:i] + l[i + 1:] == s:
+                return True
+        return False
+    for ta, tb, kind in got.itertuples(index=False):
+        assert edit1(ta, tb), (ta, tb)
+        assert (len(ta) == len(tb)) == (kind == "sub")
