@@ -49,6 +49,8 @@ from p2pddsketch_ray.pipelines.relational import (  # noqa: E402
     HOUR_ENTROPY_SQL as _HOUR_ENTROPY_SQL,
     USER_CHURN_SQL as _USER_CHURN_SQL,
     ORDER_SKYLINE_SQL as _ORDER_SKYLINE_SQL,
+    KEYWORD_SEARCH_SQL as _KEYWORD_SEARCH_SQL,
+    TOKEN_BUDGET_SQL as _TOKEN_BUDGET_SQL,
     CUSTOMER_EVENT_ACTIVITY_SQL as _CUSTOMER_EVENT_ACTIVITY_SQL,
     WINSORIZED_PRICE_SQL as _WINSORIZED_PRICE_SQL,
     DISTINCT_USERS_PER_TYPE_SQL as _DISTINCT_USERS_PER_TYPE_SQL,
@@ -279,6 +281,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_skyline": R.order_skyline,
         # FastSS edit-distance-1 fuzzy self-join over payload strings
         "fuzzy_props_pairs": _fuzzy_props_pairs,
+        # conjunctive keyword search + per-lang token-budget mix builder
+        "keyword_search_topk": R.keyword_search_topk,
+        "token_budget_mix": R.token_budget_mix,
         # LEFT-OUTER join with zero preservation (per-nation activity)
         "customer_event_activity": R.customer_event_activity,
         # winnowing fingerprints (Schleimer et al. 2003) with an exact
@@ -1038,6 +1043,8 @@ SELECT l_returnflag, unnest([0.25, 0.5, 0.75]) AS q,
         "pagerank_part_supplier": _PAGERANK_SQL,
         "order_skyline": _ORDER_SKYLINE_SQL,
         "fuzzy_props_pairs": _FUZZY_PROPS_SQL,
+        "keyword_search_topk": _KEYWORD_SEARCH_SQL,
+        "token_budget_mix": _TOKEN_BUDGET_SQL,
         "customer_event_activity": _CUSTOMER_EVENT_ACTIVITY_SQL,
         "winnow_fingerprint_stats": _WINNOW_FINGERPRINT_SQL,
         "dds_weighted_price": _dds_sql("lineitem", "l_extendedprice",

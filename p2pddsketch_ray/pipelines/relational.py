@@ -2883,3 +2883,200 @@ QUALIFY price_c = max(price_c) OVER (PARTITION BY day)
                              AND 1 PRECEDING), -1)
 ORDER BY 2, 3, 1
 """
+
+
+def keyword_search_topk(sf_dir: str, terms: tuple = ("hash", "join"),
+                        k: int = 15) -> pa.Table:
+    """Conjunctive KEYWORD SEARCH with term-frequency ranking: documents
+    containing ALL query terms (token-equality semantics, not substring),
+    ranked by summed tf with deterministic (score desc, doc asc) order --
+    the retrieval primitive an inverted index serves, expressed as one
+    streaming scan.
+
+    Scale shape: each block folds to per-doc tf vectors for just the
+    |terms| query tokens (dictionary-encode once, one integer compare
+    per term -- no per-row Python) and immediately prunes to docs
+    matching every term, then keeps its local top-k; the exchange is
+    O(k x blocks) rows into one final ranking partition.  At index-serving
+    scale the same kernel runs against the posting-list parquet written
+    by the partitioned sink instead of raw text."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    terms = tuple(terms)
+
+    tf_cols = [f"tf_{t}" for t in terms]
+    empty = pa.table({"doc_id": pa.array([], type=pa.int64()),
+                      **{c: pa.array([], type=pa.int64())
+                         for c in tf_cols},
+                      "score": pa.array([], type=pa.int64())})
+
+    def local(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        toks = pc.split_pattern(t["text"], pattern=" ")
+        flat = pc.list_flatten(toks).combine_chunks()
+        nper = pc.list_value_length(toks).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        dcode = np.repeat(np.arange(t.num_rows, dtype=np.int64), nper)
+        dic = flat.dictionary_encode()
+        idx = dic.indices.to_numpy(zero_copy_only=False)
+        dwords = dic.dictionary.to_pylist()
+        tfm = np.zeros((t.num_rows, len(terms)), dtype=np.int64)
+        for j, term in enumerate(terms):
+            if term in dwords:
+                code = dwords.index(term)
+                np.add.at(tfm[:, j], dcode[idx == code], 1)
+        hit = (tfm > 0).all(axis=1)
+        if not hit.any():
+            return empty
+        ids = pc.cast(t["doc_id"], pa.int64()).to_numpy(
+            zero_copy_only=False)[hit]
+        tfm = tfm[hit]
+        score = tfm.sum(axis=1)
+        o = np.lexsort((ids, -score))[:k]
+        return pa.table({
+            "doc_id": pa.array(ids[o]),
+            **{c: pa.array(tfm[o, j]) for j, c in enumerate(tf_cols)},
+            "score": pa.array(score[o]),
+        })
+
+    from ..stages.partition import partition_by
+    pooled = docs.map_batches(local, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+    def final(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        score = t["score"].to_numpy(zero_copy_only=False)
+        o = np.lexsort((ids, -score))[:k]
+        return pa.table({
+            "doc_id": pa.array(ids[o]),
+            **{c: pa.array(t[c].to_numpy(zero_copy_only=False)[o])
+               for c in tf_cols},
+            "score": pa.array(score[o]),
+        })
+
+    out = partition_by(pooled, [], 1, final, empty).to_pandas()
+    out = out.sort_values(["score", "doc_id"],
+                          ascending=[False, True]).reset_index(drop=True)
+    return pa.table({c: pa.array(out[c].astype("int64"))
+                     for c in ["doc_id", *tf_cols, "score"]})
+
+
+KEYWORD_SEARCH_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+), tf AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN tok = 'hash' THEN 1 ELSE 0 END) AS BIGINT)
+           AS tf_hash,
+         CAST(sum(CASE WHEN tok = 'join' THEN 1 ELSE 0 END) AS BIGINT)
+           AS tf_join
+  FROM toks GROUP BY 1
+)
+SELECT doc_id, tf_hash, tf_join,
+       CAST(tf_hash + tf_join AS BIGINT) AS score
+FROM tf WHERE tf_hash > 0 AND tf_join > 0
+QUALIFY row_number() OVER (ORDER BY score DESC, doc_id) <= 15
+ORDER BY 4 DESC, 1
+"""
+
+
+def token_budget_mix(sf_dir: str, budget: int = 400) -> pa.Table:
+    """TRAINING-MIX BUILDER: per language, admit documents in
+    deterministic hash order until a per-language TOKEN BUDGET is
+    exhausted (running token total <= budget) -- how a data-mixture
+    recipe ("x tokens of each language") is actually materialized.
+    Hash order (DuckDB-hash-replicated murmur64 of doc_id) makes the
+    admitted set a uniform sample, reproducible across runs and engines.
+
+    Scale shape: one pass computes (doc_id, lang, tokens, hash) rows --
+    text never leaves the map stage; languages co-partition (the
+    sessionization assumption: one group fits one partition, valid here
+    because the admitted PREFIX is budget-bounded even when the language
+    corpus is not -- the cumsum stops mattering past the budget); each
+    partition sorts by unsigned hash and cuts at the budget with one
+    cumsum.  Output is a lang-sized rollup."""
+    from ..hashing import murmur64
+    from ..stages.partition import fit_partitions, partition_by
+
+    docs = _read(sf_dir, "documents", ["doc_id", "lang", "text"])
+
+    def meta(t: pa.Table) -> pa.Table:
+        toks = pc.list_value_length(
+            pc.split_pattern(t["text"], pattern=" "))
+        ids = pc.cast(t["doc_id"], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        return pa.table({
+            "doc_id": pa.array(ids),
+            "lang": t["lang"],
+            "toks": pc.cast(toks, pa.int64()),
+            "h": pa.array(murmur64(ids).view(np.int64)),
+        })
+
+    rows = docs.map_batches(meta, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+    empty = pa.table({"lang": pa.array([], type=pa.string()),
+                      "n_docs": pa.array([], type=pa.int64()),
+                      "tokens": pa.array([], type=pa.int64())})
+
+    def admit(t: pa.Table) -> pa.Table:
+        lang = np.asarray(t["lang"].to_pylist(), dtype=np.str_)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        nt = t["toks"].to_numpy(zero_copy_only=False)
+        h = t["h"].to_numpy(zero_copy_only=False).view(np.uint64)
+        order = np.lexsort((ids, h, lang))
+        l_s, n_s = lang[order], nt[order]
+        new_grp = np.ones(order.shape[0], dtype=bool)
+        new_grp[1:] = l_s[1:] != l_s[:-1]
+        csum = np.cumsum(n_s)
+        base = np.zeros(order.shape[0], dtype=np.int64)
+        starts = np.nonzero(new_grp)[0]
+        rlen = np.diff(np.append(starts, order.shape[0]))
+        base = np.repeat(np.where(starts > 0, csum[starts - 1], 0), rlen)
+        run_sum = csum - base
+        keep = run_sum <= np.int64(budget)
+        if not keep.any():
+            return empty
+        kl, kn = l_s[keep], n_s[keep]
+        ul, inv = np.unique(kl, return_inverse=True)
+        cnt = np.bincount(inv).astype(np.int64)
+        tot = np.zeros(ul.shape[0], np.int64)
+        np.add.at(tot, inv, kn)
+        return pa.table({
+            "lang": pa.array(ul.tolist(), type=pa.string()),
+            "n_docs": pa.array(cnt),
+            "tokens": pa.array(tot),
+        })
+
+    # lang co-partition (hash of the group key, groups << partitions ok)
+    def add_lkey(t: pa.Table) -> pa.Table:
+        lang = t["lang"]
+        from ..functions.text import fingerprint64
+        return t.append_column("lk", fingerprint64(lang))
+
+    keyed = rows.map_batches(add_lkey, batch_format="pyarrow")
+    out = (partition_by(keyed, ["lk"], fit_partitions(8),
+                        lambda g: admit(g.drop_columns(["lk"])), empty)
+           .to_pandas().sort_values("lang").reset_index(drop=True))
+    return pa.table({
+        "lang": pa.array(out["lang"], type=pa.string()),
+        "n_docs": pa.array(out["n_docs"].astype("int64")),
+        "tokens": pa.array(out["tokens"].astype("int64")),
+    })
+
+
+TOKEN_BUDGET_SQL = """
+WITH d AS (
+  SELECT doc_id, lang,
+         CAST(length(string_split(text, ' ')) AS BIGINT) AS toks,
+         hash(doc_id) AS h
+  FROM documents
+), keep AS (
+  SELECT * FROM d
+  QUALIFY sum(toks) OVER (PARTITION BY lang ORDER BY h, doc_id
+                          ROWS UNBOUNDED PRECEDING) <= 400
+)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(toks) AS BIGINT) AS tokens
+FROM keep GROUP BY 1 ORDER BY 1
+"""

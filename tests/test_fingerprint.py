@@ -226,3 +226,29 @@ def test_benchmark_decontamination_matches_duckdb(ray_session):
     # guarantee shared 16-grams across sources in this corpus, so the
     # contaminated count is nonzero at every scale
     assert got["n_contaminated"].sum() > 0
+
+
+def test_keyword_search_and_token_budget_match_duckdb(ray_session):
+    duckdb = pytest.importorskip("duckdb")
+    from p2pddsketch_ray.pipelines.relational import (
+        KEYWORD_SEARCH_SQL, TOKEN_BUDGET_SQL, keyword_search_topk,
+        token_budget_mix)
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf}/documents.parquet')")
+    got = keyword_search_topk(sf).to_pandas()
+    want = con.execute(KEYWORD_SEARCH_SQL).df()
+    assert got.equals(want.reset_index(drop=True))
+    # conjunctive semantics: every hit has both terms
+    assert (got["tf_hash"] > 0).all() and (got["tf_join"] > 0).all()
+    assert (got["score"] == got["tf_hash"] + got["tf_join"]).all()
+
+    mix = token_budget_mix(sf).to_pandas()
+    wantm = con.execute(TOKEN_BUDGET_SQL).df()
+    assert mix.equals(wantm.reset_index(drop=True))
+    # the budget binds: every language admitted <= 400 tokens, and
+    # adding any one more (min-size) doc would exceed it for at least
+    # one language at this scale
+    assert (mix["tokens"] <= 400).all()
+    assert (mix["n_docs"] > 0).all()
