@@ -51,6 +51,7 @@ from p2pddsketch_ray.pipelines.relational import (  # noqa: E402
     ORDER_SKYLINE_SQL as _ORDER_SKYLINE_SQL,
     KEYWORD_SEARCH_SQL as _KEYWORD_SEARCH_SQL,
     TOKEN_BUDGET_SQL as _TOKEN_BUDGET_SQL,
+    BUCKETED_JOIN_SQL as _BUCKETED_JOIN_SQL,
     CUSTOMER_EVENT_ACTIVITY_SQL as _CUSTOMER_EVENT_ACTIVITY_SQL,
     WINSORIZED_PRICE_SQL as _WINSORIZED_PRICE_SQL,
     DISTINCT_USERS_PER_TYPE_SQL as _DISTINCT_USERS_PER_TYPE_SQL,
@@ -284,6 +285,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # conjunctive keyword search + per-lang token-budget mix builder
         "keyword_search_topk": R.keyword_search_topk,
         "token_budget_mix": R.token_budget_mix,
+        # hash-bucketed co-located join (zero-shuffle layout reuse)
+        "bucketed_join_rollup": R.bucketed_join_rollup,
         # LEFT-OUTER join with zero preservation (per-nation activity)
         "customer_event_activity": R.customer_event_activity,
         # winnowing fingerprints (Schleimer et al. 2003) with an exact
@@ -1045,6 +1048,7 @@ SELECT l_returnflag, unnest([0.25, 0.5, 0.75]) AS q,
         "fuzzy_props_pairs": _FUZZY_PROPS_SQL,
         "keyword_search_topk": _KEYWORD_SEARCH_SQL,
         "token_budget_mix": _TOKEN_BUDGET_SQL,
+        "bucketed_join_rollup": _BUCKETED_JOIN_SQL,
         "customer_event_activity": _CUSTOMER_EVENT_ACTIVITY_SQL,
         "winnow_fingerprint_stats": _WINNOW_FINGERPRINT_SQL,
         "dds_weighted_price": _dds_sql("lineitem", "l_extendedprice",

@@ -252,3 +252,24 @@ def test_keyword_search_and_token_budget_match_duckdb(ray_session):
     # one language at this scale
     assert (mix["tokens"] <= 400).all()
     assert (mix["n_docs"] > 0).all()
+
+
+def test_bucketed_join_rollup_matches_duckdb(ray_session, tmp_path):
+    duckdb = pytest.importorskip("duckdb")
+    import os
+    from p2pddsketch_ray.pipelines.relational import (BUCKETED_JOIN_SQL,
+                                                      bucketed_join_rollup)
+    sf = "/root/testdata/sf0.001"
+    root = str(tmp_path / "buckets")
+    got = bucketed_join_rollup(sf, out_root=root).to_pandas()
+    con = duckdb.connect()
+    for t in ("events", "customer"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{sf}/{t}.parquet')")
+    want = con.execute(BUCKETED_JOIN_SQL).df()
+    assert got.equals(want.reset_index(drop=True))
+    # the layout really is hive-bucketed on both sides
+    for tbl in ("customer", "events"):
+        parts = sorted(os.listdir(f"{root}/{tbl}"))
+        assert all(p.startswith("bucket=") for p in parts)
+        assert 1 <= len(parts) <= 8  # tiny key sets may miss buckets
