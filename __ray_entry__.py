@@ -52,6 +52,7 @@ from p2pddsketch_ray.pipelines.relational import (  # noqa: E402
     KEYWORD_SEARCH_SQL as _KEYWORD_SEARCH_SQL,
     TOKEN_BUDGET_SQL as _TOKEN_BUDGET_SQL,
     BUCKETED_JOIN_SQL as _BUCKETED_JOIN_SQL,
+    UPSERT_COMPACTION_SQL as _UPSERT_COMPACTION_SQL,
     CUSTOMER_EVENT_ACTIVITY_SQL as _CUSTOMER_EVENT_ACTIVITY_SQL,
     WINSORIZED_PRICE_SQL as _WINSORIZED_PRICE_SQL,
     DISTINCT_USERS_PER_TYPE_SQL as _DISTINCT_USERS_PER_TYPE_SQL,
@@ -287,6 +288,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_budget_mix": R.token_budget_mix,
         # hash-bucketed co-located join (zero-shuffle layout reuse)
         "bucketed_join_rollup": R.bucketed_join_rollup,
+        # CDC MERGE latest-wins compaction
+        "upsert_compaction": R.upsert_compaction,
         # LEFT-OUTER join with zero preservation (per-nation activity)
         "customer_event_activity": R.customer_event_activity,
         # winnowing fingerprints (Schleimer et al. 2003) with an exact
@@ -1049,6 +1052,7 @@ SELECT l_returnflag, unnest([0.25, 0.5, 0.75]) AS q,
         "keyword_search_topk": _KEYWORD_SEARCH_SQL,
         "token_budget_mix": _TOKEN_BUDGET_SQL,
         "bucketed_join_rollup": _BUCKETED_JOIN_SQL,
+        "upsert_compaction": _UPSERT_COMPACTION_SQL,
         "customer_event_activity": _CUSTOMER_EVENT_ACTIVITY_SQL,
         "winnow_fingerprint_stats": _WINNOW_FINGERPRINT_SQL,
         "dds_weighted_price": _dds_sql("lineitem", "l_extendedprice",

@@ -3205,3 +3205,137 @@ SELECT CAST(c.c_nationkey AS BIGINT) AS nationkey,
 FROM events e JOIN customer c ON e.user_id = c.c_custkey
 GROUP BY 1 ORDER BY 1
 """
+
+
+def upsert_compaction(sf_dir: str) -> pa.Table:
+    """CDC UPSERT COMPACTION (MERGE latest-wins): the events stream is
+    treated as account-balance updates; each customer's balance is
+    replaced by their LATEST event value (ties broken by event_id, the
+    CDC log sequence number), customers with no updates keep the base
+    value -- the compaction step every lakehouse MERGE INTO performs.
+    Output: per-nation count + compacted balance total (integer cents).
+
+    Scale shape: the update stream first reduces to ONE latest row per
+    key via a composite argmax that needs no sort shuffle -- each block
+    folds to its per-key latest (ts, seq, value) partial, and a key
+    co-partition finishes the argmax exactly (max of a lexicographic
+    composite is associative).  The compacted join then moves O(keys)
+    rows, never O(updates); the base side streams."""
+    from ..stages.partition import fit_partitions, partition_by
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_id", "value"])
+
+    up_empty = pa.table({"k": pa.array([], type=pa.int64()),
+                         "ts": pa.array([], type=pa.int64()),
+                         "seq": pa.array([], type=pa.int64()),
+                         "val_c": pa.array([], type=pa.int64())})
+
+    def latest_partial(t: pa.Table) -> pa.Table:
+        k = pc.cast(t["user_id"], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        ts = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        seq = pc.cast(t["event_id"], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        val = _int_units(t["value"], 100).to_numpy(zero_copy_only=False)
+        order = np.lexsort((-seq, -ts, k))   # per key: latest first
+        k_s = k[order]
+        first = np.ones(order.shape[0], dtype=bool)
+        first[1:] = k_s[1:] != k_s[:-1]
+        sel = order[first]
+        return pa.table({"k": pa.array(k[sel]), "ts": pa.array(ts[sel]),
+                         "seq": pa.array(seq[sel]),
+                         "val_c": pa.array(val[sel])})
+
+    partials = ev.map_batches(latest_partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    latest = partition_by(partials, ["k"], fit_partitions(16),
+                          _latest_of, up_empty)
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey",
+                                      "c_acctbal"])
+
+    # co-partition base vs latest-updates by key (union + flag)
+    base_rows = cust.map_batches(lambda t: pa.table({
+        "k": pc.cast(t["c_custkey"], pa.int64()),
+        "nat": pc.cast(t["c_nationkey"], pa.int64()),
+        "val_c": _int_units(t["c_acctbal"], 100),
+        "flag": pa.array(np.zeros(t.num_rows, np.int64)),
+    }), batch_format="pyarrow")
+    upd_rows = latest.map_batches(lambda t: pa.table({
+        "k": pc.cast(t["k"], pa.int64()),
+        "nat": pa.array(np.zeros(t.num_rows, np.int64)),
+        "val_c": pc.cast(t["val_c"], pa.int64()),
+        "flag": pa.array(np.ones(t.num_rows, np.int64)),
+    }), batch_format="pyarrow")
+
+    m_empty = pa.table({"nat": pa.array([], type=pa.int64()),
+                        "n": pa.array([], type=pa.int64()),
+                        "bal_c": pa.array([], type=pa.int64())})
+
+    def merge_part(t: pa.Table) -> pa.Table:
+        flag = t["flag"].to_numpy(zero_copy_only=False)
+        k = t["k"].to_numpy(zero_copy_only=False)
+        nat = t["nat"].to_numpy(zero_copy_only=False)
+        val = t["val_c"].to_numpy(zero_copy_only=False)
+        isb = flag == 0
+        if not isb.any():
+            return m_empty
+        bk, bn, bv = k[isb], nat[isb], val[isb]
+        uk, uv = k[~isb], val[~isb]
+        o = np.argsort(uk)
+        pos = np.searchsorted(uk[o], bk)
+        pos[pos == uk.shape[0]] = 0
+        hit = (uk[o][pos] == bk) if uk.shape[0] else np.zeros(
+            bk.shape[0], bool)
+        out_val = np.where(hit, uv[o][pos] if uk.shape[0] else 0, bv)
+        un, inv = np.unique(bn, return_inverse=True)
+        cnt = np.bincount(inv).astype(np.int64)
+        sv = np.zeros(un.shape[0], np.int64)
+        np.add.at(sv, inv, out_val)
+        return pa.table({"nat": pa.array(un), "n": pa.array(cnt),
+                         "bal_c": pa.array(sv)})
+
+    agg = (partition_by(base_rows.union(upd_rows), ["k"],
+                        fit_partitions(16), merge_part, m_empty)
+           .groupby("nat").aggregate(Sum("n", alias_name="n"),
+                                     Sum("bal_c", alias_name="bal_c"))
+           .to_pandas().sort_values("nat").reset_index(drop=True))
+    return pa.table({
+        "nationkey": pa.array(agg["nat"].astype("int64")),
+        "n_customers": pa.array(agg["n"].astype("int64")),
+        "balance_c": pa.array(agg["bal_c"].astype("int64")),
+    })
+
+
+def _latest_of(g: pa.Table) -> pa.Table:
+    """Exact per-key latest over co-partitioned partials (same
+    lexicographic argmax the block partials use)."""
+    k = g["k"].to_numpy(zero_copy_only=False)
+    ts = g["ts"].to_numpy(zero_copy_only=False)
+    seq = g["seq"].to_numpy(zero_copy_only=False)
+    val = g["val_c"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((-seq, -ts, k))
+    k_s = k[order]
+    first = np.ones(order.shape[0], dtype=bool)
+    first[1:] = k_s[1:] != k_s[:-1]
+    sel = order[first]
+    return pa.table({"k": pa.array(k[sel]), "ts": pa.array(ts[sel]),
+                     "seq": pa.array(seq[sel]),
+                     "val_c": pa.array(val[sel])})
+
+
+UPSERT_COMPACTION_SQL = """
+WITH latest AS (
+  SELECT user_id, CAST(round(value * 100) AS BIGINT) AS val_c
+  FROM events
+  QUALIFY row_number() OVER (PARTITION BY user_id
+                             ORDER BY ts DESC, event_id DESC) = 1
+)
+SELECT CAST(c.c_nationkey AS BIGINT) AS nationkey,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(sum(COALESCE(l.val_c,
+                         CAST(round(c.c_acctbal * 100) AS BIGINT)))
+            AS BIGINT) AS balance_c
+FROM customer c LEFT JOIN latest l ON l.user_id = c.c_custkey
+GROUP BY 1 ORDER BY 1
+"""

@@ -273,3 +273,26 @@ def test_bucketed_join_rollup_matches_duckdb(ray_session, tmp_path):
         parts = sorted(os.listdir(f"{root}/{tbl}"))
         assert all(p.startswith("bucket=") for p in parts)
         assert 1 <= len(parts) <= 8  # tiny key sets may miss buckets
+
+
+def test_upsert_compaction_matches_duckdb(ray_session):
+    duckdb = pytest.importorskip("duckdb")
+    from p2pddsketch_ray.pipelines.relational import (
+        UPSERT_COMPACTION_SQL, upsert_compaction)
+    sf = "/root/testdata/sf0.001"
+    got = upsert_compaction(sf).to_pandas()
+    con = duckdb.connect()
+    for t in ("events", "customer"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{sf}/{t}.parquet')")
+    want = con.execute(UPSERT_COMPACTION_SQL).df()
+    assert got.equals(want.reset_index(drop=True))
+    # every customer survives compaction exactly once
+    n_cust = con.execute("SELECT count(*) FROM customer").fetchone()[0]
+    assert int(got["n_customers"].sum()) == n_cust
+    # updated keys really changed the total vs the raw base
+    base = con.execute("""SELECT CAST(c_nationkey AS BIGINT) nationkey,
+        CAST(sum(CAST(round(c_acctbal*100) AS BIGINT)) AS BIGINT) b
+        FROM customer GROUP BY 1 ORDER BY 1""").df()
+    merged = got.merge(base, on="nationkey")
+    assert (merged["balance_c"] != merged["b"]).any()
