@@ -28,6 +28,8 @@ BIN_LIMIT = 2048     # roomy so the SQL replica needs no collapse emulation
 GAMMA_SQL = "((1.0+0.01)/(1.0-0.01))"
 
 from p2pddsketch_ray.pipelines.temporal import (  # noqa: E402
+    INTERVAL_COVERAGE_SQL as _INTERVAL_COVERAGE_SQL,
+    user_interval_coverage as _user_interval_coverage,
     EVENTS_ASOF_ORDERS_SQL as _EVENTS_ASOF_ORDERS_SQL,
     ORDERS_EVENT_WINDOW_SQL as _ORDERS_EVENT_WINDOW_SQL,
     USER_EVENT_LAG_SQL as _USER_EVENT_LAG_SQL,
@@ -290,6 +292,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bucketed_join_rollup": R.bucketed_join_rollup,
         # CDC MERGE latest-wins compaction
         "upsert_compaction": R.upsert_compaction,
+        # interval-union coverage (sweep-line islands)
+        "user_interval_coverage": _user_interval_coverage,
         # LEFT-OUTER join with zero preservation (per-nation activity)
         "customer_event_activity": R.customer_event_activity,
         # winnowing fingerprints (Schleimer et al. 2003) with an exact
@@ -1053,6 +1057,7 @@ SELECT l_returnflag, unnest([0.25, 0.5, 0.75]) AS q,
         "token_budget_mix": _TOKEN_BUDGET_SQL,
         "bucketed_join_rollup": _BUCKETED_JOIN_SQL,
         "upsert_compaction": _UPSERT_COMPACTION_SQL,
+        "user_interval_coverage": _INTERVAL_COVERAGE_SQL,
         "customer_event_activity": _CUSTOMER_EVENT_ACTIVITY_SQL,
         "winnow_fingerprint_stats": _WINNOW_FINGERPRINT_SQL,
         "dds_weighted_price": _dds_sql("lineitem", "l_extendedprice",

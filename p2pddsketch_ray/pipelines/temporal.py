@@ -1074,3 +1074,91 @@ SELECT wau.d * 86400 AS day_start,
 FROM wau LEFT JOIN dau ON dau.day = wau.d
 ORDER BY 1
 """
+
+
+def user_interval_coverage(sf_dir: str,
+                           width_s: int = 300) -> "ray.data.Dataset":
+    """INTERVAL UNION (sweep-line coverage): each event opens a
+    [ts, ts + width) activity interval; per user, overlapping intervals
+    merge into islands and the result is (n_islands, covered seconds) --
+    the interval-algebra primitive behind "total active time" metrics,
+    ad-exposure dedup, and overlap-free billing.
+
+    Scale shape: users co-partition once (the sessionization
+    assumption); within a partition ONE lexsort + ONE segmented running
+    max computes every user's island structure vectorized -- the
+    user-run reset is free because the running max operates in an
+    adjusted space (user_rank * HUGE + e) where a new user's values
+    dominate all previous rows, so islands can never leak across
+    users.  Output is O(users), exchanged once."""
+    width_us = np.int64(width_s) * np.int64(1_000_000)
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts"])
+
+    empty = pa.table({"user_id": pa.array([], type=pa.int64()),
+                      "n_islands": pa.array([], type=pa.int64()),
+                      "covered_s": pa.array([], type=pa.int64())})
+
+    def coverage(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        u = pc.cast(t["user_id"], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        s = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        e = s + width_us
+        order = np.lexsort((e, s, u))
+        u_s, s_s, e_s = u[order], s[order], e[order]
+        new_user = np.ones(order.shape[0], dtype=bool)
+        new_user[1:] = u_s[1:] != u_s[:-1]
+        ucode = np.cumsum(new_user) - 1
+        lo = s_s.min()
+        huge = np.int64(e_s.max() - lo + 2)
+        adj_e = ucode * huge + (e_s - lo)
+        adj_s = ucode * huge + (s_s - lo)
+        cm = np.maximum.accumulate(adj_e)
+        new_island = np.ones(order.shape[0], dtype=bool)
+        new_island[1:] = adj_s[1:] > cm[:-1]
+        isl = np.cumsum(new_island) - 1
+        n_isl = isl[-1] + 1
+        s0 = s_s[new_island]
+        ends = np.zeros(n_isl, np.int64)
+        np.maximum.at(ends, isl, e_s)
+        user_of_isl = u_s[new_island]
+        uu, inv = np.unique(user_of_isl, return_inverse=True)
+        cnt = np.bincount(inv).astype(np.int64)
+        cov = np.zeros(uu.shape[0], np.int64)
+        np.add.at(cov, inv, (ends - s0) // np.int64(1_000_000))
+        return pa.table({"user_id": pa.array(uu),
+                         "n_islands": pa.array(cnt),
+                         "covered_s": pa.array(cov)})
+
+    return partition_by(ds, ["user_id"], fit_partitions(16), coverage,
+                        empty)
+
+
+INTERVAL_COVERAGE_SQL = """
+WITH iv AS (
+  SELECT user_id, epoch_us(ts) AS s, epoch_us(ts) + 300000000 AS e
+  FROM events
+), ord AS (
+  SELECT user_id, s, e,
+         max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING) AS prev_max
+  FROM iv
+), isl AS (
+  SELECT user_id, s, e,
+         CAST(sum(CASE WHEN prev_max IS NULL OR s > prev_max
+                       THEN 1 ELSE 0 END)
+              OVER (PARTITION BY user_id ORDER BY s, e
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS island
+  FROM ord
+), grp AS (
+  SELECT user_id, island, CAST(min(s) AS BIGINT) AS s0,
+         CAST(max(e) AS BIGINT) AS e1
+  FROM isl GROUP BY 1, 2
+)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_islands,
+       CAST(sum((e1 - s0) // 1000000) AS BIGINT) AS covered_s
+FROM grp GROUP BY 1 ORDER BY 1
+"""

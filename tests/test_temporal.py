@@ -261,3 +261,52 @@ def test_active_user_counts_matches_duckdb(ray_session):
     assert got.equals(want.reset_index(drop=True))
     # a day's trailing-7 distinct can never be below that day's distinct
     assert (got["wau"] >= got["dau"]).all()
+
+
+def test_user_interval_coverage_matches_duckdb(ray_session):
+    duckdb = pytest.importorskip("duckdb")
+    from p2pddsketch_ray.pipelines.temporal import (INTERVAL_COVERAGE_SQL,
+                                                    user_interval_coverage)
+    sf = "/root/testdata/sf0.001"
+    got = (user_interval_coverage(sf).to_pandas()
+           .sort_values("user_id").reset_index(drop=True))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{sf}/events.parquet')")
+    want = con.execute(INTERVAL_COVERAGE_SQL).df()
+    assert got.equals(want.reset_index(drop=True))
+    # coverage bounds: islands * width >= covered >= width (>=1 event)
+    assert (got["covered_s"] >= 300).all()
+    n_ev = con.execute(
+        "SELECT user_id, count(*) n FROM events GROUP BY 1 ORDER BY 1"
+    ).df()["n"].to_numpy()
+    assert (got["covered_s"].to_numpy() <= n_ev * 300).all()
+    assert (got["n_islands"].to_numpy() <= n_ev).all()
+
+
+def test_user_interval_coverage_brute_force(ray_session):
+    import numpy as np
+    from p2pddsketch_ray.pipelines.temporal import user_interval_coverage
+    sf = "/root/testdata/sf0.001"
+    got = (user_interval_coverage(sf).to_pandas()
+           .sort_values("user_id").reset_index(drop=True))
+    import pyarrow.parquet as pq
+    t = pq.read_table(f"{sf}/events.parquet", columns=["user_id", "ts"])
+    uid = t["user_id"].to_numpy()
+    ts = t["ts"].cast("int64").to_numpy()
+    for u, grp in got.groupby("user_id"):
+        s = np.sort(ts[uid == u])
+        e = s + 300_000_000
+        cov = n = 0          # per-island floor, matching the oracle
+        cur_s, cur_e = s[0], e[0]
+        for i in range(1, len(s)):
+            if s[i] > cur_e:
+                cov += (cur_e - cur_s) // 1_000_000
+                n += 1
+                cur_s, cur_e = s[i], e[i]
+            else:
+                cur_e = max(cur_e, e[i])
+        cov += (cur_e - cur_s) // 1_000_000
+        n += 1
+        assert int(grp["covered_s"].iloc[0]) == cov
+        assert int(grp["n_islands"].iloc[0]) == n
