@@ -3339,3 +3339,87 @@ SELECT CAST(c.c_nationkey AS BIGINT) AS nationkey,
 FROM customer c LEFT JOIN latest l ON l.user_id = c.c_custkey
 GROUP BY 1 ORDER BY 1
 """
+
+
+def day_pruned_window_stats(sf_dir: str, day_lo: str = "2024-01-10",
+                            day_hi: str = "2024-01-13",
+                            out_root: str | None = None) -> pa.Table:
+    """TIME-RANGE LAYOUT + PRUNED READ: events are written ONCE
+    hive-partitioned by day; a time-window query then reads ONLY the
+    overlapping day directories by path -- zero foreign bytes, the
+    range-pruning counterpart of the lang-partition and hash-bucket
+    layouts (the three layouts every lakehouse table chooses between).
+    Output: per-type event count + value total inside [day_lo, day_hi).
+
+    Scale shape: the layout write is one streaming pass (day is a
+    vectorized epoch//86400); the window read opens len(window) day
+    directories regardless of table size, and the rollup is the
+    standard in-batch combiner + cardinality-bounded groupby."""
+    import shutil
+
+    import pandas as pd
+
+    root = out_root or "/tmp/p2pdds_gate/events_by_day"
+    shutil.rmtree(root, ignore_errors=True)
+
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+
+    DAY_US = np.int64(86_400_000_000)
+
+    def add_day(t: pa.Table) -> pa.Table:
+        us = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "day": pa.array(us // DAY_US),
+            "event_type": t["event_type"],
+            "value_c": _int_units(t["value"], 100),
+        })
+
+    ds.map_batches(add_day, batch_format="pyarrow",
+                   zero_copy_batch=True).write_parquet(
+        root, partition_cols=["day"])
+
+    lo_day = int(pd.Timestamp(day_lo).value // 1000 // int(DAY_US))
+    hi_day = int(pd.Timestamp(day_hi).value // 1000 // int(DAY_US))
+    import glob
+    import os
+    files = []
+    for d in range(lo_day, hi_day):   # pruned by PATH: window days only
+        files.extend(sorted(glob.glob(f"{root}/day={d}/*.parquet")))
+    if not files:
+        return pa.table({"event_type": pa.array([], type=pa.string()),
+                         "n_events": pa.array([], type=pa.int64()),
+                         "sum_value_c": pa.array([], type=pa.int64())})
+    window = ray.data.read_parquet(files)
+
+    def partial(t: pa.Table) -> pa.Table:
+        et = np.asarray(t["event_type"].to_pylist(), dtype=np.str_)
+        v = t["value_c"].to_numpy(zero_copy_only=False)
+        ut, inv = np.unique(et, return_inverse=True)
+        cnt = np.bincount(inv).astype(np.int64)
+        sv = np.zeros(ut.shape[0], np.int64)
+        np.add.at(sv, inv, v)
+        return pa.table({"event_type": pa.array(ut.tolist(),
+                                                type=pa.string()),
+                         "n_events": pa.array(cnt),
+                         "sum_value_c": pa.array(sv)})
+
+    agg = (window.map_batches(partial, batch_format="pyarrow")
+           .groupby("event_type")
+           .aggregate(Sum("n_events", alias_name="n_events"),
+                      Sum("sum_value_c", alias_name="sum_value_c"))
+           .to_pandas().sort_values("event_type").reset_index(drop=True))
+    return pa.table({
+        "event_type": pa.array(agg["event_type"], type=pa.string()),
+        "n_events": pa.array(agg["n_events"].astype("int64")),
+        "sum_value_c": pa.array(agg["sum_value_c"].astype("int64")),
+    })
+
+
+DAY_PRUNED_SQL = """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+         AS sum_value_c
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-13'
+GROUP BY 1 ORDER BY 1
+"""

@@ -296,3 +296,22 @@ def test_upsert_compaction_matches_duckdb(ray_session):
         FROM customer GROUP BY 1 ORDER BY 1""").df()
     merged = got.merge(base, on="nationkey")
     assert (merged["balance_c"] != merged["b"]).any()
+
+
+def test_day_pruned_window_stats_matches_duckdb(ray_session, tmp_path):
+    duckdb = pytest.importorskip("duckdb")
+    import os
+    from p2pddsketch_ray.pipelines.relational import (
+        DAY_PRUNED_SQL, day_pruned_window_stats)
+    sf = "/root/testdata/sf0.001"
+    root = str(tmp_path / "by_day")
+    got = day_pruned_window_stats(sf, out_root=root).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{sf}/events.parquet')")
+    want = con.execute(DAY_PRUNED_SQL).df()
+    assert got.equals(want.reset_index(drop=True))
+    # layout really is day-partitioned and spans the table's days
+    parts = sorted(os.listdir(root))
+    assert all(p.startswith("day=") for p in parts)
+    assert len(parts) >= 28  # ~30 days of events
