@@ -143,3 +143,29 @@ def test_order_skyline_matches_duckdb_and_is_pareto(ray_session):
     for day, price in got[["day", "price_c"]].itertuples(index=False):
         dom = (rd <= day) & (rp >= price) & ((rd < day) | (rp > price))
         assert not dom.any()
+
+
+def test_pagerank_mass_conservation(ray_session):
+    """Total rank mass stays within the floor-loss bound of SCALE: each
+    of the 3 iterations floors once per edge and once in the base term,
+    so the loss is < |E| + |V| units per iteration -- parts-per-trillion
+    of the total.  Catches any double-count or dropped-edge regression."""
+    import duckdb
+    import numpy as np
+    from p2pddsketch_ray.pipelines.components import pagerank_part_supplier
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW lineitem AS SELECT * FROM "
+                f"read_parquet('{sf}/lineitem.parquet')")
+    n_edges2 = con.execute("""SELECT 2 * count(*) FROM (
+        SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)""").fetchone()[0]
+    n_nodes = con.execute("""SELECT count(*) FROM (
+        SELECT l_partkey*2 AS v FROM lineitem UNION
+        SELECT l_suppkey*2+1 FROM lineitem)""").fetchone()[0]
+    # top_k = all nodes so the full mass is visible
+    got = pagerank_part_supplier(sf, top_k=10**9).to_pandas()
+    assert len(got) == n_nodes
+    total = int(got["rank_ppt"].sum())
+    SCALE = 1_000_000_000_000
+    max_loss = 3 * (n_edges2 + n_nodes) + n_nodes  # per-iter floors + init
+    assert SCALE - max_loss <= total <= SCALE

@@ -275,3 +275,33 @@ def test_fuzzy_props_pairs_matches_duckdb(ray_session):
     for ta, tb, kind in got.itertuples(index=False):
         assert edit1(ta, tb), (ta, tb)
         assert (len(ta) == len(tb)) == (kind == "sub")
+
+
+def test_fuzzy_props_pairs_brute_force(ray_session):
+    """Exhaustive O(V^2) edit-distance check over the actual payload
+    vocabulary confirms FastSS finds EVERY ed-1 pair (completeness, not
+    just soundness)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    from p2pddsketch_ray.pipelines.dedup import fuzzy_props_pairs
+    sf = "/root/testdata/sf0.001"
+    got = fuzzy_props_pairs(sf).to_pandas()
+    vocab = sorted(set(pq.read_table(
+        f"{sf}/events.parquet", columns=["props"])["props"].to_pylist()))
+
+    def ed1(a, b):
+        if len(a) == len(b):
+            return sum(x != y for x, y in zip(a, b)) == 1
+        if abs(len(a) - len(b)) != 1:
+            return False
+        s, l = (a, b) if len(a) < len(b) else (b, a)
+        return any(l[:i] + l[i + 1:] == s for i in range(len(l)))
+
+    want = set()
+    for i in range(len(vocab)):
+        for j in range(i + 1, len(vocab)):
+            if ed1(vocab[i], vocab[j]):
+                kind = "sub" if len(vocab[i]) == len(vocab[j]) else "indel"
+                want.add((vocab[i], vocab[j], kind))
+    have = set(map(tuple, got.to_numpy()))
+    assert have == want
