@@ -56,6 +56,7 @@ from p2pddsketch_ray.pipelines.relational import (  # noqa: E402
     BUCKETED_JOIN_SQL as _BUCKETED_JOIN_SQL,
     UPSERT_COMPACTION_SQL as _UPSERT_COMPACTION_SQL,
     DAY_PRUNED_SQL as _DAY_PRUNED_SQL,
+    HOURLY_GAPFILL_SQL as _HOURLY_GAPFILL_SQL,
     CUSTOMER_EVENT_ACTIVITY_SQL as _CUSTOMER_EVENT_ACTIVITY_SQL,
     WINSORIZED_PRICE_SQL as _WINSORIZED_PRICE_SQL,
     DISTINCT_USERS_PER_TYPE_SQL as _DISTINCT_USERS_PER_TYPE_SQL,
@@ -297,6 +298,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_interval_coverage": _user_interval_coverage,
         # time-range layout with path-pruned window reads
         "day_pruned_window_stats": R.day_pruned_window_stats,
+        # densified hourly resample (calendar-spine gap fill)
+        "events_hourly_gapfill": R.events_hourly_gapfill,
         # LEFT-OUTER join with zero preservation (per-nation activity)
         "customer_event_activity": R.customer_event_activity,
         # winnowing fingerprints (Schleimer et al. 2003) with an exact
@@ -1062,6 +1065,7 @@ SELECT l_returnflag, unnest([0.25, 0.5, 0.75]) AS q,
         "upsert_compaction": _UPSERT_COMPACTION_SQL,
         "user_interval_coverage": _INTERVAL_COVERAGE_SQL,
         "day_pruned_window_stats": _DAY_PRUNED_SQL,
+        "events_hourly_gapfill": _HOURLY_GAPFILL_SQL,
         "customer_event_activity": _CUSTOMER_EVENT_ACTIVITY_SQL,
         "winnow_fingerprint_stats": _WINNOW_FINGERPRINT_SQL,
         "dds_weighted_price": _dds_sql("lineitem", "l_extendedprice",

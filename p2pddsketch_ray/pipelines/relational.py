@@ -3423,3 +3423,76 @@ FROM events
 WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-13'
 GROUP BY 1 ORDER BY 1
 """
+
+
+def events_hourly_gapfill(sf_dir: str) -> pa.Table:
+    """RESAMPLE WITH GAP FILL: the hourly count series per event type,
+    DENSIFIED over the full calendar spine -- every (type, hour) cell in
+    [min hour, max hour] is present, zero when no events landed there.
+    The missing-bucket densification a time-series store performs before
+    forecasting or charting (a tumbling window alone silently drops
+    empty hours).
+
+    Scale shape: the only corpus-bounded work is the (type, hour)
+    counting pass (vectorized bucket partials -> cardinality-bounded
+    groupby).  The spine cross-product and the zero fill operate on the
+    types x hours table -- bounded by calendar time, not by data -- and
+    fold on the driver like every other cardinality-bounded finalize."""
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def bucket(t: pa.Table) -> pa.Table:
+        us = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        hr = us // np.int64(3_600_000_000)
+        et = np.asarray(t["event_type"].to_pylist(), dtype=np.str_)
+        ut, inv_t = np.unique(et, return_inverse=True)
+        comp = (inv_t.astype(np.int64) << np.int64(32)) | (
+            hr & np.int64((1 << 32) - 1))
+        ucomp, inv = np.unique(comp, return_inverse=True)
+        return pa.table({
+            "event_type": pa.array(
+                ut[(ucomp >> np.int64(32))].tolist(), type=pa.string()),
+            "hr": pa.array(ucomp & np.int64((1 << 32) - 1)),
+            "n": pa.array(np.bincount(inv).astype(np.int64)),
+        })
+
+    counts = (ds.map_batches(bucket, batch_format="pyarrow",
+                             zero_copy_batch=True)
+              .groupby(["event_type", "hr"])
+              .aggregate(Sum("n", alias_name="n"))
+              .to_pandas())
+
+    import pandas as pd
+    lo, hi = int(counts["hr"].min()), int(counts["hr"].max())
+    types = sorted(counts["event_type"].unique())
+    spine = pd.MultiIndex.from_product(
+        [types, range(lo, hi + 1)], names=["event_type", "hr"])
+    dense = (counts.set_index(["event_type", "hr"])
+             .reindex(spine, fill_value=0).reset_index())
+    return pa.table({
+        "event_type": pa.array(dense["event_type"], type=pa.string()),
+        "window_start": pa.array(
+            (dense["hr"].astype("int64") * 3600).to_numpy()),
+        "n_events": pa.array(dense["n"].astype("int64")),
+    })
+
+
+HOURLY_GAPFILL_SQL = """
+WITH c AS (
+  SELECT event_type, CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS hr,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+), bounds AS (
+  SELECT min(hr) AS lo, max(hr) AS hi FROM c
+), hours AS (
+  SELECT lo + CAST(range AS BIGINT) AS hr
+  FROM bounds, range(0, 1048576)
+  WHERE lo + range <= hi
+), types AS (
+  SELECT DISTINCT event_type FROM events
+)
+SELECT t.event_type, CAST(h.hr * 3600 AS BIGINT) AS window_start,
+       CAST(COALESCE(c.n, 0) AS BIGINT) AS n_events
+FROM hours h CROSS JOIN types t
+LEFT JOIN c ON c.event_type = t.event_type AND c.hr = h.hr
+ORDER BY 1, 2
+"""

@@ -315,3 +315,24 @@ def test_day_pruned_window_stats_matches_duckdb(ray_session, tmp_path):
     parts = sorted(os.listdir(root))
     assert all(p.startswith("day=") for p in parts)
     assert len(parts) >= 28  # ~30 days of events
+
+
+def test_events_hourly_gapfill_matches_duckdb(ray_session):
+    duckdb = pytest.importorskip("duckdb")
+    from p2pddsketch_ray.pipelines.relational import (HOURLY_GAPFILL_SQL,
+                                                      events_hourly_gapfill)
+    sf = "/root/testdata/sf0.001"
+    got = events_hourly_gapfill(sf).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{sf}/events.parquet')")
+    want = con.execute(HOURLY_GAPFILL_SQL).df()
+    assert got.equals(want.reset_index(drop=True))
+    # dense: every type has the identical full hour spine, gaps are real
+    per_type = got.groupby("event_type")["window_start"]
+    spans = per_type.agg(["count", "min", "max"])
+    assert spans["count"].nunique() == 1
+    assert (got["n_events"] == 0).any()
+    # densified series sums to the raw event count
+    n_raw = con.execute("SELECT count(*) FROM events").fetchone()[0]
+    assert int(got["n_events"].sum()) == n_raw
