@@ -90,6 +90,12 @@ def main(argv=None) -> int:
         if args.dataset.endswith(".txt"):
             from .sources.scalars import read_scalar_text
             ds = read_scalar_text(args.dataset, column=args.column)
+        elif args.dataset.endswith(".csv"):
+            from .sources.scalars import read_scalar_csv
+            ds = read_scalar_csv(args.dataset, column=args.column)
+        elif args.dataset.endswith((".jsonl", ".json")):
+            from .sources.scalars import read_scalar_jsonl
+            ds = read_scalar_jsonl(args.dataset, column=args.column)
         else:
             ds = ray.data.read_parquet(
                 args.dataset, columns=[c for c in (args.column, args.group_by)

@@ -75,3 +75,34 @@ def write_scalar_shards(out_dir: str, dist: str, n: int, parts: int,
         pq.write_table(pa.table({"value": data[bounds[i]:bounds[i + 1]]}), p)
         paths.append(p)
     return paths
+
+
+def read_scalar_csv(paths, column: str = "value"):
+    """CSV source for scalar streams: one float column (header row
+    ``value`` by default).  Beyond the reference's text format (D5) --
+    ``read_csv`` splits files/blocks and Arrow parses natively; the
+    selected column is cast to float64 like the text path."""
+    import pyarrow.compute as pc
+
+    import ray.data
+
+    def pick(t: pa.Table) -> pa.Table:
+        return pa.table({column: pc.cast(t[column], pa.float64())})
+
+    return ray.data.read_csv(paths).map_batches(
+        pick, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def read_scalar_jsonl(paths, column: str = "value"):
+    """JSON-lines source for scalar streams: one object per line with a
+    numeric ``column`` field.  ``read_json`` handles newline-delimited
+    JSON natively; the field is cast to float64."""
+    import pyarrow.compute as pc
+
+    import ray.data
+
+    def pick(t: pa.Table) -> pa.Table:
+        return pa.table({column: pc.cast(t[column], pa.float64())})
+
+    return ray.data.read_json(paths).map_batches(
+        pick, batch_format="pyarrow", zero_copy_batch=True)

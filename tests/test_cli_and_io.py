@@ -134,3 +134,25 @@ def test_cli_conflicting_sources():
          "--uniform"], capture_output=True, text=True, cwd="/root/repo")
     assert proc.returncode != 0
     assert "not allowed with" in proc.stderr
+
+
+def test_read_scalar_csv_and_jsonl_match_text(ray_session, tmp_path):
+    """All three scalar text formats produce the identical float column
+    (and therefore the identical sketch)."""
+    import numpy as np
+    from p2pddsketch_ray.sources.scalars import (read_scalar_csv,
+                                                 read_scalar_jsonl,
+                                                 read_scalar_text)
+    rng = np.random.default_rng(7)
+    vals = rng.normal(50.0, 9.0, size=1000)
+    txt = tmp_path / "v.txt"
+    txt.write_text("\n".join(repr(v) for v in vals) + "\n")
+    csvf = tmp_path / "v.csv"
+    csvf.write_text("value\n" + "\n".join(repr(v) for v in vals) + "\n")
+    jf = tmp_path / "v.jsonl"
+    jf.write_text("\n".join('{"value": %s}' % repr(v) for v in vals))
+    a = np.sort(read_scalar_text(str(txt)).to_pandas()["value"].to_numpy())
+    b = np.sort(read_scalar_csv(str(csvf)).to_pandas()["value"].to_numpy())
+    c = np.sort(read_scalar_jsonl(str(jf)).to_pandas()["value"].to_numpy())
+    assert np.array_equal(a, b) and np.array_equal(b, c)
+    assert np.array_equal(a, np.sort(vals))
