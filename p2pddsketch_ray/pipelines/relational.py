@@ -3215,20 +3215,15 @@ def upsert_compaction(sf_dir: str) -> pa.Table:
     value -- the compaction step every lakehouse MERGE INTO performs.
     Output: per-nation count + compacted balance total (integer cents).
 
-    Scale shape: the update stream first reduces to ONE latest row per
-    key via a composite argmax that needs no sort shuffle -- each block
-    folds to its per-key latest (ts, seq, value) partial, and a key
-    co-partition finishes the argmax exactly (max of a lexicographic
-    composite is associative).  The compacted join then moves O(keys)
-    rows, never O(updates); the base side streams."""
+    Scale shape: each update block folds to its per-key latest
+    (ts, seq, value) partial -- O(block keys) rows, no sort shuffle of
+    the stream -- and ONE key co-partition both finishes the argmax
+    (max of a lexicographic composite is associative) and applies the
+    substitution against the co-partitioned base rows: a single
+    exchange end to end, moving O(keys) rows, never O(updates)."""
     from ..stages.partition import fit_partitions, partition_by
 
     ev = _read(sf_dir, "events", ["user_id", "ts", "event_id", "value"])
-
-    up_empty = pa.table({"k": pa.array([], type=pa.int64()),
-                         "ts": pa.array([], type=pa.int64()),
-                         "seq": pa.array([], type=pa.int64()),
-                         "val_c": pa.array([], type=pa.int64())})
 
     def latest_partial(t: pa.Table) -> pa.Table:
         k = pc.cast(t["user_id"], pa.int64()).to_numpy(
@@ -3248,22 +3243,25 @@ def upsert_compaction(sf_dir: str) -> pa.Table:
 
     partials = ev.map_batches(latest_partial, batch_format="pyarrow",
                               zero_copy_batch=True)
-    latest = partition_by(partials, ["k"], fit_partitions(16),
-                          _latest_of, up_empty)
 
     cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey",
                                       "c_acctbal"])
 
-    # co-partition base vs latest-updates by key (union + flag)
+    # ONE co-partition: base rows + per-block latest partials together;
+    # the partition fn resolves the exact latest AND substitutes
     base_rows = cust.map_batches(lambda t: pa.table({
         "k": pc.cast(t["c_custkey"], pa.int64()),
         "nat": pc.cast(t["c_nationkey"], pa.int64()),
+        "ts": pa.array(np.zeros(t.num_rows, np.int64)),
+        "seq": pa.array(np.zeros(t.num_rows, np.int64)),
         "val_c": _int_units(t["c_acctbal"], 100),
         "flag": pa.array(np.zeros(t.num_rows, np.int64)),
     }), batch_format="pyarrow")
-    upd_rows = latest.map_batches(lambda t: pa.table({
+    upd_rows = partials.map_batches(lambda t: pa.table({
         "k": pc.cast(t["k"], pa.int64()),
         "nat": pa.array(np.zeros(t.num_rows, np.int64)),
+        "ts": pc.cast(t["ts"], pa.int64()),
+        "seq": pc.cast(t["seq"], pa.int64()),
         "val_c": pc.cast(t["val_c"], pa.int64()),
         "flag": pa.array(np.ones(t.num_rows, np.int64)),
     }), batch_format="pyarrow")
@@ -3281,13 +3279,20 @@ def upsert_compaction(sf_dir: str) -> pa.Table:
         if not isb.any():
             return m_empty
         bk, bn, bv = k[isb], nat[isb], val[isb]
-        uk, uv = k[~isb], val[~isb]
-        o = np.argsort(uk)
-        pos = np.searchsorted(uk[o], bk)
+        # resolve exact per-key latest among the block partials
+        ts = t["ts"].to_numpy(zero_copy_only=False)[~isb]
+        seq = t["seq"].to_numpy(zero_copy_only=False)[~isb]
+        uk_all, uv_all = k[~isb], val[~isb]
+        o = np.lexsort((-seq, -ts, uk_all))
+        k_s = uk_all[o]
+        first = np.ones(o.shape[0], dtype=bool)
+        first[1:] = k_s[1:] != k_s[:-1]
+        uk, uv = k_s[first], uv_all[o][first]   # ascending unique keys
+        pos = np.searchsorted(uk, bk)
         pos[pos == uk.shape[0]] = 0
-        hit = (uk[o][pos] == bk) if uk.shape[0] else np.zeros(
+        hit = (uk[pos] == bk) if uk.shape[0] else np.zeros(
             bk.shape[0], bool)
-        out_val = np.where(hit, uv[o][pos] if uk.shape[0] else 0, bv)
+        out_val = np.where(hit, uv[pos] if uk.shape[0] else 0, bv)
         un, inv = np.unique(bn, return_inverse=True)
         cnt = np.bincount(inv).astype(np.int64)
         sv = np.zeros(un.shape[0], np.int64)
@@ -3305,23 +3310,6 @@ def upsert_compaction(sf_dir: str) -> pa.Table:
         "n_customers": pa.array(agg["n"].astype("int64")),
         "balance_c": pa.array(agg["bal_c"].astype("int64")),
     })
-
-
-def _latest_of(g: pa.Table) -> pa.Table:
-    """Exact per-key latest over co-partitioned partials (same
-    lexicographic argmax the block partials use)."""
-    k = g["k"].to_numpy(zero_copy_only=False)
-    ts = g["ts"].to_numpy(zero_copy_only=False)
-    seq = g["seq"].to_numpy(zero_copy_only=False)
-    val = g["val_c"].to_numpy(zero_copy_only=False)
-    order = np.lexsort((-seq, -ts, k))
-    k_s = k[order]
-    first = np.ones(order.shape[0], dtype=bool)
-    first[1:] = k_s[1:] != k_s[:-1]
-    sel = order[first]
-    return pa.table({"k": pa.array(k[sel]), "ts": pa.array(ts[sel]),
-                     "seq": pa.array(seq[sel]),
-                     "val_c": pa.array(val[sel])})
 
 
 UPSERT_COMPACTION_SQL = """
