@@ -392,7 +392,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # KMV set algebra: union/intersection estimates between per-group
         # sketches (the capability HLL lacks)
         "kmv_user_overlap": A.kmv_user_overlap,
+        # batched MODEL INFERENCE: broadcast integer-linear classifier
+        # scored by an actor pool (weights ray.put once, fetched once
+        # per actor in __init__), in-batch rollup combiner
+        "model_score_stats": _model_score_stats,
     }
+
+
+def _model_score_stats(sf_dir: str):
+    from p2pddsketch_ray.pipelines.inference import model_score_stats
+    return model_score_stats(sf_dir)
 
 
 def _multimodal_frame_sample(sf_dir: str):
@@ -777,9 +786,11 @@ FROM g GROUP BY pred_lang"""
 
 def oracle_sql() -> dict[str, str]:
     from p2pddsketch_ray.functions.text import STOPWORDS
+    from p2pddsketch_ray.pipelines.inference import MODEL_SCORE_SQL
     stoplist = ",".join(f"'{w}'" for w in STOPWORDS)
 
     return {
+        "model_score_stats": MODEL_SCORE_SQL,
         "dds_price_global": _dds_sql("lineitem", "l_extendedprice"),
         "dds_price_by_flag": _dds_sql("lineitem", "l_extendedprice",
                                       "l_returnflag"),
