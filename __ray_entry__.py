@@ -70,7 +70,8 @@ from p2pddsketch_ray.pipelines.relational import (  # noqa: E402
     VALIDATION_REPORT_SQL as _VALIDATION_REPORT_SQL,
     RETURNED_REVENUE_SQL as _RETURNED_REVENUE_SQL,
     DIVERSIFIED_TOP_SQL as _DIVERSIFIED_TOP_SQL,
-    PARTITIONED_RT_SQL as _PARTITIONED_RT_SQL)
+    PARTITIONED_RT_SQL as _PARTITIONED_RT_SQL,
+    PMI_BIGRAMS_SQL as _PMI_BIGRAMS_SQL)
 from p2pddsketch_ray.pipelines.fingerprint import (  # noqa: E402
     WINNOW_FINGERPRINT_SQL as _WINNOW_FINGERPRINT_SQL)
 from p2pddsketch_ray.pipelines.components import (  # noqa: E402
@@ -396,6 +397,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # scored by an actor pool (weights ray.put once, fetched once
         # per actor in __init__), in-batch rollup combiner
         "model_score_stats": _model_score_stats,
+        # collocation extraction: top bigrams by PMI in exact integer
+        # micro-nats (phrase-mining / tokenizer-merge statistic)
+        "pmi_bigrams_topk": R.pmi_bigrams_topk,
     }
 
 
@@ -791,6 +795,7 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         "model_score_stats": MODEL_SCORE_SQL,
+        "pmi_bigrams_topk": _PMI_BIGRAMS_SQL,
         "dds_price_global": _dds_sql("lineitem", "l_extendedprice"),
         "dds_price_by_flag": _dds_sql("lineitem", "l_extendedprice",
                                       "l_returnflag"),

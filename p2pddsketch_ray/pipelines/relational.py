@@ -3484,3 +3484,126 @@ FROM hours h CROSS JOIN types t
 LEFT JOIN c ON c.event_type = t.event_type AND c.hr = h.hr
 ORDER BY 1, 2
 """
+
+
+def pmi_bigrams_topk(sf_dir: str, k: int = 20,
+                     min_count: int = 5) -> "ray.data.Dataset":
+    """Collocation extraction: top-k adjacent token pairs by pointwise
+    mutual information, PMI = ln(n_pair * N / (left_marginal *
+    right_marginal)), scored in exact integer micro-nats (floor(ln * 1e6)
+    of a deterministic double, identical op order in SQL) -- the corpus
+    statistic behind phrase mining / tokenizer-merge candidates.
+
+    Scale shape: per-block bigram counting dictionary-encodes the token
+    stream once and folds to (tok_a, tok_b) partial counts with a single
+    np.unique over integer composites (no per-row Python), so the
+    exchange is bounded by the OBSERVED bigram vocabulary per block, not
+    the corpus; marginals are derived FROM the merged pair table (one
+    more vocab-bounded pass, no second corpus scan), and the final
+    scoring/ranking input is at most vocab^2 rows on one partition."""
+    from ..stages.partition import partition_by
+    ds = _read(sf_dir, "documents", ["text"])
+
+    pair_empty = pa.table({"tok_a": pa.array([], type=pa.string()),
+                           "tok_b": pa.array([], type=pa.string()),
+                           "cnt": pa.array([], type=pa.int64())})
+
+    def pair_counts(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pair_empty
+        toks = pc.split_pattern(t["text"], pattern=" ")
+        flat = pc.list_flatten(toks).combine_chunks()
+        nper = pc.list_value_length(toks).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        dic = flat.dictionary_encode()
+        code = dic.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        n = code.shape[0]
+        if n < 2:
+            return pair_empty
+        vocab = np.int64(len(dic.dictionary))
+        # a bigram position is valid unless it crosses a doc boundary
+        valid = np.ones(n - 1, dtype=bool)
+        ends = np.cumsum(nper) - 1
+        ends = ends[(ends >= 0) & (ends < n - 1)]
+        valid[ends] = False
+        comp = code[:-1][valid] * (vocab + 1) + code[1:][valid]
+        u, cnt = np.unique(comp, return_counts=True)
+        return pa.table({
+            "tok_a": pc.take(dic.dictionary, pa.array(u // (vocab + 1))),
+            "tok_b": pc.take(dic.dictionary, pa.array(u % (vocab + 1))),
+            "cnt": pa.array(cnt.astype(np.int64)),
+        })
+
+    agg = (ds.map_batches(pair_counts, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby(["tok_a", "tok_b"])
+           .aggregate(Sum("cnt", alias_name="n")))
+
+    out_empty = pa.table({"tok_a": pa.array([], type=pa.string()),
+                          "tok_b": pa.array([], type=pa.string()),
+                          "n_pair": pa.array([], type=pa.int64()),
+                          "pmi_micro": pa.array([], type=pa.int64()),
+                          "rnk": pa.array([], type=pa.int64())})
+
+    def score_rank(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_empty
+        n = pc.cast(t["n"], pa.int64()).to_numpy(zero_copy_only=False)
+        a = np.asarray(t["tok_a"].to_pylist(), dtype=np.str_)
+        b = np.asarray(t["tok_b"].to_pylist(), dtype=np.str_)
+        total = n.sum()
+        ua, ia = np.unique(a, return_inverse=True)
+        ca = np.zeros(ua.shape[0], np.int64)
+        np.add.at(ca, ia, n)
+        ub, ib = np.unique(b, return_inverse=True)
+        cb = np.zeros(ub.shape[0], np.int64)
+        np.add.at(cb, ib, n)
+        # exact int64 products, ONE double division, ln, floor -- the
+        # same op order as the SQL replica (ln is bit-stable both ways)
+        ratio = (n * total).astype(np.float64) / (
+            ca[ia] * cb[ib]).astype(np.float64)
+        pmi = np.floor(np.log(ratio) * 1e6).astype(np.int64)
+        keep = np.nonzero(n >= min_count)[0]
+        order = keep[np.lexsort((b[keep], a[keep], -pmi[keep]))][:k]
+        return pa.table({
+            "tok_a": pa.array(a[order].tolist(), type=pa.string()),
+            "tok_b": pa.array(b[order].tolist(), type=pa.string()),
+            "n_pair": pa.array(n[order]),
+            "pmi_micro": pa.array(pmi[order]),
+            "rnk": pa.array(np.arange(1, order.shape[0] + 1,
+                                      dtype=np.int64)),
+        })
+
+    return partition_by(agg, [], 1, score_rank, out_empty)
+
+
+PMI_BIGRAMS_SQL = """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS xs FROM documents
+), tok AS (
+  SELECT doc_id, unnest(xs) AS w, generate_subscripts(xs, 1) AS i FROM t
+), pairs AS (
+  SELECT x.w AS tok_a, y.w AS tok_b, CAST(count(*) AS BIGINT) AS n
+  FROM tok x JOIN tok y ON x.doc_id = y.doc_id AND y.i = x.i + 1
+  GROUP BY 1, 2
+), tot AS (
+  SELECT CAST(sum(n) AS BIGINT) AS nb FROM pairs
+), la AS (
+  SELECT tok_a, CAST(sum(n) AS BIGINT) AS ca FROM pairs GROUP BY 1
+), rb AS (
+  SELECT tok_b, CAST(sum(n) AS BIGINT) AS cb FROM pairs GROUP BY 1
+), scored AS (
+  SELECT p.tok_a, p.tok_b, p.n AS n_pair,
+         CAST(floor(ln(CAST(p.n * t.nb AS DOUBLE)
+                       / CAST(la.ca * rb.cb AS DOUBLE)) * 1e6)
+              AS BIGINT) AS pmi_micro
+  FROM pairs p CROSS JOIN tot t
+  JOIN la ON p.tok_a = la.tok_a
+  JOIN rb ON p.tok_b = rb.tok_b
+  WHERE p.n >= 5
+)
+SELECT tok_a, tok_b, n_pair, pmi_micro,
+       CAST(row_number() OVER (ORDER BY pmi_micro DESC, tok_a, tok_b)
+            AS BIGINT) AS rnk
+FROM scored QUALIFY rnk <= 20 ORDER BY rnk
+"""

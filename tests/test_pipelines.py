@@ -603,3 +603,33 @@ def test_partitioned_write_read_stats_roundtrip(ray_session, tmp_path):
     # layout: one hive directory per lang
     parts = sorted(d for d in os.listdir(out) if d.startswith("lang="))
     assert parts == [f"lang={v}" for v in got["lang"]]
+
+
+def test_pmi_bigrams_matches_duckdb(ray_session):
+    duckdb = pytest.importorskip("duckdb")
+    from p2pddsketch_ray.pipelines.relational import (
+        PMI_BIGRAMS_SQL, pmi_bigrams_topk)
+    sf = "/root/testdata/sf0.001"
+    got = pmi_bigrams_topk(sf).to_pandas().sort_values(
+        "rnk").reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf}/documents.parquet')")
+    want = con.execute(PMI_BIGRAMS_SQL).df()
+    assert got.equals(want.reset_index(drop=True))
+    assert len(got) == 20 and (got["n_pair"] >= 5).all()
+
+
+def test_pmi_bigrams_never_cross_doc_boundary(ray_session, tmp_path):
+    """Adjacent docs 'p q' and 'q r' must not produce the bigram (q, q);
+    a single-token doc contributes no bigram at all."""
+    import pyarrow.parquet as pq
+    from p2pddsketch_ray.pipelines.relational import pmi_bigrams_topk
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2], type=pa.int64()),
+        "text": pa.array(["p q", "q r", "solo"]),
+    })
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    got = pmi_bigrams_topk(str(tmp_path), k=10, min_count=1).to_pandas()
+    pairs = set(zip(got["tok_a"], got["tok_b"]))
+    assert pairs == {("p", "q"), ("q", "r")}
