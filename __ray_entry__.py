@@ -71,7 +71,8 @@ from p2pddsketch_ray.pipelines.relational import (  # noqa: E402
     RETURNED_REVENUE_SQL as _RETURNED_REVENUE_SQL,
     DIVERSIFIED_TOP_SQL as _DIVERSIFIED_TOP_SQL,
     PARTITIONED_RT_SQL as _PARTITIONED_RT_SQL,
-    PMI_BIGRAMS_SQL as _PMI_BIGRAMS_SQL)
+    PMI_BIGRAMS_SQL as _PMI_BIGRAMS_SQL,
+    GLOBAL_RANKS_SQL as _GLOBAL_RANKS_SQL)
 from p2pddsketch_ray.pipelines.fingerprint import (  # noqa: E402
     WINNOW_FINGERPRINT_SQL as _WINNOW_FINGERPRINT_SQL)
 from p2pddsketch_ray.pipelines.components import (  # noqa: E402
@@ -400,6 +401,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # collocation extraction: top bigrams by PMI in exact integer
         # micro-nats (phrase-mining / tokenizer-merge statistic)
         "pmi_bigrams_topk": R.pmi_bigrams_topk,
+        # EXACT distributed global row_number (range-bucket offsets +
+        # within-bucket lexsort; no single-node sort anywhere)
+        "global_order_ranks": R.global_order_ranks,
     }
 
 
@@ -796,6 +800,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "model_score_stats": MODEL_SCORE_SQL,
         "pmi_bigrams_topk": _PMI_BIGRAMS_SQL,
+        "global_order_ranks": _GLOBAL_RANKS_SQL,
         "dds_price_global": _dds_sql("lineitem", "l_extendedprice"),
         "dds_price_by_flag": _dds_sql("lineitem", "l_extendedprice",
                                       "l_returnflag"),

@@ -3607,3 +3607,93 @@ SELECT tok_a, tok_b, n_pair, pmi_micro,
             AS BIGINT) AS rnk
 FROM scored QUALIFY rnk <= 20 ORDER BY rnk
 """
+
+
+def global_order_ranks(sf_dir: str, sample_mod: int = 997,
+                       n_buckets: int | None = None) -> "ray.data.Dataset":
+    """EXACT global row_number over all orders by (total price, key)
+    without a single-node sort: the distributed ranking primitive behind
+    ORDER BY ... materializations and percentile assignment.
+
+    Scale shape: pass 1 computes per-range-bucket row counts (per-block
+    np.bincount partials -> one O(buckets) exchange) whose prefix sums
+    give each bucket its global rank offset -- the driver only ever
+    holds O(buckets) integers; pass 2 co-partitions rows by range
+    bucket, lexsorts WITHIN each bucket (composite (price_cents, key) is
+    a total order), and adds the broadcast offset.  Rank assignment is
+    therefore one cheap count pass plus one range exchange; at 100 TB
+    raise n_buckets so each bucket fits a worker (the count pass cost
+    stays O(buckets)).  The gate emits every ``sample_mod``-th rank plus
+    the first/last rows, proving the global numbering end to end."""
+    from ray.data.aggregate import Max as _Max, Min as _Min
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "key": pc.cast(t["o_orderkey"], pa.int64()),
+            "cents": _int_units(t["o_totalprice"], 100),
+        })
+
+    rows = ds.map_batches(prep, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    mm = rows.aggregate(_Min("cents"), _Max("cents"))
+    lo, hi = int(mm["min(cents)"]), int(mm["max(cents)"])
+    from ..stages.partition import fit_partitions
+    nb = n_buckets or fit_partitions(32)
+    width = max(1, (hi - lo + nb) // nb)
+
+    def bucket_of(cents: np.ndarray) -> np.ndarray:
+        return np.minimum((cents - lo) // width, nb - 1)
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        c = t["cents"].to_numpy(zero_copy_only=False)
+        cnt = np.bincount(bucket_of(c), minlength=nb).astype(np.int64)
+        return pa.table({"b": pa.array(np.arange(nb, dtype=np.int64)),
+                         "n": pa.array(cnt)})
+
+    counts = (rows.map_batches(count_partial, batch_format="pyarrow")
+              .groupby("b").aggregate(Sum("n", alias_name="n"))
+              .to_pandas().sort_values("b"))
+    per_bucket = np.zeros(nb, dtype=np.int64)
+    per_bucket[counts["b"].to_numpy()] = counts["n"].to_numpy()
+    offsets = np.concatenate(([0], np.cumsum(per_bucket)[:-1]))
+    total = int(per_bucket.sum())
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        c = t["cents"].to_numpy(zero_copy_only=False)
+        return t.append_column("b", pa.array(bucket_of(c)))
+
+    empty = pa.table({"rnk": pa.array([], type=pa.int64()),
+                      "o_orderkey": pa.array([], type=pa.int64()),
+                      "price_cents": pa.array([], type=pa.int64())})
+
+    def rank_within(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        b = int(t["b"][0].as_py())
+        c = t["cents"].to_numpy(zero_copy_only=False)
+        k = t["key"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((k, c))
+        rnk = offsets[b] + 1 + np.arange(order.shape[0], dtype=np.int64)
+        sel = (rnk % sample_mod == 0) | (rnk == 1) | (rnk == total)
+        return pa.table({"rnk": pa.array(rnk[sel]),
+                         "o_orderkey": pa.array(k[order][sel]),
+                         "price_cents": pa.array(c[order][sel])})
+
+    return (rows.map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("b").map_groups(rank_within, batch_format="pyarrow")
+            .sort("rnk"))
+
+
+GLOBAL_RANKS_SQL = """
+WITH r AS (
+  SELECT o_orderkey,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+         CAST(row_number() OVER (ORDER BY round(o_totalprice * 100),
+                                 o_orderkey) AS BIGINT) AS rnk
+  FROM orders
+)
+SELECT rnk, o_orderkey, price_cents FROM r
+WHERE rnk % 997 = 0 OR rnk = 1 OR rnk = (SELECT count(*) FROM orders)
+ORDER BY rnk
+"""

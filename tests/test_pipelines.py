@@ -633,3 +633,29 @@ def test_pmi_bigrams_never_cross_doc_boundary(ray_session, tmp_path):
     got = pmi_bigrams_topk(str(tmp_path), k=10, min_count=1).to_pandas()
     pairs = set(zip(got["tok_a"], got["tok_b"]))
     assert pairs == {("p", "q"), ("q", "r")}
+
+
+def test_global_order_ranks_matches_duckdb(ray_session):
+    duckdb = pytest.importorskip("duckdb")
+    from p2pddsketch_ray.pipelines.relational import (
+        GLOBAL_RANKS_SQL, global_order_ranks)
+    sf = "/root/testdata/sf0.001"
+    got = global_order_ranks(sf).to_pandas().reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW orders AS SELECT * FROM "
+                f"read_parquet('{sf}/orders.parquet')")
+    want = con.execute(GLOBAL_RANKS_SQL).df()
+    assert got.equals(want.reset_index(drop=True))
+
+
+def test_global_order_ranks_is_complete_permutation(ray_session):
+    """With sample_mod=1 every row gets exactly one rank, ranks are the
+    full 1..N permutation, and price is non-decreasing along ranks."""
+    from p2pddsketch_ray.pipelines.relational import global_order_ranks
+    sf = "/root/testdata/sf0.001"
+    got = (global_order_ranks(sf, sample_mod=1).to_pandas()
+           .sort_values("rnk").reset_index(drop=True))
+    n = len(got)
+    assert got["rnk"].tolist() == list(range(1, n + 1))
+    assert got["o_orderkey"].is_unique
+    assert (np.diff(got["price_cents"].to_numpy()) >= 0).all()
