@@ -75,6 +75,8 @@ from p2pddsketch_ray.pipelines.relational import (  # noqa: E402
     GLOBAL_RANKS_SQL as _GLOBAL_RANKS_SQL)
 from p2pddsketch_ray.pipelines.fingerprint import (  # noqa: E402
     WINNOW_FINGERPRINT_SQL as _WINNOW_FINGERPRINT_SQL)
+from p2pddsketch_ray.pipelines.search import (  # noqa: E402
+    INVERTED_INDEX_SQL as _INVERTED_INDEX_SQL)
 from p2pddsketch_ray.pipelines.components import (  # noqa: E402
     PAGERANK_SQL as _PAGERANK_SQL)
 from p2pddsketch_ray.pipelines.dedup import (  # noqa: E402
@@ -404,7 +406,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # EXACT distributed global row_number (range-bucket offsets +
         # within-bucket lexsort; no single-node sort anywhere)
         "global_order_ranks": R.global_order_ranks,
+        # persisted inverted index: bucketed postings on disk, term
+        # lookup opens ONLY the probed buckets (retrieval layout)
+        "inverted_index_lookup": _inverted_index_lookup,
     }
+
+
+def _inverted_index_lookup(sf_dir: str):
+    from p2pddsketch_ray.pipelines.search import inverted_index_lookup
+    return inverted_index_lookup(sf_dir)
 
 
 def _model_score_stats(sf_dir: str):
@@ -801,6 +811,7 @@ def oracle_sql() -> dict[str, str]:
         "model_score_stats": MODEL_SCORE_SQL,
         "pmi_bigrams_topk": _PMI_BIGRAMS_SQL,
         "global_order_ranks": _GLOBAL_RANKS_SQL,
+        "inverted_index_lookup": _INVERTED_INDEX_SQL,
         "dds_price_global": _dds_sql("lineitem", "l_extendedprice"),
         "dds_price_by_flag": _dds_sql("lineitem", "l_extendedprice",
                                       "l_returnflag"),
