@@ -72,7 +72,8 @@ from p2pddsketch_ray.pipelines.relational import (  # noqa: E402
     DIVERSIFIED_TOP_SQL as _DIVERSIFIED_TOP_SQL,
     PARTITIONED_RT_SQL as _PARTITIONED_RT_SQL,
     PMI_BIGRAMS_SQL as _PMI_BIGRAMS_SQL,
-    GLOBAL_RANKS_SQL as _GLOBAL_RANKS_SQL)
+    GLOBAL_RANKS_SQL as _GLOBAL_RANKS_SQL,
+    NEAREST_CENTROID_SQL as _NEAREST_CENTROID_SQL)
 from p2pddsketch_ray.pipelines.fingerprint import (  # noqa: E402
     WINNOW_FINGERPRINT_SQL as _WINNOW_FINGERPRINT_SQL)
 from p2pddsketch_ray.pipelines.search import (  # noqa: E402
@@ -409,6 +410,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # persisted inverted index: bucketed postings on disk, term
         # lookup opens ONLY the probed buckets (retrieval layout)
         "inverted_index_lookup": _inverted_index_lookup,
+        # nearest-centroid classification (exact integer milli-unit
+        # distances, broadcast centroid matrix, confusion-matrix rollup)
+        "nearest_centroid_confusion": R.nearest_centroid_confusion,
     }
 
 
@@ -812,6 +816,7 @@ def oracle_sql() -> dict[str, str]:
         "pmi_bigrams_topk": _PMI_BIGRAMS_SQL,
         "global_order_ranks": _GLOBAL_RANKS_SQL,
         "inverted_index_lookup": _INVERTED_INDEX_SQL,
+        "nearest_centroid_confusion": _NEAREST_CENTROID_SQL,
         "dds_price_global": _dds_sql("lineitem", "l_extendedprice"),
         "dds_price_by_flag": _dds_sql("lineitem", "l_extendedprice",
                                       "l_returnflag"),

@@ -3697,3 +3697,151 @@ SELECT rnk, o_orderkey, price_cents FROM r
 WHERE rnk % 997 = 0 OR rnk = 1 OR rnk = (SELECT count(*) FROM orders)
 ORDER BY rnk
 """
+
+
+def nearest_centroid_confusion(sf_dir: str) -> "ray.data.Dataset":
+    """Nearest-centroid classification of every embedding against its
+    own corpus' per-label centroids, reported as the (true label,
+    predicted label) confusion matrix with exact integer squared
+    distances -- the cluster-assignment / lightweight-classifier stage
+    of an embedding pipeline, end to end in two passes.
+
+    Determinism: vectors and centroids are quantized to milli-units
+    (floor(x*1000 + 0.5); the centroid mean uses ONE float64 division +
+    the same floor, bit-stable across engines), so distances are pure
+    int64 sums of squares and the argmin (tie: smaller label) is exact.
+
+    Scale shape: pass 1 is the label_centroids partial pattern --
+    O(blocks x labels x dim) integer rows, with only the final
+    O(labels x dim) table leaving the cluster; the centroid matrix is
+    ray.put ONCE and fetched per task, never per batch; pass 2 streams,
+    computing per-batch distances with one (n, L, d) vectorized
+    expansion (swap in a matmul expansion when L x d grows) and folds
+    to per-(label, pred) partials, so the final exchange is O(L^2)
+    rows per block."""
+    from ..functions.vectors import list_to_matrix
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "label", "embedding"])
+
+    cent_empty = pa.table({"label": pa.array([], type=pa.int64()),
+                           "dim": pa.array([], type=pa.int64()),
+                           "n_vecs": pa.array([], type=pa.int64()),
+                           "s": pa.array([], type=pa.int64())})
+
+    def cent_partials(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return cent_empty
+        mat = list_to_matrix(t["embedding"], dtype=np.float64)
+        units = np.floor(mat * 1000.0 + 0.5).astype(np.int64)
+        lab = t["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ul, inv = np.unique(lab, return_inverse=True)
+        d = units.shape[1]
+        sums = np.zeros((ul.shape[0], d), dtype=np.int64)
+        np.add.at(sums, inv, units)
+        cnt = np.bincount(inv).astype(np.int64)
+        return pa.table({
+            "label": pa.array(np.repeat(ul, d)),
+            "dim": pa.array(np.tile(np.arange(d, dtype=np.int64),
+                                    ul.shape[0])),
+            "n_vecs": pa.array(np.repeat(cnt, d)),
+            "s": pa.array(sums.ravel()),
+        })
+
+    cent_tbl = (ds.map_batches(cent_partials, batch_format="pyarrow",
+                               zero_copy_batch=True)
+                .groupby(["label", "dim"])
+                .aggregate(Sum("n_vecs", alias_name="n"),
+                           Sum("s", alias_name="s"))
+                .to_pandas())
+    labels = np.sort(cent_tbl["label"].unique()).astype(np.int64)
+    n_dim = int(cent_tbl["dim"].max()) + 1
+    lpos = {int(l): i for i, l in enumerate(labels)}
+    sums = np.zeros((labels.shape[0], n_dim), dtype=np.int64)
+    cnts = np.zeros(labels.shape[0], dtype=np.int64)
+    for row in cent_tbl.itertuples():
+        i = lpos[int(row.label)]
+        sums[i, int(row.dim)] = int(row.s)
+        cnts[i] = int(row.n)
+    # ONE float64 division + floor: identical op order to the SQL
+    cent_milli = np.floor(sums / cnts[:, None].astype(np.float64)
+                          + 0.5).astype(np.int64)
+    cent_ref = ray.put((labels, cent_milli))
+
+    out_empty = pa.table({"label": pa.array([], type=pa.int64()),
+                          "pred": pa.array([], type=pa.int64()),
+                          "n": pa.array([], type=pa.int64()),
+                          "sum_d2": pa.array([], type=pa.int64())})
+
+    def assign(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_empty
+        labs, cm = ray.get(cent_ref)
+        mat = list_to_matrix(t["embedding"], dtype=np.float64)
+        x = np.floor(mat * 1000.0 + 0.5).astype(np.int64)
+        diff = x[:, None, :] - cm[None, :, :]
+        d2 = np.einsum("nld,nld->nl", diff, diff)
+        best = np.argmin(d2, axis=1)  # first minimum = smallest label
+        pred = labs[best]
+        bd2 = d2[np.arange(d2.shape[0]), best]
+        true = t["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nl = np.int64(labs.max() + 1)
+        comp = true * nl + pred
+        u, inv = np.unique(comp, return_inverse=True)
+        n = np.bincount(inv).astype(np.int64)
+        sd = np.zeros(u.shape[0], np.int64)
+        np.add.at(sd, inv, bd2)
+        return pa.table({"label": pa.array(u // nl),
+                         "pred": pa.array(u % nl),
+                         "n": pa.array(n), "sum_d2": pa.array(sd)})
+
+    agg = (ds.map_batches(assign, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby(["label", "pred"])
+           .aggregate(Sum("n", alias_name="n"),
+                      Sum("sum_d2", alias_name="sum_d2")))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "label": pc.cast(t["label"], pa.int64()),
+            "pred": pc.cast(t["pred"], pa.int64()),
+            "n": pc.cast(t["n"], pa.int64()),
+            "sum_d2": pc.cast(t["sum_d2"], pa.int64()),
+        })
+
+    return (agg.map_batches(finalize, batch_format="pyarrow")
+            .sort(["label", "pred"]))
+
+
+NEAREST_CENTROID_SQL = """
+WITH nums AS (
+  SELECT CAST(range AS BIGINT) AS i FROM range(1, 4097)
+), q AS (
+  SELECT vec_id, CAST(label AS BIGINT) AS label,
+         CAST(i - 1 AS BIGINT) AS dim,
+         CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000.0 + 0.5)
+              AS BIGINT) AS x
+  FROM embeddings JOIN nums ON nums.i <= len(embedding)
+), csum AS (
+  SELECT label, dim, CAST(sum(x) AS BIGINT) AS s,
+         CAST(count(*) AS BIGINT) AS c
+  FROM q GROUP BY 1, 2
+), cent AS (
+  SELECT label AS clabel, dim,
+         CAST(floor(CAST(s AS DOUBLE) / CAST(c AS DOUBLE) + 0.5)
+              AS BIGINT) AS cm
+  FROM csum
+), dist AS (
+  SELECT q.vec_id, q.label, cent.clabel,
+         CAST(sum((q.x - cent.cm) * (q.x - cent.cm)) AS BIGINT) AS d2
+  FROM q JOIN cent ON q.dim = cent.dim
+  GROUP BY 1, 2, 3
+), best AS (
+  SELECT vec_id, label, clabel AS pred, d2,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY d2, clabel) AS r
+  FROM dist
+)
+SELECT label, pred, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(d2) AS BIGINT) AS sum_d2
+FROM best WHERE r = 1 GROUP BY 1, 2 ORDER BY 1, 2
+"""

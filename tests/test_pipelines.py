@@ -659,3 +659,43 @@ def test_global_order_ranks_is_complete_permutation(ray_session):
     assert got["rnk"].tolist() == list(range(1, n + 1))
     assert got["o_orderkey"].is_unique
     assert (np.diff(got["price_cents"].to_numpy()) >= 0).all()
+
+
+def test_nearest_centroid_matches_duckdb(ray_session):
+    duckdb = pytest.importorskip("duckdb")
+    from p2pddsketch_ray.pipelines.relational import (
+        NEAREST_CENTROID_SQL, nearest_centroid_confusion)
+    sf = "/root/testdata/sf0.001"
+    got = (nearest_centroid_confusion(sf).to_pandas()
+           .reset_index(drop=True))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM "
+                f"read_parquet('{sf}/embeddings.parquet')")
+    want = con.execute(NEAREST_CENTROID_SQL).df()
+    assert got.equals(want.reset_index(drop=True))
+    # every vector is assigned exactly once
+    n_vecs = con.execute("SELECT count(*) FROM embeddings").fetchone()[0]
+    assert got["n"].sum() == n_vecs
+
+
+def test_nearest_centroid_separated_clusters_diagonal(ray_session,
+                                                      tmp_path):
+    """Two well-separated clusters classify perfectly: the confusion
+    matrix is diagonal."""
+    from p2pddsketch_ray.pipelines.relational import (
+        nearest_centroid_confusion)
+    rng = np.random.default_rng(7)
+    d = 8
+    a = rng.normal(0.0, 0.01, (20, d)) + np.r_[np.ones(4), -np.ones(4)]
+    b = rng.normal(0.0, 0.01, (20, d)) - np.r_[np.ones(4), -np.ones(4)]
+    mat = np.vstack([a, b]).astype(np.float32)
+    t = pa.table({
+        "vec_id": pa.array(np.arange(40, dtype=np.int64)),
+        "label": pa.array([0] * 20 + [1] * 20, type=pa.int32()),
+        "embedding": pa.FixedSizeListArray.from_arrays(
+            mat.reshape(-1), d).cast(pa.list_(pa.float32())),
+    })
+    pq.write_table(t, str(tmp_path / "embeddings.parquet"))
+    got = nearest_centroid_confusion(str(tmp_path)).to_pandas()
+    assert got[got["label"] != got["pred"]].empty
+    assert got["n"].tolist() == [20, 20]
