@@ -73,7 +73,8 @@ from p2pddsketch_ray.pipelines.relational import (  # noqa: E402
     PARTITIONED_RT_SQL as _PARTITIONED_RT_SQL,
     PMI_BIGRAMS_SQL as _PMI_BIGRAMS_SQL,
     GLOBAL_RANKS_SQL as _GLOBAL_RANKS_SQL,
-    NEAREST_CENTROID_SQL as _NEAREST_CENTROID_SQL)
+    NEAREST_CENTROID_SQL as _NEAREST_CENTROID_SQL,
+    KNN_BATCH_SQL as _KNN_BATCH_SQL)
 from p2pddsketch_ray.pipelines.fingerprint import (  # noqa: E402
     WINNOW_FINGERPRINT_SQL as _WINNOW_FINGERPRINT_SQL)
 from p2pddsketch_ray.pipelines.search import (  # noqa: E402
@@ -413,6 +414,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # nearest-centroid classification (exact integer milli-unit
         # distances, broadcast centroid matrix, confusion-matrix rollup)
         "nearest_centroid_confusion": R.nearest_centroid_confusion,
+        # batched multi-query KNN join: all queries in one corpus pass
+        # (one matmul per batch, block-local top-k per query)
+        "knn_batch_queries": R.knn_batch_queries,
     }
 
 
@@ -817,6 +821,7 @@ def oracle_sql() -> dict[str, str]:
         "global_order_ranks": _GLOBAL_RANKS_SQL,
         "inverted_index_lookup": _INVERTED_INDEX_SQL,
         "nearest_centroid_confusion": _NEAREST_CENTROID_SQL,
+        "knn_batch_queries": _KNN_BATCH_SQL,
         "dds_price_global": _dds_sql("lineitem", "l_extendedprice"),
         "dds_price_by_flag": _dds_sql("lineitem", "l_extendedprice",
                                       "l_returnflag"),

@@ -3845,3 +3845,116 @@ SELECT label, pred, CAST(count(*) AS BIGINT) AS n,
        CAST(sum(d2) AS BIGINT) AS sum_d2
 FROM best WHERE r = 1 GROUP BY 1, 2 ORDER BY 1, 2
 """
+
+
+def knn_batch_queries(sf_dir: str, n_queries: int = 8,
+                      k: int = 10) -> "ray.data.Dataset":
+    """Batched multi-query KNN join: top-k cosine neighbors for a SET of
+    query vectors in ONE corpus pass (the retrieval building block for
+    embedding-dedup verification and RAG backfills; the single-query
+    baseline is ``knn_cosine_topk``).
+
+    Scale shape: the query matrix is unit-normalized once and broadcast
+    via ray.put (never re-shipped per batch); each batch runs ONE
+    (n x d) @ (d x Q) float64 matmul for all queries simultaneously and
+    prereduces to its block-local top-k per query, so the exchange is
+    O(Q x k x blocks) rows; a single vocab-sized final partition
+    finishes the ranking.  At a 10^12-row corpus the same shape holds
+    -- batch the queries in groups sized so n x Q score matrices fit
+    the worker heap."""
+    import pyarrow.parquet as pq
+    from ..functions.vectors import list_to_matrix
+    from ..stages.partition import partition_by
+
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                        columns=["vec_id", "embedding"])
+    qrows = emb.filter(pc.less(emb["vec_id"], n_queries))
+    qids = qrows["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(qids)
+    qmat = list_to_matrix(qrows["embedding"], dtype=np.float64)[order]
+    qids = qids[order]
+    qmat = qmat / np.linalg.norm(qmat, axis=1)[:, None]
+    q_ref = ray.put((qids, qmat))
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    empty = pa.table({"qid": pa.array([], type=pa.int64()),
+                      "vec_id": pa.array([], type=pa.int64()),
+                      "cos_sim": pa.array([], type=pa.float64())})
+
+    def score_local_topk(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        ids, qm = ray.get(q_ref)
+        mat = list_to_matrix(t["embedding"])
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        sims = (mat @ qm.T) / norms[:, None]          # (n, Q)
+        sims = np.round(sims, 4)
+        vid = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nq = ids.shape[0]
+        kk = min(k, sims.shape[0])
+        # block-local top-k per query: one argpartition per column
+        part = np.argpartition(-sims, kk - 1, axis=0)[:kk]   # (kk, Q)
+        rows = part.T.ravel()
+        qcol = np.repeat(ids, kk)
+        return pa.table({
+            "qid": pa.array(qcol),
+            "vec_id": pa.array(vid[rows]),
+            "cos_sim": pa.array(sims[rows, np.repeat(
+                np.arange(nq), kk)], type=pa.float64()),
+        })
+
+    out_empty = pa.table({"qid": pa.array([], type=pa.int64()),
+                          "vec_id": pa.array([], type=pa.int64()),
+                          "cos_sim": pa.array([], type=pa.float64()),
+                          "rnk": pa.array([], type=pa.int64())})
+
+    def final_rank(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_empty
+        qid = t["qid"].to_numpy(zero_copy_only=False)
+        vid = t["vec_id"].to_numpy(zero_copy_only=False)
+        sim = t["cos_sim"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((vid, -sim, qid))
+        q_s = qid[order]
+        new_q = np.ones(order.shape[0], dtype=bool)
+        new_q[1:] = q_s[1:] != q_s[:-1]
+        starts = np.nonzero(new_q)[0]
+        first = np.repeat(starts, np.diff(np.append(starts,
+                                                    order.shape[0])))
+        rank = np.arange(order.shape[0]) - first
+        sel = rank < k
+        keep = order[sel]
+        return pa.table({"qid": pa.array(qid[keep]),
+                         "vec_id": pa.array(vid[keep]),
+                         "cos_sim": pa.array(sim[keep]),
+                         "rnk": pa.array(rank[sel] + 1)})
+
+    scored = ds.map_batches(score_local_topk, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    return partition_by(scored, [], 1, final_rank,
+                        out_empty).sort(["qid", "rnk"])
+
+
+KNN_BATCH_SQL = """
+WITH q AS (
+  SELECT vec_id AS qid,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+  FROM embeddings WHERE vec_id < 8
+), scored AS (
+  SELECT q.qid, e.vec_id,
+         round(list_cosine_similarity(
+             list_transform(e.embedding, x -> CAST(x AS DOUBLE)),
+             q.qv), 4) AS cos_sim
+  FROM embeddings e CROSS JOIN q
+), ranked AS (
+  SELECT qid, vec_id, cos_sim,
+         CAST(row_number() OVER (PARTITION BY qid
+                                 ORDER BY cos_sim DESC, vec_id)
+              AS BIGINT) AS rnk
+  FROM scored
+)
+SELECT qid, vec_id, cos_sim, rnk FROM ranked
+WHERE rnk <= 10 ORDER BY qid, rnk
+"""

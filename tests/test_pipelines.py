@@ -699,3 +699,28 @@ def test_nearest_centroid_separated_clusters_diagonal(ray_session,
     got = nearest_centroid_confusion(str(tmp_path)).to_pandas()
     assert got[got["label"] != got["pred"]].empty
     assert got["n"].tolist() == [20, 20]
+
+
+def test_knn_batch_queries_matches_duckdb(ray_session):
+    duckdb = pytest.importorskip("duckdb")
+    from p2pddsketch_ray.pipelines.relational import (
+        KNN_BATCH_SQL, knn_batch_queries)
+    sf = "/root/testdata/sf0.001"
+    got = knn_batch_queries(sf).to_pandas().reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM "
+                f"read_parquet('{sf}/embeddings.parquet')")
+    want = con.execute(KNN_BATCH_SQL).df()
+    assert got.equals(want.reset_index(drop=True))
+
+
+def test_knn_batch_agrees_with_single_query(ray_session):
+    """Query 0's batched neighbor list equals the single-query path."""
+    from p2pddsketch_ray.pipelines.relational import (
+        knn_batch_queries, knn_cosine_topk)
+    sf = "/root/testdata/sf0.001"
+    batch = knn_batch_queries(sf).to_pandas()
+    single = knn_cosine_topk(sf, query_vec_id=0).to_pandas()
+    q0 = batch[batch["qid"] == 0].sort_values("rnk")
+    assert q0["vec_id"].tolist() == single["vec_id"].tolist()
+    assert q0["cos_sim"].tolist() == single["cos_sim"].tolist()
