@@ -38,7 +38,8 @@ from p2pddsketch_ray.pipelines.temporal import (  # noqa: E402
     USER_EVENT_SEQUENCES_SQL as _USER_EVENT_SEQUENCES_SQL,
     FUNNEL_COUNTS_SQL as _FUNNEL_COUNTS_SQL,
     COHORT_RETENTION_SQL as _COHORT_RETENTION_SQL,
-    ACTIVE_USER_COUNTS_SQL as _ACTIVE_USER_COUNTS_SQL)
+    ACTIVE_USER_COUNTS_SQL as _ACTIVE_USER_COUNTS_SQL,
+    EVENT_TRANSITION_SQL as _EVENT_TRANSITION_SQL)
 from p2pddsketch_ray.pipelines.relational import (  # noqa: E402
     REPETITION_STATS_SQL as _REPETITION_STATS_SQL,
     STRATIFIED_SAMPLE_SQL as _STRATIFIED_SAMPLE_SQL,
@@ -417,7 +418,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # batched multi-query KNN join: all queries in one corpus pass
         # (one matmul per batch, block-local top-k per query)
         "knn_batch_queries": R.knn_batch_queries,
+        # first-order Markov transition matrix over user event streams
+        # (lag pairs + integer-ppm row normalization)
+        "event_transition_matrix": _event_transition_matrix,
     }
+
+
+def _event_transition_matrix(sf_dir: str):
+    from p2pddsketch_ray.pipelines.temporal import event_transition_matrix
+    return event_transition_matrix(sf_dir)
 
 
 def _inverted_index_lookup(sf_dir: str):
@@ -822,6 +831,7 @@ def oracle_sql() -> dict[str, str]:
         "inverted_index_lookup": _INVERTED_INDEX_SQL,
         "nearest_centroid_confusion": _NEAREST_CENTROID_SQL,
         "knn_batch_queries": _KNN_BATCH_SQL,
+        "event_transition_matrix": _EVENT_TRANSITION_SQL,
         "dds_price_global": _dds_sql("lineitem", "l_extendedprice"),
         "dds_price_by_flag": _dds_sql("lineitem", "l_extendedprice",
                                       "l_returnflag"),

@@ -1162,3 +1162,105 @@ SELECT user_id, CAST(count(*) AS BIGINT) AS n_islands,
        CAST(sum((e1 - s0) // 1000000) AS BIGINT) AS covered_s
 FROM grp GROUP BY 1 ORDER BY 1
 """
+
+
+def event_transition_matrix(sf_dir: str) -> "ray.data.Dataset":
+    """First-order Markov transition matrix over user event streams:
+    for every (previous type -> type) pair of consecutive events per
+    user, the exact count and the transition probability in integer
+    ppm (n * 1e6 // n_from) -- the behavior-model statistic behind
+    next-event prediction features and anomaly baselines.
+
+    Scale shape: same user co-partition + one lexsort kernel as the
+    lag/window family (one partition sees a user's whole history);
+    per-partition output is O(types^2) count rows, the final exchange
+    O(types^2 x partitions), and the probability is derived AFTER the
+    global sum with integer division only (order-proof)."""
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type"])
+
+    empty = pa.table({"from_type": pa.array([], type=pa.string()),
+                      "to_type": pa.array([], type=pa.string()),
+                      "n": pa.array([], type=pa.int64())})
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": t["user_id"],
+            "ts": pa.array(_as_int64(t["ts"]), type=pa.int64()),
+            "event_id": t["event_id"],
+            "event_type": t["event_type"],
+        })
+
+    def pair_kernel(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        ts = t["ts"].to_numpy(zero_copy_only=False)
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, uid))
+        uid_s = uid[order]
+        et = np.asarray(t["event_type"].to_pylist(),
+                        dtype=np.str_)[order]
+        same = uid_s[1:] == uid_s[:-1]
+        if not same.any():
+            return empty
+        ue, code = np.unique(et, return_inverse=True)
+        nt = np.int64(ue.shape[0])
+        comp = code[:-1][same] * nt + code[1:][same]
+        u, cnt = np.unique(comp, return_counts=True)
+        return pa.table({
+            "from_type": pa.array(ue[u // nt].tolist(),
+                                  type=pa.string()),
+            "to_type": pa.array(ue[u % nt].tolist(), type=pa.string()),
+            "n": pa.array(cnt.astype(np.int64)),
+        })
+
+    prepped = events.map_batches(prep, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+    partials = partition_by(prepped, ["user_id"], fit_partitions(32),
+                            pair_kernel, empty)
+    from ray.data.aggregate import Sum
+    agg = (partials.groupby(["from_type", "to_type"])
+           .aggregate(Sum("n", alias_name="n")))
+
+    out_empty = pa.table({"from_type": pa.array([], type=pa.string()),
+                          "to_type": pa.array([], type=pa.string()),
+                          "n": pa.array([], type=pa.int64()),
+                          "ppm": pa.array([], type=pa.int64())})
+
+    def with_ppm(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_empty
+        n = pc.cast(t["n"], pa.int64()).to_numpy(zero_copy_only=False)
+        ft = np.asarray(t["from_type"].to_pylist(), dtype=np.str_)
+        uf, inv = np.unique(ft, return_inverse=True)
+        nf = np.zeros(uf.shape[0], np.int64)
+        np.add.at(nf, inv, n)
+        ppm = n * np.int64(1_000_000) // nf[inv]
+        return pa.table({
+            "from_type": t["from_type"], "to_type": t["to_type"],
+            "n": pa.array(n), "ppm": pa.array(ppm),
+        })
+
+    # types^2-sized input: one partition derives the row-normalized ppm
+    return partition_by(agg, [], 1, with_ppm,
+                        out_empty).sort(["from_type", "to_type"])
+
+
+EVENT_TRANSITION_SQL = """
+WITH w AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev
+  FROM events
+), p AS (
+  SELECT prev AS from_type, event_type AS to_type,
+         CAST(count(*) AS BIGINT) AS n
+  FROM w WHERE prev IS NOT NULL GROUP BY 1, 2
+), f AS (
+  SELECT from_type, CAST(sum(n) AS BIGINT) AS nf FROM p GROUP BY 1
+)
+SELECT p.from_type, p.to_type, p.n,
+       CAST(p.n * 1000000 // f.nf AS BIGINT) AS ppm
+FROM p JOIN f USING (from_type)
+ORDER BY 1, 2
+"""

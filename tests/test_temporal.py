@@ -310,3 +310,41 @@ def test_user_interval_coverage_brute_force(ray_session):
         n += 1
         assert int(grp["covered_s"].iloc[0]) == cov
         assert int(grp["n_islands"].iloc[0]) == n
+
+
+def test_event_transition_matrix_matches_duckdb(ray_session):
+    duckdb = pytest.importorskip("duckdb")
+    from p2pddsketch_ray.pipelines.temporal import (
+        EVENT_TRANSITION_SQL, event_transition_matrix)
+    sf = "/root/testdata/sf0.001"
+    got = event_transition_matrix(sf).to_pandas().reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{sf}/events.parquet')")
+    want = con.execute(EVENT_TRANSITION_SQL).df()
+    assert got.equals(want.reset_index(drop=True))
+    # row-normalized: each from_type's ppm sums to ~1e6 (floor slack
+    # bounded by its fan-out)
+    agg = got.groupby("from_type").agg(s=("ppm", "sum"),
+                                       k=("ppm", "size"))
+    assert ((1_000_000 - agg["s"]) < agg["k"]).all()
+    assert (agg["s"] <= 1_000_000).all()
+
+
+def test_event_transition_pairs_never_cross_users(ray_session,
+                                                  tmp_path):
+    """Consecutive rows of DIFFERENT users contribute no transition."""
+    import pyarrow.parquet as pq
+    from p2pddsketch_ray.pipelines.temporal import event_transition_matrix
+    base = 1_700_000_000_000_000
+    t = pa.table({
+        "event_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+        "ts": pa.array([base, base + 1, base + 2, base + 3],
+                       type=pa.timestamp("us")),
+        "user_id": pa.array([1, 2, 1, 2], type=pa.int64()),
+        "event_type": pa.array(["a", "b", "c", "d"]),
+    })
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    got = event_transition_matrix(str(tmp_path)).to_pandas()
+    pairs = set(zip(got["from_type"], got["to_type"]))
+    assert pairs == {("a", "c"), ("b", "d")}
