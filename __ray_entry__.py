@@ -75,7 +75,8 @@ from p2pddsketch_ray.pipelines.relational import (  # noqa: E402
     PMI_BIGRAMS_SQL as _PMI_BIGRAMS_SQL,
     GLOBAL_RANKS_SQL as _GLOBAL_RANKS_SQL,
     NEAREST_CENTROID_SQL as _NEAREST_CENTROID_SQL,
-    KNN_BATCH_SQL as _KNN_BATCH_SQL)
+    KNN_BATCH_SQL as _KNN_BATCH_SQL,
+    INCREMENTAL_DEDUP_SQL as _INCREMENTAL_DEDUP_SQL)
 from p2pddsketch_ray.pipelines.fingerprint import (  # noqa: E402
     WINNOW_FINGERPRINT_SQL as _WINNOW_FINGERPRINT_SQL)
 from p2pddsketch_ray.pipelines.search import (  # noqa: E402
@@ -421,6 +422,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # first-order Markov transition matrix over user event streams
         # (lag pairs + integer-ppm row normalization)
         "event_transition_matrix": _event_transition_matrix,
+        # INCREMENTAL ingest dedup: delta probed against a persisted
+        # hash-bucketed index (md5 tier pinned for the oracle)
+        "incremental_dedup_stats": lambda sf: R.incremental_dedup_stats(
+            sf, hash_tier="md5"),
     }
 
 
@@ -832,6 +837,7 @@ def oracle_sql() -> dict[str, str]:
         "nearest_centroid_confusion": _NEAREST_CENTROID_SQL,
         "knn_batch_queries": _KNN_BATCH_SQL,
         "event_transition_matrix": _EVENT_TRANSITION_SQL,
+        "incremental_dedup_stats": _INCREMENTAL_DEDUP_SQL,
         "dds_price_global": _dds_sql("lineitem", "l_extendedprice"),
         "dds_price_by_flag": _dds_sql("lineitem", "l_extendedprice",
                                       "l_returnflag"),

@@ -724,3 +724,52 @@ def test_knn_batch_agrees_with_single_query(ray_session):
     q0 = batch[batch["qid"] == 0].sort_values("rnk")
     assert q0["vec_id"].tolist() == single["vec_id"].tolist()
     assert q0["cos_sim"].tolist() == single["cos_sim"].tolist()
+
+
+def test_incremental_dedup_matches_duckdb(ray_session):
+    duckdb = pytest.importorskip("duckdb")
+    from p2pddsketch_ray.pipelines.relational import (
+        INCREMENTAL_DEDUP_SQL, incremental_dedup_stats)
+    sf = "/root/testdata/sf0.001"
+    got = (incremental_dedup_stats(sf, hash_tier="md5").to_pandas()
+           .reset_index(drop=True))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf}/documents.parquet')")
+    want = con.execute(INCREMENTAL_DEDUP_SQL).df()
+    assert got.equals(want.reset_index(drop=True))
+
+
+def test_incremental_dedup_hash_tiers_agree(ray_session):
+    from p2pddsketch_ray.pipelines.relational import (
+        incremental_dedup_stats)
+    sf = "/root/testdata/sf0.001"
+    md5 = (incremental_dedup_stats(sf, hash_tier="md5",
+                                   root="/tmp/p2pdds_t/inc_md5")
+           .to_pandas().reset_index(drop=True))
+    fp = (incremental_dedup_stats(sf, hash_tier="fp64",
+                                  root="/tmp/p2pdds_t/inc_fp")
+          .to_pandas().reset_index(drop=True))
+    assert md5.equals(fp)
+
+
+def test_incremental_dedup_finds_planted_delta_dups(ray_session,
+                                                    tmp_path):
+    """Odd docs duplicating even texts are flagged; fresh odd texts
+    are admitted."""
+    import pyarrow.parquet as pq
+    from p2pddsketch_ray.pipelines.relational import (
+        incremental_dedup_stats)
+    t = pa.table({
+        "doc_id": pa.array([0, 2, 1, 3, 5], type=pa.int64()),
+        "lang": pa.array(["en"] * 5),
+        "text": pa.array(["old one", "old two",
+                          "old one",      # dup of doc 0
+                          "brand new", "old two"]),  # 5 dups doc 2
+    })
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    got = incremental_dedup_stats(
+        str(tmp_path), root=str(tmp_path / "idx")).to_pandas()
+    row = got.iloc[0]
+    assert (row["n_incoming"], row["n_dup"], row["n_admitted"]) \
+        == (3, 2, 1)
