@@ -76,7 +76,8 @@ from p2pddsketch_ray.pipelines.relational import (  # noqa: E402
     GLOBAL_RANKS_SQL as _GLOBAL_RANKS_SQL,
     NEAREST_CENTROID_SQL as _NEAREST_CENTROID_SQL,
     KNN_BATCH_SQL as _KNN_BATCH_SQL,
-    INCREMENTAL_DEDUP_SQL as _INCREMENTAL_DEDUP_SQL)
+    INCREMENTAL_DEDUP_SQL as _INCREMENTAL_DEDUP_SQL,
+    COMPACTION_SQL as _COMPACTION_SQL)
 from p2pddsketch_ray.pipelines.fingerprint import (  # noqa: E402
     WINNOW_FINGERPRINT_SQL as _WINNOW_FINGERPRINT_SQL)
 from p2pddsketch_ray.pipelines.search import (  # noqa: E402
@@ -426,6 +427,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # hash-bucketed index (md5 tier pinned for the oracle)
         "incremental_dedup_stats": lambda sf: R.incremental_dedup_stats(
             sf, hash_tier="md5"),
+        # small-file compaction round trip (lakehouse maintenance):
+        # fragmented write -> coalesce -> rollup from the compacted copy
+        "compact_small_files_stats": R.compact_small_files_stats,
     }
 
 
@@ -838,6 +842,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_batch_queries": _KNN_BATCH_SQL,
         "event_transition_matrix": _EVENT_TRANSITION_SQL,
         "incremental_dedup_stats": _INCREMENTAL_DEDUP_SQL,
+        "compact_small_files_stats": _COMPACTION_SQL,
         "dds_price_global": _dds_sql("lineitem", "l_extendedprice"),
         "dds_price_by_flag": _dds_sql("lineitem", "l_extendedprice",
                                       "l_returnflag"),

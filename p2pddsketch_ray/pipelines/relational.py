@@ -4099,3 +4099,75 @@ SELECT lang, CAST(count(*) AS BIGINT) AS n_incoming,
                      THEN 0 ELSE 1 END) AS BIGINT) AS n_admitted
 FROM inc GROUP BY 1 ORDER BY 1
 """
+
+
+def compact_small_files_stats(sf_dir: str, n_fragments: int = 64,
+                              n_compacted: int = 4,
+                              root: str | None = None) -> "ray.data.Dataset":
+    """Small-file COMPACTION -- the table-maintenance pass every
+    streaming ingest needs: a directory of many tiny parquet files
+    (one per micro-batch) is rewritten into a few right-sized files,
+    and the per-type rollup computed from the COMPACTED copy proves
+    the rewrite lost and duplicated nothing.
+
+    Scale shape: both the fragmented write and the compaction are
+    streaming passes; compaction is a repartition to the target file
+    count (in production: partition-directory-at-a-time, so each
+    compaction job touches one partition's files and the table stays
+    queryable throughout -- the resumable-output layout in
+    state/resume_write.py provides exactly that isolation)."""
+    import shutil
+
+    root = root or "/tmp/p2pdds_gate/compaction"
+    shutil.rmtree(root, ignore_errors=True)
+
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({"event_type": t["event_type"],
+                         "val_c": _int_units(t["value"], 100)})
+
+    # fragmented ingest: many tiny files
+    (ev.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+       .repartition(n_fragments).write_parquet(f"{root}/fragmented"))
+
+    # compaction: coalesce to the target file count
+    frag = ray.data.read_parquet(f"{root}/fragmented")
+    frag.repartition(n_compacted).write_parquet(f"{root}/compacted")
+
+    comp = ray.data.read_parquet(f"{root}/compacted")
+
+    def partial(t: pa.Table) -> pa.Table:
+        et = np.asarray(t["event_type"].to_pylist(), dtype=np.str_)
+        v = t["val_c"].to_numpy(zero_copy_only=False)
+        ue, inv = np.unique(et, return_inverse=True)
+        n = np.bincount(inv).astype(np.int64)
+        s = np.zeros(ue.shape[0], np.int64)
+        np.add.at(s, inv, v)
+        return pa.table({"event_type": pa.array(ue.tolist(),
+                                                type=pa.string()),
+                         "n": pa.array(n), "s": pa.array(s)})
+
+    agg = (comp.map_batches(partial, batch_format="pyarrow",
+                            zero_copy_batch=True)
+           .groupby("event_type")
+           .aggregate(Sum("n", alias_name="n_events"),
+                      Sum("s", alias_name="sum_value_cents")))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": t["event_type"],
+            "n_events": pc.cast(t["n_events"], pa.int64()),
+            "sum_value_cents": pc.cast(t["sum_value_cents"], pa.int64()),
+        })
+
+    return agg.map_batches(finalize,
+                           batch_format="pyarrow").sort("event_type")
+
+
+COMPACTION_SQL = """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+           AS sum_value_cents
+FROM events GROUP BY 1 ORDER BY 1
+"""

@@ -773,3 +773,23 @@ def test_incremental_dedup_finds_planted_delta_dups(ray_session,
     row = got.iloc[0]
     assert (row["n_incoming"], row["n_dup"], row["n_admitted"]) \
         == (3, 2, 1)
+
+
+def test_compaction_matches_duckdb_and_reduces_files(ray_session,
+                                                     tmp_path):
+    duckdb = pytest.importorskip("duckdb")
+    import glob
+    from p2pddsketch_ray.pipelines.relational import (
+        COMPACTION_SQL, compact_small_files_stats)
+    sf = "/root/testdata/sf0.001"
+    root = str(tmp_path / "compact")
+    got = (compact_small_files_stats(sf, root=root).to_pandas()
+           .reset_index(drop=True))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{sf}/events.parquet')")
+    want = con.execute(COMPACTION_SQL).df()
+    assert got.equals(want.reset_index(drop=True))
+    n_frag = len(glob.glob(f"{root}/fragmented/*.parquet"))
+    n_comp = len(glob.glob(f"{root}/compacted/*.parquet"))
+    assert n_comp < n_frag and n_comp <= 8
