@@ -77,7 +77,9 @@ from p2pddsketch_ray.pipelines.relational import (  # noqa: E402
     NEAREST_CENTROID_SQL as _NEAREST_CENTROID_SQL,
     KNN_BATCH_SQL as _KNN_BATCH_SQL,
     INCREMENTAL_DEDUP_SQL as _INCREMENTAL_DEDUP_SQL,
-    COMPACTION_SQL as _COMPACTION_SQL)
+    COMPACTION_SQL as _COMPACTION_SQL,
+    ZSCORE_OUTLIER_SQL as _ZSCORE_OUTLIER_SQL,
+    VALUE_HISTOGRAM_SQL as _VALUE_HISTOGRAM_SQL)
 from p2pddsketch_ray.pipelines.fingerprint import (  # noqa: E402
     WINNOW_FINGERPRINT_SQL as _WINNOW_FINGERPRINT_SQL)
 from p2pddsketch_ray.pipelines.search import (  # noqa: E402
@@ -430,6 +432,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # small-file compaction round trip (lakehouse maintenance):
         # fragmented write -> coalesce -> rollup from the compacted copy
         "compact_small_files_stats": R.compact_small_files_stats,
+        # sufficient-statistics outlier flagging (k-sigma in exact
+        # integer arithmetic; moments -> broadcast -> flag pass)
+        "zscore_outlier_counts": R.zscore_outlier_counts,
+        # exact equi-width histogram per group (distribution profiling)
+        "value_histogram_by_type": R.value_histogram_by_type,
     }
 
 
@@ -843,6 +850,8 @@ def oracle_sql() -> dict[str, str]:
         "event_transition_matrix": _EVENT_TRANSITION_SQL,
         "incremental_dedup_stats": _INCREMENTAL_DEDUP_SQL,
         "compact_small_files_stats": _COMPACTION_SQL,
+        "zscore_outlier_counts": _ZSCORE_OUTLIER_SQL,
+        "value_histogram_by_type": _VALUE_HISTOGRAM_SQL,
         "dds_price_global": _dds_sql("lineitem", "l_extendedprice"),
         "dds_price_by_flag": _dds_sql("lineitem", "l_extendedprice",
                                       "l_returnflag"),

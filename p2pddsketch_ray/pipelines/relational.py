@@ -4171,3 +4171,170 @@ SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
            AS sum_value_cents
 FROM events GROUP BY 1 ORDER BY 1
 """
+
+
+def zscore_outlier_counts(sf_dir: str, k_sigma: int = 3) -> "ray.data.Dataset":
+    """Sufficient-statistics outlier detection: per event type, how many
+    events sit more than ``k_sigma`` population standard deviations from
+    that type's mean -- the data-quality flagging pass, composed as
+    moments pass -> broadcast -> streaming integer-compare flag pass
+    (the same two-pass shape as the sketch-threshold pipelines).
+
+    Determinism: the test |x - mean| > k*sigma is evaluated as
+    (c*n - S)^2 > k^2 * (n*Q - S^2) with c = value cents, S = sum(c),
+    Q = sum(c^2) -- all int64 at testdata magnitudes, so no root, no
+    division, no float crosses an engine boundary."""
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+
+    def mom_partial(t: pa.Table) -> pa.Table:
+        c = _int_units(t["value"], 100).to_numpy(zero_copy_only=False)
+        et = np.asarray(t["event_type"].to_pylist(), dtype=np.str_)
+        ue, inv = np.unique(et, return_inverse=True)
+        n = np.bincount(inv).astype(np.int64)
+        s = np.zeros(ue.shape[0], np.int64)
+        np.add.at(s, inv, c)
+        q = np.zeros(ue.shape[0], np.int64)
+        np.add.at(q, inv, c * c)
+        return pa.table({"event_type": pa.array(ue.tolist(),
+                                                type=pa.string()),
+                         "n": pa.array(n), "s": pa.array(s),
+                         "q": pa.array(q)})
+
+    mom = (ev.map_batches(mom_partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("event_type")
+           .aggregate(Sum("n", alias_name="n"), Sum("s", alias_name="s"),
+                      Sum("q", alias_name="q")).to_pandas())
+    stats = {r.event_type: (int(r.n), int(r.s), int(r.q))
+             for r in mom.itertuples()}
+    stats_ref = ray.put(stats)
+    kk = np.int64(k_sigma * k_sigma)
+
+    def flag_partial(t: pa.Table) -> pa.Table:
+        st = ray.get(stats_ref)
+        c = _int_units(t["value"], 100).to_numpy(zero_copy_only=False)
+        et = np.asarray(t["event_type"].to_pylist(), dtype=np.str_)
+        ue, inv = np.unique(et, return_inverse=True)
+        n_arr = np.array([st[e][0] for e in ue], dtype=np.int64)[inv]
+        s_arr = np.array([st[e][1] for e in ue], dtype=np.int64)[inv]
+        q_arr = np.array([st[e][2] for e in ue], dtype=np.int64)[inv]
+        lhs = (c * n_arr - s_arr) ** 2
+        rhs = kk * (n_arr * q_arr - s_arr * s_arr)
+        out = lhs > rhs
+        cnt = np.bincount(inv, minlength=ue.shape[0]).astype(np.int64)
+        no = np.zeros(ue.shape[0], np.int64)
+        np.add.at(no, inv, out.astype(np.int64))
+        return pa.table({"event_type": pa.array(ue.tolist(),
+                                                type=pa.string()),
+                         "n_events": pa.array(cnt),
+                         "n_outliers": pa.array(no)})
+
+    agg = (ev.map_batches(flag_partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("event_type")
+           .aggregate(Sum("n_events", alias_name="n_events"),
+                      Sum("n_outliers", alias_name="n_outliers")))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": t["event_type"],
+            "n_events": pc.cast(t["n_events"], pa.int64()),
+            "n_outliers": pc.cast(t["n_outliers"], pa.int64()),
+        })
+
+    return agg.map_batches(finalize,
+                           batch_format="pyarrow").sort("event_type")
+
+
+ZSCORE_OUTLIER_SQL = """
+WITH v AS (
+  SELECT event_type,
+         CAST(round(value * 100) AS BIGINT) AS c
+  FROM events
+), m AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(c) AS BIGINT) AS s,
+         CAST(sum(c * c) AS BIGINT) AS q
+  FROM v GROUP BY 1
+)
+SELECT v.event_type, m.n AS n_events,
+       CAST(sum(CASE WHEN (v.c * m.n - m.s) * (v.c * m.n - m.s)
+                          > 9 * (m.n * m.q - m.s * m.s)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM v JOIN m USING (event_type)
+GROUP BY 1, 2 ORDER BY 1
+"""
+
+
+def value_histogram_by_type(sf_dir: str,
+                            n_bins: int = 20) -> "ray.data.Dataset":
+    """Distribution profiling: exact equi-width histogram of event value
+    per event type (the profiler behind data drift dashboards and
+    DDSketch sanity checks), with integer cent bounds so binning is
+    deterministic.
+
+    Scale shape: one Min/Max scalar pass fixes the global bin grid
+    (O(1) driver state); the count pass folds each block to
+    O(types x bins) partials before the shuffle.  Bin edges shared
+    across groups make per-type histograms directly comparable."""
+    from ray.data.aggregate import Max as _Max, Min as _Min
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+
+    def cents_tbl(t: pa.Table) -> pa.Table:
+        return pa.table({"event_type": t["event_type"],
+                         "c": _int_units(t["value"], 100)})
+
+    rows = ev.map_batches(cents_tbl, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    mm = rows.aggregate(_Min("c"), _Max("c"))
+    lo, hi = int(mm["min(c)"]), int(mm["max(c)"])
+    width = max(1, (hi - lo + n_bins) // n_bins)
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        c = t["c"].to_numpy(zero_copy_only=False)
+        b = np.minimum((c - lo) // width, n_bins - 1)
+        et = np.asarray(t["event_type"].to_pylist(), dtype=np.str_)
+        ue, inv = np.unique(et, return_inverse=True)
+        comp = inv * np.int64(n_bins) + b
+        u, cnt = np.unique(comp, return_counts=True)
+        return pa.table({
+            "event_type": pa.array(ue[u // n_bins].tolist(),
+                                   type=pa.string()),
+            "bin": pa.array((u % n_bins).astype(np.int64)),
+            "n": pa.array(cnt.astype(np.int64)),
+        })
+
+    agg = (rows.map_batches(hist_partial, batch_format="pyarrow",
+                            zero_copy_batch=True)
+           .groupby(["event_type", "bin"])
+           .aggregate(Sum("n", alias_name="n")))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        b = pc.cast(t["bin"], pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "event_type": t["event_type"],
+            "bin": pa.array(b),
+            "bin_lo_cents": pa.array(lo + b * width),
+            "n": pc.cast(t["n"], pa.int64()),
+        })
+
+    return (agg.map_batches(finalize, batch_format="pyarrow")
+            .sort(["event_type", "bin"]))
+
+
+VALUE_HISTOGRAM_SQL = """
+WITH v AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c FROM events
+), mm AS (
+  SELECT min(c) AS lo, max(c) AS hi FROM v
+), g AS (
+  SELECT lo, greatest(1, (hi - lo + 20) // 20) AS w FROM mm
+)
+SELECT v.event_type,
+       least((v.c - g.lo) // g.w, 19) AS bin,
+       CAST(g.lo + least((v.c - g.lo) // g.w, 19) * g.w AS BIGINT)
+           AS bin_lo_cents,
+       CAST(count(*) AS BIGINT) AS n
+FROM v CROSS JOIN g
+GROUP BY 1, 2, 3 ORDER BY 1, 2
+"""

@@ -793,3 +793,52 @@ def test_compaction_matches_duckdb_and_reduces_files(ray_session,
     n_frag = len(glob.glob(f"{root}/fragmented/*.parquet"))
     n_comp = len(glob.glob(f"{root}/compacted/*.parquet"))
     assert n_comp < n_frag and n_comp <= 8
+
+
+def test_zscore_outliers_match_duckdb(ray_session):
+    duckdb = pytest.importorskip("duckdb")
+    from p2pddsketch_ray.pipelines.relational import (
+        ZSCORE_OUTLIER_SQL, zscore_outlier_counts)
+    sf = "/root/testdata/sf0.001"
+    got = (zscore_outlier_counts(sf).to_pandas()
+           .reset_index(drop=True))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{sf}/events.parquet')")
+    want = con.execute(ZSCORE_OUTLIER_SQL).df()
+    assert got.equals(want.reset_index(drop=True))
+
+
+def test_zscore_flags_planted_outlier(ray_session, tmp_path):
+    """A single extreme value among tight ones is the one outlier."""
+    import pyarrow.parquet as pq
+    from p2pddsketch_ray.pipelines.relational import (
+        zscore_outlier_counts)
+    vals = [10.0 + 0.01 * i for i in range(50)] + [10000.0]
+    t = pa.table({
+        "event_type": pa.array(["a"] * 51),
+        "value": pa.array(vals, type=pa.float64()),
+    })
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    got = zscore_outlier_counts(str(tmp_path)).to_pandas()
+    assert got.iloc[0]["n_outliers"] == 1
+
+
+def test_value_histogram_matches_duckdb(ray_session):
+    duckdb = pytest.importorskip("duckdb")
+    from p2pddsketch_ray.pipelines.relational import (
+        VALUE_HISTOGRAM_SQL, value_histogram_by_type)
+    sf = "/root/testdata/sf0.001"
+    got = (value_histogram_by_type(sf).to_pandas()
+           .reset_index(drop=True))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{sf}/events.parquet')")
+    want = con.execute(VALUE_HISTOGRAM_SQL).df()
+    assert got.equals(want.reset_index(drop=True))
+    # completeness: per-type bin counts sum to the type's row count
+    n_by_type = con.execute(
+        "SELECT event_type, count(*) n FROM events GROUP BY 1").df()
+    sums = got.groupby("event_type")["n"].sum().reset_index()
+    merged = sums.merge(n_by_type, on="event_type")
+    assert (merged["n_x"] == merged["n_y"]).all()
