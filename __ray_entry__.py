@@ -79,7 +79,8 @@ from p2pddsketch_ray.pipelines.relational import (  # noqa: E402
     INCREMENTAL_DEDUP_SQL as _INCREMENTAL_DEDUP_SQL,
     COMPACTION_SQL as _COMPACTION_SQL,
     ZSCORE_OUTLIER_SQL as _ZSCORE_OUTLIER_SQL,
-    VALUE_HISTOGRAM_SQL as _VALUE_HISTOGRAM_SQL)
+    VALUE_HISTOGRAM_SQL as _VALUE_HISTOGRAM_SQL,
+    SALTED_JOIN_SQL as _SALTED_JOIN_SQL)
 from p2pddsketch_ray.pipelines.fingerprint import (  # noqa: E402
     WINNOW_FINGERPRINT_SQL as _WINNOW_FINGERPRINT_SQL)
 from p2pddsketch_ray.pipelines.search import (  # noqa: E402
@@ -437,6 +438,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zscore_outlier_counts": R.zscore_outlier_counts,
         # exact equi-width histogram per group (distribution profiling)
         "value_histogram_by_type": R.value_histogram_by_type,
+        # hot-key-proof SALTED hash join (dim replicated per salt;
+        # bit-identical to the plain join)
+        "salted_join_rollup": R.salted_join_rollup,
     }
 
 
@@ -852,6 +856,7 @@ def oracle_sql() -> dict[str, str]:
         "compact_small_files_stats": _COMPACTION_SQL,
         "zscore_outlier_counts": _ZSCORE_OUTLIER_SQL,
         "value_histogram_by_type": _VALUE_HISTOGRAM_SQL,
+        "salted_join_rollup": _SALTED_JOIN_SQL,
         "dds_price_global": _dds_sql("lineitem", "l_extendedprice"),
         "dds_price_by_flag": _dds_sql("lineitem", "l_extendedprice",
                                       "l_returnflag"),

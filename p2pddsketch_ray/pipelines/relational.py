@@ -4338,3 +4338,90 @@ SELECT v.event_type,
 FROM v CROSS JOIN g
 GROUP BY 1, 2, 3 ORDER BY 1, 2
 """
+
+
+def salted_join_rollup(sf_dir: str, n_salts: int = 4) -> "ray.data.Dataset":
+    """HOT-KEY-PROOF salted hash join: the fact side's join key is
+    extended with a deterministic per-row salt and the dimension side is
+    replicated once per salt value, so a single pathological key (one
+    user producing 10% of a 100 TB event stream) spreads across
+    ``n_salts`` shuffle partitions instead of melting one reducer.  The
+    output is bit-identical to the unsalted join (the salt only routes;
+    every fact row still meets exactly one dim replica).
+
+    Scale shape: replication cost is O(dim x n_salts) -- cheap because
+    the dim side is the small one -- and the exchange gains n_salts-way
+    spread on every key, hot or not.  Salt from a hash of the fact ROW
+    id (not the join key), so even a single-key stream distributes.
+    Per-nation rollup proves equivalence against the plain-join
+    oracle."""
+    from ..hashing import murmur64
+
+    ns = np.int64(n_salts)
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "value"])
+
+    def fact_salt(t: pa.Table) -> pa.Table:
+        eid = pc.cast(t["event_id"], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        salt = (murmur64(eid).view(np.int64) % ns + ns) % ns
+        return pa.table({
+            "k": pc.cast(t["user_id"], pa.int64()),
+            "salt": pa.array(salt),
+            "val_c": _int_units(t["value"], 100),
+        })
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+
+    def dim_replicate(t: pa.Table) -> pa.Table:
+        k = pc.cast(t["c_custkey"], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        nat = pc.cast(t["c_nationkey"], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        n = k.shape[0]
+        return pa.table({
+            "k": pa.array(np.repeat(k, n_salts)),
+            "salt": pa.array(np.tile(np.arange(n_salts, dtype=np.int64),
+                                     n)),
+            "nat": pa.array(np.repeat(nat, n_salts)),
+        })
+
+    fact = ev.map_batches(fact_salt, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    dim = cust.map_batches(dim_replicate, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    joined = fact.join(dim, join_type="inner", num_partitions=8,
+                       on=("k", "salt"))
+
+    def rollup(t: pa.Table) -> pa.Table:
+        nat = t["nat"].to_numpy(zero_copy_only=False)
+        v = t["val_c"].to_numpy(zero_copy_only=False)
+        un, inv = np.unique(nat, return_inverse=True)
+        n = np.bincount(inv).astype(np.int64)
+        s = np.zeros(un.shape[0], np.int64)
+        np.add.at(s, inv, v)
+        return pa.table({"nation": pa.array(un), "n": pa.array(n),
+                         "s": pa.array(s)})
+
+    agg = (joined.map_batches(rollup, batch_format="pyarrow")
+           .groupby("nation")
+           .aggregate(Sum("n", alias_name="n_events"),
+                      Sum("s", alias_name="sum_value_cents")))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "nation": pc.cast(t["nation"], pa.int64()),
+            "n_events": pc.cast(t["n_events"], pa.int64()),
+            "sum_value_cents": pc.cast(t["sum_value_cents"], pa.int64()),
+        })
+
+    return agg.map_batches(finalize, batch_format="pyarrow").sort("nation")
+
+
+SALTED_JOIN_SQL = """
+SELECT CAST(c_nationkey AS BIGINT) AS nation,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+           AS sum_value_cents
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY 1 ORDER BY 1
+"""

@@ -842,3 +842,39 @@ def test_value_histogram_matches_duckdb(ray_session):
     sums = got.groupby("event_type")["n"].sum().reset_index()
     merged = sums.merge(n_by_type, on="event_type")
     assert (merged["n_x"] == merged["n_y"]).all()
+
+
+def test_salted_join_matches_duckdb(ray_session):
+    duckdb = pytest.importorskip("duckdb")
+    from p2pddsketch_ray.pipelines.relational import (
+        SALTED_JOIN_SQL, salted_join_rollup)
+    sf = "/root/testdata/sf0.001"
+    got = salted_join_rollup(sf).to_pandas().reset_index(drop=True)
+    con = duckdb.connect()
+    for t in ("events", "customer"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{sf}/{t}.parquet')")
+    want = con.execute(SALTED_JOIN_SQL).df()
+    assert got.equals(want.reset_index(drop=True))
+
+
+def test_salted_join_single_hot_key_exact(ray_session, tmp_path):
+    """A stream where EVERY event hits one key still joins exactly:
+    salting only routes, never changes the result."""
+    import pyarrow.parquet as pq
+    from p2pddsketch_ray.pipelines.relational import salted_join_rollup
+    n = 1000
+    pq.write_table(pa.table({
+        "event_id": pa.array(np.arange(n, dtype=np.int64)),
+        "user_id": pa.array(np.full(n, 42, dtype=np.int64)),
+        "value": pa.array(np.full(n, 1.0)),
+    }), str(tmp_path / "events.parquet"))
+    pq.write_table(pa.table({
+        "c_custkey": pa.array([42, 43], type=pa.int64()),
+        "c_nationkey": pa.array([7, 9], type=pa.int64()),
+    }), str(tmp_path / "customer.parquet"))
+    got = salted_join_rollup(str(tmp_path)).to_pandas()
+    assert len(got) == 1
+    row = got.iloc[0]
+    assert (row["nation"], row["n_events"],
+            row["sum_value_cents"]) == (7, n, n * 100)
