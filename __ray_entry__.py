@@ -39,7 +39,8 @@ from p2pddsketch_ray.pipelines.temporal import (  # noqa: E402
     FUNNEL_COUNTS_SQL as _FUNNEL_COUNTS_SQL,
     COHORT_RETENTION_SQL as _COHORT_RETENTION_SQL,
     ACTIVE_USER_COUNTS_SQL as _ACTIVE_USER_COUNTS_SQL,
-    EVENT_TRANSITION_SQL as _EVENT_TRANSITION_SQL)
+    EVENT_TRANSITION_SQL as _EVENT_TRANSITION_SQL,
+    PEAK_CONCURRENCY_SQL as _PEAK_CONCURRENCY_SQL)
 from p2pddsketch_ray.pipelines.relational import (  # noqa: E402
     REPETITION_STATS_SQL as _REPETITION_STATS_SQL,
     STRATIFIED_SAMPLE_SQL as _STRATIFIED_SAMPLE_SQL,
@@ -441,7 +442,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # hot-key-proof SALTED hash join (dim replicated per salt;
         # bit-identical to the plain join)
         "salted_join_rollup": R.salted_join_rollup,
+        # global peak concurrency: distributed ordered prefix sum
+        # (bucket net-delta offsets + within-bucket sweep)
+        "peak_concurrency_stats": _peak_concurrency_stats,
     }
+
+
+def _peak_concurrency_stats(sf_dir: str):
+    from p2pddsketch_ray.pipelines.temporal import peak_concurrency_stats
+    return peak_concurrency_stats(sf_dir)
 
 
 def _event_transition_matrix(sf_dir: str):
@@ -857,6 +866,7 @@ def oracle_sql() -> dict[str, str]:
         "zscore_outlier_counts": _ZSCORE_OUTLIER_SQL,
         "value_histogram_by_type": _VALUE_HISTOGRAM_SQL,
         "salted_join_rollup": _SALTED_JOIN_SQL,
+        "peak_concurrency_stats": _PEAK_CONCURRENCY_SQL,
         "dds_price_global": _dds_sql("lineitem", "l_extendedprice"),
         "dds_price_by_flag": _dds_sql("lineitem", "l_extendedprice",
                                       "l_returnflag"),

@@ -1264,3 +1264,93 @@ SELECT p.from_type, p.to_type, p.n,
 FROM p JOIN f USING (from_type)
 ORDER BY 1, 2
 """
+
+
+def peak_concurrency_stats(sf_dir: str, dur_s: int = 60,
+                           bucket_s: int = 3600) -> "ray.data.Dataset":
+    """Global PEAK CONCURRENCY: treating every event as a
+    ``dur_s``-second session, the maximum number simultaneously open
+    and the first instant it is reached -- the capacity-planning sweep
+    (max concurrent users/connections) as a distributed ordered
+    prefix aggregation.
+
+    Scale shape: the sweep's running sum is made distributed the same
+    way global_order_ranks distributes row_number -- +1/-1 delta points
+    are time-bucket co-partitioned, pass 1 folds each bucket to its
+    NET delta (one O(buckets) exchange whose driver prefix gives every
+    bucket its entry offset), pass 2 sorts only within buckets and
+    emits one (local peak, first time) candidate per bucket; the
+    global answer is a max over O(buckets) candidates.  Ties are fixed
+    by ordering (t, delta) with ends before starts, so concurrency at
+    a shared boundary never double-counts."""
+    dur_us = np.int64(dur_s) * 1_000_000
+    bkt_us = np.int64(bucket_s) * 1_000_000
+    events = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                                   columns=["ts"])
+
+    def deltas(t: pa.Table) -> pa.Table:
+        ts = _as_int64(t["ts"])
+        tt = np.concatenate([ts, ts + dur_us])
+        dd = np.concatenate([np.ones(ts.shape[0], np.int64),
+                             -np.ones(ts.shape[0], np.int64)])
+        return pa.table({"t": pa.array(tt), "d": pa.array(dd),
+                         "b": pa.array(tt // bkt_us)})
+
+    dl = events.map_batches(deltas, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+    from ray.data.aggregate import Sum
+    net = (dl.groupby("b").aggregate(Sum("d", alias_name="net"))
+           .to_pandas().sort_values("b"))
+    bs = net["b"].to_numpy().astype(np.int64)
+    nets = net["net"].to_numpy().astype(np.int64)
+    offs = np.concatenate(([0], np.cumsum(nets)[:-1]))
+    off_map = {int(b): int(o) for b, o in zip(bs, offs)}
+
+    empty = pa.table({"peak": pa.array([], type=pa.int64()),
+                      "t_first": pa.array([], type=pa.int64())})
+
+    def bucket_peak(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        b = int(t["b"][0].as_py())
+        tt = t["t"].to_numpy(zero_copy_only=False)
+        dd = t["d"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((dd, tt))
+        run = np.cumsum(dd[order]) + off_map[b]
+        i = int(np.argmax(run))
+        return pa.table({"peak": pa.array([np.int64(run[i])]),
+                         "t_first": pa.array([np.int64(tt[order][i])])})
+
+    from ..stages.partition import partition_by as _pb  # noqa: F401
+    cands = dl.groupby("b").map_groups(bucket_peak,
+                                       batch_format="pyarrow")
+
+    def reduce_final(t: pa.Table) -> pa.Table:
+        p = t["peak"].to_numpy(zero_copy_only=False)
+        tf = t["t_first"].to_numpy(zero_copy_only=False)
+        g = p.max()
+        return pa.table({"peak": pa.array([np.int64(g)]),
+                         "first_peak_t": pa.array(
+                             [np.int64(tf[p == g].min())])})
+
+    return _pb(cands, [], 1, reduce_final,
+               pa.table({"peak": pa.array([], type=pa.int64()),
+                         "first_peak_t": pa.array([], type=pa.int64())}))
+
+
+PEAK_CONCURRENCY_SQL = """
+WITH d AS (
+  SELECT epoch_us(ts) AS t, 1 AS d FROM events
+  UNION ALL
+  SELECT epoch_us(ts) + 60000000 AS t, -1 AS d FROM events
+), r AS (
+  SELECT t, sum(d) OVER (ORDER BY t, d
+                         ROWS UNBOUNDED PRECEDING) AS c
+  FROM d
+)
+SELECT CAST(max(c) AS BIGINT) AS peak,
+       CAST(min(CASE WHEN c = (SELECT max(c) FROM r) THEN t END)
+            AS BIGINT) AS first_peak_t
+FROM r
+"""

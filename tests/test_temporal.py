@@ -348,3 +348,42 @@ def test_event_transition_pairs_never_cross_users(ray_session,
     got = event_transition_matrix(str(tmp_path)).to_pandas()
     pairs = set(zip(got["from_type"], got["to_type"]))
     assert pairs == {("a", "c"), ("b", "d")}
+
+
+def test_peak_concurrency_matches_duckdb(ray_session):
+    duckdb = pytest.importorskip("duckdb")
+    from p2pddsketch_ray.pipelines.temporal import (
+        PEAK_CONCURRENCY_SQL, peak_concurrency_stats)
+    sf = "/root/testdata/sf0.001"
+    got = peak_concurrency_stats(sf).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{sf}/events.parquet')")
+    want = con.execute(PEAK_CONCURRENCY_SQL).df()
+    assert got.equals(want)
+
+
+def test_peak_concurrency_brute_force(ray_session, tmp_path):
+    """Tiny buckets (forcing cross-bucket offsets) still match a
+    brute-force sweep."""
+    import pyarrow.parquet as pq
+    from p2pddsketch_ray.pipelines.temporal import peak_concurrency_stats
+    rng = np.random.default_rng(11)
+    base = 1_700_000_000_000_000
+    ts = np.sort(rng.integers(0, 600_000_000, 200)) + base
+    pq.write_table(pa.table({
+        "ts": pa.array(ts, type=pa.timestamp("us")),
+    }), str(tmp_path / "events.parquet"))
+    got = peak_concurrency_stats(str(tmp_path), dur_s=60,
+                                 bucket_s=30).to_pandas()
+    # brute force: +1/-1 sweep ordered by (t, d) with ends first
+    dur = 60_000_000
+    pts = sorted([(int(t), 1) for t in ts]
+                 + [(int(t) + dur, -1) for t in ts])
+    run, peak, t_first = 0, -1, None
+    for t, d in pts:
+        run += d
+        if run > peak:
+            peak, t_first = run, t
+    assert (got.iloc[0]["peak"], got.iloc[0]["first_peak_t"]) \
+        == (peak, t_first)
