@@ -81,7 +81,8 @@ from p2pddsketch_ray.pipelines.relational import (  # noqa: E402
     COMPACTION_SQL as _COMPACTION_SQL,
     ZSCORE_OUTLIER_SQL as _ZSCORE_OUTLIER_SQL,
     VALUE_HISTOGRAM_SQL as _VALUE_HISTOGRAM_SQL,
-    SALTED_JOIN_SQL as _SALTED_JOIN_SQL)
+    SALTED_JOIN_SQL as _SALTED_JOIN_SQL,
+    LANG_SOURCE_CHI2_SQL as _LANG_SOURCE_CHI2_SQL)
 from p2pddsketch_ray.pipelines.fingerprint import (  # noqa: E402
     WINNOW_FINGERPRINT_SQL as _WINNOW_FINGERPRINT_SQL)
 from p2pddsketch_ray.pipelines.search import (  # noqa: E402
@@ -445,6 +446,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # global peak concurrency: distributed ordered prefix sum
         # (bucket net-delta offsets + within-bucket sweep)
         "peak_concurrency_stats": _peak_concurrency_stats,
+        # chi-square independence of the (lang, source) contingency
+        # table (exact 128-bit micro-unit contributions)
+        "lang_source_chi2": R.lang_source_chi2,
     }
 
 
@@ -867,6 +871,7 @@ def oracle_sql() -> dict[str, str]:
         "value_histogram_by_type": _VALUE_HISTOGRAM_SQL,
         "salted_join_rollup": _SALTED_JOIN_SQL,
         "peak_concurrency_stats": _PEAK_CONCURRENCY_SQL,
+        "lang_source_chi2": _LANG_SOURCE_CHI2_SQL,
         "dds_price_global": _dds_sql("lineitem", "l_extendedprice"),
         "dds_price_by_flag": _dds_sql("lineitem", "l_extendedprice",
                                       "l_returnflag"),

@@ -4425,3 +4425,104 @@ SELECT CAST(c_nationkey AS BIGINT) AS nation,
 FROM events JOIN customer ON user_id = c_custkey
 GROUP BY 1 ORDER BY 1
 """
+
+
+def lang_source_chi2(sf_dir: str) -> "ray.data.Dataset":
+    """Chi-square independence signal for the (lang, source)
+    contingency table -- the statistical drift check behind "did this
+    crawl batch change the language mix per source?".  Each cell
+    reports its chi-square contribution in exact integer micro-units:
+    contrib = (O*N - R*C)^2 * 1e6 // (N * R * C), where O is the cell
+    count, R/C the row/column marginals and N the total (all int64 at
+    corpus-profile magnitudes; the squared numerator is the same
+    cross-product trick the KS drift monitor uses).
+
+    Scale shape: one pass folds blocks to O(langs x sources) partial
+    counts; marginals and contributions derive from the merged table on
+    one partition (contingency tables are tiny by construction)."""
+    from ..stages.partition import partition_by
+    ds = _read(sf_dir, "documents", ["lang", "source"])
+
+    pair_empty = pa.table({"lang": pa.array([], type=pa.string()),
+                           "source": pa.array([], type=pa.string()),
+                           "n": pa.array([], type=pa.int64())})
+
+    def cell_counts(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pair_empty
+        lang = np.asarray(t["lang"].to_pylist(), dtype=np.str_)
+        src = np.asarray(t["source"].to_pylist(), dtype=np.str_)
+        ul, li = np.unique(lang, return_inverse=True)
+        us, si = np.unique(src, return_inverse=True)
+        comp = li * np.int64(us.shape[0]) + si
+        u, cnt = np.unique(comp, return_counts=True)
+        return pa.table({
+            "lang": pa.array(ul[u // us.shape[0]].tolist(),
+                             type=pa.string()),
+            "source": pa.array(us[u % us.shape[0]].tolist(),
+                               type=pa.string()),
+            "n": pa.array(cnt.astype(np.int64)),
+        })
+
+    agg = (ds.map_batches(cell_counts, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby(["lang", "source"])
+           .aggregate(Sum("n", alias_name="n")))
+
+    out_empty = pa.table({"lang": pa.array([], type=pa.string()),
+                          "source": pa.array([], type=pa.string()),
+                          "n": pa.array([], type=pa.int64()),
+                          "chi2_micro": pa.array([], type=pa.int64())})
+
+    def contrib(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_empty
+        n = pc.cast(t["n"], pa.int64()).to_numpy(zero_copy_only=False)
+        lang = np.asarray(t["lang"].to_pylist(), dtype=np.str_)
+        src = np.asarray(t["source"].to_pylist(), dtype=np.str_)
+        total = n.sum()
+        ul, li = np.unique(lang, return_inverse=True)
+        us, si = np.unique(src, return_inverse=True)
+        rmarg = np.zeros(ul.shape[0], np.int64)
+        np.add.at(rmarg, li, n)
+        cmarg = np.zeros(us.shape[0], np.int64)
+        np.add.at(cmarg, si, n)
+        # exact 128-bit-wide arithmetic on the tiny contingency table:
+        # Python ints here, HUGEINT in the SQL twin (the micro-scaled
+        # numerator overflows int64 beyond ~5k docs)
+        diff = [int(n[i]) * int(total)
+                - int(rmarg[li[i]]) * int(cmarg[si[i]])
+                for i in range(n.shape[0])]
+        chi = np.array(
+            [d * d * 1_000_000
+             // (int(total) * int(rmarg[li[i]]) * int(cmarg[si[i]]))
+             for i, d in enumerate(diff)], dtype=np.int64)
+        return pa.table({
+            "lang": t["lang"], "source": t["source"],
+            "n": pa.array(n), "chi2_micro": pa.array(chi),
+        })
+
+    return partition_by(agg, [], 1, contrib,
+                        out_empty).sort(["lang", "source"])
+
+
+LANG_SOURCE_CHI2_SQL = """
+WITH c AS (
+  SELECT lang, source, CAST(count(*) AS BIGINT) AS n
+  FROM documents GROUP BY 1, 2
+), tot AS (
+  SELECT CAST(sum(n) AS BIGINT) AS t FROM c
+), r AS (
+  SELECT lang, CAST(sum(n) AS BIGINT) AS rm FROM c GROUP BY 1
+), s AS (
+  SELECT source, CAST(sum(n) AS BIGINT) AS cm FROM c GROUP BY 1
+)
+SELECT c.lang, c.source, c.n,
+       CAST(CAST(c.n * tot.t - r.rm * s.cm AS HUGEINT)
+            * (c.n * tot.t - r.rm * s.cm)
+            * 1000000 // (tot.t * r.rm * s.cm) AS BIGINT) AS chi2_micro
+FROM c CROSS JOIN tot
+JOIN r ON c.lang = r.lang
+JOIN s ON c.source = s.source
+ORDER BY 1, 2
+"""

@@ -878,3 +878,31 @@ def test_salted_join_single_hot_key_exact(ray_session, tmp_path):
     row = got.iloc[0]
     assert (row["nation"], row["n_events"],
             row["sum_value_cents"]) == (7, n, n * 100)
+
+
+def test_lang_source_chi2_matches_duckdb(ray_session):
+    duckdb = pytest.importorskip("duckdb")
+    from p2pddsketch_ray.pipelines.relational import (
+        LANG_SOURCE_CHI2_SQL, lang_source_chi2)
+    sf = "/root/testdata/sf0.001"
+    got = lang_source_chi2(sf).to_pandas().reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf}/documents.parquet')")
+    want = con.execute(LANG_SOURCE_CHI2_SQL).df()
+    assert got.equals(want.reset_index(drop=True))
+
+
+def test_lang_source_chi2_independent_table_is_zero(ray_session,
+                                                    tmp_path):
+    """A perfectly independent contingency table has zero chi-square
+    in every cell."""
+    import pyarrow.parquet as pq
+    from p2pddsketch_ray.pipelines.relational import lang_source_chi2
+    # uniform cross product: 2 langs x 2 sources x 5 docs each
+    langs = ["en", "de"] * 10
+    srcs = ["web"] * 10 + ["wiki"] * 10
+    t = pa.table({"lang": pa.array(langs), "source": pa.array(srcs)})
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    got = lang_source_chi2(str(tmp_path)).to_pandas()
+    assert (got["chi2_micro"] == 0).all()
