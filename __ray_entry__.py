@@ -82,7 +82,9 @@ from p2pddsketch_ray.pipelines.relational import (  # noqa: E402
     ZSCORE_OUTLIER_SQL as _ZSCORE_OUTLIER_SQL,
     VALUE_HISTOGRAM_SQL as _VALUE_HISTOGRAM_SQL,
     SALTED_JOIN_SQL as _SALTED_JOIN_SQL,
-    LANG_SOURCE_CHI2_SQL as _LANG_SOURCE_CHI2_SQL)
+    LANG_SOURCE_CHI2_SQL as _LANG_SOURCE_CHI2_SQL,
+    SEQUENCE_PACKING_SQL as _SEQUENCE_PACKING_SQL,
+    UNIGRAM_LOGPROB_SQL as _UNIGRAM_LOGPROB_SQL)
 from p2pddsketch_ray.pipelines.fingerprint import (  # noqa: E402
     WINNOW_FINGERPRINT_SQL as _WINNOW_FINGERPRINT_SQL)
 from p2pddsketch_ray.pipelines.search import (  # noqa: E402
@@ -449,6 +451,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # chi-square independence of the (lang, source) contingency
         # table (exact 128-bit micro-unit contributions)
         "lang_source_chi2": R.lang_source_chi2,
+        # GPT-style split-packing accounting: sequences per lang in
+        # deterministic hash order (segmented distributed cumsum)
+        "sequence_packing_stats": R.sequence_packing_stats,
+        # unigram log-probability scoring (perplexity-filter surrogate,
+        # integer micro-nats, broadcast count table)
+        "unigram_logprob_stats": R.unigram_logprob_stats,
     }
 
 
@@ -872,6 +880,8 @@ def oracle_sql() -> dict[str, str]:
         "salted_join_rollup": _SALTED_JOIN_SQL,
         "peak_concurrency_stats": _PEAK_CONCURRENCY_SQL,
         "lang_source_chi2": _LANG_SOURCE_CHI2_SQL,
+        "sequence_packing_stats": _SEQUENCE_PACKING_SQL,
+        "unigram_logprob_stats": _UNIGRAM_LOGPROB_SQL,
         "dds_price_global": _dds_sql("lineitem", "l_extendedprice"),
         "dds_price_by_flag": _dds_sql("lineitem", "l_extendedprice",
                                       "l_returnflag"),

@@ -4526,3 +4526,229 @@ JOIN r ON c.lang = r.lang
 JOIN s ON c.source = s.source
 ORDER BY 1, 2
 """
+
+
+def sequence_packing_stats(sf_dir: str,
+                           seq_len: int = 2048) -> pa.Table:
+    """TRAINING-SEQUENCE PACKING accounting: documents are laid out in
+    deterministic hash order per language and split-packed into fixed
+    ``seq_len``-token training sequences (the GPT-style "concatenate
+    and chunk" packing); per language this reports total tokens, the
+    number of sequences produced, and how many documents straddle a
+    sequence boundary -- the numbers a data-loader needs before any
+    tokenizer runs at scale.
+
+    Scale shape: one text pass emits (lang, doc_id, tokens, hash) rows
+    (text never leaves the map stage); languages co-partition and ONE
+    segmented cumsum in hash order yields every document's token
+    interval, from which boundary straddles are a floor-division
+    compare.  For a language too big for one partition, the same
+    hash-range bucket + O(buckets) prefix-offset pass used by
+    global_order_ranks extends the cumsum exactly."""
+    from ..hashing import murmur64
+    from ..stages.partition import fit_partitions, partition_by
+
+    docs = _read(sf_dir, "documents", ["doc_id", "lang", "text"])
+    L = np.int64(seq_len)
+
+    def meta(t: pa.Table) -> pa.Table:
+        toks = pc.list_value_length(
+            pc.split_pattern(t["text"], pattern=" "))
+        ids = pc.cast(t["doc_id"], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        from ..functions.text import fingerprint64
+        return pa.table({
+            "doc_id": pa.array(ids),
+            "lang": t["lang"],
+            "toks": pc.cast(toks, pa.int64()),
+            "h": pa.array(murmur64(ids).view(np.int64)),
+            "lk": fingerprint64(t["lang"]),
+        })
+
+    rows = docs.map_batches(meta, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+    empty = pa.table({"lang": pa.array([], type=pa.string()),
+                      "total_toks": pa.array([], type=pa.int64()),
+                      "n_seqs": pa.array([], type=pa.int64()),
+                      "n_split_docs": pa.array([], type=pa.int64())})
+
+    def pack(t: pa.Table) -> pa.Table:
+        lang = np.asarray(t["lang"].to_pylist(), dtype=np.str_)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        nt = t["toks"].to_numpy(zero_copy_only=False)
+        h = t["h"].to_numpy(zero_copy_only=False).view(np.uint64)
+        order = np.lexsort((ids, h, lang))
+        l_s, n_s = lang[order], nt[order]
+        new_grp = np.ones(order.shape[0], dtype=bool)
+        new_grp[1:] = l_s[1:] != l_s[:-1]
+        csum = np.cumsum(n_s)
+        starts = np.nonzero(new_grp)[0]
+        rlen = np.diff(np.append(starts, order.shape[0]))
+        base = np.repeat(np.where(starts > 0, csum[starts - 1], 0),
+                         rlen)
+        cum = csum - base              # per-lang running token total
+        lo = cum - n_s                 # doc interval is (lo, cum]
+        split = (cum - 1) // L > lo // L
+        ul = l_s[starts]
+        tot = cum[np.append(starts[1:] - 1, order.shape[0] - 1)]
+        nsplit = np.zeros(ul.shape[0], np.int64)
+        seg = np.repeat(np.arange(ul.shape[0]), rlen)
+        np.add.at(nsplit, seg, split.astype(np.int64))
+        return pa.table({
+            "lang": pa.array(ul.tolist(), type=pa.string()),
+            "total_toks": pa.array(tot),
+            "n_seqs": pa.array((tot + L - 1) // L),
+            "n_split_docs": pa.array(nsplit),
+        })
+
+    out = (partition_by(rows, ["lk"], fit_partitions(8),
+                        lambda g: pack(g.drop_columns(["lk"])), empty)
+           .to_pandas().sort_values("lang").reset_index(drop=True))
+    return pa.table({
+        "lang": pa.array(out["lang"], type=pa.string()),
+        "total_toks": pa.array(out["total_toks"].astype("int64")),
+        "n_seqs": pa.array(out["n_seqs"].astype("int64")),
+        "n_split_docs": pa.array(out["n_split_docs"].astype("int64")),
+    })
+
+
+SEQUENCE_PACKING_SQL = """
+WITH d AS (
+  SELECT lang, doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS toks,
+         hash(doc_id) AS h
+  FROM documents
+), r AS (
+  SELECT lang, toks,
+         sum(toks) OVER (PARTITION BY lang ORDER BY h, doc_id
+                         ROWS UNBOUNDED PRECEDING) AS cum
+  FROM d
+)
+SELECT lang, CAST(sum(toks) AS BIGINT) AS total_toks,
+       CAST((sum(toks) + 2047) // 2048 AS BIGINT) AS n_seqs,
+       CAST(sum(CASE WHEN (cum - 1) // 2048 > (cum - toks) // 2048
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_split_docs
+FROM r GROUP BY 1 ORDER BY 1
+"""
+
+
+def unigram_logprob_stats(sf_dir: str) -> "ray.data.Dataset":
+    """Corpus-statistics PERPLEXITY surrogate: each document scored by
+    the sum of its tokens' unigram log-probabilities (micro-nats,
+    floor(ln(cnt/total) * 1e6) per token -- the same order-independent
+    integer-ln recipe as the entropy signal), rolled up per language
+    with the worst (most surprising) document score -- the cheap tier
+    of model-based quality filtering, before any neural LM runs.
+
+    Scale shape: pass 1 folds blocks to partial token counts (exchange
+    bounded by the live vocabulary, merged once); the count table is
+    ray.put ONCE (for web-scale vocabularies: co-partition the join by
+    token fingerprint as tfidf_top_term_per_doc does); pass 2 rescans
+    text, maps tokens to their precomputed integer contributions via
+    one searchsorted, and folds per-doc sums to per-lang partials."""
+    from ..stages.partition import partition_by
+    ds = _read(sf_dir, "documents", ["lang", "text"])
+
+    cnt_empty = pa.table({"tok": pa.array([], type=pa.string()),
+                          "n": pa.array([], type=pa.int64())})
+
+    def tok_counts(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return cnt_empty
+        toks = pc.split_pattern(t["text"], pattern=" ")
+        flat = pc.list_flatten(toks).combine_chunks()
+        dic = flat.dictionary_encode()
+        code = dic.indices.to_numpy(zero_copy_only=False)
+        cnt = np.bincount(code, minlength=len(dic.dictionary))
+        return pa.table({"tok": dic.dictionary,
+                         "n": pa.array(cnt.astype(np.int64))})
+
+    counts = (ds.map_batches(tok_counts, batch_format="pyarrow",
+                             zero_copy_batch=True)
+              .groupby("tok").aggregate(Sum("n", alias_name="n"))
+              .to_pandas())
+    vocab = np.asarray(counts["tok"], dtype=np.str_)
+    vn = counts["n"].to_numpy().astype(np.int64)
+    order = np.argsort(vocab)
+    vocab, vn = vocab[order], vn[order]
+    total = int(vn.sum())
+    # ONE double division, ln, scale, floor: identical op order to SQL
+    contrib = np.floor(np.log(vn / np.float64(total))
+                       * 1e6).astype(np.int64)
+    lut_ref = ray.put((vocab, contrib))
+
+    out_empty = pa.table({"lang": pa.array([], type=pa.string()),
+                          "n_docs": pa.array([], type=pa.int64()),
+                          "sum_lp": pa.array([], type=pa.int64()),
+                          "min_lp": pa.array([], type=pa.int64())})
+
+    def doc_scores(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_empty
+        vv, cc = ray.get(lut_ref)
+        toks = pc.split_pattern(t["text"], pattern=" ")
+        flat = np.asarray(pc.list_flatten(toks).combine_chunks()
+                          .to_pylist(), dtype=np.str_)
+        nper = pc.list_value_length(toks).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        pos = np.searchsorted(vv, flat)
+        per_tok = cc[pos]            # every token exists in the vocab
+        did = np.repeat(np.arange(t.num_rows), nper)
+        lp = np.zeros(t.num_rows, np.int64)
+        np.add.at(lp, did, per_tok)
+        lang = np.asarray(t["lang"].to_pylist(), dtype=np.str_)
+        ul, inv = np.unique(lang, return_inverse=True)
+        n = np.bincount(inv).astype(np.int64)
+        s = np.zeros(ul.shape[0], np.int64)
+        np.add.at(s, inv, lp)
+        mn = np.full(ul.shape[0], np.iinfo(np.int64).max)
+        np.minimum.at(mn, inv, lp)
+        return pa.table({"lang": pa.array(ul.tolist(), type=pa.string()),
+                         "n_docs": pa.array(n), "sum_lp": pa.array(s),
+                         "min_lp": pa.array(mn)})
+
+    from ray.data.aggregate import Min as _Min
+    agg = (ds.map_batches(doc_scores, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("lang")
+           .aggregate(Sum("n_docs", alias_name="n_docs"),
+                      Sum("sum_lp", alias_name="sum_logprob_micro"),
+                      _Min("min_lp", alias_name="min_doc_logprob_micro")))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "lang": t["lang"],
+            "n_docs": pc.cast(t["n_docs"], pa.int64()),
+            "sum_logprob_micro": pc.cast(t["sum_logprob_micro"],
+                                         pa.int64()),
+            "min_doc_logprob_micro": pc.cast(
+                t["min_doc_logprob_micro"], pa.int64()),
+        })
+
+    return agg.map_batches(finalize, batch_format="pyarrow").sort("lang")
+
+
+UNIGRAM_LOGPROB_SQL = """
+WITH t AS (
+  SELECT lang, doc_id, unnest(string_split(text, ' ')) AS tok
+  FROM documents
+), c AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS n FROM t GROUP BY 1
+), tot AS (
+  SELECT CAST(sum(n) AS BIGINT) AS total FROM c
+), lut AS (
+  SELECT tok,
+         CAST(floor(ln(CAST(n AS DOUBLE) / CAST(total AS DOUBLE))
+                    * 1000000.0) AS BIGINT) AS lp
+  FROM c CROSS JOIN tot
+), d AS (
+  SELECT t.lang, t.doc_id, CAST(sum(lut.lp) AS BIGINT) AS doc_lp
+  FROM t JOIN lut ON t.tok = lut.tok
+  GROUP BY 1, 2
+)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(doc_lp) AS BIGINT) AS sum_logprob_micro,
+       CAST(min(doc_lp) AS BIGINT) AS min_doc_logprob_micro
+FROM d GROUP BY 1 ORDER BY 1
+"""

@@ -906,3 +906,74 @@ def test_lang_source_chi2_independent_table_is_zero(ray_session,
     pq.write_table(t, str(tmp_path / "documents.parquet"))
     got = lang_source_chi2(str(tmp_path)).to_pandas()
     assert (got["chi2_micro"] == 0).all()
+
+
+def test_sequence_packing_matches_duckdb(ray_session):
+    duckdb = pytest.importorskip("duckdb")
+    from p2pddsketch_ray.pipelines.relational import (
+        SEQUENCE_PACKING_SQL, sequence_packing_stats)
+    sf = "/root/testdata/sf0.001"
+    got = sequence_packing_stats(sf).to_pandas().reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf}/documents.parquet')")
+    want = con.execute(SEQUENCE_PACKING_SQL).df()
+    assert got.equals(want.reset_index(drop=True))
+
+
+def test_sequence_packing_split_arithmetic(ray_session, tmp_path):
+    """Docs of 1000 tokens each, seq_len 2048: doc 3 spans tokens
+    2000-3000 crossing 2048, doc 5 spans 4000-5000 crossing 4096 --
+    exactly one straddle per 2048-token boundary."""
+    import pyarrow.parquet as pq
+    from p2pddsketch_ray.pipelines.relational import (
+        sequence_packing_stats)
+    n = 6
+    texts = [" ".join(["w"] * 1000)] * n
+    pq.write_table(pa.table({
+        "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+        "lang": pa.array(["en"] * n),
+        "text": pa.array(texts),
+    }), str(tmp_path / "documents.parquet"))
+    got = sequence_packing_stats(str(tmp_path)).to_pandas()
+    row = got.iloc[0]
+    assert row["total_toks"] == 6000
+    assert row["n_seqs"] == 3            # ceil(6000 / 2048)
+    # boundaries at 2048 and 4096: each falls strictly inside one
+    # 1000-token doc regardless of the hash order (1000 | boundaries
+    # is false), so exactly 2 straddled docs
+    assert row["n_split_docs"] == 2
+
+
+def test_unigram_logprob_matches_duckdb(ray_session):
+    duckdb = pytest.importorskip("duckdb")
+    from p2pddsketch_ray.pipelines.relational import (
+        UNIGRAM_LOGPROB_SQL, unigram_logprob_stats)
+    sf = "/root/testdata/sf0.001"
+    got = unigram_logprob_stats(sf).to_pandas().reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf}/documents.parquet')")
+    want = con.execute(UNIGRAM_LOGPROB_SQL).df()
+    assert got.equals(want.reset_index(drop=True))
+    # log-probs are strictly negative (no token covers the corpus)
+    assert (got["sum_logprob_micro"] < 0).all()
+
+
+def test_unigram_logprob_hand_computed(ray_session, tmp_path):
+    """Two docs over a 3-token corpus: contributions are
+    floor(ln(cnt/total)*1e6) summed per doc."""
+    import math
+    import pyarrow.parquet as pq
+    from p2pddsketch_ray.pipelines.relational import (
+        unigram_logprob_stats)
+    pq.write_table(pa.table({
+        "lang": pa.array(["en", "en"]),
+        "text": pa.array(["a a", "b"]),
+    }), str(tmp_path / "documents.parquet"))
+    got = unigram_logprob_stats(str(tmp_path)).to_pandas()
+    lp_a = math.floor(math.log(2 / 3) * 1e6)
+    lp_b = math.floor(math.log(1 / 3) * 1e6)
+    row = got.iloc[0]
+    assert row["sum_logprob_micro"] == 2 * lp_a + lp_b
+    assert row["min_doc_logprob_micro"] == min(2 * lp_a, lp_b)
