@@ -84,7 +84,8 @@ from p2pddsketch_ray.pipelines.relational import (  # noqa: E402
     SALTED_JOIN_SQL as _SALTED_JOIN_SQL,
     LANG_SOURCE_CHI2_SQL as _LANG_SOURCE_CHI2_SQL,
     SEQUENCE_PACKING_SQL as _SEQUENCE_PACKING_SQL,
-    UNIGRAM_LOGPROB_SQL as _UNIGRAM_LOGPROB_SQL)
+    UNIGRAM_LOGPROB_SQL as _UNIGRAM_LOGPROB_SQL,
+    GROUPED_REGRESSION_SQL as _GROUPED_REGRESSION_SQL)
 from p2pddsketch_ray.pipelines.fingerprint import (  # noqa: E402
     WINNOW_FINGERPRINT_SQL as _WINNOW_FINGERPRINT_SQL)
 from p2pddsketch_ray.pipelines.search import (  # noqa: E402
@@ -457,6 +458,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # unigram log-probability scoring (perplexity-filter surrogate,
         # integer micro-nats, broadcast count table)
         "unigram_logprob_stats": R.unigram_logprob_stats,
+        # per-group regression slope as an exact integer rational
+        "grouped_regression_trend": R.grouped_regression_trend,
     }
 
 
@@ -882,6 +885,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_source_chi2": _LANG_SOURCE_CHI2_SQL,
         "sequence_packing_stats": _SEQUENCE_PACKING_SQL,
         "unigram_logprob_stats": _UNIGRAM_LOGPROB_SQL,
+        "grouped_regression_trend": _GROUPED_REGRESSION_SQL,
         "dds_price_global": _dds_sql("lineitem", "l_extendedprice"),
         "dds_price_by_flag": _dds_sql("lineitem", "l_extendedprice",
                                       "l_returnflag"),

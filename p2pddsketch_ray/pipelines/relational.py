@@ -4752,3 +4752,83 @@ SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
        CAST(min(doc_lp) AS BIGINT) AS min_doc_logprob_micro
 FROM d GROUP BY 1 ORDER BY 1
 """
+
+
+def grouped_regression_trend(sf_dir: str) -> "ray.data.Dataset":
+    """Per-group LINEAR REGRESSION slope (value-vs-hour-of-day trend
+    per event type) carried as an EXACT integer rational: numerator
+    n*Sxy - Sx*Sy and denominator n*Sxx - Sx*Sx from the same
+    sufficient-statistics moments the correlation query uses -- trend
+    detection per group with zero floating point anywhere in the
+    distributed path (consumers divide at the edge).
+
+    Scale shape: one pass folds blocks to per-group integer moment
+    partials (n, Sx, Sy, Sxy, Sxx); the exchange is O(groups x blocks)
+    rows and the rational is derived after the merge."""
+    ev = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def mom(t: pa.Table) -> pa.Table:
+        ts = t["ts"].to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]").astype(np.int64)
+        x = (ts // 3_600_000_000) % 24          # hour of day
+        y = _int_units(t["value"], 100).to_numpy(zero_copy_only=False)
+        et = np.asarray(t["event_type"].to_pylist(), dtype=np.str_)
+        ue, inv = np.unique(et, return_inverse=True)
+        k = ue.shape[0]
+        n = np.bincount(inv, minlength=k).astype(np.int64)
+        sx = np.zeros(k, np.int64); np.add.at(sx, inv, x)
+        sy = np.zeros(k, np.int64); np.add.at(sy, inv, y)
+        sxy = np.zeros(k, np.int64); np.add.at(sxy, inv, x * y)
+        sxx = np.zeros(k, np.int64); np.add.at(sxx, inv, x * x)
+        return pa.table({"event_type": pa.array(ue.tolist(),
+                                                type=pa.string()),
+                         "n": pa.array(n), "sx": pa.array(sx),
+                         "sy": pa.array(sy), "sxy": pa.array(sxy),
+                         "sxx": pa.array(sxx)})
+
+    agg = (ev.map_batches(mom, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("event_type")
+           .aggregate(Sum("n", alias_name="n"),
+                      Sum("sx", alias_name="sx"),
+                      Sum("sy", alias_name="sy"),
+                      Sum("sxy", alias_name="sxy"),
+                      Sum("sxx", alias_name="sxx")))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        n = pc.cast(t["n"], pa.int64()).to_numpy(zero_copy_only=False)
+        sx = pc.cast(t["sx"], pa.int64()).to_numpy(zero_copy_only=False)
+        sy = pc.cast(t["sy"], pa.int64()).to_numpy(zero_copy_only=False)
+        sxy = pc.cast(t["sxy"], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        sxx = pc.cast(t["sxx"], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        return pa.table({
+            "event_type": t["event_type"],
+            "n": pa.array(n),
+            "slope_num": pa.array(n * sxy - sx * sy),
+            "slope_den": pa.array(n * sxx - sx * sx),
+        })
+
+    return agg.map_batches(finalize,
+                           batch_format="pyarrow").sort("event_type")
+
+
+GROUPED_REGRESSION_SQL = """
+WITH v AS (
+  SELECT event_type,
+         (epoch_us(ts) // 3600000000) % 24 AS x,
+         CAST(round(value * 100) AS BIGINT) AS y
+  FROM events
+), m AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(x * x) AS BIGINT) AS sxx
+  FROM v GROUP BY 1
+)
+SELECT event_type, n,
+       CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
+       CAST(n * sxx - sx * sx AS BIGINT) AS slope_den
+FROM m ORDER BY 1
+"""

@@ -977,3 +977,25 @@ def test_unigram_logprob_hand_computed(ray_session, tmp_path):
     row = got.iloc[0]
     assert row["sum_logprob_micro"] == 2 * lp_a + lp_b
     assert row["min_doc_logprob_micro"] == min(2 * lp_a, lp_b)
+
+
+def test_grouped_regression_matches_duckdb_and_numpy(ray_session):
+    duckdb = pytest.importorskip("duckdb")
+    from p2pddsketch_ray.pipelines.relational import (
+        GROUPED_REGRESSION_SQL, grouped_regression_trend)
+    sf = "/root/testdata/sf0.001"
+    got = (grouped_regression_trend(sf).to_pandas()
+           .reset_index(drop=True))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{sf}/events.parquet')")
+    want = con.execute(GROUPED_REGRESSION_SQL).df()
+    assert got.equals(want.reset_index(drop=True))
+    # the rational recovers numpy's least-squares slope
+    df = con.execute("""
+        SELECT event_type, (epoch_us(ts) // 3600000000) % 24 AS x,
+               round(value * 100) AS y FROM events""").df()
+    for _, r in got.iterrows():
+        sub = df[df["event_type"] == r["event_type"]]
+        np_slope = np.polyfit(sub["x"], sub["y"], 1)[0]
+        assert abs(r["slope_num"] / r["slope_den"] - np_slope) < 1e-6
