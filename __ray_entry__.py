@@ -40,7 +40,8 @@ from p2pddsketch_ray.pipelines.temporal import (  # noqa: E402
     COHORT_RETENTION_SQL as _COHORT_RETENTION_SQL,
     ACTIVE_USER_COUNTS_SQL as _ACTIVE_USER_COUNTS_SQL,
     EVENT_TRANSITION_SQL as _EVENT_TRANSITION_SQL,
-    PEAK_CONCURRENCY_SQL as _PEAK_CONCURRENCY_SQL)
+    PEAK_CONCURRENCY_SQL as _PEAK_CONCURRENCY_SQL,
+    SESSION_COPRESENCE_SQL as _SESSION_COPRESENCE_SQL)
 from p2pddsketch_ray.pipelines.relational import (  # noqa: E402
     REPETITION_STATS_SQL as _REPETITION_STATS_SQL,
     STRATIFIED_SAMPLE_SQL as _STRATIFIED_SAMPLE_SQL,
@@ -460,7 +461,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "unigram_logprob_stats": R.unigram_logprob_stats,
         # per-group regression slope as an exact integer rational
         "grouped_regression_trend": R.grouped_regression_trend,
+        # association-rule support over sessions (bitmask pair counts)
+        "session_copresence_counts": _session_copresence_counts,
     }
+
+
+def _session_copresence_counts(sf_dir: str):
+    from p2pddsketch_ray.pipelines.temporal import (
+        session_copresence_counts)
+    return session_copresence_counts(sf_dir)
 
 
 def _peak_concurrency_stats(sf_dir: str):
@@ -886,6 +895,7 @@ def oracle_sql() -> dict[str, str]:
         "sequence_packing_stats": _SEQUENCE_PACKING_SQL,
         "unigram_logprob_stats": _UNIGRAM_LOGPROB_SQL,
         "grouped_regression_trend": _GROUPED_REGRESSION_SQL,
+        "session_copresence_counts": _SESSION_COPRESENCE_SQL,
         "dds_price_global": _dds_sql("lineitem", "l_extendedprice"),
         "dds_price_by_flag": _dds_sql("lineitem", "l_extendedprice",
                                       "l_returnflag"),

@@ -1354,3 +1354,134 @@ SELECT CAST(max(c) AS BIGINT) AS peak,
             AS BIGINT) AS first_peak_t
 FROM r
 """
+
+
+def session_copresence_counts(sf_dir: str,
+                              gap_minutes: int = 30) -> "ray.data.Dataset":
+    """Association-rule SUPPORT mining over sessions: for every pair of
+    event types, in how many sessions both occur (and the share of all
+    sessions, integer ppm) -- the market-basket statistic computed on
+    sessionized behavior, composing the gap-based session kernel with a
+    bitmask pair count.
+
+    Scale shape: user co-partition (one user's history in one
+    partition, as all session kernels here); per partition, sessions
+    get ids from one cumsum and each session folds to a TYPE BITMASK
+    (event-type vocabulary << 64 by construction), so pair counting is
+    a bit test per (pair, session) -- no per-session Python, no pair
+    explosion; the exchange carries O(types^2) count rows plus one
+    session-total row per partition."""
+    gap_us = np.int64(gap_minutes) * 60_000_000
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type"])
+
+    SENTINEL = "__sessions__"
+    empty = pa.table({"type_a": pa.array([], type=pa.string()),
+                      "type_b": pa.array([], type=pa.string()),
+                      "n": pa.array([], type=pa.int64())})
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": t["user_id"],
+            "ts": pa.array(_as_int64(t["ts"]), type=pa.int64()),
+            "event_id": t["event_id"],
+            "event_type": t["event_type"],
+        })
+
+    def copresence(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        ts = t["ts"].to_numpy(zero_copy_only=False)
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, uid))
+        uid_s, ts_s = uid[order], ts[order]
+        new_s = np.ones(order.shape[0], dtype=bool)
+        new_s[1:] = (uid_s[1:] != uid_s[:-1]) | (
+            ts_s[1:] - ts_s[:-1] > gap_us)
+        sid = np.cumsum(new_s) - 1
+        et = np.asarray(t["event_type"].to_pylist(),
+                        dtype=np.str_)[order]
+        ue, code = np.unique(et, return_inverse=True)
+        n_sess = int(sid[-1]) + 1 if sid.shape[0] else 0
+        masks = np.zeros(n_sess, np.int64)
+        np.bitwise_or.at(masks, sid, np.int64(1) << code)
+        rows_a, rows_b, rows_n = [], [], []
+        for i in range(ue.shape[0]):
+            for j in range(i + 1, ue.shape[0]):   # types^2, tiny
+                both = np.int64((1 << i) | (1 << j))
+                cnt = int(((masks & both) == both).sum())
+                if cnt:
+                    rows_a.append(ue[i]); rows_b.append(ue[j])
+                    rows_n.append(cnt)
+        rows_a.append(SENTINEL); rows_b.append(SENTINEL)
+        rows_n.append(n_sess)
+        return pa.table({
+            "type_a": pa.array(rows_a, type=pa.string()),
+            "type_b": pa.array(rows_b, type=pa.string()),
+            "n": pa.array(np.asarray(rows_n, dtype=np.int64)),
+        })
+
+    prepped = events.map_batches(prep, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+    partials = partition_by(prepped, ["user_id"], fit_partitions(32),
+                            copresence, empty)
+    from ray.data.aggregate import Sum
+    agg = (partials.groupby(["type_a", "type_b"])
+           .aggregate(Sum("n", alias_name="n")))
+
+    out_empty = pa.table({"type_a": pa.array([], type=pa.string()),
+                          "type_b": pa.array([], type=pa.string()),
+                          "n_sessions_both": pa.array([], type=pa.int64()),
+                          "ppm": pa.array([], type=pa.int64())})
+
+    def finalize(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_empty
+        a = np.asarray(t["type_a"].to_pylist(), dtype=np.str_)
+        n = pc.cast(t["n"], pa.int64()).to_numpy(zero_copy_only=False)
+        is_tot = a == SENTINEL
+        total = int(n[is_tot].sum())
+        keep = ~is_tot
+        return pa.table({
+            "type_a": pa.array(a[keep].tolist(), type=pa.string()),
+            "type_b": pc.cast(t["type_b"], pa.string()).filter(
+                pa.array(keep)),
+            "n_sessions_both": pa.array(n[keep]),
+            "ppm": pa.array(n[keep] * np.int64(1_000_000)
+                            // np.int64(total)),
+        })
+
+    return partition_by(agg, [], 1, finalize,
+                        out_empty).sort(["type_a", "type_b"])
+
+
+SESSION_COPRESENCE_SQL = """
+WITH e AS (
+  SELECT user_id, event_type, epoch_us(ts) AS us, event_id FROM events
+), d AS (
+  SELECT user_id, event_type, us, event_id,
+         CASE WHEN lag(us) OVER w IS NULL
+                   OR us - lag(us) OVER w > 1800000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+), s AS (
+  SELECT user_id, event_type,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM d
+), p AS (
+  SELECT DISTINCT user_id, sid, event_type FROM s
+), tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n FROM (
+    SELECT DISTINCT user_id, sid FROM p)
+), pr AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         CAST(count(*) AS BIGINT) AS n_both
+  FROM p a JOIN p b ON a.user_id = b.user_id AND a.sid = b.sid
+                   AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT type_a, type_b, n_both AS n_sessions_both,
+       CAST(n_both * 1000000 // t.n AS BIGINT) AS ppm
+FROM pr CROSS JOIN tot t ORDER BY 1, 2
+"""

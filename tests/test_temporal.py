@@ -387,3 +387,39 @@ def test_peak_concurrency_brute_force(ray_session, tmp_path):
             peak, t_first = run, t
     assert (got.iloc[0]["peak"], got.iloc[0]["first_peak_t"]) \
         == (peak, t_first)
+
+
+def test_session_copresence_matches_duckdb(ray_session):
+    duckdb = pytest.importorskip("duckdb")
+    from p2pddsketch_ray.pipelines.temporal import (
+        SESSION_COPRESENCE_SQL, session_copresence_counts)
+    sf = "/root/testdata/sf0.001"
+    got = (session_copresence_counts(sf).to_pandas()
+           .reset_index(drop=True))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{sf}/events.parquet')")
+    want = con.execute(SESSION_COPRESENCE_SQL).df()
+    assert got.equals(want.reset_index(drop=True))
+
+
+def test_session_copresence_hand_built(ray_session, tmp_path):
+    """Two sessions for one user: {a,b} then {a,c}; pair (a,b) and
+    (a,c) in one session each, (b,c) never."""
+    import pyarrow.parquet as pq
+    from p2pddsketch_ray.pipelines.temporal import (
+        session_copresence_counts)
+    base = 1_700_000_000_000_000
+    hour = 3_600_000_000
+    t = pa.table({
+        "event_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+        "ts": pa.array([base, base + 1, base + 2 * hour,
+                        base + 2 * hour + 1], type=pa.timestamp("us")),
+        "user_id": pa.array([1, 1, 1, 1], type=pa.int64()),
+        "event_type": pa.array(["a", "b", "a", "c"]),
+    })
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    got = session_copresence_counts(str(tmp_path)).to_pandas()
+    rows = {(r.type_a, r.type_b): (r.n_sessions_both, r.ppm)
+            for r in got.itertuples()}
+    assert rows == {("a", "b"): (1, 500_000), ("a", "c"): (1, 500_000)}
