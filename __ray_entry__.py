@@ -42,8 +42,12 @@ from p2pddsketch_ray.pipelines.temporal import (  # noqa: E402
     EVENT_TRANSITION_SQL as _EVENT_TRANSITION_SQL,
     PEAK_CONCURRENCY_SQL as _PEAK_CONCURRENCY_SQL,
     SESSION_COPRESENCE_SQL as _SESSION_COPRESENCE_SQL)
+from p2pddsketch_ray.pipelines.approx import (  # noqa: E402
+    MG_HEAVY_USERS_SQL as _MG_HEAVY_USERS_SQL)
 from p2pddsketch_ray.pipelines.relational import (  # noqa: E402
     REPETITION_STATS_SQL as _REPETITION_STATS_SQL,
+    TOKEN_EXPLODE_SQL as _TOKEN_EXPLODE_SQL,
+    LINEITEM_UNPIVOT_SQL as _LINEITEM_UNPIVOT_SQL,
     STRATIFIED_SAMPLE_SQL as _STRATIFIED_SAMPLE_SQL,
     TOP_EVENTS_PER_TYPE_SQL as _TOP_EVENTS_PER_TYPE_SQL,
     CUSTOMERS_WITHOUT_EVENTS_SQL as _CUSTOMERS_WITHOUT_EVENTS_SQL,
@@ -212,6 +216,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_distinct_users": A.hll_distinct_users,
         "cms_user_counts": A.cms_user_counts,
         "bloom_semijoin_orders": A.bloom_semijoin_orders,
+        # Misra-Gries frequent items (deterministic counter summary ->
+        # exact confirm pass; final answer exact + order-independent)
+        "mg_heavy_users": A.mg_heavy_users,
+        # row explode (flat-map: one output row per token)
+        "token_explode_sample": R.token_explode_sample,
+        # UNPIVOT/melt reshape with in-batch combiner
+        "lineitem_unpivot_stats": R.lineitem_unpivot_stats,
         # near-duplicate detection (rows-only for the signature methods --
         # MinHash/SimHash are not SQL-expressible; embedding cosine is)
         "minhash_neardup_docs": _minhash_neardup_docs,
@@ -1431,6 +1442,9 @@ SELECT est.q AS q, round(est.e, 6) AS est, ex.x AS exact,
 FROM est JOIN ex ON ex.q = est.q
 ORDER BY 1""",
         "redact_props_stats": _REDACT_PROPS_SQL,
+        "mg_heavy_users": _MG_HEAVY_USERS_SQL,
+        "token_explode_sample": _TOKEN_EXPLODE_SQL,
+        "lineitem_unpivot_stats": _LINEITEM_UNPIVOT_SQL,
         "value_hour_sufficient_stats": _VALUE_HOUR_STATS_SQL,
         "weighted_sample_orders": _WEIGHTED_SAMPLE_SQL,
         "validation_report": _VALIDATION_REPORT_SQL,

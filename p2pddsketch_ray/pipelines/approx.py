@@ -288,3 +288,76 @@ def kmv_user_overlap(sf_dir: str, k: int = 64) -> pa.Table:
         "est_intersection": pa.array([r["est_intersection"] for r in rows],
                                      type=pa.int64()),
     })
+
+
+def mg_heavy_users(sf_dir: str, k: int = 400,
+                   inv_phi: float = 200.0) -> "ray.data.Dataset":
+    """Deterministic frequent-items: every user whose event count is at
+    least ``ceil(n / inv_phi)``, with EXACT counts -- the Misra-Gries
+    counterpart of `cms_user_counts` (counter-based, hash-free, bounded
+    memory) run as candidate-generation + one exact confirm pass.
+
+    Scale shape: pass 1 folds each block to a <= k-counter summary (one
+    pickled row per block through the generic tree reduce -- kilobytes
+    regardless of corpus size); the merged summary's candidate set
+    (<= k ids, guaranteed to contain every true heavy hitter because
+    min_count > err <= n/(k+1)) is broadcast into pass 2, which
+    pre-reduces per-candidate counts inside each block so the confirm
+    shuffle moves O(k x blocks) tiny rows.  At 100 TB the driver never
+    holds more than k counters."""
+    from ..sketches.misragries import MisraGries
+    from ray.data.aggregate import Sum
+    import math
+
+    ds = _read(sf_dir, "events", ["user_id"])
+
+    def add(s: MisraGries, t: pa.Table) -> None:
+        s.add_batch(t["user_id"].to_numpy(zero_copy_only=False))
+
+    summary = build_and_merge(ds, ["user_id"], lambda: MisraGries(k), add)
+    min_count = int(math.ceil(summary.n / inv_phi))
+    if min_count <= summary.err:
+        raise ValueError(
+            f"MG guarantee violated: min_count {min_count} <= err "
+            f"{summary.err}; raise k (k={k}, need k+1 > n/min_count)")
+    cand = np.sort(summary.candidates(min_count))
+
+    empty = pa.table({"user_id": pa.array([], type=pa.int64()),
+                      "n_events": pa.array([], type=pa.int64())})
+
+    def confirm(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or cand.size == 0:
+            return empty
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(cand, uid)
+        idx[idx == cand.size] = 0
+        hit = cand[idx] == uid
+        if not hit.any():
+            return empty
+        cnt = np.bincount(idx[hit], minlength=cand.size).astype(np.int64)
+        nz = cnt > 0
+        return pa.table({"user_id": pa.array(cand[nz]),
+                         "n_events": pa.array(cnt[nz])})
+
+    agg = (ds.map_batches(confirm, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("user_id")
+           .aggregate(Sum("n_events", alias_name="n_events")))
+    return agg.map_batches(
+        lambda t: pa.table({
+            "user_id": pc.cast(t["user_id"], pa.int64()),
+            "n_events": pc.cast(t["n_events"], pa.int64()),
+        }).filter(pc.greater_equal(t["n_events"], pa.scalar(min_count))),
+        batch_format="pyarrow")
+
+
+MG_HEAVY_USERS_SQL = """
+WITH tot AS (SELECT count(*) AS n FROM events),
+c AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1
+)
+SELECT c.user_id, c.n_events FROM c, tot
+WHERE c.n_events >= CAST(ceil(tot.n / 200.0) AS BIGINT)
+ORDER BY 1
+"""

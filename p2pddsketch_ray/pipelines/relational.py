@@ -4832,3 +4832,143 @@ SELECT event_type, n,
        CAST(n * sxx - sx * sx AS BIGINT) AS slope_den
 FROM m ORDER BY 1
 """
+
+
+def token_explode_sample(sf_dir: str, mod: int = 17) -> "ray.data.Dataset":
+    """Row EXPLODE (flat-map): split each selected document's text into
+    whitespace tokens and emit ONE ROW PER TOKEN with its 1-based
+    position -- the tokenize-and-flatten step every sequence-building
+    pipeline runs before packing, as a pure streaming map whose output
+    cardinality exceeds its input's (the one operator class the rest of
+    the suite never exercises; Ray Data expresses it as a map_batches
+    returning more rows than it was given, no flat_map-per-row Python).
+
+    Scale shape: stateless, shuffle-free, vectorized end to end --
+    pc.split_pattern builds the list column, list_flatten +
+    np.repeat/np.arange derive (doc_id, pos) from the list offsets; the
+    deterministic ``doc_id % mod`` predicate bounds output for the gate
+    while the kernel itself streams any corpus."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    empty = pa.table({"doc_id": pa.array([], type=pa.int64()),
+                      "pos": pa.array([], type=pa.int64()),
+                      "token": pa.array([], type=pa.string()),
+                      "tok_len": pa.array([], type=pa.int64())})
+
+    def explode(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        sel = (ids % mod) == 0
+        if not sel.any():
+            return empty
+        sub = t.filter(pa.array(sel))
+        toks = pc.split_pattern(sub["text"], pattern=" ")
+        flat = pc.list_flatten(toks)
+        nper = pc.list_value_length(toks).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        doc = np.repeat(sub["doc_id"].to_numpy(zero_copy_only=False), nper)
+        starts = np.cumsum(nper) - nper
+        pos = np.arange(doc.size, dtype=np.int64) - np.repeat(starts, nper) + 1
+        return pa.table({
+            "doc_id": pa.array(doc),
+            "pos": pa.array(pos),
+            "token": pc.cast(flat, pa.string()),
+            "tok_len": pc.cast(pc.utf8_length(flat), pa.int64()),
+        })
+
+    return ds.map_batches(explode, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+TOKEN_EXPLODE_SQL = """
+WITH sel AS (
+  SELECT doc_id, string_split(text, ' ') AS toks
+  FROM documents WHERE doc_id % 17 = 0
+), ex AS (
+  SELECT doc_id, CAST(generate_subscripts(toks, 1) AS BIGINT) AS pos,
+         unnest(toks) AS token
+  FROM sel
+)
+SELECT doc_id, pos, token, CAST(length(token) AS BIGINT) AS tok_len
+FROM ex ORDER BY doc_id, pos
+"""
+
+
+def lineitem_unpivot_stats(sf_dir: str) -> "ray.data.Dataset":
+    """UNPIVOT/melt: reshape the four lineitem measure columns into long
+    (measure, value) form and aggregate per (measure, returnflag) -- the
+    schema-normalization step feeding metric stores and drift monitors,
+    as an in-batch reshape + combiner (no exploded table ever hits the
+    exchange: each block folds straight to its <= 4 x |flags| partial
+    rows).
+
+    Integer cents keep the float sums merge-order-exact (TPC-H measures
+    are 2-decimal); the shuffle moves O(measures x flags x blocks) tiny
+    rows."""
+    measures = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    ds = _read(sf_dir, "lineitem", ["l_returnflag"] + measures)
+
+    empty = pa.table({"measure": pa.array([], type=pa.string()),
+                      "l_returnflag": pa.array([], type=pa.string()),
+                      "n": pa.array([], type=pa.int64()),
+                      "sum_cents": pa.array([], type=pa.int64())})
+
+    def partials(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        flag = t["l_returnflag"].to_numpy(zero_copy_only=False)
+        uf, finv = np.unique(flag, return_inverse=True)
+        nper = np.bincount(finv, minlength=uf.size).astype(np.int64)
+        out_m, out_f, out_n, out_s = [], [], [], []
+        for m in measures:
+            v = t[m].to_numpy(zero_copy_only=False)
+            cents = np.floor(v * 100 + 0.5).astype(np.int64)
+            sums_i = np.zeros(uf.size, dtype=np.int64)
+            np.add.at(sums_i, finv, cents)
+            out_m.extend([m] * uf.size)
+            out_f.extend(uf.tolist())
+            out_n.extend(nper.tolist())
+            out_s.extend(sums_i.tolist())
+        return pa.table({
+            "measure": pa.array(out_m, type=pa.string()),
+            "l_returnflag": pa.array(out_f, type=pa.string()),
+            "n": pa.array(out_n, type=pa.int64()),
+            "sum_cents": pa.array(out_s, type=pa.int64()),
+        })
+
+    agg = (ds.map_batches(partials, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby(["measure", "l_returnflag"])
+           .aggregate(Sum("n", alias_name="n"),
+                      Sum("sum_cents", alias_name="sum_cents")))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        return pa.table({
+            "measure": t["measure"],
+            "l_returnflag": t["l_returnflag"],
+            "n": pc.cast(t["n"], pa.int64()),
+            "sum_cents": pc.cast(t["sum_cents"], pa.int64()),
+        })
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+LINEITEM_UNPIVOT_SQL = """
+WITH long AS (
+  SELECT 'l_quantity' AS measure, l_returnflag, l_quantity AS v
+  FROM lineitem
+  UNION ALL
+  SELECT 'l_extendedprice', l_returnflag, l_extendedprice FROM lineitem
+  UNION ALL
+  SELECT 'l_discount', l_returnflag, l_discount FROM lineitem
+  UNION ALL
+  SELECT 'l_tax', l_returnflag, l_tax FROM lineitem
+)
+SELECT measure, l_returnflag, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(floor(v * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS sum_cents
+FROM long GROUP BY 1, 2 ORDER BY 1, 2
+"""

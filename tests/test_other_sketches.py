@@ -352,3 +352,92 @@ def test_kmv_queries_match_duckdb(ray_session):
         got = fn(sf).to_pandas().reset_index(drop=True)
         want = con.execute(E.oracle_sql()[name]).df()
         assert got.equals(want.reset_index(drop=True)), name
+
+
+# -- Misra-Gries ------------------------------------------------------------
+
+def _zipf_stream(seed: int, n: int, n_keys: int = 5000) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    z = rng.zipf(1.3, n)
+    return np.minimum(z, n_keys).astype(np.int64)
+
+
+def test_mg_estimate_bounds_and_error_guarantee():
+    from p2pddsketch_ray.sketches.misragries import MisraGries
+    v = _zipf_stream(7, 200_000)
+    k = 64
+    mg = MisraGries(k)
+    for chunk in np.array_split(v, 37):  # uneven batched adds
+        mg.add_batch(chunk)
+    assert mg.n == v.size
+    assert mg.err <= v.size // (k + 1) + 1
+    true_keys, true_cnt = np.unique(v, return_counts=True)
+    true = dict(zip(true_keys.tolist(), true_cnt.tolist()))
+    keys, counts = mg.items()
+    assert keys.size <= k
+    for key, est in zip(keys.tolist(), counts.tolist()):
+        t = true[key]
+        assert est <= t <= est + mg.err
+    # every item with true count > err is retained
+    retained = set(keys.tolist())
+    for key, t in true.items():
+        if t > mg.err:
+            assert key in retained
+
+
+def test_mg_merge_guarantee_holds_for_any_merge_order():
+    from p2pddsketch_ray.sketches.misragries import MisraGries
+    v = _zipf_stream(11, 120_000)
+    k = 32
+    parts = np.array_split(v, 9)
+
+    def build(order):
+        sketches = []
+        for p in parts:
+            s = MisraGries(k)
+            s.add_batch(p)
+            sketches.append(s)
+        merged = sketches[order[0]]
+        for i in order[1:]:
+            merged = merged.merge(sketches[i])
+        return merged
+
+    true_keys, true_cnt = np.unique(v, return_counts=True)
+    true = dict(zip(true_keys.tolist(), true_cnt.tolist()))
+    rng = np.random.default_rng(3)
+    for _ in range(4):
+        order = rng.permutation(len(parts)).tolist()
+        m = build(order)
+        assert m.n == v.size
+        assert m.err <= v.size // (k + 1) + 1
+        keys, counts = m.items()
+        for key, est in zip(keys.tolist(), counts.tolist()):
+            t = true[key]
+            assert est <= t <= est + m.err
+        retained = set(keys.tolist())
+        for key, t in true.items():
+            if t > m.err:
+                assert key in retained
+
+
+def test_mg_candidates_superset_of_true_heavy_hitters():
+    from p2pddsketch_ray.sketches.misragries import MisraGries
+    v = _zipf_stream(13, 80_000)
+    mg = MisraGries(100)
+    mg.add_batch(v)
+    min_count = mg.err + 1  # smallest threshold the guarantee covers
+    cand = set(mg.candidates(min_count).tolist())
+    true_keys, true_cnt = np.unique(v, return_counts=True)
+    heavy = set(true_keys[true_cnt >= min_count].tolist())
+    assert heavy <= cand
+
+
+def test_mg_exact_when_under_capacity():
+    from p2pddsketch_ray.sketches.misragries import MisraGries
+    v = np.repeat(np.arange(20, dtype=np.int64), 50)
+    mg = MisraGries(64)
+    mg.add_batch(v)
+    assert mg.err == 0
+    keys, counts = mg.items()
+    assert keys.tolist() == list(range(20))
+    assert counts.tolist() == [50] * 20

@@ -999,3 +999,63 @@ def test_grouped_regression_matches_duckdb_and_numpy(ray_session):
         sub = df[df["event_type"] == r["event_type"]]
         np_slope = np.polyfit(sub["x"], sub["y"], 1)[0]
         assert abs(r["slope_num"] / r["slope_den"] - np_slope) < 1e-6
+
+
+def test_token_explode_matches_duckdb(ray_session):
+    duckdb = pytest.importorskip("duckdb")
+    from p2pddsketch_ray.pipelines.relational import (
+        TOKEN_EXPLODE_SQL, token_explode_sample)
+    sf = "/root/testdata/sf0.001"
+    got = (token_explode_sample(sf).to_pandas()
+           .sort_values(["doc_id", "pos"]).reset_index(drop=True))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf}/documents.parquet')")
+    want = con.execute(TOKEN_EXPLODE_SQL).df()
+    assert got.equals(want.reset_index(drop=True))
+
+
+def test_token_explode_edge_tokens(ray_session, tmp_path):
+    """Empty string, double spaces, and non-selected ids."""
+    from p2pddsketch_ray.pipelines.relational import token_explode_sample
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 17, 34], type=pa.int64()),
+        "text": pa.array(["a b", "skip me", "", "x  y"]),
+    })
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    got = (token_explode_sample(str(tmp_path)).to_pandas()
+           .sort_values(["doc_id", "pos"]).reset_index(drop=True))
+    # doc 1 excluded (1 % 17 != 0); "" -> one empty token;
+    # "x  y" -> ["x", "", "y"]
+    assert got["doc_id"].tolist() == [0, 0, 17, 34, 34, 34]
+    assert got["token"].tolist() == ["a", "b", "", "x", "", "y"]
+    assert got["pos"].tolist() == [1, 2, 1, 1, 2, 3]
+    assert got["tok_len"].tolist() == [1, 1, 0, 1, 0, 1]
+
+
+def test_lineitem_unpivot_matches_duckdb(ray_session):
+    duckdb = pytest.importorskip("duckdb")
+    from p2pddsketch_ray.pipelines.relational import (
+        LINEITEM_UNPIVOT_SQL, lineitem_unpivot_stats)
+    sf = "/root/testdata/sf0.001"
+    got = (lineitem_unpivot_stats(sf).to_pandas()
+           .sort_values(["measure", "l_returnflag"]).reset_index(drop=True))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW lineitem AS SELECT * FROM "
+                f"read_parquet('{sf}/lineitem.parquet')")
+    want = con.execute(LINEITEM_UNPIVOT_SQL).df()
+    assert got.equals(want.reset_index(drop=True))
+
+
+def test_mg_heavy_users_matches_exact(ray_session):
+    duckdb = pytest.importorskip("duckdb")
+    from p2pddsketch_ray.pipelines.approx import (
+        MG_HEAVY_USERS_SQL, mg_heavy_users)
+    sf = "/root/testdata/sf0.001"
+    got = (mg_heavy_users(sf).to_pandas()
+           .sort_values("user_id").reset_index(drop=True))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{sf}/events.parquet')")
+    want = con.execute(MG_HEAVY_USERS_SQL).df()
+    assert got.equals(want.reset_index(drop=True))
