@@ -48,6 +48,8 @@ from p2pddsketch_ray.pipelines.relational import (  # noqa: E402
     REPETITION_STATS_SQL as _REPETITION_STATS_SQL,
     TOKEN_EXPLODE_SQL as _TOKEN_EXPLODE_SQL,
     LINEITEM_UNPIVOT_SQL as _LINEITEM_UNPIVOT_SQL,
+    SPLIT_ASSIGN_SQL as _SPLIT_ASSIGN_SQL,
+    EQUI_DEPTH_SQL as _EQUI_DEPTH_SQL,
     STRATIFIED_SAMPLE_SQL as _STRATIFIED_SAMPLE_SQL,
     TOP_EVENTS_PER_TYPE_SQL as _TOP_EVENTS_PER_TYPE_SQL,
     CUSTOMERS_WITHOUT_EVENTS_SQL as _CUSTOMERS_WITHOUT_EVENTS_SQL,
@@ -223,6 +225,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_explode_sample": R.token_explode_sample,
         # UNPIVOT/melt reshape with in-batch combiner
         "lineitem_unpivot_stats": R.lineitem_unpivot_stats,
+        # deterministic train/val/test split (hash-stable 90/5/5)
+        "split_assign_stats": R.split_assign_stats,
+        # equi-depth histogram / range-partition plan (exact boundaries
+        # via histogram bisection + one broadcast count pass)
+        "equi_depth_buckets": R.equi_depth_buckets,
         # near-duplicate detection (rows-only for the signature methods --
         # MinHash/SimHash are not SQL-expressible; embedding cosine is)
         "minhash_neardup_docs": _minhash_neardup_docs,
@@ -1445,6 +1452,8 @@ ORDER BY 1""",
         "mg_heavy_users": _MG_HEAVY_USERS_SQL,
         "token_explode_sample": _TOKEN_EXPLODE_SQL,
         "lineitem_unpivot_stats": _LINEITEM_UNPIVOT_SQL,
+        "split_assign_stats": _SPLIT_ASSIGN_SQL,
+        "equi_depth_buckets": _EQUI_DEPTH_SQL,
         "value_hour_sufficient_stats": _VALUE_HOUR_STATS_SQL,
         "weighted_sample_orders": _WEIGHTED_SAMPLE_SQL,
         "validation_report": _VALIDATION_REPORT_SQL,

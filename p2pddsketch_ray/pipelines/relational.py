@@ -4972,3 +4972,144 @@ SELECT measure, l_returnflag, CAST(count(*) AS BIGINT) AS n,
          AS sum_cents
 FROM long GROUP BY 1, 2 ORDER BY 1, 2
 """
+
+
+def split_assign_stats(sf_dir: str) -> "ray.data.Dataset":
+    """Deterministic train/val/test corpus split: assign every document
+    a split by ``murmur64(doc_id) % 100`` (90/5/5) and roll up docs +
+    chars per (split, lang) -- the reproducible dataset-versioning
+    primitive every training run needs (same doc always lands in the
+    same split, independent of partitioning, ordering, or cluster size).
+
+    Scale shape: the assignment is a pure streaming map (no shuffle for
+    the split itself); murmur64 bit-replicates DuckDB hash(BIGINT), so
+    the oracle assigns the identical split; per-block combiner folds to
+    O(3 x langs) partials before the exchange."""
+    from ..hashing import murmur64
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    names = np.array(["train", "val", "test"])
+
+    empty = pa.table({"split": pa.array([], type=pa.string()),
+                      "lang": pa.array([], type=pa.string()),
+                      "n_docs": pa.array([], type=pa.int64()),
+                      "sum_chars": pa.array([], type=pa.int64())})
+
+    def partials(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pct = (murmur64(ids) % np.uint64(100)).astype(np.int64)
+        split = np.where(pct < 90, 0, np.where(pct < 95, 1, 2))
+        lang = t["lang"].to_numpy(zero_copy_only=False)
+        ul, linv = np.unique(lang, return_inverse=True)
+        comp = split * np.int64(ul.size) + linv
+        nchars = t["n_chars"].to_numpy(zero_copy_only=False)
+        width = 3 * ul.size
+        n = np.bincount(comp, minlength=width).astype(np.int64)
+        s = np.zeros(width, dtype=np.int64)
+        np.add.at(s, comp, nchars)
+        nz = n > 0
+        idx = np.flatnonzero(nz)
+        return pa.table({
+            "split": pa.array(names[idx // ul.size].tolist(),
+                              type=pa.string()),
+            "lang": pa.array(ul[idx % ul.size].tolist(), type=pa.string()),
+            "n_docs": pa.array(n[nz]),
+            "sum_chars": pa.array(s[nz]),
+        })
+
+    agg = (ds.map_batches(partials, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby(["split", "lang"])
+           .aggregate(Sum("n_docs", alias_name="n_docs"),
+                      Sum("sum_chars", alias_name="sum_chars")))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        return pa.table({
+            "split": t["split"],
+            "lang": t["lang"],
+            "n_docs": pc.cast(t["n_docs"], pa.int64()),
+            "sum_chars": pc.cast(t["sum_chars"], pa.int64()),
+        })
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+SPLIT_ASSIGN_SQL = """
+WITH a AS (
+  SELECT lang, n_chars,
+         CASE WHEN hash(doc_id) % 100 < 90 THEN 'train'
+              WHEN hash(doc_id) % 100 < 95 THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+)
+SELECT split, lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM a GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def equi_depth_buckets(sf_dir: str, k: int = 8) -> pa.Table:
+    """Equi-depth histogram / range-partition PLAN: exact k-quantile
+    boundaries over lineitem prices (distributed histogram bisection --
+    no global sort) plus the exact row count that lands in each bucket
+    under ``smallest bucket whose upper bound >= value`` assignment.
+    This is the planner primitive behind scalable range partitioning
+    and distributed sort: boundaries from a streaming pass, then any
+    later stage range-routes rows with one searchsorted.
+
+    Scale shape: boundary pass is the engine's histogram-bisection
+    exact_quantiles (tiny mergeable histograms through the tree
+    reduce); the count pass broadcasts k-1 scalars and folds each block
+    to k partial counts."""
+    import ray.data
+    from .quantiles import exact_quantiles
+    ds = _read(sf_dir, "lineitem", ["l_extendedprice"])
+    qs = [(i + 1) / k for i in range(k)]
+    bt = exact_quantiles(ds, "l_extendedprice", qs)
+    bounds = np.asarray(bt["value"].to_pylist(), dtype=np.float64)
+    inner = bounds[:-1]  # bucket i (0-based) <=> value <= bounds[i]
+
+    def counts(t: pa.Table) -> pa.Table:
+        v = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+        # bucket = number of inner boundaries strictly below v
+        b = np.searchsorted(inner, v, side="left")
+        n = np.bincount(b, minlength=k).astype(np.int64)
+        return pa.table({"bucket": pa.array(np.arange(k, dtype=np.int64)),
+                         "n": pa.array(n)})
+
+    agg = (ds.map_batches(counts, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("bucket").aggregate(Sum("n", alias_name="n")))
+    out = agg.take_all()  # k rows
+    out.sort(key=lambda r: r["bucket"])
+    return pa.table({
+        "bucket": pa.array([int(r["bucket"]) + 1 for r in out],
+                           type=pa.int64()),
+        "hi": pa.array([float(b) for b in bounds], type=pa.float64()),
+        "n": pa.array([int(r["n"]) for r in out], type=pa.int64()),
+    })
+
+
+EQUI_DEPTH_SQL = """
+WITH b AS (
+  SELECT quantile_disc(l_extendedprice,
+                       [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875, 1.0])
+           AS bs
+  FROM lineitem
+), assigned AS (
+  SELECT 1 + CAST(l_extendedprice > b.bs[1] AS BIGINT)
+           + CAST(l_extendedprice > b.bs[2] AS BIGINT)
+           + CAST(l_extendedprice > b.bs[3] AS BIGINT)
+           + CAST(l_extendedprice > b.bs[4] AS BIGINT)
+           + CAST(l_extendedprice > b.bs[5] AS BIGINT)
+           + CAST(l_extendedprice > b.bs[6] AS BIGINT)
+           + CAST(l_extendedprice > b.bs[7] AS BIGINT) AS bucket
+  FROM lineitem, b
+)
+SELECT a.bucket, b.bs[CAST(a.bucket AS INT)] AS hi,
+       CAST(count(*) AS BIGINT) AS n
+FROM assigned a, b GROUP BY 1, 2 ORDER BY 1
+"""

@@ -1059,3 +1059,40 @@ def test_mg_heavy_users_matches_exact(ray_session):
                 f"read_parquet('{sf}/events.parquet')")
     want = con.execute(MG_HEAVY_USERS_SQL).df()
     assert got.equals(want.reset_index(drop=True))
+
+
+def test_split_assign_matches_duckdb_and_covers_all_docs(ray_session):
+    duckdb = pytest.importorskip("duckdb")
+    from p2pddsketch_ray.pipelines.relational import (
+        SPLIT_ASSIGN_SQL, split_assign_stats)
+    sf = "/root/testdata/sf0.001"
+    got = (split_assign_stats(sf).to_pandas()
+           .sort_values(["split", "lang"]).reset_index(drop=True))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf}/documents.parquet')")
+    want = con.execute(SPLIT_ASSIGN_SQL).df()
+    assert got.equals(want.reset_index(drop=True))
+    # partition function: every doc in exactly one split
+    total = con.execute("SELECT count(*) FROM documents").fetchone()[0]
+    assert got["n_docs"].sum() == total
+
+
+def test_equi_depth_buckets_matches_duckdb_and_is_balanced(ray_session):
+    duckdb = pytest.importorskip("duckdb")
+    from p2pddsketch_ray.pipelines.relational import (
+        EQUI_DEPTH_SQL, equi_depth_buckets)
+    sf = "/root/testdata/sf0.001"
+    got = (equi_depth_buckets(sf).to_pandas()
+           .sort_values("bucket").reset_index(drop=True))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW lineitem AS SELECT * FROM "
+                f"read_parquet('{sf}/lineitem.parquet')")
+    want = con.execute(EQUI_DEPTH_SQL).df()
+    assert got.equals(want.reset_index(drop=True))
+    n = got["n"].sum()
+    k = len(got)
+    # equi-depth: each bucket holds ~n/k rows (exact boundaries; slack
+    # only from ties at the boundary values)
+    assert (got["n"] >= n // k - k).all() and (got["n"] <= n // k + k).all()
+    assert got["hi"].is_monotonic_increasing
