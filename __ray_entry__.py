@@ -41,7 +41,9 @@ from p2pddsketch_ray.pipelines.temporal import (  # noqa: E402
     ACTIVE_USER_COUNTS_SQL as _ACTIVE_USER_COUNTS_SQL,
     EVENT_TRANSITION_SQL as _EVENT_TRANSITION_SQL,
     PEAK_CONCURRENCY_SQL as _PEAK_CONCURRENCY_SQL,
-    SESSION_COPRESENCE_SQL as _SESSION_COPRESENCE_SQL)
+    SESSION_COPRESENCE_SQL as _SESSION_COPRESENCE_SQL,
+    USER_TWA_SQL as _USER_TWA_SQL,
+    HOURLY_BACKFILL_SQL as _HOURLY_BACKFILL_SQL)
 from p2pddsketch_ray.pipelines.approx import (  # noqa: E402
     MG_HEAVY_USERS_SQL as _MG_HEAVY_USERS_SQL)
 from p2pddsketch_ray.pipelines.relational import (  # noqa: E402
@@ -481,6 +483,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouped_regression_trend": R.grouped_regression_trend,
         # association-rule support over sessions (bitmask pair counts)
         "session_copresence_counts": _session_copresence_counts,
+        # time-weighted average value per user (exact rational)
+        "user_time_weighted_value": _user_time_weighted_value,
+        # incremental view maintenance: late-data backfill recomputes
+        # only affected hours, untouched rows served from the
+        # materialized copy
+        "hourly_backfill_stats": _hourly_backfill_stats,
     }
 
 
@@ -488,6 +496,16 @@ def _session_copresence_counts(sf_dir: str):
     from p2pddsketch_ray.pipelines.temporal import (
         session_copresence_counts)
     return session_copresence_counts(sf_dir)
+
+
+def _user_time_weighted_value(sf_dir: str):
+    from p2pddsketch_ray.pipelines.temporal import user_time_weighted_value
+    return user_time_weighted_value(sf_dir)
+
+
+def _hourly_backfill_stats(sf_dir: str):
+    from p2pddsketch_ray.pipelines.temporal import hourly_backfill_stats
+    return hourly_backfill_stats(sf_dir)
 
 
 def _peak_concurrency_stats(sf_dir: str):
@@ -914,6 +932,8 @@ def oracle_sql() -> dict[str, str]:
         "unigram_logprob_stats": _UNIGRAM_LOGPROB_SQL,
         "grouped_regression_trend": _GROUPED_REGRESSION_SQL,
         "session_copresence_counts": _SESSION_COPRESENCE_SQL,
+        "user_time_weighted_value": _USER_TWA_SQL,
+        "hourly_backfill_stats": _HOURLY_BACKFILL_SQL,
         "dds_price_global": _dds_sql("lineitem", "l_extendedprice"),
         "dds_price_by_flag": _dds_sql("lineitem", "l_extendedprice",
                                       "l_returnflag"),

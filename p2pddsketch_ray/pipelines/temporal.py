@@ -1485,3 +1485,235 @@ SELECT type_a, type_b, n_both AS n_sessions_both,
        CAST(n_both * 1000000 // t.n AS BIGINT) AS ppm
 FROM pr CROSS JOIN tot t ORDER BY 1, 2
 """
+
+
+def user_time_weighted_value(sf_dir: str) -> "ray.data.Dataset":
+    """Time-weighted average value per user: each event's value holds
+    until that user's next event; the weight is the whole-second gap to
+    it (the last event carries zero weight).  The standard metric for
+    sampled gauges in observability/billing, where plain means
+    over-weight chatty periods.
+
+    Dataflow: the same coarse user co-partition as the lag/session
+    kernels, then ONE vectorized pass per partition -- lexsort by
+    (user, ts, event_id), shift to find each row's same-user successor,
+    integer cents x gap-seconds products.  The result is emitted as the
+    exact rational (twa_num, twa_den) so the rollup is associative and
+    float-free end to end; output is O(users) rows.
+
+    Overflow headroom: per-term |cents| * gap_s <= ~2^35 at the observed
+    data shape and the sum is PER USER (bounded by one user's history,
+    not corpus breadth), leaving int64 ~2^28 headroom at 10^9-event
+    user histories."""
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "value"])
+
+    empty = pa.table({"user_id": pa.array([], type=pa.int64()),
+                      "n_weighted": pa.array([], type=pa.int64()),
+                      "twa_num": pa.array([], type=pa.int64()),
+                      "twa_den": pa.array([], type=pa.int64())})
+
+    def prep(t: pa.Table) -> pa.Table:
+        cents = np.floor(
+            t["value"].to_numpy(zero_copy_only=False) * 100 + 0.5
+        ).astype(np.int64)
+        return pa.table({
+            "user_id": t["user_id"],
+            "ts": pa.array(_as_int64(t["ts"]), type=pa.int64()),
+            "event_id": t["event_id"],
+            "cents": pa.array(cents),
+        })
+
+    def twa_kernel(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        ts = t["ts"].to_numpy(zero_copy_only=False)
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        cents = t["cents"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, uid))
+        uid_s, ts_s, cents_s = uid[order], ts[order], cents[order]
+        has_next = np.zeros(order.size, dtype=bool)
+        has_next[:-1] = uid_s[:-1] == uid_s[1:]
+        gap_s = np.zeros(order.size, dtype=np.int64)
+        gap_s[:-1] = (ts_s[1:] - ts_s[:-1]) // 1_000_000
+        gap_s[~has_next] = 0
+        term = cents_s * gap_s
+        uu, uinv = np.unique(uid_s, return_inverse=True)
+        num = np.zeros(uu.size, dtype=np.int64)
+        den = np.zeros(uu.size, dtype=np.int64)
+        np.add.at(num, uinv, term)
+        np.add.at(den, uinv, gap_s)
+        nw = np.bincount(uinv[has_next], minlength=uu.size).astype(np.int64)
+        return pa.table({"user_id": pa.array(uu),
+                         "n_weighted": pa.array(nw),
+                         "twa_num": pa.array(num),
+                         "twa_den": pa.array(den)})
+
+    prepped = events.map_batches(prep, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+    return partition_by(prepped, ["user_id"], fit_partitions(32),
+                        twa_kernel, empty)
+
+
+USER_TWA_SQL = """
+WITH v AS (
+  SELECT user_id, CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+         CAST(epoch_us(ts) AS BIGINT) AS us,
+         lead(CAST(epoch_us(ts) AS BIGINT))
+           OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+           AS nxt
+  FROM events
+)
+SELECT user_id,
+       CAST(count(nxt) AS BIGINT) AS n_weighted,
+       CAST(coalesce(sum(CASE WHEN nxt IS NULL THEN 0
+                 ELSE cents * ((nxt - us) // 1000000) END), 0) AS BIGINT)
+         AS twa_num,
+       CAST(coalesce(sum(CASE WHEN nxt IS NULL THEN 0
+                 ELSE (nxt - us) // 1000000 END), 0) AS BIGINT)
+         AS twa_den
+FROM v GROUP BY 1 ORDER BY 1
+"""
+
+
+def hourly_backfill_stats(sf_dir: str, late_mod: int = 997,
+                          root: str | None = None) -> "ray.data.Dataset":
+    """Incremental view maintenance (late-data backfill): an hourly
+    (event_type, hour) rollup is materialized from the on-time events
+    (``event_id % late_mod != 0``), then the late slice arrives and ONLY
+    the hours it touches are recomputed and swapped into the view --
+    every untouched row is served from the MATERIALIZED copy, never
+    recomputed.  The oracle compares against a full recompute, proving
+    the selective merge reconstructs it exactly.
+
+    Scale shape: the affected-hour set is O(|delta hours|) scalars
+    (collected once, broadcast into the pruned filters); the recompute
+    pass scans only rows whose hour is affected (at scale: hour-
+    partitioned layout -> path-pruned reads, see day_pruned_window_
+    stats); the untouched rows stream straight from the materialized
+    parquet.  Driver memory is O(affected hours), never O(view)."""
+    import shutil
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    root = root or "/tmp/p2pdds_gate/backfill"
+    shutil.rmtree(root, ignore_errors=True)
+
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "event_type", "value"])
+
+    empty = pa.table({"event_type": pa.array([], type=pa.string()),
+                      "hour": pa.array([], type=pa.int64()),
+                      "n_events": pa.array([], type=pa.int64()),
+                      "value_cents": pa.array([], type=pa.int64())})
+
+    def partials(t: pa.Table, keep: str) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        late = (eid % late_mod) == 0
+        sel = late if keep == "late" else ~late
+        if keep == "affected_full":
+            sel = np.ones(t.num_rows, dtype=bool)
+        sub = t.filter(pa.array(sel))
+        if sub.num_rows == 0:
+            return empty
+        hour = _as_int64(sub["ts"]) // 3_600_000_000
+        cents = np.floor(
+            sub["value"].to_numpy(zero_copy_only=False) * 100 + 0.5
+        ).astype(np.int64)
+        et = sub["event_type"].to_numpy(zero_copy_only=False)
+        ut, tinv = np.unique(et, return_inverse=True)
+        uh, hinv = np.unique(hour, return_inverse=True)
+        comp = tinv * np.int64(uh.size) + hinv
+        ucomp, cinv = np.unique(comp, return_inverse=True)
+        n = np.bincount(cinv, minlength=ucomp.size).astype(np.int64)
+        s = np.zeros(ucomp.size, dtype=np.int64)
+        np.add.at(s, cinv, cents)
+        return pa.table({
+            "event_type": pa.array(
+                ut[ucomp // np.int64(uh.size)].tolist(), type=pa.string()),
+            "hour": pa.array(uh[ucomp % np.int64(uh.size)]),
+            "n_events": pa.array(n),
+            "value_cents": pa.array(s),
+        })
+
+    def rollup(src, fn):
+        agg = (src.map_batches(fn, batch_format="pyarrow",
+                               zero_copy_batch=True)
+               .groupby(["event_type", "hour"])
+               .aggregate(Sum("n_events", alias_name="n_events"),
+                          Sum("value_cents", alias_name="value_cents")))
+        return agg.map_batches(
+            lambda t: pa.table({
+                "event_type": t["event_type"],
+                "hour": pc.cast(t["hour"], pa.int64()),
+                "n_events": pc.cast(t["n_events"], pa.int64()),
+                "value_cents": pc.cast(t["value_cents"], pa.int64()),
+            }) if t.num_rows else empty,
+            batch_format="pyarrow")
+
+    # 1) materialize the on-time view
+    rollup(events, lambda t: partials(t, "ontime")).write_parquet(root)
+
+    # 2) the late slice's affected hours (tiny: O(|delta hours|))
+    late_hours = rollup(events, lambda t: partials(t, "late"))
+    affected = np.unique(np.concatenate([
+        t["hour"].to_numpy(zero_copy_only=False)
+        for t in (ray.get(r) for r in late_hours.to_arrow_refs())
+        if t.num_rows] or [np.empty(0, dtype=np.int64)]))
+
+    # 3) recompute ONLY affected hours from the full stream
+    def affected_only(t: pa.Table) -> pa.Table:
+        full = partials(t, "affected_full")
+        if full.num_rows == 0 or affected.size == 0:
+            return empty
+        h = full["hour"].to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(affected, h)
+        idx[idx == affected.size] = 0
+        return full.filter(pa.array(affected[idx] == h))
+
+    recomputed = ray.data.from_arrow(empty) \
+        if affected.size == 0 else \
+        (events.map_batches(affected_only, batch_format="pyarrow",
+                            zero_copy_batch=True)
+         .groupby(["event_type", "hour"])
+         .aggregate(Sum("n_events", alias_name="n_events"),
+                    Sum("value_cents", alias_name="value_cents"))
+         .map_batches(
+             lambda t: pa.table({
+                 "event_type": t["event_type"],
+                 "hour": pc.cast(t["hour"], pa.int64()),
+                 "n_events": pc.cast(t["n_events"], pa.int64()),
+                 "value_cents": pc.cast(t["value_cents"], pa.int64()),
+             }) if t.num_rows else empty,
+             batch_format="pyarrow"))
+
+    # 4) untouched rows come from the MATERIALIZED copy only
+    def untouched(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        h = t["hour"].to_numpy(zero_copy_only=False)
+        if affected.size == 0:
+            return t
+        idx = np.searchsorted(affected, h)
+        idx[idx == affected.size] = 0
+        return t.filter(pa.array(affected[idx] != h))
+
+    served = ray.data.read_parquet(root).map_batches(
+        untouched, batch_format="pyarrow", zero_copy_batch=True)
+    return served.union(recomputed)
+
+
+HOURLY_BACKFILL_SQL = """
+WITH v AS (
+  SELECT event_type,
+         CAST(epoch_us(ts) AS BIGINT) // 3600000000 AS hour,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events
+)
+SELECT event_type, hour, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(cents) AS BIGINT) AS value_cents
+FROM v GROUP BY 1, 2 ORDER BY 1, 2
+"""
