@@ -52,6 +52,7 @@ from p2pddsketch_ray.pipelines.relational import (  # noqa: E402
     LINEITEM_UNPIVOT_SQL as _LINEITEM_UNPIVOT_SQL,
     SPLIT_ASSIGN_SQL as _SPLIT_ASSIGN_SQL,
     EQUI_DEPTH_SQL as _EQUI_DEPTH_SQL,
+    SOURCE_VOCAB_OVERLAP_SQL as _SOURCE_VOCAB_OVERLAP_SQL,
     STRATIFIED_SAMPLE_SQL as _STRATIFIED_SAMPLE_SQL,
     TOP_EVENTS_PER_TYPE_SQL as _TOP_EVENTS_PER_TYPE_SQL,
     CUSTOMERS_WITHOUT_EVENTS_SQL as _CUSTOMERS_WITHOUT_EVENTS_SQL,
@@ -232,6 +233,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # equi-depth histogram / range-partition plan (exact boundaries
         # via histogram bisection + one broadcast count pass)
         "equi_depth_buckets": R.equi_depth_buckets,
+        # exact Jaccard between per-source vocabularies (bitmask
+        # set intersection over token fingerprints)
+        "source_vocab_overlap": R.source_vocab_overlap,
         # near-duplicate detection (rows-only for the signature methods --
         # MinHash/SimHash are not SQL-expressible; embedding cosine is)
         "minhash_neardup_docs": _minhash_neardup_docs,
@@ -1474,6 +1478,7 @@ ORDER BY 1""",
         "lineitem_unpivot_stats": _LINEITEM_UNPIVOT_SQL,
         "split_assign_stats": _SPLIT_ASSIGN_SQL,
         "equi_depth_buckets": _EQUI_DEPTH_SQL,
+        "source_vocab_overlap": _SOURCE_VOCAB_OVERLAP_SQL,
         "value_hour_sufficient_stats": _VALUE_HOUR_STATS_SQL,
         "weighted_sample_orders": _WEIGHTED_SAMPLE_SQL,
         "validation_report": _VALIDATION_REPORT_SQL,

@@ -5113,3 +5113,132 @@ SELECT a.bucket, b.bs[CAST(a.bucket AS INT)] AS hi,
        CAST(count(*) AS BIGINT) AS n
 FROM assigned a, b GROUP BY 1, 2 ORDER BY 1
 """
+
+
+def source_vocab_overlap(sf_dir: str) -> pa.Table:
+    """EXACT set similarity between per-source vocabularies: for every
+    source pair, the distinct-token intersection, both set sizes, and
+    Jaccard (integer ppm) -- the contamination/overlap matrix a corpus
+    curator checks before mixing sources.
+
+    Dataflow: per-block distinct (token-fingerprint, source-bitmask)
+    partials (np.bitwise_or.at over the block's tokens), token-fp
+    co-partition ORs the masks so each token contributes EXACTLY one
+    membership mask, then every pair count is a vectorized bit test --
+    the same bitmask trick as session_copresence_counts lifted from
+    sessions to vocabularies.  The exchange moves O(vocab) 16-byte
+    rows; pair work is O(sources^2) per partition on in-register
+    masks."""
+    from ..functions.text import fingerprint64
+    from ..stages.partition import fit_partitions, partition_by
+    ds = _read(sf_dir, "documents", ["source", "text"])
+    # lexicographic domain order so pair (a, b) matches SQL's a < b
+    src_domain = sorted(DOC_SOURCES)
+    bit_of = {s: i for i, s in enumerate(src_domain)}
+
+    empty_mask = pa.table({"fp": pa.array([], type=pa.int64()),
+                           "mask": pa.array([], type=pa.int64())})
+
+    def block_masks(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty_mask
+        toks = pc.split_pattern(t["text"], pattern=" ")
+        flat = pc.list_flatten(toks)
+        if len(flat) == 0:
+            return empty_mask
+        nper = pc.list_value_length(toks).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        src = t["source"].to_numpy(zero_copy_only=False)
+        bits = np.array([np.int64(1) << bit_of[s] for s in src],
+                        dtype=np.int64)
+        tok_bits = np.repeat(bits, nper)
+        fp = fingerprint64(flat).to_numpy(zero_copy_only=False)
+        ufp, finv = np.unique(fp, return_inverse=True)
+        mask = np.zeros(ufp.size, dtype=np.int64)
+        np.bitwise_or.at(mask, finv, tok_bits)
+        return pa.table({"fp": pa.array(ufp), "mask": pa.array(mask)})
+
+    empty_pairs = pa.table({
+        "source_a": pa.array([], type=pa.string()),
+        "source_b": pa.array([], type=pa.string()),
+        "n_common": pa.array([], type=pa.int64()),
+    })
+
+    n_src = len(src_domain)
+
+    def pair_kernel(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty_pairs
+        fp = t["fp"].to_numpy(zero_copy_only=False)
+        m = t["mask"].to_numpy(zero_copy_only=False)
+        ufp, finv = np.unique(fp, return_inverse=True)
+        mask = np.zeros(ufp.size, dtype=np.int64)
+        np.bitwise_or.at(mask, finv, m)
+        sa, sb, n = [], [], []
+        for i in range(n_src):
+            bi = np.int64(1) << i
+            has_i = (mask & bi) != 0
+            # diagonal row carries the per-source vocabulary size
+            cnt_i = int(has_i.sum())
+            if cnt_i:
+                sa.append(src_domain[i]); sb.append(src_domain[i])
+                n.append(cnt_i)
+            for j in range(i + 1, n_src):
+                bj = np.int64(1) << j
+                c = int((has_i & ((mask & bj) != 0)).sum())
+                if c:
+                    sa.append(src_domain[i]); sb.append(src_domain[j])
+                    n.append(c)
+        return pa.table({"source_a": pa.array(sa, type=pa.string()),
+                         "source_b": pa.array(sb, type=pa.string()),
+                         "n_common": pa.array(n, type=pa.int64())})
+
+    masks = ds.map_batches(block_masks, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    per_part = partition_by(masks, ["fp"], fit_partitions(32),
+                            pair_kernel, empty_pairs)
+    agg = (per_part.groupby(["source_a", "source_b"])
+           .aggregate(Sum("n_common", alias_name="n_common")))
+    rows = agg.take_all()  # <= sources^2 rows
+    totals = {r["source_a"]: int(r["n_common"]) for r in rows
+              if r["source_a"] == r["source_b"]}
+    out = [r for r in rows if r["source_a"] != r["source_b"]]
+    out.sort(key=lambda r: (r["source_a"], r["source_b"]))
+    n_a = [totals[r["source_a"]] for r in out]
+    n_b = [totals[r["source_b"]] for r in out]
+    n_c = [int(r["n_common"]) for r in out]
+    return pa.table({
+        "source_a": pa.array([r["source_a"] for r in out],
+                             type=pa.string()),
+        "source_b": pa.array([r["source_b"] for r in out],
+                             type=pa.string()),
+        "n_common": pa.array(n_c, type=pa.int64()),
+        "n_a": pa.array(n_a, type=pa.int64()),
+        "n_b": pa.array(n_b, type=pa.int64()),
+        "jaccard_ppm": pa.array(
+            [c * 1_000_000 // (a + b - c)
+             for c, a, b in zip(n_c, n_a, n_b)], type=pa.int64()),
+    })
+
+
+SOURCE_VOCAB_OVERLAP_SQL = """
+WITH toks AS (
+  SELECT DISTINCT source, unnest(string_split(text, ' ')) AS tok
+  FROM documents
+), tot AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n FROM toks GROUP BY 1
+), pairs AS (
+  SELECT a.source AS sa, b.source AS sb,
+         CAST(count(*) AS BIGINT) AS n_common
+  FROM toks a JOIN toks b ON a.tok = b.tok AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT sa AS source_a, sb AS source_b, n_common,
+       ta.n AS n_a, tb.n AS n_b,
+       CAST(n_common * 1000000 // (ta.n + tb.n - n_common) AS BIGINT)
+         AS jaccard_ppm
+FROM pairs
+JOIN tot ta ON ta.source = sa
+JOIN tot tb ON tb.source = sb
+ORDER BY 1, 2
+"""

@@ -1096,3 +1096,34 @@ def test_equi_depth_buckets_matches_duckdb_and_is_balanced(ray_session):
     # only from ties at the boundary values)
     assert (got["n"] >= n // k - k).all() and (got["n"] <= n // k + k).all()
     assert got["hi"].is_monotonic_increasing
+
+
+def test_source_vocab_overlap_matches_duckdb(ray_session):
+    duckdb = pytest.importorskip("duckdb")
+    from p2pddsketch_ray.pipelines.relational import (
+        SOURCE_VOCAB_OVERLAP_SQL, source_vocab_overlap)
+    sf = "/root/testdata/sf0.001"
+    got = source_vocab_overlap(sf).to_pandas().reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf}/documents.parquet')")
+    want = con.execute(SOURCE_VOCAB_OVERLAP_SQL).df()
+    assert got.equals(want.reset_index(drop=True))
+
+
+def test_source_vocab_overlap_disjoint_and_identical(ray_session,
+                                                     tmp_path):
+    """Two sources sharing everything -> jaccard 1.0; a third sharing
+    nothing -> absent from the pair rows entirely (inner-join
+    semantics)."""
+    import pyarrow.parquet as pq
+    from p2pddsketch_ray.pipelines.relational import source_vocab_overlap
+    t = pa.table({
+        "source": pa.array(["src0", "src1", "src2"]),
+        "text": pa.array(["a b c", "c a b", "x y z"]),
+    })
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    got = source_vocab_overlap(str(tmp_path)).to_pandas()
+    pairs = {(r.source_a, r.source_b): (r.n_common, r.jaccard_ppm)
+             for r in got.itertuples()}
+    assert pairs == {("src0", "src1"): (3, 1_000_000)}
