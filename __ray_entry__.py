@@ -101,7 +101,8 @@ from p2pddsketch_ray.pipelines.fingerprint import (  # noqa: E402
 from p2pddsketch_ray.pipelines.search import (  # noqa: E402
     INVERTED_INDEX_SQL as _INVERTED_INDEX_SQL)
 from p2pddsketch_ray.pipelines.components import (  # noqa: E402
-    PAGERANK_SQL as _PAGERANK_SQL)
+    PAGERANK_SQL as _PAGERANK_SQL,
+    COPRESENCE_TRIANGLES_SQL as _COPRESENCE_TRIANGLES_SQL)
 from p2pddsketch_ray.pipelines.dedup import (  # noqa: E402
     DECONTAMINATION_SQL as _DECONTAMINATION_SQL,
     benchmark_decontamination as _benchmark_decontamination,
@@ -326,6 +327,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "benchmark_decontamination": _benchmark_decontamination,
         # iterative integer PageRank + Pareto-frontier skyline
         "pagerank_part_supplier": _pagerank_part_supplier,
+        # triangle census of the user co-presence graph (degree-
+        # oriented wedge closure; exact count + clustering coefficient)
+        "copresence_triangles": _copresence_triangles,
         "order_skyline": R.order_skyline,
         # FastSS edit-distance-1 fuzzy self-join over payload strings
         "fuzzy_props_pairs": _fuzzy_props_pairs,
@@ -553,6 +557,11 @@ def _neardup_components(sf_dir: str):
 def _pagerank_part_supplier(sf_dir: str):
     from p2pddsketch_ray.pipelines.components import pagerank_part_supplier
     return pagerank_part_supplier(sf_dir)
+
+
+def _copresence_triangles(sf_dir: str):
+    from p2pddsketch_ray.pipelines.components import copresence_triangles
+    return copresence_triangles(sf_dir)
 
 
 def _neardup_keep_stats(sf_dir: str):
@@ -1215,6 +1224,7 @@ SELECT l_returnflag, unnest([0.25, 0.5, 0.75]) AS q,
         "user_churn_sets": _USER_CHURN_SQL,
         "benchmark_decontamination": _DECONTAMINATION_SQL,
         "pagerank_part_supplier": _PAGERANK_SQL,
+        "copresence_triangles": _COPRESENCE_TRIANGLES_SQL,
         "order_skyline": _ORDER_SKYLINE_SQL,
         "fuzzy_props_pairs": _FUZZY_PROPS_SQL,
         "keyword_search_topk": _KEYWORD_SEARCH_SQL,

@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 import ray.data
@@ -407,3 +408,358 @@ ORDER BY 2 DESC, 1
 
 
 PAGERANK_SQL = _pagerank_sql()
+
+
+_TRI_SPAN = np.int64(1) << np.int64(31)  # composite (u, v) edge encoding
+
+
+def triangle_stats(edges: "ray.data.Dataset") -> dict:
+    """EXACT distributed triangle count + global clustering coefficient
+    over an undirected edge dataset (columns ``a`` < ``b``, int64,
+    distinct).  Degree-oriented wedge enumeration (Schank & Wagner 2005;
+    the MapReduce form of Suri & Vassilvitskii WWW'11): orient every
+    edge toward the higher-(degree, id) endpoint, enumerate the out-
+    neighbor pairs of each vertex (sum out_deg^2 = O(E^1.5) work, never
+    O(max_deg^2)), and close wedges against the edge set -- each
+    triangle is counted exactly once, at its lowest-ordered vertex.
+
+    Dataflow (all co-partitions, no driver-side adjacency):
+      1. degree pass: per-block endpoint counts -> keyed Sum;
+      2. orientation: TWO degree-attach co-partition joins (edges by a,
+         then by b) -- degrees are never broadcast (O(V) can be 10^9);
+      3. wedge pass: src co-partition + the rank-arithmetic pair
+         expansion over each vertex's sorted out-neighbors;
+      4. closure: wedge/edge co-partition on the composite key,
+         searchsorted membership, Sum of matched wedge multiplicities.
+
+    Returns {n_vertices, n_edges, n_wedges, n_triangles} (wedges =
+    sum d(d-1)/2 over UNDIRECTED degrees, for the clustering
+    coefficient 3*tri/wedges)."""
+    from ray.data.aggregate import Sum
+
+    parts = fit_partitions(32)
+    # the edge list is consumed by four downstream passes (degrees,
+    # both orientation joins, closure) -- pin it once; O(E) rows is the
+    # standard working set of any multi-pass graph algorithm
+    edges = edges.materialize()
+
+    # -- 1) undirected degrees ------------------------------------------
+    deg_empty = pa.table({"node": pa.array([], type=pa.int64()),
+                          "d": pa.array([], type=pa.int64())})
+
+    def deg_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return deg_empty
+        both = np.concatenate([
+            t["a"].to_numpy(zero_copy_only=False),
+            t["b"].to_numpy(zero_copy_only=False)])
+        un, cnt = np.unique(both, return_counts=True)
+        return pa.table({"node": pa.array(un),
+                         "d": pa.array(cnt.astype(np.int64))})
+
+    degrees = (edges.map_batches(deg_partial, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+               .groupby("node").aggregate(Sum("d", alias_name="d"))
+               .map_batches(lambda t: pa.table({
+                   "node": pc.cast(t["node"], pa.int64()),
+                   "d": pc.cast(t["d"], pa.int64())}),
+                   batch_format="pyarrow")
+               .materialize())  # consumed by totals + both joins
+
+    # vertex / wedge totals (tiny scalar pass)
+    def deg_stats(t: pa.Table) -> pa.Table:
+        d = t["d"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "n_vertices": pa.array([t.num_rows], type=pa.int64()),
+            "n_wedges": pa.array([int((d * (d - 1) // 2).sum())],
+                                 type=pa.int64())})
+
+    totals = (degrees.map_batches(deg_stats, batch_format="pyarrow")
+              .sum(["n_vertices", "n_wedges"]))
+    n_vertices = int(totals["sum(n_vertices)"])
+    n_wedges = int(totals["sum(n_wedges)"])
+
+    # -- 2) attach degrees to both endpoints (co-partition joins) -------
+    def attach(col_key: str, deg_name: str, carry: list[str]):
+        att_empty = pa.table(
+            {**{c: pa.array([], type=pa.int64()) for c in carry},
+             col_key: pa.array([], type=pa.int64()),
+             deg_name: pa.array([], type=pa.int64())})
+
+        def kernel(g: pa.Table) -> pa.Table:
+            if g.num_rows == 0:
+                return att_empty
+            is_deg = g["_side"].to_numpy(zero_copy_only=False) == 1
+            dn = g["_k"].to_numpy(zero_copy_only=False)[is_deg]
+            dv = g["_v0"].to_numpy(zero_copy_only=False)[is_deg]
+            order = np.argsort(dn)
+            dn, dv = dn[order], dv[order]
+            ek = g["_k"].to_numpy(zero_copy_only=False)[~is_deg]
+            if ek.size == 0:
+                return att_empty
+            idx = np.searchsorted(dn, ek)
+            cols = {}
+            for i, c in enumerate(carry):
+                cols[c] = pa.array(
+                    g[f"_v{i}"].to_numpy(zero_copy_only=False)[~is_deg])
+            cols[col_key] = pa.array(ek)
+            cols[deg_name] = pa.array(dv[idx])
+            return pa.table(cols)
+
+        return att_empty, kernel
+
+    # normalize both sides to (_k, _v0.., _side) and co-partition
+    def tag_edges_a(t: pa.Table) -> pa.Table:
+        return pa.table({"_k": t["a"], "_v0": t["b"],
+                         "_side": pa.array(
+                             np.zeros(t.num_rows, dtype=np.int64))})
+
+    def tag_deg(t: pa.Table) -> pa.Table:
+        return pa.table({"_k": t["node"], "_v0": t["d"],
+                         "_side": pa.array(
+                             np.ones(t.num_rows, dtype=np.int64))})
+
+    e_a = edges.map_batches(tag_edges_a, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    d_t = degrees.map_batches(tag_deg, batch_format="pyarrow")
+    att_empty, kernel = attach("a", "da", ["b"])
+    with_da = partition_by(e_a.union(d_t), ["_k"], parts, kernel,
+                           att_empty)
+
+    def tag_edges_b(t: pa.Table) -> pa.Table:
+        return pa.table({"_k": t["b"], "_v0": t["a"], "_v1": t["da"],
+                         "_side": pa.array(
+                             np.zeros(t.num_rows, dtype=np.int64))})
+
+    def tag_deg2(t: pa.Table) -> pa.Table:
+        return pa.table({"_k": t["node"], "_v0": t["d"],
+                         "_v1": pa.array(np.zeros(t.num_rows,
+                                                  dtype=np.int64)),
+                         "_side": pa.array(
+                             np.ones(t.num_rows, dtype=np.int64))})
+
+    e_b = with_da.map_batches(tag_edges_b, batch_format="pyarrow")
+    d_t2 = degrees.map_batches(tag_deg2, batch_format="pyarrow")
+    att_empty2, kernel2 = attach("b", "db", ["a", "da"])
+    full = partition_by(e_b.union(d_t2), ["_k"], parts, kernel2,
+                        att_empty2)
+
+    # -- 3) orient + wedge expansion ------------------------------------
+    or_empty = pa.table({"src": pa.array([], type=pa.int64()),
+                         "dst": pa.array([], type=pa.int64())})
+
+    def orient(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return or_empty
+        a = t["a"].to_numpy(zero_copy_only=False)
+        b = t["b"].to_numpy(zero_copy_only=False)
+        da = t["da"].to_numpy(zero_copy_only=False)
+        db = t["db"].to_numpy(zero_copy_only=False)
+        a_first = (da < db) | ((da == db) & (a < b))
+        return pa.table({"src": pa.array(np.where(a_first, a, b)),
+                         "dst": pa.array(np.where(a_first, b, a))})
+
+    oriented = full.map_batches(orient, batch_format="pyarrow")
+
+    wedge_empty = pa.table({"pair": pa.array([], type=pa.int64()),
+                            "cnt": pa.array([], type=pa.int64())})
+
+    def wedges(g: pa.Table) -> pa.Table:
+        if g.num_rows < 2:
+            return wedge_empty
+        src = g["src"].to_numpy(zero_copy_only=False)
+        dst = g["dst"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((dst, src))
+        s_s, d_s = src[order], dst[order]
+        n = s_s.size
+        new_run = np.ones(n, dtype=bool)
+        new_run[1:] = s_s[1:] != s_s[:-1]
+        starts = np.nonzero(new_run)[0]
+        rlen = np.diff(np.append(starts, n))
+        rank = np.arange(n) - np.repeat(starts, rlen)
+        cnt_a = np.repeat(rlen, rlen) - rank - 1
+        total = int(cnt_a.sum())
+        if total == 0:
+            return wedge_empty
+        a_idx = np.repeat(np.arange(n), cnt_a)
+        excl = np.concatenate([[0], np.cumsum(cnt_a)[:-1]])
+        b_idx = a_idx + (np.arange(total) - np.repeat(excl, cnt_a)) + 1
+        x, y = d_s[a_idx], d_s[b_idx]
+        lo, hi = np.minimum(x, y), np.maximum(x, y)
+        comp = lo * _TRI_SPAN + hi
+        ucomp, c = np.unique(comp, return_counts=True)
+        return pa.table({"pair": pa.array(ucomp),
+                         "cnt": pa.array(c.astype(np.int64))})
+
+    wedge_ds = partition_by(oriented, ["src"], parts, wedges, wedge_empty)
+
+    # -- 4) close wedges against the edge set ---------------------------
+    def tag_wedge(t: pa.Table) -> pa.Table:
+        return pa.table({"_k": t["pair"], "_v0": t["cnt"],
+                         "_side": pa.array(
+                             np.zeros(t.num_rows, dtype=np.int64))})
+
+    def tag_edge_key(t: pa.Table) -> pa.Table:
+        a = t["a"].to_numpy(zero_copy_only=False)
+        b = t["b"].to_numpy(zero_copy_only=False)
+        return pa.table({"_k": pa.array(a * _TRI_SPAN + b),
+                         "_v0": pa.array(np.ones(t.num_rows,
+                                                 dtype=np.int64)),
+                         "_side": pa.array(
+                             np.ones(t.num_rows, dtype=np.int64))})
+
+    closed_empty = pa.table({"tri": pa.array([], type=pa.int64())})
+
+    def close(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return closed_empty
+        side = g["_side"].to_numpy(zero_copy_only=False)
+        ek = np.sort(g["_k"].to_numpy(zero_copy_only=False)[side == 1])
+        wk = g["_k"].to_numpy(zero_copy_only=False)[side == 0]
+        wc = g["_v0"].to_numpy(zero_copy_only=False)[side == 0]
+        if ek.size == 0 or wk.size == 0:
+            return closed_empty
+        idx = np.searchsorted(ek, wk)
+        idx[idx == ek.size] = 0
+        hit = ek[idx] == wk
+        return pa.table({"tri": pa.array([int(wc[hit].sum())],
+                                         type=pa.int64())})
+
+    w_t = wedge_ds.map_batches(tag_wedge, batch_format="pyarrow")
+    e_t = edges.map_batches(tag_edge_key, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    closed = partition_by(w_t.union(e_t), ["_k"], parts, close,
+                          closed_empty)
+    tri_sum = closed.sum("tri")
+    n_triangles = int(tri_sum) if tri_sum is not None else 0
+    n_edges = int(edges.count())
+    return {"n_vertices": n_vertices, "n_edges": n_edges,
+            "n_wedges": n_wedges, "n_triangles": n_triangles}
+
+
+def copresence_triangles(sf_dir: str) -> pa.Table:
+    """Driver query: triangle census of the user co-presence graph
+    (users adjacent iff they share >= 1 (event_type, hour) cell) --
+    triangle count and global clustering coefficient, the third classic
+    distributed graph primitive beside PageRank and connected
+    components.
+
+    Edge construction is itself distributed: per-block distinct
+    (cell, user) memberships, cell co-partition, within-cell sorted-run
+    pair expansion, then a distinct-edge groupby -- the exchange moves
+    O(memberships + candidate pairs) 16-byte rows."""
+    from ray.data.aggregate import Count
+    from .temporal import _as_int64
+
+    parts = fit_partitions(32)
+    events = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                                   columns=["ts", "event_type", "user_id"])
+
+    mem_empty = pa.table({"cell": pa.array([], type=pa.int64()),
+                          "user": pa.array([], type=pa.int64())})
+
+    def memberships(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return mem_empty
+        hour = _as_int64(t["ts"]) // 3_600_000_000
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        ut, tinv = np.unique(et, return_inverse=True)
+        # event types are a tiny global domain; per-block codes differ,
+        # so key the cell by a type FINGERPRINT (order-free) + hour
+        from ..functions.text import fingerprint64
+        tf = fingerprint64(pa.array(ut.tolist(), type=pa.string()))
+        tfv = tf.to_numpy(zero_copy_only=False).view(np.uint64)
+        with np.errstate(over="ignore"):
+            cell = (tfv[tinv] ^ (hour.view(np.uint64) *
+                                 np.uint64(0x9E3779B97F4A7C15))
+                    ).view(np.int64)
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        comp = np.stack([cell, uid], axis=1)
+        uniq = np.unique(comp, axis=0)
+        return pa.table({"cell": pa.array(uniq[:, 0]),
+                         "user": pa.array(uniq[:, 1])})
+
+    mems = events.map_batches(memberships, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+    pair_empty = pa.table({"a": pa.array([], type=pa.int64()),
+                           "b": pa.array([], type=pa.int64())})
+
+    def cell_pairs(g: pa.Table) -> pa.Table:
+        if g.num_rows < 2:
+            return pair_empty
+        cell = g["cell"].to_numpy(zero_copy_only=False)
+        user = g["user"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((user, cell))
+        c_s, u_s = cell[order], user[order]
+        # drop duplicate (cell, user) memberships across blocks
+        keep = np.ones(c_s.size, dtype=bool)
+        keep[1:] = (c_s[1:] != c_s[:-1]) | (u_s[1:] != u_s[:-1])
+        c_s, u_s = c_s[keep], u_s[keep]
+        n = c_s.size
+        new_run = np.ones(n, dtype=bool)
+        new_run[1:] = c_s[1:] != c_s[:-1]
+        starts = np.nonzero(new_run)[0]
+        rlen = np.diff(np.append(starts, n))
+        rank = np.arange(n) - np.repeat(starts, rlen)
+        cnt_a = np.repeat(rlen, rlen) - rank - 1
+        total = int(cnt_a.sum())
+        if total == 0:
+            return pair_empty
+        a_idx = np.repeat(np.arange(n), cnt_a)
+        excl = np.concatenate([[0], np.cumsum(cnt_a)[:-1]])
+        b_idx = a_idx + (np.arange(total) - np.repeat(excl, cnt_a)) + 1
+        comp = u_s[a_idx] * _TRI_SPAN + u_s[b_idx]
+        ucomp = np.unique(comp)
+        return pa.table({"a": pa.array(ucomp // _TRI_SPAN),
+                         "b": pa.array(ucomp % _TRI_SPAN)})
+
+    cand = partition_by(mems, ["cell"], parts, cell_pairs, pair_empty)
+    edges = (cand.groupby(["a", "b"]).aggregate(Count(alias_name="_m"))
+             .map_batches(lambda t: pa.table({
+                 "a": pc.cast(t["a"], pa.int64()),
+                 "b": pc.cast(t["b"], pa.int64())}),
+                 batch_format="pyarrow"))
+
+    s = triangle_stats(edges)
+    clustering_ppm = (3 * s["n_triangles"] * 1_000_000 // s["n_wedges"]
+                      if s["n_wedges"] else 0)
+    return pa.table({
+        "n_vertices": pa.array([s["n_vertices"]], type=pa.int64()),
+        "n_edges": pa.array([s["n_edges"]], type=pa.int64()),
+        "n_wedges": pa.array([s["n_wedges"]], type=pa.int64()),
+        "n_triangles": pa.array([s["n_triangles"]], type=pa.int64()),
+        "clustering_ppm": pa.array([clustering_ppm], type=pa.int64()),
+    })
+
+
+COPRESENCE_TRIANGLES_SQL = """
+WITH cells AS (
+  SELECT DISTINCT event_type,
+         CAST(epoch_us(ts) AS BIGINT) // 3600000000 AS hour,
+         user_id
+  FROM events
+), edges AS (
+  SELECT DISTINCT x.user_id AS a, y.user_id AS b
+  FROM cells x JOIN cells y
+    ON x.event_type = y.event_type AND x.hour = y.hour
+   AND x.user_id < y.user_id
+), deg AS (
+  SELECT u, CAST(count(*) AS BIGINT) AS d FROM (
+    SELECT a AS u FROM edges UNION ALL SELECT b FROM edges
+  ) GROUP BY 1
+), tri AS (
+  SELECT CAST(count(*) AS BIGINT) AS t
+  FROM edges e1
+  JOIN edges e2 ON e2.a = e1.a AND e2.b > e1.b
+  JOIN edges e3 ON e3.a = e1.b AND e3.b = e2.b
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_vertices,
+       (SELECT CAST(count(*) AS BIGINT) FROM edges) AS n_edges,
+       (SELECT CAST(sum(d * (d - 1) // 2) AS BIGINT) FROM deg)
+         AS n_wedges,
+       (SELECT t FROM tri) AS n_triangles,
+       CAST(3 * (SELECT t FROM tri) * 1000000 //
+            (SELECT sum(d * (d - 1) // 2) FROM deg) AS BIGINT)
+         AS clustering_ppm
+"""

@@ -169,3 +169,42 @@ def test_pagerank_mass_conservation(ray_session):
     SCALE = 1_000_000_000_000
     max_loss = 3 * (n_edges2 + n_nodes) + n_nodes  # per-iter floors + init
     assert SCALE - max_loss <= total <= SCALE
+
+
+@pytest.mark.parametrize("n,p,seed", [(12, 0.4, 1), (30, 0.2, 2),
+                                      (20, 0.9, 3)])
+def test_triangle_stats_matches_brute_force(ray_session, n, p, seed):
+    import itertools
+    import ray.data
+    from p2pddsketch_ray.pipelines.components import triangle_stats
+    rng = np.random.default_rng(seed)
+    adj = np.zeros((n, n), dtype=bool)
+    for i in range(n):
+        for j in range(i + 1, n):
+            if rng.random() < p:
+                adj[i, j] = adj[j, i] = True
+    a, b = np.nonzero(np.triu(adj, 1))
+    edges = ray.data.from_arrow(pa.table({
+        "a": pa.array(a.astype(np.int64)),
+        "b": pa.array(b.astype(np.int64))}))
+    got = triangle_stats(edges)
+    tri = sum(1 for x, y, z in itertools.combinations(range(n), 3)
+              if adj[x, y] and adj[y, z] and adj[x, z])
+    deg = adj.sum(axis=1).astype(int)
+    assert got["n_triangles"] == tri
+    assert got["n_edges"] == int(a.size)
+    assert got["n_vertices"] == int((deg > 0).sum())
+    assert got["n_wedges"] == int((deg * (deg - 1) // 2).sum())
+
+
+def test_copresence_triangles_matches_duckdb(ray_session):
+    duckdb = pytest.importorskip("duckdb")
+    from p2pddsketch_ray.pipelines.components import (
+        COPRESENCE_TRIANGLES_SQL, copresence_triangles)
+    sf = "/root/testdata/sf0.001"
+    got = copresence_triangles(sf).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{sf}/events.parquet')")
+    want = con.execute(COPRESENCE_TRIANGLES_SQL).df()
+    assert got.equals(want)
