@@ -43,7 +43,8 @@ from p2pddsketch_ray.pipelines.temporal import (  # noqa: E402
     PEAK_CONCURRENCY_SQL as _PEAK_CONCURRENCY_SQL,
     SESSION_COPRESENCE_SQL as _SESSION_COPRESENCE_SQL,
     USER_TWA_SQL as _USER_TWA_SQL,
-    HOURLY_BACKFILL_SQL as _HOURLY_BACKFILL_SQL)
+    HOURLY_BACKFILL_SQL as _HOURLY_BACKFILL_SQL,
+    IMPUTE_VALUE_SQL as _IMPUTE_VALUE_SQL)
 from p2pddsketch_ray.pipelines.approx import (  # noqa: E402
     MG_HEAVY_USERS_SQL as _MG_HEAVY_USERS_SQL)
 from p2pddsketch_ray.pipelines.relational import (  # noqa: E402
@@ -497,6 +498,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # only affected hours, untouched rows served from the
         # materialized copy
         "hourly_backfill_stats": _hourly_backfill_stats,
+        # mean-fill missing-data imputation (two-pass broadcast)
+        "impute_value_hourly": _impute_value_hourly,
     }
 
 
@@ -514,6 +517,11 @@ def _user_time_weighted_value(sf_dir: str):
 def _hourly_backfill_stats(sf_dir: str):
     from p2pddsketch_ray.pipelines.temporal import hourly_backfill_stats
     return hourly_backfill_stats(sf_dir)
+
+
+def _impute_value_hourly(sf_dir: str):
+    from p2pddsketch_ray.pipelines.temporal import impute_value_hourly
+    return impute_value_hourly(sf_dir)
 
 
 def _peak_concurrency_stats(sf_dir: str):
@@ -947,6 +955,7 @@ def oracle_sql() -> dict[str, str]:
         "session_copresence_counts": _SESSION_COPRESENCE_SQL,
         "user_time_weighted_value": _USER_TWA_SQL,
         "hourly_backfill_stats": _HOURLY_BACKFILL_SQL,
+        "impute_value_hourly": _IMPUTE_VALUE_SQL,
         "dds_price_global": _dds_sql("lineitem", "l_extendedprice"),
         "dds_price_by_flag": _dds_sql("lineitem", "l_extendedprice",
                                       "l_returnflag"),

@@ -1717,3 +1717,138 @@ SELECT event_type, hour, CAST(count(*) AS BIGINT) AS n_events,
        CAST(sum(cents) AS BIGINT) AS value_cents
 FROM v GROUP BY 1, 2 ORDER BY 1, 2
 """
+
+
+def impute_value_hourly(sf_dir: str, miss_mod: int = 20) -> "ray.data.Dataset":
+    """Missing-data IMPUTATION: a deterministic hash-selected slice of
+    events (``hash(event_id) % miss_mod == 0``) is treated as having a
+    missing value; each gap is filled with its event type's observed
+    mean (exact integer micro-units, truncating division) and the
+    imputed stream rolls up per (type, hour) -- the mean-fill
+    preprocessing step every feature pipeline runs, as the canonical
+    two-pass broadcast shape: tiny stats pass -> O(types) fill values
+    broadcast into one streaming rewrite pass.
+
+    murmur64 bit-replicates DuckDB hash(BIGINT) so the oracle masks the
+    identical rows; trunc-division (not floor) matches SQL ``//`` for
+    any sign."""
+    from ..hashing import murmur64
+    from ray.data.aggregate import Sum
+
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "event_type", "value"])
+
+    # -- pass 1: observed per-type sufficient stats (tiny) ---------------
+    st_empty = pa.table({"event_type": pa.array([], type=pa.string()),
+                         "n_obs": pa.array([], type=pa.int64()),
+                         "sum_obs": pa.array([], type=pa.int64())})
+
+    def obs_stats(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return st_empty
+        eid = t["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        obs = (murmur64(eid) % np.uint64(miss_mod)) != 0
+        sub = t.filter(pa.array(obs))
+        if sub.num_rows == 0:
+            return st_empty
+        micro = np.floor(
+            sub["value"].to_numpy(zero_copy_only=False) * 1e6 + 0.5
+        ).astype(np.int64)
+        et = sub["event_type"].to_numpy(zero_copy_only=False)
+        ut, tinv = np.unique(et, return_inverse=True)
+        s = np.zeros(ut.size, dtype=np.int64)
+        np.add.at(s, tinv, micro)
+        return pa.table({
+            "event_type": pa.array(ut.tolist(), type=pa.string()),
+            "n_obs": pa.array(np.bincount(
+                tinv, minlength=ut.size).astype(np.int64)),
+            "sum_obs": pa.array(s)})
+
+    stats = (events.map_batches(obs_stats, batch_format="pyarrow",
+                                zero_copy_batch=True)
+             .groupby("event_type")
+             .aggregate(Sum("n_obs", alias_name="n_obs"),
+                        Sum("sum_obs", alias_name="sum_obs"))
+             .take_all())  # O(types) rows
+    fills = {}
+    for r in stats:
+        s, n = int(r["sum_obs"]), int(r["n_obs"])
+        fills[r["event_type"]] = (1 if s >= 0 else -1) * (abs(s) // n)
+
+    # -- pass 2: broadcast fills into the hourly rollup ------------------
+    empty = pa.table({"event_type": pa.array([], type=pa.string()),
+                      "hour": pa.array([], type=pa.int64()),
+                      "n_events": pa.array([], type=pa.int64()),
+                      "n_imputed": pa.array([], type=pa.int64()),
+                      "sum_micro": pa.array([], type=pa.int64())})
+
+    def imputed_partials(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        eid = t["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        miss = (murmur64(eid) % np.uint64(miss_mod)) == 0
+        micro = np.floor(
+            t["value"].to_numpy(zero_copy_only=False) * 1e6 + 0.5
+        ).astype(np.int64)
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        ut, tinv = np.unique(et, return_inverse=True)
+        fill_by_code = np.array([fills.get(s, 0) for s in ut],
+                                dtype=np.int64)
+        micro = np.where(miss, fill_by_code[tinv], micro)
+        hour = _as_int64(t["ts"]) // 3_600_000_000
+        uh, hinv = np.unique(hour, return_inverse=True)
+        comp = tinv * np.int64(uh.size) + hinv
+        ucomp, cinv = np.unique(comp, return_inverse=True)
+        n = np.bincount(cinv, minlength=ucomp.size).astype(np.int64)
+        ni = np.zeros(ucomp.size, dtype=np.int64)
+        np.add.at(ni, cinv, miss.astype(np.int64))
+        s = np.zeros(ucomp.size, dtype=np.int64)
+        np.add.at(s, cinv, micro)
+        return pa.table({
+            "event_type": pa.array(
+                ut[ucomp // np.int64(uh.size)].tolist(), type=pa.string()),
+            "hour": pa.array(uh[ucomp % np.int64(uh.size)]),
+            "n_events": pa.array(n),
+            "n_imputed": pa.array(ni),
+            "sum_micro": pa.array(s)})
+
+    agg = (events.map_batches(imputed_partials, batch_format="pyarrow",
+                              zero_copy_batch=True)
+           .groupby(["event_type", "hour"])
+           .aggregate(Sum("n_events", alias_name="n_events"),
+                      Sum("n_imputed", alias_name="n_imputed"),
+                      Sum("sum_micro", alias_name="sum_micro")))
+    return agg.map_batches(
+        lambda t: pa.table({
+            "event_type": t["event_type"],
+            "hour": pc.cast(t["hour"], pa.int64()),
+            "n_events": pc.cast(t["n_events"], pa.int64()),
+            "n_imputed": pc.cast(t["n_imputed"], pa.int64()),
+            "sum_micro": pc.cast(t["sum_micro"], pa.int64()),
+        }) if t.num_rows else empty,
+        batch_format="pyarrow")
+
+
+IMPUTE_VALUE_SQL = """
+WITH m AS (
+  SELECT event_type,
+         CAST(epoch_us(ts) AS BIGINT) // 3600000000 AS hour,
+         CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS micro,
+         hash(event_id) % 20 = 0 AS miss
+  FROM events
+), f AS (
+  SELECT event_type,
+         sum(CASE WHEN NOT miss THEN micro END)
+           // count(CASE WHEN NOT miss THEN 1 END) AS fill
+  FROM m GROUP BY 1
+)
+SELECT m.event_type, m.hour,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN miss THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_imputed,
+       CAST(sum(CASE WHEN miss THEN f.fill ELSE m.micro END) AS BIGINT)
+         AS sum_micro
+FROM m JOIN f USING (event_type)
+GROUP BY 1, 2 ORDER BY 1, 2
+"""

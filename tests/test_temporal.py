@@ -525,3 +525,45 @@ def test_hourly_backfill_serves_untouched_rows_from_view(ray_session,
     # replaced it
     v0 = view[view["hour"] == 0].iloc[0]
     assert int(v0["n_events"]) == 2
+
+
+def test_impute_value_hourly_matches_duckdb(ray_session):
+    duckdb = pytest.importorskip("duckdb")
+    from p2pddsketch_ray.pipelines.temporal import (
+        IMPUTE_VALUE_SQL, impute_value_hourly)
+    sf = "/root/testdata/sf0.001"
+    got = (impute_value_hourly(sf).to_pandas()
+           .sort_values(["event_type", "hour"]).reset_index(drop=True))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{sf}/events.parquet')")
+    want = con.execute(IMPUTE_VALUE_SQL).df()
+    assert got.equals(want.reset_index(drop=True))
+    assert got["n_imputed"].sum() > 0  # the mask actually selected rows
+
+
+def test_impute_fill_is_observed_type_mean(ray_session, tmp_path):
+    """Hand-checkable: one type, missing row filled with the trunc-div
+    mean of the observed micro values."""
+    import pyarrow.parquet as pq
+    from p2pddsketch_ray.hashing import murmur64
+    from p2pddsketch_ray.pipelines.temporal import impute_value_hourly
+    # find an event_id the 1/20 mask selects and two it does not
+    ids = np.arange(200, dtype=np.int64)
+    h = murmur64(ids) % np.uint64(20)
+    miss_id = int(ids[h == 0][0])
+    obs_ids = ids[h != 0][:2].tolist()
+    t = pa.table({
+        "event_id": pa.array([miss_id] + obs_ids, type=pa.int64()),
+        "ts": pa.array([0, 1, 2], type=pa.timestamp("us")),
+        "user_id": pa.array([1, 1, 1], type=pa.int64()),
+        "event_type": pa.array(["a", "a", "a"]),
+        "value": pa.array([999.0, 1.0, 2.0]),  # 999 must be ignored
+    })
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    got = impute_value_hourly(str(tmp_path)).to_pandas()
+    assert len(got) == 1
+    r = got.iloc[0]
+    # observed micro mean = (1e6 + 2e6) // 2 = 1_500_000
+    assert r["n_events"] == 3 and r["n_imputed"] == 1
+    assert r["sum_micro"] == 1_000_000 + 2_000_000 + 1_500_000
