@@ -637,7 +637,7 @@ def triangle_stats(edges: "ray.data.Dataset") -> dict:
             "n_wedges": n_wedges, "n_triangles": n_triangles}
 
 
-def copresence_triangles(sf_dir: str) -> pa.Table:
+def copresence_triangles(sf_dir: str, user_mod: int = 3) -> pa.Table:
     """Driver query: triangle census of the user co-presence graph
     (users adjacent iff they share >= 1 (event_type, hour) cell) --
     triangle count and global clustering coefficient, the third classic
@@ -647,7 +647,12 @@ def copresence_triangles(sf_dir: str) -> pa.Table:
     Edge construction is itself distributed: per-block distinct
     (cell, user) memberships, cell co-partition, within-cell sorted-run
     pair expansion, then a distinct-edge groupby -- the exchange moves
-    O(memberships + candidate pairs) 16-byte rows."""
+    O(memberships + candidate pairs) 16-byte rows.  The deterministic
+    ``user_id % user_mod == 0`` panel bounds per-cell pair expansion
+    (the synthetic co-presence rule makes the FULL graph near-complete
+    at larger sf, which no triangle algorithm should be fed -- real
+    graphs are sparse; the subsample keeps the gate query honest at
+    every testdata scale)."""
     from ray.data.aggregate import Count
     from .temporal import _as_int64
 
@@ -661,6 +666,11 @@ def copresence_triangles(sf_dir: str) -> pa.Table:
     def memberships(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
             return mem_empty
+        if user_mod > 1:
+            uid_all = t["user_id"].to_numpy(zero_copy_only=False)
+            t = t.filter(pa.array(uid_all % user_mod == 0))
+            if t.num_rows == 0:
+                return mem_empty
         hour = _as_int64(t["ts"]) // 3_600_000_000
         et = t["event_type"].to_numpy(zero_copy_only=False)
         ut, tinv = np.unique(et, return_inverse=True)
@@ -738,7 +748,7 @@ WITH cells AS (
   SELECT DISTINCT event_type,
          CAST(epoch_us(ts) AS BIGINT) // 3600000000 AS hour,
          user_id
-  FROM events
+  FROM events WHERE user_id % 3 = 0
 ), edges AS (
   SELECT DISTINCT x.user_id AS a, y.user_id AS b
   FROM cells x JOIN cells y
@@ -759,7 +769,7 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_vertices,
        (SELECT CAST(sum(d * (d - 1) // 2) AS BIGINT) FROM deg)
          AS n_wedges,
        (SELECT t FROM tri) AS n_triangles,
-       CAST(3 * (SELECT t FROM tri) * 1000000 //
-            (SELECT sum(d * (d - 1) // 2) FROM deg) AS BIGINT)
-         AS clustering_ppm
+       CAST(coalesce(3 * (SELECT t FROM tri) * 1000000 //
+            nullif((SELECT sum(d * (d - 1) // 2) FROM deg), 0), 0)
+         AS BIGINT) AS clustering_ppm
 """
