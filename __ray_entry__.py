@@ -106,6 +106,7 @@ from p2pddsketch_ray.pipelines.components import (  # noqa: E402
     COPRESENCE_TRIANGLES_SQL as _COPRESENCE_TRIANGLES_SQL)
 from p2pddsketch_ray.pipelines.dedup import (  # noqa: E402
     DECONTAMINATION_SQL as _DECONTAMINATION_SQL,
+    MINHASH_NEARDUP_SQL as _MINHASH_NEARDUP_SQL,
     benchmark_decontamination as _benchmark_decontamination,
     FUZZY_PROPS_SQL as _FUZZY_PROPS_SQL,
     fuzzy_props_pairs as _fuzzy_props_pairs,
@@ -238,8 +239,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # exact Jaccard between per-source vocabularies (bitmask
         # set intersection over token fingerprints)
         "source_vocab_overlap": R.source_vocab_overlap,
-        # near-duplicate detection (rows-only for the signature methods --
-        # MinHash/SimHash are not SQL-expressible; embedding cosine is)
+        # near-duplicate detection.  MinHash+LSH pairing is now FULLY
+        # oracle-checked (signature Horner replica + all-r-minima-equal
+        # candidacy + equal-coordinate threshold in one generated SQL);
+        # SimHash pairing stays rows-only (windowed recall in giant
+        # chunks is order-dependent by design)
         "minhash_neardup_docs": _minhash_neardup_docs,
         "simhash_neardup_docs": _simhash_neardup_docs,
         # the SimHash signatures THEMSELVES are deterministic: a
@@ -1528,6 +1532,7 @@ GROUP BY 1 ORDER BY 1""",
         "ngram_jaccard_pairs": _NGRAM_JACCARD_SQL,
         "simhash_signatures": _SIMHASH_SIGNATURES_SQL,
         "minhash_signature_stats": _MINHASH_SIGNATURE_SQL,
+        "minhash_neardup_docs": _MINHASH_NEARDUP_SQL,
         # transitive closure of the Jaccard >= 1/16 similarity graph:
         # same shingle/pairs CTEs as ngram_jaccard_pairs + a recursive
         # min-label reachability walk (the SQL statement of what

@@ -1148,3 +1148,62 @@ SELECT tok_a, tok_b, kind
 FROM (SELECT * FROM subs UNION ALL SELECT * FROM indel)
 ORDER BY 3, 1, 2
 """
+
+
+def _minhash_neardup_sql(num_perm: int = 64, bands: int = 16,
+                         k: int = 9, min_eq: int = 45) -> str:
+    """DuckDB replica of the FULL MinHash+LSH near-dup pipeline
+    (minhash_near_dups): signatures via the proven HUGEINT Horner /
+    split-32-bit wrap-multiply replica (see _minhash_signature_sql,
+    hash-verified by minhash_signature_stats), LSH candidacy as
+    "all r minima of some band equal" (band-hash equality differs from
+    that only through a ~2^-64 splitmix collision, which would at most
+    ADD a candidate that the threshold then filters), and the Jaccard
+    estimate as the equal-coordinate count.  min_eq = ceil(threshold *
+    num_perm) = 45 for the 0.7 default.  The Ray path's oversized-
+    bucket successor-window fallback (MAX_BUCKET_QUADRATIC) never fires
+    on corpora whose identical-content clusters stay under 512 docs --
+    true of every testdata scale (max cluster = 2)."""
+    from ..sketches.minhash import _perm_constants
+    a, b = _perm_constants(num_perm)
+    rows = ", ".join(f"({i}, {int(x) >> 32}, {int(x) & 0xFFFFFFFF}, "
+                     f"{int(y)})"
+                     for i, (x, y) in enumerate(zip(a, b)))
+    horner = "0"
+    for j in range(k):
+        horner = (f"(({horner}) * 1099511628211 + "
+                  f"ord(substr(text, i + {j}, 1))) % 18446744073709551616")
+    r = num_perm // bands
+    return f"""
+WITH nums AS (SELECT CAST(range AS BIGINT) AS i FROM range(1, 1048576)),
+w AS (SELECT doc_id, CAST(({horner}) AS HUGEINT) AS hv
+      FROM documents JOIN nums ON nums.i <= length(text) - {k - 1}
+      WHERE length(text) >= {k}),
+perms(perm, a_hi, a_lo, b) AS (VALUES {rows}),
+g AS (SELECT doc_id, perm,
+             ((hv * a_lo) % 18446744073709551616
+              + ((hv * a_hi) % 4294967296) * 4294967296
+              + b) % 18446744073709551616 AS pv
+      FROM w CROSS JOIN perms),
+mins AS (SELECT doc_id, perm, min(pv) AS m FROM g GROUP BY 1, 2),
+band_cand AS (
+  SELECT a.doc_id AS da, b.doc_id AS db
+  FROM mins a
+  JOIN mins b ON b.perm = a.perm AND b.m = a.m AND b.doc_id > a.doc_id
+  GROUP BY a.doc_id, b.doc_id, a.perm // {r}
+  HAVING count(*) = {r}),
+cand AS (SELECT DISTINCT da, db FROM band_cand),
+scored AS (
+  SELECT c.da, c.db,
+         CAST(count(*) FILTER (WHERE a.m = b.m) AS BIGINT) AS m_eq
+  FROM cand c
+  JOIN mins a ON a.doc_id = c.da
+  JOIN mins b ON b.doc_id = c.db AND b.perm = a.perm
+  GROUP BY 1, 2)
+SELECT da AS doc_a, db AS doc_b,
+       round(CAST(m_eq AS DOUBLE) / {num_perm}, 6) AS est_jaccard
+FROM scored WHERE m_eq >= {min_eq}
+ORDER BY 1, 2"""
+
+
+MINHASH_NEARDUP_SQL = _minhash_neardup_sql()

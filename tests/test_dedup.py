@@ -305,3 +305,25 @@ def test_fuzzy_props_pairs_brute_force(ray_session):
                 want.add((vocab[i], vocab[j], kind))
     have = set(map(tuple, got.to_numpy()))
     assert have == want
+
+
+def test_minhash_neardup_pairs_match_duckdb_replica(ray_session):
+    """The FULL near-dup pipeline (signatures -> LSH candidacy ->
+    threshold) against the generated HUGEINT SQL replica -- pairing,
+    not just signatures."""
+    duckdb = pytest.importorskip("duckdb")
+    import ray.data
+    from p2pddsketch_ray.pipelines.dedup import (
+        MINHASH_NEARDUP_SQL, minhash_near_dups)
+    sf = "/root/testdata/sf0.001"
+    ds = ray.data.read_parquet(f"{sf}/documents.parquet",
+                               columns=["doc_id", "text"])
+    got = (minhash_near_dups(ds, "doc_id", "text", threshold=0.7)
+           .to_pandas().sort_values(["doc_a", "doc_b"])
+           .reset_index(drop=True))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf}/documents.parquet')")
+    want = con.execute(MINHASH_NEARDUP_SQL).df()
+    assert len(got) > 0
+    assert got.equals(want.reset_index(drop=True))
