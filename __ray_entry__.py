@@ -107,6 +107,7 @@ from p2pddsketch_ray.pipelines.components import (  # noqa: E402
 from p2pddsketch_ray.pipelines.dedup import (  # noqa: E402
     DECONTAMINATION_SQL as _DECONTAMINATION_SQL,
     MINHASH_NEARDUP_SQL as _MINHASH_NEARDUP_SQL,
+    SIMHASH_NEARDUP_SQL as _SIMHASH_NEARDUP_SQL,
     benchmark_decontamination as _benchmark_decontamination,
     FUZZY_PROPS_SQL as _FUZZY_PROPS_SQL,
     fuzzy_props_pairs as _fuzzy_props_pairs,
@@ -239,11 +240,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # exact Jaccard between per-source vocabularies (bitmask
         # set intersection over token fingerprints)
         "source_vocab_overlap": R.source_vocab_overlap,
-        # near-duplicate detection.  MinHash+LSH pairing is now FULLY
-        # oracle-checked (signature Horner replica + all-r-minima-equal
-        # candidacy + equal-coordinate threshold in one generated SQL);
-        # SimHash pairing stays rows-only (windowed recall in giant
-        # chunks is order-dependent by design)
+        # near-duplicate detection.  BOTH pairing pipelines are FULLY
+        # oracle-checked: MinHash via signature Horner replica +
+        # all-r-minima-equal candidacy + equal-coordinate threshold;
+        # SimHash via the per-bit-majority replica + chunk-share
+        # candidacy + bit_count hamming (exact whenever buckets fit the
+        # Manku window, true at every testdata scale)
         "minhash_neardup_docs": _minhash_neardup_docs,
         "simhash_neardup_docs": _simhash_neardup_docs,
         # the SimHash signatures THEMSELVES are deterministic: a
@@ -1533,6 +1535,7 @@ GROUP BY 1 ORDER BY 1""",
         "simhash_signatures": _SIMHASH_SIGNATURES_SQL,
         "minhash_signature_stats": _MINHASH_SIGNATURE_SQL,
         "minhash_neardup_docs": _MINHASH_NEARDUP_SQL,
+        "simhash_neardup_docs": _SIMHASH_NEARDUP_SQL,
         # transitive closure of the Jaccard >= 1/16 similarity graph:
         # same shingle/pairs CTEs as ngram_jaccard_pairs + a recursive
         # min-label reachability walk (the SQL statement of what

@@ -1207,3 +1207,45 @@ ORDER BY 1, 2"""
 
 
 MINHASH_NEARDUP_SQL = _minhash_neardup_sql()
+
+
+def _simhash_neardup_sql(k: int = 9, max_hamming: int = 3) -> str:
+    """DuckDB replica of the FULL SimHash near-dup pipeline
+    (simhash_near_dups): fingerprints via the proven per-bit-majority
+    HUGEINT replica (_simhash_signatures_sql, hash-verified by
+    simhash_signatures), candidacy as "shares >= 1 of the four 16-bit
+    chunks", verification as bit_count(xor) <= max_hamming.  Exact
+    parity holds whenever every (chunk, value) bucket fits inside the
+    Ray path's Manku sorted-window (W=32) -- true of every testdata
+    scale, where identical-fingerprint clusters stay in single digits;
+    on corpora with giant buckets the Ray path documents best-effort
+    recall and this oracle would over-report, so the gate pins the
+    testdata regime."""
+    horner = "0"
+    for j in range(k):
+        horner = (f"(({horner}) * 1099511628211 + "
+                  f"ord(substr(text, i + {j}, 1))) % 18446744073709551616")
+    bitsums = ", ".join(f"sum(CAST((hv >> {b}) & 1 AS BIGINT)) AS b{b}"
+                        for b in range(64))
+    sigexpr = " + ".join(
+        f"(CASE WHEN 2*b{b} > total THEN CAST({1 << b} AS UBIGINT) "
+        f"ELSE CAST(0 AS UBIGINT) END)" for b in range(64))
+    chunk_share = " OR ".join(
+        f"((a.sig >> {16 * c}) & 65535) = ((b.sig >> {16 * c}) & 65535)"
+        for c in range(4))
+    return f"""
+WITH nums AS (SELECT CAST(range AS BIGINT) AS i FROM range(1, 1048576)),
+w AS (SELECT doc_id, CAST(({horner}) AS UBIGINT) AS hv
+      FROM documents JOIN nums ON nums.i <= length(text) - {k - 1}
+      WHERE length(text) >= {k}),
+sums AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS total, {bitsums}
+         FROM w GROUP BY 1),
+sig AS (SELECT doc_id, CAST({sigexpr} AS UBIGINT) AS sig FROM sums)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+FROM sig a JOIN sig b ON b.doc_id > a.doc_id
+WHERE bit_count(xor(a.sig, b.sig)) <= {max_hamming} AND ({chunk_share})
+ORDER BY 1, 2"""
+
+
+SIMHASH_NEARDUP_SQL = _simhash_neardup_sql()

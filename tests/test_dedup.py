@@ -327,3 +327,24 @@ def test_minhash_neardup_pairs_match_duckdb_replica(ray_session):
     want = con.execute(MINHASH_NEARDUP_SQL).df()
     assert len(got) > 0
     assert got.equals(want.reset_index(drop=True))
+
+
+def test_simhash_neardup_pairs_match_duckdb_replica(ray_session):
+    """The FULL SimHash pipeline (fingerprints -> chunk candidacy ->
+    hamming verify) against the generated SQL replica."""
+    duckdb = pytest.importorskip("duckdb")
+    import ray.data
+    from p2pddsketch_ray.pipelines.dedup import (
+        SIMHASH_NEARDUP_SQL, simhash_near_dups)
+    sf = "/root/testdata/sf0.001"
+    ds = ray.data.read_parquet(f"{sf}/documents.parquet",
+                               columns=["doc_id", "text"])
+    got = (simhash_near_dups(ds, "doc_id", "text", max_hamming=3)
+           .to_pandas().sort_values(["doc_a", "doc_b"])
+           .reset_index(drop=True))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf}/documents.parquet')")
+    want = con.execute(SIMHASH_NEARDUP_SQL).df()
+    assert len(got) > 0
+    assert got.equals(want.reset_index(drop=True))
