@@ -106,6 +106,8 @@ from p2pddsketch_ray.pipelines.components import (  # noqa: E402
     COPRESENCE_TRIANGLES_SQL as _COPRESENCE_TRIANGLES_SQL)
 from p2pddsketch_ray.pipelines.dedup import (  # noqa: E402
     DECONTAMINATION_SQL as _DECONTAMINATION_SQL,
+    DUP_SPAN_SQL as _DUP_SPAN_SQL,
+    dup_span_stats as _dup_span_stats,
     MINHASH_NEARDUP_SQL as _MINHASH_NEARDUP_SQL,
     SIMHASH_NEARDUP_SQL as _SIMHASH_NEARDUP_SQL,
     benchmark_decontamination as _benchmark_decontamination,
@@ -248,6 +250,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Manku window, true at every testdata scale)
         "minhash_neardup_docs": _minhash_neardup_docs,
         "simhash_neardup_docs": _simhash_neardup_docs,
+        # exact-substring tier (Lee et al. ACL'22): duplicated
+        # length-32 window positions per lang, one fingerprint exchange
+        "dup_span_stats": _dup_span_stats,
         # the SimHash signatures THEMSELVES are deterministic: a
         # HUGEINT-Horner SQL replica verifies the sketch math even
         # though windowed candidate recall cannot be oracle-checked
@@ -1536,6 +1541,7 @@ GROUP BY 1 ORDER BY 1""",
         "minhash_signature_stats": _MINHASH_SIGNATURE_SQL,
         "minhash_neardup_docs": _MINHASH_NEARDUP_SQL,
         "simhash_neardup_docs": _SIMHASH_NEARDUP_SQL,
+        "dup_span_stats": _DUP_SPAN_SQL,
         # transitive closure of the Jaccard >= 1/16 similarity graph:
         # same shingle/pairs CTEs as ngram_jaccard_pairs + a recursive
         # min-label reachability walk (the SQL statement of what

@@ -1249,3 +1249,152 @@ ORDER BY 1, 2"""
 
 
 SIMHASH_NEARDUP_SQL = _simhash_neardup_sql()
+
+
+def dup_span_stats(sf_dir: str, span: int = 32) -> pa.Table:
+    """EXACT duplicated-substring detection, summarized per language.
+
+    Semantics (the exact-substring tier of training-data dedup, after
+    Lee et al. "Deduplicating Training Data Makes Language Models
+    Better", ACL 2022): every length-``span`` character window of every
+    document is fingerprinted; a window position is *duplicated* when
+    its span occurs at >= 2 positions anywhere in the corpus (another
+    document or elsewhere in the same document).  Output per lang:
+    eligible window positions, duplicated positions, and the duplicated
+    fraction in integer ppm -- the "how much of my corpus is repeated
+    boilerplate" number a curator reads before cutting.
+
+    Dataflow: map_batches fingerprints ALL windows with the shared
+    vectorized rolling-hash kernel (sketches.minhash.shingle_hashes: one
+    mod-2^64 FNV-Horner pass over the flat byte buffer, no per-row
+    Python) and pre-aggregates (hv, lang) -> count inside the batch so
+    locally-repeated boilerplate collapses before the exchange; the
+    (hv, lang, cnt) partials are coarse-co-partitioned by hv (equal
+    fingerprints land in one partition), each partition computes every
+    fingerprint's global multiplicity with one reduceat pass and folds
+    its >= 2 positions into per-lang partials; a final kilobyte groupby
+    sums those.  The single exchange moves O(distinct windows) 24-byte
+    rows -- the inherent cost of exact-substring dedup (a distributed
+    suffix-array build is the same O(corpus) exchange with a larger
+    constant).  The DuckDB oracle recomputes the IDENTICAL Horner per
+    position (the replica proven bit-exact by minhash_signature_stats),
+    so both sides see the same fingerprints -- a collision, were one to
+    occur, would affect both identically (ASCII corpus regime, as
+    documented for the MinHash replica).
+    """
+    from ..sketches.minhash import shingle_hashes
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["lang", "text"])
+
+    empty_partial = pa.table({"hv": pa.array([], type=pa.int64()),
+                              "lang": pa.array([], type=pa.string()),
+                              "cnt": pa.array([], type=pa.int64())})
+
+    def block_partials(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty_partial
+        hv, doc_off = shingle_hashes(t["text"], k=span)
+        counts = np.diff(doc_off)
+        lens = pc.binary_length(t["text"]).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        pos_mask = np.repeat(lens >= span, counts)
+        hv = hv[pos_mask]
+        if hv.size == 0:
+            return empty_partial
+        langs = t["lang"].to_numpy(zero_copy_only=False)
+        ulang, linv = np.unique(langs, return_inverse=True)
+        lpos = np.repeat(linv, counts)[pos_mask]
+        # in-batch combine: one run-detection pass over (hv, lang)
+        order = np.lexsort((lpos, hv))
+        h_s, l_s = hv[order], lpos[order]
+        new = np.empty(h_s.size, dtype=bool)
+        new[0] = True
+        new[1:] = (h_s[1:] != h_s[:-1]) | (l_s[1:] != l_s[:-1])
+        idx = np.nonzero(new)[0]
+        cnt = np.diff(np.append(idx, h_s.size))
+        return pa.table({
+            "hv": pa.array(h_s[idx].view(np.int64), type=pa.int64()),
+            "lang": pa.array(ulang[l_s[idx]], type=pa.string()),
+            "cnt": pa.array(cnt.astype(np.int64), type=pa.int64()),
+        })
+
+    empty_lang = pa.table({
+        "lang": pa.array([], type=pa.string()),
+        "n_positions": pa.array([], type=pa.int64()),
+        "n_dup_positions": pa.array([], type=pa.int64()),
+    })
+
+    def fold_partition(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty_lang
+        hv = t["hv"].to_numpy(zero_copy_only=False)
+        cnt = t["cnt"].to_numpy(zero_copy_only=False)
+        lang = t["lang"].to_numpy(zero_copy_only=False)
+        order = np.argsort(hv, kind="stable")
+        h_s, c_s, l_s = hv[order], cnt[order], lang[order]
+        new = np.empty(h_s.size, dtype=bool)
+        new[0] = True
+        new[1:] = h_s[1:] != h_s[:-1]
+        starts = np.nonzero(new)[0]
+        seg_sizes = np.diff(np.append(starts, h_s.size))
+        seg_total = np.add.reduceat(c_s, starts)
+        dup_row = np.repeat(seg_total >= 2, seg_sizes)
+        ulang, linv = np.unique(l_s, return_inverse=True)
+        n_pos = np.bincount(linv, weights=c_s).astype(np.int64)
+        n_dup = np.bincount(linv, weights=c_s * dup_row).astype(np.int64)
+        return pa.table({
+            "lang": pa.array(ulang, type=pa.string()),
+            "n_positions": pa.array(n_pos, type=pa.int64()),
+            "n_dup_positions": pa.array(n_dup, type=pa.int64()),
+        })
+
+    partials = ds.map_batches(block_partials, batch_format="pyarrow",
+                              batch_size=SHINGLE_BATCH,
+                              zero_copy_batch=True)
+    per_part = _partition_by(partials, ["hv"], _fit_partitions(32),
+                             fold_partition, empty_lang)
+    from ray.data.aggregate import Sum
+    agg = (per_part.groupby("lang")
+           .aggregate(Sum("n_positions", alias_name="n_positions"),
+                      Sum("n_dup_positions",
+                          alias_name="n_dup_positions")))
+    rows = agg.take_all()  # <= #languages rows
+    rows.sort(key=lambda r: r["lang"])
+    n_pos = [int(r["n_positions"]) for r in rows]
+    n_dup = [int(r["n_dup_positions"]) for r in rows]
+    return pa.table({
+        "lang": pa.array([r["lang"] for r in rows], type=pa.string()),
+        "n_positions": pa.array(n_pos, type=pa.int64()),
+        "n_dup_positions": pa.array(n_dup, type=pa.int64()),
+        "dup_ppm": pa.array([d * 1_000_000 // p if p else 0
+                             for d, p in zip(n_dup, n_pos)],
+                            type=pa.int64()),
+    })
+
+
+def _dup_span_sql(span: int = 32) -> str:
+    """DuckDB replica of dup_span_stats: the same mod-2^64 FNV Horner
+    per window position (construction proven by _minhash_signature_sql),
+    multiplicity via a self-aggregate, per-lang rollup."""
+    horner = "0"
+    for j in range(span):
+        horner = (f"(({horner}) * 1099511628211 + "
+                  f"ord(substr(text, i + {j}, 1))) % 18446744073709551616")
+    return f"""
+WITH nums AS (SELECT CAST(range AS BIGINT) AS i FROM range(1, 1048576)),
+w AS (SELECT lang, CAST(({horner}) AS HUGEINT) AS hv
+      FROM documents JOIN nums ON nums.i <= length(text) - {span - 1}
+      WHERE length(text) >= {span}),
+c AS (SELECT hv, CAST(count(*) AS BIGINT) AS c_total FROM w GROUP BY 1),
+per AS (SELECT lang,
+               CAST(count(*) AS BIGINT) AS n_positions,
+               CAST(count(*) FILTER (WHERE c.c_total >= 2) AS BIGINT)
+                 AS n_dup_positions
+        FROM w JOIN c USING (hv) GROUP BY 1)
+SELECT lang, n_positions, n_dup_positions,
+       CAST(n_dup_positions * 1000000 // n_positions AS BIGINT) AS dup_ppm
+FROM per ORDER BY 1"""
+
+
+DUP_SPAN_SQL = _dup_span_sql()

@@ -348,3 +348,53 @@ def test_simhash_neardup_pairs_match_duckdb_replica(ray_session):
     want = con.execute(SIMHASH_NEARDUP_SQL).df()
     assert len(got) > 0
     assert got.equals(want.reset_index(drop=True))
+
+
+# -- exact duplicated-substring spans ---------------------------------------
+
+def _brute_dup_spans(docs, span):
+    """Reference: per lang, (eligible positions, positions whose span
+    occurs >= 2 times anywhere in the corpus)."""
+    from collections import Counter
+    occ = Counter()
+    for _, text, _ in docs:
+        for p in range(len(text) - span + 1):
+            occ[text[p:p + span]] += 1
+    per = {}
+    for _, text, lang in docs:
+        n_pos = max(len(text) - span + 1, 0)
+        if n_pos == 0:
+            continue
+        tot, dup = per.get(lang, (0, 0))
+        dups = sum(1 for p in range(n_pos)
+                   if occ[text[p:p + span]] >= 2)
+        per[lang] = (tot + n_pos, dup + dups)
+    return per
+
+
+def test_dup_span_stats_matches_bruteforce(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+    from p2pddsketch_ray.pipelines.dedup import dup_span_stats
+    span = 8
+    boiler = "THE SAME BOILERPLATE SENTENCE."
+    docs = [
+        (0, boiler + " unique tail zero xyzzy", "en"),      # dup head
+        (1, boiler + " another unique ending!!", "en"),     # dup head
+        (2, "completely original text with no repeats", "de"),
+        (3, "short", "de"),                                  # < span: excluded
+        (4, "abcabcabcabcabcabc", "fr"),                     # self-repeating
+        (5, "", "fr"),                                       # empty: excluded
+    ]
+    t = pa.table({
+        "doc_id": pa.array([d[0] for d in docs], type=pa.int64()),
+        "text": pa.array([d[1] for d in docs], type=pa.string()),
+        "lang": pa.array([d[2] for d in docs], type=pa.string()),
+    })
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    out = dup_span_stats(str(tmp_path), span=span).to_pydict()
+    got = {lang: (p, d) for lang, p, d in zip(
+        out["lang"], out["n_positions"], out["n_dup_positions"])}
+    assert got == _brute_dup_spans(docs, span)
+    for lang, p, d, ppm in zip(out["lang"], out["n_positions"],
+                               out["n_dup_positions"], out["dup_ppm"]):
+        assert ppm == d * 1_000_000 // p
