@@ -44,7 +44,9 @@ from p2pddsketch_ray.pipelines.temporal import (  # noqa: E402
     SESSION_COPRESENCE_SQL as _SESSION_COPRESENCE_SQL,
     USER_TWA_SQL as _USER_TWA_SQL,
     HOURLY_BACKFILL_SQL as _HOURLY_BACKFILL_SQL,
-    IMPUTE_VALUE_SQL as _IMPUTE_VALUE_SQL)
+    IMPUTE_VALUE_SQL as _IMPUTE_VALUE_SQL,
+    SCD2_STATE_HISTORY_SQL as _SCD2_STATE_HISTORY_SQL,
+    scd2_state_history as _scd2_state_history)
 from p2pddsketch_ray.pipelines.approx import (  # noqa: E402
     MG_HEAVY_USERS_SQL as _MG_HEAVY_USERS_SQL)
 from p2pddsketch_ray.pipelines.relational import (  # noqa: E402
@@ -511,6 +513,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hourly_backfill_stats": _hourly_backfill_stats,
         # mean-fill missing-data imputation (two-pass broadcast)
         "impute_value_hourly": _impute_value_hourly,
+        # SCD type-2 validity intervals from the event log: one row
+        # per run of equal consecutive per-user states
+        "scd2_state_history": _scd2_state_history,
     }
 
 
@@ -967,6 +972,7 @@ def oracle_sql() -> dict[str, str]:
         "user_time_weighted_value": _USER_TWA_SQL,
         "hourly_backfill_stats": _HOURLY_BACKFILL_SQL,
         "impute_value_hourly": _IMPUTE_VALUE_SQL,
+        "scd2_state_history": _SCD2_STATE_HISTORY_SQL,
         "dds_price_global": _dds_sql("lineitem", "l_extendedprice"),
         "dds_price_by_flag": _dds_sql("lineitem", "l_extendedprice",
                                       "l_returnflag"),

@@ -1852,3 +1852,110 @@ SELECT m.event_type, m.hour,
 FROM m JOIN f USING (event_type)
 GROUP BY 1, 2 ORDER BY 1, 2
 """
+
+
+def scd2_state_history(sf_dir: str) -> "ray.data.Dataset":
+    """Slowly-changing-dimension (type 2) history build: treat each
+    user's event_type stream as a state machine and emit one validity
+    row per run of equal consecutive states -- (user_id, state,
+    valid_from_us, valid_to_us, n_events), valid_to being the next
+    state's start (-1 for the still-open current state).  This is the
+    change-data-capture materialization a warehouse derives from an
+    event log.
+
+    Dataflow: coarse hash co-partition on user_id (one user's history in
+    one partition -- the sessionization assumption, same time-split
+    escape hatch), then ONE vectorized kernel per partition: lexsort by
+    (user, ts, event_id), run-detection over (user, state-code), reduceat
+    for run sizes, and a shifted compare wires each run's valid_to to
+    its successor.  The kernel emits FINAL rows -- no second shuffle;
+    output is O(state changes), streamed as a Dataset.
+
+    Determinism: the (ts, event_id) ordering fixes run boundaries under
+    ts ties; run successor order is the run sequence itself (replicated
+    in SQL by lead() OVER seg ordinal), so values match bit-for-bit.
+    """
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type"])
+
+    empty = pa.table({
+        "user_id": pa.array([], type=pa.int64()),
+        "state": pa.array([], type=pa.string()),
+        "valid_from_us": pa.array([], type=pa.int64()),
+        "valid_to_us": pa.array([], type=pa.int64()),
+        "n_events": pa.array([], type=pa.int64()),
+    })
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": t["user_id"],
+            "ts": pa.array(_as_int64(t["ts"]), type=pa.int64()),
+            "event_id": t["event_id"],
+            "event_type": t["event_type"],
+        })
+
+    def scd2_kernel(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        ts = t["ts"].to_numpy(zero_copy_only=False)
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        ustate, ecode = np.unique(et, return_inverse=True)
+        order = np.lexsort((eid, ts, uid))
+        uid_s, ts_s, code_s = uid[order], ts[order], ecode[order]
+        n = order.shape[0]
+        new = np.empty(n, dtype=bool)
+        new[0] = True
+        new[1:] = (uid_s[1:] != uid_s[:-1]) | (code_s[1:] != code_s[:-1])
+        starts = np.nonzero(new)[0]
+        sizes = np.diff(np.append(starts, n)).astype(np.int64)
+        seg_uid = uid_s[starts]
+        seg_from = ts_s[starts]
+        valid_to = np.full(starts.shape[0], -1, dtype=np.int64)
+        if starts.shape[0] > 1:
+            nxt = seg_uid[1:] == seg_uid[:-1]
+            valid_to[:-1][nxt] = seg_from[1:][nxt]
+        return pa.table({
+            "user_id": pa.array(seg_uid, type=pa.int64()),
+            "state": pa.array(ustate[code_s[starts]], type=pa.string()),
+            "valid_from_us": pa.array(seg_from, type=pa.int64()),
+            "valid_to_us": pa.array(valid_to, type=pa.int64()),
+            "n_events": pa.array(sizes, type=pa.int64()),
+        })
+
+    prepped = events.map_batches(prep, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+    return partition_by(prepped, ["user_id"], fit_partitions(32),
+                        scd2_kernel, empty)
+
+
+SCD2_STATE_HISTORY_SQL = """
+WITH v AS (
+  SELECT user_id, event_id, event_type,
+         CAST(epoch_us(ts) AS BIGINT) AS ts_us
+  FROM events
+), marked AS (
+  SELECT user_id, event_id, event_type, ts_us,
+         CASE WHEN lag(event_type) OVER w IS NULL
+                OR lag(event_type) OVER w <> event_type
+              THEN 1 ELSE 0 END AS chg
+  FROM v WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+), grp AS (
+  SELECT user_id, event_type, ts_us,
+         sum(chg) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                        ROWS UNBOUNDED PRECEDING) AS seg
+  FROM marked
+), segs AS (
+  SELECT user_id, seg, min(event_type) AS state,
+         min(ts_us) AS valid_from_us,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM grp GROUP BY 1, 2
+)
+SELECT user_id, state, valid_from_us,
+       coalesce(lead(valid_from_us) OVER (PARTITION BY user_id
+                                          ORDER BY seg), -1)
+         AS valid_to_us,
+       n_events
+FROM segs
+ORDER BY 1, 3
+"""

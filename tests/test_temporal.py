@@ -567,3 +567,40 @@ def test_impute_fill_is_observed_type_mean(ray_session, tmp_path):
     # observed micro mean = (1e6 + 2e6) // 2 = 1_500_000
     assert r["n_events"] == 3 and r["n_imputed"] == 1
     assert r["sum_micro"] == 1_000_000 + 2_000_000 + 1_500_000
+
+
+def test_scd2_state_history_edges(ray_session, tmp_path):
+    """Single-event users, ts ties broken by event_id, interleaved users,
+    and A->B->A re-entry each produce the expected validity rows."""
+    import pyarrow.parquet as pq
+    from p2pddsketch_ray.pipelines.temporal import scd2_state_history
+    us = 1_000_000
+    rows = [
+        # user 1: A,A,B,A -- three segments, re-entry into A
+        (10, 1 * us, 1, "A"), (11, 2 * us, 1, "A"),
+        (12, 3 * us, 1, "B"), (13, 4 * us, 1, "A"),
+        # user 2: single event -> one open segment
+        (20, 5 * us, 2, "C"),
+        # user 3: ts tie resolved by event_id (31 before 32)
+        (31, 7 * us, 3, "X"), (32, 7 * us, 3, "Y"),
+    ]
+    t = pa.table({
+        "event_id": pa.array([r[0] for r in rows], type=pa.int64()),
+        "ts": pa.array([r[1] for r in rows],
+                       type=pa.timestamp("us")),
+        "user_id": pa.array([r[2] for r in rows], type=pa.int64()),
+        "event_type": pa.array([r[3] for r in rows], type=pa.string()),
+    })
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    out = scd2_state_history(str(tmp_path)).to_pandas()
+    out = out.sort_values(["user_id", "valid_from_us"],
+                          ignore_index=True)
+    got = list(map(tuple, out.itertuples(index=False)))
+    assert got == [
+        (1, "A", 1 * us, 3 * us, 2),
+        (1, "B", 3 * us, 4 * us, 1),
+        (1, "A", 4 * us, -1, 1),
+        (2, "C", 5 * us, -1, 1),
+        (3, "X", 7 * us, 7 * us, 1),
+        (3, "Y", 7 * us, -1, 1),
+    ]
