@@ -57,6 +57,8 @@ from p2pddsketch_ray.pipelines.relational import (  # noqa: E402
     EQUI_DEPTH_SQL as _EQUI_DEPTH_SQL,
     SOURCE_VOCAB_OVERLAP_SQL as _SOURCE_VOCAB_OVERLAP_SQL,
     STRATIFIED_SAMPLE_SQL as _STRATIFIED_SAMPLE_SQL,
+    CORPUS_QUOTA_SQL as _CORPUS_QUOTA_SQL,
+    corpus_quota_sample as _corpus_quota_sample,
     TOP_EVENTS_PER_TYPE_SQL as _TOP_EVENTS_PER_TYPE_SQL,
     CUSTOMERS_WITHOUT_EVENTS_SQL as _CUSTOMERS_WITHOUT_EVENTS_SQL,
     QUANTILE_PRUNE_SQL as _QUANTILE_PRUNE_SQL,
@@ -516,6 +518,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # SCD type-2 validity intervals from the event log: one row
         # per run of equal consecutive per-user states
         "scd2_state_history": _scd2_state_history,
+        # per-(lang, source) quota: hash-ordered deterministic cap,
+        # the class-balancing step of a corpus mix
+        "corpus_quota_sample": _corpus_quota_sample,
     }
 
 
@@ -973,6 +978,7 @@ def oracle_sql() -> dict[str, str]:
         "hourly_backfill_stats": _HOURLY_BACKFILL_SQL,
         "impute_value_hourly": _IMPUTE_VALUE_SQL,
         "scd2_state_history": _SCD2_STATE_HISTORY_SQL,
+        "corpus_quota_sample": _CORPUS_QUOTA_SQL,
         "dds_price_global": _dds_sql("lineitem", "l_extendedprice"),
         "dds_price_by_flag": _dds_sql("lineitem", "l_extendedprice",
                                       "l_returnflag"),

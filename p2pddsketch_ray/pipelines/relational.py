@@ -5242,3 +5242,75 @@ JOIN tot ta ON ta.source = sa
 JOIN tot tb ON tb.source = sb
 ORDER BY 1, 2
 """
+
+
+def corpus_quota_sample(sf_dir: str, n: int = 10) -> "ray.data.Dataset":
+    """Deterministic per-cell corpus quota: for every (lang, source)
+    cell keep at most ``n`` documents, chosen by ascending
+    ``(hash(doc_id), doc_id)`` -- the class-balancing / per-source-cap
+    step a training-data mix applies so no source or language floods the
+    corpus.  Hash order makes the quota a uniform, seedless,
+    rerun-stable sample (the same property deterministic_sample uses),
+    and the emitted rnk is its audit trail.
+
+    Scale shape (same as top_events_per_type): a block-local prereduce
+    keeps at most n rows per cell per block, so the shuffle moves
+    O(cells x n x blocks) 32-byte rows regardless of corpus size; one
+    final single-partition pass re-ranks the partials.  murmur64
+    bit-replicates DuckDB ``hash(BIGINT)`` (tests/test_oracle_parity),
+    so the selection is hash-identical to the ROW_NUMBER SQL.
+    """
+    from ..hashing import murmur64
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "source"])
+
+    empty = pa.table({"lang": pa.array([], type=pa.string()),
+                      "source": pa.array([], type=pa.string()),
+                      "doc_id": pa.array([], type=pa.int64()),
+                      "rnk": pa.array([], type=pa.int64())})
+
+    def keep_n(t: pa.Table, with_rank: bool) -> pa.Table:
+        if t.num_rows == 0:
+            return empty if with_rank else empty.drop_columns(["rnk"])
+        did = t["doc_id"].to_numpy(zero_copy_only=False)
+        lang = t["lang"].to_numpy(zero_copy_only=False)
+        src = t["source"].to_numpy(zero_copy_only=False)
+        h = murmur64(did)
+        ul, lc = np.unique(lang, return_inverse=True)
+        us, sc = np.unique(src, return_inverse=True)
+        cell = lc * us.shape[0] + sc
+        order = np.lexsort((did, h, cell))
+        cell_s = cell[order]
+        new_grp = np.ones(order.shape[0], dtype=bool)
+        new_grp[1:] = cell_s[1:] != cell_s[:-1]
+        starts = np.nonzero(new_grp)[0]
+        first = np.repeat(starts,
+                          np.diff(np.append(starts, order.shape[0])))
+        rank = np.arange(order.shape[0]) - first
+        sel = rank < n
+        keep = order[sel]
+        out = {
+            "lang": pa.array(ul[lc[keep]].tolist(), type=pa.string()),
+            "source": pa.array(us[sc[keep]].tolist(), type=pa.string()),
+            "doc_id": pa.array(did[keep], type=pa.int64()),
+        }
+        if with_rank:
+            out["rnk"] = pa.array(rank[sel] + 1, type=pa.int64())
+        return pa.table(out)
+
+    prereduced = ds.map_batches(lambda t: keep_n(t, False),
+                                batch_format="pyarrow",
+                                zero_copy_batch=True)
+    from ..stages.partition import partition_by
+    return partition_by(prereduced, [], 1, lambda t: keep_n(t, True),
+                        empty)
+
+
+CORPUS_QUOTA_SQL = """
+SELECT lang, source, doc_id,
+       CAST(row_number() OVER (PARTITION BY lang, source
+                               ORDER BY hash(doc_id), doc_id)
+            AS BIGINT) AS rnk
+FROM documents
+QUALIFY rnk <= 10
+ORDER BY 1, 2, 4
+"""

@@ -1127,3 +1127,40 @@ def test_source_vocab_overlap_disjoint_and_identical(ray_session,
     pairs = {(r.source_a, r.source_b): (r.n_common, r.jaccard_ppm)
              for r in got.itertuples()}
     assert pairs == {("src0", "src1"): (3, 1_000_000)}
+
+
+def test_corpus_quota_sample_matches_duckdb(ray_session):
+    duckdb = pytest.importorskip("duckdb")
+    from p2pddsketch_ray.pipelines.relational import (
+        CORPUS_QUOTA_SQL, corpus_quota_sample)
+    sf = "/root/testdata/sf0.001"
+    got = (corpus_quota_sample(sf).to_pandas()
+           .sort_values(["lang", "source", "rnk"])
+           .reset_index(drop=True))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf}/documents.parquet')")
+    want = con.execute(CORPUS_QUOTA_SQL).df()
+    assert got.equals(want.reset_index(drop=True))
+    # the cap binds: no cell exceeds 10, ranks are 1..k contiguous
+    per = got.groupby(["lang", "source"])["rnk"]
+    assert per.max().le(10).all()
+    assert (per.max() == per.size()).all()
+
+
+def test_corpus_quota_sample_block_invariant(ray_session, tmp_path):
+    """The block-local prereduce must not change the selection: a
+    many-tiny-blocks layout yields the identical roster."""
+    import pyarrow.parquet as pq
+    from p2pddsketch_ray.pipelines.relational import corpus_quota_sample
+    src = pq.read_table("/root/testdata/sf0.001/documents.parquet",
+                        columns=["doc_id", "lang", "source"])
+    pq.write_table(src, str(tmp_path / "documents.parquet"),
+                   row_group_size=37)  # many row groups -> many blocks
+    base = (corpus_quota_sample("/root/testdata/sf0.001").to_pandas()
+            .sort_values(["lang", "source", "rnk"])
+            .reset_index(drop=True))
+    split = (corpus_quota_sample(str(tmp_path)).to_pandas()
+             .sort_values(["lang", "source", "rnk"])
+             .reset_index(drop=True))
+    assert base.equals(split)
