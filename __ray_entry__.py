@@ -59,6 +59,8 @@ from p2pddsketch_ray.pipelines.relational import (  # noqa: E402
     STRATIFIED_SAMPLE_SQL as _STRATIFIED_SAMPLE_SQL,
     CORPUS_QUOTA_SQL as _CORPUS_QUOTA_SQL,
     corpus_quota_sample as _corpus_quota_sample,
+    PQ_ENCODE_SQL as _PQ_ENCODE_SQL,
+    pq_encode_stats as _pq_encode_stats,
     TOP_EVENTS_PER_TYPE_SQL as _TOP_EVENTS_PER_TYPE_SQL,
     CUSTOMERS_WITHOUT_EVENTS_SQL as _CUSTOMERS_WITHOUT_EVENTS_SQL,
     QUANTILE_PRUNE_SQL as _QUANTILE_PRUNE_SQL,
@@ -521,6 +523,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # per-(lang, source) quota: hash-ordered deterministic cap,
         # the class-balancing step of a corpus mix
         "corpus_quota_sample": _corpus_quota_sample,
+        # product-quantization encode: code histogram + integer
+        # quantization error per (subspace, code)
+        "pq_encode_stats": _pq_encode_stats,
     }
 
 
@@ -979,6 +984,7 @@ def oracle_sql() -> dict[str, str]:
         "impute_value_hourly": _IMPUTE_VALUE_SQL,
         "scd2_state_history": _SCD2_STATE_HISTORY_SQL,
         "corpus_quota_sample": _CORPUS_QUOTA_SQL,
+        "pq_encode_stats": _PQ_ENCODE_SQL,
         "dds_price_global": _dds_sql("lineitem", "l_extendedprice"),
         "dds_price_by_flag": _dds_sql("lineitem", "l_extendedprice",
                                       "l_returnflag"),

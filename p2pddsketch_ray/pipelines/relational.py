@@ -5314,3 +5314,147 @@ FROM documents
 QUALIFY rnk <= 10
 ORDER BY 1, 2, 4
 """
+
+
+def pq_encode_stats(sf_dir: str, m: int = 4, k: int = 16) -> "ray.data.Dataset":
+    """Product-quantization encode (Jegou et al., "Product Quantization
+    for Nearest Neighbor Search", TPAMI 2011) of every embedding:
+    split each vector into ``m`` subspaces, assign each subvector to its
+    nearest of ``k`` codebook centroids (exact integer L2, tie -> smaller
+    code), and report the code histogram and total quantization error
+    per (subspace, code) -- the compression stage a 10^12-vector ANN
+    index runs so residency drops from d floats to m bytes per vector.
+
+    Codebook: the subvectors of the ``k`` seed vectors chosen by
+    ascending (hash(vec_id), vec_id) -- the deterministic
+    sample-as-codebook seeding step of PQ training (a Lloyd refinement
+    would slot between pass 1 and 2 unchanged); seedless and
+    rerun-stable like corpus_quota_sample.
+
+    Scale shape: pass 1 is a block-local top-k prereduce on the 16-byte
+    (hash, vec_id) key carrying the seed vectors (O(k x blocks) rows
+    leave the cluster, k*d ints broadcast back via ray.put); pass 2
+    streams, one (n, k, d/m) einsum per subspace per batch, folded to
+    per-(subspace, code) integer partials so the exchange is O(m x k)
+    rows per block.  Vectors are quantized to milli-units exactly like
+    nearest_centroid_confusion, so distances and the argmin are
+    hash-replicable in SQL.
+    """
+    from ..functions.vectors import list_to_matrix
+    from ..hashing import murmur64
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def seed_partials(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"vec_id": pa.array([], type=pa.int64()),
+                             "h": pa.array([], type=pa.int64()),
+                             "embedding": t["embedding"]})
+        vid = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = murmur64(vid)
+        order = np.lexsort((vid, h))[:k]
+        sel = t.take(pa.array(np.sort(order)))
+        hh = murmur64(sel["vec_id"].to_numpy(
+            zero_copy_only=False).astype(np.int64))
+        return pa.table({"vec_id": sel["vec_id"],
+                         "h": pa.array(hh.view(np.int64), type=pa.int64()),
+                         "embedding": sel["embedding"]})
+
+    seeds = (ds.map_batches(seed_partials, batch_format="pyarrow",
+                            zero_copy_batch=True)
+             .take_all())  # <= k x blocks tiny rows
+    seeds.sort(key=lambda r: (np.uint64(np.int64(r["h"])), r["vec_id"]))
+    seeds = seeds[:k]
+    seed_mat = np.asarray([r["embedding"] for r in seeds],
+                          dtype=np.float64)
+    cb = np.floor(seed_mat * 1000.0 + 0.5).astype(np.int64)
+    d = cb.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    sub_d = d // m
+    cb_ref = ray.put(cb.reshape(k, m, sub_d))
+
+    empty = pa.table({"sub": pa.array([], type=pa.int64()),
+                      "code": pa.array([], type=pa.int64()),
+                      "n_assigned": pa.array([], type=pa.int64()),
+                      "sum_d2": pa.array([], type=pa.int64())})
+
+    def encode(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        cbm = ray.get(cb_ref)  # (k, m, sub_d)
+        mat = list_to_matrix(t["embedding"], dtype=np.float64)
+        x = np.floor(mat * 1000.0 + 0.5).astype(np.int64)
+        x = x.reshape(x.shape[0], m, sub_d)
+        subs, codes, ns, sds = [], [], [], []
+        for s in range(m):
+            diff = x[:, None, s, :] - cbm[None, :, s, :]
+            d2 = np.einsum("nkd,nkd->nk", diff, diff)
+            best = np.argmin(d2, axis=1)  # first min = smallest code
+            bd2 = d2[np.arange(d2.shape[0]), best]
+            cnt = np.bincount(best, minlength=k).astype(np.int64)
+            sd = np.zeros(k, dtype=np.int64)
+            np.add.at(sd, best, bd2)
+            live = cnt > 0
+            subs.append(np.full(int(live.sum()), s, dtype=np.int64))
+            codes.append(np.nonzero(live)[0].astype(np.int64))
+            ns.append(cnt[live])
+            sds.append(sd[live])
+        return pa.table({
+            "sub": pa.array(np.concatenate(subs)),
+            "code": pa.array(np.concatenate(codes)),
+            "n_assigned": pa.array(np.concatenate(ns)),
+            "sum_d2": pa.array(np.concatenate(sds)),
+        })
+
+    agg = (ds.map_batches(encode, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby(["sub", "code"])
+           .aggregate(Sum("n_assigned", alias_name="n_assigned"),
+                      Sum("sum_d2", alias_name="sum_d2")))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "sub": pc.cast(t["sub"], pa.int64()),
+            "code": pc.cast(t["code"], pa.int64()),
+            "n_assigned": pc.cast(t["n_assigned"], pa.int64()),
+            "sum_d2": pc.cast(t["sum_d2"], pa.int64()),
+        })
+
+    return (agg.map_batches(finalize, batch_format="pyarrow")
+            .sort(["sub", "code"]))
+
+
+PQ_ENCODE_SQL = """
+WITH nums AS (
+  SELECT CAST(range AS BIGINT) AS i FROM range(1, 4097)
+), q AS (
+  SELECT vec_id, CAST(i - 1 AS BIGINT) AS dim,
+         CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000.0 + 0.5)
+              AS BIGINT) AS x
+  FROM embeddings JOIN nums ON nums.i <= len(embedding)
+), dims AS (
+  SELECT CAST(max(dim) + 1 AS BIGINT) AS d FROM q
+), seeds AS (
+  SELECT vec_id,
+         CAST(row_number() OVER (ORDER BY hash(vec_id), vec_id) - 1
+              AS BIGINT) AS code
+  FROM embeddings QUALIFY code <= 15
+), cb AS (
+  SELECT s.code, q.dim, q.x AS cx
+  FROM seeds s JOIN q ON q.vec_id = s.vec_id
+), dist AS (
+  SELECT q.vec_id, q.dim // (d.d // 4) AS sub, cb.code,
+         CAST(sum((q.x - cb.cx) * (q.x - cb.cx)) AS BIGINT) AS d2
+  FROM q JOIN cb ON cb.dim = q.dim CROSS JOIN dims d
+  GROUP BY 1, 2, 3
+), best AS (
+  SELECT vec_id, sub, code, d2,
+         row_number() OVER (PARTITION BY vec_id, sub
+                            ORDER BY d2, code) AS r
+  FROM dist
+)
+SELECT sub, code, CAST(count(*) AS BIGINT) AS n_assigned,
+       CAST(sum(d2) AS BIGINT) AS sum_d2
+FROM best WHERE r = 1 GROUP BY 1, 2 ORDER BY 1, 2
+"""

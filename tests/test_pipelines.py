@@ -1164,3 +1164,24 @@ def test_corpus_quota_sample_block_invariant(ray_session, tmp_path):
              .sort_values(["lang", "source", "rnk"])
              .reset_index(drop=True))
     assert base.equals(split)
+
+
+def test_pq_encode_stats_invariants_and_block_invariance(ray_session,
+                                                         tmp_path):
+    """Every vector gets exactly one code per subspace, and the seed
+    selection/codebook must not depend on the block layout."""
+    import pyarrow.parquet as pq
+    from p2pddsketch_ray.pipelines.relational import pq_encode_stats
+    sf = "/root/testdata/sf0.001"
+    base = (pq_encode_stats(sf).to_pandas()
+            .sort_values(["sub", "code"]).reset_index(drop=True))
+    n_vecs = pq.read_metadata(f"{sf}/embeddings.parquet").num_rows
+    per_sub = base.groupby("sub")["n_assigned"].sum()
+    assert (per_sub == n_vecs).all()
+    assert (base["sum_d2"] >= 0).all()
+    src = pq.read_table(f"{sf}/embeddings.parquet")
+    pq.write_table(src, str(tmp_path / "embeddings.parquet"),
+                   row_group_size=41)
+    split = (pq_encode_stats(str(tmp_path)).to_pandas()
+             .sort_values(["sub", "code"]).reset_index(drop=True))
+    assert base.equals(split)
