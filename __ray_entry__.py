@@ -61,6 +61,8 @@ from p2pddsketch_ray.pipelines.relational import (  # noqa: E402
     corpus_quota_sample as _corpus_quota_sample,
     PQ_ENCODE_SQL as _PQ_ENCODE_SQL,
     pq_encode_stats as _pq_encode_stats,
+    HYBRID_RRF_SQL as _HYBRID_RRF_SQL,
+    hybrid_rrf_topk as _hybrid_rrf_topk,
     TOP_EVENTS_PER_TYPE_SQL as _TOP_EVENTS_PER_TYPE_SQL,
     CUSTOMERS_WITHOUT_EVENTS_SQL as _CUSTOMERS_WITHOUT_EVENTS_SQL,
     QUANTILE_PRUNE_SQL as _QUANTILE_PRUNE_SQL,
@@ -526,6 +528,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # product-quantization encode: code histogram + integer
         # quantization error per (subspace, code)
         "pq_encode_stats": _pq_encode_stats,
+        # dense + sparse retrieval fused by reciprocal-rank (RRF),
+        # integer parts-per-billion so the fusion is hash-exact
+        "hybrid_rrf_topk": _hybrid_rrf_topk,
     }
 
 
@@ -985,6 +990,7 @@ def oracle_sql() -> dict[str, str]:
         "scd2_state_history": _SCD2_STATE_HISTORY_SQL,
         "corpus_quota_sample": _CORPUS_QUOTA_SQL,
         "pq_encode_stats": _PQ_ENCODE_SQL,
+        "hybrid_rrf_topk": _HYBRID_RRF_SQL,
         "dds_price_global": _dds_sql("lineitem", "l_extendedprice"),
         "dds_price_by_flag": _dds_sql("lineitem", "l_extendedprice",
                                       "l_returnflag"),

@@ -5458,3 +5458,100 @@ SELECT sub, code, CAST(count(*) AS BIGINT) AS n_assigned,
        CAST(sum(d2) AS BIGINT) AS sum_d2
 FROM best WHERE r = 1 GROUP BY 1, 2 ORDER BY 1, 2
 """
+
+
+def hybrid_rrf_topk(sf_dir: str, terms: tuple = ("hash", "join"),
+                    query_vec_id: int = 0, k: int = 10, k_leg: int = 20,
+                    c: int = 60) -> pa.Table:
+    """HYBRID RETRIEVAL via reciprocal-rank fusion (Cormack et al.,
+    SIGIR 2009): fuse the dense leg (knn_cosine_topk over embeddings)
+    with the sparse leg (keyword_search_topk over documents) by
+    rrf(id) = sum over legs of 1/(c + rank), computed in integer parts
+    per billion so the fusion is hash-exact.  The id spaces align by
+    construction of the testdata (vec_id i embeds doc i); at serving
+    scale the legs run against their own indexes and only the two
+    O(k_leg) rank lists meet here -- fusion cost is independent of
+    corpus size, which is the point of RRF.
+
+    Both legs are the existing distributed pipelines (broadcast-query
+    matmul / dictionary-encoded tf scan, each with block-local top-k
+    prereduce); ranks are re-derived from their (score desc, id asc)
+    deterministic orders.  A document missing from a leg contributes 0
+    (rank reported as 0)."""
+    dense_rows = knn_cosine_topk(sf_dir, query_vec_id=query_vec_id,
+                                 k=k_leg).take_all()
+    sparse_tbl = keyword_search_topk(sf_dir, terms=terms, k=k_leg)
+
+    def ranks(ids: np.ndarray, neg_score, tie: np.ndarray) -> dict:
+        order = np.lexsort((tie, neg_score))
+        return {int(ids[j]): r + 1 for r, j in enumerate(order)}
+
+    d_ids = np.array([r["vec_id"] for r in dense_rows], dtype=np.int64)
+    d_cos = np.array([r["cos_sim"] for r in dense_rows],
+                     dtype=np.float64)
+    rank_d = ranks(d_ids, -d_cos, d_ids) if d_ids.size else {}
+    s_ids = sparse_tbl["doc_id"].to_numpy(zero_copy_only=False)
+    s_sc = sparse_tbl["score"].to_numpy(zero_copy_only=False)
+    rank_s = ranks(s_ids, -s_sc.astype(np.int64), s_ids) \
+        if s_ids.size else {}
+
+    ids = sorted(set(rank_d) | set(rank_s))
+    rd = np.array([rank_d.get(i, 0) for i in ids], dtype=np.int64)
+    rs = np.array([rank_s.get(i, 0) for i in ids], dtype=np.int64)
+    ppb = np.where(rd > 0, 1_000_000_000 // (c + rd), 0) \
+        + np.where(rs > 0, 1_000_000_000 // (c + rs), 0)
+    ida = np.array(ids, dtype=np.int64)
+    order = np.lexsort((ida, -ppb))[:k]
+    return pa.table({
+        "doc_id": pa.array(ida[order], type=pa.int64()),
+        "rank_dense": pa.array(rd[order], type=pa.int64()),
+        "rank_sparse": pa.array(rs[order], type=pa.int64()),
+        "rrf_ppb": pa.array(ppb[order], type=pa.int64()),
+    })
+
+
+HYBRID_RRF_SQL = """
+WITH q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+           FROM embeddings WHERE vec_id = 0),
+scored AS (
+  SELECT vec_id,
+         round(list_cosine_similarity(
+             list_transform(embedding, x -> CAST(x AS DOUBLE)), q.qv), 4)
+             AS cos_sim
+  FROM embeddings CROSS JOIN q),
+dense AS (
+  SELECT vec_id AS id,
+         CAST(row_number() OVER (ORDER BY cos_sim DESC, vec_id)
+              AS BIGINT) AS rd
+  FROM scored QUALIFY rd <= 20),
+toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+), tf AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN tok = 'hash' THEN 1 ELSE 0 END) AS BIGINT)
+           AS tf_hash,
+         CAST(sum(CASE WHEN tok = 'join' THEN 1 ELSE 0 END) AS BIGINT)
+           AS tf_join
+  FROM toks GROUP BY 1
+), sparse AS (
+  SELECT doc_id AS id,
+         CAST(row_number() OVER (ORDER BY tf_hash + tf_join DESC, doc_id)
+              AS BIGINT) AS rs
+  FROM tf WHERE tf_hash > 0 AND tf_join > 0 QUALIFY rs <= 20
+), ids AS (
+  SELECT id FROM dense UNION SELECT id FROM sparse
+), fused AS (
+  SELECT ids.id AS doc_id,
+         coalesce(d.rd, 0) AS rank_dense,
+         coalesce(s.rs, 0) AS rank_sparse,
+         coalesce(1000000000 // (60 + d.rd), 0)
+           + coalesce(1000000000 // (60 + s.rs), 0) AS rrf_ppb
+  FROM ids LEFT JOIN dense d ON d.id = ids.id
+           LEFT JOIN sparse s ON s.id = ids.id
+)
+SELECT doc_id, rank_dense, rank_sparse,
+       CAST(rrf_ppb AS BIGINT) AS rrf_ppb
+FROM fused
+QUALIFY row_number() OVER (ORDER BY rrf_ppb DESC, doc_id) <= 10
+ORDER BY rrf_ppb DESC, doc_id
+"""

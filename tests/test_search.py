@@ -56,3 +56,30 @@ def test_inverted_index_postings_are_exact_tf(ray_session, tmp_path):
     rows = {(r.term, r.doc_id): r.tf for r in allp.itertuples()}
     assert rows == {("zap", 7): 3, ("bop", 7): 1,
                     ("bop", 9): 1, ("zap", 9): 1}
+
+
+def test_hybrid_rrf_fusion_semantics(ray_session):
+    """RRF output is consistent with its two legs: every fused doc comes
+    from a leg, leg ranks are faithful, and scores are the integer RRF."""
+    from p2pddsketch_ray.pipelines.relational import (
+        hybrid_rrf_topk, keyword_search_topk, knn_cosine_topk)
+    sf = "/root/testdata/sf0.001"
+    out = hybrid_rrf_topk(sf).to_pydict()
+    assert len(out["doc_id"]) == 10
+    for rd, rs, ppb in zip(out["rank_dense"], out["rank_sparse"],
+                           out["rrf_ppb"]):
+        want = (1_000_000_000 // (60 + rd) if rd else 0) \
+            + (1_000_000_000 // (60 + rs) if rs else 0)
+        assert ppb == want and (rd or rs)
+    # fused order is non-increasing with doc_id tie-break
+    pairs = list(zip(out["rrf_ppb"], out["doc_id"]))
+    assert pairs == sorted(pairs, key=lambda p: (-p[0], p[1]))
+    # a doc ranked 1st in BOTH legs would dominate; verify leg-rank
+    # faithfulness against the standalone pipelines
+    dense = knn_cosine_topk(sf, k=20).take_all()
+    order = sorted(range(len(dense)),
+                   key=lambda i: (-dense[i]["cos_sim"],
+                                  dense[i]["vec_id"]))
+    drank = {dense[j]["vec_id"]: r + 1 for r, j in enumerate(order)}
+    for did, rd in zip(out["doc_id"], out["rank_dense"]):
+        assert rd == drank.get(did, 0)
