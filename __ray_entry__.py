@@ -63,6 +63,8 @@ from p2pddsketch_ray.pipelines.relational import (  # noqa: E402
     pq_encode_stats as _pq_encode_stats,
     HYBRID_RRF_SQL as _HYBRID_RRF_SQL,
     hybrid_rrf_topk as _hybrid_rrf_topk,
+    KMEANS_ITER_SQL as _KMEANS_ITER_SQL,
+    kmeans_iter_stats as _kmeans_iter_stats,
     TOP_EVENTS_PER_TYPE_SQL as _TOP_EVENTS_PER_TYPE_SQL,
     CUSTOMERS_WITHOUT_EVENTS_SQL as _CUSTOMERS_WITHOUT_EVENTS_SQL,
     QUANTILE_PRUNE_SQL as _QUANTILE_PRUNE_SQL,
@@ -531,6 +533,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # dense + sparse retrieval fused by reciprocal-rank (RRF),
         # integer parts-per-billion so the fusion is hash-exact
         "hybrid_rrf_topk": _hybrid_rrf_topk,
+        # one Lloyd iteration with exact before/after inertia --
+        # the iterative-ML convergence ledger, two streamed passes
+        "kmeans_iter_stats": _kmeans_iter_stats,
     }
 
 
@@ -991,6 +996,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_quota_sample": _CORPUS_QUOTA_SQL,
         "pq_encode_stats": _PQ_ENCODE_SQL,
         "hybrid_rrf_topk": _HYBRID_RRF_SQL,
+        "kmeans_iter_stats": _KMEANS_ITER_SQL,
         "dds_price_global": _dds_sql("lineitem", "l_extendedprice"),
         "dds_price_by_flag": _dds_sql("lineitem", "l_extendedprice",
                                       "l_returnflag"),

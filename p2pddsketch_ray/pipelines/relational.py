@@ -5555,3 +5555,164 @@ FROM fused
 QUALIFY row_number() OVER (ORDER BY rrf_ppb DESC, doc_id) <= 10
 ORDER BY rrf_ppb DESC, doc_id
 """
+
+
+def kmeans_iter_stats(sf_dir: str, k: int = 8) -> pa.Table:
+    """ONE Lloyd iteration of k-means over the embedding column, with
+    exact before/after accounting: assign every vector to its nearest of
+    ``k`` hash-ordered seed vectors (integer milli-unit L2, tie ->
+    smaller cluster), recompute centroids as the assignment means (one
+    float64 division + floor per coordinate, the nearest_centroid op
+    order), re-assign, and report per cluster the membership and inertia
+    at both steps -- the convergence ledger of an iterative algorithm
+    expressed as two streaming passes per iteration (run it in a loop
+    for full k-means; state between iterations is one k x d integer
+    matrix).
+
+    Scale shape: each pass is a broadcast-centroid einsum map with
+    O(k x d)-row partials (the label_centroids pattern); nothing but the
+    centroid matrix and k-row summaries ever leaves the cluster."""
+    from ..functions.vectors import list_to_matrix
+    from ..hashing import murmur64
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def seed_partials(t: pa.Table) -> pa.Table:
+        vid = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if vid.size == 0:
+            return pa.table({"vec_id": t["vec_id"],
+                             "h": pa.array([], type=pa.int64()),
+                             "embedding": t["embedding"]})
+        h = murmur64(vid)
+        order = np.lexsort((vid, h))[:k]
+        sel = t.take(pa.array(np.sort(order)))
+        hh = murmur64(sel["vec_id"].to_numpy(
+            zero_copy_only=False).astype(np.int64))
+        return pa.table({"vec_id": sel["vec_id"],
+                         "h": pa.array(hh.view(np.int64), type=pa.int64()),
+                         "embedding": sel["embedding"]})
+
+    seeds = (ds.map_batches(seed_partials, batch_format="pyarrow",
+                            zero_copy_batch=True).take_all())
+    seeds.sort(key=lambda r: (np.uint64(np.int64(r["h"])), r["vec_id"]))
+    seed_mat = np.asarray([r["embedding"] for r in seeds[:k]],
+                          dtype=np.float64)
+    cents0 = np.floor(seed_mat * 1000.0 + 0.5).astype(np.int64)
+    d = cents0.shape[1]
+
+    def assign_pass(cent_ref):
+        empty = pa.table({
+            "cluster": pa.array([], type=pa.int64()),
+            "n": pa.array([], type=pa.int64()),
+            "inertia": pa.array([], type=pa.int64()),
+            **{f"s{j}": pa.array([], type=pa.int64()) for j in range(d)}})
+
+        def assign(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return empty
+            cm = ray.get(cent_ref)
+            mat = list_to_matrix(t["embedding"], dtype=np.float64)
+            x = np.floor(mat * 1000.0 + 0.5).astype(np.int64)
+            diff = x[:, None, :] - cm[None, :, :]
+            d2 = np.einsum("nkd,nkd->nk", diff, diff)
+            best = np.argmin(d2, axis=1)
+            bd2 = d2[np.arange(d2.shape[0]), best]
+            n = np.bincount(best, minlength=k).astype(np.int64)
+            inertia = np.zeros(k, dtype=np.int64)
+            np.add.at(inertia, best, bd2)
+            sums = np.zeros((k, d), dtype=np.int64)
+            np.add.at(sums, best, x)
+            cols = {"cluster": pa.array(np.arange(k, dtype=np.int64)),
+                    "n": pa.array(n), "inertia": pa.array(inertia)}
+            for j in range(d):
+                cols[f"s{j}"] = pa.array(sums[:, j])
+            return pa.table(cols)
+
+        aggs = [Sum("n", alias_name="n"),
+                Sum("inertia", alias_name="inertia")]
+        aggs += [Sum(f"s{j}", alias_name=f"s{j}") for j in range(d)]
+        res = (ds.map_batches(assign, batch_format="pyarrow",
+                              zero_copy_batch=True)
+               .groupby("cluster").aggregate(*aggs).to_pandas()
+               .sort_values("cluster").reset_index(drop=True))
+        n = res["n"].to_numpy().astype(np.int64)
+        inertia = res["inertia"].to_numpy().astype(np.int64)
+        sums = np.stack([res[f"s{j}"].to_numpy().astype(np.int64)
+                         for j in range(d)], axis=1)
+        return n, inertia, sums
+
+    ref0 = ray.put(cents0)
+    n0, in0, sums = assign_pass(ref0)
+    safe = np.maximum(n0, 1).astype(np.float64)
+    cents1 = np.floor(sums / safe[:, None] + 0.5).astype(np.int64)
+    cents1[n0 == 0] = cents0[n0 == 0]  # empty cluster keeps its seed
+    ref1 = ray.put(cents1)
+    n1, in1, _ = assign_pass(ref1)
+    return pa.table({
+        "cluster": pa.array(np.arange(k, dtype=np.int64)),
+        "n_before": pa.array(n0), "inertia_before": pa.array(in0),
+        "n_after": pa.array(n1), "inertia_after": pa.array(in1),
+    })
+
+
+KMEANS_ITER_SQL = """
+WITH nums AS (
+  SELECT CAST(range AS BIGINT) AS i FROM range(1, 4097)
+), q AS (
+  SELECT vec_id, CAST(i - 1 AS BIGINT) AS dim,
+         CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000.0 + 0.5)
+              AS BIGINT) AS x
+  FROM embeddings JOIN nums ON nums.i <= len(embedding)
+), seeds AS (
+  SELECT vec_id,
+         CAST(row_number() OVER (ORDER BY hash(vec_id), vec_id) - 1
+              AS BIGINT) AS cluster
+  FROM embeddings QUALIFY cluster <= 7
+), c0 AS (
+  SELECT s.cluster, q.dim, q.x AS cx
+  FROM seeds s JOIN q ON q.vec_id = s.vec_id
+), d0 AS (
+  SELECT q.vec_id, c0.cluster,
+         CAST(sum((q.x - c0.cx) * (q.x - c0.cx)) AS BIGINT) AS d2
+  FROM q JOIN c0 ON c0.dim = q.dim GROUP BY 1, 2
+), a0 AS (
+  SELECT vec_id, cluster, d2,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS r
+  FROM d0 QUALIFY r = 1
+), stat0 AS (
+  SELECT cluster, CAST(count(*) AS BIGINT) AS n_before,
+         CAST(sum(d2) AS BIGINT) AS inertia_before
+  FROM a0 GROUP BY 1
+), c1 AS (
+  SELECT a0.cluster, q.dim,
+         CAST(floor(CAST(sum(q.x) AS DOUBLE)
+                    / CAST(count(*) AS DOUBLE) + 0.5) AS BIGINT) AS cx
+  FROM a0 JOIN q ON q.vec_id = a0.vec_id
+  GROUP BY 1, 2
+), c1full AS (
+  SELECT k.cluster, c0.dim, coalesce(c1.cx, c0.cx) AS cx
+  FROM (SELECT DISTINCT cluster FROM c0) k
+  JOIN c0 ON c0.cluster = k.cluster
+  LEFT JOIN c1 ON c1.cluster = k.cluster AND c1.dim = c0.dim
+), d1 AS (
+  SELECT q.vec_id, c1full.cluster,
+         CAST(sum((q.x - c1full.cx) * (q.x - c1full.cx)) AS BIGINT) AS d2
+  FROM q JOIN c1full ON c1full.dim = q.dim GROUP BY 1, 2
+), a1 AS (
+  SELECT vec_id, cluster, d2,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS r
+  FROM d1 QUALIFY r = 1
+), stat1 AS (
+  SELECT cluster, CAST(count(*) AS BIGINT) AS n_after,
+         CAST(sum(d2) AS BIGINT) AS inertia_after
+  FROM a1 GROUP BY 1
+), ks AS (SELECT CAST(range AS BIGINT) AS cluster FROM range(0, 8))
+SELECT ks.cluster,
+       coalesce(stat0.n_before, 0) AS n_before,
+       coalesce(stat0.inertia_before, 0) AS inertia_before,
+       coalesce(stat1.n_after, 0) AS n_after,
+       coalesce(stat1.inertia_after, 0) AS inertia_after
+FROM ks LEFT JOIN stat0 ON stat0.cluster = ks.cluster
+        LEFT JOIN stat1 ON stat1.cluster = ks.cluster
+ORDER BY 1
+"""

@@ -1185,3 +1185,13 @@ def test_pq_encode_stats_invariants_and_block_invariance(ray_session,
     split = (pq_encode_stats(str(tmp_path)).to_pandas()
              .sort_values(["sub", "code"]).reset_index(drop=True))
     assert base.equals(split)
+
+
+def test_kmeans_iter_improves_inertia(ray_session):
+    """One Lloyd step never increases total inertia (means minimize
+    within-cluster SSE, re-assignment minimizes per-point distance) and
+    conserves membership totals."""
+    from p2pddsketch_ray.pipelines.relational import kmeans_iter_stats
+    out = kmeans_iter_stats("/root/testdata/sf0.001").to_pydict()
+    assert sum(out["n_before"]) == sum(out["n_after"]) == 500
+    assert sum(out["inertia_after"]) <= sum(out["inertia_before"])
