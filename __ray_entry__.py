@@ -65,6 +65,8 @@ from p2pddsketch_ray.pipelines.relational import (  # noqa: E402
     hybrid_rrf_topk as _hybrid_rrf_topk,
     KMEANS_ITER_SQL as _KMEANS_ITER_SQL,
     kmeans_iter_stats as _kmeans_iter_stats,
+    LOO_TARGET_ENCODING_SQL as _LOO_TARGET_ENCODING_SQL,
+    loo_target_encoding as _loo_target_encoding,
     TOP_EVENTS_PER_TYPE_SQL as _TOP_EVENTS_PER_TYPE_SQL,
     CUSTOMERS_WITHOUT_EVENTS_SQL as _CUSTOMERS_WITHOUT_EVENTS_SQL,
     QUANTILE_PRUNE_SQL as _QUANTILE_PRUNE_SQL,
@@ -536,6 +538,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # one Lloyd iteration with exact before/after inertia --
         # the iterative-ML convergence ledger, two streamed passes
         "kmeans_iter_stats": _kmeans_iter_stats,
+        # leakage-safe leave-one-out target encoding as exact
+        # integer rationals (broadcast category sums, no shuffle)
+        "loo_target_encoding": _loo_target_encoding,
     }
 
 
@@ -997,6 +1002,7 @@ def oracle_sql() -> dict[str, str]:
         "pq_encode_stats": _PQ_ENCODE_SQL,
         "hybrid_rrf_topk": _HYBRID_RRF_SQL,
         "kmeans_iter_stats": _KMEANS_ITER_SQL,
+        "loo_target_encoding": _LOO_TARGET_ENCODING_SQL,
         "dds_price_global": _dds_sql("lineitem", "l_extendedprice"),
         "dds_price_by_flag": _dds_sql("lineitem", "l_extendedprice",
                                       "l_returnflag"),

@@ -5716,3 +5716,100 @@ FROM ks LEFT JOIN stat0 ON stat0.cluster = ks.cluster
         LEFT JOIN stat1 ON stat1.cluster = ks.cluster
 ORDER BY 1
 """
+
+
+def loo_target_encoding(sf_dir: str, max_event_id: int = 500) -> "ray.data.Dataset":
+    """LEAKAGE-SAFE target encoding: each event's category (event_type)
+    is encoded as the mean target value of all OTHER events of that
+    category -- leave-one-out, the standard trick that lets a model
+    consume a high-cardinality categorical without seeing its own label.
+    Emitted as the exact integer rational (loo_num = S_cat - x_i in
+    micro-units, loo_den = n_cat - 1), so no engine-dependent float
+    division touches the hash gate; the caller divides at the edge.
+
+    Scale shape: pass 1 folds per-category (sum, count) partials
+    in-batch (O(categories) rows per block) and the resulting tiny table
+    is ray.put ONCE; pass 2 streams with the row filter pushed into the
+    parquet read and a broadcast index lookup per batch -- no shuffle at
+    all on the big side.  Bounded to event_id < max_event_id because
+    per-row output is an audit slice, not a corpus dump (lift the bound
+    to materialize features for training)."""
+    import pyarrow.dataset as pads
+
+    full = _read(sf_dir, "events", ["event_type", "value"])
+
+    cat_empty = pa.table({"event_type": pa.array([], type=pa.string()),
+                          "s": pa.array([], type=pa.int64()),
+                          "n": pa.array([], type=pa.int64())})
+
+    def cat_partials(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return cat_empty
+        units = np.floor(t["value"].to_numpy(zero_copy_only=False)
+                         * 1e6 + 0.5).astype(np.int64)
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        ut, inv = np.unique(et, return_inverse=True)
+        s = np.zeros(ut.shape[0], dtype=np.int64)
+        np.add.at(s, inv, units)
+        n = np.bincount(inv).astype(np.int64)
+        return pa.table({"event_type": pa.array(ut.tolist(),
+                                                type=pa.string()),
+                         "s": pa.array(s), "n": pa.array(n)})
+
+    cats = (full.map_batches(cat_partials, batch_format="pyarrow",
+                             zero_copy_batch=True)
+            .groupby("event_type")
+            .aggregate(Sum("s", alias_name="s"), Sum("n", alias_name="n"))
+            .to_pandas())
+    lut = {r.event_type: (int(r.s), int(r.n)) for r in cats.itertuples()}
+    lut_ref = ray.put(lut)
+
+    sel = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "event_type", "value"],
+        filter=(pads.field("event_id") < max_event_id))
+
+    empty = pa.table({"event_id": pa.array([], type=pa.int64()),
+                      "event_type": pa.array([], type=pa.string()),
+                      "loo_num": pa.array([], type=pa.int64()),
+                      "loo_den": pa.array([], type=pa.int64())})
+
+    def encode(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        m = ray.get(lut_ref)
+        units = np.floor(t["value"].to_numpy(zero_copy_only=False)
+                         * 1e6 + 0.5).astype(np.int64)
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        ut, inv = np.unique(et, return_inverse=True)
+        us = np.array([m[x][0] for x in ut], dtype=np.int64)
+        un = np.array([m[x][1] for x in ut], dtype=np.int64)
+        s, n = us[inv], un[inv]
+        return pa.table({
+            "event_id": t["event_id"],
+            "event_type": t["event_type"],
+            "loo_num": pa.array(s - units, type=pa.int64()),
+            "loo_den": pa.array(n - 1, type=pa.int64()),
+        })
+
+    return sel.map_batches(encode, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
+LOO_TARGET_ENCODING_SQL = """
+WITH u AS (
+  SELECT event_id, event_type,
+         CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS units
+  FROM events
+), cat AS (
+  SELECT event_type, CAST(sum(units) AS BIGINT) AS s,
+         CAST(count(*) AS BIGINT) AS n
+  FROM u GROUP BY 1
+)
+SELECT u.event_id, u.event_type,
+       CAST(cat.s - u.units AS BIGINT) AS loo_num,
+       CAST(cat.n - 1 AS BIGINT) AS loo_den
+FROM u JOIN cat USING (event_type)
+WHERE u.event_id < 500
+ORDER BY 1
+"""

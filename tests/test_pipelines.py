@@ -1195,3 +1195,28 @@ def test_kmeans_iter_improves_inertia(ray_session):
     out = kmeans_iter_stats("/root/testdata/sf0.001").to_pydict()
     assert sum(out["n_before"]) == sum(out["n_after"]) == 500
     assert sum(out["inertia_after"]) <= sum(out["inertia_before"])
+
+
+def test_loo_target_encoding_excludes_self(ray_session):
+    """Reconstructing (num + x_i) / (den + 1) recovers the category mean
+    -- proving each row's own target was excluded from its encoding."""
+    import duckdb
+    from p2pddsketch_ray.pipelines.relational import loo_target_encoding
+    sf = "/root/testdata/sf0.001"
+    got = loo_target_encoding(sf).to_pandas()
+    con = duckdb.connect()
+    cat = con.execute(f"""
+        SELECT event_type,
+               sum(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)) AS s,
+               count(*) AS n
+        FROM read_parquet('{sf}/events.parquet') GROUP BY 1""").df()
+    stats = {r.event_type: (int(r.s), int(r.n)) for r in cat.itertuples()}
+    units = con.execute(f"""
+        SELECT event_id, CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) u
+        FROM read_parquet('{sf}/events.parquet')
+        WHERE event_id < 500""").df().set_index("event_id")["u"]
+    assert len(got) == len(units)
+    for r in got.itertuples():
+        s, n = stats[r.event_type]
+        assert r.loo_num + units[r.event_id] == s
+        assert r.loo_den + 1 == n
