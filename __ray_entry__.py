@@ -67,6 +67,8 @@ from p2pddsketch_ray.pipelines.relational import (  # noqa: E402
     kmeans_iter_stats as _kmeans_iter_stats,
     LOO_TARGET_ENCODING_SQL as _LOO_TARGET_ENCODING_SQL,
     loo_target_encoding as _loo_target_encoding,
+    KNN_VOTE_SQL as _KNN_VOTE_SQL,
+    knn_vote_confusion as _knn_vote_confusion,
     TOP_EVENTS_PER_TYPE_SQL as _TOP_EVENTS_PER_TYPE_SQL,
     CUSTOMERS_WITHOUT_EVENTS_SQL as _CUSTOMERS_WITHOUT_EVENTS_SQL,
     QUANTILE_PRUNE_SQL as _QUANTILE_PRUNE_SQL,
@@ -541,6 +543,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # leakage-safe leave-one-out target encoding as exact
         # integer rationals (broadcast category sums, no shuffle)
         "loo_target_encoding": _loo_target_encoding,
+        # leave-one-out kNN majority-vote eval: exact integer
+        # distances, broadcast corpus, confusion-matrix output
+        "knn_vote_confusion": _knn_vote_confusion,
     }
 
 
@@ -1003,6 +1008,7 @@ def oracle_sql() -> dict[str, str]:
         "hybrid_rrf_topk": _HYBRID_RRF_SQL,
         "kmeans_iter_stats": _KMEANS_ITER_SQL,
         "loo_target_encoding": _LOO_TARGET_ENCODING_SQL,
+        "knn_vote_confusion": _KNN_VOTE_SQL,
         "dds_price_global": _dds_sql("lineitem", "l_extendedprice"),
         "dds_price_by_flag": _dds_sql("lineitem", "l_extendedprice",
                                       "l_returnflag"),

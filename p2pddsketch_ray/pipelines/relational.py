@@ -5813,3 +5813,121 @@ FROM u JOIN cat USING (event_type)
 WHERE u.event_id < 500
 ORDER BY 1
 """
+
+
+def knn_vote_confusion(sf_dir: str, k: int = 5,
+                       max_src: int = 200) -> "ray.data.Dataset":
+    """Leave-one-out kNN classification over the embedding column: each
+    evaluated vector votes among the labels of its ``k`` exact nearest
+    neighbors (integer milli-unit L2, self excluded, neighbor ties ->
+    smaller vec_id, vote ties -> smaller label) and the (true, predicted)
+    confusion matrix comes back -- the standard embedding-quality eval
+    a corpus pipeline runs after (re)training an encoder.
+
+    Scale shape: the corpus matrix is broadcast once via ray.put and
+    each batch computes all its distances with the |x|^2+|y|^2-2xy
+    integer matmul expansion (no (n, m, d) temporaries); votes fold to
+    per-(label, pred) partials so the exchange is O(labels^2) per
+    block.  Sources are bounded to vec_id < max_src (evaluation slice);
+    at ANN scale the neighbor set comes from the IVF index
+    (pipelines.knn) instead of the dense matmul -- the voting kernel is
+    unchanged."""
+    import pyarrow.parquet as pq
+    import pyarrow.dataset as pads
+    from ..functions.vectors import list_to_matrix
+
+    corpus = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                           columns=["vec_id", "label", "embedding"])
+    order = pc.sort_indices(corpus["vec_id"])
+    corpus = corpus.take(order)
+    cmat = np.floor(list_to_matrix(corpus["embedding"],
+                                   dtype=np.float64) * 1000.0
+                    + 0.5).astype(np.int64)
+    cvid = corpus["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    clab = corpus["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+    corpus_ref = ray.put((cmat, cvid, clab))
+    n_lab = int(clab.max()) + 1
+
+    src = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "label", "embedding"],
+        filter=(pads.field("vec_id") < max_src))
+
+    empty = pa.table({"label": pa.array([], type=pa.int64()),
+                      "pred": pa.array([], type=pa.int64()),
+                      "n": pa.array([], type=pa.int64())})
+
+    def vote(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        cm, cv, cl = ray.get(corpus_ref)
+        m = cm.shape[0]
+        x = np.floor(list_to_matrix(t["embedding"], dtype=np.float64)
+                     * 1000.0 + 0.5).astype(np.int64)
+        vid = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        true = t["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d2 = (np.einsum("bd,bd->b", x, x)[:, None]
+              + np.einsum("md,md->m", cm, cm)[None, :]
+              - 2 * (x @ cm.T))
+        # deterministic composite: distance first, then corpus position
+        # (corpus is vec_id-sorted); self gets pushed past everything
+        comp = d2 * np.int64(m) + np.arange(m, dtype=np.int64)[None, :]
+        comp[vid[:, None] == cv[None, :]] = np.iinfo(np.int64).max
+        nn = np.argpartition(comp, k - 1, axis=1)[:, :k]
+        votes = np.zeros((x.shape[0], n_lab), dtype=np.int64)
+        rows = np.repeat(np.arange(x.shape[0]), k)
+        np.add.at(votes, (rows, cl[nn].ravel()), 1)
+        pred = np.argmax(votes, axis=1)  # first max = smallest label
+        compkey = true * np.int64(n_lab) + pred
+        u, cnt = np.unique(compkey, return_counts=True)
+        return pa.table({"label": pa.array(u // n_lab, type=pa.int64()),
+                         "pred": pa.array(u % n_lab, type=pa.int64()),
+                         "n": pa.array(cnt.astype(np.int64))})
+
+    agg = (src.map_batches(vote, batch_format="pyarrow",
+                           zero_copy_batch=True)
+           .groupby(["label", "pred"])
+           .aggregate(Sum("n", alias_name="n")))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        return pa.table({"label": pc.cast(t["label"], pa.int64()),
+                         "pred": pc.cast(t["pred"], pa.int64()),
+                         "n": pc.cast(t["n"], pa.int64())})
+
+    return (agg.map_batches(finalize, batch_format="pyarrow")
+            .sort(["label", "pred"]))
+
+
+KNN_VOTE_SQL = """
+WITH nums AS (
+  SELECT CAST(range AS BIGINT) AS i FROM range(1, 4097)
+), q AS (
+  SELECT vec_id, CAST(label AS BIGINT) AS label,
+         CAST(i - 1 AS BIGINT) AS dim,
+         CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000.0 + 0.5)
+              AS BIGINT) AS x
+  FROM embeddings JOIN nums ON nums.i <= len(embedding)
+), d AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst,
+         CAST(sum((a.x - b.x) * (a.x - b.x)) AS BIGINT) AS d2
+  FROM q a JOIN q b ON a.dim = b.dim AND a.vec_id <> b.vec_id
+  WHERE a.vec_id < 200
+  GROUP BY 1, 2
+), nn AS (
+  SELECT src, dst, d2,
+         row_number() OVER (PARTITION BY src ORDER BY d2, dst) AS r
+  FROM d QUALIFY r <= 5
+), v AS (
+  SELECT nn.src, e.label AS vlabel, count(*) AS c
+  FROM nn JOIN embeddings e ON e.vec_id = nn.dst
+  GROUP BY 1, 2
+), p AS (
+  SELECT src, CAST(vlabel AS BIGINT) AS pred,
+         row_number() OVER (PARTITION BY src ORDER BY c DESC, vlabel) AS r
+  FROM v QUALIFY r = 1
+)
+SELECT CAST(e.label AS BIGINT) AS label, p.pred,
+       CAST(count(*) AS BIGINT) AS n
+FROM p JOIN embeddings e ON e.vec_id = p.src
+GROUP BY 1, 2 ORDER BY 1, 2
+"""

@@ -1220,3 +1220,34 @@ def test_loo_target_encoding_excludes_self(ray_session):
         s, n = stats[r.event_type]
         assert r.loo_num + units[r.event_id] == s
         assert r.loo_den + 1 == n
+
+
+def test_knn_vote_confusion_totals_and_bruteforce(ray_session):
+    """Every evaluated vector is classified exactly once, and the
+    prediction matches a brute-force numpy replica."""
+    import pyarrow.parquet as pq
+    from p2pddsketch_ray.functions.vectors import list_to_matrix
+    from p2pddsketch_ray.pipelines.relational import knn_vote_confusion
+    sf = "/root/testdata/sf0.001"
+    out = knn_vote_confusion(sf, k=5, max_src=60).to_pandas()
+    assert out["n"].sum() == 60
+    emb = pq.read_table(f"{sf}/embeddings.parquet")
+    emb = emb.take(emb["vec_id"].to_numpy().argsort())
+    x = np.floor(list_to_matrix(emb["embedding"], dtype=np.float64)
+                 * 1000.0 + 0.5).astype(np.int64)
+    lab = emb["label"].to_numpy().astype(np.int64)
+    vid = emb["vec_id"].to_numpy().astype(np.int64)
+    conf = {}
+    for i in np.nonzero(vid < 60)[0]:
+        d2 = ((x - x[i]) ** 2).sum(axis=1)
+        cand = sorted((int(d2[j]), int(vid[j]), int(lab[j]))
+                      for j in range(len(vid)) if j != i)[:5]
+        votes = {}
+        for _, _, l in cand:
+            votes[l] = votes.get(l, 0) + 1
+        pred = min(votes, key=lambda l: (-votes[l], l))
+        key = (int(lab[i]), pred)
+        conf[key] = conf.get(key, 0) + 1
+    got = {(int(r.label), int(r.pred)): int(r.n)
+           for r in out.itertuples()}
+    assert got == conf
