@@ -46,7 +46,9 @@ from p2pddsketch_ray.pipelines.temporal import (  # noqa: E402
     HOURLY_BACKFILL_SQL as _HOURLY_BACKFILL_SQL,
     IMPUTE_VALUE_SQL as _IMPUTE_VALUE_SQL,
     SCD2_STATE_HISTORY_SQL as _SCD2_STATE_HISTORY_SQL,
-    scd2_state_history as _scd2_state_history)
+    scd2_state_history as _scd2_state_history,
+    LAST_TOUCH_SQL as _LAST_TOUCH_SQL,
+    last_touch_attribution as _last_touch_attribution)
 from p2pddsketch_ray.pipelines.approx import (  # noqa: E402
     MG_HEAVY_USERS_SQL as _MG_HEAVY_USERS_SQL)
 from p2pddsketch_ray.pipelines.relational import (  # noqa: E402
@@ -546,6 +548,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # leave-one-out kNN majority-vote eval: exact integer
         # distances, broadcast corpus, confusion-matrix output
         "knn_vote_confusion": _knn_vote_confusion,
+        # last-touch attribution: conversions credited to the most
+        # recent in-window prior touch, deterministic under ts ties
+        "last_touch_attribution": _last_touch_attribution,
     }
 
 
@@ -1009,6 +1014,7 @@ def oracle_sql() -> dict[str, str]:
         "kmeans_iter_stats": _KMEANS_ITER_SQL,
         "loo_target_encoding": _LOO_TARGET_ENCODING_SQL,
         "knn_vote_confusion": _KNN_VOTE_SQL,
+        "last_touch_attribution": _LAST_TOUCH_SQL,
         "dds_price_global": _dds_sql("lineitem", "l_extendedprice"),
         "dds_price_by_flag": _dds_sql("lineitem", "l_extendedprice",
                                       "l_returnflag"),

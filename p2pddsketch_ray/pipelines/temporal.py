@@ -1959,3 +1959,134 @@ SELECT user_id, state, valid_from_us,
 FROM segs
 ORDER BY 1, 3
 """
+
+
+def last_touch_attribution(sf_dir: str,
+                           touch_types: tuple = ("click", "view"),
+                           conv_type: str = "purchase",
+                           window_us: int = 3 * 86400 * 1_000_000
+                           ) -> "ray.data.Dataset":
+    """MARKETING-STYLE last-touch attribution: every conversion event is
+    credited to the same user's most recent prior touch event (strictly
+    earlier in (ts, event_id) order, within ``window_us``); conversions
+    with no in-window touch report as 'none'.  Output per touch type:
+    conversions credited and the exact summed touch-to-conversion gap.
+
+    Dataflow: coarse hash co-partition on user_id, then ONE vectorized
+    kernel per partition -- lexsort by (user, ts, event_id), a
+    maximum.accumulate over touch positions gives each row its user's
+    most recent touch (segment-start guard stops cross-user leaks; the
+    accumulate never needs per-user resets), gaps and the window test
+    are array ops.  Partials are O(touch types) rows per partition.
+    The (ts, event_id) order makes same-timestamp races deterministic:
+    a touch sharing a conversion's timestamp attributes only if its
+    event_id is smaller."""
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type"])
+    touch_set = set(touch_types)
+
+    empty = pa.table({"touch_type": pa.array([], type=pa.string()),
+                      "n_conversions": pa.array([], type=pa.int64()),
+                      "sum_gap_us": pa.array([], type=pa.int64())})
+
+    def prep(t: pa.Table) -> pa.Table:
+        keep = pc.is_in(t["event_type"],
+                        value_set=pa.array(list(touch_set) + [conv_type]))
+        t = t.filter(keep)
+        return pa.table({
+            "user_id": t["user_id"],
+            "ts": pa.array(_as_int64(t["ts"]), type=pa.int64()),
+            "event_id": t["event_id"],
+            "event_type": t["event_type"],
+        })
+
+    def attribute(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        ts = t["ts"].to_numpy(zero_copy_only=False)
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, uid))
+        uid_s, ts_s, et_s = uid[order], ts[order], et[order]
+        n = order.shape[0]
+        is_touch = np.isin(et_s, list(touch_set))
+        is_conv = et_s == conv_type
+        pos = np.arange(n, dtype=np.int64)
+        cand = np.where(is_touch, pos, np.int64(-1))
+        last = np.maximum.accumulate(cand)
+        new_user = np.ones(n, dtype=bool)
+        new_user[1:] = uid_s[1:] != uid_s[:-1]
+        seg_start = pos[new_user][np.cumsum(new_user) - 1]
+        ok = is_conv & (last >= seg_start)
+        gap = np.zeros(n, dtype=np.int64)
+        safe = np.maximum(last, 0)
+        gap[ok] = ts_s[ok] - ts_s[safe[ok]]
+        ok &= gap <= window_us
+        conv_idx = np.nonzero(is_conv)[0]
+        lab = np.full(conv_idx.shape[0], "none", dtype=object)
+        hit = ok[conv_idx]
+        lab[hit] = et_s[safe[conv_idx[hit]]]
+        g = np.zeros(conv_idx.shape[0], dtype=np.int64)
+        g[hit] = gap[conv_idx[hit]]
+        ulab, inv = np.unique(lab.astype(str), return_inverse=True)
+        cnt = np.bincount(inv).astype(np.int64)
+        sg = np.zeros(ulab.shape[0], dtype=np.int64)
+        np.add.at(sg, inv, g)
+        return pa.table({
+            "touch_type": pa.array(ulab.tolist(), type=pa.string()),
+            "n_conversions": pa.array(cnt),
+            "sum_gap_us": pa.array(sg),
+        })
+
+    prepped = events.map_batches(prep, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+    partials = partition_by(prepped, ["user_id"], fit_partitions(32),
+                            attribute, empty)
+    from ray.data.aggregate import Sum
+    agg = (partials.groupby("touch_type")
+           .aggregate(Sum("n_conversions", alias_name="n_conversions"),
+                      Sum("sum_gap_us", alias_name="sum_gap_us")))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "touch_type": t["touch_type"],
+            "n_conversions": pc.cast(t["n_conversions"], pa.int64()),
+            "sum_gap_us": pc.cast(t["sum_gap_us"], pa.int64()),
+        })
+
+    return (agg.map_batches(finalize, batch_format="pyarrow")
+            .sort("touch_type"))
+
+
+LAST_TOUCH_SQL = """
+WITH p AS (
+  SELECT user_id, event_id, CAST(epoch_us(ts) AS BIGINT) AS pts
+  FROM events WHERE event_type = 'purchase'
+), t AS (
+  SELECT user_id, event_id, event_type,
+         CAST(epoch_us(ts) AS BIGINT) AS tts
+  FROM events WHERE event_type IN ('click', 'view')
+), m AS (
+  SELECT p.event_id AS pe, t.event_type AS touch, t.tts, p.pts,
+         row_number() OVER (PARTITION BY p.event_id
+                            ORDER BY t.tts DESC, t.event_id DESC) AS r
+  FROM p JOIN t ON t.user_id = p.user_id
+    AND (t.tts < p.pts OR (t.tts = p.pts AND t.event_id < p.event_id))
+), best AS (
+  SELECT pe, touch, pts - tts AS gap FROM m WHERE r = 1
+), labeled AS (
+  SELECT p.event_id,
+         CASE WHEN best.pe IS NOT NULL
+                   AND best.gap <= 259200000000
+              THEN best.touch ELSE 'none' END AS touch_type,
+         CASE WHEN best.pe IS NOT NULL
+                   AND best.gap <= 259200000000
+              THEN best.gap ELSE 0 END AS gap
+  FROM p LEFT JOIN best ON best.pe = p.event_id
+)
+SELECT touch_type, CAST(count(*) AS BIGINT) AS n_conversions,
+       CAST(sum(gap) AS BIGINT) AS sum_gap_us
+FROM labeled GROUP BY 1 ORDER BY 1
+"""

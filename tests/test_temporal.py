@@ -604,3 +604,42 @@ def test_scd2_state_history_edges(ray_session, tmp_path):
         (3, "X", 7 * us, 7 * us, 1),
         (3, "Y", 7 * us, -1, 1),
     ]
+
+
+def test_last_touch_attribution_edges(ray_session, tmp_path):
+    """Same-ts races, window cutoffs, cross-user isolation, and
+    no-touch conversions."""
+    import pyarrow.parquet as pq
+    from p2pddsketch_ray.pipelines.temporal import last_touch_attribution
+    us = 1_000_000
+    rows = [
+        # user 1: click then purchase 10s later -> click credited
+        (1, 100 * us, 1, "click"), (2, 110 * us, 1, "purchase"),
+        # user 1: second purchase 400s after the click -> outside 300s
+        (3, 500 * us, 1, "purchase"),
+        # user 2: touch at the SAME ts as the purchase -- smaller
+        # event_id attributes, larger does not
+        (10, 200 * us, 2, "view"), (11, 200 * us, 2, "purchase"),
+        (13, 300 * us, 2, "purchase"), (14, 300 * us, 2, "click"),
+        # user 3: purchase with no touches at all
+        (20, 50 * us, 3, "purchase"),
+        # user 4's touch must NOT leak into user 5's purchase
+        (30, 400 * us, 4, "click"), (31, 410 * us, 5, "purchase"),
+    ]
+    t = pa.table({
+        "event_id": pa.array([r[0] for r in rows], type=pa.int64()),
+        "ts": pa.array([r[1] for r in rows], type=pa.timestamp("us")),
+        "user_id": pa.array([r[2] for r in rows], type=pa.int64()),
+        "event_type": pa.array([r[3] for r in rows], type=pa.string()),
+    })
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    out = last_touch_attribution(str(tmp_path),
+                                 window_us=300 * us).to_pandas()
+    got = {r.touch_type: (int(r.n_conversions), int(r.sum_gap_us))
+           for r in out.itertuples()}
+    # credited: u1 purchase@110 (click, 10s); u2 purchase@200 (view, 0);
+    # u2 purchase@300 (view@200, 100s -- click@300 has larger event_id)
+    # none: u1 purchase@500 (gap 400s > 300s), u3, u5
+    assert got == {"click": (1, 10 * us),
+                   "view": (2, 100 * us),
+                   "none": (3, 0)}
