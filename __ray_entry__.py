@@ -49,6 +49,8 @@ from p2pddsketch_ray.pipelines.temporal import (  # noqa: E402
     scd2_state_history as _scd2_state_history,
     LAST_TOUCH_SQL as _LAST_TOUCH_SQL,
     last_touch_attribution as _last_touch_attribution)
+from p2pddsketch_ray.pipelines.quantiles import (  # noqa: E402
+    WEIGHTED_MEDIAN_SQL as _WEIGHTED_MEDIAN_SQL)
 from p2pddsketch_ray.pipelines.approx import (  # noqa: E402
     MG_HEAVY_USERS_SQL as _MG_HEAVY_USERS_SQL)
 from p2pddsketch_ray.pipelines.relational import (  # noqa: E402
@@ -71,6 +73,12 @@ from p2pddsketch_ray.pipelines.relational import (  # noqa: E402
     loo_target_encoding as _loo_target_encoding,
     KNN_VOTE_SQL as _KNN_VOTE_SQL,
     knn_vote_confusion as _knn_vote_confusion,
+    LSH_ANN_SQL as _LSH_ANN_SQL,
+    lsh_ann_topk as _lsh_ann_topk,
+    LANG_SOURCE_MI_SQL as _LANG_SOURCE_MI_SQL,
+    lang_source_mi as _lang_source_mi,
+    RENDEZVOUS_SHARD_SQL as _RENDEZVOUS_SHARD_SQL,
+    rendezvous_shard_stats as _rendezvous_shard_stats,
     TOP_EVENTS_PER_TYPE_SQL as _TOP_EVENTS_PER_TYPE_SQL,
     CUSTOMERS_WITHOUT_EVENTS_SQL as _CUSTOMERS_WITHOUT_EVENTS_SQL,
     QUANTILE_PRUNE_SQL as _QUANTILE_PRUNE_SQL,
@@ -548,6 +556,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # leave-one-out kNN majority-vote eval: exact integer
         # distances, broadcast corpus, confusion-matrix output
         "knn_vote_confusion": _knn_vote_confusion,
+        # third ANN tier: training-free hyperplane LSH buckets,
+        # Hamming-1 multiprobe, exact re-rank of candidates only
+        "lsh_ann_topk": _lsh_ann_topk,
+        # mutual information of (lang, source) in integer micro-
+        # nats: is provenance entangled with language?
+        "lang_source_mi": _lang_source_mi,
+        # rendezvous-hash shard map with exact minimal-movement
+        # accounting for adding one shard
+        "rendezvous_shard_stats": _rendezvous_shard_stats,
+        # exact weighted median per group: histogram bisection
+        # over weight mass, no global sort
+        "weighted_median_by_flag": _weighted_median_by_flag,
         # last-touch attribution: conversions credited to the most
         # recent in-window prior touch, deterministic under ts ties
         "last_touch_attribution": _last_touch_attribution,
@@ -641,6 +661,11 @@ def _minhash_signature_stats(sf_dir: str):
 def _sketch_cdf_by_type(sf_dir: str):
     from p2pddsketch_ray.pipelines.quantiles import sketch_cdf_by_type
     return sketch_cdf_by_type(sf_dir, alpha=ALPHA, bin_limit=BIN_LIMIT)
+
+
+def _weighted_median_by_flag(sf_dir: str):
+    from p2pddsketch_ray.pipelines.quantiles import weighted_median_by_flag
+    return weighted_median_by_flag(sf_dir)
 
 
 def _hll_sliding_users(sf_dir: str):
@@ -1014,6 +1039,10 @@ def oracle_sql() -> dict[str, str]:
         "kmeans_iter_stats": _KMEANS_ITER_SQL,
         "loo_target_encoding": _LOO_TARGET_ENCODING_SQL,
         "knn_vote_confusion": _KNN_VOTE_SQL,
+        "lsh_ann_topk": _LSH_ANN_SQL,
+        "lang_source_mi": _LANG_SOURCE_MI_SQL,
+        "rendezvous_shard_stats": _RENDEZVOUS_SHARD_SQL,
+        "weighted_median_by_flag": _WEIGHTED_MEDIAN_SQL,
         "last_touch_attribution": _LAST_TOUCH_SQL,
         "dds_price_global": _dds_sql("lineitem", "l_extendedprice"),
         "dds_price_by_flag": _dds_sql("lineitem", "l_extendedprice",

@@ -784,3 +784,236 @@ def quantile_error_report(sf_dir: str, *, alpha: float = 0.01,
         "exact": pa.array(exact_vals, type=pa.float64()),
         "rel_err_ppm": pa.array(rel_ppm, type=pa.int64()),
     })
+
+
+# ---------------------------------------------------------------------------
+# Exact WEIGHTED median (grouped): histogram bisection over weight mass
+# ---------------------------------------------------------------------------
+
+class _WeightedIntervalHist:
+    """Per-interval integer histogram over float order-keys accumulating
+    WEIGHT mass instead of row counts -- the weighted twin of
+    _IntervalHist, same mergeable accumulator shape."""
+
+    def __init__(self, value_col: str, weight_col: str, intervals,
+                 bins: int, group_col: str, groups):
+        import numpy as np
+        self.value_col, self.weight_col = value_col, weight_col
+        self.group_col = group_col
+        self.intervals = [(int(lo), int(hi)) for lo, hi in intervals]
+        self.bins = bins
+        self.widths = [max(1, -((hi - lo + 1) // -bins))
+                       for lo, hi in self.intervals]
+        self.counts = np.zeros((len(self.intervals), bins), dtype=np.int64)
+        self.group_values = sorted(set(groups))
+        lut = {g: c for c, g in enumerate(self.group_values)}
+        self.codes = [lut[g] for g in groups]
+
+    def add_batch(self, t: pa.Table) -> None:
+        import numpy as np
+        import pyarrow.compute as pc
+        v = t[self.value_col].to_numpy(zero_copy_only=False)
+        w = t[self.weight_col].to_numpy(zero_copy_only=False)
+        ok = ~np.isnan(v)
+        keys = _float_order_keys(v[ok])
+        wts = np.floor(w[ok] + 0.5).astype(np.int64)
+        gc = pc.fill_null(pc.index_in(
+            t[self.group_col],
+            value_set=pa.array(self.group_values)), -1).to_numpy(
+                zero_copy_only=False).astype(np.int64)[ok]
+        for i, (lo, hi) in enumerate(self.intervals):
+            m = ((keys >= np.uint64(lo)) & (keys <= np.uint64(hi))
+                 & (gc == self.codes[i]))
+            if not m.any():
+                continue
+            idx = ((keys[m] - np.uint64(lo))
+                   // np.uint64(self.widths[i])).astype(np.int64)
+            self.counts[i] += np.bincount(idx, weights=wts[m],
+                                          minlength=self.bins
+                                          ).astype(np.int64)
+
+    def merge(self, other: "_WeightedIntervalHist"):
+        self.counts += other.counts
+        return self
+
+
+def exact_weighted_median_grouped(ds: "ray.data.Dataset", value_col: str,
+                                  weight_col: str, group_col: str, *,
+                                  bins: int = 4096,
+                                  collect_limit: int = 2_000_000,
+                                  max_rounds: int = 8) -> dict:
+    """EXACT weighted median per group without a global sort: the
+    smallest data value v with cumulative weight(rows <= v) >=
+    (W_group + 1) // 2.  Same iterative histogram-bisection shape as
+    exact_quantiles, with WEIGHT mass driving the rank walk -- each
+    round is one mergeable multi-interval weighted histogram (tiny
+    blobs through the tree merge), then one pruned collect resolves the
+    survivors driver-side.  Weights must be non-negative integers
+    (enforced by rounding).  Returns {group: (W, median_value)}."""
+    import numpy as np
+    from ray.data.aggregate import Max, Min, Sum
+
+    from ..stages.generic_build import build_and_merge
+
+    cols = [value_col, weight_col, group_col]
+
+    def block_stats(t: pa.Table) -> pa.Table:
+        v = t[value_col].to_numpy(zero_copy_only=False)
+        w = t[weight_col].to_numpy(zero_copy_only=False)
+        ok = ~np.isnan(v)
+        if not ok.any():
+            return pa.table({group_col: pa.array([], type=pa.string()),
+                             "w": pa.array([], type=pa.int64()),
+                             "kmin": pa.array([], type=pa.uint64()),
+                             "kmax": pa.array([], type=pa.uint64())})
+        keys = _float_order_keys(v[ok])
+        wts = np.floor(w[ok] + 0.5).astype(np.int64)
+        g = t[group_col].to_numpy(zero_copy_only=False)[ok]
+        ug, inv = np.unique(g, return_inverse=True)
+        wsum = np.zeros(ug.shape[0], dtype=np.int64)
+        np.add.at(wsum, inv, wts)
+        kmin = np.full(ug.shape[0], np.iinfo(np.uint64).max,
+                       dtype=np.uint64)
+        kmax = np.zeros(ug.shape[0], dtype=np.uint64)
+        np.minimum.at(kmin, inv, keys)
+        np.maximum.at(kmax, inv, keys)
+        return pa.table({group_col: pa.array(ug.tolist(),
+                                             type=pa.string()),
+                         "w": pa.array(wsum),
+                         "kmin": pa.array(kmin, type=pa.uint64()),
+                         "kmax": pa.array(kmax, type=pa.uint64())})
+
+    stats = (ds.select_columns(cols)
+             .map_batches(block_stats, batch_format="pyarrow",
+                          zero_copy_batch=True)
+             .groupby(group_col)
+             .aggregate(Sum("w", alias_name="w"),
+                        Min("kmin", alias_name="kmin"),
+                        Max("kmax", alias_name="kmax")).take_all())
+    targets = []
+    for r in stats:
+        W = int(r["w"])
+        targets.append({"group": r[group_col], "W": W,
+                        "rank": (W + 1) // 2,
+                        "lo": int(r["kmin"]), "hi": int(r["kmax"]),
+                        "below": 0, "in_interval": W, "value": None})
+
+    for _ in range(max_rounds):
+        active = [t for t in targets
+                  if t["value"] is None and t["in_interval"] > collect_limit
+                  and t["lo"] < t["hi"]]
+        if not active:
+            break
+        hist = build_and_merge(
+            ds.select_columns(cols), cols,
+            lambda: _WeightedIntervalHist(
+                value_col, weight_col,
+                [(t["lo"], t["hi"]) for t in active], bins, group_col,
+                [t["group"] for t in active]),
+            lambda s, batch: s.add_batch(batch))
+        for i, t in enumerate(active):
+            cum = np.cumsum(hist.counts[i])
+            L = t["rank"] - t["below"]
+            b = int(np.searchsorted(cum, L, side="left"))
+            w = hist.widths[i]
+            t["below"] += int(cum[b - 1]) if b > 0 else 0
+            t["lo"], t["hi"] = (t["lo"] + b * w,
+                                min(t["lo"] + (b + 1) * w - 1, t["hi"]))
+            t["in_interval"] = int(hist.counts[i][b])
+        for t in targets:
+            if t["value"] is None and t["lo"] == t["hi"]:
+                t["value"] = _key_to_float(t["lo"])
+
+    pending = [t for t in targets if t["value"] is None]
+    if pending:
+        import ray as _ray
+        los = np.array([t["lo"] for t in pending], dtype=np.uint64)
+        his = np.array([t["hi"] for t in pending], dtype=np.uint64)
+        gvals = sorted({t["group"] for t in pending})
+        lut = {g: c for c, g in enumerate(gvals)}
+        pcodes = np.array([lut[t["group"]] for t in pending],
+                          dtype=np.int64)
+
+        def collect(tab: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+            v = tab[value_col].to_numpy(zero_copy_only=False)
+            w = tab[weight_col].to_numpy(zero_copy_only=False)
+            ok = ~np.isnan(v)
+            keys = _float_order_keys(v[ok])
+            wts = np.floor(w[ok] + 0.5).astype(np.int64)
+            gc = pc.fill_null(pc.index_in(
+                tab[group_col], value_set=pa.array(gvals)), -1).to_numpy(
+                    zero_copy_only=False).astype(np.int64)[ok]
+            inr = ((keys[:, None] >= los[None, :])
+                   & (keys[:, None] <= his[None, :])
+                   & (gc[:, None] == pcodes[None, :]))
+            m = inr.any(axis=1)
+            return pa.table({"k": pa.array(keys[m], type=pa.uint64()),
+                             "w": pa.array(wts[m], type=pa.int64()),
+                             "g": pa.array(gc[m], type=pa.int64())})
+
+        picked = (ds.select_columns(cols)
+                  .map_batches(collect, batch_format="pyarrow",
+                               zero_copy_batch=True))
+        parts = [tt for tt in map(_ray.get, picked.to_arrow_refs())
+                 if tt.num_rows]
+        allt = (pa.concat_tables(parts) if parts
+                else pa.table({"k": pa.array([], type=pa.uint64()),
+                               "w": pa.array([], type=pa.int64()),
+                               "g": pa.array([], type=pa.int64())}))
+        allk = allt["k"].to_numpy(zero_copy_only=False)
+        allw = allt["w"].to_numpy(zero_copy_only=False)
+        allg = allt["g"].to_numpy(zero_copy_only=False)
+        for j, t in enumerate(pending):
+            m = ((allk >= los[j]) & (allk <= his[j])
+                 & (allg == pcodes[j]))
+            order = np.argsort(allk[m], kind="stable")
+            ks, ws = allk[m][order], allw[m][order]
+            cum = np.cumsum(ws)
+            L = t["rank"] - t["below"]
+            t["value"] = _key_to_float(
+                int(ks[int(np.searchsorted(cum, L, side="left"))]))
+
+    return {t["group"]: (t["W"], t["value"]) for t in targets}
+
+
+def weighted_median_by_flag(sf_dir: str) -> pa.Table:
+    """Driver query: exact QUANTITY-weighted median extended price per
+    return flag -- 'the price at which half the shipped units are
+    cheaper', the inventory-weighted robust center that an unweighted
+    median misstates whenever price correlates with volume."""
+    import ray.data
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_extendedprice", "l_quantity"])
+    res = exact_weighted_median_grouped(
+        ds, "l_extendedprice", "l_quantity", "l_returnflag")
+    flags = sorted(res)
+    return pa.table({
+        "l_returnflag": pa.array(flags, type=pa.string()),
+        "total_weight": pa.array([res[f][0] for f in flags],
+                                 type=pa.int64()),
+        "weighted_median": pa.array([res[f][1] for f in flags],
+                                    type=pa.float64()),
+    })
+
+
+WEIGHTED_MEDIAN_SQL = """
+WITH w AS (
+  SELECT l_returnflag AS flag, l_extendedprice AS v,
+         CAST(l_quantity AS BIGINT) AS wt
+  FROM lineitem
+), tot AS (
+  SELECT flag, CAST(sum(wt) AS BIGINT) AS W FROM w GROUP BY 1
+), c AS (
+  SELECT flag, v,
+         sum(wt) OVER (PARTITION BY flag ORDER BY v
+                       ROWS UNBOUNDED PRECEDING) AS cum
+  FROM w
+)
+SELECT c.flag AS l_returnflag, tot.W AS total_weight,
+       min(c.v) AS weighted_median
+FROM c JOIN tot USING (flag)
+WHERE c.cum >= (tot.W + 1) // 2
+GROUP BY 1, 2 ORDER BY 1
+"""

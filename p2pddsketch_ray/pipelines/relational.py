@@ -5931,3 +5931,294 @@ SELECT CAST(e.label AS BIGINT) AS label, p.pred,
 FROM p JOIN embeddings e ON e.vec_id = p.src
 GROUP BY 1, 2 ORDER BY 1, 2
 """
+
+
+def _lsh_hyperplanes(nbits: int, d: int) -> np.ndarray:
+    """Deterministic (nbits, d) integer hyperplane matrix: centered
+    24-bit values carved from splitmix64(b*d + j) -- seedless,
+    identical on every worker and replicable as SQL constants."""
+    from ..hashing import splitmix64
+    idx = np.arange(nbits * d, dtype=np.int64)
+    w = (splitmix64(idx) >> np.uint64(40)).astype(np.int64) - (1 << 23)
+    return w.reshape(nbits, d)
+
+
+def lsh_ann_topk(sf_dir: str, query_vec_id: int = 0, k: int = 10,
+                 nbits: int = 12) -> "ray.data.Dataset":
+    """Hyperplane-LSH approximate nearest neighbors (Charikar, STOC
+    2002): every vector gets an ``nbits`` sign-bit bucket code from
+    integer dot products against deterministic hyperplanes; the query
+    probes its own bucket plus all Hamming-1 neighbors (multiprobe) and
+    only those candidates are exactly cosine re-ranked.  The third ANN
+    tier next to brute force (knn_cosine_topk) and IVF (pipelines.knn):
+    bucketing needs no training pass at all, so it is the right scale
+    path for write-heavy corpora where centroids would go stale.
+
+    Scale shape: codes are one (n, d) @ (d, nbits) int64 matmul per
+    batch (milli-unit exact, so the bucket boundary is engine-stable);
+    the probe-code set and unit query are ray.put once; non-candidates
+    are dropped BEFORE any float work; block-local top-k prereduce
+    bounds the exchange at O(k x blocks).  Recall is tunable by nbits /
+    probe radius and the oracle replicates the same probe semantics, so
+    the result is deterministic -- approximate vs brute force, exact vs
+    its own contract."""
+    import pyarrow.parquet as pq
+
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                        columns=["vec_id", "embedding"])
+    qrow = emb.filter(pc.equal(emb["vec_id"], query_vec_id))
+    qvec = np.asarray(qrow["embedding"][0].as_py(), dtype=np.float64)
+    d = qvec.shape[0]
+    H = _lsh_hyperplanes(nbits, d)
+    qx = np.floor(qvec * 1000.0 + 0.5).astype(np.int64)
+    qcode = int(((H @ qx >= 0).astype(np.int64)
+                 << np.arange(nbits, dtype=np.int64)).sum())
+    probes = np.array([qcode] + [qcode ^ (1 << b) for b in range(nbits)],
+                      dtype=np.int64)
+    probes.sort()
+    qunit = qvec / np.linalg.norm(qvec)
+    state_ref = ray.put((H, probes, qunit))
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    empty = pa.table({"vec_id": pa.array([], type=pa.int64()),
+                      "cos_sim": pa.array([], type=pa.float64())})
+
+    def score(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        from ..functions.vectors import list_to_matrix
+        Hm, pr, qu = ray.get(state_ref)
+        mat = list_to_matrix(t["embedding"], dtype=np.float64)
+        x = np.floor(mat * 1000.0 + 0.5).astype(np.int64)
+        bits = (x @ Hm.T) >= 0
+        codes = (bits.astype(np.int64)
+                 << np.arange(Hm.shape[0], dtype=np.int64)[None, :]).sum(axis=1)
+        hit = np.nonzero(np.isin(codes, pr))[0]
+        if hit.shape[0] == 0:
+            return empty
+        sub = mat[hit]
+        norms = np.linalg.norm(sub, axis=1)
+        norms[norms == 0] = 1.0
+        sims = (sub @ qu) / norms
+        return pa.table({
+            "vec_id": t["vec_id"].take(pa.array(hit)),
+            "cos_sim": pa.array(np.round(sims, 4), type=pa.float64()),
+        })
+
+    from ..stages.topk import topk
+    return topk(ds.map_batches(score, batch_format="pyarrow",
+                               zero_copy_batch=True),
+                [("cos_sim", "descending"), ("vec_id", "ascending")], k)
+
+
+def _lsh_ann_sql(query_vec_id: int = 0, k: int = 10,
+                 nbits: int = 12, d: int = 64) -> str:
+    """DuckDB replica of lsh_ann_topk: the hyperplane constants are
+    inlined VALUES rows (same splitmix64 derivation), codes via integer
+    dot-product sign bits, multiprobe via XOR, cosine re-rank with the
+    proven list_cosine_similarity path."""
+    H = _lsh_hyperplanes(nbits, d)
+    rows = ", ".join(f"({b}, {j}, {int(H[b, j])})"
+                     for b in range(nbits) for j in range(d))
+    return f"""
+WITH nums AS (
+  SELECT CAST(range AS BIGINT) AS i FROM range(1, {d + 1})
+), q AS (
+  SELECT vec_id, CAST(i - 1 AS BIGINT) AS dim,
+         CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000.0 + 0.5)
+              AS BIGINT) AS x
+  FROM embeddings JOIN nums ON nums.i <= len(embedding)
+), hp(b, dim, w) AS (VALUES {rows}),
+codes AS (
+  SELECT q.vec_id,
+         CAST(sum(CASE WHEN dot >= 0 THEN 1 << b ELSE 0 END) AS BIGINT)
+           AS code
+  FROM (SELECT q.vec_id, hp.b, sum(q.x * hp.w) AS dot
+        FROM q JOIN hp ON hp.dim = q.dim GROUP BY 1, 2) q
+  GROUP BY 1
+), qc AS (
+  SELECT code AS qcode FROM codes WHERE vec_id = {query_vec_id}
+), probes AS (
+  SELECT qcode AS p FROM qc
+  UNION ALL
+  SELECT xor(qcode, 1 << CAST(range AS BIGINT)) FROM qc, range(0, {nbits})
+), cand AS (
+  SELECT vec_id FROM codes WHERE code IN (SELECT p FROM probes)
+), qv AS (
+  SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings WHERE vec_id = {query_vec_id}
+)
+SELECT e.vec_id,
+       round(list_cosine_similarity(
+           list_transform(e.embedding, x -> CAST(x AS DOUBLE)), qv.v), 4)
+         AS cos_sim
+FROM embeddings e JOIN cand USING (vec_id) CROSS JOIN qv
+ORDER BY cos_sim DESC, e.vec_id LIMIT {k}"""
+
+
+LSH_ANN_SQL = _lsh_ann_sql()
+
+
+def lang_source_mi(sf_dir: str) -> pa.Table:
+    """Pointwise mutual-information decomposition of the (lang, source)
+    contingency table: per cell, the count and the MI contribution
+    floor((p_ij * ln(p_ij / (p_i p_j))) * 1e6) in integer MICRO-NATS --
+    the dependence measure (summing the cells gives corpus-level MI)
+    that tells a curator whether language and provenance are entangled
+    (MI > 0 means per-source language balancing is NOT optional).  Same
+    per-term flooring discipline as hour_entropy_by_type: each term is
+    one float expression evaluated identically by numpy and DuckDB, and
+    everything distributed is integer.
+
+    Scale shape: per-block composite-unique (lang, source) count
+    partials -- O(langs x sources x blocks) shuffle rows; marginals and
+    the ln finalize fold a langs x sources table on the driver."""
+    ds = _read(sf_dir, "documents", ["lang", "source"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        lang = t["lang"].to_numpy(zero_copy_only=False)
+        src = t["source"].to_numpy(zero_copy_only=False)
+        ul, lc = np.unique(lang, return_inverse=True)
+        us, sc = np.unique(src, return_inverse=True)
+        comp = lc.astype(np.int64) * np.int64(us.shape[0]) + sc
+        uc, inv = np.unique(comp, return_inverse=True)
+        cnt = np.bincount(inv).astype(np.int64)
+        return pa.table({
+            "lang": pa.array(ul[uc // us.shape[0]].tolist(),
+                             type=pa.string()),
+            "source": pa.array(us[uc % us.shape[0]].tolist(),
+                               type=pa.string()),
+            "cnt": pa.array(cnt),
+        })
+
+    hist = (ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby(["lang", "source"])
+            .aggregate(Sum("cnt", alias_name="cnt"))
+            .to_pandas())
+    n = np.float64(hist["cnt"].sum())
+    row_tot = hist.groupby("lang")["cnt"].transform("sum") \
+        .to_numpy(dtype=np.float64)
+    col_tot = hist.groupby("source")["cnt"].transform("sum") \
+        .to_numpy(dtype=np.float64)
+    cnt = hist["cnt"].to_numpy(dtype=np.float64)
+    # ONE float expression per term, same parenthesization as the SQL
+    terms = np.floor((cnt / n) * np.log((cnt * n) / (row_tot * col_tot))
+                     * 1e6).astype(np.int64)
+    out = hist.assign(mi_term_unats=terms).sort_values(
+        ["lang", "source"]).reset_index(drop=True)
+    return pa.table({
+        "lang": pa.array(out["lang"], type=pa.string()),
+        "source": pa.array(out["source"], type=pa.string()),
+        "cnt": pa.array(out["cnt"].astype(np.int64), type=pa.int64()),
+        "mi_term_unats": pa.array(out["mi_term_unats"].astype(np.int64),
+                                  type=pa.int64()),
+    })
+
+
+LANG_SOURCE_MI_SQL = """
+WITH c AS (
+  SELECT lang, source, CAST(count(*) AS BIGINT) AS cnt
+  FROM documents GROUP BY 1, 2
+), tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS n FROM c),
+r AS (SELECT lang, CAST(sum(cnt) AS DOUBLE) AS rt FROM c GROUP BY 1),
+s AS (SELECT source, CAST(sum(cnt) AS DOUBLE) AS ct FROM c GROUP BY 1)
+SELECT c.lang, c.source, c.cnt,
+       CAST(floor((CAST(c.cnt AS DOUBLE) / tot.n)
+                  * ln((CAST(c.cnt AS DOUBLE) * tot.n) / (r.rt * s.ct))
+                  * 1000000.0) AS BIGINT) AS mi_term_unats
+FROM c CROSS JOIN tot
+JOIN r ON r.lang = c.lang
+JOIN s ON s.source = c.source
+ORDER BY 1, 2
+"""
+
+
+def rendezvous_shard_stats(sf_dir: str, n_shards: int = 8) -> pa.Table:
+    """Rendezvous (highest-random-weight) hashing shard map (Thaler &
+    Ravishankar 1996) over doc_id: each document goes to the shard with
+    the largest hash(doc_id XOR shard_key), and the report also counts
+    how many of each shard's documents would MOVE if one shard were
+    added -- the minimal-movement property (~1/(n+1) of the corpus)
+    that makes HRW the placement function for elastic clusters, proved
+    here with exact counts instead of folklore.
+
+    Scale shape: pure streaming -- per batch, an (n, shards) murmur64
+    matrix (DuckDB hash()-replicable) and two argmaxes, folded to
+    O(shards) partials; nothing but shard-sized rows ever shuffles."""
+    from ..hashing import murmur64
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+    # distinct odd per-shard keys, same constants inlined in the SQL
+    keys = np.array([(s * 2 + 1) * 0x9E3779B9 for s in range(n_shards + 1)],
+                    dtype=np.int64)
+
+    empty = pa.table({"shard": pa.array([], type=pa.int64()),
+                      "n_docs": pa.array([], type=pa.int64()),
+                      "n_chars": pa.array([], type=pa.int64()),
+                      "n_moved": pa.array([], type=pa.int64())})
+
+    def assign(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        did = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nch = t["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        w = np.stack([murmur64(did ^ k) for k in keys], axis=1)
+        cur = np.argmax(w[:, :n_shards], axis=1)   # first max = smaller
+        nxt = np.argmax(w, axis=1)                  # shard wins ties
+        moved = (nxt == n_shards).astype(np.int64)
+        n = np.bincount(cur, minlength=n_shards).astype(np.int64)
+        ch = np.zeros(n_shards, dtype=np.int64)
+        np.add.at(ch, cur, nch)
+        mv = np.zeros(n_shards, dtype=np.int64)
+        np.add.at(mv, cur, moved)
+        return pa.table({
+            "shard": pa.array(np.arange(n_shards, dtype=np.int64)),
+            "n_docs": pa.array(n), "n_chars": pa.array(ch),
+            "n_moved": pa.array(mv),
+        })
+
+    agg = (ds.map_batches(assign, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("shard")
+           .aggregate(Sum("n_docs", alias_name="n_docs"),
+                      Sum("n_chars", alias_name="n_chars"),
+                      Sum("n_moved", alias_name="n_moved"))
+           .to_pandas().sort_values("shard").reset_index(drop=True))
+    return pa.table({
+        "shard": pa.array(agg["shard"].astype(np.int64)),
+        "n_docs": pa.array(agg["n_docs"].astype(np.int64)),
+        "n_chars": pa.array(agg["n_chars"].astype(np.int64)),
+        "n_moved": pa.array(agg["n_moved"].astype(np.int64)),
+    })
+
+
+def _rendezvous_sql(n_shards: int = 8) -> str:
+    keys = [(s * 2 + 1) * 0x9E3779B9 for s in range(n_shards + 1)]
+    rows = ", ".join(f"({s}, {k})" for s, k in enumerate(keys))
+    return f"""
+WITH sh(shard, key) AS (VALUES {rows}),
+w AS (
+  SELECT d.doc_id, d.n_chars, sh.shard,
+         hash(xor(d.doc_id, sh.key)) AS wt
+  FROM documents d CROSS JOIN sh
+), cur AS (
+  SELECT doc_id, n_chars, shard,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY wt DESC, shard) AS r
+  FROM w WHERE shard < {n_shards} QUALIFY r = 1
+), nxt AS (
+  SELECT doc_id, shard AS nshard,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY wt DESC, shard) AS r
+  FROM w QUALIFY r = 1
+)
+SELECT cur.shard, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(cur.n_chars) AS BIGINT) AS n_chars,
+       CAST(sum(CASE WHEN nxt.nshard = {n_shards} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_moved
+FROM cur JOIN nxt USING (doc_id)
+GROUP BY 1 ORDER BY 1"""
+
+
+RENDEZVOUS_SHARD_SQL = _rendezvous_sql()

@@ -241,3 +241,27 @@ def test_quantile_error_report_matches_duckdb_and_meets_alpha(ray_session):
     assert got.equals(want.reset_index(drop=True))
     # the reference's guarantee, machine-checked: rel err <= alpha
     assert (got["rel_err_ppm"] <= 10_000).all()
+
+
+def test_weighted_median_matches_repetition_expansion(ray_session):
+    """The quantity-weighted median equals the plain median of the
+    weight-expanded multiset (each row repeated quantity times)."""
+    import duckdb
+    from p2pddsketch_ray.pipelines.quantiles import weighted_median_by_flag
+    sf = "/root/testdata/sf0.001"
+    got = weighted_median_by_flag(sf).to_pandas()
+    con = duckdb.connect()
+    want = con.execute(f"""
+        WITH expanded AS (
+          SELECT l_returnflag, l_extendedprice
+          FROM read_parquet('{sf}/lineitem.parquet')
+          JOIN range(0, 64) r ON r.range < CAST(l_quantity AS BIGINT)
+        )
+        SELECT l_returnflag,
+               CAST(count(*) AS BIGINT) AS total_weight,
+               quantile_disc(l_extendedprice, 0.5) AS med
+        FROM expanded GROUP BY 1 ORDER BY 1""").df()
+    assert list(got["l_returnflag"]) == list(want["l_returnflag"])
+    assert list(got["total_weight"]) == list(want["total_weight"])
+    for g, w in zip(got["weighted_median"], want["med"]):
+        assert g == w

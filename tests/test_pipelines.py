@@ -1251,3 +1251,53 @@ def test_knn_vote_confusion_totals_and_bruteforce(ray_session):
     got = {(int(r.label), int(r.pred)): int(r.n)
            for r in out.itertuples()}
     assert got == conf
+
+
+def test_lsh_ann_topk_candidates_are_exactly_scored(ray_session):
+    """The query lands at rank 1 with cos 1.0, and every returned
+    similarity equals the brute-force cosine for that id (LSH prunes
+    candidates, it never perturbs scores)."""
+    import pyarrow.parquet as pq
+    from p2pddsketch_ray.functions.vectors import list_to_matrix
+    from p2pddsketch_ray.pipelines.relational import lsh_ann_topk
+    sf = "/root/testdata/sf0.001"
+    rows = lsh_ann_topk(sf).take_all()
+    assert 0 < len(rows) <= 10
+    assert rows[0]["vec_id"] == 0 and rows[0]["cos_sim"] == 1.0
+    emb = pq.read_table(f"{sf}/embeddings.parquet")
+    mat = list_to_matrix(emb["embedding"], dtype=np.float64)
+    vid = emb["vec_id"].to_numpy()
+    q = mat[vid == 0][0]
+    q = q / np.linalg.norm(q)
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0] = 1.0
+    sims = {int(v): round(float(s), 4)
+            for v, s in zip(vid, (mat @ q) / norms)}
+    for r in rows:
+        assert r["cos_sim"] == sims[r["vec_id"]]
+
+
+def test_lang_source_mi_invariants(ray_session):
+    """Cell counts cover the corpus and total MI is non-negative up to
+    the per-cell flooring slack."""
+    import pyarrow.parquet as pq
+    from p2pddsketch_ray.pipelines.relational import lang_source_mi
+    sf = "/root/testdata/sf0.001"
+    out = lang_source_mi(sf).to_pydict()
+    n_docs = pq.read_metadata(f"{sf}/documents.parquet").num_rows
+    assert sum(out["cnt"]) == n_docs
+    assert sum(out["mi_term_unats"]) >= -len(out["cnt"])
+
+
+def test_rendezvous_minimal_movement(ray_session):
+    """Every doc is placed exactly once and adding a 9th shard moves
+    roughly 1/9 of the corpus (the HRW minimal-movement property)."""
+    import pyarrow.parquet as pq
+    from p2pddsketch_ray.pipelines.relational import rendezvous_shard_stats
+    sf = "/root/testdata/sf0.001"
+    out = rendezvous_shard_stats(sf).to_pandas()
+    n_docs = pq.read_metadata(f"{sf}/documents.parquet").num_rows
+    assert out["n_docs"].sum() == n_docs
+    assert (out["n_moved"] <= out["n_docs"]).all()
+    frac = out["n_moved"].sum() / n_docs
+    assert 0.04 <= frac <= 0.25  # expected 1/9 ~ 0.11
