@@ -79,6 +79,8 @@ from p2pddsketch_ray.pipelines.relational import (  # noqa: E402
     lang_source_mi as _lang_source_mi,
     RENDEZVOUS_SHARD_SQL as _RENDEZVOUS_SHARD_SQL,
     rendezvous_shard_stats as _rendezvous_shard_stats,
+    ZORDER_LAYOUT_SQL as _ZORDER_LAYOUT_SQL,
+    zorder_layout_stats as _zorder_layout_stats,
     TOP_EVENTS_PER_TYPE_SQL as _TOP_EVENTS_PER_TYPE_SQL,
     CUSTOMERS_WITHOUT_EVENTS_SQL as _CUSTOMERS_WITHOUT_EVENTS_SQL,
     QUANTILE_PRUNE_SQL as _QUANTILE_PRUNE_SQL,
@@ -568,6 +570,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # exact weighted median per group: histogram bisection
         # over weight mass, no global sort
         "weighted_median_by_flag": _weighted_median_by_flag,
+        # Z-order (Morton) layout: 2-D range query reads only the
+        # prefix partitions that can match; scan count hash-checked
+        "zorder_layout_stats": _zorder_layout_stats,
         # last-touch attribution: conversions credited to the most
         # recent in-window prior touch, deterministic under ts ties
         "last_touch_attribution": _last_touch_attribution,
@@ -1043,6 +1048,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_source_mi": _LANG_SOURCE_MI_SQL,
         "rendezvous_shard_stats": _RENDEZVOUS_SHARD_SQL,
         "weighted_median_by_flag": _WEIGHTED_MEDIAN_SQL,
+        "zorder_layout_stats": _ZORDER_LAYOUT_SQL,
         "last_touch_attribution": _LAST_TOUCH_SQL,
         "dds_price_global": _dds_sql("lineitem", "l_extendedprice"),
         "dds_price_by_flag": _dds_sql("lineitem", "l_extendedprice",

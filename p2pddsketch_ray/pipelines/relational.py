@@ -6222,3 +6222,143 @@ GROUP BY 1 ORDER BY 1"""
 
 
 RENDEZVOUS_SHARD_SQL = _rendezvous_sql()
+
+
+def _z_interleave(ub: np.ndarray, hb: np.ndarray) -> np.ndarray:
+    """Bit-interleave two small non-negative int64 arrays (Morton /
+    Z-order): ub bit b -> 2b, hb bit b -> 2b+1.  6 bit pairs cover the
+    (64, 24) grid used below."""
+    z = np.zeros_like(ub)
+    for b in range(6):
+        z |= ((ub >> b) & 1) << (2 * b)
+        z |= ((hb >> b) & 1) << (2 * b + 1)
+    return z
+
+
+def zorder_layout_stats(sf_dir: str, u_lo: int = 8, u_hi: int = 15,
+                        h_lo: int = 9, h_hi: int = 16,
+                        out_root: str | None = None) -> pa.Table:
+    """MULTI-DIMENSIONAL LAYOUT: events are written ONCE hive-partitioned
+    by a Z-ORDER (Morton) prefix of (user-bucket, hour-of-day), then a
+    2-D range query (user buckets [u_lo, u_hi] x hours [h_lo, h_hi])
+    reads ONLY the partitions whose prefix can contain matching codes --
+    the layout that makes BOTH dimensions prunable where a 1-D sort
+    prunes only its leading column.  The fourth member of the layout
+    family (day-range, lang-value, hash-bucket, z-order).  Output: one
+    row with exact matches, rows scanned (pruning quality), partitions
+    touched and present.
+
+    Scale shape: the layout write is one streaming pass (interleave is
+    6 vectorized bit ops); the probe set is enumerated driver-side over
+    the tiny (64 x 24) bucket grid, the window read opens touched
+    directories by PATH, and the count folds in-batch.  The DuckDB
+    oracle recomputes the identical interleave arithmetic, so every
+    output cell -- including rows-scanned -- is hash-checked."""
+    import glob
+    import shutil
+
+    root = out_root or "/tmp/p2pdds_gate/events_by_zorder"
+    shutil.rmtree(root, ignore_errors=True)
+
+    ds = _read(sf_dir, "events", ["ts", "user_id"])
+    HOUR_US = np.int64(3_600_000_000)
+
+    def add_z(t: pa.Table) -> pa.Table:
+        us = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ub = uid % np.int64(64)
+        hb = (us // HOUR_US) % np.int64(24)
+        z = _z_interleave(ub, hb)
+        return pa.table({
+            "ub": pa.array(ub), "hb": pa.array(hb),
+            "zp": pa.array(z >> np.int64(5)),
+        })
+
+    ds.map_batches(add_z, batch_format="pyarrow",
+                   zero_copy_batch=True).write_parquet(
+        root, partition_cols=["zp"])
+
+    # driver-side probe enumeration over the full bucket grid
+    gu, gh = np.meshgrid(np.arange(64, dtype=np.int64),
+                         np.arange(24, dtype=np.int64), indexing="ij")
+    gz = _z_interleave(gu.ravel(), gh.ravel())
+    in_range = ((gu.ravel() >= u_lo) & (gu.ravel() <= u_hi)
+                & (gh.ravel() >= h_lo) & (gh.ravel() <= h_hi))
+    touched = np.unique(gz[in_range] >> np.int64(5))
+
+    present = sorted(int(p.rsplit("=", 1)[1])
+                     for p in glob.glob(f"{root}/zp=*"))
+    n_total = len(present)
+    read_parts = [p for p in present if p in set(touched.tolist())]
+    files = []
+    for p in read_parts:
+        files.extend(sorted(glob.glob(f"{root}/zp={p}/*.parquet")))
+
+    n_scanned = 0
+    n_match = 0
+    if files:
+        window = ray.data.read_parquet(files, columns=["ub", "hb"])
+
+        def count(t: pa.Table) -> pa.Table:
+            ub = t["ub"].to_numpy(zero_copy_only=False)
+            hb = t["hb"].to_numpy(zero_copy_only=False)
+            m = ((ub >= u_lo) & (ub <= u_hi)
+                 & (hb >= h_lo) & (hb <= h_hi))
+            return pa.table({
+                "n_scanned": pa.array([t.num_rows], type=pa.int64()),
+                "n_match": pa.array([int(m.sum())], type=pa.int64()),
+            })
+
+        agg = (window.map_batches(count, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+               .aggregate(Sum("n_scanned", alias_name="s"),
+                          Sum("n_match", alias_name="m")))
+        n_scanned, n_match = int(agg["s"] or 0), int(agg["m"] or 0)
+
+    return pa.table({
+        "n_match": pa.array([n_match], type=pa.int64()),
+        "n_scanned": pa.array([n_scanned], type=pa.int64()),
+        "n_parts_touched": pa.array([len(read_parts)], type=pa.int64()),
+        "n_parts_total": pa.array([n_total], type=pa.int64()),
+    })
+
+
+def _zorder_sql(u_lo: int = 8, u_hi: int = 15,
+                h_lo: int = 9, h_hi: int = 16) -> str:
+    def zexpr(u: str, h: str) -> str:
+        terms = []
+        for b in range(6):
+            terms.append(f"((({u} >> {b}) & 1) << {2 * b})")
+            terms.append(f"((({h} >> {b}) & 1) << {2 * b + 1})")
+        return " + ".join(terms)
+
+    return f"""
+WITH ev AS (
+  SELECT user_id % 64 AS ub,
+         (CAST(epoch_us(ts) AS BIGINT) // 3600000000) % 24 AS hb
+  FROM events
+), evz AS (
+  SELECT ub, hb, ({zexpr('ub', 'hb')}) >> 5 AS zp FROM ev
+), grid AS (
+  SELECT u.range AS gu, h.range AS gh
+  FROM range(0, 64) u CROSS JOIN range(0, 24) h
+), touched AS (
+  SELECT DISTINCT ({zexpr('gu', 'gh')}) >> 5 AS zp
+  FROM grid
+  WHERE gu BETWEEN {u_lo} AND {u_hi} AND gh BETWEEN {h_lo} AND {h_hi}
+)
+SELECT
+  CAST(count(*) FILTER (WHERE ub BETWEEN {u_lo} AND {u_hi}
+                          AND hb BETWEEN {h_lo} AND {h_hi})
+       AS BIGINT) AS n_match,
+  CAST(count(*) FILTER (WHERE zp IN (SELECT zp FROM touched))
+       AS BIGINT) AS n_scanned,
+  CAST(count(DISTINCT zp)
+       FILTER (WHERE zp IN (SELECT zp FROM touched))
+       AS BIGINT) AS n_parts_touched,
+  CAST(count(DISTINCT zp) AS BIGINT) AS n_parts_total
+FROM evz
+"""
+
+
+ZORDER_LAYOUT_SQL = _zorder_sql()

@@ -1301,3 +1301,25 @@ def test_rendezvous_minimal_movement(ray_session):
     assert (out["n_moved"] <= out["n_docs"]).all()
     frac = out["n_moved"].sum() / n_docs
     assert 0.04 <= frac <= 0.25  # expected 1/9 ~ 0.11
+
+
+def test_zorder_layout_prunes_and_matches(ray_session, tmp_path):
+    """The z-layout scan is a superset of the exact matches, touches a
+    strict subset of partitions, and never misses a matching row
+    (verified against an unpruned count)."""
+    import duckdb
+    from p2pddsketch_ray.pipelines.relational import zorder_layout_stats
+    sf = "/root/testdata/sf0.001"
+    out = zorder_layout_stats(
+        sf, out_root=str(tmp_path / "z")).to_pydict()
+    n_match, n_scanned = out["n_match"][0], out["n_scanned"][0]
+    touched, total = out["n_parts_touched"][0], out["n_parts_total"][0]
+    assert n_match <= n_scanned
+    assert 0 < touched < total
+    con = duckdb.connect()
+    want = con.execute(f"""
+        SELECT count(*) FROM read_parquet('{sf}/events.parquet')
+        WHERE user_id % 64 BETWEEN 8 AND 15
+          AND (CAST(epoch_us(ts) AS BIGINT) // 3600000000) % 24
+              BETWEEN 9 AND 16""").fetchone()[0]
+    assert n_match == want
