@@ -81,6 +81,10 @@ from p2pddsketch_ray.pipelines.relational import (  # noqa: E402
     rendezvous_shard_stats as _rendezvous_shard_stats,
     ZORDER_LAYOUT_SQL as _ZORDER_LAYOUT_SQL,
     zorder_layout_stats as _zorder_layout_stats,
+    DECAYED_POPULARITY_SQL as _DECAYED_POPULARITY_SQL,
+    decayed_type_popularity as _decayed_type_popularity,
+    SCHEMA_EVOLUTION_SQL as _SCHEMA_EVOLUTION_SQL,
+    schema_evolution_read_stats as _schema_evolution_read_stats,
     TOP_EVENTS_PER_TYPE_SQL as _TOP_EVENTS_PER_TYPE_SQL,
     CUSTOMERS_WITHOUT_EVENTS_SQL as _CUSTOMERS_WITHOUT_EVENTS_SQL,
     QUANTILE_PRUNE_SQL as _QUANTILE_PRUNE_SQL,
@@ -573,6 +577,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Z-order (Morton) layout: 2-D range query reads only the
         # prefix partitions that can match; scan count hash-checked
         "zorder_layout_stats": _zorder_layout_stats,
+        # exponential-decay popularity counter: integer halving
+        # per day of age, exact ppm fixed point
+        "decayed_type_popularity": _decayed_type_popularity,
+        # migration-day read: two snapshot generations with
+        # different schemas normalized into one unioned stream
+        "schema_evolution_read_stats": _schema_evolution_read_stats,
         # last-touch attribution: conversions credited to the most
         # recent in-window prior touch, deterministic under ts ties
         "last_touch_attribution": _last_touch_attribution,
@@ -1049,6 +1059,8 @@ def oracle_sql() -> dict[str, str]:
         "rendezvous_shard_stats": _RENDEZVOUS_SHARD_SQL,
         "weighted_median_by_flag": _WEIGHTED_MEDIAN_SQL,
         "zorder_layout_stats": _ZORDER_LAYOUT_SQL,
+        "decayed_type_popularity": _DECAYED_POPULARITY_SQL,
+        "schema_evolution_read_stats": _SCHEMA_EVOLUTION_SQL,
         "last_touch_attribution": _LAST_TOUCH_SQL,
         "dds_price_global": _dds_sql("lineitem", "l_extendedprice"),
         "dds_price_by_flag": _dds_sql("lineitem", "l_extendedprice",

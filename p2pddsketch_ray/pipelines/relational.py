@@ -6362,3 +6362,203 @@ FROM evz
 
 
 ZORDER_LAYOUT_SQL = _zorder_sql()
+
+
+def decayed_type_popularity(sf_dir: str) -> "ray.data.Dataset":
+    """FRESHNESS-WEIGHTED popularity: each event counts ppm-fixed-point
+    2^-age_days (integer 1_000_000 >> age_days, age measured in whole
+    days back from the corpus max timestamp) and the per-type sums rank
+    event types by recency-discounted volume -- the exponential-decay
+    counter every trending/ranking surface runs, in exact integer
+    arithmetic (a halving per day; shifts, no floats).
+
+    Scale shape: one tiny Max(ts) pass fixes the reference day
+    (broadcast as a plain closure scalar); the weighting pass streams
+    with per-block (type) partials, so the exchange is O(types)."""
+    from ray.data.aggregate import Max
+    ds = _read(sf_dir, "events", ["ts", "event_type"])
+    DAY_US = np.int64(86_400_000_000)
+    mx = ds.aggregate(Max("ts", alias_name="mx"))["mx"]
+    max_day = int(pa.scalar(mx).cast(pa.int64()).as_py() // int(DAY_US))
+
+    empty = pa.table({"event_type": pa.array([], type=pa.string()),
+                      "n_events": pa.array([], type=pa.int64()),
+                      "decayed_ppm": pa.array([], type=pa.int64())})
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        us = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        age = np.minimum(np.int64(max_day) - us // DAY_US, np.int64(62))
+        w = np.int64(1_000_000) >> age
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        ut, inv = np.unique(et, return_inverse=True)
+        cnt = np.bincount(inv).astype(np.int64)
+        sw = np.zeros(ut.shape[0], dtype=np.int64)
+        np.add.at(sw, inv, w)
+        return pa.table({"event_type": pa.array(ut.tolist(),
+                                                type=pa.string()),
+                         "n_events": pa.array(cnt),
+                         "decayed_ppm": pa.array(sw)})
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("event_type")
+           .aggregate(Sum("n_events", alias_name="n_events"),
+                      Sum("decayed_ppm", alias_name="decayed_ppm")))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": t["event_type"],
+            "n_events": pc.cast(t["n_events"], pa.int64()),
+            "decayed_ppm": pc.cast(t["decayed_ppm"], pa.int64()),
+        })
+
+    return (agg.map_batches(finalize, batch_format="pyarrow")
+            .sort("event_type"))
+
+
+DECAYED_POPULARITY_SQL = """
+WITH mx AS (
+  SELECT CAST(epoch_us(max(ts)) AS BIGINT) // 86400000000 AS max_day
+  FROM events
+), w AS (
+  SELECT event_type,
+         1000000 >> least(
+             mx.max_day
+               - CAST(epoch_us(ts) AS BIGINT) // 86400000000,
+             62) AS wt
+  FROM events CROSS JOIN mx
+)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(wt) AS BIGINT) AS decayed_ppm
+FROM w GROUP BY 1 ORDER BY 1
+"""
+
+
+def schema_evolution_read_stats(sf_dir: str,
+                                out_root: str | None = None
+                                ) -> "ray.data.Dataset":
+    """SCHEMA-DRIFT TOLERANT READ: the events table is materialized as
+    two snapshot generations with different schemas -- v1 (the
+    murmur-even half) written BEFORE a `props` column existed, v2 (the
+    odd half) with `props` plus a new `schema_ver` column -- then both
+    generations are read back, normalized to the union schema (missing
+    columns null-filled, vintage tagged), unioned into ONE stream and
+    rolled up per generation.  This is the migration-day read path every
+    long-lived lakehouse table needs: old files keep working, new
+    columns appear as nulls behind them.
+
+    Scale shape: the split is a streaming murmur64 filter (DuckDB
+    hash-replicable, so the oracle regenerates the same halves from the
+    raw table); each generation normalizes inside its own map_batches
+    (schema work is per-block, no shuffle) and the union is Ray's
+    zero-copy stream concatenation; the rollup is the standard in-batch
+    combiner with an O(generations) exchange."""
+    import shutil
+
+    from ..hashing import murmur64
+
+    root = out_root or "/tmp/p2pdds_gate/events_snapshots"
+    shutil.rmtree(root, ignore_errors=True)
+
+    ds = _read(sf_dir, "events", ["event_id", "value", "props"])
+
+    def half(t: pa.Table, *, odd: bool) -> pa.Table:
+        eid = t["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = (murmur64(eid) % np.uint64(2) == np.uint64(1)) == odd
+        return t.filter(pa.array(m))
+
+    # v1: pre-migration schema, no props column
+    (ds.map_batches(lambda t: half(t, odd=False).drop_columns(["props"]),
+                    batch_format="pyarrow", zero_copy_batch=True)
+     .write_parquet(f"{root}/v1"))
+    # v2: post-migration schema with the new column
+    (ds.map_batches(
+        lambda t: half(t, odd=True).append_column(
+            "schema_ver", pa.array(["v2"] * half(t, odd=True).num_rows,
+                                   type=pa.string())),
+        batch_format="pyarrow", zero_copy_batch=True)
+     .write_parquet(f"{root}/v2"))
+
+    v1 = ray.data.read_parquet(f"{root}/v1")
+    v2 = ray.data.read_parquet(f"{root}/v2")
+
+    def norm_v1(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table({
+            "schema_ver": pa.array(["v1"] * n, type=pa.string()),
+            "event_id": t["event_id"],
+            "value_c": _int_units(t["value"], 100),
+            "props": pa.nulls(n, type=pa.string()),
+        })
+
+    def norm_v2(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "schema_ver": t["schema_ver"],
+            "event_id": t["event_id"],
+            "value_c": _int_units(t["value"], 100),
+            "props": t["props"],
+        })
+
+    unified = (v1.map_batches(norm_v1, batch_format="pyarrow",
+                              zero_copy_batch=True)
+               .union(v2.map_batches(norm_v2, batch_format="pyarrow",
+                                     zero_copy_batch=True)))
+
+    empty = pa.table({"schema_ver": pa.array([], type=pa.string()),
+                      "n_rows": pa.array([], type=pa.int64()),
+                      "n_with_props": pa.array([], type=pa.int64()),
+                      "sum_value_c": pa.array([], type=pa.int64())})
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        sv = t["schema_ver"].to_numpy(zero_copy_only=False)
+        vc = t["value_c"].to_numpy(zero_copy_only=False)
+        has = pc.is_valid(t["props"]).to_numpy(zero_copy_only=False)
+        u, inv = np.unique(sv, return_inverse=True)
+        n = np.bincount(inv).astype(np.int64)
+        np_ = np.zeros(u.shape[0], dtype=np.int64)
+        np.add.at(np_, inv, has.astype(np.int64))
+        s = np.zeros(u.shape[0], dtype=np.int64)
+        np.add.at(s, inv, vc)
+        return pa.table({"schema_ver": pa.array(u.tolist(),
+                                                type=pa.string()),
+                         "n_rows": pa.array(n),
+                         "n_with_props": pa.array(np_),
+                         "sum_value_c": pa.array(s)})
+
+    agg = (unified.map_batches(partial, batch_format="pyarrow",
+                               zero_copy_batch=True)
+           .groupby("schema_ver")
+           .aggregate(Sum("n_rows", alias_name="n_rows"),
+                      Sum("n_with_props", alias_name="n_with_props"),
+                      Sum("sum_value_c", alias_name="sum_value_c")))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "schema_ver": t["schema_ver"],
+            "n_rows": pc.cast(t["n_rows"], pa.int64()),
+            "n_with_props": pc.cast(t["n_with_props"], pa.int64()),
+            "sum_value_c": pc.cast(t["sum_value_c"], pa.int64()),
+        })
+
+    return (agg.map_batches(finalize, batch_format="pyarrow")
+            .sort("schema_ver"))
+
+
+SCHEMA_EVOLUTION_SQL = """
+WITH tagged AS (
+  SELECT CASE WHEN hash(event_id) % 2 = 1 THEN 'v2' ELSE 'v1' END
+           AS schema_ver,
+         CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS value_c,
+         CASE WHEN hash(event_id) % 2 = 1 THEN props ELSE NULL END
+           AS props
+  FROM events
+)
+SELECT schema_ver, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(props) AS BIGINT) AS n_with_props,
+       CAST(sum(value_c) AS BIGINT) AS sum_value_c
+FROM tagged GROUP BY 1 ORDER BY 1
+"""

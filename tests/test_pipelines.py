@@ -1323,3 +1323,29 @@ def test_zorder_layout_prunes_and_matches(ray_session, tmp_path):
           AND (CAST(epoch_us(ts) AS BIGINT) // 3600000000) % 24
               BETWEEN 9 AND 16""").fetchone()[0]
     assert n_match == want
+
+
+def test_decayed_popularity_bounds(ray_session):
+    """Decayed weight never exceeds n_events * 1e6 and the freshest
+    events contribute full weight (max-day events weigh exactly 1e6)."""
+    from p2pddsketch_ray.pipelines.relational import decayed_type_popularity
+    out = decayed_type_popularity("/root/testdata/sf0.001").to_pandas()
+    assert (out["decayed_ppm"] <= out["n_events"] * 1_000_000).all()
+    assert (out["decayed_ppm"] > 0).all()
+
+
+def test_schema_evolution_read_roundtrip(ray_session, tmp_path):
+    """Both generations survive the normalize-union: totals cover the
+    whole table and v1 (pre-migration) carries zero props."""
+    import pyarrow.parquet as pq
+    from p2pddsketch_ray.pipelines.relational import (
+        schema_evolution_read_stats)
+    sf = "/root/testdata/sf0.001"
+    out = schema_evolution_read_stats(
+        sf, out_root=str(tmp_path / "snaps")).to_pandas()
+    n = pq.read_metadata(f"{sf}/events.parquet").num_rows
+    assert out["n_rows"].sum() == n
+    v1 = out[out["schema_ver"] == "v1"].iloc[0]
+    v2 = out[out["schema_ver"] == "v2"].iloc[0]
+    assert v1["n_with_props"] == 0
+    assert v2["n_with_props"] == v2["n_rows"]
