@@ -85,6 +85,8 @@ from p2pddsketch_ray.pipelines.relational import (  # noqa: E402
     decayed_type_popularity as _decayed_type_popularity,
     SCHEMA_EVOLUTION_SQL as _SCHEMA_EVOLUTION_SQL,
     schema_evolution_read_stats as _schema_evolution_read_stats,
+    SEASONAL_NAIVE_MAE_SQL as _SEASONAL_NAIVE_MAE_SQL,
+    seasonal_naive_mae as _seasonal_naive_mae,
     TOP_EVENTS_PER_TYPE_SQL as _TOP_EVENTS_PER_TYPE_SQL,
     CUSTOMERS_WITHOUT_EVENTS_SQL as _CUSTOMERS_WITHOUT_EVENTS_SQL,
     QUANTILE_PRUNE_SQL as _QUANTILE_PRUNE_SQL,
@@ -583,6 +585,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # migration-day read: two snapshot generations with
         # different schemas normalized into one unioned stream
         "schema_evolution_read_stats": _schema_evolution_read_stats,
+        # seasonal-naive forecast baseline: train/holdout by hash,
+        # per-(type, hour) integer means, exact MAE
+        "seasonal_naive_mae": _seasonal_naive_mae,
         # last-touch attribution: conversions credited to the most
         # recent in-window prior touch, deterministic under ts ties
         "last_touch_attribution": _last_touch_attribution,
@@ -1061,6 +1066,7 @@ def oracle_sql() -> dict[str, str]:
         "zorder_layout_stats": _ZORDER_LAYOUT_SQL,
         "decayed_type_popularity": _DECAYED_POPULARITY_SQL,
         "schema_evolution_read_stats": _SCHEMA_EVOLUTION_SQL,
+        "seasonal_naive_mae": _SEASONAL_NAIVE_MAE_SQL,
         "last_touch_attribution": _LAST_TOUCH_SQL,
         "dds_price_global": _dds_sql("lineitem", "l_extendedprice"),
         "dds_price_by_flag": _dds_sql("lineitem", "l_extendedprice",

@@ -6562,3 +6562,142 @@ SELECT schema_ver, CAST(count(*) AS BIGINT) AS n_rows,
        CAST(sum(value_c) AS BIGINT) AS sum_value_c
 FROM tagged GROUP BY 1 ORDER BY 1
 """
+
+
+def seasonal_naive_mae(sf_dir: str) -> "ray.data.Dataset":
+    """FORECAST BASELINE with a leakage-safe holdout: train on the
+    hash(event_id)%4 != 0 rows, model each (event_type, hour-of-day)
+    cell as its truncated-mean value in integer cents, score the held-out
+    quarter with the cell prediction (global train mean when a cell is
+    unseen) and report per-type n_test and summed absolute error -- the
+    seasonal-naive yardstick every real forecaster must beat, evaluated
+    distributed and integer-exact end to end.
+
+    Scale shape: the train pass folds O(types x 24) integer partials
+    in-batch; the tiny model is a plain closure broadcast; the scoring
+    pass streams the test quarter with a vectorized cell lookup and
+    O(types) partials.  The murmur split makes both halves
+    oracle-regenerable."""
+    from ..hashing import murmur64
+    ds = _read(sf_dir, "events", ["event_id", "ts", "event_type",
+                                  "value"])
+    HOUR_US = np.int64(3_600_000_000)
+
+    def featurize(t: pa.Table) -> pa.Table:
+        us = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        eid = t["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "is_test": pa.array(murmur64(eid) % np.uint64(4)
+                                == np.uint64(0)),
+            "event_type": t["event_type"],
+            "hr": pa.array((us // HOUR_US) % np.int64(24)),
+            "value_c": _int_units(t["value"], 100),
+        })
+
+    feats = ds.map_batches(featurize, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+    train_empty = pa.table({"event_type": pa.array([], type=pa.string()),
+                            "hr": pa.array([], type=pa.int64()),
+                            "s": pa.array([], type=pa.int64()),
+                            "n": pa.array([], type=pa.int64())})
+
+    def train_partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.invert(t["is_test"]))
+        if t.num_rows == 0:
+            return train_empty
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        hr = t["hr"].to_numpy(zero_copy_only=False)
+        vc = t["value_c"].to_numpy(zero_copy_only=False)
+        ut, inv = np.unique(et, return_inverse=True)
+        comp = inv.astype(np.int64) * np.int64(24) + hr
+        uc, cinv = np.unique(comp, return_inverse=True)
+        s = np.zeros(uc.shape[0], dtype=np.int64)
+        np.add.at(s, cinv, vc)
+        n = np.bincount(cinv).astype(np.int64)
+        return pa.table({
+            "event_type": pa.array(ut[uc // 24].tolist(),
+                                   type=pa.string()),
+            "hr": pa.array(uc % 24),
+            "s": pa.array(s), "n": pa.array(n),
+        })
+
+    model = (feats.map_batches(train_partial, batch_format="pyarrow",
+                               zero_copy_batch=True)
+             .groupby(["event_type", "hr"])
+             .aggregate(Sum("s", alias_name="s"),
+                        Sum("n", alias_name="n"))
+             .to_pandas())
+    # truncated integer means, same // semantics as the SQL
+    cell = {(r.event_type, int(r.hr)): int(r.s) // int(r.n)
+            for r in model.itertuples()}
+    g_mean = int(model["s"].sum()) // int(model["n"].sum())
+    cell_ref = ray.put((cell, g_mean))
+
+    empty = pa.table({"event_type": pa.array([], type=pa.string()),
+                      "n_test": pa.array([], type=pa.int64()),
+                      "sum_abs_err_c": pa.array([], type=pa.int64())})
+
+    def score(t: pa.Table) -> pa.Table:
+        t = t.filter(t["is_test"])
+        if t.num_rows == 0:
+            return empty
+        m, gm = ray.get(cell_ref)
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        hr = t["hr"].to_numpy(zero_copy_only=False)
+        vc = t["value_c"].to_numpy(zero_copy_only=False)
+        ut, inv = np.unique(et, return_inverse=True)
+        comp = inv.astype(np.int64) * np.int64(24) + hr
+        uc = np.unique(comp)
+        lut = np.array([m.get((ut[c // 24], int(c % 24)), gm)
+                        for c in uc], dtype=np.int64)
+        pred = lut[np.searchsorted(uc, comp)]
+        err = np.abs(vc - pred)
+        n = np.bincount(inv).astype(np.int64)
+        se = np.zeros(ut.shape[0], dtype=np.int64)
+        np.add.at(se, inv, err)
+        return pa.table({"event_type": pa.array(ut.tolist(),
+                                                type=pa.string()),
+                         "n_test": pa.array(n),
+                         "sum_abs_err_c": pa.array(se)})
+
+    agg = (feats.map_batches(score, batch_format="pyarrow",
+                             zero_copy_batch=True)
+           .groupby("event_type")
+           .aggregate(Sum("n_test", alias_name="n_test"),
+                      Sum("sum_abs_err_c", alias_name="sum_abs_err_c")))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": t["event_type"],
+            "n_test": pc.cast(t["n_test"], pa.int64()),
+            "sum_abs_err_c": pc.cast(t["sum_abs_err_c"], pa.int64()),
+        })
+
+    return (agg.map_batches(finalize, batch_format="pyarrow")
+            .sort("event_type"))
+
+
+SEASONAL_NAIVE_MAE_SQL = """
+WITH f AS (
+  SELECT hash(event_id) % 4 = 0 AS is_test, event_type,
+         (CAST(epoch_us(ts) AS BIGINT) // 3600000000) % 24 AS hr,
+         CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS value_c
+  FROM events
+), m AS (
+  SELECT event_type, hr, CAST(sum(value_c) AS BIGINT) AS s,
+         CAST(count(*) AS BIGINT) AS n
+  FROM f WHERE NOT is_test GROUP BY 1, 2
+), g AS (
+  SELECT CAST(sum(s) AS BIGINT) // CAST(sum(n) AS BIGINT) AS gm FROM m
+), scored AS (
+  SELECT f.event_type,
+         abs(f.value_c - coalesce(m.s // m.n, g.gm)) AS err
+  FROM f LEFT JOIN m ON m.event_type = f.event_type AND m.hr = f.hr
+  CROSS JOIN g
+  WHERE f.is_test
+)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_test,
+       CAST(sum(err) AS BIGINT) AS sum_abs_err_c
+FROM scored GROUP BY 1 ORDER BY 1
+"""

@@ -1349,3 +1349,20 @@ def test_schema_evolution_read_roundtrip(ray_session, tmp_path):
     v2 = out[out["schema_ver"] == "v2"].iloc[0]
     assert v1["n_with_props"] == 0
     assert v2["n_with_props"] == v2["n_rows"]
+
+
+def test_seasonal_naive_mae_no_leakage(ray_session):
+    """Test rows are exactly the hash%4==0 quarter and the MAE is
+    strictly positive (the baseline is not an oracle)."""
+    import duckdb
+    from p2pddsketch_ray.pipelines.relational import seasonal_naive_mae
+    sf = "/root/testdata/sf0.001"
+    out = seasonal_naive_mae(sf).to_pandas()
+    con = duckdb.connect()
+    want = con.execute(f"""
+        SELECT event_type, count(*) AS n FROM
+        read_parquet('{sf}/events.parquet')
+        WHERE hash(event_id) % 4 = 0 GROUP BY 1 ORDER BY 1""").df()
+    assert list(out["event_type"]) == list(want["event_type"])
+    assert list(out["n_test"]) == list(want["n"])
+    assert (out["sum_abs_err_c"] > 0).all()
