@@ -87,6 +87,10 @@ from p2pddsketch_ray.pipelines.relational import (  # noqa: E402
     schema_evolution_read_stats as _schema_evolution_read_stats,
     SEASONAL_NAIVE_MAE_SQL as _SEASONAL_NAIVE_MAE_SQL,
     seasonal_naive_mae as _seasonal_naive_mae,
+    AB_TEST_ARM_SQL as _AB_TEST_ARM_SQL,
+    ab_test_arm_stats as _ab_test_arm_stats,
+    SESSION_BOUNCE_SQL as _SESSION_BOUNCE_SQL,
+    session_bounce_stats as _session_bounce_stats,
     TOP_EVENTS_PER_TYPE_SQL as _TOP_EVENTS_PER_TYPE_SQL,
     CUSTOMERS_WITHOUT_EVENTS_SQL as _CUSTOMERS_WITHOUT_EVENTS_SQL,
     QUANTILE_PRUNE_SQL as _QUANTILE_PRUNE_SQL,
@@ -588,6 +592,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # seasonal-naive forecast baseline: train/holdout by hash,
         # per-(type, hour) integer means, exact MAE
         "seasonal_naive_mae": _seasonal_naive_mae,
+        # deterministic A/B arm bucketing with exact per-arm
+        # distinct-user conversion rates
+        "ab_test_arm_stats": _ab_test_arm_stats,
+        # bounce-rate rollup from the sessionization kernel
+        "session_bounce_stats": _session_bounce_stats,
         # last-touch attribution: conversions credited to the most
         # recent in-window prior touch, deterministic under ts ties
         "last_touch_attribution": _last_touch_attribution,
@@ -1067,6 +1076,8 @@ def oracle_sql() -> dict[str, str]:
         "decayed_type_popularity": _DECAYED_POPULARITY_SQL,
         "schema_evolution_read_stats": _SCHEMA_EVOLUTION_SQL,
         "seasonal_naive_mae": _SEASONAL_NAIVE_MAE_SQL,
+        "ab_test_arm_stats": _AB_TEST_ARM_SQL,
+        "session_bounce_stats": _SESSION_BOUNCE_SQL,
         "last_touch_attribution": _LAST_TOUCH_SQL,
         "dds_price_global": _dds_sql("lineitem", "l_extendedprice"),
         "dds_price_by_flag": _dds_sql("lineitem", "l_extendedprice",

@@ -6701,3 +6701,176 @@ SELECT event_type, CAST(count(*) AS BIGINT) AS n_test,
        CAST(sum(err) AS BIGINT) AS sum_abs_err_c
 FROM scored GROUP BY 1 ORDER BY 1
 """
+
+
+def ab_test_arm_stats(sf_dir: str,
+                      conv_type: str = "purchase") -> "ray.data.Dataset":
+    """EXPERIMENTATION SCAFFOLD: users are assigned to arms A/B by
+    murmur64(user_id) % 2 (the deterministic, rerun- and engine-stable
+    bucketing an experimentation platform uses), and each arm reports
+    exact distinct users, distinct converters (users with at least one
+    ``conv_type`` event) and the conversion rate in integer ppm.
+
+    Scale shape: per-block DISTINCT (user, converted-bit) partials via
+    one composite np.unique (the presence-OR trick of user_churn_sets),
+    a user-keyed co-partition ORs the bits so each user counts exactly
+    once, and the arm rollup is O(2) rows."""
+    from ..hashing import murmur64
+    from ..stages.partition import fit_partitions, partition_by
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    empty = pa.table({"user_id": pa.array([], type=pa.int64()),
+                      "conv": pa.array([], type=pa.int64())})
+
+    def block_presence(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        conv = (t["event_type"].to_numpy(zero_copy_only=False)
+                == conv_type).astype(np.int64)
+        uu, inv = np.unique(uid, return_inverse=True)
+        bit = np.zeros(uu.shape[0], dtype=np.int64)
+        np.bitwise_or.at(bit, inv, conv)
+        return pa.table({"user_id": pa.array(uu),
+                         "conv": pa.array(bit)})
+
+    arm_empty = pa.table({"arm": pa.array([], type=pa.string()),
+                          "n_users": pa.array([], type=pa.int64()),
+                          "n_converted": pa.array([], type=pa.int64())})
+
+    def per_arm(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return arm_empty
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        conv = t["conv"].to_numpy(zero_copy_only=False)
+        uu, inv = np.unique(uid, return_inverse=True)
+        bit = np.zeros(uu.shape[0], dtype=np.int64)
+        np.bitwise_or.at(bit, inv, conv)
+        arm = (murmur64(uu) % np.uint64(2)).astype(np.int64)
+        n = np.bincount(arm, minlength=2).astype(np.int64)
+        c = np.zeros(2, dtype=np.int64)
+        np.add.at(c, arm, bit)
+        return pa.table({"arm": pa.array(["A", "B"], type=pa.string()),
+                         "n_users": pa.array(n),
+                         "n_converted": pa.array(c)})
+
+    partials = ds.map_batches(block_presence, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    arms = partition_by(partials, ["user_id"], fit_partitions(32),
+                        per_arm, arm_empty)
+    agg = (arms.groupby("arm")
+           .aggregate(Sum("n_users", alias_name="n_users"),
+                      Sum("n_converted", alias_name="n_converted")))
+    rows = sorted(agg.take_all(), key=lambda r: r["arm"])
+    n = [int(r["n_users"]) for r in rows]
+    c = [int(r["n_converted"]) for r in rows]
+    return pa.table({
+        "arm": pa.array([r["arm"] for r in rows], type=pa.string()),
+        "n_users": pa.array(n, type=pa.int64()),
+        "n_converted": pa.array(c, type=pa.int64()),
+        "cvr_ppm": pa.array([ci * 1_000_000 // ni if ni else 0
+                             for ci, ni in zip(c, n)], type=pa.int64()),
+    })
+
+
+AB_TEST_ARM_SQL = """
+WITH u AS (
+  SELECT user_id,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+           AS conv
+  FROM events GROUP BY 1
+), armed AS (
+  SELECT CASE WHEN hash(user_id) % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
+         conv
+  FROM u
+)
+SELECT arm, CAST(count(*) AS BIGINT) AS n_users,
+       CAST(sum(conv) AS BIGINT) AS n_converted,
+       CAST(sum(conv) * 1000000 // count(*) AS BIGINT) AS cvr_ppm
+FROM armed GROUP BY 1 ORDER BY 1
+"""
+
+
+def session_bounce_stats(sf_dir: str,
+                         gap_minutes: int = 30) -> pa.Table:
+    """SESSION QUALITY: bounce accounting on top of the sessionization
+    kernel -- per user-arm-free corpus total: sessions, single-event
+    (bounced) sessions, and the bounce rate in integer ppm, plus total
+    events per class.  The engagement-quality number a clickstream
+    report leads with, computed in the same single co-partition pass as
+    sessionization (the kernel emits per-session lengths; the rollup is
+    one reduceat)."""
+    from ..stages.partition import fit_partitions, partition_by
+    gap_us = int(gap_minutes) * 60 * 1_000_000
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": pc.cast(t["user_id"], pa.int64()),
+            "us": pc.cast(t["ts"], pa.int64()),
+        })
+
+    empty = pa.table({"n_sessions": pa.array([], type=pa.int64()),
+                      "n_bounced": pa.array([], type=pa.int64()),
+                      "n_events": pa.array([], type=pa.int64())})
+
+    def bounce(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return empty
+        u = group["user_id"].to_numpy(zero_copy_only=False)
+        us = group["us"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((us, u))
+        u, us = u[order], us[order]
+        new_session = np.concatenate(
+            [[True], (np.diff(u) != 0) | (np.diff(us) > gap_us)])
+        starts = np.nonzero(new_session)[0]
+        sizes = np.diff(np.append(starts, u.shape[0]))
+        return pa.table({
+            "n_sessions": pa.array([starts.shape[0]], type=pa.int64()),
+            "n_bounced": pa.array([int((sizes == 1).sum())],
+                                  type=pa.int64()),
+            "n_events": pa.array([u.shape[0]], type=pa.int64()),
+        })
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    parts = partition_by(prepped, ["user_id"], fit_partitions(32),
+                         bounce, empty)
+    agg = parts.aggregate(Sum("n_sessions", alias_name="s"),
+                          Sum("n_bounced", alias_name="b"),
+                          Sum("n_events", alias_name="e"))
+    s, b, e = int(agg["s"] or 0), int(agg["b"] or 0), int(agg["e"] or 0)
+    return pa.table({
+        "n_sessions": pa.array([s], type=pa.int64()),
+        "n_bounced": pa.array([b], type=pa.int64()),
+        "n_events": pa.array([e], type=pa.int64()),
+        "bounce_ppm": pa.array([b * 1_000_000 // s if s else 0],
+                               type=pa.int64()),
+    })
+
+
+SESSION_BOUNCE_SQL = """
+WITH v AS (
+  SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS us FROM events
+), flags AS (
+  SELECT user_id, us,
+         CASE WHEN lag(us) OVER w IS NULL
+                OR us - lag(us) OVER w > 1800000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM v WINDOW w AS (PARTITION BY user_id ORDER BY us)
+), seg AS (
+  SELECT user_id,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY us
+                          ROWS UNBOUNDED PRECEDING) AS seg
+  FROM flags
+), sized AS (
+  SELECT user_id, seg, CAST(count(*) AS BIGINT) AS sz
+  FROM seg GROUP BY 1, 2
+)
+SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+       CAST(count(*) FILTER (WHERE sz = 1) AS BIGINT) AS n_bounced,
+       CAST(sum(sz) AS BIGINT) AS n_events,
+       CAST(count(*) FILTER (WHERE sz = 1) * 1000000 // count(*)
+            AS BIGINT) AS bounce_ppm
+FROM sized
+"""

@@ -1366,3 +1366,30 @@ def test_seasonal_naive_mae_no_leakage(ray_session):
     assert list(out["event_type"]) == list(want["event_type"])
     assert list(out["n_test"]) == list(want["n"])
     assert (out["sum_abs_err_c"] > 0).all()
+
+
+def test_ab_arms_partition_users(ray_session):
+    """Arms partition the user population and converters never exceed
+    users."""
+    import duckdb
+    from p2pddsketch_ray.pipelines.relational import ab_test_arm_stats
+    sf = "/root/testdata/sf0.001"
+    out = ab_test_arm_stats(sf).to_pandas()
+    con = duckdb.connect()
+    total = con.execute(f"SELECT count(DISTINCT user_id) FROM "
+                        f"read_parquet('{sf}/events.parquet')"
+                        ).fetchone()[0]
+    assert out["n_users"].sum() == total
+    assert (out["n_converted"] <= out["n_users"]).all()
+
+
+def test_session_bounce_consistent_with_sessionization(ray_session):
+    """Bounce totals agree with the per-user sessionization output."""
+    from p2pddsketch_ray.pipelines.relational import (
+        events_sessionized, session_bounce_stats)
+    sf = "/root/testdata/sf0.001"
+    out = session_bounce_stats(sf).to_pydict()
+    per_user = events_sessionized(sf).to_pandas()
+    assert out["n_sessions"][0] == per_user["n_sessions"].sum()
+    assert out["n_events"][0] == per_user["n_events"].sum()
+    assert 0 <= out["n_bounced"][0] <= out["n_sessions"][0]
