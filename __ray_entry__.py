@@ -89,6 +89,10 @@ from p2pddsketch_ray.pipelines.relational import (  # noqa: E402
     seasonal_naive_mae as _seasonal_naive_mae,
     AB_TEST_ARM_SQL as _AB_TEST_ARM_SQL,
     ab_test_arm_stats as _ab_test_arm_stats,
+    ACTIVITY_STREAK_SQL as _ACTIVITY_STREAK_SQL,
+    activity_streak_stats as _activity_streak_stats,
+    PREFIX_AUTOCOMPLETE_SQL as _PREFIX_AUTOCOMPLETE_SQL,
+    prefix_autocomplete_topk as _prefix_autocomplete_topk,
     SESSION_BOUNCE_SQL as _SESSION_BOUNCE_SQL,
     session_bounce_stats as _session_bounce_stats,
     TOP_EVENTS_PER_TYPE_SQL as _TOP_EVENTS_PER_TYPE_SQL,
@@ -597,6 +601,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ab_test_arm_stats": _ab_test_arm_stats,
         # bounce-rate rollup from the sessionization kernel
         "session_bounce_stats": _session_bounce_stats,
+        # gaps-and-islands: longest consecutive-day streak per
+        # user, rolled into a streak-length histogram
+        "activity_streak_stats": _activity_streak_stats,
+        # type-ahead index: top completions per 3-char prefix
+        "prefix_autocomplete_topk": _prefix_autocomplete_topk,
         # last-touch attribution: conversions credited to the most
         # recent in-window prior touch, deterministic under ts ties
         "last_touch_attribution": _last_touch_attribution,
@@ -1078,6 +1087,8 @@ def oracle_sql() -> dict[str, str]:
         "seasonal_naive_mae": _SEASONAL_NAIVE_MAE_SQL,
         "ab_test_arm_stats": _AB_TEST_ARM_SQL,
         "session_bounce_stats": _SESSION_BOUNCE_SQL,
+        "activity_streak_stats": _ACTIVITY_STREAK_SQL,
+        "prefix_autocomplete_topk": _PREFIX_AUTOCOMPLETE_SQL,
         "last_touch_attribution": _LAST_TOUCH_SQL,
         "dds_price_global": _dds_sql("lineitem", "l_extendedprice"),
         "dds_price_by_flag": _dds_sql("lineitem", "l_extendedprice",

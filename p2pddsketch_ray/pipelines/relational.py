@@ -6874,3 +6874,195 @@ SELECT CAST(count(*) AS BIGINT) AS n_sessions,
             AS BIGINT) AS bounce_ppm
 FROM sized
 """
+
+
+def activity_streak_stats(sf_dir: str) -> "ray.data.Dataset":
+    """GAPS-AND-ISLANDS: each user's longest streak of CONSECUTIVE
+    active days (distinct event days), reported as a histogram
+    (streak length -> number of users whose maximum streak is exactly
+    that) -- the retention-quality view behind "7-day streak" product
+    metrics, and the classic island-detection window pattern.
+
+    Dataflow: per-block DISTINCT (user, day) partials, a user-keyed
+    co-partition dedups days globally and finds islands with ONE sorted
+    diff pass (consecutive days differ by 1; reduceat over island
+    boundaries gives lengths; a max per user), then an O(streak
+    lengths) histogram rollup."""
+    from ..stages.partition import fit_partitions, partition_by
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    DAY_US = np.int64(86_400_000_000)
+
+    pair_empty = pa.table({"user_id": pa.array([], type=pa.int64()),
+                           "day": pa.array([], type=pa.int64())})
+
+    def block_days(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pair_empty
+        uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        day = (pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+               // DAY_US)
+        comp = np.unique(uid * np.int64(1 << 20) + day)
+        return pa.table({"user_id": pa.array(comp >> np.int64(20)),
+                         "day": pa.array(comp & np.int64((1 << 20) - 1))})
+
+    hist_empty = pa.table({"streak_days": pa.array([], type=pa.int64()),
+                           "n_users": pa.array([], type=pa.int64())})
+
+    def islands(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return hist_empty
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        day = t["day"].to_numpy(zero_copy_only=False)
+        comp = np.unique(uid * np.int64(1 << 20) + day)
+        u, d = comp >> np.int64(20), comp & np.int64((1 << 20) - 1)
+        new_island = np.ones(u.shape[0], dtype=bool)
+        new_island[1:] = (u[1:] != u[:-1]) | (d[1:] != d[:-1] + 1)
+        starts = np.nonzero(new_island)[0]
+        lens = np.diff(np.append(starts, u.shape[0]))
+        iu = u[starts]
+        new_user = np.ones(iu.shape[0], dtype=bool)
+        new_user[1:] = iu[1:] != iu[:-1]
+        ustarts = np.nonzero(new_user)[0]
+        best = np.maximum.reduceat(lens, ustarts)
+        ul, cnt = np.unique(best, return_counts=True)
+        return pa.table({"streak_days": pa.array(ul.astype(np.int64)),
+                         "n_users": pa.array(cnt.astype(np.int64))})
+
+    pairs = ds.map_batches(block_days, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    per_part = partition_by(pairs, ["user_id"], fit_partitions(32),
+                            islands, hist_empty)
+    agg = (per_part.groupby("streak_days")
+           .aggregate(Sum("n_users", alias_name="n_users")))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "streak_days": pc.cast(t["streak_days"], pa.int64()),
+            "n_users": pc.cast(t["n_users"], pa.int64()),
+        })
+
+    return (agg.map_batches(finalize, batch_format="pyarrow")
+            .sort("streak_days"))
+
+
+ACTIVITY_STREAK_SQL = """
+WITH d AS (
+  SELECT DISTINCT user_id,
+         CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day
+  FROM events
+), isl AS (
+  SELECT user_id, day,
+         day - row_number() OVER (PARTITION BY user_id ORDER BY day)
+           AS grp
+  FROM d
+), lens AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS len
+  FROM isl GROUP BY user_id, grp
+), best AS (
+  SELECT user_id, max(len) AS streak_days FROM lens GROUP BY 1
+)
+SELECT streak_days, CAST(count(*) AS BIGINT) AS n_users
+FROM best GROUP BY 1 ORDER BY 1
+"""
+
+
+def prefix_autocomplete_topk(sf_dir: str, plen: int = 3,
+                             k: int = 5) -> "ray.data.Dataset":
+    """AUTOCOMPLETE INDEX: for every ``plen``-character token prefix,
+    the ``k`` most frequent completions with exact corpus counts and
+    deterministic (count desc, token asc) ranks -- the materialization
+    behind a type-ahead box, built as one streaming pass over the
+    corpus.
+
+    Scale shape: per-block (token, count) folds via Arrow dictionary
+    encoding (no per-row Python), the one exchange is the vocab-bounded
+    (token) groupby, and the per-prefix rank is a block-local keep-k
+    prereduce over the merged vocabulary -- O(prefixes x k) final
+    rows."""
+    ds = _read(sf_dir, "documents", ["text"])
+
+    tok_empty = pa.table({"tok": pa.array([], type=pa.string()),
+                          "cnt": pa.array([], type=pa.int64())})
+
+    def block_tokens(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return tok_empty
+        toks = pc.split_pattern(t["text"], pattern=" ")
+        flat = pc.list_flatten(toks).combine_chunks()
+        if len(flat) == 0:
+            return tok_empty
+        dic = flat.dictionary_encode()
+        idx = dic.indices.to_numpy(zero_copy_only=False)
+        cnt = np.bincount(idx, minlength=len(dic.dictionary))
+        keep = cnt > 0
+        return pa.table({
+            "tok": dic.dictionary.filter(pa.array(keep)),
+            "cnt": pa.array(cnt[keep].astype(np.int64)),
+        })
+
+    vocab = (ds.map_batches(block_tokens, batch_format="pyarrow",
+                            zero_copy_batch=True)
+             .groupby("tok").aggregate(Sum("cnt", alias_name="cnt")))
+
+    out_empty = pa.table({"prefix": pa.array([], type=pa.string()),
+                          "tok": pa.array([], type=pa.string()),
+                          "cnt": pa.array([], type=pa.int64()),
+                          "rnk": pa.array([], type=pa.int64())})
+
+    def keep_k(t: pa.Table, with_rank: bool) -> pa.Table:
+        if t.num_rows == 0:
+            return out_empty if with_rank \
+                else out_empty.drop_columns(["rnk"])
+        if "prefix" in t.column_names:
+            pref = t["prefix"].to_numpy(zero_copy_only=False)
+        else:
+            long_enough = pc.greater_equal(
+                pc.utf8_length(t["tok"]), pa.scalar(plen))
+            t = t.filter(long_enough)
+            if t.num_rows == 0:
+                return out_empty if with_rank \
+                    else out_empty.drop_columns(["rnk"])
+            pref = pc.utf8_slice_codeunits(
+                t["tok"], 0, plen).to_numpy(zero_copy_only=False)
+        tok = t["tok"].to_numpy(zero_copy_only=False)
+        cnt = pc.cast(t["cnt"], pa.int64()).to_numpy(zero_copy_only=False)
+        up, pinv = np.unique(pref, return_inverse=True)
+        order = np.lexsort((tok, -cnt, pinv))
+        p_s = pinv[order]
+        new_grp = np.ones(order.shape[0], dtype=bool)
+        new_grp[1:] = p_s[1:] != p_s[:-1]
+        starts = np.nonzero(new_grp)[0]
+        first = np.repeat(starts,
+                          np.diff(np.append(starts, order.shape[0])))
+        rank = np.arange(order.shape[0]) - first
+        sel = rank < k
+        keep = order[sel]
+        out = {"prefix": pa.array(up[p_s[sel]].tolist(),
+                                  type=pa.string()),
+               "tok": pa.array(tok[keep].tolist(), type=pa.string()),
+               "cnt": pa.array(cnt[keep], type=pa.int64())}
+        if with_rank:
+            out["rnk"] = pa.array(rank[sel] + 1, type=pa.int64())
+        return pa.table(out)
+
+    prereduced = vocab.map_batches(lambda t: keep_k(t, False),
+                                   batch_format="pyarrow")
+    from ..stages.partition import partition_by
+    return partition_by(prereduced, [], 1,
+                        lambda t: keep_k(t, True), out_empty)
+
+
+PREFIX_AUTOCOMPLETE_SQL = """
+WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+), counted AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS cnt
+  FROM toks WHERE length(tok) >= 3 GROUP BY 1
+)
+SELECT substr(tok, 1, 3) AS prefix, tok, cnt,
+       CAST(row_number() OVER (PARTITION BY substr(tok, 1, 3)
+                               ORDER BY cnt DESC, tok) AS BIGINT) AS rnk
+FROM counted
+QUALIFY rnk <= 5
+ORDER BY 1, 4
+"""

@@ -1393,3 +1393,40 @@ def test_session_bounce_consistent_with_sessionization(ray_session):
     assert out["n_sessions"][0] == per_user["n_sessions"].sum()
     assert out["n_events"][0] == per_user["n_events"].sum()
     assert 0 <= out["n_bounced"][0] <= out["n_sessions"][0]
+
+
+def test_activity_streak_edges(ray_session, tmp_path):
+    """Hand-built histories: consecutive days form islands, gaps break
+    them, duplicate same-day events dedup."""
+    import pyarrow.parquet as pq
+    from p2pddsketch_ray.pipelines.relational import activity_streak_stats
+    DAY = 86_400_000_000
+    rows = [
+        # user 1: days 0,1,2 then 5 -> max streak 3
+        (1, 0), (1, 1), (1, 1), (1, 2), (1, 5),
+        # user 2: days 10, 12, 14 -> max streak 1
+        (2, 10), (2, 12), (2, 14),
+        # user 3: days 20,21 -> max streak 2
+        (3, 20), (3, 21),
+    ]
+    t = pa.table({
+        "user_id": pa.array([r[0] for r in rows], type=pa.int64()),
+        "ts": pa.array([r[1] * DAY + 7 for r in rows],
+                       type=pa.timestamp("us")),
+    })
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    out = activity_streak_stats(str(tmp_path)).to_pandas()
+    got = dict(zip(out["streak_days"], out["n_users"]))
+    assert got == {1: 1, 2: 1, 3: 1}
+
+
+def test_prefix_autocomplete_ranks(ray_session):
+    """Ranks are contiguous from 1 and counts are non-increasing
+    within each prefix."""
+    from p2pddsketch_ray.pipelines.relational import (
+        prefix_autocomplete_topk)
+    out = (prefix_autocomplete_topk("/root/testdata/sf0.001")
+           .to_pandas().sort_values(["prefix", "rnk"]))
+    for _, g in out.groupby("prefix"):
+        assert list(g["rnk"]) == list(range(1, len(g) + 1))
+        assert (g["cnt"].diff().dropna() <= 0).all()
