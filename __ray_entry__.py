@@ -93,6 +93,8 @@ from p2pddsketch_ray.pipelines.relational import (  # noqa: E402
     activity_streak_stats as _activity_streak_stats,
     PREFIX_AUTOCOMPLETE_SQL as _PREFIX_AUTOCOMPLETE_SQL,
     prefix_autocomplete_topk as _prefix_autocomplete_topk,
+    LOCAL_SUPPLIER_VOLUME_SQL as _LOCAL_SUPPLIER_VOLUME_SQL,
+    local_supplier_volume as _local_supplier_volume,
     SESSION_BOUNCE_SQL as _SESSION_BOUNCE_SQL,
     session_bounce_stats as _session_bounce_stats,
     TOP_EVENTS_PER_TYPE_SQL as _TOP_EVENTS_PER_TYPE_SQL,
@@ -606,6 +608,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "activity_streak_stats": _activity_streak_stats,
         # type-ahead index: top completions per 3-char prefix
         "prefix_autocomplete_topk": _prefix_autocomplete_topk,
+        # TPC-H-Q5 shape: 6-table join with a post-join equality
+        # between two fact-side attributes, two co-partitions
+        "local_supplier_volume": _local_supplier_volume,
         # last-touch attribution: conversions credited to the most
         # recent in-window prior touch, deterministic under ts ties
         "last_touch_attribution": _last_touch_attribution,
@@ -1089,6 +1094,7 @@ def oracle_sql() -> dict[str, str]:
         "session_bounce_stats": _SESSION_BOUNCE_SQL,
         "activity_streak_stats": _ACTIVITY_STREAK_SQL,
         "prefix_autocomplete_topk": _PREFIX_AUTOCOMPLETE_SQL,
+        "local_supplier_volume": _LOCAL_SUPPLIER_VOLUME_SQL,
         "last_touch_attribution": _LAST_TOUCH_SQL,
         "dds_price_global": _dds_sql("lineitem", "l_extendedprice"),
         "dds_price_by_flag": _dds_sql("lineitem", "l_extendedprice",

@@ -7066,3 +7066,193 @@ FROM counted
 QUALIFY rnk <= 5
 ORDER BY 1, 4
 """
+
+
+def local_supplier_volume(sf_dir: str,
+                          region: str = "ASIA") -> "ray.data.Dataset":
+    """TPC-H-Q5-SHAPED 6-table join: revenue from lineitems whose
+    CUSTOMER and SUPPLIER sit in the SAME nation of one region --
+    the classic join shape with a post-join equality predicate between
+    two fact-side attributes (c_nationkey = s_nationkey), which no
+    single join key can express.  Output per nation: order-line count
+    and exact revenue cents (price * (1 - discount)).
+
+    Scale shape: nation/region and supplier fold into broadcast sorted
+    lookup arrays (genuinely small at any SF); orders gains its
+    customer's nation via ONE custkey co-partition join (customer is
+    fact-scale -- never broadcast); lineitem joins the slimmed
+    (orderkey, c_nat) rows via ONE orderkey co-partition; the same-nation
+    + region filter and the revenue fold happen inside that kernel, so
+    the final exchange is O(nations) rows.  Two co-partition exchanges
+    total, both on already-pruned 16-byte-ish rows."""
+    import pyarrow.parquet as pq
+    from ..stages.partition import fit_partitions, partition_by
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet")
+    reg = pq.read_table(f"{sf_dir}/region.parquet")
+    rkey = reg.filter(pc.equal(reg["r_name"], region))["r_regionkey"][0]
+    nat_in = nation.filter(pc.equal(nation["n_regionkey"], rkey))
+    nat_keys = np.sort(nat_in["n_nationkey"].to_numpy(
+        zero_copy_only=False).astype(np.int64))
+    nat_sorted = nat_in.take(pc.sort_indices(nat_in["n_nationkey"]))
+    nat_names = np.asarray(nat_sorted["n_name"].to_pylist())
+
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_nationkey"])
+    s_order = pc.sort_indices(sup["s_suppkey"])
+    sup_keys = sup["s_suppkey"].take(s_order).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    sup_nat = sup["s_nationkey"].take(s_order).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    lut_ref = ray.put((nat_keys, nat_names, sup_keys, sup_nat))
+
+    # stage 1: orders gain c_nationkey via a custkey co-partition join
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+
+    def o_norm(t: pa.Table) -> pa.Table:
+        return pa.table({"k": pc.cast(t["o_custkey"], pa.int64()),
+                         "o_orderkey": pc.cast(t["o_orderkey"],
+                                               pa.int64()),
+                         "c_nat": pa.nulls(t.num_rows, type=pa.int64())})
+
+    def c_norm(t: pa.Table) -> pa.Table:
+        return pa.table({"k": pc.cast(t["c_custkey"], pa.int64()),
+                         "o_orderkey": pa.nulls(t.num_rows,
+                                                type=pa.int64()),
+                         "c_nat": pc.cast(t["c_nationkey"], pa.int64())})
+
+    both = (orders.map_batches(o_norm, batch_format="pyarrow",
+                               zero_copy_batch=True)
+            .union(cust.map_batches(c_norm, batch_format="pyarrow",
+                                    zero_copy_batch=True)))
+
+    onat_empty = pa.table({"o_orderkey": pa.array([], type=pa.int64()),
+                           "c_nat": pa.array([], type=pa.int64())})
+
+    def join_cust(t: pa.Table) -> pa.Table:
+        k = t["k"].to_numpy(zero_copy_only=False)
+        ok = t["o_orderkey"].to_numpy(zero_copy_only=False)
+        cn = t["c_nat"].to_numpy(zero_copy_only=False)
+        is_c = ~np.isnan(cn) if cn.dtype.kind == "f" else \
+            pc.is_valid(t["c_nat"]).to_numpy(zero_copy_only=False)
+        ck = k[is_c]
+        cv = cn[is_c].astype(np.int64)
+        order = np.argsort(ck, kind="stable")
+        ck, cv = ck[order], cv[order]
+        is_o = ~is_c
+        pos = np.searchsorted(ck, k[is_o])
+        pos = np.minimum(pos, max(ck.shape[0] - 1, 0))
+        hit = (ck.shape[0] > 0) & (ck[pos] == k[is_o]) \
+            if ck.shape[0] else np.zeros(int(is_o.sum()), dtype=bool)
+        return pa.table({
+            "o_orderkey": pa.array(ok[is_o][hit].astype(np.int64)),
+            "c_nat": pa.array(cv[pos[hit]]),
+        })
+
+    onat = partition_by(both, ["k"], fit_partitions(32), join_cust,
+                        onat_empty)
+
+    # stage 2: lineitem joins (orderkey, c_nat); filter + fold in-kernel
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_suppkey", "l_extendedprice",
+                "l_discount"])
+
+    def li_norm(t: pa.Table) -> pa.Table:
+        p = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+        d = t["l_discount"].to_numpy(zero_copy_only=False)
+        rev = np.floor(p * (1.0 - d) * 100.0 + 0.5).astype(np.int64)
+        return pa.table({"k": pc.cast(t["l_orderkey"], pa.int64()),
+                         "sk": pc.cast(t["l_suppkey"], pa.int64()),
+                         "rev_c": pa.array(rev),
+                         "c_nat": pa.nulls(t.num_rows, type=pa.int64())})
+
+    def on_norm(t: pa.Table) -> pa.Table:
+        return pa.table({"k": t["o_orderkey"],
+                         "sk": pa.nulls(t.num_rows, type=pa.int64()),
+                         "rev_c": pa.nulls(t.num_rows, type=pa.int64()),
+                         "c_nat": t["c_nat"]})
+
+    both2 = (li.map_batches(li_norm, batch_format="pyarrow",
+                            zero_copy_batch=True)
+             .union(onat.map_batches(on_norm, batch_format="pyarrow",
+                                     zero_copy_batch=True)))
+
+    out_empty = pa.table({"n_name": pa.array([], type=pa.string()),
+                          "n_lines": pa.array([], type=pa.int64()),
+                          "revenue_c": pa.array([], type=pa.int64())})
+
+    def join_fold(t: pa.Table) -> pa.Table:
+        nk, nn, sk_lut, sn_lut = ray.get(lut_ref)
+        k = t["k"].to_numpy(zero_copy_only=False)
+        is_o = pc.is_valid(t["c_nat"]).to_numpy(zero_copy_only=False)
+        okk = k[is_o]
+        ocn = t["c_nat"].to_numpy(zero_copy_only=False)[is_o] \
+            .astype(np.int64)
+        order = np.argsort(okk, kind="stable")
+        okk, ocn = okk[order], ocn[order]
+        is_l = ~is_o
+        if not is_l.any() or okk.shape[0] == 0:
+            return out_empty
+        lk = k[is_l]
+        pos = np.searchsorted(okk, lk)
+        pos = np.minimum(pos, okk.shape[0] - 1)
+        hit = okk[pos] == lk
+        c_nat = ocn[pos]
+        sk = t["sk"].to_numpy(zero_copy_only=False)[is_l] \
+            .astype(np.int64)
+        spos = np.searchsorted(sk_lut, sk)
+        spos = np.minimum(spos, sk_lut.shape[0] - 1)
+        shit = sk_lut[spos] == sk
+        s_nat = sn_lut[spos]
+        npos = np.searchsorted(nk, c_nat)
+        npos_c = np.minimum(npos, nk.shape[0] - 1)
+        in_region = nk[npos_c] == c_nat
+        m = hit & shit & (c_nat == s_nat) & in_region
+        if not m.any():
+            return out_empty
+        rev = t["rev_c"].to_numpy(zero_copy_only=False)[is_l] \
+            .astype(np.int64)
+        cell = npos_c[m]
+        n = np.bincount(cell, minlength=nk.shape[0]).astype(np.int64)
+        r = np.zeros(nk.shape[0], dtype=np.int64)
+        np.add.at(r, cell, rev[m])
+        live = n > 0
+        return pa.table({
+            "n_name": pa.array(nn[live].tolist(), type=pa.string()),
+            "n_lines": pa.array(n[live]),
+            "revenue_c": pa.array(r[live]),
+        })
+
+    folded = partition_by(both2, ["k"], fit_partitions(32), join_fold,
+                          out_empty)
+    agg = (folded.groupby("n_name")
+           .aggregate(Sum("n_lines", alias_name="n_lines"),
+                      Sum("revenue_c", alias_name="revenue_c")))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "n_name": t["n_name"],
+            "n_lines": pc.cast(t["n_lines"], pa.int64()),
+            "revenue_c": pc.cast(t["revenue_c"], pa.int64()),
+        })
+
+    return (agg.map_batches(finalize, batch_format="pyarrow")
+            .sort("n_name"))
+
+
+LOCAL_SUPPLIER_VOLUME_SQL = """
+SELECT n_name,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount)
+                           * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+         AS revenue_c
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA' AND c_nationkey = s_nationkey
+GROUP BY 1 ORDER BY 1
+"""

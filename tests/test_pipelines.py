@@ -1430,3 +1430,22 @@ def test_prefix_autocomplete_ranks(ray_session):
     for _, g in out.groupby("prefix"):
         assert list(g["rnk"]) == list(range(1, len(g) + 1))
         assert (g["cnt"].diff().dropna() <= 0).all()
+
+
+def test_local_supplier_volume_matches_duckdb_other_region(ray_session):
+    """The Q5 shape holds for a different region parameter too (the
+    gate pins ASIA; this pins EUROPE)."""
+    import duckdb
+    from p2pddsketch_ray.pipelines.relational import (
+        LOCAL_SUPPLIER_VOLUME_SQL, local_supplier_volume)
+    sf = "/root/testdata/sf0.001"
+    got = (local_supplier_volume(sf, region="EUROPE").to_pandas()
+           .reset_index(drop=True))
+    con = duckdb.connect()
+    for t in ("lineitem", "orders", "customer", "supplier", "nation",
+              "region"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{sf}/{t}.parquet')")
+    want = con.execute(LOCAL_SUPPLIER_VOLUME_SQL.replace(
+        "'ASIA'", "'EUROPE'")).df()
+    assert got.equals(want.reset_index(drop=True))
