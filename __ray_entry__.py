@@ -95,6 +95,8 @@ from p2pddsketch_ray.pipelines.relational import (  # noqa: E402
     prefix_autocomplete_topk as _prefix_autocomplete_topk,
     LOCAL_SUPPLIER_VOLUME_SQL as _LOCAL_SUPPLIER_VOLUME_SQL,
     local_supplier_volume as _local_supplier_volume,
+    REVENUE_GINI_SQL as _REVENUE_GINI_SQL,
+    revenue_gini as _revenue_gini,
     SESSION_BOUNCE_SQL as _SESSION_BOUNCE_SQL,
     session_bounce_stats as _session_bounce_stats,
     TOP_EVENTS_PER_TYPE_SQL as _TOP_EVENTS_PER_TYPE_SQL,
@@ -611,6 +613,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # TPC-H-Q5 shape: 6-table join with a post-join equality
         # between two fact-side attributes, two co-partitions
         "local_supplier_volume": _local_supplier_volume,
+        # exact Gini concentration via the distributed ranking
+        # machinery: O(buckets) exchange, big-int driver fold
+        "revenue_gini": _revenue_gini,
         # last-touch attribution: conversions credited to the most
         # recent in-window prior touch, deterministic under ts ties
         "last_touch_attribution": _last_touch_attribution,
@@ -1095,6 +1100,7 @@ def oracle_sql() -> dict[str, str]:
         "activity_streak_stats": _ACTIVITY_STREAK_SQL,
         "prefix_autocomplete_topk": _PREFIX_AUTOCOMPLETE_SQL,
         "local_supplier_volume": _LOCAL_SUPPLIER_VOLUME_SQL,
+        "revenue_gini": _REVENUE_GINI_SQL,
         "last_touch_attribution": _LAST_TOUCH_SQL,
         "dds_price_global": _dds_sql("lineitem", "l_extendedprice"),
         "dds_price_by_flag": _dds_sql("lineitem", "l_extendedprice",

@@ -7256,3 +7256,111 @@ JOIN region ON n_regionkey = r_regionkey
 WHERE r_name = 'ASIA' AND c_nationkey = s_nationkey
 GROUP BY 1 ORDER BY 1
 """
+
+
+def revenue_gini(sf_dir: str, n_buckets: int | None = None) -> pa.Table:
+    """REVENUE CONCENTRATION: the exact Gini coefficient of order totals
+    (0 = everyone equal, 1 = one order owns everything) in integer ppm
+    via G = (2 * sum(i * x_i) - (n + 1) * sum(x)) / (n * sum(x)) over
+    the (cents, key)-ordered values -- the inequality lens a marketplace
+    or corpus-source analysis reads before rebalancing.
+
+    Scale shape: the global_order_ranks two-pass range-bucket scheme --
+    O(buckets) count/offset exchange, then per-bucket local sorts
+    emitting ONE (sum_rank_cents, n, sum_cents) partial each; the
+    driver folds O(buckets) rows with Python big ints, so the final
+    ratio is exact at any magnitude.  Each bucket partial is checked
+    against int64 overflow and the fix (raise n_buckets) is named in
+    the error."""
+    from ray.data.aggregate import Max as _Max, Min as _Min
+    from ..stages.partition import fit_partitions, partition_by
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "key": pc.cast(t["o_orderkey"], pa.int64()),
+            "cents": _int_units(t["o_totalprice"], 100),
+        })
+
+    rows = ds.map_batches(prep, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    mm = rows.aggregate(_Min("cents"), _Max("cents"))
+    lo, hi = int(mm["min(cents)"]), int(mm["max(cents)"])
+    nb = n_buckets or fit_partitions(32)
+    width = max(1, (hi - lo + nb) // nb)
+
+    def bucket_of(c: np.ndarray) -> np.ndarray:
+        return np.minimum((c - lo) // width, nb - 1)
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        c = t["cents"].to_numpy(zero_copy_only=False)
+        cnt = np.bincount(bucket_of(c), minlength=nb).astype(np.int64)
+        return pa.table({"b": pa.array(np.arange(nb, dtype=np.int64)),
+                         "n": pa.array(cnt)})
+
+    counts = (rows.map_batches(count_partial, batch_format="pyarrow")
+              .groupby("b").aggregate(Sum("n", alias_name="n"))
+              .to_pandas().sort_values("b"))
+    per_bucket = np.zeros(nb, dtype=np.int64)
+    per_bucket[counts["b"].to_numpy()] = counts["n"].to_numpy()
+    offsets = np.concatenate(([0], np.cumsum(per_bucket)[:-1]))
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        c = t["cents"].to_numpy(zero_copy_only=False)
+        return t.append_column("b", pa.array(bucket_of(c)))
+
+    empty = pa.table({"srx": pa.array([], type=pa.int64()),
+                      "n": pa.array([], type=pa.int64()),
+                      "sx": pa.array([], type=pa.int64())})
+
+    def bucket_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        b = int(t["b"][0].as_py())
+        c = t["cents"].to_numpy(zero_copy_only=False)
+        k = t["key"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((k, c))
+        c_s = c[order]
+        rnk = offsets[b] + 1 + np.arange(c_s.shape[0], dtype=np.int64)
+        if int(rnk[-1]) * int(c_s.max()) * c_s.shape[0] >= (1 << 62):
+            raise OverflowError(
+                "revenue_gini: bucket partial would overflow int64; "
+                "raise n_buckets so each bucket holds fewer rows")
+        srx = int(np.sum(rnk * c_s))
+        return pa.table({"srx": pa.array([srx], type=pa.int64()),
+                         "n": pa.array([c_s.shape[0]], type=pa.int64()),
+                         "sx": pa.array([int(c_s.sum())],
+                                        type=pa.int64())})
+
+    parts = partition_by(rows.map_batches(add_bucket,
+                                          batch_format="pyarrow"),
+                         ["b"], nb, bucket_partial, empty).take_all()
+    srx = sum(int(r["srx"]) for r in parts)   # Python big ints: exact
+    n = sum(int(r["n"]) for r in parts)
+    sx = sum(int(r["sx"]) for r in parts)
+    gini_ppm = (2 * srx - (n + 1) * sx) * 1_000_000 // (n * sx)
+    return pa.table({
+        "n": pa.array([n], type=pa.int64()),
+        "sum_cents": pa.array([sx], type=pa.int64()),
+        "gini_ppm": pa.array([gini_ppm], type=pa.int64()),
+    })
+
+
+REVENUE_GINI_SQL = """
+WITH v AS (
+  SELECT o_orderkey AS key,
+         CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+  FROM orders
+), r AS (
+  SELECT cents,
+         CAST(row_number() OVER (ORDER BY cents, key) AS HUGEINT) AS rnk
+  FROM v
+)
+SELECT CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(cents) AS BIGINT) AS sum_cents,
+       CAST((2 * sum(rnk * cents)
+             - (count(*) + 1) * sum(CAST(cents AS HUGEINT)))
+            * 1000000 // (count(*) * sum(CAST(cents AS HUGEINT)))
+            AS BIGINT) AS gini_ppm
+FROM r
+"""

@@ -1449,3 +1449,24 @@ def test_local_supplier_volume_matches_duckdb_other_region(ray_session):
     want = con.execute(LOCAL_SUPPLIER_VOLUME_SQL.replace(
         "'ASIA'", "'EUROPE'")).df()
     assert got.equals(want.reset_index(drop=True))
+
+
+def test_revenue_gini_bruteforce(ray_session):
+    """The distributed Gini equals a single-machine numpy computation
+    and lands in (0, 1) ppm."""
+    import duckdb
+    from p2pddsketch_ray.pipelines.relational import revenue_gini
+    sf = "/root/testdata/sf0.001"
+    out = revenue_gini(sf).to_pydict()
+    con = duckdb.connect()
+    cents = np.sort(con.execute(
+        f"SELECT CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) "
+        f"FROM read_parquet('{sf}/orders.parquet')").df().iloc[:, 0]
+        .to_numpy())
+    n = len(cents)
+    srx = sum(int(i + 1) * int(x) for i, x in enumerate(cents))
+    sx = int(cents.sum())
+    want = (2 * srx - (n + 1) * sx) * 1_000_000 // (n * sx)
+    assert out["gini_ppm"][0] == want
+    assert 0 < out["gini_ppm"][0] < 1_000_000
+    assert out["n"][0] == n and out["sum_cents"][0] == sx
