@@ -97,6 +97,10 @@ from p2pddsketch_ray.pipelines.relational import (  # noqa: E402
     local_supplier_volume as _local_supplier_volume,
     REVENUE_GINI_SQL as _REVENUE_GINI_SQL,
     revenue_gini as _revenue_gini,
+    TOP_SESSION_PATHS_SQL as _TOP_SESSION_PATHS_SQL,
+    top_session_paths as _top_session_paths,
+    EMBEDDING_GRAM_SQL as _EMBEDDING_GRAM_SQL,
+    embedding_gram_stats as _embedding_gram_stats,
     SESSION_BOUNCE_SQL as _SESSION_BOUNCE_SQL,
     session_bounce_stats as _session_bounce_stats,
     TOP_EVENTS_PER_TYPE_SQL as _TOP_EVENTS_PER_TYPE_SQL,
@@ -616,6 +620,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # exact Gini concentration via the distributed ranking
         # machinery: O(buckets) exchange, big-int driver fold
         "revenue_gini": _revenue_gini,
+        # top within-session 3-step event paths (clickstream nav)
+        "top_session_paths": _top_session_paths,
+        # exact integer Gram/scatter matrix of the embeddings --
+        # the PCA/whitening sufficient statistic, O(d^2) exchange
+        "embedding_gram_stats": _embedding_gram_stats,
         # last-touch attribution: conversions credited to the most
         # recent in-window prior touch, deterministic under ts ties
         "last_touch_attribution": _last_touch_attribution,
@@ -1101,6 +1110,8 @@ def oracle_sql() -> dict[str, str]:
         "prefix_autocomplete_topk": _PREFIX_AUTOCOMPLETE_SQL,
         "local_supplier_volume": _LOCAL_SUPPLIER_VOLUME_SQL,
         "revenue_gini": _REVENUE_GINI_SQL,
+        "top_session_paths": _TOP_SESSION_PATHS_SQL,
+        "embedding_gram_stats": _EMBEDDING_GRAM_SQL,
         "last_touch_attribution": _LAST_TOUCH_SQL,
         "dds_price_global": _dds_sql("lineitem", "l_extendedprice"),
         "dds_price_by_flag": _dds_sql("lineitem", "l_extendedprice",

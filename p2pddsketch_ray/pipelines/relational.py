@@ -7364,3 +7364,177 @@ SELECT CAST(count(*) AS BIGINT) AS n,
             AS BIGINT) AS gini_ppm
 FROM r
 """
+
+
+def top_session_paths(sf_dir: str, gap_minutes: int = 30,
+                      k: int = 10) -> "ray.data.Dataset":
+    """NAVIGATION PATHS: the k most frequent 3-step event-type paths
+    (trigrams of consecutive events WITHIN a session, sessions split by
+    the usual inactivity gap) with exact corpus counts and deterministic
+    (count desc, path asc) ranks -- the "where do users actually go"
+    table of clickstream analytics.
+
+    Dataflow: the sessionization co-partition kernel extended by two
+    shifted compares -- a trigram is valid when positions i, i+1, i+2
+    share a session -- and a composite np.unique counts each partition's
+    trigrams vectorized; path strings materialize only for the
+    O(types^3)-bounded partials, the final ranking is one keep-k pass."""
+    from ..stages.partition import fit_partitions, partition_by
+    gap_us = int(gap_minutes) * 60 * 1_000_000
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id",
+                                  "event_type"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": pc.cast(t["user_id"], pa.int64()),
+            "us": pc.cast(t["ts"], pa.int64()),
+            "event_id": t["event_id"],
+            "event_type": t["event_type"],
+        })
+
+    empty = pa.table({"path": pa.array([], type=pa.string()),
+                      "cnt": pa.array([], type=pa.int64())})
+
+    def paths(group: pa.Table) -> pa.Table:
+        if group.num_rows < 3:
+            return empty
+        u = group["user_id"].to_numpy(zero_copy_only=False)
+        us = group["us"].to_numpy(zero_copy_only=False)
+        eid = group["event_id"].to_numpy(zero_copy_only=False)
+        et = group["event_type"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, us, u))
+        u, us, et = u[order], us[order], et[order]
+        same = (u[1:] == u[:-1]) & (us[1:] - us[:-1] <= gap_us)
+        valid = same[:-1] & same[1:]   # i..i+2 in one session
+        if not valid.any():
+            return empty
+        ut, code = np.unique(et, return_inverse=True)
+        ut = ut.astype(np.str_)
+        nt = np.int64(ut.shape[0])
+        tri = (code[:-2] * nt + code[1:-1]) * nt + code[2:]
+        utri, cnt = np.unique(tri[valid], return_counts=True)
+        a = utri // (nt * nt)
+        b = (utri // nt) % nt
+        c = utri % nt
+        path = np.char.add(np.char.add(np.char.add(ut[a], ">"),
+                                       np.char.add(ut[b], ">")), ut[c])
+        return pa.table({"path": pa.array(path.tolist(),
+                                          type=pa.string()),
+                         "cnt": pa.array(cnt.astype(np.int64))})
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    partials = partition_by(prepped, ["user_id"], fit_partitions(32),
+                            paths, empty)
+    merged = (partials.groupby("path")
+              .aggregate(Sum("cnt", alias_name="cnt")))
+
+    out_empty = pa.table({"path": pa.array([], type=pa.string()),
+                          "cnt": pa.array([], type=pa.int64()),
+                          "rnk": pa.array([], type=pa.int64())})
+
+    def keep_k(t: pa.Table, with_rank: bool) -> pa.Table:
+        if t.num_rows == 0:
+            return out_empty if with_rank \
+                else out_empty.drop_columns(["rnk"])
+        p = t["path"].to_numpy(zero_copy_only=False)
+        c = pc.cast(t["cnt"], pa.int64()).to_numpy(zero_copy_only=False)
+        order = np.lexsort((p, -c))[:k]
+        out = {"path": pa.array(p[order].tolist(), type=pa.string()),
+               "cnt": pa.array(c[order], type=pa.int64())}
+        if with_rank:
+            out["rnk"] = pa.array(
+                np.arange(1, order.shape[0] + 1, dtype=np.int64))
+        return pa.table(out)
+
+    prereduced = merged.map_batches(lambda t: keep_k(t, False),
+                                    batch_format="pyarrow")
+    from ..stages.partition import partition_by as _pb
+    return _pb(prereduced, [], 1, lambda t: keep_k(t, True), out_empty)
+
+
+TOP_SESSION_PATHS_SQL = """
+WITH v AS (
+  SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS us, event_id,
+         event_type
+  FROM events
+), w AS (
+  SELECT event_type AS c,
+         lag(event_type, 1) OVER w AS b,
+         lag(event_type, 2) OVER w AS a,
+         us - lag(us, 1) OVER w AS g1,
+         lag(us, 1) OVER w - lag(us, 2) OVER w AS g2
+  FROM v WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+), tri AS (
+  SELECT a || '>' || b || '>' || c AS path
+  FROM w
+  WHERE a IS NOT NULL AND g1 <= 1800000000 AND g2 <= 1800000000
+), counted AS (
+  SELECT path, CAST(count(*) AS BIGINT) AS cnt FROM tri GROUP BY 1
+)
+SELECT path, cnt,
+       CAST(row_number() OVER (ORDER BY cnt DESC, path) AS BIGINT)
+         AS rnk
+FROM counted
+QUALIFY rnk <= 10
+ORDER BY 3
+"""
+
+
+def embedding_gram_stats(sf_dir: str) -> "ray.data.Dataset":
+    """GRAM / SCATTER MATRIX of the embedding column: G = sum over
+    vectors of x x^T in exact integer milli-units, emitted as the upper
+    triangle (i <= j) -- the d x d sufficient statistic behind PCA,
+    whitening and covariance drift checks, reduced distributed so no
+    raw vectors ever leave their blocks.
+
+    Scale shape: each block folds ONE (d, n) @ (n, d) integer matmul
+    into a d^2 partial (d=64 -> 32 KB), the exchange is O(d^2) rows
+    per block, and the driver never sees anything larger than the
+    matrix itself."""
+    from ..functions.vectors import list_to_matrix
+    ds = _read(sf_dir, "embeddings", ["embedding"])
+
+    empty = pa.table({"i": pa.array([], type=pa.int64()),
+                      "j": pa.array([], type=pa.int64()),
+                      "s": pa.array([], type=pa.int64())})
+
+    def gram_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        x = np.floor(list_to_matrix(t["embedding"], dtype=np.float64)
+                     * 1000.0 + 0.5).astype(np.int64)
+        g = x.T @ x
+        d = g.shape[0]
+        iu, ju = np.triu_indices(d)
+        return pa.table({"i": pa.array(iu.astype(np.int64)),
+                         "j": pa.array(ju.astype(np.int64)),
+                         "s": pa.array(g[iu, ju])})
+
+    agg = (ds.map_batches(gram_partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby(["i", "j"]).aggregate(Sum("s", alias_name="s")))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        return pa.table({"i": pc.cast(t["i"], pa.int64()),
+                         "j": pc.cast(t["j"], pa.int64()),
+                         "s": pc.cast(t["s"], pa.int64())})
+
+    return (agg.map_batches(finalize, batch_format="pyarrow")
+            .sort(["i", "j"]))
+
+
+EMBEDDING_GRAM_SQL = """
+WITH nums AS (
+  SELECT CAST(range AS BIGINT) AS i FROM range(1, 4097)
+), q AS (
+  SELECT vec_id, CAST(i - 1 AS BIGINT) AS dim,
+         CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000.0 + 0.5)
+              AS BIGINT) AS x
+  FROM embeddings JOIN nums ON nums.i <= len(embedding)
+)
+SELECT a.dim AS i, b.dim AS j,
+       CAST(sum(a.x * b.x) AS BIGINT) AS s
+FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.dim <= b.dim
+GROUP BY 1, 2 ORDER BY 1, 2
+"""

@@ -1470,3 +1470,42 @@ def test_revenue_gini_bruteforce(ray_session):
     assert out["gini_ppm"][0] == want
     assert 0 < out["gini_ppm"][0] < 1_000_000
     assert out["n"][0] == n and out["sum_cents"][0] == sx
+
+
+def test_top_session_paths_hand_built(ray_session, tmp_path):
+    """A trigram must stay inside one session: gaps and user changes
+    break it."""
+    import pyarrow.parquet as pq
+    from p2pddsketch_ray.pipelines.relational import top_session_paths
+    m = 60 * 1_000_000
+    rows = [  # user 1: A B C (tight) then gap then C B A
+        (1, 0, 1, "A"), (2, 1 * m, 1, "B"), (3, 2 * m, 1, "C"),
+        (4, 200 * m, 1, "C"), (5, 201 * m, 1, "B"), (6, 202 * m, 1, "A"),
+        # user 2: A B C again -> A>B>C count 2
+        (7, 0, 2, "A"), (8, 1 * m, 2, "B"), (9, 2 * m, 2, "C"),
+    ]
+    t = pa.table({
+        "event_id": pa.array([r[0] for r in rows], type=pa.int64()),
+        "ts": pa.array([r[1] for r in rows], type=pa.timestamp("us")),
+        "user_id": pa.array([r[2] for r in rows], type=pa.int64()),
+        "event_type": pa.array([r[3] for r in rows], type=pa.string()),
+    })
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    out = top_session_paths(str(tmp_path)).to_pandas()
+    got = dict(zip(out["path"], out["cnt"]))
+    assert got == {"A>B>C": 2, "C>B>A": 1}
+
+
+def test_embedding_gram_matches_numpy(ray_session):
+    """The distributed Gram matrix equals X^T X over milli-units."""
+    import pyarrow.parquet as pq
+    from p2pddsketch_ray.functions.vectors import list_to_matrix
+    from p2pddsketch_ray.pipelines.relational import embedding_gram_stats
+    sf = "/root/testdata/sf0.001"
+    out = embedding_gram_stats(sf).to_pandas()
+    emb = pq.read_table(f"{sf}/embeddings.parquet")
+    x = np.floor(list_to_matrix(emb["embedding"], dtype=np.float64)
+                 * 1000.0 + 0.5).astype(np.int64)
+    g = x.T @ x
+    for r in out.sample(200, random_state=7).itertuples():
+        assert g[int(r.i), int(r.j)] == int(r.s)
