@@ -52,7 +52,9 @@ from p2pddsketch_ray.pipelines.temporal import (  # noqa: E402
 from p2pddsketch_ray.pipelines.quantiles import (  # noqa: E402
     WEIGHTED_MEDIAN_SQL as _WEIGHTED_MEDIAN_SQL)
 from p2pddsketch_ray.pipelines.approx import (  # noqa: E402
-    MG_HEAVY_USERS_SQL as _MG_HEAVY_USERS_SQL)
+    MG_HEAVY_USERS_SQL as _MG_HEAVY_USERS_SQL,
+    JOIN_SIZE_ESTIMATE_SQL as _JOIN_SIZE_ESTIMATE_SQL,
+    join_size_estimate as _join_size_estimate)
 from p2pddsketch_ray.pipelines.relational import (  # noqa: E402
     REPETITION_STATS_SQL as _REPETITION_STATS_SQL,
     TOKEN_EXPLODE_SQL as _TOKEN_EXPLODE_SQL,
@@ -625,6 +627,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # exact integer Gram/scatter matrix of the embeddings --
         # the PCA/whitening sufficient statistic, O(d^2) exchange
         "embedding_gram_stats": _embedding_gram_stats,
+        # planner-side equi-join cardinality from CM inner product
+        # with an exact distributed audit
+        "join_size_estimate": _join_size_estimate,
         # last-touch attribution: conversions credited to the most
         # recent in-window prior touch, deterministic under ts ties
         "last_touch_attribution": _last_touch_attribution,
@@ -1112,6 +1117,7 @@ def oracle_sql() -> dict[str, str]:
         "revenue_gini": _REVENUE_GINI_SQL,
         "top_session_paths": _TOP_SESSION_PATHS_SQL,
         "embedding_gram_stats": _EMBEDDING_GRAM_SQL,
+        "join_size_estimate": _JOIN_SIZE_ESTIMATE_SQL,
         "last_touch_attribution": _LAST_TOUCH_SQL,
         "dds_price_global": _dds_sql("lineitem", "l_extendedprice"),
         "dds_price_by_flag": _dds_sql("lineitem", "l_extendedprice",

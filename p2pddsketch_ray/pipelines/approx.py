@@ -361,3 +361,115 @@ SELECT c.user_id, c.n_events FROM c, tot
 WHERE c.n_events >= CAST(ceil(tot.n / 200.0) AS BIGINT)
 ORDER BY 1
 """
+
+
+def join_size_estimate(sf_dir: str, type_a: str = "click",
+                       type_b: str = "view") -> pa.Table:
+    """JOIN-SIZE ESTIMATION by count-min inner product (the Cormode &
+    Muthukrishnan application of CM to equi-join cardinality, J.Alg
+    2005 s4.3): |A join B on user_id| = sum_u cntA(u) * cntB(u) is
+    estimated as min over rows d of dot(cmsA[d], cmsB[d]) -- the
+    planner-side answer a distributed optimizer wants BEFORE running a
+    shuffle join, from two tiny mergeable counter arrays.  Output: the
+    exact join size (computed distributed for the error audit), the CM
+    estimate, and the overestimate in ppm (CM inner product never
+    underestimates).
+
+    Scale shape: both sketches build via the standard streaming counter
+    partials (O(depth x width) ints per block); the exact audit is one
+    user-keyed co-partition of per-side count partials.  The oracle
+    rebuilds every counter cell with the proven hash(xor)) % width
+    replica and takes the same row-dot minimum."""
+    from ..stages.partition import fit_partitions, partition_by
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def side(tname: str):
+        return (ds.filter(expr=f"event_type == '{tname}'")
+                .select_columns(["user_id"]))
+
+    cms_a = cms_build(side(type_a), "user_id", width=8192, depth=4)
+    cms_b = cms_build(side(type_b), "user_id", width=8192, depth=4)
+    dots = (cms_a.table.astype(object) * cms_b.table.astype(object)) \
+        .sum(axis=1)                      # Python ints: no overflow
+    est = int(min(dots))
+
+    # exact audit: per-user counts per side, product-summed per partition
+    pair_empty = pa.table({"user_id": pa.array([], type=pa.int64()),
+                           "ca": pa.array([], type=pa.int64()),
+                           "cb": pa.array([], type=pa.int64())})
+
+    def block_counts(t: pa.Table) -> pa.Table:
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        is_a, is_b = et == type_a, et == type_b
+        m = is_a | is_b
+        if not m.any():
+            return pair_empty
+        uu, inv = np.unique(uid[m], return_inverse=True)
+        ca = np.zeros(uu.shape[0], dtype=np.int64)
+        cb = np.zeros(uu.shape[0], dtype=np.int64)
+        np.add.at(ca, inv, is_a[m].astype(np.int64))
+        np.add.at(cb, inv, is_b[m].astype(np.int64))
+        return pa.table({"user_id": pa.array(uu), "ca": pa.array(ca),
+                         "cb": pa.array(cb)})
+
+    prod_empty = pa.table({"prod": pa.array([], type=pa.int64())})
+
+    def fold(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        ca = t["ca"].to_numpy(zero_copy_only=False)
+        cb = t["cb"].to_numpy(zero_copy_only=False)
+        uu, inv = np.unique(uid, return_inverse=True)
+        sa = np.zeros(uu.shape[0], dtype=np.int64)
+        sb = np.zeros(uu.shape[0], dtype=np.int64)
+        np.add.at(sa, inv, ca)
+        np.add.at(sb, inv, cb)
+        return pa.table({"prod": pa.array([int((sa * sb).sum())],
+                                          type=pa.int64())})
+
+    partials = ds.map_batches(block_counts, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    per_part = partition_by(partials, ["user_id"], fit_partitions(32),
+                            fold, prod_empty)
+    from ray.data.aggregate import Sum
+    exact = int(per_part.aggregate(Sum("prod", alias_name="p"))["p"] or 0)
+
+    return pa.table({
+        "exact_join_size": pa.array([exact], type=pa.int64()),
+        "cms_estimate": pa.array([est], type=pa.int64()),
+        "over_ppm": pa.array([(est - exact) * 1_000_000 // exact
+                              if exact else 0], type=pa.int64()),
+    })
+
+
+JOIN_SIZE_ESTIMATE_SQL = """
+WITH a AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS c FROM events
+  WHERE event_type = 'click' GROUP BY 1
+), b AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS c FROM events
+  WHERE event_type = 'view' GROUP BY 1
+), exact AS (
+  SELECT CAST(coalesce(sum(a.c * b.c), 0) AS BIGINT) AS x
+  FROM a JOIN b USING (user_id)
+), seeds(d, s) AS (VALUES (0, 461845907), (1, 3432918353),
+                          (2, 2246822507), (3, 3266489909)),
+ca AS (
+  SELECT s.d, hash(xor(a.user_id, CAST(s.s AS BIGINT))) % 8192 AS w,
+         CAST(sum(a.c) AS BIGINT) AS c
+  FROM a CROSS JOIN seeds s GROUP BY 1, 2
+), cb AS (
+  SELECT s.d, hash(xor(b.user_id, CAST(s.s AS BIGINT))) % 8192 AS w,
+         CAST(sum(b.c) AS BIGINT) AS c
+  FROM b CROSS JOIN seeds s GROUP BY 1, 2
+), dots AS (
+  SELECT ca.d, CAST(sum(ca.c * cb.c) AS BIGINT) AS dot
+  FROM ca JOIN cb ON cb.d = ca.d AND cb.w = ca.w
+  GROUP BY 1
+)
+SELECT exact.x AS exact_join_size,
+       (SELECT CAST(min(dot) AS BIGINT) FROM dots) AS cms_estimate,
+       CAST(((SELECT min(dot) FROM dots) - exact.x) * 1000000
+            // exact.x AS BIGINT) AS over_ppm
+FROM exact
+"""

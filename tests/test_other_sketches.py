@@ -441,3 +441,24 @@ def test_mg_exact_when_under_capacity():
     keys, counts = mg.items()
     assert keys.tolist() == list(range(20))
     assert counts.tolist() == [50] * 20
+
+
+def test_join_size_estimate_never_underestimates(ray_session):
+    """The CM inner-product estimate upper-bounds the exact join size
+    and the audit matches a direct DuckDB count."""
+    import duckdb
+    from p2pddsketch_ray.pipelines.approx import join_size_estimate
+    sf = "/root/testdata/sf0.001"
+    out = join_size_estimate(sf).to_pydict()
+    assert out["cms_estimate"][0] >= out["exact_join_size"][0]
+    assert out["over_ppm"][0] >= 0
+    con = duckdb.connect()
+    want = con.execute(f"""
+        SELECT count(*) FROM
+          (SELECT user_id FROM read_parquet('{sf}/events.parquet')
+           WHERE event_type = 'click') a
+        JOIN
+          (SELECT user_id FROM read_parquet('{sf}/events.parquet')
+           WHERE event_type = 'view') b
+        USING (user_id)""").fetchone()[0]
+    assert out["exact_join_size"][0] == want
