@@ -103,6 +103,8 @@ from p2pddsketch_ray.pipelines.relational import (  # noqa: E402
     top_session_paths as _top_session_paths,
     EMBEDDING_GRAM_SQL as _EMBEDDING_GRAM_SQL,
     embedding_gram_stats as _embedding_gram_stats,
+    GRAM_POWER_ITERATION_SQL as _GRAM_POWER_ITERATION_SQL,
+    gram_power_iteration as _gram_power_iteration,
     SESSION_BOUNCE_SQL as _SESSION_BOUNCE_SQL,
     session_bounce_stats as _session_bounce_stats,
     TOP_EVENTS_PER_TYPE_SQL as _TOP_EVENTS_PER_TYPE_SQL,
@@ -630,6 +632,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # planner-side equi-join cardinality from CM inner product
         # with an exact distributed audit
         "join_size_estimate": _join_size_estimate,
+        # power iteration on the distributed Gram statistic:
+        # big-int exact, residue-channel hash check
+        "gram_power_iteration": _gram_power_iteration,
         # last-touch attribution: conversions credited to the most
         # recent in-window prior touch, deterministic under ts ties
         "last_touch_attribution": _last_touch_attribution,
@@ -1118,6 +1123,7 @@ def oracle_sql() -> dict[str, str]:
         "top_session_paths": _TOP_SESSION_PATHS_SQL,
         "embedding_gram_stats": _EMBEDDING_GRAM_SQL,
         "join_size_estimate": _JOIN_SIZE_ESTIMATE_SQL,
+        "gram_power_iteration": _GRAM_POWER_ITERATION_SQL,
         "last_touch_attribution": _LAST_TOUCH_SQL,
         "dds_price_global": _dds_sql("lineitem", "l_extendedprice"),
         "dds_price_by_flag": _dds_sql("lineitem", "l_extendedprice",

@@ -7538,3 +7538,84 @@ SELECT a.dim AS i, b.dim AS j,
 FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.dim <= b.dim
 GROUP BY 1, 2 ORDER BY 1, 2
 """
+
+
+_PI_MOD = 999_999_999_989  # largest prime < 1e12: exact residue channel
+
+
+def gram_power_iteration(sf_dir: str) -> pa.Table:
+    """POWER ITERATION toward the top principal direction, run on the
+    DISTRIBUTED Gram sufficient statistic: the cluster reduces
+    G = X^T X once (the embedding_gram_stats partials -- no raw vector
+    ever leaves its block), then two exact iterations u1 = G 1 and
+    u2 = G u1 unfold in Python big-int arithmetic on the d x d matrix.
+    Per dimension the output carries u1 exactly (int64-safe by
+    construction) and u2 as a residue mod a fixed prime (u2 exceeds
+    int64 by design; the residue is the exact-equality channel the gate
+    can hash).  This is how iterative linear algebra should meet a
+    100 TB corpus: one distributed reduction per STATISTIC, iterations
+    on the tiny dense result.
+    """
+    from ..functions.vectors import list_to_matrix
+    ds = _read(sf_dir, "embeddings", ["embedding"])
+
+    empty = pa.table({"i": pa.array([], type=pa.int64()),
+                      "j": pa.array([], type=pa.int64()),
+                      "s": pa.array([], type=pa.int64())})
+
+    def gram_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        x = np.floor(list_to_matrix(t["embedding"], dtype=np.float64)
+                     * 1000.0 + 0.5).astype(np.int64)
+        g = x.T @ x
+        d = g.shape[0]
+        iu, ju = np.triu_indices(d)
+        return pa.table({"i": pa.array(iu.astype(np.int64)),
+                         "j": pa.array(ju.astype(np.int64)),
+                         "s": pa.array(g[iu, ju])})
+
+    tri = (ds.map_batches(gram_partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby(["i", "j"]).aggregate(Sum("s", alias_name="s"))
+           .to_pandas())
+    d = int(tri["j"].max()) + 1
+    G = [[0] * d for _ in range(d)]
+    for r in tri.itertuples():
+        i, j, s = int(r.i), int(r.j), int(r.s)
+        G[i][j] = s
+        G[j][i] = s
+    u1 = [sum(G[i]) for i in range(d)]                 # G @ ones
+    u2 = [sum(G[i][j] * u1[j] for j in range(d)) for i in range(d)]
+    return pa.table({
+        "dim": pa.array(np.arange(d, dtype=np.int64)),
+        "u1": pa.array(u1, type=pa.int64()),
+        "u2_mod": pa.array([u % _PI_MOD for u in u2], type=pa.int64()),
+    })
+
+
+GRAM_POWER_ITERATION_SQL = """
+WITH nums AS (
+  SELECT CAST(range AS BIGINT) AS i FROM range(1, 4097)
+), q AS (
+  SELECT vec_id, CAST(i - 1 AS BIGINT) AS dim,
+         CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000.0 + 0.5)
+              AS BIGINT) AS x
+  FROM embeddings JOIN nums ON nums.i <= len(embedding)
+), g AS (
+  SELECT a.dim AS i, b.dim AS j,
+         CAST(sum(a.x * b.x) AS HUGEINT) AS s
+  FROM q a JOIN q b ON a.vec_id = b.vec_id
+  GROUP BY 1, 2
+), u1 AS (
+  SELECT i, sum(s) AS u FROM g GROUP BY 1
+), u2 AS (
+  SELECT g.i, sum(g.s * u1.u) AS u
+  FROM g JOIN u1 ON u1.i = g.j GROUP BY 1
+)
+SELECT u1.i AS dim, CAST(u1.u AS BIGINT) AS u1,
+       CAST(((u2.u % 999999999989) + 999999999989) % 999999999989
+            AS BIGINT) AS u2_mod
+FROM u1 JOIN u2 ON u2.i = u1.i
+ORDER BY 1
+"""

@@ -1509,3 +1509,22 @@ def test_embedding_gram_matches_numpy(ray_session):
     g = x.T @ x
     for r in out.sample(200, random_state=7).itertuples():
         assert g[int(r.i), int(r.j)] == int(r.s)
+
+
+def test_gram_power_iteration_tracks_numpy(ray_session):
+    """u1 equals the float64 numpy product exactly (it is int64-safe)
+    and the u2 residues match big-int numpy."""
+    import pyarrow.parquet as pq
+    from p2pddsketch_ray.functions.vectors import list_to_matrix
+    from p2pddsketch_ray.pipelines.relational import (
+        _PI_MOD, gram_power_iteration)
+    sf = "/root/testdata/sf0.001"
+    out = gram_power_iteration(sf).to_pydict()
+    emb = pq.read_table(f"{sf}/embeddings.parquet")
+    x = np.floor(list_to_matrix(emb["embedding"], dtype=np.float64)
+                 * 1000.0 + 0.5).astype(np.int64)
+    G = (x.T @ x).astype(object)
+    u1 = G.sum(axis=1)
+    u2 = G @ u1
+    assert out["u1"] == [int(v) for v in u1]
+    assert out["u2_mod"] == [int(v) % _PI_MOD for v in u2]
