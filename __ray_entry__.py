@@ -448,6 +448,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # multimodal frame sampling (video-ingest shape: every k-th
         # fixed-size frame; plumbing oracle-checked via length math)
         "multimodal_frame_sample": _multimodal_frame_sample,
+        # actor-pool thumbnail resize: the ragged clipped gather is
+        # pinned cell-by-cell via a position-weighted checksum
+        "multimodal_resize_stats": _multimodal_resize,
         # GROUPED HLL (approximate distinct per group, register-level
         # oracle per group)
         "hll_users_by_type": A.hll_users_by_type,
@@ -680,6 +683,14 @@ def _inverted_index_lookup(sf_dir: str):
 def _model_score_stats(sf_dir: str):
     from p2pddsketch_ray.pipelines.inference import model_score_stats
     return model_score_stats(sf_dir)
+
+
+def _multimodal_resize(sf_dir: str):
+    import ray.data
+    from p2pddsketch_ray.stages.multimodal import resize_stats_by_group
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["lang", "text"])
+    return resize_stats_by_group(ds, "text", "lang").sort("lang")
 
 
 def _multimodal_frame_sample(sf_dir: str):
@@ -1124,6 +1135,32 @@ def oracle_sql() -> dict[str, str]:
         "embedding_gram_stats": _EMBEDDING_GRAM_SQL,
         "join_size_estimate": _JOIN_SIZE_ESTIMATE_SQL,
         "gram_power_iteration": _GRAM_POWER_ITERATION_SQL,
+        "multimodal_resize_stats": """
+WITH grid AS (
+  SELECT j.range AS j, k.range AS k
+  FROM range(0, 8) j CROSS JOIN range(0, 8) k
+), d AS (
+  SELECT lang, text, CAST(length(text) AS BIGINT) AS L,
+         greatest((CAST(length(text) AS BIGINT) + 63) // 64, 1) AS H
+  FROM documents
+), cells AS (
+  SELECT lang,
+         ord(substr(text,
+                    CAST(least((j * H) // 8 * 64 + k * 8, L - 1) + 1
+                         AS INT), 1)) AS byte,
+         j * 8 + k + 1 AS w
+  FROM d CROSS JOIN grid
+), per AS (
+  SELECT lang, CAST(sum(byte * w) AS BIGINT) AS thumb_checksum
+  FROM cells GROUP BY 1
+), base AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(length(text)) AS BIGINT) AS sum_payload
+  FROM documents GROUP BY 1
+)
+SELECT base.lang, base.n_docs, base.sum_payload, per.thumb_checksum
+FROM base JOIN per USING (lang) ORDER BY 1
+""",
         "last_touch_attribution": _LAST_TOUCH_SQL,
         "dds_price_global": _dds_sql("lineitem", "l_extendedprice"),
         "dds_price_by_flag": _dds_sql("lineitem", "l_extendedprice",

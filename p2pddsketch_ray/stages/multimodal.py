@@ -326,3 +326,58 @@ def frame_sample_stats_by_group(ds, payload_col: str, group_col: str,
         return pa.table(cols)
 
     return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+def resize_stats_by_group(ds, payload_col: str, group_col: str, *,
+                          stride: int = 64, target: int = 8,
+                          batch_size: int = 256):
+    """Resize pipeline shape over any table: payload -> actor-pool
+    ``Resize`` (map_batches over a callable CLASS: the index grid is
+    actor-lifetime state) -> per-group rollup (docs, payload bytes, and
+    a position-weighted THUMBNAIL CHECKSUM -- sum over thumbnail cells
+    of byte * (cell index + 1)).  The checksum pins every sampled byte
+    of every thumbnail, so the whole ragged gather (per-doc heights,
+    clipped tails) is SQL-replicable cell by cell."""
+    from ray.data.aggregate import Count, Sum
+
+    def to_payload(t: pa.Table) -> pa.Table:
+        col = t[payload_col]
+        if pa.types.is_string(col.type):
+            col = pa.compute.cast(col, pa.binary())
+        elif pa.types.is_large_string(col.type):
+            col = pa.compute.cast(col, pa.large_binary())
+        return pa.table({group_col: t[group_col], "payload": col})
+
+    weights = np.arange(1, target * target + 1, dtype=np.int64)
+
+    class _ResizeChecksum(Resize):
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            out = super().__call__(batch)
+            flat = out["thumb"].combine_chunks().flatten().to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            mat = flat.reshape(batch.num_rows, target * target)
+            return pa.table({
+                group_col: batch[group_col],
+                "payload_size": out["payload_size"],
+                "checksum": pa.array(mat @ weights, type=pa.int64()),
+            })
+
+    agg = (ds.map_batches(to_payload, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .map_batches(_ResizeChecksum, batch_format="pyarrow",
+                        batch_size=batch_size, concurrency=2,
+                        fn_constructor_kwargs={"column": "payload",
+                                               "stride": stride,
+                                               "target": target})
+           .groupby(group_col)
+           .aggregate(Count(alias_name="n_docs"),
+                      Sum("payload_size", alias_name="sum_payload"),
+                      Sum("checksum", alias_name="thumb_checksum")))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        cols = {group_col: t[group_col]}
+        for c in ("n_docs", "sum_payload", "thumb_checksum"):
+            cols[c] = pa.compute.cast(t[c], pa.int64())
+        return pa.table(cols)
+
+    return agg.map_batches(finalize, batch_format="pyarrow")

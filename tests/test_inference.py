@@ -60,3 +60,33 @@ def test_model_score_stats_matches_duckdb(ray_session):
     assert got.equals(want)
     # all three classes occur somewhere (thresholds are not degenerate)
     assert set(got["cls"]) == {"low", "mid", "high"}
+
+
+def test_resize_stats_checksum_pins_thumbnails(ray_session):
+    """The per-lang checksum equals a direct numpy replay of the Resize
+    gather over the raw text bytes."""
+    import pyarrow.parquet as pq
+    import ray.data
+    from p2pddsketch_ray.stages.multimodal import (Resize,
+                                                   resize_stats_by_group)
+    sf = "/root/testdata/sf0.001"
+    ds = ray.data.read_parquet(f"{sf}/documents.parquet",
+                               columns=["lang", "text"])
+    out = resize_stats_by_group(ds, "text", "lang").to_pandas()
+    tbl = pq.read_table(f"{sf}/documents.parquet",
+                        columns=["lang", "text"])
+    r = Resize(column="payload")
+    payload = pa.table({"lang": tbl["lang"],
+                        "payload": pa.compute.cast(tbl["text"],
+                                                   pa.binary())})
+    th = r(payload)
+    flat = th["thumb"].combine_chunks().flatten().to_numpy(
+        zero_copy_only=False).astype(np.int64).reshape(tbl.num_rows, 64)
+    w = np.arange(1, 65, dtype=np.int64)
+    cks = flat @ w
+    langs = np.asarray(tbl["lang"].to_pylist())
+    want = {}
+    for lang in np.unique(langs):
+        want[lang] = int(cks[langs == lang].sum())
+    got = dict(zip(out["lang"], out["thumb_checksum"]))
+    assert got == want
