@@ -105,6 +105,8 @@ from p2pddsketch_ray.pipelines.relational import (  # noqa: E402
     embedding_gram_stats as _embedding_gram_stats,
     GRAM_POWER_ITERATION_SQL as _GRAM_POWER_ITERATION_SQL,
     gram_power_iteration as _gram_power_iteration,
+    SORTED_EXPORT_SQL as _SORTED_EXPORT_SQL,
+    sorted_export_stats as _sorted_export_stats,
     SESSION_BOUNCE_SQL as _SESSION_BOUNCE_SQL,
     session_bounce_stats as _session_bounce_stats,
     TOP_EVENTS_PER_TYPE_SQL as _TOP_EVENTS_PER_TYPE_SQL,
@@ -638,6 +640,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # power iteration on the distributed Gram statistic:
         # big-int exact, residue-channel hash check
         "gram_power_iteration": _gram_power_iteration,
+        # external-sort export: one sorted, non-overlapping file
+        # per range bucket = a total order on disk; stats read
+        # back from the exported files
+        "sorted_export_stats": _sorted_export_stats,
         # last-touch attribution: conversions credited to the most
         # recent in-window prior touch, deterministic under ts ties
         "last_touch_attribution": _last_touch_attribution,
@@ -1135,6 +1141,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_gram_stats": _EMBEDDING_GRAM_SQL,
         "join_size_estimate": _JOIN_SIZE_ESTIMATE_SQL,
         "gram_power_iteration": _GRAM_POWER_ITERATION_SQL,
+        "sorted_export_stats": _SORTED_EXPORT_SQL,
         "multimodal_resize_stats": """
 WITH grid AS (
   SELECT j.range AS j, k.range AS k

@@ -7619,3 +7619,106 @@ SELECT u1.i AS dim, CAST(u1.u AS BIGINT) AS u1,
 FROM u1 JOIN u2 ON u2.i = u1.i
 ORDER BY 1
 """
+
+
+def sorted_export_stats(sf_dir: str, n_buckets: int = 16,
+                        out_root: str | None = None) -> pa.Table:
+    """GLOBAL SORTED MATERIALIZATION: orders are exported as one
+    parquet file per value-range bucket, each file internally sorted by
+    (cents, key) and the files non-overlapping in bucket order -- a
+    total global order ON DISK without any single node ever sorting
+    more than one bucket (the external-sort export shape behind ORDER
+    BY materializations and merge-ready layouts).  Output per bucket:
+    row count and the min/max cents actually written, read back FROM
+    THE EXPORTED FILES (the oracle recomputes the identical bucket
+    math from the raw table, so a mis-written file hash-fails).
+
+    Scale shape: one streaming Min/Max pass fixes the bucket grid
+    (fixed n_buckets, engine-independent); one bucket co-partition
+    sorts locally and writes its own file; the stats read-back opens
+    O(buckets) footers' worth of data.  Raise n_buckets so a bucket
+    fits a worker at 100 TB."""
+    import shutil
+
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Max as _Max, Min as _Min
+    from ..stages.partition import partition_by
+
+    root = out_root or "/tmp/p2pdds_gate/orders_sorted"
+    shutil.rmtree(root, ignore_errors=True)
+    import os
+    os.makedirs(root, exist_ok=True)
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "key": pc.cast(t["o_orderkey"], pa.int64()),
+            "cents": _int_units(t["o_totalprice"], 100),
+        })
+
+    rows = ds.map_batches(prep, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    mm = rows.aggregate(_Min("cents"), _Max("cents"))
+    lo, hi = int(mm["min(cents)"]), int(mm["max(cents)"])
+    width = max(1, (hi - lo + n_buckets) // n_buckets)
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        c = t["cents"].to_numpy(zero_copy_only=False)
+        b = np.minimum((c - lo) // width, n_buckets - 1)
+        return t.append_column("b", pa.array(b))
+
+    empty = pa.table({"bucket": pa.array([], type=pa.int64()),
+                      "n": pa.array([], type=pa.int64())})
+
+    def sort_and_write(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        b = int(t["b"][0].as_py())
+        c = t["cents"].to_numpy(zero_copy_only=False)
+        k = t["key"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((k, c))
+        out = pa.table({"cents": pa.array(c[order]),
+                        "key": pa.array(k[order])})
+        pq.write_table(out, f"{root}/part-{b:05d}.parquet")
+        return pa.table({"bucket": pa.array([b], type=pa.int64()),
+                         "n": pa.array([t.num_rows], type=pa.int64())})
+
+    written = partition_by(rows.map_batches(add_bucket,
+                                            batch_format="pyarrow"),
+                           ["b"], n_buckets, sort_and_write,
+                           empty).take_all()
+    buckets = sorted(int(r["bucket"]) for r in written)
+    ns, mins, maxs = [], [], []
+    for b in buckets:   # stats from the EXPORTED files themselves
+        t = pq.read_table(f"{root}/part-{b:05d}.parquet",
+                          columns=["cents"])
+        c = t["cents"].to_numpy()
+        ns.append(len(c))
+        mins.append(int(c.min()))
+        maxs.append(int(c.max()))
+    return pa.table({
+        "bucket": pa.array(buckets, type=pa.int64()),
+        "n": pa.array(ns, type=pa.int64()),
+        "min_cents": pa.array(mins, type=pa.int64()),
+        "max_cents": pa.array(maxs, type=pa.int64()),
+    })
+
+
+SORTED_EXPORT_SQL = """
+WITH v AS (
+  SELECT CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+  FROM orders
+), g AS (
+  SELECT min(cents) AS lo,
+         greatest(1, (max(cents) - min(cents) + 16) // 16) AS w
+  FROM v
+), b AS (
+  SELECT least((cents - g.lo) // g.w, 15) AS bucket, cents
+  FROM v CROSS JOIN g
+)
+SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+       CAST(min(cents) AS BIGINT) AS min_cents,
+       CAST(max(cents) AS BIGINT) AS max_cents
+FROM b GROUP BY 1 ORDER BY 1
+"""

@@ -1528,3 +1528,24 @@ def test_gram_power_iteration_tracks_numpy(ray_session):
     u2 = G @ u1
     assert out["u1"] == [int(v) for v in u1]
     assert out["u2_mod"] == [int(v) % _PI_MOD for v in u2]
+
+
+def test_sorted_export_is_globally_sorted(ray_session, tmp_path):
+    """Concatenating the exported files in bucket order yields a fully
+    sorted sequence covering every input row."""
+    import glob
+    import pyarrow.parquet as pq
+    from p2pddsketch_ray.pipelines.relational import sorted_export_stats
+    sf = "/root/testdata/sf0.001"
+    root = str(tmp_path / "sorted")
+    out = sorted_export_stats(sf, out_root=root).to_pandas()
+    files = sorted(glob.glob(f"{root}/part-*.parquet"))
+    seq = np.concatenate([
+        pq.read_table(f, columns=["cents"])["cents"].to_numpy()
+        for f in files])
+    assert (np.diff(seq) >= 0).all()
+    n = pq.read_metadata(f"{sf}/orders.parquet").num_rows
+    assert len(seq) == n == out["n"].sum()
+    # files are non-overlapping in bucket order
+    assert (out["min_cents"].to_numpy()[1:]
+            >= out["max_cents"].to_numpy()[:-1]).all()
