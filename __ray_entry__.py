@@ -162,6 +162,8 @@ from p2pddsketch_ray.pipelines.dedup import (  # noqa: E402
     DECONTAMINATION_SQL as _DECONTAMINATION_SQL,
     DUP_SPAN_SQL as _DUP_SPAN_SQL,
     dup_span_stats as _dup_span_stats,
+    MINHASH_BLOCKING_SQL as _MINHASH_BLOCKING_SQL,
+    minhash_blocking_report as _minhash_blocking_report,
     MINHASH_NEARDUP_SQL as _MINHASH_NEARDUP_SQL,
     SIMHASH_NEARDUP_SQL as _SIMHASH_NEARDUP_SQL,
     benchmark_decontamination as _benchmark_decontamination,
@@ -644,6 +646,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # per range bucket = a total order on disk; stats read
         # back from the exported files
         "sorted_export_stats": _sorted_export_stats,
+        # LSH blocking evaluation: reduction ratio + precision of
+        # the banding stage, both counted distributed
+        "minhash_blocking_report": _minhash_blocking_report,
         # last-touch attribution: conversions credited to the most
         # recent in-window prior touch, deterministic under ts ties
         "last_touch_attribution": _last_touch_attribution,
@@ -1142,6 +1147,7 @@ def oracle_sql() -> dict[str, str]:
         "join_size_estimate": _JOIN_SIZE_ESTIMATE_SQL,
         "gram_power_iteration": _GRAM_POWER_ITERATION_SQL,
         "sorted_export_stats": _SORTED_EXPORT_SQL,
+        "minhash_blocking_report": _MINHASH_BLOCKING_SQL,
         "multimodal_resize_stats": """
 WITH grid AS (
   SELECT j.range AS j, k.range AS k

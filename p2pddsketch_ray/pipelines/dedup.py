@@ -1398,3 +1398,119 @@ FROM per ORDER BY 1"""
 
 
 DUP_SPAN_SQL = _dup_span_sql()
+
+
+def minhash_blocking_report(sf_dir: str, num_perm: int = 64,
+                            bands: int = 16, k: int = 9,
+                            threshold: float = 0.7) -> pa.Table:
+    """BLOCKING QUALITY: the evaluation every LSH deployment owes its
+    operator -- how much of the quadratic pair space did banding prune
+    (reduction ratio) and how many surviving candidates verify
+    (precision), in integer ppm.  Output: corpus size, candidate pairs,
+    verified pairs, reduction_ppm (candidates vs n-choose-2) and
+    precision_ppm.
+
+    Dataflow: the exact candidate stage of minhash_near_dups (16-byte
+    band rows -> bucket co-partition pair expansion -> distinct-pair
+    dedupe) counted distributed, and the full verify pipeline for the
+    surviving pairs; the driver folds five integers.  The oracle
+    recomputes both counts from the proven HUGEINT signature replica."""
+    from functools import partial
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    band_rows = ds.map_batches(
+        partial(minhash_band_rows, id_col="doc_id", text_col="text",
+                num_perm=num_perm, bands=bands, k=k),
+        batch_format="pyarrow", batch_size=SHINGLE_BATCH,
+        zero_copy_batch=True)
+    nparts = _fit_partitions(64)
+    empty = pa.table({"doc_a": pa.array([], type=pa.int64()),
+                      "doc_b": pa.array([], type=pa.int64())})
+
+    def dedupe_block(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return empty
+        a, b = _unique_pairs(block["doc_a"].to_numpy(zero_copy_only=False),
+                             block["doc_b"].to_numpy(zero_copy_only=False))
+        return pa.table({"doc_a": pa.array(a, type=pa.int64()),
+                         "doc_b": pa.array(b, type=pa.int64())})
+
+    cand = _partition_by(band_rows, ["band_hash"], nparts,
+                         _candidate_pairs, empty)
+    cand = _partition_by(cand, ["doc_a", "doc_b"], max(2, nparts // 4),
+                         dedupe_block, empty)
+    n_cand = int(cand.count())
+    n_verified = int(minhash_near_dups(
+        ds, "doc_id", "text", num_perm=num_perm, bands=bands, k=k,
+        threshold=threshold).count())
+    import pyarrow.parquet as pq
+    n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    total_pairs = n_docs * (n_docs - 1) // 2
+    return pa.table({
+        "n_docs": pa.array([n_docs], type=pa.int64()),
+        "n_candidates": pa.array([n_cand], type=pa.int64()),
+        "n_verified": pa.array([n_verified], type=pa.int64()),
+        "reduction_ppm": pa.array(
+            [1_000_000 - n_cand * 1_000_000 // total_pairs],
+            type=pa.int64()),
+        "precision_ppm": pa.array(
+            [n_verified * 1_000_000 // n_cand if n_cand else 0],
+            type=pa.int64()),
+    })
+
+
+def _minhash_blocking_sql(num_perm: int = 64, bands: int = 16,
+                          k: int = 9, min_eq: int = 45) -> str:
+    """Counts over the SAME CTEs as _minhash_neardup_sql: candidates
+    from band equality, verified from the equal-coordinate threshold."""
+    from ..sketches.minhash import _perm_constants
+    a, b = _perm_constants(num_perm)
+    rows = ", ".join(f"({i}, {int(x) >> 32}, {int(x) & 0xFFFFFFFF}, "
+                     f"{int(y)})"
+                     for i, (x, y) in enumerate(zip(a, b)))
+    horner = "0"
+    for j in range(k):
+        horner = (f"(({horner}) * 1099511628211 + "
+                  f"ord(substr(text, i + {j}, 1))) % 18446744073709551616")
+    r = num_perm // bands
+    return f"""
+WITH nums AS (SELECT CAST(range AS BIGINT) AS i FROM range(1, 1048576)),
+w AS (SELECT doc_id, CAST(({horner}) AS HUGEINT) AS hv
+      FROM documents JOIN nums ON nums.i <= length(text) - {k - 1}
+      WHERE length(text) >= {k}),
+perms(perm, a_hi, a_lo, b) AS (VALUES {rows}),
+g AS (SELECT doc_id, perm,
+             ((hv * a_lo) % 18446744073709551616
+              + ((hv * a_hi) % 4294967296) * 4294967296
+              + b) % 18446744073709551616 AS pv
+      FROM w CROSS JOIN perms),
+mins AS (SELECT doc_id, perm, min(pv) AS m FROM g GROUP BY 1, 2),
+band_cand AS (
+  SELECT a.doc_id AS da, b.doc_id AS db
+  FROM mins a
+  JOIN mins b ON b.perm = a.perm AND b.m = a.m AND b.doc_id > a.doc_id
+  GROUP BY a.doc_id, b.doc_id, a.perm // {r}
+  HAVING count(*) = {r}),
+cand AS (SELECT DISTINCT da, db FROM band_cand),
+scored AS (
+  SELECT c.da, c.db,
+         CAST(count(*) FILTER (WHERE a.m = b.m) AS BIGINT) AS m_eq
+  FROM cand c
+  JOIN mins a ON a.doc_id = c.da
+  JOIN mins b ON b.doc_id = c.db AND b.perm = a.perm
+  GROUP BY 1, 2),
+nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+nc AS (SELECT CAST(count(*) AS BIGINT) AS n FROM cand),
+nv AS (SELECT CAST(count(*) AS BIGINT) AS n FROM scored
+       WHERE m_eq >= {min_eq})
+SELECT nd.n AS n_docs, nc.n AS n_candidates, nv.n AS n_verified,
+       CAST(1000000 - nc.n * 1000000 // (nd.n * (nd.n - 1) // 2)
+            AS BIGINT) AS reduction_ppm,
+       CAST(CASE WHEN nc.n = 0 THEN 0
+                 ELSE nv.n * 1000000 // nc.n END AS BIGINT)
+         AS precision_ppm
+FROM nd, nc, nv"""
+
+
+MINHASH_BLOCKING_SQL = _minhash_blocking_sql()

@@ -398,3 +398,20 @@ def test_dup_span_stats_matches_bruteforce(ray_session, tmp_path):
     for lang, p, d, ppm in zip(out["lang"], out["n_positions"],
                                out["n_dup_positions"], out["dup_ppm"]):
         assert ppm == d * 1_000_000 // p
+
+
+def test_minhash_blocking_report_consistency(ray_session):
+    """Verified pairs never exceed candidates, the reduction ratio is
+    extreme on a mostly-unique corpus, and counts agree with the
+    near-dup pipeline itself."""
+    import ray.data
+    from p2pddsketch_ray.pipelines.dedup import (minhash_blocking_report,
+                                                 minhash_near_dups)
+    sf = "/root/testdata/sf0.001"
+    out = minhash_blocking_report(sf).to_pydict()
+    assert out["n_verified"][0] <= out["n_candidates"][0]
+    assert out["reduction_ppm"][0] > 990_000
+    ds = ray.data.read_parquet(f"{sf}/documents.parquet",
+                               columns=["doc_id", "text"])
+    direct = minhash_near_dups(ds, "doc_id", "text").count()
+    assert out["n_verified"][0] == direct
