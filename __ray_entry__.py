@@ -107,6 +107,10 @@ from p2pddsketch_ray.pipelines.relational import (  # noqa: E402
     gram_power_iteration as _gram_power_iteration,
     SORTED_EXPORT_SQL as _SORTED_EXPORT_SQL,
     sorted_export_stats as _sorted_export_stats,
+    BPE_PAIR_SQL as _BPE_PAIR_SQL,
+    bpe_pair_counts as _bpe_pair_counts,
+    DEDUP_NORMALIZED_SQL as _DEDUP_NORMALIZED_SQL,
+    dedup_normalized_stats as _dedup_normalized_stats,
     SESSION_BOUNCE_SQL as _SESSION_BOUNCE_SQL,
     session_bounce_stats as _session_bounce_stats,
     TOP_EVENTS_PER_TYPE_SQL as _TOP_EVENTS_PER_TYPE_SQL,
@@ -649,6 +653,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # LSH blocking evaluation: reduction ratio + precision of
         # the banding stage, both counted distributed
         "minhash_blocking_report": _minhash_blocking_report,
+        # one BPE training step: top adjacent within-token char
+        # pairs, 65536-cell bincount partials
+        "bpe_pair_counts": _bpe_pair_counts,
+        # casefold/whitespace normalization dedup tier
+        "dedup_normalized_stats": _dedup_normalized_stats,
         # last-touch attribution: conversions credited to the most
         # recent in-window prior touch, deterministic under ts ties
         "last_touch_attribution": _last_touch_attribution,
@@ -1148,6 +1157,8 @@ def oracle_sql() -> dict[str, str]:
         "gram_power_iteration": _GRAM_POWER_ITERATION_SQL,
         "sorted_export_stats": _SORTED_EXPORT_SQL,
         "minhash_blocking_report": _MINHASH_BLOCKING_SQL,
+        "bpe_pair_counts": _BPE_PAIR_SQL,
+        "dedup_normalized_stats": _DEDUP_NORMALIZED_SQL,
         "multimodal_resize_stats": """
 WITH grid AS (
   SELECT j.range AS j, k.range AS k

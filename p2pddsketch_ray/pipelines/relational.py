@@ -7722,3 +7722,214 @@ SELECT bucket, CAST(count(*) AS BIGINT) AS n,
        CAST(max(cents) AS BIGINT) AS max_cents
 FROM b GROUP BY 1 ORDER BY 1
 """
+
+
+def bpe_pair_counts(sf_dir: str, k: int = 10) -> "ray.data.Dataset":
+    """ONE BPE TRAINING STEP: the k most frequent adjacent character
+    pairs inside whitespace tokens across the corpus (cross-token pairs
+    masked), exact counts, deterministic (count desc, pair asc) ranks --
+    the statistic a byte-pair-encoding tokenizer trainer computes every
+    merge round; run it in a loop with a merge-apply map for full BPE.
+
+    Dataflow: per block, ONE vectorized pass over the flat text buffer
+    encodes every within-token byte pair as code = b0 * 256 + b1 and
+    bincounts into a 65536-cell partial (pairs never materialize as
+    strings until the final k rows); the exchange is O(distinct pairs)
+    per block and the ranking is the standard keep-k."""
+    ds = _read(sf_dir, "documents", ["text"])
+
+    empty = pa.table({"code": pa.array([], type=pa.int64()),
+                      "cnt": pa.array([], type=pa.int64())})
+
+    def block_pairs(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        toks = pc.split_pattern(t["text"], pattern=" ")
+        flat = pc.list_flatten(toks).combine_chunks()
+        if len(flat) == 0:
+            return empty
+        bufs = flat.buffers()
+        off_dt = (np.int64 if pa.types.is_large_string(flat.type)
+                  else np.int32)
+        off = np.frombuffer(bufs[1], dtype=off_dt,
+                            count=len(flat) + 1,
+                            offset=flat.offset
+                            * np.dtype(off_dt).itemsize).astype(np.int64)
+        if bufs[2] is None:
+            return empty
+        data = np.frombuffer(bufs[2], dtype=np.uint8)
+        if data.shape[0] < 2:
+            return empty
+        code = (data[:-1].astype(np.int64) * 256
+                + data[1:].astype(np.int64))
+        # mask positions whose pair crosses a token boundary
+        valid = np.ones(code.shape[0], dtype=bool)
+        ends = off[1:] - 1          # last byte index of each token
+        ends = ends[(ends >= 0) & (ends < code.shape[0])]
+        valid[ends] = False
+        lo, hi = off[0], off[-1] - 1
+        valid[:lo] = False
+        if hi < valid.shape[0]:
+            valid[hi:] = False
+        cnt = np.bincount(code[valid], minlength=65536).astype(np.int64)
+        live = cnt > 0
+        return pa.table({
+            "code": pa.array(np.nonzero(live)[0].astype(np.int64)),
+            "cnt": pa.array(cnt[live]),
+        })
+
+    merged = (ds.map_batches(block_pairs, batch_format="pyarrow",
+                             zero_copy_batch=True)
+              .groupby("code").aggregate(Sum("cnt", alias_name="cnt")))
+
+    out_empty = pa.table({"pair": pa.array([], type=pa.string()),
+                          "cnt": pa.array([], type=pa.int64()),
+                          "rnk": pa.array([], type=pa.int64())})
+
+    def keep_k(t: pa.Table, with_rank: bool) -> pa.Table:
+        if t.num_rows == 0:
+            return out_empty if with_rank \
+                else out_empty.drop_columns(["rnk"])
+        if "pair" in t.column_names:
+            pair = t["pair"].to_numpy(zero_copy_only=False)
+        else:
+            code = t["code"].to_numpy(zero_copy_only=False)
+            b = np.stack([code // 256, code % 256],
+                         axis=1).astype(np.uint8)
+            pair = np.array([bytes(r).decode("latin-1") for r in b],
+                            dtype=object)  # <= 65536 rows, final only
+        cnt = pc.cast(t["cnt"], pa.int64()).to_numpy(zero_copy_only=False)
+        order = np.lexsort((pair.astype(np.str_), -cnt))[:k]
+        out = {"pair": pa.array(pair[order].tolist(), type=pa.string()),
+               "cnt": pa.array(cnt[order], type=pa.int64())}
+        if with_rank:
+            out["rnk"] = pa.array(
+                np.arange(1, order.shape[0] + 1, dtype=np.int64))
+        return pa.table(out)
+
+    prereduced = merged.map_batches(lambda t: keep_k(t, False),
+                                    batch_format="pyarrow")
+    from ..stages.partition import partition_by
+    return partition_by(prereduced, [], 1, lambda t: keep_k(t, True),
+                        out_empty)
+
+
+BPE_PAIR_SQL = """
+WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+), nums AS (
+  SELECT CAST(range AS BIGINT) AS i FROM range(1, 1024)
+), pairs AS (
+  SELECT substr(tok, CAST(i AS INT), 2) AS pair
+  FROM toks JOIN nums ON nums.i <= length(tok) - 1
+), counted AS (
+  SELECT pair, CAST(count(*) AS BIGINT) AS cnt FROM pairs GROUP BY 1
+)
+SELECT pair, cnt,
+       CAST(row_number() OVER (ORDER BY cnt DESC, pair) AS BIGINT)
+         AS rnk
+FROM counted
+QUALIFY rnk <= 10
+ORDER BY 3
+"""
+
+
+def dedup_normalized_stats(sf_dir: str) -> pa.Table:
+    """NORMALIZED-TEXT dedup tier: how many documents collide only
+    AFTER casefolding + whitespace collapsing (the cheap normalization
+    every curation pipeline runs before exact hashing) versus raw exact
+    dups.  Output: docs, distinct raw texts, distinct normalized texts,
+    and the extra duplicates normalization reveals.
+
+    Dataflow: one streaming pass computes both fingerprints with Arrow
+    kernels (utf8_lower + regex collapse + trim, then the shared
+    64-bit fingerprint); per-block distinct partials co-partition by
+    fingerprint so each text counts once -- the dedup_exact shape run
+    twice in the same map."""
+    from ..functions.text import fingerprint64
+    from ..stages.partition import fit_partitions, partition_by
+    ds = _read(sf_dir, "documents", ["text"])
+
+    empty = pa.table({"kind": pa.array([], type=pa.int64()),
+                      "fp": pa.array([], type=pa.int64()),
+                      "cnt": pa.array([], type=pa.int64())})
+
+    def block_fps(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        raw = t["text"]
+        norm = pc.utf8_trim_whitespace(
+            pc.replace_substring_regex(pc.utf8_lower(raw),
+                                       pattern=" +", replacement=" "))
+        fr = fingerprint64(raw).to_numpy(zero_copy_only=False)
+        fn = fingerprint64(norm).to_numpy(zero_copy_only=False)
+        kinds, fps, cnts = [], [], []
+        for kind, f in ((0, fr), (1, fn)):
+            uf, c = np.unique(f, return_counts=True)
+            kinds.append(np.full(uf.shape[0], kind, dtype=np.int64))
+            fps.append(uf.view(np.int64)
+                       if uf.dtype != np.int64 else uf)
+            cnts.append(c.astype(np.int64))
+        return pa.table({"kind": pa.array(np.concatenate(kinds)),
+                         "fp": pa.array(np.concatenate(fps)),
+                         "cnt": pa.array(np.concatenate(cnts))})
+
+    part_empty = pa.table({"kind": pa.array([], type=pa.int64()),
+                           "n_distinct": pa.array([], type=pa.int64()),
+                           "n_rows": pa.array([], type=pa.int64())})
+
+    def fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return part_empty
+        kind = t["kind"].to_numpy(zero_copy_only=False)
+        fp = t["fp"].to_numpy(zero_copy_only=False)
+        cnt = t["cnt"].to_numpy(zero_copy_only=False)
+        out_k, out_d, out_n = [], [], []
+        for kv in (0, 1):
+            m = kind == kv
+            if not m.any():
+                continue
+            uf, inv = np.unique(fp[m], return_inverse=True)
+            tot = np.zeros(uf.shape[0], dtype=np.int64)
+            np.add.at(tot, inv, cnt[m])
+            out_k.append(kv)
+            out_d.append(uf.shape[0])
+            out_n.append(int(tot.sum()))
+        return pa.table({"kind": pa.array(out_k, type=pa.int64()),
+                         "n_distinct": pa.array(out_d, type=pa.int64()),
+                         "n_rows": pa.array(out_n, type=pa.int64())})
+
+    partials = ds.map_batches(block_fps, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    per_part = partition_by(partials, ["fp"], fit_partitions(32),
+                            fold, part_empty)
+    agg = (per_part.groupby("kind")
+           .aggregate(Sum("n_distinct", alias_name="n_distinct"),
+                      Sum("n_rows", alias_name="n_rows")).take_all())
+    by_kind = {int(r["kind"]): (int(r["n_distinct"]), int(r["n_rows"]))
+               for r in agg}
+    n_docs = by_kind.get(0, (0, 0))[1]
+    d_raw = by_kind.get(0, (0, 0))[0]
+    d_norm = by_kind.get(1, (0, 0))[0]
+    return pa.table({
+        "n_docs": pa.array([n_docs], type=pa.int64()),
+        "distinct_raw": pa.array([d_raw], type=pa.int64()),
+        "distinct_normalized": pa.array([d_norm], type=pa.int64()),
+        "extra_dups_from_norm": pa.array([d_raw - d_norm],
+                                         type=pa.int64()),
+    })
+
+
+DEDUP_NORMALIZED_SQL = """
+WITH n AS (
+  SELECT text AS raw,
+         trim(regexp_replace(lower(text), ' +', ' ', 'g')) AS norm
+  FROM documents
+)
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT raw) AS BIGINT) AS distinct_raw,
+       CAST(count(DISTINCT norm) AS BIGINT) AS distinct_normalized,
+       CAST(count(DISTINCT raw) - count(DISTINCT norm) AS BIGINT)
+         AS extra_dups_from_norm
+FROM n
+"""

@@ -1549,3 +1549,36 @@ def test_sorted_export_is_globally_sorted(ray_session, tmp_path):
     # files are non-overlapping in bucket order
     assert (out["min_cents"].to_numpy()[1:]
             >= out["max_cents"].to_numpy()[:-1]).all()
+
+
+def test_bpe_pair_counts_hand_built(ray_session, tmp_path):
+    """Within-token pairs count; cross-token pairs never do."""
+    import pyarrow.parquet as pq
+    from p2pddsketch_ray.pipelines.relational import bpe_pair_counts
+    t = pa.table({
+        "doc_id": pa.array([0, 1], type=pa.int64()),
+        "text": pa.array(["abab xy", "ab"], type=pa.string()),
+        "lang": pa.array(["en", "en"], type=pa.string()),
+    })
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    out = bpe_pair_counts(str(tmp_path)).to_pandas()
+    got = dict(zip(out["pair"], out["cnt"]))
+    # 'abab' -> ab,ba,ab ; 'xy' -> xy ; 'ab' -> ab;  'b x'/'y a' never
+    assert got == {"ab": 3, "ba": 1, "xy": 1}
+
+
+def test_dedup_normalized_reveals_case_dups(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+    from p2pddsketch_ray.pipelines.relational import dedup_normalized_stats
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], type=pa.int64()),
+        "text": pa.array(["Hello  World", "hello world",
+                          "hello world", "other"], type=pa.string()),
+        "lang": pa.array(["en"] * 4, type=pa.string()),
+    })
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    out = dedup_normalized_stats(str(tmp_path)).to_pydict()
+    assert out["n_docs"][0] == 4
+    assert out["distinct_raw"][0] == 3
+    assert out["distinct_normalized"][0] == 2
+    assert out["extra_dups_from_norm"][0] == 1
