@@ -111,6 +111,10 @@ from p2pddsketch_ray.pipelines.relational import (  # noqa: E402
     bpe_pair_counts as _bpe_pair_counts,
     DEDUP_NORMALIZED_SQL as _DEDUP_NORMALIZED_SQL,
     dedup_normalized_stats as _dedup_normalized_stats,
+    JSONL_ROUNDTRIP_SQL as _JSONL_ROUNDTRIP_SQL,
+    jsonl_roundtrip_stats as _jsonl_roundtrip_stats,
+    STRATIFIED_ALLOCATION_SQL as _STRATIFIED_ALLOCATION_SQL,
+    stratified_allocation_plan as _stratified_allocation_plan,
     SESSION_BOUNCE_SQL as _SESSION_BOUNCE_SQL,
     session_bounce_stats as _session_bounce_stats,
     TOP_EVENTS_PER_TYPE_SQL as _TOP_EVENTS_PER_TYPE_SQL,
@@ -658,6 +662,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_pair_counts": _bpe_pair_counts,
         # casefold/whitespace normalization dedup tier
         "dedup_normalized_stats": _dedup_normalized_stats,
+        # JSONL sink + source round trip under the gate
+        "jsonl_roundtrip_stats": _jsonl_roundtrip_stats,
+        # largest-remainder sample-budget allocation across strata
+        "stratified_allocation_plan": _stratified_allocation_plan,
         # last-touch attribution: conversions credited to the most
         # recent in-window prior touch, deterministic under ts ties
         "last_touch_attribution": _last_touch_attribution,
@@ -1159,6 +1167,8 @@ def oracle_sql() -> dict[str, str]:
         "minhash_blocking_report": _MINHASH_BLOCKING_SQL,
         "bpe_pair_counts": _BPE_PAIR_SQL,
         "dedup_normalized_stats": _DEDUP_NORMALIZED_SQL,
+        "jsonl_roundtrip_stats": _JSONL_ROUNDTRIP_SQL,
+        "stratified_allocation_plan": _STRATIFIED_ALLOCATION_SQL,
         "multimodal_resize_stats": """
 WITH grid AS (
   SELECT j.range AS j, k.range AS k

@@ -7933,3 +7933,165 @@ SELECT CAST(count(*) AS BIGINT) AS n_docs,
          AS extra_dups_from_norm
 FROM n
 """
+
+
+def jsonl_roundtrip_stats(sf_dir: str,
+                          out_root: str | None = None) -> "ray.data.Dataset":
+    """JSON-LINES SINK + SOURCE round trip: a slice of events is written
+    as .jsonl (the interchange format half the world's event logs
+    arrive in), read back with the JSON reader, and rolled up -- the
+    gate compares the ROUND-TRIPPED rollup against the raw table, so a
+    lossy write or a mistyped read hash-fails.  Values ride as integer
+    cents so JSON float formatting can't perturb them.
+
+    Scale shape: both legs stream (write_json / read_json are
+    block-parallel); the rollup is the standard in-batch combiner."""
+    import shutil
+
+    root = out_root or "/tmp/p2pdds_gate/events_jsonl"
+    shutil.rmtree(root, ignore_errors=True)
+
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def slim(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": pc.cast(t["event_id"], pa.int64()),
+            "event_type": t["event_type"],
+            "value_c": _int_units(t["value"], 100),
+        })
+
+    ds.map_batches(slim, batch_format="pyarrow",
+                   zero_copy_batch=True).write_json(root)
+    back = ray.data.read_json(root)
+
+    empty = pa.table({"event_type": pa.array([], type=pa.string()),
+                      "n": pa.array([], type=pa.int64()),
+                      "sum_value_c": pa.array([], type=pa.int64()),
+                      "sum_event_id": pa.array([], type=pa.int64())})
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        vc = pc.cast(t["value_c"], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        eid = pc.cast(t["event_id"], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        ut, inv = np.unique(et, return_inverse=True)
+        n = np.bincount(inv).astype(np.int64)
+        sv = np.zeros(ut.shape[0], dtype=np.int64)
+        np.add.at(sv, inv, vc)
+        se = np.zeros(ut.shape[0], dtype=np.int64)
+        np.add.at(se, inv, eid)
+        return pa.table({"event_type": pa.array(ut.tolist(),
+                                                type=pa.string()),
+                         "n": pa.array(n), "sum_value_c": pa.array(sv),
+                         "sum_event_id": pa.array(se)})
+
+    agg = (back.map_batches(partial, batch_format="pyarrow")
+           .groupby("event_type")
+           .aggregate(Sum("n", alias_name="n"),
+                      Sum("sum_value_c", alias_name="sum_value_c"),
+                      Sum("sum_event_id", alias_name="sum_event_id")))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": t["event_type"],
+            "n": pc.cast(t["n"], pa.int64()),
+            "sum_value_c": pc.cast(t["sum_value_c"], pa.int64()),
+            "sum_event_id": pc.cast(t["sum_event_id"], pa.int64()),
+        })
+
+    return (agg.map_batches(finalize, batch_format="pyarrow")
+            .sort("event_type"))
+
+
+JSONL_ROUNDTRIP_SQL = """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+         AS sum_value_c,
+       CAST(sum(event_id) AS BIGINT) AS sum_event_id
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+
+def stratified_allocation_plan(sf_dir: str, total_k: int = 100) -> pa.Table:
+    """SAMPLE-ALLOCATION PLAN by the largest-remainder method: split a
+    ``total_k``-item eval budget across (lang, source) strata
+    proportionally to their sizes, integer floors first, the leftover
+    seats going to the largest remainders (ties -> lexicographic
+    stratum) -- the deterministic allocation step ahead of stratified
+    sampling, fully integer so both engines agree seat by seat.
+
+    Scale shape: the only distributed work is the O(strata) count
+    partials; the seat assignment folds a strata-sized table on the
+    driver."""
+    ds = _read(sf_dir, "documents", ["lang", "source"])
+
+    empty = pa.table({"lang": pa.array([], type=pa.string()),
+                      "source": pa.array([], type=pa.string()),
+                      "n": pa.array([], type=pa.int64())})
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        lang = t["lang"].to_numpy(zero_copy_only=False)
+        src = t["source"].to_numpy(zero_copy_only=False)
+        ul, lc = np.unique(lang, return_inverse=True)
+        us, sc = np.unique(src, return_inverse=True)
+        comp = lc.astype(np.int64) * us.shape[0] + sc
+        uc, inv = np.unique(comp, return_inverse=True)
+        return pa.table({
+            "lang": pa.array(ul[uc // us.shape[0]].tolist(),
+                             type=pa.string()),
+            "source": pa.array(us[uc % us.shape[0]].tolist(),
+                               type=pa.string()),
+            "n": pa.array(np.bincount(inv).astype(np.int64)),
+        })
+
+    counts = (ds.map_batches(partial, batch_format="pyarrow",
+                             zero_copy_batch=True)
+              .groupby(["lang", "source"])
+              .aggregate(Sum("n", alias_name="n"))
+              .to_pandas().sort_values(["lang", "source"])
+              .reset_index(drop=True))
+    n = counts["n"].to_numpy(dtype=np.int64)
+    total = int(n.sum())
+    floors = n * total_k // total
+    rem = n * total_k % total
+    leftover = total_k - int(floors.sum())
+    # largest remainder, ties to lexicographically smaller stratum
+    order = np.lexsort((np.arange(n.shape[0]), -rem))
+    extra = np.zeros(n.shape[0], dtype=np.int64)
+    extra[order[:leftover]] = 1
+    return pa.table({
+        "lang": pa.array(counts["lang"], type=pa.string()),
+        "source": pa.array(counts["source"], type=pa.string()),
+        "n": pa.array(n, type=pa.int64()),
+        "alloc": pa.array(floors + extra, type=pa.int64()),
+    })
+
+
+STRATIFIED_ALLOCATION_SQL = """
+WITH c AS (
+  SELECT lang, source, CAST(count(*) AS BIGINT) AS n
+  FROM documents GROUP BY 1, 2
+), tot AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM c),
+base AS (
+  SELECT lang, source, n,
+         n * 100 // tot.t AS fl,
+         n * 100 % tot.t AS rem
+  FROM c CROSS JOIN tot
+), seats AS (
+  SELECT CAST(100 - sum(fl) AS BIGINT) AS leftover FROM base
+), ranked AS (
+  SELECT lang, source, n, fl,
+         row_number() OVER (ORDER BY rem DESC, lang, source) AS r
+  FROM base
+)
+SELECT lang, source, n,
+       CAST(fl + CASE WHEN r <= seats.leftover THEN 1 ELSE 0 END
+            AS BIGINT) AS alloc
+FROM ranked CROSS JOIN seats
+ORDER BY 1, 2
+"""

@@ -1582,3 +1582,14 @@ def test_dedup_normalized_reveals_case_dups(ray_session, tmp_path):
     assert out["distinct_raw"][0] == 3
     assert out["distinct_normalized"][0] == 2
     assert out["extra_dups_from_norm"][0] == 1
+
+
+def test_stratified_allocation_exactly_spends_budget(ray_session):
+    from p2pddsketch_ray.pipelines.relational import (
+        stratified_allocation_plan)
+    out = stratified_allocation_plan("/root/testdata/sf0.001").to_pandas()
+    assert out["alloc"].sum() == 100
+    # proportionality within one seat of the real-valued share
+    total = out["n"].sum()
+    ideal = out["n"] * 100 / total
+    assert ((out["alloc"] - ideal).abs() < 1.0).all()
