@@ -48,7 +48,11 @@ from p2pddsketch_ray.pipelines.temporal import (  # noqa: E402
     SCD2_STATE_HISTORY_SQL as _SCD2_STATE_HISTORY_SQL,
     scd2_state_history as _scd2_state_history,
     LAST_TOUCH_SQL as _LAST_TOUCH_SQL,
-    last_touch_attribution as _last_touch_attribution)
+    last_touch_attribution as _last_touch_attribution,
+    MARKOV_STATIONARY_SQL as _MARKOV_STATIONARY_SQL,
+    markov_stationary_ppm as _markov_stationary_ppm,
+    PROPS_VOCAB_DRIFT_SQL as _PROPS_VOCAB_DRIFT_SQL,
+    props_vocab_drift as _props_vocab_drift)
 from p2pddsketch_ray.pipelines.quantiles import (  # noqa: E402
     WEIGHTED_MEDIAN_SQL as _WEIGHTED_MEDIAN_SQL)
 from p2pddsketch_ray.pipelines.approx import (  # noqa: E402
@@ -666,6 +670,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jsonl_roundtrip_stats": _jsonl_roundtrip_stats,
         # largest-remainder sample-budget allocation across strata
         "stratified_allocation_plan": _stratified_allocation_plan,
+        # stationary behavior mix: 3 exact power steps over the
+        # transition counts, residue channel for the big values
+        "markov_stationary_ppm": _markov_stationary_ppm,
+        # props vocabulary drift between time halves, ppm shares
+        "props_vocab_drift": _props_vocab_drift,
         # last-touch attribution: conversions credited to the most
         # recent in-window prior touch, deterministic under ts ties
         "last_touch_attribution": _last_touch_attribution,
@@ -1169,6 +1178,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_normalized_stats": _DEDUP_NORMALIZED_SQL,
         "jsonl_roundtrip_stats": _JSONL_ROUNDTRIP_SQL,
         "stratified_allocation_plan": _STRATIFIED_ALLOCATION_SQL,
+        "markov_stationary_ppm": _MARKOV_STATIONARY_SQL,
+        "props_vocab_drift": _PROPS_VOCAB_DRIFT_SQL,
         "multimodal_resize_stats": """
 WITH grid AS (
   SELECT j.range AS j, k.range AS k

@@ -2090,3 +2090,172 @@ SELECT touch_type, CAST(count(*) AS BIGINT) AS n_conversions,
        CAST(sum(gap) AS BIGINT) AS sum_gap_us
 FROM labeled GROUP BY 1 ORDER BY 1
 """
+
+
+def markov_stationary_ppm(sf_dir: str) -> pa.Table:
+    """STATIONARY BEHAVIOR MIX by fixed-point iteration over the exact
+    event-transition counts: three exact power steps v <- v P_counts
+    from the all-ones start, big-int on the driver (the count matrix is
+    types x types -- the DISTRIBUTED work is the pair counting, the
+    same user-co-partition lag kernel as event_transition_matrix), with
+    the step-3 mass share in integer ppm -- where user behavior
+    concentrates if today's transition dynamics persist.  v1 is emitted
+    exactly (int64-safe); v3 rides the fixed-prime residue channel used
+    by gram_power_iteration since it exceeds int64 by design."""
+    from .relational import _PI_MOD
+    rows = event_transition_matrix(sf_dir).take_all()
+    types = sorted({r["from_type"] for r in rows}
+                   | {r["to_type"] for r in rows})
+    pos = {t: i for i, t in enumerate(types)}
+    k = len(types)
+    n = [[0] * k for _ in range(k)]
+    for r in rows:
+        n[pos[r["from_type"]]][pos[r["to_type"]]] = int(r["n"])
+    v = [1] * k
+    v1 = None
+    for step in range(3):
+        v = [sum(v[i] * n[i][j] for i in range(k)) for j in range(k)]
+        if step == 0:
+            v1 = list(v)
+    total = sum(v)
+    return pa.table({
+        "event_type": pa.array(types, type=pa.string()),
+        "v1": pa.array(v1, type=pa.int64()),
+        "v3_mod": pa.array([x % _PI_MOD for x in v], type=pa.int64()),
+        "share_ppm": pa.array([x * 1_000_000 // total for x in v],
+                              type=pa.int64()),
+    })
+
+
+MARKOV_STATIONARY_SQL = """
+WITH w AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev
+  FROM events
+), p AS (
+  SELECT prev AS f, event_type AS t, CAST(count(*) AS HUGEINT) AS n
+  FROM w WHERE prev IS NOT NULL GROUP BY 1, 2
+), types AS (
+  SELECT DISTINCT f AS ty FROM p UNION SELECT DISTINCT t FROM p
+), u1 AS (
+  SELECT t AS ty, sum(n) AS v FROM p GROUP BY 1
+), u1f AS (
+  SELECT types.ty, coalesce(u1.v, 0) AS v
+  FROM types LEFT JOIN u1 ON u1.ty = types.ty
+), u2 AS (
+  SELECT p.t AS ty, sum(u1f.v * p.n) AS v
+  FROM p JOIN u1f ON u1f.ty = p.f GROUP BY 1
+), u2f AS (
+  SELECT types.ty, coalesce(u2.v, 0) AS v
+  FROM types LEFT JOIN u2 ON u2.ty = types.ty
+), u3 AS (
+  SELECT p.t AS ty, sum(u2f.v * p.n) AS v
+  FROM p JOIN u2f ON u2f.ty = p.f GROUP BY 1
+), u3f AS (
+  SELECT types.ty, coalesce(u3.v, 0) AS v
+  FROM types LEFT JOIN u3 ON u3.ty = types.ty
+), tot AS (SELECT sum(v) AS s FROM u3f)
+SELECT u1f.ty AS event_type,
+       CAST(u1f.v AS BIGINT) AS v1,
+       CAST(((u3f.v % 999999999989) + 999999999989) % 999999999989
+            AS BIGINT) AS v3_mod,
+       CAST(u3f.v * 1000000 // tot.s AS BIGINT) AS share_ppm
+FROM u1f JOIN u3f ON u3f.ty = u1f.ty CROSS JOIN tot
+ORDER BY 1
+"""
+
+
+def props_vocab_drift(sf_dir: str, k: int = 15) -> "ray.data.Dataset":
+    """VOCABULARY DRIFT between the first and second time half of the
+    event log: per props token, its frequency share in each half
+    (integer ppm) and the k largest absolute share changes -- the
+    content-drift monitor a streaming corpus runs to catch a source
+    going stale or a new pattern flooding in.  The halfway boundary is
+    the epoch midpoint (min+max)//2, derived from the data so both
+    engines agree.
+
+    Scale shape: one tiny Min/Max pass fixes the boundary; the count
+    pass folds per-block (props, half) partials; shares and the keep-k
+    ranking fold an O(vocab) table."""
+    from ray.data.aggregate import Max as _Max, Min as _Min, Sum
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["ts", "props"])
+    mm = ds.aggregate(_Min("ts"), _Max("ts"))
+    lo = int(pa.scalar(mm["min(ts)"]).cast(pa.int64()).as_py())
+    hi = int(pa.scalar(mm["max(ts)"]).cast(pa.int64()).as_py())
+    mid = (lo + hi) // 2
+
+    empty = pa.table({"props": pa.array([], type=pa.string()),
+                      "n_first": pa.array([], type=pa.int64()),
+                      "n_second": pa.array([], type=pa.int64())})
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        us = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        second = (us > mid).astype(np.int64)
+        tok = t["props"].to_numpy(zero_copy_only=False)
+        ut, inv = np.unique(tok, return_inverse=True)
+        nf = np.zeros(ut.shape[0], dtype=np.int64)
+        ns = np.zeros(ut.shape[0], dtype=np.int64)
+        np.add.at(nf, inv, 1 - second)
+        np.add.at(ns, inv, second)
+        return pa.table({"props": pa.array(ut.tolist(),
+                                           type=pa.string()),
+                         "n_first": pa.array(nf),
+                         "n_second": pa.array(ns)})
+
+    merged = (ds.map_batches(partial, batch_format="pyarrow",
+                             zero_copy_batch=True)
+              .groupby("props")
+              .aggregate(Sum("n_first", alias_name="n_first"),
+                         Sum("n_second", alias_name="n_second"))
+              .to_pandas())
+    tf = int(merged["n_first"].sum())
+    ts_ = int(merged["n_second"].sum())
+    nf = merged["n_first"].to_numpy(dtype=np.int64)
+    ns = merged["n_second"].to_numpy(dtype=np.int64)
+    dppm = ns * 1_000_000 // ts_ - nf * 1_000_000 // tf
+    toks = merged["props"].to_numpy()
+    order = np.lexsort((toks.astype(np.str_), -np.abs(dppm)))[:k]
+    return pa.table({
+        "props": pa.array(toks[order].tolist(), type=pa.string()),
+        "n_first": pa.array(nf[order], type=pa.int64()),
+        "n_second": pa.array(ns[order], type=pa.int64()),
+        "dppm": pa.array(dppm[order], type=pa.int64()),
+        "rnk": pa.array(np.arange(1, order.shape[0] + 1,
+                                  dtype=np.int64)),
+    })
+
+
+PROPS_VOCAB_DRIFT_SQL = """
+WITH mm AS (
+  SELECT (CAST(epoch_us(min(ts)) AS BIGINT)
+          + CAST(epoch_us(max(ts)) AS BIGINT)) // 2 AS mid
+  FROM events
+), c AS (
+  SELECT props,
+         CAST(count(*) FILTER (
+             WHERE CAST(epoch_us(ts) AS BIGINT) <= mm.mid)
+           AS BIGINT) AS n_first,
+         CAST(count(*) FILTER (
+             WHERE CAST(epoch_us(ts) AS BIGINT) > mm.mid)
+           AS BIGINT) AS n_second
+  FROM events CROSS JOIN mm GROUP BY 1
+), tot AS (
+  SELECT CAST(sum(n_first) AS BIGINT) AS tf,
+         CAST(sum(n_second) AS BIGINT) AS ts FROM c
+), d AS (
+  SELECT props, n_first, n_second,
+         n_second * 1000000 // tot.ts
+           - n_first * 1000000 // tot.tf AS dppm
+  FROM c CROSS JOIN tot
+)
+SELECT props, n_first, n_second, CAST(dppm AS BIGINT) AS dppm,
+       CAST(row_number() OVER (ORDER BY abs(dppm) DESC, props)
+            AS BIGINT) AS rnk
+FROM d
+QUALIFY rnk <= 15
+ORDER BY 5
+"""

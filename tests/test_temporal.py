@@ -643,3 +643,40 @@ def test_last_touch_attribution_edges(ray_session, tmp_path):
     assert got == {"click": (1, 10 * us),
                    "view": (2, 100 * us),
                    "none": (3, 0)}
+
+
+def test_markov_stationary_mass_conserved(ray_session):
+    """share_ppm sums to ~1e6 and v1 equals the column sums of the
+    transition counts."""
+    from p2pddsketch_ray.pipelines.temporal import (
+        event_transition_matrix, markov_stationary_ppm)
+    sf = "/root/testdata/sf0.001"
+    out = markov_stationary_ppm(sf).to_pydict()
+    assert abs(sum(out["share_ppm"]) - 1_000_000) <= len(out["share_ppm"])
+    rows = event_transition_matrix(sf).take_all()
+    col = {}
+    for r in rows:
+        col[r["to_type"]] = col.get(r["to_type"], 0) + int(r["n"])
+    for t, v1 in zip(out["event_type"], out["v1"]):
+        assert v1 == col.get(t, 0)
+
+
+def test_props_vocab_drift_shares(ray_session):
+    """dppm recomputes from the emitted counts and corpus totals."""
+    import duckdb
+    from p2pddsketch_ray.pipelines.temporal import props_vocab_drift
+    sf = "/root/testdata/sf0.001"
+    out = props_vocab_drift(sf).to_pandas()
+    con = duckdb.connect()
+    mid = con.execute(f"""
+        SELECT (CAST(epoch_us(min(ts)) AS BIGINT)
+                + CAST(epoch_us(max(ts)) AS BIGINT)) // 2
+        FROM read_parquet('{sf}/events.parquet')""").fetchone()[0]
+    tf, ts = con.execute(f"""
+        SELECT count(*) FILTER (WHERE epoch_us(ts) <= {mid}),
+               count(*) FILTER (WHERE epoch_us(ts) > {mid})
+        FROM read_parquet('{sf}/events.parquet')""").fetchone()
+    for r in out.itertuples():
+        want = (r.n_second * 1_000_000 // ts
+                - r.n_first * 1_000_000 // tf)
+        assert r.dppm == want
