@@ -119,6 +119,8 @@ from p2pddsketch_ray.pipelines.relational import (  # noqa: E402
     jsonl_roundtrip_stats as _jsonl_roundtrip_stats,
     STRATIFIED_ALLOCATION_SQL as _STRATIFIED_ALLOCATION_SQL,
     stratified_allocation_plan as _stratified_allocation_plan,
+    BM25_TOPK_SQL as _BM25_TOPK_SQL,
+    bm25_topk as _bm25_topk,
     SESSION_BOUNCE_SQL as _SESSION_BOUNCE_SQL,
     session_bounce_stats as _session_bounce_stats,
     TOP_EVENTS_PER_TYPE_SQL as _TOP_EVENTS_PER_TYPE_SQL,
@@ -675,6 +677,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "markov_stationary_ppm": _markov_stationary_ppm,
         # props vocabulary drift between time halves, ppm shares
         "props_vocab_drift": _props_vocab_drift,
+        # the real lexical ranker: BM25 with exact-integer inputs
+        # to one mirrored float expression
+        "bm25_topk": _bm25_topk,
         # last-touch attribution: conversions credited to the most
         # recent in-window prior touch, deterministic under ts ties
         "last_touch_attribution": _last_touch_attribution,
@@ -1180,6 +1185,7 @@ def oracle_sql() -> dict[str, str]:
         "stratified_allocation_plan": _STRATIFIED_ALLOCATION_SQL,
         "markov_stationary_ppm": _MARKOV_STATIONARY_SQL,
         "props_vocab_drift": _PROPS_VOCAB_DRIFT_SQL,
+        "bm25_topk": _BM25_TOPK_SQL,
         "multimodal_resize_stats": """
 WITH grid AS (
   SELECT j.range AS j, k.range AS k

@@ -8095,3 +8095,169 @@ SELECT lang, source, n,
 FROM ranked CROSS JOIN seats
 ORDER BY 1, 2
 """
+
+
+def bm25_topk(sf_dir: str, terms: tuple = ("hash", "join"),
+              k: int = 15, k1: float = 1.2, b: float = 0.75) -> "ray.data.Dataset":
+    """BM25 RANKED RETRIEVAL (Robertson-Sparck Jones probabilistic
+    scoring, the default lexical ranker everywhere): disjunctive query,
+    score(d) = sum over terms of idf_t * tf*(k1+1) / (tf + k1*(1 - b +
+    b*dl*N/total_dl)), with idf_t = ln((N - df + 0.5)/(df + 0.5) + 1).
+    Every input to the float expression is an exact integer from the
+    corpus (tf, dl, df, N, total_dl) and both engines evaluate the ONE
+    expression in the same order, so the rounded scores hash-match --
+    the keyword_search_topk pipeline upgraded from raw tf to the real
+    scorer.
+
+    Scale shape: pass 1 folds (N, total_dl, df_t) block partials --
+    O(terms) integers; pass 2 streams with the broadcast stats,
+    dictionary-encoded tf counting, per-block top-k prereduce,
+    O(k x blocks) exchange."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    terms = tuple(terms)
+
+    stat_empty = pa.table({
+        "n_docs": pa.array([], type=pa.int64()),
+        "total_dl": pa.array([], type=pa.int64()),
+        **{f"df_{i}": pa.array([], type=pa.int64())
+           for i in range(len(terms))}})
+
+    def tf_dl(t: pa.Table):
+        toks = pc.split_pattern(t["text"], pattern=" ")
+        flat = pc.list_flatten(toks).combine_chunks()
+        nper = pc.list_value_length(toks).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        dcode = np.repeat(np.arange(t.num_rows, dtype=np.int64), nper)
+        dic = flat.dictionary_encode()
+        idx = dic.indices.to_numpy(zero_copy_only=False)
+        dwords = dic.dictionary.to_pylist()
+        tfm = np.zeros((t.num_rows, len(terms)), dtype=np.int64)
+        for j, term in enumerate(terms):
+            if term in dwords:
+                code = dwords.index(term)
+                np.add.at(tfm[:, j], dcode[idx == code], 1)
+        return tfm, nper
+
+    def stats_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return stat_empty
+        tfm, dl = tf_dl(t)
+        cols = {"n_docs": pa.array([t.num_rows], type=pa.int64()),
+                "total_dl": pa.array([int(dl.sum())], type=pa.int64())}
+        for i in range(len(terms)):
+            cols[f"df_{i}"] = pa.array([int((tfm[:, i] > 0).sum())],
+                                       type=pa.int64())
+        return pa.table(cols)
+
+    aggs = [Sum("n_docs", alias_name="n_docs"),
+            Sum("total_dl", alias_name="total_dl")]
+    aggs += [Sum(f"df_{i}", alias_name=f"df_{i}")
+             for i in range(len(terms))]
+    st = (docs.map_batches(stats_partial, batch_format="pyarrow",
+                           zero_copy_batch=True).aggregate(*aggs))
+    N = int(st["n_docs"])
+    total_dl = int(st["total_dl"])
+    df = np.array([int(st[f"df_{i}"]) for i in range(len(terms))],
+                  dtype=np.float64)
+    idf = np.log((np.float64(N) - df + 0.5) / (df + 0.5) + 1.0)
+
+    out_empty = pa.table({"doc_id": pa.array([], type=pa.int64()),
+                          "score": pa.array([], type=pa.float64())})
+
+    def score_block(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_empty
+        tfm, dl = tf_dl(t)
+        hit = (tfm > 0).any(axis=1)
+        if not hit.any():
+            return out_empty
+        tf = tfm[hit].astype(np.float64)
+        dlh = dl[hit].astype(np.float64)
+        denom = tf + k1 * (1.0 - b
+                           + b * (dlh[:, None] * np.float64(N))
+                           / np.float64(total_dl))
+        sc = (idf[None, :] * (tf * (k1 + 1.0)) / denom)
+        sc[tf == 0] = 0.0
+        total = np.round(sc.sum(axis=1), 4)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)[hit]
+        order = np.lexsort((ids, -total))[:k]
+        return pa.table({
+            "doc_id": pa.array(ids[order].astype(np.int64)),
+            "score": pa.array(total[order], type=pa.float64()),
+        })
+
+    prereduced = docs.map_batches(score_block, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+
+    def final_rank(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_empty.append_column(
+                "rnk", pa.array([], type=pa.int64()))
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        sc = t["score"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, -sc))[:k]
+        return pa.table({
+            "doc_id": pa.array(ids[order], type=pa.int64()),
+            "score": pa.array(sc[order], type=pa.float64()),
+            "rnk": pa.array(np.arange(1, order.shape[0] + 1,
+                                      dtype=np.int64)),
+        })
+
+    from ..stages.partition import partition_by
+    return partition_by(prereduced, [], 1, final_rank,
+                        out_empty.append_column(
+                            "rnk", pa.array([], type=pa.int64())))
+
+
+BM25_TOPK_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+), dl AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM toks GROUP BY 1
+), corpus AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(dl) AS BIGINT) AS total_dl FROM dl
+), tf AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN tok = 'hash' THEN 1 ELSE 0 END) AS BIGINT)
+           AS tf0,
+         CAST(sum(CASE WHEN tok = 'join' THEN 1 ELSE 0 END) AS BIGINT)
+           AS tf1
+  FROM toks GROUP BY 1
+), dfs AS (
+  SELECT CAST(count(*) FILTER (WHERE tf0 > 0) AS BIGINT) AS df0,
+         CAST(count(*) FILTER (WHERE tf1 > 0) AS BIGINT) AS df1
+  FROM tf
+), scored AS (
+  SELECT tf.doc_id,
+         round(
+           CASE WHEN tf.tf0 > 0 THEN
+             ln((CAST(corpus.n AS DOUBLE) - dfs.df0 + 0.5)
+                / (dfs.df0 + 0.5) + 1.0)
+             * (tf.tf0 * 2.2)
+             / (tf.tf0 + 1.2 * (1.0 - 0.75
+                + 0.75 * (CAST(dl.dl AS DOUBLE)
+                          * CAST(corpus.n AS DOUBLE))
+                  / CAST(corpus.total_dl AS DOUBLE)))
+           ELSE 0.0 END
+           +
+           CASE WHEN tf.tf1 > 0 THEN
+             ln((CAST(corpus.n AS DOUBLE) - dfs.df1 + 0.5)
+                / (dfs.df1 + 0.5) + 1.0)
+             * (tf.tf1 * 2.2)
+             / (tf.tf1 + 1.2 * (1.0 - 0.75
+                + 0.75 * (CAST(dl.dl AS DOUBLE)
+                          * CAST(corpus.n AS DOUBLE))
+                  / CAST(corpus.total_dl AS DOUBLE)))
+           ELSE 0.0 END, 4) AS score
+  FROM tf JOIN dl USING (doc_id)
+  CROSS JOIN corpus CROSS JOIN dfs
+  WHERE tf.tf0 > 0 OR tf.tf1 > 0
+)
+SELECT doc_id, score,
+       CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+         AS rnk
+FROM scored
+QUALIFY rnk <= 15
+ORDER BY 3
+"""
