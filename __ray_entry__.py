@@ -178,6 +178,8 @@ from p2pddsketch_ray.pipelines.dedup import (  # noqa: E402
     dup_span_stats as _dup_span_stats,
     MINHASH_BLOCKING_SQL as _MINHASH_BLOCKING_SQL,
     minhash_blocking_report as _minhash_blocking_report,
+    CDC_CHUNK_SQL as _CDC_CHUNK_SQL,
+    cdc_chunk_stats as _cdc_chunk_stats,
     MINHASH_NEARDUP_SQL as _MINHASH_NEARDUP_SQL,
     SIMHASH_NEARDUP_SQL as _SIMHASH_NEARDUP_SQL,
     benchmark_decontamination as _benchmark_decontamination,
@@ -680,6 +682,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the real lexical ranker: BM25 with exact-integer inputs
         # to one mirrored float expression
         "bm25_topk": _bm25_topk,
+        # content-defined chunking: rolling-hash boundaries, the
+        # chunk-level storage-dedup primitive
+        "cdc_chunk_stats": _cdc_chunk_stats,
         # last-touch attribution: conversions credited to the most
         # recent in-window prior touch, deterministic under ts ties
         "last_touch_attribution": _last_touch_attribution,
@@ -1186,6 +1191,7 @@ def oracle_sql() -> dict[str, str]:
         "markov_stationary_ppm": _MARKOV_STATIONARY_SQL,
         "props_vocab_drift": _PROPS_VOCAB_DRIFT_SQL,
         "bm25_topk": _BM25_TOPK_SQL,
+        "cdc_chunk_stats": _CDC_CHUNK_SQL,
         "multimodal_resize_stats": """
 WITH grid AS (
   SELECT j.range AS j, k.range AS k

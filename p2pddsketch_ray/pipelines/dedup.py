@@ -1514,3 +1514,140 @@ FROM nd, nc, nv"""
 
 
 MINHASH_BLOCKING_SQL = _minhash_blocking_sql()
+
+
+def cdc_chunk_stats(sf_dir: str, window: int = 16,
+                    mask: int = 63) -> pa.Table:
+    """CONTENT-DEFINED CHUNKING (the rolling-hash boundary rule behind
+    rsync/LBFS/FastCDC-style chunk-level dedup storage): a chunk
+    boundary falls after every position whose ``window``-byte rolling
+    fingerprint satisfies hash % (mask+1) == 0, so identical content
+    produces identical chunks regardless of where it sits in a file.
+    Output per lang: documents, bytes, chunk count, boundary count and
+    the DISTINCT chunk-start fingerprint count -- the storage-dedup
+    potential of the corpus at this chunking granularity.
+
+    Dataflow: the shared FNV-Horner kernel fingerprints every window
+    (the dup_span machinery with a modulus predicate instead of a
+    multiplicity fold); boundary detection, per-doc chunk counts and
+    the distinct-fingerprint partial all fold in-batch, and the only
+    exchange is the O(distinct boundary fingerprints) dedupe
+    co-partition."""
+    from ..sketches.minhash import shingle_hashes
+    from ray.data.aggregate import Sum
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["lang", "text"])
+    div = np.uint64(mask + 1)
+
+    lang_empty = pa.table({"lang": pa.array([], type=pa.string()),
+                           "n_docs": pa.array([], type=pa.int64()),
+                           "n_bytes": pa.array([], type=pa.int64()),
+                           "n_chunks": pa.array([], type=pa.int64()),
+                           "n_boundaries": pa.array([], type=pa.int64())})
+    fp_empty = pa.table({"bfp": pa.array([], type=pa.int64()),
+                         "one": pa.array([], type=pa.int64())})
+
+    def block_stats(t: pa.Table):
+        if t.num_rows == 0:
+            return lang_empty, fp_empty
+        hv, doc_off = shingle_hashes(t["text"], k=window)
+        counts = np.diff(doc_off)
+        lens = pc.binary_length(t["text"]).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        eligible = np.repeat(lens >= window, counts)
+        is_b = (hv % div == np.uint64(0)) & eligible
+        doc_idx = np.repeat(np.arange(t.num_rows, dtype=np.int64),
+                            counts)
+        nb = np.bincount(doc_idx[is_b],
+                         minlength=t.num_rows).astype(np.int64)
+        langs = t["lang"].to_numpy(zero_copy_only=False)
+        ul, inv = np.unique(langs, return_inverse=True)
+        docs = np.bincount(inv).astype(np.int64)
+        byts = np.zeros(ul.shape[0], dtype=np.int64)
+        np.add.at(byts, inv, lens)
+        bnd = np.zeros(ul.shape[0], dtype=np.int64)
+        np.add.at(bnd, inv, nb)
+        chk = np.zeros(ul.shape[0], dtype=np.int64)
+        np.add.at(chk, inv, nb + (lens > 0))
+        lt = pa.table({"lang": pa.array(ul.tolist(), type=pa.string()),
+                       "n_docs": pa.array(docs),
+                       "n_bytes": pa.array(byts),
+                       "n_chunks": pa.array(chk),
+                       "n_boundaries": pa.array(bnd)})
+        ufp = np.unique(hv[is_b])
+        ft = pa.table({"bfp": pa.array(ufp.view(np.int64)),
+                       "one": pa.array(np.ones(ufp.shape[0],
+                                               dtype=np.int64))})
+        return lt, ft
+
+    langs = (ds.map_batches(lambda t: block_stats(t)[0],
+                            batch_format="pyarrow",
+                            batch_size=SHINGLE_BATCH,
+                            zero_copy_batch=True)
+             .groupby("lang")
+             .aggregate(Sum("n_docs", alias_name="n_docs"),
+                        Sum("n_bytes", alias_name="n_bytes"),
+                        Sum("n_chunks", alias_name="n_chunks"),
+                        Sum("n_boundaries", alias_name="n_boundaries"))
+             .to_pandas().sort_values("lang").reset_index(drop=True))
+
+    def distinct_fold(t: pa.Table) -> pa.Table:
+        u = np.unique(t["bfp"].to_numpy(zero_copy_only=False))
+        return pa.table({"n": pa.array([u.shape[0]], type=pa.int64())})
+
+    fps = ds.map_batches(lambda t: block_stats(t)[1],
+                         batch_format="pyarrow",
+                         batch_size=SHINGLE_BATCH,
+                         zero_copy_batch=True)
+    per_part = _partition_by(fps, ["bfp"], _fit_partitions(32),
+                             distinct_fold,
+                             pa.table({"n": pa.array([], pa.int64())}))
+    n_distinct = int(per_part.aggregate(Sum("n", alias_name="n"))["n"]
+                     or 0)
+
+    return pa.table({
+        "lang": pa.array(langs["lang"], type=pa.string()),
+        "n_docs": pa.array(langs["n_docs"].astype(np.int64)),
+        "n_bytes": pa.array(langs["n_bytes"].astype(np.int64)),
+        "n_chunks": pa.array(langs["n_chunks"].astype(np.int64)),
+        "n_boundaries": pa.array(langs["n_boundaries"].astype(np.int64)),
+        "n_distinct_boundary_fps": pa.array(
+            [n_distinct] * len(langs), type=pa.int64()),
+    })
+
+
+def _cdc_chunk_sql(window: int = 16, mask: int = 63) -> str:
+    horner = "0"
+    for j in range(window):
+        horner = (f"(({horner}) * 1099511628211 + "
+                  f"ord(substr(text, i + {j}, 1))) % 18446744073709551616")
+    return f"""
+WITH nums AS (SELECT CAST(range AS BIGINT) AS i FROM range(1, 1048576)),
+w AS (SELECT lang, CAST(({horner}) AS HUGEINT) AS hv
+      FROM documents JOIN nums ON nums.i <= length(text) - {window - 1}
+      WHERE length(text) >= {window}),
+b AS (SELECT lang, hv FROM w WHERE hv % {mask + 1} = 0),
+perlang AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_boundaries
+  FROM b GROUP BY 1
+), base AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(length(text)) AS BIGINT) AS n_bytes,
+         CAST(count(*) FILTER (WHERE length(text) > 0) AS BIGINT)
+           AS n_nonempty
+  FROM documents GROUP BY 1
+), dfp AS (
+  SELECT CAST(count(DISTINCT hv) AS BIGINT) AS n FROM b
+)
+SELECT base.lang, base.n_docs, base.n_bytes,
+       CAST(coalesce(perlang.n_boundaries, 0) + base.n_nonempty
+            AS BIGINT) AS n_chunks,
+       CAST(coalesce(perlang.n_boundaries, 0) AS BIGINT)
+         AS n_boundaries,
+       dfp.n AS n_distinct_boundary_fps
+FROM base LEFT JOIN perlang USING (lang) CROSS JOIN dfp
+ORDER BY 1"""
+
+
+CDC_CHUNK_SQL = _cdc_chunk_sql()

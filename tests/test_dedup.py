@@ -415,3 +415,30 @@ def test_minhash_blocking_report_consistency(ray_session):
                                columns=["doc_id", "text"])
     direct = minhash_near_dups(ds, "doc_id", "text").count()
     assert out["n_verified"][0] == direct
+
+
+def test_cdc_chunking_is_content_defined(ray_session, tmp_path):
+    """Shifting identical content inside a document does not change its
+    boundary fingerprints (the whole point of CDC), and chunk counts
+    equal boundaries + non-empty docs."""
+    import pyarrow.parquet as pq
+    from p2pddsketch_ray.pipelines.dedup import cdc_chunk_stats
+    base = "The quick brown fox jumps over the lazy dog. " * 20
+    shifted = "PREFIX-SHIFT " + base
+    t = pa.table({
+        "doc_id": pa.array([0, 1], type=pa.int64()),
+        "text": pa.array([base, shifted], type=pa.string()),
+        "lang": pa.array(["en", "de"], type=pa.string()),
+    })
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    out = cdc_chunk_stats(str(tmp_path)).to_pandas()
+    assert (out["n_chunks"]
+            == out["n_boundaries"] + out["n_docs"]).all()
+    en = out[out["lang"] == "en"].iloc[0]
+    de = out[out["lang"] == "de"].iloc[0]
+    # identical shared content -> the shifted doc has at least the
+    # same boundaries (the prefix may add, never remove, alignment is
+    # content-local); distinct fingerprints are shared corpus-wide
+    assert de["n_boundaries"] >= en["n_boundaries"]
+    assert out["n_distinct_boundary_fps"].iloc[0] <= \
+        out["n_boundaries"].sum()
