@@ -121,6 +121,8 @@ from p2pddsketch_ray.pipelines.relational import (  # noqa: E402
     stratified_allocation_plan as _stratified_allocation_plan,
     BM25_TOPK_SQL as _BM25_TOPK_SQL,
     bm25_topk as _bm25_topk,
+    FEATURE_HASHING_SQL as _FEATURE_HASHING_SQL,
+    feature_hashing_report as _feature_hashing_report,
     SESSION_BOUNCE_SQL as _SESSION_BOUNCE_SQL,
     session_bounce_stats as _session_bounce_stats,
     TOP_EVENTS_PER_TYPE_SQL as _TOP_EVENTS_PER_TYPE_SQL,
@@ -180,6 +182,8 @@ from p2pddsketch_ray.pipelines.dedup import (  # noqa: E402
     minhash_blocking_report as _minhash_blocking_report,
     CDC_CHUNK_SQL as _CDC_CHUNK_SQL,
     cdc_chunk_stats as _cdc_chunk_stats,
+    TOP_DUPLICATED_SQL as _TOP_DUPLICATED_SQL,
+    top_duplicated_docs as _top_duplicated_docs,
     MINHASH_NEARDUP_SQL as _MINHASH_NEARDUP_SQL,
     SIMHASH_NEARDUP_SQL as _SIMHASH_NEARDUP_SQL,
     benchmark_decontamination as _benchmark_decontamination,
@@ -685,6 +689,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # content-defined chunking: rolling-hash boundaries, the
         # chunk-level storage-dedup primitive
         "cdc_chunk_stats": _cdc_chunk_stats,
+        # the curation cut list: docs ranked by duplicated-window
+        # fraction (exact-substring tier, per-doc rollup)
+        "top_duplicated_docs": _top_duplicated_docs,
+        # hashing-trick audit: vocabulary collision accounting
+        "feature_hashing_report": _feature_hashing_report,
         # last-touch attribution: conversions credited to the most
         # recent in-window prior touch, deterministic under ts ties
         "last_touch_attribution": _last_touch_attribution,
@@ -1192,6 +1201,8 @@ def oracle_sql() -> dict[str, str]:
         "props_vocab_drift": _PROPS_VOCAB_DRIFT_SQL,
         "bm25_topk": _BM25_TOPK_SQL,
         "cdc_chunk_stats": _CDC_CHUNK_SQL,
+        "top_duplicated_docs": _TOP_DUPLICATED_SQL,
+        "feature_hashing_report": _FEATURE_HASHING_SQL,
         "multimodal_resize_stats": """
 WITH grid AS (
   SELECT j.range AS j, k.range AS k

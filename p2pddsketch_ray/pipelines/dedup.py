@@ -1651,3 +1651,151 @@ ORDER BY 1"""
 
 
 CDC_CHUNK_SQL = _cdc_chunk_sql()
+
+
+def top_duplicated_docs(sf_dir: str, span: int = 32,
+                        k: int = 20) -> pa.Table:
+    """THE ACTIONABLE VIEW of exact-substring dedup: the k documents
+    with the highest duplicated-window fraction (positions whose
+    length-``span`` window occurs >= 2 times corpus-wide / eligible
+    positions, integer ppm), deterministic (ppm desc, doc asc) ranks --
+    the cut list a curator reviews after dup_span_stats says the corpus
+    has a boilerplate problem.
+
+    Dataflow: same fingerprint exchange as dup_span_stats but keyed
+    (hv, doc) so the multiplicity fold emits per-doc duplicated counts;
+    a doc-keyed second fold merges across partitions and a keep-k
+    ranking bounds the output."""
+    from ..sketches.minhash import shingle_hashes
+    from ray.data.aggregate import Sum
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+    empty_partial = pa.table({"hv": pa.array([], type=pa.int64()),
+                              "doc_id": pa.array([], type=pa.int64()),
+                              "cnt": pa.array([], type=pa.int64())})
+
+    def block_partials(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty_partial
+        hv, doc_off = shingle_hashes(t["text"], k=span)
+        counts = np.diff(doc_off)
+        lens = pc.binary_length(t["text"]).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        pos_mask = np.repeat(lens >= span, counts)
+        hv = hv[pos_mask]
+        if hv.size == 0:
+            return empty_partial
+        did = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dpos = np.repeat(did, counts)[pos_mask]
+        order = np.lexsort((dpos, hv))
+        h_s, d_s = hv[order], dpos[order]
+        new = np.empty(h_s.size, dtype=bool)
+        new[0] = True
+        new[1:] = (h_s[1:] != h_s[:-1]) | (d_s[1:] != d_s[:-1])
+        idx = np.nonzero(new)[0]
+        cnt = np.diff(np.append(idx, h_s.size))
+        return pa.table({
+            "hv": pa.array(h_s[idx].view(np.int64), type=pa.int64()),
+            "doc_id": pa.array(d_s[idx], type=pa.int64()),
+            "cnt": pa.array(cnt.astype(np.int64)),
+        })
+
+    doc_empty = pa.table({"doc_id": pa.array([], type=pa.int64()),
+                          "n_pos": pa.array([], type=pa.int64()),
+                          "n_dup": pa.array([], type=pa.int64())})
+
+    def fold_partition(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return doc_empty
+        hv = t["hv"].to_numpy(zero_copy_only=False)
+        did = t["doc_id"].to_numpy(zero_copy_only=False)
+        cnt = t["cnt"].to_numpy(zero_copy_only=False)
+        order = np.argsort(hv, kind="stable")
+        h_s, d_s, c_s = hv[order], did[order], cnt[order]
+        new = np.empty(h_s.size, dtype=bool)
+        new[0] = True
+        new[1:] = h_s[1:] != h_s[:-1]
+        starts = np.nonzero(new)[0]
+        sizes = np.diff(np.append(starts, h_s.size))
+        tot = np.add.reduceat(c_s, starts)
+        dup = np.repeat(tot >= 2, sizes)
+        ud, inv = np.unique(d_s, return_inverse=True)
+        n_pos = np.zeros(ud.shape[0], dtype=np.int64)
+        np.add.at(n_pos, inv, c_s)
+        n_dup = np.zeros(ud.shape[0], dtype=np.int64)
+        np.add.at(n_dup, inv, c_s * dup)
+        return pa.table({"doc_id": pa.array(ud),
+                         "n_pos": pa.array(n_pos),
+                         "n_dup": pa.array(n_dup)})
+
+    partials = ds.map_batches(block_partials, batch_format="pyarrow",
+                              batch_size=SHINGLE_BATCH,
+                              zero_copy_batch=True)
+    per_doc = (_partition_by(partials, ["hv"], _fit_partitions(32),
+                             fold_partition, doc_empty)
+               .groupby("doc_id")
+               .aggregate(Sum("n_pos", alias_name="n_pos"),
+                          Sum("n_dup", alias_name="n_dup")))
+
+    out_empty = pa.table({"doc_id": pa.array([], type=pa.int64()),
+                          "n_pos": pa.array([], type=pa.int64()),
+                          "n_dup": pa.array([], type=pa.int64()),
+                          "dup_ppm": pa.array([], type=pa.int64())})
+
+    def keep_k(t: pa.Table, with_rank: bool) -> pa.Table:
+        if t.num_rows == 0:
+            return out_empty.append_column(
+                "rnk", pa.array([], type=pa.int64())) if with_rank \
+                else out_empty
+        did = pc.cast(t["doc_id"], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        n_pos = pc.cast(t["n_pos"], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        n_dup = pc.cast(t["n_dup"], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        ppm = n_dup * 1_000_000 // n_pos
+        order = np.lexsort((did, -ppm))[:k]
+        out = {"doc_id": pa.array(did[order]),
+               "n_pos": pa.array(n_pos[order]),
+               "n_dup": pa.array(n_dup[order]),
+               "dup_ppm": pa.array(ppm[order])}
+        if with_rank:
+            out["rnk"] = pa.array(np.arange(1, order.shape[0] + 1,
+                                            dtype=np.int64))
+        return pa.table(out)
+
+    prereduced = per_doc.map_batches(lambda t: keep_k(t, False),
+                                     batch_format="pyarrow")
+    return _partition_by(prereduced, [], 1, lambda t: keep_k(t, True),
+                         out_empty.append_column(
+                             "rnk", pa.array([], type=pa.int64())))
+
+
+def _top_duplicated_sql(span: int = 32, k: int = 20) -> str:
+    horner = "0"
+    for j in range(span):
+        horner = (f"(({horner}) * 1099511628211 + "
+                  f"ord(substr(text, i + {j}, 1))) % 18446744073709551616")
+    return f"""
+WITH nums AS (SELECT CAST(range AS BIGINT) AS i FROM range(1, 1048576)),
+w AS (SELECT doc_id, CAST(({horner}) AS HUGEINT) AS hv
+      FROM documents JOIN nums ON nums.i <= length(text) - {span - 1}
+      WHERE length(text) >= {span}),
+c AS (SELECT hv, CAST(count(*) AS BIGINT) AS c_total FROM w GROUP BY 1),
+per AS (SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_pos,
+               CAST(count(*) FILTER (WHERE c.c_total >= 2) AS BIGINT)
+                 AS n_dup
+        FROM w JOIN c USING (hv) GROUP BY 1)
+SELECT doc_id, n_pos, n_dup,
+       CAST(n_dup * 1000000 // n_pos AS BIGINT) AS dup_ppm,
+       CAST(row_number() OVER (ORDER BY n_dup * 1000000 // n_pos DESC,
+                               doc_id) AS BIGINT) AS rnk
+FROM per
+QUALIFY rnk <= {k}
+ORDER BY 5"""
+
+
+TOP_DUPLICATED_SQL = _top_duplicated_sql()

@@ -8261,3 +8261,91 @@ FROM scored
 QUALIFY rnk <= 15
 ORDER BY 3
 """
+
+
+def feature_hashing_report(sf_dir: str, n_buckets: int = 1024) -> pa.Table:
+    """HASHING-TRICK AUDIT: map the corpus token vocabulary into
+    ``n_buckets`` feature slots by md5-64(token) % n_buckets (the
+    oracle-replicable content hash) and report vocab size, occupied
+    buckets, buckets with collisions, vocabulary words involved in a
+    collision, and the largest bucket -- the numbers that decide
+    whether a hashed feature space is big enough before anyone trains
+    on it.
+
+    Scale shape: per-block DISTINCT token partials keyed by the fast
+    fingerprint (equal tokens co-partition), per-partition dedupe, and
+    md5 runs ONLY over the deduped vocabulary (bounded, never the
+    corpus stream); the driver merges O(n_buckets) counts."""
+    from ..functions.text import fingerprint64
+    from ..hashing import md5_uint64
+    from ..stages.partition import fit_partitions, partition_by
+    ds = _read(sf_dir, "documents", ["text"])
+
+    empty = pa.table({"fp": pa.array([], type=pa.int64()),
+                      "tok": pa.array([], type=pa.string())})
+
+    def block_vocab(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t["text"], pattern=" ")
+        flat = pc.list_flatten(toks).combine_chunks()
+        if len(flat) == 0:
+            return empty
+        uniq = pc.unique(flat)
+        fp = fingerprint64(uniq)
+        return pa.table({"fp": fp, "tok": uniq})
+
+    bucket_empty = pa.table({"bucket": pa.array([], type=pa.int64()),
+                             "n_words": pa.array([], type=pa.int64())})
+
+    def fold(t: pa.Table) -> pa.Table:
+        uniq = pc.unique(t["tok"].combine_chunks())
+        if len(uniq) == 0:
+            return bucket_empty
+        b = (md5_uint64(uniq) % np.uint64(n_buckets)).astype(np.int64)
+        ub, cnt = np.unique(b, return_counts=True)
+        return pa.table({"bucket": pa.array(ub),
+                         "n_words": pa.array(cnt.astype(np.int64))})
+
+    vocab = ds.map_batches(block_vocab, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    per_part = partition_by(vocab, ["fp"], fit_partitions(32),
+                            fold, bucket_empty)
+    agg = (per_part.groupby("bucket")
+           .aggregate(Sum("n_words", alias_name="n_words"))
+           .to_pandas())
+    n_words = agg["n_words"].to_numpy(dtype=np.int64)
+    vocab_size = int(n_words.sum())
+    occupied = int((n_words > 0).sum())
+    collided_buckets = int((n_words > 1).sum())
+    collided_words = int(n_words[n_words > 1].sum())
+    return pa.table({
+        "vocab_size": pa.array([vocab_size], type=pa.int64()),
+        "n_buckets": pa.array([n_buckets], type=pa.int64()),
+        "occupied": pa.array([occupied], type=pa.int64()),
+        "collided_buckets": pa.array([collided_buckets],
+                                     type=pa.int64()),
+        "collided_words": pa.array([collided_words], type=pa.int64()),
+        "max_bucket": pa.array([int(n_words.max())], type=pa.int64()),
+    })
+
+
+FEATURE_HASHING_SQL = """
+WITH vocab AS (
+  SELECT DISTINCT unnest(string_split(text, ' ')) AS tok
+  FROM documents
+), b AS (
+  SELECT CAST(('0x' || substr(md5(tok), 1, 16))::UBIGINT % 1024
+              AS BIGINT) AS bucket
+  FROM vocab
+), counts AS (
+  SELECT bucket, CAST(count(*) AS BIGINT) AS n FROM b GROUP BY 1
+)
+SELECT CAST(sum(n) AS BIGINT) AS vocab_size,
+       CAST(1024 AS BIGINT) AS n_buckets,
+       CAST(count(*) AS BIGINT) AS occupied,
+       CAST(count(*) FILTER (WHERE n > 1) AS BIGINT)
+         AS collided_buckets,
+       CAST(coalesce(sum(n) FILTER (WHERE n > 1), 0) AS BIGINT)
+         AS collided_words,
+       CAST(max(n) AS BIGINT) AS max_bucket
+FROM counts
+"""

@@ -442,3 +442,17 @@ def test_cdc_chunking_is_content_defined(ray_session, tmp_path):
     assert de["n_boundaries"] >= en["n_boundaries"]
     assert out["n_distinct_boundary_fps"].iloc[0] <= \
         out["n_boundaries"].sum()
+
+
+def test_top_duplicated_docs_consistent_with_corpus_stats(ray_session):
+    """Per-doc dup fractions are within [0, 1e6], ranks contiguous, and
+    the top doc's ppm is at least the corpus-level rate for its lang."""
+    from p2pddsketch_ray.pipelines.dedup import (dup_span_stats,
+                                                 top_duplicated_docs)
+    sf = "/root/testdata/sf0.001"
+    out = top_duplicated_docs(sf).to_pandas()
+    assert list(out["rnk"]) == list(range(1, len(out) + 1))
+    assert ((out["dup_ppm"] >= 0) & (out["dup_ppm"] <= 1_000_000)).all()
+    assert (out["n_dup"] <= out["n_pos"]).all()
+    corpus = dup_span_stats(sf).to_pandas()
+    assert out["dup_ppm"].iloc[0] >= corpus["dup_ppm"].max()
