@@ -123,6 +123,8 @@ from p2pddsketch_ray.pipelines.relational import (  # noqa: E402
     bm25_topk as _bm25_topk,
     FEATURE_HASHING_SQL as _FEATURE_HASHING_SQL,
     feature_hashing_report as _feature_hashing_report,
+    DOC_LENGTH_HILL_SQL as _DOC_LENGTH_HILL_SQL,
+    doc_length_hill as _doc_length_hill,
     SESSION_BOUNCE_SQL as _SESSION_BOUNCE_SQL,
     session_bounce_stats as _session_bounce_stats,
     TOP_EVENTS_PER_TYPE_SQL as _TOP_EVENTS_PER_TYPE_SQL,
@@ -694,6 +696,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_duplicated_docs": _top_duplicated_docs,
         # hashing-trick audit: vocabulary collision accounting
         "feature_hashing_report": _feature_hashing_report,
+        # Hill heavy-tail index of doc lengths, micro-nat exact
+        "doc_length_hill": _doc_length_hill,
         # last-touch attribution: conversions credited to the most
         # recent in-window prior touch, deterministic under ts ties
         "last_touch_attribution": _last_touch_attribution,
@@ -1203,6 +1207,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_chunk_stats": _CDC_CHUNK_SQL,
         "top_duplicated_docs": _TOP_DUPLICATED_SQL,
         "feature_hashing_report": _FEATURE_HASHING_SQL,
+        "doc_length_hill": _DOC_LENGTH_HILL_SQL,
         "multimodal_resize_stats": """
 WITH grid AS (
   SELECT j.range AS j, k.range AS k

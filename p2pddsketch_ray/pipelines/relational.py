@@ -8349,3 +8349,66 @@ SELECT CAST(sum(n) AS BIGINT) AS vocab_size,
        CAST(max(n) AS BIGINT) AS max_bucket
 FROM counts
 """
+
+
+def doc_length_hill(sf_dir: str, k: int = 100) -> pa.Table:
+    """HEAVY-TAIL INDEX (Hill estimator, Annals of Statistics 1975)
+    of the document-length distribution: over the k largest n_chars,
+    H = (1/k) * sum ln(x_i / x_(k+1)); reported as the integer
+    micro-nat term sum (per-term flooring, the entropy discipline) plus
+    the order statistics it used -- the tail diagnostic that says
+    whether truncation policies must expect power-law monsters.
+
+    Scale shape: the only distributed work is a block-local top-(k+1)
+    prereduce on ONE int64 column (O(k x blocks) exchange); the ln
+    fold is k driver terms."""
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+
+    empty = pa.table({"n_chars": pa.array([], type=pa.int64()),
+                      "doc_id": pa.array([], type=pa.int64())})
+
+    def keep_top(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        n = t["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((d, -n))[:k + 1]
+        return pa.table({"n_chars": pa.array(n[order]),
+                         "doc_id": pa.array(d[order])})
+
+    from ..stages.partition import partition_by
+    top = partition_by(ds.map_batches(keep_top, batch_format="pyarrow",
+                                      zero_copy_batch=True),
+                       [], 1, keep_top, empty).take_all()
+    top.sort(key=lambda r: (-r["n_chars"], r["doc_id"]))
+    xs = np.array([r["n_chars"] for r in top[:k + 1]], dtype=np.float64)
+    ref = xs[k]
+    terms = np.floor(np.log(xs[:k] / ref) * 1e6).astype(np.int64)
+    return pa.table({
+        "k": pa.array([k], type=pa.int64()),
+        "x_kplus1": pa.array([int(ref)], type=pa.int64()),
+        "sum_ln_unats": pa.array([int(terms.sum())], type=pa.int64()),
+        "hill_unats": pa.array([int(terms.sum()) // k],
+                               type=pa.int64()),
+    })
+
+
+DOC_LENGTH_HILL_SQL = """
+WITH top AS (
+  SELECT n_chars,
+         row_number() OVER (ORDER BY n_chars DESC, doc_id) AS r
+  FROM documents QUALIFY r <= 101
+), ref AS (
+  SELECT CAST(n_chars AS BIGINT) AS x FROM top WHERE r = 101
+), terms AS (
+  SELECT CAST(floor(ln(CAST(top.n_chars AS DOUBLE)
+                       / CAST(ref.x AS DOUBLE)) * 1000000.0)
+              AS BIGINT) AS term
+  FROM top CROSS JOIN ref WHERE top.r <= 100
+)
+SELECT CAST(100 AS BIGINT) AS k,
+       (SELECT x FROM ref) AS x_kplus1,
+       CAST(sum(term) AS BIGINT) AS sum_ln_unats,
+       CAST(sum(term) // 100 AS BIGINT) AS hill_unats
+FROM terms
+"""

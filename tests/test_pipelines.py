@@ -1593,3 +1593,21 @@ def test_stratified_allocation_exactly_spends_budget(ray_session):
     total = out["n"].sum()
     ideal = out["n"] * 100 / total
     assert ((out["alloc"] - ideal).abs() < 1.0).all()
+
+
+def test_doc_length_hill_nonnegative_and_exact(ray_session):
+    """Terms are ln of ratios >= 1 so the sum is non-negative, and the
+    estimate matches a direct numpy computation."""
+    import duckdb
+    from p2pddsketch_ray.pipelines.relational import doc_length_hill
+    sf = "/root/testdata/sf0.001"
+    out = doc_length_hill(sf).to_pydict()
+    assert out["sum_ln_unats"][0] >= 0
+    con = duckdb.connect()
+    lens = con.execute(
+        f"SELECT n_chars FROM read_parquet('{sf}/documents.parquet') "
+        f"ORDER BY n_chars DESC, doc_id LIMIT 101").df()["n_chars"] \
+        .to_numpy().astype(np.float64)
+    terms = np.floor(np.log(lens[:100] / lens[100]) * 1e6).astype(
+        np.int64)
+    assert out["sum_ln_unats"][0] == int(terms.sum())
