@@ -324,6 +324,14 @@ def mg_heavy_users(sf_dir: str, k: int = 400,
 
     empty = pa.table({"user_id": pa.array([], type=pa.int64()),
                       "n_events": pa.array([], type=pa.int64())})
+    if cand.size == 0:
+        # no candidate survives the MG guarantee => the exact answer is
+        # the empty set; return the typed empty table directly so the
+        # schema survives (an all-empty confirm pass leaves the groupby
+        # with zero blocks, and Ray's empty Dataset drops the schema on
+        # to_pandas -- the sf0.1 regime, where no user reaches
+        # ceil(n / inv_phi) events)
+        return empty
 
     def confirm(t: pa.Table) -> pa.Table:
         if t.num_rows == 0 or cand.size == 0:

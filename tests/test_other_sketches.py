@@ -462,3 +462,18 @@ def test_join_size_estimate_never_underestimates(ray_session):
            WHERE event_type = 'view') b
         USING (user_id)""").fetchone()[0]
     assert out["exact_join_size"][0] == want
+
+
+def test_mg_heavy_users_empty_answer_keeps_schema(ray_session, tmp_path):
+    """When no user reaches the threshold the result is an EMPTY table
+    WITH the output schema (the sf0.1 regime that used to drop it)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from p2pddsketch_ray.pipelines.approx import mg_heavy_users
+    t = pa.table({"user_id": pa.array(list(range(400)) * 2,
+                                      type=pa.int64())})
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    out = mg_heavy_users(str(tmp_path), k=390, inv_phi=100.0)
+    df = out.to_pandas()
+    assert len(df) == 0
+    assert sorted(df.columns) == ["n_events", "user_id"]
