@@ -125,6 +125,10 @@ from p2pddsketch_ray.pipelines.relational import (  # noqa: E402
     feature_hashing_report as _feature_hashing_report,
     DOC_LENGTH_HILL_SQL as _DOC_LENGTH_HILL_SQL,
     doc_length_hill as _doc_length_hill,
+    SPLIT_USER_COVERAGE_SQL as _SPLIT_USER_COVERAGE_SQL,
+    split_user_coverage as _split_user_coverage,
+    TUKEY_OUTLIER_SQL as _TUKEY_OUTLIER_SQL,
+    tukey_outlier_counts as _tukey_outlier_counts,
     SESSION_BOUNCE_SQL as _SESSION_BOUNCE_SQL,
     session_bounce_stats as _session_bounce_stats,
     TOP_EVENTS_PER_TYPE_SQL as _TOP_EVENTS_PER_TYPE_SQL,
@@ -698,6 +702,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "feature_hashing_report": _feature_hashing_report,
         # Hill heavy-tail index of doc lengths, micro-nat exact
         "doc_length_hill": _doc_length_hill,
+        # cold-start audit: users seen ONLY in the held-out split
+        "split_user_coverage": _split_user_coverage,
+        # Tukey box-plot fences: robust outliers from exact
+        # grouped quartiles, all-integer fence arithmetic
+        "tukey_outlier_counts": _tukey_outlier_counts,
         # last-touch attribution: conversions credited to the most
         # recent in-window prior touch, deterministic under ts ties
         "last_touch_attribution": _last_touch_attribution,
@@ -1208,6 +1217,8 @@ def oracle_sql() -> dict[str, str]:
         "top_duplicated_docs": _TOP_DUPLICATED_SQL,
         "feature_hashing_report": _FEATURE_HASHING_SQL,
         "doc_length_hill": _DOC_LENGTH_HILL_SQL,
+        "split_user_coverage": _SPLIT_USER_COVERAGE_SQL,
+        "tukey_outlier_counts": _TUKEY_OUTLIER_SQL,
         "multimodal_resize_stats": """
 WITH grid AS (
   SELECT j.range AS j, k.range AS k

@@ -8412,3 +8412,194 @@ SELECT CAST(100 AS BIGINT) AS k,
        CAST(sum(term) // 100 AS BIGINT) AS hill_unats
 FROM terms
 """
+
+
+def split_user_coverage(sf_dir: str) -> pa.Table:
+    """COLD-START AUDIT of the hash split: how many users appear ONLY in
+    the held-out quarter (hash(event_id) % 4 == 0) and would therefore
+    be unseen at training time -- the per-entity leakage/coverage check
+    that event-level splits owe their users (an event split does NOT
+    partition users).  Output: train users, test users, test-only
+    (cold) users, and the cold fraction of test users in ppm.
+
+    Scale shape: per-block (user, side-bitmask) presence partials via
+    bitwise_or.at (the user_churn_sets trick), one user co-partition
+    ORs them so each user contributes exactly one mask, O(1) rollup."""
+    from ..hashing import murmur64
+    from ..stages.partition import fit_partitions, partition_by
+    ds = _read(sf_dir, "events", ["event_id", "user_id"])
+
+    empty = pa.table({"user_id": pa.array([], type=pa.int64()),
+                      "mask": pa.array([], type=pa.int64())})
+
+    def presence(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        eid = t["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        is_test = murmur64(eid) % np.uint64(4) == np.uint64(0)
+        bit = np.where(is_test, np.int64(2), np.int64(1))
+        uu, inv = np.unique(uid, return_inverse=True)
+        mask = np.zeros(uu.shape[0], dtype=np.int64)
+        np.bitwise_or.at(mask, inv, bit)
+        return pa.table({"user_id": pa.array(uu),
+                         "mask": pa.array(mask)})
+
+    part_empty = pa.table({"n_train": pa.array([], type=pa.int64()),
+                           "n_test": pa.array([], type=pa.int64()),
+                           "n_cold": pa.array([], type=pa.int64())})
+
+    def fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return part_empty
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        m = t["mask"].to_numpy(zero_copy_only=False)
+        uu, inv = np.unique(uid, return_inverse=True)
+        mask = np.zeros(uu.shape[0], dtype=np.int64)
+        np.bitwise_or.at(mask, inv, m)
+        return pa.table({
+            "n_train": pa.array([int(((mask & 1) > 0).sum())],
+                                type=pa.int64()),
+            "n_test": pa.array([int(((mask & 2) > 0).sum())],
+                               type=pa.int64()),
+            "n_cold": pa.array([int((mask == 2).sum())],
+                               type=pa.int64()),
+        })
+
+    partials = ds.map_batches(presence, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    per_part = partition_by(partials, ["user_id"], fit_partitions(32),
+                            fold, part_empty)
+    agg = per_part.aggregate(Sum("n_train", alias_name="tr"),
+                             Sum("n_test", alias_name="te"),
+                             Sum("n_cold", alias_name="co"))
+    tr, te, co = int(agg["tr"] or 0), int(agg["te"] or 0), \
+        int(agg["co"] or 0)
+    return pa.table({
+        "n_train_users": pa.array([tr], type=pa.int64()),
+        "n_test_users": pa.array([te], type=pa.int64()),
+        "n_cold_users": pa.array([co], type=pa.int64()),
+        "cold_ppm": pa.array([co * 1_000_000 // te if te else 0],
+                             type=pa.int64()),
+    })
+
+
+SPLIT_USER_COVERAGE_SQL = """
+WITH u AS (
+  SELECT user_id,
+         max(CASE WHEN hash(event_id) % 4 <> 0 THEN 1 ELSE 0 END)
+           AS in_train,
+         max(CASE WHEN hash(event_id) % 4 = 0 THEN 1 ELSE 0 END)
+           AS in_test
+  FROM events GROUP BY 1
+)
+SELECT CAST(sum(in_train) AS BIGINT) AS n_train_users,
+       CAST(sum(in_test) AS BIGINT) AS n_test_users,
+       CAST(sum(CASE WHEN in_test = 1 AND in_train = 0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_cold_users,
+       CAST(sum(CASE WHEN in_test = 1 AND in_train = 0
+                     THEN 1 ELSE 0 END) * 1000000
+            // sum(in_test) AS BIGINT) AS cold_ppm
+FROM u
+"""
+
+
+def tukey_outlier_counts(sf_dir: str) -> pa.Table:
+    """TUKEY-FENCE (box-plot) outlier counts per return flag: exact
+    p25/p75 in integer cents via the grouped histogram-bisection
+    machinery, fences at quartile -/+ 1.5 IQR computed in EXACT integer
+    arithmetic (4*q1 - 6*(q3-q1) style: scale by 4 so 1.5x stays
+    integral), then one streaming integer-compare pass -- the robust
+    outlier rule that, unlike k-sigma, a single monster value cannot
+    drag.
+
+    Composition: exact_quantiles_grouped -> broadcast fences ->
+    per-block (flag, side) partials."""
+    from .quantiles import exact_quantiles_grouped
+
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_extendedprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "flag": t["l_returnflag"],
+            "cents": _int_units(t["l_extendedprice"], 100),
+            "cf": pc.cast(_int_units(t["l_extendedprice"], 100),
+                          pa.float64()),
+        })
+
+    rows = ds.map_batches(prep, batch_format="pyarrow",
+                          zero_copy_batch=True).materialize()
+    th = exact_quantiles_grouped(rows, "cf", "flag", [0.25, 0.75])
+    fen = {}
+    for g in sorted({r["flag"] for r in th.to_pylist()}):
+        qs = {float(r["q"]): int(r["value"]) for r in th.to_pylist()
+              if r["flag"] == g}
+        q1, q3 = qs[0.25], qs[0.75]
+        # fences scaled by 4: low = 4*q1 - 6*(q3-q1), high = 4*q3 + 6*iqr
+        fen[g] = (4 * q1 - 6 * (q3 - q1), 4 * q3 + 6 * (q3 - q1),
+                  q1, q3)
+    fen_ref = ray.put(fen)
+
+    empty = pa.table({"l_returnflag": pa.array([], type=pa.string()),
+                      "n": pa.array([], type=pa.int64()),
+                      "n_low": pa.array([], type=pa.int64()),
+                      "n_high": pa.array([], type=pa.int64())})
+
+    def count(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        f = ray.get(fen_ref)
+        flag = t["flag"].to_numpy(zero_copy_only=False)
+        c = t["cents"].to_numpy(zero_copy_only=False)
+        uf, inv = np.unique(flag, return_inverse=True)
+        lo = np.array([f[x][0] for x in uf], dtype=np.int64)[inv]
+        hi = np.array([f[x][1] for x in uf], dtype=np.int64)[inv]
+        is_lo = 4 * c < lo
+        is_hi = 4 * c > hi
+        n = np.bincount(inv).astype(np.int64)
+        nl = np.zeros(uf.shape[0], dtype=np.int64)
+        np.add.at(nl, inv, is_lo.astype(np.int64))
+        nh = np.zeros(uf.shape[0], dtype=np.int64)
+        np.add.at(nh, inv, is_hi.astype(np.int64))
+        return pa.table({"l_returnflag": pa.array(uf.tolist(),
+                                                  type=pa.string()),
+                         "n": pa.array(n), "n_low": pa.array(nl),
+                         "n_high": pa.array(nh)})
+
+    agg = (rows.map_batches(count, batch_format="pyarrow",
+                            zero_copy_batch=True)
+           .groupby("l_returnflag")
+           .aggregate(Sum("n", alias_name="n"),
+                      Sum("n_low", alias_name="n_low"),
+                      Sum("n_high", alias_name="n_high"))
+           .to_pandas().sort_values("l_returnflag")
+           .reset_index(drop=True))
+    return pa.table({
+        "l_returnflag": pa.array(agg["l_returnflag"], type=pa.string()),
+        "n": pa.array(agg["n"].astype(np.int64)),
+        "n_low": pa.array(agg["n_low"].astype(np.int64)),
+        "n_high": pa.array(agg["n_high"].astype(np.int64)),
+    })
+
+
+TUKEY_OUTLIER_SQL = """
+WITH v AS (
+  SELECT l_returnflag AS flag,
+         CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS cents
+  FROM lineitem
+), q AS (
+  SELECT flag,
+         CAST(quantile_disc(cents, 0.25) AS BIGINT) AS q1,
+         CAST(quantile_disc(cents, 0.75) AS BIGINT) AS q3
+  FROM v GROUP BY 1
+)
+SELECT v.flag AS l_returnflag, CAST(count(*) AS BIGINT) AS n,
+       CAST(count(*) FILTER (
+           WHERE 4 * v.cents < 4 * q.q1 - 6 * (q.q3 - q.q1))
+         AS BIGINT) AS n_low,
+       CAST(count(*) FILTER (
+           WHERE 4 * v.cents > 4 * q.q3 + 6 * (q.q3 - q.q1))
+         AS BIGINT) AS n_high
+FROM v JOIN q USING (flag)
+GROUP BY 1 ORDER BY 1
+"""

@@ -1611,3 +1611,26 @@ def test_doc_length_hill_nonnegative_and_exact(ray_session):
     terms = np.floor(np.log(lens[:100] / lens[100]) * 1e6).astype(
         np.int64)
     assert out["sum_ln_unats"][0] == int(terms.sum())
+
+
+def test_split_user_coverage_bounds(ray_session):
+    from p2pddsketch_ray.pipelines.relational import split_user_coverage
+    out = split_user_coverage("/root/testdata/sf0.001").to_pydict()
+    assert out["n_cold_users"][0] <= out["n_test_users"][0]
+    assert 0 <= out["cold_ppm"][0] <= 1_000_000
+
+
+def test_tukey_outliers_robust_to_monster_value(ray_session, tmp_path):
+    """One monster value cannot widen the fences (unlike k-sigma): it
+    is itself flagged and the low fence stays put."""
+    import pyarrow.parquet as pq
+    from p2pddsketch_ray.pipelines.relational import tukey_outlier_counts
+    vals = [10.0 + (i % 7) * 0.5 for i in range(200)] + [1e7]
+    t = pa.table({
+        "l_returnflag": pa.array(["A"] * 201, type=pa.string()),
+        "l_extendedprice": pa.array(vals, type=pa.float64()),
+    })
+    pq.write_table(t, str(tmp_path / "lineitem.parquet"))
+    out = tukey_outlier_counts(str(tmp_path)).to_pydict()
+    assert out["n_high"][0] == 1   # only the monster
+    assert out["n_low"][0] == 0
