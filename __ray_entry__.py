@@ -129,6 +129,8 @@ from p2pddsketch_ray.pipelines.relational import (  # noqa: E402
     split_user_coverage as _split_user_coverage,
     TUKEY_OUTLIER_SQL as _TUKEY_OUTLIER_SQL,
     tukey_outlier_counts as _tukey_outlier_counts,
+    BENFORD_DIGIT_SQL as _BENFORD_DIGIT_SQL,
+    benford_digit_audit as _benford_digit_audit,
     SESSION_BOUNCE_SQL as _SESSION_BOUNCE_SQL,
     session_bounce_stats as _session_bounce_stats,
     TOP_EVENTS_PER_TYPE_SQL as _TOP_EVENTS_PER_TYPE_SQL,
@@ -707,6 +709,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Tukey box-plot fences: robust outliers from exact
         # grouped quartiles, all-integer fence arithmetic
         "tukey_outlier_counts": _tukey_outlier_counts,
+        # Benford first-significant-digit audit, exact ppm integers
+        "benford_digit_audit": _benford_digit_audit,
         # last-touch attribution: conversions credited to the most
         # recent in-window prior touch, deterministic under ts ties
         "last_touch_attribution": _last_touch_attribution,
@@ -1219,6 +1223,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_length_hill": _DOC_LENGTH_HILL_SQL,
         "split_user_coverage": _SPLIT_USER_COVERAGE_SQL,
         "tukey_outlier_counts": _TUKEY_OUTLIER_SQL,
+        "benford_digit_audit": _BENFORD_DIGIT_SQL,
         "multimodal_resize_stats": """
 WITH grid AS (
   SELECT j.range AS j, k.range AS k

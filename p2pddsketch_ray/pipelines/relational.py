@@ -8603,3 +8603,84 @@ SELECT v.flag AS l_returnflag, CAST(count(*) AS BIGINT) AS n,
 FROM v JOIN q USING (flag)
 GROUP BY 1 ORDER BY 1
 """
+
+
+# floor(log10(1 + 1/d) * 1e6) for d = 1..9 -- the Benford expected
+# first-significant-digit mass in ppm.  Single Python source of truth;
+# the SQL oracle inlines the same integers (f-string below) so parity
+# is by construction, not by trusting two libms to agree.
+BENFORD_PPM = [301029, 176091, 124938, 96910, 79181, 66946, 57991,
+               51152, 45757]
+
+
+def benford_digit_audit(sf_dir: str) -> pa.Table:
+    """BENFORD first-significant-digit audit of order totals: observed
+    digit counts vs the Benford expectation, deviation in exact ppm
+    integers.  The fraud/data-quality screen: a synthetic or truncated
+    price column shows up as a large dev_ppm on digits 1-2.
+
+    Scale shape: one 9-row bincount per block (zero-copy Arrow in,
+    int64 partials out), a 9-key groupby, all ratio math on the driver
+    over exactly 9 rows.  No float crosses the shuffle.
+    """
+    ds = _read(sf_dir, "orders", ["o_totalprice"])
+
+    empty = pa.table({"digit": pa.array([], type=pa.int64()),
+                      "n": pa.array([], type=pa.int64())})
+
+    def count(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        c = _int_units(t["o_totalprice"], 100).to_numpy(
+            zero_copy_only=False)
+        c = c[c > 0]
+        if c.shape[0] == 0:
+            return empty
+        # astype to width-1 unicode truncates to the first character:
+        # the first significant digit of the positive integer cents.
+        d = c.astype(np.str_).astype("U1").astype(np.int64)
+        n = np.bincount(d, minlength=10)[1:10]
+        return pa.table({"digit": pa.array(np.arange(1, 10)),
+                         "n": pa.array(n.astype(np.int64))})
+
+    agg = (ds.map_batches(count, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("digit").aggregate(Sum("n", alias_name="n"))
+           .to_pandas())
+    by = {int(r.digit): int(r.n) for r in agg.itertuples()}
+    obs = [by.get(d, 0) for d in range(1, 10)]
+    total = sum(obs)
+    obs_ppm = [o * 1_000_000 // total if total else 0 for o in obs]
+    return pa.table({
+        "digit": pa.array(list(range(1, 10)), type=pa.int64()),
+        "n_obs": pa.array(obs, type=pa.int64()),
+        "obs_ppm": pa.array(obs_ppm, type=pa.int64()),
+        "benford_ppm": pa.array(BENFORD_PPM, type=pa.int64()),
+        "dev_ppm": pa.array([abs(o - b) for o, b
+                             in zip(obs_ppm, BENFORD_PPM)],
+                            type=pa.int64()),
+    })
+
+
+BENFORD_DIGIT_SQL = f"""
+WITH c AS (
+  SELECT CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+  FROM orders
+  WHERE floor(o_totalprice * 100.0 + 0.5) > 0
+), g AS (
+  SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+         CAST(count(*) AS BIGINT) AS n_obs
+  FROM c GROUP BY 1
+), b(digit, benford_ppm) AS (VALUES
+  {", ".join(f"({d}, {p})" for d, p in zip(range(1, 10), BENFORD_PPM))}
+), t AS (SELECT CAST(sum(n_obs) AS BIGINT) AS total FROM g)
+SELECT b.digit AS digit,
+       CAST(COALESCE(g.n_obs, 0) AS BIGINT) AS n_obs,
+       CAST(COALESCE(g.n_obs, 0) * 1000000 // t.total AS BIGINT)
+         AS obs_ppm,
+       CAST(b.benford_ppm AS BIGINT) AS benford_ppm,
+       CAST(abs(COALESCE(g.n_obs, 0) * 1000000 // t.total
+                - b.benford_ppm) AS BIGINT) AS dev_ppm
+FROM b LEFT JOIN g USING (digit) CROSS JOIN t
+ORDER BY 1
+"""

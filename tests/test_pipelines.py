@@ -1634,3 +1634,25 @@ def test_tukey_outliers_robust_to_monster_value(ray_session, tmp_path):
     out = tukey_outlier_counts(str(tmp_path)).to_pydict()
     assert out["n_high"][0] == 1   # only the monster
     assert out["n_low"][0] == 0
+
+
+def test_benford_digit_audit_exact_counts(ray_session, tmp_path):
+    """Digit counting is exact: a hand-built price column with known
+    first digits reproduces its bincount, and ppm rows sum to ~1e6."""
+    import pyarrow.parquet as pq
+    from p2pddsketch_ray.pipelines.relational import benford_digit_audit
+    # first digits: 1 x4, 2 x3, 9 x2, 5 x1  (cents = 100*price)
+    prices = [1.00, 10.50, 199.99, 0.015,   # cents 100,1050,19999,2 -> 1,1,1,2
+              2.50, 25.00, 0.29,            # 250,2500,29 -> 2,2,2
+              9.99, 0.95,                   # 999,95 -> 9,9
+              5.00]                         # 500 -> 5
+    t = pa.table({"o_totalprice": pa.array(prices, type=pa.float64())})
+    pq.write_table(t, str(tmp_path / "orders.parquet"))
+    out = benford_digit_audit(str(tmp_path)).to_pydict()
+    assert out["digit"] == list(range(1, 10))
+    byd = dict(zip(out["digit"], out["n_obs"]))
+    assert byd == {1: 3, 2: 4, 3: 0, 4: 0, 5: 1, 6: 0, 7: 0, 8: 0, 9: 2}
+    assert sum(out["n_obs"]) == 10
+    assert 999990 <= sum(out["obs_ppm"]) <= 1000000
+    # Benford constants are the published log10(1+1/d) masses
+    assert out["benford_ppm"][0] == 301029
