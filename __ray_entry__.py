@@ -131,6 +131,8 @@ from p2pddsketch_ray.pipelines.relational import (  # noqa: E402
     tukey_outlier_counts as _tukey_outlier_counts,
     BENFORD_DIGIT_SQL as _BENFORD_DIGIT_SQL,
     benford_digit_audit as _benford_digit_audit,
+    CUSTOMER_FREQUENCY_SPECTRUM_SQL as _CUSTOMER_FREQUENCY_SPECTRUM_SQL,
+    customer_frequency_spectrum as _customer_frequency_spectrum,
     SESSION_BOUNCE_SQL as _SESSION_BOUNCE_SQL,
     session_bounce_stats as _session_bounce_stats,
     TOP_EVENTS_PER_TYPE_SQL as _TOP_EVENTS_PER_TYPE_SQL,
@@ -711,6 +713,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tukey_outlier_counts": _tukey_outlier_counts,
         # Benford first-significant-digit audit, exact ppm integers
         "benford_digit_audit": _benford_digit_audit,
+        # Good-Turing frequency spectrum: users by event count, P0 ppm
+        "customer_frequency_spectrum": _customer_frequency_spectrum,
         # last-touch attribution: conversions credited to the most
         # recent in-window prior touch, deterministic under ts ties
         "last_touch_attribution": _last_touch_attribution,
@@ -1224,6 +1228,7 @@ def oracle_sql() -> dict[str, str]:
         "split_user_coverage": _SPLIT_USER_COVERAGE_SQL,
         "tukey_outlier_counts": _TUKEY_OUTLIER_SQL,
         "benford_digit_audit": _BENFORD_DIGIT_SQL,
+        "customer_frequency_spectrum": _CUSTOMER_FREQUENCY_SPECTRUM_SQL,
         "multimodal_resize_stats": """
 WITH grid AS (
   SELECT j.range AS j, k.range AS k

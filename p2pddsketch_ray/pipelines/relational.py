@@ -8684,3 +8684,73 @@ SELECT b.digit AS digit,
 FROM b LEFT JOIN g USING (digit) CROSS JOIN t
 ORDER BY 1
 """
+
+
+def customer_frequency_spectrum(sf_dir: str) -> pa.Table:
+    """FREQUENCY-OF-FREQUENCIES (Good-Turing) spectrum: how many users
+    placed exactly k orders, k capped at the 11+ tail bucket, plus the
+    Good-Turing unseen-mass estimate P0 = N1/N in exact ppm -- the
+    planning statistic for dedup/sampling budgets ("how much of the
+    corpus is singletons?").
+
+    Scale shape: one distributed groupby(o_custkey) count (the only
+    all-to-all), then per-block bincount partials over the per-customer
+    counts and an 11-key groupby; all ratio math on <= 11 driver rows.
+    """
+    ds = _read(sf_dir, "orders", ["o_custkey"])
+    per_user = ds.groupby("o_custkey").aggregate(Count(alias_name="k"))
+
+    empty = pa.table({"k": pa.array([], type=pa.int64()),
+                      "n_users": pa.array([], type=pa.int64()),
+                      "n_events": pa.array([], type=pa.int64())})
+
+    def spectrum(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        k = t["k"].to_numpy(zero_copy_only=False).astype(np.int64)
+        kb = np.minimum(k, 11)
+        n_users = np.bincount(kb, minlength=12)
+        n_events = np.bincount(kb, weights=k.astype(np.float64),
+                               minlength=12).astype(np.int64)
+        keep = np.nonzero(n_users)[0]
+        return pa.table({"k": pa.array(keep.astype(np.int64)),
+                         "n_users": pa.array(
+                             n_users[keep].astype(np.int64)),
+                         "n_events": pa.array(n_events[keep])})
+
+    agg = (per_user.map_batches(spectrum, batch_format="pyarrow",
+                                zero_copy_batch=True)
+           .groupby("k")
+           .aggregate(Sum("n_users", alias_name="n_users"),
+                      Sum("n_events", alias_name="n_events"))
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    total = int(agg["n_events"].sum())
+    n1 = int(agg.loc[agg["k"] == 1, "n_events"].sum())
+    gt = n1 * 1_000_000 // total if total else 0
+    return pa.table({
+        "k": pa.array(agg["k"].astype(np.int64)),
+        "n_users": pa.array(agg["n_users"].astype(np.int64)),
+        "n_events": pa.array(agg["n_events"].astype(np.int64)),
+        "gt_unseen_ppm": pa.array([gt] * len(agg), type=pa.int64()),
+    })
+
+
+CUSTOMER_FREQUENCY_SPECTRUM_SQL = """
+WITH pu AS (
+  SELECT o_custkey, count(*) AS k FROM orders GROUP BY 1
+), g AS (
+  SELECT LEAST(k, 11) AS kb,
+         CAST(count(*) AS BIGINT) AS n_users,
+         CAST(sum(k) AS BIGINT) AS n_events
+  FROM pu GROUP BY 1
+), t AS (
+  SELECT CAST(sum(n_events) AS BIGINT) AS total,
+         CAST(COALESCE(sum(n_events) FILTER (WHERE kb = 1), 0)
+              AS BIGINT) AS n1
+  FROM g
+)
+SELECT g.kb AS k, g.n_users, g.n_events,
+       CAST(t.n1 * 1000000 // t.total AS BIGINT) AS gt_unseen_ppm
+FROM g CROSS JOIN t
+ORDER BY 1
+"""

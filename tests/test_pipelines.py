@@ -1656,3 +1656,19 @@ def test_benford_digit_audit_exact_counts(ray_session, tmp_path):
     assert 999990 <= sum(out["obs_ppm"]) <= 1000000
     # Benford constants are the published log10(1+1/d) masses
     assert out["benford_ppm"][0] == 301029
+
+
+def test_customer_frequency_spectrum_good_turing(ray_session, tmp_path):
+    """Known frequency-of-frequencies: 3 singletons, 1 pair, 1 heavy
+    12x customer -> N1=3, N=17, P0 = 3e6//17."""
+    import pyarrow.parquet as pq
+    from p2pddsketch_ray.pipelines.relational import (
+        customer_frequency_spectrum)
+    keys = [1, 2, 3] + [4, 4] + [5] * 12
+    t = pa.table({"o_custkey": pa.array(keys, type=pa.int64())})
+    pq.write_table(t, str(tmp_path / "orders.parquet"))
+    out = customer_frequency_spectrum(str(tmp_path)).to_pydict()
+    assert out["k"] == [1, 2, 11]
+    assert out["n_users"] == [3, 1, 1]
+    assert out["n_events"] == [3, 2, 12]
+    assert out["gt_unseen_ppm"] == [3 * 1_000_000 // 17] * 3
