@@ -132,6 +132,8 @@ from p2pddsketch_ray.pipelines.relational import (  # noqa: E402
     BENFORD_DIGIT_SQL as _BENFORD_DIGIT_SQL,
     benford_digit_audit as _benford_digit_audit,
     CUSTOMER_FREQUENCY_SPECTRUM_SQL as _CUSTOMER_FREQUENCY_SPECTRUM_SQL,
+    SPEARMAN_HOURLY_SQL as _SPEARMAN_HOURLY_SQL,
+    spearman_hourly_corr as _spearman_hourly_corr,
     customer_frequency_spectrum as _customer_frequency_spectrum,
     SESSION_BOUNCE_SQL as _SESSION_BOUNCE_SQL,
     session_bounce_stats as _session_bounce_stats,
@@ -715,6 +717,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "benford_digit_audit": _benford_digit_audit,
         # Good-Turing frequency spectrum: users by event count, P0 ppm
         "customer_frequency_spectrum": _customer_frequency_spectrum,
+        # Spearman rank correlation of hourly type series, tie-exact
+        "spearman_hourly_corr": _spearman_hourly_corr,
         # last-touch attribution: conversions credited to the most
         # recent in-window prior touch, deterministic under ts ties
         "last_touch_attribution": _last_touch_attribution,
@@ -1229,6 +1233,7 @@ def oracle_sql() -> dict[str, str]:
         "tukey_outlier_counts": _TUKEY_OUTLIER_SQL,
         "benford_digit_audit": _BENFORD_DIGIT_SQL,
         "customer_frequency_spectrum": _CUSTOMER_FREQUENCY_SPECTRUM_SQL,
+        "spearman_hourly_corr": _SPEARMAN_HOURLY_SQL,
         "multimodal_resize_stats": """
 WITH grid AS (
   SELECT j.range AS j, k.range AS k

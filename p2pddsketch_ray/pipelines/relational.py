@@ -8754,3 +8754,129 @@ SELECT g.kb AS k, g.n_users, g.n_events,
 FROM g CROSS JOIN t
 ORDER BY 1
 """
+
+
+def _avg_rank2(v: np.ndarray) -> np.ndarray:
+    """2x the average-tie rank of each element of v (ascending) --
+    doubled so tied ranks (.5 halves) stay exact int64."""
+    order = np.argsort(v, kind="stable")
+    sv = v[order]
+    uniq, start = np.unique(sv, return_index=True)
+    cnt = np.diff(np.append(start, sv.shape[0]))
+    r2g = 2 * (start + 1) + cnt - 1          # 2*min_rank + ties - 1
+    r2_sorted = r2g[np.searchsorted(uniq, sv)]
+    r2 = np.empty_like(r2_sorted)
+    r2[order] = r2_sorted
+    return r2.astype(np.int64)
+
+
+def spearman_hourly_corr(sf_dir: str) -> pa.Table:
+    """SPEARMAN rank correlation between every pair of event types'
+    hourly count series (zero-filled common hour grid, average-tie
+    ranks): the monotone-association monitor that, unlike Pearson,
+    a single spike hour cannot dominate.
+
+    Determinism: ranks are doubled so tie-averages stay integral; the
+    Pearson-on-ranks sums are exact int64; the single final float
+    expression (num / sqrt(va*vb)) is mirrored term-for-term in the
+    SQL oracle, then floored to ppm.
+
+    Scale shape: per-block (type, hour) combiner -> one
+    cardinality-bounded groupby; the rank/correlation math runs on the
+    driver over types x hours rows (bounded by the time window, ~10k
+    at 90 days), never on raw events.
+    """
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        h = pc.divide(pc.cast(t["ts"], pa.int64()),
+                      pa.scalar(3_600_000_000, type=pa.int64()))
+        staged = pa.table({"event_type": t["event_type"],
+                           "h": pc.cast(h, pa.int64())})
+        g = staged.group_by(["event_type", "h"]).aggregate(
+            [("h", "count")])
+        return pa.table({"event_type": g["event_type"], "h": g["h"],
+                         "n": pc.cast(g["h_count"], pa.int64())})
+
+    agg = (ds.map_batches(prep, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby(["event_type", "h"])
+           .aggregate(Sum("n", alias_name="n"))
+           .to_pandas())
+    h0, h1 = int(agg["h"].min()), int(agg["h"].max())
+    n_hours = h1 - h0 + 1
+    types = sorted(agg["event_type"].unique())
+    # zero-filled per-type series over the common grid, then 2x ranks
+    r2 = {}
+    for ty in types:
+        sub = agg[agg["event_type"] == ty]
+        v = np.zeros(n_hours, dtype=np.int64)
+        v[sub["h"].to_numpy(dtype=np.int64) - h0] = \
+            sub["n"].to_numpy(dtype=np.int64)
+        r2[ty] = _avg_rank2(v)
+    import math
+    rows = []
+    for i, ta in enumerate(types):
+        for tb in types[i + 1:]:
+            a, b = r2[ta], r2[tb]
+            n = n_hours
+            sx, sy = int(a.sum()), int(b.sum())
+            sxx = int((a * a).sum())
+            syy = int((b * b).sum())
+            sxy = int((a * b).sum())
+            num = n * sxy - sx * sy
+            va, vb = n * sxx - sx * sx, n * syy - sy * sy
+            if va == 0 or vb == 0:
+                ppm = 0
+            else:
+                den = math.sqrt(float(va) * float(vb))
+                ppm = math.floor(float(num) * 1000000.0 / den)
+            rows.append((ta, tb, n, ppm))
+    return pa.table({
+        "type_a": pa.array([r[0] for r in rows], type=pa.string()),
+        "type_b": pa.array([r[1] for r in rows], type=pa.string()),
+        "n_hours": pa.array([r[2] for r in rows], type=pa.int64()),
+        "rho_ppm": pa.array([r[3] for r in rows], type=pa.int64()),
+    })
+
+
+SPEARMAN_HOURLY_SQL = """
+WITH e AS (
+  SELECT event_type, epoch_us(ts) // 3600000000 AS h FROM events
+), b AS (
+  SELECT min(h) AS h0, max(h) AS h1 FROM e
+), hrs AS (
+  SELECT unnest(generate_series(b.h0, b.h1)) AS h FROM b
+), ty AS (SELECT DISTINCT event_type FROM e),
+c AS (
+  SELECT event_type, h, CAST(count(*) AS BIGINT) AS n
+  FROM e GROUP BY 1, 2
+), f AS (
+  SELECT ty.event_type, hrs.h, COALESCE(c.n, 0) AS n
+  FROM ty CROSS JOIN hrs
+  LEFT JOIN c ON c.event_type = ty.event_type AND c.h = hrs.h
+), r AS (
+  SELECT event_type, h,
+         2 * rank() OVER (PARTITION BY event_type ORDER BY n)
+           + count(*) OVER (PARTITION BY event_type, n) - 1 AS r2
+  FROM f
+), s AS (
+  SELECT a.event_type AS type_a, b2.event_type AS type_b,
+         CAST(count(*) AS BIGINT) AS n_hours,
+         sum(a.r2) AS sx, sum(b2.r2) AS sy,
+         sum(a.r2 * a.r2) AS sxx, sum(b2.r2 * b2.r2) AS syy,
+         sum(a.r2 * b2.r2) AS sxy
+  FROM r a JOIN r b2 ON a.h = b2.h AND a.event_type < b2.event_type
+  GROUP BY 1, 2
+)
+SELECT type_a, type_b, n_hours,
+       CAST(CASE WHEN (n_hours * sxx - sx * sx) = 0
+                   OR (n_hours * syy - sy * sy) = 0 THEN 0
+            ELSE floor(CAST(n_hours * sxy - sx * sy AS DOUBLE)
+                       * 1000000.0
+                       / sqrt(CAST(n_hours * sxx - sx * sx AS DOUBLE)
+                              * CAST(n_hours * syy - sy * sy
+                                     AS DOUBLE)))
+       END AS BIGINT) AS rho_ppm
+FROM s ORDER BY 1, 2
+"""

@@ -1672,3 +1672,29 @@ def test_customer_frequency_spectrum_good_turing(ray_session, tmp_path):
     assert out["n_users"] == [3, 1, 1]
     assert out["n_events"] == [3, 2, 12]
     assert out["gt_unseen_ppm"] == [3 * 1_000_000 // 17] * 3
+
+
+def test_spearman_perfect_and_inverse_rank_corr(ray_session, tmp_path):
+    """A type pair with identical hourly ordering scores ~+1e6 ppm; a
+    perfectly inverted pair scores ~-1e6 ppm (tie-free grid)."""
+    import pyarrow.parquet as pq
+    from p2pddsketch_ray.pipelines.relational import spearman_hourly_corr
+    base = pa.timestamp("us")
+    rows_ts, rows_ty = [], []
+    t0 = 1_700_000_000_000_000  # us epoch, hour-aligned enough
+    t0 -= t0 % 3_600_000_000
+    for h in range(6):
+        for ty, cnt in (("a", h + 1), ("b", 2 * (h + 1)),
+                        ("c", 6 - h)):
+            for _ in range(cnt):
+                rows_ts.append(t0 + h * 3_600_000_000)
+                rows_ty.append(ty)
+    t = pa.table({"ts": pa.array(rows_ts, type=base),
+                  "event_type": pa.array(rows_ty, type=pa.string())})
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    out = spearman_hourly_corr(str(tmp_path)).to_pydict()
+    got = {(a, b): p for a, b, p in
+           zip(out["type_a"], out["type_b"], out["rho_ppm"])}
+    assert got[("a", "b")] == 1_000_000      # same ranking
+    assert got[("a", "c")] == -1_000_000     # inverted
+    assert out["n_hours"] == [6, 6, 6]
