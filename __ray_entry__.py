@@ -134,6 +134,8 @@ from p2pddsketch_ray.pipelines.relational import (  # noqa: E402
     CUSTOMER_FREQUENCY_SPECTRUM_SQL as _CUSTOMER_FREQUENCY_SPECTRUM_SQL,
     SPEARMAN_HOURLY_SQL as _SPEARMAN_HOURLY_SQL,
     spearman_hourly_corr as _spearman_hourly_corr,
+    KS_DRIFT_SQL as _KS_DRIFT_SQL,
+    ks_drift_binned as _ks_drift_binned,
     customer_frequency_spectrum as _customer_frequency_spectrum,
     SESSION_BOUNCE_SQL as _SESSION_BOUNCE_SQL,
     session_bounce_stats as _session_bounce_stats,
@@ -719,6 +721,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_frequency_spectrum": _customer_frequency_spectrum,
         # Spearman rank correlation of hourly type series, tie-exact
         "spearman_hourly_corr": _spearman_hourly_corr,
+        # binned two-sample KS drift: max CDF gap, cross-multiplied ints
+        "ks_drift_binned": _ks_drift_binned,
         # last-touch attribution: conversions credited to the most
         # recent in-window prior touch, deterministic under ts ties
         "last_touch_attribution": _last_touch_attribution,
@@ -1234,6 +1238,7 @@ def oracle_sql() -> dict[str, str]:
         "benford_digit_audit": _BENFORD_DIGIT_SQL,
         "customer_frequency_spectrum": _CUSTOMER_FREQUENCY_SPECTRUM_SQL,
         "spearman_hourly_corr": _SPEARMAN_HOURLY_SQL,
+        "ks_drift_binned": _KS_DRIFT_SQL,
         "multimodal_resize_stats": """
 WITH grid AS (
   SELECT j.range AS j, k.range AS k

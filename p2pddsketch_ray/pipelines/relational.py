@@ -8880,3 +8880,115 @@ SELECT type_a, type_b, n_hours,
        END AS BIGINT) AS rho_ppm
 FROM s ORDER BY 1, 2
 """
+
+
+def ks_drift_binned(sf_dir: str, type_a: str = "click",
+                    type_b: str = "error", n_bins: int = 256) -> pa.Table:
+    """BINNED two-sample KOLMOGOROV-SMIRNOV drift statistic between two
+    event types' value distributions: max CDF gap over a fixed
+    equi-width integer grid -- the classic "did the distribution move?"
+    monitor, exact on the binned CDF by all-integer cross-multiplied
+    arithmetic (|cum_a*n_b - cum_b*n_a|, no float ratio ever formed).
+
+    Scale shape: pass 1 streams a distributed Min/Max of the micro-unit
+    values; pass 2 emits one <=n_bins-row bincount partial per block and
+    a bounded groupby; the cumulative walk runs on the driver over
+    exactly n_bins rows with Python big-int overflow immunity.
+    """
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def micro(t: pa.Table) -> pa.Table:
+        keep = pc.is_in(t["event_type"],
+                        value_set=pa.array([type_a, type_b]))
+        t = t.filter(keep)
+        return pa.table({"event_type": t["event_type"],
+                         "m": _int_units(t["value"], 1_000_000)})
+
+    vals = ds.map_batches(micro, batch_format="pyarrow",
+                          zero_copy_batch=True).materialize()
+    mm = vals.aggregate(Min("m", alias_name="lo"),
+                        Max("m", alias_name="hi"))
+    lo, hi = int(mm["lo"]), int(mm["hi"])
+    span = hi - lo + 1
+
+    empty = pa.table({"bin": pa.array([], type=pa.int64()),
+                      "na": pa.array([], type=pa.int64()),
+                      "nb": pa.array([], type=pa.int64())})
+
+    def binned(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        m = t["m"].to_numpy(zero_copy_only=False)
+        b = np.zeros_like(m) if span <= 1 else (m - lo) * n_bins // span
+        is_a = np.asarray(pc.equal(t["event_type"],
+                                   pa.scalar(type_a)))
+        na = np.bincount(b[is_a], minlength=n_bins)
+        nb = np.bincount(b[~is_a], minlength=n_bins)
+        keep = np.nonzero(na | nb)[0]
+        return pa.table({"bin": pa.array(keep.astype(np.int64)),
+                         "na": pa.array(na[keep].astype(np.int64)),
+                         "nb": pa.array(nb[keep].astype(np.int64))})
+
+    agg = (vals.map_batches(binned, batch_format="pyarrow",
+                            zero_copy_batch=True)
+           .groupby("bin")
+           .aggregate(Sum("na", alias_name="na"),
+                      Sum("nb", alias_name="nb"))
+           .to_pandas().sort_values("bin"))
+    na = np.zeros(n_bins, dtype=np.int64)
+    nb = np.zeros(n_bins, dtype=np.int64)
+    na[agg["bin"].to_numpy(dtype=np.int64)] = agg["na"]
+    nb[agg["bin"].to_numpy(dtype=np.int64)] = agg["nb"]
+    n_a, n_b = int(na.sum()), int(nb.sum())
+    ca, cb, best, best_bin = 0, 0, -1, 0
+    for i in range(n_bins):          # exact big-int walk, n_bins rows
+        ca += int(na[i]); cb += int(nb[i])
+        dv = abs(ca * n_b - cb * n_a)
+        if dv > best:
+            best, best_bin = dv, i
+    ks = best * 1_000_000 // (n_a * n_b) if n_a and n_b else 0
+    return pa.table({
+        "type_a": pa.array([type_a], type=pa.string()),
+        "type_b": pa.array([type_b], type=pa.string()),
+        "n_a": pa.array([n_a], type=pa.int64()),
+        "n_b": pa.array([n_b], type=pa.int64()),
+        "ks_ppm": pa.array([ks], type=pa.int64()),
+        "bin_at_max": pa.array([best_bin], type=pa.int64()),
+    })
+
+
+KS_DRIFT_SQL = """
+WITH v AS (
+  SELECT event_type,
+         CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS m
+  FROM events WHERE event_type IN ('click', 'error')
+), b AS (SELECT min(m) AS lo, max(m) AS hi FROM v),
+g AS (
+  SELECT event_type,
+         CASE WHEN b.hi - b.lo + 1 <= 1 THEN 0
+              ELSE (m - b.lo) * 256 // (b.hi - b.lo + 1) END AS bin,
+         CAST(count(*) AS BIGINT) AS n
+  FROM v CROSS JOIN b GROUP BY 1, 2
+), grid AS (SELECT unnest(generate_series(0, 255)) AS bin),
+f AS (
+  SELECT grid.bin,
+         COALESCE(sum(g.n) FILTER (WHERE g.event_type = 'click'), 0)
+           AS na,
+         COALESCE(sum(g.n) FILTER (WHERE g.event_type = 'error'), 0)
+           AS nb
+  FROM grid LEFT JOIN g ON g.bin = grid.bin GROUP BY 1
+), cum AS (
+  SELECT bin, sum(na) OVER (ORDER BY bin) AS ca,
+         sum(nb) OVER (ORDER BY bin) AS cb
+  FROM f
+), t AS (SELECT CAST(sum(na) AS BIGINT) AS n_a,
+                CAST(sum(nb) AS BIGINT) AS n_b FROM f),
+d AS (
+  SELECT bin, abs(ca * t.n_b - cb * t.n_a) AS dv FROM cum CROSS JOIN t
+), m AS (SELECT max(dv) AS md FROM d),
+am AS (SELECT min(d.bin) AS bin_at_max FROM d, m WHERE d.dv = m.md)
+SELECT 'click' AS type_a, 'error' AS type_b, t.n_a, t.n_b,
+       CAST(m.md * 1000000 // (t.n_a * t.n_b) AS BIGINT) AS ks_ppm,
+       CAST(am.bin_at_max AS BIGINT) AS bin_at_max
+FROM t, m, am
+"""

@@ -1698,3 +1698,26 @@ def test_spearman_perfect_and_inverse_rank_corr(ray_session, tmp_path):
     assert got[("a", "b")] == 1_000_000      # same ranking
     assert got[("a", "c")] == -1_000_000     # inverted
     assert out["n_hours"] == [6, 6, 6]
+
+
+def test_ks_drift_detects_disjoint_and_identical(ray_session, tmp_path):
+    """Disjoint supports give KS = 1e6 ppm; identical samples give 0."""
+    import pyarrow.parquet as pq
+    from p2pddsketch_ray.pipelines.relational import ks_drift_binned
+    lo = [float(i) for i in range(100)]
+    hi = [float(i) + 1000.0 for i in range(100)]
+    t = pa.table({
+        "event_type": pa.array(["click"] * 100 + ["error"] * 100),
+        "value": pa.array(lo + hi, type=pa.float64()),
+    })
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    out = ks_drift_binned(str(tmp_path)).to_pydict()
+    assert out["ks_ppm"] == [1_000_000]
+    t2 = pa.table({
+        "event_type": pa.array(["click"] * 100 + ["error"] * 100),
+        "value": pa.array(lo + lo, type=pa.float64()),
+    })
+    pq.write_table(t2, str(tmp_path / "events.parquet"))
+    out2 = ks_drift_binned(str(tmp_path)).to_pydict()
+    assert out2["ks_ppm"] == [0]
+    assert out2["n_a"] == [100] and out2["n_b"] == [100]
