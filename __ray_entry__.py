@@ -136,6 +136,8 @@ from p2pddsketch_ray.pipelines.relational import (  # noqa: E402
     spearman_hourly_corr as _spearman_hourly_corr,
     KS_DRIFT_SQL as _KS_DRIFT_SQL,
     ks_drift_binned as _ks_drift_binned,
+    KM_SURVIVAL_SQL as _KM_SURVIVAL_SQL,
+    km_user_survival as _km_user_survival,
     customer_frequency_spectrum as _customer_frequency_spectrum,
     SESSION_BOUNCE_SQL as _SESSION_BOUNCE_SQL,
     session_bounce_stats as _session_bounce_stats,
@@ -723,6 +725,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spearman_hourly_corr": _spearman_hourly_corr,
         # binned two-sample KS drift: max CDF gap, cross-multiplied ints
         "ks_drift_binned": _ks_drift_binned,
+        # Kaplan-Meier product-limit survival, micro-nat ln parity
+        "km_user_survival": _km_user_survival,
         # last-touch attribution: conversions credited to the most
         # recent in-window prior touch, deterministic under ts ties
         "last_touch_attribution": _last_touch_attribution,
@@ -1239,6 +1243,7 @@ def oracle_sql() -> dict[str, str]:
         "customer_frequency_spectrum": _CUSTOMER_FREQUENCY_SPECTRUM_SQL,
         "spearman_hourly_corr": _SPEARMAN_HOURLY_SQL,
         "ks_drift_binned": _KS_DRIFT_SQL,
+        "km_user_survival": _KM_SURVIVAL_SQL,
         "multimodal_resize_stats": """
 WITH grid AS (
   SELECT j.range AS j, k.range AS k

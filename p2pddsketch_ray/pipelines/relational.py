@@ -8992,3 +8992,145 @@ SELECT 'click' AS type_a, 'error' AS type_b, t.n_a, t.n_b,
        CAST(am.bin_at_max AS BIGINT) AS bin_at_max
 FROM t, m, am
 """
+
+
+def km_user_survival(sf_dir: str, horizon_hours: int = 72) -> pa.Table:
+    """KAPLAN-MEIER time-to-conversion curve: hours from each user's
+    first event to their first 'purchase', administratively censored at
+    `horizon_hours` (users converting later, or never, are censored at
+    the horizon) -- the product-limit estimator, carried as an exact
+    cumulative sum of per-hour floor(ln((n_risk-d)/n_risk)*1e6)
+    micro-nat terms so the curve is hash-comparable (each ln of an
+    identical double ratio is mirrored term-for-term in the SQL
+    oracle; no float product is ever formed).
+
+    Risk-set convention: n_risk(t) = #{observed duration >= t}; deaths
+    at t are conversions at exactly t <= horizon.  If survival hits
+    exactly zero the final term uses the defined sentinel
+    floor(ln(1/(2*n_users))*1e6).
+
+    Scale shape: per-block (user, first-event min, first-purchase min)
+    combiner -> one distributed groupby(user) -> bounded
+    (hour, censored) histogram partials; the KM walk runs on the
+    driver over <= horizon_hours rows.
+    """
+    import math
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+    us_hour = 3_600_000_000
+    BIG = 2 ** 62   # sentinel: "no purchase observed"
+
+    def prep(t: pa.Table) -> pa.Table:
+        us = pc.cast(t["ts"], pa.int64())
+        is_p = pc.equal(t["event_type"], pa.scalar("purchase"))
+        pus = pc.if_else(is_p, us, pa.scalar(BIG, type=pa.int64()))
+        staged = pa.table({"user_id": t["user_id"], "us": us,
+                           "pus": pus})
+        g = staged.group_by("user_id").aggregate(
+            [("us", "min"), ("pus", "min")])
+        return pa.table({"user_id": g["user_id"],
+                         "f_us": g["us_min"], "p_us": g["pus_min"]})
+
+    per_user = (ds.map_batches(prep, batch_format="pyarrow",
+                               zero_copy_batch=True)
+                .groupby("user_id")
+                .aggregate(Min("f_us", alias_name="f_us"),
+                           Min("p_us", alias_name="p_us"))
+                .materialize())
+
+    empty = pa.table({"h": pa.array([], type=pa.int64()),
+                      "n_deaths": pa.array([], type=pa.int64()),
+                      "n_cens": pa.array([], type=pa.int64())})
+
+    def hist(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        f = t["f_us"].to_numpy(zero_copy_only=False)
+        p = t["p_us"].to_numpy(zero_copy_only=False)
+        conv = p < BIG
+        dur = np.where(conv, (p - f) // us_hour, horizon_hours + 1)
+        death = conv & (dur <= horizon_hours)
+        obs = np.minimum(dur, horizon_hours)
+        uh, inv = np.unique(obs, return_inverse=True)
+        nde = np.zeros(uh.shape[0], dtype=np.int64)
+        nce = np.zeros(uh.shape[0], dtype=np.int64)
+        np.add.at(nde, inv, death.astype(np.int64))
+        np.add.at(nce, inv, (~death).astype(np.int64))
+        return pa.table({"h": pa.array(uh.astype(np.int64)),
+                         "n_deaths": pa.array(nde),
+                         "n_cens": pa.array(nce)})
+
+    agg = (per_user.map_batches(hist, batch_format="pyarrow",
+                                zero_copy_batch=True)
+           .groupby("h")
+           .aggregate(Sum("n_deaths", alias_name="n_deaths"),
+                      Sum("n_cens", alias_name="n_cens"))
+           .to_pandas().sort_values("h").reset_index(drop=True))
+    n_users = int((agg["n_deaths"] + agg["n_cens"]).sum())
+    n_at = (agg["n_deaths"] + agg["n_cens"]).to_numpy(dtype=np.int64)
+    n_risk = n_at[::-1].cumsum()[::-1]
+    rows, cum = [], 0
+    for i in range(len(agg)):
+        h = int(agg["h"][i])
+        nd, nc, nr = int(agg["n_deaths"][i]), int(agg["n_cens"][i]), \
+            int(n_risk[i])
+        if nd == 0:
+            continue
+        if nr == nd:
+            term = math.floor(math.log(1.0 / float(2 * n_users))
+                              * 1000000.0)
+        else:
+            term = math.floor(math.log(float(nr - nd) / float(nr))
+                              * 1000000.0)
+        cum += term
+        rows.append((h, nr, nd, nc, cum))
+    return pa.table({
+        "hour": pa.array([r[0] for r in rows], type=pa.int64()),
+        "n_risk": pa.array([r[1] for r in rows], type=pa.int64()),
+        "n_deaths": pa.array([r[2] for r in rows], type=pa.int64()),
+        "n_censored": pa.array([r[3] for r in rows], type=pa.int64()),
+        "surv_micronat": pa.array([r[4] for r in rows],
+                                  type=pa.int64()),
+    })
+
+
+KM_SURVIVAL_SQL = """
+WITH pu AS (
+  SELECT user_id, min(epoch_us(ts)) AS f,
+         min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts)
+                  ELSE 4611686018427387904 END) AS p
+  FROM events GROUP BY 1
+), u AS (
+  SELECT CASE WHEN p < 4611686018427387904
+              THEN LEAST((p - f) // 3600000000, 72) ELSE 72 END AS h,
+         CASE WHEN p < 4611686018427387904
+                AND (p - f) // 3600000000 <= 72
+              THEN 0 ELSE 1 END AS cens
+  FROM pu
+), t AS (SELECT CAST(count(*) AS BIGINT) AS n FROM u),
+hh AS (
+  SELECT h,
+         CAST(count(*) FILTER (WHERE cens = 0) AS BIGINT) AS n_deaths,
+         CAST(count(*) FILTER (WHERE cens = 1) AS BIGINT) AS n_cens,
+         CAST(count(*) AS BIGINT) AS n_at
+  FROM u GROUP BY 1
+), r AS (
+  SELECT h, n_deaths, n_cens,
+         CAST(sum(n_at) OVER (ORDER BY h DESC) AS BIGINT) AS n_risk
+  FROM hh
+), term AS (
+  SELECT h, n_risk, n_deaths, n_cens,
+         CASE WHEN n_deaths = 0 THEN 0
+              WHEN n_risk = n_deaths THEN
+                CAST(floor(ln(1.0 / CAST(2 * t.n AS DOUBLE))
+                           * 1000000.0) AS BIGINT)
+              ELSE
+                CAST(floor(ln(CAST(n_risk - n_deaths AS DOUBLE)
+                              / CAST(n_risk AS DOUBLE))
+                           * 1000000.0) AS BIGINT)
+         END AS tm
+  FROM r CROSS JOIN t
+)
+SELECT h AS hour, n_risk, n_deaths, n_cens AS n_censored,
+       CAST(sum(tm) OVER (ORDER BY h) AS BIGINT) AS surv_micronat
+FROM term WHERE n_deaths > 0 ORDER BY hour
+"""

@@ -1721,3 +1721,29 @@ def test_ks_drift_detects_disjoint_and_identical(ray_session, tmp_path):
     out2 = ks_drift_binned(str(tmp_path)).to_pydict()
     assert out2["ks_ppm"] == [0]
     assert out2["n_a"] == [100] and out2["n_b"] == [100]
+
+
+def test_km_survival_hand_cohort(ray_session, tmp_path):
+    """4-user cohort: two convert at hour 1, one converts past the
+    horizon, one never -> one death row with S = exp(ln(2/4))."""
+    import math
+    import pyarrow.parquet as pq
+    from p2pddsketch_ray.pipelines.relational import km_user_survival
+    H = 3_600_000_000
+    t0 = 1_700_000_000_000_000 - (1_700_000_000_000_000 % H)
+    rows = [
+        (1, t0, "view"), (1, t0 + H, "purchase"),
+        (2, t0, "view"), (2, t0 + H, "purchase"),
+        (3, t0, "view"), (3, t0 + 100 * H, "purchase"),
+        (4, t0, "view"), (4, t0 + 10 * H, "click"),
+    ]
+    t = pa.table({
+        "user_id": pa.array([r[0] for r in rows], type=pa.int64()),
+        "ts": pa.array([r[1] for r in rows], type=pa.timestamp("us")),
+        "event_type": pa.array([r[2] for r in rows], type=pa.string()),
+    })
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    out = km_user_survival(str(tmp_path)).to_pydict()
+    assert out["hour"] == [1]
+    assert out["n_risk"] == [4] and out["n_deaths"] == [2]
+    assert out["surv_micronat"] == [math.floor(math.log(0.5) * 1e6)]
