@@ -138,6 +138,8 @@ from p2pddsketch_ray.pipelines.relational import (  # noqa: E402
     ks_drift_binned as _ks_drift_binned,
     KM_SURVIVAL_SQL as _KM_SURVIVAL_SQL,
     km_user_survival as _km_user_survival,
+    THEILSEN_TREND_SQL as _THEILSEN_TREND_SQL,
+    theilsen_daily_trend as _theilsen_daily_trend,
     customer_frequency_spectrum as _customer_frequency_spectrum,
     SESSION_BOUNCE_SQL as _SESSION_BOUNCE_SQL,
     session_bounce_stats as _session_bounce_stats,
@@ -727,6 +729,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ks_drift_binned": _ks_drift_binned,
         # Kaplan-Meier product-limit survival, micro-nat ln parity
         "km_user_survival": _km_user_survival,
+        # Theil-Sen median-of-pairwise-slopes robust daily trend
+        "theilsen_daily_trend": _theilsen_daily_trend,
         # last-touch attribution: conversions credited to the most
         # recent in-window prior touch, deterministic under ts ties
         "last_touch_attribution": _last_touch_attribution,
@@ -1244,6 +1248,7 @@ def oracle_sql() -> dict[str, str]:
         "spearman_hourly_corr": _SPEARMAN_HOURLY_SQL,
         "ks_drift_binned": _KS_DRIFT_SQL,
         "km_user_survival": _KM_SURVIVAL_SQL,
+        "theilsen_daily_trend": _THEILSEN_TREND_SQL,
         "multimodal_resize_stats": """
 WITH grid AS (
   SELECT j.range AS j, k.range AS k

@@ -9134,3 +9134,85 @@ SELECT h AS hour, n_risk, n_deaths, n_cens AS n_censored,
        CAST(sum(tm) OVER (ORDER BY h) AS BIGINT) AS surv_micronat
 FROM term WHERE n_deaths > 0 ORDER BY hour
 """
+
+
+def theilsen_daily_trend(sf_dir: str) -> pa.Table:
+    """THEIL-SEN robust trend of daily event counts per type: the
+    median of all pairwise slopes (c2-c1)/(d2-d1), the estimator a
+    29%-contaminated series cannot bend (one broken logging day moves
+    OLS arbitrarily; it moves the pairwise-slope median not at all).
+
+    Determinism: slopes are (c2-c1)*1e6 / (d2-d1) integer
+    micro-counts/day, truncated toward zero (DuckDB // semantics,
+    mirrored explicitly in numpy); the median is the lower order
+    statistic (index (m-1)//2), matching quantile_disc(_, 0.5).
+
+    Scale shape: per-block (type, day) combiner -> cardinality-bounded
+    groupby; the O(days^2) pair enumeration runs on the driver over the
+    bounded day span (~92 days -> <=4186 pairs per type), never on raw
+    events.
+    """
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        d = pc.divide(pc.cast(t["ts"], pa.int64()),
+                      pa.scalar(86_400_000_000, type=pa.int64()))
+        staged = pa.table({"event_type": t["event_type"],
+                           "d": pc.cast(d, pa.int64())})
+        g = staged.group_by(["event_type", "d"]).aggregate(
+            [("d", "count")])
+        return pa.table({"event_type": g["event_type"], "d": g["d"],
+                         "n": pc.cast(g["d_count"], pa.int64())})
+
+    agg = (ds.map_batches(prep, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby(["event_type", "d"])
+           .aggregate(Sum("n", alias_name="n"))
+           .to_pandas())
+    rows = []
+    for ty in sorted(agg["event_type"].unique()):
+        sub = agg[agg["event_type"] == ty].sort_values("d")
+        d = sub["d"].to_numpy(dtype=np.int64)
+        c = sub["n"].to_numpy(dtype=np.int64)
+        i, j = np.triu_indices(d.shape[0], k=1)
+        num = (c[j] - c[i]) * 1_000_000
+        den = d[j] - d[i]
+        # toward-zero division: DuckDB's BIGINT // truncates
+        slopes = np.sign(num) * (np.abs(num) // den)
+        slopes.sort()
+        med = int(slopes[(slopes.shape[0] - 1) // 2]) \
+            if slopes.shape[0] else 0
+        rows.append((ty, int(d.shape[0]), int(slopes.shape[0]), med))
+    return pa.table({
+        "event_type": pa.array([r[0] for r in rows], type=pa.string()),
+        "n_days": pa.array([r[1] for r in rows], type=pa.int64()),
+        "n_pairs": pa.array([r[2] for r in rows], type=pa.int64()),
+        "slope_micro_per_day": pa.array([r[3] for r in rows],
+                                        type=pa.int64()),
+    })
+
+
+THEILSEN_TREND_SQL = """
+WITH c AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS d,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+), p AS (
+  SELECT a.event_type,
+         (b.n - a.n) * 1000000 // (b.d - a.d) AS slope
+  FROM c a JOIN c b
+    ON a.event_type = b.event_type AND b.d > a.d
+)
+, m AS (
+  SELECT event_type, quantile_disc(slope, 0.5) AS med,
+         CAST(count(*) AS BIGINT) AS n_pairs
+  FROM p GROUP BY 1
+), dd AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_days
+  FROM c GROUP BY 1
+)
+SELECT dd.event_type, dd.n_days,
+       CAST(COALESCE(m.n_pairs, 0) AS BIGINT) AS n_pairs,
+       CAST(COALESCE(m.med, 0) AS BIGINT) AS slope_micro_per_day
+FROM dd LEFT JOIN m USING (event_type) ORDER BY 1
+"""

@@ -1747,3 +1747,25 @@ def test_km_survival_hand_cohort(ray_session, tmp_path):
     assert out["hour"] == [1]
     assert out["n_risk"] == [4] and out["n_deaths"] == [2]
     assert out["surv_micronat"] == [math.floor(math.log(0.5) * 1e6)]
+
+
+def test_theilsen_ignores_one_broken_day(ray_session, tmp_path):
+    """A clean +2/day ramp with one zeroed logging day keeps a median
+    pairwise slope of exactly 2e6 micro/day (OLS would bend)."""
+    import pyarrow.parquet as pq
+    from p2pddsketch_ray.pipelines.relational import theilsen_daily_trend
+    D = 86_400_000_000
+    t0 = 1_700_000_000_000_000 - (1_700_000_000_000_000 % D)
+    ts, ty = [], []
+    for day in range(9):
+        cnt = 0 if day == 4 else 2 * (day + 1)   # broken day 4
+        for k in range(cnt):
+            ts.append(t0 + day * D + k)
+            ty.append("click")
+    t = pa.table({"ts": pa.array(ts, type=pa.timestamp("us")),
+                  "event_type": pa.array(ty, type=pa.string())})
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    out = theilsen_daily_trend(str(tmp_path)).to_pydict()
+    assert out["event_type"] == ["click"]
+    assert out["n_days"] == [8]          # day 4 has no rows at all
+    assert out["slope_micro_per_day"] == [2_000_000]
