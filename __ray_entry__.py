@@ -140,6 +140,8 @@ from p2pddsketch_ray.pipelines.relational import (  # noqa: E402
     km_user_survival as _km_user_survival,
     THEILSEN_TREND_SQL as _THEILSEN_TREND_SQL,
     theilsen_daily_trend as _theilsen_daily_trend,
+    MOMENT_SHAPE_SQL as _MOMENT_SHAPE_SQL,
+    moment_shape_by_type as _moment_shape_by_type,
     customer_frequency_spectrum as _customer_frequency_spectrum,
     SESSION_BOUNCE_SQL as _SESSION_BOUNCE_SQL,
     session_bounce_stats as _session_bounce_stats,
@@ -731,6 +733,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "km_user_survival": _km_user_survival,
         # Theil-Sen median-of-pairwise-slopes robust daily trend
         "theilsen_daily_trend": _theilsen_daily_trend,
+        # binned skewness/excess-kurtosis shape moments, HUGEINT-exact
+        "moment_shape_by_type": _moment_shape_by_type,
         # last-touch attribution: conversions credited to the most
         # recent in-window prior touch, deterministic under ts ties
         "last_touch_attribution": _last_touch_attribution,
@@ -1249,6 +1253,7 @@ def oracle_sql() -> dict[str, str]:
         "ks_drift_binned": _KS_DRIFT_SQL,
         "km_user_survival": _KM_SURVIVAL_SQL,
         "theilsen_daily_trend": _THEILSEN_TREND_SQL,
+        "moment_shape_by_type": _MOMENT_SHAPE_SQL,
         "multimodal_resize_stats": """
 WITH grid AS (
   SELECT j.range AS j, k.range AS k

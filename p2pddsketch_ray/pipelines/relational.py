@@ -9216,3 +9216,140 @@ SELECT dd.event_type, dd.n_days,
        CAST(COALESCE(m.med, 0) AS BIGINT) AS slope_micro_per_day
 FROM dd LEFT JOIN m USING (event_type) ORDER BY 1
 """
+
+
+def moment_shape_by_type(sf_dir: str, n_bins: int = 1024) -> pa.Table:
+    """SKEWNESS and EXCESS KURTOSIS of each event type's value
+    distribution, computed on a fixed 1024-bin equi-width grid: the
+    shape moments that tell a long right tail from a heavy symmetric
+    one.  Standardized moments are scale-free, so binning to integer
+    indices preserves them (up to grid resolution) while making every
+    distributed sum exact.
+
+    Determinism: per-(type,bin) counts are exact int64; the power sums
+    S1..S4 over bin indices are exact big ints (Python on the driver,
+    HUGEINT in the oracle); the one final float expression
+    (m3/var^1.5, m4/var^2 - 3) is mirrored term-for-term and floored
+    to ppm.
+
+    Scale shape: pass 1 = distributed Min/Max; pass 2 = one bounded
+    bincount partial per block and a (types x bins)-key groupby; the
+    moment math runs on the driver over <= types*n_bins rows.
+    """
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def micro(t: pa.Table) -> pa.Table:
+        return pa.table({"event_type": t["event_type"],
+                         "m": _int_units(t["value"], 1_000_000)})
+
+    vals = ds.map_batches(micro, batch_format="pyarrow",
+                          zero_copy_batch=True).materialize()
+    mm = vals.aggregate(Min("m", alias_name="lo"),
+                        Max("m", alias_name="hi"))
+    lo, hi = int(mm["lo"]), int(mm["hi"])
+    span = hi - lo + 1
+
+    empty = pa.table({"event_type": pa.array([], type=pa.string()),
+                      "bin": pa.array([], type=pa.int64()),
+                      "c": pa.array([], type=pa.int64())})
+
+    def binned(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        m = t["m"].to_numpy(zero_copy_only=False)
+        b = np.zeros_like(m) if span <= 1 else (m - lo) * n_bins // span
+        staged = pa.table({"event_type": t["event_type"],
+                           "bin": pa.array(b.astype(np.int64))})
+        g = staged.group_by(["event_type", "bin"]).aggregate(
+            [("bin", "count")])
+        return pa.table({"event_type": g["event_type"],
+                         "bin": g["bin"],
+                         "c": pc.cast(g["bin_count"], pa.int64())})
+
+    agg = (vals.map_batches(binned, batch_format="pyarrow",
+                            zero_copy_batch=True)
+           .groupby(["event_type", "bin"])
+           .aggregate(Sum("c", alias_name="c"))
+           .to_pandas())
+    import math
+    rows = []
+    for ty in sorted(agg["event_type"].unique()):
+        sub = agg[agg["event_type"] == ty]
+        # exact big-int power sums over bin indices
+        n = s1 = s2 = s3 = s4 = 0
+        for b, c in zip(sub["bin"].astype(int), sub["c"].astype(int)):
+            n += c
+            s1 += c * b
+            s2 += c * b * b
+            s3 += c * b * b * b
+            s4 += c * b * b * b * b
+        mean_ppm = s1 * 1_000_000 // n
+        mmn = float(s1) / float(n)
+        e2 = float(s2) / float(n)
+        var = e2 - mmn * mmn
+        if var <= 0.0:
+            skew_ppm = kurt_ppm = 0
+        else:
+            m3 = float(s3) / float(n) - 3.0 * mmn * e2 \
+                + 2.0 * mmn * mmn * mmn
+            m4 = float(s4) / float(n) \
+                - 4.0 * mmn * (float(s3) / float(n)) \
+                + 6.0 * mmn * mmn * e2 - 3.0 * mmn * mmn * mmn * mmn
+            skew_ppm = math.floor(m3 / (var * math.sqrt(var))
+                                  * 1000000.0)
+            kurt_ppm = math.floor((m4 / (var * var) - 3.0) * 1000000.0)
+        rows.append((ty, n, mean_ppm, skew_ppm, kurt_ppm))
+    return pa.table({
+        "event_type": pa.array([r[0] for r in rows], type=pa.string()),
+        "n": pa.array([r[1] for r in rows], type=pa.int64()),
+        "mean_bin_ppm": pa.array([r[2] for r in rows], type=pa.int64()),
+        "skew_ppm": pa.array([r[3] for r in rows], type=pa.int64()),
+        "kurt_ppm": pa.array([r[4] for r in rows], type=pa.int64()),
+    })
+
+
+MOMENT_SHAPE_SQL = """
+WITH v AS (
+  SELECT event_type,
+         CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS m
+  FROM events
+), b AS (SELECT min(m) AS lo, max(m) AS hi FROM v),
+g AS (
+  SELECT event_type,
+         CASE WHEN b.hi - b.lo + 1 <= 1 THEN 0
+              ELSE (m - b.lo) * 1024 // (b.hi - b.lo + 1) END AS bin,
+         CAST(count(*) AS BIGINT) AS c
+  FROM v CROSS JOIN b GROUP BY 1, 2
+), s AS (
+  SELECT event_type,
+         CAST(sum(c) AS HUGEINT) AS n,
+         CAST(sum(c * bin) AS HUGEINT) AS s1,
+         CAST(sum(c * bin * bin) AS HUGEINT) AS s2,
+         CAST(sum(c * bin * bin * bin) AS HUGEINT) AS s3,
+         CAST(sum(c * bin * bin * bin * bin) AS HUGEINT) AS s4
+  FROM g GROUP BY 1
+), f AS (
+  SELECT event_type, n, s1,
+         CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mmn,
+         CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS e2,
+         CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE) AS e3,
+         CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE) AS e4
+  FROM s
+), x AS (
+  SELECT event_type, n, s1, mmn, e2,
+         e2 - mmn * mmn AS var,
+         e3 - 3.0 * mmn * e2 + 2.0 * mmn * mmn * mmn AS m3,
+         e4 - 4.0 * mmn * e3 + 6.0 * mmn * mmn * e2
+            - 3.0 * mmn * mmn * mmn * mmn AS m4
+  FROM f
+)
+SELECT event_type, CAST(n AS BIGINT) AS n,
+       CAST(s1 * 1000000 // n AS BIGINT) AS mean_bin_ppm,
+       CAST(CASE WHEN var <= 0.0 THEN 0
+            ELSE floor(m3 / (var * sqrt(var)) * 1000000.0)
+       END AS BIGINT) AS skew_ppm,
+       CAST(CASE WHEN var <= 0.0 THEN 0
+            ELSE floor((m4 / (var * var) - 3.0) * 1000000.0)
+       END AS BIGINT) AS kurt_ppm
+FROM x ORDER BY 1
+"""

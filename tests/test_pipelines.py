@@ -1769,3 +1769,23 @@ def test_theilsen_ignores_one_broken_day(ray_session, tmp_path):
     assert out["event_type"] == ["click"]
     assert out["n_days"] == [8]          # day 4 has no rows at all
     assert out["slope_micro_per_day"] == [2_000_000]
+
+
+def test_moment_shape_uniform_vs_spike(ray_session, tmp_path):
+    """A uniform value grid has ~zero skew and excess kurtosis near
+    -1.2e6 ppm; a spiked distribution turns both sharply positive."""
+    import pyarrow.parquet as pq
+    from p2pddsketch_ray.pipelines.relational import moment_shape_by_type
+    uni = [float(i) for i in range(1024)]
+    spike = [100.0] * 1000 + [1023.0] * 3 + [0.0] * 3
+    t = pa.table({
+        "event_type": pa.array(["uni"] * len(uni) + ["spk"] * len(spike)),
+        "value": pa.array(uni + spike, type=pa.float64()),
+    })
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    out = moment_shape_by_type(str(tmp_path)).to_pydict()
+    got = {ty: (s, k) for ty, s, k in
+           zip(out["event_type"], out["skew_ppm"], out["kurt_ppm"])}
+    assert abs(got["uni"][0]) <= 10                 # symmetric
+    assert abs(got["uni"][1] + 1_200_000) <= 5_000  # uniform kurtosis
+    assert got["spk"][1] > 10_000_000               # heavy spike tails
