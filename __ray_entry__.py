@@ -142,6 +142,8 @@ from p2pddsketch_ray.pipelines.relational import (  # noqa: E402
     theilsen_daily_trend as _theilsen_daily_trend,
     MOMENT_SHAPE_SQL as _MOMENT_SHAPE_SQL,
     moment_shape_by_type as _moment_shape_by_type,
+    CUSUM_HOURLY_SQL as _CUSUM_HOURLY_SQL,
+    cusum_hourly_alarms as _cusum_hourly_alarms,
     customer_frequency_spectrum as _customer_frequency_spectrum,
     SESSION_BOUNCE_SQL as _SESSION_BOUNCE_SQL,
     session_bounce_stats as _session_bounce_stats,
@@ -735,6 +737,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "theilsen_daily_trend": _theilsen_daily_trend,
         # binned skewness/excess-kurtosis shape moments, HUGEINT-exact
         "moment_shape_by_type": _moment_shape_by_type,
+        # CUSUM level-shift control chart, integer-scaled recurrence
+        "cusum_hourly_alarms": _cusum_hourly_alarms,
         # last-touch attribution: conversions credited to the most
         # recent in-window prior touch, deterministic under ts ties
         "last_touch_attribution": _last_touch_attribution,
@@ -1254,6 +1258,7 @@ def oracle_sql() -> dict[str, str]:
         "km_user_survival": _KM_SURVIVAL_SQL,
         "theilsen_daily_trend": _THEILSEN_TREND_SQL,
         "moment_shape_by_type": _MOMENT_SHAPE_SQL,
+        "cusum_hourly_alarms": _CUSUM_HOURLY_SQL,
         "multimodal_resize_stats": """
 WITH grid AS (
   SELECT j.range AS j, k.range AS k

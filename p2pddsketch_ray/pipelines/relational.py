@@ -9353,3 +9353,107 @@ SELECT event_type, CAST(n AS BIGINT) AS n,
        END AS BIGINT) AS kurt_ppm
 FROM x ORDER BY 1
 """
+
+
+def cusum_hourly_alarms(sf_dir: str) -> pa.Table:
+    """CUSUM (Page) control chart over each event type's hourly count
+    series: the one-sided cumulative-sum recurrence
+    S_i = max(0, S_{i-1} + x_i - mean - k) that detects a sustained
+    upward level shift far sooner than any per-hour threshold.
+
+    Determinism: the recurrence is scaled by n_hours so the mean never
+    becomes a float -- S_i = max(0, S_{i-1} + n*x_i - T - K) with slack
+    K = T//20 and alarm threshold H = T//2, all exact int64; the SQL
+    oracle replays the identical recurrence with a recursive CTE.
+
+    Scale shape: per-block (type, hour) combiner -> cardinality-bounded
+    groupby; the inherently-sequential CUSUM walk runs on the driver
+    over the bounded hour span per type, never on raw events.
+    """
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        h = pc.divide(pc.cast(t["ts"], pa.int64()),
+                      pa.scalar(3_600_000_000, type=pa.int64()))
+        staged = pa.table({"event_type": t["event_type"],
+                           "h": pc.cast(h, pa.int64())})
+        g = staged.group_by(["event_type", "h"]).aggregate(
+            [("h", "count")])
+        return pa.table({"event_type": g["event_type"], "h": g["h"],
+                         "n": pc.cast(g["h_count"], pa.int64())})
+
+    agg = (ds.map_batches(prep, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby(["event_type", "h"])
+           .aggregate(Sum("n", alias_name="n"))
+           .to_pandas())
+    h0, h1 = int(agg["h"].min()), int(agg["h"].max())
+    nh = h1 - h0 + 1
+    rows = []
+    for ty in sorted(agg["event_type"].unique()):
+        sub = agg[agg["event_type"] == ty]
+        x = np.zeros(nh, dtype=np.int64)
+        x[sub["h"].to_numpy(dtype=np.int64) - h0] = \
+            sub["n"].to_numpy(dtype=np.int64)
+        tot = int(x.sum())
+        slack, thresh = tot // 20, tot // 2
+        s, max_s, n_alarms, first = 0, 0, 0, -1
+        for i in range(nh):
+            s = max(0, s + nh * int(x[i]) - tot - slack)
+            if s > max_s:
+                max_s = s
+            if s > thresh:
+                n_alarms += 1
+                if first < 0:
+                    first = i
+        rows.append((ty, nh, tot, n_alarms, max_s, first))
+    return pa.table({
+        "event_type": pa.array([r[0] for r in rows], type=pa.string()),
+        "n_hours": pa.array([r[1] for r in rows], type=pa.int64()),
+        "total": pa.array([r[2] for r in rows], type=pa.int64()),
+        "n_alarms": pa.array([r[3] for r in rows], type=pa.int64()),
+        "max_s": pa.array([r[4] for r in rows], type=pa.int64()),
+        "first_alarm_hour": pa.array([r[5] for r in rows],
+                                     type=pa.int64()),
+    })
+
+
+CUSUM_HOURLY_SQL = """
+WITH RECURSIVE
+e AS (SELECT event_type, epoch_us(ts) // 3600000000 AS h FROM events),
+b AS (SELECT min(h) AS h0, max(h) AS h1 FROM e),
+hrs AS (SELECT unnest(generate_series(b.h0, b.h1)) AS h FROM b),
+ty AS (SELECT DISTINCT event_type FROM e),
+c AS (
+  SELECT event_type, h, CAST(count(*) AS BIGINT) AS n
+  FROM e GROUP BY 1, 2
+), f AS (
+  SELECT ty.event_type, hrs.h - b.h0 AS i, COALESCE(c.n, 0) AS x
+  FROM ty CROSS JOIN hrs CROSS JOIN b
+  LEFT JOIN c ON c.event_type = ty.event_type AND c.h = hrs.h
+), t AS (
+  SELECT event_type, CAST(sum(x) AS BIGINT) AS tot,
+         CAST(count(*) AS BIGINT) AS nh
+  FROM f GROUP BY 1
+), rec(event_type, i, s) AS (
+  SELECT f.event_type, CAST(0 AS BIGINT),
+         GREATEST(CAST(0 AS BIGINT),
+                  t.nh * f.x - t.tot - t.tot // 20)
+  FROM f JOIN t USING (event_type) WHERE f.i = 0
+  UNION ALL
+  SELECT r.event_type, r.i + 1,
+         GREATEST(CAST(0 AS BIGINT),
+                  r.s + t.nh * f.x - t.tot - t.tot // 20)
+  FROM rec r
+  JOIN f ON f.event_type = r.event_type AND f.i = r.i + 1
+  JOIN t ON t.event_type = r.event_type
+)
+SELECT t.event_type, t.nh AS n_hours, t.tot AS total,
+       CAST(count(*) FILTER (WHERE rec.s > t.tot // 2) AS BIGINT)
+         AS n_alarms,
+       CAST(COALESCE(max(rec.s), 0) AS BIGINT) AS max_s,
+       CAST(COALESCE(min(rec.i) FILTER (WHERE rec.s > t.tot // 2), -1)
+            AS BIGINT) AS first_alarm_hour
+FROM t LEFT JOIN rec USING (event_type)
+GROUP BY 1, 2, 3 ORDER BY 1
+"""

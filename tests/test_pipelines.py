@@ -1789,3 +1789,27 @@ def test_moment_shape_uniform_vs_spike(ray_session, tmp_path):
     assert abs(got["uni"][0]) <= 10                 # symmetric
     assert abs(got["uni"][1] + 1_200_000) <= 5_000  # uniform kurtosis
     assert got["spk"][1] > 10_000_000               # heavy spike tails
+
+
+def test_cusum_flags_sustained_shift_not_flat(ray_session, tmp_path):
+    """A flat series never alarms; a series whose level doubles halfway
+    through alarms within the shifted region."""
+    import pyarrow.parquet as pq
+    from p2pddsketch_ray.pipelines.relational import cusum_hourly_alarms
+    H = 3_600_000_000
+    t0 = 1_700_000_000_000_000 - (1_700_000_000_000_000 % H)
+    ts, ty = [], []
+    for h in range(40):
+        for _ in range(5):                       # flat type
+            ts.append(t0 + h * H); ty.append("flat")
+        for _ in range(5 if h < 20 else 10):     # level shift at h=20
+            ts.append(t0 + h * H); ty.append("shift")
+    t = pa.table({"ts": pa.array(ts, type=pa.timestamp("us")),
+                  "event_type": pa.array(ty, type=pa.string())})
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    out = cusum_hourly_alarms(str(tmp_path)).to_pydict()
+    got = {ty: (a, f) for ty, a, f in
+           zip(out["event_type"], out["n_alarms"],
+               out["first_alarm_hour"])}
+    assert got["flat"] == (0, -1)
+    assert got["shift"][0] > 0 and got["shift"][1] >= 20
