@@ -144,6 +144,7 @@ from p2pddsketch_ray.pipelines.relational import (  # noqa: E402
     moment_shape_by_type as _moment_shape_by_type,
     CUSUM_HOURLY_SQL as _CUSUM_HOURLY_SQL,
     cusum_hourly_alarms as _cusum_hourly_alarms,
+    gopher_rules_report as _gopher_rules_report,
     customer_frequency_spectrum as _customer_frequency_spectrum,
     SESSION_BOUNCE_SQL as _SESSION_BOUNCE_SQL,
     session_bounce_stats as _session_bounce_stats,
@@ -739,6 +740,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "moment_shape_by_type": _moment_shape_by_type,
         # CUSUM level-shift control chart, integer-scaled recurrence
         "cusum_hourly_alarms": _cusum_hourly_alarms,
+        # Gopher-style per-rule quality rejection counts by language
+        "gopher_rules_report": _gopher_rules_report,
         # last-touch attribution: conversions credited to the most
         # recent in-window prior touch, deterministic under ts ties
         "last_touch_attribution": _last_touch_attribution,
@@ -1421,6 +1424,34 @@ SELECT lang, count(*) AS n_docs, CAST(sum(tokens) AS BIGINT) AS sum_tokens,
        CAST(sum(quality_micro) AS DOUBLE)/1000000.0/CAST(count(*) AS DOUBLE)
            AS avg_quality
 FROM s GROUP BY lang""",
+        "gopher_rules_report": f"""
+WITH m AS (
+  SELECT lang,
+         length(regexp_extract_all(text, '[A-Za-z0-9]+')) AS toks,
+         length(regexp_extract_all(text, '[.,;:!?]')) AS punct,
+         length(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+                            t -> t IN ({stoplist}))) AS stops,
+         length(text)
+           - length(regexp_replace(text, '[A-Za-z0-9]+', '', 'g'))
+           AS tokchars
+  FROM documents
+), r AS (
+  SELECT lang,
+         CASE WHEN toks < 30 OR toks > 100000 THEN 1 ELSE 0 END AS f1,
+         CASE WHEN tokchars < 3 * toks OR tokchars > 10 * toks
+              THEN 1 ELSE 0 END AS f2,
+         CASE WHEN punct * 10 > toks THEN 1 ELSE 0 END AS f3,
+         CASE WHEN stops < 2 THEN 1 ELSE 0 END AS f4
+  FROM m
+)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(f1) AS BIGINT) AS n_fail_wordcount,
+       CAST(sum(f2) AS BIGINT) AS n_fail_wordlen,
+       CAST(sum(f3) AS BIGINT) AS n_fail_symbol,
+       CAST(sum(f4) AS BIGINT) AS n_fail_stopword,
+       CAST(sum(CASE WHEN f1 + f2 + f3 + f4 = 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_pass
+FROM r GROUP BY 1 ORDER BY 1""",
         "quality_filter_by_lang": f"""
 WITH m AS (
   SELECT lang,

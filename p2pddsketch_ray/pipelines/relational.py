@@ -9457,3 +9457,92 @@ SELECT t.event_type, t.nh AS n_hours, t.tot AS total,
 FROM t LEFT JOIN rec USING (event_type)
 GROUP BY 1, 2, 3 ORDER BY 1
 """
+
+
+def gopher_rules_report(sf_dir: str) -> pa.Table:
+    """GOPHER-STYLE quality-rule report (Rae et al. 2021, table A1
+    adapted to this corpus' scale): per-language counts of documents
+    failing each rule, plus the documents passing all of them --
+    the per-rule attribution a corpus curator reads before tuning
+    thresholds, not just the final keep count.
+
+      R1 token count outside [30, 100000]
+      R2 mean token length outside [3, 10]   (integer cross-multiply)
+      R3 punctuation-to-token ratio > 0.1    (punct*10 > tokens)
+      R4 fewer than 2 stopword occurrences
+
+    Tokens/punctuation/stopwords reuse the proven oracle-parity
+    definitions in functions/text.py; mean token length is derived as
+    (total chars - chars after stripping tokens), one vectorized
+    regex-replace, never a Python loop.
+
+    Scale shape: four regex kernels per block + per-block (lang)
+    combiner -> one 5-key groupby; nothing but per-lang counters ever
+    shuffles.
+    """
+    from ..functions.text import (TOKEN_RE, token_count, punct_count,
+                                  stopword_count)
+    ds = _read(sf_dir, "documents", ["lang", "text"])
+
+    def rules(t: pa.Table) -> pa.Table:
+        text = t["text"].combine_chunks() if isinstance(
+            t["text"], pa.ChunkedArray) else t["text"]
+        toks = token_count(text).to_numpy(zero_copy_only=False)
+        punct = punct_count(text).to_numpy(zero_copy_only=False)
+        stops = stopword_count(text).to_numpy(zero_copy_only=False)
+        stripped = pc.cast(pc.utf8_length(pc.replace_substring_regex(
+            text, TOKEN_RE, "")), pa.int64()).to_numpy(
+                zero_copy_only=False)
+        chars = pc.cast(pc.utf8_length(text), pa.int64()).to_numpy(
+            zero_copy_only=False)
+        tokchars = chars - stripped
+        f1 = (toks < 30) | (toks > 100000)
+        f2 = (tokchars < 3 * toks) | (tokchars > 10 * toks)
+        f3 = punct * 10 > toks
+        f4 = stops < 2
+        ok = ~(f1 | f2 | f3 | f4)
+        staged = pa.table({
+            "lang": t["lang"],
+            "f1": pa.array(f1.astype(np.int64)),
+            "f2": pa.array(f2.astype(np.int64)),
+            "f3": pa.array(f3.astype(np.int64)),
+            "f4": pa.array(f4.astype(np.int64)),
+            "ok": pa.array(ok.astype(np.int64)),
+        })
+        g = staged.group_by("lang").aggregate(
+            [("f1", "sum"), ("f2", "sum"), ("f3", "sum"),
+             ("f4", "sum"), ("ok", "sum"), ("ok", "count")])
+        return pa.table({
+            "lang": g["lang"], "n_docs": pc.cast(g["ok_count"],
+                                                 pa.int64()),
+            "n_fail_wordcount": g["f1_sum"],
+            "n_fail_wordlen": g["f2_sum"],
+            "n_fail_symbol": g["f3_sum"],
+            "n_fail_stopword": g["f4_sum"],
+            "n_pass": g["ok_sum"],
+        })
+
+    agg = (ds.map_batches(rules, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("lang")
+           .aggregate(Sum("n_docs", alias_name="n_docs"),
+                      Sum("n_fail_wordcount",
+                          alias_name="n_fail_wordcount"),
+                      Sum("n_fail_wordlen", alias_name="n_fail_wordlen"),
+                      Sum("n_fail_symbol", alias_name="n_fail_symbol"),
+                      Sum("n_fail_stopword",
+                          alias_name="n_fail_stopword"),
+                      Sum("n_pass", alias_name="n_pass"))
+           .to_pandas().sort_values("lang").reset_index(drop=True))
+    return pa.table({
+        "lang": pa.array(agg["lang"], type=pa.string()),
+        "n_docs": pa.array(agg["n_docs"].astype(np.int64)),
+        "n_fail_wordcount": pa.array(
+            agg["n_fail_wordcount"].astype(np.int64)),
+        "n_fail_wordlen": pa.array(
+            agg["n_fail_wordlen"].astype(np.int64)),
+        "n_fail_symbol": pa.array(agg["n_fail_symbol"].astype(np.int64)),
+        "n_fail_stopword": pa.array(
+            agg["n_fail_stopword"].astype(np.int64)),
+        "n_pass": pa.array(agg["n_pass"].astype(np.int64)),
+    })

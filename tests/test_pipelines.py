@@ -1813,3 +1813,28 @@ def test_cusum_flags_sustained_shift_not_flat(ray_session, tmp_path):
                out["first_alarm_hour"])}
     assert got["flat"] == (0, -1)
     assert got["shift"][0] > 0 and got["shift"][1] >= 20
+
+
+def test_gopher_rules_attribute_each_rule(ray_session, tmp_path):
+    """Crafted docs trip each rule exactly once; a clean doc passes."""
+    import pyarrow.parquet as pq
+    from p2pddsketch_ray.pipelines.relational import gopher_rules_report
+    clean = ("the quick brown fox jumps over the lazy dog and then "
+             "runs far away to the old barn for a long nap today " * 3)
+    short = "the and of tiny text"                   # <30 tokens -> R1
+    longtok = ("supercalifragilistic " * 40          # mean len > 10 -> R2
+               + "the and of it is that " * 2)
+    symbol = (("w. " * 60) + "the and of it is ")    # punct heavy -> R3
+    nostop = ("zebra quartz " * 20)                  # no stopwords -> R4
+    t = pa.table({
+        "lang": pa.array(["en"] * 5),
+        "text": pa.array([clean, short, longtok, symbol, nostop]),
+    })
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    out = gopher_rules_report(str(tmp_path)).to_pydict()
+    assert out["n_docs"] == [5]
+    assert out["n_fail_wordcount"][0] >= 1
+    assert out["n_fail_wordlen"][0] >= 1
+    assert out["n_fail_symbol"][0] >= 1
+    assert out["n_fail_stopword"][0] >= 1
+    assert out["n_pass"] == [1]
