@@ -324,6 +324,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_cosine_topk": R.knn_cosine_topk,
         # approximate aggregation (HLL / count-min / Bloom semi-join)
         "hll_distinct_users": A.hll_distinct_users,
+        # HLL inclusion-exclusion audience overlap of two types
+        "hll_type_overlap": A.hll_type_overlap,
         "cms_user_counts": A.cms_user_counts,
         "bloom_semijoin_orders": A.bloom_semijoin_orders,
         # Misra-Gries frequent items (deterministic counter summary ->
@@ -1483,6 +1485,48 @@ WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY md5(text))""",
         # HLL replica: identical registers via hash(user_id), rho computed
         # with the same float path; estimator branches exactly as
         # HyperLogLog.estimate (linear counting when raw <= 2.5m & zeros>0)
+        "hll_type_overlap": """
+WITH src AS (
+  SELECT 'a' AS tag, hash(user_id::BIGINT) AS hv FROM events
+  WHERE event_type = 'click'
+  UNION ALL
+  SELECT 'b', hash(user_id::BIGINT) FROM events
+  WHERE event_type = 'view'
+), all_src AS (
+  SELECT tag, hv FROM src
+  UNION ALL
+  SELECT 'u', hv FROM src
+), regs AS (
+  SELECT tag, CAST(hv >> 52 AS BIGINT) AS idx,
+         CASE WHEN (hv & 4503599627370495::UBIGINT) = 0 THEN 53
+              ELSE 52 - CAST(floor(log2(CAST(hv & 4503599627370495::UBIGINT AS DOUBLE))) AS BIGINT)
+         END AS rho
+  FROM all_src
+), mx AS (SELECT tag, idx, max(rho) AS r FROM regs GROUP BY 1, 2),
+stats AS (
+  SELECT tag, count(*) AS nonzero,
+         sum(pow(2.0, -CAST(r AS DOUBLE))) AS s_nonzero
+  FROM mx GROUP BY 1
+), est AS (
+  SELECT tag,
+         CASE WHEN (0.7213/(1.0 + 1.079/4096)) * 4096 * 4096 /
+                   (s_nonzero + CAST(4096 - nonzero AS DOUBLE))
+                   <= 2.5*4096 AND 4096 - nonzero > 0
+              THEN 4096 * ln(4096.0 / CAST(4096 - nonzero AS DOUBLE))
+              ELSE (0.7213/(1.0 + 1.079/4096)) * 4096 * 4096 /
+                   (s_nonzero + CAST(4096 - nonzero AS DOUBLE))
+         END AS e
+  FROM stats
+)
+SELECT 'click' AS type_a, 'view' AS type_b,
+       round(max(CASE WHEN tag = 'a' THEN e END), 6) AS est_a,
+       round(max(CASE WHEN tag = 'b' THEN e END), 6) AS est_b,
+       round(max(CASE WHEN tag = 'u' THEN e END), 6) AS est_union,
+       round(max(CASE WHEN tag = 'a' THEN e END)
+             + max(CASE WHEN tag = 'b' THEN e END)
+             - max(CASE WHEN tag = 'u' THEN e END), 6)
+         AS est_intersection
+FROM est""",
         "hll_distinct_users": """
 WITH hashes AS (SELECT hash(user_id::BIGINT) AS hv FROM events),
 regs AS (SELECT CAST(hv >> 52 AS BIGINT) AS idx,

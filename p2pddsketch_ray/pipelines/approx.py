@@ -481,3 +481,56 @@ SELECT exact.x AS exact_join_size,
             // exact.x AS BIGINT) AS over_ppm
 FROM exact
 """
+
+
+class _HLLPair:
+    """Two HLLs built in ONE scan (sets A and B by a row predicate),
+    mergeable as a unit so build_and_merge's tree reduce applies."""
+
+    def __init__(self, p: int):
+        self.a = HyperLogLog(p, "murmur64")
+        self.b = HyperLogLog(p, "murmur64")
+
+    def merge(self, other: "_HLLPair") -> "_HLLPair":
+        self.a = self.a.merge(other.a)
+        self.b = self.b.merge(other.b)
+        return self
+
+
+def hll_type_overlap(sf_dir: str, type_a: str = "click",
+                     type_b: str = "view", p: int = 12) -> pa.Table:
+    """HLL INCLUSION-EXCLUSION set overlap: estimated |A ∩ B| of the
+    user sets behind two event types from three register estimates
+    (|A| + |B| - |A ∪ B|), where the union sketch is the elementwise
+    register max -- the audience-overlap question answered with three
+    4 KB sketches instead of a distinct shuffle of both sides.
+
+    Both per-type sketches are built in ONE pass over events (a
+    mergeable pair accumulator through the generic tree reduce); the
+    union is a register merge on the driver.  The DuckDB oracle
+    replays the register pipeline for A, B, and A-union-B and the
+    identical estimator expression, so all four estimates hash-match.
+    """
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+
+    def add(s: _HLLPair, t: pa.Table) -> None:
+        uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        et = t["event_type"]
+        in_a = np.asarray(pc.equal(et, pa.scalar(type_a)))
+        in_b = np.asarray(pc.equal(et, pa.scalar(type_b)))
+        s.a.add_batch(uid[in_a])
+        s.b.add_batch(uid[in_b])
+
+    pair = build_and_merge(ds, ["event_type", "user_id"],
+                           lambda: _HLLPair(p), add)
+    union = pair.a.copy().merge(pair.b)
+    ea, eb, eu = pair.a.estimate(), pair.b.estimate(), union.estimate()
+    return pa.table({
+        "type_a": pa.array([type_a], type=pa.string()),
+        "type_b": pa.array([type_b], type=pa.string()),
+        "est_a": pa.array([round(ea, 6)], type=pa.float64()),
+        "est_b": pa.array([round(eb, 6)], type=pa.float64()),
+        "est_union": pa.array([round(eu, 6)], type=pa.float64()),
+        "est_intersection": pa.array([round(ea + eb - eu, 6)],
+                                     type=pa.float64()),
+    })

@@ -1838,3 +1838,22 @@ def test_gopher_rules_attribute_each_rule(ray_session, tmp_path):
     assert out["n_fail_symbol"][0] >= 1
     assert out["n_fail_stopword"][0] >= 1
     assert out["n_pass"] == [1]
+
+
+def test_hll_type_overlap_tracks_true_intersection(ray_session, tmp_path):
+    """Disjoint user ranges -> intersection est near 0; identical user
+    sets -> intersection est near |A|; both within HLL error."""
+    import pyarrow.parquet as pq
+    from p2pddsketch_ray.pipelines.approx import hll_type_overlap
+    # A = users 0..999 clicking, B = users 500..1499 viewing:
+    # true |A|=|B|=1000, |A∩B|=500
+    uid = list(range(1000)) + list(range(500, 1500))
+    ty = ["click"] * 1000 + ["view"] * 1000
+    t = pa.table({"user_id": pa.array(uid, type=pa.int64()),
+                  "event_type": pa.array(ty, type=pa.string())})
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    out = hll_type_overlap(str(tmp_path)).to_pydict()
+    assert abs(out["est_a"][0] - 1000) < 100
+    assert abs(out["est_b"][0] - 1000) < 100
+    assert abs(out["est_union"][0] - 1500) < 150
+    assert abs(out["est_intersection"][0] - 500) < 200
