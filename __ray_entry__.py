@@ -145,6 +145,8 @@ from p2pddsketch_ray.pipelines.relational import (  # noqa: E402
     CUSUM_HOURLY_SQL as _CUSUM_HOURLY_SQL,
     cusum_hourly_alarms as _cusum_hourly_alarms,
     gopher_rules_report as _gopher_rules_report,
+    VOCAB_GROWTH_SQL as _VOCAB_GROWTH_SQL,
+    vocab_growth_curve as _vocab_growth_curve,
     customer_frequency_spectrum as _customer_frequency_spectrum,
     SESSION_BOUNCE_SQL as _SESSION_BOUNCE_SQL,
     session_bounce_stats as _session_bounce_stats,
@@ -744,6 +746,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cusum_hourly_alarms": _cusum_hourly_alarms,
         # Gopher-style per-rule quality rejection counts by language
         "gopher_rules_report": _gopher_rules_report,
+        # Heaps-law vocabulary growth by first-appearance decile
+        "vocab_growth_curve": _vocab_growth_curve,
         # last-touch attribution: conversions credited to the most
         # recent in-window prior touch, deterministic under ts ties
         "last_touch_attribution": _last_touch_attribution,
@@ -1264,6 +1268,7 @@ def oracle_sql() -> dict[str, str]:
         "theilsen_daily_trend": _THEILSEN_TREND_SQL,
         "moment_shape_by_type": _MOMENT_SHAPE_SQL,
         "cusum_hourly_alarms": _CUSUM_HOURLY_SQL,
+        "vocab_growth_curve": _VOCAB_GROWTH_SQL,
         "multimodal_resize_stats": """
 WITH grid AS (
   SELECT j.range AS j, k.range AS k

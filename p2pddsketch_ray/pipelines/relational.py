@@ -9546,3 +9546,110 @@ def gopher_rules_report(sf_dir: str) -> pa.Table:
             agg["n_fail_stopword"].astype(np.int64)),
         "n_pass": pa.array(agg["n_pass"].astype(np.int64)),
     })
+
+
+def vocab_growth_curve(sf_dir: str) -> pa.Table:
+    """HEAPS'-LAW vocabulary growth: reading the corpus in doc_id order,
+    how many NEVER-SEEN-BEFORE token types does each corpus decile
+    contribute?  A healthy natural corpus keeps minting types
+    (V ~ k*n^beta); a template-heavy or duplicated crawl flatlines --
+    the curve is the dedup-planning diagnostic.
+
+    A token type's decile is the decile of min(doc_id) over its
+    occurrences, so the curve is order-deterministic and exactly
+    SQL-replicable (no streaming state).  Tokens are the proven
+    oracle-parity [a-z0-9]+ runs over lower(text).
+
+    Scale shape: per-block (token, min-doc, count) combiner -> ONE
+    groupby(token) all-to-all (the operator IS a distinct-by-key);
+    decile math and the 10-row cumsum run on bounded aggregates.
+    """
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    hi = int(ds.max("doc_id"))
+    span = hi + 1
+
+    def toks(t: pa.Table) -> pa.Table:
+        text = t["text"].combine_chunks() if isinstance(
+            t["text"], pa.ChunkedArray) else t["text"]
+        arr = pc.split_pattern_regex(
+            pc.utf8_lower(text), "[^a-z0-9]+")
+        flat = pc.list_flatten(arr)
+        keep = pc.not_equal(pc.utf8_length(flat), pa.scalar(0, type=pa.int32()))
+        flat = flat.filter(keep)
+        # parent doc per token: repeat doc_id by list length
+        lens = pc.list_value_length(arr).to_numpy(zero_copy_only=False)
+        docs = np.repeat(t["doc_id"].to_numpy(zero_copy_only=False),
+                         lens)
+        docs = docs[np.asarray(keep)]
+        staged = pa.table({"token": flat,
+                           "doc": pa.array(docs.astype(np.int64))})
+        g = staged.group_by("token").aggregate(
+            [("doc", "min"), ("doc", "count")])
+        return pa.table({"token": g["token"], "first_doc": g["doc_min"],
+                         "occ": pc.cast(g["doc_count"], pa.int64())})
+
+    agg = (ds.map_batches(toks, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("token")
+           .aggregate(Min("first_doc", alias_name="first_doc"),
+                      Sum("occ", alias_name="occ")))
+
+    empty = pa.table({"decile": pa.array([], type=pa.int64()),
+                      "new_tokens": pa.array([], type=pa.int64()),
+                      "occurrences": pa.array([], type=pa.int64())})
+
+    def by_decile(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        d = t["first_doc"].to_numpy(zero_copy_only=False) * 10 // span
+        occ = t["occ"].to_numpy(zero_copy_only=False)
+        nt = np.bincount(d, minlength=10)[:10]
+        oc = np.bincount(d, weights=occ.astype(np.float64),
+                         minlength=10)[:10].astype(np.int64)
+        return pa.table({"decile": pa.array(np.arange(10,
+                                                      dtype=np.int64)),
+                         "new_tokens": pa.array(nt.astype(np.int64)),
+                         "occurrences": pa.array(oc)})
+
+    out = (agg.map_batches(by_decile, batch_format="pyarrow",
+                           zero_copy_batch=True)
+           .groupby("decile")
+           .aggregate(Sum("new_tokens", alias_name="new_tokens"),
+                      Sum("occurrences", alias_name="occurrences"))
+           .to_pandas().sort_values("decile").reset_index(drop=True))
+    nt = np.zeros(10, dtype=np.int64)
+    oc = np.zeros(10, dtype=np.int64)
+    nt[out["decile"].to_numpy(dtype=np.int64)] = out["new_tokens"]
+    oc[out["decile"].to_numpy(dtype=np.int64)] = out["occurrences"]
+    return pa.table({
+        "decile": pa.array(list(range(10)), type=pa.int64()),
+        "new_tokens": pa.array(nt),
+        "cum_vocab": pa.array(nt.cumsum().astype(np.int64)),
+        "occurrences": pa.array(oc),
+    })
+
+
+VOCAB_GROWTH_SQL = """
+WITH tok AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+  FROM documents
+), span AS (SELECT max(doc_id) + 1 AS s FROM documents),
+firsts AS (
+  SELECT token, min(doc_id) AS first_doc,
+         CAST(count(*) AS BIGINT) AS occ
+  FROM tok GROUP BY 1
+), g AS (
+  SELECT first_doc * 10 // span.s AS decile,
+         CAST(count(*) AS BIGINT) AS new_tokens,
+         CAST(sum(occ) AS BIGINT) AS occurrences
+  FROM firsts CROSS JOIN span GROUP BY 1
+), grid AS (SELECT unnest(generate_series(0, 9)) AS decile)
+SELECT grid.decile,
+       CAST(COALESCE(g.new_tokens, 0) AS BIGINT) AS new_tokens,
+       CAST(sum(COALESCE(g.new_tokens, 0))
+            OVER (ORDER BY grid.decile) AS BIGINT) AS cum_vocab,
+       CAST(COALESCE(g.occurrences, 0) AS BIGINT) AS occurrences
+FROM grid LEFT JOIN g USING (decile)
+ORDER BY 1
+"""

@@ -1857,3 +1857,19 @@ def test_hll_type_overlap_tracks_true_intersection(ray_session, tmp_path):
     assert abs(out["est_b"][0] - 1000) < 100
     assert abs(out["est_union"][0] - 1500) < 150
     assert abs(out["est_intersection"][0] - 500) < 200
+
+
+def test_vocab_growth_counts_first_appearances(ray_session, tmp_path):
+    """10 docs, each decile = one doc: doc0 mints 2 types, doc5 mints 1
+    new type (re-using doc0's), rest mint nothing new."""
+    import pyarrow.parquet as pq
+    from p2pddsketch_ray.pipelines.relational import vocab_growth_curve
+    texts = ["alpha beta"] + ["alpha"] * 4 + ["beta gamma"] + \
+        ["gamma alpha"] * 4
+    t = pa.table({"doc_id": pa.array(list(range(10)), type=pa.int64()),
+                  "text": pa.array(texts, type=pa.string())})
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    out = vocab_growth_curve(str(tmp_path)).to_pydict()
+    assert out["new_tokens"] == [2, 0, 0, 0, 0, 1, 0, 0, 0, 0]
+    assert out["cum_vocab"] == [2, 2, 2, 2, 2, 3, 3, 3, 3, 3]
+    assert sum(out["occurrences"]) == 16   # total token occurrences
