@@ -147,6 +147,12 @@ from p2pddsketch_ray.pipelines.relational import (  # noqa: E402
     gopher_rules_report as _gopher_rules_report,
     VOCAB_GROWTH_SQL as _VOCAB_GROWTH_SQL,
     vocab_growth_curve as _vocab_growth_curve,
+    FANO_DISPERSION_SQL as _FANO_DISPERSION_SQL,
+    fano_dispersion_by_type as _fano_dispersion_by_type,
+    HHI_SOURCE_SQL as _HHI_SOURCE_SQL,
+    hhi_source_concentration as _hhi_source_concentration,
+    EB_SHRUNK_SQL as _EB_SHRUNK_SQL,
+    eb_shrunk_user_rates as _eb_shrunk_user_rates,
     customer_frequency_spectrum as _customer_frequency_spectrum,
     SESSION_BOUNCE_SQL as _SESSION_BOUNCE_SQL,
     session_bounce_stats as _session_bounce_stats,
@@ -748,6 +754,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gopher_rules_report": _gopher_rules_report,
         # Heaps-law vocabulary growth by first-appearance decile
         "vocab_growth_curve": _vocab_growth_curve,
+        # Fano variance-to-mean burstiness of hourly arrivals
+        "fano_dispersion_by_type": _fano_dispersion_by_type,
+        # Herfindahl-Hirschman source concentration per language
+        "hhi_source_concentration": _hhi_source_concentration,
+        # empirical-Bayes shrunk purchase-rate leaderboard
+        "eb_shrunk_user_rates": _eb_shrunk_user_rates,
         # last-touch attribution: conversions credited to the most
         # recent in-window prior touch, deterministic under ts ties
         "last_touch_attribution": _last_touch_attribution,
@@ -1269,6 +1281,9 @@ def oracle_sql() -> dict[str, str]:
         "moment_shape_by_type": _MOMENT_SHAPE_SQL,
         "cusum_hourly_alarms": _CUSUM_HOURLY_SQL,
         "vocab_growth_curve": _VOCAB_GROWTH_SQL,
+        "fano_dispersion_by_type": _FANO_DISPERSION_SQL,
+        "hhi_source_concentration": _HHI_SOURCE_SQL,
+        "eb_shrunk_user_rates": _EB_SHRUNK_SQL,
         "multimodal_resize_stats": """
 WITH grid AS (
   SELECT j.range AS j, k.range AS k

@@ -9653,3 +9653,218 @@ SELECT grid.decile,
 FROM grid LEFT JOIN g USING (decile)
 ORDER BY 1
 """
+
+
+def fano_dispersion_by_type(sf_dir: str) -> pa.Table:
+    """FANO dispersion index (variance-to-mean ratio) of each event
+    type's hourly arrival counts on the zero-filled hour grid: ~1e6 ppm
+    for Poisson traffic, >1e6 for bursty arrivals, <1e6 for
+    metronome-regular ones -- the burstiness diagnostic that tells a
+    CUSUM alarm (level shift) from plain overdispersion.
+
+    Determinism: hourly counts are exact ints; with S1 = sum x,
+    S2 = sum x^2 over n hours, fano_ppm = floor((n*S2 - S1^2) * 1e6 /
+    (n * S1)) is pure integer arithmetic -- no float ever forms.
+
+    Scale shape: the same per-block (type, hour) combiner as the CUSUM
+    chart; the 5-row ratio math runs on bounded aggregates.
+    """
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        h = pc.divide(pc.cast(t["ts"], pa.int64()),
+                      pa.scalar(3_600_000_000, type=pa.int64()))
+        staged = pa.table({"event_type": t["event_type"],
+                           "h": pc.cast(h, pa.int64())})
+        g = staged.group_by(["event_type", "h"]).aggregate(
+            [("h", "count")])
+        return pa.table({"event_type": g["event_type"], "h": g["h"],
+                         "n": pc.cast(g["h_count"], pa.int64())})
+
+    agg = (ds.map_batches(prep, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby(["event_type", "h"])
+           .aggregate(Sum("n", alias_name="n"))
+           .to_pandas())
+    h0, h1 = int(agg["h"].min()), int(agg["h"].max())
+    nh = h1 - h0 + 1
+    rows = []
+    for ty in sorted(agg["event_type"].unique()):
+        sub = agg[agg["event_type"] == ty]
+        x = np.zeros(nh, dtype=np.int64)
+        x[sub["h"].to_numpy(dtype=np.int64) - h0] = \
+            sub["n"].to_numpy(dtype=np.int64)
+        s1 = int(x.sum())
+        s2 = int((x * x).sum())
+        fano = (nh * s2 - s1 * s1) * 1_000_000 // (nh * s1) \
+            if s1 else 0
+        rows.append((ty, nh, s1, fano))
+    return pa.table({
+        "event_type": pa.array([r[0] for r in rows], type=pa.string()),
+        "n_hours": pa.array([r[1] for r in rows], type=pa.int64()),
+        "total": pa.array([r[2] for r in rows], type=pa.int64()),
+        "fano_ppm": pa.array([r[3] for r in rows], type=pa.int64()),
+    })
+
+
+FANO_DISPERSION_SQL = """
+WITH e AS (SELECT event_type, epoch_us(ts) // 3600000000 AS h
+           FROM events),
+b AS (SELECT min(h) AS h0, max(h) AS h1 FROM e),
+hrs AS (SELECT unnest(generate_series(b.h0, b.h1)) AS h FROM b),
+ty AS (SELECT DISTINCT event_type FROM e),
+c AS (SELECT event_type, h, CAST(count(*) AS BIGINT) AS n
+      FROM e GROUP BY 1, 2),
+f AS (
+  SELECT ty.event_type, hrs.h, COALESCE(c.n, 0) AS x
+  FROM ty CROSS JOIN hrs
+  LEFT JOIN c ON c.event_type = ty.event_type AND c.h = hrs.h
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_hours,
+       CAST(sum(x) AS BIGINT) AS total,
+       CAST(CASE WHEN sum(x) = 0 THEN 0
+            ELSE (count(*) * sum(x * x) - sum(x) * sum(x)) * 1000000
+                 // (count(*) * sum(x)) END AS BIGINT) AS fano_ppm
+FROM f GROUP BY 1 ORDER BY 1
+"""
+
+
+def hhi_source_concentration(sf_dir: str) -> pa.Table:
+    """HERFINDAHL-HIRSCHMAN concentration of each language's source
+    mix: HHI = sum over sources of share^2, in exact ppm
+    (floor(sum(n_s^2) * 1e6 / n^2)) -- 1e6/k for a k-way even split,
+    1e6 when one source owns the language; the single-supplier-risk
+    audit for corpus curation.
+
+    Scale shape: per-block (lang, source) combiner -> bounded groupby;
+    the squared-share math runs on <= langs x sources driver rows with
+    Python big ints.
+    """
+    ds = _read(sf_dir, "documents", ["lang", "source"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        g = t.group_by(["lang", "source"]).aggregate([("source",
+                                                       "count")])
+        return pa.table({"lang": g["lang"], "source": g["source"],
+                         "n": pc.cast(g["source_count"], pa.int64())})
+
+    agg = (ds.map_batches(prep, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby(["lang", "source"])
+           .aggregate(Sum("n", alias_name="n"))
+           .to_pandas())
+    rows = []
+    for lang in sorted(agg["lang"].unique()):
+        sub = agg[agg["lang"] == lang]
+        ns = [int(v) for v in sub["n"]]
+        n = sum(ns)
+        hhi = sum(v * v for v in ns) * 1_000_000 // (n * n) if n else 0
+        rows.append((lang, len(ns), n, hhi))
+    return pa.table({
+        "lang": pa.array([r[0] for r in rows], type=pa.string()),
+        "n_sources": pa.array([r[1] for r in rows], type=pa.int64()),
+        "n_docs": pa.array([r[2] for r in rows], type=pa.int64()),
+        "hhi_ppm": pa.array([r[3] for r in rows], type=pa.int64()),
+    })
+
+
+HHI_SOURCE_SQL = """
+WITH c AS (
+  SELECT lang, source, CAST(count(*) AS BIGINT) AS n
+  FROM documents GROUP BY 1, 2
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_sources,
+       CAST(sum(n) AS BIGINT) AS n_docs,
+       CAST(sum(n * n) * 1000000 // (sum(n) * sum(n)) AS BIGINT)
+         AS hhi_ppm
+FROM c GROUP BY 1 ORDER BY 1
+"""
+
+
+def eb_shrunk_user_rates(sf_dir: str, m: int = 20,
+                         k: int = 10) -> pa.Table:
+    """EMPIRICAL-BAYES shrunk per-user purchase rates: each user's
+    purchase share is pulled toward the global prior with pseudo-count
+    m -- shrunk_ppm = (purchases*1e6 + prior_ppm*m) // (events + m) --
+    so a 1-for-1 user cannot outrank a 90-for-100 one; the top-k by
+    shrunk rate, deterministically tie-broken by user_id.  The
+    smoothed-rate ranking every sparse-entity leaderboard needs, in
+    pure integer arithmetic.
+
+    Scale shape: per-block per-user (purchases, events) combiner ->
+    one groupby(user); the global prior is a 2-number aggregate; top-k
+    is a block-local prereduce then a k-row driver sort.
+    """
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        isp = pc.cast(pc.equal(t["event_type"],
+                               pa.scalar("purchase")), pa.int64())
+        staged = pa.table({"user_id": t["user_id"], "p": isp})
+        g = staged.group_by("user_id").aggregate(
+            [("p", "sum"), ("p", "count")])
+        return pa.table({"user_id": g["user_id"], "p": g["p_sum"],
+                         "n": pc.cast(g["p_count"], pa.int64())})
+
+    per_user = (ds.map_batches(prep, batch_format="pyarrow",
+                               zero_copy_batch=True)
+                .groupby("user_id")
+                .aggregate(Sum("p", alias_name="p"),
+                           Sum("n", alias_name="n"))
+                .materialize())
+    tot = per_user.aggregate(Sum("p", alias_name="tp"),
+                             Sum("n", alias_name="tn"))
+    prior_ppm = int(tot["tp"]) * 1_000_000 // int(tot["tn"])
+
+    empty = pa.table({"user_id": pa.array([], type=pa.int64()),
+                      "purchases": pa.array([], type=pa.int64()),
+                      "events": pa.array([], type=pa.int64()),
+                      "shrunk_ppm": pa.array([], type=pa.int64())})
+
+    def shrink_topk(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        p = t["p"].to_numpy(zero_copy_only=False)
+        n = t["n"].to_numpy(zero_copy_only=False)
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        s = (p * 1_000_000 + prior_ppm * m) // (n + m)
+        # block-local top-k prereduce: rank by (-shrunk, user_id)
+        order = np.lexsort((uid, -s))[:k]
+        return pa.table({"user_id": pa.array(uid[order]),
+                         "purchases": pa.array(p[order]),
+                         "events": pa.array(n[order]),
+                         "shrunk_ppm": pa.array(s[order])})
+
+    cand = (per_user.map_batches(shrink_topk, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+            .to_pandas())
+    cand = cand.sort_values(["shrunk_ppm", "user_id"],
+                            ascending=[False, True]).head(k)
+    return pa.table({
+        "user_id": pa.array(cand["user_id"].astype(np.int64)),
+        "purchases": pa.array(cand["purchases"].astype(np.int64)),
+        "events": pa.array(cand["events"].astype(np.int64)),
+        "shrunk_ppm": pa.array(cand["shrunk_ppm"].astype(np.int64)),
+    })
+
+
+EB_SHRUNK_SQL = """
+WITH pu AS (
+  SELECT user_id,
+         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS p,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1
+), t AS (
+  SELECT CAST(sum(p) * 1000000 // sum(n) AS BIGINT) AS prior_ppm
+  FROM pu
+)
+SELECT user_id, p AS purchases, n AS events,
+       CAST((p * 1000000 + t.prior_ppm * 20) // (n + 20) AS BIGINT)
+         AS shrunk_ppm
+FROM pu CROSS JOIN t
+ORDER BY shrunk_ppm DESC, user_id ASC
+LIMIT 10
+"""

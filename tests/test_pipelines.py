@@ -1873,3 +1873,59 @@ def test_vocab_growth_counts_first_appearances(ray_session, tmp_path):
     assert out["new_tokens"] == [2, 0, 0, 0, 0, 1, 0, 0, 0, 0]
     assert out["cum_vocab"] == [2, 2, 2, 2, 2, 3, 3, 3, 3, 3]
     assert sum(out["occurrences"]) == 16   # total token occurrences
+
+
+def test_fano_poisson_vs_regular(ray_session, tmp_path):
+    """A metronome series (same count every hour) has Fano 0; a bursty
+    one (all mass in one hour) has Fano ~ n_hours * mean."""
+    import pyarrow.parquet as pq
+    from p2pddsketch_ray.pipelines.relational import (
+        fano_dispersion_by_type)
+    H = 3_600_000_000
+    t0 = 1_700_000_000_000_000 - (1_700_000_000_000_000 % H)
+    ts, ty = [], []
+    for h in range(10):
+        for _ in range(4):
+            ts.append(t0 + h * H); ty.append("flat")
+    for _ in range(40):
+        ts.append(t0 + 3 * H); ty.append("burst")
+    t = pa.table({"ts": pa.array(ts, type=pa.timestamp("us")),
+                  "event_type": pa.array(ty, type=pa.string())})
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    out = fano_dispersion_by_type(str(tmp_path)).to_pydict()
+    got = dict(zip(out["event_type"], out["fano_ppm"]))
+    assert got["flat"] == 0
+    assert got["burst"] == 36_000_000   # var/mean = 144/4 = 36
+
+
+def test_hhi_even_vs_monopoly(ray_session, tmp_path):
+    """Even 4-way split -> 250000 ppm; single source -> 1e6 ppm."""
+    import pyarrow.parquet as pq
+    from p2pddsketch_ray.pipelines.relational import (
+        hhi_source_concentration)
+    langs = ["ev"] * 8 + ["mono"] * 5
+    srcs = ["a", "b", "c", "d"] * 2 + ["solo"] * 5
+    t = pa.table({"lang": pa.array(langs), "source": pa.array(srcs)})
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    out = hhi_source_concentration(str(tmp_path)).to_pydict()
+    got = dict(zip(out["lang"], out["hhi_ppm"]))
+    assert got["ev"] == 250_000 and got["mono"] == 1_000_000
+
+
+def test_eb_shrinkage_demotes_tiny_samples(ray_session, tmp_path):
+    """A 1-for-1 user must NOT outrank a 90-for-100 user after
+    shrinkage toward the global prior."""
+    import pyarrow.parquet as pq
+    from p2pddsketch_ray.pipelines.relational import eb_shrunk_user_rates
+    uid, ty = [], []
+    uid += [1]; ty += ["purchase"]                       # 1/1
+    uid += [2] * 100; ty += ["purchase"] * 90 + ["view"] * 10
+    for u in range(3, 40):                               # background
+        uid += [u] * 10; ty += ["purchase"] * 1 + ["view"] * 9
+    t = pa.table({"user_id": pa.array(uid, type=pa.int64()),
+                  "event_type": pa.array(ty, type=pa.string())})
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    out = eb_shrunk_user_rates(str(tmp_path)).to_pydict()
+    assert out["user_id"][0] == 2          # the well-attested 90%
+    r = {u: s for u, s in zip(out["user_id"], out["shrunk_ppm"])}
+    assert r[2] > r[1]
