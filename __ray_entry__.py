@@ -153,6 +153,8 @@ from p2pddsketch_ray.pipelines.relational import (  # noqa: E402
     hhi_source_concentration as _hhi_source_concentration,
     EB_SHRUNK_SQL as _EB_SHRUNK_SQL,
     eb_shrunk_user_rates as _eb_shrunk_user_rates,
+    TEMPERATURE_MIX_SQL as _TEMPERATURE_MIX_SQL,
+    temperature_mix_weights as _temperature_mix_weights,
     customer_frequency_spectrum as _customer_frequency_spectrum,
     SESSION_BOUNCE_SQL as _SESSION_BOUNCE_SQL,
     session_bounce_stats as _session_bounce_stats,
@@ -760,6 +762,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hhi_source_concentration": _hhi_source_concentration,
         # empirical-Bayes shrunk purchase-rate leaderboard
         "eb_shrunk_user_rates": _eb_shrunk_user_rates,
+        # temperature-scaled multilingual sampling weights (T=0.7)
+        "temperature_mix_weights": _temperature_mix_weights,
         # last-touch attribution: conversions credited to the most
         # recent in-window prior touch, deterministic under ts ties
         "last_touch_attribution": _last_touch_attribution,
@@ -1284,6 +1288,7 @@ def oracle_sql() -> dict[str, str]:
         "fano_dispersion_by_type": _FANO_DISPERSION_SQL,
         "hhi_source_concentration": _HHI_SOURCE_SQL,
         "eb_shrunk_user_rates": _EB_SHRUNK_SQL,
+        "temperature_mix_weights": _TEMPERATURE_MIX_SQL,
         "multimodal_resize_stats": """
 WITH grid AS (
   SELECT j.range AS j, k.range AS k

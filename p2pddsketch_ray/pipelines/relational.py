@@ -9868,3 +9868,82 @@ FROM pu CROSS JOIN t
 ORDER BY shrunk_ppm DESC, user_id ASC
 LIMIT 10
 """
+
+
+def temperature_mix_weights(sf_dir: str, temp_num: int = 7,
+                            temp_den: int = 10) -> pa.Table:
+    """TEMPERATURE-SCALED language sampling weights (the multilingual
+    pretraining standard: q_l ∝ p_l^T with T = 0.7): low-resource
+    languages are upsampled, the head is flattened -- the corpus-mixing
+    knob every multilingual training run turns.
+
+    Determinism: p_l are exact doc-count rationals; p^T = exp(T*ln p)
+    is ONE mirrored float expression per language over identical double
+    inputs, floored to ppm BEFORE the final integer renormalization, so
+    the output weights are pure integers (micro-shares that sum to
+    <= 1e6 with the remainder attributed to the largest language,
+    largest-remainder style on a single row).
+
+    Scale shape: per-block lang combiner -> one <=langs-key groupby;
+    everything else is driver math over one row per language.
+    """
+    import math
+    ds = _read(sf_dir, "documents", ["lang"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        g = t.group_by("lang").aggregate([("lang", "count")])
+        return pa.table({"lang": g["lang"],
+                         "n": pc.cast(g["lang_count"], pa.int64())})
+
+    agg = (ds.map_batches(prep, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("lang").aggregate(Sum("n", alias_name="n"))
+           .to_pandas().sort_values("lang").reset_index(drop=True))
+    langs = list(agg["lang"])
+    ns = [int(v) for v in agg["n"]]
+    total = sum(ns)
+    t_f = float(temp_num) / float(temp_den)
+    raw_ppm = [n * 1_000_000 // total for n in ns]
+    # p^T in micro units, each a single mirrored float expression
+    pw = [math.floor(math.exp(t_f * math.log(float(n) / float(total)))
+                     * 1000000.0) for n in ns]
+    wsum = sum(pw)
+    temp_ppm = [w * 1_000_000 // wsum for w in pw]
+    # largest-remainder: hand the rounding slack to the largest lang
+    slack = 1_000_000 - sum(temp_ppm)
+    imax = max(range(len(ns)), key=lambda i: (ns[i], langs[i]))
+    temp_ppm[imax] += slack
+    return pa.table({
+        "lang": pa.array(langs, type=pa.string()),
+        "n_docs": pa.array(ns, type=pa.int64()),
+        "raw_ppm": pa.array(raw_ppm, type=pa.int64()),
+        "temp_ppm": pa.array(temp_ppm, type=pa.int64()),
+    })
+
+
+TEMPERATURE_MIX_SQL = """
+WITH c AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY 1
+), t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c),
+w AS (
+  SELECT lang, n,
+         CAST(n * 1000000 // t.total AS BIGINT) AS raw_ppm,
+         CAST(floor(exp(0.7 * ln(CAST(n AS DOUBLE)
+                                 / CAST(t.total AS DOUBLE)))
+                    * 1000000.0) AS BIGINT) AS pw
+  FROM c CROSS JOIN t
+), s AS (SELECT CAST(sum(pw) AS BIGINT) AS wsum FROM w),
+q AS (
+  SELECT lang, n, raw_ppm,
+         CAST(pw * 1000000 // s.wsum AS BIGINT) AS tp
+  FROM w CROSS JOIN s
+), slack AS (SELECT 1000000 - CAST(sum(tp) AS BIGINT) AS sl FROM q),
+big AS (
+  SELECT lang AS blang FROM q ORDER BY n DESC, lang DESC LIMIT 1
+)
+SELECT lang, n AS n_docs, raw_ppm,
+       CAST(tp + CASE WHEN lang = big.blang THEN slack.sl ELSE 0 END
+            AS BIGINT) AS temp_ppm
+FROM q CROSS JOIN slack CROSS JOIN big
+ORDER BY lang
+"""

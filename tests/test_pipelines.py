@@ -1929,3 +1929,19 @@ def test_eb_shrinkage_demotes_tiny_samples(ray_session, tmp_path):
     assert out["user_id"][0] == 2          # the well-attested 90%
     r = {u: s for u, s in zip(out["user_id"], out["shrunk_ppm"])}
     assert r[2] > r[1]
+
+
+def test_temperature_mix_upsamples_tail(ray_session, tmp_path):
+    """T=0.7 lifts the low-resource language's share above its raw
+    share and flattens the head; weights still sum to exactly 1e6."""
+    import pyarrow.parquet as pq
+    from p2pddsketch_ray.pipelines.relational import (
+        temperature_mix_weights)
+    t = pa.table({"lang": pa.array(["en"] * 900 + ["sw"] * 100)})
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    out = temperature_mix_weights(str(tmp_path)).to_pydict()
+    got = {l: (r, tp) for l, r, tp in
+           zip(out["lang"], out["raw_ppm"], out["temp_ppm"])}
+    assert got["sw"][1] > got["sw"][0]      # tail upsampled
+    assert got["en"][1] < got["en"][0]      # head flattened
+    assert sum(out["temp_ppm"]) == 1_000_000
