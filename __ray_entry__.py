@@ -52,7 +52,9 @@ from p2pddsketch_ray.pipelines.temporal import (  # noqa: E402
     MARKOV_STATIONARY_SQL as _MARKOV_STATIONARY_SQL,
     markov_stationary_ppm as _markov_stationary_ppm,
     PROPS_VOCAB_DRIFT_SQL as _PROPS_VOCAB_DRIFT_SQL,
-    props_vocab_drift as _props_vocab_drift)
+    props_vocab_drift as _props_vocab_drift,
+    ooo_lateness_stats as _ooo_lateness_stats,
+    OOO_LATENESS_SQL as _OOO_LATENESS_SQL)
 from p2pddsketch_ray.pipelines.quantiles import (  # noqa: E402
     WEIGHTED_MEDIAN_SQL as _WEIGHTED_MEDIAN_SQL)
 from p2pddsketch_ray.pipelines.approx import (  # noqa: E402
@@ -155,6 +157,10 @@ from p2pddsketch_ray.pipelines.relational import (  # noqa: E402
     eb_shrunk_user_rates as _eb_shrunk_user_rates,
     TEMPERATURE_MIX_SQL as _TEMPERATURE_MIX_SQL,
     temperature_mix_weights as _temperature_mix_weights,
+    fk_integrity_audit as _fk_integrity_audit,
+    FK_INTEGRITY_SQL as _FK_INTEGRITY_SQL,
+    fd_violation_audit as _fd_violation_audit,
+    FD_VIOLATION_SQL as _FD_VIOLATION_SQL,
     customer_frequency_spectrum as _customer_frequency_spectrum,
     SESSION_BOUNCE_SQL as _SESSION_BOUNCE_SQL,
     session_bounce_stats as _session_bounce_stats,
@@ -764,6 +770,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "eb_shrunk_user_rates": _eb_shrunk_user_rates,
         # temperature-scaled multilingual sampling weights (T=0.7)
         "temperature_mix_weights": _temperature_mix_weights,
+        # referential-integrity audit: orphan keys per FK edge
+        "fk_integrity_audit": _fk_integrity_audit,
+        # functional-dependency violation profiling
+        "fd_violation_audit": _fd_violation_audit,
+        # out-of-order lateness vs arrival order (distributed prefix max)
+        "ooo_lateness_stats": _ooo_lateness_stats,
         # last-touch attribution: conversions credited to the most
         # recent in-window prior touch, deterministic under ts ties
         "last_touch_attribution": _last_touch_attribution,
@@ -1289,6 +1301,9 @@ def oracle_sql() -> dict[str, str]:
         "hhi_source_concentration": _HHI_SOURCE_SQL,
         "eb_shrunk_user_rates": _EB_SHRUNK_SQL,
         "temperature_mix_weights": _TEMPERATURE_MIX_SQL,
+        "fk_integrity_audit": _FK_INTEGRITY_SQL,
+        "fd_violation_audit": _FD_VIOLATION_SQL,
+        "ooo_lateness_stats": _OOO_LATENESS_SQL,
         "multimodal_resize_stats": """
 WITH grid AS (
   SELECT j.range AS j, k.range AS k

@@ -9947,3 +9947,247 @@ SELECT lang, n AS n_docs, raw_ppm,
 FROM q CROSS JOIN slack CROSS JOIN big
 ORDER BY lang
 """
+
+
+_FK_RELATIONS: list[tuple[str, str, str, str, str]] = [
+    # (label, child table, fk col, parent table, pk col)
+    ("customer.c_nationkey->nation", "customer", "c_nationkey",
+     "nation", "n_nationkey"),
+    ("events.user_id->customer", "events", "user_id",
+     "customer", "c_custkey"),
+    ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey",
+     "orders", "o_orderkey"),
+    ("lineitem.l_partkey->part", "lineitem", "l_partkey",
+     "part", "p_partkey"),
+    ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey",
+     "supplier", "s_suppkey"),
+    ("nation.n_regionkey->region", "nation", "n_regionkey",
+     "region", "r_regionkey"),
+    ("orders.o_custkey->customer", "orders", "o_custkey",
+     "customer", "c_custkey"),
+    ("supplier.s_nationkey->nation", "supplier", "s_nationkey",
+     "nation", "n_nationkey"),
+]
+
+
+def fk_integrity_audit(sf_dir: str) -> pa.Table:
+    """Referential-integrity audit over every foreign-key edge of the
+    schema: per relation, how many child rows / distinct child keys
+    exist and how many are ORPHANS (no matching parent key) -- the
+    first data-quality report any warehouse runs after a load.
+
+    Scale shape, per relation: the child side collapses to (fk, rows)
+    via a per-block combiner BEFORE any exchange (the shuffle carries
+    one row per distinct key per block, not per child row); parent keys
+    are deduplicated the same way; both sides then hash co-partition on
+    the key (`stages/partition.partition_by`) and each partition
+    resolves its orphans with one vectorized `pc.is_in` -- an exact
+    distributed anti-join with no driver-side key set and no broadcast
+    of a possibly-huge parent.  The driver folds one summary row per
+    partition per relation (O(partitions), never O(keys)).
+    """
+    from ..stages.partition import fit_partitions, partition_by
+
+    out_rows: list[dict] = []
+    for label, child_t, fk, parent_t, pk in _FK_RELATIONS:
+        child = _read(sf_dir, child_t, [fk])
+
+        def child_prep(t: pa.Table, fk=fk) -> pa.Table:
+            keys = pc.cast(t[fk], pa.int64())
+            g = pa.table({"key": keys}).group_by("key").aggregate(
+                [("key", "count")])
+            return pa.table({"key": g["key"],
+                             "rows": pc.cast(g["key_count"], pa.int64()),
+                             "side": pa.array(
+                                 np.ones(g.num_rows, dtype=np.int64))})
+
+        parent = _read(sf_dir, parent_t, [pk])
+
+        def parent_prep(t: pa.Table, pk=pk) -> pa.Table:
+            keys = pc.unique(pc.cast(t[pk], pa.int64()))
+            n = len(keys)
+            return pa.table({"key": keys,
+                             "rows": pa.array(np.zeros(n, dtype=np.int64)),
+                             "side": pa.array(np.zeros(n, dtype=np.int64))})
+
+        both = (child.map_batches(child_prep, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+                .union(parent.map_batches(parent_prep,
+                                          batch_format="pyarrow",
+                                          zero_copy_batch=True)))
+
+        empty = pa.table({"fk_rows": pa.array([], type=pa.int64()),
+                          "distinct_fk": pa.array([], type=pa.int64()),
+                          "orphan_rows": pa.array([], type=pa.int64()),
+                          "orphan_keys": pa.array([], type=pa.int64())})
+
+        def resolve(t: pa.Table) -> pa.Table:
+            key = t["key"].to_numpy(zero_copy_only=False)
+            rows = t["rows"].to_numpy(zero_copy_only=False)
+            side = t["side"].to_numpy(zero_copy_only=False)
+            ck = key[side == 1]
+            cr = rows[side == 1]
+            # child combiner rows may repeat per block: fold per key
+            uk, inv = np.unique(ck, return_inverse=True)
+            ur = np.bincount(inv, weights=cr).astype(np.int64)
+            pk_set = np.unique(key[side == 0])
+            orphan = ~np.isin(uk, pk_set)
+            return pa.table({
+                "fk_rows": pa.array([int(ur.sum())]),
+                "distinct_fk": pa.array([int(len(uk))]),
+                "orphan_rows": pa.array([int(ur[orphan].sum())]),
+                "orphan_keys": pa.array([int(orphan.sum())]),
+            })
+
+        parts = partition_by(both, ["key"], fit_partitions(16),
+                             resolve, empty).to_pandas()
+        out_rows.append({
+            "relation": label,
+            "fk_rows": int(parts["fk_rows"].sum()),
+            "distinct_fk": int(parts["distinct_fk"].sum()),
+            "orphan_rows": int(parts["orphan_rows"].sum()),
+            "orphan_keys": int(parts["orphan_keys"].sum()),
+        })
+
+    out_rows.sort(key=lambda r: r["relation"])
+    return pa.table({
+        "relation": pa.array([r["relation"] for r in out_rows]),
+        "fk_rows": pa.array([r["fk_rows"] for r in out_rows],
+                            type=pa.int64()),
+        "distinct_fk": pa.array([r["distinct_fk"] for r in out_rows],
+                                type=pa.int64()),
+        "orphan_rows": pa.array([r["orphan_rows"] for r in out_rows],
+                                type=pa.int64()),
+        "orphan_keys": pa.array([r["orphan_keys"] for r in out_rows],
+                                type=pa.int64()),
+    })
+
+
+def _fk_sql_one(label: str, child_t: str, fk: str,
+                parent_t: str, pk: str) -> str:
+    return f"""
+SELECT '{label}' AS relation,
+       CAST(count(*) AS BIGINT) AS fk_rows,
+       CAST(count(DISTINCT {fk}) AS BIGINT) AS distinct_fk,
+       CAST(sum(CASE WHEN NOT EXISTS (
+            SELECT 1 FROM {parent_t} p
+            WHERE CAST(p.{pk} AS BIGINT) = CAST(c.{fk} AS BIGINT))
+          THEN 1 ELSE 0 END) AS BIGINT) AS orphan_rows,
+       CAST(count(DISTINCT CASE WHEN NOT EXISTS (
+            SELECT 1 FROM {parent_t} p
+            WHERE CAST(p.{pk} AS BIGINT) = CAST(c.{fk} AS BIGINT))
+          THEN {fk} END) AS BIGINT) AS orphan_keys
+FROM {child_t} c"""
+
+
+FK_INTEGRITY_SQL = "\nUNION ALL\n".join(
+    _fk_sql_one(*rel) for rel in _FK_RELATIONS) + "\nORDER BY relation"
+
+
+_FD_CHECKS: list[tuple[str, str, str, str]] = [
+    # (label, table, lhs col, rhs col)
+    ("customer: c_nationkey->c_mktsegment", "customer",
+     "c_nationkey", "c_mktsegment"),
+    ("documents: source->lang", "documents", "source", "lang"),
+    ("events: user_id->event_type", "events", "user_id", "event_type"),
+    ("lineitem: l_orderkey->l_returnflag", "lineitem",
+     "l_orderkey", "l_returnflag"),
+    ("orders: o_custkey->o_orderpriority", "orders",
+     "o_custkey", "o_orderpriority"),
+    ("part: p_brand->p_type", "part", "p_brand", "p_type"),
+]
+
+
+def fd_violation_audit(sf_dir: str) -> pa.Table:
+    """Functional-dependency audit: for each candidate FD ``lhs -> rhs``,
+    how many lhs groups exist, how many VIOLATE the dependency (more
+    than one distinct rhs), the worst group's variant count, and the
+    number of distinct (lhs, rhs) pairs -- profiling output a schema-
+    inference or data-contract tool emits.
+
+    Scale shape: per-block DISTINCT (lhs, rhs) combiner (the exchange
+    carries pairs, not rows) -> one groupby(lhs, rhs) to finish the
+    dedup -> per-block (lhs, variants) partial -> groupby(lhs) ->
+    per-block scalar partial -> driver folds O(blocks) rows.  All four
+    reported aggregates are associative, so no stage needs more than a
+    cardinality-bounded exchange.
+    """
+    from ray.data.aggregate import Count as _Count, Sum as _Sum
+
+    out: list[dict] = []
+    for label, table, lhs, rhs in _FD_CHECKS:
+        ds = _read(sf_dir, table, [lhs, rhs])
+
+        def pairs(t: pa.Table, lhs=lhs, rhs=rhs) -> pa.Table:
+            g = (pa.table({"lhs": pc.cast(t[lhs], pa.string()),
+                           "rhs": pc.cast(t[rhs], pa.string())})
+                 .group_by(["lhs", "rhs"]).aggregate([([], "count_all")]))
+            return g.select(["lhs", "rhs"])
+
+        distinct_pairs = (ds.map_batches(pairs, batch_format="pyarrow",
+                                         zero_copy_batch=True)
+                          .groupby(["lhs", "rhs"])
+                          .aggregate(_Count(alias_name="_x")))
+
+        def variants(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0 or "lhs" not in t.column_names:
+                return pa.table({"lhs": pa.array([], type=pa.string()),
+                                 "v": pa.array([], type=pa.int64())})
+            g = (t.select(["lhs"]).append_column(
+                    "one", pa.array(np.ones(t.num_rows, dtype=np.int64)))
+                 .group_by("lhs").aggregate([("one", "sum")]))
+            return pa.table({"lhs": g["lhs"],
+                             "v": pc.cast(g["one_sum"], pa.int64())})
+
+        per_lhs = (distinct_pairs.map_batches(
+                       variants, batch_format="pyarrow")
+                   .groupby("lhs").aggregate(_Sum("v", alias_name="v")))
+
+        def fold(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0 or "v" not in t.column_names:
+                return pa.table({"groups": pa.array([], type=pa.int64()),
+                                 "viol": pa.array([], type=pa.int64()),
+                                 "maxv": pa.array([], type=pa.int64()),
+                                 "pairs": pa.array([], type=pa.int64())})
+            v = t["v"].to_numpy(zero_copy_only=False)
+            return pa.table({"groups": pa.array([int(len(v))]),
+                             "viol": pa.array([int((v > 1).sum())]),
+                             "maxv": pa.array([int(v.max())]),
+                             "pairs": pa.array([int(v.sum())])})
+
+        f = per_lhs.map_batches(fold, batch_format="pyarrow").to_pandas()
+        out.append({"fd": label,
+                    "lhs_groups": int(f["groups"].sum()),
+                    "violating_groups": int(f["viol"].sum()),
+                    "max_rhs_variants": int(f["maxv"].max()),
+                    "distinct_pairs": int(f["pairs"].sum())})
+
+    out.sort(key=lambda r: r["fd"])
+    return pa.table({
+        "fd": pa.array([r["fd"] for r in out]),
+        "lhs_groups": pa.array([r["lhs_groups"] for r in out],
+                               type=pa.int64()),
+        "violating_groups": pa.array(
+            [r["violating_groups"] for r in out], type=pa.int64()),
+        "max_rhs_variants": pa.array(
+            [r["max_rhs_variants"] for r in out], type=pa.int64()),
+        "distinct_pairs": pa.array([r["distinct_pairs"] for r in out],
+                                   type=pa.int64()),
+    })
+
+
+def _fd_sql_one(label: str, table: str, lhs: str, rhs: str) -> str:
+    return f"""
+SELECT '{label}' AS fd,
+       CAST(count(*) AS BIGINT) AS lhs_groups,
+       CAST(sum(CASE WHEN v > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS violating_groups,
+       CAST(max(v) AS BIGINT) AS max_rhs_variants,
+       CAST(sum(v) AS BIGINT) AS distinct_pairs
+FROM (SELECT CAST({lhs} AS VARCHAR) AS l,
+             count(DISTINCT CAST({rhs} AS VARCHAR)) AS v
+      FROM {table} GROUP BY 1)"""
+
+
+FD_VIOLATION_SQL = "\nUNION ALL\n".join(
+    _fd_sql_one(*fd) for fd in _FD_CHECKS) + "\nORDER BY fd"

@@ -2259,3 +2259,135 @@ FROM d
 QUALIFY rnk <= 15
 ORDER BY 5
 """
+
+
+def ooo_lateness_stats(sf_dir: str, chunk_bits: int = 12) -> "ray.data.Dataset":
+    """OUT-OF-ORDER lateness audit: how disordered is the event stream
+    relative to arrival order (event_id)?  For every event, lateness =
+    running-max(ts over all EARLIER event_ids) - ts, clipped at 0 -- the
+    exact quantity a streaming engine's watermark generator needs (how
+    far behind the frontier do records arrive), reported per event_type.
+
+    A GLOBAL running max is inherently sequential; the engine computes
+    it with a deterministic-chunk prefix scan that never depends on Ray
+    block boundaries (two map_batches passes over one dataset are NOT
+    guaranteed to see identical blocks, so a block-identity handoff can
+    silently misalign -- this design is immune by construction):
+
+    1. chunk = event_id >> chunk_bits partitions the id RANGE into
+       fixed, data-independent segments;
+    2. pass 1: per-batch (chunk, max_ts) partials -> groupby(chunk).max
+       -> O(id_range / 2^chunk_bits) rows to the driver, which computes
+       the EXCLUSIVE prefix max per chunk and broadcasts it (ray.put);
+    3. pass 2: hash co-partition on chunk; per partition, rows sort by
+       event_id and prev[i] = max(seed[chunk(i)], exclusive-cummax) --
+       rows of EARLIER chunks co-resident in the partition cannot leak
+       wrongly because every chunk's seed already dominates everything
+       before it; one vectorized np.maximum.accumulate, no row loop;
+    4. per-partition partials per event_type -> a cardinality-bounded
+       groupby(event_type) fold.
+
+    ``chunk_bits`` sizes the driver's prefix table: 2^12-id chunks suit
+    the gate's dense ids; at 10^12 ids raise it to >= 20 so the driver
+    holds ~10^6 chunk maxes (8 MB), never O(rows).  Lateness is exact
+    integer microseconds (epoch_us), so the DuckDB window-function
+    oracle hashes identically.
+    """
+    from ray.data.aggregate import Max, Sum
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "ts", "event_type"])
+
+    def chunk_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"chunk": pa.array([], type=pa.int64()),
+                             "max_ts": pa.array([], type=pa.int64())})
+        eid = _as_int64(t["event_id"])
+        ts = _as_int64(t["ts"])
+        chunk = eid >> chunk_bits
+        uk, inv = np.unique(chunk, return_inverse=True)
+        mx = np.full(len(uk), -(2 ** 62), dtype=np.int64)
+        np.maximum.at(mx, inv, ts)
+        return pa.table({"chunk": pa.array(uk), "max_ts": pa.array(mx)})
+
+    summ = (ds.map_batches(chunk_partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby("chunk").aggregate(Max("max_ts", alias_name="max_ts"))
+            .to_pandas().sort_values("chunk").reset_index(drop=True))
+    chunks = summ["chunk"].to_numpy(dtype=np.int64)
+    maxes = summ["max_ts"].to_numpy(dtype=np.int64)
+    LOW = -(2 ** 62)
+    seeds = (np.concatenate(([LOW], np.maximum.accumulate(maxes)[:-1]))
+             if len(maxes) else np.array([], dtype=np.int64))
+    seed_ref = ray.put((chunks, seeds.astype(np.int64)))
+
+    empty = pa.table({"event_type": pa.array([], type=pa.string()),
+                      "n_events": pa.array([], type=pa.int64()),
+                      "n_late": pa.array([], type=pa.int64()),
+                      "late_us": pa.array([], type=pa.int64()),
+                      "max_late_us": pa.array([], type=pa.int64())})
+
+    def add_chunk(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column("chunk",
+                                   pa.array([], type=pa.int64()))
+        eid = _as_int64(t["event_id"])
+        return t.append_column("chunk", pa.array(eid >> chunk_bits))
+
+    def late_partition(t: pa.Table) -> pa.Table:
+        ck, sd = ray.get(seed_ref)
+        eid = _as_int64(t["event_id"])
+        ts = _as_int64(t["ts"])
+        order = np.argsort(eid, kind="stable")
+        ts_s = ts[order]
+        chunk_s = eid[order] >> chunk_bits
+        seed_row = sd[np.searchsorted(ck, chunk_s)]
+        run = np.maximum.accumulate(ts_s)
+        prev = np.concatenate(([-(2 ** 62)], run[:-1]))
+        prev = np.maximum(prev, seed_row)
+        late = np.maximum(prev - ts_s, 0)
+        staged = pa.table({
+            "event_type": pc.take(t["event_type"],
+                                  pa.array(order, type=pa.int64())),
+            "one": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+            "is_late": pa.array((late > 0).astype(np.int64)),
+            "late_us": pa.array(late),
+        })
+        g = staged.group_by("event_type").aggregate(
+            [("one", "sum"), ("is_late", "sum"), ("late_us", "sum"),
+             ("late_us", "max")])
+        return pa.table({
+            "event_type": g["event_type"],
+            "n_events": pc.cast(g["one_sum"], pa.int64()),
+            "n_late": pc.cast(g["is_late_sum"], pa.int64()),
+            "late_us": pc.cast(g["late_us_sum"], pa.int64()),
+            "max_late_us": pc.cast(g["late_us_max"], pa.int64()),
+        })
+
+    parts = partition_by(
+        ds.map_batches(add_chunk, batch_format="pyarrow"),
+        ["chunk"], fit_partitions(32), late_partition, empty)
+    return (parts.groupby("event_type")
+            .aggregate(Sum("n_events", alias_name="n_events"),
+                       Sum("n_late", alias_name="n_late"),
+                       Sum("late_us", alias_name="late_us"),
+                       Max("max_late_us", alias_name="max_late_us")))
+
+
+OOO_LATENESS_SQL = """
+WITH w AS (
+  SELECT event_type, CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+         max(CAST(epoch_us(ts) AS BIGINT)) OVER (
+           ORDER BY event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS rmax
+  FROM events)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN rmax > ts_us THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_late,
+       CAST(sum(CASE WHEN rmax > ts_us THEN rmax - ts_us ELSE 0 END)
+            AS BIGINT) AS late_us,
+       CAST(max(CASE WHEN rmax > ts_us THEN rmax - ts_us ELSE 0 END)
+            AS BIGINT) AS max_late_us
+FROM w GROUP BY 1
+"""

@@ -1945,3 +1945,86 @@ def test_temperature_mix_upsamples_tail(ray_session, tmp_path):
     assert got["sw"][1] > got["sw"][0]      # tail upsampled
     assert got["en"][1] < got["en"][0]      # head flattened
     assert sum(out["temp_ppm"]) == 1_000_000
+
+
+def test_fk_audit_counts_orphans(ray_session, tmp_path):
+    """Child keys missing from the parent are counted as orphan rows
+    AND orphan keys; intact relations report zero."""
+    import pyarrow.parquet as pq
+    import p2pddsketch_ray.pipelines.relational as R
+    # minimal schema: one intact edge, one broken edge
+    pq.write_table(pa.table({
+        "n_nationkey": pa.array([0, 1], type=pa.int32()),
+        "n_regionkey": pa.array([0, 7], type=pa.int32()),  # 7 dangles
+    }), str(tmp_path / "nation.parquet"))
+    pq.write_table(pa.table({
+        "r_regionkey": pa.array([0], type=pa.int32()),
+    }), str(tmp_path / "region.parquet"))
+    rels = [r for r in R._FK_RELATIONS if r[1] in ("nation",)]
+    orig = R._FK_RELATIONS
+    R._FK_RELATIONS = rels
+    try:
+        out = R.fk_integrity_audit(str(tmp_path)).to_pydict()
+    finally:
+        R._FK_RELATIONS = orig
+    assert out["relation"] == ["nation.n_regionkey->region"]
+    assert out["fk_rows"] == [2] and out["distinct_fk"] == [2]
+    assert out["orphan_rows"] == [1] and out["orphan_keys"] == [1]
+
+
+def test_fd_audit_flags_multivalued_lhs(ray_session, tmp_path):
+    """An lhs with two distinct rhs values is a violating group; the
+    worst group's variant count and pair totals are exact."""
+    import pyarrow.parquet as pq
+    import p2pddsketch_ray.pipelines.relational as R
+    pq.write_table(pa.table({
+        "source": pa.array(["a", "a", "a", "b", "b"]),
+        "lang": pa.array(["en", "de", "en", "fr", "fr"]),
+    }), str(tmp_path / "documents.parquet"))
+    checks = [c for c in R._FD_CHECKS if c[1] == "documents"]
+    orig = R._FD_CHECKS
+    R._FD_CHECKS = checks
+    try:
+        out = R.fd_violation_audit(str(tmp_path)).to_pydict()
+    finally:
+        R._FD_CHECKS = orig
+    assert out["lhs_groups"] == [2]
+    assert out["violating_groups"] == [1]      # only 'a'
+    assert out["max_rhs_variants"] == [2]
+    assert out["distinct_pairs"] == [3]
+
+
+def test_ooo_lateness_matches_sequential_walk(ray_session, tmp_path):
+    """Distributed prefix-max lateness == a driver-side sequential
+    running max, including across sorted-block boundaries."""
+    import pyarrow.parquet as pq
+    from p2pddsketch_ray.pipelines.temporal import ooo_lateness_stats
+    rng = np.random.default_rng(7)
+    n = 5000
+    eid = np.arange(n, dtype=np.int64)
+    base = np.cumsum(rng.integers(0, 1_000_000, n)).astype(np.int64)
+    jitter = rng.integers(-5_000_000, 5_000_000, n)
+    ts_us = base + jitter
+    types = rng.choice(["a", "b", "c"], n)
+    pq.write_table(pa.table({
+        "event_id": pa.array(eid),
+        "ts": pa.array(ts_us, type=pa.int64()).cast(
+            pa.timestamp("us")),
+        "user_id": pa.array(eid),
+        "event_type": pa.array(types),
+        "value": pa.array(np.zeros(n)),
+        "props": pa.array([""] * n),
+    }), str(tmp_path / "events.parquet"))
+    out = ooo_lateness_stats(str(tmp_path)).to_pandas()
+    got = {r.event_type: (r.n_events, r.n_late, r.late_us, r.max_late_us)
+           for r in out.itertuples()}
+    # sequential reference
+    run = np.maximum.accumulate(ts_us)
+    prev = np.concatenate(([-(2 ** 62)], run[:-1]))
+    late = np.maximum(prev - ts_us, 0)
+    for ty in ("a", "b", "c"):
+        m = types == ty
+        assert got[ty][0] == int(m.sum())
+        assert got[ty][1] == int((late[m] > 0).sum())
+        assert got[ty][2] == int(late[m].sum())
+        assert got[ty][3] == int(late[m].max())
