@@ -161,6 +161,10 @@ from p2pddsketch_ray.pipelines.relational import (  # noqa: E402
     FK_INTEGRITY_SQL as _FK_INTEGRITY_SQL,
     fd_violation_audit as _fd_violation_audit,
     FD_VIOLATION_SQL as _FD_VIOLATION_SQL,
+    char_bigram_entropy_by_lang as _char_bigram_entropy_by_lang,
+    CHAR_BIGRAM_ENTROPY_SQL as _CHAR_BIGRAM_ENTROPY_SQL,
+    tokenizer_fertility_by_lang as _tokenizer_fertility_by_lang,
+    TOKENIZER_FERTILITY_SQL as _TOKENIZER_FERTILITY_SQL,
     customer_frequency_spectrum as _customer_frequency_spectrum,
     SESSION_BOUNCE_SQL as _SESSION_BOUNCE_SQL,
     session_bounce_stats as _session_bounce_stats,
@@ -774,6 +778,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fk_integrity_audit": _fk_integrity_audit,
         # functional-dependency violation profiling
         "fd_violation_audit": _fd_violation_audit,
+        # corpus char-bigram LM entropy in exact micro-nats
+        "char_bigram_entropy_by_lang": _char_bigram_entropy_by_lang,
+        # BPE-ish vs whitespace tokenizer fertility ratios
+        "tokenizer_fertility_by_lang": _tokenizer_fertility_by_lang,
         # out-of-order lateness vs arrival order (distributed prefix max)
         "ooo_lateness_stats": _ooo_lateness_stats,
         # last-touch attribution: conversions credited to the most
@@ -1303,6 +1311,8 @@ def oracle_sql() -> dict[str, str]:
         "temperature_mix_weights": _TEMPERATURE_MIX_SQL,
         "fk_integrity_audit": _FK_INTEGRITY_SQL,
         "fd_violation_audit": _FD_VIOLATION_SQL,
+        "char_bigram_entropy_by_lang": _CHAR_BIGRAM_ENTROPY_SQL,
+        "tokenizer_fertility_by_lang": _TOKENIZER_FERTILITY_SQL,
         "ooo_lateness_stats": _OOO_LATENESS_SQL,
         "multimodal_resize_stats": """
 WITH grid AS (

@@ -10191,3 +10191,278 @@ FROM (SELECT CAST({lhs} AS VARCHAR) AS l,
 
 FD_VIOLATION_SQL = "\nUNION ALL\n".join(
     _fd_sql_one(*fd) for fd in _FD_CHECKS) + "\nORDER BY fd"
+
+
+def char_bigram_entropy_by_lang(sf_dir: str) -> pa.Table:
+    """Character-BIGRAM language-model entropy per language: train the
+    empirical bigram model p(b|a) = c(ab)/c(a.) on the corpus itself and
+    report its total code length  -sum_ab c(ab) * ln p(b|a)  in integer
+    micro-nats -- the standard "how predictable is this language's
+    text" corpus statistic (and the cross-entropy a char-bigram
+    compressor would achieve), plus doc/bigram/vocabulary counts.
+
+    Scale shape: per-batch vectorized bigram counting (texts decode to
+    one uint32 codepoint buffer per language group -- C-level encode per
+    doc, numpy pair-keying, np.unique; never a per-character Python
+    loop) -> groupby(lang, bigram) -> hash co-partition on (lang, first
+    char) so each partition holds whole conditional distributions ->
+    per-partition floor(1e6*ln(c/t)) terms and per-lang partials ->
+    O(langs) driver fold.  The model table is vocabulary-bounded
+    (distinct bigrams), never corpus-sized.
+
+    Determinism: ln is applied to the SAME double ratio in numpy and
+    DuckDB and floored to micro-nats per (lang, bigram) term, so the
+    integer totals hash-match (proven per-term-ln-parity pattern).
+    """
+    from ray.data.aggregate import Sum as _Sum
+
+    ds = _read(sf_dir, "documents", ["lang", "text"])
+    SEP = np.uint32(0xFFFFFFFF)
+
+    def bigram_counts(t: pa.Table) -> pa.Table:
+        out_lang: list[str] = []
+        out_bg: list[np.ndarray] = []
+        out_c: list[np.ndarray] = []
+        langs = t["lang"].to_numpy(zero_copy_only=False)
+        texts = t["text"].to_numpy(zero_copy_only=False)
+        for lang in np.unique(langs):
+            sel = texts[langs == lang]
+            bufs = []
+            for s in sel:  # C-level utf-32 decode per doc
+                if s is not None and len(s) >= 1:
+                    bufs.append(np.frombuffer(
+                        s.encode("utf-32-le"), dtype=np.uint32))
+                    bufs.append(np.array([SEP], dtype=np.uint32))
+            if not bufs:
+                continue
+            codes = np.concatenate(bufs)
+            a, b = codes[:-1], codes[1:]
+            ok = (a != SEP) & (b != SEP)
+            if not ok.any():
+                continue
+            key = (a[ok].astype(np.int64) << 21) | b[ok].astype(np.int64)
+            uk, cnt = np.unique(key, return_counts=True)
+            out_lang.extend([str(lang)] * len(uk))
+            out_bg.append(uk)
+            out_c.append(cnt.astype(np.int64))
+        if not out_bg:
+            return pa.table({"lang": pa.array([], type=pa.string()),
+                             "bg": pa.array([], type=pa.int64()),
+                             "c": pa.array([], type=pa.int64())})
+        return pa.table({"lang": pa.array(out_lang, type=pa.string()),
+                         "bg": pa.array(np.concatenate(out_bg)),
+                         "c": pa.array(np.concatenate(out_c))})
+
+    model = (ds.map_batches(bigram_counts, batch_format="pyarrow",
+                            zero_copy_batch=True)
+             .groupby(["lang", "bg"]).aggregate(_Sum("c", alias_name="c")))
+
+    def add_ctxkey(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "bg" not in t.column_names:
+            return pa.table({"lang": pa.array([], type=pa.string()),
+                             "bg": pa.array([], type=pa.int64()),
+                             "c": pa.array([], type=pa.int64()),
+                             "ctxkey": pa.array([], type=pa.int64())})
+        langs = t["lang"].to_numpy(zero_copy_only=False)
+        bg = t["bg"].to_numpy(zero_copy_only=False)
+        codes = np.zeros(t.num_rows, dtype=np.int64)
+        for lang in np.unique(langs):
+            lc = int.from_bytes(str(lang).encode()[:7], "big")
+            codes[langs == lang] = lc
+        # co-location key only -- collisions just merge partitions
+        ctx = (codes * 1_000_003 + (bg >> 21)) % (1 << 61)
+        return pa.table({"lang": t["lang"], "bg": pa.array(bg),
+                         "c": pc.cast(t["c"], pa.int64()),
+                         "ctxkey": pa.array(ctx)})
+
+    empty = pa.table({"lang": pa.array([], type=pa.string()),
+                      "distinct_bigrams": pa.array([], type=pa.int64()),
+                      "n_bigrams": pa.array([], type=pa.int64()),
+                      "xent_micro": pa.array([], type=pa.int64())})
+
+    def score_partition(t: pa.Table) -> pa.Table:
+        langs = t["lang"].to_numpy(zero_copy_only=False)
+        bg = t["bg"].to_numpy(zero_copy_only=False)
+        c = t["c"].to_numpy(zero_copy_only=False)
+        rows = {"lang": [], "distinct_bigrams": [], "n_bigrams": [],
+                "xent_micro": []}
+        for lang in np.unique(langs):
+            m = langs == lang
+            a = bg[m] >> 21
+            uk, inv = np.unique(a, return_inverse=True)
+            tot = np.bincount(inv, weights=c[m]).astype(np.int64)
+            lp = np.floor(np.log(c[m].astype(np.float64)
+                                 / tot[inv].astype(np.float64))
+                          * 1_000_000.0).astype(np.int64)
+            rows["lang"].append(str(lang))
+            rows["distinct_bigrams"].append(int(m.sum()))
+            rows["n_bigrams"].append(int(c[m].sum()))
+            rows["xent_micro"].append(int(-(c[m] * lp).sum()))
+        return pa.table({
+            "lang": pa.array(rows["lang"], type=pa.string()),
+            "distinct_bigrams": pa.array(rows["distinct_bigrams"],
+                                         type=pa.int64()),
+            "n_bigrams": pa.array(rows["n_bigrams"], type=pa.int64()),
+            "xent_micro": pa.array(rows["xent_micro"], type=pa.int64()),
+        })
+
+    from ..stages.partition import fit_partitions, partition_by
+    partials = partition_by(
+        model.map_batches(add_ctxkey, batch_format="pyarrow"),
+        ["ctxkey"], fit_partitions(16), score_partition, empty)
+    stats = (partials.groupby("lang")
+             .aggregate(_Sum("distinct_bigrams",
+                             alias_name="distinct_bigrams"),
+                        _Sum("n_bigrams", alias_name="n_bigrams"),
+                        _Sum("xent_micro", alias_name="xent_micro"))
+             .to_pandas())
+
+    def docs_per_lang(t: pa.Table) -> pa.Table:
+        g = t.select(["lang"]).group_by("lang").aggregate(
+            [("lang", "count")])
+        return pa.table({"lang": g["lang"],
+                         "n_docs": pc.cast(g["lang_count"], pa.int64())})
+
+    nd = (_read(sf_dir, "documents", ["lang"])
+          .map_batches(docs_per_lang, batch_format="pyarrow",
+                       zero_copy_batch=True)
+          .groupby("lang").aggregate(_Sum("n_docs", alias_name="n_docs"))
+          .to_pandas())
+    merged = nd.merge(stats, on="lang", how="left").fillna(0)
+    merged = merged.sort_values("lang").reset_index(drop=True)
+    return pa.table({
+        "lang": pa.array(merged["lang"], type=pa.string()),
+        "n_docs": pa.array(merged["n_docs"].astype(np.int64)),
+        "distinct_bigrams": pa.array(
+            merged["distinct_bigrams"].astype(np.int64)),
+        "n_bigrams": pa.array(merged["n_bigrams"].astype(np.int64)),
+        "xent_micro": pa.array(merged["xent_micro"].astype(np.int64)),
+    })
+
+
+CHAR_BIGRAM_ENTROPY_SQL = """
+WITH ch AS (
+  SELECT lang, substr(text, CAST(u AS INT), 2) AS bg
+  FROM (SELECT lang, text,
+               unnest(generate_series(1, length(text) - 1)) AS u
+        FROM documents)
+), bc AS (
+  SELECT lang, bg, CAST(count(*) AS BIGINT) AS c FROM ch GROUP BY 1, 2
+), cc AS (
+  SELECT lang, substr(bg, 1, 1) AS a, CAST(sum(c) AS BIGINT) AS t
+  FROM bc GROUP BY 1, 2
+), term AS (
+  SELECT bc.lang, bc.c,
+         CAST(floor(ln(CAST(bc.c AS DOUBLE) / CAST(cc.t AS DOUBLE))
+                    * 1000000.0) AS BIGINT) AS lp
+  FROM bc JOIN cc ON bc.lang = cc.lang AND substr(bc.bg, 1, 1) = cc.a
+), agg AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS distinct_bigrams,
+         CAST(sum(c) AS BIGINT) AS n_bigrams,
+         CAST(-sum(c * lp) AS BIGINT) AS xent_micro
+  FROM term GROUP BY 1
+), nd AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY 1
+)
+SELECT nd.lang, nd.n_docs,
+       COALESCE(agg.distinct_bigrams, 0) AS distinct_bigrams,
+       COALESCE(agg.n_bigrams, 0) AS n_bigrams,
+       COALESCE(agg.xent_micro, 0) AS xent_micro
+FROM nd LEFT JOIN agg ON nd.lang = agg.lang
+ORDER BY nd.lang
+"""
+
+
+_WS_TOKEN_RE = r"\S+"
+_BPE_TOKEN_RE = r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"
+
+
+def tokenizer_fertility_by_lang(sf_dir: str) -> "ray.data.Dataset":
+    """Tokenizer FERTILITY comparison per language: how many tokens a
+    BPE-ish pre-tokenizer ([A-Za-z0-9]+ runs | single symbols) produces
+    per whitespace word and per character -- the metric multilingual
+    tokenizer reports quote ("fertility = subword tokens per word") to
+    compare tokenizer fit across languages.
+
+    Everything is two pc.count_substring_regex passes (RE2, identical
+    semantics to DuckDB's regexp_extract_all) + utf8_length, combined
+    per-block and folded through one langs-cardinality groupby; ratios
+    are exact integer ppm.
+    """
+    from ray.data.aggregate import Sum as _Sum
+    ds = _read(sf_dir, "documents", ["lang", "text"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        texts = t["text"]
+        staged = pa.table({
+            "lang": t["lang"],
+            "one": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+            "ws": pc.cast(pc.count_substring_regex(texts, _WS_TOKEN_RE),
+                          pa.int64()),
+            "bpe": pc.cast(pc.count_substring_regex(texts, _BPE_TOKEN_RE),
+                           pa.int64()),
+            "chars": pc.cast(pc.utf8_length(texts), pa.int64()),
+        })
+        g = staged.group_by("lang").aggregate(
+            [("one", "sum"), ("ws", "sum"), ("bpe", "sum"),
+             ("chars", "sum")])
+        return pa.table({"lang": g["lang"],
+                         "n_docs": pc.cast(g["one_sum"], pa.int64()),
+                         "ws_tokens": pc.cast(g["ws_sum"], pa.int64()),
+                         "bpe_tokens": pc.cast(g["bpe_sum"], pa.int64()),
+                         "n_chars": pc.cast(g["chars_sum"], pa.int64())})
+
+    agg = (ds.map_batches(prep, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("lang")
+           .aggregate(_Sum("n_docs", alias_name="n_docs"),
+                      _Sum("ws_tokens", alias_name="ws_tokens"),
+                      _Sum("bpe_tokens", alias_name="bpe_tokens"),
+                      _Sum("n_chars", alias_name="n_chars")))
+
+    def fert(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "ws_tokens" not in t.column_names:
+            return pa.table({
+                "lang": pa.array([], type=pa.string()),
+                "n_docs": pa.array([], type=pa.int64()),
+                "ws_tokens": pa.array([], type=pa.int64()),
+                "bpe_tokens": pa.array([], type=pa.int64()),
+                "n_chars": pa.array([], type=pa.int64()),
+                "fertility_ppm": pa.array([], type=pa.int64()),
+                "tokens_per_kchar_ppm": pa.array([], type=pa.int64())})
+        ws = t["ws_tokens"].to_numpy(zero_copy_only=False)
+        bpe = t["bpe_tokens"].to_numpy(zero_copy_only=False)
+        ch = t["chars" if "chars" in t.column_names else "n_chars"] \
+            .to_numpy(zero_copy_only=False)
+        return pa.table({
+            "lang": t["lang"],
+            "n_docs": pc.cast(t["n_docs"], pa.int64()),
+            "ws_tokens": pa.array(ws),
+            "bpe_tokens": pa.array(bpe),
+            "n_chars": pa.array(ch),
+            "fertility_ppm": pa.array(
+                bpe * 1_000_000 // np.maximum(ws, 1)),
+            "tokens_per_kchar_ppm": pa.array(
+                bpe * 1_000_000_000 // np.maximum(ch, 1)),
+        })
+
+    return agg.map_batches(fert, batch_format="pyarrow")
+
+
+TOKENIZER_FERTILITY_SQL = r"""
+WITH m AS (
+  SELECT lang,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(length(regexp_extract_all(text, '\S+'))) AS BIGINT)
+           AS ws_tokens,
+         CAST(sum(length(regexp_extract_all(
+             text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]'))) AS BIGINT)
+           AS bpe_tokens,
+         CAST(sum(length(text)) AS BIGINT) AS n_chars
+  FROM documents GROUP BY 1)
+SELECT lang, n_docs, ws_tokens, bpe_tokens, n_chars,
+       bpe_tokens * 1000000 // greatest(ws_tokens, 1) AS fertility_ppm,
+       bpe_tokens * 1000000000 // greatest(n_chars, 1)
+         AS tokens_per_kchar_ppm
+FROM m
+"""

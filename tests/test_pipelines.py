@@ -2028,3 +2028,39 @@ def test_ooo_lateness_matches_sequential_walk(ray_session, tmp_path):
         assert got[ty][1] == int((late[m] > 0).sum())
         assert got[ty][2] == int(late[m].sum())
         assert got[ty][3] == int(late[m].max())
+
+
+def test_char_bigram_entropy_hand_computed(ray_session, tmp_path):
+    """'aab' -> two bigrams each with p=1/2 under ctx 'a':
+    xent = 2 * -floor(ln(.5)*1e6) = 1386296 micro-nats; a 1-char doc
+    counts toward n_docs but contributes nothing."""
+    import pyarrow.parquet as pq
+    from p2pddsketch_ray.pipelines.relational import (
+        char_bigram_entropy_by_lang)
+    pq.write_table(pa.table({
+        "lang": pa.array(["x", "x"]),
+        "text": pa.array(["aab", "z"]),
+    }), str(tmp_path / "documents.parquet"))
+    out = char_bigram_entropy_by_lang(str(tmp_path)).to_pydict()
+    assert out["lang"] == ["x"]
+    assert out["n_docs"] == [2]
+    assert out["distinct_bigrams"] == [2]
+    assert out["n_bigrams"] == [2]
+    assert out["xent_micro"] == [1386296]
+
+
+def test_tokenizer_fertility_hand_computed(ray_session, tmp_path):
+    """'ab cd, ee': 3 whitespace words, 4 BPE-ish tokens
+    (ab / cd / ',' / ee), 9 chars."""
+    import pyarrow.parquet as pq
+    from p2pddsketch_ray.pipelines.relational import (
+        tokenizer_fertility_by_lang)
+    pq.write_table(pa.table({
+        "lang": pa.array(["x"]),
+        "text": pa.array(["ab cd, ee"]),
+    }), str(tmp_path / "documents.parquet"))
+    out = tokenizer_fertility_by_lang(str(tmp_path)).to_pandas()
+    r = out.iloc[0]
+    assert (r.ws_tokens, r.bpe_tokens, r.n_chars) == (3, 4, 9)
+    assert r.fertility_ppm == 4 * 1_000_000 // 3
+    assert r.tokens_per_kchar_ppm == 4 * 1_000_000_000 // 9
