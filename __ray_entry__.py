@@ -22,6 +22,11 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+from p2pddsketch_ray.pipelines.knn import (  # noqa: E402
+    RECIPROCAL_NN_SQL as _RECIPROCAL_NN_SQL)
+from p2pddsketch_ray.pipelines.dedup import (  # noqa: E402
+    SORTED_NEIGHBORHOOD_SQL as _SORTED_NEIGHBORHOOD_SQL)
+
 OFFSET = 1073741824  # 2^30, the reference default (main.cpp:49)
 ALPHA = 0.01         # practical tier: key span << bin_limit, no collapse
 BIN_LIMIT = 2048     # roomy so the SQL replica needs no collapse emulation
@@ -388,6 +393,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the WRITTEN on-disk IVF index (cluster-partitioned parquet,
         # pruned partition reads) under the same brute-force oracle
         "ivf_knn_written": _ivf_knn_written,
+        # mutual top-1 matches, exact integer-quantized inner products
+        "reciprocal_nn_pairs": _reciprocal_nn_pairs,
+        # sorted-neighborhood blocking with cross-block window stitch
+        "sorted_neighborhood_stats": _sorted_neighborhood_stats,
         # KLL comparison-based quantiles (randomized compaction: rows-only)
         "kll_quantiles_price": _kll_quantiles_price,
         # t-digest quantiles (interpolated centroids: rows-only)
@@ -1029,6 +1038,16 @@ def _embedding_neardup_pairs(sf_dir: str):
     return embedding_near_dup_pairs(sf_dir, threshold=0.3, n_assign=None)
 
 
+def _sorted_neighborhood_stats(sf_dir: str):
+    from p2pddsketch_ray.pipelines.dedup import sorted_neighborhood_stats
+    return sorted_neighborhood_stats(sf_dir)
+
+
+def _reciprocal_nn_pairs(sf_dir: str):
+    from p2pddsketch_ray.pipelines.knn import reciprocal_nn_pairs
+    return reciprocal_nn_pairs(sf_dir)
+
+
 def _ivf_knn_exhaustive(sf_dir: str):
     import numpy as np
     import pyarrow.parquet as pq
@@ -1263,6 +1282,8 @@ def oracle_sql() -> dict[str, str]:
         "kmeans_iter_stats": _KMEANS_ITER_SQL,
         "loo_target_encoding": _LOO_TARGET_ENCODING_SQL,
         "knn_vote_confusion": _KNN_VOTE_SQL,
+        "reciprocal_nn_pairs": _RECIPROCAL_NN_SQL,
+        "sorted_neighborhood_stats": _SORTED_NEIGHBORHOOD_SQL,
         "lsh_ann_topk": _LSH_ANN_SQL,
         "lang_source_mi": _LANG_SOURCE_MI_SQL,
         "rendezvous_shard_stats": _RENDEZVOUS_SHARD_SQL,

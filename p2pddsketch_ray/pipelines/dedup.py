@@ -1799,3 +1799,177 @@ ORDER BY 5"""
 
 
 TOP_DUPLICATED_SQL = _top_duplicated_sql()
+
+
+def sorted_neighborhood_stats(sf_dir: str, w: int = 2,
+                              key_len: int = 16,
+                              verify_len: int = 32) -> pa.Table:
+    """SORTED-NEIGHBORHOOD blocking (Hernandez & Stolfo's merge/purge
+    method): order the corpus by a normalized blocking key (first
+    ``key_len`` chars, lowercased) and treat every pair within window
+    ``w`` of the global order as a dedup candidate.  Reports, per rank
+    offset d in 1..w: candidate pairs, pairs whose blocking keys are
+    equal, and pairs whose first ``verify_len`` chars also agree (the
+    cheap verify tier).
+
+    Distributed shape -- the window crosses partition boundaries, which
+    is the whole difficulty of this operator on a sharded corpus:
+
+    1. one global ``sort((key, doc_id))`` range-partitions the corpus;
+    2. a SINGLE pass over the sorted blocks emits (a) vectorized
+       in-block pair stats per offset (Arrow slice equality, no row
+       loop) and (b) each block's first/last ``w`` rows plus its size --
+       O(blocks * w) boundary rows, bounded by cluster parallelism;
+       one pass means no block-boundary-identity assumption between
+       passes;
+    3. the driver orders block summaries by their minimum (key, doc_id),
+       assigns global offsets by cumulative block size, and counts the
+       CROSS-BLOCK pairs among boundary rows (any pair within w whose
+       rows land in different blocks is within w of a boundary, so both
+       of its rows were collected).
+    """
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+    def keyed(t: pa.Table) -> pa.Table:
+        txt = t["text"]
+        return pa.table({
+            "k": pc.utf8_lower(pc.utf8_slice_codeunits(txt, 0, key_len)),
+            "p": pc.utf8_lower(pc.utf8_slice_codeunits(txt, 0,
+                                                       verify_len)),
+            "doc_id": pc.cast(t["doc_id"], pa.int64()),
+        })
+
+    s = ds.map_batches(keyed, batch_format="pyarrow",
+                       zero_copy_batch=True).sort(["k", "doc_id"])
+
+    def block_pass(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if n == 0:
+            return pa.table({"kind": pa.array([], type=pa.string()),
+                             "d": pa.array([], type=pa.int64()),
+                             "n_pairs": pa.array([], type=pa.int64()),
+                             "n_key_eq": pa.array([], type=pa.int64()),
+                             "n_p_eq": pa.array([], type=pa.int64()),
+                             "k": pa.array([], type=pa.string()),
+                             "p": pa.array([], type=pa.string()),
+                             "doc_id": pa.array([], type=pa.int64()),
+                             "lidx": pa.array([], type=pa.int64()),
+                             "bsize": pa.array([], type=pa.int64())})
+        k = t["k"].combine_chunks() if isinstance(t["k"], pa.ChunkedArray) \
+            else t["k"]
+        p = t["p"].combine_chunks() if isinstance(t["p"], pa.ChunkedArray) \
+            else t["p"]
+        doc = t["doc_id"]
+        kinds, ds_, np_, nk_, npq = [], [], [], [], []
+        for d in range(1, w + 1):
+            m = max(n - d, 0)
+            keq = pc.sum(pc.cast(pc.equal(k.slice(0, m), k.slice(d, m)),
+                                 pa.int64())).as_py() or 0
+            peq = pc.sum(pc.cast(pc.equal(p.slice(0, m), p.slice(d, m)),
+                                 pa.int64())).as_py() or 0
+            kinds.append("stats"); ds_.append(d); np_.append(m)
+            nk_.append(int(keq)); npq.append(int(peq))
+        stats = pa.table({
+            "kind": pa.array(kinds, type=pa.string()),
+            "d": pa.array(ds_, type=pa.int64()),
+            "n_pairs": pa.array(np_, type=pa.int64()),
+            "n_key_eq": pa.array(nk_, type=pa.int64()),
+            "n_p_eq": pa.array(npq, type=pa.int64()),
+            "k": pa.array([None] * len(ds_), type=pa.string()),
+            "p": pa.array([None] * len(ds_), type=pa.string()),
+            "doc_id": pa.array([None] * len(ds_), type=pa.int64()),
+            "lidx": pa.array([None] * len(ds_), type=pa.int64()),
+            "bsize": pa.array([None] * len(ds_), type=pa.int64()),
+        })
+        idx = sorted(set(range(min(w, n))) |
+                     set(range(max(n - w, 0), n)))
+        ii = pa.array(idx, type=pa.int64())
+        bnd = pa.table({
+            "kind": pa.array(["bnd"] * len(idx), type=pa.string()),
+            "d": pa.array([None] * len(idx), type=pa.int64()),
+            "n_pairs": pa.array([None] * len(idx), type=pa.int64()),
+            "n_key_eq": pa.array([None] * len(idx), type=pa.int64()),
+            "n_p_eq": pa.array([None] * len(idx), type=pa.int64()),
+            "k": pc.take(k, ii),
+            "p": pc.take(p, ii),
+            "doc_id": pc.take(doc, ii),
+            "lidx": pa.array(idx, type=pa.int64()),
+            "bsize": pa.array([n] * len(idx), type=pa.int64()),
+        })
+        return pa.concat_tables([stats, bnd])
+
+    rows = (s.map_batches(block_pass, batch_size=None,
+                          batch_format="pyarrow", zero_copy_batch=True)
+            .to_pandas())
+    stats = rows[rows["kind"] == "stats"]
+    agg = {int(d): [0, 0, 0] for d in range(1, w + 1)}
+    for _, r in stats.iterrows():
+        a = agg[int(r.d)]
+        a[0] += int(r.n_pairs); a[1] += int(r.n_key_eq)
+        a[2] += int(r.n_p_eq)
+
+    bnd = rows[rows["kind"] == "bnd"].copy()
+    if len(bnd):
+        # block identity = (its min key, min doc) -- derive per group
+        bnd["blk"] = bnd.groupby(["k", "doc_id"]).ngroup()  # placeholder
+        # group boundary rows into blocks: rows from one block share
+        # bsize and were emitted together; reconstruct via stable order
+        # of (k, doc_id) of their lidx==0 row.  Simpler: blocks are
+        # uniquely identified by their first row (lidx==min emitted).
+        bnd = bnd.sort_values(["k", "doc_id"]).reset_index(drop=True)
+        # assign block ids by matching each row to its block's anchor:
+        # rows of one block are contiguous in global order, and lidx
+        # resets at block starts.
+        blk_ids = (bnd["lidx"] == 0).cumsum() - 1
+        bnd["blk"] = blk_ids
+        sizes = bnd.groupby("blk")["bsize"].first()
+        order = sizes.index.to_numpy()
+        csum = np.concatenate(([0], np.cumsum(sizes.to_numpy())))[:-1]
+        off = dict(zip(order, csum))
+        gpos = bnd["lidx"].to_numpy() + np.array(
+            [off[b] for b in bnd["blk"]])
+        kk = bnd["k"].to_numpy(); pp = bnd["p"].to_numpy()
+        bb = bnd["blk"].to_numpy()
+        o = np.argsort(gpos, kind="stable")
+        gpos, kk, pp, bb = gpos[o], kk[o], pp[o], bb[o]
+        for i in range(len(gpos)):
+            for j in range(i + 1, len(gpos)):
+                d = int(gpos[j] - gpos[i])
+                if d > w:
+                    break
+                if d >= 1 and bb[i] != bb[j]:
+                    a = agg[d]
+                    a[0] += 1
+                    a[1] += int(kk[i] == kk[j])
+                    a[2] += int(pp[i] == pp[j])
+    return pa.table({
+        "offset": pa.array(sorted(agg), type=pa.int64()),
+        "n_pairs": pa.array([agg[d][0] for d in sorted(agg)],
+                            type=pa.int64()),
+        "n_key_equal": pa.array([agg[d][1] for d in sorted(agg)],
+                                type=pa.int64()),
+        "n_prefix_equal": pa.array([agg[d][2] for d in sorted(agg)],
+                                   type=pa.int64()),
+    })
+
+
+SORTED_NEIGHBORHOOD_SQL = """
+WITH s AS (
+  SELECT doc_id,
+         lower(substr(text, 1, 16)) AS k,
+         lower(substr(text, 1, 32)) AS p,
+         row_number() OVER (
+           ORDER BY lower(substr(text, 1, 16)), doc_id) AS rn
+  FROM documents
+), pairs AS (
+  SELECT b.rn - a.rn AS d,
+         CASE WHEN a.k = b.k THEN 1 ELSE 0 END AS keq,
+         CASE WHEN a.p = b.p THEN 1 ELSE 0 END AS peq
+  FROM s a JOIN s b ON b.rn > a.rn AND b.rn <= a.rn + 2
+)
+SELECT d AS offset, CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(keq) AS BIGINT) AS n_key_equal,
+       CAST(sum(peq) AS BIGINT) AS n_prefix_equal
+FROM pairs GROUP BY 1 ORDER BY 1
+"""

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 import ray.data
@@ -164,3 +165,123 @@ class IVFIndex:
         from ..stages.topk import topk
         return topk(src.map_batches(score, batch_format="pyarrow"),
                     [("cos_sim", "descending"), ("vec_id", "ascending")], k)
+
+
+def reciprocal_nn_pairs(sf_dir: str) -> pa.Table:
+    """RECIPROCAL nearest-neighbor pairs (mutual top-1 matches) over the
+    embedding table -- the classic high-precision entity-matching /
+    translation-mining rule: emit (a, b) only when b is a's best match
+    AND a is b's.
+
+    Exactness contract: embeddings quantize to integer milli-units
+    (floor(x*1000)), so every inner product is an exact int64 and the
+    DuckDB ``list_inner_product`` oracle hash-matches bit-for-bit; ties
+    break to the smaller vec_id on both sides.
+
+    Scale shape: the quantized matrix is built once on the driver,
+    ``ray.put`` ONCE and read per task (test scale: n*d*8 bytes; the
+    10^12-row path swaps this stage for the IVF-bucketed variant in
+    `embedding_near_dup_pairs` -- same contract, cluster-local matmuls).
+    Each batch computes one int64 matmul against the broadcast, masks
+    self, and argmax picks the smallest vec_id among ties because the
+    broadcast columns are vec_id-sorted.  The reciprocity check is a
+    vectorized pair-key groupby on the n-row best-match table, never a
+    join of the raw vectors.
+    """
+    import pyarrow.parquet as pq
+    from ..functions.vectors import list_to_matrix
+
+    full = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    order = pc.sort_indices(full["vec_id"])
+    full = full.take(order)
+    all_ids = full["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    qmat = np.floor(list_to_matrix(full["embedding"]) * 1000.0) \
+        .astype(np.int64)
+    bcast = ray.put((all_ids, qmat))
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+
+    def best_match(t: pa.Table) -> pa.Table:
+        ids, mat = ray.get(bcast)
+        q = np.floor(list_to_matrix(t["embedding"]) * 1000.0) \
+            .astype(np.int64)
+        my = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        g = q @ mat.T                       # exact int64 inner products
+        self_col = np.searchsorted(ids, my)
+        g[np.arange(len(my)), self_col] = np.iinfo(np.int64).min
+        best = np.argmax(g, axis=1)         # first max = smallest vec_id
+        return pa.table({
+            "vec_id": pa.array(my),
+            "best_id": pa.array(ids[best]),
+            "ip": pa.array(g[np.arange(len(my)), best]),
+        })
+
+    bests = ds.map_batches(best_match, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+    empty = pa.table({"vec_id_a": pa.array([], type=pa.int64()),
+                      "vec_id_b": pa.array([], type=pa.int64()),
+                      "ip": pa.array([], type=pa.int64())})
+
+    def mutual(t: pa.Table) -> pa.Table:
+        v = t["vec_id"].to_numpy(zero_copy_only=False)
+        b = t["best_id"].to_numpy(zero_copy_only=False)
+        ip = t["ip"].to_numpy(zero_copy_only=False)
+        lo = np.minimum(v, b)
+        hi = np.maximum(v, b)
+        key = lo * 2_000_003 + hi
+        uk, inv, cnt = np.unique(key, return_inverse=True,
+                                 return_counts=True)
+        both = cnt[inv] == 2               # a->b and b->a present
+        keep = both & (v < b)              # emit once, a < b
+        return pa.table({"vec_id_a": pa.array(v[keep]),
+                         "vec_id_b": pa.array(b[keep]),
+                         "ip": pa.array(ip[keep])})
+
+    from ..stages.partition import fit_partitions, partition_by
+
+    def add_pairkey(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column("pairkey",
+                                   pa.array([], type=pa.int64()))
+        v = t["vec_id"].to_numpy(zero_copy_only=False)
+        b = t["best_id"].to_numpy(zero_copy_only=False)
+        key = np.minimum(v, b) * 2_000_003 + np.maximum(v, b)
+        return t.append_column("pairkey", pa.array(key))
+
+    pairs = partition_by(
+        bests.map_batches(add_pairkey, batch_format="pyarrow"),
+        ["pairkey"], fit_partitions(16), mutual, empty).to_pandas()
+    pairs = pairs.sort_values("vec_id_a").reset_index(drop=True)
+    return pa.table({
+        "vec_id_a": pa.array(pairs["vec_id_a"].astype(np.int64)),
+        "vec_id_b": pa.array(pairs["vec_id_b"].astype(np.int64)),
+        "ip": pa.array(pairs["ip"].astype(np.int64)),
+    })
+
+
+RECIPROCAL_NN_SQL = """
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+                        x -> CAST(floor(x * 1000.0) AS BIGINT)) AS qv
+  FROM embeddings
+), ip AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb,
+         CAST(list_inner_product(a.qv, b.qv) AS BIGINT) AS ip
+  FROM q a JOIN q b ON a.vec_id <> b.vec_id
+), best AS (
+  SELECT va, vb, ip,
+         row_number() OVER (PARTITION BY va
+                            ORDER BY ip DESC, vb ASC) AS rn
+  FROM ip
+)
+SELECT b1.va AS vec_id_a, b1.vb AS vec_id_b, b1.ip
+FROM best b1
+JOIN best b2 ON b1.vb = b2.va AND b2.vb = b1.va
+            AND b1.rn = 1 AND b2.rn = 1
+WHERE b1.va < b1.vb
+ORDER BY 1
+"""

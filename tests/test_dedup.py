@@ -456,3 +456,56 @@ def test_top_duplicated_docs_consistent_with_corpus_stats(ray_session):
     assert (out["n_dup"] <= out["n_pos"]).all()
     corpus = dup_span_stats(sf).to_pandas()
     assert out["dup_ppm"].iloc[0] >= corpus["dup_ppm"].max()
+
+
+def test_sorted_neighborhood_matches_bruteforce(ray_session, tmp_path):
+    """Distributed window stats (incl. cross-block stitch) == a single
+    sequential pass over the globally sorted corpus."""
+    import pyarrow.parquet as pq
+    from p2pddsketch_ray.pipelines.dedup import sorted_neighborhood_stats
+    rng = np.random.default_rng(11)
+    n = 4000
+    # small alphabet prefixes -> plenty of equal keys and near-equal runs
+    prefixes = [f"doc {c}{d} body" for c in "abcdef" for d in "0123"]
+    texts = [prefixes[i] + " tail " + str(rng.integers(0, 50))
+             for i in rng.integers(0, len(prefixes), n)]
+    pq.write_table(pa.table({
+        "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+        "text": pa.array(texts),
+        "lang": pa.array(["en"] * n),
+        "source": pa.array(["s"] * n),
+        "n_chars": pa.array([len(t) for t in texts], type=pa.int64()),
+    }), str(tmp_path / "documents.parquet"))
+    out = sorted_neighborhood_stats(str(tmp_path), w=2).to_pydict()
+    # sequential reference
+    k = [t[:16].lower() for t in texts]
+    p = [t[:32].lower() for t in texts]
+    order = sorted(range(n), key=lambda i: (k[i], i))
+    ref = {1: [0, 0, 0], 2: [0, 0, 0]}
+    for d in (1, 2):
+        for i in range(n - d):
+            a, b = order[i], order[i + d]
+            ref[d][0] += 1
+            ref[d][1] += int(k[a] == k[b])
+            ref[d][2] += int(p[a] == p[b])
+    for i, d in enumerate(out["offset"]):
+        assert (out["n_pairs"][i], out["n_key_equal"][i],
+                out["n_prefix_equal"][i]) == tuple(ref[d])
+
+
+def test_reciprocal_nn_mutual_only(ray_session, tmp_path):
+    """Three vectors where A<->B are mutual best matches and C's best
+    is B (not reciprocated): exactly one pair comes back."""
+    import pyarrow.parquet as pq
+    from p2pddsketch_ray.pipelines.knn import reciprocal_nn_pairs
+    vecs = [[1.0, 0.0, 0.0], [0.9, 0.1, 0.0], [0.0, 1.0, 0.2]]
+    pq.write_table(pa.table({
+        "vec_id": pa.array([0, 1, 2], type=pa.int64()),
+        "embedding": pa.array(vecs, type=pa.list_(pa.float32())),
+        "label": pa.array([0, 0, 1], type=pa.int32()),
+    }), str(tmp_path / "embeddings.parquet"))
+    out = reciprocal_nn_pairs(str(tmp_path)).to_pydict()
+    assert out["vec_id_a"] == [0] and out["vec_id_b"] == [1]
+    q = np.floor(np.asarray(vecs, dtype=np.float32).astype(np.float64)
+                 * 1000).astype(np.int64)
+    assert out["ip"] == [int((q[0] * q[1]).sum())]
