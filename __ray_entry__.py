@@ -25,7 +25,8 @@ from typing import Any
 from p2pddsketch_ray.pipelines.knn import (  # noqa: E402
     RECIPROCAL_NN_SQL as _RECIPROCAL_NN_SQL)
 from p2pddsketch_ray.pipelines.dedup import (  # noqa: E402
-    SORTED_NEIGHBORHOOD_SQL as _SORTED_NEIGHBORHOOD_SQL)
+    SORTED_NEIGHBORHOOD_SQL as _SORTED_NEIGHBORHOOD_SQL,
+    LEVENSHTEIN_VERIFY_SQL as _LEVENSHTEIN_VERIFY_SQL)
 
 OFFSET = 1073741824  # 2^30, the reference default (main.cpp:49)
 ALPHA = 0.01         # practical tier: key span << bin_limit, no collapse
@@ -170,6 +171,12 @@ from p2pddsketch_ray.pipelines.relational import (  # noqa: E402
     CHAR_BIGRAM_ENTROPY_SQL as _CHAR_BIGRAM_ENTROPY_SQL,
     tokenizer_fertility_by_lang as _tokenizer_fertility_by_lang,
     TOKENIZER_FERTILITY_SQL as _TOKENIZER_FERTILITY_SQL,
+    join_fanout_histogram as _join_fanout_histogram,
+    JOIN_FANOUT_SQL as _JOIN_FANOUT_SQL,
+    dup_cluster_size_hist as _dup_cluster_size_hist,
+    DUP_CLUSTER_SIZE_SQL as _DUP_CLUSTER_SIZE_SQL,
+    source_similarity_matrix as _source_similarity_matrix,
+    SOURCE_SIMILARITY_SQL as _SOURCE_SIMILARITY_SQL,
     customer_frequency_spectrum as _customer_frequency_spectrum,
     SESSION_BOUNCE_SQL as _SESSION_BOUNCE_SQL,
     session_bounce_stats as _session_bounce_stats,
@@ -397,6 +404,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "reciprocal_nn_pairs": _reciprocal_nn_pairs,
         # sorted-neighborhood blocking with cross-block window stitch
         "sorted_neighborhood_stats": _sorted_neighborhood_stats,
+        # byte-exact edit-distance verify over blocked candidates
+        "levenshtein_verify_pairs": _levenshtein_verify_pairs,
         # KLL comparison-based quantiles (randomized compaction: rows-only)
         "kll_quantiles_price": _kll_quantiles_price,
         # t-digest quantiles (interpolated centroids: rows-only)
@@ -791,6 +800,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "char_bigram_entropy_by_lang": _char_bigram_entropy_by_lang,
         # BPE-ish vs whitespace tokenizer fertility ratios
         "tokenizer_fertility_by_lang": _tokenizer_fertility_by_lang,
+        # lines-per-order fanout histogram (join-skew profile)
+        "join_fanout_histogram": _join_fanout_histogram,
+        # exact-duplicate cluster size distribution
+        "dup_cluster_size_hist": _dup_cluster_size_hist,
+        # pairwise cosine between per-source term vectors
+        "source_similarity_matrix": _source_similarity_matrix,
         # out-of-order lateness vs arrival order (distributed prefix max)
         "ooo_lateness_stats": _ooo_lateness_stats,
         # last-touch attribution: conversions credited to the most
@@ -1036,6 +1051,11 @@ def _embedding_neardup_pairs(sf_dir: str):
     # n_assign=None probes all clusters: exact (parity mode) so the SQL
     # all-pairs oracle matches; the pipeline's scale default is 2
     return embedding_near_dup_pairs(sf_dir, threshold=0.3, n_assign=None)
+
+
+def _levenshtein_verify_pairs(sf_dir: str):
+    from p2pddsketch_ray.pipelines.dedup import levenshtein_verify_pairs
+    return levenshtein_verify_pairs(sf_dir)
 
 
 def _sorted_neighborhood_stats(sf_dir: str):
@@ -1284,6 +1304,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_vote_confusion": _KNN_VOTE_SQL,
         "reciprocal_nn_pairs": _RECIPROCAL_NN_SQL,
         "sorted_neighborhood_stats": _SORTED_NEIGHBORHOOD_SQL,
+        "levenshtein_verify_pairs": _LEVENSHTEIN_VERIFY_SQL,
         "lsh_ann_topk": _LSH_ANN_SQL,
         "lang_source_mi": _LANG_SOURCE_MI_SQL,
         "rendezvous_shard_stats": _RENDEZVOUS_SHARD_SQL,
@@ -1334,6 +1355,9 @@ def oracle_sql() -> dict[str, str]:
         "fd_violation_audit": _FD_VIOLATION_SQL,
         "char_bigram_entropy_by_lang": _CHAR_BIGRAM_ENTROPY_SQL,
         "tokenizer_fertility_by_lang": _TOKENIZER_FERTILITY_SQL,
+        "join_fanout_histogram": _JOIN_FANOUT_SQL,
+        "dup_cluster_size_hist": _DUP_CLUSTER_SIZE_SQL,
+        "source_similarity_matrix": _SOURCE_SIMILARITY_SQL,
         "ooo_lateness_stats": _OOO_LATENESS_SQL,
         "multimodal_resize_stats": """
 WITH grid AS (

@@ -10466,3 +10466,268 @@ SELECT lang, n_docs, ws_tokens, bpe_tokens, n_chars,
          AS tokens_per_kchar_ppm
 FROM m
 """
+
+
+def join_fanout_histogram(sf_dir: str) -> pa.Table:
+    """JOIN-FANOUT profile of the lineitem->orders edge: for each fanout
+    f (lines per order, including 0 for childless orders), how many
+    orders have it -- the skew histogram a distributed-join planner
+    reads before sizing partitions (a hot key's fanout bounds the
+    largest co-partition).
+
+    Scale shape: per-block (orderkey, lines) combiner -> groupby(key) ->
+    per-block (fanout, n) combiner -> groupby(fanout): both exchanges
+    are cardinality-bounded (keys, then distinct fanouts).  The zero
+    bucket is total orders minus matched keys -- two scalar aggregates,
+    no anti-join needed.
+    """
+    from ray.data.aggregate import Sum as _Sum
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey"])
+
+    def per_key(t: pa.Table) -> pa.Table:
+        g = (t.select(["l_orderkey"]).group_by("l_orderkey")
+             .aggregate([("l_orderkey", "count")]))
+        return pa.table({"key": pc.cast(g["l_orderkey"], pa.int64()),
+                         "n": pc.cast(g["l_orderkey_count"], pa.int64())})
+
+    per_order = (li.map_batches(per_key, batch_format="pyarrow",
+                                zero_copy_batch=True)
+                 .groupby("key").aggregate(_Sum("n", alias_name="n")))
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "n" not in t.column_names:
+            return pa.table({"fanout": pa.array([], type=pa.int64()),
+                             "n_orders": pa.array([], type=pa.int64())})
+        f, c = np.unique(t["n"].to_numpy(zero_copy_only=False),
+                         return_counts=True)
+        return pa.table({"fanout": pa.array(f.astype(np.int64)),
+                         "n_orders": pa.array(c.astype(np.int64))})
+
+    hist = (per_order.map_batches(hist_partial, batch_format="pyarrow")
+            .groupby("fanout").aggregate(_Sum("n_orders",
+                                              alias_name="n_orders"))
+            .to_pandas().sort_values("fanout"))
+
+    n_orders_total = _read(sf_dir, "orders", ["o_orderkey"]).count()
+    matched = int(hist["n_orders"].sum())
+    fanouts = [0] + [int(v) for v in hist["fanout"]]
+    counts = [int(n_orders_total - matched)] + \
+             [int(v) for v in hist["n_orders"]]
+    return pa.table({"fanout": pa.array(fanouts, type=pa.int64()),
+                     "n_orders": pa.array(counts, type=pa.int64())})
+
+
+JOIN_FANOUT_SQL = """
+WITH c AS (
+  SELECT o.o_orderkey,
+         CAST(count(l.l_orderkey) AS BIGINT) AS fanout
+  FROM orders o LEFT JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  GROUP BY 1
+)
+SELECT fanout, CAST(count(*) AS BIGINT) AS n_orders
+FROM c GROUP BY 1 ORDER BY 1
+"""
+
+
+def dup_cluster_size_hist(sf_dir: str,
+                          hash_tier: str = "md5") -> pa.Table:
+    """Duplicate-CLUSTER size distribution: group documents by exact
+    content and report, for each cluster size s, how many clusters and
+    documents sit in it -- the single most-quoted statistic in web-
+    corpus dedup papers ("X% of the crawl is exact-duplicate in
+    clusters of size >= k").
+
+    Scale shape: content-hash per block -> per-block (hash, n) combiner
+    -> groupby(hash) -> per-block (size, clusters, docs) combiner ->
+    groupby(size): every exchange is bounded by distinct content, then
+    by distinct sizes.  ``hash_tier="md5"`` is the oracle-replicable
+    tier; pass "fp64" for the C-vectorized 100 TB path (same dataflow).
+    """
+    from functools import partial as _partial
+    from ray.data.aggregate import Sum as _Sum
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    hashed = ds.map_batches(_partial(_content_hash_batch,
+                                     hash_tier=hash_tier),
+                            batch_format="pyarrow", zero_copy_batch=True)
+    col = "text_md5" if hash_tier == "md5" else "text_fp64"
+
+    def per_hash(t: pa.Table) -> pa.Table:
+        g = (t.select([col]).group_by(col)
+             .aggregate([([], "count_all")]))
+        return pa.table({"h": g[col],
+                         "n": pc.cast(g["count_all"], pa.int64())})
+
+    sizes = (hashed.map_batches(per_hash, batch_format="pyarrow")
+             .groupby("h").aggregate(_Sum("n", alias_name="n")))
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "n" not in t.column_names:
+            return pa.table({"cluster_size": pa.array([], type=pa.int64()),
+                             "n_clusters": pa.array([], type=pa.int64()),
+                             "n_docs": pa.array([], type=pa.int64())})
+        s, c = np.unique(t["n"].to_numpy(zero_copy_only=False),
+                         return_counts=True)
+        return pa.table({"cluster_size": pa.array(s.astype(np.int64)),
+                         "n_clusters": pa.array(c.astype(np.int64)),
+                         "n_docs": pa.array((s * c).astype(np.int64))})
+
+    out = (sizes.map_batches(hist_partial, batch_format="pyarrow")
+           .groupby("cluster_size")
+           .aggregate(_Sum("n_clusters", alias_name="n_clusters"),
+                      _Sum("n_docs", alias_name="n_docs"))
+           .to_pandas().sort_values("cluster_size"))
+    return pa.table({
+        "cluster_size": pa.array(out["cluster_size"].astype(np.int64)),
+        "n_clusters": pa.array(out["n_clusters"].astype(np.int64)),
+        "n_docs": pa.array(out["n_docs"].astype(np.int64)),
+    })
+
+
+DUP_CLUSTER_SIZE_SQL = """
+WITH c AS (
+  SELECT md5(text) AS h, CAST(count(*) AS BIGINT) AS n
+  FROM documents GROUP BY 1
+)
+SELECT n AS cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+       CAST(sum(n) AS BIGINT) AS n_docs
+FROM c GROUP BY 1 ORDER BY 1
+"""
+
+
+def source_similarity_matrix(sf_dir: str) -> pa.Table:
+    """Pairwise COSINE similarity between per-source term-frequency
+    vectors -- the "which sources say the same things" matrix a corpus
+    mixer consults before weighting.  Exact integer dot products and
+    squared norms; cos_ppm is ONE mirrored float expression
+    (dot / (sqrt(na2)*sqrt(nb2)) * 1e6, floored) so it hash-matches.
+
+    Scale shape: per-block (source, token) count partials (dictionary-
+    encode + composite np.unique, the engine's standard vocabulary
+    combiner) -> groupby(source, token) -> token co-partition, where
+    each partition builds a dense (tokens x sources) count matrix and
+    one int64 M^T @ M gives every pair's partial dot -- O(sources^2)
+    per partition, summed on the driver.  Norms ride the same matmul's
+    diagonal.  Assumes a schema-bounded source domain (DOC_SOURCES),
+    the same contract as docs_lang_source_pivot.
+    """
+    from ray.data.aggregate import Sum as _Sum
+    from ..functions.text import fingerprint64
+    from ..stages.partition import fit_partitions, partition_by
+
+    src_domain = sorted(DOC_SOURCES)
+    idx_of = {s: i for i, s in enumerate(src_domain)}
+    n_src = len(src_domain)
+
+    ds = _read(sf_dir, "documents", ["source", "text"])
+
+    def counts(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t["text"], pattern=" ")
+        flat = pc.list_flatten(toks).combine_chunks()
+        if len(flat) == 0:
+            return pa.table({"fp": pa.array([], type=pa.int64()),
+                             "src": pa.array([], type=pa.int64()),
+                             "c": pa.array([], type=pa.int64())})
+        nper = pc.list_value_length(toks).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        src = t["source"].to_numpy(zero_copy_only=False)
+        scode = np.array([idx_of[s] for s in src], dtype=np.int64)
+        tok_src = np.repeat(scode, nper)
+        fp = fingerprint64(flat).to_numpy(zero_copy_only=False)
+        # 59-bit token id so id*32+src never wraps uint64 (a full-width
+        # fp * n_src DOES wrap for "negative" int64 fps, corrupting the
+        # decode); dropping 5 hash bits keeps the same collision class.
+        tid = fp.view(np.uint64) >> np.uint64(5)
+        comp_f = tid * np.uint64(32) + tok_src.astype(np.uint64)
+        uc, cnt = np.unique(comp_f, return_counts=True)
+        return pa.table({
+            "fp": pa.array((uc >> np.uint64(5)).view(np.int64)),
+            "src": pa.array((uc & np.uint64(31)).astype(np.int64)),
+            "c": pa.array(cnt.astype(np.int64)),
+        })
+
+    vec = (ds.map_batches(counts, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby(["fp", "src"]).aggregate(_Sum("c", alias_name="c")))
+
+    empty = pa.table({"i": pa.array([], type=pa.int64()),
+                      "j": pa.array([], type=pa.int64()),
+                      "v": pa.array([], type=pa.int64())})
+
+    def gram(t: pa.Table) -> pa.Table:
+        fp = t["fp"].to_numpy(zero_copy_only=False)
+        src = t["src"].to_numpy(zero_copy_only=False)
+        c = t["c"].to_numpy(zero_copy_only=False)
+        ufp, finv = np.unique(fp, return_inverse=True)
+        m = np.zeros((len(ufp), n_src), dtype=np.int64)
+        m[finv, src] = c
+        g = m.T @ m
+        i, j = np.nonzero(g)
+        keep = i <= j
+        return pa.table({"i": pa.array(i[keep].astype(np.int64)),
+                         "j": pa.array(j[keep].astype(np.int64)),
+                         "v": pa.array(g[i[keep], j[keep]])})
+
+    parts = partition_by(vec, ["fp"], fit_partitions(16), gram, empty)
+    g = (parts.groupby(["i", "j"]).aggregate(_Sum("v", alias_name="v"))
+         .to_pandas())
+    full = np.zeros((n_src, n_src), dtype=np.int64)
+    for _, r in g.iterrows():
+        full[int(r.i), int(r.j)] = int(r.v)
+    norms2 = np.diag(full).astype(np.float64)
+    rows = {"source_a": [], "source_b": [], "dot": [],
+            "norm2_a": [], "norm2_b": [], "cos_ppm": []}
+    for a in range(n_src):
+        for b in range(a + 1, n_src):
+            dot = int(full[a, b])
+            na2, nb2 = int(full[a, a]), int(full[b, b])
+            if na2 == 0 or nb2 == 0:
+                continue  # source absent from the corpus (mirrors SQL)
+            cos = int(np.floor(float(dot)
+                               / (np.sqrt(float(na2)) * np.sqrt(float(nb2)))
+                               * 1_000_000.0))
+            rows["source_a"].append(src_domain[a])
+            rows["source_b"].append(src_domain[b])
+            rows["dot"].append(dot)
+            rows["norm2_a"].append(na2)
+            rows["norm2_b"].append(nb2)
+            rows["cos_ppm"].append(cos)
+    return pa.table({
+        "source_a": pa.array(rows["source_a"], type=pa.string()),
+        "source_b": pa.array(rows["source_b"], type=pa.string()),
+        "dot": pa.array(rows["dot"], type=pa.int64()),
+        "norm2_a": pa.array(rows["norm2_a"], type=pa.int64()),
+        "norm2_b": pa.array(rows["norm2_b"], type=pa.int64()),
+        "cos_ppm": pa.array(rows["cos_ppm"], type=pa.int64()),
+    })
+
+
+SOURCE_SIMILARITY_SQL = """
+WITH tok AS (
+  SELECT source, unnest(string_split(text, ' ')) AS t FROM documents
+), c AS (
+  SELECT source, t, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY 1, 2
+), d AS (
+  SELECT a.source AS sa, b.source AS sb,
+         CAST(sum(a.c * b.c) AS BIGINT) AS dot
+  FROM c a JOIN c b ON a.t = b.t AND a.source < b.source GROUP BY 1, 2
+), n AS (
+  SELECT source, CAST(sum(c * c) AS BIGINT) AS n2 FROM c GROUP BY 1
+), srcs AS (SELECT DISTINCT source FROM documents)
+SELECT p.sa AS source_a, p.sb AS source_b,
+       COALESCE(d.dot, 0) AS dot,
+       na.n2 AS norm2_a, nb.n2 AS norm2_b,
+       CASE WHEN na.n2 > 0 AND nb.n2 > 0 THEN
+         CAST(floor(CAST(COALESCE(d.dot, 0) AS DOUBLE)
+                    / (sqrt(CAST(na.n2 AS DOUBLE))
+                       * sqrt(CAST(nb.n2 AS DOUBLE)))
+                    * 1000000.0) AS BIGINT)
+       ELSE 0 END AS cos_ppm
+FROM (SELECT x.source AS sa, y.source AS sb
+      FROM srcs x JOIN srcs y ON x.source < y.source) p
+LEFT JOIN d ON d.sa = p.sa AND d.sb = p.sb
+JOIN n na ON na.source = p.sa
+JOIN n nb ON nb.source = p.sb
+ORDER BY 1, 2
+"""

@@ -509,3 +509,50 @@ def test_reciprocal_nn_mutual_only(ray_session, tmp_path):
     q = np.floor(np.asarray(vecs, dtype=np.float32).astype(np.float64)
                  * 1000).astype(np.int64)
     assert out["ip"] == [int((q[0] * q[1]).sum())]
+
+
+def test_levenshtein_block_matches_scalar_dp():
+    """Vectorized batch DP == the textbook scalar DP on UTF-8 bytes
+    (DuckDB semantics), including unicode and truncation."""
+    from p2pddsketch_ray.pipelines.dedup import _levenshtein_block
+
+    def scalar(a, b):
+        x, y = a.encode(), b.encode()
+        m, n = len(x), len(y)
+        dp = list(range(n + 1))
+        for i in range(1, m + 1):
+            prev, dp[0] = dp[0], i
+            for j in range(1, n + 1):
+                cur = min(dp[j] + 1, dp[j - 1] + 1,
+                          prev + (x[i - 1] != y[j - 1]))
+                prev, dp[j] = dp[j], cur
+        return dp[n]
+
+    pairs = [("kitten", "sitting"), ("", "abc"), ("abc", ""),
+             ("same", "same"), ("héllo", "hello"),
+             ("日本語テキスト", "日本語のテスト"), ("a", "b"),
+             ("doc one body", "doc two body")]
+    a = np.array([p[0] for p in pairs], dtype=object)
+    b = np.array([p[1] for p in pairs], dtype=object)
+    got = _levenshtein_block(a, b, max_bytes=80)
+    want = [scalar(x, y) for x, y in pairs]
+    assert got.tolist() == want
+
+
+def test_levenshtein_verify_pairs_blocking(ray_session, tmp_path):
+    """Only same-key successive doc_ids pair up; distances are exact."""
+    import pyarrow.parquet as pq
+    from p2pddsketch_ray.pipelines.dedup import levenshtein_verify_pairs
+    texts = ["prefix aaaaaaaaaa one", "prefix aaaaaaaaaa twx",
+             "prefix bbbbbbbbbb solo", "other cccccccccc x",
+             "other cccccccccc y"]
+    pq.write_table(pa.table({
+        "doc_id": pa.array([1, 2, 3, 4, 5], type=pa.int64()),
+        "text": pa.array(texts),
+    }), str(tmp_path / "documents.parquet"))
+    out = levenshtein_verify_pairs(str(tmp_path)).to_pydict()
+    assert out["doc_a"] == [1, 4]
+    assert out["doc_b"] == [2, 5]
+    # 20-char windows: "...aaaa on" vs "...aaaa tw" -> 2 substitutions;
+    # "other cccccccccc x" vs "...y" -> 1
+    assert out["lev"] == [2, 1]

@@ -2064,3 +2064,48 @@ def test_tokenizer_fertility_hand_computed(ray_session, tmp_path):
     assert (r.ws_tokens, r.bpe_tokens, r.n_chars) == (3, 4, 9)
     assert r.fertility_ppm == 4 * 1_000_000 // 3
     assert r.tokens_per_kchar_ppm == 4 * 1_000_000_000 // 9
+
+
+def test_join_fanout_histogram_with_zero_bucket(ray_session, tmp_path):
+    """Orders without lines land in the fanout=0 bucket."""
+    import pyarrow.parquet as pq
+    from p2pddsketch_ray.pipelines.relational import join_fanout_histogram
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([1, 2, 3, 4], type=pa.int64()),
+    }), str(tmp_path / "orders.parquet"))
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array([1, 1, 1, 2], type=pa.int64()),
+    }), str(tmp_path / "lineitem.parquet"))
+    out = join_fanout_histogram(str(tmp_path)).to_pydict()
+    got = dict(zip(out["fanout"], out["n_orders"]))
+    assert got == {0: 2, 1: 1, 3: 1}
+
+
+def test_dup_cluster_size_hist(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+    from p2pddsketch_ray.pipelines.relational import dup_cluster_size_hist
+    pq.write_table(pa.table({
+        "doc_id": pa.array([1, 2, 3, 4, 5, 6], type=pa.int64()),
+        "text": pa.array(["x", "x", "x", "y", "y", "z"]),
+    }), str(tmp_path / "documents.parquet"))
+    out = dup_cluster_size_hist(str(tmp_path)).to_pydict()
+    assert out["cluster_size"] == [1, 2, 3]
+    assert out["n_clusters"] == [1, 1, 1]
+    assert out["n_docs"] == [1, 2, 3]
+
+
+def test_source_similarity_identical_vs_disjoint(ray_session, tmp_path):
+    """Identical token vectors -> cos_ppm ~ 1e6; disjoint -> 0."""
+    import pyarrow.parquet as pq
+    import p2pddsketch_ray.pipelines.relational as R
+    pq.write_table(pa.table({
+        "source": pa.array(["src0", "src1", "src2"]),
+        "text": pa.array(["apple banana", "apple banana",
+                          "cherry date"]),
+    }), str(tmp_path / "documents.parquet"))
+    out = R.source_similarity_matrix(str(tmp_path)).to_pandas()
+    out = out.set_index(["source_a", "source_b"])
+    assert out.loc[("src0", "src1"), "cos_ppm"] in (999999, 1000000)
+    assert out.loc[("src0", "src2"), "cos_ppm"] == 0
+    assert out.loc[("src0", "src1"), "dot"] == 2
+    assert len(out) == 3  # only present sources pair up
