@@ -177,6 +177,12 @@ from p2pddsketch_ray.pipelines.relational import (  # noqa: E402
     DUP_CLUSTER_SIZE_SQL as _DUP_CLUSTER_SIZE_SQL,
     source_similarity_matrix as _source_similarity_matrix,
     SOURCE_SIMILARITY_SQL as _SOURCE_SIMILARITY_SQL,
+    pinball_eval_hourly as _pinball_eval_hourly,
+    PINBALL_EVAL_SQL as _PINBALL_EVAL_SQL,
+    postings_gap_stats as _postings_gap_stats,
+    POSTINGS_GAP_SQL as _POSTINGS_GAP_SQL,
+    changepoint_binary_split as _changepoint_binary_split,
+    CHANGEPOINT_SQL as _CHANGEPOINT_SQL,
     customer_frequency_spectrum as _customer_frequency_spectrum,
     SESSION_BOUNCE_SQL as _SESSION_BOUNCE_SQL,
     session_bounce_stats as _session_bounce_stats,
@@ -806,6 +812,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_cluster_size_hist": _dup_cluster_size_hist,
         # pairwise cosine between per-source term vectors
         "source_similarity_matrix": _source_similarity_matrix,
+        # pinball-loss evaluation of per-cell exact q90 predictors
+        "pinball_eval_hourly": _pinball_eval_hourly,
+        # inverted-index delta-gap bit-length histogram
+        "postings_gap_stats": _postings_gap_stats,
+        # binary-segmentation change-point over the hourly series
+        "changepoint_binary_split": _changepoint_binary_split,
         # out-of-order lateness vs arrival order (distributed prefix max)
         "ooo_lateness_stats": _ooo_lateness_stats,
         # last-touch attribution: conversions credited to the most
@@ -1358,6 +1370,9 @@ def oracle_sql() -> dict[str, str]:
         "join_fanout_histogram": _JOIN_FANOUT_SQL,
         "dup_cluster_size_hist": _DUP_CLUSTER_SIZE_SQL,
         "source_similarity_matrix": _SOURCE_SIMILARITY_SQL,
+        "pinball_eval_hourly": _PINBALL_EVAL_SQL,
+        "postings_gap_stats": _POSTINGS_GAP_SQL,
+        "changepoint_binary_split": _CHANGEPOINT_SQL,
         "ooo_lateness_stats": _OOO_LATENESS_SQL,
         "multimodal_resize_stats": """
 WITH grid AS (

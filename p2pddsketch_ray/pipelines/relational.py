@@ -10731,3 +10731,324 @@ JOIN n na ON na.source = p.sa
 JOIN n nb ON nb.source = p.sb
 ORDER BY 1, 2
 """
+
+
+def pinball_eval_hourly(sf_dir: str, q_num: int = 9,
+                        q_den: int = 10) -> "ray.data.Dataset":
+    """QUANTILE-FORECAST evaluation with pinball (quantile) loss: train
+    a per-(event_type, hour-of-day) q=0.9 quantile predictor on the
+    hash-split train rows, score the held-out quarter with the exact
+    pinball loss -- the loss every probabilistic-forecast benchmark
+    (M5, GEFCom) reports, and the loss the cell quantile OPTIMIZES, so
+    this doubles as a self-check of the engine's grouped exact
+    quantiles.
+
+    Integer exactness: values in cents; pinball x q_den stays integral
+    (q=9/10: 10*loss = 9*(y-p) if y>=p else (p-y)); the per-cell
+    predictor is the distributed histogram-bisection exact quantile
+    (quantiles.exact_quantiles_grouped, quantile_disc semantics), so
+    the DuckDB replica hash-matches.
+
+    Scale shape: train pass = the shared-histogram grouped quantile
+    (O(cells x bins) state, data passes bounded by bisection rounds);
+    model is an O(cells) broadcast; scoring pass streams test rows with
+    a vectorized lookup and per-type integer partials.
+    """
+    from ray.data.aggregate import Sum as _Sum
+    from ..hashing import murmur64
+    from .quantiles import exact_quantiles, exact_quantiles_grouped
+
+    q = q_num / q_den
+    ds = _read(sf_dir, "events", ["event_id", "ts", "event_type",
+                                  "value"])
+    HOUR_US = np.int64(3_600_000_000)
+
+    def featurize(t: pa.Table) -> pa.Table:
+        us = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        eid = t["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        hr = (us // HOUR_US) % np.int64(24)
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        cell = np.array([f"{e}|{h}" for e, h in zip(et, hr)],
+                        dtype=object)
+        return pa.table({
+            "is_test": pa.array(murmur64(eid) % np.uint64(4)
+                                == np.uint64(0)),
+            "event_type": t["event_type"],
+            "cell": pa.array(cell, type=pa.string()),
+            "value_c": _int_units(t["value"], 100),
+        })
+
+    feats = ds.map_batches(featurize, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    train = feats.map_batches(
+        lambda t: t.filter(pc.invert(t["is_test"])),
+        batch_format="pyarrow")
+    model_t = exact_quantiles_grouped(train, "value_c", "cell", [q])
+    fallback = int(exact_quantiles(train, "value_c", [q])["value"][0]
+                   .as_py())
+    cells = model_t["cell"].to_pylist()
+    preds = [int(v) for v in model_t["value"].to_pylist()]
+    model_ref = ray.put((dict(zip(cells, preds)), fallback))
+
+    empty = pa.table({"event_type": pa.array([], type=pa.string()),
+                      "n_test": pa.array([], type=pa.int64()),
+                      "pinball_x10": pa.array([], type=pa.int64())})
+
+    def score(t: pa.Table) -> pa.Table:
+        t = t.filter(t["is_test"])
+        if t.num_rows == 0:
+            return empty
+        model, fb = ray.get(model_ref)
+        cell = t["cell"].to_numpy(zero_copy_only=False)
+        y = t["value_c"].to_numpy(zero_copy_only=False)
+        p = np.array([model.get(c, fb) for c in cell], dtype=np.int64)
+        diff = y - p
+        loss = np.where(diff >= 0, q_num * diff, (q_den - q_num) * -diff)
+        staged = pa.table({
+            "event_type": t["event_type"],
+            "one": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+            "loss": pa.array(loss.astype(np.int64)),
+        })
+        g = staged.group_by("event_type").aggregate(
+            [("one", "sum"), ("loss", "sum")])
+        return pa.table({
+            "event_type": g["event_type"],
+            "n_test": pc.cast(g["one_sum"], pa.int64()),
+            "pinball_x10": pc.cast(g["loss_sum"], pa.int64()),
+        })
+
+    return (feats.map_batches(score, batch_format="pyarrow")
+            .groupby("event_type")
+            .aggregate(_Sum("n_test", alias_name="n_test"),
+                       _Sum("pinball_x10", alias_name="pinball_x10")))
+
+
+PINBALL_EVAL_SQL = """
+WITH f AS (
+  SELECT event_type,
+         (CAST(epoch_us(ts) AS BIGINT) // 3600000000) % 24 AS hr,
+         CAST(round(value * 100) AS BIGINT) AS vc,
+         (hash(event_id) % 4 = 0) AS is_test
+  FROM events
+), m AS (
+  SELECT event_type, hr, quantile_disc(vc, 0.9) AS p
+  FROM f WHERE NOT is_test GROUP BY 1, 2
+), g AS (
+  SELECT quantile_disc(vc, 0.9) AS p FROM f WHERE NOT is_test
+), t AS (
+  SELECT f.event_type, f.vc, COALESCE(m.p, g.p) AS p
+  FROM f LEFT JOIN m ON m.event_type = f.event_type AND m.hr = f.hr
+  CROSS JOIN g
+  WHERE f.is_test
+)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_test,
+       CAST(sum(CASE WHEN vc >= p THEN 9 * (vc - p)
+                     ELSE p - vc END) AS BIGINT) AS pinball_x10
+FROM t GROUP BY 1
+"""
+
+
+def postings_gap_stats(sf_dir: str) -> pa.Table:
+    """Inverted-index COMPRESSIBILITY profile: for every token's sorted
+    doc_id postings list, the delta gaps between consecutive postings,
+    histogrammed by bit length -- exactly the statistic that predicts
+    the size of a varbyte/PForDelta-compressed index, computed without
+    ever building one.
+
+    Scale shape: per-batch DISTINCT (token-fingerprint, doc_id)
+    combiner -> groupby to finish the dedup -> token co-partition,
+    where a single lexsort + masked diff produces every gap in the
+    partition at once (no per-token loop) and np.frexp gives exact
+    integer bit lengths; the final exchange is <= 64 rows.  Token
+    identity by 64-bit fingerprint (same collision class the
+    oracle-green source_vocab_overlap accepts).
+    """
+    from ray.data.aggregate import Sum as _Sum
+    from ..functions.text import fingerprint64
+    from ..stages.partition import fit_partitions, partition_by
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def pairs(t: pa.Table) -> pa.Table:
+        import re
+        txt = pc.utf8_lower(t["text"])
+        # pyarrow has no extract_all kernel, so tokenization runs the
+        # compiled C regex per document (bounded by batch row count;
+        # everything downstream of extraction is numpy).
+        pat = re.compile(r"[a-z0-9]+")
+        texts = txt.to_numpy(zero_copy_only=False)
+        doc = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        all_toks: list[str] = []
+        all_docs: list[np.ndarray] = []
+        for i, s in enumerate(texts):
+            ts_ = pat.findall(s) if s is not None else []
+            if ts_:
+                all_toks.extend(ts_)
+                all_docs.append(np.full(len(ts_), doc[i],
+                                        dtype=np.int64))
+        if not all_toks:
+            return pa.table({"fp": pa.array([], type=pa.int64()),
+                             "doc_id": pa.array([], type=pa.int64())})
+        fp = fingerprint64(pa.array(all_toks, type=pa.string())) \
+            .to_numpy(zero_copy_only=False)
+        dids = np.concatenate(all_docs)
+        comp = np.stack([fp, dids], axis=1)
+        uniq = np.unique(comp, axis=0)
+        return pa.table({"fp": pa.array(uniq[:, 0]),
+                         "doc_id": pa.array(uniq[:, 1])})
+
+    postings = (ds.map_batches(pairs, batch_format="pyarrow",
+                               zero_copy_batch=True)
+                .groupby(["fp", "doc_id"])
+                .aggregate(Count(alias_name="_x")))
+
+    empty = pa.table({"bitlen": pa.array([], type=pa.int64()),
+                      "n_gaps": pa.array([], type=pa.int64()),
+                      "sum_gaps": pa.array([], type=pa.int64())})
+
+    def gaps(t: pa.Table) -> pa.Table:
+        fp = t["fp"].to_numpy(zero_copy_only=False)
+        doc = t["doc_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((doc, fp))
+        fp, doc = fp[order], doc[order]
+        same = fp[1:] == fp[:-1]
+        gap = (doc[1:] - doc[:-1])[same]
+        if len(gap) == 0:
+            return empty
+        bl = np.frexp(gap.astype(np.float64))[1].astype(np.int64)
+        ub, cnt = np.unique(bl, return_counts=True)
+        sums = np.zeros(len(ub), dtype=np.int64)
+        np.add.at(sums, np.searchsorted(ub, bl), gap)
+        return pa.table({"bitlen": pa.array(ub),
+                         "n_gaps": pa.array(cnt.astype(np.int64)),
+                         "sum_gaps": pa.array(sums)})
+
+    out = partition_by(postings, ["fp"], fit_partitions(16), gaps, empty)
+    res = (out.groupby("bitlen")
+           .aggregate(_Sum("n_gaps", alias_name="n_gaps"),
+                      _Sum("sum_gaps", alias_name="sum_gaps"))
+           .to_pandas().sort_values("bitlen"))
+    return pa.table({
+        "bitlen": pa.array(res["bitlen"].astype(np.int64)),
+        "n_gaps": pa.array(res["n_gaps"].astype(np.int64)),
+        "sum_gaps": pa.array(res["sum_gaps"].astype(np.int64)),
+    })
+
+
+_BITS_VALUES = ",".join(f"({n},{1 << (n - 1)},{(1 << n) - 1})"
+                        for n in range(1, 41))
+
+POSTINGS_GAP_SQL = f"""
+WITH tok AS (
+  SELECT DISTINCT t, doc_id FROM (
+    SELECT doc_id,
+           unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t
+    FROM documents)
+), g AS (
+  SELECT doc_id - lag(doc_id) OVER (PARTITION BY t ORDER BY doc_id)
+           AS gap
+  FROM tok
+), bits(n, lo, hi) AS (VALUES {_BITS_VALUES})
+SELECT CAST(b.n AS BIGINT) AS bitlen,
+       CAST(count(*) AS BIGINT) AS n_gaps,
+       CAST(sum(gap) AS BIGINT) AS sum_gaps
+FROM g JOIN bits b ON g.gap BETWEEN b.lo AND b.hi
+WHERE gap IS NOT NULL
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def changepoint_binary_split(sf_dir: str) -> pa.Table:
+    """CHANGE-POINT detection, binary-segmentation style: over the
+    hourly mean-value series, find the hour boundary whose split most
+    reduces the sum of squared errors (the CUSUM-of-squares gain
+    s1^2/n1 + s2^2/n2 - S^2/N) -- one exact step of the classic binary
+    segmentation / PELT family, evaluated over per-hour event totals.
+
+    Determinism: hourly sums are exact integer cents; every candidate
+    gain is the SAME double expression over the same integers in numpy
+    and DuckDB, and the argmax tie-breaks on the hour, so both engines
+    pick the identical split.
+
+    Scale shape: one per-(hour) integer combiner + groupby (hour
+    cardinality-bounded); the gain scan is driver math over the hourly
+    series, O(hours).
+    """
+    from ray.data.aggregate import Sum as _Sum
+
+    ds = _read(sf_dir, "events", ["ts", "value"])
+    HOUR_US = np.int64(3_600_000_000)
+
+    def hourly(t: pa.Table) -> pa.Table:
+        us = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        staged = pa.table({"hour": pa.array(us // HOUR_US),
+                           "vc": _int_units(t["value"], 100)})
+        g = staged.group_by("hour").aggregate([("vc", "sum"),
+                                               ("vc", "count")])
+        return pa.table({"hour": g["hour"],
+                         "s": pc.cast(g["vc_sum"], pa.int64()),
+                         "n": pc.cast(g["vc_count"], pa.int64())})
+
+    h = (ds.map_batches(hourly, batch_format="pyarrow",
+                        zero_copy_batch=True)
+         .groupby("hour").aggregate(_Sum("s", alias_name="s"),
+                                    _Sum("n", alias_name="n"))
+         .to_pandas().sort_values("hour").reset_index(drop=True))
+    s = h["s"].to_numpy(dtype=np.int64)
+    n = h["n"].to_numpy(dtype=np.int64)
+    hours = h["hour"].to_numpy(dtype=np.int64)
+    cs = np.cumsum(s, dtype=np.int64)
+    cn = np.cumsum(n, dtype=np.int64)
+    S, N = float(cs[-1]), float(cn[-1])
+    # candidate split AFTER hour index i (both sides non-empty)
+    s1 = cs[:-1].astype(np.float64)
+    n1 = cn[:-1].astype(np.float64)
+    gain = (s1 * s1 / n1 + (S - s1) * (S - s1) / (N - n1) - S * S / N)
+    best = int(np.argmax(gain))          # first max = smallest hour
+    return pa.table({
+        "split_hour": pa.array([int(hours[best])], type=pa.int64()),
+        "gain_floor": pa.array([int(np.floor(gain[best]))],
+                               type=pa.int64()),
+        "s1": pa.array([int(cs[best])], type=pa.int64()),
+        "n1": pa.array([int(cn[best])], type=pa.int64()),
+        "s2": pa.array([int(cs[-1] - cs[best])], type=pa.int64()),
+        "n2": pa.array([int(cn[-1] - cn[best])], type=pa.int64()),
+    })
+
+
+CHANGEPOINT_SQL = """
+WITH h AS (
+  SELECT CAST(epoch_us(ts) AS BIGINT) // 3600000000 AS hour,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS s,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1
+), c AS (
+  SELECT hour,
+         CAST(sum(s) OVER w AS BIGINT) AS cs,
+         CAST(sum(n) OVER w AS BIGINT) AS cn
+  FROM h WINDOW w AS (ORDER BY hour
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), tot AS (
+  SELECT CAST(sum(s) AS BIGINT) AS ts_, CAST(sum(n) AS BIGINT) AS tn
+  FROM h
+), gains AS (
+  SELECT c.hour, c.cs, c.cn,
+         (CAST(c.cs AS DOUBLE) * CAST(c.cs AS DOUBLE)
+            / CAST(c.cn AS DOUBLE)
+          + (CAST(tot.ts_ AS DOUBLE) - CAST(c.cs AS DOUBLE))
+            * (CAST(tot.ts_ AS DOUBLE) - CAST(c.cs AS DOUBLE))
+            / (CAST(tot.tn AS DOUBLE) - CAST(c.cn AS DOUBLE))
+          - CAST(tot.ts_ AS DOUBLE) * CAST(tot.ts_ AS DOUBLE)
+            / CAST(tot.tn AS DOUBLE)) AS gain
+  FROM c CROSS JOIN tot
+  WHERE c.cn < tot.tn
+)
+SELECT hour AS split_hour,
+       CAST(floor(gain) AS BIGINT) AS gain_floor,
+       cs AS s1, cn AS n1,
+       CAST((SELECT ts_ FROM tot) - cs AS BIGINT) AS s2,
+       CAST((SELECT tn FROM tot) - cn AS BIGINT) AS n2
+FROM gains
+ORDER BY gain DESC, hour ASC
+LIMIT 1
+"""

@@ -2109,3 +2109,72 @@ def test_source_similarity_identical_vs_disjoint(ray_session, tmp_path):
     assert out.loc[("src0", "src2"), "cos_ppm"] == 0
     assert out.loc[("src0", "src1"), "dot"] == 2
     assert len(out) == 3  # only present sources pair up
+
+
+def test_pinball_q90_optimality(ray_session, tmp_path):
+    """The per-cell q90 predictor must not lose to a mean predictor on
+    pinball(0.9) over a skewed cell -- sanity of the loss wiring; and
+    the loss equals the hand-computed value on a tiny fixture."""
+    import pyarrow.parquet as pq
+    from p2pddsketch_ray.pipelines.relational import pinball_eval_hourly
+    from p2pddsketch_ray.hashing import murmur64
+    # values all in one (type, hour) cell; ts fixed
+    n = 40
+    eids = np.arange(n, dtype=np.int64)
+    vals = np.where(np.arange(n) % 10 == 0, 100.0, 1.0)
+    pq.write_table(pa.table({
+        "event_id": pa.array(eids),
+        "ts": pa.array(np.zeros(n, dtype=np.int64)).cast(
+            pa.timestamp("us")),
+        "user_id": pa.array(eids),
+        "event_type": pa.array(["t"] * n),
+        "value": pa.array(vals),
+        "props": pa.array([""] * n),
+    }), str(tmp_path / "events.parquet"))
+    out = pinball_eval_hourly(str(tmp_path)).to_pandas()
+    out = {k: list(out[k]) for k in out.columns}
+    assert out["event_type"] == ["t"]
+    is_test = (murmur64(eids) % np.uint64(4) == np.uint64(0))
+    train_c = np.round(vals[~is_test] * 100).astype(np.int64)
+    test_c = np.round(vals[is_test] * 100).astype(np.int64)
+    # quantile_disc 0.9: element at 0-based rank ceil(0.9*n)-1
+    srt = np.sort(train_c)
+    p = srt[max(0, int(np.ceil(0.9 * len(srt))) - 1)]
+    diff = test_c - p
+    loss = np.where(diff >= 0, 9 * diff, -diff).sum()
+    assert out["n_test"] == [int(is_test.sum())]
+    assert out["pinball_x10"] == [int(loss)]
+
+
+def test_postings_gaps_hand_case(ray_session, tmp_path):
+    """token 'a' in docs 1,2,4 -> gaps 1 (bitlen 1) and 2 (bitlen 2);
+    duplicate occurrences inside one doc collapse."""
+    import pyarrow.parquet as pq
+    from p2pddsketch_ray.pipelines.relational import postings_gap_stats
+    pq.write_table(pa.table({
+        "doc_id": pa.array([1, 2, 4], type=pa.int64()),
+        "text": pa.array(["a a x", "a", "a y"]),
+    }), str(tmp_path / "documents.parquet"))
+    out = postings_gap_stats(str(tmp_path)).to_pydict()
+    got = {b: (n, s) for b, n, s in zip(out["bitlen"], out["n_gaps"],
+                                        out["sum_gaps"])}
+    assert got[1] == (1, 1)   # gap 1->2
+    assert got[2] == (1, 2)   # gap 2->4
+
+
+def test_changepoint_finds_level_shift(ray_session, tmp_path):
+    """A clean level shift at hour 5 is found exactly."""
+    import pyarrow.parquet as pq
+    from p2pddsketch_ray.pipelines.relational import (
+        changepoint_binary_split)
+    HOUR_US = 3_600_000_000
+    hours = np.repeat(np.arange(10, dtype=np.int64), 20)
+    vals = np.where(hours < 5, 10.0, 50.0)
+    ts = hours * HOUR_US + np.arange(len(hours)) % 20
+    pq.write_table(pa.table({
+        "ts": pa.array(ts).cast(pa.timestamp("us")),
+        "value": pa.array(vals),
+    }), str(tmp_path / "events.parquet"))
+    out = changepoint_binary_split(str(tmp_path)).to_pydict()
+    assert out["split_hour"] == [4]   # split AFTER hour 4
+    assert out["n1"] == [100] and out["n2"] == [100]
