@@ -60,7 +60,9 @@ from p2pddsketch_ray.pipelines.temporal import (  # noqa: E402
     PROPS_VOCAB_DRIFT_SQL as _PROPS_VOCAB_DRIFT_SQL,
     props_vocab_drift as _props_vocab_drift,
     ooo_lateness_stats as _ooo_lateness_stats,
-    OOO_LATENESS_SQL as _OOO_LATENESS_SQL)
+    OOO_LATENESS_SQL as _OOO_LATENESS_SQL,
+    markov_next_accuracy as _markov_next_accuracy,
+    MARKOV_NEXT_ACC_SQL as _MARKOV_NEXT_ACC_SQL)
 from p2pddsketch_ray.pipelines.quantiles import (  # noqa: E402
     WEIGHTED_MEDIAN_SQL as _WEIGHTED_MEDIAN_SQL)
 from p2pddsketch_ray.pipelines.approx import (  # noqa: E402
@@ -183,6 +185,10 @@ from p2pddsketch_ray.pipelines.relational import (  # noqa: E402
     POSTINGS_GAP_SQL as _POSTINGS_GAP_SQL,
     changepoint_binary_split as _changepoint_binary_split,
     CHANGEPOINT_SQL as _CHANGEPOINT_SQL,
+    association_rules as _association_rules,
+    ASSOCIATION_RULES_SQL as _ASSOCIATION_RULES_SQL,
+    length_quality_corr as _length_quality_corr,
+    LENGTH_QUALITY_CORR_SQL as _LENGTH_QUALITY_CORR_SQL,
     customer_frequency_spectrum as _customer_frequency_spectrum,
     SESSION_BOUNCE_SQL as _SESSION_BOUNCE_SQL,
     session_bounce_stats as _session_bounce_stats,
@@ -818,6 +824,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "postings_gap_stats": _postings_gap_stats,
         # binary-segmentation change-point over the hourly series
         "changepoint_binary_split": _changepoint_binary_split,
+        # market-basket association rules from user-type bitmasks
+        "association_rules": _association_rules,
+        # Pearson corr of chars vs tokens from exact integer moments
+        "length_quality_corr": _length_quality_corr,
+        # Markov next-event baseline accuracy per previous type
+        "markov_next_accuracy": _markov_next_accuracy,
         # out-of-order lateness vs arrival order (distributed prefix max)
         "ooo_lateness_stats": _ooo_lateness_stats,
         # last-touch attribution: conversions credited to the most
@@ -1373,6 +1385,9 @@ def oracle_sql() -> dict[str, str]:
         "pinball_eval_hourly": _PINBALL_EVAL_SQL,
         "postings_gap_stats": _POSTINGS_GAP_SQL,
         "changepoint_binary_split": _CHANGEPOINT_SQL,
+        "association_rules": _ASSOCIATION_RULES_SQL,
+        "length_quality_corr": _LENGTH_QUALITY_CORR_SQL,
+        "markov_next_accuracy": _MARKOV_NEXT_ACC_SQL,
         "ooo_lateness_stats": _OOO_LATENESS_SQL,
         "multimodal_resize_stats": """
 WITH grid AS (

@@ -11052,3 +11052,204 @@ FROM gains
 ORDER BY gain DESC, hour ASC
 LIMIT 1
 """
+
+
+def association_rules(sf_dir: str) -> pa.Table:
+    """ASSOCIATION RULES over per-user event-type baskets: for every
+    ordered type pair X -> Y, the user supports (n_X, n_Y, n_both),
+    confidence = P(Y|X) in ppm, and lift (confidence relative to
+    P(Y), milli-scaled) -- market-basket analytics on behavioral data.
+
+    Scale shape: the basket universe collapses to a BITMASK per user
+    (event-type domain is a schema contract, <= 64 types): per-block
+    (user, mask) OR-partials -> groupby(user) bitwise fold -> a mask
+    HISTOGRAM (<= 2^|types| rows, tiny) from which every rule's
+    supports are exact sums -- no pair shuffle at all.  Integer ops
+    mirror the SQL exactly, including the two-step lift division.
+    """
+    from ray.data.aggregate import Sum as _Sum
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    # event-type domain: deterministic, data-derived, tiny
+    types = sorted(
+        _read(sf_dir, "events", ["event_type"]).unique("event_type"))
+    bit_of = {t: i for i, t in enumerate(types)}
+
+    def masks(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        bits = np.array([np.int64(1) << bit_of[x] for x in et],
+                        dtype=np.int64)
+        uu, inv = np.unique(uid, return_inverse=True)
+        m = np.zeros(len(uu), dtype=np.int64)
+        np.bitwise_or.at(m, inv, bits)
+        return pa.table({"user_id": pa.array(uu.astype(np.int64)),
+                         "mask": pa.array(m)})
+
+    # groupby has no bitwise-or aggregate, so the per-user OR folds
+    # inside one user co-partition (all of a user's block-partial masks
+    # meet in one partition) before the tiny mask histogram.
+    from ..stages.partition import fit_partitions, partition_by
+
+    empty = pa.table({"mask": pa.array([], type=pa.int64()),
+                      "n_users": pa.array([], type=pa.int64())})
+
+    def fold_masks(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        m = t["mask"].to_numpy(zero_copy_only=False)
+        uu, inv = np.unique(uid, return_inverse=True)
+        fm = np.zeros(len(uu), dtype=np.int64)
+        np.bitwise_or.at(fm, inv, m)
+        um, cnt = np.unique(fm, return_counts=True)
+        return pa.table({"mask": pa.array(um),
+                         "n_users": pa.array(cnt.astype(np.int64))})
+
+    hist = (partition_by(
+        ds.map_batches(masks, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["user_id"], fit_partitions(32), fold_masks, empty)
+        .groupby("mask").aggregate(_Sum("n_users", alias_name="n_users"))
+        .to_pandas())
+    mask_v = hist["mask"].to_numpy(dtype=np.int64)
+    cnt_v = hist["n_users"].to_numpy(dtype=np.int64)
+    total = int(cnt_v.sum())
+
+    rows = []
+    for xi, x in enumerate(types):
+        has_x = (mask_v >> xi) & 1 == 1
+        n_x = int(cnt_v[has_x].sum())
+        if n_x == 0:
+            continue
+        for yi, y in enumerate(types):
+            if yi == xi:
+                continue
+            has_y = (mask_v >> yi) & 1 == 1
+            n_y = int(cnt_v[has_y].sum())
+            n_both = int(cnt_v[has_x & has_y].sum())
+            conf_ppm = n_both * 1_000_000 // n_x
+            lift_milli = conf_ppm * total // n_y // 1000
+            rows.append((x, y, n_x, n_y, n_both, conf_ppm, lift_milli))
+    rows.sort(key=lambda r: (r[0], r[1]))
+    return pa.table({
+        "antecedent": pa.array([r[0] for r in rows], type=pa.string()),
+        "consequent": pa.array([r[1] for r in rows], type=pa.string()),
+        "n_x": pa.array([r[2] for r in rows], type=pa.int64()),
+        "n_y": pa.array([r[3] for r in rows], type=pa.int64()),
+        "n_both": pa.array([r[4] for r in rows], type=pa.int64()),
+        "conf_ppm": pa.array([r[5] for r in rows], type=pa.int64()),
+        "lift_milli": pa.array([r[6] for r in rows], type=pa.int64()),
+    })
+
+
+ASSOCIATION_RULES_SQL = """
+WITH b AS (SELECT DISTINCT user_id, event_type FROM events),
+n AS (SELECT event_type, CAST(count(*) AS BIGINT) AS nu
+      FROM b GROUP BY 1),
+tot AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n FROM events),
+pairb AS (
+  SELECT a.event_type AS x, c.event_type AS y,
+         CAST(count(*) AS BIGINT) AS nb
+  FROM b a JOIN b c ON a.user_id = c.user_id
+                   AND a.event_type <> c.event_type
+  GROUP BY 1, 2
+)
+SELECT nx.event_type AS antecedent, ny.event_type AS consequent,
+       nx.nu AS n_x, ny.nu AS n_y, COALESCE(pairb.nb, 0) AS n_both,
+       CAST(COALESCE(pairb.nb, 0) * 1000000 // nx.nu AS BIGINT)
+         AS conf_ppm,
+       CAST(COALESCE(pairb.nb, 0) * 1000000 // nx.nu * tot.n // ny.nu
+            // 1000 AS BIGINT) AS lift_milli
+FROM n nx JOIN n ny ON nx.event_type <> ny.event_type
+LEFT JOIN pairb ON pairb.x = nx.event_type AND pairb.y = ny.event_type
+CROSS JOIN tot
+ORDER BY 1, 2
+"""
+
+
+def length_quality_corr(sf_dir: str) -> pa.Table:
+    """Pearson CORRELATION between document length (chars) and token
+    count, per language, from exact integer moment sums (n, Sx, Sy,
+    Sxy, Sxx, Syy) -- the canonical "are these two quality signals
+    redundant" check, distributed as one in-batch moment combiner plus
+    a langs-cardinality groupby.  corr_ppm is one mirrored double
+    expression over the exact integer moments.
+    """
+    from ray.data.aggregate import Sum as _Sum
+    from ..functions.text import token_count
+
+    ds = _read(sf_dir, "documents", ["lang", "text", "n_chars"])
+
+    def moments(t: pa.Table) -> pa.Table:
+        x = pc.cast(t["n_chars"], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        y = token_count(t["text"]).to_numpy(zero_copy_only=False)
+        staged = pa.table({
+            "lang": t["lang"],
+            "one": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+            "sx": pa.array(x), "sy": pa.array(y),
+            "sxy": pa.array(x * y), "sxx": pa.array(x * x),
+            "syy": pa.array(y * y),
+        })
+        g = staged.group_by("lang").aggregate(
+            [("one", "sum"), ("sx", "sum"), ("sy", "sum"),
+             ("sxy", "sum"), ("sxx", "sum"), ("syy", "sum")])
+        return pa.table({"lang": g["lang"],
+                         "n": pc.cast(g["one_sum"], pa.int64()),
+                         "sx": pc.cast(g["sx_sum"], pa.int64()),
+                         "sy": pc.cast(g["sy_sum"], pa.int64()),
+                         "sxy": pc.cast(g["sxy_sum"], pa.int64()),
+                         "sxx": pc.cast(g["sxx_sum"], pa.int64()),
+                         "syy": pc.cast(g["syy_sum"], pa.int64())})
+
+    agg = (ds.map_batches(moments, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("lang")
+           .aggregate(_Sum("n", alias_name="n"),
+                      _Sum("sx", alias_name="sx"),
+                      _Sum("sy", alias_name="sy"),
+                      _Sum("sxy", alias_name="sxy"),
+                      _Sum("sxx", alias_name="sxx"),
+                      _Sum("syy", alias_name="syy"))
+           .to_pandas().sort_values("lang").reset_index(drop=True))
+    n = agg["n"].to_numpy(np.float64)
+    sx = agg["sx"].to_numpy(np.float64)
+    sy = agg["sy"].to_numpy(np.float64)
+    sxy = agg["sxy"].to_numpy(np.float64)
+    sxx = agg["sxx"].to_numpy(np.float64)
+    syy = agg["syy"].to_numpy(np.float64)
+    corr = np.floor((n * sxy - sx * sy)
+                    / (np.sqrt(n * sxx - sx * sx)
+                       * np.sqrt(n * syy - sy * sy))
+                    * 1_000_000.0).astype(np.int64)
+    return pa.table({
+        "lang": pa.array(agg["lang"], type=pa.string()),
+        "n_docs": pa.array(agg["n"].astype(np.int64)),
+        "corr_ppm": pa.array(corr),
+    })
+
+
+LENGTH_QUALITY_CORR_SQL = """
+WITH m AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(n_chars) AS BIGINT) AS sx,
+         CAST(sum(length(regexp_extract_all(text, '[A-Za-z0-9]+')))
+              AS BIGINT) AS sy,
+         CAST(sum(n_chars
+                  * length(regexp_extract_all(text, '[A-Za-z0-9]+')))
+              AS BIGINT) AS sxy,
+         CAST(sum(n_chars * n_chars) AS BIGINT) AS sxx,
+         CAST(sum(length(regexp_extract_all(text, '[A-Za-z0-9]+'))
+                  * length(regexp_extract_all(text, '[A-Za-z0-9]+')))
+              AS BIGINT) AS syy
+  FROM documents GROUP BY 1)
+SELECT lang, n AS n_docs,
+       CAST(floor((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                  / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                     * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                            - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+                  * 1000000.0) AS BIGINT) AS corr_ppm
+FROM m ORDER BY lang
+"""

@@ -2391,3 +2391,66 @@ SELECT event_type,
             AS BIGINT) AS max_late_us
 FROM w GROUP BY 1
 """
+
+
+def markov_next_accuracy(sf_dir: str) -> pa.Table:
+    """NEXT-EVENT prediction accuracy of the first-order Markov
+    baseline: per previous type, predict the most frequent successor
+    (count desc, alphabetical tie-break) and report how often the
+    stream actually follows it -- the sanity yardstick every sequence
+    model must beat.
+
+    Derivation trick: accuracy is computable from the transition-count
+    table ALONE (n_correct(prev) = the argmax cell's count), so this
+    reuses the transition pipeline's user-co-partition pair kernel and
+    adds only O(types^2) driver math -- no second data pass, no model
+    broadcast, no scoring scan.
+    """
+    counts = event_transition_matrix(sf_dir).to_pandas()
+    rows = []
+    for ft, grp in counts.groupby("from_type"):
+        grp = grp.sort_values(["n", "to_type"],
+                              ascending=[False, True])
+        best = grp.iloc[0]
+        n_pairs = int(grp["n"].sum())
+        rows.append({"from_type": str(ft),
+                     "predicted": str(best["to_type"]),
+                     "n_pairs": n_pairs,
+                     "n_correct": int(best["n"]),
+                     "acc_ppm": int(best["n"]) * 1_000_000 // n_pairs})
+    rows.sort(key=lambda r: r["from_type"])
+    return pa.table({
+        "from_type": pa.array([r["from_type"] for r in rows],
+                              type=pa.string()),
+        "predicted": pa.array([r["predicted"] for r in rows],
+                              type=pa.string()),
+        "n_pairs": pa.array([r["n_pairs"] for r in rows],
+                            type=pa.int64()),
+        "n_correct": pa.array([r["n_correct"] for r in rows],
+                              type=pa.int64()),
+        "acc_ppm": pa.array([r["acc_ppm"] for r in rows],
+                            type=pa.int64()),
+    })
+
+
+MARKOV_NEXT_ACC_SQL = """
+WITH w AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev
+  FROM events
+), p AS (
+  SELECT prev AS from_type, event_type AS to_type,
+         CAST(count(*) AS BIGINT) AS n
+  FROM w WHERE prev IS NOT NULL GROUP BY 1, 2
+), r AS (
+  SELECT from_type, to_type, n,
+         row_number() OVER (PARTITION BY from_type
+                            ORDER BY n DESC, to_type ASC) AS rn,
+         CAST(sum(n) OVER (PARTITION BY from_type) AS BIGINT) AS np
+  FROM p
+)
+SELECT from_type, to_type AS predicted, np AS n_pairs,
+       n AS n_correct, CAST(n * 1000000 // np AS BIGINT) AS acc_ppm
+FROM r WHERE rn = 1 ORDER BY from_type
+"""

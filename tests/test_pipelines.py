@@ -2178,3 +2178,60 @@ def test_changepoint_finds_level_shift(ray_session, tmp_path):
     out = changepoint_binary_split(str(tmp_path)).to_pydict()
     assert out["split_hour"] == [4]   # split AFTER hour 4
     assert out["n1"] == [100] and out["n2"] == [100]
+
+
+def test_association_rules_hand_case(ray_session, tmp_path):
+    """users: {a,b}, {a}, {b} -> conf(a->b)=1/2, lift = conf/P(b) =
+    (1/2)/(2/3) = 0.75."""
+    import pyarrow.parquet as pq
+    from p2pddsketch_ray.pipelines.relational import association_rules
+    pq.write_table(pa.table({
+        "user_id": pa.array([1, 1, 2, 3], type=pa.int64()),
+        "event_type": pa.array(["a", "b", "a", "b"]),
+    }), str(tmp_path / "events.parquet"))
+    out = association_rules(str(tmp_path)).to_pandas()
+    out = out.set_index(["antecedent", "consequent"])
+    r = out.loc[("a", "b")]
+    assert (r.n_x, r.n_y, r.n_both) == (2, 2, 1)
+    assert r.conf_ppm == 500_000
+    assert r.lift_milli == 500_000 * 3 // 2 // 1000  # 750
+
+
+def test_markov_next_accuracy_hand_case(ray_session, tmp_path):
+    """Stream a->b, a->b, a->c for one user: prediction for 'a' is 'b'
+    with 2/3 accuracy."""
+    import pyarrow.parquet as pq
+    from p2pddsketch_ray.pipelines.temporal import markov_next_accuracy
+    seq = ["a", "b", "a", "b", "a", "c"]
+    n = len(seq)
+    pq.write_table(pa.table({
+        "event_id": pa.array(np.arange(n, dtype=np.int64)),
+        "ts": pa.array(np.arange(n, dtype=np.int64) * 1000).cast(
+            pa.timestamp("us")),
+        "user_id": pa.array(np.ones(n, dtype=np.int64)),
+        "event_type": pa.array(seq),
+        "value": pa.array(np.zeros(n)),
+        "props": pa.array([""] * n),
+    }), str(tmp_path / "events.parquet"))
+    out = markov_next_accuracy(str(tmp_path)).to_pandas()
+    out = out.set_index("from_type")
+    # transitions: a->b (x2), b->a (x2), a->c (x1)
+    assert out.loc["a", "predicted"] == "b"
+    assert out.loc["a", "n_pairs"] == 3
+    assert out.loc["a", "n_correct"] == 2
+    assert out.loc["a", "acc_ppm"] == 2 * 1_000_000 // 3
+
+
+def test_length_quality_corr_perfect(ray_session, tmp_path):
+    """Token count proportional to n_chars -> corr_ppm ~ 1e6."""
+    import pyarrow.parquet as pq
+    from p2pddsketch_ray.pipelines.relational import length_quality_corr
+    texts = ["a b", "a b c d", "a b c d e f"]
+    pq.write_table(pa.table({
+        "lang": pa.array(["x"] * 3),
+        "text": pa.array(texts),
+        "n_chars": pa.array([2, 4, 6], type=pa.int64()),
+    }), str(tmp_path / "documents.parquet"))
+    out = length_quality_corr(str(tmp_path)).to_pydict()
+    assert out["lang"] == ["x"]
+    assert out["corr_ppm"][0] in (999999, 1000000)
