@@ -68,7 +68,11 @@ from p2pddsketch_ray.pipelines.quantiles import (  # noqa: E402
 from p2pddsketch_ray.pipelines.approx import (  # noqa: E402
     MG_HEAVY_USERS_SQL as _MG_HEAVY_USERS_SQL,
     JOIN_SIZE_ESTIMATE_SQL as _JOIN_SIZE_ESTIMATE_SQL,
-    join_size_estimate as _join_size_estimate)
+    join_size_estimate as _join_size_estimate,
+    bloom_fpr_audit as _bloom_fpr_audit,
+    BLOOM_FPR_SQL as _BLOOM_FPR_SQL,
+    cms_error_report as _cms_error_report,
+    CMS_ERROR_SQL as _CMS_ERROR_SQL)
 from p2pddsketch_ray.pipelines.relational import (  # noqa: E402
     REPETITION_STATS_SQL as _REPETITION_STATS_SQL,
     TOKEN_EXPLODE_SQL as _TOKEN_EXPLODE_SQL,
@@ -189,6 +193,10 @@ from p2pddsketch_ray.pipelines.relational import (  # noqa: E402
     ASSOCIATION_RULES_SQL as _ASSOCIATION_RULES_SQL,
     length_quality_corr as _length_quality_corr,
     LENGTH_QUALITY_CORR_SQL as _LENGTH_QUALITY_CORR_SQL,
+    value_quantile_bands_hourly as _value_quantile_bands_hourly,
+    QUANTILE_BANDS_HOURLY_SQL as _QUANTILE_BANDS_HOURLY_SQL,
+    hourly_autocorrelation as _hourly_autocorrelation,
+    HOURLY_AUTOCORR_SQL as _HOURLY_AUTOCORR_SQL,
     customer_frequency_spectrum as _customer_frequency_spectrum,
     SESSION_BOUNCE_SQL as _SESSION_BOUNCE_SQL,
     session_bounce_stats as _session_bounce_stats,
@@ -372,6 +380,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_type_overlap": A.hll_type_overlap,
         "cms_user_counts": A.cms_user_counts,
         "bloom_semijoin_orders": A.bloom_semijoin_orders,
+        # bit-level empirical Bloom false-positive audit (MD5 double
+        # hashing so DuckDB reproduces every position)
+        "bloom_fpr_audit": _bloom_fpr_audit,
+        # CMS overestimate report on the exact top-k heavy hitters
+        "cms_error_report": _cms_error_report,
         # Misra-Gries frequent items (deterministic counter summary ->
         # exact confirm pass; final answer exact + order-independent)
         "mg_heavy_users": A.mg_heavy_users,
@@ -828,6 +841,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "association_rules": _association_rules,
         # Pearson corr of chars vs tokens from exact integer moments
         "length_quality_corr": _length_quality_corr,
+        # exact diurnal p10/p50/p90 bands via grouped histogram bisection
+        "value_quantile_bands_hourly": _value_quantile_bands_hourly,
+        # lag-1 / lag-24 autocorrelation of the hourly revenue series
+        "hourly_autocorrelation": _hourly_autocorrelation,
         # Markov next-event baseline accuracy per previous type
         "markov_next_accuracy": _markov_next_accuracy,
         # out-of-order lateness vs arrival order (distributed prefix max)
@@ -1387,6 +1404,8 @@ def oracle_sql() -> dict[str, str]:
         "changepoint_binary_split": _CHANGEPOINT_SQL,
         "association_rules": _ASSOCIATION_RULES_SQL,
         "length_quality_corr": _LENGTH_QUALITY_CORR_SQL,
+        "value_quantile_bands_hourly": _QUANTILE_BANDS_HOURLY_SQL,
+        "hourly_autocorrelation": _HOURLY_AUTOCORR_SQL,
         "markov_next_accuracy": _MARKOV_NEXT_ACC_SQL,
         "ooo_lateness_stats": _OOO_LATENESS_SQL,
         "multimodal_resize_stats": """
@@ -1689,6 +1708,8 @@ JOIN cells ON cells.d = s.d
 GROUP BY c.k""",
         # the Bloom prefilter is exact-confirmed, so the result equals the
         # plain semi-join
+        "bloom_fpr_audit": _BLOOM_FPR_SQL,
+        "cms_error_report": _CMS_ERROR_SQL,
         "bloom_semijoin_orders": """
 SELECT o_orderstatus, count(*) AS n_orders
 FROM orders

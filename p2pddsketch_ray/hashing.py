@@ -79,3 +79,21 @@ def md5_hex(values) -> list[str]:
         values = values.to_pylist()
     return [hashlib.md5(v.encode("utf-8") if isinstance(v, str)
                         else bytes(v or b"")).hexdigest() for v in values]
+
+
+def md5_pair_uint64(values) -> tuple[np.ndarray, np.ndarray]:
+    """Both 8-byte halves of each value's MD5 (big-endian), as uint64.
+    Matches DuckDB ``('0x' || substr(md5(col), 1, 16))::UBIGINT`` and
+    ``('0x' || substr(md5(col), 17, 16))::UBIGINT`` -- the two
+    independent-enough hashes Kirsch-Mitzenmacher double hashing needs
+    from a single digest pass."""
+    if isinstance(values, (pa.Array, pa.ChunkedArray)):
+        values = values.to_pylist()
+    h1 = np.empty(len(values), dtype=np.uint64)
+    h2 = np.empty(len(values), dtype=np.uint64)
+    for i, v in enumerate(values):
+        b = v.encode("utf-8") if isinstance(v, str) else bytes(v or b"")
+        d = hashlib.md5(b).digest()
+        h1[i] = int.from_bytes(d[:8], "big")
+        h2[i] = int.from_bytes(d[8:], "big")
+    return h1, h2

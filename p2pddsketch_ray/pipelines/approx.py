@@ -534,3 +534,215 @@ def hll_type_overlap(sf_dir: str, type_a: str = "click",
         "est_intersection": pa.array([round(ea + eb - eu, 6)],
                                      type=pa.float64()),
     })
+
+
+class _OracleBloom:
+    """Bloom bitmap with SQL-replicable Kirsch-Mitzenmacher positions:
+    pos_i(key) = ((h1 % m) + i * (h2 % m)) % m from the two MD5 halves
+    of str(key) -- every step integer-exact in DuckDB.  Mergeable
+    (bitwise OR); used by the FPR audit, while the production semi-join
+    path keeps the faster splitmix BloomFilter."""
+
+    def __init__(self, m_bits: int, k: int):
+        self.m = int(m_bits)
+        self.k = int(k)
+        self.bits = np.zeros(self.m, dtype=bool)
+
+    def _positions(self, keys: np.ndarray) -> np.ndarray:
+        from ..hashing import md5_pair_uint64
+        h1, h2 = md5_pair_uint64([str(int(v)) for v in keys])
+        a = (h1 % np.uint64(self.m)).astype(np.int64)
+        b = (h2 % np.uint64(self.m)).astype(np.int64)
+        return np.stack([(a + i * b) % self.m for i in range(self.k)])
+
+    def add_batch(self, keys: np.ndarray) -> None:
+        if len(keys):
+            self.bits[self._positions(keys).ravel()] = True
+
+    def contains_batch(self, keys: np.ndarray) -> np.ndarray:
+        if not len(keys):
+            return np.zeros(0, dtype=bool)
+        return self.bits[self._positions(keys)].all(axis=0)
+
+    def merge(self, other: "_OracleBloom") -> "_OracleBloom":
+        self.bits |= other.bits
+        return self
+
+
+def bloom_fpr_audit(sf_dir: str, m_bits: int = 2048,
+                    k: int = 2,
+                    min_acctbal: float = 7000.0) -> pa.Table:
+    """EMPIRICAL false-positive audit of a Bloom filter: build the
+    filter over the member keys (customers above the balance cut),
+    probe every NON-member, and report the measured FP count alongside
+    the filter's fill -- the number every capacity-planning doc quotes
+    and almost nobody measures.  Deliberately small (m=2048) so the
+    audit exercises a meaningfully loaded filter at test scale.
+
+    The bitmap uses MD5 double hashing (_OracleBloom) so DuckDB
+    reproduces every bit position integer-exactly: the oracle builds
+    the same set-bit table, probes the same non-members, and counts
+    keys whose k positions all hit -- a bit-level verification of a
+    probabilistic structure.
+
+    Scale shape: per-block partial bitmaps tree-merge (generic blob
+    reduce, m/8 bytes each); the probe pass streams non-members with
+    the merged bitmap broadcast once.
+    """
+    ds = _read(sf_dir, "customer", ["c_custkey", "c_acctbal"])
+
+    def add(s: _OracleBloom, t: pa.Table) -> None:
+        keys = t.filter(pc.greater(t["c_acctbal"], min_acctbal))[
+            "c_custkey"].to_numpy(zero_copy_only=False)
+        s.add_batch(keys.astype(np.int64))
+
+    bloom = build_and_merge(ds, ["c_custkey", "c_acctbal"],
+                            lambda: _OracleBloom(m_bits, k), add)
+    bloom_ref = ray.put(bloom)
+
+    empty = pa.table({"n_probes": pa.array([], type=pa.int64()),
+                      "n_fp": pa.array([], type=pa.int64())})
+
+    def probe(t: pa.Table) -> pa.Table:
+        nm = t.filter(pc.less_equal(t["c_acctbal"], min_acctbal))
+        if nm.num_rows == 0:
+            return empty
+        b = ray.get(bloom_ref)
+        hit = b.contains_batch(
+            nm["c_custkey"].to_numpy(zero_copy_only=False)
+            .astype(np.int64))
+        return pa.table({"n_probes": pa.array([nm.num_rows]),
+                         "n_fp": pa.array([int(hit.sum())])})
+
+    res = (ds.map_batches(probe, batch_format="pyarrow",
+                          zero_copy_batch=True).to_pandas())
+    n_probes = int(res["n_probes"].sum())
+    n_fp = int(res["n_fp"].sum())
+    return pa.table({
+        "m_bits": pa.array([m_bits], type=pa.int64()),
+        "k": pa.array([k], type=pa.int64()),
+        "fill_bits": pa.array([int(bloom.bits.sum())], type=pa.int64()),
+        "n_probes": pa.array([n_probes], type=pa.int64()),
+        "n_fp": pa.array([n_fp], type=pa.int64()),
+        "fpr_ppm": pa.array([n_fp * 1_000_000 // max(n_probes, 1)],
+                            type=pa.int64()),
+    })
+
+
+BLOOM_FPR_SQL = """
+WITH mem AS (
+  SELECT c_custkey AS key FROM customer WHERE c_acctbal > 7000.0
+), hs AS (
+  SELECT key,
+         CAST(('0x' || substr(md5(CAST(key AS VARCHAR)), 1, 16))
+              AS UBIGINT) % 2048 AS h1,
+         CAST(('0x' || substr(md5(CAST(key AS VARCHAR)), 17, 16))
+              AS UBIGINT) % 2048 AS h2
+  FROM mem
+), bits AS (
+  SELECT DISTINCT CAST((h1 + i.range * h2) % 2048 AS BIGINT) AS pos
+  FROM hs CROSS JOIN range(0, 2) i
+), probe AS (
+  SELECT c_custkey AS key FROM customer WHERE c_acctbal <= 7000.0
+), ph AS (
+  SELECT key,
+         CAST(('0x' || substr(md5(CAST(key AS VARCHAR)), 1, 16))
+              AS UBIGINT) % 2048 AS h1,
+         CAST(('0x' || substr(md5(CAST(key AS VARCHAR)), 17, 16))
+              AS UBIGINT) % 2048 AS h2
+  FROM probe
+), pp AS (
+  SELECT key, CAST((h1 + i.range * h2) % 2048 AS BIGINT) AS pos
+  FROM ph CROSS JOIN range(0, 2) i
+), hitc AS (
+  SELECT pp.key, count(*) AS c
+  FROM pp JOIN bits USING (pos) GROUP BY 1
+), agg AS (
+  SELECT (SELECT CAST(count(*) AS BIGINT) FROM probe) AS n_probes,
+         CAST(count(*) AS BIGINT) AS n_fp
+  FROM hitc WHERE c = 2
+)
+SELECT CAST(2048 AS BIGINT) AS m_bits, CAST(2 AS BIGINT) AS k,
+       (SELECT CAST(count(*) AS BIGINT) FROM bits) AS fill_bits,
+       n_probes, n_fp,
+       CAST(n_fp * 1000000 // greatest(n_probes, 1) AS BIGINT)
+         AS fpr_ppm
+FROM agg
+"""
+
+
+def cms_error_report(sf_dir: str, topk: int = 10) -> pa.Table:
+    """Count-min ERROR report on the keys that matter: for the top-k
+    users by EXACT event count, the CMS estimate and its overestimate
+    (CMS never underestimates) -- the sketch-quality panel a production
+    heavy-hitter service publishes next to its estimates.
+
+    Reuses the distributed CMS build (integer cells, DuckDB-replicable
+    hash(xor(k, seed)) % width) and the exact top-k path (per-block
+    combiner + block-local prereduce); the report join happens on the
+    driver over k rows.
+    """
+    from ray.data.aggregate import Sum as _Sum
+
+    ds = _read(sf_dir, "events", ["user_id"])
+    cms = cms_build(ds, "user_id", width=8192, depth=4)
+
+    def per_user(t: pa.Table) -> pa.Table:
+        g = (t.select(["user_id"]).group_by("user_id")
+             .aggregate([("user_id", "count")]))
+        return pa.table({"user_id": pc.cast(g["user_id"], pa.int64()),
+                         "n": pc.cast(g["user_id_count"], pa.int64())})
+
+    exact = (ds.map_batches(per_user, batch_format="pyarrow",
+                            zero_copy_batch=True)
+             .groupby("user_id").aggregate(_Sum("n", alias_name="n")))
+
+    def prereduce(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "n" not in t.column_names:
+            return pa.table({"user_id": pa.array([], type=pa.int64()),
+                             "n": pa.array([], type=pa.int64())})
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        n = t["n"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((uid, -n))[:topk]
+        return pa.table({"user_id": pa.array(uid[order]),
+                         "n": pa.array(n[order])})
+
+    cand = (exact.map_batches(prereduce, batch_format="pyarrow")
+            .to_pandas())
+    cand = cand.sort_values(["n", "user_id"],
+                            ascending=[False, True]).head(topk)
+    uids = cand["user_id"].to_numpy(dtype=np.int64)
+    ns = cand["n"].to_numpy(dtype=np.int64)
+    est = cms.estimate(uids).astype(np.int64)
+    return pa.table({
+        "user_id": pa.array(uids),
+        "exact": pa.array(ns),
+        "cms_est": pa.array(est),
+        "overestimate": pa.array(est - ns),
+    })
+
+
+CMS_ERROR_SQL = """
+WITH counts AS (
+  SELECT user_id AS k, CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY user_id
+), seeds(d, s) AS (VALUES (0, 461845907), (1, 3432918353),
+                          (2, 2246822507), (3, 3266489909)),
+cells AS (
+  SELECT s.d AS d, hash(xor(c.k, CAST(s.s AS BIGINT))) % 8192 AS cell,
+         CAST(sum(c.c) AS BIGINT) AS tot
+  FROM counts c CROSS JOIN seeds s GROUP BY s.d, cell
+), est AS (
+  SELECT c.k AS user_id, c.c AS exact,
+         CAST(min(cells.tot) AS BIGINT) AS cms_est
+  FROM counts c CROSS JOIN seeds s
+  JOIN cells ON cells.d = s.d
+            AND cells.cell = hash(xor(c.k, CAST(s.s AS BIGINT))) % 8192
+  GROUP BY 1, 2
+)
+SELECT user_id, exact, cms_est,
+       CAST(cms_est - exact AS BIGINT) AS overestimate
+FROM est
+ORDER BY exact DESC, user_id ASC
+LIMIT 10
+"""

@@ -11253,3 +11253,142 @@ SELECT lang, n AS n_docs,
                   * 1000000.0) AS BIGINT) AS corr_ppm
 FROM m ORDER BY lang
 """
+
+
+def value_quantile_bands_hourly(sf_dir: str) -> pa.Table:
+    """Exact per-hour-of-day quantile BANDS (p10/p50/p90 of event value
+    in cents): the distributed histogram-bisection grouped quantile
+    (quantile_disc semantics, no global sort) over 24 diurnal groups --
+    the seasonality envelope an anomaly detector thresholds against.
+    """
+    from .quantiles import exact_quantiles_grouped
+
+    ds = _read(sf_dir, "events", ["ts", "value"])
+    HOUR_US = np.int64(3_600_000_000)
+
+    def featurize(t: pa.Table) -> pa.Table:
+        us = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        hr = (us // HOUR_US) % np.int64(24)
+        return pa.table({
+            "hr": pa.array([f"{h:02d}" for h in hr], type=pa.string()),
+            "value_c": _int_units(t["value"], 100),
+        })
+
+    feats = ds.map_batches(featurize, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    out = exact_quantiles_grouped(feats, "value_c", "hr",
+                                  [0.1, 0.5, 0.9])
+    return pa.table({
+        "hr": out["hr"],
+        "q": out["q"],
+        "value_c": pc.cast(out["value"], pa.int64()),
+    })
+
+
+QUANTILE_BANDS_HOURLY_SQL = """
+WITH f AS (
+  SELECT lpad(CAST((CAST(epoch_us(ts) AS BIGINT) // 3600000000) % 24
+                   AS VARCHAR), 2, '0') AS hr,
+         CAST(round(value * 100) AS BIGINT) AS vc
+  FROM events
+), v AS (
+  SELECT hr, quantile_disc(vc, [0.1, 0.5, 0.9]) AS vs
+  FROM f GROUP BY hr
+)
+SELECT hr, unnest([0.1, 0.5, 0.9]) AS q, unnest(vs) AS value_c
+FROM v ORDER BY hr, q
+"""
+
+
+def hourly_autocorrelation(sf_dir: str,
+                           lags: tuple[int, ...] = (1, 24)) -> pa.Table:
+    """AUTOCORRELATION of the hourly revenue series at lag 1 (momentum)
+    and lag 24 (diurnal cycle) over the gap-filled hour grid -- the two
+    numbers a seasonality detector reads first.
+
+    The series is exact integer cents per hour (missing hours are 0 on
+    both engines); each lag's Pearson r is one mirrored double
+    expression over exact integer sums, floored to ppm.
+
+    Scale shape: one per-hour integer combiner + cardinality-bounded
+    groupby; the lag products are driver math over the O(hours) series.
+    """
+    from ray.data.aggregate import Sum as _Sum
+
+    ds = _read(sf_dir, "events", ["ts", "value"])
+    HOUR_US = np.int64(3_600_000_000)
+
+    def hourly(t: pa.Table) -> pa.Table:
+        us = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        staged = pa.table({"hour": pa.array(us // HOUR_US),
+                           "vc": _int_units(t["value"], 100)})
+        g = staged.group_by("hour").aggregate([("vc", "sum")])
+        return pa.table({"hour": g["hour"],
+                         "s": pc.cast(g["vc_sum"], pa.int64())})
+
+    h = (ds.map_batches(hourly, batch_format="pyarrow",
+                        zero_copy_batch=True)
+         .groupby("hour").aggregate(_Sum("s", alias_name="s"))
+         .to_pandas().sort_values("hour").reset_index(drop=True))
+    hours = h["hour"].to_numpy(dtype=np.int64)
+    s = h["s"].to_numpy(dtype=np.int64)
+    lo, hi = int(hours.min()), int(hours.max())
+    grid = np.zeros(hi - lo + 1, dtype=np.int64)
+    grid[hours - lo] = s
+
+    rows = []
+    for lag in lags:
+        if len(grid) <= lag:
+            continue
+        x = grid[lag:].astype(np.float64)   # t
+        y = grid[:-lag].astype(np.float64)  # t - lag
+        n = float(len(x))
+        sx, sy = x.sum(), y.sum()
+        sxy = (x * y).sum()
+        sxx, syy = (x * x).sum(), (y * y).sum()
+        denom = (np.sqrt(n * sxx - sx * sx)
+                 * np.sqrt(n * syy - sy * sy))
+        r_ppm = int(np.floor((n * sxy - sx * sy) / denom * 1_000_000.0))
+        rows.append((lag, int(n), r_ppm))
+    return pa.table({
+        "lag": pa.array([r[0] for r in rows], type=pa.int64()),
+        "n_pairs": pa.array([r[1] for r in rows], type=pa.int64()),
+        "autocorr_ppm": pa.array([r[2] for r in rows], type=pa.int64()),
+    })
+
+
+HOURLY_AUTOCORR_SQL = """
+WITH hsum AS (
+  SELECT CAST(epoch_us(ts) AS BIGINT) // 3600000000 AS hour,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS s
+  FROM events GROUP BY 1
+), bounds AS (
+  SELECT min(hour) AS lo, max(hour) AS hi FROM hsum
+), grid AS (
+  SELECT g.hour, COALESCE(hsum.s, 0) AS s
+  FROM (SELECT unnest(generate_series(bounds.lo, bounds.hi)) AS hour
+        FROM bounds) g
+  LEFT JOIN hsum ON hsum.hour = g.hour
+), lagd AS (
+  SELECT l.lag, g1.s AS x, g2.s AS y
+  FROM (VALUES (1), (24)) l(lag)
+  JOIN grid g1 ON TRUE
+  JOIN grid g2 ON g2.hour = g1.hour - l.lag
+), m AS (
+  SELECT lag, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(y * y) AS BIGINT) AS syy
+  FROM lagd GROUP BY 1
+)
+SELECT lag, n AS n_pairs,
+       CAST(floor((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                  / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                     * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                            - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+                  * 1000000.0) AS BIGINT) AS autocorr_ppm
+FROM m ORDER BY lag
+"""

@@ -477,3 +477,58 @@ def test_mg_heavy_users_empty_answer_keeps_schema(ray_session, tmp_path):
     df = out.to_pandas()
     assert len(df) == 0
     assert sorted(df.columns) == ["n_events", "user_id"]
+
+
+def test_oracle_bloom_no_false_negatives_and_merge(ray_session):
+    """Members always hit; merge ORs bitmaps; FP rate is plausible for
+    the load factor."""
+    from p2pddsketch_ray.pipelines.approx import _OracleBloom
+    rng = np.random.default_rng(3)
+    members = rng.choice(100000, 300, replace=False).astype(np.int64)
+    b1 = _OracleBloom(2048, 2)
+    b2 = _OracleBloom(2048, 2)
+    b1.add_batch(members[:150])
+    b2.add_batch(members[150:])
+    b = b1.merge(b2)
+    assert b.contains_batch(members).all()          # no false negatives
+    probes = np.arange(200000, 201000, dtype=np.int64)
+    fpr = b.contains_batch(probes).mean()
+    assert fpr < 0.25                               # ~ (fill)^k
+
+
+def test_bloom_fpr_audit_counts(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from p2pddsketch_ray.pipelines.approx import (_OracleBloom,
+                                                  bloom_fpr_audit)
+    keys = np.arange(1, 201, dtype=np.int64)
+    bal = np.where(keys <= 50, 9000.0, 100.0)       # 50 members
+    pq.write_table(pa.table({
+        "c_custkey": pa.array(keys),
+        "c_name": pa.array([f"c{k}" for k in keys]),
+        "c_nationkey": pa.array(np.zeros(200, dtype=np.int32)),
+        "c_acctbal": pa.array(bal),
+        "c_mktsegment": pa.array(["x"] * 200),
+    }), str(tmp_path / "customer.parquet"))
+    out = bloom_fpr_audit(str(tmp_path)).to_pydict()
+    ref = _OracleBloom(2048, 2)
+    ref.add_batch(keys[:50])
+    hits = ref.contains_batch(keys[50:])
+    assert out["n_probes"] == [150]
+    assert out["n_fp"] == [int(hits.sum())]
+    assert out["fill_bits"] == [int(ref.bits.sum())]
+
+
+def test_cms_error_report_never_underestimates(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from p2pddsketch_ray.pipelines.approx import cms_error_report
+    rng = np.random.default_rng(5)
+    uid = rng.integers(0, 50, 5000).astype(np.int64)
+    pq.write_table(pa.table({"user_id": pa.array(uid)}),
+                   str(tmp_path / "events.parquet"))
+    out = cms_error_report(str(tmp_path)).to_pandas()
+    assert (out["overestimate"] >= 0).all()
+    assert (out["cms_est"] == out["exact"] + out["overestimate"]).all()
+    # top-k by exact count, descending
+    assert list(out["exact"]) == sorted(out["exact"], reverse=True)

@@ -2235,3 +2235,20 @@ def test_length_quality_corr_perfect(ray_session, tmp_path):
     out = length_quality_corr(str(tmp_path)).to_pydict()
     assert out["lang"] == ["x"]
     assert out["corr_ppm"][0] in (999999, 1000000)
+
+
+def test_hourly_autocorr_perfect_cycle(ray_session, tmp_path):
+    """A pure 24-hour cycle: lag-24 autocorr ~ 1e6, lag-1 far below."""
+    import pyarrow.parquet as pq
+    from p2pddsketch_ray.pipelines.relational import hourly_autocorrelation
+    HOUR_US = 3_600_000_000
+    hours = np.arange(24 * 8, dtype=np.int64)
+    vals = np.where(hours % 24 < 12, 1.0, 100.0)
+    pq.write_table(pa.table({
+        "ts": pa.array(hours * HOUR_US).cast(pa.timestamp("us")),
+        "value": pa.array(vals),
+    }), str(tmp_path / "events.parquet"))
+    out = hourly_autocorrelation(str(tmp_path)).to_pandas()
+    out = out.set_index("lag")
+    assert out.loc[24, "autocorr_ppm"] >= 999_999
+    assert out.loc[1, "autocorr_ppm"] < 900_000
