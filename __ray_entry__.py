@@ -197,6 +197,12 @@ from p2pddsketch_ray.pipelines.relational import (  # noqa: E402
     QUANTILE_BANDS_HOURLY_SQL as _QUANTILE_BANDS_HOURLY_SQL,
     hourly_autocorrelation as _hourly_autocorrelation,
     HOURLY_AUTOCORR_SQL as _HOURLY_AUTOCORR_SQL,
+    k_anonymity_audit as _k_anonymity_audit,
+    K_ANONYMITY_SQL as _K_ANONYMITY_SQL,
+    cuped_adjusted_outcomes as _cuped_adjusted_outcomes,
+    CUPED_SQL as _CUPED_SQL,
+    filter_threshold_grid as _filter_threshold_grid,
+    FILTER_GRID_SQL as _FILTER_GRID_SQL,
     customer_frequency_spectrum as _customer_frequency_spectrum,
     SESSION_BOUNCE_SQL as _SESSION_BOUNCE_SQL,
     session_bounce_stats as _session_bounce_stats,
@@ -845,6 +851,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_quantile_bands_hourly": _value_quantile_bands_hourly,
         # lag-1 / lag-24 autocorrelation of the hourly revenue series
         "hourly_autocorrelation": _hourly_autocorrelation,
+        # k-anonymity of the (nation, segment) quasi-identifier
+        "k_anonymity_audit": _k_anonymity_audit,
+        # CUPED variance-reduced A/B readout (Deng et al. WSDM'13)
+        "cuped_adjusted_outcomes": _cuped_adjusted_outcomes,
+        # one-pass 3x3 quality-filter threshold sweep
+        "filter_threshold_grid": _filter_threshold_grid,
         # Markov next-event baseline accuracy per previous type
         "markov_next_accuracy": _markov_next_accuracy,
         # out-of-order lateness vs arrival order (distributed prefix max)
@@ -1406,6 +1418,9 @@ def oracle_sql() -> dict[str, str]:
         "length_quality_corr": _LENGTH_QUALITY_CORR_SQL,
         "value_quantile_bands_hourly": _QUANTILE_BANDS_HOURLY_SQL,
         "hourly_autocorrelation": _HOURLY_AUTOCORR_SQL,
+        "k_anonymity_audit": _K_ANONYMITY_SQL,
+        "cuped_adjusted_outcomes": _CUPED_SQL,
+        "filter_threshold_grid": _FILTER_GRID_SQL,
         "markov_next_accuracy": _MARKOV_NEXT_ACC_SQL,
         "ooo_lateness_stats": _OOO_LATENESS_SQL,
         "multimodal_resize_stats": """

@@ -11392,3 +11392,299 @@ SELECT lag, n AS n_pairs,
                   * 1000000.0) AS BIGINT) AS autocorr_ppm
 FROM m ORDER BY lag
 """
+
+
+def k_anonymity_audit(sf_dir: str, at_risk_k: int = 5) -> pa.Table:
+    """K-ANONYMITY audit of the customer table under the quasi-
+    identifier (nation, market segment): the minimum equivalence-class
+    size (the k the table actually provides), how many classes and rows
+    sit below the at-risk threshold, and the class-size extremes -- the
+    first number a privacy review asks for before a data release.
+
+    Scale shape: per-block (QI) count combiner -> one groupby over the
+    QI domain (cardinality-bounded) -> per-block scalar partials ->
+    driver fold of O(blocks) rows.
+    """
+    from ray.data.aggregate import Sum as _Sum
+
+    ds = _read(sf_dir, "customer", ["c_nationkey", "c_mktsegment"])
+
+    def per_class(t: pa.Table) -> pa.Table:
+        g = (pa.table({"nk": pc.cast(t["c_nationkey"], pa.int64()),
+                       "seg": t["c_mktsegment"]})
+             .group_by(["nk", "seg"]).aggregate([([], "count_all")]))
+        return pa.table({"nk": g["nk"], "seg": g["seg"],
+                         "n": pc.cast(g["count_all"], pa.int64())})
+
+    classes = (ds.map_batches(per_class, batch_format="pyarrow",
+                              zero_copy_batch=True)
+               .groupby(["nk", "seg"]).aggregate(_Sum("n",
+                                                      alias_name="n")))
+
+    def fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "n" not in t.column_names:
+            return pa.table({c: pa.array([], type=pa.int64())
+                             for c in ("n_classes", "n_rows", "k_min",
+                                       "k_max", "classes_at_risk",
+                                       "rows_at_risk")})
+        n = t["n"].to_numpy(zero_copy_only=False)
+        risk = n < at_risk_k
+        return pa.table({
+            "n_classes": pa.array([len(n)], type=pa.int64()),
+            "n_rows": pa.array([int(n.sum())], type=pa.int64()),
+            "k_min": pa.array([int(n.min())], type=pa.int64()),
+            "k_max": pa.array([int(n.max())], type=pa.int64()),
+            "classes_at_risk": pa.array([int(risk.sum())],
+                                        type=pa.int64()),
+            "rows_at_risk": pa.array([int(n[risk].sum())],
+                                     type=pa.int64()),
+        })
+
+    f = classes.map_batches(fold, batch_format="pyarrow").to_pandas()
+    return pa.table({
+        "n_classes": pa.array([int(f["n_classes"].sum())],
+                              type=pa.int64()),
+        "n_rows": pa.array([int(f["n_rows"].sum())], type=pa.int64()),
+        "k_min": pa.array([int(f["k_min"].min())], type=pa.int64()),
+        "k_max": pa.array([int(f["k_max"].max())], type=pa.int64()),
+        "classes_at_risk": pa.array([int(f["classes_at_risk"].sum())],
+                                    type=pa.int64()),
+        "rows_at_risk": pa.array([int(f["rows_at_risk"].sum())],
+                                 type=pa.int64()),
+    })
+
+
+K_ANONYMITY_SQL = """
+WITH c AS (
+  SELECT c_nationkey, c_mktsegment, CAST(count(*) AS BIGINT) AS n
+  FROM customer GROUP BY 1, 2
+)
+SELECT CAST(count(*) AS BIGINT) AS n_classes,
+       CAST(sum(n) AS BIGINT) AS n_rows,
+       CAST(min(n) AS BIGINT) AS k_min,
+       CAST(max(n) AS BIGINT) AS k_max,
+       CAST(sum(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT)
+         AS classes_at_risk,
+       CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
+         AS rows_at_risk
+FROM c
+"""
+
+
+def cuped_adjusted_outcomes(sf_dir: str) -> pa.Table:
+    """CUPED variance-reduced experiment readout: users hash-split into
+    two arms, outcome = post-period spend, covariate = pre-period spend
+    (time midpoint split), theta = cov(pre, post)/var(pre) estimated
+    once globally, and each arm's adjusted mean
+    mean(post) - theta * (mean(pre|arm) - mean(pre)) reported in
+    floored micro-cents -- the industry-standard experiment adjustment
+    (Deng et al. WSDM'13), exact-integer distributed.
+
+    Scale shape: one pass folds per-user (pre, post) cents via a
+    user-keyed groupby; moments and arm partials are in-batch integer
+    combiners over the per-user table; only mirrored double expressions
+    touch floats.
+    """
+    from ray.data.aggregate import Max as _Max, Min as _Min, \
+        Sum as _Sum
+    from ..hashing import murmur64
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
+    bounds = ds.aggregate(_Min("ts", alias_name="lo"),
+                          _Max("ts", alias_name="hi"))
+    lo = int(pa.scalar(bounds["lo"]).cast(pa.int64()).as_py())
+    hi = int(pa.scalar(bounds["hi"]).cast(pa.int64()).as_py())
+    mid = (lo + hi) // 2
+
+    def per_user_partial(t: pa.Table) -> pa.Table:
+        us = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        vc = _int_units(t["value"], 100).to_numpy(zero_copy_only=False)
+        is_pre = us <= mid
+        staged = pa.table({
+            "user_id": pc.cast(t["user_id"], pa.int64()),
+            "pre": pa.array(np.where(is_pre, vc, 0)),
+            "post": pa.array(np.where(is_pre, 0, vc)),
+        })
+        g = staged.group_by("user_id").aggregate(
+            [("pre", "sum"), ("post", "sum")])
+        return pa.table({"user_id": g["user_id"],
+                         "pre": pc.cast(g["pre_sum"], pa.int64()),
+                         "post": pc.cast(g["post_sum"], pa.int64())})
+
+    per_user = (ds.map_batches(per_user_partial, batch_format="pyarrow",
+                               zero_copy_batch=True)
+                .groupby("user_id")
+                .aggregate(_Sum("pre", alias_name="pre"),
+                           _Sum("post", alias_name="post")))
+
+    def moments(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "pre" not in t.column_names:
+            return pa.table({c: pa.array([], type=pa.int64())
+                             for c in ("arm", "n", "sp", "so",
+                                       "spp", "spo")})
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        pre = t["pre"].to_numpy(zero_copy_only=False)
+        post = t["post"].to_numpy(zero_copy_only=False)
+        arm = (murmur64(uid.astype(np.int64)) % np.uint64(2)) \
+            .astype(np.int64)
+        rows = []
+        for a in (0, 1):
+            m = arm == a
+            rows.append((a, int(m.sum()), int(pre[m].sum()),
+                         int(post[m].sum()),
+                         int((pre[m] * pre[m]).sum()),
+                         int((pre[m] * post[m]).sum())))
+        return pa.table({
+            "arm": pa.array([r[0] for r in rows], type=pa.int64()),
+            "n": pa.array([r[1] for r in rows], type=pa.int64()),
+            "sp": pa.array([r[2] for r in rows], type=pa.int64()),
+            "so": pa.array([r[3] for r in rows], type=pa.int64()),
+            "spp": pa.array([r[4] for r in rows], type=pa.int64()),
+            "spo": pa.array([r[5] for r in rows], type=pa.int64()),
+        })
+
+    agg = (per_user.map_batches(moments, batch_format="pyarrow")
+           .groupby("arm")
+           .aggregate(_Sum("n", alias_name="n"),
+                      _Sum("sp", alias_name="sp"),
+                      _Sum("so", alias_name="so"),
+                      _Sum("spp", alias_name="spp"),
+                      _Sum("spo", alias_name="spo"))
+           .to_pandas().sort_values("arm").reset_index(drop=True))
+    N = float(agg["n"].sum())
+    SP = float(agg["sp"].sum())
+    SO = float(agg["so"].sum())
+    SPP = float(agg["spp"].sum())
+    SPO = float(agg["spo"].sum())
+    theta = (N * SPO - SP * SO) / (N * SPP - SP * SP)
+    rows = []
+    for _, r in agg.iterrows():
+        n = float(r["n"])
+        mean_post = float(r["so"]) / n
+        mean_pre = float(r["sp"]) / n
+        adj = mean_post - theta * (mean_pre - SP / N)
+        rows.append((int(r["arm"]), int(r["n"]), int(r["so"]),
+                     int(np.floor(adj * 1_000_000.0))))
+    return pa.table({
+        "arm": pa.array([r[0] for r in rows], type=pa.int64()),
+        "n_users": pa.array([r[1] for r in rows], type=pa.int64()),
+        "sum_post_cents": pa.array([r[2] for r in rows],
+                                   type=pa.int64()),
+        "adj_mean_micro": pa.array([r[3] for r in rows],
+                                   type=pa.int64()),
+    })
+
+
+CUPED_SQL = """
+WITH mm AS (
+  SELECT (CAST(epoch_us(min(ts)) AS BIGINT)
+          + CAST(epoch_us(max(ts)) AS BIGINT)) // 2 AS mid
+  FROM events
+), pu AS (
+  SELECT user_id,
+         CAST(sum(CASE WHEN CAST(epoch_us(ts) AS BIGINT) <= mm.mid
+                       THEN CAST(round(value * 100) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS pre,
+         CAST(sum(CASE WHEN CAST(epoch_us(ts) AS BIGINT) <= mm.mid
+                       THEN 0
+                       ELSE CAST(round(value * 100) AS BIGINT)
+                  END) AS BIGINT) AS post
+  FROM events CROSS JOIN mm GROUP BY 1
+), armed AS (
+  SELECT CAST(hash(user_id) % 2 AS BIGINT) AS arm, pre, post FROM pu
+), m AS (
+  SELECT arm, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(pre) AS BIGINT) AS sp,
+         CAST(sum(post) AS BIGINT) AS so,
+         CAST(sum(pre * pre) AS BIGINT) AS spp,
+         CAST(sum(pre * post) AS BIGINT) AS spo
+  FROM armed GROUP BY 1
+), tot AS (
+  SELECT CAST(sum(n) AS BIGINT) AS tn, CAST(sum(sp) AS BIGINT) AS tsp,
+         CAST(sum(so) AS BIGINT) AS tso,
+         CAST(sum(spp) AS BIGINT) AS tspp,
+         CAST(sum(spo) AS BIGINT) AS tspo
+  FROM m
+), th AS (
+  SELECT (CAST(tn AS DOUBLE) * CAST(tspo AS DOUBLE)
+          - CAST(tsp AS DOUBLE) * CAST(tso AS DOUBLE))
+         / (CAST(tn AS DOUBLE) * CAST(tspp AS DOUBLE)
+            - CAST(tsp AS DOUBLE) * CAST(tsp AS DOUBLE)) AS theta,
+         CAST(tsp AS DOUBLE) / CAST(tn AS DOUBLE) AS gpre
+  FROM tot
+)
+SELECT m.arm, m.n AS n_users, m.so AS sum_post_cents,
+       CAST(floor((CAST(m.so AS DOUBLE) / CAST(m.n AS DOUBLE)
+                   - th.theta * (CAST(m.sp AS DOUBLE)
+                                 / CAST(m.n AS DOUBLE) - th.gpre))
+                  * 1000000.0) AS BIGINT) AS adj_mean_micro
+FROM m CROSS JOIN th
+ORDER BY m.arm
+"""
+
+
+_FILTER_GRID = [(mt, mp) for mt in (10, 30, 100) for mp in (5, 10, 20)]
+
+
+def filter_threshold_grid(sf_dir: str) -> "ray.data.Dataset":
+    """Quality-filter THRESHOLD sweep: for every (min_tokens,
+    max_punct_per_100_tokens) combination in a 3x3 grid, how many
+    documents and characters survive -- the tuning table a corpus
+    curator reads before committing to one filter setting, computed in
+    ONE pass (counts per doc once, 9 vectorized threshold masks per
+    block, grid-keyed combiner).
+    """
+    from ray.data.aggregate import Sum as _Sum
+    from ..functions.text import punct_count, token_count
+
+    ds = _read(sf_dir, "documents", ["text", "n_chars"])
+
+    def sweep(t: pa.Table) -> pa.Table:
+        toks = token_count(t["text"]).to_numpy(zero_copy_only=False)
+        punct = punct_count(t["text"]).to_numpy(zero_copy_only=False)
+        chars = pc.cast(t["n_chars"], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        rows = []
+        for mt, mp in _FILTER_GRID:
+            keep = (toks >= mt) & (punct * 100 <= toks * mp)
+            rows.append((mt, mp, int(keep.sum()),
+                         int(chars[keep].sum())))
+        return pa.table({
+            "min_tokens": pa.array([r[0] for r in rows],
+                                   type=pa.int64()),
+            "max_punct_per_100": pa.array([r[1] for r in rows],
+                                          type=pa.int64()),
+            "kept_docs": pa.array([r[2] for r in rows],
+                                  type=pa.int64()),
+            "kept_chars": pa.array([r[3] for r in rows],
+                                   type=pa.int64()),
+        })
+
+    return (ds.map_batches(sweep, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby(["min_tokens", "max_punct_per_100"])
+            .aggregate(_Sum("kept_docs", alias_name="kept_docs"),
+                       _Sum("kept_chars", alias_name="kept_chars")))
+
+
+FILTER_GRID_SQL = """
+WITH m AS (
+  SELECT length(regexp_extract_all(text, '[A-Za-z0-9]+')) AS toks,
+         length(regexp_extract_all(text, '[.,;:!?]')) AS punct,
+         n_chars
+  FROM documents
+), grid(min_tokens, max_punct_per_100) AS (
+  VALUES (10, 5), (10, 10), (10, 20), (30, 5), (30, 10), (30, 20),
+         (100, 5), (100, 10), (100, 20)
+)
+SELECT CAST(g.min_tokens AS BIGINT) AS min_tokens,
+       CAST(g.max_punct_per_100 AS BIGINT) AS max_punct_per_100,
+       CAST(sum(CASE WHEN m.toks >= g.min_tokens
+                      AND m.punct * 100 <= m.toks * g.max_punct_per_100
+                THEN 1 ELSE 0 END) AS BIGINT) AS kept_docs,
+       CAST(sum(CASE WHEN m.toks >= g.min_tokens
+                      AND m.punct * 100 <= m.toks * g.max_punct_per_100
+                THEN m.n_chars ELSE 0 END) AS BIGINT) AS kept_chars
+FROM m CROSS JOIN grid g
+GROUP BY 1, 2
+"""

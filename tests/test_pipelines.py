@@ -2252,3 +2252,68 @@ def test_hourly_autocorr_perfect_cycle(ray_session, tmp_path):
     out = out.set_index("lag")
     assert out.loc[24, "autocorr_ppm"] >= 999_999
     assert out.loc[1, "autocorr_ppm"] < 900_000
+
+
+def test_k_anonymity_audit_hand_case(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+    from p2pddsketch_ray.pipelines.relational import k_anonymity_audit
+    pq.write_table(pa.table({
+        "c_nationkey": pa.array([0, 0, 0, 1, 1, 2], type=pa.int32()),
+        "c_mktsegment": pa.array(["A", "A", "B", "A", "A", "A"]),
+    }), str(tmp_path / "customer.parquet"))
+    out = k_anonymity_audit(str(tmp_path)).to_pydict()
+    # classes: (0,A)=2, (0,B)=1, (1,A)=2, (2,A)=1
+    assert out["n_classes"] == [4] and out["n_rows"] == [6]
+    assert out["k_min"] == [1] and out["k_max"] == [2]
+    assert out["classes_at_risk"] == [4]  # all below 5
+    assert out["rows_at_risk"] == [6]
+
+
+def test_cuped_reduces_to_post_mean_when_theta_applied(ray_session,
+                                                       tmp_path):
+    """With pre == post per user, CUPED adjusts both arms to exactly
+    the global mean (theta == 1)."""
+    import pyarrow.parquet as pq
+    from p2pddsketch_ray.pipelines.relational import (
+        cuped_adjusted_outcomes)
+    n = 200
+    uid = np.arange(n, dtype=np.int64)
+    # one pre event (ts in first half) and one identical post event
+    ts = np.concatenate([np.zeros(n, dtype=np.int64),
+                         np.full(n, 10_000_000, dtype=np.int64)])
+    val = np.concatenate([uid.astype(np.float64) / 100,
+                          uid.astype(np.float64) / 100])
+    pq.write_table(pa.table({
+        "user_id": pa.array(np.concatenate([uid, uid])),
+        "ts": pa.array(ts).cast(pa.timestamp("us")),
+        "value": pa.array(val),
+    }), str(tmp_path / "events.parquet"))
+    out = cuped_adjusted_outcomes(str(tmp_path)).to_pandas()
+    assert len(out) == 2
+    # theta == 1 -> adjusted means equal the GLOBAL pre mean for both
+    # arms (pre == post), so the two arms agree to the micro unit
+    assert abs(int(out["adj_mean_micro"][0])
+               - int(out["adj_mean_micro"][1])) <= 1
+
+
+def test_filter_grid_monotone(ray_session, tmp_path):
+    """Stricter thresholds never keep more docs."""
+    import pyarrow.parquet as pq
+    from p2pddsketch_ray.pipelines.relational import filter_threshold_grid
+    rng = np.random.default_rng(9)
+    texts = [" ".join(["tok"] * int(k)) + ("!" * int(p))
+             for k, p in zip(rng.integers(1, 200, 300),
+                             rng.integers(0, 30, 300))]
+    pq.write_table(pa.table({
+        "text": pa.array(texts),
+        "n_chars": pa.array([len(t) for t in texts], type=pa.int64()),
+    }), str(tmp_path / "documents.parquet"))
+    out = filter_threshold_grid(str(tmp_path)).to_pandas()
+    out = out.set_index(["min_tokens", "max_punct_per_100"])
+    for mp in (5, 10, 20):
+        assert out.loc[(10, mp), "kept_docs"] >= \
+            out.loc[(30, mp), "kept_docs"] >= \
+            out.loc[(100, mp), "kept_docs"]
+    for mt in (10, 30, 100):
+        assert out.loc[(mt, 20), "kept_docs"] >= \
+            out.loc[(mt, 5), "kept_docs"]
