@@ -203,6 +203,10 @@ from p2pddsketch_ray.pipelines.relational import (  # noqa: E402
     CUPED_SQL as _CUPED_SQL,
     filter_threshold_grid as _filter_threshold_grid,
     FILTER_GRID_SQL as _FILTER_GRID_SQL,
+    rolling_extrema_hourly as _rolling_extrema_hourly,
+    ROLLING_EXTREMA_SQL as _ROLLING_EXTREMA_SQL,
+    revenue_topshare as _revenue_topshare,
+    REVENUE_TOPSHARE_SQL as _REVENUE_TOPSHARE_SQL,
     customer_frequency_spectrum as _customer_frequency_spectrum,
     SESSION_BOUNCE_SQL as _SESSION_BOUNCE_SQL,
     session_bounce_stats as _session_bounce_stats,
@@ -857,6 +861,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cuped_adjusted_outcomes": _cuped_adjusted_outcomes,
         # one-pass 3x3 quality-filter threshold sweep
         "filter_threshold_grid": _filter_threshold_grid,
+        # trailing-24h min/max envelope of hourly revenue
+        "rolling_extrema_hourly": _rolling_extrema_hourly,
+        # top-1% customer revenue concentration (exact p99 threshold)
+        "revenue_topshare": _revenue_topshare,
         # Markov next-event baseline accuracy per previous type
         "markov_next_accuracy": _markov_next_accuracy,
         # out-of-order lateness vs arrival order (distributed prefix max)
@@ -1421,6 +1429,8 @@ def oracle_sql() -> dict[str, str]:
         "k_anonymity_audit": _K_ANONYMITY_SQL,
         "cuped_adjusted_outcomes": _CUPED_SQL,
         "filter_threshold_grid": _FILTER_GRID_SQL,
+        "rolling_extrema_hourly": _ROLLING_EXTREMA_SQL,
+        "revenue_topshare": _REVENUE_TOPSHARE_SQL,
         "markov_next_accuracy": _MARKOV_NEXT_ACC_SQL,
         "ooo_lateness_stats": _OOO_LATENESS_SQL,
         "multimodal_resize_stats": """

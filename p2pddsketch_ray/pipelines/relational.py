@@ -11688,3 +11688,150 @@ SELECT CAST(g.min_tokens AS BIGINT) AS min_tokens,
 FROM m CROSS JOIN grid g
 GROUP BY 1, 2
 """
+
+
+def rolling_extrema_hourly(sf_dir: str, window: int = 24) -> pa.Table:
+    """ROLLING 24-hour envelope over the hourly revenue series: per
+    hour, the min / max / range of the trailing ``window`` hourly
+    totals -- the monotonic-deque classic, here distributed as one
+    per-hour integer combiner plus an O(hours) driver sweep (pandas
+    rolling over exact cents; the series is cardinality-bounded, never
+    row-bounded).  Missing hours count as 0, matching the gap-filled
+    SQL window replica.
+    """
+    from ray.data.aggregate import Sum as _Sum
+
+    ds = _read(sf_dir, "events", ["ts", "value"])
+    HOUR_US = np.int64(3_600_000_000)
+
+    def hourly(t: pa.Table) -> pa.Table:
+        us = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        staged = pa.table({"hour": pa.array(us // HOUR_US),
+                           "vc": _int_units(t["value"], 100)})
+        g = staged.group_by("hour").aggregate([("vc", "sum")])
+        return pa.table({"hour": g["hour"],
+                         "s": pc.cast(g["vc_sum"], pa.int64())})
+
+    h = (ds.map_batches(hourly, batch_format="pyarrow",
+                        zero_copy_batch=True)
+         .groupby("hour").aggregate(_Sum("s", alias_name="s"))
+         .to_pandas().sort_values("hour").reset_index(drop=True))
+    hours = h["hour"].to_numpy(dtype=np.int64)
+    s = h["s"].to_numpy(dtype=np.int64)
+    lo, hi = int(hours.min()), int(hours.max())
+    grid = np.zeros(hi - lo + 1, dtype=np.int64)
+    grid[hours - lo] = s
+    import pandas as pd
+    ser = pd.Series(grid)
+    rmin = ser.rolling(window, min_periods=1).min().astype(np.int64)
+    rmax = ser.rolling(window, min_periods=1).max().astype(np.int64)
+    return pa.table({
+        "hour": pa.array(np.arange(lo, hi + 1, dtype=np.int64)),
+        "total_c": pa.array(grid),
+        "roll_min": pa.array(rmin.to_numpy()),
+        "roll_max": pa.array(rmax.to_numpy()),
+        "roll_range": pa.array((rmax - rmin).to_numpy()),
+    })
+
+
+ROLLING_EXTREMA_SQL = """
+WITH hsum AS (
+  SELECT CAST(epoch_us(ts) AS BIGINT) // 3600000000 AS hour,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS s
+  FROM events GROUP BY 1
+), bounds AS (SELECT min(hour) AS lo, max(hour) AS hi FROM hsum),
+grid AS (
+  SELECT g.hour, COALESCE(hsum.s, 0) AS s
+  FROM (SELECT unnest(generate_series(bounds.lo, bounds.hi)) AS hour
+        FROM bounds) g
+  LEFT JOIN hsum ON hsum.hour = g.hour
+)
+SELECT hour, s AS total_c,
+       CAST(min(s) OVER w AS BIGINT) AS roll_min,
+       CAST(max(s) OVER w AS BIGINT) AS roll_max,
+       CAST(max(s) OVER w - min(s) OVER w AS BIGINT) AS roll_range
+FROM grid
+WINDOW w AS (ORDER BY hour ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
+ORDER BY hour
+"""
+
+
+def revenue_topshare(sf_dir: str, q: float = 0.99) -> pa.Table:
+    """REVENUE CONCENTRATION at the tail: the p99 per-customer revenue
+    threshold (exact distributed quantile, quantile_disc semantics) and
+    the share of total revenue earned by customers STRICTLY above it --
+    the "top 1% of customers drive X% of revenue" number, exact in
+    integer cents with ppm share.
+
+    Scale shape: per-user revenue via a user-keyed groupby; the
+    threshold comes from the histogram-bisection exact quantile; the
+    share is one more streaming filter + sum.
+    """
+    from ray.data.aggregate import Sum as _Sum
+    from .quantiles import exact_quantiles
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def per_cust(t: pa.Table) -> pa.Table:
+        staged = pa.table({
+            "cust": pc.cast(t["o_custkey"], pa.int64()),
+            "rev": _int_units(t["o_totalprice"], 100),
+        })
+        g = staged.group_by("cust").aggregate([("rev", "sum")])
+        return pa.table({"cust": g["cust"],
+                         "rev": pc.cast(g["rev_sum"], pa.int64())})
+
+    per_user = (orders.map_batches(per_cust, batch_format="pyarrow",
+                                   zero_copy_batch=True)
+                .groupby("cust").aggregate(_Sum("rev", alias_name="rev"))
+                .materialize())
+    thr = int(exact_quantiles(per_user, "rev", [q])["value"][0].as_py())
+
+    def above_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "rev" not in t.column_names:
+            return pa.table({"n": pa.array([], type=pa.int64()),
+                             "na": pa.array([], type=pa.int64()),
+                             "tot": pa.array([], type=pa.int64()),
+                             "above": pa.array([], type=pa.int64())})
+        rev = t["rev"].to_numpy(zero_copy_only=False)
+        m = rev > thr
+        return pa.table({"n": pa.array([len(rev)], type=pa.int64()),
+                         "na": pa.array([int(m.sum())], type=pa.int64()),
+                         "tot": pa.array([int(rev.sum())],
+                                         type=pa.int64()),
+                         "above": pa.array([int(rev[m].sum())],
+                                           type=pa.int64())})
+
+    f = per_user.map_batches(above_partial,
+                             batch_format="pyarrow").to_pandas()
+    n = int(f["n"].sum()); na = int(f["na"].sum())
+    tot = int(f["tot"].sum()); above = int(f["above"].sum())
+    return pa.table({
+        "n_customers": pa.array([n], type=pa.int64()),
+        "thr_cents": pa.array([thr], type=pa.int64()),
+        "n_above": pa.array([na], type=pa.int64()),
+        "rev_above_cents": pa.array([above], type=pa.int64()),
+        "total_rev_cents": pa.array([tot], type=pa.int64()),
+        "share_ppm": pa.array([above * 1_000_000 // tot],
+                              type=pa.int64()),
+    })
+
+
+REVENUE_TOPSHARE_SQL = """
+WITH pu AS (
+  SELECT o_custkey,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS rev
+  FROM orders GROUP BY 1
+), thr AS (SELECT quantile_disc(rev, 0.99) AS t FROM pu)
+SELECT CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(thr.t AS BIGINT) AS thr_cents,
+       CAST(sum(CASE WHEN rev > thr.t THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_above,
+       CAST(sum(CASE WHEN rev > thr.t THEN rev ELSE 0 END) AS BIGINT)
+         AS rev_above_cents,
+       CAST(sum(rev) AS BIGINT) AS total_rev_cents,
+       CAST(sum(CASE WHEN rev > thr.t THEN rev ELSE 0 END) * 1000000
+            // sum(rev) AS BIGINT) AS share_ppm
+FROM pu CROSS JOIN thr GROUP BY thr.t
+"""

@@ -2317,3 +2317,40 @@ def test_filter_grid_monotone(ray_session, tmp_path):
     for mt in (10, 30, 100):
         assert out.loc[(mt, 20), "kept_docs"] >= \
             out.loc[(mt, 5), "kept_docs"]
+
+
+def test_rolling_extrema_known_series(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+    from p2pddsketch_ray.pipelines.relational import rolling_extrema_hourly
+    HOUR_US = 3_600_000_000
+    hours = np.arange(30, dtype=np.int64)
+    vals = (hours % 7).astype(np.float64)
+    pq.write_table(pa.table({
+        "ts": pa.array(hours * HOUR_US).cast(pa.timestamp("us")),
+        "value": pa.array(vals),
+    }), str(tmp_path / "events.parquet"))
+    out = rolling_extrema_hourly(str(tmp_path)).to_pandas()
+    import pandas as pd
+    cents = (hours % 7) * 100
+    ref = pd.Series(cents)
+    assert (out["roll_min"].to_numpy()
+            == ref.rolling(24, min_periods=1).min().to_numpy()).all()
+    assert (out["roll_max"].to_numpy()
+            == ref.rolling(24, min_periods=1).max().to_numpy()).all()
+
+
+def test_revenue_topshare_concentration(ray_session, tmp_path):
+    """One whale among 99 small customers owns the top share."""
+    import pyarrow.parquet as pq
+    from p2pddsketch_ray.pipelines.relational import revenue_topshare
+    cust = np.arange(100, dtype=np.int64)
+    price = np.where(cust == 7, 10_000.0, 10.0)
+    pq.write_table(pa.table({
+        "o_custkey": pa.array(cust),
+        "o_totalprice": pa.array(price),
+    }), str(tmp_path / "orders.parquet"))
+    out = revenue_topshare(str(tmp_path)).to_pydict()
+    assert out["n_customers"] == [100]
+    assert out["n_above"] == [1]
+    total = 99 * 1000 + 1_000_000
+    assert out["share_ppm"] == [1_000_000 * 1_000_000 // total]
