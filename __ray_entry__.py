@@ -207,6 +207,14 @@ from p2pddsketch_ray.pipelines.relational import (  # noqa: E402
     ROLLING_EXTREMA_SQL as _ROLLING_EXTREMA_SQL,
     revenue_topshare as _revenue_topshare,
     REVENUE_TOPSHARE_SQL as _REVENUE_TOPSHARE_SQL,
+    emd_drift_binned as _emd_drift_binned,
+    EMD_DRIFT_SQL as _EMD_DRIFT_SQL,
+    mann_kendall_trend as _mann_kendall_trend,
+    MANN_KENDALL_SQL as _MANN_KENDALL_SQL,
+    mannwhitney_qty_flags as _mannwhitney_qty_flags,
+    MANNWHITNEY_SQL as _MANNWHITNEY_SQL,
+    wilson_lb_types as _wilson_lb_types,
+    WILSON_LB_SQL as _WILSON_LB_SQL,
     customer_frequency_spectrum as _customer_frequency_spectrum,
     SESSION_BOUNCE_SQL as _SESSION_BOUNCE_SQL,
     session_bounce_stats as _session_bounce_stats,
@@ -865,6 +873,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_extrema_hourly": _rolling_extrema_hourly,
         # top-1% customer revenue concentration (exact p99 threshold)
         "revenue_topshare": _revenue_topshare,
+        # binned 1-D Wasserstein drift between two event types
+        "emd_drift_binned": _emd_drift_binned,
+        # Mann-Kendall daily-trend test per event type (S, var, tau)
+        "mann_kendall_trend": _mann_kendall_trend,
+        # Mann-Whitney U / AUC between two return flags on quantity
+        "mannwhitney_qty_flags": _mannwhitney_qty_flags,
+        # Wilson-score lower-bound leaderboard of high-value rates
+        "wilson_lb_types": _wilson_lb_types,
         # Markov next-event baseline accuracy per previous type
         "markov_next_accuracy": _markov_next_accuracy,
         # out-of-order lateness vs arrival order (distributed prefix max)
@@ -1431,6 +1447,10 @@ def oracle_sql() -> dict[str, str]:
         "filter_threshold_grid": _FILTER_GRID_SQL,
         "rolling_extrema_hourly": _ROLLING_EXTREMA_SQL,
         "revenue_topshare": _REVENUE_TOPSHARE_SQL,
+        "emd_drift_binned": _EMD_DRIFT_SQL,
+        "mann_kendall_trend": _MANN_KENDALL_SQL,
+        "mannwhitney_qty_flags": _MANNWHITNEY_SQL,
+        "wilson_lb_types": _WILSON_LB_SQL,
         "markov_next_accuracy": _MARKOV_NEXT_ACC_SQL,
         "ooo_lateness_stats": _OOO_LATENESS_SQL,
         "multimodal_resize_stats": """

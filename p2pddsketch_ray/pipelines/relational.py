@@ -11835,3 +11835,368 @@ SELECT CAST(count(*) AS BIGINT) AS n_customers,
             // sum(rev) AS BIGINT) AS share_ppm
 FROM pu CROSS JOIN thr GROUP BY thr.t
 """
+
+
+def emd_drift_binned(sf_dir: str, type_a: str = "view",
+                     type_b: str = "purchase",
+                     n_bins: int = 256) -> pa.Table:
+    """BINNED 1-D WASSERSTEIN (earth mover's) drift between two event
+    types' value distributions: the mean absolute CDF gap over a fixed
+    equi-width grid -- the area-under-the-CDF-difference companion to
+    the max-gap KS statistic, exact on the binned CDFs by all-integer
+    cross-multiplied arithmetic (sum |cum_a*n_b - cum_b*n_a|; the only
+    division is the final ppm).
+
+    Scale shape is identical to ks_drift_binned: a streamed global
+    Min/Max, one <=n_bins-row bincount partial per block, a bounded
+    groupby, and an O(n_bins) driver walk with big-int immunity.
+    """
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def micro(t: pa.Table) -> pa.Table:
+        keep = pc.is_in(t["event_type"],
+                        value_set=pa.array([type_a, type_b]))
+        t = t.filter(keep)
+        return pa.table({"event_type": t["event_type"],
+                         "m": _int_units(t["value"], 1_000_000)})
+
+    vals = ds.map_batches(micro, batch_format="pyarrow",
+                          zero_copy_batch=True).materialize()
+    mm = vals.aggregate(Min("m", alias_name="lo"),
+                        Max("m", alias_name="hi"))
+    lo, hi = int(mm["lo"]), int(mm["hi"])
+    span = hi - lo + 1
+
+    empty = pa.table({"bin": pa.array([], type=pa.int64()),
+                      "na": pa.array([], type=pa.int64()),
+                      "nb": pa.array([], type=pa.int64())})
+
+    def binned(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        m = t["m"].to_numpy(zero_copy_only=False)
+        b = np.zeros_like(m) if span <= 1 else (m - lo) * n_bins // span
+        is_a = np.asarray(pc.equal(t["event_type"], pa.scalar(type_a)))
+        na = np.bincount(b[is_a], minlength=n_bins)
+        nb = np.bincount(b[~is_a], minlength=n_bins)
+        keep = np.nonzero(na | nb)[0]
+        return pa.table({"bin": pa.array(keep.astype(np.int64)),
+                         "na": pa.array(na[keep].astype(np.int64)),
+                         "nb": pa.array(nb[keep].astype(np.int64))})
+
+    agg = (vals.map_batches(binned, batch_format="pyarrow",
+                            zero_copy_batch=True)
+           .groupby("bin")
+           .aggregate(Sum("na", alias_name="na"),
+                      Sum("nb", alias_name="nb"))
+           .to_pandas().sort_values("bin"))
+    na = np.zeros(n_bins, dtype=np.int64)
+    nb = np.zeros(n_bins, dtype=np.int64)
+    na[agg["bin"].to_numpy(dtype=np.int64)] = agg["na"]
+    nb[agg["bin"].to_numpy(dtype=np.int64)] = agg["nb"]
+    n_a, n_b = int(na.sum()), int(nb.sum())
+    ca, cb, acc = 0, 0, 0
+    for i in range(n_bins):          # exact big-int walk, n_bins rows
+        ca += int(na[i]); cb += int(nb[i])
+        acc += abs(ca * n_b - cb * n_a)
+    emd = acc * 1_000_000 // (n_a * n_b * n_bins) if n_a and n_b else 0
+    return pa.table({
+        "type_a": pa.array([type_a], type=pa.string()),
+        "type_b": pa.array([type_b], type=pa.string()),
+        "n_a": pa.array([n_a], type=pa.int64()),
+        "n_b": pa.array([n_b], type=pa.int64()),
+        "emd_ppm_of_span": pa.array([emd], type=pa.int64()),
+    })
+
+
+EMD_DRIFT_SQL = """
+WITH v AS (
+  SELECT event_type,
+         CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS m
+  FROM events WHERE event_type IN ('view', 'purchase')
+), b AS (SELECT min(m) AS lo, max(m) AS hi FROM v),
+g AS (
+  SELECT event_type,
+         CASE WHEN b.hi - b.lo + 1 <= 1 THEN 0
+              ELSE (m - b.lo) * 256 // (b.hi - b.lo + 1) END AS bin,
+         CAST(count(*) AS BIGINT) AS n
+  FROM v CROSS JOIN b GROUP BY 1, 2
+), grid AS (SELECT unnest(generate_series(0, 255)) AS bin),
+f AS (
+  SELECT grid.bin,
+         COALESCE(sum(g.n) FILTER (WHERE g.event_type = 'view'), 0)
+           AS na,
+         COALESCE(sum(g.n) FILTER (WHERE g.event_type = 'purchase'), 0)
+           AS nb
+  FROM grid LEFT JOIN g ON g.bin = grid.bin GROUP BY 1
+), cum AS (
+  SELECT bin, sum(na) OVER (ORDER BY bin) AS ca,
+         sum(nb) OVER (ORDER BY bin) AS cb
+  FROM f
+), t AS (SELECT CAST(sum(na) AS BIGINT) AS n_a,
+                CAST(sum(nb) AS BIGINT) AS n_b FROM f),
+s AS (SELECT sum(abs(ca * t.n_b - cb * t.n_a)) AS acc
+      FROM cum CROSS JOIN t)
+SELECT 'view' AS type_a, 'purchase' AS type_b, t.n_a, t.n_b,
+       CAST(s.acc * 1000000 // (t.n_a * t.n_b * 256) AS BIGINT)
+         AS emd_ppm_of_span
+FROM t, s
+"""
+
+
+def mann_kendall_trend(sf_dir: str) -> pa.Table:
+    """MANN-KENDALL monotone-trend test per event type over the DAILY
+    event-count series: S = sum over i<j of sign(x_j - x_i), the
+    tie-corrected variance numerator (18*Var, integer), and Kendall's
+    tau in ppm -- the standard nonparametric "is this metric drifting
+    up or down?" monitor, exact because S, ties and the x18 variance
+    are all integers (the only division is the sign-safe final ppm).
+
+    Scale shape: a (type, day) count combiner inside map_batches, one
+    cardinality-bounded groupby((type, day)), and an O(types x days^2)
+    driver fold over the tiny daily grid (days, not rows).
+    """
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+    DAY_US = np.int64(86_400_000_000)
+
+    def daily(t: pa.Table) -> pa.Table:
+        us = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        staged = pa.table({"event_type": t["event_type"],
+                           "day": pa.array(us // DAY_US),
+                           "one": pa.array(
+                               np.ones(t.num_rows, dtype=np.int64))})
+        g = staged.group_by(["event_type", "day"]).aggregate(
+            [("one", "sum")])
+        return pa.table({"event_type": g["event_type"], "day": g["day"],
+                         "n": pc.cast(g["one_sum"], pa.int64())})
+
+    grid = (ds.map_batches(daily, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby(["event_type", "day"])
+            .aggregate(Sum("n", alias_name="n"))
+            .to_pandas().sort_values(["event_type", "day"]))
+
+    types, s_out, n_out, var18_out, tau_out = [], [], [], [], []
+    for et, g in grid.groupby("event_type", sort=True):
+        x = g.sort_values("day")["n"].to_numpy(dtype=np.int64)
+        n = len(x)
+        diff = np.sign(x[None, :] - x[:, None])
+        s = int(np.triu(diff, 1).sum())
+        _, tie_counts = np.unique(x, return_counts=True)
+        tie_term = int(sum(t * (t - 1) * (2 * t + 5)
+                           for t in tie_counts.tolist()))
+        var18 = n * (n - 1) * (2 * n + 5) - tie_term
+        denom = n * (n - 1) // 2
+        tau = (-((-s) * 1_000_000 // denom) if s < 0
+               else s * 1_000_000 // denom) if denom else 0
+        types.append(et); s_out.append(s); n_out.append(n)
+        var18_out.append(var18); tau_out.append(tau)
+    return pa.table({
+        "event_type": pa.array(types, type=pa.string()),
+        "n_days": pa.array(n_out, type=pa.int64()),
+        "mk_s": pa.array(s_out, type=pa.int64()),
+        "var_s_x18": pa.array(var18_out, type=pa.int64()),
+        "tau_ppm": pa.array(tau_out, type=pa.int64()),
+    })
+
+
+MANN_KENDALL_SQL = """
+WITH d AS (
+  SELECT event_type,
+         CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+), pairs AS (
+  SELECT a.event_type,
+         CASE WHEN b.n > a.n THEN 1 WHEN b.n < a.n THEN -1 ELSE 0 END
+           AS sg
+  FROM d a JOIN d b
+    ON a.event_type = b.event_type AND a.day < b.day
+), s AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_days FROM d
+  GROUP BY 1
+), ties AS (
+  SELECT event_type, n, CAST(count(*) AS BIGINT) AS t
+  FROM d GROUP BY 1, 2
+), tt AS (
+  SELECT event_type,
+         CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term
+  FROM ties GROUP BY 1
+), sv AS (
+  SELECT event_type, CAST(COALESCE(sum(sg), 0) AS BIGINT) AS mk_s
+  FROM pairs GROUP BY 1
+)
+SELECT s.event_type, s.n_days, sv.mk_s,
+       CAST(s.n_days * (s.n_days - 1) * (2 * s.n_days + 5)
+            - tt.tie_term AS BIGINT) AS var_s_x18,
+       CAST(CASE WHEN sv.mk_s < 0
+                 THEN -((-sv.mk_s) * 1000000
+                        // (s.n_days * (s.n_days - 1) // 2))
+                 ELSE sv.mk_s * 1000000
+                      // (s.n_days * (s.n_days - 1) // 2) END AS BIGINT)
+         AS tau_ppm
+FROM s JOIN sv USING (event_type) JOIN tt USING (event_type)
+ORDER BY 1
+"""
+
+
+def mannwhitney_qty_flags(sf_dir: str, flag_a: str = "R",
+                          flag_b: str = "A") -> pa.Table:
+    """MANN-WHITNEY U rank-sum test between two return flags on
+    l_quantity: doubled tie-averaged rank sums (always integer), the
+    doubled U statistic, and the tie-handling AUC estimate
+    P(a > b) + P(a == b)/2 in ppm -- the standard nonparametric
+    two-sample location test, exact because quantity is a small integer
+    domain so every rank average x2 is an integer.
+
+    Scale shape: a (value -> count per group) histogram combiner per
+    block, one groupby over the ~50-value quantity domain, and an
+    O(distinct values) driver walk -- cardinality-bounded, never
+    row-bounded.
+    """
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity"])
+
+    def hist(t: pa.Table) -> pa.Table:
+        keep = pc.is_in(t["l_returnflag"],
+                        value_set=pa.array([flag_a, flag_b]))
+        t = t.filter(keep)
+        staged = pa.table({
+            "q": pc.cast(t["l_quantity"], pa.int64()),
+            "a": pc.cast(pc.equal(t["l_returnflag"],
+                                  pa.scalar(flag_a)), pa.int64()),
+            "b": pc.cast(pc.equal(t["l_returnflag"],
+                                  pa.scalar(flag_b)), pa.int64()),
+        })
+        g = staged.group_by("q").aggregate([("a", "sum"), ("b", "sum")])
+        return pa.table({"q": g["q"],
+                         "na": pc.cast(g["a_sum"], pa.int64()),
+                         "nb": pc.cast(g["b_sum"], pa.int64())})
+
+    h = (ds.map_batches(hist, batch_format="pyarrow",
+                        zero_copy_batch=True)
+         .groupby("q")
+         .aggregate(Sum("na", alias_name="na"),
+                    Sum("nb", alias_name="nb"))
+         .to_pandas().sort_values("q"))
+    na = h["na"].to_numpy(dtype=np.int64)
+    nb = h["nb"].to_numpy(dtype=np.int64)
+    tot = na + nb
+    cum_less = np.concatenate(([0], np.cumsum(tot)[:-1]))
+    # doubled tie-averaged rank of every item at value v:
+    #   2*rank_avg = 2*cum_less + (ties + 1)
+    r1_x2 = int(np.sum(na * (2 * cum_less + tot + 1)))
+    n1, n2 = int(na.sum()), int(nb.sum())
+    u1_x2 = r1_x2 - n1 * (n1 + 1)
+    auc = u1_x2 * 1_000_000 // (2 * n1 * n2) if n1 and n2 else 0
+    return pa.table({
+        "flag_a": pa.array([flag_a], type=pa.string()),
+        "flag_b": pa.array([flag_b], type=pa.string()),
+        "n_a": pa.array([n1], type=pa.int64()),
+        "n_b": pa.array([n2], type=pa.int64()),
+        "r1_x2": pa.array([r1_x2], type=pa.int64()),
+        "u1_x2": pa.array([u1_x2], type=pa.int64()),
+        "auc_ppm": pa.array([auc], type=pa.int64()),
+    })
+
+
+MANNWHITNEY_SQL = """
+WITH h AS (
+  SELECT CAST(l_quantity AS BIGINT) AS q,
+         CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+              AS BIGINT) AS na,
+         CAST(sum(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END)
+              AS BIGINT) AS nb
+  FROM lineitem WHERE l_returnflag IN ('R', 'A') GROUP BY 1
+), c AS (
+  SELECT q, na, nb,
+         COALESCE(sum(na + nb) OVER
+                  (ORDER BY q ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND 1 PRECEDING), 0) AS cum_less
+  FROM h
+), agg AS (
+  SELECT CAST(sum(na) AS BIGINT) AS n1,
+         CAST(sum(nb) AS BIGINT) AS n2,
+         CAST(sum(na * (2 * cum_less + na + nb + 1)) AS BIGINT)
+           AS r1_x2
+  FROM c
+)
+SELECT 'R' AS flag_a, 'A' AS flag_b, n1 AS n_a, n2 AS n_b, r1_x2,
+       CAST(r1_x2 - n1 * (n1 + 1) AS BIGINT) AS u1_x2,
+       CAST((r1_x2 - n1 * (n1 + 1)) * 1000000 // (2 * n1 * n2)
+            AS BIGINT) AS auc_ppm
+FROM agg
+"""
+
+
+def wilson_lb_types(sf_dir: str,
+                    threshold: float = 100.0) -> pa.Table:
+    """WILSON-SCORE LOWER BOUND ranking of event types by their
+    high-value rate P(value > threshold): the small-sample-safe "sort
+    by lower confidence bound, not by raw rate" leaderboard (z = 1.96).
+    Counts are exact integers from a streamed combiner; the bound is
+    ONE mirrored double expression evaluated from (k, n) identically
+    here and in the SQL oracle (same op order, IEEE-exact on both
+    sides -- the BM25/ln-parity pattern).
+
+    Scale shape: per-block (type, n, k) partials, a 5-row groupby,
+    driver math on the tiny leaderboard.
+    """
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+    thr_m = int(round(threshold * 1_000_000))
+
+    def part(t: pa.Table) -> pa.Table:
+        m = _int_units(t["value"], 1_000_000)
+        staged = pa.table({
+            "event_type": t["event_type"],
+            "n": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+            "k": pc.cast(pc.greater(m, pa.scalar(thr_m, pa.int64())),
+                         pa.int64()),
+        })
+        g = staged.group_by("event_type").aggregate(
+            [("n", "sum"), ("k", "sum")])
+        return pa.table({"event_type": g["event_type"],
+                         "n": pc.cast(g["n_sum"], pa.int64()),
+                         "k": pc.cast(g["k_sum"], pa.int64())})
+
+    agg = (ds.map_batches(part, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("event_type")
+           .aggregate(Sum("n", alias_name="n"),
+                      Sum("k", alias_name="k"))
+           .to_pandas().sort_values("event_type"))
+    n = agg["n"].to_numpy(dtype=np.float64)
+    k = agg["k"].to_numpy(dtype=np.float64)
+    z = 1.96
+    # mirrored single expression -- keep op order identical to the SQL
+    p = k / n
+    lb = ((p + z * z / (2.0 * n)
+           - z * np.sqrt((p * (1.0 - p) + z * z / (4.0 * n)) / n))
+          / (1.0 + z * z / n))
+    return pa.table({
+        "event_type": pa.array(agg["event_type"].tolist(),
+                               type=pa.string()),
+        "n": pa.array(agg["n"].to_numpy(dtype=np.int64)),
+        "k": pa.array(agg["k"].to_numpy(dtype=np.int64)),
+        "wilson_lb": pa.array(lb, type=pa.float64()),
+    })
+
+
+WILSON_LB_SQL = """
+WITH a AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN CAST(floor(value * 1000000.0 + 0.5)
+                             AS BIGINT) > 100000000
+                       THEN 1 ELSE 0 END) AS BIGINT) AS k
+  FROM events GROUP BY 1
+), f AS (
+  SELECT event_type, n, k,
+         CAST(k AS DOUBLE) / CAST(n AS DOUBLE) AS p,
+         CAST(n AS DOUBLE) AS nd
+  FROM a
+)
+SELECT event_type, n, k,
+       (p + 1.96e0 * 1.96e0 / (2.0 * nd)
+        - 1.96e0 * sqrt((p * (1.0 - p) + 1.96e0 * 1.96e0 / (4.0 * nd)) / nd))
+       / (1.0 + 1.96e0 * 1.96e0 / nd) AS wilson_lb
+FROM f ORDER BY 1
+"""

@@ -2354,3 +2354,94 @@ def test_revenue_topshare_concentration(ray_session, tmp_path):
     assert out["n_above"] == [1]
     total = 99 * 1000 + 1_000_000
     assert out["share_ppm"] == [1_000_000 * 1_000_000 // total]
+
+
+def test_emd_zero_for_identical_distributions(ray_session, tmp_path):
+    """Two types drawn as exact copies have EMD == 0; a shifted copy
+    has strictly positive EMD."""
+    import pyarrow.parquet as pq
+    from p2pddsketch_ray.pipelines.relational import emd_drift_binned
+    v = np.linspace(1.0, 200.0, 400)
+    t = pa.table({
+        "event_type": pa.array(["view"] * 400 + ["purchase"] * 400),
+        "value": pa.array(np.concatenate([v, v])),
+    })
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    out = emd_drift_binned(str(tmp_path)).to_pydict()
+    assert out["emd_ppm_of_span"] == [0]
+
+    t2 = pa.table({
+        "event_type": pa.array(["view"] * 400 + ["purchase"] * 400),
+        "value": pa.array(np.concatenate([v, v + 50.0])),
+    })
+    pq.write_table(t2, str(tmp_path / "events.parquet"))
+    out2 = emd_drift_binned(str(tmp_path)).to_pydict()
+    assert out2["emd_ppm_of_span"][0] > 0
+
+
+def test_mann_kendall_monotone_series(ray_session, tmp_path):
+    """A strictly increasing daily count yields S = n(n-1)/2 and
+    tau_ppm = 1e6; a strictly decreasing one mirrors to -1e6."""
+    import pyarrow.parquet as pq
+    from p2pddsketch_ray.pipelines.relational import mann_kendall_trend
+    DAY_US = 86_400_000_000
+    rows_ts, rows_type = [], []
+    for d in range(10):
+        rows_ts += [d * DAY_US] * (d + 1)       # up: 1,2,...,10
+        rows_type += ["up"] * (d + 1)
+        rows_ts += [d * DAY_US] * (10 - d)      # down: 10,9,...,1
+        rows_type += ["down"] * (10 - d)
+    pq.write_table(pa.table({
+        "ts": pa.array(np.array(rows_ts, dtype=np.int64)).cast(
+            pa.timestamp("us")),
+        "event_type": pa.array(rows_type, type=pa.string()),
+    }), str(tmp_path / "events.parquet"))
+    out = (mann_kendall_trend(str(tmp_path)).to_pandas()
+           .set_index("event_type"))
+    assert int(out.loc["up", "mk_s"]) == 45
+    assert int(out.loc["up", "tau_ppm"]) == 1_000_000
+    assert int(out.loc["down", "mk_s"]) == -45
+    assert int(out.loc["down", "tau_ppm"]) == -1_000_000
+    # no ties in either series -> full variance numerator
+    assert int(out.loc["up", "var_s_x18"]) == 10 * 9 * 25
+
+
+def test_mannwhitney_matches_scipy_formula(ray_session, tmp_path):
+    """Doubled-rank U equals the brute-force pair count
+    2*(#(a>b) + 0.5*#(a==b)) on a randomized small input."""
+    import pyarrow.parquet as pq
+    from p2pddsketch_ray.pipelines.relational import mannwhitney_qty_flags
+    rng = np.random.default_rng(42)
+    qa = rng.integers(1, 20, 300)
+    qb = rng.integers(5, 25, 200)
+    pq.write_table(pa.table({
+        "l_returnflag": pa.array(["R"] * 300 + ["A"] * 200),
+        "l_quantity": pa.array(
+            np.concatenate([qa, qb]).astype(np.float64)),
+    }), str(tmp_path / "lineitem.parquet"))
+    out = mannwhitney_qty_flags(str(tmp_path)).to_pydict()
+    gt = (qa[:, None] > qb[None, :]).sum()
+    eq = (qa[:, None] == qb[None, :]).sum()
+    assert out["u1_x2"] == [int(2 * gt + eq)]
+    assert out["auc_ppm"] == [int((2 * gt + eq) * 1_000_000
+                                  // (2 * 300 * 200))]
+
+
+def test_wilson_lb_below_rate_and_ordering(ray_session, tmp_path):
+    """The lower bound sits below the raw rate and a small-n type with
+    the same rate gets a lower bound than a big-n type."""
+    import pyarrow.parquet as pq
+    from p2pddsketch_ray.pipelines.relational import wilson_lb_types
+    # big: 1000 events, 30% above threshold; small: 10 events, 30%
+    vals = np.concatenate([
+        np.where(np.arange(1000) < 300, 200.0, 50.0),
+        np.where(np.arange(10) < 3, 200.0, 50.0)])
+    types = ["big"] * 1000 + ["small"] * 10
+    pq.write_table(pa.table({
+        "event_type": pa.array(types, type=pa.string()),
+        "value": pa.array(vals),
+    }), str(tmp_path / "events.parquet"))
+    out = (wilson_lb_types(str(tmp_path)).to_pandas()
+           .set_index("event_type"))
+    assert out.loc["big", "wilson_lb"] < 0.3
+    assert out.loc["small", "wilson_lb"] < out.loc["big", "wilson_lb"]
