@@ -215,6 +215,12 @@ from p2pddsketch_ray.pipelines.relational import (  # noqa: E402
     MANNWHITNEY_SQL as _MANNWHITNEY_SQL,
     wilson_lb_types as _wilson_lb_types,
     WILSON_LB_SQL as _WILSON_LB_SQL,
+    ndcg_retrieval_eval as _ndcg_retrieval_eval,
+    NDCG_EVAL_SQL as _NDCG_EVAL_SQL,
+    conformal_coverage as _conformal_coverage,
+    CONFORMAL_SQL as _CONFORMAL_SQL,
+    rle_sort_benefit as _rle_sort_benefit,
+    RLE_SORT_BENEFIT_SQL as _RLE_SORT_BENEFIT_SQL,
     customer_frequency_spectrum as _customer_frequency_spectrum,
     SESSION_BOUNCE_SQL as _SESSION_BOUNCE_SQL,
     session_bounce_stats as _session_bounce_stats,
@@ -881,6 +887,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mannwhitney_qty_flags": _mannwhitney_qty_flags,
         # Wilson-score lower-bound leaderboard of high-value rates
         "wilson_lb_types": _wilson_lb_types,
+        # NDCG@10 / MRR eval of tf retrieval vs title-proximity labels
+        "ndcg_retrieval_eval": _ndcg_retrieval_eval,
+        # split-conformal interval coverage per event type
+        "conformal_coverage": _conformal_coverage,
+        # RLE run counts: shipdate order vs sorted-by-pair layout
+        "rle_sort_benefit": _rle_sort_benefit,
         # Markov next-event baseline accuracy per previous type
         "markov_next_accuracy": _markov_next_accuracy,
         # out-of-order lateness vs arrival order (distributed prefix max)
@@ -1451,6 +1463,9 @@ def oracle_sql() -> dict[str, str]:
         "mann_kendall_trend": _MANN_KENDALL_SQL,
         "mannwhitney_qty_flags": _MANNWHITNEY_SQL,
         "wilson_lb_types": _WILSON_LB_SQL,
+        "ndcg_retrieval_eval": _NDCG_EVAL_SQL,
+        "conformal_coverage": _CONFORMAL_SQL,
+        "rle_sort_benefit": _RLE_SORT_BENEFIT_SQL,
         "markov_next_accuracy": _MARKOV_NEXT_ACC_SQL,
         "ooo_lateness_stats": _OOO_LATENESS_SQL,
         "multimodal_resize_stats": """

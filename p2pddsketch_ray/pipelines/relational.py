@@ -12200,3 +12200,466 @@ SELECT event_type, n, k,
        / (1.0 + 1.96e0 * 1.96e0 / nd) AS wilson_lb
 FROM f ORDER BY 1
 """
+
+
+# floor(1e9 / log2(i+1)) for ranks 1..10 -- asserted against math.log2
+# in tests; the SQL oracle carries the identical literals.
+_NDCG_DISC = (1_000_000_000, 630_929_753, 500_000_000, 430_676_558,
+              386_852_807, 356_207_187, 333_333_333, 315_464_876,
+              301_029_995, 289_064_826)
+
+
+def ndcg_retrieval_eval(sf_dir: str,
+                        terms: tuple = ("hash", "join", "merge",
+                                        "scan")) -> pa.Table:
+    """RANKING-QUALITY EVAL (NDCG@10 / MRR) of a term-frequency
+    retrieval run against an independent relevance label: for each
+    query term, rank docs by (tf desc, doc_id asc) and label a doc
+    relevant iff the term appears within its first 100 characters (a
+    title-proximity proxy, substring semantics on both sides).  DCG
+    uses integer discounts floor(1e9/log2(rank+1)) so dcg/idcg/ndcg
+    and MRR are all exact integers -- the offline eval loop every
+    retrieval stack runs, with zero float divergence risk.
+
+    Scale shape: one tokenized pass emits per-block top-10 prereduced
+    candidates per term plus an O(terms) relevant-count partial; the
+    final ranking folds O(10 x blocks x terms) rows on the driver.
+    """
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    terms = tuple(terms)
+    k = 10
+
+    cand_empty = pa.table({"ti": pa.array([], type=pa.int64()),
+                           "doc_id": pa.array([], type=pa.int64()),
+                           "tf": pa.array([], type=pa.int64()),
+                           "rel": pa.array([], type=pa.int64())})
+    rel_empty = pa.table({"ti": pa.array([], type=pa.int64()),
+                          "n_rel": pa.array([], type=pa.int64())})
+
+    def _tf_rel(t: pa.Table):
+        toks = pc.split_pattern(t["text"], pattern=" ")
+        flat = pc.list_flatten(toks).combine_chunks()
+        nper = pc.list_value_length(toks).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        dcode = np.repeat(np.arange(t.num_rows, dtype=np.int64), nper)
+        dic = flat.dictionary_encode()
+        idx = dic.indices.to_numpy(zero_copy_only=False)
+        dwords = dic.dictionary.to_pylist()
+        head = pc.utf8_slice_codeunits(t["text"], 0, 100)
+        tfm = np.zeros((t.num_rows, len(terms)), dtype=np.int64)
+        relm = np.zeros((t.num_rows, len(terms)), dtype=np.int64)
+        for j, term in enumerate(terms):
+            if term in dwords:
+                code = dwords.index(term)
+                np.add.at(tfm[:, j], dcode[idx == code], 1)
+            relm[:, j] = np.asarray(
+                pc.match_substring(head, term)).astype(np.int64)
+        return tfm, relm
+
+    def candidates(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return cand_empty
+        tfm, relm = _tf_rel(t)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        tis, dids, tfs, rels = [], [], [], []
+        for j in range(len(terms)):
+            hit = np.flatnonzero(tfm[:, j] > 0)
+            if hit.size == 0:
+                continue
+            order = hit[np.lexsort((ids[hit], -tfm[hit, j]))[:k]]
+            tis.append(np.full(order.size, j, dtype=np.int64))
+            dids.append(ids[order].astype(np.int64))
+            tfs.append(tfm[order, j])
+            rels.append(relm[order, j])
+        if not tis:
+            return cand_empty
+        return pa.table({"ti": pa.array(np.concatenate(tis)),
+                         "doc_id": pa.array(np.concatenate(dids)),
+                         "tf": pa.array(np.concatenate(tfs)),
+                         "rel": pa.array(np.concatenate(rels))})
+
+    def rel_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return rel_empty
+        _, relm = _tf_rel(t)
+        return pa.table({
+            "ti": pa.array(np.arange(len(terms), dtype=np.int64)),
+            "n_rel": pa.array(relm.sum(axis=0).astype(np.int64))})
+
+    cand = (docs.map_batches(candidates, batch_format="pyarrow",
+                             zero_copy_batch=True).to_pandas())
+    rtot = (docs.map_batches(rel_partial, batch_format="pyarrow",
+                             zero_copy_batch=True)
+            .groupby("ti").aggregate(Sum("n_rel", alias_name="n_rel"))
+            .to_pandas().set_index("ti")["n_rel"])
+
+    rows = {c: [] for c in ("term", "n_rel", "dcg_e9", "idcg_e9",
+                            "ndcg_ppm", "first_rel_rank", "mrr_ppm")}
+    for j, term in enumerate(terms):
+        g = cand[cand["ti"] == j]
+        order = np.lexsort((g["doc_id"].to_numpy(),
+                            -g["tf"].to_numpy()))[:k]
+        rel = g["rel"].to_numpy()[order]
+        n_rel = int(rtot.get(j, 0))
+        dcg = int(sum(int(r) * _NDCG_DISC[i]
+                      for i, r in enumerate(rel)))
+        idcg = int(sum(_NDCG_DISC[:min(n_rel, k)]))
+        first = int(np.flatnonzero(rel)[0]) + 1 if rel.any() else 0
+        rows["term"].append(term)
+        rows["n_rel"].append(n_rel)
+        rows["dcg_e9"].append(dcg)
+        rows["idcg_e9"].append(idcg)
+        rows["ndcg_ppm"].append(dcg * 1_000_000 // idcg if idcg else 0)
+        rows["first_rel_rank"].append(first)
+        rows["mrr_ppm"].append(1_000_000 // first if first else 0)
+    return pa.table({
+        "term": pa.array(rows["term"], type=pa.string()),
+        "n_rel": pa.array(rows["n_rel"], type=pa.int64()),
+        "dcg_e9": pa.array(rows["dcg_e9"], type=pa.int64()),
+        "idcg_e9": pa.array(rows["idcg_e9"], type=pa.int64()),
+        "ndcg_ppm": pa.array(rows["ndcg_ppm"], type=pa.int64()),
+        "first_rel_rank": pa.array(rows["first_rel_rank"],
+                                   type=pa.int64()),
+        "mrr_ppm": pa.array(rows["mrr_ppm"], type=pa.int64()),
+    })
+
+
+NDCG_EVAL_SQL = """
+WITH terms(term) AS (
+  VALUES ('hash'), ('join'), ('merge'), ('scan')
+), disc(i, d) AS (
+  VALUES (1, 1000000000), (2, 630929753), (3, 500000000),
+         (4, 430676558), (5, 386852807), (6, 356207187),
+         (7, 333333333), (8, 315464876), (9, 301029995),
+         (10, 289064826)
+), toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+), tf AS (
+  SELECT tok AS term, doc_id, CAST(count(*) AS BIGINT) AS tf
+  FROM toks WHERE tok IN ('hash', 'join', 'merge', 'scan')
+  GROUP BY 1, 2
+), rel AS (
+  SELECT t.term, d.doc_id,
+         CASE WHEN position(t.term IN substr(d.text, 1, 100)) > 0
+              THEN 1 ELSE 0 END AS r
+  FROM documents d CROSS JOIN terms t
+), rtot AS (
+  SELECT term, CAST(sum(r) AS BIGINT) AS n_rel FROM rel GROUP BY 1
+), ranked AS (
+  SELECT term, doc_id, tf,
+         row_number() OVER (PARTITION BY term
+                            ORDER BY tf DESC, doc_id) AS rnk
+  FROM tf QUALIFY rnk <= 10
+), j AS (
+  SELECT ranked.term, ranked.rnk, rel.r, disc.d
+  FROM ranked
+  JOIN rel ON rel.term = ranked.term AND rel.doc_id = ranked.doc_id
+  JOIN disc ON disc.i = ranked.rnk
+), dcg AS (
+  SELECT term, CAST(sum(r * d) AS BIGINT) AS dcg_e9,
+         min(CASE WHEN r = 1 THEN rnk END) AS first_rel
+  FROM j GROUP BY 1
+), idcg AS (
+  SELECT rtot.term,
+         CAST(COALESCE(sum(disc.d), 0) AS BIGINT) AS idcg_e9
+  FROM rtot LEFT JOIN disc ON disc.i <= least(rtot.n_rel, 10)
+  GROUP BY 1
+)
+SELECT t.term, COALESCE(rtot.n_rel, 0) AS n_rel,
+       COALESCE(dcg.dcg_e9, 0) AS dcg_e9, idcg.idcg_e9,
+       CAST(CASE WHEN idcg.idcg_e9 > 0
+                 THEN COALESCE(dcg.dcg_e9, 0) * 1000000 // idcg.idcg_e9
+                 ELSE 0 END AS BIGINT) AS ndcg_ppm,
+       CAST(COALESCE(dcg.first_rel, 0) AS BIGINT) AS first_rel_rank,
+       CAST(CASE WHEN dcg.first_rel IS NOT NULL
+                 THEN 1000000 // dcg.first_rel
+                 ELSE 0 END AS BIGINT) AS mrr_ppm
+FROM terms t
+LEFT JOIN rtot ON rtot.term = t.term
+LEFT JOIN dcg ON dcg.term = t.term
+JOIN idcg ON idcg.term = t.term
+ORDER BY 1
+"""
+
+
+def conformal_coverage(sf_dir: str, alpha: float = 0.1) -> pa.Table:
+    """SPLIT-CONFORMAL PREDICTION-INTERVAL AUDIT per event type: a
+    train/calibration/test split by the deterministic row hash
+    (murmur64(event_id) % 10 -> 0-5 train, 6-7 cal, 8-9 test), a
+    per-type train median predictor, the empirical (1-alpha) quantile
+    of absolute calibration residuals as the interval half-width, and
+    the achieved test coverage in ppm -- the distribution-free
+    uncertainty wrapper (Vovk et al.; empirical-quantile variant) every
+    scored pipeline should ship with.  Exact: micro-unit residuals,
+    quantile_disc selection, integer coverage counts.
+
+    Scale shape: one projected pass materializes (type, m, pct); the
+    median and q-hat come from the grouped histogram-bisection exact
+    quantile (no sort); coverage is a 5-row combiner fold.
+    """
+    from ..hashing import murmur64
+    from .quantiles import exact_quantiles_grouped
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def staged(t: pa.Table) -> pa.Table:
+        ids = t["event_id"].to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        return pa.table({
+            "event_type": t["event_type"],
+            "m": _int_units(t["value"], 1_000_000),
+            "pct": pa.array((murmur64(ids) % np.uint64(10))
+                            .astype(np.int64)),
+        })
+
+    e = ds.map_batches(staged, batch_format="pyarrow",
+                       zero_copy_batch=True).materialize()
+
+    train = e.filter(expr="pct < 6")
+    med_t = exact_quantiles_grouped(train, "m", "event_type", [0.5])
+    med = {med_t["event_type"][i].as_py():
+           int(med_t["value"][i].as_py())
+           for i in range(med_t.num_rows)}
+    types = sorted(med)
+    med_arr = np.array([med[t] for t in types], dtype=np.int64)
+    type_lookup = pa.array(types, type=pa.string())
+
+    def resid(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"event_type": pa.array([],
+                                                    type=pa.string()),
+                             "r": pa.array([], type=pa.int64())})
+        code = pc.index_in(t["event_type"],
+                           value_set=type_lookup).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        m = t["m"].to_numpy(zero_copy_only=False)
+        return pa.table({"event_type": t["event_type"],
+                         "r": pa.array(np.abs(m - med_arr[code]))})
+
+    cal = (e.filter(expr="pct == 6 or pct == 7")
+           .map_batches(resid, batch_format="pyarrow",
+                        zero_copy_batch=True))
+    qhat_t = exact_quantiles_grouped(cal, "r", "event_type",
+                                     [1.0 - alpha])
+    qhat = {qhat_t["event_type"][i].as_py():
+            int(qhat_t["value"][i].as_py())
+            for i in range(qhat_t.num_rows)}
+    qhat_arr = np.array([qhat[t] for t in types], dtype=np.int64)
+
+    cov_empty = pa.table({"event_type": pa.array([], type=pa.string()),
+                          "n_test": pa.array([], type=pa.int64()),
+                          "n_covered": pa.array([], type=pa.int64())})
+
+    def cover(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return cov_empty
+        code = pc.index_in(t["event_type"],
+                           value_set=type_lookup).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        m = t["m"].to_numpy(zero_copy_only=False)
+        hit = (np.abs(m - med_arr[code]) <= qhat_arr[code])
+        n = np.bincount(code, minlength=len(types))
+        c = np.bincount(code[hit], minlength=len(types))
+        nz = n > 0
+        idx = np.flatnonzero(nz)
+        return pa.table({
+            "event_type": pa.array([types[i] for i in idx],
+                                   type=pa.string()),
+            "n_test": pa.array(n[nz].astype(np.int64)),
+            "n_covered": pa.array(c[nz].astype(np.int64))})
+
+    agg = (e.filter(expr="pct >= 8")
+           .map_batches(cover, batch_format="pyarrow",
+                        zero_copy_batch=True)
+           .groupby("event_type")
+           .aggregate(Sum("n_test", alias_name="n_test"),
+                      Sum("n_covered", alias_name="n_covered"))
+           .to_pandas().sort_values("event_type"))
+    nt = agg["n_test"].to_numpy(dtype=np.int64)
+    nc = agg["n_covered"].to_numpy(dtype=np.int64)
+    return pa.table({
+        "event_type": pa.array(agg["event_type"].tolist(),
+                               type=pa.string()),
+        "med_micro": pa.array([med[t] for t in agg["event_type"]],
+                              type=pa.int64()),
+        "qhat_micro": pa.array([qhat[t] for t in agg["event_type"]],
+                               type=pa.int64()),
+        "n_test": pa.array(nt),
+        "n_covered": pa.array(nc),
+        "cov_ppm": pa.array(nc * 1_000_000 // nt),
+    })
+
+
+CONFORMAL_SQL = """
+WITH e AS (
+  SELECT event_type,
+         CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS m,
+         hash(event_id) % 10 AS pct
+  FROM events
+), med AS (
+  SELECT event_type, CAST(quantile_disc(m, 0.5) AS BIGINT) AS med
+  FROM e WHERE pct < 6 GROUP BY 1
+), qh AS (
+  SELECT e.event_type,
+         CAST(quantile_disc(abs(e.m - med.med), 0.9) AS BIGINT) AS qhat
+  FROM e JOIN med USING (event_type)
+  WHERE pct IN (6, 7) GROUP BY 1
+), test AS (
+  SELECT e.event_type, med.med, qh.qhat,
+         CASE WHEN abs(e.m - med.med) <= qh.qhat THEN 1 ELSE 0 END
+           AS cov
+  FROM e JOIN med USING (event_type) JOIN qh USING (event_type)
+  WHERE pct >= 8
+)
+SELECT event_type, CAST(med AS BIGINT) AS med_micro,
+       CAST(qhat AS BIGINT) AS qhat_micro,
+       CAST(count(*) AS BIGINT) AS n_test,
+       CAST(sum(cov) AS BIGINT) AS n_covered,
+       CAST(sum(cov) * 1000000 // count(*) AS BIGINT) AS cov_ppm
+FROM test GROUP BY 1, 2, 3 ORDER BY 1
+"""
+
+
+def rle_sort_benefit(sf_dir: str) -> pa.Table:
+    """STORAGE-LAYOUT AUDIT: how many RLE runs the (returnflag,
+    linestatus) pair column has in ship-date order versus sorted by
+    (flag, status) -- i.e. how much run-length encoding a sort-before-
+    write would buy.  Run counting under a total order is distributed
+    by co-partitioning on ship DAY (contiguous, deterministic), sorting
+    each day partition by the full (date, orderkey, linenumber)
+    tiebreak, counting in-partition transitions vectorized, and
+    stitching the O(days) boundary pairs on the driver; the sorted
+    layout's run count is exactly the number of distinct pairs.
+
+    Scale shape: one streaming pass for partials, one bounded-key
+    groupby per day, O(days) driver fold -- runs, not rows, cross the
+    wire.
+    """
+    ds = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_linenumber", "l_shipdate",
+                "l_returnflag", "l_linestatus"])
+    DAY_US = np.int64(86_400_000_000)
+
+    empty = pa.table({"day": pa.array([], type=pa.int64()),
+                      "runs": pa.array([], type=pa.int64()),
+                      "n": pa.array([], type=pa.int64()),
+                      "first_pair": pa.array([], type=pa.string()),
+                      "last_pair": pa.array([], type=pa.string())})
+
+    def day_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        us = pc.cast(t["l_shipdate"], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        day = us // DAY_US
+        pair = pc.binary_join_element_wise(
+            t["l_returnflag"], t["l_linestatus"], "|").to_numpy(
+            zero_copy_only=False)
+        okey = t["l_orderkey"].to_numpy(zero_copy_only=False)
+        line = t["l_linenumber"].to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        return pa.table({"day": pa.array(day.astype(np.int64)),
+                         "us": pa.array(us),
+                         "okey": pa.array(okey.astype(np.int64)),
+                         "line": pa.array(line),
+                         "pair": pa.array(pair.tolist(),
+                                          type=pa.string())})
+
+    from ..stages.partition import fit_partitions, partition_by
+
+    def per_day(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        day = t["day"].to_numpy(zero_copy_only=False)
+        us = t["us"].to_numpy(zero_copy_only=False)
+        okey = t["okey"].to_numpy(zero_copy_only=False)
+        line = t["line"].to_numpy(zero_copy_only=False)
+        enc = t["pair"].combine_chunks().dictionary_encode()
+        code = enc.indices.to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        words = np.asarray(enc.dictionary.to_pylist())
+        order = np.lexsort((line, okey, us, day))
+        day_s, code_s = day[order], code[order]
+        new_day = np.empty(order.size, dtype=bool)
+        new_day[0] = True
+        new_day[1:] = day_s[1:] != day_s[:-1]
+        trans = np.empty(order.size, dtype=bool)
+        trans[0] = True
+        trans[1:] = code_s[1:] != code_s[:-1]
+        runs_total = np.bincount(
+            np.searchsorted(np.flatnonzero(new_day),
+                            np.flatnonzero(trans | new_day),
+                            side="right") - 1)
+        ud = day_s[new_day]
+        starts = np.flatnonzero(new_day)
+        ends = np.concatenate([starts[1:] - 1,
+                               [order.size - 1]])
+        nper = ends - starts + 1
+        return pa.table({
+            "day": pa.array(ud.astype(np.int64)),
+            "runs": pa.array(runs_total.astype(np.int64)),
+            "n": pa.array(nper.astype(np.int64)),
+            "first_pair": pa.array(words[code_s[starts]].tolist(),
+                                   type=pa.string()),
+            "last_pair": pa.array(words[code_s[ends]].tolist(),
+                                  type=pa.string()),
+        })
+
+    staged = ds.map_batches(day_partial, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    per = partition_by(staged, ["day"], fit_partitions(32), per_day,
+                       empty).to_pandas().sort_values("day")
+
+    runs_date_order = int(per["runs"].sum())
+    # stitch: adjacent day partitions whose boundary pair matches fuse
+    lp = per["last_pair"].to_numpy()
+    fp = per["first_pair"].to_numpy()
+    fused = int((lp[:-1] == fp[1:]).sum())
+    runs_date_order -= fused
+    n_rows = int(per["n"].sum())
+
+    # sorted-by-pair layout: one run per distinct pair value (a tiny
+    # per-block distinct fold -- boundary pairs alone would undercount)
+    def distinct_partial(t: pa.Table) -> pa.Table:
+        pair = pc.binary_join_element_wise(
+            t["l_returnflag"], t["l_linestatus"], "|")
+        u = pc.unique(pair)
+        return pa.table({"pair": u})
+
+    dp = (ds.map_batches(distinct_partial, batch_format="pyarrow",
+                         zero_copy_batch=True).to_pandas())
+    distinct_pairs = int(dp["pair"].nunique())
+
+    return pa.table({
+        "n_rows": pa.array([n_rows], type=pa.int64()),
+        "runs_shipdate_order": pa.array([runs_date_order],
+                                        type=pa.int64()),
+        "runs_pair_sorted": pa.array([distinct_pairs],
+                                     type=pa.int64()),
+        "rle_benefit_ppm": pa.array(
+            [(runs_date_order - distinct_pairs) * 1_000_000
+             // runs_date_order], type=pa.int64()),
+    })
+
+
+RLE_SORT_BENEFIT_SQL = """
+WITH o AS (
+  SELECT l_returnflag || '|' || l_linestatus AS pair,
+         lag(l_returnflag || '|' || l_linestatus) OVER
+           (ORDER BY l_shipdate, l_orderkey, l_linenumber) AS prev
+  FROM lineitem
+), runs AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(sum(CASE WHEN prev IS NULL OR pair != prev
+                       THEN 1 ELSE 0 END) AS BIGINT) AS r
+  FROM o
+), d AS (
+  SELECT CAST(count(DISTINCT l_returnflag || '|' || l_linestatus)
+              AS BIGINT) AS dp
+  FROM lineitem
+)
+SELECT runs.n_rows, runs.r AS runs_shipdate_order,
+       d.dp AS runs_pair_sorted,
+       CAST((runs.r - d.dp) * 1000000 // runs.r AS BIGINT)
+         AS rle_benefit_ppm
+FROM runs, d
+"""

@@ -2445,3 +2445,84 @@ def test_wilson_lb_below_rate_and_ordering(ray_session, tmp_path):
            .set_index("event_type"))
     assert out.loc["big", "wilson_lb"] < 0.3
     assert out.loc["small", "wilson_lb"] < out.loc["big", "wilson_lb"]
+
+
+def test_ndcg_discount_constants():
+    import math
+    from p2pddsketch_ray.pipelines.relational import _NDCG_DISC
+    assert _NDCG_DISC == tuple(
+        int(1e9 // math.log2(i + 1)) for i in range(1, 11))
+
+
+def test_ndcg_perfect_and_inverted_ranking(ray_session, tmp_path):
+    """Docs where tf order == relevance order give ndcg == 1e6; when
+    the only relevant doc is ranked last of 10, ndcg drops to
+    disc[9]/disc[0]."""
+    import pyarrow.parquet as pq
+    from p2pddsketch_ray.pipelines.relational import (
+        ndcg_retrieval_eval, _NDCG_DISC)
+    # 10 docs containing 'hash'; doc 0 has the highest tf AND has
+    # 'hash' in its first 100 chars; others are padded so 'hash' sits
+    # beyond char 100 and rel = 0.
+    pad = " ".join(["filler"] * 20)          # > 100 chars
+    texts = ["hash hash hash end"]           # rel=1, tf=3 -> rank 1
+    texts += [f"{pad} hash" for _ in range(9)]   # rel=0, tf=1
+    pq.write_table(pa.table({
+        "doc_id": pa.array(np.arange(10, dtype=np.int64)),
+        "text": pa.array(texts, type=pa.string()),
+    }), str(tmp_path / "documents.parquet"))
+    out = (ndcg_retrieval_eval(str(tmp_path), terms=("hash",))
+           .to_pydict())
+    assert out["n_rel"] == [1]
+    assert out["ndcg_ppm"] == [1_000_000]
+    assert out["mrr_ppm"] == [1_000_000]
+
+    # now make the relevant doc the WORST-ranked of the ten: nine
+    # high-tf docs with 'hash' beyond char 100 (rel=0), one tf=1 doc
+    # with 'hash' up front (rel=1, rank 10)
+    texts2 = [f"{pad} hash hash hash" for _ in range(9)]
+    texts2.append("hash tail")
+    pq.write_table(pa.table({
+        "doc_id": pa.array(np.arange(10, dtype=np.int64)),
+        "text": pa.array(texts2, type=pa.string()),
+    }), str(tmp_path / "documents.parquet"))
+    out2 = (ndcg_retrieval_eval(str(tmp_path), terms=("hash",))
+            .to_pydict())
+    assert out2["first_rel_rank"] == [10]
+    assert out2["ndcg_ppm"] == [
+        _NDCG_DISC[9] * 1_000_000 // _NDCG_DISC[0]]
+
+
+def test_conformal_coverage_close_to_nominal(ray_session):
+    """On real sf0.001 data the achieved test coverage per type sits
+    near the nominal 90% (empirical-quantile variant; generous bound
+    for small test splits)."""
+    from p2pddsketch_ray.pipelines.relational import conformal_coverage
+    out = conformal_coverage("/root/testdata/sf0.001").to_pandas()
+    assert len(out) == 5
+    assert (out["cov_ppm"] > 700_000).all()
+    assert (out["cov_ppm"] <= 1_000_000).all()
+    assert (out["qhat_micro"] >= 0).all()
+
+
+def test_rle_runs_alternating_vs_constant(ray_session, tmp_path):
+    """An alternating pair column in date order has ~n runs; the
+    sorted layout always has exactly n_distinct runs."""
+    import pyarrow.parquet as pq
+    from p2pddsketch_ray.pipelines.relational import rle_sort_benefit
+    n = 400
+    DAY_US = 86_400_000_000
+    flags = np.where(np.arange(n) % 2 == 0, "A", "R")
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array(np.arange(n, dtype=np.int64)),
+        "l_linenumber": pa.array(np.ones(n, dtype=np.int32)),
+        "l_shipdate": pa.array(
+            (np.arange(n, dtype=np.int64) // 4) * DAY_US).cast(
+            pa.timestamp("us")),
+        "l_returnflag": pa.array(flags.tolist(), type=pa.string()),
+        "l_linestatus": pa.array(["F"] * n, type=pa.string()),
+    }), str(tmp_path / "lineitem.parquet"))
+    out = rle_sort_benefit(str(tmp_path)).to_pydict()
+    assert out["n_rows"] == [n]
+    assert out["runs_shipdate_order"] == [n]   # alternates every row
+    assert out["runs_pair_sorted"] == [2]
