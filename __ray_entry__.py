@@ -221,6 +221,13 @@ from p2pddsketch_ray.pipelines.relational import (  # noqa: E402
     CONFORMAL_SQL as _CONFORMAL_SQL,
     rle_sort_benefit as _rle_sort_benefit,
     RLE_SORT_BENEFIT_SQL as _RLE_SORT_BENEFIT_SQL,
+    order_lineitem_reconciliation as _order_lineitem_reconciliation,
+    ORDER_RECONCILIATION_SQL as _ORDER_RECONCILIATION_SQL,
+    zipf_slope_tokens as _zipf_slope_tokens,
+    ZIPF_SLOPE_SQL as _ZIPF_SLOPE_SQL,
+    filter_eval_prf as _filter_eval_prf,
+    FILTER_EVAL_PRF_SQL as _FILTER_EVAL_PRF_SQL,
+    cohens_kappa_langid as _cohens_kappa_langid,
     customer_frequency_spectrum as _customer_frequency_spectrum,
     SESSION_BOUNCE_SQL as _SESSION_BOUNCE_SQL,
     session_bounce_stats as _session_bounce_stats,
@@ -893,6 +900,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conformal_coverage": _conformal_coverage,
         # RLE run counts: shipdate order vs sorted-by-pair layout
         "rle_sort_benefit": _rle_sort_benefit,
+        # ledger-vs-detail totals reconciliation (orders vs lineitem)
+        "order_lineitem_reconciliation": _order_lineitem_reconciliation,
+        # Zipf-law slope fit over the top-100 corpus tokens
+        "zipf_slope_tokens": _zipf_slope_tokens,
+        # P/R/F1 of the heuristic quality filter vs a length gold label
+        "filter_eval_prf": _filter_eval_prf,
+        # Cohen's kappa: trigram lang-ID vs the labeled lang column
+        "cohens_kappa_langid": _cohens_kappa_langid,
         # Markov next-event baseline accuracy per previous type
         "markov_next_accuracy": _markov_next_accuracy,
         # out-of-order lateness vs arrival order (distributed prefix max)
@@ -1327,13 +1342,12 @@ SELECT grp AS {group}, q, bucket_key,
 FROM pick"""
 
 
-def _lang_id_sql() -> str:
-    """SQL replica of functions.text.lang_id: per-language scores are sums
-    of non-overlapping trigram occurrence counts (strlen/replace
-    arithmetic == pc.count_substring, byte-verified in
-    tests/test_oracle_parity.py), argmax with first-in-alphabetical-order
-    tie-break (the CASE checks langs in sorted order, mirroring
-    np.argmax's first-max)."""
+def _lang_score_parts() -> tuple[str, str, str]:
+    """Shared pieces of the trigram lang-ID SQL replica: per-language
+    score columns (strlen/replace arithmetic == pc.count_substring,
+    byte-verified in tests/test_oracle_parity.py), the greatest()
+    expression, and the argmax CASE with first-in-alphabetical-order
+    tie-break (mirroring np.argmax's first-max)."""
     from p2pddsketch_ray.functions.text import _LANG_TRIGRAMS
     langs = sorted(_LANG_TRIGRAMS)
 
@@ -1347,6 +1361,13 @@ def _lang_id_sql() -> str:
         + f" AS s_{lang}" for lang in langs)
     gmax = "greatest(" + ", ".join(f"s_{lg}" for lg in langs) + ")"
     case = " ".join(f"WHEN s_{lg} = m THEN '{lg}'" for lg in langs)
+    return score_cols, gmax, case
+
+
+def _lang_id_sql() -> str:
+    """SQL replica of functions.text.lang_id -> predicted-language
+    histogram."""
+    score_cols, gmax, case = _lang_score_parts()
     return f"""
 WITH lt AS (SELECT lower(text) AS t FROM documents),
 s AS (SELECT
@@ -1355,6 +1376,45 @@ FROM lt),
 g AS (SELECT *, {gmax} AS m FROM s)
 SELECT CASE {case} END AS pred_lang, count(*) AS n_docs
 FROM g GROUP BY pred_lang"""
+
+
+def _kappa_sql() -> str:
+    """Cohen's kappa between the trigram lang-ID prediction and the
+    labeled lang column -- integer cross-multiplied, sign-safe."""
+    score_cols, gmax, case = _lang_score_parts()
+    return f"""
+WITH lt AS (SELECT lower(text) AS t, lang FROM documents),
+s AS (SELECT lang,
+  {score_cols}
+FROM lt),
+g AS (SELECT *, {gmax} AS m FROM s),
+p AS (SELECT lang AS true_lang, CASE {case} END AS pred_lang FROM g),
+conf AS (SELECT true_lang, pred_lang, CAST(count(*) AS BIGINT) AS n
+         FROM p GROUP BY 1, 2),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_docs,
+               CAST(COALESCE(sum(CASE WHEN true_lang = pred_lang
+                                      THEN n END), 0) AS BIGINT)
+                 AS n_agree
+        FROM conf),
+r AS (SELECT true_lang AS lg, CAST(sum(n) AS BIGINT) AS rn
+      FROM conf GROUP BY 1),
+c AS (SELECT pred_lang AS lg, CAST(sum(n) AS BIGINT) AS cn
+      FROM conf GROUP BY 1),
+pe AS (SELECT CAST(COALESCE(sum(r.rn * c.cn), 0) AS BIGINT) AS pe_num
+       FROM r JOIN c USING (lg))
+SELECT tot.n_docs, tot.n_agree,
+       CAST(tot.n_agree * 1000000 // tot.n_docs AS BIGINT)
+         AS accuracy_ppm,
+       pe.pe_num,
+       CAST(CASE WHEN tot.n_docs * tot.n_docs - pe.pe_num = 0 THEN 0
+                 WHEN tot.n_docs * tot.n_agree - pe.pe_num < 0
+                 THEN -((-(tot.n_docs * tot.n_agree - pe.pe_num))
+                        * 1000000
+                        // (tot.n_docs * tot.n_docs - pe.pe_num))
+                 ELSE (tot.n_docs * tot.n_agree - pe.pe_num) * 1000000
+                      // (tot.n_docs * tot.n_docs - pe.pe_num)
+            END AS BIGINT) AS kappa_ppm
+FROM tot, pe"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1466,6 +1526,10 @@ def oracle_sql() -> dict[str, str]:
         "ndcg_retrieval_eval": _NDCG_EVAL_SQL,
         "conformal_coverage": _CONFORMAL_SQL,
         "rle_sort_benefit": _RLE_SORT_BENEFIT_SQL,
+        "order_lineitem_reconciliation": _ORDER_RECONCILIATION_SQL,
+        "zipf_slope_tokens": _ZIPF_SLOPE_SQL,
+        "filter_eval_prf": _FILTER_EVAL_PRF_SQL,
+        "cohens_kappa_langid": _kappa_sql(),
         "markov_next_accuracy": _MARKOV_NEXT_ACC_SQL,
         "ooo_lateness_stats": _OOO_LATENESS_SQL,
         "multimodal_resize_stats": """

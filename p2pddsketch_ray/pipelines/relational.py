@@ -12663,3 +12663,385 @@ SELECT runs.n_rows, runs.r AS runs_shipdate_order,
          AS rle_benefit_ppm
 FROM runs, d
 """
+
+
+def order_lineitem_reconciliation(sf_dir: str) -> pa.Table:
+    """CROSS-TABLE RECONCILIATION AUDIT: recompute every order's total
+    from its lineitems (sum of extendedprice*(1-discount)*(1+tax),
+    cents) and compare against orders.o_totalprice -- the classic
+    ledger-vs-detail consistency check, reporting header-only orders
+    and how far the recomputed totals drift (within-5% band by integer
+    cross-multiplication |diff|*20 <= total).
+
+    Scale shape: lineitem collapses to (orderkey, recomputed cents) via
+    a per-block combiner before any exchange; both sides hash
+    co-partition on the order key and each partition reconciles
+    vectorized; the driver folds one row per partition.
+    """
+    from ..stages.partition import fit_partitions, partition_by
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_extendedprice", "l_discount", "l_tax"])
+
+    def li_prep(t: pa.Table) -> pa.Table:
+        x = (t["l_extendedprice"].to_numpy(zero_copy_only=False)
+             * (1.0 - t["l_discount"].to_numpy(zero_copy_only=False))
+             * (1.0 + t["l_tax"].to_numpy(zero_copy_only=False)))
+        cents = np.floor(x * 100.0 + 0.5).astype(np.int64)
+        staged = pa.table({
+            "key": pc.cast(t["l_orderkey"], pa.int64()),
+            "c": pa.array(cents)})
+        g = staged.group_by("key").aggregate([("c", "sum")])
+        return pa.table({"key": g["key"],
+                         "c": pc.cast(g["c_sum"], pa.int64()),
+                         "side": pa.array(
+                             np.ones(g.num_rows, dtype=np.int64))})
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+
+    def o_prep(t: pa.Table) -> pa.Table:
+        cents = np.floor(
+            t["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0
+            + 0.5).astype(np.int64)
+        return pa.table({"key": pc.cast(t["o_orderkey"], pa.int64()),
+                         "c": pa.array(cents),
+                         "side": pa.array(
+                             np.zeros(t.num_rows, dtype=np.int64))})
+
+    both = (li.map_batches(li_prep, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .union(orders.map_batches(o_prep, batch_format="pyarrow",
+                                      zero_copy_batch=True)))
+
+    empty = pa.table({c: pa.array([], type=pa.int64())
+                      for c in ("n_orders", "n_no_lineitems",
+                                "n_within_5pct", "max_drift_cents",
+                                "sum_drift_cents")})
+
+    def resolve(t: pa.Table) -> pa.Table:
+        key = t["key"].to_numpy(zero_copy_only=False)
+        c = t["c"].to_numpy(zero_copy_only=False)
+        side = t["side"].to_numpy(zero_copy_only=False)
+        ok_, oc = key[side == 0], c[side == 0]
+        lk, lc = key[side == 1], c[side == 1]
+        # lineitem combiner rows repeat per block: fold per key
+        uk, inv = np.unique(lk, return_inverse=True)
+        if uk.size:
+            uc = np.bincount(inv, weights=lc.astype(np.float64))
+            uc = uc.astype(np.int64)  # exact: cents sums << 2^53
+            pos = np.searchsorted(uk, ok_)
+            safe = np.minimum(pos, uk.size - 1)
+            has = (pos < uk.size) & (uk[safe] == ok_)
+            recomputed = np.where(has, uc[safe], 0)
+        else:
+            has = np.zeros(ok_.size, dtype=bool)
+            recomputed = np.zeros(ok_.size, dtype=np.int64)
+        drift = np.abs(recomputed - oc)
+        within = has & (drift * 20 <= oc)
+        return pa.table({
+            "n_orders": pa.array([int(ok_.size)], type=pa.int64()),
+            "n_no_lineitems": pa.array([int((~has).sum())],
+                                       type=pa.int64()),
+            "n_within_5pct": pa.array([int(within.sum())],
+                                      type=pa.int64()),
+            "max_drift_cents": pa.array(
+                [int(drift[has].max()) if has.any() else 0],
+                type=pa.int64()),
+            "sum_drift_cents": pa.array(
+                [int(drift[has].sum())], type=pa.int64()),
+        })
+
+    parts = partition_by(both, ["key"], fit_partitions(16), resolve,
+                         empty).to_pandas()
+    return pa.table({
+        "n_orders": pa.array([int(parts["n_orders"].sum())],
+                             type=pa.int64()),
+        "n_no_lineitems": pa.array([int(parts["n_no_lineitems"].sum())],
+                                   type=pa.int64()),
+        "n_within_5pct": pa.array([int(parts["n_within_5pct"].sum())],
+                                  type=pa.int64()),
+        "max_drift_cents": pa.array([int(parts["max_drift_cents"].max())
+                                     if len(parts) else 0],
+                                    type=pa.int64()),
+        "sum_drift_cents": pa.array([int(parts["sum_drift_cents"].sum())],
+                                    type=pa.int64()),
+    })
+
+
+ORDER_RECONCILIATION_SQL = """
+WITH li AS (
+  SELECT l_orderkey AS key,
+         CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount)
+                             * (1.0 + l_tax) * 100.0 + 0.5)
+                       AS BIGINT)) AS BIGINT) AS recomputed
+  FROM lineitem GROUP BY 1
+), o AS (
+  SELECT o_orderkey AS key,
+         CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS total
+  FROM orders
+), j AS (
+  SELECT o.key, o.total, li.recomputed,
+         li.recomputed IS NOT NULL AS has,
+         abs(COALESCE(li.recomputed, 0) - o.total) AS drift
+  FROM o LEFT JOIN li USING (key)
+)
+SELECT CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CASE WHEN has THEN 0 ELSE 1 END) AS BIGINT)
+         AS n_no_lineitems,
+       CAST(sum(CASE WHEN has AND drift * 20 <= total
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_within_5pct,
+       CAST(COALESCE(max(CASE WHEN has THEN drift END), 0) AS BIGINT)
+         AS max_drift_cents,
+       CAST(COALESCE(sum(CASE WHEN has THEN drift END), 0) AS BIGINT)
+         AS sum_drift_cents
+FROM j
+"""
+
+
+def zipf_slope_tokens(sf_dir: str, k: int = 100) -> pa.Table:
+    """ZIPF-LAW FIT over the top-k corpus tokens: least-squares slope
+    of ln(frequency) against ln(rank) -- the one-number check that a
+    corpus has natural-language token statistics (slope near -1)
+    rather than boilerplate or spam.  Exact: per-term micro-nats
+    floor(ln(r)*1e6) / floor(ln(f)*1e6) (the proven ln-parity
+    pattern), big-int normal equations on the driver, sign-safe final
+    division (HUGEINT intermediates in the SQL replica).
+
+    Scale shape: per-block token-count combiner, one vocabulary-
+    bounded groupby, per-block top-k prereduce, O(k) driver fold.
+    """
+    import math
+    docs = _read(sf_dir, "documents", ["text"])
+
+    empty = pa.table({"tok": pa.array([], type=pa.string()),
+                      "n": pa.array([], type=pa.int64())})
+
+    def counts(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t["text"], pattern=" ")
+        flat = pc.list_flatten(toks).combine_chunks()
+        if len(flat) == 0:
+            return empty
+        g = pa.table({"tok": flat}).group_by("tok").aggregate(
+            [("tok", "count")])
+        return pa.table({"tok": g["tok"],
+                         "n": pc.cast(g["tok_count"], pa.int64())})
+
+    freq = (docs.map_batches(counts, batch_format="pyarrow",
+                             zero_copy_batch=True)
+            .groupby("tok").aggregate(Sum("n", alias_name="n")))
+
+    def prereduce(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        n = t["n"].to_numpy(zero_copy_only=False)
+        toks = t["tok"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((toks, -n))[:k]
+        return pa.table({"tok": pa.array(toks[order].tolist(),
+                                         type=pa.string()),
+                         "n": pa.array(n[order].astype(np.int64))})
+
+    top = (freq.map_batches(prereduce, batch_format="pyarrow")
+           .to_pandas())
+    order = np.lexsort((top["tok"].to_numpy(),
+                        -top["n"].to_numpy()))[:k]
+    f = top["n"].to_numpy()[order]
+    kk = len(f)
+    x = [math.floor(math.log(r) * 1_000_000) for r in range(1, kk + 1)]
+    y = [math.floor(math.log(int(v)) * 1_000_000) for v in f]
+    sx, sy = sum(x), sum(y)
+    sxx = sum(v * v for v in x)
+    sxy = sum(a * b for a, b in zip(x, y))
+    num = kk * sxy - sx * sy
+    den = kk * sxx - sx * sx
+    slope = (-((-num) * 1_000_000 // den) if num < 0
+             else num * 1_000_000 // den)
+    return pa.table({
+        "k": pa.array([kk], type=pa.int64()),
+        "top_freq": pa.array([int(f[0])], type=pa.int64()),
+        "kth_freq": pa.array([int(f[-1])], type=pa.int64()),
+        "slope_micro": pa.array([slope], type=pa.int64()),
+    })
+
+
+ZIPF_SLOPE_SQL = """
+WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+), freq AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS n FROM toks GROUP BY 1
+), ranked AS (
+  SELECT n, row_number() OVER (ORDER BY n DESC, tok) AS r
+  FROM freq QUALIFY r <= 100
+), pts AS (
+  SELECT CAST(floor(ln(CAST(r AS DOUBLE)) * 1000000) AS BIGINT) AS x,
+         CAST(floor(ln(CAST(n AS DOUBLE)) * 1000000) AS BIGINT) AS y,
+         n, r
+  FROM ranked
+), s AS (
+  SELECT CAST(count(*) AS HUGEINT) AS kk,
+         CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+         CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+         CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+         CAST(max(CASE WHEN r = 1 THEN n END) AS BIGINT) AS top_freq,
+         CAST(min(n) AS BIGINT) AS kth_freq
+  FROM pts
+)
+SELECT CAST(kk AS BIGINT) AS k, top_freq, kth_freq,
+       CAST(CASE WHEN kk * sxy - sx * sy < 0
+                 THEN -((-(kk * sxy - sx * sy)) * 1000000
+                        // (kk * sxx - sx * sx))
+                 ELSE (kk * sxy - sx * sy) * 1000000
+                      // (kk * sxx - sx * sx) END AS BIGINT)
+  AS slope_micro
+FROM s
+"""
+
+
+def filter_eval_prf(sf_dir: str) -> pa.Table:
+    """CLASSIFIER-STYLE EVAL of the quality filter: treat "tokens >= 30
+    and punct <= 10 per 100 tokens" as the predicted keep label and
+    "n_chars above the corpus median" as the gold label, and report the
+    exact confusion counts plus precision / recall / F1 in ppm -- the
+    eval loop for any heuristic document filter, with the median from
+    the distributed exact quantile (quantile_disc parity).
+
+    Scale shape: one histogram-bisection pass for the median, one
+    streamed confusion combiner, a single-row driver fold.
+    """
+    from .quantiles import exact_quantiles
+    from ..functions.text import punct_count, token_count
+
+    ds = _read(sf_dir, "documents", ["text", "n_chars"])
+    med = int(exact_quantiles(ds, "n_chars", [0.5])["value"][0]
+              .as_py())
+
+    empty = pa.table({c: pa.array([], type=pa.int64())
+                      for c in ("tp", "fp", "fn", "tn")})
+
+    def confusion(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        toks = token_count(t["text"]).to_numpy(zero_copy_only=False)
+        punct = punct_count(t["text"]).to_numpy(zero_copy_only=False)
+        chars = pc.cast(t["n_chars"], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        pred = (toks >= 30) & (punct * 100 <= toks * 10)
+        gold = chars > med
+        return pa.table({
+            "tp": pa.array([int((pred & gold).sum())], type=pa.int64()),
+            "fp": pa.array([int((pred & ~gold).sum())],
+                           type=pa.int64()),
+            "fn": pa.array([int((~pred & gold).sum())],
+                           type=pa.int64()),
+            "tn": pa.array([int((~pred & ~gold).sum())],
+                           type=pa.int64()),
+        })
+
+    f = ds.map_batches(confusion, batch_format="pyarrow",
+                       zero_copy_batch=True).to_pandas()
+    tp, fp = int(f["tp"].sum()), int(f["fp"].sum())
+    fn, tn = int(f["fn"].sum()), int(f["tn"].sum())
+    return pa.table({
+        "median_chars": pa.array([med], type=pa.int64()),
+        "tp": pa.array([tp], type=pa.int64()),
+        "fp": pa.array([fp], type=pa.int64()),
+        "fn": pa.array([fn], type=pa.int64()),
+        "tn": pa.array([tn], type=pa.int64()),
+        "precision_ppm": pa.array(
+            [tp * 1_000_000 // (tp + fp) if tp + fp else 0],
+            type=pa.int64()),
+        "recall_ppm": pa.array(
+            [tp * 1_000_000 // (tp + fn) if tp + fn else 0],
+            type=pa.int64()),
+        "f1_ppm": pa.array(
+            [2 * tp * 1_000_000 // (2 * tp + fp + fn)
+             if 2 * tp + fp + fn else 0], type=pa.int64()),
+    })
+
+
+FILTER_EVAL_PRF_SQL = """
+WITH med AS (
+  SELECT CAST(quantile_disc(n_chars, 0.5) AS BIGINT) AS m
+  FROM documents
+), lab AS (
+  SELECT (length(regexp_extract_all(text, '[A-Za-z0-9]+')) >= 30
+          AND length(regexp_extract_all(text, '[.,;:!?]')) * 100
+              <= length(regexp_extract_all(text, '[A-Za-z0-9]+')) * 10)
+           AS pred,
+         n_chars > med.m AS gold, med.m AS m
+  FROM documents CROSS JOIN med
+), c AS (
+  SELECT max(m) AS median_chars,
+         CAST(sum(CASE WHEN pred AND gold THEN 1 ELSE 0 END)
+              AS BIGINT) AS tp,
+         CAST(sum(CASE WHEN pred AND NOT gold THEN 1 ELSE 0 END)
+              AS BIGINT) AS fp,
+         CAST(sum(CASE WHEN NOT pred AND gold THEN 1 ELSE 0 END)
+              AS BIGINT) AS fn,
+         CAST(sum(CASE WHEN NOT pred AND NOT gold THEN 1 ELSE 0 END)
+              AS BIGINT) AS tn
+  FROM lab
+)
+SELECT CAST(median_chars AS BIGINT) AS median_chars, tp, fp, fn, tn,
+       CAST(CASE WHEN tp + fp > 0 THEN tp * 1000000 // (tp + fp)
+                 ELSE 0 END AS BIGINT) AS precision_ppm,
+       CAST(CASE WHEN tp + fn > 0 THEN tp * 1000000 // (tp + fn)
+                 ELSE 0 END AS BIGINT) AS recall_ppm,
+       CAST(CASE WHEN 2 * tp + fp + fn > 0
+                 THEN 2 * tp * 1000000 // (2 * tp + fp + fn)
+                 ELSE 0 END AS BIGINT) AS f1_ppm
+FROM c
+"""
+
+
+def cohens_kappa_langid(sf_dir: str) -> pa.Table:
+    """INTER-RATER AGREEMENT between the trigram language-ID heuristic
+    and the corpus's labeled ``lang`` column: exact confusion totals
+    and Cohen's kappa in ppm via pure integer cross-multiplication
+    (kappa = (N*agree - sum(row_i*col_i)) / (N^2 - sum(row_i*col_i)),
+    sign-safe division) -- the standard "is the cheap classifier good
+    enough?" agreement audit.
+
+    Scale shape: per-block (pred, true) confusion partials over the
+    vectorized trigram scorer, one <=|langs|^2-row groupby, O(langs)
+    driver fold.
+    """
+    from ..functions.text import lang_id
+    ds = _read(sf_dir, "documents", ["text", "lang"])
+
+    def predict(t: pa.Table) -> pa.Table:
+        texts = (t["text"].combine_chunks()
+                 if isinstance(t["text"], pa.ChunkedArray)
+                 else t["text"])
+        staged = pa.table({"true_lang": t["lang"],
+                           "pred_lang": lang_id(texts),
+                           "n": pa.array(np.ones(t.num_rows,
+                                                 dtype=np.int64))})
+        g = staged.group_by(["true_lang", "pred_lang"]).aggregate(
+            [("n", "sum")])
+        return pa.table({"true_lang": g["true_lang"],
+                         "pred_lang": g["pred_lang"],
+                         "n": pc.cast(g["n_sum"], pa.int64())})
+
+    conf = (ds.map_batches(predict, batch_format="pyarrow")
+            .groupby(["true_lang", "pred_lang"])
+            .aggregate(Sum("n", alias_name="n"))
+            .to_pandas())
+    n_tot = int(conf["n"].sum())
+    agree = int(conf.loc[conf["true_lang"] == conf["pred_lang"],
+                         "n"].sum())
+    rows = conf.groupby("true_lang")["n"].sum()
+    cols = conf.groupby("pred_lang")["n"].sum()
+    pe_num = int(sum(int(rows[lg]) * int(cols[lg])
+                     for lg in rows.index if lg in cols.index))
+    num = n_tot * agree - pe_num
+    den = n_tot * n_tot - pe_num
+    kappa = (-((-num) * 1_000_000 // den) if num < 0
+             else num * 1_000_000 // den) if den else 0
+    return pa.table({
+        "n_docs": pa.array([n_tot], type=pa.int64()),
+        "n_agree": pa.array([agree], type=pa.int64()),
+        "accuracy_ppm": pa.array([agree * 1_000_000 // n_tot],
+                                 type=pa.int64()),
+        "pe_num": pa.array([pe_num], type=pa.int64()),
+        "kappa_ppm": pa.array([kappa], type=pa.int64()),
+    })

@@ -2526,3 +2526,102 @@ def test_rle_runs_alternating_vs_constant(ray_session, tmp_path):
     assert out["n_rows"] == [n]
     assert out["runs_shipdate_order"] == [n]   # alternates every row
     assert out["runs_pair_sorted"] == [2]
+
+
+def test_reconciliation_exact_and_drifted(ray_session, tmp_path):
+    """Orders whose lineitems sum exactly reconcile; a 10%-off order
+    falls outside the 5% band; a header-only order is counted."""
+    import pyarrow.parquet as pq
+    from p2pddsketch_ray.pipelines.relational import (
+        order_lineitem_reconciliation)
+    # order 1: two lineitems summing exactly to 200.00
+    # order 2: lineitems sum 100.00 but header says 110.00 (10% off)
+    # order 3: no lineitems at all
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array([1, 1, 2], type=pa.int64()),
+        "l_extendedprice": pa.array([100.0, 100.0, 100.0]),
+        "l_discount": pa.array([0.0, 0.0, 0.0]),
+        "l_tax": pa.array([0.0, 0.0, 0.0]),
+    }), str(tmp_path / "lineitem.parquet"))
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([1, 2, 3], type=pa.int64()),
+        "o_totalprice": pa.array([200.0, 110.0, 50.0]),
+    }), str(tmp_path / "orders.parquet"))
+    out = order_lineitem_reconciliation(str(tmp_path)).to_pydict()
+    assert out["n_orders"] == [3]
+    assert out["n_no_lineitems"] == [1]
+    assert out["n_within_5pct"] == [1]
+    assert out["max_drift_cents"] == [1000]
+    assert out["sum_drift_cents"] == [1000]
+
+
+def test_zipf_slope_exact_power_law(ray_session, tmp_path):
+    """A corpus whose token frequencies follow f(r) = C/r exactly
+    yields a slope within a few percent of -1 (integer-floor noise on
+    the micro-nat points only)."""
+    import pyarrow.parquet as pq
+    from p2pddsketch_ray.pipelines.relational import zipf_slope_tokens
+    words = []
+    C = 2000
+    for r in range(1, 51):
+        words += [f"w{r:03d}"] * (C // r)
+    rng = np.random.default_rng(5)
+    rng.shuffle(words)
+    texts = [" ".join(words[i::40]) for i in range(40)]
+    pq.write_table(pa.table({"text": pa.array(texts)}),
+                   str(tmp_path / "documents.parquet"))
+    out = zipf_slope_tokens(str(tmp_path), k=50).to_pydict()
+    assert out["k"] == [50]
+    assert out["top_freq"] == [2000]
+    assert abs(out["slope_micro"][0] + 1_000_000) < 40_000
+
+
+def test_filter_eval_prf_hand_case(ray_session, tmp_path):
+    """4 docs with hand-known pred/gold labels -> exact confusion."""
+    import pyarrow.parquet as pq
+    from p2pddsketch_ray.pipelines.relational import filter_eval_prf
+    long_clean = " ".join(["tok"] * 40)          # pred=1
+    short = "tok tok"                            # pred=0
+    noisy = " ".join(["tok"] * 40) + "!?" * 30   # punct-heavy: pred=0*
+    # * 60 punct chars vs 40 tokens -> 60*100 > 40*10
+    texts = [long_clean, long_clean, short, noisy]
+    chars = [1000, 10, 1000, 10]   # gold: > median(=10 disc) -> 1000s
+    pq.write_table(pa.table({
+        "text": pa.array(texts),
+        "n_chars": pa.array(chars, type=pa.int64()),
+    }), str(tmp_path / "documents.parquet"))
+    out = filter_eval_prf(str(tmp_path)).to_pydict()
+    # median_disc of [10,10,1000,1000] = 10 -> gold = chars > 10
+    assert out["median_chars"] == [10]
+    assert out["tp"] == [1] and out["fp"] == [1]
+    assert out["fn"] == [1] and out["tn"] == [1]
+    assert out["precision_ppm"] == [500_000]
+    assert out["recall_ppm"] == [500_000]
+    assert out["f1_ppm"] == [500_000]
+
+
+def test_kappa_perfect_agreement_is_1e6(ray_session, tmp_path):
+    """Docs written in one language's own trigrams, labeled truly ->
+    kappa == accuracy == 1e6; random labels on one lang -> kappa 0."""
+    import pyarrow.parquet as pq
+    from p2pddsketch_ray.pipelines.relational import cohens_kappa_langid
+    en = "the cat and the dog went to the market and this was that "
+    de = "der hund und die katze sind schnell und ich bin ein mensch "
+    pq.write_table(pa.table({
+        "text": pa.array([en * 3] * 20 + [de * 3] * 20),
+        "lang": pa.array(["en"] * 20 + ["de"] * 20),
+    }), str(tmp_path / "documents.parquet"))
+    out = cohens_kappa_langid(str(tmp_path)).to_pydict()
+    assert out["n_docs"] == [40]
+    assert out["n_agree"] == [40]
+    assert out["kappa_ppm"] == [1_000_000]
+
+    # constant prediction (all docs English text) but labels split ->
+    # kappa collapses to 0 even though accuracy is 50%
+    pq.write_table(pa.table({
+        "text": pa.array([en * 3] * 40),
+        "lang": pa.array(["en"] * 20 + ["de"] * 20),
+    }), str(tmp_path / "documents.parquet"))
+    out2 = cohens_kappa_langid(str(tmp_path)).to_pydict()
+    assert out2["accuracy_ppm"] == [500_000]
+    assert out2["kappa_ppm"] == [0]
