@@ -228,6 +228,10 @@ from p2pddsketch_ray.pipelines.relational import (  # noqa: E402
     filter_eval_prf as _filter_eval_prf,
     FILTER_EVAL_PRF_SQL as _FILTER_EVAL_PRF_SQL,
     cohens_kappa_langid as _cohens_kappa_langid,
+    haar_energy_hourly as _haar_energy_hourly,
+    haar_energy_sql as _haar_energy_sql,
+    runs_test_hourly as _runs_test_hourly,
+    RUNS_TEST_SQL as _RUNS_TEST_SQL,
     customer_frequency_spectrum as _customer_frequency_spectrum,
     SESSION_BOUNCE_SQL as _SESSION_BOUNCE_SQL,
     session_bounce_stats as _session_bounce_stats,
@@ -279,7 +283,8 @@ from p2pddsketch_ray.pipelines.search import (  # noqa: E402
     INVERTED_INDEX_SQL as _INVERTED_INDEX_SQL)
 from p2pddsketch_ray.pipelines.components import (  # noqa: E402
     PAGERANK_SQL as _PAGERANK_SQL,
-    COPRESENCE_TRIANGLES_SQL as _COPRESENCE_TRIANGLES_SQL)
+    COPRESENCE_TRIANGLES_SQL as _COPRESENCE_TRIANGLES_SQL,
+    COPRESENCE_ASSORTATIVITY_SQL as _COPRESENCE_ASSORT_SQL)
 from p2pddsketch_ray.pipelines.dedup import (  # noqa: E402
     DECONTAMINATION_SQL as _DECONTAMINATION_SQL,
     DUP_SPAN_SQL as _DUP_SPAN_SQL,
@@ -537,6 +542,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # triangle census of the user co-presence graph (degree-
         # oriented wedge closure; exact count + clustering coefficient)
         "copresence_triangles": _copresence_triangles,
+        # degree assortativity of the co-presence graph (Newman 2002)
+        "copresence_assortativity": _copresence_assortativity,
         "order_skyline": R.order_skyline,
         # FastSS edit-distance-1 fuzzy self-join over payload strings
         "fuzzy_props_pairs": _fuzzy_props_pairs,
@@ -908,6 +915,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "filter_eval_prf": _filter_eval_prf,
         # Cohen's kappa: trigram lang-ID vs the labeled lang column
         "cohens_kappa_langid": _cohens_kappa_langid,
+        # Haar wavelet per-level energy of the hourly count series
+        "haar_energy_hourly": _haar_energy_hourly,
+        # Wald-Wolfowitz above/below-median runs test per event type
+        "runs_test_hourly": _runs_test_hourly,
         # Markov next-event baseline accuracy per previous type
         "markov_next_accuracy": _markov_next_accuracy,
         # out-of-order lateness vs arrival order (distributed prefix max)
@@ -993,6 +1004,12 @@ def _pagerank_part_supplier(sf_dir: str):
 def _copresence_triangles(sf_dir: str):
     from p2pddsketch_ray.pipelines.components import copresence_triangles
     return copresence_triangles(sf_dir)
+
+
+def _copresence_assortativity(sf_dir: str):
+    from p2pddsketch_ray.pipelines.components import (
+        copresence_assortativity)
+    return copresence_assortativity(sf_dir)
 
 
 def _neardup_keep_stats(sf_dir: str):
@@ -1530,6 +1547,8 @@ def oracle_sql() -> dict[str, str]:
         "zipf_slope_tokens": _ZIPF_SLOPE_SQL,
         "filter_eval_prf": _FILTER_EVAL_PRF_SQL,
         "cohens_kappa_langid": _kappa_sql(),
+        "haar_energy_hourly": _haar_energy_sql(),
+        "runs_test_hourly": _RUNS_TEST_SQL,
         "markov_next_accuracy": _MARKOV_NEXT_ACC_SQL,
         "ooo_lateness_stats": _OOO_LATENESS_SQL,
         "multimodal_resize_stats": """
@@ -1909,6 +1928,7 @@ SELECT l_returnflag, unnest([0.25, 0.5, 0.75]) AS q,
         "benchmark_decontamination": _DECONTAMINATION_SQL,
         "pagerank_part_supplier": _PAGERANK_SQL,
         "copresence_triangles": _COPRESENCE_TRIANGLES_SQL,
+        "copresence_assortativity": _COPRESENCE_ASSORT_SQL,
         "order_skyline": _ORDER_SKYLINE_SQL,
         "fuzzy_props_pairs": _FUZZY_PROPS_SQL,
         "keyword_search_topk": _KEYWORD_SEARCH_SQL,

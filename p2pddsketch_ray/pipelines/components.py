@@ -637,12 +637,12 @@ def triangle_stats(edges: "ray.data.Dataset") -> dict:
             "n_wedges": n_wedges, "n_triangles": n_triangles}
 
 
-def copresence_triangles(sf_dir: str, user_mod: int = 3) -> pa.Table:
-    """Driver query: triangle census of the user co-presence graph
+def copresence_edges(sf_dir: str,
+                     user_mod: int = 3) -> "ray.data.Dataset":
+    """Distinct-edge dataset (a < b) of the user co-presence graph
     (users adjacent iff they share >= 1 (event_type, hour) cell) --
-    triangle count and global clustering coefficient, the third classic
-    distributed graph primitive beside PageRank and connected
-    components.
+    the shared distributed edge construction behind the triangle census
+    and the assortativity audit.
 
     Edge construction is itself distributed: per-block distinct
     (cell, user) memberships, cell co-partition, within-cell sorted-run
@@ -731,6 +731,15 @@ def copresence_triangles(sf_dir: str, user_mod: int = 3) -> pa.Table:
                  "b": pc.cast(t["b"], pa.int64())}),
                  batch_format="pyarrow"))
 
+    return edges
+
+
+def copresence_triangles(sf_dir: str, user_mod: int = 3) -> pa.Table:
+    """Driver query: triangle census of the user co-presence graph --
+    triangle count and global clustering coefficient, the third classic
+    distributed graph primitive beside PageRank and connected
+    components (edge construction in ``copresence_edges``)."""
+    edges = copresence_edges(sf_dir, user_mod)
     s = triangle_stats(edges)
     clustering_ppm = (3 * s["n_triangles"] * 1_000_000 // s["n_wedges"]
                       if s["n_wedges"] else 0)
@@ -772,4 +781,182 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_vertices,
        CAST(coalesce(3 * (SELECT t FROM tri) * 1000000 //
             nullif((SELECT sum(d * (d - 1) // 2) FROM deg), 0), 0)
          AS BIGINT) AS clustering_ppm
+"""
+
+
+def copresence_assortativity(sf_dir: str, user_mod: int = 3) -> pa.Table:
+    """DEGREE ASSORTATIVITY of the user co-presence graph: the Pearson
+    correlation of endpoint degrees over all edges (Newman 2002) --
+    positive means hubs attach to hubs, negative means hub-and-spoke.
+    Over the symmetric directed-edge multiset both marginals are equal,
+    so r = (M*Sxy - Sx^2) / (M*Sxx - Sx^2) needs NO square root: all
+    sums are exact integers and the single division is sign-safe ppm
+    (HUGEINT intermediates in the SQL replica).
+
+    Scale shape: degrees from one groupby over edge endpoints; each
+    endpoint's degree is attached by a key co-partition join (two
+    rounds, never a driver-side degree map); the moment fold is one
+    streaming combiner.
+    """
+    from ray.data.aggregate import Sum
+
+    edges = copresence_edges(sf_dir, user_mod)
+
+    end_empty = pa.table({"u": pa.array([], type=pa.int64()),
+                          "c": pa.array([], type=pa.int64())})
+
+    def endpoints(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return end_empty
+        both = np.concatenate([
+            t["a"].to_numpy(zero_copy_only=False),
+            t["b"].to_numpy(zero_copy_only=False)])
+        u, c = np.unique(both, return_counts=True)
+        return pa.table({"u": pa.array(u.astype(np.int64)),
+                         "c": pa.array(c.astype(np.int64))})
+
+    deg = (edges.map_batches(endpoints, batch_format="pyarrow",
+                             zero_copy_batch=True)
+           .groupby("u").aggregate(Sum("c", alias_name="d")))
+
+    parts = fit_partitions(16)
+
+    def tag_deg(t: pa.Table) -> pa.Table:
+        return pa.table({"key": pc.cast(t["u"], pa.int64()),
+                         "other": pa.array(
+                             np.zeros(t.num_rows, dtype=np.int64)),
+                         "d": pc.cast(t["d"], pa.int64()),
+                         "side": pa.array(
+                             np.zeros(t.num_rows, dtype=np.int64))})
+
+    def _attach(key_col: str, other_col: str, carry: str | None):
+        def tag_edge(t: pa.Table) -> pa.Table:
+            cols = {"key": pc.cast(t[key_col], pa.int64()),
+                    "other": pc.cast(t[other_col], pa.int64()),
+                    "d": (pc.cast(t[carry], pa.int64()) if carry
+                          else pa.array(np.zeros(t.num_rows,
+                                                 dtype=np.int64))),
+                    "side": pa.array(np.ones(t.num_rows,
+                                             dtype=np.int64))}
+            return pa.table(cols)
+        return tag_edge
+
+    join_empty = pa.table({"a": pa.array([], type=pa.int64()),
+                           "b": pa.array([], type=pa.int64()),
+                           "da": pa.array([], type=pa.int64())})
+
+    def resolve_a(t: pa.Table) -> pa.Table:
+        key = t["key"].to_numpy(zero_copy_only=False)
+        side = t["side"].to_numpy(zero_copy_only=False)
+        d = t["d"].to_numpy(zero_copy_only=False)
+        other = t["other"].to_numpy(zero_copy_only=False)
+        dk = key[side == 0]
+        dv = d[side == 0]
+        order = np.argsort(dk)
+        dk, dv = dk[order], dv[order]
+        ek, eo = key[side == 1], other[side == 1]
+        pos = np.searchsorted(dk, ek)
+        return pa.table({"a": pa.array(ek.astype(np.int64)),
+                         "b": pa.array(eo.astype(np.int64)),
+                         "da": pa.array(dv[pos].astype(np.int64))})
+
+    deg_tagged = deg.map_batches(tag_deg, batch_format="pyarrow")
+    e_tagged = edges.map_batches(_attach("a", "b", None),
+                                 batch_format="pyarrow")
+    with_da = partition_by(deg_tagged.union(e_tagged), ["key"], parts,
+                           resolve_a, join_empty)
+
+    join_empty2 = pa.table({"da": pa.array([], type=pa.int64()),
+                            "db": pa.array([], type=pa.int64())})
+
+    def resolve_b(t: pa.Table) -> pa.Table:
+        key = t["key"].to_numpy(zero_copy_only=False)
+        side = t["side"].to_numpy(zero_copy_only=False)
+        d = t["d"].to_numpy(zero_copy_only=False)
+        dk = key[side == 0]
+        dv = d[side == 0]
+        order = np.argsort(dk)
+        dk, dv = dk[order], dv[order]
+        ek = key[side == 1]
+        da = d[side == 1]
+        pos = np.searchsorted(dk, ek)
+        return pa.table({"da": pa.array(da.astype(np.int64)),
+                         "db": pa.array(dv[pos].astype(np.int64))})
+
+    e2 = with_da.map_batches(_attach("b", "a", "da"),
+                             batch_format="pyarrow")
+    pairs = partition_by(deg_tagged.union(e2), ["key"], parts,
+                         resolve_b, join_empty2)
+
+    mom_empty = pa.table({c: pa.array([], type=pa.int64())
+                          for c in ("m", "sx", "sxx", "sxy")})
+
+    def moments(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return mom_empty
+        da = t["da"].to_numpy(zero_copy_only=False).astype(object)
+        db = t["db"].to_numpy(zero_copy_only=False).astype(object)
+        return pa.table({
+            "m": pa.array([2 * t.num_rows], type=pa.int64()),
+            "sx": pa.array([int((da + db).sum())], type=pa.int64()),
+            "sxx": pa.array([int((da * da + db * db).sum())],
+                            type=pa.int64()),
+            "sxy": pa.array([int((2 * da * db).sum())],
+                            type=pa.int64()),
+        })
+
+    f = pairs.map_batches(moments, batch_format="pyarrow").to_pandas()
+    m = int(f["m"].sum()); sx = int(f["sx"].sum())
+    sxx = int(f["sxx"].sum()); sxy = int(f["sxy"].sum())
+    num = m * sxy - sx * sx
+    den = m * sxx - sx * sx
+    r = ((-((-num) * 1_000_000 // den) if num < 0
+          else num * 1_000_000 // den) if den else 0)
+    return pa.table({
+        "n_directed_edges": pa.array([m], type=pa.int64()),
+        "sum_deg": pa.array([sx], type=pa.int64()),
+        "assortativity_ppm": pa.array([r], type=pa.int64()),
+    })
+
+
+COPRESENCE_ASSORTATIVITY_SQL = """
+WITH cells AS (
+  SELECT DISTINCT event_type,
+         CAST(epoch_us(ts) AS BIGINT) // 3600000000 AS hour,
+         user_id
+  FROM events WHERE user_id % 3 = 0
+), edges AS (
+  SELECT DISTINCT x.user_id AS a, y.user_id AS b
+  FROM cells x JOIN cells y
+    ON x.event_type = y.event_type AND x.hour = y.hour
+   AND x.user_id < y.user_id
+), deg AS (
+  SELECT u, CAST(count(*) AS BIGINT) AS d FROM (
+    SELECT a AS u FROM edges UNION ALL SELECT b FROM edges
+  ) GROUP BY 1
+), dir AS (
+  SELECT da.d AS x, db.d AS y
+  FROM edges JOIN deg da ON da.u = edges.a
+             JOIN deg db ON db.u = edges.b
+  UNION ALL
+  SELECT db.d, da.d
+  FROM edges JOIN deg da ON da.u = edges.a
+             JOIN deg db ON db.u = edges.b
+), s AS (
+  SELECT CAST(count(*) AS HUGEINT) AS m,
+         CAST(sum(x) AS HUGEINT) AS sx,
+         CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+         CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy
+  FROM dir
+)
+SELECT CAST(m AS BIGINT) AS n_directed_edges,
+       CAST(sx AS BIGINT) AS sum_deg,
+       CAST(CASE WHEN m * sxx - sx * sx = 0 THEN 0
+                 WHEN m * sxy - sx * sx < 0
+                 THEN -((-(m * sxy - sx * sx)) * 1000000
+                        // (m * sxx - sx * sx))
+                 ELSE (m * sxy - sx * sx) * 1000000
+                      // (m * sxx - sx * sx) END AS BIGINT)
+  AS assortativity_ppm
+FROM s
 """

@@ -13045,3 +13045,196 @@ def cohens_kappa_langid(sf_dir: str) -> pa.Table:
         "pe_num": pa.array([pe_num], type=pa.int64()),
         "kappa_ppm": pa.array([kappa], type=pa.int64()),
     })
+
+
+_HAAR_N = 512          # 2^9 hour slots from the corpus's first hour
+_HAAR_LEVELS = 9
+
+
+def haar_energy_hourly(sf_dir: str) -> pa.Table:
+    """HAAR WAVELET ENERGY DECOMPOSITION of the hourly event-count
+    series: unnormalized Haar detail coefficients (pairwise differences
+    of sums) over the first 512 hour slots, with per-level energy
+    sum(d^2) -- the classic multi-resolution "where does the variance
+    live?" profile (level 1 = hour-to-hour jitter, level 5 ~= daily
+    structure), exact because unnormalized Haar keeps every coefficient
+    an integer.
+
+    Scale shape: one per-hour count combiner (cardinality-bounded
+    shuffle), then an O(512) driver pyramid.
+    """
+    ds = _read(sf_dir, "events", ["ts"])
+    HOUR_US = np.int64(3_600_000_000)
+
+    def hourly(t: pa.Table) -> pa.Table:
+        us = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        staged = pa.table({"hour": pa.array(us // HOUR_US),
+                           "n": pa.array(np.ones(t.num_rows,
+                                                 dtype=np.int64))})
+        g = staged.group_by("hour").aggregate([("n", "sum")])
+        return pa.table({"hour": g["hour"],
+                         "n": pc.cast(g["n_sum"], pa.int64())})
+
+    h = (ds.map_batches(hourly, batch_format="pyarrow",
+                        zero_copy_batch=True)
+         .groupby("hour").aggregate(Sum("n", alias_name="n"))
+         .to_pandas())
+    hours = h["hour"].to_numpy(dtype=np.int64)
+    lo = int(hours.min())
+    grid = np.zeros(_HAAR_N, dtype=np.int64)
+    sel = (hours - lo >= 0) & (hours - lo < _HAAR_N)
+    grid[hours[sel] - lo] = h["n"].to_numpy(dtype=np.int64)[sel]
+
+    levels, energies, ncoef = [], [], []
+    a = grid
+    for k in range(1, _HAAR_LEVELS + 1):
+        d = a[0::2] - a[1::2]
+        a = a[0::2] + a[1::2]
+        levels.append(k)
+        energies.append(int((d.astype(object) ** 2).sum()))
+        ncoef.append(int(d.size))
+    return pa.table({
+        "level": pa.array(levels, type=pa.int64()),
+        "n_coeffs": pa.array(ncoef, type=pa.int64()),
+        "energy": pa.array(energies, type=pa.int64()),
+    })
+
+
+def haar_energy_sql() -> str:
+    """Chained-CTE SQL replica of haar_energy_hourly (one CTE per
+    pyramid level; aggregation is not allowed in a recursive term)."""
+    ctes = [f"""lvl0 AS (
+  SELECT g.i AS i, CAST(COALESCE(h.n, 0) AS BIGINT) AS v
+  FROM (SELECT unnest(generate_series(0, {_HAAR_N - 1})) AS i) g
+  CROSS JOIN b LEFT JOIN h ON h.hour = b.lo + g.i
+)"""]
+    for k in range(1, _HAAR_LEVELS + 1):
+        ctes.append(f"""lvl{k} AS (
+  SELECT i // 2 AS i, CAST(sum(v) AS BIGINT) AS v,
+         CAST(sum(CASE WHEN i % 2 = 0 THEN v ELSE -v END) AS BIGINT)
+           AS d
+  FROM lvl{k - 1} GROUP BY 1
+)""")
+    unions = "\n  UNION ALL ".join(
+        f"SELECT {k} AS level, CAST(count(*) AS BIGINT) AS n_coeffs, "
+        f"CAST(sum(CAST(d AS HUGEINT) * d) AS HUGEINT) AS en "
+        f"FROM lvl{k}" for k in range(1, _HAAR_LEVELS + 1))
+    return f"""
+WITH h AS (
+  SELECT CAST(epoch_us(ts) AS BIGINT) // 3600000000 AS hour,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1
+), b AS (SELECT min(hour) AS lo FROM h),
+{', '.join(ctes)},
+e AS (
+  {unions}
+)
+SELECT CAST(level AS BIGINT) AS level, n_coeffs,
+       CAST(en AS BIGINT) AS energy
+FROM e ORDER BY 1
+"""
+
+
+def runs_test_hourly(sf_dir: str) -> pa.Table:
+    """WALD-WOLFOWITZ RUNS TEST per event type on the hourly count
+    series: is the above/below-median sign sequence random, or does
+    load cluster?  Counts the maximal same-sign runs over the
+    gap-filled hourly grid (median-ties excluded, the standard
+    convention) and reports the exact expected run count under
+    randomness, E[R] = 1 + 2*n1*n2/(n1+n2), in micro units.
+
+    Scale shape: one (type, hour) count combiner, cardinality-bounded
+    groupby, O(types x hours) driver walk.
+    """
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+    HOUR_US = np.int64(3_600_000_000)
+
+    def hourly(t: pa.Table) -> pa.Table:
+        us = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        staged = pa.table({"event_type": t["event_type"],
+                           "hour": pa.array(us // HOUR_US),
+                           "n": pa.array(np.ones(t.num_rows,
+                                                 dtype=np.int64))})
+        g = staged.group_by(["event_type", "hour"]).aggregate(
+            [("n", "sum")])
+        return pa.table({"event_type": g["event_type"],
+                         "hour": g["hour"],
+                         "n": pc.cast(g["n_sum"], pa.int64())})
+
+    grid = (ds.map_batches(hourly, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby(["event_type", "hour"])
+            .aggregate(Sum("n", alias_name="n"))
+            .to_pandas())
+    lo = int(grid["hour"].min())
+    hi = int(grid["hour"].max())
+    span = hi - lo + 1
+    out = {c: [] for c in ("event_type", "n_above", "n_below",
+                           "n_runs", "expected_runs_micro")}
+    for et, g in grid.groupby("event_type", sort=True):
+        v = np.zeros(span, dtype=np.int64)
+        v[g["hour"].to_numpy(dtype=np.int64) - lo] = \
+            g["n"].to_numpy(dtype=np.int64)
+        med = int(np.sort(v)[max(0, int(np.ceil(0.5 * span)) - 1)])
+        keep = v != med
+        sign = v[keep] > med
+        n1 = int(sign.sum()); n2 = int((~sign).sum())
+        if sign.size == 0:
+            runs = 0
+        else:
+            runs = 1 + int((sign[1:] != sign[:-1]).sum())
+        exp = (1_000_000 + 2 * n1 * n2 * 1_000_000 // (n1 + n2)
+               if n1 + n2 else 0)
+        out["event_type"].append(et)
+        out["n_above"].append(n1)
+        out["n_below"].append(n2)
+        out["n_runs"].append(runs)
+        out["expected_runs_micro"].append(exp)
+    return pa.table({
+        "event_type": pa.array(out["event_type"], type=pa.string()),
+        "n_above": pa.array(out["n_above"], type=pa.int64()),
+        "n_below": pa.array(out["n_below"], type=pa.int64()),
+        "n_runs": pa.array(out["n_runs"], type=pa.int64()),
+        "expected_runs_micro": pa.array(out["expected_runs_micro"],
+                                        type=pa.int64()),
+    })
+
+
+RUNS_TEST_SQL = """
+WITH h AS (
+  SELECT event_type,
+         CAST(epoch_us(ts) AS BIGINT) // 3600000000 AS hour,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+), b AS (SELECT min(hour) AS lo, max(hour) AS hi FROM h),
+types AS (SELECT DISTINCT event_type FROM h),
+grid AS (
+  SELECT t.event_type, g.hour, CAST(COALESCE(h.n, 0) AS BIGINT) AS v
+  FROM types t
+  CROSS JOIN (SELECT unnest(generate_series(b.lo, b.hi)) AS hour
+              FROM b) g
+  LEFT JOIN h ON h.event_type = t.event_type AND h.hour = g.hour
+), med AS (
+  SELECT event_type, CAST(quantile_disc(v, 0.5) AS BIGINT) AS m
+  FROM grid GROUP BY 1
+), s AS (
+  SELECT grid.event_type, grid.hour,
+         CASE WHEN grid.v > med.m THEN 1 ELSE 0 END AS sign
+  FROM grid JOIN med USING (event_type)
+  WHERE grid.v != med.m
+), lagged AS (
+  SELECT event_type, sign,
+         lag(sign) OVER (PARTITION BY event_type ORDER BY hour)
+           AS prev
+  FROM s
+)
+SELECT event_type,
+       CAST(sum(sign) AS BIGINT) AS n_above,
+       CAST(sum(1 - sign) AS BIGINT) AS n_below,
+       CAST(sum(CASE WHEN prev IS NULL OR sign != prev
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_runs,
+       CAST(1000000 + 2 * sum(sign) * sum(1 - sign) * 1000000
+            // (sum(sign) + sum(1 - sign)) AS BIGINT)
+         AS expected_runs_micro
+FROM lagged GROUP BY 1 ORDER BY 1
+"""

@@ -208,3 +208,51 @@ def test_copresence_triangles_matches_duckdb(ray_session):
                 f"read_parquet('{sf}/events.parquet')")
     want = con.execute(COPRESENCE_TRIANGLES_SQL).df()
     assert got.equals(want)
+
+
+def test_assortativity_star_is_negative(ray_session, tmp_path):
+    """A star graph (hub co-present with every spoke in distinct
+    cells) is maximally disassortative: r == -1e6 exactly for a star
+    (all degree-1 spokes attach to the one hub)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from p2pddsketch_ray.pipelines.components import (
+        copresence_assortativity)
+    HOUR_US = 3_600_000_000
+    # hub user 0 shares a distinct (type, hour) cell with each of 6
+    # spokes (users 3, 6, ..., 18 to survive the user_mod=3 panel)
+    rows_u, rows_ts = [], []
+    for i, spoke in enumerate(range(3, 21, 3)):
+        rows_u += [0, spoke]
+        rows_ts += [i * HOUR_US, i * HOUR_US]
+    pq.write_table(pa.table({
+        "ts": pa.array(np.array(rows_ts, dtype=np.int64)).cast(
+            pa.timestamp("us")),
+        "event_type": pa.array(["view"] * len(rows_u)),
+        "user_id": pa.array(np.array(rows_u, dtype=np.int64)),
+    }), str(tmp_path / "events.parquet"))
+    out = copresence_assortativity(str(tmp_path)).to_pydict()
+    assert out["n_directed_edges"] == [12]
+    assert out["assortativity_ppm"] == [-1_000_000]
+
+
+def test_assortativity_clique_is_degenerate_zero(ray_session,
+                                                 tmp_path):
+    """A clique (all users share one cell) has constant degree ->
+    zero variance -> the sign-safe division yields 0."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from p2pddsketch_ray.pipelines.components import (
+        copresence_assortativity)
+    users = np.array([0, 3, 6, 9], dtype=np.int64)
+    pq.write_table(pa.table({
+        "ts": pa.array(np.zeros(4, dtype=np.int64)).cast(
+            pa.timestamp("us")),
+        "event_type": pa.array(["view"] * 4),
+        "user_id": pa.array(users),
+    }), str(tmp_path / "events.parquet"))
+    out = copresence_assortativity(str(tmp_path)).to_pydict()
+    assert out["n_directed_edges"] == [12]
+    assert out["assortativity_ppm"] == [0]

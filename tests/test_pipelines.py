@@ -2625,3 +2625,60 @@ def test_kappa_perfect_agreement_is_1e6(ray_session, tmp_path):
     out2 = cohens_kappa_langid(str(tmp_path)).to_pydict()
     assert out2["accuracy_ppm"] == [500_000]
     assert out2["kappa_ppm"] == [0]
+
+
+def test_haar_energy_constant_series_zero(ray_session, tmp_path):
+    """A constant hourly series has ZERO detail energy at every level;
+    a single spike has energy at every level."""
+    import pyarrow.parquet as pq
+    from p2pddsketch_ray.pipelines.relational import haar_energy_hourly
+    HOUR_US = 3_600_000_000
+    # 512 hours x 3 events each
+    ts = np.repeat(np.arange(512, dtype=np.int64) * HOUR_US, 3)
+    pq.write_table(pa.table({
+        "ts": pa.array(ts).cast(pa.timestamp("us")),
+    }), str(tmp_path / "events.parquet"))
+    out = haar_energy_hourly(str(tmp_path)).to_pydict()
+    assert out["energy"] == [0] * 9
+
+    # one extra event in hour 0 only: level-k detail = 1 at one coeff
+    ts2 = np.concatenate([ts, np.array([0], dtype=np.int64)])
+    pq.write_table(pa.table({
+        "ts": pa.array(ts2).cast(pa.timestamp("us")),
+    }), str(tmp_path / "events.parquet"))
+    out2 = haar_energy_hourly(str(tmp_path)).to_pydict()
+    assert out2["energy"] == [1] * 9
+
+
+def test_runs_test_alternating_and_blocked(ray_session, tmp_path):
+    """A perfectly alternating above/below series maximizes runs; a
+    blocked half-half series has exactly 2 runs."""
+    import pyarrow.parquet as pq
+    from p2pddsketch_ray.pipelines.relational import runs_test_hourly
+    HOUR_US = 3_600_000_000
+    rows_ts, rows_type = [], []
+    for h in range(40):
+        # 'alt': 3 events on even hours, 1 on odd -> alternating sign
+        rows_ts += [h * HOUR_US] * (3 if h % 2 == 0 else 1)
+        rows_type += ["alt"] * (3 if h % 2 == 0 else 1)
+        # 'blk': 3 events in first half, 1 in second -> two blocks
+        rows_ts += [h * HOUR_US] * (3 if h < 20 else 1)
+        rows_type += ["blk"] * (3 if h < 20 else 1)
+    # hour 40 gets exactly 2 events for both types: with 20 ones,
+    # 20 threes and a single 2, the disc median is 2 (tie-free), so
+    # all 40 signal hours survive the tie-exclusion
+    rows_ts += [40 * HOUR_US] * 4
+    rows_type += ["alt", "alt", "blk", "blk"]
+    pq.write_table(pa.table({
+        "ts": pa.array(np.array(rows_ts, dtype=np.int64)).cast(
+            pa.timestamp("us")),
+        "event_type": pa.array(rows_type, type=pa.string()),
+    }), str(tmp_path / "events.parquet"))
+    out = (runs_test_hourly(str(tmp_path)).to_pandas()
+           .set_index("event_type"))
+    assert int(out.loc["alt", "n_above"]) == 20
+    assert int(out.loc["alt", "n_below"]) == 20
+    assert int(out.loc["alt", "n_runs"]) == 40
+    assert int(out.loc["blk", "n_runs"]) == 2
+    # E[R] = 1 + 2*20*20/40 = 21 for both
+    assert int(out.loc["alt", "expected_runs_micro"]) == 21_000_000
