@@ -57,6 +57,10 @@ from p2pddsketch_ray.pipelines.temporal import (  # noqa: E402
     last_touch_attribution as _last_touch_attribution,
     MARKOV_STATIONARY_SQL as _MARKOV_STATIONARY_SQL,
     markov_stationary_ppm as _markov_stationary_ppm,
+    markov_entropy_rate as _markov_entropy_rate,
+    MARKOV_ENTROPY_SQL as _MARKOV_ENTROPY_SQL,
+    ewma_forecast_hourly as _ewma_forecast_hourly,
+    EWMA_FORECAST_SQL as _EWMA_FORECAST_SQL,
     PROPS_VOCAB_DRIFT_SQL as _PROPS_VOCAB_DRIFT_SQL,
     props_vocab_drift as _props_vocab_drift,
     ooo_lateness_stats as _ooo_lateness_stats,
@@ -232,6 +236,10 @@ from p2pddsketch_ray.pipelines.relational import (  # noqa: E402
     haar_energy_sql as _haar_energy_sql,
     runs_test_hourly as _runs_test_hourly,
     RUNS_TEST_SQL as _RUNS_TEST_SQL,
+    lorenz_deciles as _lorenz_deciles,
+    LORENZ_DECILES_SQL as _LORENZ_DECILES_SQL,
+    brand_year_revenue as _brand_year_revenue,
+    BRAND_YEAR_REVENUE_SQL as _BRAND_YEAR_REVENUE_SQL,
     customer_frequency_spectrum as _customer_frequency_spectrum,
     SESSION_BOUNCE_SQL as _SESSION_BOUNCE_SQL,
     session_bounce_stats as _session_bounce_stats,
@@ -919,6 +927,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "haar_energy_hourly": _haar_energy_hourly,
         # Wald-Wolfowitz above/below-median runs test per event type
         "runs_test_hourly": _runs_test_hourly,
+        # Lorenz curve decile table for customer revenue
+        "lorenz_deciles": _lorenz_deciles,
+        # revenue by (brand, ship year) with YoY growth (dim join)
+        "brand_year_revenue": _brand_year_revenue,
+        # entropy rate of the event-type Markov chain (micro-nats)
+        "markov_entropy_rate": _markov_entropy_rate,
+        # integer EWMA one-step forecast MAE (recursive-CTE oracle)
+        "ewma_forecast_hourly": _ewma_forecast_hourly,
         # Markov next-event baseline accuracy per previous type
         "markov_next_accuracy": _markov_next_accuracy,
         # out-of-order lateness vs arrival order (distributed prefix max)
@@ -1549,6 +1565,10 @@ def oracle_sql() -> dict[str, str]:
         "cohens_kappa_langid": _kappa_sql(),
         "haar_energy_hourly": _haar_energy_sql(),
         "runs_test_hourly": _RUNS_TEST_SQL,
+        "lorenz_deciles": _LORENZ_DECILES_SQL,
+        "brand_year_revenue": _BRAND_YEAR_REVENUE_SQL,
+        "markov_entropy_rate": _MARKOV_ENTROPY_SQL,
+        "ewma_forecast_hourly": _EWMA_FORECAST_SQL,
         "markov_next_accuracy": _MARKOV_NEXT_ACC_SQL,
         "ooo_lateness_stats": _OOO_LATENESS_SQL,
         "multimodal_resize_stats": """

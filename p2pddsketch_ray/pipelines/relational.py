@@ -13238,3 +13238,203 @@ SELECT event_type,
          AS expected_runs_micro
 FROM lagged GROUP BY 1 ORDER BY 1
 """
+
+
+def lorenz_deciles(sf_dir: str) -> pa.Table:
+    """LORENZ CURVE TABLE for customer revenue concentration: at each
+    revenue decile threshold (exact quantile_disc values), the count of
+    customers at or below it and their cumulative share of total
+    revenue in ppm -- the full inequality curve whose area the Gini
+    query already summarizes, threshold-based so ties resolve
+    identically on both sides.
+
+    Scale shape: per-customer revenue groupby, ONE shared
+    histogram-bisection pass for all nine thresholds, then a single
+    streaming pass folding per-threshold (count, sum) partials via
+    searchsorted.
+    """
+    from .quantiles import exact_quantiles
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def per_cust(t: pa.Table) -> pa.Table:
+        staged = pa.table({
+            "cust": pc.cast(t["o_custkey"], pa.int64()),
+            "rev": _int_units(t["o_totalprice"], 100),
+        })
+        g = staged.group_by("cust").aggregate([("rev", "sum")])
+        return pa.table({"cust": g["cust"],
+                         "rev": pc.cast(g["rev_sum"], pa.int64())})
+
+    per_user = (orders.map_batches(per_cust, batch_format="pyarrow",
+                                   zero_copy_batch=True)
+                .groupby("cust").aggregate(Sum("rev", alias_name="rev"))
+                .materialize())
+    qs = [d / 10.0 for d in range(1, 10)]
+    thr_t = exact_quantiles(per_user, "rev", qs)
+    thr = np.array(sorted(int(v.as_py())
+                          for v in thr_t["value"]), dtype=np.int64)
+
+    part_empty = pa.table({
+        "d": pa.array([], type=pa.int64()),
+        "n_le": pa.array([], type=pa.int64()),
+        "rev_le": pa.array([], type=pa.int64()),
+        "n": pa.array([], type=pa.int64()),
+        "rev": pa.array([], type=pa.int64())})
+
+    def fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "rev" not in t.column_names:
+            return part_empty
+        rev = np.sort(t["rev"].to_numpy(zero_copy_only=False))
+        cum = np.concatenate([[0], np.cumsum(rev)])
+        pos = np.searchsorted(rev, thr, side="right")
+        return pa.table({
+            "d": pa.array(np.arange(1, 10, dtype=np.int64)),
+            "n_le": pa.array(pos.astype(np.int64)),
+            "rev_le": pa.array(cum[pos].astype(np.int64)),
+            "n": pa.array(np.full(9, rev.size, dtype=np.int64)),
+            "rev": pa.array(np.full(9, int(rev.sum()),
+                                    dtype=np.int64)),
+        })
+
+    f = (per_user.map_batches(fold, batch_format="pyarrow")
+         .groupby("d")
+         .aggregate(Sum("n_le", alias_name="n_le"),
+                    Sum("rev_le", alias_name="rev_le"),
+                    Sum("n", alias_name="n"),
+                    Sum("rev", alias_name="rev"))
+         .to_pandas().sort_values("d"))
+    tot_rev = int(f["rev"].iloc[0])
+    return pa.table({
+        "decile": pa.array(f["d"].to_numpy(dtype=np.int64)),
+        "thr_cents": pa.array(thr),
+        "n_at_or_below": pa.array(f["n_le"].to_numpy(dtype=np.int64)),
+        "rev_share_ppm": pa.array(
+            (f["rev_le"].to_numpy(dtype=np.int64) * 1_000_000
+             // tot_rev)),
+    })
+
+
+LORENZ_DECILES_SQL = """
+WITH pu AS (
+  SELECT o_custkey,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS rev
+  FROM orders GROUP BY 1
+), tot AS (SELECT CAST(sum(rev) AS BIGINT) AS r FROM pu),
+thr AS (
+  SELECT unnest(generate_series(1, 9)) AS decile,
+         unnest(quantile_disc(rev, [0.1, 0.2, 0.3, 0.4, 0.5,
+                                    0.6, 0.7, 0.8, 0.9])) AS t
+  FROM pu
+)
+SELECT CAST(thr.decile AS BIGINT) AS decile, thr.t AS thr_cents,
+       CAST(count(*) FILTER (WHERE pu.rev <= thr.t) AS BIGINT)
+         AS n_at_or_below,
+       CAST(COALESCE(sum(pu.rev) FILTER (WHERE pu.rev <= thr.t), 0)
+            * 1000000 // tot.r AS BIGINT) AS rev_share_ppm
+FROM thr CROSS JOIN pu CROSS JOIN tot
+GROUP BY 1, 2, tot.r
+ORDER BY 1
+"""
+
+
+def brand_year_revenue(sf_dir: str) -> pa.Table:
+    """REPORTING ROLLUP with calendar logic and a dimension join:
+    discounted lineitem revenue by (part brand, ship year) plus the
+    year-over-year growth in ppm -- the classic BI query shape (fact
+    -> small-dim broadcast join -> two-key rollup -> windowed ratio).
+
+    Scale shape: the part dimension is projected to (partkey, brand)
+    and broadcast once via ray.put (pc.index_in lookup per block --
+    never a shuffle); revenue folds in-block per (brand, year); YoY is
+    an O(brands x years) driver pass.
+    """
+    part = (_read(sf_dir, "part", ["p_partkey", "p_brand"])
+            .to_pandas())
+    pk = pa.array(part["p_partkey"].to_numpy(dtype=np.int64))
+    brands = np.sort(part["p_brand"].unique())
+    bcode = {b: i for i, b in enumerate(brands)}
+    pb = np.array([bcode[b] for b in part["p_brand"]],
+                  dtype=np.int64)
+    lookup_ref = ray.put((pk, pb))
+
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_extendedprice", "l_discount",
+                "l_shipdate"])
+
+    empty = pa.table({"b": pa.array([], type=pa.int64()),
+                      "year": pa.array([], type=pa.int64()),
+                      "rev": pa.array([], type=pa.int64())})
+
+    class Roll:
+        def __init__(self):
+            self.pk, self.pb = ray.get(lookup_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return empty
+            idx = pc.index_in(pc.cast(t["l_partkey"], pa.int64()),
+                              value_set=self.pk).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            rev = np.floor(
+                t["l_extendedprice"].to_numpy(zero_copy_only=False)
+                * (1.0 - t["l_discount"].to_numpy(
+                    zero_copy_only=False)) * 100.0 + 0.5).astype(
+                np.int64)
+            us = pc.cast(t["l_shipdate"], pa.int64()).to_numpy(
+                zero_copy_only=False)
+            year = (us.astype("datetime64[us]")
+                    .astype("datetime64[Y]").astype(np.int64) + 1970)
+            staged = pa.table({"b": pa.array(self.pb[idx]),
+                               "year": pa.array(year),
+                               "rev": pa.array(rev)})
+            g = staged.group_by(["b", "year"]).aggregate(
+                [("rev", "sum")])
+            return pa.table({"b": g["b"], "year": g["year"],
+                             "rev": pc.cast(g["rev_sum"],
+                                            pa.int64())})
+
+    agg = (li.map_batches(Roll, batch_format="pyarrow",
+                          zero_copy_batch=True, concurrency=2)
+           .groupby(["b", "year"])
+           .aggregate(Sum("rev", alias_name="rev"))
+           .to_pandas().sort_values(["b", "year"]))
+    b = agg["b"].to_numpy(dtype=np.int64)
+    year = agg["year"].to_numpy(dtype=np.int64)
+    rev = agg["rev"].to_numpy(dtype=np.int64)
+    prev = np.zeros_like(rev)
+    same = (b[1:] == b[:-1]) & (year[1:] == year[:-1] + 1)
+    prev[1:][same] = rev[:-1][same]
+    yoy = np.where(prev > 0, rev * 1_000_000 // np.maximum(prev, 1), 0)
+    return pa.table({
+        "p_brand": pa.array(brands[b].tolist(), type=pa.string()),
+        "year": pa.array(year),
+        "rev_cents": pa.array(rev),
+        "yoy_ppm": pa.array(yoy.astype(np.int64)),
+    })
+
+
+BRAND_YEAR_REVENUE_SQL = """
+WITH r AS (
+  SELECT p.p_brand,
+         CAST(year(l.l_shipdate) AS BIGINT) AS year,
+         CAST(sum(CAST(floor(l.l_extendedprice * (1.0 - l.l_discount)
+                             * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+           AS rev_cents
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  GROUP BY 1, 2
+), w AS (
+  SELECT p_brand, year, rev_cents,
+         lag(rev_cents) OVER (PARTITION BY p_brand ORDER BY year)
+           AS prev,
+         lag(year) OVER (PARTITION BY p_brand ORDER BY year)
+           AS prev_year
+  FROM r
+)
+SELECT p_brand, year, rev_cents,
+       CAST(CASE WHEN prev_year = year - 1 AND prev > 0
+                 THEN rev_cents * 1000000 // prev
+                 ELSE 0 END AS BIGINT) AS yoy_ppm
+FROM w ORDER BY 1, 2
+"""

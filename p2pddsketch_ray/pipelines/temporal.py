@@ -2454,3 +2454,141 @@ SELECT from_type, to_type AS predicted, np AS n_pairs,
        n AS n_correct, CAST(n * 1000000 // np AS BIGINT) AS acc_ppm
 FROM r WHERE rn = 1 ORDER BY from_type
 """
+
+
+def markov_entropy_rate(sf_dir: str) -> pa.Table:
+    """ENTROPY RATE of the first-order event-type Markov chain (the
+    average per-step information of the stream, the compressibility /
+    predictability number behind "how surprising is user behavior"):
+    H = sum_ij (c_ij / N) * ln(r_i / c_ij), carried as per-term
+    floor(f * 1e6) micro-nats mirrored in the SQL oracle -- no float
+    sum is ever formed across terms.
+
+    Scale shape: reuses the transition-count dataflow (user
+    co-partition, O(types^2) count rows), then an O(types^2) driver
+    fold.
+    """
+    trans = event_transition_matrix(sf_dir).to_pandas()
+    c = trans["n"].to_numpy(dtype=np.int64).astype(np.float64)
+    ntot = float(c.sum())
+    rsum = trans.groupby("from_type")["n"].transform("sum").to_numpy(
+        dtype=np.int64).astype(np.float64)
+    terms = np.floor((c / ntot) * np.log(rsum / c) * 1_000_000.0)
+    return pa.table({
+        "n_transitions": pa.array([int(ntot)], type=pa.int64()),
+        "n_cells": pa.array([len(trans)], type=pa.int64()),
+        "entropy_rate_micronats": pa.array([int(terms.sum())],
+                                           type=pa.int64()),
+    })
+
+
+MARKOV_ENTROPY_SQL = """
+WITH w AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev
+  FROM events
+), p AS (
+  SELECT prev AS from_type, event_type AS to_type,
+         CAST(count(*) AS BIGINT) AS n
+  FROM w WHERE prev IS NOT NULL GROUP BY 1, 2
+), f AS (
+  SELECT from_type, CAST(sum(n) AS BIGINT) AS nf FROM p GROUP BY 1
+), tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM p),
+terms AS (
+  SELECT CAST(floor((CAST(p.n AS DOUBLE) / CAST(tot.nn AS DOUBLE))
+              * ln(CAST(f.nf AS DOUBLE) / CAST(p.n AS DOUBLE))
+              * 1000000.0) AS BIGINT) AS t
+  FROM p JOIN f USING (from_type) CROSS JOIN tot
+)
+SELECT tot.nn AS n_transitions,
+       (SELECT CAST(count(*) AS BIGINT) FROM p) AS n_cells,
+       (SELECT CAST(sum(t) AS BIGINT) FROM terms)
+         AS entropy_rate_micronats
+FROM tot
+"""
+
+
+def ewma_forecast_hourly(sf_dir: str) -> pa.Table:
+    """INTEGER EWMA (alpha = 1/2) one-step-ahead forecast of the
+    hourly revenue series with its mean absolute error -- the
+    cheapest online forecaster there is, made hash-exact by the
+    floor-halving recurrence s_t = (s_{t-1} + v_t) // 2 (every state
+    is an integer, so the sequential recursion is replicable by a
+    recursive CTE).
+
+    Scale shape: one per-hour cents combiner (cardinality-bounded),
+    then an O(hours) driver recurrence.
+    """
+    from ray.data.aggregate import Sum as _Sum
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["ts", "value"])
+    HOUR_US = np.int64(3_600_000_000)
+
+    def hourly(t: pa.Table) -> pa.Table:
+        us = _as_int64(t["ts"])
+        v = t["value"].to_numpy(zero_copy_only=False)
+        cents = np.floor(v * 100.0 + 0.5).astype(np.int64)
+        staged = pa.table({"hour": pa.array(us // HOUR_US),
+                           "c": pa.array(cents)})
+        g = staged.group_by("hour").aggregate([("c", "sum")])
+        return pa.table({"hour": g["hour"],
+                         "c": pc.cast(g["c_sum"], pa.int64())})
+
+    h = (ds.map_batches(hourly, batch_format="pyarrow",
+                        zero_copy_batch=True)
+         .groupby("hour").aggregate(_Sum("c", alias_name="c"))
+         .to_pandas().sort_values("hour"))
+    hours = h["hour"].to_numpy(dtype=np.int64)
+    lo, hi = int(hours.min()), int(hours.max())
+    grid = np.zeros(hi - lo + 1, dtype=np.int64)
+    grid[hours - lo] = h["c"].to_numpy(dtype=np.int64)
+    s = int(grid[0])
+    abs_err = 0
+    for v in grid[1:]:
+        abs_err += abs(int(v) - s)          # forecast for t is s_{t-1}
+        s = (s + int(v)) // 2
+    n_fc = len(grid) - 1
+    return pa.table({
+        "n_hours": pa.array([len(grid)], type=pa.int64()),
+        "sum_abs_err_cents": pa.array([abs_err], type=pa.int64()),
+        "mae_cents": pa.array([abs_err // n_fc if n_fc else 0],
+                              type=pa.int64()),
+        "final_state_cents": pa.array([s], type=pa.int64()),
+    })
+
+
+EWMA_FORECAST_SQL = """
+WITH RECURSIVE h AS (
+  SELECT CAST(epoch_us(ts) AS BIGINT) // 3600000000 AS hour,
+         CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT))
+              AS BIGINT) AS c
+  FROM events GROUP BY 1
+), b AS (SELECT min(hour) AS lo, max(hour) AS hi FROM h),
+grid AS (
+  SELECT g.hour, CAST(COALESCE(h.c, 0) AS BIGINT) AS v
+  FROM (SELECT unnest(generate_series(b.lo, b.hi)) AS hour FROM b) g
+  LEFT JOIN h ON h.hour = g.hour
+),
+r(hour, s, abs_err) AS (
+  SELECT b.lo, (SELECT v FROM grid WHERE grid.hour = b.lo),
+         CAST(0 AS BIGINT)
+  FROM b
+  UNION ALL
+  SELECT r.hour + 1, (r.s + g.v) // 2, abs(g.v - r.s)
+  FROM r JOIN grid g ON g.hour = r.hour + 1
+),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_hours,
+         CAST(sum(abs_err) AS BIGINT) AS sum_abs_err,
+         CAST(max(hour) AS BIGINT) AS last_h
+  FROM r
+), fin AS (SELECT r.s AS final_s FROM r, agg WHERE r.hour = agg.last_h)
+SELECT agg.n_hours,
+       agg.sum_abs_err AS sum_abs_err_cents,
+       CAST(CASE WHEN agg.n_hours > 1
+                 THEN agg.sum_abs_err // (agg.n_hours - 1)
+                 ELSE 0 END AS BIGINT) AS mae_cents,
+       CAST(fin.final_s AS BIGINT) AS final_state_cents
+FROM agg, fin
+"""

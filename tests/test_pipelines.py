@@ -2682,3 +2682,102 @@ def test_runs_test_alternating_and_blocked(ray_session, tmp_path):
     assert int(out.loc["blk", "n_runs"]) == 2
     # E[R] = 1 + 2*20*20/40 = 21 for both
     assert int(out.loc["alt", "expected_runs_micro"]) == 21_000_000
+
+
+def test_lorenz_uniform_revenue_is_diagonal(ray_session, tmp_path):
+    """Equal per-customer revenue makes the Lorenz curve the diagonal:
+    share at decile d == n_at_or_below / n."""
+    import pyarrow.parquet as pq
+    from p2pddsketch_ray.pipelines.relational import lorenz_deciles
+    n = 200
+    pq.write_table(pa.table({
+        "o_custkey": pa.array(np.arange(n, dtype=np.int64)),
+        "o_totalprice": pa.array(np.full(n, 50.0)),
+    }), str(tmp_path / "orders.parquet"))
+    out = lorenz_deciles(str(tmp_path)).to_pandas()
+    # all thresholds equal the single value -> every decile row covers
+    # ALL customers (<= semantics with total ties)
+    assert (out["n_at_or_below"] == n).all()
+    assert (out["rev_share_ppm"] == 1_000_000).all()
+
+    # one whale: the bottom deciles' share collapses
+    price = np.where(np.arange(n) == 0, 100_000.0, 50.0)
+    pq.write_table(pa.table({
+        "o_custkey": pa.array(np.arange(n, dtype=np.int64)),
+        "o_totalprice": pa.array(price),
+    }), str(tmp_path / "orders.parquet"))
+    out2 = lorenz_deciles(str(tmp_path)).to_pandas().set_index(
+        "decile")
+    total = 199 * 5000 + 10_000_000
+    assert int(out2.loc[9, "rev_share_ppm"]) == \
+        199 * 5000 * 1_000_000 // total
+
+
+def test_brand_year_revenue_yoy(ray_session, tmp_path):
+    """Two years of one brand with doubled revenue -> yoy == 2e6; a
+    gap year yields yoy 0."""
+    import pyarrow.parquet as pq
+    from p2pddsketch_ray.pipelines.relational import brand_year_revenue
+    pq.write_table(pa.table({
+        "p_partkey": pa.array([1, 2], type=pa.int64()),
+        "p_brand": pa.array(["B1", "B2"]),
+    }), str(tmp_path / "part.parquet"))
+    Y = lambda y: np.datetime64(f"{y}-06-01", "us").astype(np.int64)
+    pq.write_table(pa.table({
+        "l_partkey": pa.array([1, 1, 2, 2], type=pa.int64()),
+        "l_extendedprice": pa.array([100.0, 200.0, 50.0, 70.0]),
+        "l_discount": pa.array([0.0, 0.0, 0.0, 0.0]),
+        "l_shipdate": pa.array(
+            np.array([Y(2020), Y(2021), Y(2020), Y(2022)],
+                     dtype=np.int64)).cast(pa.timestamp("us")),
+    }), str(tmp_path / "lineitem.parquet"))
+    out = brand_year_revenue(str(tmp_path)).to_pandas().set_index(
+        ["p_brand", "year"])
+    assert int(out.loc[("B1", 2021), "yoy_ppm"]) == 2_000_000
+    assert int(out.loc[("B2", 2022), "yoy_ppm"]) == 0  # gap year
+
+
+def test_ewma_forecast_constant_series(ray_session, tmp_path):
+    """A constant hourly series has zero forecast error and the state
+    sticks at the constant."""
+    import pyarrow.parquet as pq
+    from p2pddsketch_ray.pipelines.temporal import ewma_forecast_hourly
+    HOUR_US = 3_600_000_000
+    ts = np.repeat(np.arange(48, dtype=np.int64) * HOUR_US, 2)
+    pq.write_table(pa.table({
+        "ts": pa.array(ts).cast(pa.timestamp("us")),
+        "value": pa.array(np.full(96, 5.0)),
+    }), str(tmp_path / "events.parquet"))
+    out = ewma_forecast_hourly(str(tmp_path)).to_pydict()
+    assert out["sum_abs_err_cents"] == [0]
+    assert out["final_state_cents"] == [1000]   # 2 x 5.00 per hour
+
+
+def test_markov_entropy_deterministic_chain_is_zero(ray_session,
+                                                    tmp_path):
+    """A strictly periodic A->B->A->B stream has zero entropy rate; a
+    uniformly random 2-symbol stream approaches ln(2) micro-nats."""
+    import pyarrow.parquet as pq
+    from p2pddsketch_ray.pipelines.temporal import markov_entropy_rate
+    n = 400
+    ts = np.arange(n, dtype=np.int64) * 1_000_000
+    types = np.where(np.arange(n) % 2 == 0, "A", "B")
+    pq.write_table(pa.table({
+        "event_id": pa.array(np.arange(n, dtype=np.int64)),
+        "ts": pa.array(ts).cast(pa.timestamp("us")),
+        "user_id": pa.array(np.zeros(n, dtype=np.int64)),
+        "event_type": pa.array(types.tolist(), type=pa.string()),
+    }), str(tmp_path / "events.parquet"))
+    out = markov_entropy_rate(str(tmp_path)).to_pydict()
+    assert out["entropy_rate_micronats"] == [0]
+
+    rng = np.random.default_rng(11)
+    types2 = np.where(rng.integers(0, 2, n) == 0, "A", "B")
+    pq.write_table(pa.table({
+        "event_id": pa.array(np.arange(n, dtype=np.int64)),
+        "ts": pa.array(ts).cast(pa.timestamp("us")),
+        "user_id": pa.array(np.zeros(n, dtype=np.int64)),
+        "event_type": pa.array(types2.tolist(), type=pa.string()),
+    }), str(tmp_path / "events.parquet"))
+    out2 = markov_entropy_rate(str(tmp_path)).to_pydict()
+    assert abs(out2["entropy_rate_micronats"][0] - 693_147) < 40_000
