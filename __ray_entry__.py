@@ -23,7 +23,9 @@ from collections.abc import Callable
 from typing import Any
 
 from p2pddsketch_ray.pipelines.knn import (  # noqa: E402
-    RECIPROCAL_NN_SQL as _RECIPROCAL_NN_SQL)
+    RECIPROCAL_NN_SQL as _RECIPROCAL_NN_SQL,
+    matryoshka_truncation_hist as _matryoshka_truncation_hist,
+    MATRYOSHKA_HIST_SQL as _MATRYOSHKA_HIST_SQL)
 from p2pddsketch_ray.pipelines.dedup import (  # noqa: E402
     SORTED_NEIGHBORHOOD_SQL as _SORTED_NEIGHBORHOOD_SQL,
     LEVENSHTEIN_VERIFY_SQL as _LEVENSHTEIN_VERIFY_SQL)
@@ -238,6 +240,12 @@ from p2pddsketch_ray.pipelines.relational import (  # noqa: E402
     RUNS_TEST_SQL as _RUNS_TEST_SQL,
     lorenz_deciles as _lorenz_deciles,
     LORENZ_DECILES_SQL as _LORENZ_DECILES_SQL,
+    cross_source_dup_matrix as _cross_source_dup_matrix,
+    CROSS_SOURCE_DUP_SQL as _CROSS_SOURCE_DUP_SQL,
+    vocab_coverage_curve as _vocab_coverage_curve,
+    VOCAB_COVERAGE_SQL as _VOCAB_COVERAGE_SQL,
+    rfm_segments as _rfm_segments,
+    RFM_SEGMENTS_SQL as _RFM_SEGMENTS_SQL,
     brand_year_revenue as _brand_year_revenue,
     BRAND_YEAR_REVENUE_SQL as _BRAND_YEAR_REVENUE_SQL,
     customer_frequency_spectrum as _customer_frequency_spectrum,
@@ -935,6 +943,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "markov_entropy_rate": _markov_entropy_rate,
         # integer EWMA one-step forecast MAE (recursive-CTE oracle)
         "ewma_forecast_hourly": _ewma_forecast_hourly,
+        # zero-filled cross-source shared-text contamination matrix
+        "cross_source_dup_matrix": _cross_source_dup_matrix,
+        # top-k vocabulary occurrence-coverage curve
+        "vocab_coverage_curve": _vocab_coverage_curve,
+        # RFM quintile segmentation census of customers
+        "rfm_segments": _rfm_segments,
+        # truncated-embedding cosine histogram (matryoshka audit)
+        "matryoshka_truncation_hist": _matryoshka_truncation_hist,
         # Markov next-event baseline accuracy per previous type
         "markov_next_accuracy": _markov_next_accuracy,
         # out-of-order lateness vs arrival order (distributed prefix max)
@@ -1569,6 +1585,10 @@ def oracle_sql() -> dict[str, str]:
         "brand_year_revenue": _BRAND_YEAR_REVENUE_SQL,
         "markov_entropy_rate": _MARKOV_ENTROPY_SQL,
         "ewma_forecast_hourly": _EWMA_FORECAST_SQL,
+        "cross_source_dup_matrix": _CROSS_SOURCE_DUP_SQL,
+        "vocab_coverage_curve": _VOCAB_COVERAGE_SQL,
+        "rfm_segments": _RFM_SEGMENTS_SQL,
+        "matryoshka_truncation_hist": _MATRYOSHKA_HIST_SQL,
         "markov_next_accuracy": _MARKOV_NEXT_ACC_SQL,
         "ooo_lateness_stats": _OOO_LATENESS_SQL,
         "multimodal_resize_stats": """

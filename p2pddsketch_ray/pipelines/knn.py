@@ -285,3 +285,75 @@ JOIN best b2 ON b1.vb = b2.va AND b2.vb = b1.va
 WHERE b1.va < b1.vb
 ORDER BY 1
 """
+
+
+def matryoshka_truncation_hist(sf_dir: str, keep_dims: int = 32,
+                               n_bins: int = 100) -> "pa.Table":
+    """MATRYOSHKA / truncation-quality audit: for every embedding, the
+    cosine between the full vector and its first ``keep_dims``
+    dimensions (== sqrt(||x_head||^2 / ||x||^2)), binned to a
+    ``n_bins``-cell histogram -- the go/no-go table before shipping
+    truncated embeddings to a cheaper index.  Exact: milli-quantized
+    integer norms (the reciprocal_nn contract), ONE mirrored
+    sqrt-of-ratio double per vector, integer floor binning.
+
+    Scale shape: pure streaming map (zero-copy list decode, vectorized
+    per-block), bounded histogram combiner, O(n_bins) exchange.
+    """
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from ..functions.vectors import list_to_matrix
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["embedding"])
+
+    empty = pa.table({"bin": pa.array([], type=pa.int64()),
+                      "n": pa.array([], type=pa.int64())})
+
+    def hist(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        q = np.floor(list_to_matrix(t["embedding"]) * 1000.0) \
+            .astype(np.int64)
+        num = (q[:, :keep_dims] ** 2).sum(axis=1)
+        den = (q ** 2).sum(axis=1)
+        cos = np.sqrt(num.astype(np.float64) / den.astype(np.float64))
+        b = np.floor(cos * n_bins).astype(np.int64)
+        b = np.minimum(b, n_bins - 1)      # cos == 1.0 joins last bin
+        ub, cnt = np.unique(b, return_counts=True)
+        return pa.table({"bin": pa.array(ub),
+                         "n": pa.array(cnt.astype(np.int64))})
+
+    agg = (ds.map_batches(hist, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("bin").aggregate(Sum("n", alias_name="n"))
+           .to_pandas().sort_values("bin"))
+    return pa.table({
+        "bin": pa.array(agg["bin"].to_numpy(dtype=np.int64)),
+        "n": pa.array(agg["n"].to_numpy(dtype=np.int64)),
+    })
+
+
+MATRYOSHKA_HIST_SQL = """
+WITH q AS (
+  SELECT list_transform(embedding,
+                        x -> CAST(floor(x * 1000.0) AS BIGINT)) AS qv
+  FROM embeddings
+), s AS (
+  SELECT CAST(list_inner_product(qv[1:32], qv[1:32]) AS BIGINT)
+           AS num,
+         CAST(list_inner_product(qv, qv) AS BIGINT) AS den
+  FROM q
+), b AS (
+  SELECT least(CAST(floor(sqrt(CAST(num AS DOUBLE)
+                               / CAST(den AS DOUBLE)) * 100)
+                    AS BIGINT), 99) AS bin
+  FROM s
+)
+SELECT bin, CAST(count(*) AS BIGINT) AS n
+FROM b GROUP BY 1 ORDER BY 1
+"""

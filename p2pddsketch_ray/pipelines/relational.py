@@ -13438,3 +13438,331 @@ SELECT p_brand, year, rev_cents,
                  ELSE 0 END AS BIGINT) AS yoy_ppm
 FROM w ORDER BY 1, 2
 """
+
+
+def cross_source_dup_matrix(sf_dir: str) -> pa.Table:
+    """CROSS-SOURCE CONTAMINATION MATRIX: for every unordered source
+    pair, how many distinct document texts (by md5 content hash, the
+    oracle-replicable tier) appear in BOTH sources -- the provenance
+    audit that tells a corpus curator which feeds are mirroring each
+    other before dedup budgets are assigned.  The full zero-filled
+    pair matrix is emitted so the result is schema-stable even on a
+    duplicate-free corpus.
+
+    Scale shape: per-block DISTINCT (hash, source) combiner, hash
+    co-partition, per-hash sorted-run source-pair expansion (bounded
+    by sources^2 per hash), one tiny pair groupby; sources themselves
+    come from an O(sources) distinct fold.
+    """
+    from ..hashing import md5_uint64
+    from ..stages.partition import fit_partitions, partition_by
+
+    ds = _read(sf_dir, "documents", ["text", "source"])
+
+    mem_empty = pa.table({"h": pa.array([], type=pa.int64()),
+                          "source": pa.array([], type=pa.string())})
+
+    def memberships(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return mem_empty
+        h = md5_uint64(t["text"].combine_chunks()).view(np.int64)
+        staged = pa.table({"h": pa.array(h), "source": t["source"]})
+        # per-block distinct
+        g = staged.group_by(["h", "source"]).aggregate([])
+        return g
+
+    pair_empty = pa.table({"a": pa.array([], type=pa.string()),
+                           "b": pa.array([], type=pa.string()),
+                           "n": pa.array([], type=pa.int64())})
+
+    def expand(t: pa.Table) -> pa.Table:
+        h = t["h"].to_numpy(zero_copy_only=False)
+        src = np.asarray(t["source"].to_pylist(), dtype=np.str_)
+        order = np.lexsort((src, h))
+        h, src = h[order], src[order]
+        keep = np.ones(h.size, dtype=bool)      # cross-block dedup
+        keep[1:] = (h[1:] != h[:-1]) | (src[1:] != src[:-1])
+        h, src = h[keep], src[keep]
+        new = np.ones(h.size, dtype=bool)
+        new[1:] = h[1:] != h[:-1]
+        starts = np.flatnonzero(new)
+        rlen = np.diff(np.append(starts, h.size))
+        rows_a, rows_b = [], []
+        for s, ln in zip(starts.tolist(), rlen.tolist()):
+            if ln < 2:
+                continue
+            grp = src[s:s + ln]
+            for i in range(ln - 1):
+                for j in range(i + 1, ln):
+                    rows_a.append(grp[i]); rows_b.append(grp[j])
+        if not rows_a:
+            return pair_empty
+        return pa.table({"a": pa.array(rows_a, type=pa.string()),
+                         "b": pa.array(rows_b, type=pa.string()),
+                         "n": pa.array(np.ones(len(rows_a),
+                                               dtype=np.int64))})
+
+    mems = ds.map_batches(memberships, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    pairs = (partition_by(mems, ["h"], fit_partitions(16), expand,
+                          pair_empty)
+             .groupby(["a", "b"]).aggregate(Sum("n", alias_name="n"))
+             .to_pandas())
+
+    def srcs(t: pa.Table) -> pa.Table:
+        return pa.table({"source": pc.unique(
+            t["source"].combine_chunks())})
+
+    all_src = np.sort(np.unique(
+        ds.map_batches(srcs, batch_format="pyarrow")
+        .to_pandas()["source"].to_numpy()))
+    counts = {(r["a"], r["b"]): int(r["n"])
+              for _, r in pairs.iterrows()}
+    out_a, out_b, out_n = [], [], []
+    for i in range(len(all_src)):
+        for j in range(i + 1, len(all_src)):
+            a, b = str(all_src[i]), str(all_src[j])
+            out_a.append(a); out_b.append(b)
+            out_n.append(counts.get((a, b), 0))
+    return pa.table({
+        "source_a": pa.array(out_a, type=pa.string()),
+        "source_b": pa.array(out_b, type=pa.string()),
+        "n_shared_texts": pa.array(out_n, type=pa.int64()),
+    })
+
+
+CROSS_SOURCE_DUP_SQL = """
+WITH d AS (
+  SELECT DISTINCT md5(text) AS h, source FROM documents
+), p AS (
+  SELECT x.source AS a, y.source AS b,
+         CAST(count(DISTINCT x.h) AS BIGINT) AS n
+  FROM d x JOIN d y ON x.h = y.h AND x.source < y.source
+  GROUP BY 1, 2
+), s AS (SELECT DISTINCT source FROM documents)
+SELECT s1.source AS source_a, s2.source AS source_b,
+       CAST(COALESCE(p.n, 0) AS BIGINT) AS n_shared_texts
+FROM s s1 JOIN s s2 ON s1.source < s2.source
+LEFT JOIN p ON p.a = s1.source AND p.b = s2.source
+ORDER BY 1, 2
+"""
+
+
+def vocab_coverage_curve(sf_dir: str,
+                         ks: tuple = (10, 100, 1000)) -> pa.Table:
+    """TOKENIZER-BUDGET CURVE: what fraction of all token occurrences
+    the top-k vocabulary covers, for several k -- the first number a
+    vocab-size decision needs (coverage claims beyond the knee are
+    where OOV pain starts).  Exact integer counts and ppm.
+
+    Scale shape: per-block token-count combiner, vocabulary-bounded
+    groupby, per-block top-max(k) prereduce, O(max k) driver fold.
+    """
+    docs = _read(sf_dir, "documents", ["text"])
+    kmax = max(ks)
+
+    empty = pa.table({"tok": pa.array([], type=pa.string()),
+                      "n": pa.array([], type=pa.int64())})
+
+    def counts(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t["text"], pattern=" ")
+        flat = pc.list_flatten(toks).combine_chunks()
+        if len(flat) == 0:
+            return empty
+        g = pa.table({"tok": flat}).group_by("tok").aggregate(
+            [("tok", "count")])
+        return pa.table({"tok": g["tok"],
+                         "n": pc.cast(g["tok_count"], pa.int64())})
+
+    freq = (docs.map_batches(counts, batch_format="pyarrow",
+                             zero_copy_batch=True)
+            .groupby("tok").aggregate(Sum("n", alias_name="n"))
+            .materialize())
+    total = int(freq.sum("n") or 0)
+    vocab_size = int(freq.count())
+
+    def prereduce(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        n = t["n"].to_numpy(zero_copy_only=False)
+        toks = t["tok"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((toks, -n))[:kmax]
+        return pa.table({"tok": pa.array(toks[order].tolist(),
+                                         type=pa.string()),
+                         "n": pa.array(n[order].astype(np.int64))})
+
+    top = (freq.map_batches(prereduce, batch_format="pyarrow")
+           .to_pandas())
+    order = np.lexsort((top["tok"].to_numpy(),
+                        -top["n"].to_numpy()))[:kmax]
+    f = top["n"].to_numpy()[order]
+    cum = np.concatenate([[0], np.cumsum(f)])
+    rows_k, rows_cov, rows_ppm = [], [], []
+    for k in ks:
+        c = int(cum[min(k, len(f))])
+        rows_k.append(k); rows_cov.append(c)
+        rows_ppm.append(c * 1_000_000 // total if total else 0)
+    return pa.table({
+        "k": pa.array(rows_k, type=pa.int64()),
+        "covered_occurrences": pa.array(rows_cov, type=pa.int64()),
+        "total_occurrences": pa.array(
+            [total] * len(ks), type=pa.int64()),
+        "vocab_size": pa.array([vocab_size] * len(ks),
+                               type=pa.int64()),
+        "coverage_ppm": pa.array(rows_ppm, type=pa.int64()),
+    })
+
+
+VOCAB_COVERAGE_SQL = """
+WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+), freq AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS n FROM toks GROUP BY 1
+), ranked AS (
+  SELECT n, row_number() OVER (ORDER BY n DESC, tok) AS r FROM freq
+), tot AS (
+  SELECT CAST(sum(n) AS BIGINT) AS t,
+         CAST(count(*) AS BIGINT) AS v
+  FROM freq
+), ks(k) AS (VALUES (10), (100), (1000))
+SELECT CAST(ks.k AS BIGINT) AS k,
+       CAST(COALESCE(sum(ranked.n) FILTER (WHERE ranked.r <= ks.k), 0)
+            AS BIGINT) AS covered_occurrences,
+       CAST(tot.t AS BIGINT) AS total_occurrences,
+       CAST(tot.v AS BIGINT) AS vocab_size,
+       CAST(COALESCE(sum(ranked.n) FILTER (WHERE ranked.r <= ks.k), 0)
+            * 1000000 // tot.t AS BIGINT) AS coverage_ppm
+FROM ks CROSS JOIN ranked CROSS JOIN tot
+GROUP BY ks.k, tot.t, tot.v
+ORDER BY 1
+"""
+
+
+def rfm_segments(sf_dir: str) -> pa.Table:
+    """RFM SEGMENTATION of customers (recency / frequency / monetary
+    quintile scores, the retail-analytics classic): per customer, days
+    since last order, order count and lifetime cents; each metric is
+    scored 1-5 against its own exact quintile thresholds
+    (score = 1 + #{thresholds strictly below}, recency inverted so
+    fresher = higher) and the (r, f, m) cell census is returned.
+
+    Scale shape: one per-customer groupby, THREE shared
+    histogram-bisection threshold passes, one streaming score-census
+    combiner -- no sort, no driver-side customer table.
+    """
+    from .quantiles import exact_quantiles
+
+    orders = _read(sf_dir, "orders",
+                   ["o_custkey", "o_totalprice", "o_orderdate"])
+    DAY_US = np.int64(86_400_000_000)
+
+    def per_cust(t: pa.Table) -> pa.Table:
+        us = pc.cast(t["o_orderdate"], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        staged = pa.table({
+            "cust": pc.cast(t["o_custkey"], pa.int64()),
+            "last_day": pa.array(us // DAY_US),
+            "freq": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+            "money": _int_units(t["o_totalprice"], 100),
+        })
+        g = staged.group_by("cust").aggregate(
+            [("last_day", "max"), ("freq", "sum"), ("money", "sum")])
+        return pa.table({"cust": g["cust"],
+                         "last_day": pc.cast(g["last_day_max"],
+                                             pa.int64()),
+                         "freq": pc.cast(g["freq_sum"], pa.int64()),
+                         "money": pc.cast(g["money_sum"], pa.int64())})
+
+    pu = (orders.map_batches(per_cust, batch_format="pyarrow",
+                             zero_copy_batch=True)
+          .groupby("cust")
+          .aggregate(Max("last_day", alias_name="last_day"),
+                     Sum("freq", alias_name="freq"),
+                     Sum("money", alias_name="money"))
+          .materialize())
+    anchor = int(pu.max("last_day"))
+
+    def add_rec(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "last_day" not in t.column_names:
+            return pa.table({
+                "recency": pa.array([], type=pa.int64()),
+                "freq": pa.array([], type=pa.int64()),
+                "money": pa.array([], type=pa.int64())})
+        ld = t["last_day"].to_numpy(zero_copy_only=False)
+        return pa.table({"recency": pa.array(anchor - ld),
+                         "freq": t["freq"], "money": t["money"]})
+
+    feats = pu.map_batches(add_rec, batch_format="pyarrow").materialize()
+    qs = [0.2, 0.4, 0.6, 0.8]
+    thr = {}
+    for col in ("recency", "freq", "money"):
+        tt = exact_quantiles(feats, col, qs)
+        thr[col] = np.array(sorted(int(v.as_py())
+                                   for v in tt["value"]),
+                            dtype=np.int64)
+
+    cen_empty = pa.table({"rfm_code": pa.array([], type=pa.int64()),
+                          "n_users": pa.array([], type=pa.int64())})
+
+    def census(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return cen_empty
+        rec = t["recency"].to_numpy(zero_copy_only=False)
+        fr = t["freq"].to_numpy(zero_copy_only=False)
+        mo = t["money"].to_numpy(zero_copy_only=False)
+        r_raw = 1 + (rec[:, None] > thr["recency"][None, :]).sum(axis=1)
+        r = 6 - r_raw                       # fresher = higher score
+        f_ = 1 + (fr[:, None] > thr["freq"][None, :]).sum(axis=1)
+        m = 1 + (mo[:, None] > thr["money"][None, :]).sum(axis=1)
+        code = 100 * r + 10 * f_ + m
+        uc, cnt = np.unique(code, return_counts=True)
+        return pa.table({"rfm_code": pa.array(uc.astype(np.int64)),
+                         "n_users": pa.array(cnt.astype(np.int64))})
+
+    agg = (feats.map_batches(census, batch_format="pyarrow")
+           .groupby("rfm_code")
+           .aggregate(Sum("n_users", alias_name="n_users"))
+           .to_pandas().sort_values("rfm_code"))
+    return pa.table({
+        "rfm_code": pa.array(agg["rfm_code"].to_numpy(dtype=np.int64)),
+        "n_users": pa.array(agg["n_users"].to_numpy(dtype=np.int64)),
+    })
+
+
+RFM_SEGMENTS_SQL = """
+WITH pu AS (
+  SELECT o_custkey,
+         CAST(max(CAST(epoch_us(o_orderdate) AS BIGINT) // 86400000000)
+              AS BIGINT) AS last_day,
+         CAST(count(*) AS BIGINT) AS freq,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS money
+  FROM orders GROUP BY 1
+), anc AS (SELECT max(last_day) AS a FROM pu),
+f AS (
+  SELECT anc.a - pu.last_day AS recency, pu.freq, pu.money
+  FROM pu CROSS JOIN anc
+), t AS (
+  SELECT quantile_disc(recency, [0.2, 0.4, 0.6, 0.8]) AS tr,
+         quantile_disc(freq, [0.2, 0.4, 0.6, 0.8]) AS tf,
+         quantile_disc(money, [0.2, 0.4, 0.6, 0.8]) AS tm
+  FROM f
+), scored AS (
+  SELECT 100 * (6 - (1 + CAST(recency > t.tr[1] AS INT)
+                       + CAST(recency > t.tr[2] AS INT)
+                       + CAST(recency > t.tr[3] AS INT)
+                       + CAST(recency > t.tr[4] AS INT)))
+         + 10 * (1 + CAST(freq > t.tf[1] AS INT)
+                   + CAST(freq > t.tf[2] AS INT)
+                   + CAST(freq > t.tf[3] AS INT)
+                   + CAST(freq > t.tf[4] AS INT))
+         + (1 + CAST(money > t.tm[1] AS INT)
+              + CAST(money > t.tm[2] AS INT)
+              + CAST(money > t.tm[3] AS INT)
+              + CAST(money > t.tm[4] AS INT)) AS rfm_code
+  FROM f CROSS JOIN t
+)
+SELECT CAST(rfm_code AS BIGINT) AS rfm_code,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM scored GROUP BY 1 ORDER BY 1
+"""

@@ -2781,3 +2781,94 @@ def test_markov_entropy_deterministic_chain_is_zero(ray_session,
     }), str(tmp_path / "events.parquet"))
     out2 = markov_entropy_rate(str(tmp_path)).to_pydict()
     assert abs(out2["entropy_rate_micronats"][0] - 693_147) < 40_000
+
+
+def test_cross_source_dup_matrix_hand_case(ray_session, tmp_path):
+    """One text shared by srcA/srcB, one by srcA/srcC, none by
+    srcB/srcC -- matrix rows exact, zero-filled."""
+    import pyarrow.parquet as pq
+    from p2pddsketch_ray.pipelines.relational import (
+        cross_source_dup_matrix)
+    pq.write_table(pa.table({
+        "text": pa.array(["shared-ab", "shared-ab", "shared-ac",
+                          "shared-ac", "only-b", "only-c"]),
+        "source": pa.array(["srcA", "srcB", "srcA", "srcC",
+                            "srcB", "srcC"]),
+    }), str(tmp_path / "documents.parquet"))
+    out = (cross_source_dup_matrix(str(tmp_path)).to_pandas()
+           .set_index(["source_a", "source_b"]))
+    assert int(out.loc[("srcA", "srcB"), "n_shared_texts"]) == 1
+    assert int(out.loc[("srcA", "srcC"), "n_shared_texts"]) == 1
+    assert int(out.loc[("srcB", "srcC"), "n_shared_texts"]) == 0
+
+
+def test_vocab_coverage_monotone_and_exact(ray_session, tmp_path):
+    """Coverage grows with k and matches hand counts on a tiny
+    corpus."""
+    import pyarrow.parquet as pq
+    from p2pddsketch_ray.pipelines.relational import vocab_coverage_curve
+    # 'a' x 50, 'b' x 30, then 40 singletons
+    text = " ".join(["a"] * 50 + ["b"] * 30
+                    + [f"w{i}" for i in range(40)])
+    pq.write_table(pa.table({"text": pa.array([text])}),
+                   str(tmp_path / "documents.parquet"))
+    out = (vocab_coverage_curve(str(tmp_path), ks=(1, 2, 100))
+           .to_pandas().set_index("k"))
+    assert int(out.loc[1, "covered_occurrences"]) == 50
+    assert int(out.loc[2, "covered_occurrences"]) == 80
+    assert int(out.loc[100, "covered_occurrences"]) == 120
+    assert int(out.loc[100, "vocab_size"]) == 42
+
+
+def test_rfm_segments_extremes(ray_session, tmp_path):
+    """A best customer (recent, frequent, big) lands in 555; a lapsed
+    one-order cheapskate lands in 111; census sums to all users."""
+    import pyarrow.parquet as pq
+    from p2pddsketch_ray.pipelines.relational import rfm_segments
+    DAY_US = 86_400_000_000
+    rng = np.random.default_rng(3)
+    custs, prices, days = [], [], []
+    for c in range(50):
+        k = 1 + int(rng.integers(0, 4))
+        for _ in range(k):
+            custs.append(c)
+            prices.append(float(rng.integers(10, 500)))
+            days.append(int(rng.integers(0, 300)))
+    # whale: 20 orders, huge, on the final day
+    for _ in range(20):
+        custs.append(99); prices.append(10_000.0); days.append(400)
+    # lapsed: single tiny order on day 0
+    custs.append(100); prices.append(1.0); days.append(0)
+    pq.write_table(pa.table({
+        "o_custkey": pa.array(np.array(custs, dtype=np.int64)),
+        "o_totalprice": pa.array(prices),
+        "o_orderdate": pa.array(
+            np.array(days, dtype=np.int64) * DAY_US).cast(
+            pa.timestamp("us")),
+    }), str(tmp_path / "orders.parquet"))
+    out = rfm_segments(str(tmp_path)).to_pandas()
+    codes = dict(zip(out["rfm_code"], out["n_users"]))
+    assert codes.get(555, 0) >= 1
+    assert codes.get(111, 0) >= 1
+    assert int(out["n_users"].sum()) == 52
+
+
+def test_matryoshka_hist_identity_and_halved(ray_session, tmp_path):
+    """Vectors living entirely in the first 32 dims land in the top
+    bin; vectors with equal head/tail energy land at
+    floor(sqrt(0.5)*100) == 70."""
+    import pyarrow.parquet as pq
+    from p2pddsketch_ray.pipelines.knn import matryoshka_truncation_hist
+    head_only = np.zeros(64, dtype=np.float32)
+    head_only[:32] = 1.0
+    balanced = np.ones(64, dtype=np.float32)
+    emb = [head_only.tolist()] * 7 + [balanced.tolist()] * 5
+    pq.write_table(pa.table({
+        "vec_id": pa.array(np.arange(12, dtype=np.int64)),
+        "embedding": pa.array(emb, type=pa.list_(pa.float32())),
+        "label": pa.array(np.zeros(12, dtype=np.int32)),
+    }), str(tmp_path / "embeddings.parquet"))
+    out = matryoshka_truncation_hist(str(tmp_path)).to_pandas()
+    hist = dict(zip(out["bin"], out["n"]))
+    assert hist.get(99, 0) == 7
+    assert hist.get(70, 0) == 5
