@@ -246,6 +246,12 @@ from p2pddsketch_ray.pipelines.relational import (  # noqa: E402
     VOCAB_COVERAGE_SQL as _VOCAB_COVERAGE_SQL,
     rfm_segments as _rfm_segments,
     RFM_SEGMENTS_SQL as _RFM_SEGMENTS_SQL,
+    bootstrap_mean_ci as _bootstrap_mean_ci,
+    BOOTSTRAP_MEAN_SQL as _BOOTSTRAP_MEAN_SQL,
+    ams_f2_estimate as _ams_f2_estimate,
+    AMS_F2_SQL as _AMS_F2_SQL,
+    hapax_ratio_by_source as _hapax_ratio_by_source,
+    HAPAX_RATIO_SQL as _HAPAX_RATIO_SQL,
     brand_year_revenue as _brand_year_revenue,
     BRAND_YEAR_REVENUE_SQL as _BRAND_YEAR_REVENUE_SQL,
     customer_frequency_spectrum as _customer_frequency_spectrum,
@@ -951,6 +957,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rfm_segments": _rfm_segments,
         # truncated-embedding cosine histogram (matryoshka audit)
         "matryoshka_truncation_hist": _matryoshka_truncation_hist,
+        # deterministic Poisson-bootstrap error bars for the mean
+        "bootstrap_mean_ci": _bootstrap_mean_ci,
+        # AMS F2 sketch with in-gate error check vs exact F2
+        "ams_f2_estimate": _ams_f2_estimate,
+        # hapax legomena share of each source's vocabulary
+        "hapax_ratio_by_source": _hapax_ratio_by_source,
         # Markov next-event baseline accuracy per previous type
         "markov_next_accuracy": _markov_next_accuracy,
         # out-of-order lateness vs arrival order (distributed prefix max)
@@ -1589,6 +1601,9 @@ def oracle_sql() -> dict[str, str]:
         "vocab_coverage_curve": _VOCAB_COVERAGE_SQL,
         "rfm_segments": _RFM_SEGMENTS_SQL,
         "matryoshka_truncation_hist": _MATRYOSHKA_HIST_SQL,
+        "bootstrap_mean_ci": _BOOTSTRAP_MEAN_SQL,
+        "ams_f2_estimate": _AMS_F2_SQL,
+        "hapax_ratio_by_source": _HAPAX_RATIO_SQL,
         "markov_next_accuracy": _MARKOV_NEXT_ACC_SQL,
         "ooo_lateness_stats": _OOO_LATENESS_SQL,
         "multimodal_resize_stats": """

@@ -13766,3 +13766,266 @@ SELECT CAST(rfm_code AS BIGINT) AS rfm_code,
        CAST(count(*) AS BIGINT) AS n_users
 FROM scored GROUP BY 1 ORDER BY 1
 """
+
+
+_POISSON_CDF_10K = (3679, 7358, 9197, 9810)   # Poisson(1) x 10^4, w<=4
+
+
+def bootstrap_mean_ci(sf_dir: str, n_resamples: int = 16) -> pa.Table:
+    """POISSON-BOOTSTRAP uncertainty for the streaming mean of event
+    value: every row gets a DETERMINISTIC resample weight w_b(row) per
+    replicate b (hash(event_id * B + b) mapped through the quantized
+    Poisson(1) CDF -- the online bootstrap of Oza/Russell, made
+    hash-exact), and each replicate's weighted mean comes out in exact
+    micro units -- distribution-free error bars with ONE pass and no
+    data duplication.
+
+    Scale shape: one streaming combiner emitting B (sum, n) partials
+    per block; the exchange carries O(B) rows.
+    """
+    from ..hashing import murmur64
+    ds = _read(sf_dir, "events", ["event_id", "value"])
+    B = int(n_resamples)
+    cdf = np.array(_POISSON_CDF_10K, dtype=np.uint64)
+
+    empty = pa.table({"b": pa.array([], type=pa.int64()),
+                      "wsum": pa.array([], type=pa.int64()),
+                      "wn": pa.array([], type=pa.int64())})
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        ids = t["event_id"].to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        m = _int_units(t["value"], 1_000_000).to_numpy(
+            zero_copy_only=False)
+        wsums = np.empty(B, dtype=np.int64)
+        wns = np.empty(B, dtype=np.int64)
+        for b in range(B):
+            with np.errstate(over="ignore"):
+                h = murmur64(ids * np.int64(B) + np.int64(b)) \
+                    % np.uint64(10_000)
+            w = (h[:, None] >= cdf[None, :]).sum(axis=1).astype(
+                np.int64)
+            wsums[b] = int((w * m).sum())
+            wns[b] = int(w.sum())
+        return pa.table({"b": pa.array(np.arange(B, dtype=np.int64)),
+                         "wsum": pa.array(wsums),
+                         "wn": pa.array(wns)})
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("b")
+           .aggregate(Sum("wsum", alias_name="wsum"),
+                      Sum("wn", alias_name="wn"))
+           .to_pandas().sort_values("b"))
+    wsum = agg["wsum"].to_numpy(dtype=np.int64)
+    wn = agg["wn"].to_numpy(dtype=np.int64)
+    means = np.array([int(s) * 1 // int(n) if n else 0
+                      for s, n in zip(wsum, wn)], dtype=np.int64)
+    return pa.table({
+        "b": pa.array(agg["b"].to_numpy(dtype=np.int64)),
+        "n_eff": pa.array(wn),
+        "mean_micro": pa.array(means),
+    })
+
+
+BOOTSTRAP_MEAN_SQL = """
+WITH b(b) AS (SELECT unnest(generate_series(0, 15))),
+w AS (
+  SELECT b.b,
+         CAST(floor(e.value * 1000000.0 + 0.5) AS BIGINT) AS m,
+         CAST(CASE
+           WHEN hash(e.event_id * 16 + b.b) % 10000 < 3679 THEN 0
+           WHEN hash(e.event_id * 16 + b.b) % 10000 < 7358 THEN 1
+           WHEN hash(e.event_id * 16 + b.b) % 10000 < 9197 THEN 2
+           WHEN hash(e.event_id * 16 + b.b) % 10000 < 9810 THEN 3
+           ELSE 4 END AS BIGINT) AS w
+  FROM events e CROSS JOIN b
+)
+SELECT b, CAST(sum(w) AS BIGINT) AS n_eff,
+       CAST(CASE WHEN sum(w) > 0
+                 THEN sum(w * m) // sum(w) ELSE 0 END AS BIGINT)
+         AS mean_micro
+FROM w GROUP BY 1 ORDER BY 1
+"""
+
+
+def ams_f2_estimate(sf_dir: str, n_estimators: int = 9) -> pa.Table:
+    """AMS SECOND-MOMENT SKETCH (Alon-Matias-Szegedy STOC'96): estimate
+    F2 = sum of squared user frequencies of the event stream with
+    ``n_estimators`` independent +-1 sign hashes -- each estimator is
+    (sum_u sign_j(u) * c_u)^2, exact in integers (signs from the
+    DuckDB-parity murmur hash), reported beside the exact distributed
+    F2 and the median estimate so the sketch's error is
+    machine-checked by the gate itself.
+
+    Scale shape: per-block (user, count) combiner, one user groupby;
+    the J sign projections fold per block AFTER the exact counts (O(J)
+    integers per block through the exchange).
+    """
+    from ..hashing import murmur64
+    ds = _read(sf_dir, "events", ["user_id"])
+    J = int(n_estimators)
+
+    def per_user(t: pa.Table) -> pa.Table:
+        ids = t["user_id"].to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        u, c = np.unique(ids, return_counts=True)
+        return pa.table({"u": pa.array(u),
+                         "c": pa.array(c.astype(np.int64))})
+
+    counts = (ds.map_batches(per_user, batch_format="pyarrow",
+                             zero_copy_batch=True)
+              .groupby("u").aggregate(Sum("c", alias_name="c")))
+
+    empty = pa.table({"j": pa.array([], type=pa.int64()),
+                      "z": pa.array([], type=pa.int64()),
+                      "f2": pa.array([], type=pa.int64())})
+
+    def project(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "c" not in t.column_names:
+            return empty
+        u = t["u"].to_numpy(zero_copy_only=False).astype(np.int64)
+        c = t["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+        zs = np.empty(J, dtype=np.int64)
+        for j in range(J):
+            with np.errstate(over="ignore"):
+                bit = (murmur64(u * np.int64(J) + np.int64(j))
+                       & np.uint64(1)).astype(np.int64)
+            zs[j] = int(((1 - 2 * bit) * c).sum())
+        return pa.table({"j": pa.array(np.arange(J, dtype=np.int64)),
+                         "z": pa.array(zs),
+                         "f2": pa.array(np.full(
+                             J, int((c.astype(object) ** 2).sum()),
+                             dtype=np.int64))})
+
+    agg = (counts.map_batches(project, batch_format="pyarrow")
+           .groupby("j")
+           .aggregate(Sum("z", alias_name="z"),
+                      Sum("f2", alias_name="f2"))
+           .to_pandas().sort_values("j"))
+    z = agg["z"].to_numpy(dtype=np.int64)
+    exact = int(agg["f2"].iloc[0])
+    est = np.sort(z.astype(object) ** 2)
+    med = int(est[(J + 1) // 2 - 1])   # quantile_disc(0.5) rank
+    return pa.table({
+        "n_estimators": pa.array([J], type=pa.int64()),
+        "f2_exact": pa.array([exact], type=pa.int64()),
+        "f2_median_est": pa.array([med], type=pa.int64()),
+        "err_ppm": pa.array(
+            [abs(med - exact) * 1_000_000 // exact if exact else 0],
+            type=pa.int64()),
+    })
+
+
+AMS_F2_SQL = """
+WITH c AS (
+  SELECT user_id AS u, CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1
+), j(j) AS (SELECT unnest(generate_series(0, 8))),
+z AS (
+  SELECT j.j,
+         CAST(sum((1 - 2 * CAST(hash(c.u * 9 + j.j) % 2 AS BIGINT))
+                  * c.c) AS BIGINT) AS z,
+         CAST(sum(c.c * c.c) AS BIGINT) AS f2
+  FROM c CROSS JOIN j GROUP BY 1
+), e AS (SELECT z * z AS est, f2 FROM z),
+m AS (SELECT CAST(quantile_disc(est, 0.5) AS BIGINT) AS med,
+             CAST(max(f2) AS BIGINT) AS f2 FROM e)
+SELECT CAST(9 AS BIGINT) AS n_estimators, m.f2 AS f2_exact,
+       m.med AS f2_median_est,
+       CAST(abs(m.med - m.f2) * 1000000 // m.f2 AS BIGINT) AS err_ppm
+FROM m
+"""
+
+
+def hapax_ratio_by_source(sf_dir: str) -> pa.Table:
+    """VOCABULARY RICHNESS per source: hapax legomena (tokens seen
+    exactly once within the source) as a share of the source's
+    distinct vocabulary -- the lexical-diversity screen that separates
+    templated/boilerplate feeds (low hapax share) from organic text,
+    complementing the Heaps-law and Hill-number queries.
+
+    Scale shape: per-block (source, token) count combiner, one
+    vocabulary-bounded groupby, then an O(sources) fold of (hapax,
+    vocab) partials.
+    """
+    ds = _read(sf_dir, "documents", ["source", "text"])
+
+    empty = pa.table({"source": pa.array([], type=pa.string()),
+                      "tok": pa.array([], type=pa.string()),
+                      "n": pa.array([], type=pa.int64())})
+
+    def counts(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t["text"], pattern=" ")
+        flat = pc.list_flatten(toks).combine_chunks()
+        if len(flat) == 0:
+            return empty
+        nper = pc.list_value_length(toks).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        src = np.repeat(t["source"].to_numpy(zero_copy_only=False),
+                        nper)
+        staged = pa.table({"source": pa.array(src.tolist(),
+                                              type=pa.string()),
+                           "tok": flat,
+                           "n": pa.array(np.ones(len(flat),
+                                                 dtype=np.int64))})
+        g = staged.group_by(["source", "tok"]).aggregate([("n", "sum")])
+        return pa.table({"source": g["source"], "tok": g["tok"],
+                         "n": pc.cast(g["n_sum"], pa.int64())})
+
+    vocab = (ds.map_batches(counts, batch_format="pyarrow",
+                            zero_copy_batch=True)
+             .groupby(["source", "tok"])
+             .aggregate(Sum("n", alias_name="n")))
+
+    part_empty = pa.table({"source": pa.array([], type=pa.string()),
+                           "hapax": pa.array([], type=pa.int64()),
+                           "vocab": pa.array([], type=pa.int64())})
+
+    def fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "n" not in t.column_names:
+            return part_empty
+        n = t["n"].to_numpy(zero_copy_only=False)
+        staged = pa.table({
+            "source": t["source"],
+            "hapax": pa.array((n == 1).astype(np.int64)),
+            "vocab": pa.array(np.ones(len(n), dtype=np.int64))})
+        g = staged.group_by("source").aggregate(
+            [("hapax", "sum"), ("vocab", "sum")])
+        return pa.table({"source": g["source"],
+                         "hapax": pc.cast(g["hapax_sum"], pa.int64()),
+                         "vocab": pc.cast(g["vocab_sum"], pa.int64())})
+
+    agg = (vocab.map_batches(fold, batch_format="pyarrow")
+           .groupby("source")
+           .aggregate(Sum("hapax", alias_name="hapax"),
+                      Sum("vocab", alias_name="vocab"))
+           .to_pandas().sort_values("source"))
+    hp = agg["hapax"].to_numpy(dtype=np.int64)
+    vb = agg["vocab"].to_numpy(dtype=np.int64)
+    return pa.table({
+        "source": pa.array(agg["source"].tolist(), type=pa.string()),
+        "hapax": pa.array(hp),
+        "vocab": pa.array(vb),
+        "hapax_ppm": pa.array(hp * 1_000_000 // vb),
+    })
+
+
+HAPAX_RATIO_SQL = """
+WITH toks AS (
+  SELECT source, unnest(string_split(text, ' ')) AS tok
+  FROM documents
+), v AS (
+  SELECT source, tok, CAST(count(*) AS BIGINT) AS n
+  FROM toks GROUP BY 1, 2
+)
+SELECT source,
+       CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS hapax,
+       CAST(count(*) AS BIGINT) AS vocab,
+       CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) * 1000000
+            // count(*) AS BIGINT) AS hapax_ppm
+FROM v GROUP BY 1 ORDER BY 1
+"""

@@ -2872,3 +2872,58 @@ def test_matryoshka_hist_identity_and_halved(ray_session, tmp_path):
     hist = dict(zip(out["bin"], out["n"]))
     assert hist.get(99, 0) == 7
     assert hist.get(70, 0) == 5
+
+
+def test_bootstrap_means_bracket_truth(ray_session, tmp_path):
+    """Resample means cluster around the true mean: every replicate
+    within a few percent on 5000 iid rows, and n_eff near n."""
+    import pyarrow.parquet as pq
+    from p2pddsketch_ray.pipelines.relational import bootstrap_mean_ci
+    rng = np.random.default_rng(7)
+    n = 5000
+    v = rng.normal(100, 10, n)
+    pq.write_table(pa.table({
+        "event_id": pa.array(np.arange(n, dtype=np.int64)),
+        "value": pa.array(v),
+    }), str(tmp_path / "events.parquet"))
+    out = bootstrap_mean_ci(str(tmp_path)).to_pandas()
+    assert len(out) == 16
+    true_mean = v.mean() * 1e6
+    assert (np.abs(out["mean_micro"] - true_mean)
+            < 0.02 * true_mean).all()
+    assert (np.abs(out["n_eff"] - n) < 0.1 * n).all()
+
+
+def test_ams_f2_exact_on_skewed_stream(ray_session, tmp_path):
+    """F2 exact matches the hand computation and the sketch's median
+    estimate is within 60% (9 estimators, heavy-hitter stream)."""
+    import pyarrow.parquet as pq
+    from p2pddsketch_ray.pipelines.relational import ams_f2_estimate
+    # user 0: 100 events, users 1..50: 4 each
+    ids = np.concatenate([np.zeros(100, dtype=np.int64),
+                          np.repeat(np.arange(1, 51), 4)])
+    pq.write_table(pa.table({"user_id": pa.array(ids)}),
+                   str(tmp_path / "events.parquet"))
+    out = ams_f2_estimate(str(tmp_path)).to_pydict()
+    exact = 100 * 100 + 50 * 16
+    assert out["f2_exact"] == [exact]
+    assert out["err_ppm"][0] < 600_000
+
+
+def test_hapax_ratio_hand_case(ray_session, tmp_path):
+    """Source with all-unique tokens -> ratio 1e6; source with every
+    token repeated -> 0."""
+    import pyarrow.parquet as pq
+    from p2pddsketch_ray.pipelines.relational import (
+        hapax_ratio_by_source)
+    pq.write_table(pa.table({
+        "source": pa.array(["uniq", "uniq", "rep", "rep"]),
+        "text": pa.array(["alpha beta", "gamma delta",
+                          "x y z", "x y z"]),
+    }), str(tmp_path / "documents.parquet"))
+    out = (hapax_ratio_by_source(str(tmp_path)).to_pandas()
+           .set_index("source"))
+    assert int(out.loc["uniq", "hapax_ppm"]) == 1_000_000
+    assert int(out.loc["uniq", "vocab"]) == 4
+    assert int(out.loc["rep", "hapax_ppm"]) == 0
+    assert int(out.loc["rep", "vocab"]) == 3
