@@ -25,7 +25,9 @@ from typing import Any
 from p2pddsketch_ray.pipelines.knn import (  # noqa: E402
     RECIPROCAL_NN_SQL as _RECIPROCAL_NN_SQL,
     matryoshka_truncation_hist as _matryoshka_truncation_hist,
-    MATRYOSHKA_HIST_SQL as _MATRYOSHKA_HIST_SQL)
+    MATRYOSHKA_HIST_SQL as _MATRYOSHKA_HIST_SQL,
+    centroid_distance_matrix as _centroid_distance_matrix,
+    CENTROID_DISTANCE_SQL as _CENTROID_DISTANCE_SQL)
 from p2pddsketch_ray.pipelines.dedup import (  # noqa: E402
     SORTED_NEIGHBORHOOD_SQL as _SORTED_NEIGHBORHOOD_SQL,
     LEVENSHTEIN_VERIFY_SQL as _LEVENSHTEIN_VERIFY_SQL)
@@ -252,6 +254,12 @@ from p2pddsketch_ray.pipelines.relational import (  # noqa: E402
     AMS_F2_SQL as _AMS_F2_SQL,
     hapax_ratio_by_source as _hapax_ratio_by_source,
     HAPAX_RATIO_SQL as _HAPAX_RATIO_SQL,
+    l_diversity_audit as _l_diversity_audit,
+    L_DIVERSITY_SQL as _L_DIVERSITY_SQL,
+    hodges_lehmann_shift as _hodges_lehmann_shift,
+    HODGES_LEHMANN_SQL as _HODGES_LEHMANN_SQL,
+    dict_encoding_report as _dict_encoding_report,
+    DICT_ENCODING_SQL as _DICT_ENCODING_SQL,
     brand_year_revenue as _brand_year_revenue,
     BRAND_YEAR_REVENUE_SQL as _BRAND_YEAR_REVENUE_SQL,
     customer_frequency_spectrum as _customer_frequency_spectrum,
@@ -963,6 +971,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ams_f2_estimate": _ams_f2_estimate,
         # hapax legomena share of each source's vocabulary
         "hapax_ratio_by_source": _hapax_ratio_by_source,
+        # l-diversity of market segment within nation QI classes
+        "l_diversity_audit": _l_diversity_audit,
+        # Hodges-Lehmann pairwise-difference median shift (R vs A)
+        "hodges_lehmann_shift": _hodges_lehmann_shift,
+        # dictionary-encoding size estimate per categorical column
+        "dict_encoding_report": _dict_encoding_report,
+        # exact rational label-centroid pairwise distance matrix
+        "centroid_distance_matrix": _centroid_distance_matrix,
         # Markov next-event baseline accuracy per previous type
         "markov_next_accuracy": _markov_next_accuracy,
         # out-of-order lateness vs arrival order (distributed prefix max)
@@ -1604,6 +1620,10 @@ def oracle_sql() -> dict[str, str]:
         "bootstrap_mean_ci": _BOOTSTRAP_MEAN_SQL,
         "ams_f2_estimate": _AMS_F2_SQL,
         "hapax_ratio_by_source": _HAPAX_RATIO_SQL,
+        "l_diversity_audit": _L_DIVERSITY_SQL,
+        "hodges_lehmann_shift": _HODGES_LEHMANN_SQL,
+        "dict_encoding_report": _DICT_ENCODING_SQL,
+        "centroid_distance_matrix": _CENTROID_DISTANCE_SQL,
         "markov_next_accuracy": _MARKOV_NEXT_ACC_SQL,
         "ooo_lateness_stats": _OOO_LATENESS_SQL,
         "multimodal_resize_stats": """

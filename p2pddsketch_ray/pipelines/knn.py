@@ -357,3 +357,127 @@ WITH q AS (
 SELECT bin, CAST(count(*) AS BIGINT) AS n
 FROM b GROUP BY 1 ORDER BY 1
 """
+
+
+def centroid_distance_matrix(sf_dir: str) -> "pa.Table":
+    """PAIRWISE LABEL-CENTROID DISTANCES over the embedding table: the
+    class-separation matrix an ANN/classifier sanity check reads first
+    (which labels are entangled?).  Centroids are kept RATIONAL --
+    exact milli-quantized integer sum vectors plus counts -- so the
+    squared distance numerator sum_i (s_a[i]*n_b - s_b[i]*n_a)^2 is an
+    exact (big) integer on both sides, and only the final distance is
+    ONE mirrored sqrt/divide double per pair.
+
+    Scale shape: per-block (label, dim, partial-sum) rows (bounded by
+    labels x dims), one small groupby, O(labels^2 x dims) driver fold.
+    """
+    import math
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from ..functions.vectors import list_to_matrix
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["embedding", "label"])
+
+    empty = pa.table({"label": pa.array([], type=pa.int64()),
+                      "dim": pa.array([], type=pa.int64()),
+                      "s": pa.array([], type=pa.int64()),
+                      "n": pa.array([], type=pa.int64())})
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        q = np.floor(list_to_matrix(t["embedding"]) * 1000.0) \
+            .astype(np.int64)
+        lab = t["label"].to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        ul, inv = np.unique(lab, return_inverse=True)
+        d = q.shape[1]
+        sums = np.zeros((ul.size, d), dtype=np.int64)
+        np.add.at(sums, inv, q)
+        cnt = np.bincount(inv).astype(np.int64)
+        return pa.table({
+            "label": pa.array(np.repeat(ul, d)),
+            "dim": pa.array(np.tile(np.arange(d, dtype=np.int64),
+                                    ul.size)),
+            "s": pa.array(sums.reshape(-1)),
+            "n": pa.array(np.repeat(cnt, d)),
+        })
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby(["label", "dim"])
+           .aggregate(Sum("s", alias_name="s"),
+                      Sum("n", alias_name="n"))
+           .to_pandas().sort_values(["label", "dim"]))
+    labels = np.sort(agg["label"].unique())
+    d = int(agg["dim"].max()) + 1
+    svec = {}
+    nvec = {}
+    for lb in labels:
+        g = agg[agg["label"] == lb].sort_values("dim")
+        svec[lb] = g["s"].to_numpy(dtype=np.int64)
+        # each block adds its count once per dim, so any dim's summed
+        # n IS the label's total vector count
+        nvec[lb] = int(g["n"].iloc[0])
+    out = {c: [] for c in ("label_a", "label_b", "n_a", "n_b",
+                           "dist_micro")}
+    for i in range(len(labels)):
+        for j in range(i + 1, len(labels)):
+            a, b = int(labels[i]), int(labels[j])
+            sa, sb = svec[a].astype(object), svec[b].astype(object)
+            na, nb = nvec[a], nvec[b]
+            num = int(((sa * nb - sb * na) ** 2).sum())
+            dist = math.floor(math.sqrt(float(num)) / (na * nb)
+                              * 1000.0)
+            out["label_a"].append(a)
+            out["label_b"].append(b)
+            out["n_a"].append(na)
+            out["n_b"].append(nb)
+            out["dist_micro"].append(dist)
+    return pa.table({
+        "label_a": pa.array(out["label_a"], type=pa.int64()),
+        "label_b": pa.array(out["label_b"], type=pa.int64()),
+        "n_a": pa.array(out["n_a"], type=pa.int64()),
+        "n_b": pa.array(out["n_b"], type=pa.int64()),
+        "dist_micro": pa.array(out["dist_micro"], type=pa.int64()),
+    })
+
+
+CENTROID_DISTANCE_SQL = """
+WITH q AS (
+  SELECT label,
+         list_transform(embedding,
+                        x -> CAST(floor(x * 1000.0) AS BIGINT)) AS qv
+  FROM embeddings
+), e AS (
+  SELECT label, unnest(qv) AS v,
+         unnest(generate_series(1, len(qv))) AS dim
+  FROM q
+), s AS (
+  SELECT label, dim, CAST(sum(v) AS BIGINT) AS s
+  FROM e GROUP BY 1, 2
+), n AS (
+  SELECT label, CAST(count(*) AS BIGINT) AS n FROM q GROUP BY 1
+), pairs AS (
+  SELECT sa.label AS label_a, sb.label AS label_b,
+         na.n AS n_a, nb.n AS n_b,
+         CAST(sum(CAST(sa.s * nb.n - sb.s * na.n AS HUGEINT)
+                  * CAST(sa.s * nb.n - sb.s * na.n AS HUGEINT))
+              AS HUGEINT) AS num
+  FROM s sa
+  JOIN s sb ON sa.dim = sb.dim AND sa.label < sb.label
+  JOIN n na ON na.label = sa.label
+  JOIN n nb ON nb.label = sb.label
+  GROUP BY 1, 2, 3, 4
+)
+SELECT CAST(label_a AS BIGINT) AS label_a,
+       CAST(label_b AS BIGINT) AS label_b, n_a, n_b,
+       CAST(floor(sqrt(CAST(num AS DOUBLE)) / (n_a * n_b) * 1000.0)
+            AS BIGINT) AS dist_micro
+FROM pairs ORDER BY 1, 2
+"""

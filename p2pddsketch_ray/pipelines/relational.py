@@ -14029,3 +14029,237 @@ SELECT source,
             // count(*) AS BIGINT) AS hapax_ppm
 FROM v GROUP BY 1 ORDER BY 1
 """
+
+
+def l_diversity_audit(sf_dir: str, l_threshold: int = 3) -> pa.Table:
+    """L-DIVERSITY audit (Machanavajjhala et al. ICDE'06), the
+    companion to k-anonymity: per quasi-identifier class (nation), the
+    class size and the number of DISTINCT sensitive values (market
+    segment) -- a class can be large yet still leak if everyone in it
+    shares the sensitive value.  Flags classes below ``l_threshold``.
+
+    Scale shape: per-block distinct (nation, segment) + count
+    combiner, one bounded groupby, O(nations) driver fold.
+    """
+    ds = _read(sf_dir, "customer", ["c_nationkey", "c_mktsegment"])
+
+    empty = pa.table({"nk": pa.array([], type=pa.int64()),
+                      "seg": pa.array([], type=pa.string()),
+                      "n": pa.array([], type=pa.int64())})
+
+    def per_cell(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        g = (pa.table({"nk": pc.cast(t["c_nationkey"], pa.int64()),
+                       "seg": t["c_mktsegment"],
+                       "n": pa.array(np.ones(t.num_rows,
+                                             dtype=np.int64))})
+             .group_by(["nk", "seg"]).aggregate([("n", "sum")]))
+        return pa.table({"nk": g["nk"], "seg": g["seg"],
+                         "n": pc.cast(g["n_sum"], pa.int64())})
+
+    cells = (ds.map_batches(per_cell, batch_format="pyarrow",
+                            zero_copy_batch=True)
+             .groupby(["nk", "seg"])
+             .aggregate(Sum("n", alias_name="n"))
+             .to_pandas())
+    g = cells.groupby("nk").agg(n_rows=("n", "sum"),
+                                l_div=("seg", "nunique")).reset_index()
+    g = g.sort_values("nk")
+    return pa.table({
+        "nationkey": pa.array(g["nk"].to_numpy(dtype=np.int64)),
+        "n_rows": pa.array(g["n_rows"].to_numpy(dtype=np.int64)),
+        "l_diversity": pa.array(g["l_div"].to_numpy(dtype=np.int64)),
+        "at_risk": pa.array(
+            (g["l_div"].to_numpy() < l_threshold).astype(np.int64)),
+    })
+
+
+L_DIVERSITY_SQL = """
+SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS l_diversity,
+       CAST(CASE WHEN count(DISTINCT c_mktsegment) < 3
+                 THEN 1 ELSE 0 END AS BIGINT) AS at_risk
+FROM customer GROUP BY 1 ORDER BY 1
+"""
+
+
+def hodges_lehmann_shift(sf_dir: str, flag_a: str = "R",
+                         flag_b: str = "A") -> pa.Table:
+    """HODGES-LEHMANN LOCATION SHIFT between two return flags on
+    l_quantity: the median of ALL pairwise differences (q_a - q_b) --
+    the robust effect-size companion to the Mann-Whitney test, exact
+    because the bounded quantity domain turns the n_a*n_b pair multiset
+    into a 50x50 histogram convolution (quantile_disc rank pick, no
+    pair is ever materialized).
+
+    Scale shape: identical histogram combiner to mannwhitney_qty_flags;
+    the convolution runs on the driver over the tiny value domain.
+    """
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity"])
+
+    def hist(t: pa.Table) -> pa.Table:
+        keep = pc.is_in(t["l_returnflag"],
+                        value_set=pa.array([flag_a, flag_b]))
+        t = t.filter(keep)
+        staged = pa.table({
+            "q": pc.cast(t["l_quantity"], pa.int64()),
+            "a": pc.cast(pc.equal(t["l_returnflag"],
+                                  pa.scalar(flag_a)), pa.int64()),
+            "b": pc.cast(pc.equal(t["l_returnflag"],
+                                  pa.scalar(flag_b)), pa.int64()),
+        })
+        g = staged.group_by("q").aggregate([("a", "sum"), ("b", "sum")])
+        return pa.table({"q": g["q"],
+                         "na": pc.cast(g["a_sum"], pa.int64()),
+                         "nb": pc.cast(g["b_sum"], pa.int64())})
+
+    h = (ds.map_batches(hist, batch_format="pyarrow",
+                        zero_copy_batch=True)
+         .groupby("q")
+         .aggregate(Sum("na", alias_name="na"),
+                    Sum("nb", alias_name="nb"))
+         .to_pandas().sort_values("q"))
+    q = h["q"].to_numpy(dtype=np.int64)
+    na = h["na"].to_numpy(dtype=np.int64)
+    nb = h["nb"].to_numpy(dtype=np.int64)
+    # difference histogram by convolution over the bounded domain
+    diffs = {}
+    for i in range(len(q)):
+        if na[i] == 0:
+            continue
+        for j in range(len(q)):
+            if nb[j] == 0:
+                continue
+            d = int(q[i] - q[j])
+            diffs[d] = diffs.get(d, 0) + int(na[i]) * int(nb[j])
+    total = sum(diffs.values())
+    rank = max(0, -(-total // 2) - 1)       # ceil(0.5*N) - 1, 0-based
+    cum = 0
+    hl = 0
+    for d in sorted(diffs):
+        cum += diffs[d]
+        if cum >= rank + 1:
+            hl = d
+            break
+    return pa.table({
+        "flag_a": pa.array([flag_a], type=pa.string()),
+        "flag_b": pa.array([flag_b], type=pa.string()),
+        "n_pairs": pa.array([total], type=pa.int64()),
+        "hl_shift": pa.array([hl], type=pa.int64()),
+    })
+
+
+HODGES_LEHMANN_SQL = """
+WITH h AS (
+  SELECT CAST(l_quantity AS BIGINT) AS q,
+         CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+              AS BIGINT) AS na,
+         CAST(sum(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END)
+              AS BIGINT) AS nb
+  FROM lineitem WHERE l_returnflag IN ('R', 'A') GROUP BY 1
+), d AS (
+  SELECT x.q - y.q AS d, CAST(sum(x.na * y.nb) AS BIGINT) AS n
+  FROM h x CROSS JOIN h y
+  WHERE x.na > 0 AND y.nb > 0
+  GROUP BY 1
+), t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM d),
+c AS (
+  SELECT d, sum(n) OVER (ORDER BY d) AS cum FROM d
+)
+SELECT 'R' AS flag_a, 'A' AS flag_b, t.total AS n_pairs,
+       CAST(min(c.d) AS BIGINT) AS hl_shift
+FROM c CROSS JOIN t
+WHERE c.cum >= CAST(ceil(0.5 * t.total) AS BIGINT)
+GROUP BY t.total
+"""
+
+
+_DICT_COLS = (("lineitem", "l_returnflag"),
+              ("lineitem", "l_linestatus"),
+              ("orders", "o_orderstatus"),
+              ("orders", "o_orderpriority"))
+
+
+def dict_encoding_report(sf_dir: str) -> pa.Table:
+    """DICTIONARY-ENCODING SIZE ESTIMATE per low-cardinality string
+    column: rows, distinct values, plain bytes (sum of value lengths),
+    dictionary bytes (distinct lengths + 4 bytes/row of codes) and the
+    saving in ppm -- the storage-layout audit that decides which
+    columns get dictionary pages.
+
+    Scale shape, per column: a per-block (value -> count) combiner,
+    one groupby over the tiny value domain, O(distinct) driver fold.
+    """
+    rows = {c: [] for c in ("table_col", "n_rows", "n_distinct",
+                            "plain_bytes", "dict_bytes",
+                            "saving_ppm")}
+    for table, col in _DICT_COLS:
+        ds = _read(sf_dir, table, [col])
+
+        def vc(t: pa.Table, col=col) -> pa.Table:
+            g = (pa.table({"v": t[col],
+                           "n": pa.array(np.ones(t.num_rows,
+                                                 dtype=np.int64))})
+                 .group_by("v").aggregate([("n", "sum")]))
+            return pa.table({"v": g["v"],
+                             "n": pc.cast(g["n_sum"], pa.int64())})
+
+        agg = (ds.map_batches(vc, batch_format="pyarrow",
+                              zero_copy_batch=True)
+               .groupby("v").aggregate(Sum("n", alias_name="n"))
+               .to_pandas())
+        vals = agg["v"].to_numpy()
+        n = agg["n"].to_numpy(dtype=np.int64)
+        lens = np.array([len(str(v).encode()) for v in vals],
+                        dtype=np.int64)
+        n_rows = int(n.sum())
+        plain = int((lens * n).sum())
+        dict_b = int(lens.sum()) + 4 * n_rows
+        rows["table_col"].append(f"{table}.{col}")
+        rows["n_rows"].append(n_rows)
+        rows["n_distinct"].append(len(vals))
+        rows["plain_bytes"].append(plain)
+        rows["dict_bytes"].append(dict_b)
+        num = (plain - dict_b) * 1_000_000
+        rows["saving_ppm"].append(
+            (-((-num) // plain) if num < 0 else num // plain)
+            if plain else 0)
+    return pa.table({
+        "table_col": pa.array(rows["table_col"], type=pa.string()),
+        "n_rows": pa.array(rows["n_rows"], type=pa.int64()),
+        "n_distinct": pa.array(rows["n_distinct"], type=pa.int64()),
+        "plain_bytes": pa.array(rows["plain_bytes"], type=pa.int64()),
+        "dict_bytes": pa.array(rows["dict_bytes"], type=pa.int64()),
+        "saving_ppm": pa.array(rows["saving_ppm"], type=pa.int64()),
+    })
+
+
+DICT_ENCODING_SQL = """
+WITH u AS (
+  SELECT 'lineitem.l_returnflag' AS table_col, l_returnflag AS v
+  FROM lineitem
+  UNION ALL
+  SELECT 'lineitem.l_linestatus', l_linestatus FROM lineitem
+  UNION ALL
+  SELECT 'orders.o_orderstatus', o_orderstatus FROM orders
+  UNION ALL
+  SELECT 'orders.o_orderpriority', o_orderpriority FROM orders
+), g AS (
+  SELECT table_col, v, CAST(count(*) AS BIGINT) AS n,
+         CAST(strlen(v) AS BIGINT) AS len
+  FROM u GROUP BY 1, 2
+), s AS (
+  SELECT table_col,
+         CAST(sum(n) AS BIGINT) AS n_rows,
+         CAST(count(*) AS BIGINT) AS n_distinct,
+         CAST(sum(len * n) AS BIGINT) AS plain_bytes,
+         CAST(sum(len) + 4 * sum(n) AS BIGINT) AS dict_bytes
+  FROM g GROUP BY 1
+)
+SELECT table_col, n_rows, n_distinct, plain_bytes, dict_bytes,
+       CAST((plain_bytes - dict_bytes) * 1000000 // plain_bytes
+            AS BIGINT) AS saving_ppm
+FROM s ORDER BY 1
+"""

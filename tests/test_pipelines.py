@@ -2927,3 +2927,84 @@ def test_hapax_ratio_hand_case(ray_session, tmp_path):
     assert int(out.loc["uniq", "vocab"]) == 4
     assert int(out.loc["rep", "hapax_ppm"]) == 0
     assert int(out.loc["rep", "vocab"]) == 3
+
+
+def test_l_diversity_flags_uniform_class(ray_session, tmp_path):
+    """A nation whose customers all share one segment is at risk; a
+    mixed nation is not."""
+    import pyarrow.parquet as pq
+    from p2pddsketch_ray.pipelines.relational import l_diversity_audit
+    pq.write_table(pa.table({
+        "c_nationkey": pa.array([1] * 10 + [2] * 10, type=pa.int32()),
+        "c_mktsegment": pa.array(["AUTO"] * 10
+                                 + ["AUTO", "BUILDING", "MACHINERY",
+                                    "HOUSEHOLD", "FURNITURE"] * 2),
+    }), str(tmp_path / "customer.parquet"))
+    out = (l_diversity_audit(str(tmp_path)).to_pandas()
+           .set_index("nationkey"))
+    assert int(out.loc[1, "l_diversity"]) == 1
+    assert int(out.loc[1, "at_risk"]) == 1
+    assert int(out.loc[2, "l_diversity"]) == 5
+    assert int(out.loc[2, "at_risk"]) == 0
+
+
+def test_hodges_lehmann_known_shift(ray_session, tmp_path):
+    """Group A == group B + 7 exactly -> HL shift is exactly 7."""
+    import pyarrow.parquet as pq
+    from p2pddsketch_ray.pipelines.relational import hodges_lehmann_shift
+    rng = np.random.default_rng(13)
+    qb = rng.integers(1, 30, 200)
+    qa = qb + 7
+    pq.write_table(pa.table({
+        "l_returnflag": pa.array(["R"] * 200 + ["A"] * 200),
+        "l_quantity": pa.array(
+            np.concatenate([qa, qb]).astype(np.float64)),
+    }), str(tmp_path / "lineitem.parquet"))
+    out = hodges_lehmann_shift(str(tmp_path)).to_pydict()
+    assert out["n_pairs"] == [200 * 200]
+    assert out["hl_shift"] == [7]
+
+
+def test_dict_encoding_report_hand_case(ray_session, tmp_path):
+    """Byte math exact on a controlled column set."""
+    import pyarrow.parquet as pq
+    from p2pddsketch_ray.pipelines.relational import dict_encoding_report
+    pq.write_table(pa.table({
+        "l_returnflag": pa.array(["A"] * 60 + ["R"] * 40),
+        "l_linestatus": pa.array(["F"] * 100),
+    }), str(tmp_path / "lineitem.parquet"))
+    pq.write_table(pa.table({
+        "o_orderstatus": pa.array(["O", "F", "P", "O"]),
+        "o_orderpriority": pa.array(["1-URGENT", "2-HIGH",
+                                     "1-URGENT", "2-HIGH"]),
+    }), str(tmp_path / "orders.parquet"))
+    out = (dict_encoding_report(str(tmp_path)).to_pandas()
+           .set_index("table_col"))
+    r = out.loc["lineitem.l_returnflag"]
+    assert int(r["plain_bytes"]) == 100
+    assert int(r["dict_bytes"]) == 2 + 400
+    p = out.loc["orders.o_orderpriority"]
+    assert int(p["n_distinct"]) == 2
+    assert int(p["plain_bytes"]) == 2 * 8 + 2 * 6
+
+
+def test_centroid_distance_axis_aligned(ray_session, tmp_path):
+    """Two labels on orthogonal unit axes sit sqrt(2) apart; identical
+    labels sit at 0 (micro units of the original embedding scale)."""
+    import pyarrow.parquet as pq
+    from p2pddsketch_ray.pipelines.knn import centroid_distance_matrix
+    d = 8
+    ex = np.zeros(d, dtype=np.float32); ex[0] = 1.0
+    ey = np.zeros(d, dtype=np.float32); ey[1] = 1.0
+    emb = [ex.tolist()] * 4 + [ey.tolist()] * 4 + [ex.tolist()] * 4
+    lab = [0] * 4 + [1] * 4 + [2] * 4
+    pq.write_table(pa.table({
+        "vec_id": pa.array(np.arange(12, dtype=np.int64)),
+        "embedding": pa.array(emb, type=pa.list_(pa.float32())),
+        "label": pa.array(np.array(lab, dtype=np.int32)),
+    }), str(tmp_path / "embeddings.parquet"))
+    out = (centroid_distance_matrix(str(tmp_path)).to_pandas()
+           .set_index(["label_a", "label_b"]))
+    # sqrt(2) in milli units * 1000 -> micro: floor(1414.21.. * 1000)
+    assert int(out.loc[(0, 1), "dist_micro"]) == 1414213
+    assert int(out.loc[(0, 2), "dist_micro"]) == 0
