@@ -65,6 +65,10 @@ from p2pddsketch_ray.pipelines.temporal import (  # noqa: E402
     MARKOV_ENTROPY_SQL as _MARKOV_ENTROPY_SQL,
     ewma_forecast_hourly as _ewma_forecast_hourly,
     EWMA_FORECAST_SQL as _EWMA_FORECAST_SQL,
+    funnel_windowed_counts as _funnel_windowed_counts,
+    FUNNEL_WINDOWED_SQL as _FUNNEL_WINDOWED_SQL,
+    leadlag_xcorr as _leadlag_xcorr,
+    LEADLAG_XCORR_SQL as _LEADLAG_XCORR_SQL,
     PROPS_VOCAB_DRIFT_SQL as _PROPS_VOCAB_DRIFT_SQL,
     props_vocab_drift as _props_vocab_drift,
     ooo_lateness_stats as _ooo_lateness_stats,
@@ -260,6 +264,10 @@ from p2pddsketch_ray.pipelines.relational import (  # noqa: E402
     HODGES_LEHMANN_SQL as _HODGES_LEHMANN_SQL,
     dict_encoding_report as _dict_encoding_report,
     DICT_ENCODING_SQL as _DICT_ENCODING_SQL,
+    capture_recapture_users as _capture_recapture_users,
+    CAPTURE_RECAPTURE_SQL as _CAPTURE_RECAPTURE_SQL,
+    simpsons_flip_report as _simpsons_flip_report,
+    SIMPSONS_FLIP_SQL as _SIMPSONS_FLIP_SQL,
     brand_year_revenue as _brand_year_revenue,
     BRAND_YEAR_REVENUE_SQL as _BRAND_YEAR_REVENUE_SQL,
     customer_frequency_spectrum as _customer_frequency_spectrum,
@@ -979,6 +987,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dict_encoding_report": _dict_encoding_report,
         # exact rational label-centroid pairwise distance matrix
         "centroid_distance_matrix": _centroid_distance_matrix,
+        # conversion-window funnel (each step within 24h of previous)
+        "funnel_windowed_counts": _funnel_windowed_counts,
+        # lead-lag cross-correlation between click and purchase series
+        "leadlag_xcorr": _leadlag_xcorr,
+        # Chapman capture-recapture population estimate vs exact truth
+        "capture_recapture_users": _capture_recapture_users,
+        # Simpson's-paradox screen: pooled vs per-stratum directions
+        "simpsons_flip_report": _simpsons_flip_report,
         # Markov next-event baseline accuracy per previous type
         "markov_next_accuracy": _markov_next_accuracy,
         # out-of-order lateness vs arrival order (distributed prefix max)
@@ -1624,6 +1640,10 @@ def oracle_sql() -> dict[str, str]:
         "hodges_lehmann_shift": _HODGES_LEHMANN_SQL,
         "dict_encoding_report": _DICT_ENCODING_SQL,
         "centroid_distance_matrix": _CENTROID_DISTANCE_SQL,
+        "funnel_windowed_counts": _FUNNEL_WINDOWED_SQL,
+        "leadlag_xcorr": _LEADLAG_XCORR_SQL,
+        "capture_recapture_users": _CAPTURE_RECAPTURE_SQL,
+        "simpsons_flip_report": _SIMPSONS_FLIP_SQL,
         "markov_next_accuracy": _MARKOV_NEXT_ACC_SQL,
         "ooo_lateness_stats": _OOO_LATENESS_SQL,
         "multimodal_resize_stats": """

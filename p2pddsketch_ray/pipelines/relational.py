@@ -14263,3 +14263,203 @@ SELECT table_col, n_rows, n_distinct, plain_bytes, dict_bytes,
             AS BIGINT) AS saving_ppm
 FROM s ORDER BY 1
 """
+
+
+def capture_recapture_users(sf_dir: str, type_a: str = "click",
+                            type_b: str = "view") -> pa.Table:
+    """CHAPMAN CAPTURE-RECAPTURE estimate of the total user population
+    from two independent "sightings" (users who clicked, users who
+    viewed): N-hat = (n1+1)(n2+1)/(m+1) - 1 with m the overlap -- the
+    ecology estimator that data teams reuse to size a population only
+    partially observed by any one channel, reported beside the exact
+    distinct-user truth so the gate itself checks the estimator.
+
+    Scale shape: per-block (user, seen_a, seen_b) combiner, one user
+    groupby, streaming scalar fold.
+    """
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def per_user(t: pa.Table) -> pa.Table:
+        keep = pc.is_in(t["event_type"],
+                        value_set=pa.array([type_a, type_b]))
+        t2 = t.filter(keep)
+        staged = pa.table({
+            "u": pc.cast(t["user_id"], pa.int64()),
+            "a": pa.array(np.zeros(t.num_rows, dtype=np.int64)),
+            "b": pa.array(np.zeros(t.num_rows, dtype=np.int64)),
+        })
+        if t2.num_rows:
+            staged2 = pa.table({
+                "u": pc.cast(t2["user_id"], pa.int64()),
+                "a": pc.cast(pc.equal(t2["event_type"],
+                                      pa.scalar(type_a)), pa.int64()),
+                "b": pc.cast(pc.equal(t2["event_type"],
+                                      pa.scalar(type_b)), pa.int64()),
+            })
+            staged = pa.concat_tables([staged, staged2])
+        g = staged.group_by("u").aggregate([("a", "max"),
+                                            ("b", "max")])
+        return pa.table({"u": g["u"],
+                         "a": pc.cast(g["a_max"], pa.int64()),
+                         "b": pc.cast(g["b_max"], pa.int64())})
+
+    per = (ds.map_batches(per_user, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("u")
+           .aggregate(Max("a", alias_name="a"),
+                      Max("b", alias_name="b")))
+
+    empty = pa.table({c: pa.array([], type=pa.int64())
+                      for c in ("n1", "n2", "m", "tot")})
+
+    def fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "a" not in t.column_names:
+            return empty
+        a = t["a"].to_numpy(zero_copy_only=False)
+        b = t["b"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "n1": pa.array([int(a.sum())], type=pa.int64()),
+            "n2": pa.array([int(b.sum())], type=pa.int64()),
+            "m": pa.array([int((a & b).sum())], type=pa.int64()),
+            "tot": pa.array([t.num_rows], type=pa.int64()),
+        })
+
+    f = per.map_batches(fold, batch_format="pyarrow").to_pandas()
+    n1, n2 = int(f["n1"].sum()), int(f["n2"].sum())
+    m, tot = int(f["m"].sum()), int(f["tot"].sum())
+    nhat = (n1 + 1) * (n2 + 1) // (m + 1) - 1
+    return pa.table({
+        "n_seen_a": pa.array([n1], type=pa.int64()),
+        "n_seen_b": pa.array([n2], type=pa.int64()),
+        "n_both": pa.array([m], type=pa.int64()),
+        "chapman_nhat": pa.array([nhat], type=pa.int64()),
+        "n_true_distinct": pa.array([tot], type=pa.int64()),
+    })
+
+
+CAPTURE_RECAPTURE_SQL = """
+WITH per AS (
+  SELECT user_id,
+         CAST(max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+              AS BIGINT) AS a,
+         CAST(max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+              AS BIGINT) AS b
+  FROM events GROUP BY 1
+)
+SELECT CAST(sum(a) AS BIGINT) AS n_seen_a,
+       CAST(sum(b) AS BIGINT) AS n_seen_b,
+       CAST(sum(a * b) AS BIGINT) AS n_both,
+       CAST((sum(a) + 1) * (sum(b) + 1) // (sum(a * b) + 1) - 1
+            AS BIGINT) AS chapman_nhat,
+       CAST(count(*) AS BIGINT) AS n_true_distinct
+FROM per
+"""
+
+
+def simpsons_flip_report(sf_dir: str,
+                         threshold: float = 100.0) -> pa.Table:
+    """SIMPSON'S-PARADOX SCREEN for the hash-split A/B readout: the
+    pooled high-value-rate comparison between arms versus the same
+    comparison inside every event-type stratum, entirely by integer
+    cross-multiplication (rate_a > rate_b iff k_a*n_b > k_b*n_a -- no
+    ratio is ever formed) -- flags when stratified and pooled readouts
+    disagree, the classic aggregation trap.
+
+    Scale shape: one streaming (arm, stratum) confusion combiner over
+    a bounded domain, O(strata) driver fold.
+    """
+    from ..hashing import murmur64
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+    thr_m = int(round(threshold * 1_000_000))
+
+    empty = pa.table({"stype": pa.array([], type=pa.string()),
+                      "arm": pa.array([], type=pa.int64()),
+                      "n": pa.array([], type=pa.int64()),
+                      "k": pa.array([], type=pa.int64())})
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        ids = t["event_id"].to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        arm = (murmur64(ids) % np.uint64(2)).astype(np.int64)
+        m = _int_units(t["value"], 1_000_000).to_numpy(
+            zero_copy_only=False)
+        staged = pa.table({
+            "stype": t["event_type"],
+            "arm": pa.array(arm),
+            "n": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+            "k": pa.array((m > thr_m).astype(np.int64)),
+        })
+        g = staged.group_by(["stype", "arm"]).aggregate(
+            [("n", "sum"), ("k", "sum")])
+        return pa.table({"stype": g["stype"], "arm": g["arm"],
+                         "n": pc.cast(g["n_sum"], pa.int64()),
+                         "k": pc.cast(g["k_sum"], pa.int64())})
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby(["stype", "arm"])
+           .aggregate(Sum("n", alias_name="n"),
+                      Sum("k", alias_name="k"))
+           .to_pandas())
+    piv = agg.pivot_table(index="stype", columns="arm",
+                          values=["n", "k"], fill_value=0,
+                          aggfunc="sum")
+    na = piv[("n", 0)].to_numpy(dtype=np.int64)
+    nb = piv[("n", 1)].to_numpy(dtype=np.int64)
+    ka = piv[("k", 0)].to_numpy(dtype=np.int64)
+    kb = piv[("k", 1)].to_numpy(dtype=np.int64)
+    # direction: +1 a wins, -1 b wins, 0 tie (integer cross-multiply)
+    d = np.sign(ka * nb - kb * na).astype(np.int64)
+    Na, Nb, Ka, Kb = (int(na.sum()), int(nb.sum()),
+                      int(ka.sum()), int(kb.sum()))
+    pooled = int(np.sign(Ka * Nb - Kb * Na))
+    strata = piv.index.to_numpy()
+    order = np.argsort(strata)
+    return pa.table({
+        "stratum": pa.array([str(s) for s in strata[order]],
+                            type=pa.string()),
+        "n_a": pa.array(na[order]), "k_a": pa.array(ka[order]),
+        "n_b": pa.array(nb[order]), "k_b": pa.array(kb[order]),
+        "direction": pa.array(d[order]),
+        "pooled_direction": pa.array(
+            np.full(len(order), pooled, dtype=np.int64)),
+        "flips_pooled": pa.array(
+            ((d[order] != 0) & (d[order] != pooled))
+            .astype(np.int64)),
+    })
+
+
+SIMPSONS_FLIP_SQL = """
+WITH e AS (
+  SELECT event_type AS stratum,
+         CAST(hash(event_id) % 2 AS BIGINT) AS arm,
+         CASE WHEN CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)
+                   > 100000000 THEN 1 ELSE 0 END AS k
+  FROM events
+), s AS (
+  SELECT stratum,
+         CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_a,
+         CAST(sum(CASE WHEN arm = 0 THEN k ELSE 0 END) AS BIGINT)
+           AS k_a,
+         CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_b,
+         CAST(sum(CASE WHEN arm = 1 THEN k ELSE 0 END) AS BIGINT)
+           AS k_b
+  FROM e GROUP BY 1
+), p AS (
+  SELECT CAST(sign(sum(k_a) * sum(n_b) - sum(k_b) * sum(n_a))
+              AS BIGINT) AS pooled
+  FROM s
+)
+SELECT s.stratum, s.n_a, s.k_a, s.n_b, s.k_b,
+       CAST(sign(s.k_a * s.n_b - s.k_b * s.n_a) AS BIGINT)
+         AS direction,
+       p.pooled AS pooled_direction,
+       CAST(CASE WHEN sign(s.k_a * s.n_b - s.k_b * s.n_a) != 0
+                  AND sign(s.k_a * s.n_b - s.k_b * s.n_a) != p.pooled
+                 THEN 1 ELSE 0 END AS BIGINT) AS flips_pooled
+FROM s CROSS JOIN p ORDER BY 1
+"""

@@ -2592,3 +2592,223 @@ SELECT agg.n_hours,
        CAST(fin.final_s AS BIGINT) AS final_state_cents
 FROM agg, fin
 """
+
+
+def funnel_windowed_counts(sf_dir: str,
+                           steps: tuple = ("view", "click",
+                                           "purchase"),
+                           window_hours: int = 24) -> pa.Table:
+    """TIME-BOUNDED FUNNEL: like funnel_counts, but each next step must
+    land within ``window_hours`` of the previous matched step -- the
+    conversion-window semantics real product funnels use (a purchase a
+    month after the click does not count).  First-touch matching, same
+    (ts, event_id) total order as the unwindowed kernel.
+
+    Scale shape: identical user co-partition + vectorized reduceat
+    scan; the window check adds one comparison per candidate.
+    """
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type"])
+    W = np.int64(window_hours) * 3_600_000_000
+
+    n_steps = len(steps)
+    empty = pa.table({f"n_step{i + 1}": pa.array([], type=pa.int64())
+                      for i in range(n_steps)})
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": pc.cast(t["user_id"], pa.int64()),
+            "ts": pa.array(_as_int64(t["ts"]), type=pa.int64()),
+            "event_id": pc.cast(t["event_id"], pa.int64()),
+            "event_type": t["event_type"],
+        })
+
+    def kernel(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        ts = t["ts"].to_numpy(zero_copy_only=False)
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, uid))
+        uid_s, ts_s, et_s = uid[order], ts[order], et[order]
+        n = uid_s.shape[0]
+        new_grp = np.ones(n, dtype=bool)
+        new_grp[1:] = uid_s[1:] != uid_s[:-1]
+        grp = np.cumsum(new_grp) - 1
+        n_users = int(grp[-1]) + 1
+        starts = np.nonzero(new_grp)[0]
+        pos = np.arange(n, dtype=np.int64)
+        INF = np.iinfo(np.int64).max
+        prev_pos = np.full(n_users, -1, dtype=np.int64)
+        prev_ts = np.zeros(n_users, dtype=np.int64)
+        first_step = True
+        counts = []
+        for step in steps:
+            is_step = et_s == step
+            ok = is_step & (pos > prev_pos[grp])
+            if not first_step:
+                ok &= ts_s <= prev_ts[grp] + W
+            cand = np.where(ok, pos, INF)
+            first = np.minimum.reduceat(cand, starts)
+            done = first < INF
+            counts.append(int(done.sum()))
+            safe = np.minimum(first, n - 1)
+            prev_pos = np.where(done, first, INF)
+            prev_ts = np.where(done, ts_s[safe], 0)
+            first_step = False
+        return pa.table({f"n_step{i + 1}": pa.array([c],
+                                                    type=pa.int64())
+                         for i, c in enumerate(counts)})
+
+    prepped = events.map_batches(prep, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+    per_part = partition_by(prepped, ["user_id"], fit_partitions(32),
+                            kernel, empty)
+    from ray.data.aggregate import Sum
+    agg = per_part.aggregate(*[Sum(f"n_step{i + 1}",
+                                   alias_name=f"n_step{i + 1}")
+                               for i in range(n_steps)])
+    return pa.table({f"n_step{i + 1}": pa.array(
+        [int(agg[f"n_step{i + 1}"] or 0)], type=pa.int64())
+        for i in range(n_steps)})
+
+
+FUNNEL_WINDOWED_SQL = """
+WITH e AS (SELECT user_id, event_type,
+                  CAST(epoch_us(ts) AS HUGEINT) * 4294967296
+                  + CAST(event_id AS BIGINT) AS p FROM events),
+s1 AS (SELECT user_id, min(p) AS p1 FROM e
+       WHERE event_type = 'view' GROUP BY 1),
+s2 AS (SELECT e.user_id, min(e.p) AS p2
+       FROM e JOIN s1 ON s1.user_id = e.user_id
+       WHERE e.event_type = 'click' AND e.p > s1.p1
+         AND e.p // 4294967296 <= s1.p1 // 4294967296 + 86400000000
+       GROUP BY 1),
+s3 AS (SELECT e.user_id, min(e.p) AS p3
+       FROM e JOIN s2 ON s2.user_id = e.user_id
+       WHERE e.event_type = 'purchase' AND e.p > s2.p2
+         AND e.p // 4294967296 <= s2.p2 // 4294967296 + 86400000000
+       GROUP BY 1)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM s1) AS n_step1,
+       (SELECT CAST(count(*) AS BIGINT) FROM s2) AS n_step2,
+       (SELECT CAST(count(*) AS BIGINT) FROM s3) AS n_step3
+"""
+
+
+def leadlag_xcorr(sf_dir: str, type_a: str = "click",
+                  type_b: str = "purchase",
+                  max_lag: int = 3) -> pa.Table:
+    """LEAD-LAG CROSS-CORRELATION between two event types' hourly
+    count series at lags -max_lag..+max_lag (positive lag = type_a
+    leads type_b): the "does click volume predict purchases an hour
+    later?" table.  Exact integer moment sums over the overlapping
+    gap-filled grid per lag; the Pearson value is ONE mirrored double
+    per lag.
+
+    Scale shape: one (type, hour) count combiner, cardinality-bounded
+    groupby, O(lags x hours) driver fold.
+    """
+    events = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                                   columns=["event_type", "ts"])
+    HOUR_US = np.int64(3_600_000_000)
+
+    def hourly(t: pa.Table) -> pa.Table:
+        keep = pc.is_in(t["event_type"],
+                        value_set=pa.array([type_a, type_b]))
+        t = t.filter(keep)
+        us = _as_int64(t["ts"])
+        staged = pa.table({"event_type": t["event_type"],
+                           "hour": pa.array(us // HOUR_US),
+                           "n": pa.array(np.ones(t.num_rows,
+                                                 dtype=np.int64))})
+        g = staged.group_by(["event_type", "hour"]).aggregate(
+            [("n", "sum")])
+        return pa.table({"event_type": g["event_type"],
+                         "hour": g["hour"],
+                         "n": pc.cast(g["n_sum"], pa.int64())})
+
+    from ray.data.aggregate import Sum
+    grid = (events.map_batches(hourly, batch_format="pyarrow",
+                               zero_copy_batch=True)
+            .groupby(["event_type", "hour"])
+            .aggregate(Sum("n", alias_name="n"))
+            .to_pandas())
+    lo = int(grid["hour"].min())
+    hi = int(grid["hour"].max())
+    span = hi - lo + 1
+    a = np.zeros(span, dtype=np.int64)
+    b = np.zeros(span, dtype=np.int64)
+    ga = grid[grid["event_type"] == type_a]
+    gb = grid[grid["event_type"] == type_b]
+    a[ga["hour"].to_numpy(dtype=np.int64) - lo] = \
+        ga["n"].to_numpy(dtype=np.int64)
+    b[gb["hour"].to_numpy(dtype=np.int64) - lo] = \
+        gb["n"].to_numpy(dtype=np.int64)
+
+    lags, rs, ns = [], [], []
+    for lag in range(-max_lag, max_lag + 1):
+        # pair a[t] with b[t + lag]
+        if lag >= 0:
+            x, y = a[:span - lag], b[lag:]
+        else:
+            x, y = a[-lag:], b[:span + lag]
+        m = int(x.size)
+        sx, sy = int(x.sum()), int(y.sum())
+        sxx = int((x.astype(object) * x).sum())
+        syy = int((y.astype(object) * y).sum())
+        sxy = int((x.astype(object) * y).sum())
+        num = float(m * sxy - sx * sy)
+        den = np.sqrt(float(m * sxx - sx * sx)) \
+            * np.sqrt(float(m * syy - sy * sy))
+        r = int(np.floor(num / den * 1_000_000.0)) if den > 0 else 0
+        lags.append(lag); rs.append(r); ns.append(m)
+    return pa.table({
+        "lag": pa.array(lags, type=pa.int64()),
+        "n_hours": pa.array(ns, type=pa.int64()),
+        "r_ppm": pa.array(rs, type=pa.int64()),
+    })
+
+
+LEADLAG_XCORR_SQL = """
+WITH h AS (
+  SELECT event_type,
+         CAST(epoch_us(ts) AS BIGINT) // 3600000000 AS hour,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events WHERE event_type IN ('click', 'purchase')
+  GROUP BY 1, 2
+), b AS (SELECT min(hour) AS lo, max(hour) AS hi FROM h),
+grid AS (
+  SELECT g.hour,
+         CAST(COALESCE(max(h.n) FILTER (
+           WHERE h.event_type = 'click'), 0) AS BIGINT) AS a,
+         CAST(COALESCE(max(h.n) FILTER (
+           WHERE h.event_type = 'purchase'), 0) AS BIGINT) AS bb
+  FROM (SELECT unnest(generate_series(b.lo, b.hi)) AS hour FROM b) g
+  LEFT JOIN h ON h.hour = g.hour
+  GROUP BY 1
+), lags(lag) AS (SELECT unnest(generate_series(-3, 3))),
+pairs AS (
+  SELECT l.lag, x.a AS x, y.bb AS y
+  FROM lags l
+  JOIN grid x ON TRUE
+  JOIN grid y ON y.hour = x.hour + l.lag
+), s AS (
+  SELECT lag, CAST(count(*) AS BIGINT) AS m,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(y * y) AS BIGINT) AS syy,
+         CAST(sum(x * y) AS BIGINT) AS sxy
+  FROM pairs GROUP BY 1
+)
+SELECT CAST(lag AS BIGINT) AS lag, m AS n_hours,
+       CAST(CASE WHEN (m * sxx - sx * sx) > 0
+                  AND (m * syy - sy * sy) > 0
+                 THEN floor(CAST(m * sxy - sx * sy AS DOUBLE)
+                      / (sqrt(CAST(m * sxx - sx * sx AS DOUBLE))
+                         * sqrt(CAST(m * syy - sy * sy AS DOUBLE)))
+                      * 1000000.0)
+                 ELSE 0 END AS BIGINT) AS r_ppm
+FROM s ORDER BY 1
+"""

@@ -3008,3 +3008,69 @@ def test_centroid_distance_axis_aligned(ray_session, tmp_path):
     # sqrt(2) in milli units * 1000 -> micro: floor(1414.21.. * 1000)
     assert int(out.loc[(0, 1), "dist_micro"]) == 1414213
     assert int(out.loc[(0, 2), "dist_micro"]) == 0
+
+
+def test_capture_recapture_exact_overlap(ray_session, tmp_path):
+    """Hand-built overlap: 30 clickers, 20 viewers, 10 both, 5 with
+    neither -> Chapman closed form."""
+    import pyarrow.parquet as pq
+    from p2pddsketch_ray.pipelines.relational import (
+        capture_recapture_users)
+    rows_u, rows_t = [], []
+    for u in range(30):
+        rows_u.append(u); rows_t.append("click")
+    for u in range(20, 40):
+        rows_u.append(u); rows_t.append("view")
+    for u in range(40, 45):
+        rows_u.append(u); rows_t.append("error")
+    pq.write_table(pa.table({
+        "user_id": pa.array(np.array(rows_u, dtype=np.int64)),
+        "event_type": pa.array(rows_t, type=pa.string()),
+    }), str(tmp_path / "events.parquet"))
+    out = capture_recapture_users(str(tmp_path)).to_pydict()
+    assert out["n_seen_a"] == [30]
+    assert out["n_seen_b"] == [20]
+    assert out["n_both"] == [10]
+    assert out["chapman_nhat"] == [31 * 21 // 11 - 1]
+    assert out["n_true_distinct"] == [45]
+
+
+def test_simpsons_flip_constructed(ray_session, tmp_path):
+    """Constructed stratified flip: arm A wins inside both strata yet
+    loses pooled (arm A is concentrated in the hard stratum)."""
+    import pyarrow.parquet as pq
+    from p2pddsketch_ray.pipelines.relational import simpsons_flip_report
+    from p2pddsketch_ray.hashing import murmur64
+    # craft event_ids by arm via hash parity
+    ids = np.arange(200_000, dtype=np.int64)
+    arm = (murmur64(ids) % np.uint64(2)).astype(np.int64)
+    a_ids = ids[arm == 0]
+    b_ids = ids[arm == 1]
+    rows_id, rows_type, rows_val = [], [], []
+
+    def add(pool, n, stype, k):
+        """n events of stratum stype, first k successes (value 200)."""
+        take = pool[:n]
+        rows_id.extend(take.tolist())
+        rows_type.extend([stype] * n)
+        rows_val.extend([200.0] * k + [50.0] * (n - k))
+        return pool[n:]
+
+    # stratum 'easy': A 10/10 of 10, B 800/1000
+    a_ids = add(a_ids, 10, "easy", 10)
+    b_ids = add(b_ids, 1000, "easy", 800)
+    # stratum 'hard': A 300/1000 of 1000, B 2/10
+    a_ids = add(a_ids, 1000, "hard", 300)
+    b_ids = add(b_ids, 10, "hard", 2)
+    pq.write_table(pa.table({
+        "event_id": pa.array(np.array(rows_id, dtype=np.int64)),
+        "event_type": pa.array(rows_type, type=pa.string()),
+        "value": pa.array(rows_val),
+    }), str(tmp_path / "events.parquet"))
+    out = (simpsons_flip_report(str(tmp_path)).to_pandas()
+           .set_index("stratum"))
+    # A wins both strata (1.0 > 0.8, 0.3 > 0.2) but loses pooled
+    assert int(out.loc["easy", "direction"]) == 1
+    assert int(out.loc["hard", "direction"]) == 1
+    assert int(out.loc["easy", "pooled_direction"]) == -1
+    assert int(out["flips_pooled"].sum()) == 2

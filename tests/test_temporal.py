@@ -680,3 +680,64 @@ def test_props_vocab_drift_shares(ray_session):
         want = (r.n_second * 1_000_000 // ts
                 - r.n_first * 1_000_000 // tf)
         assert r.dppm == want
+
+
+def test_windowed_funnel_expires(ray_session, tmp_path):
+    """A purchase 25h after the click is outside the 24h window; the
+    unwindowed funnel would count it."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from p2pddsketch_ray.pipelines.temporal import (
+        funnel_counts, funnel_windowed_counts)
+    H = 3_600_000_000
+    # user 0: view@0, click@1h, purchase@2h  -> converts both ways
+    # user 1: view@0, click@1h, purchase@26h -> only unwindowed
+    rows = [(0, 0, "view"), (0, 1 * H, "click"), (0, 2 * H, "purchase"),
+            (1, 0, "view"), (1, 1 * H, "click"),
+            (1, 26 * H, "purchase")]
+    pq.write_table(pa.table({
+        "event_id": pa.array(np.arange(len(rows), dtype=np.int64)),
+        "ts": pa.array(np.array([r[1] for r in rows],
+                                dtype=np.int64)).cast(
+            pa.timestamp("us")),
+        "user_id": pa.array(np.array([r[0] for r in rows],
+                                     dtype=np.int64)),
+        "event_type": pa.array([r[2] for r in rows],
+                               type=pa.string()),
+    }), str(tmp_path / "events.parquet"))
+    plain = funnel_counts(str(tmp_path)).to_pydict()
+    windowed = funnel_windowed_counts(str(tmp_path)).to_pydict()
+    assert plain["n_step3"] == [2]
+    assert windowed["n_step3"] == [1]
+    assert windowed["n_step2"] == [2]
+
+
+def test_leadlag_peak_at_true_lag(ray_session, tmp_path):
+    """purchase series == click series shifted by 2 hours -> r peaks
+    (1e6 - floor noise) at lag +2."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from p2pddsketch_ray.pipelines.temporal import leadlag_xcorr
+    H = 3_600_000_000
+    rng = np.random.default_rng(2)
+    hours = np.arange(100)
+    clicks = rng.integers(1, 20, 100)
+    rows_ts, rows_type = [], []
+    for h, c in zip(hours, clicks):
+        rows_ts += [h * H] * int(c)
+        rows_type += ["click"] * int(c)
+        if h >= 2:
+            k = int(clicks[h - 2])
+            rows_ts += [h * H] * k
+            rows_type += ["purchase"] * k
+    pq.write_table(pa.table({
+        "ts": pa.array(np.array(rows_ts, dtype=np.int64)).cast(
+            pa.timestamp("us")),
+        "event_type": pa.array(rows_type, type=pa.string()),
+    }), str(tmp_path / "events.parquet"))
+    out = leadlag_xcorr(str(tmp_path)).to_pandas().set_index("lag")
+    assert int(out.loc[2, "r_ppm"]) >= 999_999 - 1
+    assert int(out.loc[2, "r_ppm"]) > int(out.loc[0, "r_ppm"])
+    assert int(out.loc[2, "r_ppm"]) > int(out.loc[-2, "r_ppm"])
