@@ -30,7 +30,9 @@ from p2pddsketch_ray.pipelines.knn import (  # noqa: E402
     CENTROID_DISTANCE_SQL as _CENTROID_DISTANCE_SQL)
 from p2pddsketch_ray.pipelines.dedup import (  # noqa: E402
     SORTED_NEIGHBORHOOD_SQL as _SORTED_NEIGHBORHOOD_SQL,
-    LEVENSHTEIN_VERIFY_SQL as _LEVENSHTEIN_VERIFY_SQL)
+    LEVENSHTEIN_VERIFY_SQL as _LEVENSHTEIN_VERIFY_SQL,
+    ppjoin_pairs as _ppjoin_pairs,
+    PPJOIN_PAIRS_SQL as _PPJOIN_PAIRS_SQL)
 
 OFFSET = 1073741824  # 2^30, the reference default (main.cpp:49)
 ALPHA = 0.01         # practical tier: key span << bin_limit, no collapse
@@ -268,6 +270,10 @@ from p2pddsketch_ray.pipelines.relational import (  # noqa: E402
     CAPTURE_RECAPTURE_SQL as _CAPTURE_RECAPTURE_SQL,
     simpsons_flip_report as _simpsons_flip_report,
     SIMPSONS_FLIP_SQL as _SIMPSONS_FLIP_SQL,
+    weekend_share_by_priority as _weekend_share_by_priority,
+    WEEKEND_SHARE_SQL as _WEEKEND_SHARE_SQL,
+    quantile_treatment_effect as _quantile_treatment_effect,
+    QTE_SQL as _QTE_SQL,
     brand_year_revenue as _brand_year_revenue,
     BRAND_YEAR_REVENUE_SQL as _BRAND_YEAR_REVENUE_SQL,
     customer_frequency_spectrum as _customer_frequency_spectrum,
@@ -995,6 +1001,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "capture_recapture_users": _capture_recapture_users,
         # Simpson's-paradox screen: pooled vs per-stratum directions
         "simpsons_flip_report": _simpsons_flip_report,
+        # weekday/weekend order mix per priority (epoch-day calendar)
+        "weekend_share_by_priority": _weekend_share_by_priority,
+        # per-decile quantile treatment effect of the hash A/B split
+        "quantile_treatment_effect": _quantile_treatment_effect,
+        # prefix-filtered exact set-similarity join (PPJoin family)
+        "ppjoin_pairs": _ppjoin_pairs,
         # Markov next-event baseline accuracy per previous type
         "markov_next_accuracy": _markov_next_accuracy,
         # out-of-order lateness vs arrival order (distributed prefix max)
@@ -1644,6 +1656,9 @@ def oracle_sql() -> dict[str, str]:
         "leadlag_xcorr": _LEADLAG_XCORR_SQL,
         "capture_recapture_users": _CAPTURE_RECAPTURE_SQL,
         "simpsons_flip_report": _SIMPSONS_FLIP_SQL,
+        "weekend_share_by_priority": _WEEKEND_SHARE_SQL,
+        "quantile_treatment_effect": _QTE_SQL,
+        "ppjoin_pairs": _PPJOIN_PAIRS_SQL,
         "markov_next_accuracy": _MARKOV_NEXT_ACC_SQL,
         "ooo_lateness_stats": _OOO_LATENESS_SQL,
         "multimodal_resize_stats": """

@@ -2094,3 +2094,218 @@ SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
 FROM r a JOIN r b ON a.k = b.k AND b.rn = a.rn + 1
 ORDER BY 1, 2
 """
+
+
+def ppjoin_pairs(sf_dir: str, jacc_den: int = 2,
+                 max_doc_id: int = 300) -> pa.Table:
+    """PREFIX-FILTERED exact set-similarity join (PPJoin family, Xiao
+    et al. WWW'08): all document pairs whose token-set Jaccard is
+    >= 1/jacc_den, found WITHOUT comparing all pairs -- tokens are
+    globally ordered by rarity, each doc emits only its prefix
+    (len - ceil(t*len) + 1 rarest tokens), and only pairs sharing a
+    prefix token are verified.  The output is exact (the filter is
+    lossless by the prefix-filter theorem), so the oracle is the
+    brute-force all-pairs SQL -- the algorithm is validated, not just
+    replicated.
+
+    Bounded to ``doc_id < max_doc_id`` like the other verification-tier
+    pair queries (candidate sets are broadcast; the scale path for
+    unbounded corpora is minhash_near_dups).
+
+    Dataflow: distinct (doc, token) combiner; token-df groupby ->
+    broadcast rarity ranks; prefix emission (vectorized per block);
+    rank co-partition pair expansion -> distinct candidate set
+    (bounded, ray.put); full-token co-partition recount of shared
+    tokens restricted to candidates; sizes broadcast into finalize.
+    """
+    import math
+
+    import pyarrow.dataset as pads
+    from ray.data.aggregate import Sum
+
+    t_num, t_den = 1, int(jacc_den)
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"],
+        filter=(pads.field("doc_id") < max_doc_id))
+
+    mem_empty = pa.table({"doc_id": pa.array([], type=pa.int64()),
+                          "tok": pa.array([], type=pa.string()),
+                          "fp": pa.array([], type=pa.int64())})
+
+    def mems(t: pa.Table) -> pa.Table:
+        from ..functions.text import fingerprint64
+        if t.num_rows == 0:
+            return mem_empty
+        toks = pc.split_pattern(t["text"], pattern=" ")
+        flat = pc.list_flatten(toks).combine_chunks()
+        nper = pc.list_value_length(toks).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        did = np.repeat(t["doc_id"].to_numpy(zero_copy_only=False),
+                        nper)
+        g = (pa.table({"doc_id": pa.array(did.astype(np.int64)),
+                       "tok": flat})
+             .group_by(["doc_id", "tok"]).aggregate([]))
+        return g.append_column(
+            "fp", pc.cast(fingerprint64(g["tok"].combine_chunks()),
+                          pa.int64()))
+
+    mem = docs.map_batches(mems, batch_format="pyarrow",
+                           zero_copy_batch=True).materialize()
+
+    df_t = (mem.map_batches(
+        lambda t: pa.table({"tok": t["tok"],
+                            "n": pa.array(np.ones(t.num_rows,
+                                                  dtype=np.int64))}),
+        batch_format="pyarrow")
+        .groupby("tok").aggregate(Sum("n", alias_name="df"))
+        .to_pandas())
+    toks_all = df_t["tok"].to_numpy()
+    dfs = df_t["df"].to_numpy(dtype=np.int64)
+    order = np.lexsort((toks_all, dfs))      # rarity order
+    rank_of = {str(toks_all[i]): r for r, i in enumerate(order)}
+    rank_ref = ray.put(rank_of)
+
+    sizes_t = (mem.map_batches(
+        lambda t: pa.table({"doc_id": t["doc_id"],
+                            "n": pa.array(np.ones(t.num_rows,
+                                                  dtype=np.int64))}),
+        batch_format="pyarrow")
+        .groupby("doc_id").aggregate(Sum("n", alias_name="n"))
+        .to_pandas())
+    size_of = dict(zip(sizes_t["doc_id"].astype(int),
+                       sizes_t["n"].astype(int)))
+
+    pre_empty = pa.table({"rank": pa.array([], type=pa.int64()),
+                          "doc_id": pa.array([], type=pa.int64())})
+
+    def prefix_emit(t: pa.Table) -> pa.Table:
+        # doc co-partitioned: every doc's full token set is present
+        rank = ray.get(rank_ref)
+        did = t["doc_id"].to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        rk = np.array([rank[s] for s in t["tok"].to_pylist()],
+                      dtype=np.int64)
+        out_r, out_d = [], []
+        order = np.lexsort((rk, did))
+        did_s, rk_s = did[order], rk[order]
+        new = np.ones(did_s.size, dtype=bool)
+        new[1:] = did_s[1:] != did_s[:-1]
+        starts = np.flatnonzero(new)
+        rlen = np.diff(np.append(starts, did_s.size))
+        for s, ln in zip(starts.tolist(), rlen.tolist()):
+            p = ln - math.ceil((t_num * ln) / t_den) + 1
+            if p <= 0:
+                continue
+            out_r.extend(rk_s[s:s + p].tolist())
+            out_d.extend([int(did_s[s])] * p)
+        if not out_r:
+            return pre_empty
+        return pa.table({
+            "rank": pa.array(np.array(out_r, dtype=np.int64)),
+            "doc_id": pa.array(np.array(out_d, dtype=np.int64))})
+
+    prefix = _partition_by(mem, ["doc_id"], _fit_partitions(16),
+                           prefix_emit, pre_empty)
+
+    pair_empty = pa.table({"a": pa.array([], type=pa.int64()),
+                           "b": pa.array([], type=pa.int64())})
+
+    def _run_pairs(key: np.ndarray, did: np.ndarray) -> np.ndarray:
+        """Vectorized within-run (a<b) composite pair keys for rows
+        sorted by (key, did) -- the rank-arithmetic expansion shared
+        with the copresence/ngram kernels."""
+        n = key.size
+        new = np.ones(n, dtype=bool)
+        new[1:] = key[1:] != key[:-1]
+        starts = np.flatnonzero(new)
+        rlen = np.diff(np.append(starts, n))
+        rank = np.arange(n) - np.repeat(starts, rlen)
+        cnt_a = np.repeat(rlen, rlen) - rank - 1
+        total = int(cnt_a.sum())
+        if total == 0:
+            return np.empty(0, dtype=np.int64)
+        a_idx = np.repeat(np.arange(n), cnt_a)
+        excl = np.concatenate([[0], np.cumsum(cnt_a)[:-1]])
+        b_idx = a_idx + (np.arange(total)
+                         - np.repeat(excl, cnt_a)) + 1
+        return did[a_idx] * (np.int64(1) << np.int64(31)) \
+            + did[b_idx]
+
+    def expand(t: pa.Table) -> pa.Table:
+        rk = t["rank"].to_numpy(zero_copy_only=False)
+        did = t["doc_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((did, rk))
+        comp = _run_pairs(rk[order], did[order])
+        if comp.size == 0:
+            return pair_empty
+        u = np.unique(comp)
+        return pa.table({"a": pa.array(u >> 31),
+                         "b": pa.array(u & ((1 << 31) - 1))})
+
+    cand = (_partition_by(prefix, ["rank"], _fit_partitions(16),
+                          expand, pair_empty)
+            .to_pandas())
+    cand_keys = np.unique(
+        cand["a"].to_numpy(dtype=np.int64) * (1 << 31)
+        + cand["b"].to_numpy(dtype=np.int64))
+    cand_ref = ray.put(cand_keys)
+
+    cnt_empty = pa.table({"key": pa.array([], type=pa.int64()),
+                          "n": pa.array([], type=pa.int64())})
+
+    def count_shared(t: pa.Table) -> pa.Table:
+        keys = ray.get(cand_ref)
+        # fp is unique per token up to 2^-64 collisions; equal tokens
+        # share fp, so fp runs ARE token runs
+        fp = t["fp"].to_numpy(zero_copy_only=False)
+        did = t["doc_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((did, fp))
+        arr = _run_pairs(fp[order], did[order])
+        if arr.size == 0:
+            return cnt_empty
+        arr = arr[np.isin(arr, keys)]
+        if arr.size == 0:
+            return cnt_empty
+        u, c = np.unique(arr, return_counts=True)
+        return pa.table({"key": pa.array(u),
+                         "n": pa.array(c.astype(np.int64))})
+
+    inter = (_partition_by(mem, ["fp"], _fit_partitions(16),
+                           count_shared, cnt_empty)
+             .groupby("key").aggregate(Sum("n", alias_name="n"))
+             .to_pandas())
+    a = (inter["key"].to_numpy(dtype=np.int64) >> 31)
+    b = (inter["key"].to_numpy(dtype=np.int64) & ((1 << 31) - 1))
+    i_cnt = inter["n"].to_numpy(dtype=np.int64)
+    sa = np.array([size_of[int(x)] for x in a], dtype=np.int64)
+    sb = np.array([size_of[int(x)] for x in b], dtype=np.int64)
+    uni = sa + sb - i_cnt
+    keep = t_den * i_cnt >= uni * t_num
+    order = np.lexsort((b[keep], a[keep]))
+    return pa.table({
+        "doc_a": pa.array(a[keep][order]),
+        "doc_b": pa.array(b[keep][order]),
+        "inter": pa.array(i_cnt[keep][order]),
+        "uni": pa.array(uni[keep][order]),
+    })
+
+
+PPJOIN_PAIRS_SQL = """
+WITH toks AS (
+  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+  FROM documents WHERE doc_id < 300
+), sz AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM toks GROUP BY 1
+), inter AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, CAST(count(*) AS BIGINT) AS i
+  FROM toks x JOIN toks y ON x.tok = y.tok AND x.doc_id < y.doc_id
+  GROUP BY 1, 2
+)
+SELECT a AS doc_a, b AS doc_b, i AS inter,
+       CAST(sa.n + sb.n - i AS BIGINT) AS uni
+FROM inter
+JOIN sz sa ON sa.doc_id = a
+JOIN sz sb ON sb.doc_id = b
+WHERE 2 * i >= sa.n + sb.n - i
+ORDER BY 1, 2
+"""

@@ -14463,3 +14463,150 @@ SELECT s.stratum, s.n_a, s.k_a, s.n_b, s.k_b,
                  THEN 1 ELSE 0 END AS BIGINT) AS flips_pooled
 FROM s CROSS JOIN p ORDER BY 1
 """
+
+
+def weekend_share_by_priority(sf_dir: str) -> pa.Table:
+    """CALENDAR MIX per order priority: order counts and revenue split
+    by weekday vs weekend (epoch-day arithmetic: day 0 = Thursday = index 3, so
+    weekday = (day + 3) % 7 with Mon = 0, Sat = 5, Sun = 6) -- the staffing /
+    batch-window planning cut, exact in integer cents and ppm.
+
+    Scale shape: one streamed (priority, is_weekend) combiner over a
+    10-cell domain.
+    """
+    ds = _read(sf_dir, "orders",
+               ["o_orderpriority", "o_orderdate", "o_totalprice"])
+    DAY_US = np.int64(86_400_000_000)
+
+    empty = pa.table({"prio": pa.array([], type=pa.string()),
+                      "wk": pa.array([], type=pa.int64()),
+                      "n": pa.array([], type=pa.int64()),
+                      "rev": pa.array([], type=pa.int64())})
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        us = pc.cast(t["o_orderdate"], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        wd = (us // DAY_US + 3) % 7
+        staged = pa.table({
+            "prio": t["o_orderpriority"],
+            "wk": pa.array((wd >= 5).astype(np.int64)),
+            "n": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+            "rev": _int_units(t["o_totalprice"], 100),
+        })
+        g = staged.group_by(["prio", "wk"]).aggregate(
+            [("n", "sum"), ("rev", "sum")])
+        return pa.table({"prio": g["prio"], "wk": g["wk"],
+                         "n": pc.cast(g["n_sum"], pa.int64()),
+                         "rev": pc.cast(g["rev_sum"], pa.int64())})
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby(["prio", "wk"])
+           .aggregate(Sum("n", alias_name="n"),
+                      Sum("rev", alias_name="rev"))
+           .to_pandas())
+    piv = agg.pivot_table(index="prio", columns="wk",
+                          values=["n", "rev"], fill_value=0,
+                          aggfunc="sum").sort_index()
+    nw = piv.get(("n", 0), 0)
+    ne = piv.get(("n", 1), 0)
+    rw = piv.get(("rev", 0), 0)
+    re_ = piv.get(("rev", 1), 0)
+    n_wd = np.asarray(nw, dtype=np.int64)
+    n_we = np.asarray(ne, dtype=np.int64)
+    r_wd = np.asarray(rw, dtype=np.int64)
+    r_we = np.asarray(re_, dtype=np.int64)
+    tot = n_wd + n_we
+    return pa.table({
+        "o_orderpriority": pa.array(piv.index.tolist(),
+                                    type=pa.string()),
+        "n_weekday": pa.array(n_wd),
+        "n_weekend": pa.array(n_we),
+        "rev_weekday_cents": pa.array(r_wd),
+        "rev_weekend_cents": pa.array(r_we),
+        "weekend_share_ppm": pa.array(n_we * 1_000_000 // tot),
+    })
+
+
+WEEKEND_SHARE_SQL = """
+WITH o AS (
+  SELECT o_orderpriority,
+         CASE WHEN (CAST(epoch_us(o_orderdate) AS BIGINT)
+                    // 86400000000 + 3) % 7 >= 5
+              THEN 1 ELSE 0 END AS wk,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS rev
+  FROM orders
+)
+SELECT o_orderpriority,
+       CAST(sum(CASE WHEN wk = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_weekday,
+       CAST(sum(wk) AS BIGINT) AS n_weekend,
+       CAST(sum(CASE WHEN wk = 0 THEN rev ELSE 0 END) AS BIGINT)
+         AS rev_weekday_cents,
+       CAST(sum(CASE WHEN wk = 1 THEN rev ELSE 0 END) AS BIGINT)
+         AS rev_weekend_cents,
+       CAST(sum(wk) * 1000000 // count(*) AS BIGINT)
+         AS weekend_share_ppm
+FROM o GROUP BY 1 ORDER BY 1
+"""
+
+
+def quantile_treatment_effect(sf_dir: str) -> pa.Table:
+    """QUANTILE TREATMENT EFFECT of the hash-split A/B assignment on
+    event value: per decile, the exact per-arm quantile_disc values and
+    their difference in micro units -- the distributional readout that
+    catches effects a mean comparison hides (tails move, median
+    doesn't).
+
+    Scale shape: two grouped histogram-bisection passes share one
+    dataflow (arm is the group key); O(deciles) driver fold.
+    """
+    from ..hashing import murmur64
+    from .quantiles import exact_quantiles_grouped
+    ds = _read(sf_dir, "events", ["event_id", "value"])
+
+    def staged(t: pa.Table) -> pa.Table:
+        ids = t["event_id"].to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        return pa.table({
+            "arm": pa.array((murmur64(ids) % np.uint64(2))
+                            .astype(np.int64)),
+            "m": _int_units(t["value"], 1_000_000),
+        })
+
+    e = ds.map_batches(staged, batch_format="pyarrow",
+                       zero_copy_batch=True)
+    qs = [d / 10.0 for d in range(1, 10)]
+    qt = exact_quantiles_grouped(e, "m", "arm", qs).to_pandas()
+    qt = qt.sort_values(["arm", "q"])
+    a = qt[qt["arm"] == 0]["value"].to_numpy(dtype=np.int64)
+    b = qt[qt["arm"] == 1]["value"].to_numpy(dtype=np.int64)
+    return pa.table({
+        "decile": pa.array(np.arange(1, 10, dtype=np.int64)),
+        "q_arm_a_micro": pa.array(a),
+        "q_arm_b_micro": pa.array(b),
+        "qte_micro": pa.array(b - a),
+    })
+
+
+QTE_SQL = """
+WITH e AS (
+  SELECT CAST(hash(event_id) % 2 AS BIGINT) AS arm,
+         CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS m
+  FROM events
+), q AS (
+  SELECT arm,
+         unnest(generate_series(1, 9)) AS decile,
+         unnest(quantile_disc(m, [0.1, 0.2, 0.3, 0.4, 0.5,
+                                  0.6, 0.7, 0.8, 0.9])) AS v
+  FROM e GROUP BY arm
+)
+SELECT CAST(a.decile AS BIGINT) AS decile,
+       CAST(a.v AS BIGINT) AS q_arm_a_micro,
+       CAST(b.v AS BIGINT) AS q_arm_b_micro,
+       CAST(b.v - a.v AS BIGINT) AS qte_micro
+FROM q a JOIN q b ON a.decile = b.decile AND a.arm = 0 AND b.arm = 1
+ORDER BY 1
+"""

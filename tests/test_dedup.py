@@ -556,3 +556,39 @@ def test_levenshtein_verify_pairs_blocking(ray_session, tmp_path):
     # 20-char windows: "...aaaa on" vs "...aaaa tw" -> 2 substitutions;
     # "other cccccccccc x" vs "...y" -> 1
     assert out["lev"] == [2, 1]
+
+
+def test_ppjoin_matches_bruteforce(ray_session, tmp_path):
+    """The prefix filter is lossless: output pairs == brute-force
+    Jaccard >= 1/2 pairs on a randomized corpus."""
+    import itertools
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from p2pddsketch_ray.pipelines.dedup import ppjoin_pairs
+    rng = np.random.default_rng(21)
+    vocab = [f"w{i}" for i in range(30)]
+    texts = []
+    for _ in range(40):
+        k = int(rng.integers(3, 12))
+        toks = rng.choice(vocab, size=k, replace=False)
+        texts.append(" ".join(toks))
+    pq.write_table(pa.table({
+        "doc_id": pa.array(np.arange(40, dtype=np.int64)),
+        "text": pa.array(texts),
+    }), str(tmp_path / "documents.parquet"))
+    got = ppjoin_pairs(str(tmp_path)).to_pandas()
+    got_set = set(zip(got["doc_a"], got["doc_b"]))
+
+    sets = [set(t.split(" ")) for t in texts]
+    want = set()
+    for a, b in itertools.combinations(range(40), 2):
+        inter = len(sets[a] & sets[b])
+        uni = len(sets[a] | sets[b])
+        if 2 * inter >= uni:
+            want.add((a, b))
+    assert got_set == want
+    for _, r in got.iterrows():
+        a, b = int(r["doc_a"]), int(r["doc_b"])
+        assert int(r["inter"]) == len(sets[a] & sets[b])
+        assert int(r["uni"]) == len(sets[a] | sets[b])

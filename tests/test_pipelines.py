@@ -3074,3 +3074,43 @@ def test_simpsons_flip_constructed(ray_session, tmp_path):
     assert int(out.loc["hard", "direction"]) == 1
     assert int(out.loc["easy", "pooled_direction"]) == -1
     assert int(out["flips_pooled"].sum()) == 2
+
+
+def test_weekend_share_known_days(ray_session, tmp_path):
+    """Epoch day 2 = Saturday, day 3 = Sunday, day 4 = Monday."""
+    import pyarrow.parquet as pq
+    from p2pddsketch_ray.pipelines.relational import (
+        weekend_share_by_priority)
+    DAY_US = 86_400_000_000
+    days = np.array([2, 3, 4, 5], dtype=np.int64)   # Sat Sun Mon Tue
+    pq.write_table(pa.table({
+        "o_orderpriority": pa.array(["1-URGENT"] * 4),
+        "o_orderdate": pa.array(days * DAY_US).cast(
+            pa.timestamp("us")),
+        "o_totalprice": pa.array([10.0, 20.0, 30.0, 40.0]),
+    }), str(tmp_path / "orders.parquet"))
+    out = weekend_share_by_priority(str(tmp_path)).to_pydict()
+    assert out["n_weekend"] == [2]
+    assert out["n_weekday"] == [2]
+    assert out["rev_weekend_cents"] == [3000]
+    assert out["weekend_share_ppm"] == [500_000]
+
+
+def test_qte_detects_shifted_arm(ray_session, tmp_path):
+    """Craft values so arm B == arm A + 50 at every decile."""
+    import pyarrow.parquet as pq
+    from p2pddsketch_ray.pipelines.relational import (
+        quantile_treatment_effect)
+    from p2pddsketch_ray.hashing import murmur64
+    ids = np.arange(20_000, dtype=np.int64)
+    arm = (murmur64(ids) % np.uint64(2)).astype(np.int64)
+    rng = np.random.default_rng(4)
+    base = rng.uniform(0, 100, len(ids))
+    value = np.where(arm == 1, base + 50.0, base)
+    pq.write_table(pa.table({
+        "event_id": pa.array(ids),
+        "value": pa.array(value),
+    }), str(tmp_path / "events.parquet"))
+    out = quantile_treatment_effect(str(tmp_path)).to_pandas()
+    # every decile shifted by ~50 (micro units, sampling noise only)
+    assert (np.abs(out["qte_micro"] - 50_000_000) < 3_000_000).all()
