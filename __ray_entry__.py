@@ -71,6 +71,10 @@ from p2pddsketch_ray.pipelines.temporal import (  # noqa: E402
     FUNNEL_WINDOWED_SQL as _FUNNEL_WINDOWED_SQL,
     leadlag_xcorr as _leadlag_xcorr,
     LEADLAG_XCORR_SQL as _LEADLAG_XCORR_SQL,
+    retry_storm_stats as _retry_storm_stats,
+    RETRY_STORM_SQL as _RETRY_STORM_SQL,
+    slo_burn_report as _slo_burn_report,
+    SLO_BURN_SQL as _SLO_BURN_SQL,
     PROPS_VOCAB_DRIFT_SQL as _PROPS_VOCAB_DRIFT_SQL,
     props_vocab_drift as _props_vocab_drift,
     ooo_lateness_stats as _ooo_lateness_stats,
@@ -274,6 +278,10 @@ from p2pddsketch_ray.pipelines.relational import (  # noqa: E402
     WEEKEND_SHARE_SQL as _WEEKEND_SHARE_SQL,
     quantile_treatment_effect as _quantile_treatment_effect,
     QTE_SQL as _QTE_SQL,
+    audience_overlap_matrix as _audience_overlap_matrix,
+    AUDIENCE_OVERLAP_SQL as _AUDIENCE_OVERLAP_SQL,
+    weight_ess_report as _weight_ess_report,
+    WEIGHT_ESS_SQL as _WEIGHT_ESS_SQL,
     brand_year_revenue as _brand_year_revenue,
     BRAND_YEAR_REVENUE_SQL as _BRAND_YEAR_REVENUE_SQL,
     customer_frequency_spectrum as _customer_frequency_spectrum,
@@ -1007,6 +1015,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantile_treatment_effect": _quantile_treatment_effect,
         # prefix-filtered exact set-similarity join (PPJoin family)
         "ppjoin_pairs": _ppjoin_pairs,
+        # duplicate-fire retry storm audit per event type
+        "retry_storm_stats": _retry_storm_stats,
+        # hourly p99 SLO violations + longest burn streak
+        "slo_burn_report": _slo_burn_report,
+        # exact audience Jaccard matrix between event types
+        "audience_overlap_matrix": _audience_overlap_matrix,
+        # Kish effective sample size of value weights per type
+        "weight_ess_report": _weight_ess_report,
         # Markov next-event baseline accuracy per previous type
         "markov_next_accuracy": _markov_next_accuracy,
         # out-of-order lateness vs arrival order (distributed prefix max)
@@ -1659,6 +1675,10 @@ def oracle_sql() -> dict[str, str]:
         "weekend_share_by_priority": _WEEKEND_SHARE_SQL,
         "quantile_treatment_effect": _QTE_SQL,
         "ppjoin_pairs": _PPJOIN_PAIRS_SQL,
+        "retry_storm_stats": _RETRY_STORM_SQL,
+        "slo_burn_report": _SLO_BURN_SQL,
+        "audience_overlap_matrix": _AUDIENCE_OVERLAP_SQL,
+        "weight_ess_report": _WEIGHT_ESS_SQL,
         "markov_next_accuracy": _MARKOV_NEXT_ACC_SQL,
         "ooo_lateness_stats": _OOO_LATENESS_SQL,
         "multimodal_resize_stats": """

@@ -14610,3 +14610,187 @@ SELECT CAST(a.decile AS BIGINT) AS decile,
 FROM q a JOIN q b ON a.decile = b.decile AND a.arm = 0 AND b.arm = 1
 ORDER BY 1
 """
+
+
+def audience_overlap_matrix(sf_dir: str) -> pa.Table:
+    """EXACT AUDIENCE JACCARD MATRIX between event types: for every
+    type pair, |users doing both| / |users doing either| in ppm --
+    the full overlap picture the pairwise KMV estimate approximates,
+    exact here because the per-user TYPE BITMASK folds the whole
+    matrix out of a <=2^types-row histogram (association_rules'
+    bitmask trick pointed at audience overlap).
+
+    Scale shape: per-user bitmask groupby, bounded mask histogram,
+    O(types^2) driver fold -- no per-pair shuffle.
+    """
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def mask_partial(t: pa.Table) -> pa.Table:
+        # per-block distinct (user, type); a per-block bit rank would
+        # not be globally stable, so the type NAME rides to the fold
+        staged = pa.table({
+            "u": pc.cast(t["user_id"], pa.int64()),
+            "event_type": t["event_type"],
+        })
+        return staged.group_by(["u", "event_type"]).aggregate([])
+
+    pairs = ds.map_batches(mask_partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+    from ..stages.partition import fit_partitions, partition_by
+
+    mask_empty = pa.table({"mask": pa.array([], type=pa.int64()),
+                           "n": pa.array([], type=pa.int64())})
+    types_all = sorted(
+        pairs.map_batches(
+            lambda t: pa.table({"event_type": pc.unique(
+                t["event_type"].combine_chunks())}),
+            batch_format="pyarrow").to_pandas()["event_type"]
+        .unique().tolist())
+    bit = {s: i for i, s in enumerate(types_all)}
+    bit_ref = ray.put(bit)
+
+    def to_mask(t: pa.Table) -> pa.Table:
+        bmap = ray.get(bit_ref)
+        u = t["u"].to_numpy(zero_copy_only=False)
+        b = np.array([bmap[s] for s in t["event_type"].to_pylist()],
+                     dtype=np.int64)
+        order = np.argsort(u, kind="stable")
+        u_s, b_s = u[order], b[order]
+        new = np.ones(u_s.size, dtype=bool)
+        new[1:] = u_s[1:] != u_s[:-1]
+        grp = np.cumsum(new) - 1
+        masks = np.zeros(int(grp[-1]) + 1, dtype=np.int64)
+        np.bitwise_or.at(masks, grp, np.int64(1) << b_s)
+        um, cnt = np.unique(masks, return_counts=True)
+        return pa.table({"mask": pa.array(um),
+                         "n": pa.array(cnt.astype(np.int64))})
+
+    hist = (partition_by(pairs, ["u"], fit_partitions(16), to_mask,
+                         mask_empty)
+            .groupby("mask").aggregate(Sum("n", alias_name="n"))
+            .to_pandas())
+    masks = hist["mask"].to_numpy(dtype=np.int64)
+    cnts = hist["n"].to_numpy(dtype=np.int64)
+    k = len(types_all)
+    out = {c: [] for c in ("type_a", "type_b", "n_both", "n_either",
+                           "jaccard_ppm")}
+    for i in range(k):
+        for j in range(i + 1, k):
+            has_i = (masks >> i) & 1 == 1
+            has_j = (masks >> j) & 1 == 1
+            both = int(cnts[has_i & has_j].sum())
+            either = int(cnts[has_i | has_j].sum())
+            out["type_a"].append(types_all[i])
+            out["type_b"].append(types_all[j])
+            out["n_both"].append(both)
+            out["n_either"].append(either)
+            out["jaccard_ppm"].append(
+                both * 1_000_000 // either if either else 0)
+    return pa.table({
+        "type_a": pa.array(out["type_a"], type=pa.string()),
+        "type_b": pa.array(out["type_b"], type=pa.string()),
+        "n_both": pa.array(out["n_both"], type=pa.int64()),
+        "n_either": pa.array(out["n_either"], type=pa.int64()),
+        "jaccard_ppm": pa.array(out["jaccard_ppm"], type=pa.int64()),
+    })
+
+
+AUDIENCE_OVERLAP_SQL = """
+WITH ut AS (
+  SELECT DISTINCT user_id, event_type FROM events
+), t AS (SELECT DISTINCT event_type FROM events),
+p AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b
+  FROM t a JOIN t b ON a.event_type < b.event_type
+), f AS (
+  SELECT p.type_a, p.type_b,
+         CAST(count(*) FILTER (
+           WHERE x.has_a = 1 AND x.has_b = 1) AS BIGINT) AS n_both,
+         CAST(count(*) FILTER (
+           WHERE x.has_a = 1 OR x.has_b = 1) AS BIGINT) AS n_either
+  FROM p CROSS JOIN LATERAL (
+    SELECT user_id,
+           max(CASE WHEN event_type = p.type_a THEN 1 ELSE 0 END)
+             AS has_a,
+           max(CASE WHEN event_type = p.type_b THEN 1 ELSE 0 END)
+             AS has_b
+    FROM ut GROUP BY user_id
+  ) x
+  GROUP BY 1, 2
+)
+SELECT type_a, type_b, n_both, n_either,
+       CAST(CASE WHEN n_either > 0
+                 THEN n_both * 1000000 // n_either
+                 ELSE 0 END AS BIGINT) AS jaccard_ppm
+FROM f ORDER BY 1, 2
+"""
+
+
+def weight_ess_report(sf_dir: str) -> pa.Table:
+    """EFFECTIVE SAMPLE SIZE of value-weighted estimates per event
+    type: ESS = (sum w)^2 / sum w^2 (Kish) in exact integer micro
+    units -- how many "real" samples a weighted mean is worth, the
+    first diagnostic before trusting importance-weighted metrics.
+
+    Scale shape: one streamed (type, sum w, sum w^2, n) combiner.
+    """
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        w = _int_units(t["value"], 100).to_numpy(
+            zero_copy_only=False)
+        staged = pa.table({
+            "event_type": t["event_type"],
+            "n": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+            "sw": pa.array(w),
+            "sww": pa.array(w * w),
+        })
+        g = staged.group_by("event_type").aggregate(
+            [("n", "sum"), ("sw", "sum"), ("sww", "sum")])
+        return pa.table({"event_type": g["event_type"],
+                         "n": pc.cast(g["n_sum"], pa.int64()),
+                         "sw": pc.cast(g["sw_sum"], pa.int64()),
+                         "sww": pc.cast(g["sww_sum"], pa.int64())})
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("event_type")
+           .aggregate(Sum("n", alias_name="n"),
+                      Sum("sw", alias_name="sw"),
+                      Sum("sww", alias_name="sww"))
+           .to_pandas().sort_values("event_type"))
+    n = agg["n"].to_numpy(dtype=np.int64)
+    sw = agg["sw"].astype(object).to_numpy()
+    sww = agg["sww"].astype(object).to_numpy()
+    ess = np.array([int(s) * int(s) * 1_000_000 // int(q) if q else 0
+                    for s, q in zip(sw, sww)], dtype=object)
+    return pa.table({
+        "event_type": pa.array(agg["event_type"].tolist(),
+                               type=pa.string()),
+        "n": pa.array(n),
+        "ess_micro": pa.array([int(x) for x in ess],
+                              type=pa.int64()),
+        "efficiency_ppm": pa.array(
+            [int(int(e) // int(nn)) for e, nn in zip(ess, n)],
+            type=pa.int64()),
+    })
+
+
+WEIGHT_ESS_SQL = """
+WITH e AS (
+  SELECT event_type,
+         CAST(round(value * 100) AS BIGINT) AS w
+  FROM events
+), s AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(w) AS HUGEINT) AS sw,
+         CAST(sum(CAST(w AS HUGEINT) * w) AS HUGEINT) AS sww
+  FROM e GROUP BY 1
+)
+SELECT event_type, n,
+       CAST(sw * sw * 1000000 // sww AS BIGINT) AS ess_micro,
+       CAST(sw * sw * 1000000 // sww // n AS BIGINT)
+         AS efficiency_ppm
+FROM s ORDER BY 1
+"""

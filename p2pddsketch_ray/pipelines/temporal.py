@@ -2812,3 +2812,177 @@ SELECT CAST(lag AS BIGINT) AS lag, m AS n_hours,
                  ELSE 0 END AS BIGINT) AS r_ppm
 FROM s ORDER BY 1
 """
+
+
+def retry_storm_stats(sf_dir: str, window_s: int = 1) -> pa.Table:
+    """CLIENT-RETRY-STORM AUDIT: per event type, how many events are
+    exact duplicates of the PREVIOUS event of the same (user, type,
+    value) within ``window_s`` seconds -- the double-fire / retry bug
+    detector every ingestion pipeline wants before dedup budgets are
+    spent.  First event of each burst is kept; followers are counted.
+
+    Scale shape: user co-partition + one lexsort kernel (the ordered-
+    window family); O(types) rows out per partition.
+    """
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type", "value"])
+    W = np.int64(window_s) * 1_000_000
+
+    empty = pa.table({"event_type": pa.array([], type=pa.string()),
+                      "n_events": pa.array([], type=pa.int64()),
+                      "n_retries": pa.array([], type=pa.int64())})
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": pc.cast(t["user_id"], pa.int64()),
+            "ts": pa.array(_as_int64(t["ts"]), type=pa.int64()),
+            "event_id": pc.cast(t["event_id"], pa.int64()),
+            "event_type": t["event_type"],
+            "vm": pc.cast(pc.round(pc.multiply(
+                pc.cast(t["value"], pa.float64()),
+                pa.scalar(1_000_000.0))), pa.int64()),
+        })
+
+    def kernel(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        ts = t["ts"].to_numpy(zero_copy_only=False)
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        vm = t["vm"].to_numpy(zero_copy_only=False)
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        ue, code = np.unique(et, return_inverse=True)
+        order = np.lexsort((eid, ts, vm, code, uid))
+        u_s, t_s, v_s, c_s = (uid[order], ts[order], vm[order],
+                              code[order])
+        same = np.zeros(u_s.size, dtype=bool)
+        same[1:] = ((u_s[1:] == u_s[:-1]) & (c_s[1:] == c_s[:-1])
+                    & (v_s[1:] == v_s[:-1])
+                    & (t_s[1:] - t_s[:-1] <= W))
+        n_per = np.bincount(c_s, minlength=ue.size)
+        r_per = np.bincount(c_s[same], minlength=ue.size)
+        return pa.table({
+            "event_type": pa.array(ue.tolist(), type=pa.string()),
+            "n_events": pa.array(n_per.astype(np.int64)),
+            "n_retries": pa.array(r_per.astype(np.int64)),
+        })
+
+    prepped = events.map_batches(prep, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+    per = partition_by(prepped, ["user_id"], fit_partitions(32),
+                       kernel, empty)
+    from ray.data.aggregate import Sum
+    agg = (per.groupby("event_type")
+           .aggregate(Sum("n_events", alias_name="n_events"),
+                      Sum("n_retries", alias_name="n_retries"))
+           .to_pandas().sort_values("event_type"))
+    return pa.table({
+        "event_type": pa.array(agg["event_type"].tolist(),
+                               type=pa.string()),
+        "n_events": pa.array(agg["n_events"].to_numpy(
+            dtype=np.int64)),
+        "n_retries": pa.array(agg["n_retries"].to_numpy(
+            dtype=np.int64)),
+    })
+
+
+RETRY_STORM_SQL = """
+WITH e AS (
+  SELECT user_id, event_type,
+         CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS vm,
+         CAST(epoch_us(ts) AS BIGINT) AS us,
+         lag(CAST(epoch_us(ts) AS BIGINT)) OVER (
+           PARTITION BY user_id, event_type,
+                        CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)
+           ORDER BY epoch_us(ts), event_id) AS prev_us
+  FROM events
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN prev_us IS NOT NULL
+                      AND us - prev_us <= 1000000
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_retries
+FROM e GROUP BY 1 ORDER BY 1
+"""
+
+
+def slo_burn_report(sf_dir: str, p: float = 0.99,
+                    slo_micro: int = 450_000_000) -> pa.Table:
+    """SLO BURN REPORT: treating event value as a latency, the exact
+    hourly p99 against a fixed objective -- hours in violation, the
+    worst hour, and the LONGEST consecutive violation streak (the
+    number an error-budget policy pages on).  Exact grouped quantiles
+    (quantile_disc) over the hour key; absent hours are not violations.
+
+    Scale shape: one grouped histogram-bisection pass keyed by hour
+    (O(hours) targets share each round's single histogram), O(hours)
+    driver walk for the streak.
+    """
+    from .quantiles import exact_quantiles_grouped
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["ts", "value"])
+    HOUR_US = np.int64(3_600_000_000)
+
+    def staged(t: pa.Table) -> pa.Table:
+        us = _as_int64(t["ts"])
+        return pa.table({
+            "hr": pa.array(us // HOUR_US),
+            "m": pc.cast(pc.round(pc.multiply(
+                pc.cast(t["value"], pa.float64()),
+                pa.scalar(1_000_000.0))), pa.int64()),
+        })
+
+    e = ds.map_batches(staged, batch_format="pyarrow",
+                       zero_copy_batch=True)
+    qt = (exact_quantiles_grouped(e, "m", "hr", [p]).to_pandas()
+          .sort_values("hr"))
+    hours = qt["hr"].to_numpy(dtype=np.int64)
+    v = qt["value"].to_numpy(dtype=np.float64).astype(np.int64)
+    viol = v > slo_micro
+    streak = best = 0
+    prev_h = None
+    for h, bad in zip(hours.tolist(), viol.tolist()):
+        if bad and prev_h is not None and h == prev_h + 1 and streak:
+            streak += 1
+        elif bad:
+            streak = 1
+        else:
+            streak = 0
+        best = max(best, streak)
+        prev_h = h
+    worst = int(v.max()) if v.size else 0
+    return pa.table({
+        "n_hours": pa.array([len(hours)], type=pa.int64()),
+        "n_violations": pa.array([int(viol.sum())], type=pa.int64()),
+        "worst_p99_micro": pa.array([worst], type=pa.int64()),
+        "longest_streak": pa.array([best], type=pa.int64()),
+    })
+
+
+SLO_BURN_SQL = """
+WITH e AS (
+  SELECT CAST(epoch_us(ts) AS BIGINT) // 3600000000 AS hr,
+         CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS m
+  FROM events
+), q AS (
+  SELECT hr, CAST(quantile_disc(m, 0.99) AS BIGINT) AS p99
+  FROM e GROUP BY 1
+), v AS (
+  SELECT hr, p99, CASE WHEN p99 > 450000000 THEN 1 ELSE 0 END AS bad
+  FROM q
+), runs AS (
+  SELECT hr, bad,
+         hr - CAST(row_number() OVER (
+           PARTITION BY bad ORDER BY hr) AS BIGINT) AS grp
+  FROM v
+), streaks AS (
+  SELECT CAST(count(*) AS BIGINT) AS ln
+  FROM runs WHERE bad = 1 GROUP BY grp
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM q) AS n_hours,
+       (SELECT CAST(sum(bad) AS BIGINT) FROM v) AS n_violations,
+       (SELECT CAST(max(p99) AS BIGINT) FROM q) AS worst_p99_micro,
+       CAST(COALESCE((SELECT max(ln) FROM streaks), 0) AS BIGINT)
+         AS longest_streak
+"""

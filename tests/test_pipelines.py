@@ -3114,3 +3114,45 @@ def test_qte_detects_shifted_arm(ray_session, tmp_path):
     out = quantile_treatment_effect(str(tmp_path)).to_pandas()
     # every decile shifted by ~50 (micro units, sampling noise only)
     assert (np.abs(out["qte_micro"] - 50_000_000) < 3_000_000).all()
+
+
+def test_audience_overlap_hand_case(ray_session, tmp_path):
+    """Users 0-9 click, 5-14 view -> J = 5/15; purchase disjoint."""
+    import pyarrow.parquet as pq
+    from p2pddsketch_ray.pipelines.relational import (
+        audience_overlap_matrix)
+    rows_u, rows_t = [], []
+    for u in range(10):
+        rows_u.append(u); rows_t.append("click")
+    for u in range(5, 15):
+        rows_u.append(u); rows_t.append("view")
+    for u in range(100, 103):
+        rows_u.append(u); rows_t.append("purchase")
+    pq.write_table(pa.table({
+        "user_id": pa.array(np.array(rows_u, dtype=np.int64)),
+        "event_type": pa.array(rows_t, type=pa.string()),
+    }), str(tmp_path / "events.parquet"))
+    out = (audience_overlap_matrix(str(tmp_path)).to_pandas()
+           .set_index(["type_a", "type_b"]))
+    assert int(out.loc[("click", "view"), "n_both"]) == 5
+    assert int(out.loc[("click", "view"), "n_either"]) == 15
+    assert int(out.loc[("click", "view"), "jaccard_ppm"]) == \
+        5_000_000 // 15
+    assert int(out.loc[("click", "purchase"), "n_both"]) == 0
+
+
+def test_weight_ess_uniform_vs_skewed(ray_session, tmp_path):
+    """Uniform weights give ESS == n (efficiency 1e6); one dominant
+    weight collapses ESS toward 1."""
+    import pyarrow.parquet as pq
+    from p2pddsketch_ray.pipelines.relational import weight_ess_report
+    vals = [10.0] * 100 + [10.0] * 99 + [100000.0]
+    types = ["uniform"] * 100 + ["skewed"] * 100
+    pq.write_table(pa.table({
+        "event_type": pa.array(types, type=pa.string()),
+        "value": pa.array(vals),
+    }), str(tmp_path / "events.parquet"))
+    out = (weight_ess_report(str(tmp_path)).to_pandas()
+           .set_index("event_type"))
+    assert int(out.loc["uniform", "efficiency_ppm"]) == 1_000_000
+    assert int(out.loc["skewed", "ess_micro"]) < 2_000_000  # ~1.02

@@ -741,3 +741,62 @@ def test_leadlag_peak_at_true_lag(ray_session, tmp_path):
     assert int(out.loc[2, "r_ppm"]) >= 999_999 - 1
     assert int(out.loc[2, "r_ppm"]) > int(out.loc[0, "r_ppm"])
     assert int(out.loc[2, "r_ppm"]) > int(out.loc[-2, "r_ppm"])
+
+
+def test_retry_storm_detects_double_fire(ray_session, tmp_path):
+    """Two identical events 0.5s apart are a retry; 2s apart or with
+    different values are not."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from p2pddsketch_ray.pipelines.temporal import retry_storm_stats
+    S = 1_000_000
+    rows = [
+        (0, 0, "click", 5.0),          # base
+        (0, S // 2, "click", 5.0),     # retry (same value, 0.5s)
+        (0, 3 * S, "click", 5.0),      # too late -> not a retry
+        (0, 3 * S + 100, "click", 6.0),  # different value -> no
+        (1, 0, "view", 1.0),
+        (1, S, "view", 1.0),           # exactly 1s -> retry (<=)
+    ]
+    pq.write_table(pa.table({
+        "event_id": pa.array(np.arange(len(rows), dtype=np.int64)),
+        "ts": pa.array(np.array([r[1] for r in rows],
+                                dtype=np.int64)).cast(
+            pa.timestamp("us")),
+        "user_id": pa.array(np.array([r[0] for r in rows],
+                                     dtype=np.int64)),
+        "event_type": pa.array([r[2] for r in rows],
+                               type=pa.string()),
+        "value": pa.array([r[3] for r in rows]),
+    }), str(tmp_path / "events.parquet"))
+    out = (retry_storm_stats(str(tmp_path)).to_pandas()
+           .set_index("event_type"))
+    assert int(out.loc["click", "n_retries"]) == 1
+    assert int(out.loc["view", "n_retries"]) == 1
+
+
+def test_slo_burn_streak(ray_session, tmp_path):
+    """Three consecutive violating hours -> streak 3; an isolated
+    violation later does not extend it."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from p2pddsketch_ray.pipelines.temporal import slo_burn_report
+    H = 3_600_000_000
+    rows_ts, rows_v = [], []
+    for h in range(10):
+        bad = h in (2, 3, 4, 7)
+        for i in range(20):
+            rows_ts.append(h * H + i)
+            rows_v.append(900.0 if bad else 100.0)
+    pq.write_table(pa.table({
+        "ts": pa.array(np.array(rows_ts, dtype=np.int64)).cast(
+            pa.timestamp("us")),
+        "value": pa.array(rows_v),
+    }), str(tmp_path / "events.parquet"))
+    out = slo_burn_report(str(tmp_path)).to_pydict()
+    assert out["n_hours"] == [10]
+    assert out["n_violations"] == [4]
+    assert out["longest_streak"] == [3]
+    assert out["worst_p99_micro"] == [900_000_000]
