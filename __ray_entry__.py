@@ -282,6 +282,14 @@ from p2pddsketch_ray.pipelines.relational import (  # noqa: E402
     AUDIENCE_OVERLAP_SQL as _AUDIENCE_OVERLAP_SQL,
     weight_ess_report as _weight_ess_report,
     WEIGHT_ESS_SQL as _WEIGHT_ESS_SQL,
+    ratio_metric_delta as _ratio_metric_delta,
+    RATIO_DELTA_SQL as _RATIO_DELTA_SQL,
+    cochran_armitage_trend as _cochran_armitage_trend,
+    COCHRAN_ARMITAGE_SQL as _COCHRAN_ARMITAGE_SQL,
+    mcnemar_filters as _mcnemar_filters,
+    MCNEMAR_SQL as _MCNEMAR_SQL,
+    order_aging_report as _order_aging_report,
+    ORDER_AGING_SQL as _ORDER_AGING_SQL,
     brand_year_revenue as _brand_year_revenue,
     BRAND_YEAR_REVENUE_SQL as _BRAND_YEAR_REVENUE_SQL,
     customer_frequency_spectrum as _customer_frequency_spectrum,
@@ -1023,6 +1031,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audience_overlap_matrix": _audience_overlap_matrix,
         # Kish effective sample size of value weights per type
         "weight_ess_report": _weight_ess_report,
+        # delta-method SE for the user-clustered ratio metric per arm
+        "ratio_metric_delta": _ratio_metric_delta,
+        # Cochran-Armitage trend across ordered priority strata
+        "cochran_armitage_trend": _cochran_armitage_trend,
+        # McNemar's paired test between two quality filters
+        "mcnemar_filters": _mcnemar_filters,
+        # order aging buckets by status (AR-style backlog report)
+        "order_aging_report": _order_aging_report,
         # Markov next-event baseline accuracy per previous type
         "markov_next_accuracy": _markov_next_accuracy,
         # out-of-order lateness vs arrival order (distributed prefix max)
@@ -1679,6 +1695,10 @@ def oracle_sql() -> dict[str, str]:
         "slo_burn_report": _SLO_BURN_SQL,
         "audience_overlap_matrix": _AUDIENCE_OVERLAP_SQL,
         "weight_ess_report": _WEIGHT_ESS_SQL,
+        "ratio_metric_delta": _RATIO_DELTA_SQL,
+        "cochran_armitage_trend": _COCHRAN_ARMITAGE_SQL,
+        "mcnemar_filters": _MCNEMAR_SQL,
+        "order_aging_report": _ORDER_AGING_SQL,
         "markov_next_accuracy": _MARKOV_NEXT_ACC_SQL,
         "ooo_lateness_stats": _OOO_LATENESS_SQL,
         "multimodal_resize_stats": """

@@ -14794,3 +14794,401 @@ SELECT event_type, n,
          AS efficiency_ppm
 FROM s ORDER BY 1
 """
+
+
+def ratio_metric_delta(sf_dir: str) -> pa.Table:
+    """DELTA-METHOD readout for a RATIO metric (value per event,
+    user-clustered) per hash arm: ratio = sum(value)/sum(events) with
+    its delta-method variance from per-user moment sums (Deng et al.,
+    "Applying the Delta Method in Metric Analytics") -- the correct
+    error bar when the unit of randomization (user) differs from the
+    unit of the metric (event).  All moments are exact integers; the
+    ratio and SE are TWO mirrored doubles.
+
+    Scale shape: per-user (sum, count) combiner -> user groupby ->
+    O(1) moment fold per arm.
+    """
+    from ..hashing import murmur64
+    ds = _read(sf_dir, "events", ["user_id", "value"])
+
+    def per_user(t: pa.Table) -> pa.Table:
+        staged = pa.table({
+            "u": pc.cast(t["user_id"], pa.int64()),
+            "s": _int_units(t["value"], 100),
+            "n": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+        })
+        g = staged.group_by("u").aggregate([("s", "sum"),
+                                            ("n", "sum")])
+        return pa.table({"u": g["u"],
+                         "s": pc.cast(g["s_sum"], pa.int64()),
+                         "n": pc.cast(g["n_sum"], pa.int64())})
+
+    per = (ds.map_batches(per_user, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("u")
+           .aggregate(Sum("s", alias_name="s"),
+                      Sum("n", alias_name="n")))
+
+    empty = pa.table({c: pa.array([], type=pa.int64())
+                      for c in ("arm", "k", "ss", "sn", "sss", "snn",
+                                "ssn")})
+
+    def moments(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "s" not in t.column_names:
+            return empty
+        u = t["u"].to_numpy(zero_copy_only=False).astype(np.int64)
+        s = t["s"].to_numpy(zero_copy_only=False).astype(object)
+        n = t["n"].to_numpy(zero_copy_only=False).astype(object)
+        arm = (murmur64(u) % np.uint64(2)).astype(np.int64)
+        rows = {c: [] for c in ("arm", "k", "ss", "sn", "sss", "snn",
+                                "ssn")}
+        for a in (0, 1):
+            m = arm == a
+            rows["arm"].append(a)
+            rows["k"].append(int(m.sum()))
+            rows["ss"].append(int(s[m].sum()))
+            rows["sn"].append(int(n[m].sum()))
+            rows["sss"].append(int((s[m] * s[m]).sum()))
+            rows["snn"].append(int((n[m] * n[m]).sum()))
+            rows["ssn"].append(int((s[m] * n[m]).sum()))
+        return pa.table({c: pa.array(v, type=pa.int64())
+                         for c, v in rows.items()})
+
+    agg = (per.map_batches(moments, batch_format="pyarrow")
+           .groupby("arm")
+           .aggregate(*[Sum(c, alias_name=c)
+                        for c in ("k", "ss", "sn", "sss", "snn",
+                                  "ssn")])
+           .to_pandas().sort_values("arm"))
+    out = {c: [] for c in ("arm", "n_users", "ratio_x100",
+                           "se_x100")}
+    for _, r in agg.iterrows():
+        k = int(r["k"]); ss = int(r["ss"]); sn = int(r["sn"])
+        sss = int(r["sss"]); snn = int(r["snn"]); ssn = int(r["ssn"])
+        # float() BEFORE dividing: mirrors the SQL CAST(x AS DOUBLE)/k
+        mu_s = float(ss) / k
+        mu_n = float(sn) / k
+        var_s = float(sss) / k - mu_s * mu_s
+        var_n = float(snn) / k - mu_n * mu_n
+        cov = float(ssn) / k - mu_s * mu_n
+        ratio = mu_s / mu_n
+        var_r = (var_s - 2.0 * ratio * cov
+                 + ratio * ratio * var_n) / (mu_n * mu_n) / k
+        out["arm"].append(int(r["arm"]))
+        out["n_users"].append(k)
+        out["ratio_x100"].append(float(ratio))
+        out["se_x100"].append(float(np.sqrt(var_r)))
+    return pa.table({
+        "arm": pa.array(out["arm"], type=pa.int64()),
+        "n_users": pa.array(out["n_users"], type=pa.int64()),
+        "ratio_x100": pa.array(out["ratio_x100"], type=pa.float64()),
+        "se_x100": pa.array(out["se_x100"], type=pa.float64()),
+    })
+
+
+RATIO_DELTA_SQL = """
+WITH pu AS (
+  SELECT user_id,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS s,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1
+), m AS (
+  SELECT CAST(hash(user_id) % 2 AS BIGINT) AS arm,
+         CAST(count(*) AS BIGINT) AS k,
+         CAST(sum(s) AS BIGINT) AS ss,
+         CAST(sum(n) AS BIGINT) AS sn,
+         CAST(sum(CAST(s AS HUGEINT) * s) AS HUGEINT) AS sss,
+         CAST(sum(CAST(n AS HUGEINT) * n) AS HUGEINT) AS snn,
+         CAST(sum(CAST(s AS HUGEINT) * n) AS HUGEINT) AS ssn
+  FROM pu GROUP BY 1
+)
+SELECT arm, k AS n_users,
+       (CAST(ss AS DOUBLE) / k) / (CAST(sn AS DOUBLE) / k)
+         AS ratio_x100,
+       sqrt(((CAST(sss AS DOUBLE) / k
+              - (CAST(ss AS DOUBLE) / k) * (CAST(ss AS DOUBLE) / k))
+             - 2.0 * ((CAST(ss AS DOUBLE) / k)
+                      / (CAST(sn AS DOUBLE) / k))
+               * (CAST(ssn AS DOUBLE) / k
+                  - (CAST(ss AS DOUBLE) / k)
+                    * (CAST(sn AS DOUBLE) / k))
+             + ((CAST(ss AS DOUBLE) / k) / (CAST(sn AS DOUBLE) / k))
+               * ((CAST(ss AS DOUBLE) / k) / (CAST(sn AS DOUBLE) / k))
+               * (CAST(snn AS DOUBLE) / k
+                  - (CAST(sn AS DOUBLE) / k)
+                    * (CAST(sn AS DOUBLE) / k)))
+            / ((CAST(sn AS DOUBLE) / k) * (CAST(sn AS DOUBLE) / k))
+            / k) AS se_x100
+FROM m ORDER BY 1
+"""
+
+
+def cochran_armitage_trend(sf_dir: str) -> pa.Table:
+    """COCHRAN-ARMITAGE TREND TEST across the ORDERED order-priority
+    strata: does the high-value rate (totalprice above the global
+    median) rise or fall monotonically with priority?  The statistic's
+    numerator T = sum_i w_i * (k_i * N - K * n_i) and its variance
+    numerator are exact integers (weights w_i = priority rank 1..5);
+    no float is ever formed.
+
+    Scale shape: one bisection pass for the median, one 5-cell
+    combiner, O(strata) driver fold.
+    """
+    from .quantiles import exact_quantiles
+    ds = _read(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        return pa.table({"prio": t["o_orderpriority"],
+                         "c": _int_units(t["o_totalprice"], 100)})
+
+    e = ds.map_batches(cents, batch_format="pyarrow",
+                       zero_copy_batch=True).materialize()
+    med = int(exact_quantiles(e, "c", [0.5])["value"][0].as_py())
+
+    empty = pa.table({"prio": pa.array([], type=pa.string()),
+                      "n": pa.array([], type=pa.int64()),
+                      "k": pa.array([], type=pa.int64())})
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "c" not in t.column_names:
+            return empty
+        c = t["c"].to_numpy(zero_copy_only=False)
+        staged = pa.table({
+            "prio": t["prio"],
+            "n": pa.array(np.ones(len(c), dtype=np.int64)),
+            "k": pa.array((c > med).astype(np.int64)),
+        })
+        g = staged.group_by("prio").aggregate([("n", "sum"),
+                                               ("k", "sum")])
+        return pa.table({"prio": g["prio"],
+                         "n": pc.cast(g["n_sum"], pa.int64()),
+                         "k": pc.cast(g["k_sum"], pa.int64())})
+
+    agg = (e.map_batches(partial, batch_format="pyarrow")
+           .groupby("prio")
+           .aggregate(Sum("n", alias_name="n"),
+                      Sum("k", alias_name="k"))
+           .to_pandas().sort_values("prio"))
+    # weight = leading digit of the priority label ('1-URGENT' -> 1)
+    w = np.array([int(str(p)[0]) for p in agg["prio"]],
+                 dtype=np.int64)
+    n = agg["n"].to_numpy(dtype=np.int64)
+    k = agg["k"].to_numpy(dtype=np.int64)
+    N, K = int(n.sum()), int(k.sum())
+    t_num = int(sum(int(wi) * (int(ki) * N - K * int(ni))
+                    for wi, ki, ni in zip(w, k, n)))
+    wbar_num = int(sum(int(wi) * int(ni) for wi, ni in zip(w, n)))
+    # Var(T) = K*(N-K)*(N*sum(n w^2) - (sum n w)^2) / N^2; the two
+    # integer factors are emitted separately (their product overflows
+    # int64 at scale) plus ONE mirrored-double z statistic
+    w_inner = (N * int(sum(int(ni) * int(wi) ** 2
+                           for wi, ni in zip(w, n)))
+               - wbar_num * wbar_num)
+    kq_nk = K * (N - K)
+    z = (np.floor(t_num
+                  / np.sqrt(float(kq_nk) * float(w_inner))
+                  * float(N) * 1_000_000.0)
+         if kq_nk > 0 and w_inner > 0 else 0)
+    return pa.table({
+        "n_orders": pa.array([N], type=pa.int64()),
+        "n_high": pa.array([K], type=pa.int64()),
+        "trend_num": pa.array([t_num], type=pa.int64()),
+        "kq_nk": pa.array([kq_nk], type=pa.int64()),
+        "w_inner": pa.array([w_inner], type=pa.int64()),
+        "z_micro": pa.array([int(z)], type=pa.int64()),
+    })
+
+
+COCHRAN_ARMITAGE_SQL = """
+WITH med AS (
+  SELECT CAST(quantile_disc(
+    CAST(round(o_totalprice * 100) AS BIGINT), 0.5) AS BIGINT) AS m
+  FROM orders
+), s AS (
+  SELECT CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS w,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN CAST(round(o_totalprice * 100) AS BIGINT)
+                            > med.m THEN 1 ELSE 0 END) AS BIGINT)
+           AS k
+  FROM orders CROSS JOIN med GROUP BY 1
+), tot AS (
+  SELECT CAST(sum(n) AS BIGINT) AS nn, CAST(sum(k) AS BIGINT) AS kk,
+         CAST(sum(w * n) AS BIGINT) AS wn,
+         CAST(sum(n * w * w) AS BIGINT) AS wwn
+  FROM s
+)
+SELECT tot.nn AS n_orders, tot.kk AS n_high,
+       (SELECT CAST(sum(s.w * (s.k * tot.nn - tot.kk * s.n))
+                    AS BIGINT) FROM s) AS trend_num,
+       CAST(tot.kk * (tot.nn - tot.kk) AS BIGINT) AS kq_nk,
+       CAST(tot.nn * tot.wwn - tot.wn * tot.wn AS BIGINT) AS w_inner,
+       CAST(CASE WHEN tot.kk * (tot.nn - tot.kk) > 0
+                  AND tot.nn * tot.wwn - tot.wn * tot.wn > 0
+                 THEN floor(
+                   (SELECT CAST(sum(s.w * (s.k * tot.nn
+                                           - tot.kk * s.n))
+                                AS BIGINT) FROM s)
+                   / sqrt(CAST(tot.kk * (tot.nn - tot.kk) AS DOUBLE)
+                          * CAST(tot.nn * tot.wwn - tot.wn * tot.wn
+                                 AS DOUBLE))
+                   * CAST(tot.nn AS DOUBLE) * 1000000.0)
+                 ELSE 0 END AS BIGINT) AS z_micro
+FROM tot
+"""
+
+
+def mcnemar_filters(sf_dir: str) -> pa.Table:
+    """McNEMAR'S PAIRED TEST between two quality filters on the SAME
+    documents (filter A: >= 30 tokens; filter B: punct <= 10 per 100
+    tokens): the concordant/discordant 2x2 counts and the McNemar
+    statistic numerator (b - c)^2 * 1e6 // (b + c) -- the right test
+    when comparing two classifiers on one corpus (only disagreements
+    carry information).
+
+    Scale shape: one streamed 4-cell combiner.
+    """
+    from ..functions.text import punct_count, token_count
+    ds = _read(sf_dir, "documents", ["text"])
+
+    empty = pa.table({c: pa.array([], type=pa.int64())
+                      for c in ("n_both_pass", "only_a", "only_b",
+                                "neither")})
+
+    def cells(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        toks = token_count(t["text"]).to_numpy(zero_copy_only=False)
+        punct = punct_count(t["text"]).to_numpy(zero_copy_only=False)
+        a = toks >= 30
+        b = punct * 100 <= toks * 10
+        return pa.table({
+            "n_both_pass": pa.array([int((a & b).sum())],
+                                    type=pa.int64()),
+            "only_a": pa.array([int((a & ~b).sum())],
+                               type=pa.int64()),
+            "only_b": pa.array([int((~a & b).sum())],
+                               type=pa.int64()),
+            "neither": pa.array([int((~a & ~b).sum())],
+                                type=pa.int64()),
+        })
+
+    f = ds.map_batches(cells, batch_format="pyarrow",
+                       zero_copy_batch=True).to_pandas()
+    both = int(f["n_both_pass"].sum())
+    oa = int(f["only_a"].sum())
+    ob = int(f["only_b"].sum()); nei = int(f["neither"].sum())
+    stat = ((oa - ob) ** 2 * 1_000_000 // (oa + ob)
+            if oa + ob else 0)
+    return pa.table({
+        "n_both_pass": pa.array([both], type=pa.int64()),
+        "only_a": pa.array([oa], type=pa.int64()),
+        "only_b": pa.array([ob], type=pa.int64()),
+        "neither": pa.array([nei], type=pa.int64()),
+        "mcnemar_x1e6": pa.array([stat], type=pa.int64()),
+    })
+
+
+MCNEMAR_SQL = """
+WITH lab AS (
+  SELECT length(regexp_extract_all(text, '[A-Za-z0-9]+')) >= 30 AS a,
+         length(regexp_extract_all(text, '[.,;:!?]')) * 100
+           <= length(regexp_extract_all(text, '[A-Za-z0-9]+')) * 10
+           AS b
+  FROM documents
+), c AS (
+  SELECT CAST(sum(CASE WHEN a AND b THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_both_pass,
+         CAST(sum(CASE WHEN a AND NOT b THEN 1 ELSE 0 END) AS BIGINT)
+           AS only_a,
+         CAST(sum(CASE WHEN NOT a AND b THEN 1 ELSE 0 END) AS BIGINT)
+           AS only_b,
+         CAST(sum(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END)
+              AS BIGINT) AS neither
+  FROM lab
+)
+SELECT n_both_pass, only_a, only_b, neither,
+       CAST(CASE WHEN only_a + only_b > 0
+                 THEN (only_a - only_b) * (only_a - only_b)
+                      * 1000000 // (only_a + only_b)
+                 ELSE 0 END AS BIGINT) AS mcnemar_x1e6
+FROM c
+"""
+
+
+def order_aging_report(sf_dir: str, bucket_days: int = 30) -> pa.Table:
+    """ORDER AGING / BACKLOG REPORT: per order status, how many orders
+    fall into each ``bucket_days``-day age bucket measured from the
+    corpus's latest order date, with revenue per bucket -- the AR-style
+    aging table, exact in integer cents.
+
+    Scale shape: one streamed Max for the anchor, one
+    (status, bucket) combiner over a bounded grid.
+    """
+    ds = _read(sf_dir, "orders",
+               ["o_orderstatus", "o_orderdate", "o_totalprice"])
+    DAY_US = np.int64(86_400_000_000)
+
+    def days(t: pa.Table) -> pa.Table:
+        us = pc.cast(t["o_orderdate"], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        return pa.table({"status": t["o_orderstatus"],
+                         "day": pa.array(us // DAY_US),
+                         "rev": _int_units(t["o_totalprice"], 100)})
+
+    e = ds.map_batches(days, batch_format="pyarrow",
+                       zero_copy_batch=True).materialize()
+    anchor = int(e.max("day"))
+
+    empty = pa.table({"status": pa.array([], type=pa.string()),
+                      "bucket": pa.array([], type=pa.int64()),
+                      "n": pa.array([], type=pa.int64()),
+                      "rev": pa.array([], type=pa.int64())})
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "day" not in t.column_names:
+            return empty
+        day = t["day"].to_numpy(zero_copy_only=False)
+        bucket = (anchor - day) // bucket_days
+        staged = pa.table({
+            "status": t["status"],
+            "bucket": pa.array(bucket.astype(np.int64)),
+            "n": pa.array(np.ones(len(day), dtype=np.int64)),
+            "rev": t["rev"],
+        })
+        g = staged.group_by(["status", "bucket"]).aggregate(
+            [("n", "sum"), ("rev", "sum")])
+        return pa.table({"status": g["status"],
+                         "bucket": g["bucket"],
+                         "n": pc.cast(g["n_sum"], pa.int64()),
+                         "rev": pc.cast(g["rev_sum"], pa.int64())})
+
+    agg = (e.map_batches(partial, batch_format="pyarrow")
+           .groupby(["status", "bucket"])
+           .aggregate(Sum("n", alias_name="n"),
+                      Sum("rev", alias_name="rev"))
+           .to_pandas().sort_values(["status", "bucket"]))
+    return pa.table({
+        "o_orderstatus": pa.array(agg["status"].tolist(),
+                                  type=pa.string()),
+        "age_bucket": pa.array(agg["bucket"].to_numpy(
+            dtype=np.int64)),
+        "n_orders": pa.array(agg["n"].to_numpy(dtype=np.int64)),
+        "rev_cents": pa.array(agg["rev"].to_numpy(dtype=np.int64)),
+    })
+
+
+ORDER_AGING_SQL = """
+WITH anc AS (
+  SELECT max(CAST(epoch_us(o_orderdate) AS BIGINT) // 86400000000)
+           AS a
+  FROM orders
+)
+SELECT o_orderstatus,
+       CAST((anc.a - CAST(epoch_us(o_orderdate) AS BIGINT)
+             // 86400000000) // 30 AS BIGINT) AS age_bucket,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS rev_cents
+FROM orders CROSS JOIN anc
+GROUP BY 1, 2 ORDER BY 1, 2
+"""

@@ -3156,3 +3156,81 @@ def test_weight_ess_uniform_vs_skewed(ray_session, tmp_path):
            .set_index("event_type"))
     assert int(out.loc["uniform", "efficiency_ppm"]) == 1_000_000
     assert int(out.loc["skewed", "ess_micro"]) < 2_000_000  # ~1.02
+
+
+def test_ratio_delta_zero_variance_users(ray_session, tmp_path):
+    """Identical users (same per-user sum and count) give SE == 0 and
+    the exact ratio."""
+    import pyarrow.parquet as pq
+    from p2pddsketch_ray.pipelines.relational import ratio_metric_delta
+    # every user: 4 events of value 25.00 -> 2500 cents per event
+    n_users = 400
+    ids = np.repeat(np.arange(n_users, dtype=np.int64), 4)
+    pq.write_table(pa.table({
+        "user_id": pa.array(ids),
+        "value": pa.array(np.full(len(ids), 25.0)),
+    }), str(tmp_path / "events.parquet"))
+    out = ratio_metric_delta(str(tmp_path)).to_pandas()
+    assert len(out) == 2
+    assert np.allclose(out["ratio_x100"], 2500.0)
+    assert np.allclose(out["se_x100"], 0.0)
+
+
+def test_cochran_armitage_perfect_trend(ray_session, tmp_path):
+    """High-value rate rising strictly with priority rank gives a
+    positive trend numerator; flat rates give zero."""
+    import pyarrow.parquet as pq
+    from p2pddsketch_ray.pipelines.relational import (
+        cochran_armitage_trend)
+    rows_p, rows_v = [], []
+    # 100 orders per priority; rate of > median rises with rank
+    for rank, rate in zip(range(1, 6), (10, 20, 30, 40, 90)):
+        prio = f"{rank}-P"
+        for i in range(100):
+            rows_p.append(prio)
+            rows_v.append(200.0 if i < rate else 50.0)
+    pq.write_table(pa.table({
+        "o_orderpriority": pa.array(rows_p, type=pa.string()),
+        "o_totalprice": pa.array(rows_v),
+    }), str(tmp_path / "orders.parquet"))
+    out = cochran_armitage_trend(str(tmp_path)).to_pydict()
+    assert out["n_orders"] == [500]
+    assert out["trend_num"][0] > 0
+    assert out["z_micro"][0] > 0
+
+
+def test_mcnemar_hand_counts(ray_session, tmp_path):
+    """2 docs pass only A, 8 only B -> statistic (2-8)^2/10 = 3.6."""
+    import pyarrow.parquet as pq
+    from p2pddsketch_ray.pipelines.relational import mcnemar_filters
+    long_clean = " ".join(["tok"] * 40)          # A yes, B yes
+    long_noisy = " ".join(["tok"] * 40) + "!" * 60   # A yes, B no
+    short_clean = "tok tok"                      # A no, B yes
+    texts = ([long_clean] * 5 + [long_noisy] * 2 + [short_clean] * 8)
+    pq.write_table(pa.table({"text": pa.array(texts)}),
+                   str(tmp_path / "documents.parquet"))
+    out = mcnemar_filters(str(tmp_path)).to_pydict()
+    assert out["n_both_pass"] == [5]
+    assert out["only_a"] == [2]
+    assert out["only_b"] == [8]
+    assert out["mcnemar_x1e6"] == [36 * 1_000_000 // 10]
+
+
+def test_order_aging_buckets(ray_session, tmp_path):
+    """Orders 0/35/70 days before the anchor land in buckets 0/1/2."""
+    import pyarrow.parquet as pq
+    from p2pddsketch_ray.pipelines.relational import order_aging_report
+    DAY_US = 86_400_000_000
+    days = np.array([100, 65, 30, 100], dtype=np.int64)
+    pq.write_table(pa.table({
+        "o_orderstatus": pa.array(["O", "O", "F", "F"]),
+        "o_orderdate": pa.array(days * DAY_US).cast(
+            pa.timestamp("us")),
+        "o_totalprice": pa.array([10.0, 20.0, 30.0, 40.0]),
+    }), str(tmp_path / "orders.parquet"))
+    out = (order_aging_report(str(tmp_path)).to_pandas()
+           .set_index(["o_orderstatus", "age_bucket"]))
+    assert int(out.loc[("O", 0), "n_orders"]) == 1
+    assert int(out.loc[("O", 1), "n_orders"]) == 1
+    assert int(out.loc[("F", 2), "n_orders"]) == 1
+    assert int(out.loc[("F", 0), "rev_cents"]) == 4000
