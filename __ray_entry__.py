@@ -75,6 +75,8 @@ from p2pddsketch_ray.pipelines.temporal import (  # noqa: E402
     RETRY_STORM_SQL as _RETRY_STORM_SQL,
     slo_burn_report as _slo_burn_report,
     SLO_BURN_SQL as _SLO_BURN_SQL,
+    watermark_lateness_curve as _watermark_lateness_curve,
+    WATERMARK_CURVE_SQL as _WATERMARK_CURVE_SQL,
     PROPS_VOCAB_DRIFT_SQL as _PROPS_VOCAB_DRIFT_SQL,
     props_vocab_drift as _props_vocab_drift,
     ooo_lateness_stats as _ooo_lateness_stats,
@@ -290,6 +292,10 @@ from p2pddsketch_ray.pipelines.relational import (  # noqa: E402
     MCNEMAR_SQL as _MCNEMAR_SQL,
     order_aging_report as _order_aging_report,
     ORDER_AGING_SQL as _ORDER_AGING_SQL,
+    learned_index_audit as _learned_index_audit,
+    LEARNED_INDEX_SQL as _LEARNED_INDEX_SQL,
+    negative_sampling_audit as _negative_sampling_audit,
+    NEGATIVE_SAMPLING_SQL as _NEGATIVE_SAMPLING_SQL,
     brand_year_revenue as _brand_year_revenue,
     BRAND_YEAR_REVENUE_SQL as _BRAND_YEAR_REVENUE_SQL,
     customer_frequency_spectrum as _customer_frequency_spectrum,
@@ -1039,6 +1045,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mcnemar_filters": _mcnemar_filters,
         # order aging buckets by status (AR-style backlog report)
         "order_aging_report": _order_aging_report,
+        # allowed-lateness drop curve for watermark tuning
+        "watermark_lateness_curve": _watermark_lateness_curve,
+        # single-segment learned-index epsilon over the price key
+        "learned_index_audit": _learned_index_audit,
+        # false-negative rate of hash-chosen contrastive negatives
+        "negative_sampling_audit": _negative_sampling_audit,
         # Markov next-event baseline accuracy per previous type
         "markov_next_accuracy": _markov_next_accuracy,
         # out-of-order lateness vs arrival order (distributed prefix max)
@@ -1699,6 +1711,9 @@ def oracle_sql() -> dict[str, str]:
         "cochran_armitage_trend": _COCHRAN_ARMITAGE_SQL,
         "mcnemar_filters": _MCNEMAR_SQL,
         "order_aging_report": _ORDER_AGING_SQL,
+        "watermark_lateness_curve": _WATERMARK_CURVE_SQL,
+        "learned_index_audit": _LEARNED_INDEX_SQL,
+        "negative_sampling_audit": _NEGATIVE_SAMPLING_SQL,
         "markov_next_accuracy": _MARKOV_NEXT_ACC_SQL,
         "ooo_lateness_stats": _OOO_LATENESS_SQL,
         "multimodal_resize_stats": """

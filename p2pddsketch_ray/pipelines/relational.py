@@ -15192,3 +15192,251 @@ SELECT o_orderstatus,
 FROM orders CROSS JOIN anc
 GROUP BY 1, 2 ORDER BY 1, 2
 """
+
+
+def learned_index_audit(sf_dir: str,
+                        n_buckets: int | None = None) -> pa.Table:
+    """LEARNED-INDEX ERROR AUDIT (RMI/PGM-style): least-squares fit of
+    global rank against the sort key (order total cents, orderkey
+    tiebreak) and the worst over-/under-prediction -- the epsilon a
+    single-segment learned index would need over this key distribution.
+    Moments are exact big integers (per-bucket int64 partials folded as
+    Python big ints; HUGEINT in the oracle); the slope/intercept and
+    per-row residuals are mirrored doubles with floor binning.
+
+    Scale shape: the global_order_ranks bucket machinery (O(buckets)
+    driver state), one moment pass and one residual pass over the
+    bucket co-partition.
+    """
+    from ..stages.partition import fit_partitions, partition_by
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "key": pc.cast(t["o_orderkey"], pa.int64()),
+            "x": _int_units(t["o_totalprice"], 100),
+        })
+
+    rows = ds.map_batches(prep, batch_format="pyarrow",
+                          zero_copy_batch=True).materialize()
+    mm = rows.aggregate(Min("x", alias_name="lo"),
+                        Max("x", alias_name="hi"))
+    lo, hi = int(mm["lo"]), int(mm["hi"])
+    nb = n_buckets or fit_partitions(32)
+    width = max(1, (hi - lo + nb) // nb)
+
+    def bucketed(t: pa.Table) -> pa.Table:
+        x = t["x"].to_numpy(zero_copy_only=False)
+        b = np.minimum((x - lo) // width, nb - 1)
+        return t.append_column("b", pa.array(b.astype(np.int64)))
+
+    bt = rows.map_batches(bucketed, batch_format="pyarrow",
+                          zero_copy_batch=True).materialize()
+    counts = (bt.map_batches(
+        lambda t: pa.table({
+            "b": pa.array(np.arange(nb, dtype=np.int64)),
+            "n": pa.array(np.bincount(
+                t["b"].to_numpy(zero_copy_only=False),
+                minlength=nb).astype(np.int64))}),
+        batch_format="pyarrow")
+        .groupby("b").aggregate(Sum("n", alias_name="n"))
+        .to_pandas().sort_values("b"))
+    per_bucket = np.zeros(nb, dtype=np.int64)
+    per_bucket[counts["b"].to_numpy(dtype=np.int64)] = \
+        counts["n"].to_numpy(dtype=np.int64)
+    offsets = np.concatenate([[0], np.cumsum(per_bucket)[:-1]])
+    off_ref = ray.put(offsets)
+    n = int(per_bucket.sum())
+
+    mom_empty = pa.table({c: pa.array([], type=pa.int64())
+                          for c in ("b", "sxy", "sx", "sxx_hi",
+                                    "sxx_lo")})
+
+    def moments(t: pa.Table) -> pa.Table:
+        offs = ray.get(off_ref)
+        b = t["b"].to_numpy(zero_copy_only=False)
+        x = t["x"].to_numpy(zero_copy_only=False)
+        k = t["key"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((k, x, b))
+        b_s, x_s = b[order], x[order]
+        new = np.ones(b_s.size, dtype=bool)
+        new[1:] = b_s[1:] != b_s[:-1]
+        starts = np.flatnonzero(new)
+        rlen = np.diff(np.append(starts, b_s.size))
+        local = np.arange(b_s.size) - np.repeat(starts, rlen)
+        y = offs[b_s] + local
+        rows_out = {c: [] for c in ("b", "sxy", "sx", "sxx_hi",
+                                    "sxx_lo")}
+        for s, ln in zip(starts.tolist(), rlen.tolist()):
+            xx = x_s[s:s + ln].astype(object)
+            yy = y[s:s + ln].astype(object)
+            sxy = int((xx * yy).sum())
+            sxx = int((xx * xx).sum())
+            rows_out["b"].append(int(b_s[s]))
+            rows_out["sxy"].append(sxy)
+            rows_out["sx"].append(int(xx.sum()))
+            rows_out["sxx_hi"].append(sxx >> 60)
+            rows_out["sxx_lo"].append(sxx & ((1 << 60) - 1))
+        return pa.table({c: pa.array(v, type=pa.int64())
+                         for c, v in rows_out.items()})
+
+    mom = partition_by(bt, ["b"], fit_partitions(16), moments,
+                       mom_empty).to_pandas()
+    sxy = int(sum(int(v) for v in mom["sxy"]))
+    sx = int(sum(int(v) for v in mom["sx"]))
+    sxx = int(sum((int(h) << 60) + int(l)
+                  for h, l in zip(mom["sxx_hi"], mom["sxx_lo"])))
+    sy = n * (n - 1) // 2
+    bn = n * sxy - sx * sy
+    bd = n * sxx - sx * sx
+    slope = float(bn) / float(bd) if bd else 0.0
+    a = (float(sy) - slope * float(sx)) / float(n)
+    coef_ref = ray.put((a, slope))
+
+    res_empty = pa.table({"over": pa.array([], type=pa.int64()),
+                          "under": pa.array([], type=pa.int64())})
+
+    def residuals(t: pa.Table) -> pa.Table:
+        offs = ray.get(off_ref)
+        aa, bb = ray.get(coef_ref)
+        b = t["b"].to_numpy(zero_copy_only=False)
+        x = t["x"].to_numpy(zero_copy_only=False)
+        k = t["key"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((k, x, b))
+        b_s, x_s = b[order], x[order]
+        new = np.ones(b_s.size, dtype=bool)
+        new[1:] = b_s[1:] != b_s[:-1]
+        starts = np.flatnonzero(new)
+        rlen = np.diff(np.append(starts, b_s.size))
+        local = np.arange(b_s.size) - np.repeat(starts, rlen)
+        y = (offs[b_s] + local).astype(np.float64)
+        fr = np.floor(y - (aa + bb * x_s.astype(np.float64)))
+        return pa.table({
+            "over": pa.array([int(fr.max())], type=pa.int64()),
+            "under": pa.array([int(fr.min())], type=pa.int64())})
+
+    res = partition_by(bt, ["b"], fit_partitions(16), residuals,
+                       res_empty).to_pandas()
+    return pa.table({
+        "n_rows": pa.array([n], type=pa.int64()),
+        "slope_pico": pa.array([int(np.floor(slope * 1e12))],
+                               type=pa.int64()),
+        "max_over_resid": pa.array([int(res["over"].max())],
+                                   type=pa.int64()),
+        "max_under_resid": pa.array([int(res["under"].min())],
+                                    type=pa.int64()),
+    })
+
+
+LEARNED_INDEX_SQL = """
+WITH e AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS x,
+         o_orderkey AS k
+  FROM orders
+), r AS (
+  SELECT x,
+         CAST(row_number() OVER (ORDER BY x, k) - 1 AS BIGINT) AS y
+  FROM e
+), m AS (
+  SELECT CAST(count(*) AS HUGEINT) AS n,
+         CAST(sum(x) AS HUGEINT) AS sx,
+         CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+         CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+         CAST(sum(y) AS HUGEINT) AS sy
+  FROM r
+), c AS (
+  SELECT CAST(n AS BIGINT) AS nn,
+         CAST(n * sxy - sx * sy AS DOUBLE)
+           / CAST(n * sxx - sx * sx AS DOUBLE) AS b,
+         (CAST(sy AS DOUBLE)
+          - (CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE))
+            * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS a
+  FROM m
+), resid AS (
+  SELECT floor(r.y - (c.a + c.b * r.x)) AS fr FROM r CROSS JOIN c
+)
+SELECT c.nn AS n_rows,
+       CAST(floor(c.b * 1e12) AS BIGINT) AS slope_pico,
+       CAST((SELECT max(fr) FROM resid) AS BIGINT) AS max_over_resid,
+       CAST((SELECT min(fr) FROM resid) AS BIGINT) AS max_under_resid
+FROM c
+"""
+
+
+def negative_sampling_audit(sf_dir: str) -> pa.Table:
+    """NEGATIVE-SAMPLING AUDIT for contrastive training: each vector's
+    deterministic "random" negative is vec_id' = murmur(vec_id) % N;
+    per label, how often that negative is a FALSE negative (same
+    label) -- the collision-rate table that decides whether in-batch
+    negatives need label filtering.  Hash parity makes the sample
+    replicable in SQL.
+
+    Scale shape: the (vec_id -> label) map is broadcast once (the
+    embeddings table is the bounded side by design); the audit is one
+    streaming map + bounded label fold.
+    """
+    from ..hashing import murmur64
+    ds = _read(sf_dir, "embeddings", ["vec_id", "label"])
+    lab_t = ds.to_pandas().sort_values("vec_id")
+    labels = lab_t["label"].to_numpy(dtype=np.int64)
+    n = len(labels)
+    lab_ref = ray.put(labels)
+
+    empty = pa.table({"label": pa.array([], type=pa.int64()),
+                      "n": pa.array([], type=pa.int64()),
+                      "n_false_neg": pa.array([], type=pa.int64())})
+
+    def audit(t: pa.Table) -> pa.Table:
+        lab = ray.get(lab_ref)
+        vid = t["vec_id"].to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        own = t["label"].to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        neg = (murmur64(vid) % np.uint64(n)).astype(np.int64)
+        false_neg = lab[neg] == own
+        staged = pa.table({
+            "label": pa.array(own),
+            "n": pa.array(np.ones(len(own), dtype=np.int64)),
+            "n_false_neg": pa.array(false_neg.astype(np.int64)),
+        })
+        g = staged.group_by("label").aggregate(
+            [("n", "sum"), ("n_false_neg", "sum")])
+        return pa.table({"label": g["label"],
+                         "n": pc.cast(g["n_sum"], pa.int64()),
+                         "n_false_neg": pc.cast(g["n_false_neg_sum"],
+                                                pa.int64())})
+
+    agg = (ds.map_batches(audit, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("label")
+           .aggregate(Sum("n", alias_name="n"),
+                      Sum("n_false_neg", alias_name="n_false_neg"))
+           .to_pandas().sort_values("label"))
+    nn = agg["n"].to_numpy(dtype=np.int64)
+    fn = agg["n_false_neg"].to_numpy(dtype=np.int64)
+    return pa.table({
+        "label": pa.array(agg["label"].to_numpy(dtype=np.int64)),
+        "n": pa.array(nn),
+        "n_false_neg": pa.array(fn),
+        "false_neg_ppm": pa.array(fn * 1_000_000 // nn),
+    })
+
+
+NEGATIVE_SAMPLING_SQL = """
+WITH n AS (SELECT CAST(count(*) AS BIGINT) AS c FROM embeddings),
+a AS (
+  SELECT e.label AS label,
+         CASE WHEN neg.label = e.label THEN 1 ELSE 0 END AS fn
+  FROM embeddings e CROSS JOIN n
+  JOIN embeddings neg
+    ON neg.vec_id = CAST(hash(e.vec_id) % n.c AS BIGINT)
+)
+SELECT CAST(label AS BIGINT) AS label,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(fn) AS BIGINT) AS n_false_neg,
+       CAST(sum(fn) * 1000000 // count(*) AS BIGINT)
+         AS false_neg_ppm
+FROM a GROUP BY 1 ORDER BY 1
+"""

@@ -2986,3 +2986,134 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM q) AS n_hours,
        CAST(COALESCE((SELECT max(ln) FROM streaks), 0) AS BIGINT)
          AS longest_streak
 """
+
+
+_WATERMARK_DELAYS_US = (0, 60_000_000, 300_000_000, 3_600_000_000)
+
+
+def watermark_lateness_curve(sf_dir: str,
+                             chunk_bits: int = 12) -> pa.Table:
+    """WATERMARK TUNING CURVE: for each candidate allowed-lateness
+    delay (0s / 1m / 5m / 1h), how many events a streaming engine
+    would DROP because they arrive (by event_id order) more than the
+    delay behind the running event-time frontier -- the table that
+    picks a watermark.  Uses the same deterministic-chunk prefix-max
+    scan as ooo_lateness_stats (block-boundary immune by
+    construction).
+    """
+    from ray.data.aggregate import Max, Sum
+    from ..stages.partition import fit_partitions, partition_by
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "ts"])
+    delays = np.array(_WATERMARK_DELAYS_US, dtype=np.int64)
+
+    def chunk_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"chunk": pa.array([], type=pa.int64()),
+                             "max_ts": pa.array([], type=pa.int64())})
+        eid = _as_int64(t["event_id"])
+        ts = _as_int64(t["ts"])
+        chunk = eid >> chunk_bits
+        uk, inv = np.unique(chunk, return_inverse=True)
+        mx = np.full(len(uk), -(2 ** 62), dtype=np.int64)
+        np.maximum.at(mx, inv, ts)
+        return pa.table({"chunk": pa.array(uk),
+                         "max_ts": pa.array(mx)})
+
+    summ = (ds.map_batches(chunk_partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby("chunk")
+            .aggregate(Max("max_ts", alias_name="max_ts"))
+            .to_pandas().sort_values("chunk").reset_index(drop=True))
+    chunks = summ["chunk"].to_numpy(dtype=np.int64)
+    maxes = summ["max_ts"].to_numpy(dtype=np.int64)
+    LOW = -(2 ** 62)
+    seeds = (np.concatenate(([LOW],
+                             np.maximum.accumulate(maxes)[:-1]))
+             if len(maxes) else np.array([], dtype=np.int64))
+    seed_ref = ray.put((chunks, seeds.astype(np.int64)))
+
+    empty = pa.table({"delay_us": pa.array([], type=pa.int64()),
+                      "n_dropped": pa.array([], type=pa.int64()),
+                      "n_events": pa.array([], type=pa.int64())})
+
+    def add_chunk(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column("chunk",
+                                   pa.array([], type=pa.int64()))
+        eid = _as_int64(t["event_id"])
+        return t.append_column("chunk", pa.array(eid >> chunk_bits))
+
+    def drops(t: pa.Table) -> pa.Table:
+        ck, sd = ray.get(seed_ref)
+        eid = _as_int64(t["event_id"])
+        ts = _as_int64(t["ts"])
+        chunk = t["chunk"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, chunk))
+        ts_s, ch_s = ts[order], chunk[order]
+        seed = sd[np.searchsorted(ck, ch_s)]
+        run = np.maximum(seed,
+                         np.maximum.accumulate(
+                             np.maximum(ts_s, seed)))
+        # frontier BEFORE each event: shift within the partition and
+        # re-seed at chunk starts (earlier rows of the same chunk
+        # cannot be elsewhere: chunks are co-partitioned)
+        prev = np.empty_like(run)
+        prev[0] = seed[0]
+        prev[1:] = run[:-1]
+        new_chunk = np.ones(ch_s.size, dtype=bool)
+        new_chunk[1:] = ch_s[1:] != ch_s[:-1]
+        # at a chunk start inside the partition the running max of the
+        # PREVIOUS co-resident chunk is still a valid earlier frontier
+        # only if that chunk precedes this one; partition_by hashing
+        # does not order chunks, so reset to the chunk seed there
+        prev[new_chunk] = seed[new_chunk]
+        late = prev - ts_s
+        n_drop = (late[None, :] > delays[:, None]).sum(axis=1)
+        return pa.table({
+            "delay_us": pa.array(delays),
+            "n_dropped": pa.array(n_drop.astype(np.int64)),
+            "n_events": pa.array(np.full(len(delays), ts_s.size,
+                                         dtype=np.int64)),
+        })
+
+    with_chunk = ds.map_batches(add_chunk, batch_format="pyarrow",
+                                zero_copy_batch=True)
+    agg = (partition_by(with_chunk, ["chunk"], fit_partitions(32),
+                        drops, empty)
+           .groupby("delay_us")
+           .aggregate(Sum("n_dropped", alias_name="n_dropped"),
+                      Sum("n_events", alias_name="n_events"))
+           .to_pandas().sort_values("delay_us"))
+    nd = agg["n_dropped"].to_numpy(dtype=np.int64)
+    ne = agg["n_events"].to_numpy(dtype=np.int64)
+    return pa.table({
+        "delay_us": pa.array(agg["delay_us"].to_numpy(
+            dtype=np.int64)),
+        "n_events": pa.array(ne),
+        "n_dropped": pa.array(nd),
+        "drop_ppm": pa.array(nd * 1_000_000 // ne),
+    })
+
+
+WATERMARK_CURVE_SQL = """
+WITH e AS (
+  SELECT CAST(epoch_us(ts) AS BIGINT) AS us,
+         greatest(COALESCE(max(CAST(epoch_us(ts) AS BIGINT)) OVER (
+           ORDER BY event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+           -4611686018427387904), -4611686018427387904) AS frontier
+  FROM events
+), d(delay_us) AS (
+  VALUES (0), (60000000), (300000000), (3600000000)
+)
+SELECT CAST(d.delay_us AS BIGINT) AS delay_us,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN e.frontier - e.us > d.delay_us
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+       CAST(sum(CASE WHEN e.frontier - e.us > d.delay_us
+                THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT)
+         AS drop_ppm
+FROM e CROSS JOIN d GROUP BY 1 ORDER BY 1
+"""

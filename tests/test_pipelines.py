@@ -3234,3 +3234,39 @@ def test_order_aging_buckets(ray_session, tmp_path):
     assert int(out.loc[("O", 1), "n_orders"]) == 1
     assert int(out.loc[("F", 2), "n_orders"]) == 1
     assert int(out.loc[("F", 0), "rev_cents"]) == 4000
+
+
+def test_learned_index_linear_keys_zero_eps(ray_session, tmp_path):
+    """Perfectly linear keys (price == rank) fit with ~zero residual;
+    a heavy outlier blows the epsilon up."""
+    import pyarrow.parquet as pq
+    from p2pddsketch_ray.pipelines.relational import learned_index_audit
+    n = 1000
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array(np.arange(n, dtype=np.int64)),
+        "o_totalprice": pa.array(np.arange(n, dtype=np.float64)),
+    }), str(tmp_path / "orders.parquet"))
+    out = learned_index_audit(str(tmp_path)).to_pydict()
+    assert out["n_rows"] == [n]
+    assert out["max_over_resid"][0] <= 1
+    assert out["max_under_resid"][0] >= -1
+    # slope = ranks per cent = 1/100 -> 0.01 * 1e12
+    assert abs(out["slope_pico"][0] - 10_000_000_000) < 10_000
+
+
+def test_negative_sampling_single_label_always_false(ray_session,
+                                                     tmp_path):
+    """With one label every hash-negative is a false negative."""
+    import pyarrow.parquet as pq
+    from p2pddsketch_ray.pipelines.relational import (
+        negative_sampling_audit)
+    n = 64
+    pq.write_table(pa.table({
+        "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+        "embedding": pa.array([[0.0] * 4] * n,
+                              type=pa.list_(pa.float32())),
+        "label": pa.array(np.zeros(n, dtype=np.int32)),
+    }), str(tmp_path / "embeddings.parquet"))
+    out = negative_sampling_audit(str(tmp_path)).to_pydict()
+    assert out["n"] == [n]
+    assert out["false_neg_ppm"] == [1_000_000]

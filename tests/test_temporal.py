@@ -800,3 +800,28 @@ def test_slo_burn_streak(ray_session, tmp_path):
     assert out["n_violations"] == [4]
     assert out["longest_streak"] == [3]
     assert out["worst_p99_micro"] == [900_000_000]
+
+
+def test_watermark_curve_monotone_and_exact(ray_session, tmp_path):
+    """One event 10 minutes late: dropped at the 0s/1m/5m delays,
+    kept at 1h; drop counts never increase with delay."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from p2pddsketch_ray.pipelines.temporal import (
+        watermark_lateness_curve)
+    M = 60_000_000
+    # arrival order = event_id; event 5 carries a ts 10 min behind
+    ts = np.array([0, 1 * M, 2 * M, 3 * M, 4 * M, 4 * M - 10 * M,
+                   5 * M], dtype=np.int64)
+    pq.write_table(pa.table({
+        "event_id": pa.array(np.arange(len(ts), dtype=np.int64)),
+        "ts": pa.array(ts).cast(pa.timestamp("us")),
+    }), str(tmp_path / "events.parquet"))
+    out = (watermark_lateness_curve(str(tmp_path)).to_pandas()
+           .set_index("delay_us"))
+    assert int(out.loc[0, "n_dropped"]) == 1
+    assert int(out.loc[300_000_000, "n_dropped"]) == 1
+    assert int(out.loc[3_600_000_000, "n_dropped"]) == 0
+    assert (out["n_dropped"].to_numpy()[:-1]
+            >= out["n_dropped"].to_numpy()[1:]).all()
