@@ -296,6 +296,14 @@ from p2pddsketch_ray.pipelines.relational import (  # noqa: E402
     LEARNED_INDEX_SQL as _LEARNED_INDEX_SQL,
     negative_sampling_audit as _negative_sampling_audit,
     NEGATIVE_SAMPLING_SQL as _NEGATIVE_SAMPLING_SQL,
+    lang_entropy_by_source as _lang_entropy_by_source,
+    LANG_ENTROPY_SQL as _LANG_ENTROPY_SQL,
+    embedding_isotropy_report as _embedding_isotropy_report,
+    EMBEDDING_ISOTROPY_SQL as _EMBEDDING_ISOTROPY_SQL,
+    fair_mass_by_source as _fair_mass_by_source,
+    FAIR_MASS_SQL as _FAIR_MASS_SQL,
+    segment_priority_cramers_v as _segment_priority_cramers_v,
+    SEGMENT_PRIORITY_CRAMERS_SQL as _SEGMENT_PRIORITY_CRAMERS_SQL,
     brand_year_revenue as _brand_year_revenue,
     BRAND_YEAR_REVENUE_SQL as _BRAND_YEAR_REVENUE_SQL,
     customer_frequency_spectrum as _customer_frequency_spectrum,
@@ -1051,6 +1059,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "learned_index_audit": _learned_index_audit,
         # false-negative rate of hash-chosen contrastive negatives
         "negative_sampling_audit": _negative_sampling_audit,
+        # language-mix entropy per source (micro-nats)
+        "lang_entropy_by_source": _lang_entropy_by_source,
+        # embedding anisotropy per label + global (collapse alarm)
+        "embedding_isotropy_report": _embedding_isotropy_report,
+        # duplication-fair effective mass per source
+        "fair_mass_by_source": _fair_mass_by_source,
+        # segment x priority contingency: chi2 + Cramer's V (join)
+        "segment_priority_cramers_v": _segment_priority_cramers_v,
         # Markov next-event baseline accuracy per previous type
         "markov_next_accuracy": _markov_next_accuracy,
         # out-of-order lateness vs arrival order (distributed prefix max)
@@ -1714,6 +1730,10 @@ def oracle_sql() -> dict[str, str]:
         "watermark_lateness_curve": _WATERMARK_CURVE_SQL,
         "learned_index_audit": _LEARNED_INDEX_SQL,
         "negative_sampling_audit": _NEGATIVE_SAMPLING_SQL,
+        "lang_entropy_by_source": _LANG_ENTROPY_SQL,
+        "embedding_isotropy_report": _EMBEDDING_ISOTROPY_SQL,
+        "fair_mass_by_source": _FAIR_MASS_SQL,
+        "segment_priority_cramers_v": _SEGMENT_PRIORITY_CRAMERS_SQL,
         "markov_next_accuracy": _MARKOV_NEXT_ACC_SQL,
         "ooo_lateness_stats": _OOO_LATENESS_SQL,
         "multimodal_resize_stats": """

@@ -15440,3 +15440,432 @@ SELECT CAST(label AS BIGINT) AS label,
          AS false_neg_ppm
 FROM a GROUP BY 1 ORDER BY 1
 """
+
+
+def lang_entropy_by_source(sf_dir: str) -> pa.Table:
+    """LANGUAGE-MIX ENTROPY per source: how multilingual each feed is,
+    as Shannon entropy of its language distribution in exact micro-nats
+    (per-term floor((c/n)*ln(n/c)*1e6), the mirrored ln-parity
+    pattern) plus doc and language counts -- the routing signal for
+    language-specific downstream stages.
+
+    Scale shape: one (source, lang) count combiner over a bounded
+    domain, O(sources x langs) driver fold.
+    """
+    ds = _read(sf_dir, "documents", ["source", "lang"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        staged = pa.table({"source": t["source"], "lang": t["lang"],
+                           "n": pa.array(np.ones(t.num_rows,
+                                                 dtype=np.int64))})
+        g = staged.group_by(["source", "lang"]).aggregate(
+            [("n", "sum")])
+        return pa.table({"source": g["source"], "lang": g["lang"],
+                         "n": pc.cast(g["n_sum"], pa.int64())})
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby(["source", "lang"])
+           .aggregate(Sum("n", alias_name="n"))
+           .to_pandas())
+    out = {c: [] for c in ("source", "n_docs", "n_langs",
+                           "entropy_micronats")}
+    for src, g in agg.groupby("source", sort=True):
+        c = g["n"].to_numpy(dtype=np.int64).astype(np.float64)
+        n = float(c.sum())
+        terms = np.floor((c / n) * np.log(n / c) * 1_000_000.0)
+        out["source"].append(src)
+        out["n_docs"].append(int(n))
+        out["n_langs"].append(len(c))
+        out["entropy_micronats"].append(int(terms.sum()))
+    return pa.table({
+        "source": pa.array(out["source"], type=pa.string()),
+        "n_docs": pa.array(out["n_docs"], type=pa.int64()),
+        "n_langs": pa.array(out["n_langs"], type=pa.int64()),
+        "entropy_micronats": pa.array(out["entropy_micronats"],
+                                      type=pa.int64()),
+    })
+
+
+LANG_ENTROPY_SQL = """
+WITH c AS (
+  SELECT source, lang, CAST(count(*) AS BIGINT) AS n
+  FROM documents GROUP BY 1, 2
+), t AS (
+  SELECT source, CAST(sum(n) AS BIGINT) AS tot,
+         CAST(count(*) AS BIGINT) AS n_langs
+  FROM c GROUP BY 1
+)
+SELECT c.source, t.tot AS n_docs, t.n_langs,
+       CAST(sum(CAST(floor((CAST(c.n AS DOUBLE)
+                            / CAST(t.tot AS DOUBLE))
+                           * ln(CAST(t.tot AS DOUBLE)
+                                / CAST(c.n AS DOUBLE))
+                           * 1000000.0) AS BIGINT)) AS BIGINT)
+         AS entropy_micronats
+FROM c JOIN t USING (source)
+GROUP BY 1, 2, 3 ORDER BY 1
+"""
+
+
+def embedding_isotropy_report(sf_dir: str) -> pa.Table:
+    """EMBEDDING ISOTROPY / MEAN-VECTOR BIAS per label and globally:
+    anisotropy_ppm = 1e6 * ||sum x||^2 / (n * sum ||x||^2) -- 0 for a
+    perfectly centered cloud, 1e6 when all vectors are identical (the
+    "your embeddings collapsed" alarm).  Exact: milli-quantized
+    integer sums make both numerator and denominator big integers; the
+    only division is the final integer ppm.
+
+    Scale shape: per-block (label, sum-vector, sum-sq, n) partials
+    (bounded by labels x dims), one small groupby, O(labels) fold.
+    """
+    from ..functions.vectors import list_to_matrix
+    ds = _read(sf_dir, "embeddings", ["embedding", "label"])
+
+    empty = pa.table({"label": pa.array([], type=pa.int64()),
+                      "dim": pa.array([], type=pa.int64()),
+                      "s": pa.array([], type=pa.int64()),
+                      "n": pa.array([], type=pa.int64()),
+                      "qq": pa.array([], type=pa.int64())})
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        q = np.floor(list_to_matrix(t["embedding"]) * 1000.0) \
+            .astype(np.int64)
+        lab = t["label"].to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        ul, inv = np.unique(lab, return_inverse=True)
+        d = q.shape[1]
+        sums = np.zeros((ul.size, d), dtype=np.int64)
+        np.add.at(sums, inv, q)
+        cnt = np.bincount(inv).astype(np.int64)
+        qq = np.zeros(ul.size, dtype=np.int64)
+        np.add.at(qq, inv, (q * q).sum(axis=1))
+        return pa.table({
+            "label": pa.array(np.repeat(ul, d)),
+            "dim": pa.array(np.tile(np.arange(d, dtype=np.int64),
+                                    ul.size)),
+            "s": pa.array(sums.reshape(-1)),
+            "n": pa.array(np.repeat(cnt, d)),
+            "qq": pa.array(np.repeat(qq, d)),
+        })
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby(["label", "dim"])
+           .aggregate(Sum("s", alias_name="s"),
+                      Sum("n", alias_name="n"),
+                      Sum("qq", alias_name="qq"))
+           .to_pandas().sort_values(["label", "dim"]))
+    out = {c: [] for c in ("label", "n", "anisotropy_ppm")}
+    d_count = int(agg["dim"].max()) + 1
+    g_s = None
+    g_n = 0
+    g_qq = 0
+    for lb, g in agg.groupby("label", sort=True):
+        s = g.sort_values("dim")["s"].astype(object).to_numpy()
+        n = int(g["n"].iloc[0])
+        # qq was repeated per dim by the combiner: any dim's sum over
+        # blocks is the label total
+        qq = int(g["qq"].iloc[0])
+        num = int((s * s).sum()) * 1_000_000
+        den = n * qq
+        out["label"].append(int(lb))
+        out["n"].append(n)
+        out["anisotropy_ppm"].append(num // den if den else 0)
+        g_s = s if g_s is None else g_s + s
+        g_n += n
+        g_qq += qq
+    out["label"].append(-1)     # global row
+    out["n"].append(g_n)
+    gnum = int((g_s * g_s).sum()) * 1_000_000
+    out["anisotropy_ppm"].append(gnum // (g_n * g_qq)
+                                 if g_n * g_qq else 0)
+    return pa.table({
+        "label": pa.array(out["label"], type=pa.int64()),
+        "n": pa.array(out["n"], type=pa.int64()),
+        "anisotropy_ppm": pa.array(out["anisotropy_ppm"],
+                                   type=pa.int64()),
+    })
+
+
+EMBEDDING_ISOTROPY_SQL = """
+WITH q AS (
+  SELECT label,
+         list_transform(embedding,
+                        x -> CAST(floor(x * 1000.0) AS BIGINT)) AS qv
+  FROM embeddings
+), e AS (
+  SELECT label, unnest(qv) AS v,
+         unnest(generate_series(1, len(qv))) AS dim
+  FROM q
+), s AS (
+  SELECT label, dim, CAST(sum(v) AS HUGEINT) AS s
+  FROM e GROUP BY 1, 2
+), nq AS (
+  SELECT label, CAST(count(*) AS HUGEINT) AS n,
+         CAST(sum(CAST(list_inner_product(qv, qv) AS HUGEINT))
+              AS HUGEINT) AS qq
+  FROM q GROUP BY 1
+), per AS (
+  SELECT s.label,
+         CAST(sum(s.s * s.s) AS HUGEINT) AS num
+  FROM s GROUP BY 1
+), lab AS (
+  SELECT CAST(per.label AS BIGINT) AS label,
+         CAST(nq.n AS BIGINT) AS n,
+         CAST(per.num * 1000000 // (nq.n * nq.qq) AS BIGINT)
+           AS anisotropy_ppm
+  FROM per JOIN nq USING (label)
+), gbl AS (
+  SELECT CAST(-1 AS BIGINT) AS label,
+         CAST((SELECT sum(n) FROM nq) AS BIGINT) AS n,
+         CAST((SELECT CAST(sum(gs * gs) AS HUGEINT) FROM (
+                 SELECT CAST(sum(s) AS HUGEINT) AS gs
+                 FROM s GROUP BY dim)) * 1000000
+              // ((SELECT sum(n) FROM nq)
+                  * (SELECT sum(qq) FROM nq)) AS BIGINT)
+           AS anisotropy_ppm
+)
+SELECT * FROM lab UNION ALL SELECT * FROM gbl ORDER BY label
+"""
+
+
+def fair_mass_by_source(sf_dir: str) -> pa.Table:
+    """DUPLICATION-FAIR MASS per source: every document contributes
+    1e6 // (size of its exact-duplicate cluster) micro-docs, so a text
+    mirrored across feeds is counted once in total -- the "effective
+    unique contribution" ranking that raw doc counts overstate for
+    heavy mirrors.  Cluster sizes by md5 content hash (oracle tier).
+
+    Scale shape: distinct (hash, source, copies) combiner, hash
+    co-partition to attach cluster sizes, (source) fold.
+    """
+    from ..hashing import md5_uint64
+    from ..stages.partition import fit_partitions, partition_by
+
+    ds = _read(sf_dir, "documents", ["text", "source"])
+
+    empty = pa.table({"h": pa.array([], type=pa.int64()),
+                      "source": pa.array([], type=pa.string()),
+                      "copies": pa.array([], type=pa.int64())})
+
+    def mems(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        h = md5_uint64(t["text"].combine_chunks()).view(np.int64)
+        staged = pa.table({"h": pa.array(h), "source": t["source"],
+                           "copies": pa.array(
+                               np.ones(t.num_rows, dtype=np.int64))})
+        g = staged.group_by(["h", "source"]).aggregate(
+            [("copies", "sum")])
+        return pa.table({"h": g["h"], "source": g["source"],
+                         "copies": pc.cast(g["copies_sum"],
+                                           pa.int64())})
+
+    out_empty = pa.table({"source": pa.array([], type=pa.string()),
+                          "n_docs": pa.array([], type=pa.int64()),
+                          "fair_micro": pa.array([],
+                                                 type=pa.int64())})
+
+    def attach(t: pa.Table) -> pa.Table:
+        h = t["h"].to_numpy(zero_copy_only=False)
+        src = np.asarray(t["source"].to_pylist(), dtype=np.str_)
+        cp = t["copies"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((src, h))
+        h, src, cp = h[order], src[order], cp[order]
+        # fold duplicate (h, source) rows from different blocks
+        keep = np.ones(h.size, dtype=bool)
+        keep[1:] = (h[1:] != h[:-1]) | (src[1:] != src[:-1])
+        grp = np.cumsum(keep) - 1
+        cp_f = np.zeros(int(grp[-1]) + 1 if h.size else 0,
+                        dtype=np.int64)
+        np.add.at(cp_f, grp, cp)
+        h_f, src_f = h[keep], src[keep]
+        new = np.ones(h_f.size, dtype=bool)
+        new[1:] = h_f[1:] != h_f[:-1]
+        starts = np.flatnonzero(new)
+        rlen = np.diff(np.append(starts, h_f.size))
+        cluster = np.zeros(h_f.size, dtype=np.int64)
+        totals = np.add.reduceat(cp_f, starts) if h_f.size else \
+            np.array([], dtype=np.int64)
+        cluster = np.repeat(totals, rlen)
+        fair = cp_f * (1_000_000 // cluster)
+        us, inv = np.unique(src_f, return_inverse=True)
+        nd = np.zeros(us.size, dtype=np.int64)
+        fm = np.zeros(us.size, dtype=np.int64)
+        np.add.at(nd, inv, cp_f)
+        np.add.at(fm, inv, fair)
+        return pa.table({"source": pa.array(us.tolist(),
+                                            type=pa.string()),
+                         "n_docs": pa.array(nd),
+                         "fair_micro": pa.array(fm)})
+
+    mem = ds.map_batches(mems, batch_format="pyarrow",
+                         zero_copy_batch=True)
+    agg = (partition_by(mem, ["h"], fit_partitions(16), attach,
+                        out_empty)
+           .groupby("source")
+           .aggregate(Sum("n_docs", alias_name="n_docs"),
+                      Sum("fair_micro", alias_name="fair_micro"))
+           .to_pandas().sort_values("source"))
+    return pa.table({
+        "source": pa.array(agg["source"].tolist(), type=pa.string()),
+        "n_docs": pa.array(agg["n_docs"].to_numpy(dtype=np.int64)),
+        "fair_micro": pa.array(agg["fair_micro"].to_numpy(
+            dtype=np.int64)),
+    })
+
+
+FAIR_MASS_SQL = """
+WITH d AS (
+  SELECT md5(text) AS h, source FROM documents
+), cl AS (
+  SELECT h, CAST(count(*) AS BIGINT) AS cluster FROM d GROUP BY 1
+)
+SELECT d.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(1000000 // cl.cluster) AS BIGINT) AS fair_micro
+FROM d JOIN cl USING (h)
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def segment_priority_cramers_v(sf_dir: str) -> pa.Table:
+    """CROSS-TABLE ASSOCIATION STRENGTH: the chi-square statistic and
+    Cramer's V between customer market segment and order priority --
+    a contingency audit that needs a distributed customer-order join
+    before the (5 x 5) table even exists.  Chi2 terms are mirrored
+    doubles from exact integer counts; V is one final sqrt.
+
+    Scale shape: orders collapse to (custkey, priority, n) partials;
+    customers ship (custkey, segment); both co-partition on custkey;
+    the bounded (segment, priority) table folds on the driver.
+    """
+    from ..stages.partition import fit_partitions, partition_by
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+
+    def o_prep(t: pa.Table) -> pa.Table:
+        staged = pa.table({
+            "key": pc.cast(t["o_custkey"], pa.int64()),
+            "attr": t["o_orderpriority"],
+            "n": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+            "side": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+        })
+        g = staged.group_by(["key", "attr", "side"]).aggregate(
+            [("n", "sum")])
+        return pa.table({"key": g["key"], "attr": g["attr"],
+                         "side": g["side"],
+                         "n": pc.cast(g["n_sum"], pa.int64())})
+
+    def c_prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "key": pc.cast(t["c_custkey"], pa.int64()),
+            "attr": t["c_mktsegment"],
+            "side": pa.array(np.zeros(t.num_rows, dtype=np.int64)),
+            "n": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+        })
+
+    both = (orders.map_batches(o_prep, batch_format="pyarrow",
+                               zero_copy_batch=True)
+            .union(cust.map_batches(c_prep, batch_format="pyarrow",
+                                    zero_copy_batch=True)))
+
+    empty = pa.table({"seg": pa.array([], type=pa.string()),
+                      "prio": pa.array([], type=pa.string()),
+                      "n": pa.array([], type=pa.int64())})
+
+    def resolve(t: pa.Table) -> pa.Table:
+        key = t["key"].to_numpy(zero_copy_only=False)
+        side = t["side"].to_numpy(zero_copy_only=False)
+        n = t["n"].to_numpy(zero_copy_only=False)
+        attr = np.asarray(t["attr"].to_pylist(), dtype=np.str_)
+        ck, cs = key[side == 0], attr[side == 0]
+        order = np.argsort(ck)
+        ck, cs = ck[order], cs[order]
+        ok_, oa, on = key[side == 1], attr[side == 1], n[side == 1]
+        pos = np.searchsorted(ck, ok_)
+        seg = cs[np.minimum(pos, ck.size - 1)] if ck.size else \
+            np.array([], dtype=np.str_)
+        comb = np.char.add(np.char.add(seg.astype(np.str_), "|"),
+                           oa.astype(np.str_))
+        uc, inv = np.unique(comb, return_inverse=True)
+        tot = np.zeros(uc.size, dtype=np.int64)
+        np.add.at(tot, inv, on)
+        segs = [c.split("|")[0] for c in uc.tolist()]
+        prios = [c.split("|")[1] for c in uc.tolist()]
+        return pa.table({"seg": pa.array(segs, type=pa.string()),
+                         "prio": pa.array(prios, type=pa.string()),
+                         "n": pa.array(tot)})
+
+    agg = (partition_by(both, ["key"], fit_partitions(16), resolve,
+                        empty)
+           .groupby(["seg", "prio"])
+           .aggregate(Sum("n", alias_name="n"))
+           .to_pandas())
+    piv = agg.pivot_table(index="seg", columns="prio", values="n",
+                          fill_value=0, aggfunc="sum")
+    obs = piv.to_numpy(dtype=np.int64)
+    N = int(obs.sum())
+    rows = obs.sum(axis=1)
+    cols = obs.sum(axis=0)
+    # chi2 as a SUM OF PER-CELL FLOORED INTEGER TERMS (exact on both
+    # sides -- a float sum's association order would not hash-match):
+    # term = 1e6 * (o*N - r*c)^2 // (r*c*N)
+    chi2_micro = 0
+    for i in range(obs.shape[0]):
+        for j in range(obs.shape[1]):
+            r, c = int(rows[i]), int(cols[j])
+            o = int(obs[i, j])
+            num = (o * N - r * c) ** 2 * 1_000_000
+            chi2_micro += num // (r * c * N)
+    kmin = min(obs.shape[0], obs.shape[1]) - 1
+    v = np.sqrt(float(chi2_micro) / 1_000_000.0
+                / (float(N) * kmin))
+    return pa.table({
+        "n_orders": pa.array([N], type=pa.int64()),
+        "n_cells": pa.array([obs.size], type=pa.int64()),
+        "chi2_micro": pa.array([chi2_micro], type=pa.int64()),
+        "cramers_v_ppm": pa.array([int(np.floor(v * 1_000_000.0))],
+                                  type=pa.int64()),
+    })
+
+
+SEGMENT_PRIORITY_CRAMERS_SQL = """
+WITH j AS (
+  SELECT c.c_mktsegment AS seg, o.o_orderpriority AS prio,
+         CAST(count(*) AS BIGINT) AS n
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+  GROUP BY 1, 2
+), tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM j),
+r AS (SELECT seg, CAST(sum(n) AS BIGINT) AS rn FROM j GROUP BY 1),
+c AS (SELECT prio, CAST(sum(n) AS BIGINT) AS cn FROM j GROUP BY 1),
+grid AS (
+  SELECT r.seg, c.prio, r.rn, c.cn,
+         COALESCE(j.n, 0) AS o
+  FROM r CROSS JOIN c
+  LEFT JOIN j ON j.seg = r.seg AND j.prio = c.prio
+  CROSS JOIN tot
+), chi AS (
+  SELECT CAST(sum(
+           CAST(CAST(o AS HUGEINT) * tot.nn - CAST(rn AS HUGEINT)
+                * cn AS HUGEINT)
+           * CAST(CAST(o AS HUGEINT) * tot.nn - CAST(rn AS HUGEINT)
+                  * cn AS HUGEINT)
+           * 1000000
+           // (CAST(rn AS HUGEINT) * cn * tot.nn)) AS BIGINT)
+           AS chi2_micro,
+         CAST(count(*) AS BIGINT) AS cells,
+         least((SELECT count(*) FROM r),
+               (SELECT count(*) FROM c)) - 1 AS kmin
+  FROM grid CROSS JOIN tot GROUP BY kmin
+)
+SELECT tot.nn AS n_orders, chi.cells AS n_cells, chi.chi2_micro,
+       CAST(floor(sqrt(CAST(chi.chi2_micro AS DOUBLE) / 1000000.0
+                       / (CAST(tot.nn AS DOUBLE) * chi.kmin))
+                  * 1000000.0) AS BIGINT) AS cramers_v_ppm
+FROM chi CROSS JOIN tot
+"""

@@ -3270,3 +3270,86 @@ def test_negative_sampling_single_label_always_false(ray_session,
     out = negative_sampling_audit(str(tmp_path)).to_pydict()
     assert out["n"] == [n]
     assert out["false_neg_ppm"] == [1_000_000]
+
+
+def test_lang_entropy_mono_vs_mixed(ray_session, tmp_path):
+    """A single-language source has zero entropy; a uniform 4-language
+    source approaches ln(4) micro-nats."""
+    import pyarrow.parquet as pq
+    from p2pddsketch_ray.pipelines.relational import (
+        lang_entropy_by_source)
+    rows_s = ["mono"] * 40 + ["mixed"] * 40
+    rows_l = ["en"] * 40 + ["en", "de", "fr", "ja"] * 10
+    pq.write_table(pa.table({
+        "source": pa.array(rows_s, type=pa.string()),
+        "lang": pa.array(rows_l, type=pa.string()),
+    }), str(tmp_path / "documents.parquet"))
+    out = (lang_entropy_by_source(str(tmp_path)).to_pandas()
+           .set_index("source"))
+    assert int(out.loc["mono", "entropy_micronats"]) == 0
+    assert abs(int(out.loc["mixed", "entropy_micronats"])
+               - 1_386_294) < 10
+    assert int(out.loc["mixed", "n_langs"]) == 4
+
+
+def test_isotropy_collapsed_vs_centered(ray_session, tmp_path):
+    """Identical vectors -> anisotropy 1e6; a +v/-v balanced cloud ->
+    anisotropy 0."""
+    import pyarrow.parquet as pq
+    from p2pddsketch_ray.pipelines.relational import (
+        embedding_isotropy_report)
+    v = np.ones(8, dtype=np.float32).tolist()
+    nv = (-np.ones(8, dtype=np.float32)).tolist()
+    emb = [v] * 10 + [v] * 5 + [nv] * 5
+    lab = [0] * 10 + [1] * 10
+    pq.write_table(pa.table({
+        "vec_id": pa.array(np.arange(20, dtype=np.int64)),
+        "embedding": pa.array(emb, type=pa.list_(pa.float32())),
+        "label": pa.array(np.array(lab, dtype=np.int32)),
+    }), str(tmp_path / "embeddings.parquet"))
+    out = (embedding_isotropy_report(str(tmp_path)).to_pandas()
+           .set_index("label"))
+    assert int(out.loc[0, "anisotropy_ppm"]) == 1_000_000
+    assert int(out.loc[1, "anisotropy_ppm"]) == 0
+
+
+def test_fair_mass_splits_mirrored_text(ray_session, tmp_path):
+    """A text present in both sources contributes half to each; a
+    unique text contributes a full micro-doc."""
+    import pyarrow.parquet as pq
+    from p2pddsketch_ray.pipelines.relational import fair_mass_by_source
+    pq.write_table(pa.table({
+        "text": pa.array(["mirrored", "mirrored", "unique-a",
+                          "unique-b"]),
+        "source": pa.array(["A", "B", "A", "B"]),
+    }), str(tmp_path / "documents.parquet"))
+    out = (fair_mass_by_source(str(tmp_path)).to_pandas()
+           .set_index("source"))
+    assert int(out.loc["A", "fair_micro"]) == 1_500_000
+    assert int(out.loc["B", "fair_micro"]) == 1_500_000
+    assert int(out.loc["A", "n_docs"]) == 2
+
+
+def test_cramers_v_perfect_association(ray_session, tmp_path):
+    """Segment fully determines priority -> V ~ 1e6; independent
+    layout -> V near 0."""
+    import pyarrow.parquet as pq
+    from p2pddsketch_ray.pipelines.relational import (
+        segment_priority_cramers_v)
+    # two segments, each customer orders only its own priority
+    custs = np.arange(40, dtype=np.int64)
+    segs = np.where(custs < 20, "AUTO", "BUILDING")
+    pq.write_table(pa.table({
+        "c_custkey": pa.array(custs),
+        "c_mktsegment": pa.array(segs.tolist(), type=pa.string()),
+    }), str(tmp_path / "customer.parquet"))
+    n_orders = 200
+    ok = np.arange(n_orders, dtype=np.int64) % 40
+    prio = np.where(ok < 20, "1-URGENT", "5-LOW")
+    pq.write_table(pa.table({
+        "o_custkey": pa.array(ok),
+        "o_orderpriority": pa.array(prio.tolist(), type=pa.string()),
+    }), str(tmp_path / "orders.parquet"))
+    out = segment_priority_cramers_v(str(tmp_path)).to_pydict()
+    assert out["n_orders"] == [n_orders]
+    assert out["cramers_v_ppm"][0] > 990_000
