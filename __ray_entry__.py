@@ -304,6 +304,14 @@ from p2pddsketch_ray.pipelines.relational import (  # noqa: E402
     FAIR_MASS_SQL as _FAIR_MASS_SQL,
     segment_priority_cramers_v as _segment_priority_cramers_v,
     SEGMENT_PRIORITY_CRAMERS_SQL as _SEGMENT_PRIORITY_CRAMERS_SQL,
+    median_of_means_value as _median_of_means_value,
+    MEDIAN_OF_MEANS_SQL as _MEDIAN_OF_MEANS_SQL,
+    hourweek_profile as _hourweek_profile,
+    HOURWEEK_PROFILE_SQL as _HOURWEEK_PROFILE_SQL,
+    lexical_sophistication_by_source as _lexical_sophistication,
+    LEXICAL_SOPHISTICATION_SQL as _LEXICAL_SOPHISTICATION_SQL,
+    interorder_gap_median as _interorder_gap_median,
+    INTERORDER_GAP_SQL as _INTERORDER_GAP_SQL,
     brand_year_revenue as _brand_year_revenue,
     BRAND_YEAR_REVENUE_SQL as _BRAND_YEAR_REVENUE_SQL,
     customer_frequency_spectrum as _customer_frequency_spectrum,
@@ -1067,6 +1075,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fair_mass_by_source": _fair_mass_by_source,
         # segment x priority contingency: chi2 + Cramer's V (join)
         "segment_priority_cramers_v": _segment_priority_cramers_v,
+        # median-of-means robust mean beside the plain mean
+        "median_of_means_value": _median_of_means_value,
+        # 7x24 hour-of-week load heatmap with ppm shares
+        "hourweek_profile": _hourweek_profile,
+        # occurrence-weighted mean global token rank per source
+        "lexical_sophistication_by_source": _lexical_sophistication,
+        # median / p90 days between consecutive orders per customer
+        "interorder_gap_median": _interorder_gap_median,
         # Markov next-event baseline accuracy per previous type
         "markov_next_accuracy": _markov_next_accuracy,
         # out-of-order lateness vs arrival order (distributed prefix max)
@@ -1734,6 +1750,11 @@ def oracle_sql() -> dict[str, str]:
         "embedding_isotropy_report": _EMBEDDING_ISOTROPY_SQL,
         "fair_mass_by_source": _FAIR_MASS_SQL,
         "segment_priority_cramers_v": _SEGMENT_PRIORITY_CRAMERS_SQL,
+        "median_of_means_value": _MEDIAN_OF_MEANS_SQL,
+        "hourweek_profile": _HOURWEEK_PROFILE_SQL,
+        "lexical_sophistication_by_source":
+            _LEXICAL_SOPHISTICATION_SQL,
+        "interorder_gap_median": _INTERORDER_GAP_SQL,
         "markov_next_accuracy": _MARKOV_NEXT_ACC_SQL,
         "ooo_lateness_stats": _OOO_LATENESS_SQL,
         "multimodal_resize_stats": """

@@ -15869,3 +15869,309 @@ SELECT tot.nn AS n_orders, chi.cells AS n_cells, chi.chi2_micro,
                   * 1000000.0) AS BIGINT) AS cramers_v_ppm
 FROM chi CROSS JOIN tot
 """
+
+
+def median_of_means_value(sf_dir: str, k_groups: int = 15) -> pa.Table:
+    """MEDIAN-OF-MEANS robust mean estimator for event value: rows are
+    hash-assigned to ``k_groups`` buckets, each bucket's mean is an
+    exact floored micro-unit integer, and the estimate is the
+    quantile_disc median of those k integers -- the heavy-tail-immune
+    mean with sub-Gaussian concentration, reported beside the plain
+    mean so the distortion is visible.
+
+    Scale shape: one streamed (group, sum, n) combiner; O(k) fold.
+    """
+    from ..hashing import murmur64
+    ds = _read(sf_dir, "events", ["event_id", "value"])
+    K = int(k_groups)
+
+    empty = pa.table({"g": pa.array([], type=pa.int64()),
+                      "s": pa.array([], type=pa.int64()),
+                      "n": pa.array([], type=pa.int64())})
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        ids = t["event_id"].to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        g = (murmur64(ids) % np.uint64(K)).astype(np.int64)
+        m = _int_units(t["value"], 1_000_000).to_numpy(
+            zero_copy_only=False)
+        s = np.zeros(K, dtype=np.int64)
+        n = np.zeros(K, dtype=np.int64)
+        np.add.at(s, g, m)
+        np.add.at(n, g, 1)
+        return pa.table({"g": pa.array(np.arange(K, dtype=np.int64)),
+                         "s": pa.array(s), "n": pa.array(n)})
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("g")
+           .aggregate(Sum("s", alias_name="s"),
+                      Sum("n", alias_name="n"))
+           .to_pandas().sort_values("g"))
+    s = agg["s"].to_numpy(dtype=np.int64)
+    n = agg["n"].to_numpy(dtype=np.int64)
+    # s is already in micro units, so each group mean is s // n
+    means = np.array([int(si) // int(ni) if ni else 0
+                      for si, ni in zip(s, n)], dtype=np.int64)
+    srt = np.sort(means)
+    mom = int(srt[max(0, -(-K // 2) - 1)])
+    stot, ntot = int(s.sum()), int(n.sum())
+    return pa.table({
+        "k_groups": pa.array([K], type=pa.int64()),
+        "plain_mean_micro": pa.array([stot // ntot], type=pa.int64()),
+        "mom_micro": pa.array([mom], type=pa.int64()),
+    })
+
+
+MEDIAN_OF_MEANS_SQL = """
+WITH g AS (
+  SELECT CAST(hash(event_id) % 15 AS BIGINT) AS g,
+         CAST(sum(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT))
+              AS BIGINT) AS s,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1
+), m AS (SELECT g, CAST(s // n AS BIGINT) AS mean_micro FROM g),
+t AS (SELECT CAST(sum(s) AS BIGINT) AS st,
+             CAST(sum(n) AS BIGINT) AS nt FROM g)
+SELECT CAST(15 AS BIGINT) AS k_groups,
+       CAST(t.st // t.nt AS BIGINT) AS plain_mean_micro,
+       CAST((SELECT quantile_disc(mean_micro, 0.5) FROM m) AS BIGINT)
+         AS mom_micro
+FROM t
+"""
+
+
+def hourweek_profile(sf_dir: str) -> pa.Table:
+    """HOUR-OF-WEEK LOAD PROFILE: the 7x24 event-count matrix (epoch
+    day 0 = Thursday = weekday index 3, Mon = 0) with each cell's
+    share in ppm -- the capacity-planning heatmap behind batch-window
+    placement, exact integers.
+
+    Scale shape: one streamed 168-cell combiner.
+    """
+    ds = _read(sf_dir, "events", ["ts"])
+    HOUR_US = np.int64(3_600_000_000)
+
+    def partial(t: pa.Table) -> pa.Table:
+        us = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        hour_abs = us // HOUR_US
+        day = hour_abs // 24
+        dow = (day + 3) % 7
+        hod = hour_abs % 24
+        cell = dow * 24 + hod
+        cnt = np.bincount(cell, minlength=168)
+        return pa.table({
+            "cell": pa.array(np.arange(168, dtype=np.int64)),
+            "n": pa.array(cnt.astype(np.int64))})
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("cell").aggregate(Sum("n", alias_name="n"))
+           .to_pandas().sort_values("cell"))
+    n = np.zeros(168, dtype=np.int64)
+    n[agg["cell"].to_numpy(dtype=np.int64)] = \
+        agg["n"].to_numpy(dtype=np.int64)
+    tot = int(n.sum())
+    cells = np.arange(168, dtype=np.int64)
+    return pa.table({
+        "dow": pa.array(cells // 24),
+        "hour": pa.array(cells % 24),
+        "n": pa.array(n),
+        "share_ppm": pa.array(n * 1_000_000 // tot),
+    })
+
+
+HOURWEEK_PROFILE_SQL = """
+WITH e AS (
+  SELECT CAST(epoch_us(ts) AS BIGINT) // 3600000000 AS hour_abs
+  FROM events
+), c AS (
+  SELECT (hour_abs // 24 + 3) % 7 AS dow, hour_abs % 24 AS hour,
+         CAST(count(*) AS BIGINT) AS n
+  FROM e GROUP BY 1, 2
+), grid AS (
+  SELECT d.d AS dow, h.h AS hour
+  FROM (SELECT unnest(generate_series(0, 6)) AS d) d
+  CROSS JOIN (SELECT unnest(generate_series(0, 23)) AS h) h
+), t AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM c)
+SELECT CAST(grid.dow AS BIGINT) AS dow,
+       CAST(grid.hour AS BIGINT) AS hour,
+       CAST(COALESCE(c.n, 0) AS BIGINT) AS n,
+       CAST(COALESCE(c.n, 0) * 1000000 // t.tot AS BIGINT)
+         AS share_ppm
+FROM grid LEFT JOIN c ON c.dow = grid.dow AND c.hour = grid.hour
+CROSS JOIN t
+ORDER BY 1, 2
+"""
+
+
+def lexical_sophistication_by_source(sf_dir: str) -> pa.Table:
+    """LEXICAL SOPHISTICATION per source: the mean GLOBAL frequency
+    rank of the tokens a source actually uses (occurrence-weighted;
+    rank 0 = the corpus's most common token) -- boilerplate feeds skew
+    low, technical feeds skew high.  Exact integers via a broadcast
+    rarity-rank map over the bounded vocabulary.
+
+    Scale shape: one vocabulary groupby builds the rank map (ray.put
+    once); one streamed (source, sum-rank, n) combiner.
+    """
+    docs = _read(sf_dir, "documents", ["source", "text"])
+
+    vocab_empty = pa.table({"tok": pa.array([], type=pa.string()),
+                            "n": pa.array([], type=pa.int64())})
+
+    def counts(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t["text"], pattern=" ")
+        flat = pc.list_flatten(toks).combine_chunks()
+        if len(flat) == 0:
+            return vocab_empty
+        g = pa.table({"tok": flat}).group_by("tok").aggregate(
+            [("tok", "count")])
+        return pa.table({"tok": g["tok"],
+                         "n": pc.cast(g["tok_count"], pa.int64())})
+
+    freq = (docs.map_batches(counts, batch_format="pyarrow",
+                             zero_copy_batch=True)
+            .groupby("tok").aggregate(Sum("n", alias_name="n"))
+            .to_pandas())
+    toks_all = freq["tok"].to_numpy()
+    nf = freq["n"].to_numpy(dtype=np.int64)
+    order = np.lexsort((toks_all, -nf))     # most frequent first
+    rank_of = {str(toks_all[i]): r for r, i in enumerate(order)}
+    rank_ref = ray.put(rank_of)
+
+    empty = pa.table({"source": pa.array([], type=pa.string()),
+                      "sum_rank": pa.array([], type=pa.int64()),
+                      "n_tokens": pa.array([], type=pa.int64())})
+
+    def partial(t: pa.Table) -> pa.Table:
+        rank = ray.get(rank_ref)
+        toks = pc.split_pattern(t["text"], pattern=" ")
+        flat = pc.list_flatten(toks).combine_chunks()
+        if len(flat) == 0:
+            return empty
+        nper = pc.list_value_length(toks).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        src = np.repeat(t["source"].to_numpy(zero_copy_only=False),
+                        nper)
+        rk = np.array([rank[s] for s in flat.to_pylist()],
+                      dtype=np.int64)
+        us, inv = np.unique(src, return_inverse=True)
+        sr = np.zeros(us.size, dtype=np.int64)
+        nt = np.zeros(us.size, dtype=np.int64)
+        np.add.at(sr, inv, rk)
+        np.add.at(nt, inv, 1)
+        return pa.table({"source": pa.array(us.tolist(),
+                                            type=pa.string()),
+                         "sum_rank": pa.array(sr),
+                         "n_tokens": pa.array(nt)})
+
+    agg = (docs.map_batches(partial, batch_format="pyarrow",
+                            zero_copy_batch=True)
+           .groupby("source")
+           .aggregate(Sum("sum_rank", alias_name="sum_rank"),
+                      Sum("n_tokens", alias_name="n_tokens"))
+           .to_pandas().sort_values("source"))
+    sr = agg["sum_rank"].to_numpy(dtype=np.int64)
+    nt = agg["n_tokens"].to_numpy(dtype=np.int64)
+    return pa.table({
+        "source": pa.array(agg["source"].tolist(), type=pa.string()),
+        "n_tokens": pa.array(nt),
+        "mean_rank_micro": pa.array(sr * 1_000_000 // nt),
+    })
+
+
+LEXICAL_SOPHISTICATION_SQL = """
+WITH toks AS (
+  SELECT source, unnest(string_split(text, ' ')) AS tok
+  FROM documents
+), freq AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS n FROM toks GROUP BY 1
+), ranked AS (
+  SELECT tok,
+         CAST(row_number() OVER (ORDER BY n DESC, tok) - 1 AS BIGINT)
+           AS r
+  FROM freq
+)
+SELECT toks.source,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(ranked.r) * 1000000 // count(*) AS BIGINT)
+         AS mean_rank_micro
+FROM toks JOIN ranked USING (tok)
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def interorder_gap_median(sf_dir: str) -> pa.Table:
+    """INTER-PURCHASE TIME: the exact median (and p90) of the
+    day-gaps between a customer's consecutive orders -- the cadence
+    number behind replenishment and churn models.  Ordered per-user
+    diffs via the user co-partition kernel; quantiles via the
+    histogram-bisection pass (quantile_disc semantics).
+
+    Scale shape: co-partition by customer, vectorized diff per
+    partition, one exact-quantile pass over the gap dataset.
+    """
+    from ..stages.partition import fit_partitions, partition_by
+    from .quantiles import exact_quantiles
+
+    ds = _read(sf_dir, "orders",
+               ["o_custkey", "o_orderdate", "o_orderkey"])
+    DAY_US = np.int64(86_400_000_000)
+
+    def prep(t: pa.Table) -> pa.Table:
+        us = pc.cast(t["o_orderdate"], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        return pa.table({
+            "cust": pc.cast(t["o_custkey"], pa.int64()),
+            "day": pa.array(us // DAY_US),
+            "key": pc.cast(t["o_orderkey"], pa.int64()),
+        })
+
+    empty = pa.table({"gap": pa.array([], type=pa.int64())})
+
+    def gaps(t: pa.Table) -> pa.Table:
+        c = t["cust"].to_numpy(zero_copy_only=False)
+        d = t["day"].to_numpy(zero_copy_only=False)
+        k = t["key"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((k, d, c))
+        c_s, d_s = c[order], d[order]
+        same = c_s[1:] == c_s[:-1]
+        g = (d_s[1:] - d_s[:-1])[same]
+        if g.size == 0:
+            return empty
+        return pa.table({"gap": pa.array(g.astype(np.int64))})
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    gap_ds = partition_by(prepped, ["cust"], fit_partitions(32),
+                          gaps, empty).materialize()
+    n = int(gap_ds.count())
+    qt = exact_quantiles(gap_ds, "gap", [0.5, 0.9])
+    vals = {float(qt["q"][i].as_py()): int(qt["value"][i].as_py())
+            for i in range(qt.num_rows)}
+    return pa.table({
+        "n_gaps": pa.array([n], type=pa.int64()),
+        "median_gap_days": pa.array([vals[0.5]], type=pa.int64()),
+        "p90_gap_days": pa.array([vals[0.9]], type=pa.int64()),
+    })
+
+
+INTERORDER_GAP_SQL = """
+WITH o AS (
+  SELECT o_custkey,
+         CAST(epoch_us(o_orderdate) AS BIGINT) // 86400000000 AS day,
+         lag(CAST(epoch_us(o_orderdate) AS BIGINT) // 86400000000)
+           OVER (PARTITION BY o_custkey
+                 ORDER BY epoch_us(o_orderdate), o_orderkey) AS prev
+  FROM orders
+), g AS (
+  SELECT day - prev AS gap FROM o WHERE prev IS NOT NULL
+)
+SELECT CAST(count(*) AS BIGINT) AS n_gaps,
+       CAST(quantile_disc(gap, 0.5) AS BIGINT) AS median_gap_days,
+       CAST(quantile_disc(gap, 0.9) AS BIGINT) AS p90_gap_days
+FROM g
+"""

@@ -3353,3 +3353,80 @@ def test_cramers_v_perfect_association(ray_session, tmp_path):
     out = segment_priority_cramers_v(str(tmp_path)).to_pydict()
     assert out["n_orders"] == [n_orders]
     assert out["cramers_v_ppm"][0] > 990_000
+
+
+def test_median_of_means_resists_outlier(ray_session, tmp_path):
+    """A single enormous outlier drags the plain mean far above the
+    median-of-means estimate."""
+    import pyarrow.parquet as pq
+    from p2pddsketch_ray.pipelines.relational import (
+        median_of_means_value)
+    n = 3000
+    vals = np.full(n, 10.0)
+    vals[0] = 1e7
+    pq.write_table(pa.table({
+        "event_id": pa.array(np.arange(n, dtype=np.int64)),
+        "value": pa.array(vals),
+    }), str(tmp_path / "events.parquet"))
+    out = median_of_means_value(str(tmp_path)).to_pydict()
+    assert out["plain_mean_micro"][0] > 3_000_000_000  # > 3000x base
+    assert abs(out["mom_micro"][0] - 10_000_000) < 60_000_000
+
+
+def test_hourweek_profile_spike_cell(ray_session, tmp_path):
+    """All events in one known (dow, hour) cell take the whole share;
+    epoch hour 0 is Thursday 00:00 -> dow 3, hour 0."""
+    import pyarrow.parquet as pq
+    from p2pddsketch_ray.pipelines.relational import hourweek_profile
+    pq.write_table(pa.table({
+        "ts": pa.array(np.zeros(50, dtype=np.int64)).cast(
+            pa.timestamp("us")),
+    }), str(tmp_path / "events.parquet"))
+    out = (hourweek_profile(str(tmp_path)).to_pandas()
+           .set_index(["dow", "hour"]))
+    assert len(out) == 168
+    assert int(out.loc[(3, 0), "share_ppm"]) == 1_000_000
+    assert int(out["n"].sum()) == 50
+
+
+def test_lexical_sophistication_ordering(ray_session, tmp_path):
+    """A source using only the corpus's most common token ranks lower
+    than one using only rare tokens."""
+    import pyarrow.parquet as pq
+    from p2pddsketch_ray.pipelines.relational import (
+        lexical_sophistication_by_source)
+    common = " ".join(["the"] * 50)
+    rare = " ".join(f"rare{i}" for i in range(30))
+    pq.write_table(pa.table({
+        "source": pa.array(["plain", "fancy"]),
+        "text": pa.array([common, rare]),
+    }), str(tmp_path / "documents.parquet"))
+    out = (lexical_sophistication_by_source(str(tmp_path))
+           .to_pandas().set_index("source"))
+    assert int(out.loc["plain", "mean_rank_micro"]) == 0
+    assert int(out.loc["fancy", "mean_rank_micro"]) > 0
+
+
+def test_interorder_gap_known_cadence(ray_session, tmp_path):
+    """Customers ordering every 7 days exactly -> median gap 7."""
+    import pyarrow.parquet as pq
+    from p2pddsketch_ray.pipelines.relational import (
+        interorder_gap_median)
+    DAY_US = 86_400_000_000
+    rows_c, rows_d = [], []
+    for c in range(20):
+        for i in range(5):
+            rows_c.append(c)
+            rows_d.append((i * 7 + c) * DAY_US)
+    pq.write_table(pa.table({
+        "o_custkey": pa.array(np.array(rows_c, dtype=np.int64)),
+        "o_orderdate": pa.array(np.array(rows_d,
+                                         dtype=np.int64)).cast(
+            pa.timestamp("us")),
+        "o_orderkey": pa.array(np.arange(len(rows_c),
+                                         dtype=np.int64)),
+    }), str(tmp_path / "orders.parquet"))
+    out = interorder_gap_median(str(tmp_path)).to_pydict()
+    assert out["n_gaps"] == [20 * 4]
+    assert out["median_gap_days"] == [7]
+    assert out["p90_gap_days"] == [7]
