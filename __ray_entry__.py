@@ -77,6 +77,8 @@ from p2pddsketch_ray.pipelines.temporal import (  # noqa: E402
     SLO_BURN_SQL as _SLO_BURN_SQL,
     watermark_lateness_curve as _watermark_lateness_curve,
     WATERMARK_CURVE_SQL as _WATERMARK_CURVE_SQL,
+    metronome_bot_report as _metronome_bot_report,
+    METRONOME_BOT_SQL as _METRONOME_BOT_SQL,
     PROPS_VOCAB_DRIFT_SQL as _PROPS_VOCAB_DRIFT_SQL,
     props_vocab_drift as _props_vocab_drift,
     ooo_lateness_stats as _ooo_lateness_stats,
@@ -312,6 +314,10 @@ from p2pddsketch_ray.pipelines.relational import (  # noqa: E402
     LEXICAL_SOPHISTICATION_SQL as _LEXICAL_SOPHISTICATION_SQL,
     interorder_gap_median as _interorder_gap_median,
     INTERORDER_GAP_SQL as _INTERORDER_GAP_SQL,
+    price_endings_report as _price_endings_report,
+    PRICE_ENDINGS_SQL as _PRICE_ENDINGS_SQL,
+    bigram_lm_perplexity as _bigram_lm_perplexity,
+    BIGRAM_LM_SQL as _BIGRAM_LM_SQL,
     brand_year_revenue as _brand_year_revenue,
     BRAND_YEAR_REVENUE_SQL as _BRAND_YEAR_REVENUE_SQL,
     customer_frequency_spectrum as _customer_frequency_spectrum,
@@ -1083,6 +1089,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lexical_sophistication_by_source": _lexical_sophistication,
         # median / p90 days between consecutive orders per customer
         "interorder_gap_median": _interorder_gap_median,
+        # perfectly-regular-gap bot screen (min gap == max gap)
+        "metronome_bot_report": _metronome_bot_report,
+        # cents-ending distribution of order totals (top 8)
+        "price_endings_report": _price_endings_report,
+        # held-out add-one bigram LM cross-entropy (micro-nats/token)
+        "bigram_lm_perplexity": _bigram_lm_perplexity,
         # Markov next-event baseline accuracy per previous type
         "markov_next_accuracy": _markov_next_accuracy,
         # out-of-order lateness vs arrival order (distributed prefix max)
@@ -1755,6 +1767,9 @@ def oracle_sql() -> dict[str, str]:
         "lexical_sophistication_by_source":
             _LEXICAL_SOPHISTICATION_SQL,
         "interorder_gap_median": _INTERORDER_GAP_SQL,
+        "metronome_bot_report": _METRONOME_BOT_SQL,
+        "price_endings_report": _PRICE_ENDINGS_SQL,
+        "bigram_lm_perplexity": _BIGRAM_LM_SQL,
         "markov_next_accuracy": _MARKOV_NEXT_ACC_SQL,
         "ooo_lateness_stats": _OOO_LATENESS_SQL,
         "multimodal_resize_stats": """

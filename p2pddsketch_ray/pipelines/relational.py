@@ -16175,3 +16175,200 @@ SELECT CAST(count(*) AS BIGINT) AS n_gaps,
        CAST(quantile_disc(gap, 0.9) AS BIGINT) AS p90_gap_days
 FROM g
 """
+
+
+def price_endings_report(sf_dir: str) -> pa.Table:
+    """PRICE-ENDING AUDIT: the cents-ending distribution of order
+    totals (top-8 endings plus the .99 / .00 shares) -- the charm-
+    pricing / synthetic-data fingerprint check (real retail prices
+    cluster on endings; uniform endings scream generated data).
+
+    Scale shape: one streamed 100-cell combiner.
+    """
+    ds = _read(sf_dir, "orders", ["o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = _int_units(t["o_totalprice"], 100).to_numpy(
+            zero_copy_only=False)
+        e = cents % 100
+        cnt = np.bincount(e, minlength=100)
+        return pa.table({
+            "ending": pa.array(np.arange(100, dtype=np.int64)),
+            "n": pa.array(cnt.astype(np.int64))})
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("ending").aggregate(Sum("n", alias_name="n"))
+           .to_pandas().sort_values("ending"))
+    n = np.zeros(100, dtype=np.int64)
+    n[agg["ending"].to_numpy(dtype=np.int64)] = \
+        agg["n"].to_numpy(dtype=np.int64)
+    tot = int(n.sum())
+    order = np.lexsort((np.arange(100), -n))[:8]
+    return pa.table({
+        "ending": pa.array(order.astype(np.int64)),
+        "n": pa.array(n[order]),
+        "share_ppm": pa.array(n[order] * 1_000_000 // tot),
+    })
+
+
+PRICE_ENDINGS_SQL = """
+WITH e AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) % 100 AS ending
+  FROM orders
+), c AS (
+  SELECT ending, CAST(count(*) AS BIGINT) AS n FROM e GROUP BY 1
+), t AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM c),
+g AS (
+  SELECT g.e AS ending, CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+  FROM (SELECT unnest(generate_series(0, 99)) AS e) g
+  LEFT JOIN c ON c.ending = g.e
+)
+SELECT CAST(g.ending AS BIGINT) AS ending, g.n,
+       CAST(g.n * 1000000 // t.tot AS BIGINT) AS share_ppm
+FROM g CROSS JOIN t
+ORDER BY g.n DESC, g.ending
+LIMIT 8
+"""
+
+
+def bigram_lm_perplexity(sf_dir: str) -> pa.Table:
+    """HELD-OUT BIGRAM LANGUAGE MODEL EVAL: train an add-one-smoothed
+    token-bigram LM on the hash-split train docs (murmur(doc_id) % 10
+    < 8) and report the exact cross-entropy of the held-out docs in
+    micro-nats per token -- the canonical "is this corpus modelable /
+    is that split leaking" number, carried as per-occurrence
+    floor(ln((r + V) / (c + 1)) * 1e6) integer terms (the mirrored
+    ln-parity pattern; no float sum).
+
+    Scale shape: bounded-vocabulary bigram-count groupby on the train
+    split; the count table broadcasts (ray.put) into one streamed
+    eval combiner over the test split.
+    """
+    from ..hashing import murmur64
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    big_empty = pa.table({"w1": pa.array([], type=pa.string()),
+                          "w2": pa.array([], type=pa.string()),
+                          "n": pa.array([], type=pa.int64())})
+
+    def _bigrams(t: pa.Table, want_train: bool):
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        pct = (murmur64(ids) % np.uint64(10)).astype(np.int64)
+        keep = (pct < 8) if want_train else (pct >= 8)
+        t = t.filter(pa.array(keep))
+        if t.num_rows == 0:
+            return None
+        toks = pc.split_pattern(t["text"], pattern=" ")
+        flat = np.asarray(pc.list_flatten(toks).to_pylist(),
+                          dtype=np.str_)
+        nper = pc.list_value_length(toks).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        ends = np.cumsum(nper)
+        valid = np.ones(flat.size, dtype=bool)
+        valid[ends - 1] = False     # no bigram across doc boundary
+        w1 = flat[:-1][valid[:-1]]
+        w2 = flat[1:][valid[:-1]]
+        return w1, w2
+
+    def train_counts(t: pa.Table) -> pa.Table:
+        r = _bigrams(t, want_train=True)
+        if r is None:
+            return big_empty
+        w1, w2 = r
+        comb = np.char.add(np.char.add(w1, " "), w2)
+        u, c = np.unique(comb, return_counts=True)
+        parts = np.char.partition(u, " ")
+        return pa.table({"w1": pa.array(parts[:, 0].tolist(),
+                                        type=pa.string()),
+                         "w2": pa.array(parts[:, 2].tolist(),
+                                        type=pa.string()),
+                         "n": pa.array(c.astype(np.int64))})
+
+    counts = (docs.map_batches(train_counts, batch_format="pyarrow",
+                               zero_copy_batch=True)
+              .groupby(["w1", "w2"])
+              .aggregate(Sum("n", alias_name="n"))
+              .to_pandas())
+    # vocabulary = distinct SECOND tokens seen in train (the
+    # prediction space); row totals per first token
+    vocab = int(counts["w2"].nunique())
+    cmap = {(a, b): int(v) for a, b, v in
+            zip(counts["w1"], counts["w2"], counts["n"])}
+    rtot = counts.groupby("w1")["n"].sum().to_dict()
+    model_ref = ray.put((cmap, rtot, vocab))
+
+    ev_empty = pa.table({"terms": pa.array([], type=pa.int64()),
+                         "n_tok": pa.array([], type=pa.int64())})
+
+    def evaluate(t: pa.Table) -> pa.Table:
+        cmap_, rtot_, V = ray.get(model_ref)
+        r = _bigrams(t, want_train=False)
+        if r is None:
+            return ev_empty
+        w1, w2 = r
+        c = np.array([cmap_.get((a, b), 0)
+                      for a, b in zip(w1.tolist(), w2.tolist())],
+                     dtype=np.int64)
+        rt = np.array([rtot_.get(a, 0) for a in w1.tolist()],
+                      dtype=np.int64)
+        terms = np.floor(np.log((rt + V).astype(np.float64)
+                                / (c + 1).astype(np.float64))
+                         * 1_000_000.0).astype(np.int64)
+        return pa.table({
+            "terms": pa.array([int(terms.sum())], type=pa.int64()),
+            "n_tok": pa.array([int(terms.size)], type=pa.int64())})
+
+    f = docs.map_batches(evaluate, batch_format="pyarrow",
+                         zero_copy_batch=True).to_pandas()
+    terms = int(f["terms"].sum())
+    n_tok = int(f["n_tok"].sum())
+    return pa.table({
+        "vocab": pa.array([vocab], type=pa.int64()),
+        "n_test_bigrams": pa.array([n_tok], type=pa.int64()),
+        "xent_micronats_total": pa.array([terms], type=pa.int64()),
+        "xent_micronats_per_tok": pa.array(
+            [terms // n_tok if n_tok else 0], type=pa.int64()),
+    })
+
+
+BIGRAM_LM_SQL = """
+WITH tk AS (
+  SELECT doc_id, hash(doc_id) % 10 AS pct,
+         string_split(text, ' ') AS toks
+  FROM documents
+), e AS (
+  SELECT doc_id, pct, unnest(toks) AS tok,
+         unnest(generate_series(1, len(toks))) AS pos,
+         len(toks) AS ln
+  FROM tk
+), bg AS (
+  SELECT a.pct, a.tok AS w1, b.tok AS w2
+  FROM e a JOIN e b
+    ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+), train AS (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS n
+  FROM bg WHERE pct < 8 GROUP BY 1, 2
+), v AS (SELECT CAST(count(DISTINCT w2) AS BIGINT) AS vocab
+         FROM train),
+r AS (SELECT w1, CAST(sum(n) AS BIGINT) AS rt FROM train GROUP BY 1),
+test AS (
+  SELECT bg.w1, bg.w2,
+         COALESCE(train.n, 0) AS c, COALESCE(r.rt, 0) AS rt
+  FROM bg
+  LEFT JOIN train ON train.w1 = bg.w1 AND train.w2 = bg.w2
+  LEFT JOIN r ON r.w1 = bg.w1
+  WHERE bg.pct >= 8
+), terms AS (
+  SELECT CAST(floor(ln(CAST(rt + v.vocab AS DOUBLE)
+                       / CAST(c + 1 AS DOUBLE)) * 1000000.0)
+              AS BIGINT) AS t
+  FROM test CROSS JOIN v
+)
+SELECT (SELECT vocab FROM v) AS vocab,
+       CAST(count(*) AS BIGINT) AS n_test_bigrams,
+       CAST(sum(t) AS BIGINT) AS xent_micronats_total,
+       CAST(sum(t) // count(*) AS BIGINT) AS xent_micronats_per_tok
+FROM terms
+"""

@@ -3117,3 +3117,107 @@ SELECT CAST(d.delay_us AS BIGINT) AS delay_us,
          AS drop_ppm
 FROM e CROSS JOIN d GROUP BY 1 ORDER BY 1
 """
+
+
+def metronome_bot_report(sf_dir: str, min_gaps: int = 5) -> pa.Table:
+    """METRONOME-BOT SCREEN: users whose inter-event gaps are PERFECTLY
+    regular (identical across >= min_gaps gaps) -- the cheapest strong
+    bot signal in clickstream QA, exact because "zero variance" is
+    simply min(gap) == max(gap) in integer microseconds (no squares,
+    no overflow).
+
+    Scale shape: user co-partition ordered kernel -> per-user integer
+    gap moments -> one scalar fold.
+    """
+    from ray.data.aggregate import Sum
+    from ..stages.partition import fit_partitions, partition_by
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "ts", "user_id"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": pc.cast(t["user_id"], pa.int64()),
+            "ts": pa.array(_as_int64(t["ts"]), type=pa.int64()),
+            "event_id": pc.cast(t["event_id"], pa.int64()),
+        })
+
+    empty = pa.table({c: pa.array([], type=pa.int64())
+                      for c in ("n_users", "n_eligible", "n_bots",
+                                "bot_events")})
+
+    def kernel(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        ts = t["ts"].to_numpy(zero_copy_only=False)
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, uid))
+        u_s, t_s = uid[order], ts[order]
+        n = u_s.size
+        new = np.ones(n, dtype=bool)
+        new[1:] = u_s[1:] != u_s[:-1]
+        grp = np.cumsum(new) - 1
+        n_users = int(grp[-1]) + 1 if n else 0
+        same = ~new[1:]
+        g = (t_s[1:] - t_s[:-1])
+        gu = grp[1:]
+        n_g = np.zeros(n_users, dtype=np.int64)
+        g_min = np.full(n_users, np.iinfo(np.int64).max,
+                        dtype=np.int64)
+        g_max = np.full(n_users, np.iinfo(np.int64).min,
+                        dtype=np.int64)
+        np.add.at(n_g, gu[same], 1)
+        np.minimum.at(g_min, gu[same], g[same])
+        np.maximum.at(g_max, gu[same], g[same])
+        eligible = n_g >= min_gaps
+        bots = eligible & (g_min == g_max)
+        ev_per_user = np.bincount(grp, minlength=n_users)
+        return pa.table({
+            "n_users": pa.array([n_users], type=pa.int64()),
+            "n_eligible": pa.array([int(eligible.sum())],
+                                   type=pa.int64()),
+            "n_bots": pa.array([int(bots.sum())], type=pa.int64()),
+            "bot_events": pa.array([int(ev_per_user[bots].sum())],
+                                   type=pa.int64()),
+        })
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    f = (partition_by(prepped, ["user_id"], fit_partitions(32),
+                      kernel, empty).to_pandas())
+    return pa.table({
+        "n_users": pa.array([int(f["n_users"].sum())],
+                            type=pa.int64()),
+        "n_eligible": pa.array([int(f["n_eligible"].sum())],
+                               type=pa.int64()),
+        "n_bots": pa.array([int(f["n_bots"].sum())],
+                           type=pa.int64()),
+        "bot_events": pa.array([int(f["bot_events"].sum())],
+                               type=pa.int64()),
+    })
+
+
+METRONOME_BOT_SQL = """
+WITH e AS (
+  SELECT user_id,
+         CAST(epoch_us(ts) AS BIGINT)
+           - lag(CAST(epoch_us(ts) AS BIGINT)) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+           AS gap
+  FROM events
+), pu AS (
+  SELECT user_id,
+         CAST(count(gap) AS BIGINT) AS n_g,
+         CAST(min(gap) AS BIGINT) AS g_min,
+         CAST(max(gap) AS BIGINT) AS g_max,
+         CAST(count(*) AS BIGINT) AS n_ev
+  FROM e GROUP BY 1
+)
+SELECT CAST(count(*) AS BIGINT) AS n_users,
+       CAST(sum(CASE WHEN n_g >= 5 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_eligible,
+       CAST(sum(CASE WHEN n_g >= 5 AND g_min = g_max
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_bots,
+       CAST(COALESCE(sum(CASE WHEN n_g >= 5 AND g_min = g_max
+                THEN n_ev END), 0) AS BIGINT) AS bot_events
+FROM pu
+"""

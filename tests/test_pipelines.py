@@ -3430,3 +3430,40 @@ def test_interorder_gap_known_cadence(ray_session, tmp_path):
     assert out["n_gaps"] == [20 * 4]
     assert out["median_gap_days"] == [7]
     assert out["p90_gap_days"] == [7]
+
+
+def test_price_endings_concentrated(ray_session, tmp_path):
+    """All .99 prices put the whole mass on ending 99."""
+    import pyarrow.parquet as pq
+    from p2pddsketch_ray.pipelines.relational import price_endings_report
+    pq.write_table(pa.table({
+        "o_totalprice": pa.array(np.arange(1, 101) + 0.99),
+    }), str(tmp_path / "orders.parquet"))
+    out = price_endings_report(str(tmp_path)).to_pandas()
+    assert int(out.iloc[0]["ending"]) == 99
+    assert int(out.iloc[0]["share_ppm"]) == 1_000_000
+
+
+def test_bigram_lm_lower_xent_on_predictable_corpus(ray_session,
+                                                    tmp_path):
+    """A corpus of one repeated bigram chain scores far lower held-out
+    cross-entropy than a corpus of shuffled random tokens."""
+    import pyarrow.parquet as pq
+    from p2pddsketch_ray.pipelines.relational import bigram_lm_perplexity
+    rng = np.random.default_rng(6)
+    det = [" ".join(["a b"] * 30)] * 50
+    pq.write_table(pa.table({
+        "doc_id": pa.array(np.arange(50, dtype=np.int64)),
+        "text": pa.array(det),
+    }), str(tmp_path / "documents.parquet"))
+    out_det = bigram_lm_perplexity(str(tmp_path)).to_pydict()
+
+    rnd = [" ".join(rng.choice([f"w{i}" for i in range(50)], 60))
+           for _ in range(50)]
+    pq.write_table(pa.table({
+        "doc_id": pa.array(np.arange(50, dtype=np.int64)),
+        "text": pa.array(rnd),
+    }), str(tmp_path / "documents.parquet"))
+    out_rnd = bigram_lm_perplexity(str(tmp_path)).to_pydict()
+    assert out_det["xent_micronats_per_tok"][0] < \
+        out_rnd["xent_micronats_per_tok"][0]

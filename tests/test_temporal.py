@@ -825,3 +825,34 @@ def test_watermark_curve_monotone_and_exact(ray_session, tmp_path):
     assert int(out.loc[3_600_000_000, "n_dropped"]) == 0
     assert (out["n_dropped"].to_numpy()[:-1]
             >= out["n_dropped"].to_numpy()[1:]).all()
+
+
+def test_metronome_bot_flags_regular_user(ray_session, tmp_path):
+    """A user firing exactly every 10s across 8 gaps is a bot; a
+    jittered user is not; a 3-gap regular user is ineligible."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from p2pddsketch_ray.pipelines.temporal import metronome_bot_report
+    S = 1_000_000
+    rows_u, rows_ts = [], []
+    for i in range(9):                    # bot: 8 identical gaps
+        rows_u.append(0); rows_ts.append(i * 10 * S)
+    rng = np.random.default_rng(8)
+    t = 0
+    for i in range(9):                    # human: jittered gaps
+        rows_u.append(1); rows_ts.append(t)
+        t += int(rng.integers(5, 20)) * S
+    for i in range(4):                    # regular but only 3 gaps
+        rows_u.append(2); rows_ts.append(i * 10 * S)
+    pq.write_table(pa.table({
+        "event_id": pa.array(np.arange(len(rows_u), dtype=np.int64)),
+        "ts": pa.array(np.array(rows_ts, dtype=np.int64)).cast(
+            pa.timestamp("us")),
+        "user_id": pa.array(np.array(rows_u, dtype=np.int64)),
+    }), str(tmp_path / "events.parquet"))
+    out = metronome_bot_report(str(tmp_path)).to_pydict()
+    assert out["n_users"] == [3]
+    assert out["n_eligible"] == [2]
+    assert out["n_bots"] == [1]
+    assert out["bot_events"] == [9]
