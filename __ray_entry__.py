@@ -318,6 +318,12 @@ from p2pddsketch_ray.pipelines.relational import (  # noqa: E402
     PRICE_ENDINGS_SQL as _PRICE_ENDINGS_SQL,
     bigram_lm_perplexity as _bigram_lm_perplexity,
     BIGRAM_LM_SQL as _BIGRAM_LM_SQL,
+    cvm_drift_binned as _cvm_drift_binned,
+    CVM_DRIFT_SQL as _CVM_DRIFT_SQL,
+    two_proportion_ztest as _two_proportion_ztest,
+    TWO_PROPORTION_SQL as _TWO_PROPORTION_SQL,
+    poisson_surprise_hours as _poisson_surprise_hours,
+    POISSON_SURPRISE_SQL as _POISSON_SURPRISE_SQL,
     brand_year_revenue as _brand_year_revenue,
     BRAND_YEAR_REVENUE_SQL as _BRAND_YEAR_REVENUE_SQL,
     customer_frequency_spectrum as _customer_frequency_spectrum,
@@ -1095,6 +1101,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "price_endings_report": _price_endings_report,
         # held-out add-one bigram LM cross-entropy (micro-nats/token)
         "bigram_lm_perplexity": _bigram_lm_perplexity,
+        # Cramer-von Mises drift (squared CDF gaps, big-int exact)
+        "cvm_drift_binned": _cvm_drift_binned,
+        # pooled two-proportion z-test between the hash arms
+        "two_proportion_ztest": _two_proportion_ztest,
+        # top-5 most Poisson-surprising (type, hour) cells
+        "poisson_surprise_hours": _poisson_surprise_hours,
         # Markov next-event baseline accuracy per previous type
         "markov_next_accuracy": _markov_next_accuracy,
         # out-of-order lateness vs arrival order (distributed prefix max)
@@ -1770,6 +1782,9 @@ def oracle_sql() -> dict[str, str]:
         "metronome_bot_report": _METRONOME_BOT_SQL,
         "price_endings_report": _PRICE_ENDINGS_SQL,
         "bigram_lm_perplexity": _BIGRAM_LM_SQL,
+        "cvm_drift_binned": _CVM_DRIFT_SQL,
+        "two_proportion_ztest": _TWO_PROPORTION_SQL,
+        "poisson_surprise_hours": _POISSON_SURPRISE_SQL,
         "markov_next_accuracy": _MARKOV_NEXT_ACC_SQL,
         "ooo_lateness_stats": _OOO_LATENESS_SQL,
         "multimodal_resize_stats": """

@@ -16372,3 +16372,295 @@ SELECT (SELECT vocab FROM v) AS vocab,
        CAST(sum(t) // count(*) AS BIGINT) AS xent_micronats_per_tok
 FROM terms
 """
+
+
+def cvm_drift_binned(sf_dir: str, type_a: str = "view",
+                     type_b: str = "purchase",
+                     n_bins: int = 256) -> pa.Table:
+    """BINNED CRAMER-VON MISES drift between two event types' value
+    distributions: the SUM of squared CDF gaps over the grid (KS takes
+    the max, EMD the absolute sum; CvM weights persistent medium gaps)
+    -- exact big-integer arithmetic: sum (ca*n_b - cb*n_a)^2 with the
+    single final division into ppm of the maximum possible.
+
+    Scale shape: identical to ks/emd_drift_binned -- streamed Min/Max,
+    bounded bincount partials, O(n_bins) driver walk.
+    """
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def micro(t: pa.Table) -> pa.Table:
+        keep = pc.is_in(t["event_type"],
+                        value_set=pa.array([type_a, type_b]))
+        t = t.filter(keep)
+        return pa.table({"event_type": t["event_type"],
+                         "m": _int_units(t["value"], 1_000_000)})
+
+    vals = ds.map_batches(micro, batch_format="pyarrow",
+                          zero_copy_batch=True).materialize()
+    mm = vals.aggregate(Min("m", alias_name="lo"),
+                        Max("m", alias_name="hi"))
+    lo, hi = int(mm["lo"]), int(mm["hi"])
+    span = hi - lo + 1
+
+    empty = pa.table({"bin": pa.array([], type=pa.int64()),
+                      "na": pa.array([], type=pa.int64()),
+                      "nb": pa.array([], type=pa.int64())})
+
+    def binned(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        m = t["m"].to_numpy(zero_copy_only=False)
+        b = np.zeros_like(m) if span <= 1 else (m - lo) * n_bins // span
+        is_a = np.asarray(pc.equal(t["event_type"], pa.scalar(type_a)))
+        na = np.bincount(b[is_a], minlength=n_bins)
+        nb = np.bincount(b[~is_a], minlength=n_bins)
+        keep = np.nonzero(na | nb)[0]
+        return pa.table({"bin": pa.array(keep.astype(np.int64)),
+                         "na": pa.array(na[keep].astype(np.int64)),
+                         "nb": pa.array(nb[keep].astype(np.int64))})
+
+    agg = (vals.map_batches(binned, batch_format="pyarrow",
+                            zero_copy_batch=True)
+           .groupby("bin")
+           .aggregate(Sum("na", alias_name="na"),
+                      Sum("nb", alias_name="nb"))
+           .to_pandas().sort_values("bin"))
+    na = np.zeros(n_bins, dtype=np.int64)
+    nb = np.zeros(n_bins, dtype=np.int64)
+    na[agg["bin"].to_numpy(dtype=np.int64)] = agg["na"]
+    nb[agg["bin"].to_numpy(dtype=np.int64)] = agg["nb"]
+    n_a, n_b = int(na.sum()), int(nb.sum())
+    ca, cb, acc = 0, 0, 0
+    for i in range(n_bins):
+        ca += int(na[i]); cb += int(nb[i])
+        acc += (ca * n_b - cb * n_a) ** 2
+    denom = (n_a * n_b) ** 2 * n_bins
+    cvm = acc * 1_000_000 // denom if denom else 0
+    return pa.table({
+        "type_a": pa.array([type_a], type=pa.string()),
+        "type_b": pa.array([type_b], type=pa.string()),
+        "n_a": pa.array([n_a], type=pa.int64()),
+        "n_b": pa.array([n_b], type=pa.int64()),
+        "cvm_ppm": pa.array([cvm], type=pa.int64()),
+    })
+
+
+CVM_DRIFT_SQL = """
+WITH v AS (
+  SELECT event_type,
+         CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS m
+  FROM events WHERE event_type IN ('view', 'purchase')
+), b AS (SELECT min(m) AS lo, max(m) AS hi FROM v),
+g AS (
+  SELECT event_type,
+         CASE WHEN b.hi - b.lo + 1 <= 1 THEN 0
+              ELSE (m - b.lo) * 256 // (b.hi - b.lo + 1) END AS bin,
+         CAST(count(*) AS BIGINT) AS n
+  FROM v CROSS JOIN b GROUP BY 1, 2
+), grid AS (SELECT unnest(generate_series(0, 255)) AS bin),
+f AS (
+  SELECT grid.bin,
+         COALESCE(sum(g.n) FILTER (WHERE g.event_type = 'view'), 0)
+           AS na,
+         COALESCE(sum(g.n) FILTER (WHERE g.event_type = 'purchase'),
+                  0) AS nb
+  FROM grid LEFT JOIN g ON g.bin = grid.bin GROUP BY 1
+), cum AS (
+  SELECT bin, sum(na) OVER (ORDER BY bin) AS ca,
+         sum(nb) OVER (ORDER BY bin) AS cb
+  FROM f
+), t AS (SELECT CAST(sum(na) AS BIGINT) AS n_a,
+                CAST(sum(nb) AS BIGINT) AS n_b FROM f),
+s AS (
+  SELECT CAST(sum(CAST(ca * t.n_b - cb * t.n_a AS HUGEINT)
+                  * CAST(ca * t.n_b - cb * t.n_a AS HUGEINT))
+              AS HUGEINT) AS acc
+  FROM cum CROSS JOIN t
+)
+SELECT 'view' AS type_a, 'purchase' AS type_b, t.n_a, t.n_b,
+       CAST(s.acc * 1000000
+            // (CAST(t.n_a AS HUGEINT) * t.n_b
+                * CAST(t.n_a AS HUGEINT) * t.n_b * 256) AS BIGINT)
+         AS cvm_ppm
+FROM t, s
+"""
+
+
+def two_proportion_ztest(sf_dir: str,
+                         threshold: float = 100.0) -> pa.Table:
+    """TWO-PROPORTION Z-TEST between the hash arms on the high-value
+    rate: exact counts, the pooled-variance z statistic as ONE mirrored
+    double (micro units), and the integer rate difference in ppm --
+    the textbook conversion-rate comparison.
+
+    Scale shape: one streamed 2x2 combiner.
+    """
+    from ..hashing import murmur64
+    ds = _read(sf_dir, "events", ["event_id", "value"])
+    thr_m = int(round(threshold * 1_000_000))
+
+    empty = pa.table({c: pa.array([], type=pa.int64())
+                      for c in ("n_a", "k_a", "n_b", "k_b")})
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        ids = t["event_id"].to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        arm = (murmur64(ids) % np.uint64(2)).astype(np.int64)
+        m = _int_units(t["value"], 1_000_000).to_numpy(
+            zero_copy_only=False)
+        k = (m > thr_m)
+        return pa.table({
+            "n_a": pa.array([int((arm == 0).sum())], type=pa.int64()),
+            "k_a": pa.array([int((k & (arm == 0)).sum())],
+                            type=pa.int64()),
+            "n_b": pa.array([int((arm == 1).sum())], type=pa.int64()),
+            "k_b": pa.array([int((k & (arm == 1)).sum())],
+                            type=pa.int64()),
+        })
+
+    f = ds.map_batches(partial, batch_format="pyarrow",
+                       zero_copy_batch=True).to_pandas()
+    na, ka = int(f["n_a"].sum()), int(f["k_a"].sum())
+    nb, kb = int(f["n_b"].sum()), int(f["k_b"].sum())
+    # mirrored doubles, float() before dividing
+    p1 = float(ka) / na
+    p2 = float(kb) / nb
+    pp = float(ka + kb) / (na + nb)
+    se = np.sqrt(pp * (1.0 - pp) * (1.0 / na + 1.0 / nb))
+    z = (p1 - p2) / se if se > 0 else 0.0
+    diff_ppm = (ka * 1_000_000 // na) - (kb * 1_000_000 // nb)
+    return pa.table({
+        "n_a": pa.array([na], type=pa.int64()),
+        "k_a": pa.array([ka], type=pa.int64()),
+        "n_b": pa.array([nb], type=pa.int64()),
+        "k_b": pa.array([kb], type=pa.int64()),
+        "rate_diff_ppm": pa.array([diff_ppm], type=pa.int64()),
+        "z_micro": pa.array([int(np.floor(z * 1_000_000.0))],
+                            type=pa.int64()),
+    })
+
+
+TWO_PROPORTION_SQL = """
+WITH e AS (
+  SELECT CAST(hash(event_id) % 2 AS BIGINT) AS arm,
+         CASE WHEN CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)
+                   > 100000000 THEN 1 ELSE 0 END AS k
+  FROM events
+), s AS (
+  SELECT CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS na,
+         CAST(sum(CASE WHEN arm = 0 THEN k ELSE 0 END) AS BIGINT)
+           AS ka,
+         CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS nb,
+         CAST(sum(CASE WHEN arm = 1 THEN k ELSE 0 END) AS BIGINT)
+           AS kb
+  FROM e
+)
+SELECT na AS n_a, ka AS k_a, nb AS n_b, kb AS k_b,
+       CAST(ka * 1000000 // na - kb * 1000000 // nb AS BIGINT)
+         AS rate_diff_ppm,
+       CAST(floor(
+         (CAST(ka AS DOUBLE) / na - CAST(kb AS DOUBLE) / nb)
+         / sqrt((CAST(ka + kb AS DOUBLE) / (na + nb))
+                * (1.0 - CAST(ka + kb AS DOUBLE) / (na + nb))
+                * (1.0 / na + 1.0 / nb)) * 1000000.0) AS BIGINT)
+         AS z_micro
+FROM s
+"""
+
+
+def poisson_surprise_hours(sf_dir: str, k: int = 5) -> pa.Table:
+    """POISSON-SURPRISE ANOMALY RANKING: the top-k most surprising
+    (event_type, hour) cells by the Pearson residual against each
+    type's own hourly mean -- surprise = (x*H - T)^2 / (T*H) where T
+    is the type's total and H its hour count, exact by integer
+    cross-multiplication (emitted in micro units with a single big-int
+    division per cell).
+
+    Scale shape: one (type, hour) count combiner, cardinality-bounded
+    groupby, O(types x hours) driver fold with a k-row output.
+    """
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+    HOUR_US = np.int64(3_600_000_000)
+
+    def hourly(t: pa.Table) -> pa.Table:
+        us = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        staged = pa.table({"event_type": t["event_type"],
+                           "hour": pa.array(us // HOUR_US),
+                           "n": pa.array(np.ones(t.num_rows,
+                                                 dtype=np.int64))})
+        g = staged.group_by(["event_type", "hour"]).aggregate(
+            [("n", "sum")])
+        return pa.table({"event_type": g["event_type"],
+                         "hour": g["hour"],
+                         "n": pc.cast(g["n_sum"], pa.int64())})
+
+    grid = (ds.map_batches(hourly, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby(["event_type", "hour"])
+            .aggregate(Sum("n", alias_name="n"))
+            .to_pandas())
+    lo = int(grid["hour"].min()); hi = int(grid["hour"].max())
+    span = hi - lo + 1
+    rows = {c: [] for c in ("event_type", "hour", "n",
+                            "surprise_micro")}
+    for et, g in grid.groupby("event_type", sort=True):
+        v = np.zeros(span, dtype=np.int64)
+        v[g["hour"].to_numpy(dtype=np.int64) - lo] = \
+            g["n"].to_numpy(dtype=np.int64)
+        T = int(v.sum()); H = span
+        for h in range(span):
+            x = int(v[h])
+            s = (x * H - T) ** 2 * 1_000_000 // (T * H)
+            rows["event_type"].append(et)
+            rows["hour"].append(lo + h)
+            rows["n"].append(x)
+            rows["surprise_micro"].append(s)
+    import pandas as pd
+    df = pd.DataFrame(rows).sort_values(
+        ["surprise_micro", "event_type", "hour"],
+        ascending=[False, True, True]).head(k)
+    return pa.table({
+        "event_type": pa.array(df["event_type"].tolist(),
+                               type=pa.string()),
+        "hour": pa.array(df["hour"].to_numpy(dtype=np.int64)),
+        "n": pa.array(df["n"].to_numpy(dtype=np.int64)),
+        "surprise_micro": pa.array(
+            df["surprise_micro"].to_numpy(dtype=np.int64)),
+    })
+
+
+POISSON_SURPRISE_SQL = """
+WITH h AS (
+  SELECT event_type,
+         CAST(epoch_us(ts) AS BIGINT) // 3600000000 AS hour,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+), b AS (SELECT min(hour) AS lo, max(hour) AS hi FROM h),
+types AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS t FROM h
+          GROUP BY 1),
+grid AS (
+  SELECT ty.event_type, g.hour, ty.t,
+         CAST(b.hi - b.lo + 1 AS BIGINT) AS hh,
+         CAST(COALESCE(h.n, 0) AS BIGINT) AS x
+  FROM types ty
+  CROSS JOIN b
+  CROSS JOIN (SELECT unnest(generate_series(b2.lo, b2.hi)) AS hour
+              FROM b b2) g
+  LEFT JOIN h ON h.event_type = ty.event_type AND h.hour = g.hour
+), s AS (
+  SELECT event_type, hour, x,
+         CAST(CAST(x * hh - t AS HUGEINT) * (x * hh - t)
+              * 1000000 // (CAST(t AS HUGEINT) * hh) AS BIGINT)
+           AS surprise_micro
+  FROM grid
+)
+SELECT event_type, CAST(hour AS BIGINT) AS hour, x AS n,
+       surprise_micro
+FROM s
+ORDER BY surprise_micro DESC, event_type, hour
+LIMIT 5
+"""

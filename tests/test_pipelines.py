@@ -3467,3 +3467,63 @@ def test_bigram_lm_lower_xent_on_predictable_corpus(ray_session,
     out_rnd = bigram_lm_perplexity(str(tmp_path)).to_pydict()
     assert out_det["xent_micronats_per_tok"][0] < \
         out_rnd["xent_micronats_per_tok"][0]
+
+
+def test_cvm_zero_and_positive(ray_session, tmp_path):
+    """Identical distributions -> 0; disjoint supports -> large."""
+    import pyarrow.parquet as pq
+    from p2pddsketch_ray.pipelines.relational import cvm_drift_binned
+    v = np.linspace(1.0, 100.0, 300)
+    pq.write_table(pa.table({
+        "event_type": pa.array(["view"] * 300 + ["purchase"] * 300),
+        "value": pa.array(np.concatenate([v, v])),
+    }), str(tmp_path / "events.parquet"))
+    assert cvm_drift_binned(str(tmp_path)).to_pydict()["cvm_ppm"] \
+        == [0]
+
+    pq.write_table(pa.table({
+        "event_type": pa.array(["view"] * 300 + ["purchase"] * 300),
+        "value": pa.array(np.concatenate([v, v + 1000.0])),
+    }), str(tmp_path / "events.parquet"))
+    out = cvm_drift_binned(str(tmp_path)).to_pydict()
+    assert out["cvm_ppm"][0] > 300_000     # big persistent gap
+
+
+def test_two_proportion_z_sign(ray_session, tmp_path):
+    """Arm A engineered to a higher rate -> positive z and diff."""
+    import pyarrow.parquet as pq
+    from p2pddsketch_ray.pipelines.relational import two_proportion_ztest
+    from p2pddsketch_ray.hashing import murmur64
+    ids = np.arange(40_000, dtype=np.int64)
+    arm = (murmur64(ids) % np.uint64(2)).astype(np.int64)
+    rng = np.random.default_rng(12)
+    base = rng.uniform(0, 200, len(ids))
+    value = np.where(arm == 0, base + 30.0, base)  # A richer
+    pq.write_table(pa.table({
+        "event_id": pa.array(ids),
+        "value": pa.array(value),
+    }), str(tmp_path / "events.parquet"))
+    out = two_proportion_ztest(str(tmp_path)).to_pydict()
+    assert out["rate_diff_ppm"][0] > 0
+    assert out["z_micro"][0] > 2_000_000   # decisive
+
+
+def test_poisson_surprise_finds_spike(ray_session, tmp_path):
+    """A single 50x spike hour dominates the surprise ranking."""
+    import pyarrow.parquet as pq
+    from p2pddsketch_ray.pipelines.relational import (
+        poisson_surprise_hours)
+    H = 3_600_000_000
+    rows_ts, rows_type = [], []
+    for h in range(48):
+        k = 100 if h == 17 else 2
+        rows_ts += [h * H] * k
+        rows_type += ["click"] * k
+    pq.write_table(pa.table({
+        "ts": pa.array(np.array(rows_ts, dtype=np.int64)).cast(
+            pa.timestamp("us")),
+        "event_type": pa.array(rows_type, type=pa.string()),
+    }), str(tmp_path / "events.parquet"))
+    out = poisson_surprise_hours(str(tmp_path)).to_pandas()
+    assert int(out.iloc[0]["hour"]) == 17
+    assert int(out.iloc[0]["n"]) == 100
