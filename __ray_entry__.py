@@ -324,6 +324,12 @@ from p2pddsketch_ray.pipelines.relational import (  # noqa: E402
     TWO_PROPORTION_SQL as _TWO_PROPORTION_SQL,
     poisson_surprise_hours as _poisson_surprise_hours,
     POISSON_SURPRISE_SQL as _POISSON_SURPRISE_SQL,
+    sax_motif_counts as _sax_motif_counts,
+    SAX_MOTIF_SQL as _SAX_MOTIF_SQL,
+    returns_rate_by_brand as _returns_rate_by_brand,
+    RETURNS_RATE_SQL as _RETURNS_RATE_SQL,
+    mix_anomaly_hours as _mix_anomaly_hours,
+    MIX_ANOMALY_SQL as _MIX_ANOMALY_SQL,
     brand_year_revenue as _brand_year_revenue,
     BRAND_YEAR_REVENUE_SQL as _BRAND_YEAR_REVENUE_SQL,
     customer_frequency_spectrum as _customer_frequency_spectrum,
@@ -1107,6 +1113,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "two_proportion_ztest": _two_proportion_ztest,
         # top-5 most Poisson-surprising (type, hour) cells
         "poisson_surprise_hours": _poisson_surprise_hours,
+        # top-5 SAX 3-hour motifs of the hourly load series
+        "sax_motif_counts": _sax_motif_counts,
+        # returns rate per part brand (broadcast dim join)
+        "returns_rate_by_brand": _returns_rate_by_brand,
+        # top-5 hours with the most anomalous type MIX (chi2)
+        "mix_anomaly_hours": _mix_anomaly_hours,
         # Markov next-event baseline accuracy per previous type
         "markov_next_accuracy": _markov_next_accuracy,
         # out-of-order lateness vs arrival order (distributed prefix max)
@@ -1785,6 +1797,9 @@ def oracle_sql() -> dict[str, str]:
         "cvm_drift_binned": _CVM_DRIFT_SQL,
         "two_proportion_ztest": _TWO_PROPORTION_SQL,
         "poisson_surprise_hours": _POISSON_SURPRISE_SQL,
+        "sax_motif_counts": _SAX_MOTIF_SQL,
+        "returns_rate_by_brand": _RETURNS_RATE_SQL,
+        "mix_anomaly_hours": _MIX_ANOMALY_SQL,
         "markov_next_accuracy": _MARKOV_NEXT_ACC_SQL,
         "ooo_lateness_stats": _OOO_LATENESS_SQL,
         "multimodal_resize_stats": """

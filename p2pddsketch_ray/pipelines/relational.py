@@ -16664,3 +16664,279 @@ FROM s
 ORDER BY surprise_micro DESC, event_type, hour
 LIMIT 5
 """
+
+
+def sax_motif_counts(sf_dir: str, k: int = 5) -> pa.Table:
+    """SAX-STYLE MOTIF MINING on the hourly event-count series:
+    discretize each hour into one of four symbols by the series' own
+    exact quartiles (a = lowest), then count every 3-hour motif and
+    return the top-k -- the classic "what does a typical burst look
+    like" time-series-mining primitive, fully deterministic because
+    symbol thresholds are quantile_disc values and ties break by
+    symbol order.
+
+    Scale shape: per-hour count combiner; the symbolization and motif
+    scan run on the O(hours) driver grid.
+    """
+    ds = _read(sf_dir, "events", ["ts"])
+    HOUR_US = np.int64(3_600_000_000)
+
+    def hourly(t: pa.Table) -> pa.Table:
+        us = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        staged = pa.table({"hour": pa.array(us // HOUR_US),
+                           "n": pa.array(np.ones(t.num_rows,
+                                                 dtype=np.int64))})
+        g = staged.group_by("hour").aggregate([("n", "sum")])
+        return pa.table({"hour": g["hour"],
+                         "n": pc.cast(g["n_sum"], pa.int64())})
+
+    h = (ds.map_batches(hourly, batch_format="pyarrow",
+                        zero_copy_batch=True)
+         .groupby("hour").aggregate(Sum("n", alias_name="n"))
+         .to_pandas().sort_values("hour"))
+    hours = h["hour"].to_numpy(dtype=np.int64)
+    lo, hi = int(hours.min()), int(hours.max())
+    grid = np.zeros(hi - lo + 1, dtype=np.int64)
+    grid[hours - lo] = h["n"].to_numpy(dtype=np.int64)
+    srt = np.sort(grid)
+    n = srt.size
+    # quantile_disc thresholds at .25/.5/.75
+    t1 = int(srt[max(0, -(-n // 4) - 1)])
+    t2 = int(srt[max(0, -(-n // 2) - 1)])
+    t3 = int(srt[max(0, -(-(3 * n) // 4) - 1)])
+    sym = np.where(grid <= t1, 0,
+                   np.where(grid <= t2, 1,
+                            np.where(grid <= t3, 2, 3)))
+    letters = np.array(["a", "b", "c", "d"])
+    motifs = {}
+    for i in range(len(sym) - 2):
+        m = (letters[sym[i]] + letters[sym[i + 1]]
+             + letters[sym[i + 2]])
+        motifs[m] = motifs.get(m, 0) + 1
+    import pandas as pd
+    df = (pd.DataFrame({"motif": list(motifs),
+                        "n": list(motifs.values())})
+          .sort_values(["n", "motif"], ascending=[False, True])
+          .head(k))
+    return pa.table({
+        "motif": pa.array(df["motif"].tolist(), type=pa.string()),
+        "n": pa.array(df["n"].to_numpy(dtype=np.int64)),
+    })
+
+
+SAX_MOTIF_SQL = """
+WITH h AS (
+  SELECT CAST(epoch_us(ts) AS BIGINT) // 3600000000 AS hour,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1
+), b AS (SELECT min(hour) AS lo, max(hour) AS hi FROM h),
+grid AS (
+  SELECT g.hour, CAST(COALESCE(h.n, 0) AS BIGINT) AS v
+  FROM (SELECT unnest(generate_series(b.lo, b.hi)) AS hour FROM b) g
+  LEFT JOIN h ON h.hour = g.hour
+), q AS (
+  SELECT CAST(quantile_disc(v, 0.25) AS BIGINT) AS t1,
+         CAST(quantile_disc(v, 0.5) AS BIGINT) AS t2,
+         CAST(quantile_disc(v, 0.75) AS BIGINT) AS t3
+  FROM grid
+), sym AS (
+  SELECT hour,
+         CASE WHEN v <= q.t1 THEN 'a'
+              WHEN v <= q.t2 THEN 'b'
+              WHEN v <= q.t3 THEN 'c' ELSE 'd' END AS s
+  FROM grid CROSS JOIN q
+), tri AS (
+  SELECT s || lead(s, 1) OVER w || lead(s, 2) OVER w AS motif
+  FROM sym WINDOW w AS (ORDER BY hour)
+  QUALIFY lead(s, 2) OVER w IS NOT NULL
+)
+SELECT motif, CAST(count(*) AS BIGINT) AS n
+FROM tri GROUP BY 1
+ORDER BY n DESC, motif
+LIMIT 5
+"""
+
+
+def returns_rate_by_brand(sf_dir: str) -> pa.Table:
+    """RETURNS RATE per part brand: the share of lineitems (and of
+    revenue cents) carrying returnflag 'R', via the broadcast part
+    dimension -- the supplier-quality leaderboard.
+
+    Scale shape: part projected to (partkey, brand) and broadcast
+    once (ray.put); one streamed (brand, counts) combiner.
+    """
+    part = _read(sf_dir, "part", ["p_partkey", "p_brand"]).to_pandas()
+    pk = pa.array(part["p_partkey"].to_numpy(dtype=np.int64))
+    brands = np.sort(part["p_brand"].unique())
+    bcode = {b: i for i, b in enumerate(brands)}
+    pb = np.array([bcode[b] for b in part["p_brand"]], dtype=np.int64)
+    lookup_ref = ray.put((pk, pb))
+
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_returnflag", "l_extendedprice"])
+
+    empty = pa.table({c: pa.array([], type=pa.int64())
+                      for c in ("b", "n", "n_ret", "rev", "rev_ret")})
+
+    class Roll:
+        def __init__(self):
+            self.pk, self.pb = ray.get(lookup_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return empty
+            idx = pc.index_in(pc.cast(t["l_partkey"], pa.int64()),
+                              value_set=self.pk).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            b = self.pb[idx]
+            ret = np.asarray(pc.equal(t["l_returnflag"],
+                                      pa.scalar("R")))
+            rev = _int_units(t["l_extendedprice"], 100).to_numpy(
+                zero_copy_only=False)
+            nb = len(np.unique(self.pb)) + 1
+            n = np.bincount(b, minlength=nb)
+            nr = np.bincount(b[ret], minlength=nb)
+            rv = np.zeros(nb, dtype=np.int64)
+            rr = np.zeros(nb, dtype=np.int64)
+            np.add.at(rv, b, rev)
+            np.add.at(rr, b[ret], rev[ret])
+            nz = np.flatnonzero(n)
+            return pa.table({
+                "b": pa.array(nz.astype(np.int64)),
+                "n": pa.array(n[nz].astype(np.int64)),
+                "n_ret": pa.array(nr[nz].astype(np.int64)),
+                "rev": pa.array(rv[nz]),
+                "rev_ret": pa.array(rr[nz]),
+            })
+
+    agg = (li.map_batches(Roll, batch_format="pyarrow",
+                          zero_copy_batch=True, concurrency=2)
+           .groupby("b")
+           .aggregate(Sum("n", alias_name="n"),
+                      Sum("n_ret", alias_name="n_ret"),
+                      Sum("rev", alias_name="rev"),
+                      Sum("rev_ret", alias_name="rev_ret"))
+           .to_pandas().sort_values("b"))
+    b = agg["b"].to_numpy(dtype=np.int64)
+    n = agg["n"].to_numpy(dtype=np.int64)
+    nr = agg["n_ret"].to_numpy(dtype=np.int64)
+    rv = agg["rev"].astype(object).to_numpy()
+    rr = agg["rev_ret"].astype(object).to_numpy()
+    return pa.table({
+        "p_brand": pa.array(brands[b].tolist(), type=pa.string()),
+        "n_lineitems": pa.array(n),
+        "n_returned": pa.array(nr),
+        "return_rate_ppm": pa.array(nr * 1_000_000 // n),
+        "rev_return_ppm": pa.array(
+            [int(a) * 1_000_000 // int(t) if t else 0
+             for a, t in zip(rr, rv)], type=pa.int64()),
+    })
+
+
+RETURNS_RATE_SQL = """
+SELECT p.p_brand,
+       CAST(count(*) AS BIGINT) AS n_lineitems,
+       CAST(sum(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_returned,
+       CAST(sum(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END)
+            * 1000000 // count(*) AS BIGINT) AS return_rate_ppm,
+       CAST(sum(CASE WHEN l.l_returnflag = 'R'
+                THEN CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                ELSE 0 END) * 1000000
+            // sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+            AS BIGINT) AS rev_return_ppm
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def mix_anomaly_hours(sf_dir: str, k: int = 5) -> pa.Table:
+    """COMPOSITION-ANOMALY RANKING: the top-k hours whose EVENT-TYPE
+    MIX deviates most from the global mix by an integer chi-square
+    (per-cell floor(1e6*(o*T - rowsum*coltotal/T... carried as
+    (o*T - r*c)^2 // (r*c*T) per cell) -- volume spikes are caught by
+    poisson_surprise_hours; this catches a normal-volume hour whose
+    COMPOSITION is wrong (bot traffic, partial outage).
+
+    Scale shape: one (type, hour) combiner, bounded groupby,
+    O(types x hours) driver fold, k-row output.
+    """
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+    HOUR_US = np.int64(3_600_000_000)
+
+    def hourly(t: pa.Table) -> pa.Table:
+        us = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        staged = pa.table({"event_type": t["event_type"],
+                           "hour": pa.array(us // HOUR_US),
+                           "n": pa.array(np.ones(t.num_rows,
+                                                 dtype=np.int64))})
+        g = staged.group_by(["event_type", "hour"]).aggregate(
+            [("n", "sum")])
+        return pa.table({"event_type": g["event_type"],
+                         "hour": g["hour"],
+                         "n": pc.cast(g["n_sum"], pa.int64())})
+
+    grid = (ds.map_batches(hourly, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby(["event_type", "hour"])
+            .aggregate(Sum("n", alias_name="n"))
+            .to_pandas())
+    piv = grid.pivot_table(index="hour", columns="event_type",
+                           values="n", fill_value=0, aggfunc="sum")
+    obs = piv.to_numpy(dtype=np.int64)
+    hours = piv.index.to_numpy(dtype=np.int64)
+    T = int(obs.sum())
+    col = obs.sum(axis=0).astype(object)     # global type totals
+    row = obs.sum(axis=1).astype(object)     # per-hour volumes
+    chi = []
+    for i in range(obs.shape[0]):
+        acc = 0
+        r = int(row[i])
+        for j in range(obs.shape[1]):
+            c = int(col[j])
+            o = int(obs[i, j])
+            acc += (o * T - r * c) ** 2 * 1_000_000 // (r * c * T)
+        chi.append(acc)
+    import pandas as pd
+    df = (pd.DataFrame({"hour": hours,
+                        "n": row.astype(np.int64),
+                        "chi2_micro": np.array(chi, dtype=np.int64)})
+          .sort_values(["chi2_micro", "hour"],
+                       ascending=[False, True]).head(k))
+    return pa.table({
+        "hour": pa.array(df["hour"].to_numpy(dtype=np.int64)),
+        "n": pa.array(df["n"].to_numpy(dtype=np.int64)),
+        "chi2_micro": pa.array(df["chi2_micro"].to_numpy(
+            dtype=np.int64)),
+    })
+
+
+MIX_ANOMALY_SQL = """
+WITH h AS (
+  SELECT event_type,
+         CAST(epoch_us(ts) AS BIGINT) // 3600000000 AS hour,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+), t AS (SELECT CAST(sum(n) AS BIGINT) AS tt FROM h),
+col AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS c FROM h
+        GROUP BY 1),
+row_ AS (SELECT hour, CAST(sum(n) AS BIGINT) AS r FROM h GROUP BY 1),
+cells AS (
+  SELECT row_.hour, row_.r, col.event_type, col.c,
+         CAST(COALESCE(h.n, 0) AS BIGINT) AS o
+  FROM row_ CROSS JOIN col
+  LEFT JOIN h ON h.hour = row_.hour AND h.event_type = col.event_type
+), chi AS (
+  SELECT hour, max(r) AS n,
+         CAST(sum(CAST(o * t.tt - r * c AS HUGEINT)
+                  * (o * t.tt - r * c) * 1000000
+                  // (CAST(r AS HUGEINT) * c * t.tt)) AS BIGINT)
+           AS chi2_micro
+  FROM cells CROSS JOIN t GROUP BY 1
+)
+SELECT CAST(hour AS BIGINT) AS hour, CAST(n AS BIGINT) AS n,
+       chi2_micro
+FROM chi
+ORDER BY chi2_micro DESC, hour
+LIMIT 5
+"""

@@ -3527,3 +3527,69 @@ def test_poisson_surprise_finds_spike(ray_session, tmp_path):
     out = poisson_surprise_hours(str(tmp_path)).to_pandas()
     assert int(out.iloc[0]["hour"]) == 17
     assert int(out.iloc[0]["n"]) == 100
+
+
+def test_sax_motif_cyclic_series(ray_session, tmp_path):
+    """A strict 4-hour cycle a,b,c,d... yields the four rotations as
+    the only motifs, equally frequent."""
+    import pyarrow.parquet as pq
+    from p2pddsketch_ray.pipelines.relational import sax_motif_counts
+    H = 3_600_000_000
+    rows_ts = []
+    counts = [1, 2, 3, 4]        # quartiles split exactly at 1/2/3/4
+    for h in range(40):
+        rows_ts += [h * H] * counts[h % 4]
+    pq.write_table(pa.table({
+        "ts": pa.array(np.array(rows_ts, dtype=np.int64)).cast(
+            pa.timestamp("us")),
+    }), str(tmp_path / "events.parquet"))
+    out = sax_motif_counts(str(tmp_path)).to_pandas()
+    assert set(out["motif"]) <= {"abc", "bcd", "cda", "dab"}
+    assert len(out) == 4
+
+
+def test_returns_rate_by_brand_hand_case(ray_session, tmp_path):
+    """Brand B1 has 50% returns; B2 has none."""
+    import pyarrow.parquet as pq
+    from p2pddsketch_ray.pipelines.relational import (
+        returns_rate_by_brand)
+    pq.write_table(pa.table({
+        "p_partkey": pa.array([1, 2], type=pa.int64()),
+        "p_brand": pa.array(["B1", "B2"]),
+    }), str(tmp_path / "part.parquet"))
+    pq.write_table(pa.table({
+        "l_partkey": pa.array([1, 1, 2, 2], type=pa.int64()),
+        "l_returnflag": pa.array(["R", "N", "N", "N"]),
+        "l_extendedprice": pa.array([100.0, 300.0, 50.0, 50.0]),
+    }), str(tmp_path / "lineitem.parquet"))
+    out = (returns_rate_by_brand(str(tmp_path)).to_pandas()
+           .set_index("p_brand"))
+    assert int(out.loc["B1", "return_rate_ppm"]) == 500_000
+    assert int(out.loc["B1", "rev_return_ppm"]) == \
+        10000 * 1_000_000 // 40000
+    assert int(out.loc["B2", "return_rate_ppm"]) == 0
+
+
+def test_mix_anomaly_flags_skewed_hour(ray_session, tmp_path):
+    """An hour with inverted type mix tops the ranking even though its
+    volume matches the others."""
+    import pyarrow.parquet as pq
+    from p2pddsketch_ray.pipelines.relational import mix_anomaly_hours
+    H = 3_600_000_000
+    rows_ts, rows_type = [], []
+    for h in range(30):
+        if h == 13:
+            mix = [("view", 2), ("error", 18)]   # inverted
+        else:
+            mix = [("view", 18), ("error", 2)]
+        for et, k in mix:
+            rows_ts += [h * H] * k
+            rows_type += [et] * k
+    pq.write_table(pa.table({
+        "ts": pa.array(np.array(rows_ts, dtype=np.int64)).cast(
+            pa.timestamp("us")),
+        "event_type": pa.array(rows_type, type=pa.string()),
+    }), str(tmp_path / "events.parquet"))
+    out = mix_anomaly_hours(str(tmp_path)).to_pandas()
+    assert int(out.iloc[0]["hour"]) == 13
+    assert int(out.iloc[0]["n"]) == 20
