@@ -330,6 +330,12 @@ from p2pddsketch_ray.pipelines.relational import (  # noqa: E402
     RETURNS_RATE_SQL as _RETURNS_RATE_SQL,
     mix_anomaly_hours as _mix_anomaly_hours,
     MIX_ANOMALY_SQL as _MIX_ANOMALY_SQL,
+    tpch_q3_topk as _tpch_q3_topk,
+    TPCH_Q3_SQL as _TPCH_Q3_SQL,
+    tpch_q6_revenue as _tpch_q6_revenue,
+    TPCH_Q6_SQL as _TPCH_Q6_SQL,
+    length_token_copula_grid as _length_token_copula_grid,
+    LENGTH_TOKEN_COPULA_SQL as _LENGTH_TOKEN_COPULA_SQL,
     brand_year_revenue as _brand_year_revenue,
     BRAND_YEAR_REVENUE_SQL as _BRAND_YEAR_REVENUE_SQL,
     customer_frequency_spectrum as _customer_frequency_spectrum,
@@ -1119,6 +1125,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "returns_rate_by_brand": _returns_rate_by_brand,
         # top-5 hours with the most anomalous type MIX (chi2)
         "mix_anomaly_hours": _mix_anomaly_hours,
+        # TPC-H Q3: top unshipped orders by revenue (3-table join)
+        "tpch_q3_topk": _tpch_q3_topk,
+        # TPC-H Q6: forecast revenue change (filter-and-sum scan)
+        "tpch_q6_revenue": _tpch_q6_revenue,
+        # 5x5 empirical copula of (chars, tokens) quintile buckets
+        "length_token_copula_grid": _length_token_copula_grid,
         # Markov next-event baseline accuracy per previous type
         "markov_next_accuracy": _markov_next_accuracy,
         # out-of-order lateness vs arrival order (distributed prefix max)
@@ -1800,6 +1812,9 @@ def oracle_sql() -> dict[str, str]:
         "sax_motif_counts": _SAX_MOTIF_SQL,
         "returns_rate_by_brand": _RETURNS_RATE_SQL,
         "mix_anomaly_hours": _MIX_ANOMALY_SQL,
+        "tpch_q3_topk": _TPCH_Q3_SQL,
+        "tpch_q6_revenue": _TPCH_Q6_SQL,
+        "length_token_copula_grid": _LENGTH_TOKEN_COPULA_SQL,
         "markov_next_accuracy": _MARKOV_NEXT_ACC_SQL,
         "ooo_lateness_stats": _OOO_LATENESS_SQL,
         "multimodal_resize_stats": """

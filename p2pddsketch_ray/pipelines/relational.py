@@ -16940,3 +16940,303 @@ FROM chi
 ORDER BY chi2_micro DESC, hour
 LIMIT 5
 """
+
+
+def tpch_q3_topk(sf_dir: str, segment: str = "BUILDING",
+                 cutoff: str = "1998-06-15", k: int = 10) -> pa.Table:
+    """TPC-H Q3 (shipping priority): top-k unshipped orders by revenue
+    for one market segment -- the canonical 3-table join + filter +
+    top-k reporting query, exact in integer cents.
+
+    Scale shape: customer filters to a (custkey) broadcast key set
+    (segment-bounded); orders stream against it and collapse to
+    (orderkey, date) pairs broadcast-joined into the lineitem combiner
+    via an order-key co-partition; per-block top-k prereduce before the
+    final fold.
+    """
+    from ..stages.partition import fit_partitions, partition_by
+    cut_us = int(np.datetime64(cutoff, "us").astype(np.int64))
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+
+    def ckeys(t: pa.Table) -> pa.Table:
+        keep = pc.equal(t["c_mktsegment"], pa.scalar(segment))
+        return pa.table({"key": pc.cast(
+            t.filter(keep)["c_custkey"], pa.int64())})
+
+    ckset = np.sort(cust.map_batches(ckeys, batch_format="pyarrow")
+                    .to_pandas()["key"].to_numpy(dtype=np.int64))
+    ck_ref = ray.put(ckset)
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate"])
+
+    o_empty = pa.table({"key": pa.array([], type=pa.int64()),
+                        "odate": pa.array([], type=pa.int64()),
+                        "side": pa.array([], type=pa.int64()),
+                        "rev": pa.array([], type=pa.int64())})
+
+    def o_prep(t: pa.Table) -> pa.Table:
+        ck = ray.get(ck_ref)
+        us = pc.cast(t["o_orderdate"], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        cust_k = t["o_custkey"].to_numpy(zero_copy_only=False)
+        keep = (us < cut_us) & np.isin(cust_k, ck)
+        key = t["o_orderkey"].to_numpy(zero_copy_only=False)[keep]
+        return pa.table({
+            "key": pa.array(key.astype(np.int64)),
+            "odate": pa.array(us[keep]),
+            "side": pa.array(np.zeros(keep.sum(), dtype=np.int64)),
+            "rev": pa.array(np.zeros(keep.sum(), dtype=np.int64))})
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_extendedprice", "l_discount",
+                "l_shipdate"])
+
+    def li_prep(t: pa.Table) -> pa.Table:
+        us = pc.cast(t["l_shipdate"], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        keep = us > cut_us
+        t = t.filter(pa.array(keep))
+        if t.num_rows == 0:
+            return o_empty
+        rev = np.floor(
+            t["l_extendedprice"].to_numpy(zero_copy_only=False)
+            * (1.0 - t["l_discount"].to_numpy(zero_copy_only=False))
+            * 100.0 + 0.5).astype(np.int64)
+        staged = pa.table({
+            "key": pc.cast(t["l_orderkey"], pa.int64()),
+            "rev": pa.array(rev)})
+        g = staged.group_by("key").aggregate([("rev", "sum")])
+        n = g.num_rows
+        return pa.table({
+            "key": g["key"],
+            "odate": pa.array(np.zeros(n, dtype=np.int64)),
+            "side": pa.array(np.ones(n, dtype=np.int64)),
+            "rev": pc.cast(g["rev_sum"], pa.int64())})
+
+    both = (orders.map_batches(o_prep, batch_format="pyarrow",
+                               zero_copy_batch=True)
+            .union(li.map_batches(li_prep, batch_format="pyarrow",
+                                  zero_copy_batch=True)))
+
+    out_empty = pa.table({"o_orderkey": pa.array([], type=pa.int64()),
+                          "o_orderdate": pa.array([], type=pa.int64()),
+                          "revenue_cents": pa.array([],
+                                                    type=pa.int64())})
+
+    def resolve(t: pa.Table) -> pa.Table:
+        key = t["key"].to_numpy(zero_copy_only=False)
+        side = t["side"].to_numpy(zero_copy_only=False)
+        ok_, od = key[side == 0], \
+            t["odate"].to_numpy(zero_copy_only=False)[side == 0]
+        lk = key[side == 1]
+        lr = t["rev"].to_numpy(zero_copy_only=False)[side == 1]
+        if ok_.size == 0 or lk.size == 0:
+            return out_empty
+        uk, inv = np.unique(lk, return_inverse=True)
+        ur = np.bincount(inv, weights=lr.astype(np.float64)) \
+            .astype(np.int64)
+        pos = np.searchsorted(uk, ok_)
+        safe = np.minimum(pos, uk.size - 1)
+        has = (pos < uk.size) & (uk[safe] == ok_)
+        key_m, od_m, rev_m = ok_[has], od[has], ur[safe[has]]
+        order = np.lexsort((key_m, -rev_m))[:k]
+        return pa.table({
+            "o_orderkey": pa.array(key_m[order].astype(np.int64)),
+            "o_orderdate": pa.array(od_m[order]),
+            "revenue_cents": pa.array(rev_m[order]),
+        })
+
+    pre = partition_by(both, ["key"], fit_partitions(16), resolve,
+                       out_empty).to_pandas()
+    order = np.lexsort((pre["o_orderkey"].to_numpy(),
+                        -pre["revenue_cents"].to_numpy()))[:k]
+    return pa.table({
+        "o_orderkey": pa.array(
+            pre["o_orderkey"].to_numpy(dtype=np.int64)[order]),
+        "o_orderdate": pa.array(
+            pre["o_orderdate"].to_numpy(dtype=np.int64)[order]),
+        "revenue_cents": pa.array(
+            pre["revenue_cents"].to_numpy(dtype=np.int64)[order]),
+    })
+
+
+TPCH_Q3_SQL = """
+SELECT CAST(l.l_orderkey AS BIGINT) AS o_orderkey,
+       CAST(epoch_us(o.o_orderdate) AS BIGINT) AS o_orderdate,
+       CAST(sum(CAST(floor(l.l_extendedprice * (1.0 - l.l_discount)
+                           * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+         AS revenue_cents
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-06-15'
+  AND l.l_shipdate > TIMESTAMP '1998-06-15'
+GROUP BY 1, 2
+ORDER BY revenue_cents DESC, o_orderkey
+LIMIT 10
+"""
+
+
+def tpch_q6_revenue(sf_dir: str, year: int = 1997,
+                    disc_lo: int = 5, disc_hi: int = 7,
+                    max_qty: int = 24) -> pa.Table:
+    """TPC-H Q6 (forecasting revenue change): the revenue delta from
+    lineitems of one ship year with discount in [lo, hi] percent and
+    quantity below the cap -- the canonical filter-and-sum scan, exact
+    cents via per-row floor(price * discount * 100 + 0.5).
+
+    Scale shape: one streamed filter + scalar combiner (columns pruned
+    at the read).
+    """
+    ds = _read(sf_dir, "lineitem",
+               ["l_shipdate", "l_discount", "l_quantity",
+                "l_extendedprice"])
+    lo_us = int(np.datetime64(f"{year}-01-01", "us").astype(np.int64))
+    hi_us = int(np.datetime64(f"{year + 1}-01-01", "us")
+                .astype(np.int64))
+
+    empty = pa.table({"n": pa.array([], type=pa.int64()),
+                      "rev": pa.array([], type=pa.int64())})
+
+    def partial(t: pa.Table) -> pa.Table:
+        us = pc.cast(t["l_shipdate"], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        disc = t["l_discount"].to_numpy(zero_copy_only=False)
+        disc_c = np.floor(disc * 100.0 + 0.5).astype(np.int64)
+        qty = t["l_quantity"].to_numpy(zero_copy_only=False)
+        keep = ((us >= lo_us) & (us < hi_us)
+                & (disc_c >= disc_lo) & (disc_c <= disc_hi)
+                & (qty < max_qty))
+        if not keep.any():
+            return empty
+        price = t["l_extendedprice"].to_numpy(
+            zero_copy_only=False)[keep]
+        rev = np.floor(price * disc[keep] * 100.0 + 0.5).astype(
+            np.int64)
+        return pa.table({"n": pa.array([int(keep.sum())],
+                                       type=pa.int64()),
+                         "rev": pa.array([int(rev.sum())],
+                                         type=pa.int64())})
+
+    f = ds.map_batches(partial, batch_format="pyarrow",
+                       zero_copy_batch=True).to_pandas()
+    return pa.table({
+        "n_lineitems": pa.array([int(f["n"].sum())], type=pa.int64()),
+        "revenue_cents": pa.array([int(f["rev"].sum())],
+                                  type=pa.int64()),
+    })
+
+
+TPCH_Q6_SQL = """
+SELECT CAST(count(*) AS BIGINT) AS n_lineitems,
+       CAST(COALESCE(sum(CAST(floor(l_extendedprice * l_discount
+                                    * 100.0 + 0.5) AS BIGINT)), 0)
+            AS BIGINT) AS revenue_cents
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT) BETWEEN 5 AND 7
+  AND l_quantity < 24
+"""
+
+
+def length_token_copula_grid(sf_dir: str) -> pa.Table:
+    """EMPIRICAL COPULA GRID between document character length and
+    token count: the 5x5 joint decile-bucket census (both margins cut
+    at their own exact quintiles) -- the dependence-structure heatmap
+    that shows WHERE two quality signals are redundant (diagonal mass)
+    vs complementary, beyond what one correlation number says.
+
+    Scale shape: two shared bisection threshold passes, one streamed
+    25-cell census combiner.
+    """
+    from .quantiles import exact_quantiles
+    from ..functions.text import token_count
+
+    ds = _read(sf_dir, "documents", ["text", "n_chars"])
+
+    def feats(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "chars": pc.cast(t["n_chars"], pa.int64()),
+            "toks": pc.cast(token_count(t["text"]), pa.int64()),
+        })
+
+    e = ds.map_batches(feats, batch_format="pyarrow",
+                       zero_copy_batch=True).materialize()
+    qs = [0.2, 0.4, 0.6, 0.8]
+    thr_c = np.array(sorted(int(v.as_py()) for v in
+                            exact_quantiles(e, "chars", qs)["value"]),
+                     dtype=np.int64)
+    thr_t = np.array(sorted(int(v.as_py()) for v in
+                            exact_quantiles(e, "toks", qs)["value"]),
+                     dtype=np.int64)
+
+    empty = pa.table({"cell": pa.array([], type=pa.int64()),
+                      "n": pa.array([], type=pa.int64())})
+
+    def census(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        c = t["chars"].to_numpy(zero_copy_only=False)
+        k = t["toks"].to_numpy(zero_copy_only=False)
+        bc = (c[:, None] > thr_c[None, :]).sum(axis=1)
+        bt = (k[:, None] > thr_t[None, :]).sum(axis=1)
+        cell = bc * 5 + bt
+        cnt = np.bincount(cell, minlength=25)
+        return pa.table({
+            "cell": pa.array(np.arange(25, dtype=np.int64)),
+            "n": pa.array(cnt.astype(np.int64))})
+
+    agg = (e.map_batches(census, batch_format="pyarrow")
+           .groupby("cell").aggregate(Sum("n", alias_name="n"))
+           .to_pandas().sort_values("cell"))
+    n = np.zeros(25, dtype=np.int64)
+    n[agg["cell"].to_numpy(dtype=np.int64)] = \
+        agg["n"].to_numpy(dtype=np.int64)
+    cells = np.arange(25, dtype=np.int64)
+    tot = int(n.sum())
+    return pa.table({
+        "chars_bucket": pa.array(cells // 5),
+        "tokens_bucket": pa.array(cells % 5),
+        "n": pa.array(n),
+        "share_ppm": pa.array(n * 1_000_000 // tot),
+    })
+
+
+LENGTH_TOKEN_COPULA_SQL = """
+WITH f AS (
+  SELECT CAST(n_chars AS BIGINT) AS c,
+         CAST(length(regexp_extract_all(text, '[A-Za-z0-9]+'))
+              AS BIGINT) AS k
+  FROM documents
+), q AS (
+  SELECT quantile_disc(c, [0.2, 0.4, 0.6, 0.8]) AS tc,
+         quantile_disc(k, [0.2, 0.4, 0.6, 0.8]) AS tk
+  FROM f
+), b AS (
+  SELECT (CAST(c > q.tc[1] AS INT) + CAST(c > q.tc[2] AS INT)
+          + CAST(c > q.tc[3] AS INT) + CAST(c > q.tc[4] AS INT))
+           AS bc,
+         (CAST(k > q.tk[1] AS INT) + CAST(k > q.tk[2] AS INT)
+          + CAST(k > q.tk[3] AS INT) + CAST(k > q.tk[4] AS INT))
+           AS bt
+  FROM f CROSS JOIN q
+), grid AS (
+  SELECT x.x AS bc, y.y AS bt
+  FROM (SELECT unnest(generate_series(0, 4)) AS x) x
+  CROSS JOIN (SELECT unnest(generate_series(0, 4)) AS y) y
+), c AS (
+  SELECT bc, bt, CAST(count(*) AS BIGINT) AS n FROM b GROUP BY 1, 2
+), t AS (SELECT CAST(count(*) AS BIGINT) AS tot FROM f)
+SELECT CAST(grid.bc AS BIGINT) AS chars_bucket,
+       CAST(grid.bt AS BIGINT) AS tokens_bucket,
+       CAST(COALESCE(c.n, 0) AS BIGINT) AS n,
+       CAST(COALESCE(c.n, 0) * 1000000 // t.tot AS BIGINT)
+         AS share_ppm
+FROM grid LEFT JOIN c ON c.bc = grid.bc AND c.bt = grid.bt
+CROSS JOIN t
+ORDER BY 1, 2
+"""

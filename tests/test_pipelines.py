@@ -3593,3 +3593,74 @@ def test_mix_anomaly_flags_skewed_hour(ray_session, tmp_path):
     out = mix_anomaly_hours(str(tmp_path)).to_pandas()
     assert int(out.iloc[0]["hour"]) == 13
     assert int(out.iloc[0]["n"]) == 20
+
+
+def test_tpch_q3_hand_case(ray_session, tmp_path):
+    """One qualifying order per segment; cross-segment and shipped
+    lineitems excluded."""
+    import pyarrow.parquet as pq
+    from p2pddsketch_ray.pipelines.relational import tpch_q3_topk
+    D = np.datetime64("1998-06-15", "us").astype(np.int64)
+    DAY = 86_400_000_000
+    pq.write_table(pa.table({
+        "c_custkey": pa.array([1, 2], type=pa.int64()),
+        "c_mktsegment": pa.array(["BUILDING", "MACHINERY"]),
+    }), str(tmp_path / "customer.parquet"))
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([10, 20], type=pa.int64()),
+        "o_custkey": pa.array([1, 2], type=pa.int64()),
+        "o_orderdate": pa.array(
+            np.array([D - 30 * DAY, D - 30 * DAY],
+                     dtype=np.int64)).cast(pa.timestamp("us")),
+    }), str(tmp_path / "orders.parquet"))
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array([10, 10, 20], type=pa.int64()),
+        "l_extendedprice": pa.array([100.0, 200.0, 500.0]),
+        "l_discount": pa.array([0.0, 0.5, 0.0]),
+        "l_shipdate": pa.array(
+            np.array([D + DAY, D + DAY, D + DAY],
+                     dtype=np.int64)).cast(pa.timestamp("us")),
+    }), str(tmp_path / "lineitem.parquet"))
+    out = tpch_q3_topk(str(tmp_path)).to_pydict()
+    # only order 10 (BUILDING); revenue = 100 + 200*0.5 = 200.00
+    assert out["o_orderkey"] == [10]
+    assert out["revenue_cents"] == [20000]
+
+
+def test_tpch_q6_hand_case(ray_session, tmp_path):
+    """Only rows inside the year/discount/quantity box count."""
+    import pyarrow.parquet as pq
+    from p2pddsketch_ray.pipelines.relational import tpch_q6_revenue
+    Y = np.datetime64("1997-06-01", "us").astype(np.int64)
+    OUT = np.datetime64("1998-06-01", "us").astype(np.int64)
+    pq.write_table(pa.table({
+        "l_shipdate": pa.array(
+            np.array([Y, Y, Y, OUT], dtype=np.int64)).cast(
+            pa.timestamp("us")),
+        "l_discount": pa.array([0.06, 0.06, 0.02, 0.06]),
+        "l_quantity": pa.array([10.0, 30.0, 10.0, 10.0]),
+        "l_extendedprice": pa.array([1000.0, 1000.0, 1000.0,
+                                     1000.0]),
+    }), str(tmp_path / "lineitem.parquet"))
+    out = tpch_q6_revenue(str(tmp_path)).to_pydict()
+    # row 1 only: qty 30 violates, disc 0.02 violates, OUT wrong year
+    assert out["n_lineitems"] == [1]
+    assert out["revenue_cents"] == [6000]
+
+
+def test_copula_grid_perfect_dependence(ray_session, tmp_path):
+    """Token count proportional to chars puts all mass on the
+    diagonal cells."""
+    import pyarrow.parquet as pq
+    from p2pddsketch_ray.pipelines.relational import (
+        length_token_copula_grid)
+    texts = [" ".join(["tok"] * (i + 1)) for i in range(100)]
+    chars = [4 * (i + 1) for i in range(100)]
+    pq.write_table(pa.table({
+        "text": pa.array(texts),
+        "n_chars": pa.array(chars, type=pa.int64()),
+    }), str(tmp_path / "documents.parquet"))
+    out = length_token_copula_grid(str(tmp_path)).to_pandas()
+    off_diag = out[(out["chars_bucket"] != out["tokens_bucket"])]
+    assert int(off_diag["n"].sum()) == 0
+    assert int(out["n"].sum()) == 100
