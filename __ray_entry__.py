@@ -79,6 +79,12 @@ from p2pddsketch_ray.pipelines.temporal import (  # noqa: E402
     WATERMARK_CURVE_SQL as _WATERMARK_CURVE_SQL,
     metronome_bot_report as _metronome_bot_report,
     METRONOME_BOT_SQL as _METRONOME_BOT_SQL,
+    trailing_distinct_users as _trailing_distinct_users,
+    TRAILING_DISTINCT_SQL as _TRAILING_DISTINCT_SQL,
+    late_order_counts as _late_order_counts,
+    LATE_ORDER_SQL as _LATE_ORDER_SQL,
+    new_vs_returning_daily as _new_vs_returning_daily,
+    NEW_VS_RETURNING_SQL as _NEW_VS_RETURNING_SQL,
     PROPS_VOCAB_DRIFT_SQL as _PROPS_VOCAB_DRIFT_SQL,
     props_vocab_drift as _props_vocab_drift,
     ooo_lateness_stats as _ooo_lateness_stats,
@@ -1131,6 +1137,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q6_revenue": _tpch_q6_revenue,
         # 5x5 empirical copula of (chars, tokens) quintile buckets
         "length_token_copula_grid": _length_token_copula_grid,
+        # EXACT trailing-7d distinct users via coverage diff arrays
+        "trailing_distinct_users": _trailing_distinct_users,
+        # orders with a lineitem shipped > 60d after order (Q4 shape)
+        "late_order_counts": _late_order_counts,
+        # daily new vs returning active users
+        "new_vs_returning_daily": _new_vs_returning_daily,
         # Markov next-event baseline accuracy per previous type
         "markov_next_accuracy": _markov_next_accuracy,
         # out-of-order lateness vs arrival order (distributed prefix max)
@@ -1815,6 +1827,9 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q3_topk": _TPCH_Q3_SQL,
         "tpch_q6_revenue": _TPCH_Q6_SQL,
         "length_token_copula_grid": _LENGTH_TOKEN_COPULA_SQL,
+        "trailing_distinct_users": _TRAILING_DISTINCT_SQL,
+        "late_order_counts": _LATE_ORDER_SQL,
+        "new_vs_returning_daily": _NEW_VS_RETURNING_SQL,
         "markov_next_accuracy": _MARKOV_NEXT_ACC_SQL,
         "ooo_lateness_stats": _OOO_LATENESS_SQL,
         "multimodal_resize_stats": """

@@ -3221,3 +3221,303 @@ SELECT CAST(count(*) AS BIGINT) AS n_users,
                 THEN n_ev END), 0) AS BIGINT) AS bot_events
 FROM pu
 """
+
+
+def trailing_distinct_users(sf_dir: str, window_days: int = 7) -> pa.Table:
+    """EXACT trailing-``window_days`` distinct active users per day --
+    the rolling-DAU/WAU curve computed exactly (the HLL query gives the
+    approximate tier).  A user active on day d is "covered" on days
+    d..d+6; the per-day distinct count is then the sum of a +-1 DIFF
+    ARRAY over each user's MERGED coverage intervals, so the exchange
+    carries O(days) integers per partition instead of user sets.
+
+    Scale shape: user co-partition; per user, sort active days, merge
+    overlapping coverage intervals vectorized, accumulate a partition-
+    local diff array; driver folds O(days) arrays and prefix-sums.
+    """
+    from ray.data.aggregate import Sum
+    from ..stages.partition import fit_partitions, partition_by
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts"])
+    DAY_US = np.int64(86_400_000_000)
+    W = int(window_days)
+
+    def prep(t: pa.Table) -> pa.Table:
+        us = _as_int64(t["ts"])
+        staged = pa.table({
+            "user_id": pc.cast(t["user_id"], pa.int64()),
+            "day": pa.array(us // DAY_US),
+        })
+        return staged.group_by(["user_id", "day"]).aggregate([])
+
+    mm = (ds.map_batches(
+        lambda t: pa.table({
+            "lo": pa.array([int((_as_int64(t["ts"]) // DAY_US).min())],
+                           type=pa.int64()),
+            "hi": pa.array([int((_as_int64(t["ts"]) // DAY_US).max())],
+                           type=pa.int64())}),
+        batch_format="pyarrow").to_pandas())
+    lo_day = int(mm["lo"].min())
+    hi_day = int(mm["hi"].max())
+    span = hi_day - lo_day + 1
+
+    empty = pa.table({"day": pa.array([], type=pa.int64()),
+                      "d": pa.array([], type=pa.int64())})
+
+    def diffs(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        d = t["day"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((d, u))
+        u_s, d_s = u[order], d[order]
+        # per-user distinct days (cross-block dupes possible)
+        keep = np.ones(u_s.size, dtype=bool)
+        keep[1:] = (u_s[1:] != u_s[:-1]) | (d_s[1:] != d_s[:-1])
+        u_s, d_s = u_s[keep], d_s[keep]
+        # coverage interval per active day: [d, d+W-1]; merge runs
+        # where the next active day starts before the current cover
+        # ends (same user)
+        same = np.zeros(u_s.size, dtype=bool)
+        same[1:] = (u_s[1:] == u_s[:-1]) & (d_s[1:] <= d_s[:-1] + W - 1)
+        # interval starts: rows where not merged into the previous
+        starts = np.flatnonzero(~same)
+        ends_idx = np.append(starts[1:] - 1, u_s.size - 1)
+        ivl_start = d_s[starts]
+        ivl_end = d_s[ends_idx] + W - 1
+        diff = np.zeros(span + 1, dtype=np.int64)
+        np.add.at(diff, np.clip(ivl_start - lo_day, 0, span), 1)
+        np.add.at(diff, np.clip(ivl_end - lo_day + 1, 0, span), -1)
+        nz = np.flatnonzero(diff[:span])
+        return pa.table({"day": pa.array(nz.astype(np.int64)),
+                         "d": pa.array(diff[nz])})
+
+    mem = ds.map_batches(prep, batch_format="pyarrow",
+                         zero_copy_batch=True)
+    agg = (partition_by(mem, ["user_id"], fit_partitions(32), diffs,
+                        empty)
+           .groupby("day").aggregate(Sum("d", alias_name="d"))
+           .to_pandas().sort_values("day"))
+    diff = np.zeros(span, dtype=np.int64)
+    diff[agg["day"].to_numpy(dtype=np.int64)] = \
+        agg["d"].to_numpy(dtype=np.int64)
+    counts = np.cumsum(diff)
+    return pa.table({
+        "day": pa.array(np.arange(lo_day, hi_day + 1,
+                                  dtype=np.int64)),
+        "trailing_distinct": pa.array(counts),
+    })
+
+
+TRAILING_DISTINCT_SQL = """
+WITH a AS (
+  SELECT DISTINCT user_id,
+         CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day
+  FROM events
+), b AS (SELECT min(day) AS lo, max(day) AS hi FROM a),
+grid AS (
+  SELECT unnest(generate_series(b.lo, b.hi)) AS day FROM b
+)
+SELECT CAST(grid.day AS BIGINT) AS day,
+       CAST(count(DISTINCT a.user_id) AS BIGINT)
+         AS trailing_distinct
+FROM grid LEFT JOIN a
+  ON a.day BETWEEN grid.day - 6 AND grid.day
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def late_order_counts(sf_dir: str, grace_days: int = 60) -> pa.Table:
+    """LATE-ORDER CENSUS per priority (TPC-H Q4 shape adapted to this
+    schema): orders having AT LEAST ONE lineitem shipped more than
+    ``grace_days`` after the order date -- an EXISTS semi-join
+    resolved by an order-key co-partition, counted per priority.
+
+    Scale shape: orders collapse to (key, date, priority-code);
+    lineitem to per-block (key, max shipdate) partials; one
+    co-partition resolves the EXISTS vectorized.
+    """
+    from ray.data.aggregate import Sum
+    from ..stages.partition import fit_partitions, partition_by
+
+    GRACE_US = np.int64(grace_days) * 86_400_000_000
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"])
+    li = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_orderkey", "l_shipdate"])
+
+    o_empty = pa.table({"key": pa.array([], type=pa.int64()),
+                        "ts": pa.array([], type=pa.int64()),
+                        "prio": pa.array([], type=pa.string()),
+                        "side": pa.array([], type=pa.int64())})
+
+    def o_prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "key": pc.cast(t["o_orderkey"], pa.int64()),
+            "ts": pa.array(_as_int64(t["o_orderdate"]),
+                           type=pa.int64()),
+            "prio": t["o_orderpriority"],
+            "side": pa.array(np.zeros(t.num_rows, dtype=np.int64)),
+        })
+
+    def li_prep(t: pa.Table) -> pa.Table:
+        staged = pa.table({
+            "key": pc.cast(t["l_orderkey"], pa.int64()),
+            "ts": pa.array(_as_int64(t["l_shipdate"]),
+                           type=pa.int64()),
+        })
+        g = staged.group_by("key").aggregate([("ts", "max")])
+        n = g.num_rows
+        return pa.table({"key": g["key"],
+                         "ts": pc.cast(g["ts_max"], pa.int64()),
+                         "prio": pa.array([""] * n, type=pa.string()),
+                         "side": pa.array(np.ones(n,
+                                                  dtype=np.int64))})
+
+    both = (orders.map_batches(o_prep, batch_format="pyarrow",
+                               zero_copy_batch=True)
+            .union(li.map_batches(li_prep, batch_format="pyarrow",
+                                  zero_copy_batch=True)))
+
+    empty = pa.table({"prio": pa.array([], type=pa.string()),
+                      "n_orders": pa.array([], type=pa.int64()),
+                      "n_late": pa.array([], type=pa.int64())})
+
+    def resolve(t: pa.Table) -> pa.Table:
+        key = t["key"].to_numpy(zero_copy_only=False)
+        ts = t["ts"].to_numpy(zero_copy_only=False)
+        side = t["side"].to_numpy(zero_copy_only=False)
+        prio = np.asarray(t["prio"].to_pylist(), dtype=np.str_)
+        ok_, ots, op = (key[side == 0], ts[side == 0],
+                        prio[side == 0])
+        lk, lts = key[side == 1], ts[side == 1]
+        uk, inv = np.unique(lk, return_inverse=True)
+        umax = np.full(uk.size, np.iinfo(np.int64).min,
+                       dtype=np.int64)
+        np.maximum.at(umax, inv, lts)
+        pos = np.searchsorted(uk, ok_)
+        safe = np.minimum(pos, max(uk.size - 1, 0))
+        has = (uk.size > 0) & (pos < uk.size) & (uk[safe] == ok_)
+        late = has & (umax[safe] > ots + GRACE_US)
+        up, pinv = np.unique(op, return_inverse=True)
+        n = np.bincount(pinv, minlength=up.size)
+        nl = np.bincount(pinv[late], minlength=up.size)
+        return pa.table({
+            "prio": pa.array(up.tolist(), type=pa.string()),
+            "n_orders": pa.array(n.astype(np.int64)),
+            "n_late": pa.array(nl.astype(np.int64))})
+
+    agg = (partition_by(both, ["key"], fit_partitions(16), resolve,
+                        empty)
+           .groupby("prio")
+           .aggregate(Sum("n_orders", alias_name="n_orders"),
+                      Sum("n_late", alias_name="n_late"))
+           .to_pandas().sort_values("prio"))
+    n = agg["n_orders"].to_numpy(dtype=np.int64)
+    nl = agg["n_late"].to_numpy(dtype=np.int64)
+    return pa.table({
+        "o_orderpriority": pa.array(agg["prio"].tolist(),
+                                    type=pa.string()),
+        "n_orders": pa.array(n),
+        "n_late": pa.array(nl),
+        "late_ppm": pa.array(nl * 1_000_000 // n),
+    })
+
+
+LATE_ORDER_SQL = """
+WITH lm AS (
+  SELECT l_orderkey, max(epoch_us(l_shipdate)) AS mx
+  FROM lineitem GROUP BY 1
+)
+SELECT o.o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CASE WHEN lm.mx > epoch_us(o.o_orderdate)
+                          + 60 * 86400000000 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_late,
+       CAST(sum(CASE WHEN lm.mx > epoch_us(o.o_orderdate)
+                          + 60 * 86400000000 THEN 1 ELSE 0 END)
+            * 1000000 // count(*) AS BIGINT) AS late_ppm
+FROM orders o LEFT JOIN lm ON lm.l_orderkey = o.o_orderkey
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def new_vs_returning_daily(sf_dir: str) -> pa.Table:
+    """NEW vs RETURNING daily active users: per day, how many of the
+    day's distinct actives are first-ever-seen vs repeat -- the
+    growth-accounting split every DAU chart needs.
+
+    Scale shape: user co-partition; per user the first active day is
+    local to the partition, so each partition emits exact per-day
+    (new, returning) partials; one O(days) groupby folds them.
+    """
+    from ray.data.aggregate import Sum
+    from ..stages.partition import fit_partitions, partition_by
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts"])
+    DAY_US = np.int64(86_400_000_000)
+
+    def prep(t: pa.Table) -> pa.Table:
+        us = _as_int64(t["ts"])
+        staged = pa.table({
+            "user_id": pc.cast(t["user_id"], pa.int64()),
+            "day": pa.array(us // DAY_US),
+        })
+        return staged.group_by(["user_id", "day"]).aggregate([])
+
+    empty = pa.table({"day": pa.array([], type=pa.int64()),
+                      "n_new": pa.array([], type=pa.int64()),
+                      "n_returning": pa.array([], type=pa.int64())})
+
+    def split(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        d = t["day"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((d, u))
+        u_s, d_s = u[order], d[order]
+        keep = np.ones(u_s.size, dtype=bool)
+        keep[1:] = (u_s[1:] != u_s[:-1]) | (d_s[1:] != d_s[:-1])
+        u_s, d_s = u_s[keep], d_s[keep]
+        first = np.ones(u_s.size, dtype=bool)
+        first[1:] = u_s[1:] != u_s[:-1]
+        ud, dinv = np.unique(d_s, return_inverse=True)
+        n_new = np.bincount(dinv[first], minlength=ud.size)
+        n_all = np.bincount(dinv, minlength=ud.size)
+        return pa.table({
+            "day": pa.array(ud.astype(np.int64)),
+            "n_new": pa.array(n_new.astype(np.int64)),
+            "n_returning": pa.array(
+                (n_all - n_new).astype(np.int64))})
+
+    mem = ds.map_batches(prep, batch_format="pyarrow",
+                         zero_copy_batch=True)
+    agg = (partition_by(mem, ["user_id"], fit_partitions(32), split,
+                        empty)
+           .groupby("day")
+           .aggregate(Sum("n_new", alias_name="n_new"),
+                      Sum("n_returning", alias_name="n_returning"))
+           .to_pandas().sort_values("day"))
+    return pa.table({
+        "day": pa.array(agg["day"].to_numpy(dtype=np.int64)),
+        "n_new": pa.array(agg["n_new"].to_numpy(dtype=np.int64)),
+        "n_returning": pa.array(
+            agg["n_returning"].to_numpy(dtype=np.int64)),
+    })
+
+
+NEW_VS_RETURNING_SQL = """
+WITH a AS (
+  SELECT DISTINCT user_id,
+         CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day
+  FROM events
+), f AS (
+  SELECT user_id, min(day) AS first_day FROM a GROUP BY 1
+)
+SELECT CAST(a.day AS BIGINT) AS day,
+       CAST(sum(CASE WHEN a.day = f.first_day THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_new,
+       CAST(sum(CASE WHEN a.day > f.first_day THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_returning
+FROM a JOIN f USING (user_id)
+GROUP BY 1 ORDER BY 1
+"""

@@ -856,3 +856,94 @@ def test_metronome_bot_flags_regular_user(ray_session, tmp_path):
     assert out["n_eligible"] == [2]
     assert out["n_bots"] == [1]
     assert out["bot_events"] == [9]
+
+
+def test_trailing_distinct_exact_window(ray_session, tmp_path):
+    """Hand-checkable coverage: user 1 active day 0, user 2 active
+    days 0 and 10 -> trailing-7d counts drop and rebound exactly."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from p2pddsketch_ray.pipelines.temporal import (
+        trailing_distinct_users)
+    DAY = 86_400_000_000
+    rows = [(1, 0), (2, 0), (2, 10)]
+    pq.write_table(pa.table({
+        "user_id": pa.array(np.array([r[0] for r in rows],
+                                     dtype=np.int64)),
+        "ts": pa.array(np.array([r[1] * DAY for r in rows],
+                                dtype=np.int64)).cast(
+            pa.timestamp("us")),
+    }), str(tmp_path / "events.parquet"))
+    out = (trailing_distinct_users(str(tmp_path)).to_pandas()
+           .set_index("day"))
+    # days 0-6: both users covered; 7-9: none; 10: user 2 again
+    assert int(out.loc[0, "trailing_distinct"]) == 2
+    assert int(out.loc[6, "trailing_distinct"]) == 2
+    assert int(out.loc[7, "trailing_distinct"]) == 0
+    assert int(out.loc[10, "trailing_distinct"]) == 1
+
+
+def test_trailing_distinct_matches_bruteforce(ray_session,
+                                              tmp_path):
+    """Randomized activity vs a brute-force window count."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from p2pddsketch_ray.pipelines.temporal import (
+        trailing_distinct_users)
+    DAY = 86_400_000_000
+    rng = np.random.default_rng(17)
+    users = rng.integers(0, 30, 500)
+    days = rng.integers(0, 40, 500)
+    pq.write_table(pa.table({
+        "user_id": pa.array(users.astype(np.int64)),
+        "ts": pa.array((days * DAY).astype(np.int64)).cast(
+            pa.timestamp("us")),
+    }), str(tmp_path / "events.parquet"))
+    out = (trailing_distinct_users(str(tmp_path)).to_pandas()
+           .set_index("day"))
+    lo, hi = int(days.min()), int(days.max())
+    for d in range(lo, hi + 1):
+        m = (days >= d - 6) & (days <= d)
+        assert int(out.loc[d, "trailing_distinct"]) == \
+            len(np.unique(users[m]))
+
+
+def test_late_orders_and_new_returning(ray_session, tmp_path):
+    """One late order (shipped 90d after), one on-time, one without
+    lineitems; plus the daily new/returning split."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from p2pddsketch_ray.pipelines.temporal import (
+        late_order_counts, new_vs_returning_daily)
+    DAY = 86_400_000_000
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([1, 2, 3], type=pa.int64()),
+        "o_orderdate": pa.array(
+            np.array([0, 0, 0], dtype=np.int64)).cast(
+            pa.timestamp("us")),
+        "o_orderpriority": pa.array(["1-URGENT"] * 3),
+    }), str(tmp_path / "orders.parquet"))
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array([1, 2], type=pa.int64()),
+        "l_shipdate": pa.array(
+            np.array([90 * DAY, 10 * DAY], dtype=np.int64)).cast(
+            pa.timestamp("us")),
+    }), str(tmp_path / "lineitem.parquet"))
+    out = late_order_counts(str(tmp_path)).to_pydict()
+    assert out["n_orders"] == [3]
+    assert out["n_late"] == [1]
+
+    pq.write_table(pa.table({
+        "user_id": pa.array([7, 7, 8], type=pa.int64()),
+        "ts": pa.array(np.array([0, DAY, DAY],
+                                dtype=np.int64)).cast(
+            pa.timestamp("us")),
+    }), str(tmp_path / "events.parquet"))
+    nv = (new_vs_returning_daily(str(tmp_path)).to_pandas()
+          .set_index("day"))
+    assert int(nv.loc[0, "n_new"]) == 1
+    assert int(nv.loc[1, "n_new"]) == 1          # user 8
+    assert int(nv.loc[1, "n_returning"]) == 1    # user 7
