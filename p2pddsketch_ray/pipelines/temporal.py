@@ -3392,13 +3392,16 @@ def late_order_counts(sf_dir: str, grace_days: int = 60) -> pa.Table:
                         prio[side == 0])
         lk, lts = key[side == 1], ts[side == 1]
         uk, inv = np.unique(lk, return_inverse=True)
-        umax = np.full(uk.size, np.iinfo(np.int64).min,
-                       dtype=np.int64)
-        np.maximum.at(umax, inv, lts)
-        pos = np.searchsorted(uk, ok_)
-        safe = np.minimum(pos, max(uk.size - 1, 0))
-        has = (uk.size > 0) & (pos < uk.size) & (uk[safe] == ok_)
-        late = has & (umax[safe] > ots + GRACE_US)
+        if uk.size and ok_.size:
+            umax = np.full(uk.size, np.iinfo(np.int64).min,
+                           dtype=np.int64)
+            np.maximum.at(umax, inv, lts)
+            pos = np.searchsorted(uk, ok_)
+            safe = np.minimum(pos, uk.size - 1)
+            has = (pos < uk.size) & (uk[safe] == ok_)
+            late = has & (umax[safe] > ots + GRACE_US)
+        else:
+            late = np.zeros(ok_.size, dtype=bool)
         up, pinv = np.unique(op, return_inverse=True)
         n = np.bincount(pinv, minlength=up.size)
         nl = np.bincount(pinv[late], minlength=up.size)
