@@ -342,6 +342,10 @@ from p2pddsketch_ray.pipelines.relational import (  # noqa: E402
     TPCH_Q6_SQL as _TPCH_Q6_SQL,
     length_token_copula_grid as _length_token_copula_grid,
     LENGTH_TOKEN_COPULA_SQL as _LENGTH_TOKEN_COPULA_SQL,
+    price_volume_decomposition as _price_volume_decomposition,
+    PRICE_VOLUME_SQL as _PRICE_VOLUME_SQL,
+    ttr_quantiles_by_lang as _ttr_quantiles_by_lang,
+    TTR_QUANTILES_SQL as _TTR_QUANTILES_SQL,
     brand_year_revenue as _brand_year_revenue,
     BRAND_YEAR_REVENUE_SQL as _BRAND_YEAR_REVENUE_SQL,
     customer_frequency_spectrum as _customer_frequency_spectrum,
@@ -1143,6 +1147,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "late_order_counts": _late_order_counts,
         # daily new vs returning active users
         "new_vs_returning_daily": _new_vs_returning_daily,
+        # Laspeyres/Paasche price-vs-volume revenue decomposition
+        "price_volume_decomposition": _price_volume_decomposition,
+        # type-token-ratio quartiles per language
+        "ttr_quantiles_by_lang": _ttr_quantiles_by_lang,
         # Markov next-event baseline accuracy per previous type
         "markov_next_accuracy": _markov_next_accuracy,
         # out-of-order lateness vs arrival order (distributed prefix max)
@@ -1830,6 +1838,8 @@ def oracle_sql() -> dict[str, str]:
         "trailing_distinct_users": _TRAILING_DISTINCT_SQL,
         "late_order_counts": _LATE_ORDER_SQL,
         "new_vs_returning_daily": _NEW_VS_RETURNING_SQL,
+        "price_volume_decomposition": _PRICE_VOLUME_SQL,
+        "ttr_quantiles_by_lang": _TTR_QUANTILES_SQL,
         "markov_next_accuracy": _MARKOV_NEXT_ACC_SQL,
         "ooo_lateness_stats": _OOO_LATENESS_SQL,
         "multimodal_resize_stats": """

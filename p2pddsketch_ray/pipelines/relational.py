@@ -17240,3 +17240,221 @@ FROM grid LEFT JOIN c ON c.bc = grid.bc AND c.bt = grid.bt
 CROSS JOIN t
 ORDER BY 1, 2
 """
+
+
+def price_volume_decomposition(sf_dir: str, year0: int = 1996,
+                               year1: int = 1997) -> pa.Table:
+    """PRICE/VOLUME DECOMPOSITION of the revenue change between two
+    ship years (index-number accounting): for parts traded in BOTH
+    years, the Laspeyres price term sum_p floor(rev1_p * qty0_p //
+    qty1_p) revalues the old basket at new unit prices, and the
+    Paasche volume term revalues the new basket at old prices -- the
+    "did revenue move because of price or because of volume" split,
+    deterministic by per-part floored integer division.
+
+    Scale shape: per-block (part, year, rev, qty) combiner, part
+    co-partition pairing the two years vectorized, scalar fold.
+    """
+    from ..stages.partition import fit_partitions, partition_by
+
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_shipdate", "l_extendedprice",
+                "l_quantity"])
+    lo0 = int(np.datetime64(f"{year0}-01-01", "us").astype(np.int64))
+    hi0 = int(np.datetime64(f"{year0 + 1}-01-01", "us")
+              .astype(np.int64))
+    lo1 = int(np.datetime64(f"{year1}-01-01", "us").astype(np.int64))
+    hi1 = int(np.datetime64(f"{year1 + 1}-01-01", "us")
+              .astype(np.int64))
+
+    empty = pa.table({"part": pa.array([], type=pa.int64()),
+                      "y": pa.array([], type=pa.int64()),
+                      "rev": pa.array([], type=pa.int64()),
+                      "qty": pa.array([], type=pa.int64())})
+
+    def prep(t: pa.Table) -> pa.Table:
+        us = pc.cast(t["l_shipdate"], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        y = np.where((us >= lo0) & (us < hi0), 0,
+                     np.where((us >= lo1) & (us < hi1), 1, -1))
+        keep = y >= 0
+        if not keep.any():
+            return empty
+        t2 = t.filter(pa.array(keep))
+        rev = _int_units(t2["l_extendedprice"], 100)
+        staged = pa.table({
+            "part": pc.cast(t2["l_partkey"], pa.int64()),
+            "y": pa.array(y[keep]),
+            "rev": rev,
+            "qty": pc.cast(t2["l_quantity"], pa.int64()),
+        })
+        g = staged.group_by(["part", "y"]).aggregate(
+            [("rev", "sum"), ("qty", "sum")])
+        return pa.table({"part": g["part"], "y": g["y"],
+                         "rev": pc.cast(g["rev_sum"], pa.int64()),
+                         "qty": pc.cast(g["qty_sum"], pa.int64())})
+
+    out_empty = pa.table({c: pa.array([], type=pa.int64())
+                          for c in ("n_parts", "rev0", "rev1",
+                                    "laspeyres", "paasche")})
+
+    def pair(t: pa.Table) -> pa.Table:
+        part = t["part"].to_numpy(zero_copy_only=False)
+        y = t["y"].to_numpy(zero_copy_only=False)
+        rev = t["rev"].to_numpy(zero_copy_only=False)
+        qty = t["qty"].to_numpy(zero_copy_only=False)
+        # fold cross-block repeats per (part, y)
+        comp = part * 2 + y
+        order = np.argsort(comp)
+        comp_s = comp[order]
+        keep = np.ones(comp_s.size, dtype=bool)
+        keep[1:] = comp_s[1:] != comp_s[:-1]
+        grp = np.cumsum(keep) - 1
+        n = int(grp[-1]) + 1 if comp_s.size else 0
+        rev_f = np.zeros(n, dtype=np.int64)
+        qty_f = np.zeros(n, dtype=np.int64)
+        np.add.at(rev_f, grp, rev[order])
+        np.add.at(qty_f, grp, qty[order])
+        comp_u = comp_s[keep]
+        part_u, y_u = comp_u // 2, comp_u % 2
+        # pair years: consecutive rows with same part and y 0 then 1
+        both = np.zeros(part_u.size, dtype=bool)
+        both[:-1] = (part_u[1:] == part_u[:-1]) & (y_u[:-1] == 0) \
+            & (y_u[1:] == 1)
+        i0 = np.flatnonzero(both)
+        i1 = i0 + 1
+        lasp = sum(int(rev_f[b]) * int(qty_f[a]) // int(qty_f[b])
+                   for a, b in zip(i0, i1))
+        paas = sum(int(rev_f[a]) * int(qty_f[b]) // int(qty_f[a])
+                   for a, b in zip(i0, i1))
+        return pa.table({
+            "n_parts": pa.array([int(i0.size)], type=pa.int64()),
+            "rev0": pa.array([int(rev_f[i0].sum())], type=pa.int64()),
+            "rev1": pa.array([int(rev_f[i1].sum())], type=pa.int64()),
+            "laspeyres": pa.array([int(lasp)], type=pa.int64()),
+            "paasche": pa.array([int(paas)], type=pa.int64()),
+        })
+
+    staged = li.map_batches(prep, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    f = partition_by(staged, ["part"], fit_partitions(16), pair,
+                     out_empty).to_pandas()
+    rev0 = int(f["rev0"].sum()); rev1 = int(f["rev1"].sum())
+    lasp = int(f["laspeyres"].sum()); paas = int(f["paasche"].sum())
+    return pa.table({
+        "n_parts_both_years": pa.array([int(f["n_parts"].sum())],
+                                       type=pa.int64()),
+        "rev0_cents": pa.array([rev0], type=pa.int64()),
+        "rev1_cents": pa.array([rev1], type=pa.int64()),
+        "laspeyres_cents": pa.array([lasp], type=pa.int64()),
+        "paasche_cents": pa.array([paas], type=pa.int64()),
+        "price_index_ppm": pa.array(
+            [lasp * 1_000_000 // rev0 if rev0 else 0],
+            type=pa.int64()),
+        "volume_index_ppm": pa.array(
+            [paas * 1_000_000 // rev0 if rev0 else 0],
+            type=pa.int64()),
+    })
+
+
+PRICE_VOLUME_SQL = """
+WITH py AS (
+  SELECT l_partkey AS part,
+         CASE WHEN l_shipdate >= TIMESTAMP '1996-01-01'
+               AND l_shipdate < TIMESTAMP '1997-01-01' THEN 0
+              WHEN l_shipdate >= TIMESTAMP '1997-01-01'
+               AND l_shipdate < TIMESTAMP '1998-01-01' THEN 1
+         END AS y,
+         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+              AS BIGINT) AS rev,
+         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1998-01-01'
+  GROUP BY 1, 2
+), b AS (
+  SELECT a.part, a.rev AS rev0, a.qty AS qty0,
+         c.rev AS rev1, c.qty AS qty1
+  FROM py a JOIN py c ON c.part = a.part AND a.y = 0 AND c.y = 1
+), s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_parts,
+         CAST(sum(rev0) AS BIGINT) AS rev0,
+         CAST(sum(rev1) AS BIGINT) AS rev1,
+         CAST(sum(rev1 * qty0 // qty1) AS BIGINT) AS lasp,
+         CAST(sum(rev0 * qty1 // qty0) AS BIGINT) AS paas
+  FROM b
+)
+SELECT n_parts AS n_parts_both_years, rev0 AS rev0_cents,
+       rev1 AS rev1_cents, lasp AS laspeyres_cents,
+       paas AS paasche_cents,
+       CAST(lasp * 1000000 // rev0 AS BIGINT) AS price_index_ppm,
+       CAST(paas * 1000000 // rev0 AS BIGINT) AS volume_index_ppm
+FROM s
+"""
+
+
+def ttr_quantiles_by_lang(sf_dir: str) -> pa.Table:
+    """TYPE-TOKEN RATIO distribution per language: each document's
+    distinct-token share in ppm, summarized as exact p25/p50/p75 per
+    lang -- the per-document lexical-diversity screen (templated docs
+    sit low) at distribution resolution rather than one mean.
+
+    Scale shape: a vectorized per-doc TTR map (sorted-run distinct
+    counting inside each block), then the grouped histogram-bisection
+    quantile pass.
+    """
+    from .quantiles import exact_quantiles_grouped
+
+    ds = _read(sf_dir, "documents", ["lang", "text"])
+
+    empty = pa.table({"lang": pa.array([], type=pa.string()),
+                      "ttr": pa.array([], type=pa.int64())})
+
+    def ttr(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        toks = pc.split_pattern(t["text"], pattern=" ")
+        flat = np.asarray(pc.list_flatten(toks).to_pylist(),
+                          dtype=np.str_)
+        nper = pc.list_value_length(toks).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        did = np.repeat(np.arange(t.num_rows, dtype=np.int64), nper)
+        order = np.lexsort((flat, did))
+        d_s, f_s = did[order], flat[order]
+        new = np.ones(d_s.size, dtype=bool)
+        new[1:] = (d_s[1:] != d_s[:-1]) | (f_s[1:] != f_s[:-1])
+        distinct = np.bincount(d_s[new], minlength=t.num_rows)
+        ttr_ppm = distinct * 1_000_000 // np.maximum(nper, 1)
+        return pa.table({"lang": t["lang"],
+                         "ttr": pa.array(ttr_ppm.astype(np.int64))})
+
+    feats = ds.map_batches(ttr, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    qt = exact_quantiles_grouped(feats, "ttr", "lang",
+                                 [0.25, 0.5, 0.75]).to_pandas()
+    piv = qt.pivot_table(index="lang", columns="q", values="value",
+                         aggfunc="first").sort_index()
+    return pa.table({
+        "lang": pa.array(piv.index.tolist(), type=pa.string()),
+        "ttr_p25": pa.array(piv[0.25].to_numpy(dtype=np.int64)),
+        "ttr_p50": pa.array(piv[0.5].to_numpy(dtype=np.int64)),
+        "ttr_p75": pa.array(piv[0.75].to_numpy(dtype=np.int64)),
+    })
+
+
+TTR_QUANTILES_SQL = """
+WITH toks AS (
+  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+  FROM documents
+), per AS (
+  SELECT doc_id, lang,
+         CAST(count(DISTINCT tok) * 1000000 // count(*) AS BIGINT)
+           AS ttr
+  FROM toks GROUP BY 1, 2
+)
+SELECT lang,
+       CAST(quantile_disc(ttr, 0.25) AS BIGINT) AS ttr_p25,
+       CAST(quantile_disc(ttr, 0.5) AS BIGINT) AS ttr_p50,
+       CAST(quantile_disc(ttr, 0.75) AS BIGINT) AS ttr_p75
+FROM per GROUP BY 1 ORDER BY 1
+"""

@@ -3664,3 +3664,43 @@ def test_copula_grid_perfect_dependence(ray_session, tmp_path):
     off_diag = out[(out["chars_bucket"] != out["tokens_bucket"])]
     assert int(off_diag["n"].sum()) == 0
     assert int(out["n"].sum()) == 100
+
+
+def test_price_volume_pure_price_move(ray_session, tmp_path):
+    """Same quantities both years, prices doubled -> price index 2e6,
+    volume index 1e6."""
+    import pyarrow.parquet as pq
+    from p2pddsketch_ray.pipelines.relational import (
+        price_volume_decomposition)
+    Y0 = np.datetime64("1996-06-01", "us").astype(np.int64)
+    Y1 = np.datetime64("1997-06-01", "us").astype(np.int64)
+    pq.write_table(pa.table({
+        "l_partkey": pa.array([1, 2, 1, 2], type=pa.int64()),
+        "l_shipdate": pa.array(
+            np.array([Y0, Y0, Y1, Y1], dtype=np.int64)).cast(
+            pa.timestamp("us")),
+        "l_extendedprice": pa.array([100.0, 50.0, 200.0, 100.0]),
+        "l_quantity": pa.array([10.0, 5.0, 10.0, 5.0]),
+    }), str(tmp_path / "lineitem.parquet"))
+    out = price_volume_decomposition(str(tmp_path)).to_pydict()
+    assert out["n_parts_both_years"] == [2]
+    assert out["price_index_ppm"] == [2_000_000]
+    assert out["volume_index_ppm"] == [1_000_000]
+
+
+def test_ttr_quantiles_separates_template_from_unique(ray_session,
+                                                      tmp_path):
+    """All-repeat docs (low TTR) vs all-unique docs (TTR 1e6)."""
+    import pyarrow.parquet as pq
+    from p2pddsketch_ray.pipelines.relational import (
+        ttr_quantiles_by_lang)
+    rep = " ".join(["tok"] * 20)
+    uniq = " ".join(f"w{i}" for i in range(20))
+    pq.write_table(pa.table({
+        "lang": pa.array(["tmpl"] * 9 + ["org"] * 9),
+        "text": pa.array([rep] * 9 + [uniq] * 9),
+    }), str(tmp_path / "documents.parquet"))
+    out = (ttr_quantiles_by_lang(str(tmp_path)).to_pandas()
+           .set_index("lang"))
+    assert int(out.loc["tmpl", "ttr_p50"]) == 50_000   # 1/20
+    assert int(out.loc["org", "ttr_p50"]) == 1_000_000
