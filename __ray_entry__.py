@@ -346,6 +346,10 @@ from p2pddsketch_ray.pipelines.relational import (  # noqa: E402
     PRICE_VOLUME_SQL as _PRICE_VOLUME_SQL,
     ttr_quantiles_by_lang as _ttr_quantiles_by_lang,
     TTR_QUANTILES_SQL as _TTR_QUANTILES_SQL,
+    copurchase_part_pairs as _copurchase_part_pairs,
+    COPURCHASE_PAIRS_SQL as _COPURCHASE_PAIRS_SQL,
+    nation_share_of_region as _nation_share_of_region,
+    NATION_SHARE_SQL as _NATION_SHARE_SQL,
     brand_year_revenue as _brand_year_revenue,
     BRAND_YEAR_REVENUE_SQL as _BRAND_YEAR_REVENUE_SQL,
     customer_frequency_spectrum as _customer_frequency_spectrum,
@@ -1151,6 +1155,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "price_volume_decomposition": _price_volume_decomposition,
         # type-token-ratio quartiles per language
         "ttr_quantiles_by_lang": _ttr_quantiles_by_lang,
+        # top co-purchased part pairs within orders (market basket)
+        "copurchase_part_pairs": _copurchase_part_pairs,
+        # nation share of its region's supplier balance (hierarchy)
+        "nation_share_of_region": _nation_share_of_region,
         # Markov next-event baseline accuracy per previous type
         "markov_next_accuracy": _markov_next_accuracy,
         # out-of-order lateness vs arrival order (distributed prefix max)
@@ -1840,6 +1848,8 @@ def oracle_sql() -> dict[str, str]:
         "new_vs_returning_daily": _NEW_VS_RETURNING_SQL,
         "price_volume_decomposition": _PRICE_VOLUME_SQL,
         "ttr_quantiles_by_lang": _TTR_QUANTILES_SQL,
+        "copurchase_part_pairs": _COPURCHASE_PAIRS_SQL,
+        "nation_share_of_region": _NATION_SHARE_SQL,
         "markov_next_accuracy": _MARKOV_NEXT_ACC_SQL,
         "ooo_lateness_stats": _OOO_LATENESS_SQL,
         "multimodal_resize_stats": """

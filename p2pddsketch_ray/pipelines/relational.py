@@ -17458,3 +17458,195 @@ SELECT lang,
        CAST(quantile_disc(ttr, 0.75) AS BIGINT) AS ttr_p75
 FROM per GROUP BY 1 ORDER BY 1
 """
+
+
+def copurchase_part_pairs(sf_dir: str, k: int = 10) -> pa.Table:
+    """MARKET-BASKET part pairs: the top-k part pairs most often
+    bought together in one order -- the classic co-purchase miner,
+    distributed as an order-key co-partition with within-order pair
+    expansion (bounded by the order fanout, never corpus-quadratic)
+    and a pair groupby with per-block top-k prereduce.
+    """
+    from ..stages.partition import fit_partitions, partition_by
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        staged = pa.table({
+            "okey": pc.cast(t["l_orderkey"], pa.int64()),
+            "part": pc.cast(t["l_partkey"], pa.int64()),
+        })
+        return staged.group_by(["okey", "part"]).aggregate([])
+
+    pair_empty = pa.table({"a": pa.array([], type=pa.int64()),
+                           "b": pa.array([], type=pa.int64()),
+                           "n": pa.array([], type=pa.int64())})
+
+    def expand(t: pa.Table) -> pa.Table:
+        okey = t["okey"].to_numpy(zero_copy_only=False)
+        part = t["part"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((part, okey))
+        o_s, p_s = okey[order], part[order]
+        keep = np.ones(o_s.size, dtype=bool)    # cross-block dedup
+        keep[1:] = (o_s[1:] != o_s[:-1]) | (p_s[1:] != p_s[:-1])
+        o_s, p_s = o_s[keep], p_s[keep]
+        n = o_s.size
+        new = np.ones(n, dtype=bool)
+        new[1:] = o_s[1:] != o_s[:-1]
+        starts = np.flatnonzero(new)
+        rlen = np.diff(np.append(starts, n))
+        rank = np.arange(n) - np.repeat(starts, rlen)
+        cnt_a = np.repeat(rlen, rlen) - rank - 1
+        total = int(cnt_a.sum())
+        if total == 0:
+            return pair_empty
+        a_idx = np.repeat(np.arange(n), cnt_a)
+        excl = np.concatenate([[0], np.cumsum(cnt_a)[:-1]])
+        b_idx = a_idx + (np.arange(total)
+                         - np.repeat(excl, cnt_a)) + 1
+        comp = p_s[a_idx] * (np.int64(1) << np.int64(31)) \
+            + p_s[b_idx]
+        u, c = np.unique(comp, return_counts=True)
+        return pa.table({"a": pa.array(u >> 31),
+                         "b": pa.array(u & ((1 << 31) - 1)),
+                         "n": pa.array(c.astype(np.int64))})
+
+    staged = li.map_batches(prep, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    pairs = (partition_by(staged, ["okey"], fit_partitions(16),
+                          expand, pair_empty)
+             .groupby(["a", "b"])
+             .aggregate(Sum("n", alias_name="n")))
+
+    pre_empty = pa.table({"a": pa.array([], type=pa.int64()),
+                          "b": pa.array([], type=pa.int64()),
+                          "n": pa.array([], type=pa.int64())})
+
+    def prereduce(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "n" not in t.column_names:
+            return pre_empty
+        a = t["a"].to_numpy(zero_copy_only=False)
+        b = t["b"].to_numpy(zero_copy_only=False)
+        n = t["n"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((b, a, -n))[:k]
+        return pa.table({"a": pa.array(a[order].astype(np.int64)),
+                         "b": pa.array(b[order].astype(np.int64)),
+                         "n": pa.array(n[order].astype(np.int64))})
+
+    pre = (pairs.map_batches(prereduce, batch_format="pyarrow")
+           .to_pandas())
+    order = np.lexsort((pre["b"].to_numpy(), pre["a"].to_numpy(),
+                        -pre["n"].to_numpy()))[:k]
+    return pa.table({
+        "part_a": pa.array(pre["a"].to_numpy(dtype=np.int64)[order]),
+        "part_b": pa.array(pre["b"].to_numpy(dtype=np.int64)[order]),
+        "n_orders": pa.array(
+            pre["n"].to_numpy(dtype=np.int64)[order]),
+    })
+
+
+COPURCHASE_PAIRS_SQL = """
+WITH d AS (
+  SELECT DISTINCT l_orderkey AS okey, l_partkey AS part
+  FROM lineitem
+), p AS (
+  SELECT x.part AS a, y.part AS b, CAST(count(*) AS BIGINT) AS n
+  FROM d x JOIN d y ON x.okey = y.okey AND x.part < y.part
+  GROUP BY 1, 2
+)
+SELECT CAST(a AS BIGINT) AS part_a, CAST(b AS BIGINT) AS part_b,
+       n AS n_orders
+FROM p ORDER BY n DESC, a, b LIMIT 10
+"""
+
+
+def nation_share_of_region(sf_dir: str) -> pa.Table:
+    """SHARE-OF-PARENT hierarchy rollup: each nation's supplier
+    account-balance mass as a ppm share of its region's total -- the
+    windowed percent-of-total every hierarchy report needs, with both
+    dimension lookups broadcast (region and nation are tiny).
+
+    Scale shape: supplier streams once against a ray.put nation->
+    (region, name) lookup; one bounded groupby; O(nations) fold.
+    """
+    nation = _read(sf_dir, "nation",
+                   ["n_nationkey", "n_name", "n_regionkey"]).to_pandas()
+    region = _read(sf_dir, "region",
+                   ["r_regionkey", "r_name"]).to_pandas()
+    nk = pa.array(nation["n_nationkey"].to_numpy(dtype=np.int64))
+    rk_of = nation["n_regionkey"].to_numpy(dtype=np.int64)
+    lookup_ref = ray.put((nk, rk_of))
+
+    sup = _read(sf_dir, "supplier", ["s_nationkey", "s_acctbal"])
+
+    empty = pa.table({"nk": pa.array([], type=pa.int64()),
+                      "bal": pa.array([], type=pa.int64()),
+                      "n": pa.array([], type=pa.int64())})
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        staged = pa.table({
+            "nk": pc.cast(t["s_nationkey"], pa.int64()),
+            "bal": _int_units(t["s_acctbal"], 100),
+            "n": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+        })
+        g = staged.group_by("nk").aggregate([("bal", "sum"),
+                                             ("n", "sum")])
+        return pa.table({"nk": g["nk"],
+                         "bal": pc.cast(g["bal_sum"], pa.int64()),
+                         "n": pc.cast(g["n_sum"], pa.int64())})
+
+    agg = (sup.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+           .groupby("nk")
+           .aggregate(Sum("bal", alias_name="bal"),
+                      Sum("n", alias_name="n"))
+           .to_pandas().sort_values("nk"))
+    nk_arr = agg["nk"].to_numpy(dtype=np.int64)
+    bal = agg["bal"].to_numpy(dtype=np.int64)
+    nsup = agg["n"].to_numpy(dtype=np.int64)
+    nat_idx = {int(k): i for i, k in
+               enumerate(nation["n_nationkey"])}
+    rkeys = np.array([rk_of[nat_idx[int(k)]] for k in nk_arr],
+                     dtype=np.int64)
+    reg_tot = {}
+    for r, b in zip(rkeys, bal):
+        reg_tot[int(r)] = reg_tot.get(int(r), 0) + int(b)
+    nname = {int(k): str(v) for k, v in
+             zip(nation["n_nationkey"], nation["n_name"])}
+    rname = {int(k): str(v) for k, v in
+             zip(region["r_regionkey"], region["r_name"])}
+    return pa.table({
+        "r_name": pa.array([rname[int(r)] for r in rkeys],
+                           type=pa.string()),
+        "n_name": pa.array([nname[int(k)] for k in nk_arr],
+                           type=pa.string()),
+        "n_suppliers": pa.array(nsup),
+        "bal_cents": pa.array(bal),
+        "share_of_region_ppm": pa.array(
+            [int(b) * 1_000_000 // reg_tot[int(r)]
+             for b, r in zip(bal, rkeys)], type=pa.int64()),
+    })
+
+
+NATION_SHARE_SQL = """
+WITH nb AS (
+  SELECT n.n_regionkey, n.n_name, n.n_nationkey,
+         CAST(count(*) AS BIGINT) AS n_suppliers,
+         CAST(sum(CAST(round(s.s_acctbal * 100) AS BIGINT))
+              AS BIGINT) AS bal
+  FROM supplier s JOIN nation n ON n.n_nationkey = s.s_nationkey
+  GROUP BY 1, 2, 3
+), rt AS (
+  SELECT n_regionkey, CAST(sum(bal) AS BIGINT) AS tot
+  FROM nb GROUP BY 1
+)
+SELECT r.r_name, nb.n_name, nb.n_suppliers, nb.bal AS bal_cents,
+       CAST(nb.bal * 1000000 // rt.tot AS BIGINT)
+         AS share_of_region_ppm
+FROM nb
+JOIN rt USING (n_regionkey)
+JOIN region r ON r.r_regionkey = nb.n_regionkey
+ORDER BY nb.n_nationkey
+"""

@@ -3704,3 +3704,46 @@ def test_ttr_quantiles_separates_template_from_unique(ray_session,
            .set_index("lang"))
     assert int(out.loc["tmpl", "ttr_p50"]) == 50_000   # 1/20
     assert int(out.loc["org", "ttr_p50"]) == 1_000_000
+
+
+def test_copurchase_pairs_hand_case(ray_session, tmp_path):
+    """Parts 1-2 co-occur in two orders; 1-3 in one."""
+    import pyarrow.parquet as pq
+    from p2pddsketch_ray.pipelines.relational import (
+        copurchase_part_pairs)
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array([10, 10, 10, 20, 20],
+                               type=pa.int64()),
+        "l_partkey": pa.array([1, 2, 3, 1, 2], type=pa.int64()),
+    }), str(tmp_path / "lineitem.parquet"))
+    out = copurchase_part_pairs(str(tmp_path)).to_pandas()
+    assert (int(out.iloc[0]["part_a"]),
+            int(out.iloc[0]["part_b"]),
+            int(out.iloc[0]["n_orders"])) == (1, 2, 2)
+    rest = set(zip(out["part_a"], out["part_b"], out["n_orders"]))
+    assert (1, 3, 1) in rest and (2, 3, 1) in rest
+
+
+def test_nation_share_sums_to_region(ray_session, tmp_path):
+    """Shares within one region sum to ~1e6 and match hand math."""
+    import pyarrow.parquet as pq
+    from p2pddsketch_ray.pipelines.relational import (
+        nation_share_of_region)
+    pq.write_table(pa.table({
+        "r_regionkey": pa.array([0, 1], type=pa.int32()),
+        "r_name": pa.array(["WEST", "EAST"]),
+    }), str(tmp_path / "region.parquet"))
+    pq.write_table(pa.table({
+        "n_nationkey": pa.array([0, 1, 2], type=pa.int32()),
+        "n_name": pa.array(["AA", "BB", "CC"]),
+        "n_regionkey": pa.array([0, 0, 1], type=pa.int32()),
+    }), str(tmp_path / "nation.parquet"))
+    pq.write_table(pa.table({
+        "s_nationkey": pa.array([0, 0, 1, 2], type=pa.int32()),
+        "s_acctbal": pa.array([100.0, 200.0, 100.0, 50.0]),
+    }), str(tmp_path / "supplier.parquet"))
+    out = (nation_share_of_region(str(tmp_path)).to_pandas()
+           .set_index("n_name"))
+    assert int(out.loc["AA", "share_of_region_ppm"]) == 750_000
+    assert int(out.loc["BB", "share_of_region_ppm"]) == 250_000
+    assert int(out.loc["CC", "share_of_region_ppm"]) == 1_000_000
