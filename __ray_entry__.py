@@ -350,6 +350,12 @@ from p2pddsketch_ray.pipelines.relational import (  # noqa: E402
     COPURCHASE_PAIRS_SQL as _COPURCHASE_PAIRS_SQL,
     nation_share_of_region as _nation_share_of_region,
     NATION_SHARE_SQL as _NATION_SHARE_SQL,
+    youden_threshold_scan as _youden_threshold_scan,
+    YOUDEN_SCAN_SQL as _YOUDEN_SCAN_SQL,
+    stickiness_quantiles as _stickiness_quantiles,
+    STICKINESS_SQL as _STICKINESS_SQL,
+    zonemap_pruning_audit as _zonemap_pruning_audit,
+    ZONEMAP_PRUNING_SQL as _ZONEMAP_PRUNING_SQL,
     brand_year_revenue as _brand_year_revenue,
     BRAND_YEAR_REVENUE_SQL as _BRAND_YEAR_REVENUE_SQL,
     customer_frequency_spectrum as _customer_frequency_spectrum,
@@ -1159,6 +1165,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "copurchase_part_pairs": _copurchase_part_pairs,
         # nation share of its region's supplier balance (hierarchy)
         "nation_share_of_region": _nation_share_of_region,
+        # Youden-J optimal token-count cut against the gold label
+        "youden_threshold_scan": _youden_threshold_scan,
+        # per-user repeat-transition share quartiles (stickiness)
+        "stickiness_quantiles": _stickiness_quantiles,
+        # zone-map pruning: natural layout vs sorted lower bound
+        "zonemap_pruning_audit": _zonemap_pruning_audit,
         # Markov next-event baseline accuracy per previous type
         "markov_next_accuracy": _markov_next_accuracy,
         # out-of-order lateness vs arrival order (distributed prefix max)
@@ -1850,6 +1862,9 @@ def oracle_sql() -> dict[str, str]:
         "ttr_quantiles_by_lang": _TTR_QUANTILES_SQL,
         "copurchase_part_pairs": _COPURCHASE_PAIRS_SQL,
         "nation_share_of_region": _NATION_SHARE_SQL,
+        "youden_threshold_scan": _YOUDEN_SCAN_SQL,
+        "stickiness_quantiles": _STICKINESS_SQL,
+        "zonemap_pruning_audit": _ZONEMAP_PRUNING_SQL,
         "markov_next_accuracy": _MARKOV_NEXT_ACC_SQL,
         "ooo_lateness_stats": _OOO_LATENESS_SQL,
         "multimodal_resize_stats": """

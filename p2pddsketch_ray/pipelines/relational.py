@@ -17650,3 +17650,341 @@ JOIN rt USING (n_regionkey)
 JOIN region r ON r.r_regionkey = nb.n_regionkey
 ORDER BY nb.n_nationkey
 """
+
+
+def youden_threshold_scan(sf_dir: str) -> pa.Table:
+    """OPTIMAL FILTER CUT by Youden's J: scan every candidate token-
+    count threshold and pick the one maximizing sensitivity +
+    specificity - 1 against the gold label (n_chars above the corpus
+    median) -- how a heuristic filter's knob should actually be set,
+    exact because J comparisons reduce to the integer
+    J_num = tp*neg - fp*pos over the fixed pos*neg denominator.
+
+    Scale shape: one bisection pass for the gold median, one streamed
+    (token-count -> (pos, neg)) histogram combiner over the bounded
+    count domain, an O(distinct counts) driver scan.
+    """
+    from .quantiles import exact_quantiles
+    from ..functions.text import token_count
+
+    ds = _read(sf_dir, "documents", ["text", "n_chars"])
+    med = int(exact_quantiles(ds, "n_chars", [0.5])["value"][0]
+              .as_py())
+
+    empty = pa.table({"tc": pa.array([], type=pa.int64()),
+                      "pos": pa.array([], type=pa.int64()),
+                      "neg": pa.array([], type=pa.int64())})
+
+    def hist(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        toks = token_count(t["text"]).to_numpy(zero_copy_only=False)
+        gold = (pc.cast(t["n_chars"], pa.int64())
+                .to_numpy(zero_copy_only=False) > med)
+        staged = pa.table({
+            "tc": pa.array(toks.astype(np.int64)),
+            "pos": pa.array(gold.astype(np.int64)),
+            "neg": pa.array((~gold).astype(np.int64)),
+        })
+        g = staged.group_by("tc").aggregate([("pos", "sum"),
+                                             ("neg", "sum")])
+        return pa.table({"tc": g["tc"],
+                         "pos": pc.cast(g["pos_sum"], pa.int64()),
+                         "neg": pc.cast(g["neg_sum"], pa.int64())})
+
+    h = (ds.map_batches(hist, batch_format="pyarrow",
+                        zero_copy_batch=True)
+         .groupby("tc")
+         .aggregate(Sum("pos", alias_name="pos"),
+                    Sum("neg", alias_name="neg"))
+         .to_pandas().sort_values("tc"))
+    tc = h["tc"].to_numpy(dtype=np.int64)
+    pos = h["pos"].to_numpy(dtype=np.int64)
+    neg = h["neg"].to_numpy(dtype=np.int64)
+    P, N = int(pos.sum()), int(neg.sum())
+    # predicted positive = tokens >= threshold; scan thresholds at
+    # each distinct count (suffix sums)
+    tp = np.cumsum(pos[::-1])[::-1]
+    fp = np.cumsum(neg[::-1])[::-1]
+    j_num = tp.astype(object) * N - fp.astype(object) * P
+    best = int(np.argmax(j_num))      # first max (lowest threshold)
+    return pa.table({
+        "n_pos": pa.array([P], type=pa.int64()),
+        "n_neg": pa.array([N], type=pa.int64()),
+        "best_threshold": pa.array([int(tc[best])], type=pa.int64()),
+        "tp": pa.array([int(tp[best])], type=pa.int64()),
+        "fp": pa.array([int(fp[best])], type=pa.int64()),
+        "j_ppm": pa.array(
+            [int(j_num[best]) * 1_000_000 // (P * N)],
+            type=pa.int64()),
+    })
+
+
+YOUDEN_SCAN_SQL = """
+WITH med AS (
+  SELECT CAST(quantile_disc(n_chars, 0.5) AS BIGINT) AS m
+  FROM documents
+), d AS (
+  SELECT CAST(length(regexp_extract_all(text, '[A-Za-z0-9]+'))
+              AS BIGINT) AS tc,
+         CASE WHEN n_chars > med.m THEN 1 ELSE 0 END AS pos
+  FROM documents CROSS JOIN med
+), tot AS (
+  SELECT CAST(sum(pos) AS BIGINT) AS p,
+         CAST(sum(1 - pos) AS BIGINT) AS n
+  FROM d
+), h AS (
+  SELECT tc, CAST(sum(pos) AS BIGINT) AS pos,
+         CAST(sum(1 - pos) AS BIGINT) AS neg
+  FROM d GROUP BY 1
+), suf AS (
+  SELECT tc,
+         sum(pos) OVER (ORDER BY tc DESC) AS tp,
+         sum(neg) OVER (ORDER BY tc DESC) AS fp
+  FROM h
+), j AS (
+  SELECT tc, tp, fp,
+         CAST(tp AS HUGEINT) * tot.n - CAST(fp AS HUGEINT) * tot.p
+           AS j_num
+  FROM suf CROSS JOIN tot
+), best AS (
+  SELECT tc, tp, fp, j_num,
+         row_number() OVER (ORDER BY j_num DESC, tc) AS rn
+  FROM j
+)
+SELECT tot.p AS n_pos, tot.n AS n_neg,
+       CAST(best.tc AS BIGINT) AS best_threshold,
+       CAST(best.tp AS BIGINT) AS tp, CAST(best.fp AS BIGINT) AS fp,
+       CAST(best.j_num * 1000000 // (CAST(tot.p AS HUGEINT) * tot.n)
+            AS BIGINT) AS j_ppm
+FROM best CROSS JOIN tot WHERE best.rn = 1
+"""
+
+
+def stickiness_quantiles(sf_dir: str) -> pa.Table:
+    """BEHAVIORAL STICKINESS distribution: per user, the ppm share of
+    consecutive-event transitions that REPEAT the previous event type,
+    summarized at exact quartiles (users with >= 2 events) -- the
+    habit-strength screen separating scripted streams from organic
+    browsing.
+
+    Scale shape: user co-partition ordered kernel -> per-user integer
+    share -> one bisection quantile pass.
+    """
+    from ..stages.partition import fit_partitions, partition_by
+    from .quantiles import exact_quantiles
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id",
+                                  "event_type"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": pc.cast(t["user_id"], pa.int64()),
+            "ts": pc.cast(t["ts"], pa.int64()),
+            "event_id": pc.cast(t["event_id"], pa.int64()),
+            "event_type": t["event_type"],
+        })
+
+    empty = pa.table({"s": pa.array([], type=pa.int64())})
+
+    def kernel(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        ts = t["ts"].to_numpy(zero_copy_only=False)
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        ue, code = np.unique(et, return_inverse=True)
+        order = np.lexsort((eid, ts, uid))
+        u_s, c_s = uid[order], code[order]
+        same_user = u_s[1:] == u_s[:-1]
+        rep = same_user & (c_s[1:] == c_s[:-1])
+        n_users = len(np.unique(u_s))
+        nt = np.zeros(n_users, dtype=np.int64)
+        nr = np.zeros(n_users, dtype=np.int64)
+        _, grp = np.unique(u_s, return_inverse=True)
+        np.add.at(nt, grp[1:][same_user], 1)
+        np.add.at(nr, grp[1:][rep], 1)
+        keep = nt >= 1
+        share = nr[keep] * 1_000_000 // nt[keep]
+        return pa.table({"s": pa.array(share.astype(np.int64))})
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    shares = partition_by(prepped, ["user_id"], fit_partitions(32),
+                          kernel, empty).materialize()
+    n = int(shares.count())
+    qt = exact_quantiles(shares, "s", [0.25, 0.5, 0.75])
+    vals = {float(qt["q"][i].as_py()): int(qt["value"][i].as_py())
+            for i in range(qt.num_rows)}
+    return pa.table({
+        "n_users": pa.array([n], type=pa.int64()),
+        "stick_p25": pa.array([vals[0.25]], type=pa.int64()),
+        "stick_p50": pa.array([vals[0.5]], type=pa.int64()),
+        "stick_p75": pa.array([vals[0.75]], type=pa.int64()),
+    })
+
+
+STICKINESS_SQL = """
+WITH w AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY epoch_us(ts), event_id)
+           AS prev
+  FROM events
+), pu AS (
+  SELECT user_id,
+         CAST(sum(CASE WHEN prev = event_type THEN 1 ELSE 0 END)
+              * 1000000
+              // count(prev) AS BIGINT) AS s
+  FROM w WHERE prev IS NOT NULL GROUP BY 1
+)
+SELECT CAST(count(*) AS BIGINT) AS n_users,
+       CAST(quantile_disc(s, 0.25) AS BIGINT) AS stick_p25,
+       CAST(quantile_disc(s, 0.5) AS BIGINT) AS stick_p50,
+       CAST(quantile_disc(s, 0.75) AS BIGINT) AS stick_p75
+FROM pu
+"""
+
+
+_ZONEMAP_WINDOWS = ((1996, 1), (1997, 1), (1998, 1), (1999, 1))
+
+
+def zonemap_pruning_audit(sf_dir: str, chunk_bits: int = 12) -> pa.Table:
+    """ZONE-MAP PRUNING SIMULATION: with blocks defined as fixed
+    l_orderkey ranges (deterministic, block-boundary immune), what
+    fraction of blocks would a one-month shipdate filter have to scan
+    given the NATURAL layout's per-block [min, max] shipdate spans,
+    versus the lower bound a date-sorted layout would achieve -- the
+    numbers that justify (or kill) a sort-before-write.
+
+    Scale shape: per-block (chunk, min, max) partials, one bounded
+    chunk groupby, O(chunks x windows) driver fold.
+    """
+    from ray.data.aggregate import Max, Min
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        okey = t["l_orderkey"].to_numpy(zero_copy_only=False)
+        us = pc.cast(t["l_shipdate"], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        chunk = okey >> chunk_bits
+        uk, inv = np.unique(chunk, return_inverse=True)
+        mn = np.full(uk.size, np.iinfo(np.int64).max, dtype=np.int64)
+        mx = np.full(uk.size, np.iinfo(np.int64).min, dtype=np.int64)
+        np.minimum.at(mn, inv, us)
+        np.maximum.at(mx, inv, us)
+        cnt = np.bincount(inv).astype(np.int64)
+        return pa.table({"chunk": pa.array(uk.astype(np.int64)),
+                         "mn": pa.array(mn), "mx": pa.array(mx),
+                         "n": pa.array(cnt)})
+
+    agg = (ds.map_batches(prep, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("chunk")
+           .aggregate(Min("mn", alias_name="mn"),
+                      Max("mx", alias_name="mx"),
+                      Sum("n", alias_name="n"))
+           .to_pandas())
+    mn = agg["mn"].to_numpy(dtype=np.int64)
+    mx = agg["mx"].to_numpy(dtype=np.int64)
+    nrow = agg["n"].to_numpy(dtype=np.int64)
+    n_chunks = len(agg)
+    total_rows = int(nrow.sum())
+    chunk_rows = (total_rows + n_chunks - 1) // n_chunks
+    out = {c: [] for c in ("win", "n_chunks", "chunks_scanned",
+                           "rows_matching", "sorted_lower_bound")}
+    for y, m in _ZONEMAP_WINDOWS:
+        lo = int(np.datetime64(f"{y}-{m:02d}-01", "us")
+                 .astype(np.int64))
+        nxt_y, nxt_m = (y, m + 1) if m < 12 else (y + 1, 1)
+        hi = int(np.datetime64(f"{nxt_y}-{nxt_m:02d}-01", "us")
+                 .astype(np.int64))
+        hit = (mx >= lo) & (mn < hi)
+        # rows matching needs the actual filter count
+        out["win"].append(f"{y}-{m:02d}")
+        out["n_chunks"].append(n_chunks)
+        out["chunks_scanned"].append(int(hit.sum()))
+        out["rows_matching"].append(0)       # filled below
+        out["sorted_lower_bound"].append(0)
+    win_ref = [(int(np.datetime64(f"{y}-{m:02d}-01", "us")
+                    .astype(np.int64)),
+                int(np.datetime64((f"{y}-{m + 1:02d}-01"
+                                   if m < 12 else f"{y + 1}-01-01"),
+                                  "us").astype(np.int64)))
+               for y, m in _ZONEMAP_WINDOWS]
+
+    empty = pa.table({"w": pa.array([], type=pa.int64()),
+                      "n": pa.array([], type=pa.int64())})
+
+    def matches(t: pa.Table) -> pa.Table:
+        us = pc.cast(t["l_shipdate"], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        ws, ns = [], []
+        for i, (lo, hi) in enumerate(win_ref):
+            ws.append(i)
+            ns.append(int(((us >= lo) & (us < hi)).sum()))
+        return pa.table({"w": pa.array(np.array(ws, dtype=np.int64)),
+                         "n": pa.array(np.array(ns,
+                                                dtype=np.int64))})
+
+    mt = (ds.map_batches(matches, batch_format="pyarrow",
+                         zero_copy_batch=True)
+          .groupby("w").aggregate(Sum("n", alias_name="n"))
+          .to_pandas().sort_values("w"))
+    mrows = np.zeros(len(win_ref), dtype=np.int64)
+    mrows[mt["w"].to_numpy(dtype=np.int64)] = \
+        mt["n"].to_numpy(dtype=np.int64)
+    for i in range(len(win_ref)):
+        out["rows_matching"][i] = int(mrows[i])
+        out["sorted_lower_bound"][i] = \
+            (int(mrows[i]) + chunk_rows - 1) // chunk_rows
+    return pa.table({
+        "win": pa.array(out["win"], type=pa.string()),
+        "n_chunks": pa.array(out["n_chunks"], type=pa.int64()),
+        "chunks_scanned": pa.array(out["chunks_scanned"],
+                                   type=pa.int64()),
+        "rows_matching": pa.array(out["rows_matching"],
+                                  type=pa.int64()),
+        "sorted_lower_bound": pa.array(out["sorted_lower_bound"],
+                                       type=pa.int64()),
+    })
+
+
+ZONEMAP_PRUNING_SQL = """
+WITH c AS (
+  SELECT l_orderkey >> 12 AS chunk,
+         min(epoch_us(l_shipdate)) AS mn,
+         max(epoch_us(l_shipdate)) AS mx,
+         CAST(count(*) AS BIGINT) AS n
+  FROM lineitem GROUP BY 1
+), tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_chunks,
+         CAST(sum(n) AS BIGINT) AS rows_
+  FROM c
+), w(win, lo, hi) AS (VALUES
+  ('1996-01', epoch_us(TIMESTAMP '1996-01-01'),
+   epoch_us(TIMESTAMP '1996-02-01')),
+  ('1997-01', epoch_us(TIMESTAMP '1997-01-01'),
+   epoch_us(TIMESTAMP '1997-02-01')),
+  ('1998-01', epoch_us(TIMESTAMP '1998-01-01'),
+   epoch_us(TIMESTAMP '1998-02-01')),
+  ('1999-01', epoch_us(TIMESTAMP '1999-01-01'),
+   epoch_us(TIMESTAMP '1999-02-01'))
+), m AS (
+  SELECT w.win,
+         CAST(count(*) FILTER (WHERE epoch_us(l.l_shipdate) >= w.lo
+                                 AND epoch_us(l.l_shipdate) < w.hi)
+              AS BIGINT) AS rows_matching
+  FROM w CROSS JOIN lineitem l GROUP BY 1
+)
+SELECT w.win, tot.n_chunks,
+       CAST((SELECT count(*) FROM c
+             WHERE c.mx >= w.lo AND c.mn < w.hi) AS BIGINT)
+         AS chunks_scanned,
+       m.rows_matching,
+       CAST((m.rows_matching
+             + (tot.rows_ + tot.n_chunks - 1) // tot.n_chunks - 1)
+            // ((tot.rows_ + tot.n_chunks - 1) // tot.n_chunks)
+            AS BIGINT) AS sorted_lower_bound
+FROM w JOIN m USING (win) CROSS JOIN tot
+ORDER BY 1
+"""

@@ -3747,3 +3747,84 @@ def test_nation_share_sums_to_region(ray_session, tmp_path):
     assert int(out.loc["AA", "share_of_region_ppm"]) == 750_000
     assert int(out.loc["BB", "share_of_region_ppm"]) == 250_000
     assert int(out.loc["CC", "share_of_region_ppm"]) == 1_000_000
+
+
+def test_youden_perfect_separation(ray_session, tmp_path):
+    """Token count fully determines the gold label -> J = 1e6 and the
+    threshold sits at the class boundary."""
+    import pyarrow.parquet as pq
+    from p2pddsketch_ray.pipelines.relational import (
+        youden_threshold_scan)
+    short = "tok tok tok"                   # 3 tokens, small chars
+    long_ = " ".join(["tok"] * 50)          # 50 tokens, big chars
+    pq.write_table(pa.table({
+        "text": pa.array([short] * 40 + [long_] * 40),
+        "n_chars": pa.array([10] * 40 + [500] * 40,
+                            type=pa.int64()),
+    }), str(tmp_path / "documents.parquet"))
+    out = youden_threshold_scan(str(tmp_path)).to_pydict()
+    assert out["j_ppm"] == [1_000_000]
+    assert out["best_threshold"] == [50]
+    assert out["tp"] == [40] and out["fp"] == [0]
+
+
+def test_stickiness_extremes(ray_session, tmp_path):
+    """Half the users always repeat (share 1e6), half always
+    alternate (share 0) -> quartiles straddle both."""
+    import pyarrow.parquet as pq
+    from p2pddsketch_ray.pipelines.relational import (
+        stickiness_quantiles)
+    rows_u, rows_ts, rows_t = [], [], []
+    eid = 0
+    for u in range(10):                     # repeaters
+        for i in range(6):
+            rows_u.append(u); rows_ts.append(i * 1000)
+            rows_t.append("view")
+    for u in range(10, 20):                 # alternators
+        for i in range(6):
+            rows_u.append(u); rows_ts.append(i * 1000)
+            rows_t.append("view" if i % 2 == 0 else "click")
+    n = len(rows_u)
+    pq.write_table(pa.table({
+        "event_id": pa.array(np.arange(n, dtype=np.int64)),
+        "ts": pa.array(np.array(rows_ts, dtype=np.int64)).cast(
+            pa.timestamp("us")),
+        "user_id": pa.array(np.array(rows_u, dtype=np.int64)),
+        "event_type": pa.array(rows_t, type=pa.string()),
+    }), str(tmp_path / "events.parquet"))
+    out = stickiness_quantiles(str(tmp_path)).to_pydict()
+    assert out["n_users"] == [20]
+    assert out["stick_p25"] == [0]
+    assert out["stick_p75"] == [1_000_000]
+
+
+def test_zonemap_sorted_vs_shuffled_layout(ray_session, tmp_path):
+    """Keys aligned with dates prune to the lower bound; shuffled
+    keys force near-full scans."""
+    import pyarrow.parquet as pq
+    from p2pddsketch_ray.pipelines.relational import (
+        zonemap_pruning_audit)
+    n = 1 << 16
+    base = np.datetime64("1996-01-01", "us").astype(np.int64)
+    DAY = 86_400_000_000
+    dates = base + (np.arange(n, dtype=np.int64) * 1200 // n) * DAY
+    # aligned: orderkey order == date order
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array(np.arange(n, dtype=np.int64)),
+        "l_shipdate": pa.array(dates).cast(pa.timestamp("us")),
+    }), str(tmp_path / "lineitem.parquet"))
+    aligned = (zonemap_pruning_audit(str(tmp_path)).to_pandas()
+               .set_index("win"))
+    rng = np.random.default_rng(19)
+    perm = rng.permutation(n).astype(np.int64)
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array(np.arange(n, dtype=np.int64)),
+        "l_shipdate": pa.array(dates[perm]).cast(pa.timestamp("us")),
+    }), str(tmp_path / "lineitem.parquet"))
+    shuffled = (zonemap_pruning_audit(str(tmp_path)).to_pandas()
+                .set_index("win"))
+    w = "1997-01"
+    assert int(aligned.loc[w, "chunks_scanned"]) <= \
+        int(aligned.loc[w, "sorted_lower_bound"]) + 1
+    assert int(shuffled.loc[w, "chunks_scanned"]) == \
+        int(shuffled.loc[w, "n_chunks"])
