@@ -27,7 +27,9 @@ from p2pddsketch_ray.pipelines.knn import (  # noqa: E402
     matryoshka_truncation_hist as _matryoshka_truncation_hist,
     MATRYOSHKA_HIST_SQL as _MATRYOSHKA_HIST_SQL,
     centroid_distance_matrix as _centroid_distance_matrix,
-    CENTROID_DISTANCE_SQL as _CENTROID_DISTANCE_SQL)
+    CENTROID_DISTANCE_SQL as _CENTROID_DISTANCE_SQL,
+    loo_1nn_accuracy as _loo_1nn_accuracy,
+    LOO_1NN_SQL as _LOO_1NN_SQL)
 from p2pddsketch_ray.pipelines.dedup import (  # noqa: E402
     SORTED_NEIGHBORHOOD_SQL as _SORTED_NEIGHBORHOOD_SQL,
     LEVENSHTEIN_VERIFY_SQL as _LEVENSHTEIN_VERIFY_SQL,
@@ -79,6 +81,8 @@ from p2pddsketch_ray.pipelines.temporal import (  # noqa: E402
     WATERMARK_CURVE_SQL as _WATERMARK_CURVE_SQL,
     metronome_bot_report as _metronome_bot_report,
     METRONOME_BOT_SQL as _METRONOME_BOT_SQL,
+    session_depth_survival as _session_depth_survival,
+    SESSION_DEPTH_SQL as _SESSION_DEPTH_SQL,
     trailing_distinct_users as _trailing_distinct_users,
     TRAILING_DISTINCT_SQL as _TRAILING_DISTINCT_SQL,
     late_order_counts as _late_order_counts,
@@ -1171,6 +1175,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stickiness_quantiles": _stickiness_quantiles,
         # zone-map pruning: natural layout vs sorted lower bound
         "zonemap_pruning_audit": _zonemap_pruning_audit,
+        # P(session depth >= k) survival curve (30-min gaps)
+        "session_depth_survival": _session_depth_survival,
+        # leave-one-out 1-NN label consistency of the embeddings
+        "loo_1nn_accuracy": _loo_1nn_accuracy,
         # Markov next-event baseline accuracy per previous type
         "markov_next_accuracy": _markov_next_accuracy,
         # out-of-order lateness vs arrival order (distributed prefix max)
@@ -1865,6 +1873,8 @@ def oracle_sql() -> dict[str, str]:
         "youden_threshold_scan": _YOUDEN_SCAN_SQL,
         "stickiness_quantiles": _STICKINESS_SQL,
         "zonemap_pruning_audit": _ZONEMAP_PRUNING_SQL,
+        "session_depth_survival": _SESSION_DEPTH_SQL,
+        "loo_1nn_accuracy": _LOO_1NN_SQL,
         "markov_next_accuracy": _MARKOV_NEXT_ACC_SQL,
         "ooo_lateness_stats": _OOO_LATENESS_SQL,
         "multimodal_resize_stats": """

@@ -481,3 +481,124 @@ SELECT CAST(label_a AS BIGINT) AS label_a,
             AS BIGINT) AS dist_micro
 FROM pairs ORDER BY 1, 2
 """
+
+
+def loo_1nn_accuracy(sf_dir: str) -> "pa.Table":
+    """LEAVE-ONE-OUT 1-NN LABEL CONSISTENCY: for every embedding, the
+    label of its nearest neighbor (max exact milli-quantized inner
+    product, vec_id tiebreak, self excluded); per-label and overall
+    accuracy -- the intrinsic separability score that predicts whether
+    any kNN classifier can work on this space.
+
+    Scale shape: the vectors broadcast once (bounded table by design,
+    like the other embedding audits); each block computes its rows'
+    argmax against the broadcast matrix -- O(n^2 d) split across
+    blocks, the exact tier beside the IVF path.
+    """
+    import numpy as np
+    import pyarrow as pa
+    import ray
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from ..functions.vectors import list_to_matrix
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding",
+                                        "label"])
+    full = ds.to_pandas().sort_values("vec_id")
+    qmat = np.floor(np.stack(full["embedding"].to_numpy())
+                    .astype(np.float64) * 1000.0).astype(np.int64)
+    labels = full["label"].to_numpy(dtype=np.int64)
+    ref = ray.put((qmat, labels))
+
+    empty = pa.table({"label": pa.array([], type=pa.int64()),
+                      "n": pa.array([], type=pa.int64()),
+                      "n_correct": pa.array([], type=pa.int64())})
+
+    def audit(t: pa.Table) -> pa.Table:
+        mat, lab = ray.get(ref)
+        vid = t["vec_id"].to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        q = np.floor(list_to_matrix(t["embedding"]) * 1000.0) \
+            .astype(np.int64)
+        own = t["label"].to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        dots = q @ mat.T                       # exact int64
+        dots[np.arange(len(vid)), vid] = np.iinfo(np.int64).min
+        # argmax with LOWEST vec_id tiebreak: np.argmax returns the
+        # first maximum, and columns are vec_id-ordered
+        nn = np.argmax(dots, axis=1)
+        correct = lab[nn] == own
+        staged = pa.table({
+            "label": pa.array(own),
+            "n": pa.array(np.ones(len(own), dtype=np.int64)),
+            "n_correct": pa.array(correct.astype(np.int64)),
+        })
+        g = staged.group_by("label").aggregate(
+            [("n", "sum"), ("n_correct", "sum")])
+        return pa.table({"label": g["label"],
+                         "n": pc.cast(g["n_sum"], pa.int64()),
+                         "n_correct": pc.cast(g["n_correct_sum"],
+                                              pa.int64())})
+
+    import pyarrow.compute as pc
+    agg = (ds.map_batches(audit, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("label")
+           .aggregate(Sum("n", alias_name="n"),
+                      Sum("n_correct", alias_name="n_correct"))
+           .to_pandas().sort_values("label"))
+    n = agg["n"].to_numpy(dtype=np.int64)
+    nc = agg["n_correct"].to_numpy(dtype=np.int64)
+    out = pa.table({
+        "label": pa.array(agg["label"].to_numpy(dtype=np.int64)),
+        "n": pa.array(n),
+        "n_correct": pa.array(nc),
+        "accuracy_ppm": pa.array(nc * 1_000_000 // n),
+    })
+    total = pa.table({
+        "label": pa.array([-1], type=pa.int64()),
+        "n": pa.array([int(n.sum())], type=pa.int64()),
+        "n_correct": pa.array([int(nc.sum())], type=pa.int64()),
+        "accuracy_ppm": pa.array(
+            [int(nc.sum()) * 1_000_000 // int(n.sum())],
+            type=pa.int64()),
+    })
+    return pa.concat_tables([total, out])
+
+
+LOO_1NN_SQL = """
+WITH q AS (
+  SELECT vec_id, label,
+         list_transform(embedding,
+                        x -> CAST(floor(x * 1000.0) AS BIGINT)) AS qv
+  FROM embeddings
+), d AS (
+  SELECT a.vec_id, a.label AS own, b.vec_id AS nb,
+         b.label AS nb_label,
+         CAST(list_inner_product(a.qv, b.qv) AS BIGINT) AS dot
+  FROM q a JOIN q b ON b.vec_id != a.vec_id
+), nn AS (
+  SELECT vec_id, own, nb_label,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY dot DESC, nb) AS rn
+  FROM d
+), c AS (
+  SELECT own AS label,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN nb_label = own THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_correct
+  FROM nn WHERE rn = 1 GROUP BY 1
+)
+SELECT CAST(-1 AS BIGINT) AS label,
+       CAST(sum(n) AS BIGINT) AS n,
+       CAST(sum(n_correct) AS BIGINT) AS n_correct,
+       CAST(sum(n_correct) * 1000000 // sum(n) AS BIGINT)
+         AS accuracy_ppm
+FROM c
+UNION ALL
+SELECT CAST(label AS BIGINT), n, n_correct,
+       CAST(n_correct * 1000000 // n AS BIGINT)
+FROM c ORDER BY 1
+"""

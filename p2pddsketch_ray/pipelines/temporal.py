@@ -3524,3 +3524,99 @@ SELECT CAST(a.day AS BIGINT) AS day,
 FROM a JOIN f USING (user_id)
 GROUP BY 1 ORDER BY 1
 """
+
+
+def session_depth_survival(sf_dir: str, gap_minutes: int = 30,
+                           max_depth: int = 10) -> pa.Table:
+    """SESSION DEPTH SURVIVAL CURVE: P(session reaches >= k events)
+    for k = 1..max_depth -- the engagement decay profile product teams
+    read before funnel work, built on the same gap-based
+    sessionization kernel (30-minute inactivity boundary).
+
+    Scale shape: user co-partition, vectorized session splitting,
+    bounded depth histogram partials, O(max_depth) fold.
+    """
+    from ray.data.aggregate import Sum
+    from ..stages.partition import fit_partitions, partition_by
+
+    gap_us = int(gap_minutes) * 60 * 1_000_000
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": pc.cast(t["user_id"], pa.int64()),
+            "us": pc.cast(t["ts"], pa.int64()),
+        })
+
+    empty = pa.table({"depth": pa.array([], type=pa.int64()),
+                      "n": pa.array([], type=pa.int64())})
+
+    def kernel(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        us = t["us"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((us, u))
+        u, us = u[order], us[order]
+        new_session = np.ones(u.size, dtype=bool)
+        new_session[1:] = (u[1:] != u[:-1]) | (us[1:] - us[:-1]
+                                               > gap_us)
+        starts = np.flatnonzero(new_session)
+        lens = np.diff(np.append(starts, u.size))
+        capped = np.minimum(lens, max_depth)
+        cnt = np.bincount(capped, minlength=max_depth + 1)
+        return pa.table({
+            "depth": pa.array(np.arange(max_depth + 1,
+                                        dtype=np.int64)),
+            "n": pa.array(cnt.astype(np.int64))})
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    agg = (partition_by(prepped, ["user_id"], fit_partitions(32),
+                        kernel, empty)
+           .groupby("depth").aggregate(Sum("n", alias_name="n"))
+           .to_pandas().sort_values("depth"))
+    cnt = np.zeros(max_depth + 1, dtype=np.int64)
+    cnt[agg["depth"].to_numpy(dtype=np.int64)] = \
+        agg["n"].to_numpy(dtype=np.int64)
+    total = int(cnt.sum())
+    # survival: sessions with CAPPED length >= k
+    suffix = np.cumsum(cnt[::-1])[::-1]
+    ks = np.arange(1, max_depth + 1, dtype=np.int64)
+    return pa.table({
+        "depth": pa.array(ks),
+        "n_sessions_at_least": pa.array(suffix[1:].astype(np.int64)),
+        "survival_ppm": pa.array(
+            suffix[1:] * 1_000_000 // total),
+    })
+
+
+SESSION_DEPTH_SQL = """
+WITH e AS (
+  SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS us,
+         CASE WHEN CAST(epoch_us(ts) AS BIGINT)
+                   - lag(CAST(epoch_us(ts) AS BIGINT)) OVER (
+                       PARTITION BY user_id ORDER BY epoch_us(ts))
+                   > 1800000000
+               OR lag(CAST(epoch_us(ts) AS BIGINT)) OVER (
+                       PARTITION BY user_id ORDER BY epoch_us(ts))
+                  IS NULL
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+), s AS (
+  SELECT user_id,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY us
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM e
+), ln AS (
+  SELECT least(CAST(count(*) AS BIGINT), 10) AS d
+  FROM s GROUP BY user_id, sid
+), tot AS (SELECT CAST(count(*) AS BIGINT) AS t FROM ln),
+ks AS (SELECT unnest(generate_series(1, 10)) AS depth)
+SELECT CAST(ks.depth AS BIGINT) AS depth,
+       CAST(count(*) FILTER (WHERE ln.d >= ks.depth) AS BIGINT)
+         AS n_sessions_at_least,
+       CAST(count(*) FILTER (WHERE ln.d >= ks.depth) * 1000000
+            // tot.t AS BIGINT) AS survival_ppm
+FROM ks CROSS JOIN ln CROSS JOIN tot
+GROUP BY 1, tot.t ORDER BY 1
+"""

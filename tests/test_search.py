@@ -125,3 +125,27 @@ def test_bm25_beats_raw_tf_on_rare_terms(ray_session):
         FROM tf CROSS JOIN dfs WHERE doc_id = {int(row.doc_id)}
         """).fetchone()[0]
     assert abs(got - row.score) < 1e-9
+
+
+def test_loo_1nn_separable_clusters(ray_session, tmp_path):
+    """Two tight clusters give 1e6 accuracy; shuffled labels on one
+    cluster drag it down."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from p2pddsketch_ray.pipelines.knn import loo_1nn_accuracy
+    rng = np.random.default_rng(23)
+    d = 16
+    a = rng.normal(0, 0.01, (20, d)) + np.eye(d)[0] * 10
+    b = rng.normal(0, 0.01, (20, d)) + np.eye(d)[1] * 10
+    emb = np.vstack([a, b]).astype(np.float32)
+    lab = np.array([0] * 20 + [1] * 20, dtype=np.int32)
+    pq.write_table(pa.table({
+        "vec_id": pa.array(np.arange(40, dtype=np.int64)),
+        "embedding": pa.array(emb.tolist(),
+                              type=pa.list_(pa.float32())),
+        "label": pa.array(lab),
+    }), str(tmp_path / "embeddings.parquet"))
+    out = loo_1nn_accuracy(str(tmp_path)).to_pandas()
+    total = out[out["label"] == -1].iloc[0]
+    assert int(total["accuracy_ppm"]) == 1_000_000

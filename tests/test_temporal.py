@@ -947,3 +947,33 @@ def test_late_orders_and_new_returning(ray_session, tmp_path):
     assert int(nv.loc[0, "n_new"]) == 1
     assert int(nv.loc[1, "n_new"]) == 1          # user 8
     assert int(nv.loc[1, "n_returning"]) == 1    # user 7
+
+
+def test_session_depth_survival_hand_case(ray_session, tmp_path):
+    """Two sessions of depth 1 and one of depth 3 -> survival curve
+    3/3, 1/3, 1/3, 0..."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from p2pddsketch_ray.pipelines.temporal import (
+        session_depth_survival)
+    MIN = 60_000_000
+    rows = [
+        (0, 0), (0, 5 * MIN), (0, 10 * MIN),    # depth 3
+        (0, 100 * MIN),                         # depth 1 (gap > 30m)
+        (1, 0),                                 # depth 1
+    ]
+    pq.write_table(pa.table({
+        "user_id": pa.array(np.array([r[0] for r in rows],
+                                     dtype=np.int64)),
+        "ts": pa.array(np.array([r[1] for r in rows],
+                                dtype=np.int64)).cast(
+            pa.timestamp("us")),
+    }), str(tmp_path / "events.parquet"))
+    out = (session_depth_survival(str(tmp_path)).to_pandas()
+           .set_index("depth"))
+    assert int(out.loc[1, "n_sessions_at_least"]) == 3
+    assert int(out.loc[2, "n_sessions_at_least"]) == 1
+    assert int(out.loc[3, "n_sessions_at_least"]) == 1
+    assert int(out.loc[4, "n_sessions_at_least"]) == 0
+    assert int(out.loc[1, "survival_ppm"]) == 1_000_000
