@@ -360,6 +360,12 @@ from p2pddsketch_ray.pipelines.relational import (  # noqa: E402
     STICKINESS_SQL as _STICKINESS_SQL,
     zonemap_pruning_audit as _zonemap_pruning_audit,
     ZONEMAP_PRUNING_SQL as _ZONEMAP_PRUNING_SQL,
+    monetary_unit_sample as _monetary_unit_sample,
+    MONETARY_UNIT_SQL as _MONETARY_UNIT_SQL,
+    split_leakage_report as _split_leakage_report,
+    SPLIT_LEAKAGE_SQL as _SPLIT_LEAKAGE_SQL,
+    weekday_pattern_census as _weekday_pattern_census,
+    WEEKDAY_PATTERN_SQL as _WEEKDAY_PATTERN_SQL,
     brand_year_revenue as _brand_year_revenue,
     BRAND_YEAR_REVENUE_SQL as _BRAND_YEAR_REVENUE_SQL,
     customer_frequency_spectrum as _customer_frequency_spectrum,
@@ -1179,6 +1185,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "session_depth_survival": _session_depth_survival,
         # leave-one-out 1-NN label consistency of the embeddings
         "loo_1nn_accuracy": _loo_1nn_accuracy,
+        # monetary-unit (value-proportional) audit sampling
+        "monetary_unit_sample": _monetary_unit_sample,
+        # exact-dup clusters straddling the train/test hash split
+        "split_leakage_report": _split_leakage_report,
+        # top weekday-activity bitmask patterns across users
+        "weekday_pattern_census": _weekday_pattern_census,
         # Markov next-event baseline accuracy per previous type
         "markov_next_accuracy": _markov_next_accuracy,
         # out-of-order lateness vs arrival order (distributed prefix max)
@@ -1875,6 +1887,9 @@ def oracle_sql() -> dict[str, str]:
         "zonemap_pruning_audit": _ZONEMAP_PRUNING_SQL,
         "session_depth_survival": _SESSION_DEPTH_SQL,
         "loo_1nn_accuracy": _LOO_1NN_SQL,
+        "monetary_unit_sample": _MONETARY_UNIT_SQL,
+        "split_leakage_report": _SPLIT_LEAKAGE_SQL,
+        "weekday_pattern_census": _WEEKDAY_PATTERN_SQL,
         "markov_next_accuracy": _MARKOV_NEXT_ACC_SQL,
         "ooo_lateness_stats": _OOO_LATENESS_SQL,
         "multimodal_resize_stats": """

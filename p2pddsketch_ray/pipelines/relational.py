@@ -17988,3 +17988,264 @@ SELECT w.win, tot.n_chunks,
 FROM w JOIN m USING (win) CROSS JOIN tot
 ORDER BY 1
 """
+
+
+def monetary_unit_sample(sf_dir: str, rate_per_dollar: int = 50) -> pa.Table:
+    """MONETARY-UNIT SAMPLING (the audit-profession standard): each
+    order is selected with probability proportional to its value --
+    deterministically, by hash(orderkey) % 1e6 < value_cents *
+    rate_per_dollar / 100 (capped at certainty) -- so big-ticket items
+    are near-certain picks and the sampled dollars cover most of the
+    population's.  Reports selection counts and the value coverage.
+
+    Scale shape: one streamed combiner; hash parity makes the sample
+    SQL-replicable.
+    """
+    from ..hashing import murmur64
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    M = 1_000_000
+
+    empty = pa.table({c: pa.array([], type=pa.int64())
+                      for c in ("n", "n_sel", "val", "val_sel")})
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        keys = t["o_orderkey"].to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        cents = _int_units(t["o_totalprice"], 100).to_numpy(
+            zero_copy_only=False)
+        thr = np.minimum(cents * rate_per_dollar // 100, M)
+        sel = (murmur64(keys) % np.uint64(M)).astype(np.int64) < thr
+        return pa.table({
+            "n": pa.array([t.num_rows], type=pa.int64()),
+            "n_sel": pa.array([int(sel.sum())], type=pa.int64()),
+            "val": pa.array([int(cents.sum())], type=pa.int64()),
+            "val_sel": pa.array([int(cents[sel].sum())],
+                                type=pa.int64()),
+        })
+
+    f = ds.map_batches(partial, batch_format="pyarrow",
+                       zero_copy_batch=True).to_pandas()
+    n, ns = int(f["n"].sum()), int(f["n_sel"].sum())
+    v, vs = int(f["val"].sum()), int(f["val_sel"].sum())
+    return pa.table({
+        "n_orders": pa.array([n], type=pa.int64()),
+        "n_selected": pa.array([ns], type=pa.int64()),
+        "sel_rate_ppm": pa.array([ns * 1_000_000 // n],
+                                 type=pa.int64()),
+        "value_coverage_ppm": pa.array([vs * 1_000_000 // v],
+                                       type=pa.int64()),
+    })
+
+
+MONETARY_UNIT_SQL = """
+WITH o AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+         CASE WHEN CAST(hash(o_orderkey) % 1000000 AS BIGINT)
+                   < least(CAST(round(o_totalprice * 100) AS BIGINT)
+                           * 50 // 100, 1000000)
+              THEN 1 ELSE 0 END AS sel
+  FROM orders
+)
+SELECT CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(sel) AS BIGINT) AS n_selected,
+       CAST(sum(sel) * 1000000 // count(*) AS BIGINT)
+         AS sel_rate_ppm,
+       CAST(sum(CASE WHEN sel = 1 THEN cents ELSE 0 END) * 1000000
+            // sum(cents) AS BIGINT) AS value_coverage_ppm
+FROM o
+"""
+
+
+def split_leakage_report(sf_dir: str) -> pa.Table:
+    """TRAIN/TEST SPLIT CONTAMINATION: exact-duplicate content
+    clusters that STRADDLE the hash split (murmur(doc_id) % 10 -> 0-7
+    train, 8-9 test) -- the leakage every eval number silently
+    inflates on.  Counts straddling clusters and the affected test
+    docs (test docs whose text also appears in train).
+
+    Scale shape: distinct (content-hash, split, copies) combiner, hash
+    co-partition, O(partitions) fold.
+    """
+    from ..hashing import md5_uint64, murmur64
+    from ..stages.partition import fit_partitions, partition_by
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    empty = pa.table({"h": pa.array([], type=pa.int64()),
+                      "split": pa.array([], type=pa.int64()),
+                      "copies": pa.array([], type=pa.int64())})
+
+    def mems(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        h = md5_uint64(t["text"].combine_chunks()).view(np.int64)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        split = ((murmur64(ids) % np.uint64(10)) >= 8).astype(
+            np.int64)
+        staged = pa.table({"h": pa.array(h),
+                           "split": pa.array(split),
+                           "copies": pa.array(
+                               np.ones(t.num_rows, dtype=np.int64))})
+        g = staged.group_by(["h", "split"]).aggregate(
+            [("copies", "sum")])
+        return pa.table({"h": g["h"], "split": g["split"],
+                         "copies": pc.cast(g["copies_sum"],
+                                           pa.int64())})
+
+    out_empty = pa.table({c: pa.array([], type=pa.int64())
+                          for c in ("n_clusters", "n_straddling",
+                                    "test_docs", "leaked_test_docs")})
+
+    def fold(t: pa.Table) -> pa.Table:
+        h = t["h"].to_numpy(zero_copy_only=False)
+        split = t["split"].to_numpy(zero_copy_only=False)
+        cp = t["copies"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((split, h))
+        h, split, cp = h[order], split[order], cp[order]
+        keep = np.ones(h.size, dtype=bool)       # cross-block fold
+        keep[1:] = (h[1:] != h[:-1]) | (split[1:] != split[:-1])
+        grp = np.cumsum(keep) - 1
+        cp_f = np.zeros(int(grp[-1]) + 1 if h.size else 0,
+                        dtype=np.int64)
+        np.add.at(cp_f, grp, cp)
+        h_f, s_f = h[keep], split[keep]
+        new = np.ones(h_f.size, dtype=bool)
+        new[1:] = h_f[1:] != h_f[:-1]
+        starts = np.flatnonzero(new)
+        rlen = np.diff(np.append(starts, h_f.size))
+        n_clusters = int(starts.size)
+        straddle = rlen == 2                     # both splits present
+        test_docs = int(cp_f[s_f == 1].sum())
+        # leaked test docs: test copies within straddling clusters
+        leaked = 0
+        for s, ln in zip(starts[straddle].tolist(),
+                         rlen[straddle].tolist()):
+            for i in range(ln):
+                if s_f[s + i] == 1:
+                    leaked += int(cp_f[s + i])
+        return pa.table({
+            "n_clusters": pa.array([n_clusters], type=pa.int64()),
+            "n_straddling": pa.array([int(straddle.sum())],
+                                     type=pa.int64()),
+            "test_docs": pa.array([test_docs], type=pa.int64()),
+            "leaked_test_docs": pa.array([leaked], type=pa.int64()),
+        })
+
+    mem = ds.map_batches(mems, batch_format="pyarrow",
+                         zero_copy_batch=True)
+    f = partition_by(mem, ["h"], fit_partitions(16), fold,
+                     out_empty).to_pandas()
+    return pa.table({
+        "n_clusters": pa.array([int(f["n_clusters"].sum())],
+                               type=pa.int64()),
+        "n_straddling": pa.array([int(f["n_straddling"].sum())],
+                                 type=pa.int64()),
+        "test_docs": pa.array([int(f["test_docs"].sum())],
+                              type=pa.int64()),
+        "leaked_test_docs": pa.array(
+            [int(f["leaked_test_docs"].sum())], type=pa.int64()),
+    })
+
+
+SPLIT_LEAKAGE_SQL = """
+WITH d AS (
+  SELECT md5(text) AS h,
+         CASE WHEN hash(doc_id) % 10 >= 8 THEN 1 ELSE 0 END AS split
+  FROM documents
+), cl AS (
+  SELECT h,
+         CAST(count(DISTINCT split) AS BIGINT) AS n_splits,
+         CAST(sum(split) AS BIGINT) AS test_copies
+  FROM d GROUP BY 1
+)
+SELECT CAST(count(*) AS BIGINT) AS n_clusters,
+       CAST(sum(CASE WHEN n_splits = 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_straddling,
+       CAST(sum(test_copies) AS BIGINT) AS test_docs,
+       CAST(COALESCE(sum(CASE WHEN n_splits = 2
+                         THEN test_copies END), 0) AS BIGINT)
+         AS leaked_test_docs
+FROM cl
+"""
+
+
+def weekday_pattern_census(sf_dir: str, k: int = 8) -> pa.Table:
+    """WEEKDAY-PATTERN CENSUS: users bucketed by the SET of weekdays
+    they are ever active on (a 7-bit mask, Mon = bit 0), top-k
+    patterns -- the behavioral fingerprint separating weekday-only
+    workers from everyday bots, via the bitmask-fold pattern.
+
+    Scale shape: per-user mask co-partition fold, <= 128-cell
+    histogram, k-row output.
+    """
+    from ray.data.aggregate import Sum
+    from ..stages.partition import fit_partitions, partition_by
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    DAY_US = np.int64(86_400_000_000)
+
+    def prep(t: pa.Table) -> pa.Table:
+        us = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        dow = (us // DAY_US + 3) % 7
+        staged = pa.table({
+            "user_id": pc.cast(t["user_id"], pa.int64()),
+            "dow": pa.array(dow.astype(np.int64)),
+        })
+        return staged.group_by(["user_id", "dow"]).aggregate([])
+
+    empty = pa.table({"mask": pa.array([], type=pa.int64()),
+                      "n": pa.array([], type=pa.int64())})
+
+    def masks(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        d = t["dow"].to_numpy(zero_copy_only=False)
+        order = np.argsort(u, kind="stable")
+        u_s, d_s = u[order], d[order]
+        new = np.ones(u_s.size, dtype=bool)
+        new[1:] = u_s[1:] != u_s[:-1]
+        grp = np.cumsum(new) - 1
+        m = np.zeros(int(grp[-1]) + 1 if u_s.size else 0,
+                     dtype=np.int64)
+        np.bitwise_or.at(m, grp, np.int64(1) << d_s)
+        um, cnt = np.unique(m, return_counts=True)
+        return pa.table({"mask": pa.array(um),
+                         "n": pa.array(cnt.astype(np.int64))})
+
+    agg = (partition_by(ds.map_batches(prep, batch_format="pyarrow",
+                                       zero_copy_batch=True),
+                        ["user_id"], fit_partitions(32), masks, empty)
+           .groupby("mask").aggregate(Sum("n", alias_name="n"))
+           .to_pandas())
+    order = np.lexsort((agg["mask"].to_numpy(),
+                        -agg["n"].to_numpy()))[:k]
+    m = agg["mask"].to_numpy(dtype=np.int64)[order]
+    n = agg["n"].to_numpy(dtype=np.int64)[order]
+    return pa.table({
+        "mask": pa.array(m),
+        "n_days_active": pa.array(
+            np.array([bin(int(x)).count("1") for x in m],
+                     dtype=np.int64)),
+        "n_users": pa.array(n),
+    })
+
+
+WEEKDAY_PATTERN_SQL = """
+WITH d AS (
+  SELECT DISTINCT user_id,
+         (CAST(epoch_us(ts) AS BIGINT) // 86400000000 + 3) % 7
+           AS dow
+  FROM events
+), m AS (
+  SELECT user_id,
+         CAST(sum(DISTINCT 1 << CAST(dow AS INT)) AS BIGINT) AS mask
+  FROM d GROUP BY 1
+), c AS (
+  SELECT mask, CAST(count(*) AS BIGINT) AS n_users FROM m GROUP BY 1
+)
+SELECT mask, CAST(bit_count(mask) AS BIGINT) AS n_days_active,
+       n_users
+FROM c ORDER BY n_users DESC, mask LIMIT 8
+"""

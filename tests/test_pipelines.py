@@ -3828,3 +3828,66 @@ def test_zonemap_sorted_vs_shuffled_layout(ray_session, tmp_path):
         int(aligned.loc[w, "sorted_lower_bound"]) + 1
     assert int(shuffled.loc[w, "chunks_scanned"]) == \
         int(shuffled.loc[w, "n_chunks"])
+
+
+def test_monetary_unit_sampling_covers_whales(ray_session, tmp_path):
+    """Orders above the certainty cap are ALWAYS selected; value
+    coverage beats count coverage."""
+    import pyarrow.parquet as pq
+    from p2pddsketch_ray.pipelines.relational import monetary_unit_sample
+    n = 2000
+    price = np.full(n, 10.0)
+    price[:20] = 50_000.0       # whales: 50000*100*50//100 > 1e6 cap
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array(np.arange(n, dtype=np.int64)),
+        "o_totalprice": pa.array(price),
+    }), str(tmp_path / "orders.parquet"))
+    out = monetary_unit_sample(str(tmp_path)).to_pydict()
+    assert out["n_selected"][0] >= 20            # all whales in
+    assert out["value_coverage_ppm"][0] > 950_000
+    assert out["sel_rate_ppm"][0] < 200_000      # few of the minnows
+
+
+def test_split_leakage_detects_straddle(ray_session, tmp_path):
+    """A duplicated text whose copies hash to different splits is
+    counted as leakage."""
+    import pyarrow.parquet as pq
+    from p2pddsketch_ray.hashing import murmur64
+    from p2pddsketch_ray.pipelines.relational import (
+        split_leakage_report)
+    ids = np.arange(1000, dtype=np.int64)
+    split = (murmur64(ids) % np.uint64(10) >= 8)
+    train_id = int(ids[~split][0])
+    test_id = int(ids[split][0])
+    texts = [f"unique-{i}" for i in range(1000)]
+    texts[test_id] = texts[train_id] = "leaked content"
+    pq.write_table(pa.table({
+        "doc_id": pa.array(ids),
+        "text": pa.array(texts),
+    }), str(tmp_path / "documents.parquet"))
+    out = split_leakage_report(str(tmp_path)).to_pydict()
+    assert out["n_straddling"] == [1]
+    assert out["leaked_test_docs"] == [1]
+    assert out["n_clusters"] == [999]
+
+
+def test_weekday_pattern_masks(ray_session, tmp_path):
+    """A Sat+Sun-only user gets mask 0b1100000 = 96; a Monday-only
+    user gets 1."""
+    import pyarrow.parquet as pq
+    from p2pddsketch_ray.pipelines.relational import (
+        weekday_pattern_census)
+    DAY = 86_400_000_000
+    # day 4 = Monday; day 2 = Saturday, day 3 = Sunday
+    rows = [(0, 4), (1, 2), (1, 3), (2, 4), (2, 11)]
+    pq.write_table(pa.table({
+        "user_id": pa.array(np.array([r[0] for r in rows],
+                                     dtype=np.int64)),
+        "ts": pa.array(np.array([r[1] * DAY for r in rows],
+                                dtype=np.int64)).cast(
+            pa.timestamp("us")),
+    }), str(tmp_path / "events.parquet"))
+    out = weekday_pattern_census(str(tmp_path)).to_pandas()
+    pats = dict(zip(out["mask"], out["n_users"]))
+    assert pats.get(1, 0) == 2      # users 0 and 2 (Mondays only)
+    assert pats.get(96, 0) == 1     # the weekend user
