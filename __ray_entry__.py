@@ -366,6 +366,16 @@ from p2pddsketch_ray.pipelines.relational import (  # noqa: E402
     SPLIT_LEAKAGE_SQL as _SPLIT_LEAKAGE_SQL,
     weekday_pattern_census as _weekday_pattern_census,
     WEEKDAY_PATTERN_SQL as _WEEKDAY_PATTERN_SQL,
+    new_part_revenue_share as _new_part_revenue_share,
+    NEW_PART_SHARE_SQL as _NEW_PART_SHARE_SQL,
+    session_entry_types as _session_entry_types,
+    SESSION_ENTRY_SQL as _SESSION_ENTRY_SQL,
+    weekly_revenue_wow as _weekly_revenue_wow,
+    WEEKLY_WOW_SQL as _WEEKLY_WOW_SQL,
+    activity_span_quantiles as _activity_span_quantiles,
+    ACTIVITY_SPAN_SQL as _ACTIVITY_SPAN_SQL,
+    priority_mix_by_year as _priority_mix_by_year,
+    PRIORITY_MIX_SQL as _PRIORITY_MIX_SQL,
     brand_year_revenue as _brand_year_revenue,
     BRAND_YEAR_REVENUE_SQL as _BRAND_YEAR_REVENUE_SQL,
     customer_frequency_spectrum as _customer_frequency_spectrum,
@@ -1191,6 +1201,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "split_leakage_report": _split_leakage_report,
         # top weekday-activity bitmask patterns across users
         "weekday_pattern_census": _weekday_pattern_census,
+        # revenue share of parts first sold in the target year
+        "new_part_revenue_share": _new_part_revenue_share,
+        # first event type of every session (entry-point census)
+        "session_entry_types": _session_entry_types,
+        # gap-filled weekly revenue with week-over-week ppm
+        "weekly_revenue_wow": _weekly_revenue_wow,
+        # first-to-last activity span quartiles per user
+        "activity_span_quantiles": _activity_span_quantiles,
+        # order-priority composition per year (mix-shift chart)
+        "priority_mix_by_year": _priority_mix_by_year,
         # Markov next-event baseline accuracy per previous type
         "markov_next_accuracy": _markov_next_accuracy,
         # out-of-order lateness vs arrival order (distributed prefix max)
@@ -1890,6 +1910,11 @@ def oracle_sql() -> dict[str, str]:
         "monetary_unit_sample": _MONETARY_UNIT_SQL,
         "split_leakage_report": _SPLIT_LEAKAGE_SQL,
         "weekday_pattern_census": _WEEKDAY_PATTERN_SQL,
+        "new_part_revenue_share": _NEW_PART_SHARE_SQL,
+        "session_entry_types": _SESSION_ENTRY_SQL,
+        "weekly_revenue_wow": _WEEKLY_WOW_SQL,
+        "activity_span_quantiles": _ACTIVITY_SPAN_SQL,
+        "priority_mix_by_year": _PRIORITY_MIX_SQL,
         "markov_next_accuracy": _MARKOV_NEXT_ACC_SQL,
         "ooo_lateness_stats": _OOO_LATENESS_SQL,
         "multimodal_resize_stats": """

@@ -18249,3 +18249,355 @@ SELECT mask, CAST(bit_count(mask) AS BIGINT) AS n_days_active,
        n_users
 FROM c ORDER BY n_users DESC, mask LIMIT 8
 """
+
+
+def new_part_revenue_share(sf_dir: str, year: int = 2000) -> pa.Table:
+    """COLD-START ITEM SHARE: revenue in the target ship year split
+    between parts FIRST SOLD that year and the back catalog -- the
+    assortment-freshness number merchandising tracks, via a per-part
+    first-sale combiner and one co-partition classification pass.
+
+    Scale shape: per-block (part, min shipdate) partials, part
+    groupby, then per-part classification local to the same partition
+    (both facts derive from the one co-partitioned dataset).
+    """
+    from ..stages.partition import fit_partitions, partition_by
+
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_shipdate", "l_extendedprice"])
+    lo = int(np.datetime64(f"{year}-01-01", "us").astype(np.int64))
+    hi = int(np.datetime64(f"{year + 1}-01-01", "us")
+             .astype(np.int64))
+
+    def prep(t: pa.Table) -> pa.Table:
+        us = pc.cast(t["l_shipdate"], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        staged = pa.table({
+            "part": pc.cast(t["l_partkey"], pa.int64()),
+            "us": pa.array(us),
+            "rev": _int_units(t["l_extendedprice"], 100),
+        })
+        return staged
+
+    empty = pa.table({c: pa.array([], type=pa.int64())
+                      for c in ("n_new_parts", "rev_new",
+                                "rev_catalog")})
+
+    def classify(t: pa.Table) -> pa.Table:
+        part = t["part"].to_numpy(zero_copy_only=False)
+        us = t["us"].to_numpy(zero_copy_only=False)
+        rev = t["rev"].to_numpy(zero_copy_only=False)
+        uk, inv = np.unique(part, return_inverse=True)
+        first = np.full(uk.size, np.iinfo(np.int64).max,
+                        dtype=np.int64)
+        np.minimum.at(first, inv, us)
+        is_new_part = first >= lo
+        in_year = (us >= lo) & (us < hi)
+        new_rev = int(rev[in_year & is_new_part[inv]].sum())
+        cat_rev = int(rev[in_year & ~is_new_part[inv]].sum())
+        n_new = int((is_new_part & (first < hi)).sum())
+        return pa.table({
+            "n_new_parts": pa.array([n_new], type=pa.int64()),
+            "rev_new": pa.array([new_rev], type=pa.int64()),
+            "rev_catalog": pa.array([cat_rev], type=pa.int64()),
+        })
+
+    f = partition_by(li.map_batches(prep, batch_format="pyarrow",
+                                    zero_copy_batch=True),
+                     ["part"], fit_partitions(16), classify,
+                     empty).to_pandas()
+    rn, rc = int(f["rev_new"].sum()), int(f["rev_catalog"].sum())
+    return pa.table({
+        "n_new_parts": pa.array([int(f["n_new_parts"].sum())],
+                                type=pa.int64()),
+        "rev_new_cents": pa.array([rn], type=pa.int64()),
+        "rev_catalog_cents": pa.array([rc], type=pa.int64()),
+        "new_share_ppm": pa.array(
+            [rn * 1_000_000 // (rn + rc) if rn + rc else 0],
+            type=pa.int64()),
+    })
+
+
+NEW_PART_SHARE_SQL = """
+WITH fs AS (
+  SELECT l_partkey, min(epoch_us(l_shipdate)) AS first_us
+  FROM lineitem GROUP BY 1
+), y AS (
+  SELECT l.l_partkey,
+         CAST(round(l.l_extendedprice * 100) AS BIGINT) AS rev,
+         fs.first_us >= epoch_us(TIMESTAMP '2000-01-01') AS is_new
+  FROM lineitem l JOIN fs ON fs.l_partkey = l.l_partkey
+  WHERE l.l_shipdate >= TIMESTAMP '2000-01-01'
+    AND l.l_shipdate < TIMESTAMP '2001-01-01'
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM fs
+        WHERE first_us >= epoch_us(TIMESTAMP '2000-01-01')
+          AND first_us < epoch_us(TIMESTAMP '2001-01-01'))
+         AS n_new_parts,
+       CAST(COALESCE(sum(CASE WHEN is_new THEN rev END), 0)
+            AS BIGINT) AS rev_new_cents,
+       CAST(COALESCE(sum(CASE WHEN NOT is_new THEN rev END), 0)
+            AS BIGINT) AS rev_catalog_cents,
+       CAST(COALESCE(sum(CASE WHEN is_new THEN rev END), 0) * 1000000
+            // sum(rev) AS BIGINT) AS new_share_ppm
+FROM y
+"""
+
+
+def session_entry_types(sf_dir: str, gap_minutes: int = 30) -> pa.Table:
+    """SESSION ENTRY-POINT CENSUS: the first event type of every
+    session (30-minute gap semantics) with counts and ppm shares --
+    the landing-page analysis of clickstream work.
+
+    Scale shape: the gap-sessionization kernel emits one bounded
+    (type -> count) partial per partition.
+    """
+    from ray.data.aggregate import Sum
+    from ..stages.partition import fit_partitions, partition_by
+
+    gap_us = int(gap_minutes) * 60 * 1_000_000
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts",
+                                  "event_type"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": pc.cast(t["user_id"], pa.int64()),
+            "us": pc.cast(t["ts"], pa.int64()),
+            "event_id": pc.cast(t["event_id"], pa.int64()),
+            "event_type": t["event_type"],
+        })
+
+    empty = pa.table({"event_type": pa.array([], type=pa.string()),
+                      "n": pa.array([], type=pa.int64())})
+
+    def kernel(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        us = t["us"].to_numpy(zero_copy_only=False)
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, us, u))
+        u_s, us_s, et_s = u[order], us[order], et[order]
+        new_session = np.ones(u_s.size, dtype=bool)
+        new_session[1:] = (u_s[1:] != u_s[:-1]) \
+            | (us_s[1:] - us_s[:-1] > gap_us)
+        entry = et_s[new_session]
+        ue, cnt = np.unique(entry, return_counts=True)
+        return pa.table({"event_type": pa.array(ue.tolist(),
+                                                type=pa.string()),
+                         "n": pa.array(cnt.astype(np.int64))})
+
+    agg = (partition_by(ds.map_batches(prep, batch_format="pyarrow",
+                                       zero_copy_batch=True),
+                        ["user_id"], fit_partitions(32), kernel,
+                        empty)
+           .groupby("event_type").aggregate(Sum("n", alias_name="n"))
+           .to_pandas().sort_values("event_type"))
+    n = agg["n"].to_numpy(dtype=np.int64)
+    tot = int(n.sum())
+    return pa.table({
+        "event_type": pa.array(agg["event_type"].tolist(),
+                               type=pa.string()),
+        "n_sessions": pa.array(n),
+        "share_ppm": pa.array(n * 1_000_000 // tot),
+    })
+
+
+SESSION_ENTRY_SQL = """
+WITH e AS (
+  SELECT user_id, event_type,
+         CAST(epoch_us(ts) AS BIGINT) AS us, event_id,
+         lag(CAST(epoch_us(ts) AS BIGINT)) OVER (
+           PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+           AS prev
+  FROM events
+), entries AS (
+  SELECT event_type FROM e
+  WHERE prev IS NULL OR us - prev > 1800000000
+), t AS (SELECT CAST(count(*) AS BIGINT) AS tot FROM entries)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_sessions,
+       CAST(count(*) * 1000000 // t.tot AS BIGINT) AS share_ppm
+FROM entries CROSS JOIN t GROUP BY 1, t.tot ORDER BY 1
+"""
+
+
+def weekly_revenue_wow(sf_dir: str) -> pa.Table:
+    """WEEKLY REVENUE with week-over-week change: epoch-week totals in
+    exact cents and the WoW ratio in ppm (0 when no prior week) -- the
+    default exec chart, gap-filled over the observed week span.
+
+    Scale shape: one per-week combiner, O(weeks) driver fold.
+    """
+    ds = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+    WEEK_US = np.int64(7) * 86_400_000_000
+
+    def weekly(t: pa.Table) -> pa.Table:
+        us = pc.cast(t["o_orderdate"], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        staged = pa.table({"week": pa.array(us // WEEK_US),
+                           "rev": _int_units(t["o_totalprice"], 100)})
+        g = staged.group_by("week").aggregate([("rev", "sum")])
+        return pa.table({"week": g["week"],
+                         "rev": pc.cast(g["rev_sum"], pa.int64())})
+
+    h = (ds.map_batches(weekly, batch_format="pyarrow",
+                        zero_copy_batch=True)
+         .groupby("week").aggregate(Sum("rev", alias_name="rev"))
+         .to_pandas().sort_values("week"))
+    weeks = h["week"].to_numpy(dtype=np.int64)
+    lo, hi = int(weeks.min()), int(weeks.max())
+    grid = np.zeros(hi - lo + 1, dtype=np.int64)
+    grid[weeks - lo] = h["rev"].to_numpy(dtype=np.int64)
+    prev = np.concatenate([[0], grid[:-1]])
+    wow = np.where(prev > 0,
+                   grid * 1_000_000 // np.maximum(prev, 1), 0)
+    return pa.table({
+        "week": pa.array(np.arange(lo, hi + 1, dtype=np.int64)),
+        "rev_cents": pa.array(grid),
+        "wow_ppm": pa.array(wow.astype(np.int64)),
+    })
+
+
+WEEKLY_WOW_SQL = """
+WITH w AS (
+  SELECT CAST(epoch_us(o_orderdate) AS BIGINT) // 604800000000
+           AS week,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+              AS BIGINT) AS rev
+  FROM orders GROUP BY 1
+), b AS (SELECT min(week) AS lo, max(week) AS hi FROM w),
+grid AS (
+  SELECT g.week, CAST(COALESCE(w.rev, 0) AS BIGINT) AS rev
+  FROM (SELECT unnest(generate_series(b.lo, b.hi)) AS week FROM b) g
+  LEFT JOIN w ON w.week = g.week
+), l AS (
+  SELECT week, rev,
+         lag(rev) OVER (ORDER BY week) AS prev
+  FROM grid
+)
+SELECT CAST(week AS BIGINT) AS week, rev AS rev_cents,
+       CAST(CASE WHEN prev > 0 THEN rev * 1000000 // prev
+                 ELSE 0 END AS BIGINT) AS wow_ppm
+FROM l ORDER BY 1
+"""
+
+
+def activity_span_quantiles(sf_dir: str) -> pa.Table:
+    """USER ACTIVITY-SPAN distribution: hours between each user's
+    first and last event, at exact quartiles -- the lifetime-length
+    screen behind retention modeling (one-shot visitors sit at 0).
+
+    Scale shape: per-user Min/Max groupby, one bisection pass.
+    """
+    from ray.data.aggregate import Max, Min
+    from .quantiles import exact_quantiles
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    HOUR_US = np.int64(3_600_000_000)
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "u": pc.cast(t["user_id"], pa.int64()),
+            "us": pc.cast(t["ts"], pa.int64()),
+        })
+
+    per = (ds.map_batches(prep, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("u")
+           .aggregate(Min("us", alias_name="mn"),
+                      Max("us", alias_name="mx")))
+
+    def span(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "mn" not in t.column_names:
+            return pa.table({"h": pa.array([], type=pa.int64())})
+        mn = t["mn"].to_numpy(zero_copy_only=False)
+        mx = t["mx"].to_numpy(zero_copy_only=False)
+        return pa.table({"h": pa.array((mx - mn) // HOUR_US)})
+
+    spans = per.map_batches(span, batch_format="pyarrow").materialize()
+    n = int(spans.count())
+    qt = exact_quantiles(spans, "h", [0.25, 0.5, 0.75])
+    vals = {float(qt["q"][i].as_py()): int(qt["value"][i].as_py())
+            for i in range(qt.num_rows)}
+    return pa.table({
+        "n_users": pa.array([n], type=pa.int64()),
+        "span_h_p25": pa.array([vals[0.25]], type=pa.int64()),
+        "span_h_p50": pa.array([vals[0.5]], type=pa.int64()),
+        "span_h_p75": pa.array([vals[0.75]], type=pa.int64()),
+    })
+
+
+ACTIVITY_SPAN_SQL = """
+WITH pu AS (
+  SELECT user_id,
+         (max(CAST(epoch_us(ts) AS BIGINT))
+          - min(CAST(epoch_us(ts) AS BIGINT))) // 3600000000 AS h
+  FROM events GROUP BY 1
+)
+SELECT CAST(count(*) AS BIGINT) AS n_users,
+       CAST(quantile_disc(h, 0.25) AS BIGINT) AS span_h_p25,
+       CAST(quantile_disc(h, 0.5) AS BIGINT) AS span_h_p50,
+       CAST(quantile_disc(h, 0.75) AS BIGINT) AS span_h_p75
+FROM pu
+"""
+
+
+def priority_mix_by_year(sf_dir: str) -> pa.Table:
+    """ORDER-PRIORITY COMPOSITION over time: per order year, each
+    priority's ppm share -- the mix-shift chart that catches intake
+    drift long before totals move.
+
+    Scale shape: one (year, priority) combiner over a bounded grid.
+    """
+    ds = _read(sf_dir, "orders", ["o_orderdate", "o_orderpriority"])
+
+    empty = pa.table({"year": pa.array([], type=pa.int64()),
+                      "prio": pa.array([], type=pa.string()),
+                      "n": pa.array([], type=pa.int64())})
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        us = pc.cast(t["o_orderdate"], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        year = (us.astype("datetime64[us]").astype("datetime64[Y]")
+                .astype(np.int64) + 1970)
+        staged = pa.table({
+            "year": pa.array(year),
+            "prio": t["o_orderpriority"],
+            "n": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+        })
+        g = staged.group_by(["year", "prio"]).aggregate([("n", "sum")])
+        return pa.table({"year": g["year"], "prio": g["prio"],
+                         "n": pc.cast(g["n_sum"], pa.int64())})
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby(["year", "prio"])
+           .aggregate(Sum("n", alias_name="n"))
+           .to_pandas().sort_values(["year", "prio"]))
+    ytot = agg.groupby("year")["n"].transform("sum").to_numpy(
+        dtype=np.int64)
+    n = agg["n"].to_numpy(dtype=np.int64)
+    return pa.table({
+        "year": pa.array(agg["year"].to_numpy(dtype=np.int64)),
+        "o_orderpriority": pa.array(agg["prio"].tolist(),
+                                    type=pa.string()),
+        "n_orders": pa.array(n),
+        "share_ppm": pa.array(n * 1_000_000 // ytot),
+    })
+
+
+PRIORITY_MIX_SQL = """
+WITH c AS (
+  SELECT CAST(year(o_orderdate) AS BIGINT) AS year,
+         o_orderpriority,
+         CAST(count(*) AS BIGINT) AS n
+  FROM orders GROUP BY 1, 2
+), t AS (
+  SELECT year, CAST(sum(n) AS BIGINT) AS tot FROM c GROUP BY 1
+)
+SELECT c.year, c.o_orderpriority, c.n AS n_orders,
+       CAST(c.n * 1000000 // t.tot AS BIGINT) AS share_ppm
+FROM c JOIN t USING (year)
+ORDER BY 1, 2
+"""

@@ -3891,3 +3891,95 @@ def test_weekday_pattern_masks(ray_session, tmp_path):
     pats = dict(zip(out["mask"], out["n_users"]))
     assert pats.get(1, 0) == 2      # users 0 and 2 (Mondays only)
     assert pats.get(96, 0) == 1     # the weekend user
+
+
+def test_new_part_share_hand_case(ray_session, tmp_path):
+    """One part debuts in 2000, one is back catalog."""
+    import pyarrow.parquet as pq
+    from p2pddsketch_ray.pipelines.relational import (
+        new_part_revenue_share)
+    D = lambda s: np.datetime64(s, "us").astype(np.int64)
+    pq.write_table(pa.table({
+        "l_partkey": pa.array([1, 1, 2], type=pa.int64()),
+        "l_shipdate": pa.array(np.array(
+            [D("1999-05-01"), D("2000-05-01"), D("2000-06-01")],
+            dtype=np.int64)).cast(pa.timestamp("us")),
+        "l_extendedprice": pa.array([100.0, 300.0, 200.0]),
+    }), str(tmp_path / "lineitem.parquet"))
+    out = new_part_revenue_share(str(tmp_path)).to_pydict()
+    assert out["n_new_parts"] == [1]          # part 2
+    assert out["rev_new_cents"] == [20000]
+    assert out["rev_catalog_cents"] == [30000]
+    assert out["new_share_ppm"] == [20000 * 1_000_000 // 50000]
+
+
+def test_session_entry_and_weekly_wow(ray_session, tmp_path):
+    """Entry census picks each session's first type; WoW ratio is the
+    exact integer quotient."""
+    import pyarrow.parquet as pq
+    from p2pddsketch_ray.pipelines.relational import (
+        session_entry_types, weekly_revenue_wow)
+    MIN = 60_000_000
+    rows = [(0, 0, "view"), (0, 5 * MIN, "click"),
+            (0, 120 * MIN, "purchase"),       # new session
+            (1, 0, "click")]
+    pq.write_table(pa.table({
+        "event_id": pa.array(np.arange(4, dtype=np.int64)),
+        "user_id": pa.array(np.array([r[0] for r in rows],
+                                     dtype=np.int64)),
+        "ts": pa.array(np.array([r[1] for r in rows],
+                                dtype=np.int64)).cast(
+            pa.timestamp("us")),
+        "event_type": pa.array([r[2] for r in rows],
+                               type=pa.string()),
+    }), str(tmp_path / "events.parquet"))
+    out = (session_entry_types(str(tmp_path)).to_pandas()
+           .set_index("event_type"))
+    assert int(out.loc["view", "n_sessions"]) == 1
+    assert int(out.loc["click", "n_sessions"]) == 1
+    assert int(out.loc["purchase", "n_sessions"]) == 1
+
+    WEEK = 7 * 86_400_000_000
+    pq.write_table(pa.table({
+        "o_orderdate": pa.array(np.array(
+            [0, WEEK, WEEK], dtype=np.int64)).cast(
+            pa.timestamp("us")),
+        "o_totalprice": pa.array([100.0, 150.0, 150.0]),
+    }), str(tmp_path / "orders.parquet"))
+    wow = (weekly_revenue_wow(str(tmp_path)).to_pandas()
+           .set_index("week"))
+    assert int(wow.loc[1, "wow_ppm"]) == 30000 * 1_000_000 // 10000
+
+
+def test_activity_span_and_priority_mix(ray_session, tmp_path):
+    """Span quartiles from known lifetimes; yearly mix shares sum per
+    year."""
+    import pyarrow.parquet as pq
+    from p2pddsketch_ray.pipelines.relational import (
+        activity_span_quantiles, priority_mix_by_year)
+    H = 3_600_000_000
+    rows_u = [0, 0, 1, 1, 2, 3]
+    rows_ts = [0, 10 * H, 0, 100 * H, 0, 0]   # spans 10, 100, 0, 0
+    pq.write_table(pa.table({
+        "user_id": pa.array(np.array(rows_u, dtype=np.int64)),
+        "ts": pa.array(np.array(rows_ts, dtype=np.int64)).cast(
+            pa.timestamp("us")),
+    }), str(tmp_path / "events.parquet"))
+    out = activity_span_quantiles(str(tmp_path)).to_pydict()
+    assert out["n_users"] == [4]
+    assert out["span_h_p50"] == [0]
+    assert out["span_h_p75"] == [10]
+
+    Y = lambda y: np.datetime64(f"{y}-06-01", "us").astype(np.int64)
+    pq.write_table(pa.table({
+        "o_orderdate": pa.array(np.array(
+            [Y(1996)] * 3 + [Y(1997)] * 2, dtype=np.int64)).cast(
+            pa.timestamp("us")),
+        "o_orderpriority": pa.array(["1-U", "1-U", "2-H",
+                                     "1-U", "1-U"]),
+    }), str(tmp_path / "orders.parquet"))
+    mix = (priority_mix_by_year(str(tmp_path)).to_pandas()
+           .set_index(["year", "o_orderpriority"]))
+    assert int(mix.loc[(1996, "1-U"), "share_ppm"]) == \
+        2 * 1_000_000 // 3
+    assert int(mix.loc[(1997, "1-U"), "share_ppm"]) == 1_000_000
