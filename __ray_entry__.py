@@ -376,6 +376,10 @@ from p2pddsketch_ray.pipelines.relational import (  # noqa: E402
     ACTIVITY_SPAN_SQL as _ACTIVITY_SPAN_SQL,
     priority_mix_by_year as _priority_mix_by_year,
     PRIORITY_MIX_SQL as _PRIORITY_MIX_SQL,
+    abc_classification as _abc_classification,
+    ABC_CLASSIFICATION_SQL as _ABC_CLASSIFICATION_SQL,
+    ship_lag_quantiles_by_priority as _ship_lag_quantiles,
+    SHIP_LAG_SQL as _SHIP_LAG_SQL,
     brand_year_revenue as _brand_year_revenue,
     BRAND_YEAR_REVENUE_SQL as _BRAND_YEAR_REVENUE_SQL,
     customer_frequency_spectrum as _customer_frequency_spectrum,
@@ -1211,6 +1215,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "activity_span_quantiles": _activity_span_quantiles,
         # order-priority composition per year (mix-shift chart)
         "priority_mix_by_year": _priority_mix_by_year,
+        # ABC inventory classes by cumulative revenue share
+        "abc_classification": _abc_classification,
+        # fulfillment-lag p50/p90 per priority (order-lineitem join)
+        "ship_lag_quantiles_by_priority": _ship_lag_quantiles,
         # Markov next-event baseline accuracy per previous type
         "markov_next_accuracy": _markov_next_accuracy,
         # out-of-order lateness vs arrival order (distributed prefix max)
@@ -1915,6 +1923,8 @@ def oracle_sql() -> dict[str, str]:
         "weekly_revenue_wow": _WEEKLY_WOW_SQL,
         "activity_span_quantiles": _ACTIVITY_SPAN_SQL,
         "priority_mix_by_year": _PRIORITY_MIX_SQL,
+        "abc_classification": _ABC_CLASSIFICATION_SQL,
+        "ship_lag_quantiles_by_priority": _SHIP_LAG_SQL,
         "markov_next_accuracy": _MARKOV_NEXT_ACC_SQL,
         "ooo_lateness_stats": _OOO_LATENESS_SQL,
         "multimodal_resize_stats": """

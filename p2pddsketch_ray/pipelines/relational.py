@@ -18601,3 +18601,178 @@ SELECT c.year, c.o_orderpriority, c.n AS n_orders,
 FROM c JOIN t USING (year)
 ORDER BY 1, 2
 """
+
+
+def abc_classification(sf_dir: str) -> pa.Table:
+    """ABC INVENTORY CLASSIFICATION: parts ranked by lifetime revenue;
+    class A carries the first 80% of cumulative revenue (first-crossing
+    part included), B the next 15%, C the tail -- the ops-research
+    workhorse for stocking policy, exact by integer cumulative cents
+    with (revenue desc, partkey) deterministic ranking.
+
+    Scale shape: one per-part revenue groupby (the part dimension is
+    cardinality-bounded by design), O(parts) driver cumsum.
+    """
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_extendedprice"])
+
+    def per_part(t: pa.Table) -> pa.Table:
+        staged = pa.table({
+            "part": pc.cast(t["l_partkey"], pa.int64()),
+            "rev": _int_units(t["l_extendedprice"], 100),
+        })
+        g = staged.group_by("part").aggregate([("rev", "sum")])
+        return pa.table({"part": g["part"],
+                         "rev": pc.cast(g["rev_sum"], pa.int64())})
+
+    agg = (li.map_batches(per_part, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("part").aggregate(Sum("rev", alias_name="rev"))
+           .to_pandas())
+    part = agg["part"].to_numpy(dtype=np.int64)
+    rev = agg["rev"].to_numpy(dtype=np.int64)
+    order = np.lexsort((part, -rev))
+    rev_s = rev[order]
+    cum = np.cumsum(rev_s.astype(object))
+    total = int(cum[-1])
+    # class boundaries on the cumulative share BEFORE this part:
+    # A while prev_cum < 80%, B while prev_cum < 95%, else C
+    prev = np.concatenate([[0], cum[:-1]])
+    cls = np.where(prev * 100 < total * 80, 0,
+                   np.where(prev * 100 < total * 95, 1, 2))
+    out = {c: [] for c in ("abc_class", "n_parts", "rev_cents",
+                           "rev_share_ppm")}
+    for ci, name in enumerate(("A", "B", "C")):
+        m = cls == ci
+        r = int(rev_s[m].sum())
+        out["abc_class"].append(name)
+        out["n_parts"].append(int(m.sum()))
+        out["rev_cents"].append(r)
+        out["rev_share_ppm"].append(r * 1_000_000 // total)
+    return pa.table({
+        "abc_class": pa.array(out["abc_class"], type=pa.string()),
+        "n_parts": pa.array(out["n_parts"], type=pa.int64()),
+        "rev_cents": pa.array(out["rev_cents"], type=pa.int64()),
+        "rev_share_ppm": pa.array(out["rev_share_ppm"],
+                                  type=pa.int64()),
+    })
+
+
+ABC_CLASSIFICATION_SQL = """
+WITH pr AS (
+  SELECT l_partkey AS part,
+         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+              AS BIGINT) AS rev
+  FROM lineitem GROUP BY 1
+), r AS (
+  SELECT part, rev,
+         COALESCE(sum(rev) OVER (
+           ORDER BY rev DESC, part
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS prev
+  FROM pr
+), t AS (SELECT CAST(sum(rev) AS BIGINT) AS total FROM pr),
+c AS (
+  SELECT CASE WHEN prev * 100 < t.total * 80 THEN 'A'
+              WHEN prev * 100 < t.total * 95 THEN 'B'
+              ELSE 'C' END AS abc_class,
+         rev
+  FROM r CROSS JOIN t
+)
+SELECT abc_class, CAST(count(*) AS BIGINT) AS n_parts,
+       CAST(sum(rev) AS BIGINT) AS rev_cents,
+       CAST(sum(rev) * 1000000 // t.total AS BIGINT)
+         AS rev_share_ppm
+FROM c CROSS JOIN t GROUP BY 1, t.total ORDER BY 1
+"""
+
+
+def ship_lag_quantiles_by_priority(sf_dir: str) -> pa.Table:
+    """FULFILLMENT LAG per priority: exact p50/p90 of the days between
+    order date and each lineitem's ship date -- the SLA table that
+    shows whether URGENT is actually faster, via an order-key
+    co-partition join and the grouped bisection quantile pass.
+    """
+    from ..stages.partition import fit_partitions, partition_by
+    from .quantiles import exact_quantiles_grouped
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_orderdate", "o_orderpriority"])
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+    DAY_US = np.int64(86_400_000_000)
+
+    def o_prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "key": pc.cast(t["o_orderkey"], pa.int64()),
+            "us": pc.cast(t["o_orderdate"], pa.int64()),
+            "prio": t["o_orderpriority"],
+            "side": pa.array(np.zeros(t.num_rows, dtype=np.int64)),
+        })
+
+    def li_prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "key": pc.cast(t["l_orderkey"], pa.int64()),
+            "us": pc.cast(t["l_shipdate"], pa.int64()),
+            "prio": pa.array([""] * t.num_rows, type=pa.string()),
+            "side": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+        })
+
+    both = (orders.map_batches(o_prep, batch_format="pyarrow",
+                               zero_copy_batch=True)
+            .union(li.map_batches(li_prep, batch_format="pyarrow",
+                                  zero_copy_batch=True)))
+
+    empty = pa.table({"prio": pa.array([], type=pa.string()),
+                      "lag": pa.array([], type=pa.int64())})
+
+    def resolve(t: pa.Table) -> pa.Table:
+        key = t["key"].to_numpy(zero_copy_only=False)
+        us = t["us"].to_numpy(zero_copy_only=False)
+        side = t["side"].to_numpy(zero_copy_only=False)
+        prio = np.asarray(t["prio"].to_pylist(), dtype=np.str_)
+        ok_, ous, op = (key[side == 0], us[side == 0],
+                        prio[side == 0])
+        lk, lus = key[side == 1], us[side == 1]
+        if ok_.size == 0 or lk.size == 0:
+            return empty
+        o_order = np.argsort(ok_)
+        ok_s, ous_s, op_s = (ok_[o_order], ous[o_order],
+                             op[o_order])
+        pos = np.searchsorted(ok_s, lk)
+        safe = np.minimum(pos, ok_s.size - 1)
+        has = (pos < ok_s.size) & (ok_s[safe] == lk)
+        # divide the positive timestamps FIRST (day floor), then
+        # subtract -- a negative lag would floor vs truncate
+        # differently between numpy and DuckDB
+        lag = lus[has] // DAY_US - ous_s[safe[has]] // DAY_US
+        return pa.table({
+            "prio": pa.array(op_s[safe[has]].tolist(),
+                             type=pa.string()),
+            "lag": pa.array(lag.astype(np.int64))})
+
+    lags = partition_by(both, ["key"], fit_partitions(16), resolve,
+                        empty)
+    qt = exact_quantiles_grouped(lags, "lag", "prio",
+                                 [0.5, 0.9]).to_pandas()
+    piv = qt.pivot_table(index="prio", columns="q", values="value",
+                         aggfunc="first").sort_index()
+    return pa.table({
+        "o_orderpriority": pa.array(piv.index.tolist(),
+                                    type=pa.string()),
+        "lag_days_p50": pa.array(piv[0.5].to_numpy(dtype=np.int64)),
+        "lag_days_p90": pa.array(piv[0.9].to_numpy(dtype=np.int64)),
+    })
+
+
+SHIP_LAG_SQL = """
+WITH j AS (
+  SELECT o.o_orderpriority AS prio,
+         CAST(epoch_us(l.l_shipdate) AS BIGINT) // 86400000000
+          - CAST(epoch_us(o.o_orderdate) AS BIGINT) // 86400000000
+           AS lag
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+)
+SELECT prio AS o_orderpriority,
+       CAST(quantile_disc(lag, 0.5) AS BIGINT) AS lag_days_p50,
+       CAST(quantile_disc(lag, 0.9) AS BIGINT) AS lag_days_p90
+FROM j GROUP BY 1 ORDER BY 1
+"""

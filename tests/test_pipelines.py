@@ -3983,3 +3983,44 @@ def test_activity_span_and_priority_mix(ray_session, tmp_path):
     assert int(mix.loc[(1996, "1-U"), "share_ppm"]) == \
         2 * 1_000_000 // 3
     assert int(mix.loc[(1997, "1-U"), "share_ppm"]) == 1_000_000
+
+
+def test_abc_classes_hand_case(ray_session, tmp_path):
+    """One dominant part is class A; mid part B; tail C."""
+    import pyarrow.parquet as pq
+    from p2pddsketch_ray.pipelines.relational import abc_classification
+    # revenues: 80, 15, 5 (units of 100 cents)
+    pq.write_table(pa.table({
+        "l_partkey": pa.array([1, 2, 3], type=pa.int64()),
+        "l_extendedprice": pa.array([80.0, 15.0, 5.0]),
+    }), str(tmp_path / "lineitem.parquet"))
+    out = (abc_classification(str(tmp_path)).to_pandas()
+           .set_index("abc_class"))
+    assert int(out.loc["A", "n_parts"]) == 1
+    assert int(out.loc["B", "n_parts"]) == 1
+    assert int(out.loc["C", "n_parts"]) == 1
+    assert int(out.loc["A", "rev_share_ppm"]) == 800_000
+
+
+def test_ship_lag_quantiles_known(ray_session, tmp_path):
+    """Urgent orders ship in 1 day, low priority in 10."""
+    import pyarrow.parquet as pq
+    from p2pddsketch_ray.pipelines.relational import (
+        ship_lag_quantiles_by_priority)
+    DAY = 86_400_000_000
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([1, 2], type=pa.int64()),
+        "o_orderdate": pa.array(np.array([0, 0], dtype=np.int64))
+        .cast(pa.timestamp("us")),
+        "o_orderpriority": pa.array(["1-URGENT", "5-LOW"]),
+    }), str(tmp_path / "orders.parquet"))
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array([1, 1, 2], type=pa.int64()),
+        "l_shipdate": pa.array(np.array(
+            [1 * DAY, 1 * DAY, 10 * DAY], dtype=np.int64)).cast(
+            pa.timestamp("us")),
+    }), str(tmp_path / "lineitem.parquet"))
+    out = (ship_lag_quantiles_by_priority(str(tmp_path)).to_pandas()
+           .set_index("o_orderpriority"))
+    assert int(out.loc["1-URGENT", "lag_days_p50"]) == 1
+    assert int(out.loc["5-LOW", "lag_days_p50"]) == 10
