@@ -380,6 +380,10 @@ from p2pddsketch_ray.pipelines.relational import (  # noqa: E402
     ABC_CLASSIFICATION_SQL as _ABC_CLASSIFICATION_SQL,
     ship_lag_quantiles_by_priority as _ship_lag_quantiles,
     SHIP_LAG_SQL as _SHIP_LAG_SQL,
+    daily_type_entropy as _daily_type_entropy,
+    DAILY_TYPE_ENTROPY_SQL as _DAILY_TYPE_ENTROPY_SQL,
+    part_rank_movers as _part_rank_movers,
+    PART_RANK_MOVERS_SQL as _PART_RANK_MOVERS_SQL,
     brand_year_revenue as _brand_year_revenue,
     BRAND_YEAR_REVENUE_SQL as _BRAND_YEAR_REVENUE_SQL,
     customer_frequency_spectrum as _customer_frequency_spectrum,
@@ -1219,6 +1223,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "abc_classification": _abc_classification,
         # fulfillment-lag p50/p90 per priority (order-lineitem join)
         "ship_lag_quantiles_by_priority": _ship_lag_quantiles,
+        # daily event-type entropy series (diversity collapse alarm)
+        "daily_type_entropy": _daily_type_entropy,
+        # parts with the largest year-over-year revenue-rank shifts
+        "part_rank_movers": _part_rank_movers,
         # Markov next-event baseline accuracy per previous type
         "markov_next_accuracy": _markov_next_accuracy,
         # out-of-order lateness vs arrival order (distributed prefix max)
@@ -1925,6 +1933,8 @@ def oracle_sql() -> dict[str, str]:
         "priority_mix_by_year": _PRIORITY_MIX_SQL,
         "abc_classification": _ABC_CLASSIFICATION_SQL,
         "ship_lag_quantiles_by_priority": _SHIP_LAG_SQL,
+        "daily_type_entropy": _DAILY_TYPE_ENTROPY_SQL,
+        "part_rank_movers": _PART_RANK_MOVERS_SQL,
         "markov_next_accuracy": _MARKOV_NEXT_ACC_SQL,
         "ooo_lateness_stats": _OOO_LATENESS_SQL,
         "multimodal_resize_stats": """

@@ -18776,3 +18776,174 @@ SELECT prio AS o_orderpriority,
        CAST(quantile_disc(lag, 0.9) AS BIGINT) AS lag_days_p90
 FROM j GROUP BY 1 ORDER BY 1
 """
+
+
+def daily_type_entropy(sf_dir: str) -> pa.Table:
+    """DAILY BEHAVIOR-DIVERSITY SERIES: Shannon entropy of the event-
+    type mix per day in exact micro-nats (per-term ln-floor parity) --
+    a collapsing entropy curve flags traffic turning single-purpose
+    (incident, bot flood) even when volume holds.
+
+    Scale shape: one (day, type) combiner over a bounded grid,
+    O(days x types) driver fold.
+    """
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+    DAY_US = np.int64(86_400_000_000)
+
+    def daily(t: pa.Table) -> pa.Table:
+        us = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        staged = pa.table({"day": pa.array(us // DAY_US),
+                           "event_type": t["event_type"],
+                           "n": pa.array(np.ones(t.num_rows,
+                                                 dtype=np.int64))})
+        g = staged.group_by(["day", "event_type"]).aggregate(
+            [("n", "sum")])
+        return pa.table({"day": g["day"],
+                         "event_type": g["event_type"],
+                         "n": pc.cast(g["n_sum"], pa.int64())})
+
+    grid = (ds.map_batches(daily, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby(["day", "event_type"])
+            .aggregate(Sum("n", alias_name="n"))
+            .to_pandas())
+    out = {c: [] for c in ("day", "n_events", "entropy_micronats")}
+    for day, g in grid.groupby("day", sort=True):
+        c = g["n"].to_numpy(dtype=np.int64).astype(np.float64)
+        n = float(c.sum())
+        terms = np.floor((c / n) * np.log(n / c) * 1_000_000.0)
+        out["day"].append(int(day))
+        out["n_events"].append(int(n))
+        out["entropy_micronats"].append(int(terms.sum()))
+    return pa.table({
+        "day": pa.array(out["day"], type=pa.int64()),
+        "n_events": pa.array(out["n_events"], type=pa.int64()),
+        "entropy_micronats": pa.array(out["entropy_micronats"],
+                                      type=pa.int64()),
+    })
+
+
+DAILY_TYPE_ENTROPY_SQL = """
+WITH c AS (
+  SELECT CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day,
+         event_type, CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+), t AS (
+  SELECT day, CAST(sum(n) AS BIGINT) AS tot FROM c GROUP BY 1
+)
+SELECT CAST(c.day AS BIGINT) AS day, t.tot AS n_events,
+       CAST(sum(CAST(floor((CAST(c.n AS DOUBLE)
+                            / CAST(t.tot AS DOUBLE))
+                           * ln(CAST(t.tot AS DOUBLE)
+                                / CAST(c.n AS DOUBLE))
+                           * 1000000.0) AS BIGINT)) AS BIGINT)
+         AS entropy_micronats
+FROM c JOIN t USING (day)
+GROUP BY 1, 2 ORDER BY 1
+"""
+
+
+def part_rank_movers(sf_dir: str, year0: int = 1999,
+                     year1: int = 2000, k: int = 5) -> pa.Table:
+    """BIGGEST RANK MOVERS: the parts whose revenue RANK shifted most
+    between two ship years (both-year parts; rank by revenue desc,
+    partkey tiebreak) -- the assortment-churn leaderboard behind
+    "what changed this year" reviews.
+
+    Scale shape: one (part, year) revenue groupby over the bounded
+    part dimension, O(parts) driver ranking.
+    """
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_shipdate", "l_extendedprice"])
+    lo0 = int(np.datetime64(f"{year0}-01-01", "us").astype(np.int64))
+    hi0 = int(np.datetime64(f"{year0 + 1}-01-01", "us")
+              .astype(np.int64))
+    lo1 = int(np.datetime64(f"{year1}-01-01", "us").astype(np.int64))
+    hi1 = int(np.datetime64(f"{year1 + 1}-01-01", "us")
+              .astype(np.int64))
+
+    empty = pa.table({"part": pa.array([], type=pa.int64()),
+                      "y": pa.array([], type=pa.int64()),
+                      "rev": pa.array([], type=pa.int64())})
+
+    def prep(t: pa.Table) -> pa.Table:
+        us = pc.cast(t["l_shipdate"], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        y = np.where((us >= lo0) & (us < hi0), 0,
+                     np.where((us >= lo1) & (us < hi1), 1, -1))
+        keep = y >= 0
+        if not keep.any():
+            return empty
+        t2 = t.filter(pa.array(keep))
+        staged = pa.table({
+            "part": pc.cast(t2["l_partkey"], pa.int64()),
+            "y": pa.array(y[keep]),
+            "rev": _int_units(t2["l_extendedprice"], 100),
+        })
+        g = staged.group_by(["part", "y"]).aggregate([("rev", "sum")])
+        return pa.table({"part": g["part"], "y": g["y"],
+                         "rev": pc.cast(g["rev_sum"], pa.int64())})
+
+    agg = (li.map_batches(prep, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby(["part", "y"])
+           .aggregate(Sum("rev", alias_name="rev"))
+           .to_pandas())
+    g0 = agg[agg["y"] == 0]
+    g1 = agg[agg["y"] == 1]
+    both = set(g0["part"]).intersection(set(g1["part"]))
+
+    def ranks(g):
+        gg = g[g["part"].isin(both)]
+        p = gg["part"].to_numpy(dtype=np.int64)
+        r = gg["rev"].to_numpy(dtype=np.int64)
+        order = np.lexsort((p, -r))
+        rk = np.empty(order.size, dtype=np.int64)
+        rk[order] = np.arange(1, order.size + 1)
+        return dict(zip(p.tolist(), rk.tolist()))
+
+    r0, r1 = ranks(g0), ranks(g1)
+    parts = sorted(both)
+    shift = [(abs(r0[p] - r1[p]), p) for p in parts]
+    shift.sort(key=lambda x: (-x[0], x[1]))
+    top = shift[:k]
+    return pa.table({
+        "part": pa.array([p for _, p in top], type=pa.int64()),
+        "rank0": pa.array([r0[p] for _, p in top], type=pa.int64()),
+        "rank1": pa.array([r1[p] for _, p in top], type=pa.int64()),
+        "abs_shift": pa.array([s for s, _ in top], type=pa.int64()),
+    })
+
+
+PART_RANK_MOVERS_SQL = """
+WITH py AS (
+  SELECT l_partkey AS part,
+         CASE WHEN l_shipdate >= TIMESTAMP '1999-01-01'
+               AND l_shipdate < TIMESTAMP '2000-01-01' THEN 0
+              WHEN l_shipdate >= TIMESTAMP '2000-01-01'
+               AND l_shipdate < TIMESTAMP '2001-01-01' THEN 1
+         END AS y,
+         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+              AS BIGINT) AS rev
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1999-01-01'
+    AND l_shipdate < TIMESTAMP '2001-01-01'
+  GROUP BY 1, 2
+), b AS (
+  SELECT part FROM py GROUP BY 1 HAVING count(*) = 2
+), r AS (
+  SELECT py.part, py.y,
+         CAST(row_number() OVER (PARTITION BY py.y
+                                 ORDER BY py.rev DESC, py.part)
+              AS BIGINT) AS rk
+  FROM py JOIN b USING (part)
+), p AS (
+  SELECT r0.part, r0.rk AS rank0, r1.rk AS rank1,
+         abs(r0.rk - r1.rk) AS abs_shift
+  FROM r r0 JOIN r r1 ON r1.part = r0.part
+  WHERE r0.y = 0 AND r1.y = 1
+)
+SELECT CAST(part AS BIGINT) AS part, rank0, rank1,
+       CAST(abs_shift AS BIGINT) AS abs_shift
+FROM p ORDER BY abs_shift DESC, part LIMIT 5
+"""

@@ -4024,3 +4024,42 @@ def test_ship_lag_quantiles_known(ray_session, tmp_path):
            .set_index("o_orderpriority"))
     assert int(out.loc["1-URGENT", "lag_days_p50"]) == 1
     assert int(out.loc["5-LOW", "lag_days_p50"]) == 10
+
+
+def test_daily_entropy_collapse_detected(ray_session, tmp_path):
+    """A day with a single event type has zero entropy; a uniform
+    2-type day sits near ln(2)."""
+    import pyarrow.parquet as pq
+    from p2pddsketch_ray.pipelines.relational import daily_type_entropy
+    DAY = 86_400_000_000
+    rows_ts = [0] * 20 + [DAY] * 20
+    rows_t = ["view"] * 20 + ["view"] * 10 + ["click"] * 10
+    pq.write_table(pa.table({
+        "ts": pa.array(np.array(rows_ts, dtype=np.int64)).cast(
+            pa.timestamp("us")),
+        "event_type": pa.array(rows_t, type=pa.string()),
+    }), str(tmp_path / "events.parquet"))
+    out = (daily_type_entropy(str(tmp_path)).to_pandas()
+           .set_index("day"))
+    assert int(out.loc[0, "entropy_micronats"]) == 0
+    assert abs(int(out.loc[1, "entropy_micronats"]) - 693_146) < 10
+
+
+def test_part_rank_movers_detects_swap(ray_session, tmp_path):
+    """Two parts swap top spots between years -> both are movers."""
+    import pyarrow.parquet as pq
+    from p2pddsketch_ray.pipelines.relational import part_rank_movers
+    D = lambda s: np.datetime64(s, "us").astype(np.int64)
+    pq.write_table(pa.table({
+        "l_partkey": pa.array([1, 2, 3, 1, 2, 3], type=pa.int64()),
+        "l_shipdate": pa.array(np.array(
+            [D("1999-06-01")] * 3 + [D("2000-06-01")] * 3,
+            dtype=np.int64)).cast(pa.timestamp("us")),
+        "l_extendedprice": pa.array(
+            [300.0, 200.0, 100.0, 100.0, 200.0, 300.0]),
+    }), str(tmp_path / "lineitem.parquet"))
+    out = (part_rank_movers(str(tmp_path)).to_pandas()
+           .set_index("part"))
+    assert int(out.loc[1, "abs_shift"]) == 2   # rank 1 -> 3
+    assert int(out.loc[3, "abs_shift"]) == 2   # rank 3 -> 1
+    assert int(out.loc[2, "abs_shift"]) == 0
