@@ -384,6 +384,10 @@ from p2pddsketch_ray.pipelines.relational import (  # noqa: E402
     DAILY_TYPE_ENTROPY_SQL as _DAILY_TYPE_ENTROPY_SQL,
     part_rank_movers as _part_rank_movers,
     PART_RANK_MOVERS_SQL as _PART_RANK_MOVERS_SQL,
+    key_account_risk_by_nation as _key_account_risk_by_nation,
+    KEY_ACCOUNT_SQL as _KEY_ACCOUNT_SQL,
+    monthly_seasonal_index as _monthly_seasonal_index,
+    MONTHLY_SEASONAL_SQL as _MONTHLY_SEASONAL_SQL,
     brand_year_revenue as _brand_year_revenue,
     BRAND_YEAR_REVENUE_SQL as _BRAND_YEAR_REVENUE_SQL,
     customer_frequency_spectrum as _customer_frequency_spectrum,
@@ -1227,6 +1231,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "daily_type_entropy": _daily_type_entropy,
         # parts with the largest year-over-year revenue-rank shifts
         "part_rank_movers": _part_rank_movers,
+        # top-3 customer revenue concentration per nation
+        "key_account_risk_by_nation": _key_account_risk_by_nation,
+        # monthly seasonal index (rev vs the all-month average)
+        "monthly_seasonal_index": _monthly_seasonal_index,
         # Markov next-event baseline accuracy per previous type
         "markov_next_accuracy": _markov_next_accuracy,
         # out-of-order lateness vs arrival order (distributed prefix max)
@@ -1935,6 +1943,8 @@ def oracle_sql() -> dict[str, str]:
         "ship_lag_quantiles_by_priority": _SHIP_LAG_SQL,
         "daily_type_entropy": _DAILY_TYPE_ENTROPY_SQL,
         "part_rank_movers": _PART_RANK_MOVERS_SQL,
+        "key_account_risk_by_nation": _KEY_ACCOUNT_SQL,
+        "monthly_seasonal_index": _MONTHLY_SEASONAL_SQL,
         "markov_next_accuracy": _MARKOV_NEXT_ACC_SQL,
         "ooo_lateness_stats": _OOO_LATENESS_SQL,
         "multimodal_resize_stats": """

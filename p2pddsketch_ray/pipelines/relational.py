@@ -18947,3 +18947,181 @@ SELECT CAST(part AS BIGINT) AS part, rank0, rank1,
        CAST(abs_shift AS BIGINT) AS abs_shift
 FROM p ORDER BY abs_shift DESC, part LIMIT 5
 """
+
+
+def key_account_risk_by_nation(sf_dir: str, k: int = 3) -> pa.Table:
+    """KEY-ACCOUNT CONCENTRATION per nation: the ppm share of each
+    nation's order revenue held by its top-k customers -- the sales-
+    risk table (one defection nukes the region?).  Customer revenue
+    joins its nation via a custkey co-partition; the per-nation top-k
+    folds from (nation, customer) totals over the bounded nation
+    domain.
+    """
+    from ..stages.partition import fit_partitions, partition_by
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+
+    def o_prep(t: pa.Table) -> pa.Table:
+        staged = pa.table({
+            "key": pc.cast(t["o_custkey"], pa.int64()),
+            "rev": _int_units(t["o_totalprice"], 100),
+            "side": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+        })
+        g = staged.group_by(["key", "side"]).aggregate(
+            [("rev", "sum")])
+        return pa.table({"key": g["key"],
+                         "rev": pc.cast(g["rev_sum"], pa.int64()),
+                         "side": g["side"]})
+
+    def c_prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "key": pc.cast(t["c_custkey"], pa.int64()),
+            "rev": pc.cast(t["c_nationkey"], pa.int64()),  # carries nk
+            "side": pa.array(np.zeros(t.num_rows, dtype=np.int64)),
+        })
+
+    both = (orders.map_batches(o_prep, batch_format="pyarrow",
+                               zero_copy_batch=True)
+            .union(cust.map_batches(c_prep, batch_format="pyarrow",
+                                    zero_copy_batch=True)))
+
+    empty = pa.table({"nk": pa.array([], type=pa.int64()),
+                      "rev": pa.array([], type=pa.int64())})
+
+    def resolve(t: pa.Table) -> pa.Table:
+        key = t["key"].to_numpy(zero_copy_only=False)
+        rev = t["rev"].to_numpy(zero_copy_only=False)
+        side = t["side"].to_numpy(zero_copy_only=False)
+        ck, cn = key[side == 0], rev[side == 0]
+        ok_, orv = key[side == 1], rev[side == 1]
+        if ck.size == 0 or ok_.size == 0:
+            return empty
+        # fold per-block order partials per customer
+        uk, inv = np.unique(ok_, return_inverse=True)
+        ur = np.bincount(inv, weights=orv.astype(np.float64)) \
+            .astype(np.int64)
+        order = np.argsort(ck)
+        ck_s, cn_s = ck[order], cn[order]
+        pos = np.searchsorted(ck_s, uk)
+        safe = np.minimum(pos, ck_s.size - 1)
+        has = (pos < ck_s.size) & (ck_s[safe] == uk)
+        return pa.table({"nk": pa.array(cn_s[safe[has]]
+                                        .astype(np.int64)),
+                         "rev": pa.array(ur[has])})
+
+    per_cust = partition_by(both, ["key"], fit_partitions(16),
+                            resolve, empty)
+
+    agg_empty = pa.table({"nk": pa.array([], type=pa.int64()),
+                          "topk": pa.array([], type=pa.int64()),
+                          "tot": pa.array([], type=pa.int64()),
+                          "n": pa.array([], type=pa.int64())})
+
+    def per_nation(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "rev" not in t.column_names:
+            return agg_empty
+        nk = t["nk"].to_numpy(zero_copy_only=False)
+        rev = t["rev"].to_numpy(zero_copy_only=False)
+        out = {c: [] for c in ("nk", "topk", "tot", "n")}
+        for u in np.unique(nk):
+            r = np.sort(rev[nk == u])[::-1]
+            out["nk"].append(int(u))
+            out["topk"].append(int(r[:k].sum()))
+            out["tot"].append(int(r.sum()))
+            out["n"].append(int(r.size))
+        return pa.table({c: pa.array(v, type=pa.int64())
+                         for c, v in out.items()})
+
+    # customers of one nation may span partitions: re-co-partition by
+    # nation before the per-nation top-k
+    agg = (partition_by(per_cust, ["nk"], fit_partitions(16),
+                        per_nation, agg_empty)
+           .to_pandas().sort_values("nk"))
+    topk = agg["topk"].to_numpy(dtype=np.int64)
+    tot = agg["tot"].to_numpy(dtype=np.int64)
+    return pa.table({
+        "nationkey": pa.array(agg["nk"].to_numpy(dtype=np.int64)),
+        "n_customers": pa.array(agg["n"].to_numpy(dtype=np.int64)),
+        "rev_cents": pa.array(tot),
+        "topk_rev_cents": pa.array(topk),
+        "topk_share_ppm": pa.array(topk * 1_000_000 // tot),
+    })
+
+
+KEY_ACCOUNT_SQL = """
+WITH pc AS (
+  SELECT c.c_nationkey AS nk, o.o_custkey,
+         CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT))
+              AS BIGINT) AS rev
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+  GROUP BY 1, 2
+), r AS (
+  SELECT nk, rev,
+         row_number() OVER (PARTITION BY nk
+                            ORDER BY rev DESC, o_custkey) AS rn
+  FROM pc
+)
+SELECT CAST(nk AS BIGINT) AS nationkey,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(sum(rev) AS BIGINT) AS rev_cents,
+       CAST(sum(CASE WHEN rn <= 3 THEN rev ELSE 0 END) AS BIGINT)
+         AS topk_rev_cents,
+       CAST(sum(CASE WHEN rn <= 3 THEN rev ELSE 0 END) * 1000000
+            // sum(rev) AS BIGINT) AS topk_share_ppm
+FROM r GROUP BY 1 ORDER BY 1
+"""
+
+
+def monthly_seasonal_index(sf_dir: str) -> pa.Table:
+    """MONTHLY SEASONAL INDEX: each calendar month's revenue relative
+    to the all-month average, in ppm (index 1e6 = a typical month) --
+    the first seasonality table a planner builds, exact by integer
+    cross-multiplication (rev_m * 12 * 1e6 // total).
+
+    Scale shape: one 12-cell combiner.
+    """
+    ds = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        us = pc.cast(t["o_orderdate"], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        months = (us.astype("datetime64[us]").astype("datetime64[M]")
+                  .astype(np.int64) % 12)
+        staged = pa.table({"month": pa.array(months + 1),
+                           "rev": _int_units(t["o_totalprice"], 100)})
+        g = staged.group_by("month").aggregate([("rev", "sum")])
+        return pa.table({"month": g["month"],
+                         "rev": pc.cast(g["rev_sum"], pa.int64())})
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("month").aggregate(Sum("rev", alias_name="rev"))
+           .to_pandas().sort_values("month"))
+    rev = np.zeros(12, dtype=np.int64)
+    rev[agg["month"].to_numpy(dtype=np.int64) - 1] = \
+        agg["rev"].to_numpy(dtype=np.int64)
+    tot = int(rev.sum())
+    return pa.table({
+        "month": pa.array(np.arange(1, 13, dtype=np.int64)),
+        "rev_cents": pa.array(rev),
+        "seasonal_index_ppm": pa.array(
+            rev.astype(object) * 12 * 1_000_000 // tot),
+    })
+
+
+MONTHLY_SEASONAL_SQL = """
+WITH m AS (
+  SELECT CAST(month(o_orderdate) AS BIGINT) AS month,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+              AS BIGINT) AS rev
+  FROM orders GROUP BY 1
+), t AS (SELECT CAST(sum(rev) AS BIGINT) AS tot FROM m),
+grid AS (SELECT unnest(generate_series(1, 12)) AS month)
+SELECT CAST(grid.month AS BIGINT) AS month,
+       CAST(COALESCE(m.rev, 0) AS BIGINT) AS rev_cents,
+       CAST(COALESCE(m.rev, 0) * 12 * 1000000 // t.tot AS BIGINT)
+         AS seasonal_index_ppm
+FROM grid LEFT JOIN m USING (month) CROSS JOIN t
+ORDER BY 1
+"""

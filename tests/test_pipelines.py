@@ -4063,3 +4063,43 @@ def test_part_rank_movers_detects_swap(ray_session, tmp_path):
     assert int(out.loc[1, "abs_shift"]) == 2   # rank 1 -> 3
     assert int(out.loc[3, "abs_shift"]) == 2   # rank 3 -> 1
     assert int(out.loc[2, "abs_shift"]) == 0
+
+
+def test_key_account_concentration(ray_session, tmp_path):
+    """Nation 1: one whale among minnows; nation 2: uniform."""
+    import pyarrow.parquet as pq
+    from p2pddsketch_ray.pipelines.relational import (
+        key_account_risk_by_nation)
+    pq.write_table(pa.table({
+        "c_custkey": pa.array(np.arange(20, dtype=np.int64)),
+        "c_nationkey": pa.array(
+            np.where(np.arange(20) < 10, 1, 2).astype(np.int32)),
+    }), str(tmp_path / "customer.parquet"))
+    price = np.full(20, 10.0)
+    price[0] = 10_000.0                     # whale in nation 1
+    pq.write_table(pa.table({
+        "o_custkey": pa.array(np.arange(20, dtype=np.int64)),
+        "o_totalprice": pa.array(price),
+    }), str(tmp_path / "orders.parquet"))
+    out = (key_account_risk_by_nation(str(tmp_path)).to_pandas()
+           .set_index("nationkey"))
+    total1 = 10_000_00 * 10 // 10 + 9 * 1000   # cents
+    assert int(out.loc[1, "topk_share_ppm"]) > 990_000
+    assert int(out.loc[2, "topk_share_ppm"]) == \
+        3 * 1000 * 1_000_000 // (10 * 1000)
+
+
+def test_monthly_seasonal_uniform_is_1e6(ray_session, tmp_path):
+    """Equal revenue in each of 12 months -> index 1e6 everywhere."""
+    import pyarrow.parquet as pq
+    from p2pddsketch_ray.pipelines.relational import (
+        monthly_seasonal_index)
+    dates = [np.datetime64(f"1997-{m:02d}-15", "us").astype(np.int64)
+             for m in range(1, 13)]
+    pq.write_table(pa.table({
+        "o_orderdate": pa.array(np.array(dates, dtype=np.int64))
+        .cast(pa.timestamp("us")),
+        "o_totalprice": pa.array(np.full(12, 100.0)),
+    }), str(tmp_path / "orders.parquet"))
+    out = monthly_seasonal_index(str(tmp_path)).to_pydict()
+    assert out["seasonal_index_ppm"] == [1_000_000] * 12
