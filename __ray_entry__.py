@@ -89,6 +89,10 @@ from p2pddsketch_ray.pipelines.temporal import (  # noqa: E402
     LATE_ORDER_SQL as _LATE_ORDER_SQL,
     new_vs_returning_daily as _new_vs_returning_daily,
     NEW_VS_RETURNING_SQL as _NEW_VS_RETURNING_SQL,
+    resurrected_users_daily as _resurrected_users_daily,
+    RESURRECTED_SQL as _RESURRECTED_SQL,
+    weekly_arpu as _weekly_arpu,
+    WEEKLY_ARPU_SQL as _WEEKLY_ARPU_SQL,
     PROPS_VOCAB_DRIFT_SQL as _PROPS_VOCAB_DRIFT_SQL,
     props_vocab_drift as _props_vocab_drift,
     ooo_lateness_stats as _ooo_lateness_stats,
@@ -1235,6 +1239,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "key_account_risk_by_nation": _key_account_risk_by_nation,
         # monthly seasonal index (rev vs the all-month average)
         "monthly_seasonal_index": _monthly_seasonal_index,
+        # growth accounting third leg: resurrected users per day
+        "resurrected_users_daily": _resurrected_users_daily,
+        # weekly revenue per distinct active user (exact ARPU)
+        "weekly_arpu": _weekly_arpu,
         # Markov next-event baseline accuracy per previous type
         "markov_next_accuracy": _markov_next_accuracy,
         # out-of-order lateness vs arrival order (distributed prefix max)
@@ -1945,6 +1953,8 @@ def oracle_sql() -> dict[str, str]:
         "part_rank_movers": _PART_RANK_MOVERS_SQL,
         "key_account_risk_by_nation": _KEY_ACCOUNT_SQL,
         "monthly_seasonal_index": _MONTHLY_SEASONAL_SQL,
+        "resurrected_users_daily": _RESURRECTED_SQL,
+        "weekly_arpu": _WEEKLY_ARPU_SQL,
         "markov_next_accuracy": _MARKOV_NEXT_ACC_SQL,
         "ooo_lateness_stats": _OOO_LATENESS_SQL,
         "multimodal_resize_stats": """

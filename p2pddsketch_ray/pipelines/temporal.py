@@ -3620,3 +3620,163 @@ SELECT CAST(ks.depth AS BIGINT) AS depth,
 FROM ks CROSS JOIN ln CROSS JOIN tot
 GROUP BY 1, tot.t ORDER BY 1
 """
+
+
+def resurrected_users_daily(sf_dir: str,
+                            dormant_days: int = 14) -> pa.Table:
+    """RESURRECTED USERS per day: actives whose previous activity was
+    at least ``dormant_days`` days earlier -- the third leg of growth
+    accounting beside new and returning.
+
+    Scale shape: user co-partition; per-user day gaps are local, so
+    each partition emits exact per-day resurrection counts; O(days)
+    groupby.
+    """
+    from ray.data.aggregate import Sum
+    from ..stages.partition import fit_partitions, partition_by
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts"])
+    DAY_US = np.int64(86_400_000_000)
+
+    def prep(t: pa.Table) -> pa.Table:
+        us = _as_int64(t["ts"])
+        staged = pa.table({
+            "user_id": pc.cast(t["user_id"], pa.int64()),
+            "day": pa.array(us // DAY_US),
+        })
+        return staged.group_by(["user_id", "day"]).aggregate([])
+
+    empty = pa.table({"day": pa.array([], type=pa.int64()),
+                      "n_resurrected": pa.array([], type=pa.int64()),
+                      "n_active": pa.array([], type=pa.int64())})
+
+    def kernel(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        d = t["day"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((d, u))
+        u_s, d_s = u[order], d[order]
+        keep = np.ones(u_s.size, dtype=bool)
+        keep[1:] = (u_s[1:] != u_s[:-1]) | (d_s[1:] != d_s[:-1])
+        u_s, d_s = u_s[keep], d_s[keep]
+        same = u_s[1:] == u_s[:-1]
+        res = same & (d_s[1:] - d_s[:-1] >= dormant_days)
+        ud, dinv = np.unique(d_s, return_inverse=True)
+        n_act = np.bincount(dinv, minlength=ud.size)
+        n_res = np.bincount(dinv[1:][res], minlength=ud.size)
+        return pa.table({
+            "day": pa.array(ud.astype(np.int64)),
+            "n_resurrected": pa.array(n_res.astype(np.int64)),
+            "n_active": pa.array(n_act.astype(np.int64))})
+
+    mem = ds.map_batches(prep, batch_format="pyarrow",
+                         zero_copy_batch=True)
+    agg = (partition_by(mem, ["user_id"], fit_partitions(32), kernel,
+                        empty)
+           .groupby("day")
+           .aggregate(Sum("n_resurrected", alias_name="n_resurrected"),
+                      Sum("n_active", alias_name="n_active"))
+           .to_pandas().sort_values("day"))
+    return pa.table({
+        "day": pa.array(agg["day"].to_numpy(dtype=np.int64)),
+        "n_active": pa.array(agg["n_active"].to_numpy(
+            dtype=np.int64)),
+        "n_resurrected": pa.array(agg["n_resurrected"].to_numpy(
+            dtype=np.int64)),
+    })
+
+
+RESURRECTED_SQL = """
+WITH a AS (
+  SELECT DISTINCT user_id,
+         CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day
+  FROM events
+), w AS (
+  SELECT user_id, day,
+         lag(day) OVER (PARTITION BY user_id ORDER BY day) AS prev
+  FROM a
+)
+SELECT CAST(day AS BIGINT) AS day,
+       CAST(count(*) AS BIGINT) AS n_active,
+       CAST(sum(CASE WHEN prev IS NOT NULL AND day - prev >= 14
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected
+FROM w GROUP BY 1 ORDER BY 1
+"""
+
+
+def weekly_arpu(sf_dir: str) -> pa.Table:
+    """WEEKLY ARPU: event-value revenue per distinct active user per
+    epoch week, in exact micro units -- the normalized engagement
+    number that survives user-count swings.
+
+    Scale shape: one (week, user) distinct combiner for actives, one
+    per-week cents combiner for revenue, O(weeks) fold.
+    """
+    from ray.data.aggregate import Sum
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts", "value"])
+    WEEK_US = np.int64(7) * 86_400_000_000
+
+    def rev_partial(t: pa.Table) -> pa.Table:
+        us = _as_int64(t["ts"])
+        v = t["value"].to_numpy(zero_copy_only=False)
+        cents = np.floor(v * 100.0 + 0.5).astype(np.int64)
+        staged = pa.table({"week": pa.array(us // WEEK_US),
+                           "rev": pa.array(cents)})
+        g = staged.group_by("week").aggregate([("rev", "sum")])
+        return pa.table({"week": g["week"],
+                         "rev": pc.cast(g["rev_sum"], pa.int64())})
+
+    rev = (ds.map_batches(rev_partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("week").aggregate(Sum("rev", alias_name="rev"))
+           .to_pandas())
+
+    def user_partial(t: pa.Table) -> pa.Table:
+        us = _as_int64(t["ts"])
+        staged = pa.table({
+            "week": pa.array(us // WEEK_US),
+            "user_id": pc.cast(t["user_id"], pa.int64()),
+        })
+        return staged.group_by(["week", "user_id"]).aggregate([])
+
+    from ray.data.aggregate import Count
+    users = (ds.map_batches(user_partial, batch_format="pyarrow",
+                            zero_copy_batch=True)
+             .groupby(["week", "user_id"])
+             .aggregate(Count(alias_name="_c"))
+             .map_batches(
+                 lambda t: (pa.table({
+                     "week": t["week"],
+                     "n": pa.array(np.ones(t.num_rows,
+                                           dtype=np.int64))})
+                     .group_by("week").aggregate([("n", "sum")])
+                     .rename_columns(["week", "n"])),
+                 batch_format="pyarrow")
+             .groupby("week").aggregate(Sum("n", alias_name="n"))
+             .to_pandas())
+    merged = rev.merge(users, on="week", how="inner").sort_values(
+        "week")
+    r = merged["rev"].to_numpy(dtype=np.int64)
+    n = merged["n"].to_numpy(dtype=np.int64)
+    return pa.table({
+        "week": pa.array(merged["week"].to_numpy(dtype=np.int64)),
+        "rev_cents": pa.array(r),
+        "n_users": pa.array(n),
+        "arpu_micro": pa.array(
+            r.astype(object) * 10_000 // n, type=pa.int64()),
+    })
+
+
+WEEKLY_ARPU_SQL = """
+WITH r AS (
+  SELECT CAST(epoch_us(ts) AS BIGINT) // 604800000000 AS week,
+         CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT))
+              AS BIGINT) AS rev,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+  FROM events GROUP BY 1
+)
+SELECT CAST(week AS BIGINT) AS week, rev AS rev_cents, n_users,
+       CAST(rev * 10000 // n_users AS BIGINT) AS arpu_micro
+FROM r ORDER BY 1
+"""

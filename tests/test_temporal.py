@@ -977,3 +977,33 @@ def test_session_depth_survival_hand_case(ray_session, tmp_path):
     assert int(out.loc[3, "n_sessions_at_least"]) == 1
     assert int(out.loc[4, "n_sessions_at_least"]) == 0
     assert int(out.loc[1, "survival_ppm"]) == 1_000_000
+
+
+def test_resurrected_and_arpu(ray_session, tmp_path):
+    """User returning after 20 dormant days is resurrected; ARPU math
+    exact."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from p2pddsketch_ray.pipelines.temporal import (
+        resurrected_users_daily, weekly_arpu)
+    DAY = 86_400_000_000
+    rows = [(0, 0), (0, 20), (1, 0), (1, 1)]
+    pq.write_table(pa.table({
+        "user_id": pa.array(np.array([r[0] for r in rows],
+                                     dtype=np.int64)),
+        "ts": pa.array(np.array([r[1] * DAY for r in rows],
+                                dtype=np.int64)).cast(
+            pa.timestamp("us")),
+        "value": pa.array([10.0, 20.0, 30.0, 40.0]),
+    }), str(tmp_path / "events.parquet"))
+    res = (resurrected_users_daily(str(tmp_path)).to_pandas()
+           .set_index("day"))
+    assert int(res.loc[20, "n_resurrected"]) == 1
+    assert int(res.loc[1, "n_resurrected"]) == 0    # only 1 day gap
+
+    arpu = (weekly_arpu(str(tmp_path)).to_pandas()
+            .set_index("week"))
+    # week 0: users {0, 1}, rev = 10+30+40 = 80.00 -> 4000.00/user
+    assert int(arpu.loc[0, "n_users"]) == 2
+    assert int(arpu.loc[0, "arpu_micro"]) == 8000 * 10000 // 2
