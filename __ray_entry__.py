@@ -392,6 +392,10 @@ from p2pddsketch_ray.pipelines.relational import (  # noqa: E402
     KEY_ACCOUNT_SQL as _KEY_ACCOUNT_SQL,
     monthly_seasonal_index as _monthly_seasonal_index,
     MONTHLY_SEASONAL_SQL as _MONTHLY_SEASONAL_SQL,
+    token_codegree_topk as _token_codegree_topk,
+    TOKEN_CODEGREE_SQL as _TOKEN_CODEGREE_SQL,
+    discount_by_qty_bucket as _discount_by_qty_bucket,
+    DISCOUNT_QTY_SQL as _DISCOUNT_QTY_SQL,
     brand_year_revenue as _brand_year_revenue,
     BRAND_YEAR_REVENUE_SQL as _BRAND_YEAR_REVENUE_SQL,
     customer_frequency_spectrum as _customer_frequency_spectrum,
@@ -1243,6 +1247,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "resurrected_users_daily": _resurrected_users_daily,
         # weekly revenue per distinct active user (exact ARPU)
         "weekly_arpu": _weekly_arpu,
+        # tokens by distinct-adjacent-neighbor count (word graph)
+        "token_codegree_topk": _token_codegree_topk,
+        # mean discount per quantity bucket (pricing policy audit)
+        "discount_by_qty_bucket": _discount_by_qty_bucket,
         # Markov next-event baseline accuracy per previous type
         "markov_next_accuracy": _markov_next_accuracy,
         # out-of-order lateness vs arrival order (distributed prefix max)
@@ -1955,6 +1963,8 @@ def oracle_sql() -> dict[str, str]:
         "monthly_seasonal_index": _MONTHLY_SEASONAL_SQL,
         "resurrected_users_daily": _RESURRECTED_SQL,
         "weekly_arpu": _WEEKLY_ARPU_SQL,
+        "token_codegree_topk": _TOKEN_CODEGREE_SQL,
+        "discount_by_qty_bucket": _DISCOUNT_QTY_SQL,
         "markov_next_accuracy": _MARKOV_NEXT_ACC_SQL,
         "ooo_lateness_stats": _OOO_LATENESS_SQL,
         "multimodal_resize_stats": """

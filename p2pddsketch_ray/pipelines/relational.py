@@ -19125,3 +19125,167 @@ SELECT CAST(grid.month AS BIGINT) AS month,
 FROM grid LEFT JOIN m USING (month) CROSS JOIN t
 ORDER BY 1
 """
+
+
+def token_codegree_topk(sf_dir: str, k: int = 10) -> pa.Table:
+    """WORD-GRAPH DEGREE: tokens ranked by how many DISTINCT tokens
+    ever appear adjacent to them (either side) -- connector words rank
+    high, content words low; the adjacency-degree view of the corpus
+    the PMI query's lift view complements.
+
+    Scale shape: distinct adjacent-pair combiner over the bounded
+    vocabulary, fingerprint co-partition, per-token distinct-neighbor
+    fold, top-k prereduce.
+    """
+    from ..functions.text import fingerprint64
+    from ..stages.partition import fit_partitions, partition_by
+
+    docs = _read(sf_dir, "documents", ["text"])
+
+    empty = pa.table({"tok": pa.array([], type=pa.string()),
+                      "nb": pa.array([], type=pa.string()),
+                      "fp": pa.array([], type=pa.int64())})
+
+    def pairs(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t["text"], pattern=" ")
+        flat = np.asarray(pc.list_flatten(toks).to_pylist(),
+                          dtype=np.str_)
+        nper = pc.list_value_length(toks).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        if flat.size < 2:
+            return empty
+        ends = np.cumsum(nper)
+        valid = np.ones(flat.size, dtype=bool)
+        valid[ends - 1] = False
+        a = flat[:-1][valid[:-1]]
+        b = flat[1:][valid[:-1]]
+        # symmetric adjacency: count each side as the center once
+        tok = np.concatenate([a, b])
+        nb = np.concatenate([b, a])
+        comb = np.char.add(np.char.add(tok, " "), nb)
+        u = np.unique(comb)
+        parts = np.char.partition(u, " ")
+        tk = parts[:, 0]
+        g = pa.table({"tok": pa.array(tk.tolist(), type=pa.string()),
+                      "nb": pa.array(parts[:, 2].tolist(),
+                                     type=pa.string())})
+        return g.append_column(
+            "fp", pc.cast(fingerprint64(g["tok"].combine_chunks()),
+                          pa.int64()))
+
+    deg_empty = pa.table({"tok": pa.array([], type=pa.string()),
+                          "deg": pa.array([], type=pa.int64())})
+
+    def degree(t: pa.Table) -> pa.Table:
+        tok = np.asarray(t["tok"].to_pylist(), dtype=np.str_)
+        nb = np.asarray(t["nb"].to_pylist(), dtype=np.str_)
+        order = np.lexsort((nb, tok))
+        tok, nb = tok[order], nb[order]
+        keep = np.ones(tok.size, dtype=bool)      # cross-block dedup
+        keep[1:] = (tok[1:] != tok[:-1]) | (nb[1:] != nb[:-1])
+        tok = tok[keep]
+        ut, cnt = np.unique(tok, return_counts=True)
+        order2 = np.lexsort((ut, -cnt))[:k]
+        return pa.table({"tok": pa.array(ut[order2].tolist(),
+                                         type=pa.string()),
+                         "deg": pa.array(cnt[order2]
+                                         .astype(np.int64))})
+
+    mem = docs.map_batches(pairs, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    pre = (partition_by(mem, ["fp"], fit_partitions(16), degree,
+                        deg_empty).to_pandas())
+    order = np.lexsort((pre["tok"].to_numpy(),
+                        -pre["deg"].to_numpy()))[:k]
+    return pa.table({
+        "tok": pa.array(pre["tok"].to_numpy()[order].tolist(),
+                        type=pa.string()),
+        "degree": pa.array(pre["deg"].to_numpy(
+            dtype=np.int64)[order]),
+    })
+
+
+TOKEN_CODEGREE_SQL = """
+WITH tk AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), e AS (
+  SELECT doc_id, unnest(toks) AS tok,
+         unnest(generate_series(1, len(toks))) AS pos
+  FROM tk
+), adj AS (
+  SELECT a.tok AS tok, b.tok AS nb
+  FROM e a JOIN e b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+  UNION
+  SELECT b.tok, a.tok
+  FROM e a JOIN e b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+)
+SELECT tok, CAST(count(DISTINCT nb) AS BIGINT) AS degree
+FROM adj GROUP BY 1
+ORDER BY degree DESC, tok LIMIT 10
+"""
+
+
+_QTY_BUCKETS = ((1, 10), (11, 20), (21, 30), (31, 40), (41, 50))
+
+
+def discount_by_qty_bucket(sf_dir: str) -> pa.Table:
+    """PRICING-POLICY AUDIT: mean discount (basis points) per quantity
+    bucket -- does volume actually buy a better rate?  Exact integer
+    basis-point sums over a 5-bucket combiner.
+    """
+    ds = _read(sf_dir, "lineitem", ["l_quantity", "l_discount"])
+
+    empty = pa.table({"b": pa.array([], type=pa.int64()),
+                      "n": pa.array([], type=pa.int64()),
+                      "bp": pa.array([], type=pa.int64())})
+
+    def partial(t: pa.Table) -> pa.Table:
+        q = pc.cast(t["l_quantity"], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        d = t["l_discount"].to_numpy(zero_copy_only=False)
+        bp = np.floor(d * 10_000.0 + 0.5).astype(np.int64)
+        b = np.clip((q - 1) // 10, 0, 4)
+        n = np.bincount(b, minlength=5)
+        s = np.zeros(5, dtype=np.int64)
+        np.add.at(s, b, bp)
+        return pa.table({"b": pa.array(np.arange(5, dtype=np.int64)),
+                         "n": pa.array(n.astype(np.int64)),
+                         "bp": pa.array(s)})
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("b")
+           .aggregate(Sum("n", alias_name="n"),
+                      Sum("bp", alias_name="bp"))
+           .to_pandas().sort_values("b"))
+    n = agg["n"].to_numpy(dtype=np.int64)
+    bp = agg["bp"].to_numpy(dtype=np.int64)
+    los = [lo for lo, _ in _QTY_BUCKETS]
+    his = [hi for _, hi in _QTY_BUCKETS]
+    return pa.table({
+        "qty_lo": pa.array(np.array(los, dtype=np.int64)),
+        "qty_hi": pa.array(np.array(his, dtype=np.int64)),
+        "n_lineitems": pa.array(n),
+        "mean_discount_bp_x100": pa.array(
+            [int(s) * 100 // int(c) if c else 0
+             for s, c in zip(bp, n)], type=pa.int64()),
+    })
+
+
+DISCOUNT_QTY_SQL = """
+WITH b AS (
+  SELECT least(greatest((CAST(l_quantity AS BIGINT) - 1) // 10, 0),
+               4) AS b,
+         CAST(floor(l_discount * 10000.0 + 0.5) AS BIGINT) AS bp
+  FROM lineitem
+), g AS (
+  SELECT b, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(bp) AS BIGINT) AS sbp
+  FROM b GROUP BY 1
+)
+SELECT CAST(b * 10 + 1 AS BIGINT) AS qty_lo,
+       CAST(b * 10 + 10 AS BIGINT) AS qty_hi,
+       n AS n_lineitems,
+       CAST(sbp * 100 // n AS BIGINT) AS mean_discount_bp_x100
+FROM g ORDER BY 1
+"""

@@ -4103,3 +4103,33 @@ def test_monthly_seasonal_uniform_is_1e6(ray_session, tmp_path):
     }), str(tmp_path / "orders.parquet"))
     out = monthly_seasonal_index(str(tmp_path)).to_pydict()
     assert out["seasonal_index_ppm"] == [1_000_000] * 12
+
+
+def test_token_codegree_hub_word(ray_session, tmp_path):
+    """A hub token adjacent to many distinct words outranks leaf
+    words."""
+    import pyarrow.parquet as pq
+    from p2pddsketch_ray.pipelines.relational import token_codegree_topk
+    texts = [f"hub w{i}" for i in range(20)]
+    pq.write_table(pa.table({"text": pa.array(texts)}),
+                   str(tmp_path / "documents.parquet"))
+    out = token_codegree_topk(str(tmp_path)).to_pandas()
+    assert out.iloc[0]["tok"] == "hub"
+    assert int(out.iloc[0]["degree"]) == 20
+
+
+def test_discount_by_qty_bucket_hand(ray_session, tmp_path):
+    """Two buckets with known mean discounts (basis points x100)."""
+    import pyarrow.parquet as pq
+    from p2pddsketch_ray.pipelines.relational import (
+        discount_by_qty_bucket)
+    pq.write_table(pa.table({
+        "l_quantity": pa.array([5.0, 5.0, 45.0, 45.0]),
+        "l_discount": pa.array([0.05, 0.07, 0.10, 0.0]),
+    }), str(tmp_path / "lineitem.parquet"))
+    out = (discount_by_qty_bucket(str(tmp_path)).to_pandas()
+           .set_index("qty_lo"))
+    assert int(out.loc[1, "mean_discount_bp_x100"]) == \
+        (500 + 700) * 100 // 2
+    assert int(out.loc[41, "mean_discount_bp_x100"]) == \
+        1000 * 100 // 2
