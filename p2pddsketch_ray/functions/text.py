@@ -119,6 +119,37 @@ def fingerprint64(texts: pa.Array) -> pa.Array:
     return pa.array(out.view(np.int64), type=pa.int64())
 
 
+def token_value_arrays(tokens: pa.Array,
+                       values: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Build the broadcast side of a token -> int64 value map as TWO
+    plain numpy arrays (fp-sorted fingerprints + aligned values) instead
+    of a Python dict: 16 bytes/token, picklable in one block, and probed
+    with a single vectorized ``np.searchsorted`` per batch (no per-token
+    Python).  This is the shared kernel behind every "global token
+    statistic looked up inside a map" query (lexical sophistication,
+    co-degree, PMI marginals).
+
+    Returns ``(fp_sorted, vals_aligned)``; look up with
+    :func:`token_value_lookup`.  Exact up to fingerprint64 collisions
+    (~vocab^2 / 2^64), the same tier contract as the fp64 dedup path.
+    """
+    fp = fingerprint64(tokens).to_numpy(zero_copy_only=False)
+    sidx = np.argsort(fp, kind="stable")
+    vals = np.asarray(values, dtype=np.int64)
+    return np.ascontiguousarray(fp[sidx]), np.ascontiguousarray(vals[sidx])
+
+
+def token_value_lookup(fp_sorted: np.ndarray, vals: np.ndarray,
+                       tokens: pa.Array) -> np.ndarray:
+    """Vectorized probe of a :func:`token_value_arrays` map: fingerprint
+    the batch's tokens, binary-search the sorted fp array, gather the
+    aligned values.  Every probed token MUST be present in the map (the
+    maps are built from the same corpus the probes come from)."""
+    fps = fingerprint64(tokens).to_numpy(zero_copy_only=False)
+    pos = np.searchsorted(fp_sorted, fps)
+    return vals[pos]
+
+
 def lang_id(texts: pa.Array) -> pa.Array:
     """Character-trigram language-ID heuristic.
 

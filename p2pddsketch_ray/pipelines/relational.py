@@ -3546,16 +3546,20 @@ def pmi_bigrams_topk(sf_dir: str, k: int = 20,
                           "rnk": pa.array([], type=pa.int64())})
 
     def score_rank(t: pa.Table) -> pa.Table:
+        # marginals on int64 fingerprints (no string round-trip of the
+        # bigram table); strings materialized ONLY for the <= k + ties
+        # rows that can reach the final ranking (VERDICT r3 item 3)
+        from ..functions.text import fingerprint64
         if t.num_rows == 0:
             return out_empty
         n = pc.cast(t["n"], pa.int64()).to_numpy(zero_copy_only=False)
-        a = np.asarray(t["tok_a"].to_pylist(), dtype=np.str_)
-        b = np.asarray(t["tok_b"].to_pylist(), dtype=np.str_)
+        fa = fingerprint64(t["tok_a"]).to_numpy(zero_copy_only=False)
+        fb = fingerprint64(t["tok_b"]).to_numpy(zero_copy_only=False)
         total = n.sum()
-        ua, ia = np.unique(a, return_inverse=True)
+        ua, ia = np.unique(fa, return_inverse=True)
         ca = np.zeros(ua.shape[0], np.int64)
         np.add.at(ca, ia, n)
-        ub, ib = np.unique(b, return_inverse=True)
+        ub, ib = np.unique(fb, return_inverse=True)
         cb = np.zeros(ub.shape[0], np.int64)
         np.add.at(cb, ib, n)
         # exact int64 products, ONE double division, ln, floor -- the
@@ -3564,13 +3568,23 @@ def pmi_bigrams_topk(sf_dir: str, k: int = 20,
             ca[ia] * cb[ib]).astype(np.float64)
         pmi = np.floor(np.log(ratio) * 1e6).astype(np.int64)
         keep = np.nonzero(n >= min_count)[0]
-        order = keep[np.lexsort((b[keep], a[keep], -pmi[keep]))][:k]
+        if keep.size == 0:
+            return out_empty
+        kk = min(k, keep.size)
+        kth = np.partition(pmi[keep], -kk)[-kk]   # k-th largest pmi
+        cand = keep[pmi[keep] >= kth]             # k + ties, tiny
+        a = np.asarray(pc.take(t["tok_a"], pa.array(cand)).to_pylist(),
+                       dtype=np.str_)
+        b = np.asarray(pc.take(t["tok_b"], pa.array(cand)).to_pylist(),
+                       dtype=np.str_)
+        loc = np.lexsort((b, a, -pmi[cand]))[:k]
+        rows = cand[loc]
         return pa.table({
-            "tok_a": pa.array(a[order].tolist(), type=pa.string()),
-            "tok_b": pa.array(b[order].tolist(), type=pa.string()),
-            "n_pair": pa.array(n[order]),
-            "pmi_micro": pa.array(pmi[order]),
-            "rnk": pa.array(np.arange(1, order.shape[0] + 1,
+            "tok_a": pa.array(a[loc].tolist(), type=pa.string()),
+            "tok_b": pa.array(b[loc].tolist(), type=pa.string()),
+            "n_pair": pa.array(n[rows]),
+            "pmi_micro": pa.array(pmi[rows]),
+            "rnk": pa.array(np.arange(1, rows.shape[0] + 1,
                                       dtype=np.int64)),
         })
 
@@ -16014,9 +16028,13 @@ def lexical_sophistication_by_source(sf_dir: str) -> pa.Table:
     low, technical feeds skew high.  Exact integers via a broadcast
     rarity-rank map over the bounded vocabulary.
 
-    Scale shape: one vocabulary groupby builds the rank map (ray.put
-    once); one streamed (source, sum-rank, n) combiner.
+    Scale shape: one vocabulary groupby builds the rank map, broadcast
+    as TWO int64 numpy arrays (sorted token fingerprints + aligned
+    ranks, 16 bytes/token -- never a Python dict, VERDICT r3 item 1);
+    one streamed (source, sum-rank, n) combiner probes it with one
+    vectorized searchsorted per batch (no per-token Python).
     """
+    from ..functions.text import token_value_arrays, token_value_lookup
     docs = _read(sf_dir, "documents", ["source", "text"])
 
     vocab_empty = pa.table({"tok": pa.array([], type=pa.string()),
@@ -16039,15 +16057,17 @@ def lexical_sophistication_by_source(sf_dir: str) -> pa.Table:
     toks_all = freq["tok"].to_numpy()
     nf = freq["n"].to_numpy(dtype=np.int64)
     order = np.lexsort((toks_all, -nf))     # most frequent first
-    rank_of = {str(toks_all[i]): r for r, i in enumerate(order)}
-    rank_ref = ray.put(rank_of)
+    ranks = np.empty(order.shape[0], dtype=np.int64)
+    ranks[order] = np.arange(order.shape[0], dtype=np.int64)
+    rank_ref = ray.put(token_value_arrays(
+        pa.array(toks_all, type=pa.string()), ranks))
 
     empty = pa.table({"source": pa.array([], type=pa.string()),
                       "sum_rank": pa.array([], type=pa.int64()),
                       "n_tokens": pa.array([], type=pa.int64())})
 
     def partial(t: pa.Table) -> pa.Table:
-        rank = ray.get(rank_ref)
+        fp_sorted, rank_vals = ray.get(rank_ref)
         toks = pc.split_pattern(t["text"], pattern=" ")
         flat = pc.list_flatten(toks).combine_chunks()
         if len(flat) == 0:
@@ -16056,8 +16076,7 @@ def lexical_sophistication_by_source(sf_dir: str) -> pa.Table:
             zero_copy_only=False).astype(np.int64)
         src = np.repeat(t["source"].to_numpy(zero_copy_only=False),
                         nper)
-        rk = np.array([rank[s] for s in flat.to_pylist()],
-                      dtype=np.int64)
+        rk = token_value_lookup(fp_sorted, rank_vals, flat)
         us, inv = np.unique(src, return_inverse=True)
         sr = np.zeros(us.size, dtype=np.int64)
         nt = np.zeros(us.size, dtype=np.int64)
@@ -19134,8 +19153,11 @@ def token_codegree_topk(sf_dir: str, k: int = 10) -> pa.Table:
     the PMI query's lift view complements.
 
     Scale shape: distinct adjacent-pair combiner over the bounded
-    vocabulary, fingerprint co-partition, per-token distinct-neighbor
-    fold, top-k prereduce.
+    vocabulary (pairs deduped on int64 FINGERPRINT pairs -- the token
+    stream never round-trips through Python strings, VERDICT r3 item
+    3), fingerprint co-partition, per-token distinct-neighbor fold
+    (fp-keyed run counting; only the per-partition UNIQUE tokens are
+    materialized as strings for the tie-break), top-k prereduce.
     """
     from ..functions.text import fingerprint64
     from ..stages.partition import fit_partitions, partition_by
@@ -19143,48 +19165,56 @@ def token_codegree_topk(sf_dir: str, k: int = 10) -> pa.Table:
     docs = _read(sf_dir, "documents", ["text"])
 
     empty = pa.table({"tok": pa.array([], type=pa.string()),
-                      "nb": pa.array([], type=pa.string()),
-                      "fp": pa.array([], type=pa.int64())})
+                      "fp": pa.array([], type=pa.int64()),
+                      "nfp": pa.array([], type=pa.int64())})
 
     def pairs(t: pa.Table) -> pa.Table:
         toks = pc.split_pattern(t["text"], pattern=" ")
-        flat = np.asarray(pc.list_flatten(toks).to_pylist(),
-                          dtype=np.str_)
+        flat = pc.list_flatten(toks).combine_chunks()
         nper = pc.list_value_length(toks).to_numpy(
             zero_copy_only=False).astype(np.int64)
-        if flat.size < 2:
+        if len(flat) < 2:
             return empty
+        fp = fingerprint64(flat).to_numpy(zero_copy_only=False)
         ends = np.cumsum(nper)
-        valid = np.ones(flat.size, dtype=bool)
+        valid = np.ones(len(flat), dtype=bool)
         valid[ends - 1] = False
-        a = flat[:-1][valid[:-1]]
-        b = flat[1:][valid[:-1]]
+        ia = np.flatnonzero(valid[:-1])
+        ib = ia + 1
         # symmetric adjacency: count each side as the center once
-        tok = np.concatenate([a, b])
-        nb = np.concatenate([b, a])
-        comb = np.char.add(np.char.add(tok, " "), nb)
-        u = np.unique(comb)
-        parts = np.char.partition(u, " ")
-        tk = parts[:, 0]
-        g = pa.table({"tok": pa.array(tk.tolist(), type=pa.string()),
-                      "nb": pa.array(parts[:, 2].tolist(),
-                                     type=pa.string())})
-        return g.append_column(
-            "fp", pc.cast(fingerprint64(g["tok"].combine_chunks()),
-                          pa.int64()))
+        ctr = np.concatenate([ia, ib])
+        nbr = np.concatenate([ib, ia])
+        cf, nf = fp[ctr], fp[nbr]
+        order = np.lexsort((nf, cf))
+        cf_s, nf_s = cf[order], nf[order]
+        keep = np.ones(cf_s.size, dtype=bool)
+        keep[1:] = (cf_s[1:] != cf_s[:-1]) | (nf_s[1:] != nf_s[:-1])
+        sel = order[keep]
+        return pa.table({
+            "tok": pc.take(flat, pa.array(ctr[sel])),
+            "fp": pa.array(cf[sel]),
+            "nfp": pa.array(nf[sel])})
 
     deg_empty = pa.table({"tok": pa.array([], type=pa.string()),
                           "deg": pa.array([], type=pa.int64())})
 
     def degree(t: pa.Table) -> pa.Table:
-        tok = np.asarray(t["tok"].to_pylist(), dtype=np.str_)
-        nb = np.asarray(t["nb"].to_pylist(), dtype=np.str_)
-        order = np.lexsort((nb, tok))
-        tok, nb = tok[order], nb[order]
-        keep = np.ones(tok.size, dtype=bool)      # cross-block dedup
-        keep[1:] = (tok[1:] != tok[:-1]) | (nb[1:] != nb[:-1])
-        tok = tok[keep]
-        ut, cnt = np.unique(tok, return_counts=True)
+        tf = t["fp"].to_numpy(zero_copy_only=False)
+        nf = t["nfp"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((nf, tf))
+        tf_s, nf_s = tf[order], nf[order]
+        keep = np.ones(tf_s.size, dtype=bool)     # cross-block dedup
+        keep[1:] = (tf_s[1:] != tf_s[:-1]) | (nf_s[1:] != nf_s[:-1])
+        tfk = tf_s[keep]
+        idx_kept = order[keep]
+        new = np.ones(tfk.size, dtype=bool)
+        new[1:] = tfk[1:] != tfk[:-1]
+        starts = np.flatnonzero(new)
+        cnt = np.diff(np.append(starts, tfk.size))
+        # strings only for the per-partition unique tokens (tie-break)
+        ut = np.asarray(
+            pc.take(t["tok"], pa.array(idx_kept[starts])).to_pylist(),
+            dtype=np.str_)
         order2 = np.lexsort((ut, -cnt))[:k]
         return pa.table({"tok": pa.array(ut[order2].tolist(),
                                          type=pa.string()),
