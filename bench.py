@@ -89,6 +89,44 @@ def run_suite(sf_dir: str) -> tuple[dict[str, float], int]:
     return timings, headline_rows
 
 
+def run_heavy_suite(sf_dir: str) -> dict[str, float]:
+    """Second recorded suite (VERDICT r3 item 2): the heaviest
+    round-3 pipeline tiers, timed separately so the r1-r3 8-query
+    headline series stays comparable.  Covers the star join, near-dup
+    connected components, sliding-window HLL, the as-of join, and
+    iterative exact quantiles."""
+    import ray.data
+    from p2pddsketch_ray.pipelines import relational as R
+    from p2pddsketch_ray.pipelines.components import neardup_keep_stats
+    from p2pddsketch_ray.pipelines.quantiles import exact_quantiles
+    from p2pddsketch_ray.pipelines.sliding import hll_sliding_users
+    from p2pddsketch_ray.pipelines.temporal import events_asof_orders
+
+    timings: dict[str, float] = {}
+
+    def timed(name, fn):
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            res = fn()
+            if hasattr(res, "to_pandas"):
+                res.to_pandas()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 4)
+
+    timed("returned_revenue_top_customers",
+          lambda: R.returned_revenue_top_customers(sf_dir))
+    timed("neardup_keep_stats", lambda: neardup_keep_stats(sf_dir))
+    timed("hll_sliding_users", lambda: hll_sliding_users(sf_dir))
+    timed("events_asof_orders", lambda: events_asof_orders(sf_dir))
+    timed("exact_quantiles_price", lambda: exact_quantiles(
+        ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                              columns=["l_extendedprice"]),
+        "l_extendedprice", (0.01, 0.25, 0.5, 0.75, 0.99),
+        collect_limit=5000))
+    return timings
+
+
 def run_once() -> dict:
     import ray
     if not ray.is_initialized():
@@ -102,6 +140,7 @@ def run_once() -> dict:
     ctx.execution_options.verbose_progress = False
 
     timings, headline_rows = run_suite(SF_DIR)
+    heavy = run_heavy_suite(SF_DIR)
     total = round(sum(timings.values()), 4)
     result = {
         "metric": "headline pipeline suite wall-clock (DDSketch build/merge/"
@@ -109,6 +148,8 @@ def run_once() -> dict:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "queries_heavy": heavy,
+        "value_heavy": round(sum(heavy.values()), 4),
         "sf": _sf_label(SF_DIR),
         "num_cpus": NUM_CPUS,
         "headline_rows": headline_rows,
