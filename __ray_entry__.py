@@ -643,6 +643,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # sliding-window quantiles (turnstile add/delete of whole hour
         # buckets -- the kernel capability the reference never drove)
         "sliding_window_quantiles": _sliding_window_quantiles,
+        # the grouped turnstile: per-type sliding-window quantiles
+        "sliding_window_quantiles_by_type":
+            _sliding_window_quantiles_by_type,
+        # per-type sliding-window HLL distinct (register-level oracle)
+        "hll_sliding_users_by_type": _hll_sliding_users_by_type,
         # the reference accuracy harness as a distributed query:
         # estimate vs exact order statistic, error in integer ppm
         "quantile_error_report": _quantile_error_report,
@@ -1635,6 +1640,32 @@ def _sliding_window_quantiles(sf_dir: str):
     })
 
 
+def _sliding_window_quantiles_by_type(sf_dir: str):
+    import pyarrow as pa
+    import pyarrow.compute as pcc
+    import ray.data
+    from p2pddsketch_ray.pipelines.sliding import (
+        sliding_window_quantiles_grouped)
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["ts", "value", "event_type"])
+    out = sliding_window_quantiles_grouped(
+        ds, "ts", "value", "event_type", window_hours=24, quantiles=QS,
+        alpha=ALPHA, bin_limit=BIN_LIMIT)
+    return pa.table({
+        "event_type": out["event_type"],
+        "window_end": out["window_end"],
+        "q": out["q"],
+        "est": pa.array([round(v, 6) for v in out["est"].to_pylist()],
+                        type=pa.float64()),
+        "n": pcc.cast(out["n"], pa.int64()),
+    })
+
+
+def _hll_sliding_users_by_type(sf_dir: str):
+    from p2pddsketch_ray.pipelines.sliding import hll_sliding_users_grouped
+    return hll_sliding_users_grouped(sf_dir, "event_type")
+
+
 def _multimodal_doc_features(sf_dir: str):
     import ray.data
     from p2pddsketch_ray.stages.multimodal import binary_features_by_group
@@ -2128,6 +2159,35 @@ SELECT pick.h*3600 AS window_end, pick.q AS q,
                   ELSE 0.0 END, 6) AS est,
        CAST(tot.n AS BIGINT) AS n
 FROM pick JOIN tot ON pick.h = tot.h""",
+        "sliding_window_quantiles_by_type": f"""
+WITH src AS (SELECT event_type AS g, epoch_us(ts)//3600000000 AS b,
+                    CASE WHEN value > 0 THEN CAST(ceil(ln(CAST(value AS DOUBLE))/ln({GAMMA_SQL})) AS BIGINT) + {OFFSET}
+                         WHEN value < 0 THEN -CAST(ceil(ln(-CAST(value AS DOUBLE))/ln({GAMMA_SQL})) AS BIGINT) - {OFFSET}
+                         ELSE 0 END AS k
+             FROM events WHERE value IS NOT NULL),
+bounds AS (SELECT g, min(b) AS lo, max(b) AS hi FROM src GROUP BY g),
+hours AS (SELECT g, unnest(generate_series(lo, hi)) AS h FROM bounds),
+bins AS (SELECT hours.g AS g, hours.h AS h, src.k AS k,
+                CAST(count(*) AS DOUBLE) AS c
+         FROM hours JOIN src ON src.g = hours.g
+                            AND src.b > hours.h - 24 AND src.b <= hours.h
+         GROUP BY 1, 2, 3),
+tot AS (SELECT g, h, sum(c) AS n FROM bins GROUP BY 1, 2),
+walk AS (SELECT g, h, k,
+                sum(c) OVER (PARTITION BY g, h ORDER BY k) AS cum
+         FROM bins),
+qs(q) AS (VALUES (0.5), (0.95), (0.99)),
+pick AS (SELECT walk.g AS g, walk.h AS h, qs.q AS q,
+                min(walk.k) AS bucket_key
+         FROM qs CROSS JOIN walk
+         JOIN tot ON walk.g = tot.g AND walk.h = tot.h
+         WHERE walk.cum > qs.q * (tot.n - 1) GROUP BY 1, 2, 3)
+SELECT pick.g AS event_type, pick.h*3600 AS window_end, pick.q AS q,
+       round(CASE WHEN bucket_key > 0 THEN 2*pow({GAMMA_SQL}, bucket_key - {OFFSET})/({GAMMA_SQL}+1)
+                  WHEN bucket_key < 0 THEN -2*pow({GAMMA_SQL}, -bucket_key - {OFFSET})/({GAMMA_SQL}+1)
+                  ELSE 0.0 END, 6) AS est,
+       CAST(tot.n AS BIGINT) AS n
+FROM pick JOIN tot ON pick.g = tot.g AND pick.h = tot.h""",
         "props_extract_stats": """
 SELECT event_type, count(*) AS n_events,
        CAST(sum(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
@@ -2444,6 +2504,35 @@ SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
        CAST(sum(n_chars) AS BIGINT) AS sum_chars
 FROM kept JOIN keepids ON kept.doc_id = keepids.kid
 GROUP BY 1 ORDER BY 1""",
+        "hll_sliding_users_by_type": """
+WITH h AS (SELECT event_type AS g,
+                  CAST(epoch_us(ts) AS BIGINT)//3600000000 AS hr,
+                  hash(user_id::BIGINT) AS hv FROM events),
+regs AS (SELECT g, hr, CAST(hv >> 52 AS BIGINT) AS idx,
+                CASE WHEN (hv & 4503599627370495::UBIGINT) = 0 THEN 53
+                     ELSE 52 - CAST(floor(log2(CAST(hv & 4503599627370495::UBIGINT AS DOUBLE))) AS BIGINT)
+                END AS rho
+         FROM h),
+bounds AS (SELECT g, min(hr) AS mn, max(hr) AS mx FROM regs GROUP BY g),
+wins AS (SELECT g, mn + unnest(generate_series(0, mx - mn)) AS w
+         FROM bounds),
+mx2 AS (SELECT wins.g AS g, w, idx, max(rho) AS r FROM wins
+        JOIN regs ON regs.g = wins.g
+                 AND regs.hr BETWEEN w - 23 AND w GROUP BY 1, 2, 3),
+stats AS (SELECT g, w, count(*) AS nonzero,
+                 CAST(sum(r) AS BIGINT) AS sumr,
+                 sum(pow(2.0, -CAST(r AS DOUBLE))) AS s_nonzero
+          FROM mx2 GROUP BY 1, 2),
+est AS (SELECT g, w, nonzero, sumr, 4096 - nonzero AS zeros,
+               (0.7213/(1.0 + 1.079/4096)) * 4096 * 4096 /
+                   (s_nonzero + CAST(4096 - nonzero AS DOUBLE)) AS raw
+        FROM stats)
+SELECT g AS event_type, w * 3600 AS window_start, 4096::BIGINT AS m,
+       nonzero AS nonzero_registers, sumr AS sum_registers,
+       round(CASE WHEN raw <= 2.5*4096 AND zeros > 0
+                  THEN 4096 * ln(4096.0 / CAST(zeros AS DOUBLE))
+                  ELSE raw END, 6) AS hll_estimate
+FROM est""",
         "hll_sliding_users": """
 WITH h AS (SELECT CAST(epoch_us(ts) AS BIGINT)//3600000000 AS hr,
                   hash(user_id::BIGINT) AS hv FROM events),

@@ -4133,3 +4133,28 @@ def test_discount_by_qty_bucket_hand(ray_session, tmp_path):
         (500 + 700) * 100 // 2
     assert int(out.loc[41, "mean_discount_bp_x100"]) == \
         1000 * 100 // 2
+
+
+def test_sliding_grouped_matches_global(ray_session):
+    """Per-group sliding quantiles over a single-group column must
+    reproduce the global walk exactly (same sketches, same walk)."""
+    import ray.data
+    from p2pddsketch_ray.pipelines.sliding import (
+        sliding_window_quantiles, sliding_window_quantiles_grouped)
+    sf = "/root/testdata/sf0.001"
+    ds = ray.data.read_parquet(f"{sf}/events.parquet",
+                               columns=["ts", "value"])
+    want = sliding_window_quantiles(ds, "ts", "value", window_hours=6,
+                                    alpha=0.01, bin_limit=2048)
+    ds2 = ray.data.read_parquet(
+        f"{sf}/events.parquet", columns=["ts", "value"]).map_batches(
+        lambda t: t.append_column(
+            "g", pa.array(["only"] * t.num_rows, type=pa.string())),
+        batch_format="pyarrow")
+    got = sliding_window_quantiles_grouped(
+        ds2, "ts", "value", "g", window_hours=6, alpha=0.01,
+        bin_limit=2048)
+    assert got.num_rows == want.num_rows
+    assert set(got["g"].to_pylist()) == {"only"}
+    for c in ("window_end", "q", "est", "n"):
+        assert got[c].to_pylist() == want[c].to_pylist(), c
