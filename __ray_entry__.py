@@ -431,6 +431,9 @@ from p2pddsketch_ray.pipelines.relational import (  # noqa: E402
     DIVERSIFIED_TOP_SQL as _DIVERSIFIED_TOP_SQL,
     PARTITIONED_RT_SQL as _PARTITIONED_RT_SQL,
     PMI_BIGRAMS_SQL as _PMI_BIGRAMS_SQL,
+    BIGRAM_LM_BY_LANG_SQL as _BIGRAM_LM_BY_LANG_SQL,
+    EMBEDDING_COVARIANCE_SQL as _EMBEDDING_COVARIANCE_SQL,
+    HASH_SAMPLE_ORDERS_SQL as _HASH_SAMPLE_ORDERS_SQL,
     GLOBAL_RANKS_SQL as _GLOBAL_RANKS_SQL,
     NEAREST_CENTROID_SQL as _NEAREST_CENTROID_SQL,
     KNN_BATCH_SQL as _KNN_BATCH_SQL,
@@ -833,6 +836,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # collocation extraction: top bigrams by PMI in exact integer
         # micro-nats (phrase-mining / tokenizer-merge statistic)
         "pmi_bigrams_topk": R.pmi_bigrams_topk,
+        # bigram-LM corpus likelihood per language slice
+        "bigram_lm_by_lang": R.bigram_lm_by_lang,
+        # embedding covariance structure (int64 moment sums)
+        "embedding_covariance_topk": R.embedding_covariance_topk,
+        # deterministic bottom-k-by-hash distributed sample
+        "hash_sample_orders": R.hash_sample_orders,
         # EXACT distributed global row_number (range-bucket offsets +
         # within-bucket lexsort; no single-node sort anywhere)
         "global_order_ranks": R.global_order_ranks,
@@ -1839,6 +1848,9 @@ def oracle_sql() -> dict[str, str]:
     return {
         "model_score_stats": MODEL_SCORE_SQL,
         "pmi_bigrams_topk": _PMI_BIGRAMS_SQL,
+        "bigram_lm_by_lang": _BIGRAM_LM_BY_LANG_SQL,
+        "embedding_covariance_topk": _EMBEDDING_COVARIANCE_SQL,
+        "hash_sample_orders": _HASH_SAMPLE_ORDERS_SQL,
         "global_order_ranks": _GLOBAL_RANKS_SQL,
         "inverted_index_lookup": _INVERTED_INDEX_SQL,
         "nearest_centroid_confusion": _NEAREST_CENTROID_SQL,

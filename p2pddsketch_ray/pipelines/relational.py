@@ -1770,6 +1770,152 @@ ORDER BY 1, 2
 """
 
 
+def embedding_covariance_topk(sf_dir: str, k: int = 20) -> pa.Table:
+    """EMBEDDING COVARIANCE structure: the top-k most-correlated
+    dimension pairs of the embedding column by |covariance numerator|
+    (n*Sxy - Sx*Sy over milli-quantized components) -- the PCA /
+    feature-redundancy precursor a representation-quality audit runs.
+    Exact int64 end to end (milli units keep n*Sxy inside int64 at any
+    corpus size where n*sum fits -- overflow-checked at finalize), so
+    the distributed float-free sum is merge-order independent.
+
+    Scale shape: per block ONE int64 matmul builds the d x d second-
+    moment partial; shuffle is O(blocks x d^2 / 2) 24-byte rows
+    (corpus-size independent); the driver sees only the d x d moment
+    table.  Cites the label_centroids integer-unit vector pattern.
+    """
+    from ..functions.vectors import list_to_matrix
+
+    ds = _read(sf_dir, "embeddings", ["embedding"])
+
+    empty = pa.table({"di": pa.array([], type=pa.int64()),
+                      "dj": pa.array([], type=pa.int64()),
+                      "s": pa.array([], type=pa.int64())})
+
+    def partials(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        mat = list_to_matrix(t["embedding"], dtype=np.float64)
+        units = np.floor(mat * 1e3 + 0.5).astype(np.int64)
+        d = units.shape[1]
+        sxy = units.T @ units                     # int64 matmul, exact
+        iu, ju = np.triu_indices(d)
+        di = np.concatenate([iu, np.arange(d), [-1]])
+        dj = np.concatenate([ju, np.full(d, -1), [-1]])
+        s = np.concatenate([sxy[iu, ju], units.sum(axis=0),
+                            [np.int64(units.shape[0])]])
+        return pa.table({"di": pa.array(di.astype(np.int64)),
+                         "dj": pa.array(dj.astype(np.int64)),
+                         "s": pa.array(s)})
+
+    agg = (ds.map_batches(partials, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby(["di", "dj"]).aggregate(Sum("s", alias_name="s"))
+           .to_pandas())
+    di = agg["di"].to_numpy(dtype=np.int64)
+    dj = agg["dj"].to_numpy(dtype=np.int64)
+    s = agg["s"].to_numpy(dtype=np.int64)
+    n = int(s[(di == -1) & (dj == -1)][0])
+    marg = {int(i): int(v) for i, v in zip(di[(dj == -1) & (di >= 0)],
+                                           s[(dj == -1) & (di >= 0)])}
+    pair = (di >= 0) & (dj >= 0) & (di < dj)
+    pi, pj, sxy = di[pair], dj[pair], s[pair]
+    # Python ints: exact regardless of magnitude; assert the int64
+    # output contract instead of silently wrapping
+    cov = np.array([n * int(x) - marg[int(a)] * marg[int(b)]
+                    for a, b, x in zip(pi, pj, sxy)], dtype=object)
+    assert all(abs(int(c)) < (1 << 63) for c in cov), \
+        "covariance numerator exceeds int64; reduce unit scale"
+    cov = cov.astype(np.int64)
+    order = np.lexsort((pj, pi, -np.abs(cov)))[:k]
+    return pa.table({
+        "dim_i": pa.array(pi[order]),
+        "dim_j": pa.array(pj[order]),
+        "cov_num": pa.array(cov[order]),
+        "rnk": pa.array(np.arange(1, order.size + 1, dtype=np.int64)),
+    })
+
+
+EMBEDDING_COVARIANCE_SQL = """
+WITH nums AS (SELECT CAST(range AS BIGINT) AS i FROM range(1, 4097)),
+u AS (SELECT vec_id, i - 1 AS d,
+             CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000.0 + 0.5)
+                  AS BIGINT) AS v
+      FROM embeddings JOIN nums ON nums.i <= len(embedding)),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings),
+m AS (SELECT d, CAST(sum(v) AS BIGINT) AS s FROM u GROUP BY 1),
+x AS (SELECT a.d AS di, b.d AS dj, CAST(sum(a.v * b.v) AS BIGINT) AS sxy
+      FROM u a JOIN u b ON a.vec_id = b.vec_id AND a.d < b.d
+      GROUP BY 1, 2),
+c AS (SELECT di, dj, CAST(tot.n * sxy - ma.s * mb.s AS BIGINT) AS cov_num
+      FROM x CROSS JOIN tot
+      JOIN m ma ON ma.d = di JOIN m mb ON mb.d = dj)
+SELECT di AS dim_i, dj AS dim_j, cov_num,
+       CAST(row_number() OVER (ORDER BY abs(cov_num) DESC, di, dj)
+            AS BIGINT) AS rnk
+FROM c QUALIFY rnk <= 20 ORDER BY rnk
+"""
+
+
+def hash_sample_orders(sf_dir: str, k: int = 100) -> pa.Table:
+    """DETERMINISTIC DISTRIBUTED SAMPLE: the bottom-k orders by 64-bit
+    key hash -- the reservoir-sample equivalent that is reproducible
+    across runs, partitionings, and engines (a true reservoir is
+    order-dependent; bottom-k by hash is a uniform sample with a
+    replicable SQL twin via the proven hash(BIGINT) == murmur64
+    parity).  The per-block bottom-k prereduce means only k rows per
+    block ever shuffle.
+    """
+    from ..hashing import murmur64
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+
+    empty = pa.table({"o_orderkey": pa.array([], type=pa.int64()),
+                      "hv": pa.array([], type=pa.uint64()),
+                      "cents": pa.array([], type=pa.int64())})
+
+    def bottomk(t: pa.Table) -> pa.Table:
+        key = pc.cast(t["o_orderkey"], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        hv = murmur64(key)            # uint64: DuckDB hash() ordering
+        cents = np.floor(t["o_totalprice"].to_numpy(
+            zero_copy_only=False) * 100.0 + 0.5).astype(np.int64)
+        order = np.lexsort((key, hv))[:k]
+        return pa.table({"o_orderkey": pa.array(key[order]),
+                         "hv": pa.array(hv[order]),
+                         "cents": pa.array(cents[order])})
+
+    def fold(t: pa.Table) -> pa.Table:
+        hv = t["hv"].to_numpy(zero_copy_only=False)
+        key = t["o_orderkey"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((key, hv))[:k]
+        return t.take(pa.array(order))
+
+    from ..stages.partition import partition_by
+    pre = ds.map_batches(bottomk, batch_format="pyarrow",
+                         zero_copy_batch=True)
+    final = partition_by(pre, [], 1, fold, empty).to_pandas()
+    hv = final["hv"].to_numpy(dtype=np.uint64)
+    key = final["o_orderkey"].to_numpy(dtype=np.int64)
+    order = np.lexsort((key, hv))
+    return pa.table({
+        "o_orderkey": pa.array(key[order]),
+        "total_cents": pa.array(final["cents"].to_numpy(
+            dtype=np.int64)[order]),
+        "rnk": pa.array(np.arange(1, order.size + 1, dtype=np.int64)),
+    })
+
+
+HASH_SAMPLE_ORDERS_SQL = """
+SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+       CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS total_cents,
+       CAST(row_number() OVER (
+            ORDER BY hash(o_orderkey::BIGINT), o_orderkey)
+            AS BIGINT) AS rnk
+FROM orders QUALIFY rnk <= 100 ORDER BY rnk
+"""
+
+
 def redact_props_stats(sf_dir: str) -> "ray.data.Dataset":
     """PII-scrub-style text REWRITE: redact every digit run in the
     semi-structured ``props`` payload (``[0-9]+`` -> ``#``) and account
@@ -3620,6 +3766,154 @@ SELECT tok_a, tok_b, n_pair, pmi_micro,
        CAST(row_number() OVER (ORDER BY pmi_micro DESC, tok_a, tok_b)
             AS BIGINT) AS rnk
 FROM scored QUALIFY rnk <= 20 ORDER BY rnk
+"""
+
+
+def bigram_lm_by_lang(sf_dir: str) -> pa.Table:
+    """BIGRAM LANGUAGE-MODEL corpus likelihood per language: train an
+    MLE bigram model ON the corpus (P(b|a) = c(ab)/c(a)) and score
+    every language's text under it -- the per-slice perplexity proxy a
+    curation pipeline uses to find out-of-distribution slices.  Exact
+    integer micro-nats: per-bigram-type score floor(ln(c_ab/c_a)*1e6)
+    with identical op order in SQL, weighted by the slice's occurrence
+    counts.
+
+    Scale shape: ONE corpus scan emits (lang, fp_a, fp_b, cnt) partials
+    (dictionary-encoded per block, a composite np.unique per batch, no
+    per-row Python); one left-token co-partition then holds EVERY
+    bigram sharing fp_a, so the global model (c_ab, c_a) and the
+    per-lang weighted scores are computed in the same pass -- the model
+    is never materialized anywhere, let alone on the driver.  Final
+    shuffle: one (lang) groupby over O(partitions x langs) rows.
+    """
+    from ..functions.text import fingerprint64
+    from ..stages.partition import fit_partitions, partition_by
+
+    docs = _read(sf_dir, "documents", ["lang", "text"])
+
+    pair_empty = pa.table({"lang": pa.array([], type=pa.string()),
+                           "fpa": pa.array([], type=pa.int64()),
+                           "fpb": pa.array([], type=pa.int64()),
+                           "cnt": pa.array([], type=pa.int64())})
+
+    def pair_counts(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pair_empty
+        toks = pc.split_pattern(t["text"], pattern=" ")
+        flat = pc.list_flatten(toks).combine_chunks()
+        nper = pc.list_value_length(toks).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        dic = flat.dictionary_encode()
+        code = dic.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        n = code.shape[0]
+        if n < 2:
+            return pair_empty
+        vocab = np.int64(len(dic.dictionary))
+        lang = t["lang"].combine_chunks() if isinstance(
+            t["lang"], pa.ChunkedArray) else t["lang"]
+        ldic = lang.dictionary_encode()
+        lcode = np.repeat(ldic.indices.to_numpy(zero_copy_only=False)
+                          .astype(np.int64), nper)
+        nlang = np.int64(len(ldic.dictionary))
+        valid = np.ones(n - 1, dtype=bool)
+        ends = np.cumsum(nper) - 1
+        ends = ends[(ends >= 0) & (ends < n - 1)]
+        valid[ends] = False
+        comp = (lcode[:-1][valid] * (vocab + 1)
+                + code[:-1][valid]) * (vocab + 1) + code[1:][valid]
+        u, cnt = np.unique(comp, return_counts=True)
+        fp_dict = fingerprint64(dic.dictionary).to_numpy(
+            zero_copy_only=False)
+        return pa.table({
+            "lang": pc.take(ldic.dictionary,
+                            pa.array(u // ((vocab + 1) * (vocab + 1)))),
+            "fpa": pa.array(fp_dict[(u // (vocab + 1)) % (vocab + 1)]),
+            "fpb": pa.array(fp_dict[u % (vocab + 1)]),
+            "cnt": pa.array(cnt.astype(np.int64)),
+        })
+
+    partials = docs.map_batches(pair_counts, batch_format="pyarrow",
+                                zero_copy_batch=True)
+
+    out_empty = pa.table({"lang": pa.array([], type=pa.string()),
+                          "n_bigrams": pa.array([], type=pa.int64()),
+                          "sum_lp": pa.array([], type=pa.int64())})
+
+    def score_partition(t: pa.Table) -> pa.Table:
+        # fpa co-partitioned: every bigram with this left token is
+        # here, across all langs and blocks -- so c_ab, c_a and the
+        # per-lang weighted sums are all computable locally
+        fpa = t["fpa"].to_numpy(zero_copy_only=False)
+        fpb = t["fpb"].to_numpy(zero_copy_only=False)
+        cnt = t["cnt"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((fpb, fpa))
+        fa_s, fb_s, c_s = fpa[order], fpb[order], cnt[order]
+        new_ab = np.ones(fa_s.size, dtype=bool)
+        new_ab[1:] = (fa_s[1:] != fa_s[:-1]) | (fb_s[1:] != fb_s[:-1])
+        ab_id = np.cumsum(new_ab) - 1
+        c_ab = np.bincount(ab_id, weights=c_s).astype(np.int64)
+        new_a = np.ones(fa_s.size, dtype=bool)
+        new_a[1:] = fa_s[1:] != fa_s[:-1]
+        a_id = np.cumsum(new_a) - 1
+        c_a = np.bincount(a_id, weights=c_s).astype(np.int64)
+        # per-type score, same op order as SQL: CAST/CAST, ln, *1e6,
+        # floor (ln is bit-stable between numpy and DuckDB)
+        score = np.floor(np.log(
+            c_ab.astype(np.float64) / c_a[a_id[new_ab]]
+            .astype(np.float64)) * 1e6).astype(np.int64)
+        lang = pc.take(t["lang"], pa.array(order)).combine_chunks()
+        ldic = lang.dictionary_encode()
+        lcode = ldic.indices.to_numpy(zero_copy_only=False)
+        nl = len(ldic.dictionary)
+        sum_lp = np.zeros(nl, dtype=np.int64)
+        n_big = np.zeros(nl, dtype=np.int64)
+        np.add.at(sum_lp, lcode, c_s * score[ab_id])
+        np.add.at(n_big, lcode, c_s)
+        return pa.table({
+            "lang": ldic.dictionary,
+            "n_bigrams": pa.array(n_big),
+            "sum_lp": pa.array(sum_lp),
+        })
+
+    agg = (partition_by(partials, ["fpa"], fit_partitions(16),
+                        score_partition, out_empty)
+           .groupby("lang")
+           .aggregate(Sum("n_bigrams", alias_name="n_bigrams"),
+                      Sum("sum_lp", alias_name="sum_lp"))
+           .to_pandas().sort_values("lang"))
+    return pa.table({
+        "lang": pa.array(agg["lang"].tolist(), type=pa.string()),
+        "n_bigrams": pa.array(agg["n_bigrams"].to_numpy(dtype=np.int64)),
+        "sum_logprob_micro": pa.array(
+            agg["sum_lp"].to_numpy(dtype=np.int64)),
+    })
+
+
+BIGRAM_LM_BY_LANG_SQL = """
+WITH t AS (
+  SELECT doc_id, lang, string_split(text, ' ') AS xs FROM documents
+), tok AS (
+  SELECT doc_id, lang, unnest(xs) AS w,
+         generate_subscripts(xs, 1) AS i FROM t
+), pairs_l AS (
+  SELECT x.lang, x.w AS a, y.w AS b, CAST(count(*) AS BIGINT) AS n
+  FROM tok x JOIN tok y ON x.doc_id = y.doc_id AND y.i = x.i + 1
+  GROUP BY 1, 2, 3
+), gcnt AS (
+  SELECT a, b, CAST(sum(n) AS BIGINT) AS c_ab FROM pairs_l GROUP BY 1, 2
+), marg AS (
+  SELECT a, CAST(sum(c_ab) AS BIGINT) AS c_a FROM gcnt GROUP BY 1
+), sc AS (
+  SELECT gcnt.a, gcnt.b,
+         CAST(floor(ln(CAST(c_ab AS DOUBLE) / CAST(c_a AS DOUBLE)) * 1e6)
+              AS BIGINT) AS s
+  FROM gcnt JOIN marg ON gcnt.a = marg.a
+)
+SELECT pairs_l.lang,
+       CAST(sum(n) AS BIGINT) AS n_bigrams,
+       CAST(sum(n * s) AS BIGINT) AS sum_logprob_micro
+FROM pairs_l JOIN sc ON pairs_l.a = sc.a AND pairs_l.b = sc.b
+GROUP BY 1 ORDER BY 1
 """
 
 
