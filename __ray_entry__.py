@@ -428,6 +428,7 @@ from p2pddsketch_ray.pipelines.relational import (  # noqa: E402
     WEIGHTED_SAMPLE_SQL as _WEIGHTED_SAMPLE_SQL,
     VALIDATION_REPORT_SQL as _VALIDATION_REPORT_SQL,
     RETURNED_REVENUE_SQL as _RETURNED_REVENUE_SQL,
+    INCREMENTAL_DAILY_REVENUE_SQL as _INCREMENTAL_DAILY_REVENUE_SQL,
     DIVERSIFIED_TOP_SQL as _DIVERSIFIED_TOP_SQL,
     PARTITIONED_RT_SQL as _PARTITIONED_RT_SQL,
     PMI_BIGRAMS_SQL as _PMI_BIGRAMS_SQL,
@@ -797,6 +798,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # TPC-H Q10-shaped star join: fact pre-agg -> hash join ->
         # broadcast dims -> top-k (4-table analytics composition)
         "returned_revenue_top_customers": R.returned_revenue_top_customers,
+        # incremental view maintenance: persisted day-grain checkpoint
+        # merged with the delta read; base never rescanned on refresh
+        "incremental_daily_revenue": R.incremental_daily_revenue,
         # data-quality constraint checks (nulls, domains, PK
         # uniqueness, referential integrity) as one streaming report
         "validation_report": R.validation_report,
@@ -2748,6 +2752,7 @@ ORDER BY 1""",
         "weighted_sample_orders": _WEIGHTED_SAMPLE_SQL,
         "validation_report": _VALIDATION_REPORT_SQL,
         "returned_revenue_top_customers": _RETURNED_REVENUE_SQL,
+        "incremental_daily_revenue": _INCREMENTAL_DAILY_REVENUE_SQL,
         "diversified_top_orders": _DIVERSIFIED_TOP_SQL,
         "partitioned_write_read_stats": _PARTITIONED_RT_SQL,
         "sketch_cdf_by_type": """

@@ -240,3 +240,24 @@ def test_resumable_write_metrics_manifest(ray_session, shards, tmp_path):
                            columns=["value"])
     with pytest.raises(FileNotFoundError):
         w3.metrics(paths)
+
+
+def test_incremental_daily_revenue_reuses_base(ray_session):
+    """Second refresh must NOT rebuild the base checkpoint (IVM
+    contract: only the delta is rescanned) and must return the same
+    maintained view."""
+    import p2pddsketch_ray.pipelines.relational as R
+
+    sf = "/root/testdata/sf0.001"
+    first = R.incremental_daily_revenue(sf)
+    root = R._incr_checkpoint_root(sf, 10592)  # 1999-01-01
+    base = os.path.join(root, "base.parquet")
+    assert os.path.exists(base) and os.path.exists(
+        os.path.join(root, "_SUCCESS"))
+    mtime = os.path.getmtime(base)
+    second = R.incremental_daily_revenue(sf)
+    assert os.path.getmtime(base) == mtime      # base untouched
+    assert first.equals(second)
+    # the maintained view == a fresh full aggregate (day count sanity)
+    assert first.num_rows > 0
+    assert first["revenue_cents"].to_pandas().gt(0).all()
