@@ -585,8 +585,11 @@ def ngram_jaccard_pairs(sf_dir: str, k: int = 9,
             "part": pa.array(part),
         })
 
+    # materialize once: BOTH consumers (per-doc sizes, pair expansion)
+    # read the shingled blocks from the object store instead of
+    # re-reading + re-shingling the corpus per consumer
     rows = ds.map_batches(shingle_rows, batch_format="pyarrow",
-                          zero_copy_batch=True)
+                          zero_copy_batch=True).materialize()
 
     # per-doc distinct-shingle sizes: tiny aggregate (<= max_doc_id rows)
     from ray.data.aggregate import Count
