@@ -93,8 +93,12 @@ def _star_round(edges: "ray.data.Dataset", large: bool,
     # kernels and hash partitioning are deterministic, the multiset
     # still reaches a fixpoint the signature detects.  Skipping a
     # global-distinct exchange halves the executions per round.
+    # coalesce=False: rounds are chained two-per-execution and the edge
+    # multiset shrinks monotonically -- a mid-chain materialize would
+    # cost more than the (few-block) sort it optimizes
     return partition_by(edges.map_batches(both, batch_format="pyarrow"),
-                        ["u"], nparts, kernel, _EMPTY_EDGES)
+                        ["u"], nparts, kernel, _EMPTY_EDGES,
+                        coalesce=False)
 
 
 def _edge_signature(edges: "ray.data.Dataset") -> tuple[int, int]:

@@ -150,15 +150,26 @@ def events_hourly_window(sf_dir: str) -> "ray.data.Dataset":
     def bucket(t: pa.Table) -> pa.Table:
         us = pc.cast(t["ts"], pa.int64())  # timestamp[us] -> microseconds
         hours = pc.divide(us, pa.scalar(3_600_000_000))
-        return pa.table({
+        staged = pa.table({
             "event_type": t["event_type"],
             "window_start": pc.multiply(hours, pa.scalar(3600)),
             "value_cents": _int_units(t["value"], 100),
         })
+        # combiner: fold to one row per (type, hour) inside the batch
+        # (pyarrow C++ hash agg) -- the shuffle moves O(types x hours)
+        # rows per block instead of one row per event
+        g = staged.group_by(["event_type", "window_start"]).aggregate(
+            [("value_cents", "sum"), ("value_cents", "count")])
+        return pa.table({
+            "event_type": g["event_type"],
+            "window_start": g["window_start"],
+            "n_events": pc.cast(g["value_cents_count"], pa.int64()),
+            "value_cents": g["value_cents_sum"],
+        })
 
     agg = (ds.map_batches(bucket, batch_format="pyarrow", zero_copy_batch=True)
            .groupby(["event_type", "window_start"])
-           .aggregate(Count(alias_name="n_events"),
+           .aggregate(Sum("n_events", alias_name="n_events"),
                       Sum("value_cents", alias_name="value_cents")))
 
     def finalize(t: pa.Table) -> pa.Table:
@@ -2377,19 +2388,67 @@ def returned_revenue_top_customers(sf_dir: str, k: int = 20) -> pa.Table:
                                zero_copy_batch=True)
 
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
-    try:
-        cpus = int(ray.cluster_resources().get("CPU", 8))
-    except Exception:
-        cpus = 8
-    joined = per_order.join(
-        orders, "inner", num_partitions=max(2, min(cpus, 16)),
-        on=("l_orderkey",), right_on=("o_orderkey",))
 
-    per_cust = (joined.map_batches(
-        lambda t: pa.table({"o_custkey": pc.cast(t["o_custkey"],
-                                                 pa.int64()),
-                            "rev": pc.cast(t["rev"], pa.int64())}),
-        batch_format="pyarrow")
+    # equi-join WITHOUT Ray's hash-join operator: union-with-tag + ONE
+    # orderkey co-partition + a vectorized run kernel (the measured
+    # stages/partition.py workaround -- join aggregator actors throttle
+    # the pool on Ray 2.49, int64 sort shuffles scale normally).  The
+    # kernel also pre-folds to per-customer partials, so the final
+    # exchange input shrinks from order-grain to customer-grain.
+    from ..stages.partition import fit_partitions, partition_by
+
+    j_empty = pa.table({"key": pa.array([], type=pa.int64()),
+                        "cust": pa.array([], type=pa.int64()),
+                        "rev": pa.array([], type=pa.int64()),
+                        "tag": pa.array([], type=pa.int64())})
+
+    def o_tagged(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table({
+            "key": pc.cast(t["o_orderkey"], pa.int64()),
+            "cust": pc.cast(t["o_custkey"], pa.int64()),
+            "rev": pa.array(np.zeros(n, dtype=np.int64)),
+            "tag": pa.array(np.zeros(n, dtype=np.int64))})
+
+    def l_tagged(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table({
+            "key": pc.cast(t["l_orderkey"], pa.int64()),
+            "cust": pa.array(np.zeros(n, dtype=np.int64)),
+            "rev": pc.cast(t["rev"], pa.int64()),
+            "tag": pa.array(np.ones(n, dtype=np.int64))})
+
+    pc_empty = pa.table({"o_custkey": pa.array([], type=pa.int64()),
+                         "rev": pa.array([], type=pa.int64())})
+
+    def join_fold(t: pa.Table) -> pa.Table:
+        key = t["key"].to_numpy(zero_copy_only=False)
+        tag = t["tag"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((tag, key))
+        k_s, tag_s = key[order], tag[order]
+        new = np.ones(k_s.size, dtype=bool)
+        new[1:] = k_s[1:] != k_s[:-1]
+        starts = np.flatnonzero(new)
+        run_id = np.cumsum(new) - 1
+        first_is_order = tag_s[starts] == 0
+        matched = (tag_s == 1) & first_is_order[run_id]
+        if not matched.any():
+            return pc_empty
+        cust_all = t["cust"].to_numpy(zero_copy_only=False)[order]
+        rev_all = t["rev"].to_numpy(zero_copy_only=False)[order]
+        m_idx = np.flatnonzero(matched)
+        cust = cust_all[starts[run_id[m_idx]]]
+        rev = rev_all[m_idx]
+        uc, inv = np.unique(cust, return_inverse=True)
+        sums = np.zeros(uc.shape[0], dtype=np.int64)
+        np.add.at(sums, inv, rev)
+        return pa.table({"o_custkey": pa.array(uc),
+                         "rev": pa.array(sums)})
+
+    per_cust = (partition_by(
+        orders.map_batches(o_tagged, batch_format="pyarrow")
+        .union(per_order.map_batches(l_tagged, batch_format="pyarrow")),
+        ["key"], fit_partitions(16), join_fold, pc_empty)
         .groupby("o_custkey").aggregate(Sum("rev",
                                             alias_name="revenue_units")))
 

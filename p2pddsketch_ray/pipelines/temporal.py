@@ -63,7 +63,8 @@ def asof_join(left_ds, right_ds, *, left_on: str, right_on: str,
               left_cols: Sequence[str], right_cols: Sequence[str],
               num_partitions: int | None = None,
               left_schema: pa.Schema | None = None,
-              right_schema: pa.Schema | None = None):
+              right_schema: pa.Schema | None = None,
+              right_tiebreak: str | None = None):
     """events-style as-of join: for every left row, attach the right row
     with the greatest ``right_ts`` <= ``left_ts`` among rows whose
     ``right_on`` key equals the left row's ``left_on`` key (inclusive
@@ -76,6 +77,12 @@ def asof_join(left_ds, right_ds, *, left_on: str, right_on: str,
     Pass ``left_schema``/``right_schema`` when a side is a derived
     dataset: ``Dataset.schema()`` on an unexecuted derived plan triggers
     a limit-1 execution of the whole plan just to learn the dtypes.
+
+    ``right_tiebreak``: optional right payload column; when set, right
+    rows are deduplicated to ONE per (key, ts) -- max tiebreak wins --
+    INSIDE the join partition (all rows of a key are co-located there
+    anyway), replacing what would otherwise be a second full shuffle of
+    the right side just to pre-dedupe ties.
     """
     left_cols = list(left_cols)
     right_cols = list(right_cols)
@@ -125,6 +132,16 @@ def asof_join(left_ds, right_ds, *, left_on: str, right_on: str,
         ri = np.nonzero(side == 1)[0]
         if li.shape[0] == 0:
             return empty
+        if right_tiebreak is not None and ri.shape[0] > 1:
+            # one right row per (key, ts): max tiebreak wins (fused
+            # tie-dedup; the partition holds every row of each key)
+            tb = pc.fill_null(pc.cast(t[right_tiebreak], pa.int64()),
+                              0).to_numpy(zero_copy_only=False)
+            order_d = np.lexsort((-tb[ri], ts[ri], key[ri]))
+            rk_s, rts_s = key[ri][order_d], ts[ri][order_d]
+            first = np.ones(order_d.shape[0], dtype=bool)
+            first[1:] = (rk_s[1:] != rk_s[:-1]) | (rts_s[1:] != rts_s[:-1])
+            ri = ri[order_d[first]]
         # dense ranks preserve <=, so the composite is a faithful
         # lexicographic (key, ts) order that fits one int64
         ukey, key_rank = np.unique(key, return_inverse=True)
@@ -169,32 +186,17 @@ def events_asof_orders(sf_dir: str) -> pa.Table:
                  "o_orderpriority"])
 
     # deterministic tie-break: one order per (custkey, orderdate), max
-    # o_orderkey wins (mirrored by the oracle's row_number() CTE)
-    def dedup_ties(t: pa.Table) -> pa.Table:
-        kk = t["o_custkey"].to_numpy(zero_copy_only=False)
-        dd = _as_int64(t["o_orderdate"])
-        ok = t["o_orderkey"].to_numpy(zero_copy_only=False)
-        order = np.lexsort((-ok, dd, kk))
-        kk_s, dd_s = kk[order], dd[order]
-        first = np.ones(order.shape[0], dtype=bool)
-        first[1:] = (kk_s[1:] != kk_s[:-1]) | (dd_s[1:] != dd_s[:-1])
-        return t.take(pa.array(order[first]))
-
-    # the tie-dedup must see all rows of a (custkey, orderdate) pair:
-    # co-partition by custkey first (same key routing as the join)
-    o_empty = pa.table({n: pa.array([], type=t)
-                        for n, t in zip(orders.schema().names,
-                                        orders.schema().types)})
-    orders_uniq = partition_by(orders, ["o_custkey"], fit_partitions(32),
-                               dedup_ties, o_empty)
-
+    # o_orderkey wins (mirrored by the oracle's row_number() CTE) --
+    # FUSED into the join partition kernel via right_tiebreak: the join
+    # co-partitions orders by custkey anyway, so a separate pre-dedupe
+    # shuffle of the whole orders table would be pure waste
     joined = asof_join(
-        events, orders_uniq, left_on="user_id", right_on="o_custkey",
+        events, orders, left_on="user_id", right_on="o_custkey",
         left_ts="ts", right_ts="o_orderdate",
         left_cols=["ts", "user_id", "event_type"],
         right_cols=["o_orderdate", "o_orderkey", "o_totalprice",
                     "o_orderpriority"],
-        right_schema=orders.schema())  # orders_uniq preserves the schema
+        right_tiebreak="o_orderkey")
 
     # per-batch combiner: fold each joined batch to (type, priority)
     # partial sums, then one tiny groupby finishes -- the shuffle moves

@@ -30,9 +30,20 @@ def fit_partitions(requested: int) -> int:
 
 
 def partition_by(ds, cols: list[str], num_partitions: int,
-                 fn, out_empty: pa.Table):
+                 fn, out_empty: pa.Table, coalesce: bool = True):
     """Co-locate rows by hash(cols) % num_partitions and apply ``fn`` to
-    each whole partition (fn sees all rows of every key it sees)."""
+    each whole partition (fn sees all rows of every key it sees).
+
+    ``coalesce`` (default on) bounds the sort fan-in: the sort-based
+    exchange degrades superlinearly with input BLOCK count (measured on
+    Ray 2.49 local: the same 1.2M rows take 0.27 s through
+    groupby.map_groups at 8 blocks, 0.63 s at 64, 40.7 s at 256 --
+    unions and SplitBlocks reads inflate block counts fast).  The input
+    is staged once (the all-to-all materializes it anyway) and, when its
+    block count exceeds 2x the size-aware target (one block per CPU,
+    growing ~128 MB/block for big inputs so the rule stays correct at
+    cluster scale), a cheap round-robin repartition collapses it before
+    the exchange.  Pure routing -- partition contents are unchanged."""
 
     def add_part(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
@@ -48,5 +59,17 @@ def partition_by(ds, cols: list[str], num_partitions: int,
             return out_empty
         return fn(group.drop_columns(["_part"]))
 
-    return (ds.map_batches(add_part, batch_format="pyarrow")
-            .groupby("_part").map_groups(apply, batch_format="pyarrow"))
+    staged = ds.map_batches(add_part, batch_format="pyarrow")
+    if coalesce:
+        staged = staged.materialize()
+        try:
+            nb = staged.num_blocks()
+            size = staged.size_bytes() or 0
+        except Exception:
+            nb, size = 0, 0
+        cpus = fit_partitions(1 << 30)          # = cluster CPU count
+        target = max(cpus, num_partitions, int(size // (128 << 20)) + 1)
+        if nb > 2 * target:
+            staged = staged.repartition(target)
+    return staged.groupby("_part").map_groups(apply,
+                                              batch_format="pyarrow")

@@ -4158,3 +4158,38 @@ def test_sliding_grouped_matches_global(ray_session):
     assert set(got["g"].to_pylist()) == {"only"}
     for c in ("window_end", "q", "est", "n"):
         assert got[c].to_pylist() == want[c].to_pylist(), c
+
+
+def test_partition_by_coalesce_is_pure_routing(ray_session):
+    """The block-coalescing fast path in partition_by must not change
+    WHAT each partition sees -- only how many blocks feed the exchange.
+    A many-block input (forcing the repartition branch) must produce
+    the same per-partition multisets as coalesce=False."""
+    import ray.data
+
+    from p2pddsketch_ray.stages.partition import partition_by
+
+    n = 40_000
+    rng = np.random.default_rng(7)
+    tbl = pa.table({"k": pa.array(rng.integers(0, 1 << 40, n)),
+                    "v": pa.array(np.arange(n, dtype=np.int64))})
+    empty = pa.table({"part_sum": pa.array([], type=pa.int64()),
+                      "part_n": pa.array([], type=pa.int64()),
+                      "part_min_k": pa.array([], type=pa.int64())})
+
+    def fold(t: pa.Table) -> pa.Table:
+        k = t["k"].to_numpy(zero_copy_only=False)
+        v = t["v"].to_numpy(zero_copy_only=False)
+        return pa.table({"part_sum": pa.array([int(v.sum())]),
+                         "part_n": pa.array([t.num_rows]),
+                         "part_min_k": pa.array([int(k.min())])})
+
+    # 200 blocks: well past the 2x-target coalesce threshold at 4 CPUs
+    many = ray.data.from_arrow(tbl).repartition(200)
+    few = ray.data.from_arrow(tbl)
+    out_a = (partition_by(many, ["k"], 8, fold, empty, coalesce=True)
+             .to_pandas().sort_values(["part_min_k"]).reset_index(drop=True))
+    out_b = (partition_by(few, ["k"], 8, fold, empty, coalesce=False)
+             .to_pandas().sort_values(["part_min_k"]).reset_index(drop=True))
+    assert out_a.equals(out_b)
+    assert out_a["part_n"].sum() == n
