@@ -56,11 +56,11 @@ def run_suite(sf_dir: str) -> tuple[dict[str, float], int]:
     timings: dict[str, float] = {}
 
     def timed(name, fn):
-        # best of 2: this sandbox shows 2-3x run-to-run variance from
-        # outside interference; min-of-2 recovers the machine's actual
+        # best of 3: this sandbox shows 2-3x run-to-run variance from
+        # outside interference; min-of-n recovers the machine's actual
         # capability (standard benchmarking practice, same as --scaling)
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             res = fn()
             if hasattr(res, "to_pandas"):
