@@ -19675,8 +19675,18 @@ FROM g ORDER BY 1
 
 
 def _incr_checkpoint_root(sf_dir: str, cutoff_day: int) -> str:
+    # lineage key includes the input file's (size, mtime): a regenerated
+    # orders table at the same path gets a FRESH base build instead of a
+    # stale checkpoint (the state/checkpoint.py lineage contract)
     import hashlib
-    key = hashlib.md5(f"{sf_dir}|{cutoff_day}".encode()).hexdigest()[:10]
+    import os
+    try:
+        st = os.stat(f"{sf_dir}/orders.parquet")
+        stamp = f"{st.st_size}|{int(st.st_mtime)}"
+    except OSError:
+        stamp = "missing"
+    key = hashlib.md5(
+        f"{sf_dir}|{cutoff_day}|{stamp}".encode()).hexdigest()[:10]
     return f"/tmp/p2pdds_gate/incr_rev_{key}"
 
 
