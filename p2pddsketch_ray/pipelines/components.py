@@ -337,9 +337,19 @@ def pagerank_part_supplier(sf_dir: str, iters: int = 3,
         comp = np.unique((p << np.int64(32)) | s)
         return pa.table({"pair": pa.array(comp)})
 
-    pairs = (ds.map_batches(edge_partial, batch_format="pyarrow",
-                            zero_copy_batch=True)
-             .groupby("pair").aggregate(Count(alias_name="_c")))
+    # distinct edges via the co-partition kernel: the pair key is
+    # near-unique (~1 group/row), where Ray's aggregate pays ~6 us of
+    # per-GROUP Python in the combine (measured 7.5 s on 1.2M groups)
+    pair_empty = pa.table({"pair": pa.array([], type=pa.int64())})
+
+    def pair_distinct(t: pa.Table) -> pa.Table:
+        u = np.unique(t["pair"].to_numpy(zero_copy_only=False))
+        return pa.table({"pair": pa.array(u)})
+
+    pairs = partition_by(
+        ds.map_batches(edge_partial, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["pair"], fit_partitions(16), pair_distinct, pair_empty)
 
     def expand(t: pa.Table) -> pa.Table:
         comp = t["pair"].to_numpy(zero_copy_only=False)
@@ -776,17 +786,20 @@ def copresence_edges(sf_dir: str,
         b_idx = a_idx + (np.arange(total) - np.repeat(excl, cnt_a)) + 1
         comp = u_s[a_idx] * _TRI_SPAN + u_s[b_idx]
         ucomp = np.unique(comp)
-        return pa.table({"a": pa.array(ucomp // _TRI_SPAN),
-                         "b": pa.array(ucomp % _TRI_SPAN)})
+        return pa.table({"ab": pa.array(ucomp)})
 
-    cand = partition_by(mems, ["cell"], parts, cell_pairs, pair_empty)
-    edges = (cand.groupby(["a", "b"]).aggregate(Count(alias_name="_m"))
-             .map_batches(lambda t: pa.table({
-                 "a": pc.cast(t["a"], pa.int64()),
-                 "b": pc.cast(t["b"], pa.int64())}),
-                 batch_format="pyarrow"))
+    ab_empty = pa.table({"ab": pa.array([], type=pa.int64())})
+    cand = partition_by(mems, ["cell"], parts, cell_pairs, ab_empty)
 
-    return edges
+    # global distinct on the PACKED pair key via the co-partition
+    # kernel: the pair key is near-unique, where Ray's aggregate pays
+    # ~6 us of per-GROUP Python in the combine
+    def dedup_ab(t: pa.Table) -> pa.Table:
+        u = np.unique(t["ab"].to_numpy(zero_copy_only=False))
+        return pa.table({"a": pa.array(u // _TRI_SPAN),
+                         "b": pa.array(u % _TRI_SPAN)})
+
+    return partition_by(cand, ["ab"], parts, dedup_ab, pair_empty)
 
 
 def copresence_triangles(sf_dir: str, user_mod: int = 3) -> pa.Table:

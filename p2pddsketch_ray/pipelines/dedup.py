@@ -837,25 +837,32 @@ def benchmark_decontamination(sf_dir: str, k: int = 16,
       (doc, shingle) rows via the flat-buffer sliding window + lexsort
       kernel (no per-doc Python); text never rides a shuffle -- only
       k-byte shingle rows do.
-    - shingles co-partition by their first-8-bytes integer (equal
-      shingles always co-locate; prefix collisions only merge
-      partitions).  Each partition sorts its benchmark shingles once and
-      marks training rows by searchsorted membership -- emitting at most
-      one (doc_id, lang) row per contaminated doc per partition.
-    - a (doc_id, lang) groupby dedups across partitions (O(contaminated
-      docs) tiny rows), and an integer per-lang rollup finishes; the
+    - the exchange carries PURE int64 rows (doc_id, lang-fp, role,
+      shingle-fp): the k-byte shingle bytes fold to one int64
+      fingerprint per window (vectorized word-fold + splitmix64 -- the
+      fp64 tier contract the dedup/ppjoin gate paths rely on), and the
+      lang string rides as its fingerprint, decoded back from the
+      lang-sized denominator table at the end.  Equal shingles always
+      co-locate because the FP itself is the partition key.
+    - each partition sorts its benchmark fps once and marks training
+      rows by searchsorted membership -- emitting at most one
+      (doc_id, lang-fp) row per contaminated doc per partition.
+    - a doc_id groupby dedups across partitions (O(contaminated docs)
+      tiny rows), and an integer per-lang-fp rollup finishes; the
       train-per-lang denominator is a separate cardinality-bounded
       groupby.  Nothing larger than the contaminated-id stream ever
       leaves the cluster, and the driver folds only lang-sized tables."""
+    from ..functions.text import fingerprint64
+    from ..hashing import splitmix64
+
     docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                  columns=["doc_id", "text", "lang",
                                           "source"])
 
     sh_empty = pa.table({"doc_id": pa.array([], type=pa.int64()),
-                         "lang": pa.array([], type=pa.string()),
+                         "langfp": pa.array([], type=pa.int64()),
                          "role": pa.array([], type=pa.int64()),
-                         "sh": pa.array([], type=pa.binary()),
-                         "part": pa.array([], type=pa.int64())})
+                         "shfp": pa.array([], type=pa.int64())})
 
     def sh_rows(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
@@ -886,63 +893,74 @@ def benchmark_decontamination(sf_dir: str, k: int = 16,
         sh_s, drow_s = sh[order], drow[order]
         keep = np.ones(sh_s.shape[0], dtype=bool)
         keep[1:] = (drow_s[1:] != drow_s[:-1]) | (sh_s[1:] != sh_s[:-1])
-        sh_u, drow_u = sh_s[keep], drow_s[keep]
+        drow_u = drow_s[keep]
         ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(
             np.int64)[drow_u]
-        lang = np.asarray(t["lang"].to_pylist(), dtype=np.str_)[drow_u]
+        langfp = fingerprint64(t["lang"]).to_numpy(
+            zero_copy_only=False)[drow_u]
         role = (np.asarray(t["source"].to_pylist(), dtype=np.str_)
                 == bench_source).astype(np.int64)[drow_u]
-        part = np.ascontiguousarray(
-            wins[order][keep][:, :8]).view("<i8").ravel()
+        # shingle bytes -> ONE int64 fp: pad to 8-byte words, fold the
+        # words with the engine's hash-combine, finish with splitmix64
+        wk = wins[order][keep]
+        pad = (-wk.shape[1]) % 8
+        if pad:
+            wk = np.concatenate(
+                [wk, np.zeros((wk.shape[0], pad), np.uint8)], axis=1)
+        w = np.ascontiguousarray(wk).view("<i8")
+        acc = np.zeros(wk.shape[0], dtype=np.int64)
+        for j in range(w.shape[1]):
+            acc = acc * np.int64(1_000_003) + w[:, j]
+        shfp = (splitmix64(acc) >> np.uint64(1)).astype(np.int64)
         return pa.table({
             "doc_id": pa.array(ids),
-            "lang": pa.array(lang.tolist(), type=pa.string()),
+            "langfp": pa.array(langfp),
             "role": pa.array(role),
-            "sh": pa.array(sh_u.tolist(), type=pa.binary()),
-            "part": pa.array(part),
+            "shfp": pa.array(shfp),
         })
 
-    from ray.data.aggregate import Count, Sum
+    from ray.data.aggregate import Min, Sum
 
     rows = docs.map_batches(sh_rows, batch_format="pyarrow",
                             zero_copy_batch=True)
 
     hit_empty = pa.table({"doc_id": pa.array([], type=pa.int64()),
-                          "lang": pa.array([], type=pa.string())})
+                          "langfp": pa.array([], type=pa.int64())})
 
     def mark(group: pa.Table) -> pa.Table:
         role = group["role"].to_numpy(zero_copy_only=False)
         if not (role == 1).any() or not (role == 0).any():
             return hit_empty
-        sh = np.asarray(group["sh"].to_pylist(), dtype=f"S{k}")
-        bench = np.unique(sh[role == 1])
+        shfp = group["shfp"].to_numpy(zero_copy_only=False)
+        bench = np.unique(shfp[role == 1])
         tr = role == 0
-        pos = np.searchsorted(bench, sh[tr])
+        pos = np.searchsorted(bench, shfp[tr])
         pos[pos == len(bench)] = 0
-        hit = bench[pos] == sh[tr]
+        hit = bench[pos] == shfp[tr]
         if not hit.any():
             return hit_empty
         ids = group["doc_id"].to_numpy(zero_copy_only=False)[tr][hit]
-        lang = np.asarray(group["lang"].to_pylist(),
-                          dtype=np.str_)[tr][hit]
+        langfp = group["langfp"].to_numpy(zero_copy_only=False)[tr][hit]
         uid, first = np.unique(ids, return_index=True)
         return pa.table({
             "doc_id": pa.array(uid),
-            "lang": pa.array(lang[first].tolist(), type=pa.string()),
+            "langfp": pa.array(langfp[first]),
         })
 
-    cont = _partition_by(rows, ["part"], _fit_partitions(16), mark,
+    cont = _partition_by(rows, ["shfp"], _fit_partitions(16), mark,
                          hit_empty)
     # distinct contaminated docs across partitions, then per-lang count
-    cont_lang = (cont.groupby(["doc_id", "lang"])
-                 .aggregate(Count(alias_name="_dup"))
+    cont_lang = (cont.groupby("doc_id")
+                 .aggregate(Min("langfp", alias_name="langfp"))
                  .map_batches(lambda t: pa.table({
-                     "lang": pc.cast(t["lang"], pa.string()),
+                     "langfp": pc.cast(t["langfp"], pa.int64()),
                      "pn": pa.array(np.ones(t.num_rows, np.int64)),
                  }), batch_format="pyarrow")
-                 .groupby("lang").aggregate(Sum("pn", alias_name="n_cont"))
+                 .groupby("langfp")
+                 .aggregate(Sum("pn", alias_name="n_cont"))
                  .to_pandas())
-    n_cont = dict(zip(cont_lang["lang"], cont_lang["n_cont"].astype(int)))
+    n_cont_fp = dict(zip(cont_lang["langfp"].astype(int),
+                         cont_lang["n_cont"].astype(int)))
 
     denom = (docs.map_batches(lambda t: pa.table({
         "lang": pc.cast(t["lang"], pa.string()),
@@ -954,11 +972,15 @@ def benchmark_decontamination(sf_dir: str, k: int = 16,
 
     langs = sorted(denom.loc[denom["n_train"] > 0, "lang"])
     nt = dict(zip(denom["lang"], denom["n_train"].astype(int)))
+    # decode lang fingerprints via the lang-sized denominator table
+    lang_fps = fingerprint64(pa.array(langs, type=pa.string())).to_numpy(
+        zero_copy_only=False)
     return pa.table({
         "lang": pa.array(langs, type=pa.string()),
         "n_train": pa.array([nt[x] for x in langs], type=pa.int64()),
-        "n_contaminated": pa.array([int(n_cont.get(x, 0)) for x in langs],
-                                   type=pa.int64()),
+        "n_contaminated": pa.array(
+            [int(n_cont_fp.get(int(fp), 0)) for fp in lang_fps],
+            type=pa.int64()),
     })
 
 

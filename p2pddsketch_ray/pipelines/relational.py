@@ -10472,62 +10472,92 @@ def fd_violation_audit(sf_dir: str) -> pa.Table:
     number of distinct (lhs, rhs) pairs -- profiling output a schema-
     inference or data-contract tool emits.
 
-    Scale shape: per-block DISTINCT (lhs, rhs) combiner (the exchange
-    carries pairs, not rows) -> one groupby(lhs, rhs) to finish the
-    dedup -> per-block (lhs, variants) partial -> groupby(lhs) ->
-    per-block scalar partial -> driver folds O(blocks) rows.  All four
-    reported aggregates are associative, so no stage needs more than a
-    cardinality-bounded exchange.
+    Scale shape: per-block DISTINCT combiner on int64 FINGERPRINT pair
+    keys (the exchange carries 16-byte fp rows, never strings) -> ONE
+    lhs-fp co-partition whose kernel finishes the pair dedup, counts
+    per-lhs variants, and folds straight to the four scalars -> driver
+    sums O(partitions) scalar rows.  One exchange per FD; no Ray
+    aggregate touches a high-cardinality key (its combine is ~6 us per
+    GROUP -- lineitem's 150k lhs groups made the string-keyed version
+    ~9x slower).  Exact up to fingerprint64 collisions on (lhs, rhs)
+    pairs -- the same fp64 tier contract the dedup/ppjoin gate paths
+    rely on.
     """
-    from ray.data.aggregate import Count as _Count, Sum as _Sum
+    from ..functions.text import fingerprint64
+    from ..hashing import splitmix64
+    from ..stages.partition import fit_partitions, partition_by
 
-    out: list[dict] = []
-    for label, table, lhs, rhs in _FD_CHECKS:
+    pair_empty = pa.table({"fd": pa.array([], type=pa.int64()),
+                           "fpl": pa.array([], type=pa.int64()),
+                           "fpc": pa.array([], type=pa.int64())})
+    scal_empty = pa.table({"fd": pa.array([], type=pa.int64()),
+                           "groups": pa.array([], type=pa.int64()),
+                           "viol": pa.array([], type=pa.int64()),
+                           "maxv": pa.array([], type=pa.int64()),
+                           "pairs": pa.array([], type=pa.int64())})
+
+    def kernel(t: pa.Table) -> pa.Table:
+        fd = t["fd"].to_numpy(zero_copy_only=False)
+        fpl = t["fpl"].to_numpy(zero_copy_only=False)
+        fpc = t["fpc"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((fpc, fpl, fd))
+        f_s, l_s, c_s = fd[order], fpl[order], fpc[order]
+        keep = np.ones(l_s.size, dtype=bool)
+        keep[1:] = ((f_s[1:] != f_s[:-1]) | (l_s[1:] != l_s[:-1])
+                    | (c_s[1:] != c_s[:-1]))
+        f_u, l_u = f_s[keep], l_s[keep]
+        new = np.ones(l_u.size, dtype=bool)
+        new[1:] = (f_u[1:] != f_u[:-1]) | (l_u[1:] != l_u[:-1])
+        starts = np.flatnonzero(new)
+        v = np.diff(np.append(starts, l_u.size))
+        run_fd = f_u[starts]
+        ufd, inv = np.unique(run_fd, return_inverse=True)
+        groups = np.bincount(inv).astype(np.int64)
+        viol = np.bincount(inv, weights=(v > 1)).astype(np.int64)
+        pairs_n = np.bincount(inv, weights=v).astype(np.int64)
+        maxv = np.zeros(ufd.size, dtype=np.int64)
+        np.maximum.at(maxv, inv, v)
+        return pa.table({"fd": pa.array(ufd),
+                         "groups": pa.array(groups),
+                         "viol": pa.array(viol),
+                         "maxv": pa.array(maxv),
+                         "pairs": pa.array(pairs_n)})
+
+    # ONE execution for all FDs: each table contributes tagged fp-pair
+    # rows, one (fd, lhs-fp) co-partition computes every audit at once
+    parts = []
+    for i, (label, table, lhs, rhs) in enumerate(_FD_CHECKS):
         ds = _read(sf_dir, table, [lhs, rhs])
 
-        def pairs(t: pa.Table, lhs=lhs, rhs=rhs) -> pa.Table:
-            g = (pa.table({"lhs": pc.cast(t[lhs], pa.string()),
-                           "rhs": pc.cast(t[rhs], pa.string())})
-                 .group_by(["lhs", "rhs"]).aggregate([([], "count_all")]))
-            return g.select(["lhs", "rhs"])
+        def pairs(t: pa.Table, i=i, lhs=lhs, rhs=rhs) -> pa.Table:
+            if t.num_rows == 0:
+                return pair_empty
+            fpl = fingerprint64(pc.cast(t[lhs], pa.string())).to_numpy(
+                zero_copy_only=False)
+            fpr = fingerprint64(pc.cast(t[rhs], pa.string())).to_numpy(
+                zero_copy_only=False)
+            fpc = (splitmix64(fpl * np.int64(1_000_003) + fpr)
+                   >> np.uint64(1)).astype(np.int64)
+            u, idx = np.unique(fpc, return_index=True)
+            return pa.table({
+                "fd": pa.array(np.full(u.size, i, dtype=np.int64)),
+                "fpl": pa.array(fpl[idx]),
+                "fpc": pa.array(u)})
 
-        distinct_pairs = (ds.map_batches(pairs, batch_format="pyarrow",
-                                         zero_copy_batch=True)
-                          .groupby(["lhs", "rhs"])
-                          .aggregate(_Count(alias_name="_x")))
+        parts.append(ds.map_batches(pairs, batch_format="pyarrow",
+                                    zero_copy_batch=True))
 
-        def variants(t: pa.Table) -> pa.Table:
-            if t.num_rows == 0 or "lhs" not in t.column_names:
-                return pa.table({"lhs": pa.array([], type=pa.string()),
-                                 "v": pa.array([], type=pa.int64())})
-            g = (t.select(["lhs"]).append_column(
-                    "one", pa.array(np.ones(t.num_rows, dtype=np.int64)))
-                 .group_by("lhs").aggregate([("one", "sum")]))
-            return pa.table({"lhs": g["lhs"],
-                             "v": pc.cast(g["one_sum"], pa.int64())})
-
-        per_lhs = (distinct_pairs.map_batches(
-                       variants, batch_format="pyarrow")
-                   .groupby("lhs").aggregate(_Sum("v", alias_name="v")))
-
-        def fold(t: pa.Table) -> pa.Table:
-            if t.num_rows == 0 or "v" not in t.column_names:
-                return pa.table({"groups": pa.array([], type=pa.int64()),
-                                 "viol": pa.array([], type=pa.int64()),
-                                 "maxv": pa.array([], type=pa.int64()),
-                                 "pairs": pa.array([], type=pa.int64())})
-            v = t["v"].to_numpy(zero_copy_only=False)
-            return pa.table({"groups": pa.array([int(len(v))]),
-                             "viol": pa.array([int((v > 1).sum())]),
-                             "maxv": pa.array([int(v.max())]),
-                             "pairs": pa.array([int(v.sum())])})
-
-        f = per_lhs.map_batches(fold, batch_format="pyarrow").to_pandas()
+    allp = parts[0] if len(parts) == 1 else parts[0].union(*parts[1:])
+    f = partition_by(allp, ["fd", "fpl"],
+                     fit_partitions(16), kernel, scal_empty).to_pandas()
+    out: list[dict] = []
+    for i, (label, _, _, _) in enumerate(_FD_CHECKS):
+        g = f[f["fd"] == i]
         out.append({"fd": label,
-                    "lhs_groups": int(f["groups"].sum()),
-                    "violating_groups": int(f["viol"].sum()),
-                    "max_rhs_variants": int(f["maxv"].max()),
-                    "distinct_pairs": int(f["pairs"].sum())})
+                    "lhs_groups": int(g["groups"].sum()),
+                    "violating_groups": int(g["viol"].sum()),
+                    "max_rhs_variants": int(g["maxv"].max()),
+                    "distinct_pairs": int(g["pairs"].sum())})
 
     out.sort(key=lambda r: r["fd"])
     return pa.table({
@@ -10858,9 +10888,13 @@ def join_fanout_histogram(sf_dir: str) -> pa.Table:
         return pa.table({"key": pc.cast(g["l_orderkey"], pa.int64()),
                          "n": pc.cast(g["l_orderkey_count"], pa.int64())})
 
-    per_order = (li.map_batches(per_key, batch_format="pyarrow",
-                                zero_copy_batch=True)
-                 .groupby("key").aggregate(_Sum("n", alias_name="n")))
+    # order-grain fold via the co-partition kernel (near-unique key:
+    # Ray's aggregate combine is ~6 us/GROUP, ~1 s over 150k orders)
+    from ..stages.partition import fit_partitions, fold_sum_by_key
+    per_order = fold_sum_by_key(
+        li.map_batches(per_key, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        "key", ["n"], fit_partitions(16))
 
     def hist_partial(t: pa.Table) -> pa.Table:
         if t.num_rows == 0 or "n" not in t.column_names:
@@ -17850,8 +17884,7 @@ def copurchase_part_pairs(sf_dir: str, k: int = 10) -> pa.Table:
         })
         return staged.group_by(["okey", "part"]).aggregate([])
 
-    pair_empty = pa.table({"a": pa.array([], type=pa.int64()),
-                           "b": pa.array([], type=pa.int64()),
+    pair_empty = pa.table({"ab": pa.array([], type=pa.int64()),
                            "n": pa.array([], type=pa.int64())})
 
     def expand(t: pa.Table) -> pa.Table:
@@ -17879,16 +17912,22 @@ def copurchase_part_pairs(sf_dir: str, k: int = 10) -> pa.Table:
         comp = p_s[a_idx] * (np.int64(1) << np.int64(31)) \
             + p_s[b_idx]
         u, c = np.unique(comp, return_counts=True)
-        return pa.table({"a": pa.array(u >> 31),
-                         "b": pa.array(u & ((1 << 31) - 1)),
+        # keep the PACKED pair key through the exchange: a two-column
+        # groupby over ~1M rows costs 16.6 s on Ray 2.49's sort-based
+        # aggregate where the same rows keyed on one packed int64 cost
+        # 0.6 s (multi-key comparisons); split a/b after the aggregate
+        return pa.table({"ab": pa.array(u),
                          "n": pa.array(c.astype(np.int64))})
 
+    from ..stages.partition import fold_sum_by_key
     staged = li.map_batches(prep, batch_format="pyarrow",
                             zero_copy_batch=True)
-    pairs = (partition_by(staged, ["okey"], fit_partitions(16),
-                          expand, pair_empty)
-             .groupby(["a", "b"])
-             .aggregate(Sum("n", alias_name="n")))
+    # pair-grain aggregate via the vectorized fold kernel: Ray's
+    # aggregate pays ~6 us/GROUP and this table has ~1 group per row
+    pairs = fold_sum_by_key(
+        partition_by(staged, ["okey"], fit_partitions(16),
+                     expand, pair_empty),
+        "ab", ["n"], fit_partitions(16))
 
     pre_empty = pa.table({"a": pa.array([], type=pa.int64()),
                           "b": pa.array([], type=pa.int64()),
@@ -17897,8 +17936,9 @@ def copurchase_part_pairs(sf_dir: str, k: int = 10) -> pa.Table:
     def prereduce(t: pa.Table) -> pa.Table:
         if t.num_rows == 0 or "n" not in t.column_names:
             return pre_empty
-        a = t["a"].to_numpy(zero_copy_only=False)
-        b = t["b"].to_numpy(zero_copy_only=False)
+        ab = t["ab"].to_numpy(zero_copy_only=False)
+        a = ab >> 31
+        b = ab & ((1 << 31) - 1)
         n = t["n"].to_numpy(zero_copy_only=False)
         order = np.lexsort((b, a, -n))[:k]
         return pa.table({"a": pa.array(a[order].astype(np.int64)),
