@@ -348,6 +348,20 @@ from p2pddsketch_ray.pipelines.relational import (  # noqa: E402
     TPCH_Q3_SQL as _TPCH_Q3_SQL,
     tpch_q6_revenue as _tpch_q6_revenue,
     TPCH_Q6_SQL as _TPCH_Q6_SQL,
+)
+from p2pddsketch_ray.pipelines.tpch import (  # noqa: E402
+    tpch_q4_priority_counts as _tpch_q4_priority_counts,
+    TPCH_Q4_SQL as _TPCH_Q4_SQL,
+    tpch_q12_priority_by_status as _tpch_q12_priority_by_status,
+    TPCH_Q12_SQL as _TPCH_Q12_SQL,
+    tpch_q14_promo_share as _tpch_q14_promo_share,
+    TPCH_Q14_SQL as _TPCH_Q14_SQL,
+    tpch_q18_large_orders as _tpch_q18_large_orders,
+    TPCH_Q18_SQL as _TPCH_Q18_SQL,
+    tpch_q19_bracket_revenue as _tpch_q19_bracket_revenue,
+    TPCH_Q19_SQL as _TPCH_Q19_SQL,
+)
+from p2pddsketch_ray.pipelines.relational import (  # noqa: E402
     length_token_copula_grid as _length_token_copula_grid,
     LENGTH_TOKEN_COPULA_SQL as _LENGTH_TOKEN_COPULA_SQL,
     price_volume_decomposition as _price_volume_decomposition,
@@ -1207,6 +1221,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q3_topk": _tpch_q3_topk,
         # TPC-H Q6: forecast revenue change (filter-and-sum scan)
         "tpch_q6_revenue": _tpch_q6_revenue,
+        # TPC-H Q4: priority census via EXISTS semi-join
+        "tpch_q4_priority_counts": _tpch_q4_priority_counts,
+        # TPC-H Q12: high/low priority line counts per status
+        "tpch_q12_priority_by_status": _tpch_q12_priority_by_status,
+        # TPC-H Q14: promo revenue share (broadcast part dim)
+        "tpch_q14_promo_share": _tpch_q14_promo_share,
+        # TPC-H Q18: large-volume orders (HAVING + join-back)
+        "tpch_q18_large_orders": _tpch_q18_large_orders,
+        # TPC-H Q19: disjunctive bracket revenue (one probe, not 3 joins)
+        "tpch_q19_bracket_revenue": _tpch_q19_bracket_revenue,
         # 5x5 empirical copula of (chars, tokens) quintile buckets
         "length_token_copula_grid": _length_token_copula_grid,
         # EXACT trailing-7d distinct users via coverage diff arrays
@@ -2015,6 +2039,11 @@ def oracle_sql() -> dict[str, str]:
         "mix_anomaly_hours": _MIX_ANOMALY_SQL,
         "tpch_q3_topk": _TPCH_Q3_SQL,
         "tpch_q6_revenue": _TPCH_Q6_SQL,
+        "tpch_q4_priority_counts": _TPCH_Q4_SQL,
+        "tpch_q12_priority_by_status": _TPCH_Q12_SQL,
+        "tpch_q14_promo_share": _TPCH_Q14_SQL,
+        "tpch_q18_large_orders": _TPCH_Q18_SQL,
+        "tpch_q19_bracket_revenue": _TPCH_Q19_SQL,
         "length_token_copula_grid": _LENGTH_TOKEN_COPULA_SQL,
         "trailing_distinct_users": _TRAILING_DISTINCT_SQL,
         "late_order_counts": _LATE_ORDER_SQL,

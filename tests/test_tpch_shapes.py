@@ -1,0 +1,120 @@
+"""Hand cases for the Q4/Q12/Q14/Q18/Q19-shaped pipelines."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def _ts(date: str) -> int:
+    return int(np.datetime64(date, "us").astype(np.int64))
+
+
+def _write_ts(vals):
+    return pa.array(np.array(vals, dtype=np.int64)).cast(
+        pa.timestamp("us"))
+
+
+def test_tpch_q4_exists_semijoin(ray_session, tmp_path):
+    """Only in-quarter orders with >=1 returned line are counted."""
+    from p2pddsketch_ray.pipelines.tpch import tpch_q4_priority_counts
+    IN, OUT = _ts("1997-08-01"), _ts("1997-11-01")
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([1, 2, 3, 4], type=pa.int64()),
+        "o_orderdate": _write_ts([IN, IN, IN, OUT]),
+        "o_orderpriority": pa.array(
+            ["1-URGENT", "1-URGENT", "5-LOW", "1-URGENT"]),
+    }), str(tmp_path / "orders.parquet"))
+    # order 1: returned line; order 2: only 'N' lines; order 3:
+    # returned; order 4: returned but out of the quarter.
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array([1, 1, 2, 3, 4], type=pa.int64()),
+        "l_returnflag": pa.array(["R", "N", "N", "R", "R"]),
+    }), str(tmp_path / "lineitem.parquet"))
+    out = tpch_q4_priority_counts(str(tmp_path)).to_pydict()
+    assert out["o_orderpriority"] == ["1-URGENT", "5-LOW"]
+    assert out["order_count"] == [1, 1]
+
+
+def test_tpch_q12_priority_split(ray_session, tmp_path):
+    """High/low counts split by order priority within the ship year."""
+    from p2pddsketch_ray.pipelines.tpch import (
+        tpch_q12_priority_by_status)
+    IN, OUT = _ts("1997-06-01"), _ts("1998-06-01")
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([1, 2], type=pa.int64()),
+        "o_orderpriority": pa.array(["2-HIGH", "5-LOW"]),
+    }), str(tmp_path / "orders.parquet"))
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array([1, 1, 2, 2], type=pa.int64()),
+        "l_linestatus": pa.array(["O", "F", "O", "O"]),
+        "l_shipdate": _write_ts([IN, IN, IN, OUT]),
+    }), str(tmp_path / "lineitem.parquet"))
+    out = tpch_q12_priority_by_status(str(tmp_path)).to_pydict()
+    assert out["l_linestatus"] == ["F", "O"]
+    assert out["high_line_count"] == [1, 1]
+    assert out["low_line_count"] == [0, 1]
+
+
+def test_tpch_q14_promo_share(ray_session, tmp_path):
+    """Promo ppm = promo cents over total cents of the ship month."""
+    from p2pddsketch_ray.pipelines.tpch import tpch_q14_promo_share
+    IN, OUT = _ts("1997-09-10"), _ts("1997-10-10")
+    pq.write_table(pa.table({
+        "p_partkey": pa.array([1, 2], type=pa.int64()),
+        "p_type": pa.array(["PROMO", "STANDARD"]),
+    }), str(tmp_path / "part.parquet"))
+    pq.write_table(pa.table({
+        "l_partkey": pa.array([1, 2, 1], type=pa.int64()),
+        "l_extendedprice": pa.array([100.0, 300.0, 50.0]),
+        "l_discount": pa.array([0.0, 0.0, 0.0]),
+        "l_shipdate": _write_ts([IN, IN, OUT]),
+    }), str(tmp_path / "lineitem.parquet"))
+    out = tpch_q14_promo_share(str(tmp_path)).to_pydict()
+    assert out["promo_cents"] == [10000]
+    assert out["total_cents"] == [40000]
+    assert out["promo_ppm"] == [250000]
+
+
+def test_tpch_q18_having_joinback(ray_session, tmp_path):
+    """Only orders whose qty sum crosses the threshold survive, sorted
+    by total price."""
+    from p2pddsketch_ray.pipelines.tpch import tpch_q18_large_orders
+    D = _ts("1997-01-01")
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([1, 2, 3], type=pa.int64()),
+        "o_custkey": pa.array([10, 20, 30], type=pa.int64()),
+        "o_orderdate": _write_ts([D, D, D]),
+        "o_totalprice": pa.array([100.0, 900.0, 500.0]),
+    }), str(tmp_path / "orders.parquet"))
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array([1, 2, 2, 3], type=pa.int64()),
+        "l_quantity": pa.array([5.0, 4.0, 3.0, 9.0]),
+    }), str(tmp_path / "lineitem.parquet"))
+    out = tpch_q18_large_orders(str(tmp_path), min_qty=6).to_pydict()
+    # orders 2 (qty 7) and 3 (qty 9) qualify; sorted by price desc
+    assert out["o_orderkey"] == [2, 3]
+    assert out["sum_qty"] == [7, 9]
+    assert out["total_cents"] == [90000, 50000]
+
+
+def test_tpch_q19_bracket_disjunction(ray_session, tmp_path):
+    """Each bracket applies its own quantity range; non-bracket parts
+    contribute nothing."""
+    from p2pddsketch_ray.pipelines.tpch import tpch_q19_bracket_revenue
+    pq.write_table(pa.table({
+        "p_partkey": pa.array([1, 2, 3], type=pa.int64()),
+        "p_brand": pa.array(["Brand#12", "Brand#23", "Brand#99"]),
+        "p_size": pa.array([3, 8, 1], type=pa.int64()),
+    }), str(tmp_path / "part.parquet"))
+    pq.write_table(pa.table({
+        # part 1 qty 5 (in 1..11: keep), part 1 qty 20 (out),
+        # part 2 qty 15 (in 10..20: keep), part 3 qty 5 (no bracket)
+        "l_partkey": pa.array([1, 1, 2, 3], type=pa.int64()),
+        "l_quantity": pa.array([5.0, 20.0, 15.0, 5.0]),
+        "l_extendedprice": pa.array([100.0, 100.0, 200.0, 400.0]),
+        "l_discount": pa.array([0.0, 0.0, 0.5, 0.0]),
+    }), str(tmp_path / "lineitem.parquet"))
+    out = tpch_q19_bracket_revenue(str(tmp_path)).to_pydict()
+    # 100.00 + 200*0.5 = 200.00
+    assert out["revenue_cents"] == [20000]
+    assert out["n_lineitems"] == [2]
