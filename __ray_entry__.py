@@ -108,7 +108,8 @@ from p2pddsketch_ray.pipelines.approx import (  # noqa: E402
     bloom_fpr_audit as _bloom_fpr_audit,
     BLOOM_FPR_SQL as _BLOOM_FPR_SQL,
     cms_error_report as _cms_error_report,
-    CMS_ERROR_SQL as _CMS_ERROR_SQL)
+    CMS_ERROR_SQL as _CMS_ERROR_SQL,
+    KMV_ANOTB_SQL as _KMV_ANOTB_SQL)
 from p2pddsketch_ray.pipelines.relational import (  # noqa: E402
     REPETITION_STATS_SQL as _REPETITION_STATS_SQL,
     TOKEN_EXPLODE_SQL as _TOKEN_EXPLODE_SQL,
@@ -284,6 +285,8 @@ from p2pddsketch_ray.pipelines.relational import (  # noqa: E402
     HAPAX_RATIO_SQL as _HAPAX_RATIO_SQL,
     l_diversity_audit as _l_diversity_audit,
     L_DIVERSITY_SQL as _L_DIVERSITY_SQL,
+    t_closeness_audit as _t_closeness_audit,
+    T_CLOSENESS_SQL as _T_CLOSENESS_SQL,
     hodges_lehmann_shift as _hodges_lehmann_shift,
     HODGES_LEHMANN_SQL as _HODGES_LEHMANN_SQL,
     dict_encoding_report as _dict_encoding_report,
@@ -847,10 +850,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # KMV set algebra: union/intersection estimates between per-group
         # sketches (the capability HLL lacks)
         "kmv_user_overlap": A.kmv_user_overlap,
+        # theta-sketch A-not-B: est users who did a but never b
+        "kmv_anotb_users": A.kmv_anotb_users,
         # batched MODEL INFERENCE: broadcast integer-linear classifier
         # scored by an actor pool (weights ray.put once, fetched once
         # per actor in __init__), in-batch rollup combiner
         "model_score_stats": _model_score_stats,
+        # lift/gains table of the broadcast linear scorer (binned)
+        "score_lift_report": _score_lift_report,
         # collocation extraction: top bigrams by PMI in exact integer
         # micro-nats (phrase-mining / tokenizer-merge statistic)
         "pmi_bigrams_topk": R.pmi_bigrams_topk,
@@ -1141,6 +1148,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hapax_ratio_by_source": _hapax_ratio_by_source,
         # l-diversity of market segment within nation QI classes
         "l_diversity_audit": _l_diversity_audit,
+        # t-closeness: per-(lang,source) EMD of binned n_chars vs global
+        "t_closeness_audit": _t_closeness_audit,
         # Hodges-Lehmann pairwise-difference median shift (R vs A)
         "hodges_lehmann_shift": _hodges_lehmann_shift,
         # dictionary-encoding size estimate per categorical column
@@ -1376,6 +1385,11 @@ def _inverted_index_lookup(sf_dir: str):
 def _model_score_stats(sf_dir: str):
     from p2pddsketch_ray.pipelines.inference import model_score_stats
     return model_score_stats(sf_dir)
+
+
+def _score_lift_report(sf_dir: str):
+    from p2pddsketch_ray.pipelines.inference import score_lift_report
+    return score_lift_report(sf_dir)
 
 
 def _multimodal_resize(sf_dir: str):
@@ -1870,11 +1884,13 @@ FROM tot, pe"""
 
 def oracle_sql() -> dict[str, str]:
     from p2pddsketch_ray.functions.text import STOPWORDS
-    from p2pddsketch_ray.pipelines.inference import MODEL_SCORE_SQL
+    from p2pddsketch_ray.pipelines.inference import (MODEL_SCORE_SQL,
+                                                     SCORE_LIFT_SQL)
     stoplist = ",".join(f"'{w}'" for w in STOPWORDS)
 
     return {
         "model_score_stats": MODEL_SCORE_SQL,
+        "score_lift_report": SCORE_LIFT_SQL,
         "pmi_bigrams_topk": _PMI_BIGRAMS_SQL,
         "bigram_lm_by_lang": _BIGRAM_LM_BY_LANG_SQL,
         "embedding_covariance_topk": _EMBEDDING_COVARIANCE_SQL,
@@ -1998,6 +2014,7 @@ def oracle_sql() -> dict[str, str]:
         "ams_f2_estimate": _AMS_F2_SQL,
         "hapax_ratio_by_source": _HAPAX_RATIO_SQL,
         "l_diversity_audit": _L_DIVERSITY_SQL,
+        "t_closeness_audit": _T_CLOSENESS_SQL,
         "hodges_lehmann_shift": _HODGES_LEHMANN_SQL,
         "dict_encoding_report": _DICT_ENCODING_SQL,
         "centroid_distance_matrix": _CENTROID_DISTANCE_SQL,
@@ -2879,6 +2896,7 @@ SELECT event_type,
 FROM r WHERE rn <= 64
 GROUP BY event_type
 ORDER BY 1""",
+        "kmv_anotb_users": _KMV_ANOTB_SQL,
         "kmv_user_overlap": """
 WITH d AS (SELECT DISTINCT event_type, hash(user_id) AS hv FROM events),
 r AS (SELECT event_type, hv,

@@ -290,6 +290,86 @@ def kmv_user_overlap(sf_dir: str, k: int = 64) -> pa.Table:
     })
 
 
+def kmv_anotb_users(sf_dir: str, k: int = 64) -> pa.Table:
+    """Theta-sketch set DIFFERENCE between per-group KMV sketches: for
+    every ordered event-type pair (a, b), the estimated count of users
+    who did ``a`` but never ``b`` -- the A-not-B operation that
+    completes the KMV set-algebra family (union/intersection in
+    `kmv_user_overlap`).  theta and the kept-count are emitted alongside
+    the estimate so the DuckDB replica verifies the full decision, not
+    just the rounded number (theta rides as a 32/32 split to stay in
+    int64)."""
+    sketches = kmv_sketches_by_group(sf_dir, k)
+    types = sorted(sketches)
+    rows = []
+    for ta in types:
+        for tb in types:
+            if ta == tb:
+                continue
+            n_keep, theta, est_f = sketches[ta].a_not_b(sketches[tb])
+            rows.append({
+                "type_a": ta, "type_b": tb, "n_keep": n_keep,
+                "theta_hi": theta >> 32,
+                "theta_lo": theta & 0xFFFFFFFF,
+                "est_diff": int(np.floor(est_f + 0.5)),
+            })
+    return pa.table({
+        "type_a": pa.array([r["type_a"] for r in rows]),
+        "type_b": pa.array([r["type_b"] for r in rows]),
+        "n_keep": pa.array([r["n_keep"] for r in rows], type=pa.int64()),
+        "theta_hi": pa.array([r["theta_hi"] for r in rows],
+                             type=pa.int64()),
+        "theta_lo": pa.array([r["theta_lo"] for r in rows],
+                             type=pa.int64()),
+        "est_diff": pa.array([r["est_diff"] for r in rows],
+                             type=pa.int64()),
+    })
+
+
+KMV_ANOTB_SQL = """
+WITH d AS (SELECT DISTINCT event_type, hash(user_id) AS hv FROM events),
+r AS (SELECT event_type, hv,
+             row_number() OVER (PARTITION BY event_type ORDER BY hv) rn
+      FROM d),
+topk AS (SELECT event_type, hv FROM r WHERE rn <= 64),
+st AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n, max(hv) AS kth
+       FROM topk GROUP BY 1),
+pairs AS (SELECT a.event_type AS ta, b.event_type AS tb
+          FROM (SELECT DISTINCT event_type FROM events) a
+          JOIN (SELECT DISTINCT event_type FROM events) b
+            ON a.event_type <> b.event_type),
+th AS (SELECT p.ta, p.tb,
+              CASE WHEN sa.n >= 64 AND sb.n >= 64
+                     THEN LEAST(sa.kth, sb.kth)
+                   WHEN sa.n >= 64 THEN sa.kth
+                   WHEN sb.n >= 64 THEN sb.kth
+                   ELSE NULL END AS theta
+       FROM pairs p
+       JOIN st sa ON sa.event_type = p.ta
+       JOIN st sb ON sb.event_type = p.tb),
+keepc AS (SELECT th.ta, th.tb, CAST(count(*) AS BIGINT) AS n_keep
+          FROM th JOIN topk a
+            ON a.event_type = th.ta
+           AND (th.theta IS NULL OR a.hv <= th.theta)
+          WHERE NOT EXISTS (SELECT 1 FROM topk b
+                            WHERE b.event_type = th.tb
+                              AND b.hv = a.hv)
+          GROUP BY 1, 2)
+SELECT th.ta AS type_a, th.tb AS type_b,
+       COALESCE(k.n_keep, 0) AS n_keep,
+       COALESCE(CAST(th.theta // 4294967296 AS BIGINT), 0) AS theta_hi,
+       COALESCE(CAST(th.theta % 4294967296 AS BIGINT), 0) AS theta_lo,
+       CAST(FLOOR((CASE WHEN th.theta IS NULL
+                        THEN CAST(COALESCE(k.n_keep, 0) AS DOUBLE)
+                        ELSE CAST(COALESCE(k.n_keep, 0) AS DOUBLE)
+                             * (18446744073709551616.0
+                                / CAST(th.theta AS DOUBLE))
+                   END) + 0.5) AS BIGINT) AS est_diff
+FROM th LEFT JOIN keepc k ON k.ta = th.ta AND k.tb = th.tb
+ORDER BY 1, 2
+"""
+
+
 def mg_heavy_users(sf_dir: str, k: int = 400,
                    inv_phi: float = 200.0) -> "ray.data.Dataset":
     """Deterministic frequent-items: every user whose event count is at

@@ -24,7 +24,7 @@ import pyarrow.compute as pc
 
 import ray
 import ray.data
-from ray.data.aggregate import Max, Sum
+from ray.data.aggregate import Max, Min, Sum
 
 # "trained" model: integer weights over (bias, n_chars, n_toks, n_a, n_e)
 MODEL_WEIGHTS = {"bias": 2000, "w_chars": -3, "w_toks": 40,
@@ -145,4 +145,129 @@ SELECT lang,
        CAST(sum(logit) AS BIGINT) AS sum_logit,
        CAST(max(logit) AS BIGINT) AS max_logit
 FROM feat GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def score_lift_report(sf_dir: str, n_bins: int = 10,
+                      pos_chars: int = 200) -> pa.Table:
+    """Model-eval LIFT/GAINS table for the broadcast linear scorer: the
+    logit range is split into equal-width bins and each bin reports its
+    document count, positive count (label: n_chars >= ``pos_chars``),
+    positive rate, exact logit mass, and the cumulative share of all
+    positives captured from the top score bin down -- the gains curve a
+    ranking-model evaluation reads off.
+
+    Scale shape: pass 1 folds per-block (min, max) logits to fix the
+    grid (at corpus scale you would persist the score column once via
+    the partitioned-write stage instead of re-scoring); pass 2 is the
+    same actor-pool scorer emitting a <= n_bins-row partial per block;
+    the cumulative walk runs on the bounded grid driver-side."""
+    cols = ["text", "n_chars"]
+    w_ref = ray.put(MODEL_WEIGHTS)
+
+    def read():
+        return ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                     columns=cols)
+
+    class MinMax:
+        def __init__(self, weights_ref):
+            self.scorer = LinearDocScorer(weights_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            logit = self.scorer.predict(t)
+            return pa.table({
+                "mn": pa.array([int(logit.min())], type=pa.int64()),
+                "mx": pa.array([int(logit.max())], type=pa.int64())})
+
+    mm = (read().map_batches(MinMax, batch_format="pyarrow",
+                             zero_copy_batch=True, concurrency=2,
+                             fn_constructor_args=(w_ref,))
+          .aggregate(Min("mn"), Max("mx")))
+    mn, mx = int(mm["min(mn)"]), int(mm["max(mx)"])
+    width_den = mx - mn + 1
+
+    class BinFold:
+        def __init__(self, weights_ref):
+            self.scorer = LinearDocScorer(weights_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            logit = self.scorer.predict(t)
+            bins = (logit - mn) * n_bins // width_den
+            pos = (pc.cast(t["n_chars"], pa.int64())
+                   .to_numpy(zero_copy_only=False)
+                   >= pos_chars).astype(np.int64)
+            staged = pa.table({
+                "bin": pa.array(bins.astype(np.int64)),
+                "n_docs": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+                "n_pos": pa.array(pos),
+                "sum_logit": pa.array(logit.astype(np.int64))})
+            g = staged.group_by("bin").aggregate(
+                [("n_docs", "sum"), ("n_pos", "sum"),
+                 ("sum_logit", "sum")])
+            return pa.table({
+                "bin": g["bin"],
+                "n_docs": pc.cast(g["n_docs_sum"], pa.int64()),
+                "n_pos": pc.cast(g["n_pos_sum"], pa.int64()),
+                "sum_logit": pc.cast(g["sum_logit_sum"], pa.int64())})
+
+    grid = (read().map_batches(BinFold, batch_format="pyarrow",
+                               zero_copy_batch=True, concurrency=2,
+                               fn_constructor_args=(w_ref,))
+            .groupby("bin")
+            .aggregate(Sum("n_docs", alias_name="n_docs"),
+                       Sum("n_pos", alias_name="n_pos"),
+                       Sum("sum_logit", alias_name="sum_logit"))
+            .to_pandas().sort_values("bin", ascending=False))
+    n_docs = grid["n_docs"].to_numpy(dtype=np.int64)
+    n_pos = grid["n_pos"].to_numpy(dtype=np.int64)
+    total_pos = int(n_pos.sum())
+    cum_pos = np.cumsum(n_pos)
+    pos_rate = n_pos * 1_000_000 // n_docs
+    if total_pos:
+        cum_share = cum_pos * 1_000_000 // total_pos
+    else:
+        cum_share = np.zeros(len(grid), dtype=np.int64)
+    return pa.table({
+        "bin": pa.array(grid["bin"].to_numpy(dtype=np.int64)),
+        "n_docs": pa.array(n_docs),
+        "n_pos": pa.array(n_pos),
+        "pos_rate_ppm": pa.array(pos_rate.astype(np.int64)),
+        "sum_logit": pa.array(grid["sum_logit"].to_numpy(
+            dtype=np.int64)),
+        "cum_pos_share_ppm": pa.array(cum_share.astype(np.int64)),
+    })
+
+
+SCORE_LIFT_SQL = f"""
+WITH feat AS (
+  SELECT CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END AS pos,
+         {MODEL_WEIGHTS['bias']}
+         + {MODEL_WEIGHTS['w_chars']} * n_chars
+         + {MODEL_WEIGHTS['w_toks']} * len(string_split(text, ' '))
+         + {MODEL_WEIGHTS['w_a']} *
+             (length(text) - length(replace(text, 'a', '')))
+         + {MODEL_WEIGHTS['w_e']} *
+             (length(text) - length(replace(text, 'e', '')))
+         AS logit
+  FROM documents
+),
+mm AS (SELECT min(logit) AS mn, max(logit) AS mx FROM feat),
+binned AS (SELECT CAST((logit - mm.mn) * 10 // (mm.mx - mm.mn + 1)
+                       AS BIGINT) AS bin,
+                  logit, pos
+           FROM feat CROSS JOIN mm),
+cell AS (SELECT bin, CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(pos) AS BIGINT) AS n_pos,
+                CAST(sum(logit) AS BIGINT) AS sum_logit
+         FROM binned GROUP BY 1),
+tot AS (SELECT CAST(sum(n_pos) AS BIGINT) AS tp FROM cell)
+SELECT bin, n_docs, n_pos,
+       CAST(n_pos * 1000000 // n_docs AS BIGINT) AS pos_rate_ppm,
+       sum_logit,
+       COALESCE(CAST(CAST(sum(n_pos) OVER (ORDER BY bin DESC)
+                          AS HUGEINT) * 1000000
+                     // NULLIF((SELECT tp FROM tot), 0) AS BIGINT), 0)
+         AS cum_pos_share_ppm
+FROM cell
+ORDER BY bin DESC
 """

@@ -19826,3 +19826,113 @@ FROM orders GROUP BY 1 ORDER BY 1
 """
 
 
+
+
+def t_closeness_audit(sf_dir: str, n_bins: int = 8) -> pa.Table:
+    """t-CLOSENESS audit (Li et al., ICDE 2007): for every
+    quasi-identifier group (lang, source), the ordered-distance EMD
+    between the group's distribution of the sensitive attribute
+    (n_chars, equal-width binned) and the global distribution --
+    completing the privacy-audit family (k-anonymity, l-diversity).
+    EMD over ordered bins = mean |prefix-sum gap|, reported in
+    micro-units; a group with t_micro near 1e6 leaks the sensitive
+    attribute through its quasi-identifier.
+
+    Scale shape: one Min/Max pass fixes the bin grid, one streamed
+    per-block combiner folds to the bounded (lang x source x bin) grid,
+    and the EMD arithmetic runs on that grid driver-side in exact
+    Python big ints (prefix cross-multiplication |pg*N - pG*n_g| never
+    overflows and never divides early)."""
+    ds = _read(sf_dir, "documents", ["lang", "source", "n_chars"])
+    mm = ds.aggregate(Min("n_chars"), Max("n_chars"))
+    mn, mx = int(mm["min(n_chars)"]), int(mm["max(n_chars)"])
+    width_den = mx - mn + 1
+
+    def cells(tbl: pa.Table) -> pa.Table:
+        nc = tbl["n_chars"].to_numpy(zero_copy_only=False)
+        bins = (nc - mn) * n_bins // width_den
+        staged = pa.table({"lang": tbl["lang"], "source": tbl["source"],
+                           "bin": pa.array(bins.astype(np.int64))})
+        g = staged.group_by(["lang", "source", "bin"]).aggregate(
+            [([], "count_all")])
+        return pa.table({"lang": g["lang"], "source": g["source"],
+                         "bin": g["bin"],
+                         "c": pc.cast(g["count_all"], pa.int64())})
+
+    grid = (ds.map_batches(cells, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby(["lang", "source", "bin"])
+            .aggregate(Sum("c", alias_name="c"))
+            .to_pandas())
+    import pandas as pd
+    piv = grid.pivot_table(index=["lang", "source"], columns="bin",
+                           values="c", fill_value=0, aggfunc="sum")
+    piv = piv.reindex(columns=range(n_bins), fill_value=0)
+    counts = piv.to_numpy(dtype=np.int64)
+    glob = counts.sum(axis=0).astype(object)
+    total = int(sum(glob))
+    # one prefix term per GRID bin, present or not: the prefix gap
+    # persists across empty bins, and each unit of ground distance it
+    # persists for costs one term (the SQL twin generates the same full
+    # grid with generate_series)
+    rows = []
+    for (lang, source), row in zip(piv.index, counts):
+        n_g = int(row.sum())
+        pg = 0
+        pG = 0
+        num = 0
+        for b in range(n_bins):
+            pg += int(row[b])
+            pG += int(glob[b])
+            num += abs(pg * total - pG * n_g)
+        t_micro = num * 1_000_000 // ((n_bins - 1) * n_g * total)
+        rows.append((lang, source, n_g, t_micro))
+    rows.sort(key=lambda r: (-r[3], r[0], r[1]))
+    return pa.table({
+        "lang": pa.array([r[0] for r in rows], type=pa.string()),
+        "source": pa.array([r[1] for r in rows], type=pa.string()),
+        "n_docs": pa.array([r[2] for r in rows], type=pa.int64()),
+        "t_micro": pa.array([r[3] for r in rows], type=pa.int64()),
+    })
+
+
+T_CLOSENESS_SQL = """
+WITH mm AS (SELECT min(n_chars) AS mn, max(n_chars) AS mx
+            FROM documents),
+binned AS (SELECT lang, source,
+                  CAST((n_chars - mm.mn) * 8 // (mm.mx - mm.mn + 1)
+                       AS BIGINT) AS bin
+           FROM documents CROSS JOIN mm),
+cell AS (SELECT lang, source, bin, CAST(count(*) AS BIGINT) AS c
+         FROM binned GROUP BY 1, 2, 3),
+grp AS (SELECT lang, source, CAST(sum(c) AS BIGINT) AS n_g
+        FROM cell GROUP BY 1, 2),
+gb AS (SELECT gs.bin, COALESCE(x.g, 0) AS g
+       FROM (SELECT CAST(range AS BIGINT) AS bin
+             FROM range(0, 8)) gs
+       LEFT JOIN (SELECT bin, CAST(sum(c) AS BIGINT) AS g
+                  FROM cell GROUP BY 1) x ON x.bin = gs.bin),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_all FROM cell),
+grid AS (SELECT grp.lang, grp.source, grp.n_g, gb.bin, gb.g,
+                COALESCE(cell.c, 0) AS c
+         FROM grp CROSS JOIN gb
+         LEFT JOIN cell ON cell.lang = grp.lang
+                       AND cell.source = grp.source
+                       AND cell.bin = gb.bin),
+pre AS (SELECT lang, source, n_g,
+               CAST(sum(c) OVER (PARTITION BY lang, source
+                                 ORDER BY bin) AS HUGEINT) AS pg,
+               CAST(sum(g) OVER (PARTITION BY lang, source
+                                 ORDER BY bin) AS HUGEINT) AS pglob
+        FROM grid),
+emd AS (SELECT pre.lang, pre.source, max(pre.n_g) AS n_docs,
+               sum(abs(pre.pg * tot.n_all - pre.pglob * pre.n_g))
+                 AS num
+        FROM pre CROSS JOIN tot GROUP BY 1, 2)
+SELECT emd.lang, emd.source, n_docs,
+       CAST(num * 1000000
+            // (7 * CAST(n_docs AS HUGEINT)
+                * (SELECT n_all FROM tot)) AS BIGINT) AS t_micro
+FROM emd
+ORDER BY t_micro DESC, lang, source
+"""

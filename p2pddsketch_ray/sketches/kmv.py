@@ -104,6 +104,38 @@ class KMVSketch:
                    .sum())
 
     # -- set algebra -----------------------------------------------------
+    def a_not_b(self, other: "KMVSketch"):
+        """Theta-sketch A-not-B (DataSketches-style set difference):
+        estimate |A \\ B| from the two bottom-k states.
+
+        theta = min over the SATURATED sides of their k-th hash (a
+        sketch with fewer than k mins is an exact record, contributing
+        no bound).  Both stored sets are complete records of their
+        input's distinct hashes <= theta, so
+        ``keep = {h in mins_a : h <= theta, h not in mins_b}`` is the
+        exact sampled difference and scales by the inclusion rate
+        theta / 2^64.  Returns (n_keep, theta, est_f) with theta == 0
+        when neither side is saturated (est exact).  Float op order is
+        replicated verbatim in the SQL oracle -- keep in sync."""
+        thetas = []
+        if self.n_mins >= self.k:
+            thetas.append(int(self.mins[-1]))
+        if other.n_mins >= other.k:
+            thetas.append(int(other.mins[-1]))
+        if thetas:
+            theta = min(thetas)
+            keep = self.mins[self.mins <= np.uint64(theta)]
+        else:
+            theta = 0
+            keep = self.mins
+        n_keep = int(np.isin(keep, other.mins, invert=True).sum())
+        if thetas:
+            est_f = np.float64(n_keep) * (_TWO64
+                                          / np.float64(np.uint64(theta)))
+        else:
+            est_f = np.float64(n_keep)
+        return n_keep, theta, est_f
+
     def union_intersection(self, other: "KMVSketch"):
         """(est_union_f, n_common, nL) for self vs other.
 

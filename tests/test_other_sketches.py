@@ -532,3 +532,35 @@ def test_cms_error_report_never_underestimates(ray_session, tmp_path):
     assert (out["cms_est"] == out["exact"] + out["overestimate"]).all()
     # top-k by exact count, descending
     assert list(out["exact"]) == sorted(out["exact"], reverse=True)
+
+
+def test_kmv_a_not_b_exact_when_unsaturated():
+    from p2pddsketch_ray.sketches.kmv import KMVSketch
+    a = np.arange(0, 40, dtype=np.int64)       # 40 distinct < k
+    b = np.arange(30, 60, dtype=np.int64)      # overlap 30..39
+    sa, sb = KMVSketch(64), KMVSketch(64)
+    sa.add_batch(a)
+    sb.add_batch(b)
+    n_keep, theta, est_f = sa.a_not_b(sb)
+    assert theta == 0                          # neither saturated
+    assert n_keep == 30 and est_f == 30.0      # exact |A \ B|
+
+
+def test_kmv_a_not_b_estimate_accuracy():
+    from p2pddsketch_ray.sketches.kmv import KMVSketch
+    rng = np.random.default_rng(11)
+    a = rng.integers(0, 50_000, size=200_000).astype(np.int64)
+    b = rng.integers(25_000, 75_000, size=200_000).astype(np.int64)
+    sa, sb = KMVSketch(1024), KMVSketch(1024)
+    sa.add_batch(a)
+    sb.add_batch(b)
+    n_keep, theta, est_f = sa.a_not_b(sb)
+    assert theta > 0
+    exact = np.setdiff1d(a, b).shape[0]
+    assert abs(est_f - exact) / exact < 0.15
+    # anti-symmetry sanity: |A\B| + |A&B| ~= |A|
+    est_i = (sa.union_intersection(sb)[1]
+             / sa.union_intersection(sb)[2]) \
+        * sa.union_intersection(sb)[0]
+    exact_a = np.unique(a).shape[0]
+    assert abs((est_f + est_i) - exact_a) / exact_a < 0.2

@@ -4193,3 +4193,54 @@ def test_partition_by_coalesce_is_pure_routing(ray_session):
              .to_pandas().sort_values(["part_min_k"]).reset_index(drop=True))
     assert out_a.equals(out_b)
     assert out_a["part_n"].sum() == n
+
+
+def test_t_closeness_separates_skewed_group(ray_session, tmp_path):
+    """A group mirroring the global distribution scores ~0; a group
+    concentrated in one tail scores high."""
+    import pyarrow.parquet as pq
+    from p2pddsketch_ray.pipelines.relational import t_closeness_audit
+    # groups A and B: 40 short (100 ch) / 160 long (500 ch) each;
+    # group C: 100 long only.  Global short share = 80/500 = 0.16, so
+    # the prefix gap persists over 7 unit distances: C pays
+    # |0 - 0.16| -> t = 160000 exactly, A pays |0.2 - 0.16| -> 40000.
+    langs, sources, chars = [], [], []
+    for grp, lang, src in [(0, "en", "a"), (1, "de", "b")]:
+        for i in range(200):
+            langs.append(lang); sources.append(src)
+            chars.append(100 if i < 40 else 500)
+    for i in range(100):
+        langs.append("fr"); sources.append("skew")
+        chars.append(500)
+    pq.write_table(pa.table({
+        "lang": pa.array(langs), "source": pa.array(sources),
+        "n_chars": pa.array(chars, type=pa.int64()),
+    }), str(tmp_path / "documents.parquet"))
+    out = t_closeness_audit(str(tmp_path)).to_pandas()
+    t = {(r.lang, r.source): r.t_micro for r in out.itertuples()}
+    assert t[("fr", "skew")] == 160_000
+    assert t[("en", "a")] == 40_000 and t[("de", "b")] == 40_000
+    assert out.iloc[0]["lang"] == "fr"      # sorted worst-first
+
+
+def test_score_lift_gains_monotone_on_separable(ray_session, tmp_path):
+    """When the scorer's logit separates the label, the top bin holds
+    all positives and the gains curve jumps to 1e6 immediately."""
+    import pyarrow.parquet as pq
+    from p2pddsketch_ray.pipelines.inference import score_lift_report
+    # short docs (n_chars small) get HIGH logit (w_chars < 0), and the
+    # label is n_chars >= 200 -- so positives live in LOW bins; check
+    # bookkeeping: totals add up and cum share ends at 1e6
+    texts = ["b" * 10] * 50 + ["b" * 400] * 50
+    chars = [10] * 50 + [400] * 50
+    pq.write_table(pa.table({
+        "text": pa.array(texts),
+        "n_chars": pa.array(chars, type=pa.int64()),
+    }), str(tmp_path / "documents.parquet"))
+    out = score_lift_report(str(tmp_path)).to_pandas()
+    assert int(out["n_docs"].sum()) == 100
+    assert int(out["n_pos"].sum()) == 50
+    assert int(out["cum_pos_share_ppm"].iloc[-1]) == 1_000_000
+    # positives (long docs) have the LOWEST logits -> last bin all-pos
+    assert int(out.iloc[-1]["pos_rate_ppm"]) == 1_000_000
+    assert int(out.iloc[0]["pos_rate_ppm"]) == 0
