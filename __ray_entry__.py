@@ -109,7 +109,9 @@ from p2pddsketch_ray.pipelines.approx import (  # noqa: E402
     BLOOM_FPR_SQL as _BLOOM_FPR_SQL,
     cms_error_report as _cms_error_report,
     CMS_ERROR_SQL as _CMS_ERROR_SQL,
-    KMV_ANOTB_SQL as _KMV_ANOTB_SQL)
+    KMV_ANOTB_SQL as _KMV_ANOTB_SQL,
+    table_profile_sketched as _table_profile_sketched,
+    TABLE_PROFILE_SQL as _TABLE_PROFILE_SQL)
 from p2pddsketch_ray.pipelines.relational import (  # noqa: E402
     REPETITION_STATS_SQL as _REPETITION_STATS_SQL,
     TOKEN_EXPLODE_SQL as _TOKEN_EXPLODE_SQL,
@@ -287,6 +289,8 @@ from p2pddsketch_ray.pipelines.relational import (  # noqa: E402
     L_DIVERSITY_SQL as _L_DIVERSITY_SQL,
     t_closeness_audit as _t_closeness_audit,
     T_CLOSENESS_SQL as _T_CLOSENESS_SQL,
+    psi_drift_binned as _psi_drift_binned,
+    PSI_DRIFT_SQL as _PSI_DRIFT_SQL,
     hodges_lehmann_shift as _hodges_lehmann_shift,
     HODGES_LEHMANN_SQL as _HODGES_LEHMANN_SQL,
     dict_encoding_report as _dict_encoding_report,
@@ -852,6 +856,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmv_user_overlap": A.kmv_user_overlap,
         # theta-sketch A-not-B: est users who did a but never b
         "kmv_anotb_users": A.kmv_anotb_users,
+        # one-pass sketched table profiler (per-column HLL + nulls)
+        "table_profile_sketched": _table_profile_sketched,
+        # population stability index per type (drift, smoothed bins)
+        "psi_drift_binned": _psi_drift_binned,
         # batched MODEL INFERENCE: broadcast integer-linear classifier
         # scored by an actor pool (weights ray.put once, fetched once
         # per actor in __init__), in-batch rollup combiner
@@ -2897,6 +2905,8 @@ FROM r WHERE rn <= 64
 GROUP BY event_type
 ORDER BY 1""",
         "kmv_anotb_users": _KMV_ANOTB_SQL,
+        "table_profile_sketched": _TABLE_PROFILE_SQL,
+        "psi_drift_binned": _PSI_DRIFT_SQL,
         "kmv_user_overlap": """
 WITH d AS (SELECT DISTINCT event_type, hash(user_id) AS hv FROM events),
 r AS (SELECT event_type, hv,

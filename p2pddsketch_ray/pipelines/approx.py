@@ -826,3 +826,153 @@ FROM est
 ORDER BY exact DESC, user_id ASC
 LIMIT 10
 """
+
+
+_PROFILE_COLS = (
+    # (column, hash tier): BIGINT columns ride murmur64 (== DuckDB
+    # hash()); VARCHAR columns ride md5_uint64 (== DuckDB md5 prefix --
+    # the oracle-replicable string tier; a 100 TB caller swaps in the
+    # vectorized fingerprint tier and loses only SQL replicability)
+    ("o_custkey", "int"),
+    ("o_orderstatus", "str"),
+    ("o_orderpriority", "str"),
+)
+
+
+def table_profile_sketched(sf_dir: str) -> pa.Table:
+    """One-pass TABLE PROFILER over orders: per profiled column, the
+    row count, null count and an HLL(p=12) distinct estimate -- the
+    schema-exploration primitive (what a warehouse's ANALYZE collects)
+    built from mergeable sketches so a single streamed pass profiles
+    every column at once at any scale.
+
+    Scale shape: each block folds every column to its non-zero
+    (register index, rho) pairs plus one count row -- O(cols x 4096)
+    rows per block regardless of block size; one bounded groupby
+    max/sum merges them; the estimator arithmetic (same float op order
+    as `hll_distinct_users`) runs on the cols x 4096 grid driver-side.
+    Register-level columns (nonzero/sum) ride along so the oracle
+    verifies the whole sketch state, not just the rounded estimate."""
+    from ray.data.aggregate import Max, Sum
+
+    from ..hashing import md5_uint64, murmur64
+    from ..sketches.hll import HyperLogLog, register_updates
+
+    cols = [c for c, _ in _PROFILE_COLS]
+    ds = _read(sf_dir, "orders", cols)
+
+    empty = pa.table({"col": pa.array([], type=pa.string()),
+                      "idx": pa.array([], type=pa.int64()),
+                      "rho": pa.array([], type=pa.int64()),
+                      "n": pa.array([], type=pa.int64()),
+                      "n_null": pa.array([], type=pa.int64())})
+
+    def partial(t: pa.Table) -> pa.Table:
+        names, idxs, rhos, ns, nulls = [], [], [], [], []
+        for col, kind in _PROFILE_COLS:
+            arr = t[col]
+            n_null = int(arr.null_count)
+            vals = arr.drop_null() if n_null else arr
+            if kind == "int":
+                h = murmur64(vals.to_numpy(zero_copy_only=False))
+            else:
+                h = md5_uint64(vals)
+            idx, rho = register_updates(h, 12)
+            regs = np.zeros(4096, dtype=np.uint8)
+            np.maximum.at(regs, idx, rho)
+            nz = np.flatnonzero(regs)
+            k = nz.size
+            names.extend([col] * (k + 1))
+            idxs.append(nz.astype(np.int64))
+            idxs.append(np.array([-1], dtype=np.int64))
+            rhos.append(regs[nz].astype(np.int64))
+            rhos.append(np.array([0], dtype=np.int64))
+            ns.append(np.zeros(k, dtype=np.int64))
+            ns.append(np.array([t.num_rows], dtype=np.int64))
+            nulls.append(np.zeros(k, dtype=np.int64))
+            nulls.append(np.array([n_null], dtype=np.int64))
+        if not names:
+            return empty
+        return pa.table({
+            "col": pa.array(names, type=pa.string()),
+            "idx": pa.array(np.concatenate(idxs)),
+            "rho": pa.array(np.concatenate(rhos)),
+            "n": pa.array(np.concatenate(ns)),
+            "n_null": pa.array(np.concatenate(nulls))})
+
+    merged = (ds.map_batches(partial, batch_format="pyarrow",
+                             zero_copy_batch=True)
+              .groupby(["col", "idx"])
+              .aggregate(Max("rho", alias_name="rho"),
+                         Sum("n", alias_name="n"),
+                         Sum("n_null", alias_name="n_null"))
+              .to_pandas())
+    rows = []
+    for col, _ in _PROFILE_COLS:
+        sub = merged[merged["col"] == col]
+        counts = sub[sub["idx"] == -1]
+        n = int(counts["n"].sum())
+        n_null = int(counts["n_null"].sum())
+        regs_rows = sub[sub["idx"] >= 0]
+        h = HyperLogLog(12)
+        h.registers[regs_rows["idx"].to_numpy(dtype=np.int64)] = \
+            regs_rows["rho"].to_numpy(dtype=np.int64).astype(np.uint8)
+        regs = h.registers
+        rows.append((col, n, n_null, int((regs > 0).sum()),
+                     int(regs.astype(np.int64).sum()),
+                     round(h.estimate(), 6)))
+    return pa.table({
+        "col": pa.array([r[0] for r in rows], type=pa.string()),
+        "n_rows": pa.array([r[1] for r in rows], type=pa.int64()),
+        "n_nulls": pa.array([r[2] for r in rows], type=pa.int64()),
+        "nonzero_registers": pa.array([r[3] for r in rows],
+                                      type=pa.int64()),
+        "sum_registers": pa.array([r[4] for r in rows],
+                                  type=pa.int64()),
+        "hll_estimate": pa.array([r[5] for r in rows],
+                                 type=pa.float64()),
+    })
+
+
+def _profile_branch_sql(col: str, kind: str) -> str:
+    if kind == "int":
+        hexpr = f"hash({col}::BIGINT)"
+    else:
+        hexpr = (f"CAST(('0x' || substr(md5({col}), 1, 16)) "
+                 "AS UBIGINT)")
+    return f"""
+SELECT '{col}' AS col,
+       (SELECT CAST(count(*) AS BIGINT) FROM orders) AS n_rows,
+       (SELECT CAST(count(*) - count({col}) AS BIGINT) FROM orders)
+         AS n_nulls,
+       nonzero AS nonzero_registers, sumr AS sum_registers,
+       round(CASE WHEN raw <= 2.5*4096 AND zeros > 0
+                  THEN 4096 * ln(4096.0 / CAST(zeros AS DOUBLE))
+                  ELSE raw END, 6) AS hll_estimate
+FROM (
+  SELECT nonzero, sumr, 4096 - nonzero AS zeros,
+         (0.7213/(1.0 + 1.079/4096)) * 4096 * 4096 /
+             (s_nonzero + CAST(4096 - nonzero AS DOUBLE)) AS raw
+  FROM (
+    SELECT count(*) AS nonzero, CAST(sum(r) AS BIGINT) AS sumr,
+           sum(pow(2.0, -CAST(r AS DOUBLE))) AS s_nonzero
+    FROM (
+      SELECT idx, max(rho) AS r FROM (
+        SELECT CAST(hv >> 52 AS BIGINT) AS idx,
+               CASE WHEN (hv & 4503599627370495::UBIGINT) = 0 THEN 53
+                    ELSE 52 - CAST(floor(log2(CAST(hv
+                         & 4503599627370495::UBIGINT AS DOUBLE)))
+                         AS BIGINT)
+               END AS rho
+        FROM (SELECT {hexpr} AS hv FROM orders
+              WHERE {col} IS NOT NULL) hh
+      ) rr GROUP BY idx
+    ) mx
+  ) stats
+) est
+"""
+
+
+TABLE_PROFILE_SQL = "\nUNION ALL\n".join(
+    _profile_branch_sql(c, k) for c, k in _PROFILE_COLS
+) + "\nORDER BY col"

@@ -19936,3 +19936,138 @@ SELECT emd.lang, emd.source, n_docs,
 FROM emd
 ORDER BY t_micro DESC, lang, source
 """
+
+
+def psi_drift_binned(sf_dir: str, split: str = "2024-01-16",
+                     n_bins: int = 10) -> pa.Table:
+    """POPULATION STABILITY INDEX between the event-value distributions
+    before and after a split date, per event_type -- the industry drift
+    score (sum of (pA - pB) * ln(pA / pB) over bins) completing the
+    drift family (KS / CvM / EMD / chi2).  Laplace +1 smoothing keeps
+    empty bins finite and deterministic; terms are floored micro-nats
+    with the exact float expression mirrored in the SQL twin.
+
+    Scale shape: values are binned on integer cents against a min/max
+    grid pass; each block folds to the bounded (type x period x bin)
+    grid; the ln arithmetic runs driver-side on that grid."""
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+    split_us = int(np.datetime64(split, "us").astype(np.int64))
+
+    def cents_col(t: pa.Table) -> pa.Table:
+        v = t["value"].to_numpy(zero_copy_only=False)
+        vc = np.floor(v * 100.0 + 0.5).astype(np.int64)
+        return pa.table({"mn": pa.array([int(vc.min())], pa.int64()),
+                         "mx": pa.array([int(vc.max())], pa.int64())})
+
+    mm = (ds.map_batches(cents_col, batch_format="pyarrow",
+                         zero_copy_batch=True)
+          .aggregate(Min("mn"), Max("mx")))
+    mn, mx = int(mm["min(mn)"]), int(mm["max(mx)"])
+    width_den = mx - mn + 1
+
+    def cells(t: pa.Table) -> pa.Table:
+        v = t["value"].to_numpy(zero_copy_only=False)
+        vc = np.floor(v * 100.0 + 0.5).astype(np.int64)
+        bins = (vc - mn) * n_bins // width_den
+        us = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        period = (us >= split_us).astype(np.int64)
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        ut, tinv = np.unique(et, return_inverse=True)
+        comp = (tinv.astype(np.int64) * n_bins + bins) * 2 + period
+        uc, inv = np.unique(comp, return_inverse=True)
+        cnt = np.bincount(inv).astype(np.int64)
+        return pa.table({
+            "event_type": pa.array(ut[uc // (2 * n_bins)].tolist(),
+                                   type=pa.string()),
+            "bin": pa.array((uc // 2) % n_bins),
+            "period": pa.array(uc % 2),
+            "cnt": pa.array(cnt)})
+
+    grid = (ds.map_batches(cells, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby(["event_type", "bin", "period"])
+            .aggregate(Sum("cnt", alias_name="cnt"))
+            .to_pandas())
+    import pandas as pd
+    piv = grid.pivot_table(index=["event_type", "bin"],
+                           columns="period", values="cnt",
+                           fill_value=0, aggfunc="sum")
+    piv = piv.reindex(columns=[0, 1], fill_value=0)
+    # full (type x bin) grid: empty bins still contribute a smoothed
+    # term (the SQL twin generates the same grid)
+    types = sorted(piv.index.get_level_values(0).unique())
+    full = pd.MultiIndex.from_product([types, range(n_bins)],
+                                      names=["event_type", "bin"])
+    piv = piv.reindex(full, fill_value=0)
+    ca = piv[0].to_numpy(dtype=np.int64)
+    cb = piv[1].to_numpy(dtype=np.int64)
+    na = piv.groupby(level=0)[0].transform("sum") \
+        .to_numpy(dtype=np.int64)
+    nb = piv.groupby(level=0)[1].transform("sum") \
+        .to_numpy(dtype=np.int64)
+    # ONE float expression per term, same parenthesization as the SQL
+    pa_ = (ca.astype(np.float64) + 1.0) \
+        / (na.astype(np.float64) + np.float64(n_bins))
+    pb_ = (cb.astype(np.float64) + 1.0) \
+        / (nb.astype(np.float64) + np.float64(n_bins))
+    terms = np.floor(((pa_ - pb_) * np.log(pa_ / pb_)) * 1e6) \
+        .astype(np.int64)
+    out = pd.DataFrame({
+        "event_type": piv.index.get_level_values(0),
+        "bin": piv.index.get_level_values(1).astype(np.int64),
+        "cnt_a": ca, "cnt_b": cb, "psi_term_unats": terms,
+    }).sort_values(["event_type", "bin"]).reset_index(drop=True)
+    return pa.table({
+        "event_type": pa.array(out["event_type"], type=pa.string()),
+        "bin": pa.array(out["bin"].to_numpy(dtype=np.int64)),
+        "cnt_a": pa.array(out["cnt_a"].to_numpy(dtype=np.int64)),
+        "cnt_b": pa.array(out["cnt_b"].to_numpy(dtype=np.int64)),
+        "psi_term_unats": pa.array(
+            out["psi_term_unats"].to_numpy(dtype=np.int64)),
+    })
+
+
+PSI_DRIFT_SQL = """
+WITH v AS (
+  SELECT event_type,
+         CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS vc,
+         CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END
+           AS period
+  FROM events
+),
+mm AS (SELECT min(vc) AS mn, max(vc) AS mx FROM v),
+binned AS (SELECT event_type, period,
+                  CAST((vc - mm.mn) * 10 // (mm.mx - mm.mn + 1)
+                       AS BIGINT) AS bin
+           FROM v CROSS JOIN mm),
+cell AS (SELECT event_type, bin, period,
+                CAST(count(*) AS BIGINT) AS cnt
+         FROM binned GROUP BY 1, 2, 3),
+grid AS (SELECT et.event_type, gs.bin,
+                COALESCE(a.cnt, 0) AS cnt_a,
+                COALESCE(b.cnt, 0) AS cnt_b
+         FROM (SELECT DISTINCT event_type FROM events) et
+         CROSS JOIN (SELECT CAST(range AS BIGINT) AS bin
+                     FROM range(0, 10)) gs
+         LEFT JOIN cell a ON a.event_type = et.event_type
+                         AND a.bin = gs.bin AND a.period = 0
+         LEFT JOIN cell b ON b.event_type = et.event_type
+                         AND b.bin = gs.bin AND b.period = 1),
+tots AS (SELECT event_type,
+                CAST(sum(cnt_a) AS BIGINT) AS na,
+                CAST(sum(cnt_b) AS BIGINT) AS nb
+         FROM grid GROUP BY 1)
+SELECT g.event_type, g.bin, g.cnt_a, g.cnt_b,
+       CAST(floor(
+         (((CAST(g.cnt_a AS DOUBLE) + 1.0)
+             / (CAST(tt.na AS DOUBLE) + 10.0))
+          - ((CAST(g.cnt_b AS DOUBLE) + 1.0)
+             / (CAST(tt.nb AS DOUBLE) + 10.0)))
+         * ln(((CAST(g.cnt_a AS DOUBLE) + 1.0)
+                 / (CAST(tt.na AS DOUBLE) + 10.0))
+              / ((CAST(g.cnt_b AS DOUBLE) + 1.0)
+                 / (CAST(tt.nb AS DOUBLE) + 10.0)))
+         * 1000000.0) AS BIGINT) AS psi_term_unats
+FROM grid g JOIN tots tt ON tt.event_type = g.event_type
+ORDER BY 1, 2
+"""

@@ -4244,3 +4244,59 @@ def test_score_lift_gains_monotone_on_separable(ray_session, tmp_path):
     # positives (long docs) have the LOWEST logits -> last bin all-pos
     assert int(out.iloc[-1]["pos_rate_ppm"]) == 1_000_000
     assert int(out.iloc[0]["pos_rate_ppm"]) == 0
+
+
+def test_table_profile_counts_nulls_and_distincts(ray_session,
+                                                  tmp_path):
+    """Null bookkeeping is exact; HLL estimates land near the true
+    per-column distinct counts."""
+    import pyarrow.parquet as pq
+    from p2pddsketch_ray.pipelines.approx import table_profile_sketched
+    n = 3000
+    ck = np.arange(n, dtype=np.int64) % 500          # 500 distinct
+    status = np.array(["A", "B", "C"], dtype=object)[
+        np.arange(n) % 3]                            # 3 distinct
+    prio = [None if i % 10 == 0 else f"P{i % 7}" for i in range(n)]
+    pq.write_table(pa.table({
+        "o_custkey": pa.array(ck),
+        "o_orderstatus": pa.array(status, type=pa.string()),
+        "o_orderpriority": pa.array(prio, type=pa.string()),
+    }), str(tmp_path / "orders.parquet"))
+    out = table_profile_sketched(str(tmp_path)).to_pandas() \
+        .set_index("col")
+    assert (out["n_rows"] == n).all()
+    assert out.loc["o_orderpriority", "n_nulls"] == n // 10
+    assert out.loc["o_custkey", "n_nulls"] == 0
+    est = out["hll_estimate"]
+    assert abs(est["o_custkey"] - 500) / 500 < 0.1
+    assert abs(est["o_orderstatus"] - 3) < 1
+    assert abs(est["o_orderpriority"] - 7) < 2
+
+
+def test_psi_zero_on_identical_and_positive_on_shift(ray_session,
+                                                     tmp_path):
+    """Identical periods give PSI 0 for every bin; a shifted period
+    yields a positive total."""
+    import pyarrow.parquet as pq
+    from p2pddsketch_ray.pipelines.relational import psi_drift_binned
+    A = np.datetime64("2024-01-10", "us").astype(np.int64)
+    B = np.datetime64("2024-01-20", "us").astype(np.int64)
+    # type "same": values identical across periods; type "shift":
+    # low values before, high after
+    ts, et, val = [], [], []
+    for i in range(200):
+        v = float(10 + (i % 50))
+        ts += [A, B]; et += ["same", "same"]; val += [v, v]
+    for i in range(200):
+        ts += [A, B]; et += ["shift", "shift"]
+        val += [10.0, 59.0]
+    pq.write_table(pa.table({
+        "ts": pa.array(np.array(ts, dtype=np.int64)).cast(
+            pa.timestamp("us")),
+        "event_type": pa.array(et), "value": pa.array(val),
+    }), str(tmp_path / "events.parquet"))
+    out = psi_drift_binned(str(tmp_path)).to_pandas()
+    same = out[out["event_type"] == "same"]["psi_term_unats"]
+    shift = out[out["event_type"] == "shift"]["psi_term_unats"]
+    assert (same == 0).all()
+    assert shift.sum() > 1_000_000       # > 1 nat of drift
