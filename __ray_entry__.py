@@ -45,6 +45,8 @@ from p2pddsketch_ray.pipelines.temporal import (  # noqa: E402
     INTERVAL_COVERAGE_SQL as _INTERVAL_COVERAGE_SQL,
     user_interval_coverage as _user_interval_coverage,
     EVENTS_ASOF_ORDERS_SQL as _EVENTS_ASOF_ORDERS_SQL,
+    ORDERS_ASOF_NEXT_SQL as _ORDERS_ASOF_NEXT_SQL,
+    TRAILING_TOP_USER_SQL as _TRAILING_TOP_USER_SQL,
     ORDERS_EVENT_WINDOW_SQL as _ORDERS_EVENT_WINDOW_SQL,
     USER_EVENT_LAG_SQL as _USER_EVENT_LAG_SQL,
     USER_RUNNING_TOTALS_SQL as _USER_RUNNING_TOTALS_SQL,
@@ -111,7 +113,9 @@ from p2pddsketch_ray.pipelines.approx import (  # noqa: E402
     CMS_ERROR_SQL as _CMS_ERROR_SQL,
     KMV_ANOTB_SQL as _KMV_ANOTB_SQL,
     table_profile_sketched as _table_profile_sketched,
-    TABLE_PROFILE_SQL as _TABLE_PROFILE_SQL)
+    TABLE_PROFILE_SQL as _TABLE_PROFILE_SQL,
+    cms_weighted_revenue as _cms_weighted_revenue,
+    CMS_WEIGHTED_SQL as _CMS_WEIGHTED_SQL)
 from p2pddsketch_ray.pipelines.relational import (  # noqa: E402
     REPETITION_STATS_SQL as _REPETITION_STATS_SQL,
     TOKEN_EXPLODE_SQL as _TOKEN_EXPLODE_SQL,
@@ -291,6 +295,8 @@ from p2pddsketch_ray.pipelines.relational import (  # noqa: E402
     T_CLOSENESS_SQL as _T_CLOSENESS_SQL,
     psi_drift_binned as _psi_drift_binned,
     PSI_DRIFT_SQL as _PSI_DRIFT_SQL,
+    diff_in_diff_report as _diff_in_diff_report,
+    DIFF_IN_DIFF_SQL as _DIFF_IN_DIFF_SQL,
     hodges_lehmann_shift as _hodges_lehmann_shift,
     HODGES_LEHMANN_SQL as _HODGES_LEHMANN_SQL,
     dict_encoding_report as _dict_encoding_report,
@@ -695,6 +701,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # distributed as-of join (vectorized rank-composite kernel over
         # coarse hash co-partitions; oracle = DuckDB ASOF JOIN)
         "events_asof_orders": _events_asof_orders,
+        # FORWARD as-of: first touchpoint after each order
+        "orders_asof_next_event": _orders_asof_next_event,
+        # sliding-window argmax: top user by trailing-24h count
+        "trailing_top_user_hourly": _trailing_top_user_hourly,
         # distributed range (interval-overlap) join: time-bucket
         # co-partition, <= 2x replication of the small side only
         "orders_event_window_stats": _orders_event_window_stats,
@@ -858,8 +868,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmv_anotb_users": A.kmv_anotb_users,
         # one-pass sketched table profiler (per-column HLL + nulls)
         "table_profile_sketched": _table_profile_sketched,
+        # weighted (turnstile-sum) count-min: revenue per customer
+        "cms_weighted_revenue": _cms_weighted_revenue,
         # population stability index per type (drift, smoothed bins)
         "psi_drift_binned": _psi_drift_binned,
+        # 2x2 difference-in-differences over the hash split
+        "diff_in_diff_report": _diff_in_diff_report,
         # batched MODEL INFERENCE: broadcast integer-linear classifier
         # scored by an actor pool (weights ray.put once, fetched once
         # per actor in __init__), in-batch rollup combiner
@@ -1569,6 +1583,16 @@ def _exact_quantiles_by_flag(sf_dir: str):
 def _events_asof_orders(sf_dir: str):
     from p2pddsketch_ray.pipelines.temporal import events_asof_orders
     return events_asof_orders(sf_dir)
+
+
+def _orders_asof_next_event(sf_dir: str):
+    from p2pddsketch_ray.pipelines.temporal import orders_asof_next_event
+    return orders_asof_next_event(sf_dir)
+
+
+def _trailing_top_user_hourly(sf_dir: str):
+    from p2pddsketch_ray.pipelines.temporal import trailing_top_user_hourly
+    return trailing_top_user_hourly(sf_dir)
 
 
 def _orders_event_window_stats(sf_dir: str):
@@ -2478,6 +2502,8 @@ SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
 FROM u a JOIN u b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(a.v, b.v) >= 0.3""",
         "events_asof_orders": _EVENTS_ASOF_ORDERS_SQL,
+        "orders_asof_next_event": _ORDERS_ASOF_NEXT_SQL,
+        "trailing_top_user_hourly": _TRAILING_TOP_USER_SQL,
         "orders_event_window_stats": _ORDERS_EVENT_WINDOW_SQL,
         "user_event_lag_stats": _USER_EVENT_LAG_SQL,
         "repetition_stats_by_lang": _REPETITION_STATS_SQL,
@@ -2906,7 +2932,9 @@ GROUP BY event_type
 ORDER BY 1""",
         "kmv_anotb_users": _KMV_ANOTB_SQL,
         "table_profile_sketched": _TABLE_PROFILE_SQL,
+        "cms_weighted_revenue": _CMS_WEIGHTED_SQL,
         "psi_drift_binned": _PSI_DRIFT_SQL,
+        "diff_in_diff_report": _DIFF_IN_DIFF_SQL,
         "kmv_user_overlap": """
 WITH d AS (SELECT DISTINCT event_type, hash(user_id) AS hv FROM events),
 r AS (SELECT event_type, hv,

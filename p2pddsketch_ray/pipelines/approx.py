@@ -976,3 +976,57 @@ FROM (
 TABLE_PROFILE_SQL = "\nUNION ALL\n".join(
     _profile_branch_sql(c, k) for c, k in _PROFILE_COLS
 ) + "\nORDER BY col"
+
+
+def cms_weighted_revenue(sf_dir: str, width: int = 8192,
+                         depth: int = 4, k: int = 20) -> pa.Table:
+    """WEIGHTED count-min: per-customer total order value estimated
+    from a CMS whose increments are integer cents instead of 1 -- the
+    turnstile-sum capability (estimate any key's aggregate from a
+    fixed-size linear state; counters stay a linear function of the
+    input so merge is still elementwise addition).  Reports the top-k
+    customers by estimated revenue.
+
+    Scale shape: identical dataflow to `cms_user_counts` (per-block
+    partial counters, elementwise tree merge); the probe set here is
+    the full customer key list (bounded dim -- a 100 TB caller probes
+    an MG-candidate set instead)."""
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def add(s: CountMinSketch, t: pa.Table) -> None:
+        keys = t["o_custkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        cents = np.floor(t["o_totalprice"].to_numpy(
+            zero_copy_only=False) * 100.0 + 0.5).astype(np.int64)
+        s.add_batch(keys, cents)
+
+    cms = build_and_merge(ds, ["o_custkey", "o_totalprice"],
+                          lambda: CountMinSketch(width, depth), add)
+    keys = np.asarray(sorted(ds.unique("o_custkey")), dtype=np.int64)
+    est = cms.estimate(keys).astype(np.int64)
+    order = np.lexsort((keys, -est))[:k]
+    return pa.table({
+        "o_custkey": pa.array(keys[order], type=pa.int64()),
+        "est_cents": pa.array(est[order], type=pa.int64()),
+    })
+
+
+CMS_WEIGHTED_SQL = """
+WITH w AS (SELECT o_custkey AS k,
+                  CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5)
+                                AS BIGINT)) AS BIGINT) AS c
+           FROM orders GROUP BY 1),
+seeds(d, s) AS (VALUES (0, 461845907), (1, 3432918353),
+                       (2, 2246822507), (3, 3266489909)),
+cells AS (SELECT s.d AS d,
+                 hash(xor(w.k, CAST(s.s AS BIGINT))) % 8192 AS cell,
+                 CAST(sum(w.c) AS BIGINT) AS tot
+          FROM w CROSS JOIN seeds s GROUP BY s.d, cell)
+SELECT w.k AS o_custkey, CAST(min(cells.tot) AS BIGINT) AS est_cents
+FROM w CROSS JOIN seeds s
+JOIN cells ON cells.d = s.d
+          AND cells.cell = hash(xor(w.k, CAST(s.s AS BIGINT))) % 8192
+GROUP BY w.k
+ORDER BY est_cents DESC, o_custkey
+LIMIT 20
+"""

@@ -20071,3 +20071,88 @@ SELECT g.event_type, g.bin, g.cnt_a, g.cnt_b,
 FROM grid g JOIN tots tt ON tt.event_type = g.event_type
 ORDER BY 1, 2
 """
+
+
+def diff_in_diff_report(sf_dir: str,
+                        split: str = "2024-01-16") -> pa.Table:
+    """DIFFERENCE-IN-DIFFERENCES estimator over events: treatment =
+    users in the deterministic hash split (hash(user_id) even), pre /
+    post = the split date; the causal-analysis primitive an experiment
+    platform runs as a baseline check.  Cell means are floored
+    micro-units of `value`, so the 2x2 arithmetic is exact and the
+    SQL twin reproduces it bit-for-bit (hash(BIGINT) == murmur64).
+
+    Scale shape: one streamed pass folds each block to the fixed
+    2x2 (treat, period) grid of (sum_micro, n); the DiD arithmetic is
+    four integer divisions on the driver."""
+    from ..hashing import murmur64
+    ds = _read(sf_dir, "events", ["ts", "user_id", "value"])
+    split_us = int(np.datetime64(split, "us").astype(np.int64))
+
+    empty = pa.table({"cell": pa.array([], type=pa.int64()),
+                      "s": pa.array([], type=pa.int64()),
+                      "n": pa.array([], type=pa.int64())})
+
+    def fold(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        treat = (murmur64(uid) % np.uint64(2) == 0).astype(np.int64)
+        us = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        post = (us >= split_us).astype(np.int64)
+        v = t["value"].to_numpy(zero_copy_only=False)
+        micro = np.floor(v * 1_000_000.0 + 0.5).astype(np.int64)
+        cell = treat * 2 + post
+        s = np.zeros(4, dtype=np.int64)
+        n = np.zeros(4, dtype=np.int64)
+        np.add.at(s, cell, micro)
+        np.add.at(n, cell, 1)
+        return pa.table({"cell": pa.array(np.arange(4,
+                                                    dtype=np.int64)),
+                         "s": pa.array(s), "n": pa.array(n)})
+
+    grid = (ds.map_batches(fold, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby("cell")
+            .aggregate(Sum("s", alias_name="s"),
+                       Sum("n", alias_name="n"))
+            .to_pandas().set_index("cell"))
+    means = {}
+    for cell in range(4):
+        s = int(grid.loc[cell, "s"]) if cell in grid.index else 0
+        n = int(grid.loc[cell, "n"]) if cell in grid.index else 0
+        means[cell] = s // n if n else 0
+    did = (means[3] - means[2]) - (means[1] - means[0])
+    return pa.table({
+        "control_pre_micro": pa.array([means[0]], type=pa.int64()),
+        "control_post_micro": pa.array([means[1]], type=pa.int64()),
+        "treat_pre_micro": pa.array([means[2]], type=pa.int64()),
+        "treat_post_micro": pa.array([means[3]], type=pa.int64()),
+        "did_micro": pa.array([did], type=pa.int64()),
+    })
+
+
+DIFF_IN_DIFF_SQL = """
+WITH cells AS (
+  SELECT CASE WHEN hash(user_id) % 2 = 0 THEN 1 ELSE 0 END AS treat,
+         CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END
+           AS post,
+         CAST(sum(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT))
+              AS BIGINT) AS s,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+m AS (SELECT treat, post, s // n AS mu FROM cells)
+SELECT
+  (SELECT mu FROM m WHERE treat = 0 AND post = 0)
+    AS control_pre_micro,
+  (SELECT mu FROM m WHERE treat = 0 AND post = 1)
+    AS control_post_micro,
+  (SELECT mu FROM m WHERE treat = 1 AND post = 0)
+    AS treat_pre_micro,
+  (SELECT mu FROM m WHERE treat = 1 AND post = 1)
+    AS treat_post_micro,
+  ((SELECT mu FROM m WHERE treat = 1 AND post = 1)
+   - (SELECT mu FROM m WHERE treat = 1 AND post = 0))
+  - ((SELECT mu FROM m WHERE treat = 0 AND post = 1)
+     - (SELECT mu FROM m WHERE treat = 0 AND post = 0)) AS did_micro
+"""

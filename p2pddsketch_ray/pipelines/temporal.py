@@ -64,11 +64,18 @@ def asof_join(left_ds, right_ds, *, left_on: str, right_on: str,
               num_partitions: int | None = None,
               left_schema: pa.Schema | None = None,
               right_schema: pa.Schema | None = None,
-              right_tiebreak: str | None = None):
+              right_tiebreak: str | None = None,
+              direction: str = "backward"):
     """events-style as-of join: for every left row, attach the right row
     with the greatest ``right_ts`` <= ``left_ts`` among rows whose
     ``right_on`` key equals the left row's ``left_on`` key (inclusive
     match, LEFT join -- unmatched rows keep nulls).
+
+    ``direction="forward"`` flips the match to the SMALLEST
+    ``right_ts`` >= ``left_ts`` (the "next event after" join, DuckDB
+    ``ASOF JOIN ... ON l.ts <= r.ts``); the ``right_tiebreak`` dedup
+    then keeps the MIN tiebreak per (key, ts) instead of the max,
+    mirroring a ``row_number() ... ORDER BY tb ASC`` oracle CTE.
 
     Returns a Dataset with ``left_cols`` + ``right_cols`` (+ ``_matched``
     bool).  Only the named columns ride the shuffle -- project before
@@ -84,6 +91,9 @@ def asof_join(left_ds, right_ds, *, left_on: str, right_on: str,
     anyway), replacing what would otherwise be a second full shuffle of
     the right side just to pre-dedupe ties.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, "
+                         f"got {direction!r}")
     left_cols = list(left_cols)
     right_cols = list(right_cols)
     overlap = set(left_cols) & set(right_cols)
@@ -132,12 +142,24 @@ def asof_join(left_ds, right_ds, *, left_on: str, right_on: str,
         ri = np.nonzero(side == 1)[0]
         if li.shape[0] == 0:
             return empty
+        if ri.shape[0] == 0:
+            cols = {}
+            for name in left_cols:
+                cols[name] = t[name].take(pa.array(li))
+            for name, typ in payload:
+                if name in right_cols:
+                    cols[name] = pa.nulls(li.shape[0], type=typ)
+            cols["_matched"] = pa.array(
+                np.zeros(li.shape[0], dtype=bool))
+            return pa.table(cols)
         if right_tiebreak is not None and ri.shape[0] > 1:
-            # one right row per (key, ts): max tiebreak wins (fused
-            # tie-dedup; the partition holds every row of each key)
+            # one right row per (key, ts): max tiebreak wins backward,
+            # min forward (fused tie-dedup; the partition holds every
+            # row of each key)
             tb = pc.fill_null(pc.cast(t[right_tiebreak], pa.int64()),
                               0).to_numpy(zero_copy_only=False)
-            order_d = np.lexsort((-tb[ri], ts[ri], key[ri]))
+            tb_key = -tb[ri] if direction == "backward" else tb[ri]
+            order_d = np.lexsort((tb_key, ts[ri], key[ri]))
             rk_s, rts_s = key[ri][order_d], ts[ri][order_d]
             first = np.ones(order_d.shape[0], dtype=bool)
             first[1:] = (rk_s[1:] != rk_s[:-1]) | (rts_s[1:] != rts_s[:-1])
@@ -151,9 +173,16 @@ def asof_join(left_ds, right_ds, *, left_on: str, right_on: str,
         rc = comp[ri]
         order_r = np.argsort(rc, kind="stable")
         rc_sorted = rc[order_r]
-        pos = np.searchsorted(rc_sorted, comp[li], side="right") - 1
-        safe = np.maximum(pos, 0)
-        matched = (pos >= 0) & (key_rank[ri[order_r[safe]]] == key_rank[li])
+        if direction == "backward":
+            pos = np.searchsorted(rc_sorted, comp[li], side="right") - 1
+            safe = np.maximum(pos, 0)
+            matched = (pos >= 0) & (key_rank[ri[order_r[safe]]]
+                                    == key_rank[li])
+        else:
+            pos = np.searchsorted(rc_sorted, comp[li], side="left")
+            safe = np.minimum(pos, rc_sorted.shape[0] - 1)
+            matched = (pos < rc_sorted.shape[0]) \
+                & (key_rank[ri[order_r[safe]]] == key_rank[li])
         src = ri[order_r[safe]]
         cols = {}
         for name in left_cols:
@@ -266,6 +295,115 @@ SELECT e.event_type,
 FROM events e
 ASOF JOIN uniq o
   ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+def orders_asof_next_event(sf_dir: str) -> pa.Table:
+    """FORWARD as-of: align every order with that customer's NEXT event
+    at or after the order date (the attribution direction -- "what was
+    the first touchpoint after this purchase"), rolled up per
+    (o_orderpriority, event_type) with match counts, order cents and
+    total order-to-event lead microseconds.  Same co-partitioned kernel
+    as `events_asof_orders`, direction flipped; the fused tie-dedup
+    keeps the MIN event_id per (user, ts) to mirror the oracle's
+    row_number() ASC CTE."""
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderdate", "o_totalprice",
+                 "o_orderpriority"])
+    events = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                                   columns=["ts", "user_id",
+                                            "event_type", "event_id"])
+
+    joined = asof_join(
+        orders, events, left_on="o_custkey", right_on="user_id",
+        left_ts="o_orderdate", right_ts="ts",
+        left_cols=["o_orderdate", "o_custkey", "o_totalprice",
+                   "o_orderpriority"],
+        right_cols=["ts", "event_type", "event_id"],
+        right_tiebreak="event_id", direction="forward")
+
+    def combine(t: pa.Table) -> pa.Table:
+        t = t.filter(t["_matched"])
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        op = t["o_orderpriority"].to_numpy(zero_copy_only=False)
+        price = t["o_totalprice"].to_numpy(zero_copy_only=False)
+        cents = np.floor(price * 100.0 + 0.5).astype(np.int64)
+        lead = _as_int64(t["ts"]) - _as_int64(t["o_orderdate"])
+        pair = np.char.add(np.char.add(et.astype(str), "\x1f"),
+                           op.astype(str))
+        upair, inv = np.unique(pair, return_inverse=True)
+        n = np.bincount(inv, minlength=upair.shape[0]).astype(np.int64)
+        c = np.zeros(upair.shape[0], dtype=np.int64)
+        np.add.at(c, inv, cents)
+        lg = np.zeros(upair.shape[0], dtype=np.int64)
+        np.add.at(lg, inv, lead)
+        parts = [p.split("\x1f") for p in upair.tolist()]
+        return pa.table({
+            "event_type": pa.array([p[0] for p in parts],
+                                   type=pa.string()),
+            "o_orderpriority": pa.array([p[1] for p in parts],
+                                        type=pa.string()),
+            "n": pa.array(n), "sum_price_cents": pa.array(c),
+            "sum_lead_us": pa.array(lg),
+        })
+
+    from ray.data.aggregate import Sum
+    agg = (joined
+           .map_batches(combine, batch_format="pyarrow")
+           .groupby(["event_type", "o_orderpriority"])
+           .aggregate(Sum("n", alias_name="n"),
+                      Sum("sum_price_cents",
+                          alias_name="sum_price_cents"),
+                      Sum("sum_lead_us", alias_name="sum_lead_us")))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": t["event_type"],
+            "o_orderpriority": t["o_orderpriority"],
+            "n": pc.cast(t["n"], pa.int64()),
+            "sum_price_cents": pc.cast(t["sum_price_cents"],
+                                       pa.int64()),
+            "sum_lead_us": pc.cast(t["sum_lead_us"], pa.int64()),
+        })
+
+    out = (agg.map_batches(finalize, batch_format="pyarrow")
+           .to_pandas()
+           .sort_values(["event_type", "o_orderpriority"])
+           .reset_index(drop=True))
+    return pa.table({
+        "event_type": pa.array(out["event_type"], type=pa.string()),
+        "o_orderpriority": pa.array(out["o_orderpriority"],
+                                    type=pa.string()),
+        "n": pa.array(out["n"].to_numpy(dtype=np.int64)),
+        "sum_price_cents": pa.array(
+            out["sum_price_cents"].to_numpy(dtype=np.int64)),
+        "sum_lead_us": pa.array(
+            out["sum_lead_us"].to_numpy(dtype=np.int64)),
+    })
+
+
+ORDERS_ASOF_NEXT_SQL = """
+WITH ranked AS (
+  SELECT user_id, ts, event_type, event_id,
+         row_number() OVER (PARTITION BY user_id, ts
+                            ORDER BY event_id ASC) AS rn
+  FROM events
+), uniq AS (
+  SELECT * FROM ranked WHERE rn = 1
+)
+SELECT e.event_type,
+       o.o_orderpriority,
+       count(*) AS n,
+       CAST(sum(CAST(floor(o.o_totalprice * 100.0 + 0.5) AS BIGINT))
+            AS BIGINT) AS sum_price_cents,
+       CAST(sum(date_diff('microsecond', o.o_orderdate, e.ts))
+            AS BIGINT) AS sum_lead_us
+FROM orders o
+ASOF JOIN uniq e
+  ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
 GROUP BY 1, 2
 ORDER BY 1, 2
 """
@@ -3781,4 +3919,122 @@ WITH r AS (
 SELECT CAST(week AS BIGINT) AS week, rev AS rev_cents, n_users,
        CAST(rev * 10000 // n_users AS BIGINT) AS arpu_micro
 FROM r ORDER BY 1
+"""
+
+
+def trailing_top_user_hourly(sf_dir: str,
+                             window_hours: int = 24) -> pa.Table:
+    """SLIDING-WINDOW ARGMAX: for every hour with activity, the single
+    top user by trailing-``window_hours`` event count (ties to the
+    smaller user_id) -- the "current heaviest client" panel a streaming
+    monitor keeps, computed batch-side.
+
+    Scale shape: events fold per block to (user, hour, n) cells; one
+    user co-partition expands each cell into the <= window_hours
+    future hours it supports (vectorized, bounded 24x fan-out on the
+    COMPACTED cells, not raw events), keeps only globally-observed
+    hours (a broadcast sorted array, bounded by the time span), and
+    emits one winner per (partition, hour); the final argmax folds
+    partitions x hours rows driver-side."""
+    from ray.data.aggregate import Sum as _Sum
+
+    from ..stages.partition import fit_partitions, partition_by
+
+    HOUR_US = 3_600_000_000
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["ts", "user_id"])
+
+    def hcells(t: pa.Table) -> pa.Table:
+        hr = _as_int64(t["ts"]) // HOUR_US
+        uid = t["user_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        # composite via rank to stay in int64 regardless of ranges
+        uu, ui = np.unique(uid, return_inverse=True)
+        uh, hi = np.unique(hr, return_inverse=True)
+        key = ui.astype(np.int64) * np.int64(uh.shape[0]) + hi
+        uk, inv = np.unique(key, return_inverse=True)
+        cnt = np.bincount(inv).astype(np.int64)
+        return pa.table({
+            "user_id": pa.array(uu[uk // uh.shape[0]]),
+            "hour": pa.array(uh[uk % uh.shape[0]]),
+            "n": pa.array(cnt)})
+
+    cells = ds.map_batches(hcells, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+    # globally-observed hours: bounded by the corpus time span (one row
+    # per hour ever active), safe to hold and broadcast
+    hours_pd = (cells.groupby("hour")
+                .aggregate(_Sum("n", alias_name="n")).to_pandas())
+    hours = np.sort(hours_pd["hour"].to_numpy(dtype=np.int64))
+    hours_ref = ray.put(hours)
+
+    win_empty = pa.table({"hour": pa.array([], type=pa.int64()),
+                          "user_id": pa.array([], type=pa.int64()),
+                          "trailing_n": pa.array([], type=pa.int64())})
+
+    def winners(t: pa.Table) -> pa.Table:
+        obs = ray.get(hours_ref)
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        hr = t["hour"].to_numpy(zero_copy_only=False)
+        n = t["n"].to_numpy(zero_copy_only=False)
+        w = window_hours
+        # each (u, h, n) supports window ends h .. h+w-1
+        ends = (hr[:, None] + np.arange(w, dtype=np.int64)).ravel()
+        usr = np.repeat(uid, w)
+        wt = np.repeat(n, w)
+        pos = np.searchsorted(obs, ends)
+        safe = np.minimum(pos, obs.size - 1)
+        keep = (pos < obs.size) & (obs[safe] == ends)
+        ends, usr, wt = ends[keep], usr[keep], wt[keep]
+        if ends.size == 0:
+            return win_empty
+        uu, ui = np.unique(usr, return_inverse=True)
+        uh, hi = np.unique(ends, return_inverse=True)
+        key = ui.astype(np.int64) * np.int64(uh.shape[0]) + hi
+        uk, inv = np.unique(key, return_inverse=True)
+        tot = np.zeros(uk.shape[0], dtype=np.int64)
+        np.add.at(tot, inv, wt)
+        ku = uu[uk // uh.shape[0]]
+        kh = uh[uk % uh.shape[0]]
+        order = np.lexsort((ku, -tot, kh))
+        kh_s = kh[order]
+        first = np.ones(kh_s.size, dtype=bool)
+        first[1:] = kh_s[1:] != kh_s[:-1]
+        sel = order[first]
+        return pa.table({"hour": pa.array(kh[sel]),
+                         "user_id": pa.array(ku[sel]),
+                         "trailing_n": pa.array(tot[sel])})
+
+    pre = partition_by(cells, ["user_id"], fit_partitions(16),
+                       winners, win_empty).to_pandas()
+    kh = pre["hour"].to_numpy(dtype=np.int64)
+    ku = pre["user_id"].to_numpy(dtype=np.int64)
+    kn = pre["trailing_n"].to_numpy(dtype=np.int64)
+    order = np.lexsort((ku, -kn, kh))
+    kh_s = kh[order]
+    first = np.ones(kh_s.size, dtype=bool)
+    first[1:] = kh_s[1:] != kh_s[:-1]
+    sel = order[first]
+    return pa.table({"hour": pa.array(kh[sel]),
+                     "user_id": pa.array(ku[sel]),
+                     "trailing_n": pa.array(kn[sel])})
+
+
+TRAILING_TOP_USER_SQL = """
+WITH e AS (SELECT CAST(epoch_us(ts) AS BIGINT) // 3600000000 AS hour,
+                  user_id
+           FROM events),
+hrs AS (SELECT DISTINCT hour FROM e),
+cnt AS (SELECT h.hour AS hour, e.user_id,
+               CAST(count(*) AS BIGINT) AS n
+        FROM hrs h JOIN e ON e.hour BETWEEN h.hour - 23 AND h.hour
+        GROUP BY 1, 2),
+best AS (SELECT hour, user_id, n,
+                row_number() OVER (PARTITION BY hour
+                                   ORDER BY n DESC, user_id ASC) AS rn
+         FROM cnt)
+SELECT hour, CAST(user_id AS BIGINT) AS user_id, n AS trailing_n
+FROM best WHERE rn = 1
+ORDER BY hour
 """

@@ -564,3 +564,19 @@ def test_kmv_a_not_b_estimate_accuracy():
         * sa.union_intersection(sb)[0]
     exact_a = np.unique(a).shape[0]
     assert abs((est_f + est_i) - exact_a) / exact_a < 0.2
+
+
+def test_cms_weighted_overestimates_and_is_exact_when_sparse():
+    from p2pddsketch_ray.sketches.countmin import CountMinSketch
+    keys = np.array([1, 2, 3, 1, 2, 1], dtype=np.int64)
+    w = np.array([10, 20, 30, 5, 5, 5], dtype=np.int64)
+    s = CountMinSketch(8192, 4)
+    s.add_batch(keys, w)
+    est = s.estimate(np.array([1, 2, 3], dtype=np.int64))
+    # 3 keys in 8192 cells: no collisions, estimates exact
+    assert est.tolist() == [20, 25, 30]
+    # CMS never underestimates
+    s2 = CountMinSketch(16, 2)
+    s2.add_batch(keys, w)
+    est2 = s2.estimate(np.array([1, 2, 3], dtype=np.int64))
+    assert (est2 >= np.array([20, 25, 30])).all()

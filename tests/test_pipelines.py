@@ -4300,3 +4300,33 @@ def test_psi_zero_on_identical_and_positive_on_shift(ray_session,
     shift = out[out["event_type"] == "shift"]["psi_term_unats"]
     assert (same == 0).all()
     assert shift.sum() > 1_000_000       # > 1 nat of drift
+
+
+def test_diff_in_diff_detects_treatment_lift(ray_session, tmp_path):
+    """A constant post-period lift applied only to the treated (even
+    hash) users shows up as did_micro ~= lift; parallel trends
+    otherwise."""
+    import pyarrow.parquet as pq
+    from p2pddsketch_ray.hashing import murmur64
+    from p2pddsketch_ray.pipelines.relational import diff_in_diff_report
+    PRE = np.datetime64("2024-01-10", "us").astype(np.int64)
+    POST = np.datetime64("2024-01-20", "us").astype(np.int64)
+    uids = np.arange(1, 101, dtype=np.int64)
+    treat = murmur64(uids) % np.uint64(2) == 0
+    ts, uid, val = [], [], []
+    for u, tr in zip(uids, treat):
+        ts += [PRE, POST]
+        uid += [u, u]
+        # baseline 10.0 pre / 12.0 post for everyone; +5 lift for
+        # treated users post
+        val += [10.0, 12.0 + (5.0 if tr else 0.0)]
+    pq.write_table(pa.table({
+        "ts": pa.array(np.array(ts, dtype=np.int64)).cast(
+            pa.timestamp("us")),
+        "user_id": pa.array(uid, type=pa.int64()),
+        "value": pa.array(val),
+    }), str(tmp_path / "events.parquet"))
+    out = diff_in_diff_report(str(tmp_path)).to_pydict()
+    assert out["did_micro"] == [5_000_000]
+    assert out["control_post_micro"][0] \
+        - out["control_pre_micro"][0] == 2_000_000

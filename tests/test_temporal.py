@@ -1007,3 +1007,84 @@ def test_resurrected_and_arpu(ray_session, tmp_path):
     # week 0: users {0, 1}, rev = 10+30+40 = 80.00 -> 4000.00/user
     assert int(arpu.loc[0, "n_users"]) == 2
     assert int(arpu.loc[0, "arpu_micro"]) == 8000 * 10000 // 2
+
+
+def test_asof_forward_direction_and_min_tiebreak(ray_session, tmp_path):
+    """Forward as-of picks the earliest right row at/after the left ts;
+    ties on (key, ts) resolve to the MIN tiebreak."""
+    import pyarrow.parquet as pq
+    import ray.data
+    from p2pddsketch_ray.pipelines.temporal import asof_join
+    lt = pa.table({
+        "k": pa.array([1, 1, 2], type=pa.int64()),
+        "lts": pa.array([10, 100, 10], type=pa.int64()),
+        "tag": pa.array(["a", "b", "c"]),
+    })
+    rt = pa.table({
+        "rk": pa.array([1, 1, 1, 1], type=pa.int64()),
+        "rts": pa.array([5, 20, 20, 50], type=pa.int64()),
+        "rid": pa.array([9, 31, 30, 40], type=pa.int64()),
+    })
+    out = asof_join(
+        ray.data.from_arrow(lt), ray.data.from_arrow(rt),
+        left_on="k", right_on="rk", left_ts="lts", right_ts="rts",
+        left_cols=["lts", "tag"], right_cols=["rts", "rid"],
+        right_tiebreak="rid", direction="forward",
+    ).to_pandas().sort_values("lts").reset_index(drop=True)
+    by_tag = out.set_index("tag")
+    # (1,10) -> next is ts 20, min rid 30 (not 31)
+    assert bool(by_tag.loc["a", "_matched"])
+    assert int(by_tag.loc["a", "rid"]) == 30
+    # (1,100) -> nothing at/after 100
+    assert not bool(by_tag.loc["b", "_matched"])
+    # key 2 has no right rows at all
+    assert not bool(by_tag.loc["c", "_matched"])
+
+
+def test_asof_forward_matches_backward_on_exact_ts(ray_session,
+                                                   tmp_path):
+    """A right row exactly at the left ts matches in BOTH directions
+    (inclusive semantics)."""
+    import ray.data
+    from p2pddsketch_ray.pipelines.temporal import asof_join
+    lt = pa.table({"k": pa.array([7], type=pa.int64()),
+                   "lts": pa.array([42], type=pa.int64())})
+    rt = pa.table({"rk": pa.array([7], type=pa.int64()),
+                   "rts": pa.array([42], type=pa.int64()),
+                   "rid": pa.array([1], type=pa.int64())})
+    for direction in ("backward", "forward"):
+        out = asof_join(
+            ray.data.from_arrow(lt), ray.data.from_arrow(rt),
+            left_on="k", right_on="rk", left_ts="lts",
+            right_ts="rts", left_cols=["lts"],
+            right_cols=["rts", "rid"], direction=direction,
+        ).to_pandas()
+        assert bool(out["_matched"].iloc[0]), direction
+        assert int(out["rid"].iloc[0]) == 1
+
+
+def test_trailing_top_user_windows_and_ties(ray_session, tmp_path):
+    """The trailing count sums the full 24h window and ties resolve to
+    the smaller user id."""
+    import pyarrow.parquet as pq
+    from p2pddsketch_ray.pipelines.temporal import trailing_top_user_hourly
+    H = 3_600_000_000
+    base = np.datetime64("2024-01-05T00:00", "us").astype(np.int64)
+    # user 1: 3 events at hour 0; user 2: 2 at hour 0 + 2 at hour 23
+    # (trailing at h23 = 4 > 3); at hour 30, user 1's hour-0 events
+    # have left the window but user 2's hour-23 haven't
+    ts = ([base] * 3 + [base] * 2 + [base + 23 * H] * 2
+          + [base + 30 * H])
+    uid = [1, 1, 1, 2, 2, 2, 2, 3]
+    pq.write_table(pa.table({
+        "ts": pa.array(np.array(ts, dtype=np.int64)).cast(
+            pa.timestamp("us")),
+        "user_id": pa.array(uid, type=pa.int64()),
+    }), str(tmp_path / "events.parquet"))
+    out = trailing_top_user_hourly(str(tmp_path)).to_pandas()
+    h0 = base // H
+    rows = {int(r.hour) - int(h0): (int(r.user_id), int(r.trailing_n))
+            for r in out.itertuples()}
+    assert rows[0] == (1, 3)            # hour 0: user1 3 > user2 2
+    assert rows[23] == (2, 4)           # full window: user2 2+2
+    assert rows[30] == (2, 2)           # user1 expired, user2's h23 in
