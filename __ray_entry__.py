@@ -47,6 +47,7 @@ from p2pddsketch_ray.pipelines.temporal import (  # noqa: E402
     EVENTS_ASOF_ORDERS_SQL as _EVENTS_ASOF_ORDERS_SQL,
     ORDERS_ASOF_NEXT_SQL as _ORDERS_ASOF_NEXT_SQL,
     TRAILING_TOP_USER_SQL as _TRAILING_TOP_USER_SQL,
+    DEBOUNCE_SQL as _DEBOUNCE_SQL,
     ORDERS_EVENT_WINDOW_SQL as _ORDERS_EVENT_WINDOW_SQL,
     USER_EVENT_LAG_SQL as _USER_EVENT_LAG_SQL,
     USER_RUNNING_TOTALS_SQL as _USER_RUNNING_TOTALS_SQL,
@@ -297,6 +298,8 @@ from p2pddsketch_ray.pipelines.relational import (  # noqa: E402
     PSI_DRIFT_SQL as _PSI_DRIFT_SQL,
     diff_in_diff_report as _diff_in_diff_report,
     DIFF_IN_DIFF_SQL as _DIFF_IN_DIFF_SQL,
+    rake_keywords_topk as _rake_keywords_topk,
+    RAKE_KEYWORDS_SQL as _RAKE_KEYWORDS_SQL,
     hodges_lehmann_shift as _hodges_lehmann_shift,
     HODGES_LEHMANN_SQL as _HODGES_LEHMANN_SQL,
     dict_encoding_report as _dict_encoding_report,
@@ -705,6 +708,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_asof_next_event": _orders_asof_next_event,
         # sliding-window argmax: top user by trailing-24h count
         "trailing_top_user_hourly": _trailing_top_user_hourly,
+        # debounce: collapse same-(user,type) repeats within 5 min
+        "debounced_event_counts": _debounced_event_counts,
         # distributed range (interval-overlap) join: time-bucket
         # co-partition, <= 2x replication of the small side only
         "orders_event_window_stats": _orders_event_window_stats,
@@ -874,6 +879,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "psi_drift_binned": _psi_drift_binned,
         # 2x2 difference-in-differences over the hash split
         "diff_in_diff_report": _diff_in_diff_report,
+        # RAKE multi-word keyword extraction (top phrases)
+        "rake_keywords_topk": _rake_keywords_topk,
         # batched MODEL INFERENCE: broadcast integer-linear classifier
         # scored by an actor pool (weights ray.put once, fetched once
         # per actor in __init__), in-batch rollup combiner
@@ -1593,6 +1600,11 @@ def _orders_asof_next_event(sf_dir: str):
 def _trailing_top_user_hourly(sf_dir: str):
     from p2pddsketch_ray.pipelines.temporal import trailing_top_user_hourly
     return trailing_top_user_hourly(sf_dir)
+
+
+def _debounced_event_counts(sf_dir: str):
+    from p2pddsketch_ray.pipelines.temporal import debounced_event_counts
+    return debounced_event_counts(sf_dir)
 
 
 def _orders_event_window_stats(sf_dir: str):
@@ -2504,6 +2516,7 @@ WHERE list_cosine_similarity(a.v, b.v) >= 0.3""",
         "events_asof_orders": _EVENTS_ASOF_ORDERS_SQL,
         "orders_asof_next_event": _ORDERS_ASOF_NEXT_SQL,
         "trailing_top_user_hourly": _TRAILING_TOP_USER_SQL,
+        "debounced_event_counts": _DEBOUNCE_SQL,
         "orders_event_window_stats": _ORDERS_EVENT_WINDOW_SQL,
         "user_event_lag_stats": _USER_EVENT_LAG_SQL,
         "repetition_stats_by_lang": _REPETITION_STATS_SQL,
@@ -2935,6 +2948,7 @@ ORDER BY 1""",
         "cms_weighted_revenue": _CMS_WEIGHTED_SQL,
         "psi_drift_binned": _PSI_DRIFT_SQL,
         "diff_in_diff_report": _DIFF_IN_DIFF_SQL,
+        "rake_keywords_topk": _RAKE_KEYWORDS_SQL,
         "kmv_user_overlap": """
 WITH d AS (SELECT DISTINCT event_type, hash(user_id) AS hv FROM events),
 r AS (SELECT event_type, hv,

@@ -20156,3 +20156,199 @@ SELECT
   - ((SELECT mu FROM m WHERE treat = 0 AND post = 1)
      - (SELECT mu FROM m WHERE treat = 0 AND post = 0)) AS did_micro
 """
+
+
+def rake_keywords_topk(sf_dir: str, k: int = 15,
+                       max_phrase: int = 4) -> pa.Table:
+    """RAKE keyword extraction (Rose et al. 2010): candidate phrases
+    are maximal stopword-free token runs (length <= ``max_phrase``;
+    longer runs are excluded, the standard phrase-length cap), each
+    scored by the sum of its words' degree/frequency ratios -- the
+    unsupervised keyword miner that complements tf-idf
+    (`tfidf_top_term_per_doc`) with multi-word phrases.
+
+    Scale shape: stage 1 folds each block to per-word (freq, deg)
+    partials (vocab-bounded groupby); the word scores broadcast as the
+    shared sorted-fp + searchsorted arrays (never a dict); stage 2
+    rescans, scores each phrase with one vectorized lookup, and
+    reduces distinct phrases through a per-block prereduce + bounded
+    top-k.  Phrase strings materialize only at phrase grain (np.char
+    column joins, max_phrase vectorized steps), never per token.
+    Word score is floor(deg * 1e6 / freq) micro-units, mirrored in the
+    SQL twin."""
+    from ..functions.text import (STOPWORDS, token_value_arrays,
+                                  token_value_lookup)
+    from ..stages.topk import topk as _topk
+
+    ds = _read(sf_dir, "documents", ["text"])
+    stop_set = pa.array(list(STOPWORDS), type=pa.string())
+
+    def _phrase_layout(t: pa.Table):
+        """(tokens, doc_idx, group_inv, group_sizes, pos_in_group) for
+        the block's kept (stopword-free, length-capped) phrase words."""
+        xs = pc.split_pattern(t["text"], pattern=" ")
+        flat = pc.list_flatten(xs)
+        lens = pc.list_value_length(xs).to_numpy(zero_copy_only=False)
+        doc_idx = np.repeat(np.arange(lens.shape[0], dtype=np.int64),
+                            lens)
+        stop = pc.is_in(flat, value_set=stop_set).to_numpy(
+            zero_copy_only=False)
+        n = stop.shape[0]
+        if n == 0:
+            return None
+        # phrase key: (doc, run id); runs split at stopwords
+        run = np.cumsum(stop.astype(np.int64))
+        comp = doc_idx * np.int64(n + 1) + run
+        keep = ~stop
+        comp_k = comp[keep]
+        if comp_k.size == 0:
+            return None
+        order = np.argsort(comp_k, kind="stable")
+        comp_s = comp_k[order]
+        new = np.ones(comp_s.size, dtype=bool)
+        new[1:] = comp_s[1:] != comp_s[:-1]
+        gid = np.cumsum(new) - 1
+        sizes = np.bincount(gid).astype(np.int64)
+        ok = sizes <= max_phrase
+        keep2 = ok[gid]
+        starts = np.flatnonzero(new)
+        pos_in_group = np.arange(comp_s.size) - starts[gid]
+        kept_idx = np.flatnonzero(keep)[order]
+        return (flat.take(pa.array(kept_idx[keep2])),
+                gid[keep2], sizes, ok, pos_in_group[keep2])
+
+    ws_empty = pa.table({"tok": pa.array([], type=pa.string()),
+                         "freq": pa.array([], type=pa.int64()),
+                         "deg": pa.array([], type=pa.int64())})
+
+    def word_partials(t: pa.Table) -> pa.Table:
+        lay = _phrase_layout(t)
+        if lay is None:
+            return ws_empty
+        toks, gid, sizes, ok, _pos = lay
+        deg = sizes[gid]        # gid keeps original group ids
+        staged = pa.table({"tok": toks,
+                           "freq": pa.array(np.ones(gid.shape[0],
+                                                    dtype=np.int64)),
+                           "deg": pa.array(deg)})
+        g = staged.group_by("tok").aggregate([("freq", "sum"),
+                                              ("deg", "sum")])
+        return pa.table({"tok": g["tok"],
+                         "freq": pc.cast(g["freq_sum"], pa.int64()),
+                         "deg": pc.cast(g["deg_sum"], pa.int64())})
+
+    wstats = (ds.map_batches(word_partials, batch_format="pyarrow",
+                             zero_copy_batch=True)
+              .groupby("tok")
+              .aggregate(Sum("freq", alias_name="freq"),
+                         Sum("deg", alias_name="deg"))
+              .to_pandas())
+    ws = (wstats["deg"].to_numpy(dtype=np.int64) * 1_000_000
+          // wstats["freq"].to_numpy(dtype=np.int64))
+    fp_sorted, vals = token_value_arrays(
+        pa.array(wstats["tok"], type=pa.string()), ws)
+    map_ref = ray.put((fp_sorted, vals))
+
+    ph_empty = pa.table({"phrase": pa.array([], type=pa.string()),
+                         "n_occurrences": pa.array([], type=pa.int64()),
+                         "score_micro": pa.array([], type=pa.int64())})
+
+    def phrase_scores(t: pa.Table) -> pa.Table:
+        lay = _phrase_layout(t)
+        if lay is None:
+            return ph_empty
+        toks, gid, sizes, ok, pos = lay
+        fp_s, v = ray.get(map_ref)
+        w = token_value_lookup(fp_s, v, toks)
+        # renumber to the groups actually present (the cap filter
+        # removed some original ids)
+        _ug, gid = np.unique(gid, return_inverse=True)
+        n_groups = _ug.shape[0]
+        score = np.zeros(n_groups, dtype=np.int64)
+        np.add.at(score, gid, w)
+        # phrase strings: max_phrase columnar join steps at PHRASE grain
+        tok_np = toks.to_numpy(zero_copy_only=False)
+        cols = np.full((max_phrase, n_groups), "", dtype=object)
+        cols[pos, gid] = tok_np
+        phrase = cols[0]
+        for i in range(1, max_phrase):
+            sep = np.where(cols[i] == "", "", " ")
+            phrase = np.char.add(np.char.add(
+                phrase.astype(str), sep.astype(str)),
+                cols[i].astype(str))
+        staged = pa.table({
+            "phrase": pa.array(phrase.astype(object),
+                               type=pa.string()),
+            "n_occurrences": pa.array(np.ones(n_groups,
+                                              dtype=np.int64)),
+            "score_micro": pa.array(score)})
+        g = staged.group_by("phrase").aggregate(
+            [("n_occurrences", "sum"), ("score_micro", "max")])
+        return pa.table({
+            "phrase": g["phrase"],
+            "n_occurrences": pc.cast(g["n_occurrences_sum"],
+                                     pa.int64()),
+            "score_micro": pc.cast(g["score_micro_max"], pa.int64())})
+
+    grouped = (ds.map_batches(phrase_scores, batch_format="pyarrow",
+                              zero_copy_batch=True)
+               .groupby("phrase")
+               .aggregate(Sum("n_occurrences",
+                              alias_name="n_occurrences"),
+                          Max("score_micro",
+                              alias_name="score_micro")))
+    out = _topk(grouped, [("score_micro", "descending"),
+                          ("phrase", "ascending")], k).to_pandas()
+    return pa.table({
+        "phrase": pa.array(out["phrase"], type=pa.string()),
+        "n_occurrences": pa.array(
+            out["n_occurrences"].to_numpy(dtype=np.int64)),
+        "score_micro": pa.array(
+            out["score_micro"].to_numpy(dtype=np.int64)),
+    })
+
+
+RAKE_KEYWORDS_SQL = """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS xs FROM documents
+), tok AS (
+  SELECT doc_id, unnest(xs) AS w, generate_subscripts(xs, 1) AS i
+  FROM t
+), marked AS (
+  SELECT doc_id, i, w,
+         CASE WHEN w IN ('the','and','of','a','to','in','is','it',
+                         'that','for') THEN 1 ELSE 0 END AS stop
+  FROM tok
+), phrased AS (
+  SELECT doc_id, i, w, stop,
+         sum(stop) OVER (PARTITION BY doc_id ORDER BY i) AS pid
+  FROM marked
+), pwords AS (
+  SELECT doc_id, pid, w, i FROM phrased WHERE stop = 0
+), plens AS (
+  SELECT doc_id, pid, CAST(count(*) AS BIGINT) AS plen
+  FROM pwords GROUP BY 1, 2
+), kept AS (
+  SELECT pw.doc_id, pw.pid, pw.w, pw.i, pl.plen
+  FROM pwords pw JOIN plens pl
+    ON pl.doc_id = pw.doc_id AND pl.pid = pw.pid
+  WHERE pl.plen <= 4
+), wstats AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS freq,
+         CAST(sum(plen) AS BIGINT) AS deg
+  FROM kept GROUP BY 1
+), wscore AS (
+  SELECT w, CAST(deg * 1000000 // freq AS BIGINT) AS wsc FROM wstats
+), phrases AS (
+  SELECT k.doc_id, k.pid,
+         string_agg(k.w, ' ' ORDER BY k.i) AS phrase,
+         CAST(sum(ws.wsc) AS BIGINT) AS score
+  FROM kept k JOIN wscore ws ON ws.w = k.w
+  GROUP BY 1, 2
+)
+SELECT phrase, CAST(count(*) AS BIGINT) AS n_occurrences,
+       CAST(max(score) AS BIGINT) AS score_micro
+FROM phrases GROUP BY 1
+ORDER BY score_micro DESC, phrase
+LIMIT 15
+"""

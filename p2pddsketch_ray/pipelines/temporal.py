@@ -4038,3 +4038,90 @@ SELECT hour, CAST(user_id AS BIGINT) AS user_id, n AS trailing_n
 FROM best WHERE rn = 1
 ORDER BY hour
 """
+
+
+def debounced_event_counts(sf_dir: str,
+                           gap_s: int = 300) -> pa.Table:
+    """DEBOUNCE: per event_type, how many events survive after
+    collapsing repeats -- an event is dropped when the SAME (user,
+    type) fired within ``gap_s`` seconds before it (lag semantics) --
+    the stream-cleaning pass that turns button-mashing and retry storms
+    into one logical action.
+
+    Scale shape: one user co-partition; inside it a single lexsort by
+    (user, type, ts) and a vectorized lag-diff marks survivors; the
+    shuffle output is the bounded per-type (kept, dropped) grid."""
+    from ray.data.aggregate import Sum as _Sum
+
+    from ..stages.partition import fit_partitions, partition_by
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["ts", "user_id", "event_type"])
+    gap_us = int(gap_s) * 1_000_000
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": pc.cast(t["user_id"], pa.int64()),
+            "event_type": t["event_type"],
+            "us": pa.array(_as_int64(t["ts"]))})
+
+    out_empty = pa.table({"event_type": pa.array([], type=pa.string()),
+                          "kept": pa.array([], type=pa.int64()),
+                          "dropped": pa.array([], type=pa.int64())})
+
+    def kernel(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        us = t["us"].to_numpy(zero_copy_only=False)
+        ut, tr = np.unique(et, return_inverse=True)
+        order = np.lexsort((us, tr, uid))
+        u_s, t_s, us_s = uid[order], tr[order], us[order]
+        same = np.zeros(order.size, dtype=bool)
+        same[1:] = (u_s[1:] == u_s[:-1]) & (t_s[1:] == t_s[:-1])
+        gap = np.empty(order.size, dtype=np.int64)
+        gap[0] = gap_us + 1
+        gap[1:] = us_s[1:] - us_s[:-1]
+        dropped = same & (gap <= gap_us)
+        keep_by_type = np.zeros(ut.shape[0], dtype=np.int64)
+        drop_by_type = np.zeros(ut.shape[0], dtype=np.int64)
+        np.add.at(keep_by_type, t_s[~dropped], 1)
+        np.add.at(drop_by_type, t_s[dropped], 1)
+        return pa.table({
+            "event_type": pa.array(ut.tolist(), type=pa.string()),
+            "kept": pa.array(keep_by_type),
+            "dropped": pa.array(drop_by_type)})
+
+    pre = partition_by(
+        ds.map_batches(prep, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["user_id"], fit_partitions(16), kernel, out_empty)
+    out = (pre.groupby("event_type")
+           .aggregate(_Sum("kept", alias_name="kept"),
+                      _Sum("dropped", alias_name="dropped"))
+           .to_pandas().sort_values("event_type")
+           .reset_index(drop=True))
+    return pa.table({
+        "event_type": pa.array(out["event_type"], type=pa.string()),
+        "kept": pa.array(out["kept"].to_numpy(dtype=np.int64)),
+        "dropped": pa.array(out["dropped"].to_numpy(dtype=np.int64)),
+    })
+
+
+DEBOUNCE_SQL = """
+WITH lagged AS (
+  SELECT event_type,
+         CAST(epoch_us(ts) AS BIGINT)
+         - lag(CAST(epoch_us(ts) AS BIGINT))
+             OVER (PARTITION BY user_id, event_type
+                   ORDER BY epoch_us(ts)) AS gap_us
+  FROM events
+)
+SELECT event_type,
+       CAST(sum(CASE WHEN gap_us IS NULL OR gap_us > 300000000
+                     THEN 1 ELSE 0 END) AS BIGINT) AS kept,
+       CAST(sum(CASE WHEN gap_us IS NOT NULL AND gap_us <= 300000000
+                     THEN 1 ELSE 0 END) AS BIGINT) AS dropped
+FROM lagged
+GROUP BY 1
+ORDER BY 1
+"""

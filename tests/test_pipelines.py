@@ -4330,3 +4330,26 @@ def test_diff_in_diff_detects_treatment_lift(ray_session, tmp_path):
     assert out["did_micro"] == [5_000_000]
     assert out["control_post_micro"][0] \
         - out["control_pre_micro"][0] == 2_000_000
+
+
+def test_rake_scores_multiword_phrase_above_commons(ray_session,
+                                                    tmp_path):
+    """A repeated co-occurring pair outranks isolated common words,
+    and stopwords split phrases."""
+    import pyarrow.parquet as pq
+    from p2pddsketch_ray.pipelines.relational import rake_keywords_topk
+    docs = ["deep learning is deep learning for vision",
+            "deep learning and vision",
+            "vision the vision"]
+    pq.write_table(pa.table({
+        "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+        "text": pa.array(docs),
+    }), str(tmp_path / "documents.parquet"))
+    out = rake_keywords_topk(str(tmp_path)).to_pandas()
+    top = out.iloc[0]
+    # "deep learning" occurs 3x as a 2-token phrase: deg/freq of both
+    # words is 2.0 -> score 4.0; single words score ~1
+    assert top["phrase"] == "deep learning"
+    assert int(top["n_occurrences"]) == 3
+    assert int(top["score_micro"]) == 4_000_000
+    assert "is" not in set(out["phrase"])      # stopword never appears

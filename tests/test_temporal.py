@@ -1088,3 +1088,30 @@ def test_trailing_top_user_windows_and_ties(ray_session, tmp_path):
     assert rows[0] == (1, 3)            # hour 0: user1 3 > user2 2
     assert rows[23] == (2, 4)           # full window: user2 2+2
     assert rows[30] == (2, 2)           # user1 expired, user2's h23 in
+
+
+def test_debounce_collapses_bursts_per_type(ray_session, tmp_path):
+    """Repeats of the same (user, type) inside the gap are dropped;
+    different types never debounce each other."""
+    import pyarrow.parquet as pq
+    from p2pddsketch_ray.pipelines.temporal import debounced_event_counts
+    S = np.datetime64("2024-01-05T00:00", "us").astype(np.int64)
+    SEC = 1_000_000
+    # user 1 clicks at 0s, 10s, 400s: 10s dropped, 400s kept;
+    # interleaved views at 5s never touch the click chain
+    ts = [S, S + 10 * SEC, S + 400 * SEC, S + 5 * SEC,
+          S + 6 * SEC]
+    uid = [1, 1, 1, 1, 1]
+    et = ["click", "click", "click", "view", "view"]
+    pq.write_table(pa.table({
+        "ts": pa.array(np.array(ts, dtype=np.int64)).cast(
+            pa.timestamp("us")),
+        "user_id": pa.array(uid, type=pa.int64()),
+        "event_type": pa.array(et),
+    }), str(tmp_path / "events.parquet"))
+    out = debounced_event_counts(str(tmp_path)).to_pandas() \
+        .set_index("event_type")
+    assert int(out.loc["click", "kept"]) == 2
+    assert int(out.loc["click", "dropped"]) == 1
+    assert int(out.loc["view", "kept"]) == 1
+    assert int(out.loc["view", "dropped"]) == 1
