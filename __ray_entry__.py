@@ -48,6 +48,7 @@ from p2pddsketch_ray.pipelines.temporal import (  # noqa: E402
     ORDERS_ASOF_NEXT_SQL as _ORDERS_ASOF_NEXT_SQL,
     TRAILING_TOP_USER_SQL as _TRAILING_TOP_USER_SQL,
     DEBOUNCE_SQL as _DEBOUNCE_SQL,
+    VALUE_OHLC_SQL as _VALUE_OHLC_SQL,
     ORDERS_EVENT_WINDOW_SQL as _ORDERS_EVENT_WINDOW_SQL,
     USER_EVENT_LAG_SQL as _USER_EVENT_LAG_SQL,
     USER_RUNNING_TOTALS_SQL as _USER_RUNNING_TOTALS_SQL,
@@ -535,6 +536,21 @@ def _dds_global(table: str, col: str):
     return run
 
 
+_CONV_LAG_TABLE = """(SELECT CAST(pu.t1 - su.t0 AS DOUBLE) AS lag_us
+ FROM (SELECT user_id, min(epoch_us(ts)) AS t0 FROM events
+       WHERE event_type = 'signup' GROUP BY 1) su
+ JOIN (SELECT user_id, min(epoch_us(ts)) AS t1 FROM events
+       WHERE event_type = 'purchase' GROUP BY 1) pu
+   ON pu.user_id = su.user_id
+ WHERE pu.t1 >= su.t0) lags"""
+
+
+def _conversion_lag_dds(sf_dir: str):
+    from p2pddsketch_ray.pipelines.quantiles import conversion_lag_dds
+    return conversion_lag_dds(sf_dir, qs=QS, alpha=ALPHA,
+                              bin_limit=BIN_LIMIT)
+
+
 def _dds_event_value_actor_pool(sf_dir: str):
     import ray.data
     import pyarrow as pa
@@ -710,6 +726,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "trailing_top_user_hourly": _trailing_top_user_hourly,
         # debounce: collapse same-(user,type) repeats within 5 min
         "debounced_event_counts": _debounced_event_counts,
+        # OHLC bars: argmin/argmax-by-time aggregate per hour
+        "value_ohlc_hourly": _value_ohlc_hourly,
         # distributed range (interval-overlap) join: time-bucket
         # co-partition, <= 2x replication of the small side only
         "orders_event_window_stats": _orders_event_window_stats,
@@ -881,6 +899,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "diff_in_diff_report": _diff_in_diff_report,
         # RAKE multi-word keyword extraction (top phrases)
         "rake_keywords_topk": _rake_keywords_topk,
+        # DDSketch over a DERIVED stream: p50/p95/p99 conversion lag
+        "conversion_lag_dds": _conversion_lag_dds,
         # batched MODEL INFERENCE: broadcast integer-linear classifier
         # scored by an actor pool (weights ray.put once, fetched once
         # per actor in __init__), in-batch rollup combiner
@@ -1605,6 +1625,11 @@ def _trailing_top_user_hourly(sf_dir: str):
 def _debounced_event_counts(sf_dir: str):
     from p2pddsketch_ray.pipelines.temporal import debounced_event_counts
     return debounced_event_counts(sf_dir)
+
+
+def _value_ohlc_hourly(sf_dir: str):
+    from p2pddsketch_ray.pipelines.temporal import value_ohlc_hourly
+    return value_ohlc_hourly(sf_dir)
 
 
 def _orders_event_window_stats(sf_dir: str):
@@ -2517,6 +2542,7 @@ WHERE list_cosine_similarity(a.v, b.v) >= 0.3""",
         "orders_asof_next_event": _ORDERS_ASOF_NEXT_SQL,
         "trailing_top_user_hourly": _TRAILING_TOP_USER_SQL,
         "debounced_event_counts": _DEBOUNCE_SQL,
+        "value_ohlc_hourly": _VALUE_OHLC_SQL,
         "orders_event_window_stats": _ORDERS_EVENT_WINDOW_SQL,
         "user_event_lag_stats": _USER_EVENT_LAG_SQL,
         "repetition_stats_by_lang": _REPETITION_STATS_SQL,
@@ -2949,6 +2975,7 @@ ORDER BY 1""",
         "psi_drift_binned": _PSI_DRIFT_SQL,
         "diff_in_diff_report": _DIFF_IN_DIFF_SQL,
         "rake_keywords_topk": _RAKE_KEYWORDS_SQL,
+        "conversion_lag_dds": _dds_sql(_CONV_LAG_TABLE, "lag_us"),
         "kmv_user_overlap": """
 WITH d AS (SELECT DISTINCT event_type, hash(user_id) AS hv FROM events),
 r AS (SELECT event_type, hv,

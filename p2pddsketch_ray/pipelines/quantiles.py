@@ -1017,3 +1017,83 @@ FROM c JOIN tot USING (flag)
 WHERE c.cum >= (tot.W + 1) // 2
 GROUP BY 1, 2 ORDER BY 1
 """
+
+
+def conversion_lag_dds(sf_dir: str, qs=(0.5, 0.95, 0.99),
+                       alpha: float = 0.01, bin_limit: int = 2048,
+                       from_type: str = "signup",
+                       to_type: str = "purchase") -> pa.Table:
+    """DDSketch quantiles of a DERIVED stream: per-user conversion lag
+    (first ``to_type`` minus first ``from_type``, microseconds, users
+    converting at/after the first touch) -- the sketch-over-pipeline
+    composition a funnel team runs ("p95 time-to-convert"), showing the
+    sketch stage consuming a co-partitioned join kernel's output
+    instead of a raw column.
+
+    Scale shape: events fold per block to (user, which, min_ts)
+    partials; one user co-partition computes each user's lag (one row
+    per converting user); the standard DDSketch partial/merge path
+    sketches the lag stream without materializing it anywhere."""
+    import ray.data
+
+    from ..stages.partition import fit_partitions, partition_by
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["ts", "user_id", "event_type"])
+
+    part_empty = pa.table({"user_id": pa.array([], type=pa.int64()),
+                           "which": pa.array([], type=pa.int64()),
+                           "t": pa.array([], type=pa.int64())})
+
+    def prep(t: pa.Table) -> pa.Table:
+        et = t["event_type"]
+        m0 = pc.equal(et, pa.scalar(from_type))
+        m1 = pc.equal(et, pa.scalar(to_type))
+        keep = pc.or_(m0, m1)
+        t2 = t.filter(keep)
+        if t2.num_rows == 0:
+            return part_empty
+        which = pc.cast(pc.equal(t2["event_type"], pa.scalar(to_type)),
+                        pa.int64()).to_numpy(zero_copy_only=False)
+        uid = t2["user_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        us = pc.cast(t2["ts"], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        comp = uid * 2 + which
+        uc, inv = np.unique(comp, return_inverse=True)
+        tmin = np.full(uc.shape[0], np.iinfo(np.int64).max,
+                       dtype=np.int64)
+        np.minimum.at(tmin, inv, us)
+        return pa.table({"user_id": pa.array(uc // 2),
+                         "which": pa.array(uc % 2),
+                         "t": pa.array(tmin)})
+
+    lag_empty = pa.table({"x": pa.array([], type=pa.float64())})
+
+    def lag_kernel(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        which = t["which"].to_numpy(zero_copy_only=False)
+        ts = t["t"].to_numpy(zero_copy_only=False)
+        comp = uid * 2 + which
+        uc, inv = np.unique(comp, return_inverse=True)
+        tmin = np.full(uc.shape[0], np.iinfo(np.int64).max,
+                       dtype=np.int64)
+        np.minimum.at(tmin, inv, ts)
+        u_of = uc // 2
+        w_of = uc % 2
+        users = np.unique(u_of)
+        t0 = np.full(users.shape[0], -1, dtype=np.int64)
+        t1 = np.full(users.shape[0], -1, dtype=np.int64)
+        pos = np.searchsorted(users, u_of)
+        t0[pos[w_of == 0]] = tmin[w_of == 0]
+        t1[pos[w_of == 1]] = tmin[w_of == 1]
+        ok = (t0 >= 0) & (t1 >= 0) & (t1 >= t0)
+        return pa.table({"x": pa.array((t1[ok] - t0[ok])
+                                       .astype(np.float64))})
+
+    lags = partition_by(
+        ds.map_batches(prep, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["user_id"], fit_partitions(16), lag_kernel, lag_empty)
+    return dds_quantiles_global(lags, "x", tuple(qs), alpha=alpha,
+                                bin_limit=bin_limit, round_digits=6)

@@ -4125,3 +4125,151 @@ FROM lagged
 GROUP BY 1
 ORDER BY 1
 """
+
+
+def value_ohlc_hourly(sf_dir: str) -> pa.Table:
+    """OHLC BARS: per hour, the open (value of the earliest event,
+    event_id tiebreak), high, low, and close (latest event) of `value`
+    in integer cents plus the tick count -- the argmin/argmax-by-time
+    aggregate family (finance bars, sensor rollups) that plain
+    Sum/Min/Max aggregates cannot express.
+
+    Scale shape: each block folds to one candidate row per hour
+    (open/close candidates + hi/lo/n); an hour co-partition resolves
+    candidates with two lexsorts -- hours hash to one partition each,
+    so the partition fold IS the final answer (no driver fold)."""
+    from ..stages.partition import fit_partitions, partition_by
+
+    HOUR_US = 3_600_000_000
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["ts", "event_id", "value"])
+
+    cand_empty = pa.table({
+        "hour": pa.array([], type=pa.int64()),
+        "o_ts": pa.array([], type=pa.int64()),
+        "o_eid": pa.array([], type=pa.int64()),
+        "open_cents": pa.array([], type=pa.int64()),
+        "c_ts": pa.array([], type=pa.int64()),
+        "c_eid": pa.array([], type=pa.int64()),
+        "close_cents": pa.array([], type=pa.int64()),
+        "high_cents": pa.array([], type=pa.int64()),
+        "low_cents": pa.array([], type=pa.int64()),
+        "n": pa.array([], type=pa.int64())})
+
+    def _fold(hour, us, eid, cents):
+        uh, inv = np.unique(hour, return_inverse=True)
+        k = uh.shape[0]
+        first = np.lexsort((eid, us, hour))
+        hs = hour[first]
+        new = np.ones(hs.size, dtype=bool)
+        new[1:] = hs[1:] != hs[:-1]
+        oi = first[new]
+        last = np.lexsort((-eid, -us, hour))
+        hs2 = hour[last]
+        new2 = np.ones(hs2.size, dtype=bool)
+        new2[1:] = hs2[1:] != hs2[:-1]
+        ci = last[new2]
+        hi = np.full(k, np.iinfo(np.int64).min, dtype=np.int64)
+        lo = np.full(k, np.iinfo(np.int64).max, dtype=np.int64)
+        n = np.zeros(k, dtype=np.int64)
+        np.maximum.at(hi, inv, cents)
+        np.minimum.at(lo, inv, cents)
+        np.add.at(n, inv, 1)
+        return pa.table({
+            "hour": pa.array(uh),
+            "o_ts": pa.array(us[oi]), "o_eid": pa.array(eid[oi]),
+            "open_cents": pa.array(cents[oi]),
+            "c_ts": pa.array(us[ci]), "c_eid": pa.array(eid[ci]),
+            "close_cents": pa.array(cents[ci]),
+            "high_cents": pa.array(hi), "low_cents": pa.array(lo),
+            "n": pa.array(n)})
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return cand_empty
+        us = _as_int64(t["ts"])
+        cents = np.floor(t["value"].to_numpy(zero_copy_only=False)
+                         * 100.0 + 0.5).astype(np.int64)
+        eid = t["event_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return _fold(us // HOUR_US, us, eid, cents)
+
+    out_empty = pa.table({
+        "hour": pa.array([], type=pa.int64()),
+        "n": pa.array([], type=pa.int64()),
+        "open_cents": pa.array([], type=pa.int64()),
+        "high_cents": pa.array([], type=pa.int64()),
+        "low_cents": pa.array([], type=pa.int64()),
+        "close_cents": pa.array([], type=pa.int64())})
+
+    def resolve(t: pa.Table) -> pa.Table:
+        hour = t["hour"].to_numpy(zero_copy_only=False)
+        uh, inv = np.unique(hour, return_inverse=True)
+        k = uh.shape[0]
+        o_order = np.lexsort((t["o_eid"].to_numpy(zero_copy_only=False),
+                              t["o_ts"].to_numpy(zero_copy_only=False),
+                              hour))
+        hs = hour[o_order]
+        new = np.ones(hs.size, dtype=bool)
+        new[1:] = hs[1:] != hs[:-1]
+        oi = o_order[new]
+        c_order = np.lexsort(
+            (-t["c_eid"].to_numpy(zero_copy_only=False),
+             -t["c_ts"].to_numpy(zero_copy_only=False), hour))
+        hs2 = hour[c_order]
+        new2 = np.ones(hs2.size, dtype=bool)
+        new2[1:] = hs2[1:] != hs2[:-1]
+        ci = c_order[new2]
+        hi = np.full(k, np.iinfo(np.int64).min, dtype=np.int64)
+        lo = np.full(k, np.iinfo(np.int64).max, dtype=np.int64)
+        n = np.zeros(k, dtype=np.int64)
+        np.maximum.at(hi, inv,
+                      t["high_cents"].to_numpy(zero_copy_only=False))
+        np.minimum.at(lo, inv,
+                      t["low_cents"].to_numpy(zero_copy_only=False))
+        np.add.at(n, inv, t["n"].to_numpy(zero_copy_only=False))
+        opens = t["open_cents"].to_numpy(zero_copy_only=False)[oi]
+        closes = t["close_cents"].to_numpy(zero_copy_only=False)[ci]
+        return pa.table({
+            "hour": pa.array(uh), "n": pa.array(n),
+            "open_cents": pa.array(opens),
+            "high_cents": pa.array(hi),
+            "low_cents": pa.array(lo),
+            "close_cents": pa.array(closes)})
+
+    pre = partition_by(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["hour"], fit_partitions(16), resolve, out_empty).to_pandas()
+    pre = pre.sort_values("hour").reset_index(drop=True)
+    return pa.table({
+        c: pa.array(pre[c].to_numpy(dtype=np.int64))
+        for c in ["hour", "n", "open_cents", "high_cents",
+                  "low_cents", "close_cents"]})
+
+
+VALUE_OHLC_SQL = """
+WITH e AS (
+  SELECT CAST(epoch_us(ts) AS BIGINT) // 3600000000 AS hour,
+         CAST(epoch_us(ts) AS BIGINT) AS tus, event_id,
+         CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+  FROM events
+), rk AS (
+  SELECT hour, cents,
+         row_number() OVER (PARTITION BY hour
+                            ORDER BY tus, event_id) AS rn_o,
+         row_number() OVER (PARTITION BY hour
+                            ORDER BY tus DESC, event_id DESC) AS rn_c
+  FROM e
+), agg AS (
+  SELECT hour, CAST(count(*) AS BIGINT) AS n,
+         max(cents) AS high_cents, min(cents) AS low_cents
+  FROM e GROUP BY 1
+)
+SELECT a.hour, a.n, o.cents AS open_cents, a.high_cents,
+       a.low_cents, c.cents AS close_cents
+FROM agg a
+JOIN rk o ON o.hour = a.hour AND o.rn_o = 1
+JOIN rk c ON c.hour = a.hour AND c.rn_c = 1
+ORDER BY a.hour
+"""

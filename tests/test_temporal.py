@@ -1115,3 +1115,61 @@ def test_debounce_collapses_bursts_per_type(ray_session, tmp_path):
     assert int(out.loc["click", "dropped"]) == 1
     assert int(out.loc["view", "kept"]) == 1
     assert int(out.loc["view", "dropped"]) == 1
+
+
+def test_ohlc_bars_hand_case(ray_session, tmp_path):
+    """Open/close track the (ts, event_id) order, including the
+    same-timestamp tiebreak; high/low/count are exact."""
+    import pyarrow.parquet as pq
+    from p2pddsketch_ray.pipelines.temporal import value_ohlc_hourly
+    H = 3_600_000_000
+    base = np.datetime64("2024-01-05T00:00", "us").astype(np.int64)
+    # hour 0: events at t0 (eid 2, v=5), t0 (eid 1, v=7), t0+1s
+    # (eid 3, v=1): open = eid1's 7.0, close = v=1, high 7, low 1
+    ts = [base, base, base + 1_000_000, base + H]
+    eid = [2, 1, 3, 4]
+    val = [5.0, 7.0, 1.0, 2.5]
+    pq.write_table(pa.table({
+        "ts": pa.array(np.array(ts, dtype=np.int64)).cast(
+            pa.timestamp("us")),
+        "event_id": pa.array(eid, type=pa.int64()),
+        "value": pa.array(val),
+    }), str(tmp_path / "events.parquet"))
+    out = value_ohlc_hourly(str(tmp_path)).to_pandas() \
+        .set_index("hour")
+    h0 = base // H
+    r = out.loc[h0]
+    assert (int(r["open_cents"]), int(r["close_cents"])) == (700, 100)
+    assert (int(r["high_cents"]), int(r["low_cents"])) == (700, 100)
+    assert int(r["n"]) == 3
+    assert int(out.loc[h0 + 1, "open_cents"]) == 250
+
+
+def test_conversion_lag_dds_within_alpha(ray_session, tmp_path):
+    """Sketch quantiles of the derived lag stream stay within the
+    DDSketch alpha bound of the exact lags."""
+    import pyarrow.parquet as pq
+    from p2pddsketch_ray.pipelines.quantiles import conversion_lag_dds
+    S = np.datetime64("2024-01-05T00:00", "us").astype(np.int64)
+    rng = np.random.default_rng(5)
+    lags = rng.integers(60, 72 * 3600, size=300) * 1_000_000
+    ts, uid, et = [], [], []
+    for i, lag in enumerate(lags):
+        uid += [i, i]
+        et += ["signup", "purchase"]
+        ts += [S, S + int(lag)]
+    # one user purchasing BEFORE signup: excluded
+    uid += [9999, 9999]; et += ["purchase", "signup"]
+    ts += [S, S + 1_000_000]
+    pq.write_table(pa.table({
+        "ts": pa.array(np.array(ts, dtype=np.int64)).cast(
+            pa.timestamp("us")),
+        "user_id": pa.array(uid, type=pa.int64()),
+        "event_type": pa.array(et),
+    }), str(tmp_path / "events.parquet"))
+    out = conversion_lag_dds(str(tmp_path)).to_pandas()
+    exact = np.sort(lags.astype(np.float64))
+    for _, row in out.iterrows():
+        q = row["q"]
+        ex = exact[min(int(q * (exact.size - 1)), exact.size - 1)]
+        assert abs(row["est"] - ex) / ex < 0.025   # 2*alpha + rank slop
