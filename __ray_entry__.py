@@ -545,6 +545,55 @@ _CONV_LAG_TABLE = """(SELECT CAST(pu.t1 - su.t0 AS DOUBLE) AS lag_us
  WHERE pu.t1 >= su.t0) lags"""
 
 
+_ALPHA_SWEEP_SQL = f"""
+WITH src AS (SELECT CAST(l_extendedprice AS DOUBLE) AS x
+             FROM lineitem WHERE l_extendedprice IS NOT NULL),
+alphas(am, g) AS (VALUES
+  (20000, CAST((1.0+0.02)/(1.0-0.02) AS DOUBLE)),
+  (10000, CAST((1.0+0.01)/(1.0-0.01) AS DOUBLE)),
+  (5000,  CAST((1.0+0.005)/(1.0-0.005) AS DOUBLE))),
+keyed AS (SELECT am,
+                 CASE WHEN x > 0
+                      THEN CAST(ceil(ln(x)/ln(g)) AS BIGINT) + {OFFSET}
+                      WHEN x < 0
+                      THEN -CAST(ceil(ln(-x)/ln(g)) AS BIGINT) - {OFFSET}
+                      ELSE 0 END AS k
+          FROM src CROSS JOIN alphas),
+bins AS (SELECT am, k, CAST(count(*) AS DOUBLE) AS c
+         FROM keyed GROUP BY 1, 2),
+tot AS (SELECT am, sum(c) AS n FROM bins GROUP BY 1),
+walk AS (SELECT am, k, sum(c) OVER (PARTITION BY am ORDER BY k) AS cum
+         FROM bins),
+pick AS (SELECT walk.am AS am, min(walk.k) AS bucket_key
+         FROM walk JOIN tot ON tot.am = walk.am
+         WHERE walk.cum > 0.95 * (tot.n - 1) GROUP BY 1),
+ex AS (SELECT quantile_disc(x, 0.95) AS exact FROM src),
+est AS (SELECT p.am, p.bucket_key,
+               round(CASE WHEN p.bucket_key > 0
+                          THEN 2*pow(a.g, p.bucket_key - {OFFSET})
+                               / (a.g+1)
+                          WHEN p.bucket_key < 0
+                          THEN -2*pow(a.g, -p.bucket_key - {OFFSET})
+                               / (a.g+1)
+                          ELSE 0.0 END, 6) AS est
+        FROM pick p JOIN alphas a ON a.am = p.am)
+SELECT est.am AS alpha_micro, est.bucket_key, est.est,
+       ex.exact AS exact,
+       CAST(floor(abs(est.est - ex.exact) / ex.exact * 1000000.0)
+            AS BIGINT) AS rel_err_micro,
+       CAST(CASE WHEN floor(abs(est.est - ex.exact) / ex.exact
+                            * 1000000.0) <= est.am
+                 THEN 1 ELSE 0 END AS BIGINT) AS within_alpha
+FROM est CROSS JOIN ex
+ORDER BY alpha_micro DESC
+"""
+
+
+def _dds_alpha_error_sweep(sf_dir: str):
+    from p2pddsketch_ray.pipelines.quantiles import dds_alpha_error_sweep
+    return dds_alpha_error_sweep(sf_dir)
+
+
 def _conversion_lag_dds(sf_dir: str):
     from p2pddsketch_ray.pipelines.quantiles import conversion_lag_dds
     return conversion_lag_dds(sf_dir, qs=QS, alpha=ALPHA,
@@ -901,6 +950,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rake_keywords_topk": _rake_keywords_topk,
         # DDSketch over a DERIVED stream: p50/p95/p99 conversion lag
         "conversion_lag_dds": _conversion_lag_dds,
+        # one-pass multi-alpha build + exact audit (the metric itself)
+        "dds_alpha_error_sweep": _dds_alpha_error_sweep,
         # batched MODEL INFERENCE: broadcast integer-linear classifier
         # scored by an actor pool (weights ray.put once, fetched once
         # per actor in __init__), in-batch rollup combiner
@@ -2976,6 +3027,7 @@ ORDER BY 1""",
         "diff_in_diff_report": _DIFF_IN_DIFF_SQL,
         "rake_keywords_topk": _RAKE_KEYWORDS_SQL,
         "conversion_lag_dds": _dds_sql(_CONV_LAG_TABLE, "lag_us"),
+        "dds_alpha_error_sweep": _ALPHA_SWEEP_SQL,
         "kmv_user_overlap": """
 WITH d AS (SELECT DISTINCT event_type, hash(user_id) AS hv FROM events),
 r AS (SELECT event_type, hv,

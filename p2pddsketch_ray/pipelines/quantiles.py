@@ -1097,3 +1097,86 @@ def conversion_lag_dds(sf_dir: str, qs=(0.5, 0.95, 0.99),
         ["user_id"], fit_partitions(16), lag_kernel, lag_empty)
     return dds_quantiles_global(lags, "x", tuple(qs), alpha=alpha,
                                 bin_limit=bin_limit, round_digits=6)
+
+
+def dds_alpha_error_sweep(sf_dir: str, q: float = 0.95,
+                          alphas=(0.02, 0.01, 0.005),
+                          bin_limit: int = 4096) -> pa.Table:
+    """ACCURACY-vs-ALPHA sweep with an exact audit: build DDSketches at
+    several alphas in ONE streamed pass (tagged partials, one pickled
+    row per (block, alpha)), estimate the q-quantile from each, and
+    check every estimate against the EXACT distributed quantile (the
+    bisection pipeline) -- the flagship metric's own acceptance test
+    ("max quantile relative error <= alpha") as a driver query.
+
+    Scale shape: the multi-alpha build reads the column once; the
+    merge is the standard per-alpha tree; the exact audit adds the
+    histogram-bisection passes (no sort, no materialization)."""
+    import pickle
+
+    import ray.data
+
+    ds = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_extendedprice"])
+    alphas = tuple(alphas)
+
+    def partials(t: pa.Table) -> pa.Table:
+        col = t["l_extendedprice"]
+        if col.null_count:
+            col = col.drop_null()
+        vals = col.to_numpy(zero_copy_only=False)
+        idxs, blobs = [], []
+        for i, a in enumerate(alphas):
+            s = DDSketch(a, bin_limit)
+            s.add_batch(vals)
+            idxs.append(i)
+            blobs.append(pickle.dumps(s))
+        return pa.table({"ai": pa.array(idxs, type=pa.int64()),
+                         "blob": pa.array(blobs, type=pa.binary())})
+
+    def merge_group(group: pa.Table) -> pa.Table:
+        merged = None
+        for b in group["blob"].to_pylist():
+            s = pickle.loads(b)
+            merged = s if merged is None else merged.merge(s)
+        return pa.table({
+            "ai": pa.array([group["ai"][0].as_py()], type=pa.int64()),
+            "blob": pa.array([pickle.dumps(merged)], type=pa.binary())})
+
+    refs = (ds.map_batches(partials, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby("ai")
+            .map_groups(merge_group, batch_format="pyarrow")
+            .to_arrow_refs())
+    merged = {}
+    for r in refs:
+        t = ray.get(r)
+        if t.num_rows == 0:
+            continue
+        for ai, blob in zip(t["ai"].to_pylist(),
+                            t["blob"].to_pylist()):
+            merged[int(ai)] = pickle.loads(blob)
+
+    exact_t = exact_quantiles(ds, "l_extendedprice", [q])
+    exact = float(exact_t["value"][0].as_py())
+
+    rows = []
+    for i, a in enumerate(alphas):
+        s = merged[i]
+        key = s.quantile_key(q)
+        est = round(s._bucket_estimate(key), 6)
+        # ONE float expression, mirrored in the SQL twin
+        err = int(np.floor(abs(est - exact) / exact * 1_000_000.0))
+        am = int(round(a * 1_000_000))
+        rows.append((am, key, est, exact, err, int(err <= am)))
+    rows.sort(key=lambda r: -r[0])
+    return pa.table({
+        "alpha_micro": pa.array([r[0] for r in rows], type=pa.int64()),
+        "bucket_key": pa.array([r[1] for r in rows], type=pa.int64()),
+        "est": pa.array([r[2] for r in rows], type=pa.float64()),
+        "exact": pa.array([r[3] for r in rows], type=pa.float64()),
+        "rel_err_micro": pa.array([r[4] for r in rows],
+                                  type=pa.int64()),
+        "within_alpha": pa.array([r[5] for r in rows],
+                                 type=pa.int64()),
+    })

@@ -265,3 +265,22 @@ def test_weighted_median_matches_repetition_expansion(ray_session):
     assert list(got["total_weight"]) == list(want["total_weight"])
     for g, w in zip(got["weighted_median"], want["med"]):
         assert g == w
+
+
+def test_alpha_sweep_errors_within_bounds(ray_session, tmp_path):
+    """Every alpha's estimate is within its own bound, and the p95
+    audit agrees with an exact numpy quantile."""
+    import pyarrow.parquet as pq
+    from p2pddsketch_ray.pipelines.quantiles import dds_alpha_error_sweep
+    rng = np.random.default_rng(3)
+    vals = np.abs(rng.lognormal(4, 1, size=20_000)) + 1.0
+    pq.write_table(pa.table({"l_extendedprice": pa.array(vals)}),
+                   str(tmp_path / "lineitem.parquet"))
+    out = dds_alpha_error_sweep(str(tmp_path)).to_pandas()
+    assert list(out["alpha_micro"]) == [20000, 10000, 5000]
+    assert (out["within_alpha"] == 1).all()
+    # exact column equals the quantile_disc rank element
+    n = vals.size
+    r = max(0, int(np.ceil(0.95 * n)) - 1)
+    assert abs(out["exact"].iloc[0] - np.sort(vals)[r]) < 1e-9
+    assert (out["rel_err_micro"] <= out["alpha_micro"]).all()
