@@ -73,6 +73,12 @@ from p2pddsketch_ray.pipelines.temporal import (  # noqa: E402
     MARKOV_ENTROPY_SQL as _MARKOV_ENTROPY_SQL,
     ewma_forecast_hourly as _ewma_forecast_hourly,
     EWMA_FORECAST_SQL as _EWMA_FORECAST_SQL,
+    theil_sen_trend_by_type as _theil_sen_trend_by_type,
+    THEIL_SEN_SQL as _THEIL_SEN_SQL,
+    km_user_survival as _km_user_survival,
+    KM_SURVIVAL_SQL as _KM_SURVIVAL_SQL,
+    acf_hourly_revenue as _acf_hourly_revenue,
+    ACF_HOURLY_SQL as _ACF_HOURLY_SQL,
     funnel_windowed_counts as _funnel_windowed_counts,
     FUNNEL_WINDOWED_SQL as _FUNNEL_WINDOWED_SQL,
     leadlag_xcorr as _leadlag_xcorr,
@@ -466,6 +472,7 @@ from p2pddsketch_ray.pipelines.relational import (  # noqa: E402
     BIGRAM_LM_BY_LANG_SQL as _BIGRAM_LM_BY_LANG_SQL,
     EMBEDDING_COVARIANCE_SQL as _EMBEDDING_COVARIANCE_SQL,
     HASH_SAMPLE_ORDERS_SQL as _HASH_SAMPLE_ORDERS_SQL,
+    WEIGHTED_DOC_SAMPLE_SQL as _WEIGHTED_DOC_SAMPLE_SQL,
     GLOBAL_RANKS_SQL as _GLOBAL_RANKS_SQL,
     NEAREST_CENTROID_SQL as _NEAREST_CENTROID_SQL,
     KNN_BATCH_SQL as _KNN_BATCH_SQL,
@@ -967,6 +974,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_covariance_topk": R.embedding_covariance_topk,
         # deterministic bottom-k-by-hash distributed sample
         "hash_sample_orders": R.hash_sample_orders,
+        # Efraimidis-Spirakis WEIGHTED bottom-k sample (w = n_chars)
+        "weighted_doc_sample": R.weighted_doc_sample,
         # EXACT distributed global row_number (range-bucket offsets +
         # within-bucket lexsort; no single-node sort anywhere)
         "global_order_ranks": R.global_order_ranks,
@@ -1232,6 +1241,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "markov_entropy_rate": _markov_entropy_rate,
         # integer EWMA one-step forecast MAE (recursive-CTE oracle)
         "ewma_forecast_hourly": _ewma_forecast_hourly,
+        # Theil-Sen robust trend: median pairwise hourly slope per type
+        "theil_sen_trend_by_type": _theil_sen_trend_by_type,
+        # Kaplan-Meier product-limit user survival (right-censored)
+        "km_user_survival": _km_user_survival,
+        # integer-exact autocorrelation of the hourly revenue series
+        "acf_hourly_revenue": _acf_hourly_revenue,
         # zero-filled cross-source shared-text contamination matrix
         "cross_source_dup_matrix": _cross_source_dup_matrix,
         # top-k vocabulary occurrence-coverage curve
@@ -2015,6 +2030,7 @@ def oracle_sql() -> dict[str, str]:
         "bigram_lm_by_lang": _BIGRAM_LM_BY_LANG_SQL,
         "embedding_covariance_topk": _EMBEDDING_COVARIANCE_SQL,
         "hash_sample_orders": _HASH_SAMPLE_ORDERS_SQL,
+        "weighted_doc_sample": _WEIGHTED_DOC_SAMPLE_SQL,
         "global_order_ranks": _GLOBAL_RANKS_SQL,
         "inverted_index_lookup": _INVERTED_INDEX_SQL,
         "nearest_centroid_confusion": _NEAREST_CENTROID_SQL,
@@ -2126,6 +2142,9 @@ def oracle_sql() -> dict[str, str]:
         "brand_year_revenue": _BRAND_YEAR_REVENUE_SQL,
         "markov_entropy_rate": _MARKOV_ENTROPY_SQL,
         "ewma_forecast_hourly": _EWMA_FORECAST_SQL,
+        "theil_sen_trend_by_type": _THEIL_SEN_SQL,
+        "km_user_survival": _KM_SURVIVAL_SQL.format(censor_hours=72),
+        "acf_hourly_revenue": _ACF_HOURLY_SQL,
         "cross_source_dup_matrix": _CROSS_SOURCE_DUP_SQL,
         "vocab_coverage_curve": _VOCAB_COVERAGE_SQL,
         "rfm_segments": _RFM_SEGMENTS_SQL,

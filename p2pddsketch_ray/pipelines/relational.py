@@ -20352,3 +20352,81 @@ FROM phrases GROUP BY 1
 ORDER BY score_micro DESC, phrase
 LIMIT 15
 """
+
+
+def weighted_doc_sample(sf_dir: str, k: int = 100) -> pa.Table:
+    """WEIGHTED sample without replacement: bottom-k documents by the
+    Efraimidis-Spirakis exponential key e_i = -ln(u_i) / w_i (PIS
+    2006) with weight w = n_chars -- each doc's inclusion probability
+    is proportional to its length, the standard size-biased corpus
+    sample (long docs carry more tokens, so a token-fair subsample
+    must overweight them).  Deterministic and engine-replicable:
+    u_i = (hash(doc_id) + 0.5) / 2^64 via the proven hash(BIGINT) ==
+    murmur64 parity, the key is the ONE mirrored float expression
+    floor(-ln(u) / w * 1e15), ties break on doc_id.
+
+    Scale shape: per-block bottom-k prereduce (only k rows per block
+    shuffle), single final fold -- identical to the unweighted
+    hash-sample tier.
+    """
+    from ..hashing import murmur64
+    from ..stages.partition import partition_by
+
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+
+    empty = pa.table({"doc_id": pa.array([], type=pa.int64()),
+                      "n_chars": pa.array([], type=pa.int64()),
+                      "key_femto": pa.array([], type=pa.int64())})
+
+    def keyed_bottomk(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        ids = pc.cast(t["doc_id"], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        w = pc.cast(t["n_chars"], pa.int64()).to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        u = (murmur64(ids).astype(np.float64) + 0.5) / 18446744073709551616.0
+        key = np.floor(-np.log(u) / w * 1e15).astype(np.int64)
+        order = np.lexsort((ids, key))[:k]
+        return pa.table({
+            "doc_id": pa.array(ids[order]),
+            "n_chars": pa.array(pc.cast(t["n_chars"], pa.int64())
+                                .to_numpy(zero_copy_only=False)[order]),
+            "key_femto": pa.array(key[order])})
+
+    def fold(t: pa.Table) -> pa.Table:
+        key = t["key_femto"].to_numpy(zero_copy_only=False)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, key))[:k]
+        return t.take(pa.array(order))
+
+    pre = ds.map_batches(keyed_bottomk, batch_format="pyarrow",
+                         zero_copy_batch=True)
+    final = partition_by(pre, [], 1, fold, empty).to_pandas()
+    key = final["key_femto"].to_numpy(dtype=np.int64)
+    ids = final["doc_id"].to_numpy(dtype=np.int64)
+    order = np.lexsort((ids, key))
+    return pa.table({
+        "doc_id": pa.array(ids[order]),
+        "n_chars": pa.array(final["n_chars"].to_numpy(
+            dtype=np.int64)[order]),
+        "key_femto": pa.array(key[order]),
+        "rnk": pa.array(np.arange(1, order.size + 1, dtype=np.int64)),
+    })
+
+
+WEIGHTED_DOC_SAMPLE_SQL = """
+WITH s AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         CAST(n_chars AS BIGINT) AS n_chars,
+         CAST(floor(-ln((CAST(hash(CAST(doc_id AS BIGINT)) AS DOUBLE)
+                         + 0.5) / 18446744073709551616.0)
+                    / CAST(n_chars AS DOUBLE) * 1e15)
+              AS BIGINT) AS key_femto
+  FROM documents
+)
+SELECT doc_id, n_chars, key_femto,
+       CAST(row_number() OVER (ORDER BY key_femto, doc_id)
+            AS BIGINT) AS rnk
+FROM s QUALIFY rnk <= 100 ORDER BY rnk
+"""

@@ -4273,3 +4273,350 @@ JOIN rk o ON o.hour = a.hour AND o.rn_o = 1
 JOIN rk c ON c.hour = a.hour AND c.rn_c = 1
 ORDER BY a.hour
 """
+
+
+def theil_sen_trend_by_type(sf_dir: str) -> pa.Table:
+    """THEIL-SEN robust trend per event type: the median of all
+    pairwise slopes of the hourly revenue series -- the estimator
+    that survives 29% outliers where OLS folds (Sen 1968, the
+    standard robust trend in ops/monitoring).  Slopes are exact
+    integers: floor(1e6 * (c_j - c_i) / (h_j - h_i)) micro-cents per
+    hour via true floor division (sign-safe -((-n + d - 1) // d)
+    mirrored in the SQL twin, because DuckDB's ``//`` truncates while
+    numpy floors); the median is the quantile_disc lower-median rank
+    ceil(n/2) - 1.
+
+    Scale shape: one per-block (type, hour) cents combiner (shuffle
+    rows = types x hours, cardinality-bounded), then a per-type
+    map_groups pair kernel -- O(hours^2) work but distributed per
+    group and never on the driver.  Micro-unit note: hourly cents x
+    1e6 must fit int64, so series whose hourly totals exceed ~9e12
+    cents need a coarser slope unit.
+    """
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["ts", "event_type", "value"])
+    HOUR_US = np.int64(3_600_000_000)
+
+    def hourly(t: pa.Table) -> pa.Table:
+        us = _as_int64(t["ts"])
+        v = t["value"].to_numpy(zero_copy_only=False)
+        cents = np.floor(v * 100.0 + 0.5).astype(np.int64)
+        staged = pa.table({"event_type": t["event_type"],
+                           "hour": pa.array(us // HOUR_US),
+                           "c": pa.array(cents)})
+        g = staged.group_by(["event_type", "hour"]).aggregate(
+            [("c", "sum")])
+        return pa.table({"event_type": g["event_type"],
+                         "hour": g["hour"],
+                         "c": pc.cast(g["c_sum"], pa.int64())})
+
+    def pair_kernel(group: pa.Table) -> pa.Table:
+        # re-fold block partials to one row per hour, then all pairs
+        g = group.group_by("hour").aggregate([("c", "sum")])
+        hours = g["hour"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cents = g["c_sum"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(hours)
+        hours, cents = hours[order], cents[order]
+        i, j = np.triu_indices(hours.size, k=1)
+        num = (cents[j] - cents[i]) * 1_000_000
+        den = hours[j] - hours[i]
+        slopes = np.floor_divide(num, den)
+        slopes.sort()
+        n = slopes.size
+        med = int(slopes[int(np.ceil(0.5 * n)) - 1]) if n else 0
+        return pa.table({
+            "event_type": pa.array([group["event_type"][0].as_py()]),
+            "n_hours": pa.array([hours.size], type=pa.int64()),
+            "n_pairs": pa.array([n], type=pa.int64()),
+            "slope_micro_med": pa.array([med], type=pa.int64()),
+            "slope_micro_min": pa.array(
+                [int(slopes[0]) if n else 0], type=pa.int64()),
+            "slope_micro_max": pa.array(
+                [int(slopes[-1]) if n else 0], type=pa.int64()),
+        })
+
+    out = (ds.map_batches(hourly, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("event_type")
+           .map_groups(pair_kernel, batch_format="pyarrow")
+           .to_pandas().sort_values("event_type"))
+    return pa.table({
+        "event_type": pa.array(out["event_type"], type=pa.string()),
+        "n_hours": pa.array(out["n_hours"].to_numpy(dtype=np.int64)),
+        "n_pairs": pa.array(out["n_pairs"].to_numpy(dtype=np.int64)),
+        "slope_micro_med": pa.array(
+            out["slope_micro_med"].to_numpy(dtype=np.int64)),
+        "slope_micro_min": pa.array(
+            out["slope_micro_min"].to_numpy(dtype=np.int64)),
+        "slope_micro_max": pa.array(
+            out["slope_micro_max"].to_numpy(dtype=np.int64)),
+    })
+
+
+THEIL_SEN_SQL = """
+WITH h AS (
+  SELECT event_type,
+         CAST(epoch_us(ts) AS BIGINT) // 3600000000 AS hour,
+         CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT))
+              AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+), p AS (
+  SELECT a.event_type AS event_type,
+         (b.c - a.c) * 1000000 AS num, (b.hour - a.hour) AS den
+  FROM h a JOIN h b ON b.event_type = a.event_type
+                   AND b.hour > a.hour
+), s AS (
+  SELECT event_type,
+         CASE WHEN num >= 0 THEN num // den
+              ELSE -((-num + den - 1) // den) END AS slope
+  FROM p
+), nh AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_hours
+  FROM h GROUP BY 1
+)
+SELECT s.event_type, nh.n_hours,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(quantile_disc(s.slope, 0.5) AS BIGINT) AS slope_micro_med,
+       CAST(min(s.slope) AS BIGINT) AS slope_micro_min,
+       CAST(max(s.slope) AS BIGINT) AS slope_micro_max
+FROM s JOIN nh ON nh.event_type = s.event_type
+GROUP BY 1, 2 ORDER BY 1
+"""
+
+
+def km_user_survival(sf_dir: str, censor_hours: int = 72) -> pa.Table:
+    """KAPLAN-MEIER product-limit survival of user lifetime with
+    RIGHT-CENSORING (Kaplan & Meier 1958) -- the estimator behind
+    every churn/retention curve that is honest about still-active
+    users.  Lifetime = hours between a user's first and last event;
+    a user whose last event is within ``censor_hours`` of the global
+    stream end may still be alive, so they are censored (they count
+    in every risk set up to their time but are never a death).  The
+    curve is carried as the CUMULATIVE per-term-floored log:
+    log_surv_micro(t) = sum_{s<=t, deaths} floor(ln((n_s-d_s)/n_s)
+    * 1e6) -- no float product is ever formed, mirroring the SQL
+    twin term by term.  If a risk set is wiped out (n == d) the term
+    is 0 and ``surv_zero`` flags the curve as 0 from there on.
+
+    Scale shape: per-user first/last via per-block min/max partials +
+    one user groupby (the standard user co-partition); lifetimes are
+    then re-counted into O(distinct hours x 2) rows before anything
+    reaches the driver -- users never do.
+    """
+    from ray.data.aggregate import Max as _Max, Min as _Min, Sum as _Sum
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["ts", "user_id"])
+    HOUR_US = np.int64(3_600_000_000)
+    CENSOR_US = np.int64(censor_hours) * HOUR_US
+
+    def span_partials(t: pa.Table) -> pa.Table:
+        staged = pa.table({"user_id": t["user_id"],
+                           "us": pa.array(_as_int64(t["ts"]))})
+        g = staged.group_by("user_id").aggregate(
+            [("us", "min"), ("us", "max")])
+        return pa.table({"user_id": g["user_id"],
+                         "f": pc.cast(g["us_min"], pa.int64()),
+                         "l": pc.cast(g["us_max"], pa.int64())})
+
+    # materialized once: O(users) rows, block-level in the object
+    # store (the max() consume would otherwise re-execute the groupby
+    # for the downstream count pass)
+    spans = (ds.map_batches(span_partials, batch_format="pyarrow",
+                            zero_copy_batch=True)
+             .groupby("user_id")
+             .aggregate(_Min("f", alias_name="f"),
+                        _Max("l", alias_name="l"))
+             .materialize())
+    gmax = int(spans.max("l"))
+
+    def lifetime_counts(t: pa.Table) -> pa.Table:
+        f = t["f"].to_numpy(zero_copy_only=False).astype(np.int64)
+        l = t["l"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lt = (l - f) // HOUR_US
+        obs = (gmax - l >= CENSOR_US).astype(np.int64)
+        staged = pa.table({"t": pa.array(lt), "obs": pa.array(obs),
+                           "one": pa.array(np.ones_like(lt))})
+        g = staged.group_by(["t", "obs"]).aggregate([("one", "sum")])
+        return pa.table({"t": g["t"], "obs": g["obs"],
+                         "ct": pc.cast(g["one_sum"], pa.int64())})
+
+    counts = (spans.map_batches(lifetime_counts, batch_format="pyarrow",
+                                zero_copy_batch=True)
+              .groupby(["t", "obs"])
+              .aggregate(_Sum("ct", alias_name="ct"))
+              .to_pandas())
+    # driver fold over O(distinct lifetimes x 2) rows only
+    counts = counts.sort_values(["t", "obs"])
+    times = counts["t"].to_numpy(dtype=np.int64)
+    obs = counts["obs"].to_numpy(dtype=np.int64)
+    ct = counts["ct"].to_numpy(dtype=np.int64)
+    total = int(ct.sum())
+    uniq = np.unique(times)
+    at_t = np.zeros(uniq.size, dtype=np.int64)       # all exits at t
+    d_t = np.zeros(uniq.size, dtype=np.int64)        # deaths at t
+    pos = np.searchsorted(uniq, times)
+    np.add.at(at_t, pos, ct)
+    np.add.at(d_t, pos, ct * obs)
+    before = np.concatenate(([0], np.cumsum(at_t)[:-1]))
+    n_risk = total - before
+    mask = d_t > 0
+    t_out = uniq[mask]
+    n_out, d_out = n_risk[mask], d_t[mask]
+    alive = n_out - d_out
+    terms = np.zeros(t_out.size, dtype=np.int64)
+    ok = alive > 0
+    terms[ok] = np.floor(np.log(alive[ok].astype(np.float64)
+                                / n_out.astype(np.float64)[ok])
+                         * 1_000_000.0).astype(np.int64)
+    zero = np.maximum.accumulate((alive == 0).astype(np.int64))
+    return pa.table({
+        "t_hours": pa.array(t_out),
+        "n_risk": pa.array(n_out),
+        "n_event": pa.array(d_out),
+        "log_surv_micro": pa.array(np.cumsum(terms)),
+        "surv_zero": pa.array(zero),
+    })
+
+
+KM_SURVIVAL_SQL = """
+WITH u AS (
+  SELECT user_id, CAST(min(epoch_us(ts)) AS BIGINT) AS f,
+         CAST(max(epoch_us(ts)) AS BIGINT) AS l
+  FROM events GROUP BY 1
+), g AS (SELECT max(l) AS gmax FROM u),
+lt AS (
+  SELECT (u.l - u.f) // 3600000000 AS t,
+         CASE WHEN g.gmax - u.l >= {censor_hours} * 3600000000
+              THEN 1 ELSE 0 END AS obs
+  FROM u, g
+), c AS (
+  SELECT t, CAST(count(*) AS BIGINT) AS at_t,
+         CAST(sum(obs) AS BIGINT) AS d
+  FROM lt GROUP BY 1
+), tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM lt),
+r AS (
+  SELECT c.t, c.d,
+         tot.n - (sum(c.at_t) OVER (ORDER BY c.t
+                  ROWS UNBOUNDED PRECEDING) - c.at_t) AS n_risk
+  FROM c, tot
+), terms AS (
+  SELECT t, n_risk, d,
+         CASE WHEN n_risk > d
+              THEN CAST(floor(ln(CAST(n_risk - d AS DOUBLE)
+                                 / CAST(n_risk AS DOUBLE))
+                              * 1000000.0) AS BIGINT)
+              ELSE 0 END AS term,
+         CASE WHEN n_risk = d THEN 1 ELSE 0 END AS z
+  FROM r WHERE d > 0
+)
+SELECT t AS t_hours, CAST(n_risk AS BIGINT) AS n_risk,
+       CAST(d AS BIGINT) AS n_event,
+       CAST(sum(term) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)
+            AS BIGINT) AS log_surv_micro,
+       CAST(max(z) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)
+            AS BIGINT) AS surv_zero
+FROM terms ORDER BY t
+"""
+
+
+def acf_hourly_revenue(sf_dir: str, max_lag: int = 6) -> pa.Table:
+    """AUTOCORRELATION FUNCTION of the hourly revenue series at lags
+    1..max_lag -- the seasonality / burstiness fingerprint (a daily
+    cycle shows as a hump at lag 24; white noise dies at lag 1).
+    Hash-exact: the hourly series is integer cents on a dense grid
+    (missing hours are true zeros), and r_k is computed from the
+    cross-multiplied INTEGER identity
+      num_k*n^2 = n^2*C_k - n*S*(H_k+T_k) + (n-k)*S^2,
+      den*n^2   = n^2*Q - n*S^2
+    (C_k = sum x_t*x_{t+k}, H/T = head/tail sums, Q = sum x^2)
+    carried as arbitrary-precision ints on the driver and HUGEINT in
+    the SQL twin; acf_ppm = floor(num*1e6 / den) with sign-safe floor
+    division.
+
+    Scale shape: one per-hour cents combiner (cardinality-bounded),
+    then an O(lags x hours) driver fold over exact integers.
+    """
+    from ray.data.aggregate import Sum as _Sum
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["ts", "value"])
+    HOUR_US = np.int64(3_600_000_000)
+
+    def hourly(t: pa.Table) -> pa.Table:
+        us = _as_int64(t["ts"])
+        v = t["value"].to_numpy(zero_copy_only=False)
+        cents = np.floor(v * 100.0 + 0.5).astype(np.int64)
+        staged = pa.table({"hour": pa.array(us // HOUR_US),
+                           "c": pa.array(cents)})
+        g = staged.group_by("hour").aggregate([("c", "sum")])
+        return pa.table({"hour": g["hour"],
+                         "c": pc.cast(g["c_sum"], pa.int64())})
+
+    h = (ds.map_batches(hourly, batch_format="pyarrow",
+                        zero_copy_batch=True)
+         .groupby("hour").aggregate(_Sum("c", alias_name="c"))
+         .to_pandas().sort_values("hour"))
+    hours = h["hour"].to_numpy(dtype=np.int64)
+    lo, hi = int(hours.min()), int(hours.max())
+    grid = np.zeros(hi - lo + 1, dtype=np.int64)
+    grid[hours - lo] = h["c"].to_numpy(dtype=np.int64)
+    x = [int(v) for v in grid]              # exact big ints
+    n = len(x)
+    S = sum(x)
+    Q = sum(v * v for v in x)
+    den = n * n * Q - n * S * S
+    lags, ppm = [], []
+    for k in range(1, max_lag + 1):
+        head, tail = x[:n - k], x[k:]
+        C = sum(a * b for a, b in zip(head, tail))
+        num = (n * n * C - n * S * (sum(head) + sum(tail))
+               + (n - k) * S * S) * 1_000_000
+        lags.append(k)
+        ppm.append(num // den)              # Python // floors
+    return pa.table({
+        "lag": pa.array(lags, type=pa.int64()),
+        "n_hours": pa.array([n] * len(lags), type=pa.int64()),
+        "acf_ppm": pa.array(ppm, type=pa.int64()),
+    })
+
+
+ACF_HOURLY_SQL = """
+WITH h AS (
+  SELECT CAST(epoch_us(ts) AS BIGINT) // 3600000000 AS hour,
+         CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT))
+              AS BIGINT) AS c
+  FROM events GROUP BY 1
+), b AS (SELECT min(hour) AS lo, max(hour) AS hi FROM h),
+grid AS (
+  SELECT g.hour, CAST(COALESCE(h.c, 0) AS BIGINT) AS v
+  FROM (SELECT unnest(generate_series(b.lo, b.hi)) AS hour FROM b) g
+  LEFT JOIN h ON h.hour = g.hour
+), tot AS (
+  SELECT CAST(count(*) AS HUGEINT) AS n,
+         CAST(sum(v) AS HUGEINT) AS s,
+         CAST(sum(CAST(v AS HUGEINT) * v) AS HUGEINT) AS q
+  FROM grid
+), lags(k) AS (VALUES (1), (2), (3), (4), (5), (6)),
+cr AS (
+  SELECT l.k AS k,
+         CAST(sum(CAST(a.v AS HUGEINT) * b2.v) AS HUGEINT) AS c,
+         CAST(sum(a.v) AS HUGEINT) AS hd,
+         CAST(sum(b2.v) AS HUGEINT) AS tl
+  FROM lags l
+  JOIN grid a ON TRUE
+  JOIN grid b2 ON b2.hour = a.hour + l.k
+  GROUP BY 1
+), f AS (
+  SELECT cr.k,
+         (t.n * t.n * cr.c - t.n * t.s * (cr.hd + cr.tl)
+          + (t.n - cr.k) * t.s * t.s) * 1000000 AS num,
+         (t.n * t.n * t.q - t.n * t.s * t.s) AS den,
+         t.n AS n
+  FROM cr, tot t
+)
+SELECT CAST(k AS BIGINT) AS lag, CAST(n AS BIGINT) AS n_hours,
+       CAST(CASE WHEN num >= 0 THEN num // den
+                 ELSE -((-num + den - 1) // den) END AS BIGINT)
+         AS acf_ppm
+FROM f ORDER BY 1
+"""

@@ -4353,3 +4353,115 @@ def test_rake_scores_multiword_phrase_above_commons(ray_session,
     assert int(top["n_occurrences"]) == 3
     assert int(top["score_micro"]) == 4_000_000
     assert "is" not in set(out["phrase"])      # stopword never appears
+
+
+def test_theil_sen_robust_to_outlier(ray_session, tmp_path):
+    """A linear cents series recovers its exact slope, and one wild
+    outlier hour does not move the median slope (the whole point of
+    Theil-Sen vs OLS)."""
+    import pyarrow.parquet as pq
+    from p2pddsketch_ray.pipelines.temporal import theil_sen_trend_by_type
+    HOUR_US = 3_600_000_000
+    hours = np.arange(24, dtype=np.int64)
+    # type a: value 2.00 + 0.50/hour (one event per hour)
+    vals_a = 2.0 + 0.5 * hours
+    # type b: same line, but hour 12 is a 1000x outlier
+    vals_b = vals_a.copy()
+    vals_b[12] = 5000.0
+    t = pa.table({
+        "ts": pa.array(np.concatenate([hours, hours]) * HOUR_US)
+              .cast(pa.timestamp("us")),
+        "event_type": pa.array(["a"] * 24 + ["b"] * 24),
+        "value": pa.array(np.concatenate([vals_a, vals_b])),
+    })
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    out = theil_sen_trend_by_type(str(tmp_path)).to_pydict()
+    assert out["event_type"] == ["a", "b"]
+    assert out["n_hours"] == [24, 24]
+    assert out["n_pairs"] == [276, 276]
+    # 0.50/hour = 50 cents/hour = 50_000_000 micro-cents/hour
+    assert out["slope_micro_med"][0] == 50_000_000
+    assert out["slope_micro_med"][1] == 50_000_000   # outlier-immune
+
+
+def test_km_survival_hand_case(ray_session, tmp_path):
+    """Six hand-built users: three deaths at t=3,5,8 with risk sets
+    4,3,2; censored users hold the risk set but never die."""
+    import pyarrow.parquet as pq
+    from p2pddsketch_ray.pipelines.temporal import km_user_survival
+    HOUR_US = 3_600_000_000
+    ev = []   # (user, hour)
+    ev += [(1, 0), (1, 5)]                 # lifetime 5, observed
+    ev += [(2, 0), (2, 8)]                 # lifetime 8, observed
+    ev += [(3, 0), (3, 95)]                # lifetime 95, censored
+    ev += [(4, 97)]                        # lifetime 0, censored
+    ev += [(5, 100)]                       # lifetime 0, censored (gmax)
+    ev += [(6, 0), (6, 3)]                 # lifetime 3, observed
+    t = pa.table({
+        "ts": pa.array(np.array([h for _, h in ev], dtype=np.int64)
+                       * HOUR_US).cast(pa.timestamp("us")),
+        "user_id": pa.array(np.array([u for u, _ in ev],
+                                     dtype=np.int64)),
+    })
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    out = km_user_survival(str(tmp_path), censor_hours=10).to_pydict()
+    assert out["t_hours"] == [3, 5, 8]
+    assert out["n_risk"] == [4, 3, 2]
+    assert out["n_event"] == [1, 1, 1]
+    want = np.cumsum([int(np.floor(np.log(3 / 4) * 1e6)),
+                      int(np.floor(np.log(2 / 3) * 1e6)),
+                      int(np.floor(np.log(1 / 2) * 1e6))])
+    assert out["log_surv_micro"] == list(want)
+    assert out["surv_zero"] == [0, 0, 0]
+
+
+def test_acf_matches_float_reference(ray_session, tmp_path):
+    """The integer-exact ACF agrees with a float reference of the
+    same (global-mean) estimator to ppm-floor precision, and a
+    strongly periodic series peaks at its period."""
+    import pyarrow.parquet as pq
+    from p2pddsketch_ray.pipelines.temporal import acf_hourly_revenue
+    HOUR_US = 3_600_000_000
+    rng = np.random.default_rng(11)
+    n = 96
+    base = 100.0 + 50.0 * (np.arange(n) % 3 == 0)   # period-3 comb
+    vals = base + rng.integers(0, 5, n)
+    t = pa.table({
+        "ts": pa.array(np.arange(n, dtype=np.int64) * HOUR_US)
+              .cast(pa.timestamp("us")),
+        "value": pa.array(vals.astype(np.float64)),
+    })
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    out = acf_hourly_revenue(str(tmp_path)).to_pandas()
+    cents = np.floor(vals * 100.0 + 0.5).astype(np.int64)
+    mu = cents.mean()
+    den = ((cents - mu) ** 2).sum()
+    for _, row in out.iterrows():
+        k = int(row["lag"])
+        ref = ((cents[:-k] - mu) * (cents[k:] - mu)).sum() / den
+        assert abs(row["acf_ppm"] / 1e6 - ref) < 2e-6
+    acf = dict(zip(out["lag"], out["acf_ppm"]))
+    assert acf[3] > acf[1] and acf[3] > acf[2]      # the comb period
+    assert acf[6] > acf[4] and acf[6] > acf[5]
+
+
+def test_weighted_sample_matches_brute_force(ray_session, tmp_path):
+    """The distributed bottom-k equals a single-machine brute force of
+    the same keys, and a huge-weight doc is always drawn first."""
+    import pyarrow.parquet as pq
+    from p2pddsketch_ray.hashing import murmur64
+    from p2pddsketch_ray.pipelines.relational import weighted_doc_sample
+    ids = np.arange(1, 2001, dtype=np.int64)
+    w = np.full(2000, 50, dtype=np.int64)
+    w[7] = 50_000_000                       # practically certain pick
+    pq.write_table(pa.table({"doc_id": pa.array(ids),
+                             "n_chars": pa.array(w)}),
+                   str(tmp_path / "documents.parquet"))
+    out = weighted_doc_sample(str(tmp_path), k=25).to_pandas()
+    u = (murmur64(ids).astype(np.float64) + 0.5) / 2.0 ** 64
+    key = np.floor(-np.log(u) / w.astype(np.float64) * 1e15).astype(
+        np.int64)
+    order = np.lexsort((ids, key))[:25]
+    assert list(out["doc_id"]) == list(ids[order])
+    assert list(out["key_femto"]) == list(key[order])
+    assert out["doc_id"].iloc[0] == 8       # ids[7]
