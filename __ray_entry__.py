@@ -385,6 +385,10 @@ from p2pddsketch_ray.pipelines.tpch import (  # noqa: E402
     TPCH_Q19_SQL as _TPCH_Q19_SQL,
 )
 from p2pddsketch_ray.pipelines.relational import (  # noqa: E402
+    q13_custdist as _q13_custdist,
+    Q13_CUSTDIST_SQL as _Q13_CUSTDIST_SQL,
+    q17_small_quantity_revenue as _q17_small_quantity_revenue,
+    Q17_SMALL_QTY_SQL as _Q17_SMALL_QTY_SQL,
     length_token_copula_grid as _length_token_copula_grid,
     LENGTH_TOKEN_COPULA_SQL as _LENGTH_TOKEN_COPULA_SQL,
     price_volume_decomposition as _price_volume_decomposition,
@@ -1355,6 +1359,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q18_large_orders": _tpch_q18_large_orders,
         # TPC-H Q19: disjunctive bracket revenue (one probe, not 3 joins)
         "tpch_q19_bracket_revenue": _tpch_q19_bracket_revenue,
+        # TPC-H Q13: order-count histogram with arithmetic zero bucket
+        "tpch_q13_custdist": _q13_custdist,
+        # TPC-H Q17: small-quantity revenue (two-pass broadcast threshold)
+        "tpch_q17_small_qty_revenue": _q17_small_quantity_revenue,
         # 5x5 empirical copula of (chars, tokens) quintile buckets
         "length_token_copula_grid": _length_token_copula_grid,
         # EXACT trailing-7d distinct users via coverage diff arrays
@@ -2200,6 +2208,8 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q14_promo_share": _TPCH_Q14_SQL,
         "tpch_q18_large_orders": _TPCH_Q18_SQL,
         "tpch_q19_bracket_revenue": _TPCH_Q19_SQL,
+        "tpch_q13_custdist": _Q13_CUSTDIST_SQL,
+        "tpch_q17_small_qty_revenue": _Q17_SMALL_QTY_SQL,
         "length_token_copula_grid": _LENGTH_TOKEN_COPULA_SQL,
         "trailing_distinct_users": _TRAILING_DISTINCT_SQL,
         "late_order_counts": _LATE_ORDER_SQL,

@@ -20430,3 +20430,198 @@ SELECT doc_id, n_chars, key_femto,
             AS BIGINT) AS rnk
 FROM s QUALIFY rnk <= 100 ORDER BY rnk
 """
+
+
+def q13_custdist(sf_dir: str) -> pa.Table:
+    """TPC-H Q13 shape (customer distribution): how many customers
+    placed exactly c orders, INCLUDING the zero bucket -- the
+    LEFT-JOIN-with-count histogram that trips engines which drop
+    unmatched rows.  Stand-in predicate: non-urgent orders only (the
+    canonical comment NOT LIKE has no column here).
+
+    Scale shape: join-free -- the fact side pre-aggregates to
+    per-custkey counts (custkey co-partition), the histogram is a
+    second tiny groupby, and the zero bucket is arithmetic
+    (total customers - customers seen), relying on the FK integrity
+    the fk_integrity_audit query checks (every o_custkey exists).
+    """
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+
+    empty = pa.table({"o_custkey": pa.array([], type=pa.int64()),
+                      "n": pa.array([], type=pa.int64())})
+
+    def per_cust(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        keep = pc.not_equal(t["o_orderpriority"], "1-URGENT")
+        k = pc.cast(t.filter(keep)["o_custkey"], pa.int64())
+        g = pa.table({"o_custkey": k}).group_by("o_custkey").aggregate(
+            [([], "count_all")])
+        return pa.table({"o_custkey": g["o_custkey"],
+                         "n": pc.cast(g["count_all"], pa.int64())})
+
+    counts = (orders.map_batches(per_cust, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+              .groupby("o_custkey").aggregate(Sum("n", alias_name="n")))
+
+    def hist(t: pa.Table) -> pa.Table:
+        g = pa.table({"c_count": t["n"]}).group_by(
+            "c_count").aggregate([([], "count_all")])
+        return pa.table({"c_count": pc.cast(g["c_count"], pa.int64()),
+                         "custdist": pc.cast(g["count_all"],
+                                             pa.int64())})
+
+    h = (counts.map_batches(hist, batch_format="pyarrow",
+                            zero_copy_batch=True)
+         .groupby("c_count").aggregate(Sum("custdist",
+                                           alias_name="custdist"))
+         .to_pandas())
+    n_cust = _read(sf_dir, "customer", ["c_custkey"]).count()
+    cc = h["c_count"].to_numpy(dtype=np.int64)
+    cd = h["custdist"].to_numpy(dtype=np.int64)
+    zero = int(n_cust) - int(cd.sum())
+    if zero > 0:            # the LEFT JOIN emits no empty 0 bucket
+        cc = np.concatenate((cc, [0]))
+        cd = np.concatenate((cd, [zero]))
+    order = np.lexsort((-cc, -cd))
+    return pa.table({"c_count": pa.array(cc[order]),
+                     "custdist": pa.array(cd[order])})
+
+
+Q13_CUSTDIST_SQL = """
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM (
+  SELECT c.c_custkey,
+         CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+  FROM customer c
+  LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY 1
+)
+GROUP BY 1 ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def q17_small_quantity_revenue(sf_dir: str,
+                               brand: str = "Brand#12") -> pa.Table:
+    """TPC-H Q17 shape (small-quantity-order revenue): revenue lost if
+    orders below 20% of a part's average quantity were dropped --
+    the correlated-scalar-subquery-per-group pattern (threshold =
+    per-part aggregate applied back to the same fact rows).  The
+    comparison q < 0.2 * avg(q) is exact integer cross-multiplication:
+    5 * q_hundredths * cnt < sum_q_hundredths.
+
+    Scale shape: brand parts are catalog-bounded -> broadcast sorted
+    partkey array; pass 1 folds per-part (sum, count) over only brand
+    rows (O(brand parts) to the driver, broadcast back); pass 2
+    filters and sums cents.  Two streamed fact passes, no join
+    shuffle.
+    """
+    import ray as _ray
+
+    parts = _read(sf_dir, "part", ["p_partkey", "p_brand"])
+    brand_keys = np.sort(np.asarray(
+        [r["p_partkey"]
+         for r in parts.filter(
+             expr=f"p_brand == '{brand}'").take_all()],
+        dtype=np.int64))
+    keys_ref = _ray.put(brand_keys)
+
+    lineitem = _read(sf_dir, "lineitem",
+                     ["l_partkey", "l_quantity", "l_extendedprice"])
+
+    empty = pa.table({"pk": pa.array([], type=pa.int64()),
+                      "sq": pa.array([], type=pa.int64()),
+                      "cnt": pa.array([], type=pa.int64())})
+
+    def stats_partial(t: pa.Table) -> pa.Table:
+        keys = _ray.get(keys_ref)
+        pk = pc.cast(t["l_partkey"], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        pos = np.searchsorted(keys, pk)
+        pos[pos == keys.size] = 0
+        hit = keys[pos] == pk if keys.size else np.zeros(
+            pk.size, dtype=bool)
+        if not hit.any():
+            return empty
+        q = t["l_quantity"].to_numpy(zero_copy_only=False)[hit]
+        qi = np.floor(q * 100.0 + 0.5).astype(np.int64)
+        staged = pa.table({"pk": pa.array(pk[hit]),
+                           "sq": pa.array(qi),
+                           "one": pa.array(np.ones(qi.size,
+                                                   dtype=np.int64))})
+        g = staged.group_by("pk").aggregate([("sq", "sum"),
+                                             ("one", "sum")])
+        return pa.table({"pk": g["pk"],
+                         "sq": pc.cast(g["sq_sum"], pa.int64()),
+                         "cnt": pc.cast(g["one_sum"], pa.int64())})
+
+    st = (lineitem.map_batches(stats_partial, batch_format="pyarrow",
+                               zero_copy_batch=True)
+          .groupby("pk").aggregate(Sum("sq", alias_name="sq"),
+                                   Sum("cnt", alias_name="cnt"))
+          .to_pandas().sort_values("pk"))
+    tk = st["pk"].to_numpy(dtype=np.int64)
+    tsq = st["sq"].to_numpy(dtype=np.int64)
+    tcnt = st["cnt"].to_numpy(dtype=np.int64)
+    thr_ref = _ray.put((tk, tsq, tcnt))
+
+    def small_rows(t: pa.Table) -> pa.Table:
+        keys, sq, cnt = _ray.get(thr_ref)
+        pk = pc.cast(t["l_partkey"], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        pos = np.searchsorted(keys, pk)
+        pos[pos == keys.size] = 0
+        hit = keys[pos] == pk if keys.size else np.zeros(
+            pk.size, dtype=bool)
+        if not hit.any():
+            return pa.table({"cents": pa.array([], type=pa.int64()),
+                             "nr": pa.array([], type=pa.int64())})
+        q = t["l_quantity"].to_numpy(zero_copy_only=False)[hit]
+        qi = np.floor(q * 100.0 + 0.5).astype(np.int64)
+        p = pos[hit]
+        small = 5 * qi * cnt[p] < sq[p]
+        price = t["l_extendedprice"].to_numpy(
+            zero_copy_only=False)[hit][small]
+        cents = np.floor(price * 100.0 + 0.5).astype(np.int64)
+        return pa.table({"cents": pa.array([int(cents.sum())],
+                                           type=pa.int64()),
+                         "nr": pa.array([int(small.sum())],
+                                        type=pa.int64())})
+
+    agg = (lineitem.map_batches(small_rows, batch_format="pyarrow",
+                                zero_copy_batch=True)
+           .to_pandas())
+    total = int(agg["cents"].sum())
+    nr = int(agg["nr"].sum())
+    return pa.table({
+        "n_rows": pa.array([nr], type=pa.int64()),
+        "total_cents": pa.array([total], type=pa.int64()),
+        "avg_yearly_cents": pa.array([total // 7], type=pa.int64()),
+    })
+
+
+Q17_SMALL_QTY_SQL = """
+WITH bp AS (
+  SELECT p_partkey FROM part WHERE p_brand = 'Brand#12'
+), st AS (
+  SELECT l_partkey,
+         CAST(sum(CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT))
+              AS BIGINT) AS sq,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM lineitem JOIN bp ON bp.p_partkey = l_partkey
+  GROUP BY 1
+), hit AS (
+  SELECT CAST(floor(l.l_extendedprice * 100.0 + 0.5) AS BIGINT)
+           AS cents
+  FROM lineitem l
+  JOIN st ON st.l_partkey = l.l_partkey
+  WHERE 5 * CAST(floor(l.l_quantity * 100.0 + 0.5) AS BIGINT)
+          * st.cnt < st.sq
+)
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(COALESCE(sum(cents), 0) AS BIGINT) AS total_cents,
+       CAST(COALESCE(sum(cents), 0) // 7 AS BIGINT)
+         AS avg_yearly_cents
+FROM hit
+"""

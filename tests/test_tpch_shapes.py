@@ -97,6 +97,51 @@ def test_tpch_q18_having_joinback(ray_session, tmp_path):
     assert out["total_cents"] == [90000, 50000]
 
 
+def test_tpch_q13_zero_bucket(ray_session, tmp_path):
+    """Customers with no (qualifying) orders land in the c_count=0
+    bucket -- the LEFT-JOIN semantics the arithmetic zero bucket
+    replaces."""
+    from p2pddsketch_ray.pipelines.relational import q13_custdist
+    pq.write_table(pa.table({
+        "c_custkey": pa.array([10, 20, 30, 40], type=pa.int64()),
+    }), str(tmp_path / "customer.parquet"))
+    # cust 10: two kept orders; cust 20: one kept + one URGENT
+    # (excluded); cust 30: only URGENT (-> zero bucket); cust 40:
+    # no orders at all (-> zero bucket).
+    pq.write_table(pa.table({
+        "o_custkey": pa.array([10, 10, 20, 20, 30], type=pa.int64()),
+        "o_orderpriority": pa.array(
+            ["5-LOW", "5-LOW", "5-LOW", "1-URGENT", "1-URGENT"]),
+    }), str(tmp_path / "orders.parquet"))
+    out = q13_custdist(str(tmp_path)).to_pydict()
+    # custdist desc, then c_count desc: (0,2), (2,1), (1,1)
+    assert out["c_count"] == [0, 2, 1]
+    assert out["custdist"] == [2, 1, 1]
+
+
+def test_tpch_q17_threshold_cross_multiplication(ray_session, tmp_path):
+    """Only brand lines strictly below 20% of the part's mean quantity
+    count; the comparison is exact integer cross-multiplication."""
+    from p2pddsketch_ray.pipelines.relational import (
+        q17_small_quantity_revenue)
+    pq.write_table(pa.table({
+        "p_partkey": pa.array([1, 2], type=pa.int64()),
+        "p_brand": pa.array(["Brand#12", "Brand#99"]),
+    }), str(tmp_path / "part.parquet"))
+    # part 1: quantities 1, 10, 10 -> mean 7, threshold 1.4; only the
+    # qty-1 line (price 50.00) qualifies.  Boundary check: qty 1.4
+    # would NOT qualify (strict <).  part 2 is out of brand.
+    pq.write_table(pa.table({
+        "l_partkey": pa.array([1, 1, 1, 2], type=pa.int64()),
+        "l_quantity": pa.array([1.0, 10.0, 10.0, 0.5]),
+        "l_extendedprice": pa.array([50.0, 70.0, 70.0, 90.0]),
+    }), str(tmp_path / "lineitem.parquet"))
+    out = q17_small_quantity_revenue(str(tmp_path)).to_pydict()
+    assert out["n_rows"] == [1]
+    assert out["total_cents"] == [5000]
+    assert out["avg_yearly_cents"] == [5000 // 7]
+
+
 def test_tpch_q19_bracket_disjunction(ray_session, tmp_path):
     """Each bracket applies its own quantity range; non-bracket parts
     contribute nothing."""
