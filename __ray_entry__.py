@@ -383,6 +383,22 @@ from p2pddsketch_ray.pipelines.tpch import (  # noqa: E402
     TPCH_Q18_SQL as _TPCH_Q18_SQL,
     tpch_q19_bracket_revenue as _tpch_q19_bracket_revenue,
     TPCH_Q19_SQL as _TPCH_Q19_SQL,
+    tpch_q7_volume_shipping as _tpch_q7_volume_shipping,
+    TPCH_Q7_SQL as _TPCH_Q7_SQL,
+    tpch_q8_market_share as _tpch_q8_market_share,
+    TPCH_Q8_SQL as _TPCH_Q8_SQL,
+    tpch_q15_top_supplier as _tpch_q15_top_supplier,
+    TPCH_Q15_SQL as _TPCH_Q15_SQL,
+    tpch_q21_waiting_supplier as _tpch_q21_waiting_supplier,
+    TPCH_Q21_SQL as _TPCH_Q21_SQL,
+    tpch_q22_sales_opportunity as _tpch_q22_sales_opportunity,
+    TPCH_Q22_SQL as _TPCH_Q22_SQL,
+    tpch_q16_parts_supplier_census as _tpch_q16_parts_supplier_census,
+    TPCH_Q16_SQL as _TPCH_Q16_SQL,
+    tpch_q11_important_parts as _tpch_q11_important_parts,
+    TPCH_Q11_SQL as _TPCH_Q11_SQL,
+    tpch_q2_min_cost_supplier as _tpch_q2_min_cost_supplier,
+    TPCH_Q2_SQL as _TPCH_Q2_SQL,
 )
 from p2pddsketch_ray.pipelines.relational import (  # noqa: E402
     q13_custdist as _q13_custdist,
@@ -1363,6 +1379,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q13_custdist": _q13_custdist,
         # TPC-H Q17: small-quantity revenue (two-pass broadcast threshold)
         "tpch_q17_small_qty_revenue": _q17_small_quantity_revenue,
+        # TPC-H Q7: two-nation shipping volume by year (disjunctive pair)
+        "tpch_q7_volume_shipping": _tpch_q7_volume_shipping,
+        # TPC-H Q8: national market share within region+class per year
+        "tpch_q8_market_share": _tpch_q8_market_share,
+        # TPC-H Q15: top supplier(s) by quarter revenue (tie-safe max)
+        "tpch_q15_top_supplier": _tpch_q15_top_supplier,
+        # TPC-H Q21: only-failing-supplier on multi-supplier F orders
+        "tpch_q21_waiting_supplier": _tpch_q21_waiting_supplier,
+        # TPC-H Q22: above-avg balances with no orders, per code
+        "tpch_q22_sales_opportunity": _tpch_q22_sales_opportunity,
+        # TPC-H Q16: distinct-supplier census per part descriptor
+        "tpch_q16_parts_supplier_census": _tpch_q16_parts_supplier_census,
+        # TPC-H Q11: grouped aggregate vs global-scalar HAVING
+        "tpch_q11_important_parts": _tpch_q11_important_parts,
+        # TPC-H Q2: per-part argmin supplier with tie-break join-back
+        "tpch_q2_min_cost_supplier": _tpch_q2_min_cost_supplier,
         # 5x5 empirical copula of (chars, tokens) quintile buckets
         "length_token_copula_grid": _length_token_copula_grid,
         # EXACT trailing-7d distinct users via coverage diff arrays
@@ -2210,6 +2242,14 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q19_bracket_revenue": _TPCH_Q19_SQL,
         "tpch_q13_custdist": _Q13_CUSTDIST_SQL,
         "tpch_q17_small_qty_revenue": _Q17_SMALL_QTY_SQL,
+        "tpch_q7_volume_shipping": _TPCH_Q7_SQL,
+        "tpch_q8_market_share": _TPCH_Q8_SQL,
+        "tpch_q15_top_supplier": _TPCH_Q15_SQL,
+        "tpch_q21_waiting_supplier": _TPCH_Q21_SQL,
+        "tpch_q22_sales_opportunity": _TPCH_Q22_SQL,
+        "tpch_q16_parts_supplier_census": _TPCH_Q16_SQL,
+        "tpch_q11_important_parts": _TPCH_Q11_SQL,
+        "tpch_q2_min_cost_supplier": _TPCH_Q2_SQL,
         "length_token_copula_grid": _LENGTH_TOKEN_COPULA_SQL,
         "trailing_distinct_users": _TRAILING_DISTINCT_SQL,
         "late_order_counts": _LATE_ORDER_SQL,

@@ -163,3 +163,170 @@ def test_tpch_q19_bracket_disjunction(ray_session, tmp_path):
     # 100.00 + 200*0.5 = 200.00
     assert out["revenue_cents"] == [20000]
     assert out["n_lineitems"] == [2]
+
+
+def test_tpch_q7_direction_split(ray_session, tmp_path):
+    """Revenue is attributed to the (supp, cust) direction; same-nation
+    and third-nation flows are excluded."""
+    from p2pddsketch_ray.pipelines.tpch import tpch_q7_volume_shipping
+    Y97 = _ts("1997-05-01")
+    Y98 = _ts("1998-05-01")
+    pq.write_table(pa.table({
+        "s_suppkey": pa.array([1, 2, 3], type=pa.int64()),
+        "s_nationkey": pa.array([1, 2, 3], type=pa.int64()),
+    }), str(tmp_path / "supplier.parquet"))
+    pq.write_table(pa.table({
+        "c_custkey": pa.array([10, 20, 30], type=pa.int64()),
+        "c_nationkey": pa.array([1, 2, 3], type=pa.int64()),
+    }), str(tmp_path / "customer.parquet"))
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([100, 200, 300], type=pa.int64()),
+        "o_custkey": pa.array([10, 20, 30], type=pa.int64()),
+    }), str(tmp_path / "orders.parquet"))
+    pq.write_table(pa.table({
+        "n_nationkey": pa.array([1, 2, 3], type=pa.int64()),
+        "n_name": pa.array(["NATION_1", "NATION_2", "NATION_3"]),
+        "n_regionkey": pa.array([0, 0, 0], type=pa.int64()),
+    }), str(tmp_path / "nation.parquet"))
+    # supp2 -> cust1 (B->A, 1997); supp1 -> cust2 (A->B, 1997 and
+    # 1998); supp1 -> cust1 (same nation, excluded);
+    # supp3 -> cust2 (third nation, excluded)
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array([100, 200, 200, 100, 200],
+                               type=pa.int64()),
+        "l_suppkey": pa.array([2, 1, 1, 1, 3], type=pa.int64()),
+        "l_extendedprice": pa.array([100.0, 200.0, 400.0, 800.0,
+                                     1600.0]),
+        "l_discount": pa.array([0.0, 0.0, 0.5, 0.0, 0.0]),
+        "l_shipdate": _write_ts([Y97, Y97, Y98, Y97, Y97]),
+    }), str(tmp_path / "lineitem.parquet"))
+    out = tpch_q7_volume_shipping(
+        str(tmp_path), "NATION_1", "NATION_2").to_pydict()
+    assert out["supp_nation"] == ["NATION_1", "NATION_1", "NATION_2"]
+    assert out["cust_nation"] == ["NATION_2", "NATION_2", "NATION_1"]
+    assert out["l_year"] == [1997, 1998, 1997]
+    assert out["revenue_c"] == [20000, 20000, 10000]
+
+
+def test_tpch_q15_ties_all_returned(ray_session, tmp_path):
+    """Every supplier attaining the max revenue is returned, not a
+    LIMIT-1 winner."""
+    from p2pddsketch_ray.pipelines.tpch import tpch_q15_top_supplier
+    IN = _ts("1997-02-01")
+    OUT = _ts("1997-06-01")
+    pq.write_table(pa.table({
+        "s_suppkey": pa.array([1, 2, 3], type=pa.int64()),
+        "s_name": pa.array(["S1", "S2", "S3"]),
+    }), str(tmp_path / "supplier.parquet"))
+    # supp 1 and 3 tie at 300.00 in-window; supp 2 leads only if the
+    # out-of-window line leaked in
+    pq.write_table(pa.table({
+        "l_suppkey": pa.array([1, 1, 3, 2, 2], type=pa.int64()),
+        "l_extendedprice": pa.array([100.0, 200.0, 300.0, 250.0,
+                                     900.0]),
+        "l_discount": pa.array([0.0, 0.0, 0.0, 0.0, 0.0]),
+        "l_shipdate": _write_ts([IN, IN, IN, IN, OUT]),
+    }), str(tmp_path / "lineitem.parquet"))
+    out = tpch_q15_top_supplier(str(tmp_path)).to_pydict()
+    assert out["s_suppkey"] == [1, 3]
+    assert out["s_name"] == ["S1", "S3"]
+    assert out["total_revenue_c"] == [30000, 30000]
+
+
+def test_tpch_q21_only_failing_supplier(ray_session, tmp_path):
+    """Counted only when: F order, >=2 suppliers, exactly one supplier
+    has a returned line, and it is this supplier."""
+    from p2pddsketch_ray.pipelines.tpch import tpch_q21_waiting_supplier
+    pq.write_table(pa.table({
+        "s_suppkey": pa.array([1, 2], type=pa.int64()),
+        "s_name": pa.array(["S1", "S2"]),
+    }), str(tmp_path / "supplier.parquet"))
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([1, 2, 3, 4], type=pa.int64()),
+        "o_orderstatus": pa.array(["F", "F", "F", "O"]),
+    }), str(tmp_path / "orders.parquet"))
+    pq.write_table(pa.table({
+        # order 1: S1 returned, S2 clean -> count S1
+        # order 2: both returned -> nobody (nr=2)
+        # order 3: only S1 participates -> nobody (nsupp=1)
+        # order 4: qualifies except status O -> nobody
+        "l_orderkey": pa.array([1, 1, 2, 2, 3, 4, 4],
+                               type=pa.int64()),
+        "l_suppkey": pa.array([1, 2, 1, 2, 1, 1, 2],
+                              type=pa.int64()),
+        "l_returnflag": pa.array(["R", "N", "R", "R", "R", "R", "N"]),
+    }), str(tmp_path / "lineitem.parquet"))
+    out = tpch_q21_waiting_supplier(str(tmp_path)).to_pydict()
+    assert out["s_name"] == ["S1"]
+    assert out["numwait"] == [1]
+
+
+def test_tpch_q22_threshold_and_antijoin(ray_session, tmp_path):
+    """Keeps only no-order customers strictly above the positive-mean
+    balance of the code set."""
+    from p2pddsketch_ray.pipelines.tpch import (
+        tpch_q22_sales_opportunity)
+    pq.write_table(pa.table({
+        # codes {3, 8}: balances 100, 300 (+ a negative that is
+        # excluded from the mean but still a candidate row) -> mean
+        # of positives = 200.  cust 13 (bal 300, no orders) kept;
+        # cust 11 (bal 300) has an order; cust 12 (bal 100) below;
+        # cust 99 outside the code set.
+        "c_custkey": pa.array([11, 12, 13, 14, 99],
+                              type=pa.int64()),
+        "c_nationkey": pa.array([3, 3, 8, 8, 1], type=pa.int64()),
+        "c_acctbal": pa.array([300.0, 100.0, 300.0, -50.0, 900.0]),
+    }), str(tmp_path / "customer.parquet"))
+    # cust 11 ordered recently; cust 13's only order predates the
+    # cutoff, so it still counts as lapsed
+    REC, OLD = _ts("2000-06-01"), _ts("1998-06-01")
+    pq.write_table(pa.table({
+        "o_custkey": pa.array([11, 11, 13, 99], type=pa.int64()),
+        "o_orderdate": _write_ts([REC, REC, OLD, REC]),
+    }), str(tmp_path / "orders.parquet"))
+    out = tpch_q22_sales_opportunity(
+        str(tmp_path), codes=(3, 8)).to_pydict()
+    assert out["cntrycode"] == [8]
+    assert out["numcust"] == [1]
+    assert out["totacctbal_c"] == [30000]
+
+
+def test_tpch_q2_argmin_tiebreak(ray_session, tmp_path):
+    """Per-part minimum unit price wins; ties break to the lowest
+    suppkey; out-of-region suppliers never win."""
+    from p2pddsketch_ray.pipelines.tpch import tpch_q2_min_cost_supplier
+    pq.write_table(pa.table({
+        "p_partkey": pa.array([1, 2], type=pa.int64()),
+        "p_size": pa.array([5, 5], type=pa.int64()),
+        "p_type": pa.array(["STANDARD", "STANDARD"]),
+    }), str(tmp_path / "part.parquet"))
+    pq.write_table(pa.table({
+        "r_regionkey": pa.array([0, 1], type=pa.int64()),
+        "r_name": pa.array(["EUROPE", "ASIA"]),
+    }), str(tmp_path / "region.parquet"))
+    pq.write_table(pa.table({
+        "n_nationkey": pa.array([1, 2], type=pa.int64()),
+        "n_name": pa.array(["NATION_1", "NATION_2"]),
+        "n_regionkey": pa.array([0, 1], type=pa.int64()),
+    }), str(tmp_path / "nation.parquet"))
+    pq.write_table(pa.table({
+        "s_suppkey": pa.array([1, 2, 3], type=pa.int64()),
+        "s_name": pa.array(["S1", "S2", "S3"]),
+        "s_nationkey": pa.array([1, 1, 2], type=pa.int64()),
+        "s_acctbal": pa.array([10.0, 50.0, 99.0]),
+    }), str(tmp_path / "supplier.parquet"))
+    pq.write_table(pa.table({
+        # part 1: S1 and S2 both at unit 2.00 -> tie to S1; S3
+        # cheaper but out of region.  part 2: S2 at unit 1.00 beats
+        # S1 at 3.00.
+        "l_partkey": pa.array([1, 1, 1, 2, 2], type=pa.int64()),
+        "l_suppkey": pa.array([2, 1, 3, 1, 2], type=pa.int64()),
+        "l_quantity": pa.array([2.0, 4.0, 10.0, 1.0, 3.0]),
+        "l_extendedprice": pa.array([4.0, 8.0, 1.0, 3.0, 3.0]),
+    }), str(tmp_path / "lineitem.parquet"))
+    out = tpch_q2_min_cost_supplier(str(tmp_path)).to_pydict()
+    # ordered by acctbal desc: S2 (part 2) then S1 (part 1)
+    assert out["s_name"] == ["S2", "S1"]
+    assert out["p_partkey"] == [2, 1]
+    assert out["unit_price_tm"] == [1_000_000, 2_000_000]
+    assert out["s_acctbal_c"] == [5000, 1000]
