@@ -399,6 +399,10 @@ from p2pddsketch_ray.pipelines.tpch import (  # noqa: E402
     TPCH_Q11_SQL as _TPCH_Q11_SQL,
     tpch_q2_min_cost_supplier as _tpch_q2_min_cost_supplier,
     TPCH_Q2_SQL as _TPCH_Q2_SQL,
+    tpch_q9_product_profit as _tpch_q9_product_profit,
+    TPCH_Q9_SQL as _TPCH_Q9_SQL,
+    tpch_q20_dominant_suppliers as _tpch_q20_dominant_suppliers,
+    TPCH_Q20_SQL as _TPCH_Q20_SQL,
 )
 from p2pddsketch_ray.pipelines.relational import (  # noqa: E402
     q13_custdist as _q13_custdist,
@@ -1395,6 +1399,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q11_important_parts": _tpch_q11_important_parts,
         # TPC-H Q2: per-part argmin supplier with tie-break join-back
         "tpch_q2_min_cost_supplier": _tpch_q2_min_cost_supplier,
+        # TPC-H Q9: revenue-minus-cost profit by nation and year
+        "tpch_q9_product_profit": _tpch_q9_product_profit,
+        # TPC-H Q20: dominant-supplier semi-join (pair agg vs part total)
+        "tpch_q20_dominant_suppliers": _tpch_q20_dominant_suppliers,
         # 5x5 empirical copula of (chars, tokens) quintile buckets
         "length_token_copula_grid": _length_token_copula_grid,
         # EXACT trailing-7d distinct users via coverage diff arrays
@@ -2250,6 +2258,8 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q16_parts_supplier_census": _TPCH_Q16_SQL,
         "tpch_q11_important_parts": _TPCH_Q11_SQL,
         "tpch_q2_min_cost_supplier": _TPCH_Q2_SQL,
+        "tpch_q9_product_profit": _TPCH_Q9_SQL,
+        "tpch_q20_dominant_suppliers": _TPCH_Q20_SQL,
         "length_token_copula_grid": _LENGTH_TOKEN_COPULA_SQL,
         "trailing_distinct_users": _TRAILING_DISTINCT_SQL,
         "late_order_counts": _LATE_ORDER_SQL,

@@ -1814,3 +1814,316 @@ JOIN supplier su ON su.s_suppkey = p.sk
 JOIN nation n ON n.n_nationkey = su.s_nationkey
 ORDER BY s_acctbal_c DESC, n_name, s_name, p_partkey LIMIT 100
 """
+
+
+# ---------------------------------------------------------------------------
+# Q9 shape: product profit by supplier nation and year
+# ---------------------------------------------------------------------------
+
+def tpch_q9_product_profit(sf_dir: str,
+                           name_token: str = "red") -> pa.Table:
+    """TPC-H Q9 shape (product type profit): per supplier nation and
+    order year, the profit on parts whose name contains a token --
+    amount = revenue - cost with cost prorated per unit (the testdata
+    has no partsupp, so p_retailprice stands in for ps_supplycost:
+    cost_c = (retail_cents * qty_hundredths) // 100, a positive-domain
+    floor division identical in numpy and DuckDB).
+
+    Scale shape: the name-matched parts fold to broadcast sorted
+    (partkey, retail_cents) arrays and non-matching lineitems drop in
+    the stateless prep map (which also folds revenue-minus-cost to one
+    int64); supplier nation rides the same broadcast; the single
+    orderkey co-partition join attaches the order year and folds to
+    O(nations x years) rows in-kernel.
+    """
+    import pyarrow.parquet as pq
+
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_name",
+                                  "p_retailprice"])
+    keep = pc.match_substring(part["p_name"], name_token)
+    part = part.filter(keep)
+    order = pc.sort_indices(part["p_partkey"])
+    part = part.take(order)
+    pk_lut = part["p_partkey"].to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    retail_c = np.floor(part["p_retailprice"].to_numpy(
+        zero_copy_only=False) * 100.0 + 0.5).astype(np.int64)
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet",
+                           columns=["n_nationkey", "n_name"])
+    n_order = pc.sort_indices(nation["n_nationkey"])
+    nation = nation.take(n_order)
+    nat_keys = nation["n_nationkey"].to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    nat_names = np.asarray(nation["n_name"].to_pylist())
+
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_nationkey"])
+    s_order = pc.sort_indices(sup["s_suppkey"])
+    sup = sup.take(s_order)
+    sup_keys = sup["s_suppkey"].to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    sup_nat_idx = np.searchsorted(nat_keys, sup["s_nationkey"]
+                                  .to_numpy(zero_copy_only=False)
+                                  .astype(np.int64))
+    lut_ref = ray.put((pk_lut, retail_c, sup_keys, sup_nat_idx))
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_partkey", "l_suppkey",
+                "l_quantity", "l_extendedprice", "l_discount"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+
+    def li_norm(t: pa.Table) -> pa.Table:
+        pkl, rc, skl, sni = ray.get(lut_ref)
+        pk = pc.cast(t["l_partkey"], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        pos = np.searchsorted(pkl, pk)
+        pos = np.minimum(pos, max(pkl.shape[0] - 1, 0))
+        hit = pkl[pos] == pk if pkl.size else np.zeros(pk.size,
+                                                       dtype=bool)
+        t2 = t.filter(pa.array(hit))
+        p = t2["l_extendedprice"].to_numpy(zero_copy_only=False)
+        d = t2["l_discount"].to_numpy(zero_copy_only=False)
+        rev = np.floor(p * (1.0 - d) * 100.0 + 0.5).astype(np.int64)
+        qh = np.floor(t2["l_quantity"].to_numpy(zero_copy_only=False)
+                      * 100.0 + 0.5).astype(np.int64)
+        cost = (rc[pos[hit]] * qh) // 100
+        sk = pc.cast(t2["l_suppkey"], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        spos = np.searchsorted(skl, sk)
+        spos = np.minimum(spos, skl.shape[0] - 1)
+        return pa.table({"k": pc.cast(t2["l_orderkey"], pa.int64()),
+                         "nat_i": pa.array(sni[spos]),
+                         "amount_c": pa.array(rev - cost),
+                         "yr": pa.nulls(t2.num_rows,
+                                        type=pa.int64())})
+
+    def o_norm(t: pa.Table) -> pa.Table:
+        yr = _year_of(pc.cast(t["o_orderdate"], pa.int64()).to_numpy(
+            zero_copy_only=False))
+        n = t.num_rows
+        return pa.table({"k": pc.cast(t["o_orderkey"], pa.int64()),
+                         "nat_i": pa.nulls(n, type=pa.int64()),
+                         "amount_c": pa.nulls(n, type=pa.int64()),
+                         "yr": pa.array(yr)})
+
+    both = (li.map_batches(li_norm, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .union(orders.map_batches(o_norm, batch_format="pyarrow",
+                                      zero_copy_batch=True)))
+
+    YR0, NYR = 1990, 20
+    NNAT = nat_keys.shape[0]
+    out_empty = pa.table({"cell": pa.array([], type=pa.int64()),
+                          "profit_c": pa.array([], type=pa.int64())})
+
+    def join_fold(t: pa.Table) -> pa.Table:
+        k = t["k"].to_numpy(zero_copy_only=False)
+        is_o = pc.is_valid(t["yr"]).to_numpy(zero_copy_only=False)
+        is_l = ~is_o
+        if not is_o.any() or not is_l.any():
+            return out_empty
+        okk = k[is_o]
+        oyr = t["yr"].to_numpy(zero_copy_only=False)[is_o] \
+            .astype(np.int64)
+        order = np.argsort(okk, kind="stable")
+        okk, oyr = okk[order], oyr[order]
+        lk = k[is_l]
+        pos = np.searchsorted(okk, lk)
+        pos = np.minimum(pos, okk.shape[0] - 1)
+        hit = okk[pos] == lk
+        if not hit.any():
+            return out_empty
+        yr = oyr[pos[hit]] - YR0
+        nat_i = t["nat_i"].to_numpy(zero_copy_only=False)[is_l] \
+            .astype(np.int64)[hit]
+        amt = t["amount_c"].to_numpy(zero_copy_only=False)[is_l] \
+            .astype(np.int64)[hit]
+        cell = nat_i * NYR + yr
+        acc = np.zeros(NNAT * NYR, dtype=np.int64)
+        np.add.at(acc, cell, amt)
+        seen = np.zeros(NNAT * NYR, dtype=bool)
+        seen[cell] = True
+        live = np.flatnonzero(seen)
+        return pa.table({"cell": pa.array(live),
+                         "profit_c": pa.array(acc[live])})
+
+    folded = partition_by(both, ["k"], fit_partitions(32), join_fold,
+                          out_empty)
+    agg = (folded.groupby("cell")
+           .aggregate(Sum("profit_c", alias_name="profit_c"))
+           .to_pandas())
+    cells = agg["cell"].to_numpy(dtype=np.int64)
+    prof = agg["profit_c"].to_numpy(dtype=np.int64)
+    nn = nat_names[cells // NYR]
+    yr = YR0 + cells % NYR
+    order = np.lexsort((-yr, nn))
+    return pa.table({
+        "nation": pa.array(nn[order].tolist(), type=pa.string()),
+        "o_year": pa.array(yr[order]),
+        "profit_c": pa.array(prof[order]),
+    })
+
+
+TPCH_Q9_SQL = """
+SELECT n.n_name AS nation,
+       CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+       CAST(sum(CAST(floor(l.l_extendedprice * (1.0 - l.l_discount)
+                           * 100.0 + 0.5) AS BIGINT)
+                - CAST(floor(p.p_retailprice * 100.0 + 0.5)
+                       AS BIGINT)
+                  * CAST(floor(l.l_quantity * 100.0 + 0.5)
+                         AS BIGINT) // 100) AS BIGINT) AS profit_c
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+WHERE p.p_name LIKE '%red%'
+GROUP BY 1, 2
+ORDER BY nation, o_year DESC
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q20 shape: dominant-supplier semi-join
+# ---------------------------------------------------------------------------
+
+def tpch_q20_dominant_suppliers(sf_dir: str, nation: str = "NATION_5",
+                                brand: str = "Brand#23",
+                                mult: int = 2) -> pa.Table:
+    """TPC-H Q20 shape (potential part promotion): suppliers in one
+    nation who DOMINATE some brand part -- shipped more than `mult`
+    times the average supplier's share of that part's quantity (the
+    testdata has no partsupp/availqty, so "availqty > half of shipped"
+    becomes a mean-multiple dominance test; a fixed 50% bar is vacuous
+    when ~25 suppliers split every part).  Keeps the
+    per-(part,supplier) aggregate vs per-part scalar comparison +
+    distinct-supplier semi-join shape.
+
+    Scale shape: brand partkeys and the nation's suppliers fold to
+    broadcast sorted arrays; lineitem drops non-brand rows and
+    pre-folds (part, supplier) quantities per block; the partkey
+    kernel computes per-part totals and per-pair sums with one
+    lexsort + two reduceats and emits bare dominating suppkeys; the
+    distinct + nation filter + name sort run on the O(suppliers)
+    result.
+    """
+    import pyarrow.parquet as pq
+
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_brand"])
+    brand_pk = np.sort(part.filter(
+        pc.equal(part["p_brand"], brand))["p_partkey"].to_numpy(
+        zero_copy_only=False).astype(np.int64))
+
+    nat = pq.read_table(f"{sf_dir}/nation.parquet",
+                        columns=["n_nationkey", "n_name"])
+    nkey = int(nat.filter(pc.equal(nat["n_name"], nation))
+               ["n_nationkey"][0].as_py())
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_name",
+                                 "s_nationkey"])
+    s_order = pc.sort_indices(sup["s_suppkey"])
+    sup = sup.take(s_order)
+    sup_keys = sup["s_suppkey"].to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    sup_names = np.asarray(sup["s_name"].to_pylist())
+    sup_nat = sup["s_nationkey"].to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    lut_ref = ray.put(brand_pk)
+
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_suppkey", "l_quantity"])
+
+    empty = pa.table({"pk": pa.array([], type=pa.int64()),
+                      "sk": pa.array([], type=pa.int64()),
+                      "qh": pa.array([], type=pa.int64())})
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        pkl = ray.get(lut_ref)
+        pk = pc.cast(t["l_partkey"], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        pos = np.searchsorted(pkl, pk)
+        pos = np.minimum(pos, max(pkl.shape[0] - 1, 0))
+        hit = pkl[pos] == pk if pkl.size else np.zeros(pk.size,
+                                                       dtype=bool)
+        if not hit.any():
+            return empty
+        pk = pk[hit]
+        sk = pc.cast(t["l_suppkey"], pa.int64()).to_numpy(
+            zero_copy_only=False)[hit]
+        qh = np.floor(t["l_quantity"].to_numpy(
+            zero_copy_only=False)[hit] * 100.0 + 0.5) \
+            .astype(np.int64)
+        order = np.lexsort((sk, pk))
+        pk, sk, qh = pk[order], sk[order], qh[order]
+        starts = np.flatnonzero(np.concatenate(
+            ([True], (pk[1:] != pk[:-1]) | (sk[1:] != sk[:-1]))))
+        return pa.table({"pk": pa.array(pk[starts]),
+                         "sk": pa.array(sk[starts]),
+                         "qh": pa.array(np.add.reduceat(qh, starts))})
+
+    staged = li.map_batches(pair_partial, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+    dom_empty = pa.table({"sk": pa.array([], type=pa.int64())})
+
+    def dominate(t: pa.Table) -> pa.Table:
+        pk = t["pk"].to_numpy(zero_copy_only=False)
+        sk = t["sk"].to_numpy(zero_copy_only=False)
+        qh = t["qh"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((sk, pk))
+        pk, sk, qh = pk[order], sk[order], qh[order]
+        # merge cross-block pair partials
+        pstarts = np.flatnonzero(np.concatenate(
+            ([True], (pk[1:] != pk[:-1]) | (sk[1:] != sk[:-1]))))
+        pk, sk = pk[pstarts], sk[pstarts]
+        qh = np.add.reduceat(qh, pstarts)
+        # per-part totals
+        tstarts = np.flatnonzero(np.concatenate(
+            ([True], pk[1:] != pk[:-1])))
+        tot = np.add.reduceat(qh, tstarts)
+        npair = np.diff(np.concatenate((tstarts, [pk.shape[0]])))
+        total_of = np.repeat(tot, npair)
+        np_of = np.repeat(npair, npair)
+        dom = qh * np_of > mult * total_of
+        if not dom.any():
+            return dom_empty
+        return pa.table({"sk": pa.array(np.unique(sk[dom]))})
+
+    doms = partition_by(staged, ["pk"], fit_partitions(32), dominate,
+                        dom_empty).to_pandas()
+    if doms.empty:
+        return pa.table({"s_name": pa.array([], type=pa.string())})
+    sk = np.unique(doms["sk"].to_numpy(dtype=np.int64))
+    pos = np.searchsorted(sup_keys, sk)
+    pos = np.minimum(pos, max(sup_keys.shape[0] - 1, 0))
+    keep = (sup_keys[pos] == sk) & (sup_nat[pos] == nkey)
+    names = np.sort(sup_names[pos[keep]])
+    return pa.table({"s_name": pa.array(names.tolist(),
+                                        type=pa.string())})
+
+
+TPCH_Q20_SQL = """
+WITH pair AS (
+  SELECT l_partkey AS pk, l_suppkey AS sk,
+         CAST(sum(CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT))
+              AS BIGINT) AS qh
+  FROM lineitem
+  JOIN part ON p_partkey = l_partkey
+  WHERE p_brand = 'Brand#23'
+  GROUP BY 1, 2
+), tot AS (
+  SELECT pk, CAST(sum(qh) AS BIGINT) AS total,
+         CAST(count(*) AS BIGINT) AS np FROM pair GROUP BY 1
+)
+SELECT DISTINCT s.s_name
+FROM pair p
+JOIN tot t ON t.pk = p.pk
+JOIN supplier s ON s.s_suppkey = p.sk
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+WHERE p.qh * t.np > 2 * t.total AND n.n_name = 'NATION_5'
+ORDER BY s.s_name
+"""

@@ -330,3 +330,74 @@ def test_tpch_q2_argmin_tiebreak(ray_session, tmp_path):
     assert out["p_partkey"] == [2, 1]
     assert out["unit_price_tm"] == [1_000_000, 2_000_000]
     assert out["s_acctbal_c"] == [5000, 1000]
+
+
+def test_tpch_q9_profit_cost_proration(ray_session, tmp_path):
+    """Profit = revenue minus retail-prorated cost, per supplier
+    nation and order year; non-matching part names are out."""
+    from p2pddsketch_ray.pipelines.tpch import tpch_q9_product_profit
+    Y97, Y98 = _ts("1997-03-01"), _ts("1998-03-01")
+    pq.write_table(pa.table({
+        "p_partkey": pa.array([1, 2], type=pa.int64()),
+        "p_name": pa.array(["red widget", "blue bolt"]),
+        "p_retailprice": pa.array([10.0, 99.0]),
+    }), str(tmp_path / "part.parquet"))
+    pq.write_table(pa.table({
+        "n_nationkey": pa.array([1, 2], type=pa.int64()),
+        "n_name": pa.array(["NATION_1", "NATION_2"]),
+    }), str(tmp_path / "nation.parquet"))
+    pq.write_table(pa.table({
+        "s_suppkey": pa.array([1, 2], type=pa.int64()),
+        "s_nationkey": pa.array([1, 2], type=pa.int64()),
+    }), str(tmp_path / "supplier.parquet"))
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([10, 20], type=pa.int64()),
+        "o_orderdate": _write_ts([Y97, Y98]),
+    }), str(tmp_path / "orders.parquet"))
+    # S1/1997: rev 100.00, cost 10.00*3 = 30.00 -> profit 70.00
+    # S2/1998: rev 50.00 at 50% disc = 25.00, cost 10.00*1 -> 15.00
+    # part 2 line: name does not match -> excluded
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array([10, 20, 10], type=pa.int64()),
+        "l_partkey": pa.array([1, 1, 2], type=pa.int64()),
+        "l_suppkey": pa.array([1, 2, 1], type=pa.int64()),
+        "l_quantity": pa.array([3.0, 1.0, 5.0]),
+        "l_extendedprice": pa.array([100.0, 50.0, 777.0]),
+        "l_discount": pa.array([0.0, 0.5, 0.0]),
+    }), str(tmp_path / "lineitem.parquet"))
+    out = tpch_q9_product_profit(str(tmp_path)).to_pydict()
+    assert out["nation"] == ["NATION_1", "NATION_2"]
+    assert out["o_year"] == [1997, 1998]
+    assert out["profit_c"] == [7000, 1500]
+
+
+def test_tpch_q20_mean_multiple_dominance(ray_session, tmp_path):
+    """A supplier qualifies only when its pair share exceeds mult x
+    the mean supplier share of that part, and it sits in the target
+    nation."""
+    from p2pddsketch_ray.pipelines.tpch import (
+        tpch_q20_dominant_suppliers)
+    pq.write_table(pa.table({
+        "p_partkey": pa.array([1, 2], type=pa.int64()),
+        "p_brand": pa.array(["Brand#23", "Brand#23"]),
+    }), str(tmp_path / "part.parquet"))
+    pq.write_table(pa.table({
+        "n_nationkey": pa.array([5, 6], type=pa.int64()),
+        "n_name": pa.array(["NATION_5", "NATION_6"]),
+    }), str(tmp_path / "nation.parquet"))
+    pq.write_table(pa.table({
+        "s_suppkey": pa.array([1, 2, 3, 4], type=pa.int64()),
+        "s_name": pa.array(["S1", "S2", "S3", "S4"]),
+        "s_nationkey": pa.array([5, 5, 5, 6], type=pa.int64()),
+    }), str(tmp_path / "supplier.parquet"))
+    # part 1: 4 suppliers, qty 90/4/3/3 -> only S1 (90 * 4 > 2*100).
+    # part 2: S4 dominates but is in NATION_6 -> excluded; S2 at
+    # 10/110 of part 2 does not qualify there (10*2 < 2*110... wait
+    # np=2: 10*2=20 < 2*120) -> out.
+    pq.write_table(pa.table({
+        "l_partkey": pa.array([1, 1, 1, 1, 2, 2], type=pa.int64()),
+        "l_suppkey": pa.array([1, 2, 3, 4, 4, 2], type=pa.int64()),
+        "l_quantity": pa.array([90.0, 4.0, 3.0, 3.0, 110.0, 10.0]),
+    }), str(tmp_path / "lineitem.parquet"))
+    out = tpch_q20_dominant_suppliers(str(tmp_path)).to_pydict()
+    assert out["s_name"] == ["S1"]
