@@ -797,6 +797,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # sliding-window HLL: distinct users per trailing 24 h (window
         # merge = register max over the hourly matrix)
         "hll_sliding_users": _hll_sliding_users,
+        # sliding-window COUNT-MIN: linear sketch, so the window merge
+        # is a prefix-sum difference; only probed cell series shuffle
+        "cms_sliding_user_est": _cms_sliding_user_est,
         # distributed as-of join (vectorized rank-composite kernel over
         # coarse hash co-partitions; oracle = DuckDB ASOF JOIN)
         "events_asof_orders": _events_asof_orders,
@@ -1625,6 +1628,11 @@ def _weighted_median_by_flag(sf_dir: str):
 def _hll_sliding_users(sf_dir: str):
     from p2pddsketch_ray.pipelines.sliding import hll_sliding_users
     return hll_sliding_users(sf_dir)
+
+
+def _cms_sliding_user_est(sf_dir: str):
+    from p2pddsketch_ray.pipelines.sliding import cms_sliding_user_est
+    return cms_sliding_user_est(sf_dir)
 
 
 def _sliding_anomaly_counts(sf_dir: str):
@@ -2824,6 +2832,40 @@ SELECT w * 3600 AS window_start, 4096::BIGINT AS m,
                   THEN 4096 * ln(4096.0 / CAST(zeros AS DOUBLE))
                   ELSE raw END, 6) AS hll_estimate
 FROM est ORDER BY 1""",
+        "cms_sliding_user_est": """
+WITH seeds(d, s) AS (VALUES (0, 461845907), (1, 3432918353),
+                            (2, 2246822507), (3, 3266489909)),
+tu AS (SELECT CAST(user_id AS BIGINT) AS u
+       FROM events GROUP BY 1 ORDER BY count(*) DESC, u LIMIT 10),
+pcell AS (SELECT DISTINCT s.d,
+                 hash(xor(tu.u, CAST(s.s AS BIGINT))) % 1024 AS cell
+          FROM tu CROSS JOIN seeds s),
+hourly AS (SELECT CAST(epoch_us(ts) AS BIGINT)//3600000000 AS hr,
+                  s.d,
+                  hash(xor(CAST(user_id AS BIGINT),
+                           CAST(s.s AS BIGINT))) % 1024 AS cell,
+                  CAST(count(*) AS BIGINT) AS c
+           FROM events CROSS JOIN seeds s GROUP BY 1, 2, 3),
+bounds AS (SELECT min(hr) AS mn, max(hr) AS mx FROM hourly),
+nums AS (SELECT CAST(range AS BIGINT) AS i FROM range(0, 1048576)),
+hrs AS (SELECT mn + i AS hr FROM bounds JOIN nums ON i <= mx - mn),
+series AS (SELECT h2.hr, p.d, p.cell, COALESCE(hh.c, 0) AS c
+           FROM hrs h2 CROSS JOIN pcell p
+           LEFT JOIN hourly hh ON hh.hr = h2.hr AND hh.d = p.d
+                              AND hh.cell = p.cell),
+w AS (SELECT hr, d, cell,
+             CAST(sum(c) OVER (PARTITION BY d, cell ORDER BY hr
+                  ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS wc
+      FROM series),
+est AS (SELECT w.hr, tu.u, min(w.wc) AS est_count
+        FROM tu CROSS JOIN seeds s
+        JOIN w ON w.d = s.d
+              AND w.cell = hash(xor(tu.u, CAST(s.s AS BIGINT))) % 1024
+        GROUP BY 1, 2)
+SELECT CAST(hr * 3600 AS BIGINT) AS window_start, u AS user_id,
+       CAST(est_count AS BIGINT) AS est_count
+FROM est ORDER BY 1, 2""",
         "sliding_anomaly_counts": f"""
 WITH src AS (SELECT epoch_us(ts)//3600000000 AS b,
                     CASE WHEN value > 0 THEN CAST(ceil(ln(CAST(value AS DOUBLE))/ln({GAMMA_SQL})) AS BIGINT) + {OFFSET}

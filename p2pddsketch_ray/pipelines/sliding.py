@@ -622,3 +622,155 @@ def sliding_anomaly_counts(sf_dir: str, *, window_hours: int = 24,
         "n_events": pa.array(out["n_events"].astype("int64")),
         "n_anomalies": pa.array(out["n_anomalies"].astype("int64")),
     })
+
+
+def cms_sliding_user_est(sf_dir: str, *, window_hours: int = 24,
+                         width: int = 1024, depth: int = 4,
+                         topk: int = 10) -> pa.Table:
+    """Sliding-window COUNT-MIN: trailing-``window_hours`` event-count
+    estimate for the global top-``topk`` users at every hour boundary
+    -- the window x sketch composition for a LINEAR sketch.  Count-min
+    cells are sums, so the window merge is a prefix-sum DIFFERENCE
+    (cum[h] - cum[h-W]); contrast hll_sliding_users, whose register-max
+    state cannot subtract and needs a per-window max instead.
+
+    Scale shape: probing a CMS reads ``depth`` cells per key, so only
+    the probe set's cell SERIES ever leave the fact stream: the
+    stateless map folds each block to (hour, probed-cell, count) rows
+    (collisions from OTHER users mapping into a probed cell are
+    counted, exactly as a full CMS would); the hour co-partition merge
+    leaves O(hours x depth x topk) rows and the driver walk holds the
+    dense hours x cells int64 matrix (~hours x 40 cells).  The probe
+    set itself is the exact distributed top-k census (per-block
+    prereduce, O(users) groupby, bounded driver pull).
+
+    Window semantics match the DDSketch/HLL walks: window(h) covers
+    hours (h - W, h].
+    """
+    from ray.data.aggregate import Sum
+
+    from ..hashing import murmur64
+    from ..sketches.countmin import DEFAULT_SEEDS
+    from ..stages.partition import fit_partitions, partition_by
+
+    seeds = DEFAULT_SEEDS[:depth]
+    events = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                                   columns=["ts", "user_id"])
+
+    # exact top-k users (count desc, user_id asc), distributed census
+    cnt_empty = pa.table({"user_id": pa.array([], type=pa.int64()),
+                          "n": pa.array([], type=pa.int64())})
+
+    def user_partial(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        uk, cnts = np.unique(uid, return_counts=True)
+        return pa.table({"user_id": pa.array(uk),
+                         "n": pa.array(cnts.astype(np.int64))})
+
+    def local_top(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        n = t["n"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((uid, -n))[:topk]
+        return pa.table({"user_id": pa.array(uid[order]),
+                         "n": pa.array(n[order])})
+
+    per_user = (events.map_batches(user_partial,
+                                   batch_format="pyarrow",
+                                   zero_copy_batch=True)
+                .groupby("user_id").aggregate(Sum("n", alias_name="n"))
+                .map_batches(local_top, batch_format="pyarrow")
+                .to_pandas())
+    uid = per_user["user_id"].to_numpy(dtype=np.int64)
+    n = per_user["n"].to_numpy(dtype=np.int64)
+    order = np.lexsort((uid, -n))[:topk]
+    probe_users = np.sort(uid[order])
+
+    # probed cell ids per depth row; dense column layout d * width + cell
+    probe_cells = []
+    user_col = np.empty((probe_users.shape[0], depth), dtype=np.int64)
+    for d, seed in enumerate(seeds):
+        cell = (murmur64(probe_users ^ np.int64(seed))
+                % np.uint64(width)).astype(np.int64)
+        user_col[:, d] = d * width + cell
+        probe_cells.append(d * width + np.unique(cell))
+    dcells = np.unique(np.concatenate(probe_cells))
+    lut_ref = ray.put((dcells, np.asarray(seeds, dtype=np.int64)))
+
+    sp_empty = pa.table({"hour": pa.array([], type=pa.int64()),
+                         "dcell": pa.array([], type=pa.int64()),
+                         "c": pa.array([], type=pa.int64())})
+
+    def partials(t: pa.Table) -> pa.Table:
+        dc_lut, sds = ray.get(lut_ref)
+        us = pc.cast(t["ts"], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        hour = us // 3_600_000_000
+        u = t["user_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        hs, cs = [], []
+        for d, seed in enumerate(sds):
+            dcell = d * width + (murmur64(u ^ np.int64(seed))
+                                 % np.uint64(width)).astype(np.int64)
+            pos = np.searchsorted(dc_lut, dcell)
+            pos = np.minimum(pos, dc_lut.shape[0] - 1)
+            hit = dc_lut[pos] == dcell
+            hs.append(hour[hit])
+            cs.append(dcell[hit])
+        h = np.concatenate(hs)
+        c = np.concatenate(cs)
+        if h.size == 0:
+            return sp_empty
+        comp = h * np.int64(depth * width) + c
+        uk, cnts = np.unique(comp, return_counts=True)
+        return pa.table({
+            "hour": pa.array(uk // (depth * width)),
+            "dcell": pa.array(uk % (depth * width)),
+            "c": pa.array(cnts.astype(np.int64)),
+        })
+
+    def merge_cells(t: pa.Table) -> pa.Table:
+        h = t["hour"].to_numpy(zero_copy_only=False)
+        dc = t["dcell"].to_numpy(zero_copy_only=False)
+        c = t["c"].to_numpy(zero_copy_only=False)
+        comp = h * np.int64(depth * width) + dc
+        order = np.argsort(comp, kind="stable")
+        comp, c = comp[order], c[order]
+        starts = np.flatnonzero(np.concatenate(
+            ([True], comp[1:] != comp[:-1])))
+        comp = comp[starts]
+        return pa.table({
+            "hour": pa.array(comp // (depth * width)),
+            "dcell": pa.array(comp % (depth * width)),
+            "c": pa.array(np.add.reduceat(c, starts)),
+        })
+
+    sparse = partition_by(
+        events.map_batches(partials, batch_format="pyarrow",
+                           zero_copy_batch=True),
+        ["hour"], fit_partitions(16), merge_cells, sp_empty
+    ).to_pandas()
+
+    hrs = sparse["hour"].to_numpy(dtype=np.int64)
+    dc = sparse["dcell"].to_numpy(dtype=np.int64)
+    c = sparse["c"].to_numpy(dtype=np.int64)
+    mn, mx = int(hrs.min()), int(hrs.max())
+    span = mx - mn + 1
+    mat = np.zeros((span, dcells.shape[0]), dtype=np.int64)
+    mat[hrs - mn, np.searchsorted(dcells, dc)] = c
+    cum = np.cumsum(mat, axis=0)
+    win = cum.copy()
+    if span > window_hours:
+        win[window_hours:] -= cum[:-window_hours]
+
+    # est(user, h) = min over depth rows of the windowed cell counts
+    ucols = np.searchsorted(dcells, user_col)      # users x depth
+    ests = win[:, ucols].min(axis=2)               # span x users
+    hours_out = np.repeat(np.arange(mn, mx + 1, dtype=np.int64),
+                          probe_users.shape[0])
+    users_out = np.tile(probe_users, span)
+    return pa.table({
+        "window_start": pa.array(hours_out * 3600, type=pa.int64()),
+        "user_id": pa.array(users_out),
+        "est_count": pa.array(ests.reshape(-1)),
+    })

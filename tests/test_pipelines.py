@@ -4465,3 +4465,42 @@ def test_weighted_sample_matches_brute_force(ray_session, tmp_path):
     assert list(out["doc_id"]) == list(ids[order])
     assert list(out["key_femto"]) == list(key[order])
     assert out["doc_id"].iloc[0] == 8       # ids[7]
+
+
+def test_cms_sliding_window_subtracts(ray_session, tmp_path):
+    """CMS is linear, so the trailing window is a prefix-sum
+    difference: counts drop out exactly W hours after they entered."""
+    import pyarrow.parquet as pq
+
+    from p2pddsketch_ray.pipelines.sliding import cms_sliding_user_est
+
+    H = 3_600_000_000
+    ts, uid = [], []
+    # user 7: five events in hour 0, two in hour 30; user 9: one
+    # event per hour 0..30 (always in-window)
+    ts += [0 * H + i for i in range(5)] + [30 * H, 30 * H + 1]
+    uid += [7] * 7
+    ts += [h * H for h in range(31)]
+    uid += [9] * 31
+    pq.write_table(pa.table({
+        "ts": pa.array(np.array(ts, dtype=np.int64)).cast(
+            pa.timestamp("us")),
+        "user_id": pa.array(uid, type=pa.int64()),
+        "event_type": pa.array(["x"] * len(uid)),
+        "event_id": pa.array(np.arange(len(uid), dtype=np.int64)),
+        "value": pa.array([1.0] * len(uid)),
+        "props": pa.array(["{}"] * len(uid)),
+    }), str(tmp_path / "events.parquet"))
+    out = cms_sliding_user_est(str(tmp_path),
+                               window_hours=24).to_pandas()
+    est = {(int(r.window_start) // 3600, int(r.user_id)):
+           int(r.est_count) for r in out.itertuples()}
+    # user 7: in-window through hour 23, gone at 24, back at 30
+    assert est[(0, 7)] == 5
+    assert est[(23, 7)] == 5
+    assert est[(24, 7)] == 0
+    assert est[(30, 7)] == 2
+    # user 9: ramps 1..24 then holds at 24 (window saturated)
+    assert est[(0, 9)] == 1
+    assert est[(23, 9)] == 24
+    assert est[(30, 9)] == 24
