@@ -711,6 +711,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # HLL inclusion-exclusion audience overlap of two types
         "hll_type_overlap": A.hll_type_overlap,
         "cms_user_counts": A.cms_user_counts,
+        # count-SKETCH: signed cells, unbiased exact-median estimator
+        "countsketch_user_freq": A.countsketch_user_freq,
         "bloom_semijoin_orders": A.bloom_semijoin_orders,
         # bit-level empirical Bloom false-positive audit (MD5 double
         # hashing so DuckDB reproduces every position)
@@ -2616,6 +2618,27 @@ SELECT 4096::BIGINT AS m, nonzero AS nonzero_registers, sumr AS sum_registers,
 FROM est""",
         # count-min replica: same cells via hash(xor(key, seed_d)) % width,
         # same integer counters, min over depth rows
+        "countsketch_user_freq": """
+WITH counts AS (SELECT CAST(user_id AS BIGINT) AS k,
+                       CAST(count(*) AS BIGINT) AS c
+                FROM events GROUP BY 1),
+seeds(d, s) AS (VALUES (0, 2654435769), (1, 2135587861),
+                       (2, 625341585)),
+hx AS (SELECT c.k, s.d, hash(xor(c.k, CAST(s.s AS BIGINT))) AS h, c.c
+       FROM counts c CROSS JOIN seeds s),
+cells AS (SELECT d, h % 1024 AS cell,
+                 CAST(sum((1 - 2 * CAST((h >> 40) & 1 AS BIGINT))
+                          * c) AS BIGINT) AS tot
+          FROM hx GROUP BY 1, 2),
+reads AS (SELECT x.k,
+                 (1 - 2 * CAST((x.h >> 40) & 1 AS BIGINT))
+                   * cells.tot AS r
+          FROM hx x JOIN cells ON cells.d = x.d
+                              AND cells.cell = x.h % 1024),
+med AS (SELECT k, CAST(sum(r) - max(r) - min(r) AS BIGINT)
+                 AS est_count
+        FROM reads GROUP BY k)
+SELECT k AS user_id, est_count FROM med ORDER BY user_id""",
         "cms_user_counts": """
 WITH counts AS (SELECT user_id AS k, count(*) AS c FROM events GROUP BY user_id),
 seeds(d, s) AS (VALUES (0, 461845907), (1, 3432918353), (2, 2246822507),

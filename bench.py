@@ -127,6 +127,41 @@ def run_heavy_suite(sf_dir: str) -> dict[str, float]:
     return timings
 
 
+def run_tpch_suite(sf_dir: str) -> dict[str, float]:
+    """Third recorded suite (round 4): the join-heaviest TPC-H shapes
+    added this round, timed separately so the earlier series stay
+    comparable.  Covers the 6-table same-nation join (Q5), the
+    two-exchange nation-pair join (Q7), profit with an orderkey
+    co-partition (Q9), the join-free count histogram (Q13), and the
+    double-correlated census kernel (Q21)."""
+    from p2pddsketch_ray.pipelines import tpch as T
+    from p2pddsketch_ray.pipelines.relational import (
+        local_supplier_volume, q13_custdist)
+
+    timings: dict[str, float] = {}
+
+    def timed(name, fn):
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            res = fn()
+            if hasattr(res, "to_pandas"):
+                res.to_pandas()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 4)
+
+    timed("local_supplier_volume",
+          lambda: local_supplier_volume(sf_dir))
+    timed("tpch_q7_volume_shipping",
+          lambda: T.tpch_q7_volume_shipping(sf_dir))
+    timed("tpch_q9_product_profit",
+          lambda: T.tpch_q9_product_profit(sf_dir))
+    timed("tpch_q13_custdist", lambda: q13_custdist(sf_dir))
+    timed("tpch_q21_waiting_supplier",
+          lambda: T.tpch_q21_waiting_supplier(sf_dir))
+    return timings
+
+
 def run_once() -> dict:
     import ray
     if not ray.is_initialized():
@@ -141,6 +176,7 @@ def run_once() -> dict:
 
     timings, headline_rows = run_suite(SF_DIR)
     heavy = run_heavy_suite(SF_DIR)
+    tpch = run_tpch_suite(SF_DIR)
     total = round(sum(timings.values()), 4)
     result = {
         "metric": "headline pipeline suite wall-clock (DDSketch build/merge/"
@@ -150,6 +186,8 @@ def run_once() -> dict:
         "queries": timings,
         "queries_heavy": heavy,
         "value_heavy": round(sum(heavy.values()), 4),
+        "queries_tpch": tpch,
+        "value_tpch": round(sum(tpch.values()), 4),
         "sf": _sf_label(SF_DIR),
         "num_cpus": NUM_CPUS,
         "headline_rows": headline_rows,

@@ -1030,3 +1030,39 @@ GROUP BY w.k
 ORDER BY est_cents DESC, o_custkey
 LIMIT 20
 """
+
+
+def countsketch_build(ds, col: str, width: int = 1024,
+                      depth: int = 3):
+    from ..sketches.countsketch import CountSketch
+
+    def add(s: CountSketch, t: pa.Table) -> None:
+        c = t[col]
+        if c.null_count:
+            c = c.drop_null()
+        s.add_batch(c.to_numpy(zero_copy_only=False))
+    return build_and_merge(ds, [col], lambda: CountSketch(width, depth),
+                           add)
+
+
+def countsketch_user_freq(sf_dir: str) -> pa.Table:
+    """Count-SKETCH (signed median) event count per distinct user --
+    the unbiased counterpart of cms_user_counts: collisions add +-1
+    and cancel in expectation instead of stacking one-sided.  Odd
+    depth makes the median an exact integer order statistic
+    (sum - max - min for depth 3), so every estimate is hash-matchable
+    against the DuckDB cell/sign replica.
+
+    Scale shape: identical to the CMS path -- per-block linear
+    partials, elementwise-sum tree merge (one depth x width int64
+    blob per block leaves each node), probe on the driver over the
+    O(distinct users) key census.
+    """
+    ds = _read(sf_dir, "events", ["user_id"])
+    cs = countsketch_build(ds, "user_id", width=1024, depth=3)
+    keys = np.asarray(sorted(ds.unique("user_id")), dtype=np.int64)
+    est = cs.estimate(keys)
+    return pa.table({
+        "user_id": pa.array(keys, type=pa.int64()),
+        "est_count": pa.array(est.astype(np.int64), type=pa.int64()),
+    })

@@ -580,3 +580,78 @@ def test_cms_weighted_overestimates_and_is_exact_when_sparse():
     s2.add_batch(keys, w)
     est2 = s2.estimate(np.array([1, 2, 3], dtype=np.int64))
     assert (est2 >= np.array([20, 25, 30])).all()
+
+
+# ---------------------------------------------------------------------------
+# CountSketch (signed median)
+# ---------------------------------------------------------------------------
+
+def test_countsketch_exact_when_sparse():
+    """With far fewer keys than cells, every estimate is exact (median
+    read hits an uncollided cell)."""
+    from p2pddsketch_ray.sketches.countsketch import CountSketch
+    rng = np.random.default_rng(7)
+    keys = rng.choice(10_000, size=20, replace=False).astype(np.int64)
+    counts = rng.integers(1, 50, size=20).astype(np.int64)
+    s = CountSketch(width=4096, depth=3)
+    s.add_batch(np.repeat(keys, counts))
+    est = s.estimate(keys)
+    assert (est == counts).all()
+
+
+def test_countsketch_merge_bit_identical():
+    """Merge = elementwise add: any merge order gives identical cells."""
+    from p2pddsketch_ray.sketches.countsketch import CountSketch
+    rng = np.random.default_rng(11)
+    parts = [rng.integers(0, 500, size=300).astype(np.int64)
+             for _ in range(4)]
+    a = CountSketch(width=256, depth=3)
+    for p in parts:
+        a.add_batch(p)
+    b = None
+    for p in reversed(parts):
+        s = CountSketch(width=256, depth=3)
+        s.add_batch(p)
+        b = s if b is None else b.merge(s)
+    assert (a.table == b.table).all()
+    assert a.n == b.n
+    # row-level round trip for the shuffle representation
+    c = CountSketch.from_row(a.to_row())
+    assert (c.table == a.table).all()
+
+
+def test_countsketch_median_is_middle_order_statistic():
+    """depth-3 estimate equals sum - max - min of the signed reads
+    (the SQL twin's formula)."""
+    from p2pddsketch_ray.sketches.countsketch import CountSketch
+    rng = np.random.default_rng(3)
+    keys = rng.integers(0, 64, size=2000).astype(np.int64)
+    s = CountSketch(width=32, depth=3)   # force heavy collisions
+    s.add_batch(keys)
+    probe = np.arange(64, dtype=np.int64)
+    reads = np.empty((3, 64), dtype=np.int64)
+    for d in range(3):
+        cells, signs = s._cells_signs(probe, d)
+        reads[d] = signs * s.table[d][cells]
+    manual = reads.sum(axis=0) - reads.max(axis=0) - reads.min(axis=0)
+    assert (s.estimate(probe) == manual).all()
+
+
+def test_countsketch_unbiased_vs_cms_onesided():
+    """Under heavy collisions CMS only overestimates while count-sketch
+    errors are two-sided and centred (sanity property, fixed seed)."""
+    from p2pddsketch_ray.sketches.countmin import CountMinSketch
+    from p2pddsketch_ray.sketches.countsketch import CountSketch
+    rng = np.random.default_rng(5)
+    keys = rng.integers(0, 4096, size=40_000).astype(np.int64)
+    truth = np.bincount(keys, minlength=4096).astype(np.int64)
+    probe = np.arange(4096, dtype=np.int64)
+    cm = CountMinSketch(width=512, depth=4)
+    cm.add_batch(keys)
+    cs = CountSketch(width=512, depth=3)
+    cs.add_batch(keys)
+    cm_err = cm.estimate(probe) - truth
+    cs_err = cs.estimate(probe) - truth
+    assert (cm_err >= 0).all()                    # one-sided
+    assert (cs_err < 0).any() and (cs_err > 0).any()   # two-sided
+    assert abs(float(np.median(cs_err))) <= 2.0   # centred
