@@ -51,6 +51,7 @@ from p2pddsketch_ray.pipelines.temporal import (  # noqa: E402
     VALUE_OHLC_SQL as _VALUE_OHLC_SQL,
     ORDERS_EVENT_WINDOW_SQL as _ORDERS_EVENT_WINDOW_SQL,
     USER_EVENT_LAG_SQL as _USER_EVENT_LAG_SQL,
+    EVENTS_NEAREST_ORDER_SQL as _EVENTS_NEAREST_ORDER_SQL,
     USER_RUNNING_TOTALS_SQL as _USER_RUNNING_TOTALS_SQL,
     USER_MOVING_WINDOW_SQL as _USER_MOVING_WINDOW_SQL,
     USER_EVENT_SEQUENCES_SQL as _USER_EVENT_SEQUENCES_SQL,
@@ -533,6 +534,7 @@ from p2pddsketch_ray.pipelines.dedup import (  # noqa: E402
     FUZZY_PROPS_SQL as _FUZZY_PROPS_SQL,
     fuzzy_props_pairs as _fuzzy_props_pairs,
     NGRAM_JACCARD_SQL as _NGRAM_JACCARD_SQL,
+    CHUNK_DEDUP_SQL as _CHUNK_DEDUP_SQL,
     SIMHASH_SIGNATURES_SQL as _SIMHASH_SIGNATURES_SQL,
     MINHASH_SIGNATURE_SQL as _MINHASH_SIGNATURE_SQL)
 QS = (0.5, 0.95, 0.99)
@@ -713,6 +715,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cms_user_counts": A.cms_user_counts,
         # count-SKETCH: signed cells, unbiased exact-median estimator
         "countsketch_user_freq": A.countsketch_user_freq,
+        # sketch-shortlist + exact-confirm heavy hitters (the Charikar
+        # composition: small signed sketch ranks, one filtered count
+        # confirms, final top-k exact)
+        "countsketch_topk_confirm": A.countsketch_topk_confirm,
+        # Bloom set-cardinality algebra: |A|, |B|, |A n B| from fill
+        # counts + the OR-merge union filter (Swamidass-Baldi)
+        "bloom_intersection_estimate": A.bloom_intersection_estimate,
         "bloom_semijoin_orders": A.bloom_semijoin_orders,
         # bit-level empirical Bloom false-positive audit (MD5 double
         # hashing so DuckDB reproduces every position)
@@ -742,6 +751,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Manku window, true at every testdata scale)
         "minhash_neardup_docs": _minhash_neardup_docs,
         "simhash_neardup_docs": _simhash_neardup_docs,
+        # passage-level exact dedup: 16-token chunks deduped globally
+        # by ONE string groupby whose Min() composite carries the
+        # keeper's lang (no join-back, no corpus-sized broadcast)
+        "chunk_dedup_stats": _chunk_dedup_stats,
+        # near-dup keep by QUALITY (longest doc per similarity
+        # component, tie to smaller id) via one argmax composite
+        "neardup_keep_best_quality": _neardup_keep_best_quality,
         # exact-substring tier (Lee et al. ACL'22): duplicated
         # length-32 window positions per lang, one fingerprint exchange
         "dup_span_stats": _dup_span_stats,
@@ -805,6 +821,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # distributed as-of join (vectorized rank-composite kernel over
         # coarse hash co-partitions; oracle = DuckDB ASOF JOIN)
         "events_asof_orders": _events_asof_orders,
+        # NEAREST-timestamp join (min |gap| either direction, before
+        # wins exact ties) -- the third as-of direction
+        "events_nearest_order": _events_nearest_order,
         # FORWARD as-of: first touchpoint after each order
         "orders_asof_next_event": _orders_asof_next_event,
         # sliding-window argmax: top user by trailing-24h count
@@ -1494,7 +1513,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_customer_join_agg", "bloom_semijoin_orders",
         "exact_quantiles_price", "exact_quantiles_by_flag",
         "distinct_user_count", "hll_distinct_users", "hll_type_overlap",
-        "kmv_distinct_users", "cms_user_counts", "cms_error_report",
+        "kmv_distinct_users", "cms_user_counts", "countsketch_user_freq",
         "mg_heavy_users", "top_users_exact",
         "events_sessionized", "events_sessionized_split",
         "sampled_events_by_type", "props_extract_stats",
@@ -1507,7 +1526,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "split_assign_stats", "corpus_quota_sample", "token_budget_mix",
         "benchmark_decontamination", "model_score_stats",
         "keyword_search_topk", "multimodal_doc_features",
-        "token_explode_sample", "quantile_error_report",
+        "chunk_dedup_stats", "quantile_error_report",
     ]
     assert len(head) == 50 and all(k in q for k in head), \
         [k for k in head if k not in q]
@@ -1734,6 +1753,22 @@ def _exact_quantiles_by_flag(sf_dir: str):
 def _events_asof_orders(sf_dir: str):
     from p2pddsketch_ray.pipelines.temporal import events_asof_orders
     return events_asof_orders(sf_dir)
+
+
+def _events_nearest_order(sf_dir: str):
+    from p2pddsketch_ray.pipelines.temporal import events_nearest_order
+    return events_nearest_order(sf_dir)
+
+
+def _chunk_dedup_stats(sf_dir: str):
+    from p2pddsketch_ray.pipelines.dedup import chunk_dedup_stats
+    return chunk_dedup_stats(sf_dir)
+
+
+def _neardup_keep_best_quality(sf_dir: str):
+    from p2pddsketch_ray.pipelines.components import \
+        neardup_keep_best_quality
+    return neardup_keep_best_quality(sf_dir)
 
 
 def _orders_asof_next_event(sf_dir: str):
@@ -2639,6 +2674,77 @@ med AS (SELECT k, CAST(sum(r) - max(r) - min(r) AS BIGINT)
                  AS est_count
         FROM reads GROUP BY k)
 SELECT k AS user_id, est_count FROM med ORDER BY user_id""",
+        # count-sketch shortlist (width 256, est desc) -> exact confirm
+        "countsketch_topk_confirm": """
+WITH counts AS (SELECT CAST(user_id AS BIGINT) AS k,
+                       CAST(count(*) AS BIGINT) AS c
+                FROM events GROUP BY 1),
+seeds(d, s) AS (VALUES (0, 2654435769), (1, 2135587861),
+                       (2, 625341585)),
+hx AS (SELECT c.k, s.d, hash(xor(c.k, CAST(s.s AS BIGINT))) AS h, c.c
+       FROM counts c CROSS JOIN seeds s),
+cells AS (SELECT d, h % 256 AS cell,
+                 CAST(sum((1 - 2 * CAST((h >> 40) & 1 AS BIGINT))
+                          * c) AS BIGINT) AS tot
+          FROM hx GROUP BY 1, 2),
+reads AS (SELECT x.k,
+                 (1 - 2 * CAST((x.h >> 40) & 1 AS BIGINT))
+                   * cells.tot AS r
+          FROM hx x JOIN cells ON cells.d = x.d
+                              AND cells.cell = x.h % 256),
+med AS (SELECT k, CAST(sum(r) - max(r) - min(r) AS BIGINT) AS est
+        FROM reads GROUP BY k),
+short AS (SELECT k, est FROM med ORDER BY est DESC, k LIMIT 40),
+fin AS (SELECT s.k AS user_id, s.est AS est_count, c.c AS exact_count
+        FROM short s JOIN counts c ON c.k = s.k)
+SELECT user_id, est_count, exact_count,
+       est_count - exact_count AS err
+FROM fin ORDER BY exact_count DESC, user_id LIMIT 20""",
+        # Bloom fill-count cardinality algebra, per-term-floored ln
+        "bloom_intersection_estimate": """
+WITH ua AS (SELECT DISTINCT user_id AS key FROM events
+            WHERE event_type = 'click'),
+ub AS (SELECT DISTINCT user_id AS key FROM events
+       WHERE event_type = 'view'),
+ha AS (SELECT CAST(('0x' || substr(md5(CAST(key AS VARCHAR)), 1, 16))
+                   AS UBIGINT) % 4096 AS h1,
+              CAST(('0x' || substr(md5(CAST(key AS VARCHAR)), 17, 16))
+                   AS UBIGINT) % 4096 AS h2
+       FROM ua),
+hb AS (SELECT CAST(('0x' || substr(md5(CAST(key AS VARCHAR)), 1, 16))
+                   AS UBIGINT) % 4096 AS h1,
+              CAST(('0x' || substr(md5(CAST(key AS VARCHAR)), 17, 16))
+                   AS UBIGINT) % 4096 AS h2
+       FROM ub),
+bits_a AS (SELECT DISTINCT CAST((h1 + i.range * h2) % 4096 AS BIGINT)
+             AS pos FROM ha CROSS JOIN range(0, 2) i),
+bits_b AS (SELECT DISTINCT CAST((h1 + i.range * h2) % 4096 AS BIGINT)
+             AS pos FROM hb CROSS JOIN range(0, 2) i),
+fills AS (
+  SELECT (SELECT CAST(count(*) AS BIGINT) FROM bits_a) AS fa,
+         (SELECT CAST(count(*) AS BIGINT) FROM bits_b) AS fb,
+         (SELECT CAST(count(*) AS BIGINT) FROM
+            (SELECT pos FROM bits_a UNION SELECT pos FROM bits_b)) AS fu
+),
+est AS (
+  SELECT fa, fb, fu,
+         (4096 * -CAST(FLOOR(ln(CAST(4096 - fa AS DOUBLE)
+                                / CAST(4096 AS DOUBLE)) * 1000000.0e0)
+                       AS BIGINT)) // 2 AS ea,
+         (4096 * -CAST(FLOOR(ln(CAST(4096 - fb AS DOUBLE)
+                                / CAST(4096 AS DOUBLE)) * 1000000.0e0)
+                       AS BIGINT)) // 2 AS eb,
+         (4096 * -CAST(FLOOR(ln(CAST(4096 - fu AS DOUBLE)
+                                / CAST(4096 AS DOUBLE)) * 1000000.0e0)
+                       AS BIGINT)) // 2 AS eu
+  FROM fills
+)
+SELECT 'click' AS type_a, 'view' AS type_b,
+       CAST(4096 AS BIGINT) AS m_bits,
+       fa AS fill_a, fb AS fill_b, fu AS fill_union,
+       ea AS est_a_micro, eb AS est_b_micro, eu AS est_union_micro,
+       ea + eb - eu AS est_inter_micro
+FROM est""",
         "cms_user_counts": """
 WITH counts AS (SELECT user_id AS k, count(*) AS c FROM events GROUP BY user_id),
 seeds(d, s) AS (VALUES (0, 461845907), (1, 3432918353), (2, 2246822507),
@@ -2700,6 +2806,7 @@ SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
 FROM u a JOIN u b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(a.v, b.v) >= 0.3""",
         "events_asof_orders": _EVENTS_ASOF_ORDERS_SQL,
+        "events_nearest_order": _EVENTS_NEAREST_ORDER_SQL,
         "orders_asof_next_event": _ORDERS_ASOF_NEXT_SQL,
         "trailing_top_user_hourly": _TRAILING_TOP_USER_SQL,
         "debounced_event_counts": _DEBOUNCE_SQL,
@@ -3030,6 +3137,58 @@ SELECT d.lang, CAST(count(*) AS BIGINT) AS n_kept,
 FROM comp JOIN documents d ON d.doc_id = comp.doc_id
 WHERE comp.doc_id = comp.component
 GROUP BY 1 ORDER BY 1""",
+        # same pairs + transitive closure, keep = argmax quality
+        # composite per component (n_chars desc, doc_id asc)
+        "neardup_keep_best_quality": """
+WITH RECURSIVE nums AS (
+  SELECT CAST(range AS BIGINT) AS i FROM range(1, 1048576)
+), sh AS (
+  SELECT DISTINCT doc_id, substr(text, i, 9) AS s
+  FROM documents JOIN nums ON nums.i <= length(text) - 8
+  WHERE doc_id < 40
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM sh GROUP BY 1
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(count(*) AS BIGINT) AS inter
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), jacc AS (
+  SELECT doc_a, doc_b, inter,
+         CAST(sa.n + sb.n - inter AS BIGINT) AS uni
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+), e AS (
+  SELECT doc_a AS a, doc_b AS b FROM jacc WHERE 16 * inter >= uni
+), nodes AS (
+  SELECT DISTINCT doc_id FROM documents WHERE doc_id < 40
+), e2 AS (
+  SELECT a, b FROM e UNION SELECT b, a FROM e
+), reach(node, lab) AS (
+  SELECT doc_id, doc_id FROM nodes
+  UNION
+  SELECT e2.b, r.lab FROM reach r JOIN e2 ON e2.a = r.node
+), comp AS (
+  SELECT node AS doc_id, min(lab) AS component FROM reach GROUP BY 1
+), langs AS (
+  SELECT lang, dense_rank() OVER (ORDER BY lang) - 1 AS code
+  FROM (SELECT DISTINCT lang FROM documents WHERE doc_id < 40)
+), best AS (
+  SELECT comp.component,
+         max((d.n_chars * 1024 + (1023 - d.doc_id)) * 8 + langs.code)
+           AS v
+  FROM comp
+  JOIN documents d ON d.doc_id = comp.doc_id
+  JOIN langs ON langs.lang = d.lang
+  GROUP BY 1
+), dec AS (
+  SELECT v % 8 AS code, (v // 8) // 1024 AS nch FROM best
+)
+SELECT langs.lang, CAST(count(*) AS BIGINT) AS n_kept,
+       CAST(sum(dec.nch) AS BIGINT) AS sum_chars
+FROM dec JOIN langs USING (code)
+GROUP BY 1 ORDER BY 1""",
         "quantile_error_report": f"""
 WITH src AS (SELECT CAST(l_extendedprice AS DOUBLE) AS x
              FROM lineitem WHERE l_extendedprice IS NOT NULL),
@@ -3091,6 +3250,7 @@ GROUP BY 1 ORDER BY 1""",
         "cohort_retention": _COHORT_RETENTION_SQL,
         "active_user_counts": _ACTIVE_USER_COUNTS_SQL,
         "ngram_jaccard_pairs": _NGRAM_JACCARD_SQL,
+        "chunk_dedup_stats": _CHUNK_DEDUP_SQL,
         "simhash_signatures": _SIMHASH_SIGNATURES_SQL,
         "minhash_signature_stats": _MINHASH_SIGNATURE_SQL,
         "minhash_neardup_docs": _MINHASH_NEARDUP_SQL,

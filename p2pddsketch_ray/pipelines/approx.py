@@ -1066,3 +1066,141 @@ def countsketch_user_freq(sf_dir: str) -> pa.Table:
         "user_id": pa.array(keys, type=pa.int64()),
         "est_count": pa.array(est.astype(np.int64), type=pa.int64()),
     })
+
+
+def countsketch_topk_confirm(sf_dir: str, width: int = 256,
+                             shortlist: int = 40,
+                             topk: int = 20) -> pa.Table:
+    """Heavy hitters BY count-sketch shortlist + exact confirm -- the
+    composition Charikar'02 was built for: the (deliberately small,
+    width=256) signed sketch ranks candidates, the shortlist's exact
+    counts come from ONE filtered distributed count, and the final
+    top-k is exact for every key the sketch surfaced.  Publishing
+    est alongside exact makes the sketch's two-sided error visible
+    per key (compare cms_error_report's one-sided panel).
+
+    Scale shape: sketch build = linear per-block partials + tree
+    merge; the shortlist (O(k) keys) is broadcast as a sorted array
+    and confirmed by an in-batch bincount combiner + one tiny
+    groupby -- the fact stream is never shuffled.
+    """
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", ["user_id"])
+    cs = countsketch_build(ds, "user_id", width=width, depth=3)
+    keys = np.asarray(sorted(ds.unique("user_id")), dtype=np.int64)
+    est = cs.estimate(keys)
+    # shortlist: top by (est desc, user_id asc) -- deterministic
+    order = np.lexsort((keys, -est))[:shortlist]
+    short = np.sort(keys[order])
+    short_ref = ray.put(short)
+
+    empty = pa.table({"user_id": pa.array([], type=pa.int64()),
+                      "exact_count": pa.array([], type=pa.int64())})
+
+    def confirm(t: pa.Table) -> pa.Table:
+        sl = ray.get(short_ref)
+        uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.searchsorted(sl, uid)
+        pos[pos == sl.shape[0]] = 0
+        hit = sl[pos] == uid
+        if not hit.any():
+            return empty
+        cnt = np.bincount(pos[hit], minlength=sl.shape[0])
+        nz = np.nonzero(cnt)[0]
+        return pa.table({"user_id": pa.array(sl[nz]),
+                         "exact_count": pa.array(
+                             cnt[nz].astype(np.int64))})
+
+    agg = (ds.map_batches(confirm, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("user_id")
+           .aggregate(Sum("exact_count", alias_name="exact_count"))
+           .to_pandas())
+    uid = agg["user_id"].to_numpy().astype(np.int64)
+    exact = agg["exact_count"].to_numpy().astype(np.int64)
+    est_short = cs.estimate(uid)
+    pick = np.lexsort((uid, -exact))[:topk]
+    return pa.table({
+        "user_id": pa.array(uid[pick], type=pa.int64()),
+        "est_count": pa.array(est_short[pick].astype(np.int64)),
+        "exact_count": pa.array(exact[pick]),
+        "err": pa.array((est_short[pick] - exact[pick])
+                        .astype(np.int64)),
+    })
+
+
+class _OracleBloomPair:
+    """Two same-shape _OracleBloom bitmaps built in one pass (user sets
+    of two event types); mergeable elementwise."""
+
+    def __init__(self, m_bits: int, k: int):
+        from p2pddsketch_ray.pipelines.approx import _OracleBloom
+        self.a = _OracleBloom(m_bits, k)
+        self.b = _OracleBloom(m_bits, k)
+
+    def merge(self, other: "_OracleBloomPair") -> "_OracleBloomPair":
+        self.a.merge(other.a)
+        self.b.merge(other.b)
+        return self
+
+
+def bloom_intersection_estimate(sf_dir: str, type_a: str = "click",
+                                type_b: str = "view",
+                                m_bits: int = 4096,
+                                k: int = 2) -> pa.Table:
+    """Set-cardinality ALGEBRA on Bloom bitmaps (Swamidass & Baldi,
+    JCIM 2007): estimate |A|, |B| and |A INTERSECT B| for the user sets
+    behind two event types from fill counts alone --
+    n-hat = -(m/k) ln((m - X)/m) with X the set-bit count, and
+    intersection by inclusion-exclusion with the union filter being
+    the bitwise OR (the Bloom merge).  The HLL twin (hll_type_overlap)
+    answers the same question with register max; this one works on
+    filters a semi-join pipeline has ALREADY built, for free.
+
+    Estimates are integer micro-units with the ln folded per term as
+    floor(ln(.)*1e6) BEFORE the -(m/k) multiply, so DuckDB reproduces
+    every value exactly (same per-term-floor parity pattern as the
+    lang-entropy queries).  MD5 double hashing (_OracleBloom) keeps
+    every bit position SQL-replicable.
+
+    Scale shape: one pass, per-block pair-of-bitmap partials
+    (2 x m/8 bytes) tree-merged; nothing key-shaped leaves the blocks.
+    """
+    import math
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+
+    def add(s: _OracleBloomPair, t: pa.Table) -> None:
+        uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        et = t["event_type"]
+        s.a.add_batch(uid[np.asarray(pc.equal(et, pa.scalar(type_a)))])
+        s.b.add_batch(uid[np.asarray(pc.equal(et, pa.scalar(type_b)))])
+
+    pair = build_and_merge(ds, ["event_type", "user_id"],
+                           lambda: _OracleBloomPair(m_bits, k), add)
+    fill_a = int(pair.a.bits.sum())
+    fill_b = int(pair.b.bits.sum())
+    fill_u = int((pair.a.bits | pair.b.bits).sum())
+
+    def est_micro(fill: int) -> int:
+        if fill >= m_bits:
+            raise ValueError("bloom saturated: size m_bits for the "
+                             "expected distinct count")
+        ln_micro = math.floor(
+            math.log((m_bits - fill) / m_bits) * 1_000_000.0)
+        return (m_bits * -ln_micro) // k
+
+    ea, eb, eu = est_micro(fill_a), est_micro(fill_b), est_micro(fill_u)
+    return pa.table({
+        "type_a": pa.array([type_a], type=pa.string()),
+        "type_b": pa.array([type_b], type=pa.string()),
+        "m_bits": pa.array([m_bits], type=pa.int64()),
+        "fill_a": pa.array([fill_a], type=pa.int64()),
+        "fill_b": pa.array([fill_b], type=pa.int64()),
+        "fill_union": pa.array([fill_u], type=pa.int64()),
+        "est_a_micro": pa.array([ea], type=pa.int64()),
+        "est_b_micro": pa.array([eb], type=pa.int64()),
+        "est_union_micro": pa.array([eu], type=pa.int64()),
+        "est_inter_micro": pa.array([ea + eb - eu], type=pa.int64()),
+    })

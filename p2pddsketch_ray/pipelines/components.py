@@ -1028,3 +1028,89 @@ SELECT CAST(m AS BIGINT) AS n_directed_edges,
   AS assortativity_ppm
 FROM s
 """
+
+
+def neardup_keep_best_quality(sf_dir: str, k: int = 9,
+                              max_doc_id: int = 40,
+                              jacc_den: int = 16) -> pa.Table:
+    """Near-dup keep with a QUALITY rule: instead of keeping each
+    similarity component's min doc_id (neardup_keep_stats), keep its
+    highest-quality member -- longest n_chars, ties to the smaller
+    doc_id -- which is what production curation actually does (drop
+    the truncated scrape, keep the full page).  Output per lang:
+    surviving docs and their characters.
+
+    The winner comes out of ONE Max() over a composite int64
+    ((n_chars * 1024 + (1023 - doc_id)) * 8 + lang_code), so the
+    keeper's identity, quality and lang all ride the same aggregate --
+    no join back.  Bounded to this verification tier's max_doc_id cap
+    (the composite asserts its bases); the same composite works
+    unbounded with wider bases.
+    """
+    from .dedup import ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(sf_dir, k=k, max_doc_id=max_doc_id)
+    good = pa.compute.greater_equal(
+        pa.compute.multiply(pairs["inter"], pa.scalar(jacc_den,
+                                                      type=pa.int64())),
+        pairs["uni"])
+    sel = pairs.filter(good)
+    edges = ray.data.from_arrow(pa.table({"a": sel["doc_a"],
+                                          "b": sel["doc_b"]}))
+    import pyarrow.dataset as pads
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "lang", "n_chars"],
+        filter=(pads.field("doc_id") < max_doc_id))
+    nodes = docs.map_batches(
+        lambda t: pa.table({"node": t["doc_id"]}), batch_format="pyarrow")
+
+    comp = connected_components(edges, nodes).to_pandas()
+    comp_node = comp["node"].to_numpy().astype(np.int64)
+    comp_lab = comp["component"].to_numpy().astype(np.int64)
+    order = np.argsort(comp_node)
+    comp_ref = ray.put((comp_node[order], comp_lab[order]))
+
+    langs = np.sort(np.asarray(docs.unique("lang"), dtype=np.str_))
+    langs_ref = ray.put(langs)
+
+    empty = pa.table({"component": pa.array([], type=pa.int64()),
+                      "score": pa.array([], type=pa.int64())})
+
+    def score_rows(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        nodes_s, labs_s = ray.get(comp_ref)
+        lg = ray.get(langs_ref)
+        did = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nch = t["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if int(did.max()) >= 1024 or int(nch.max()) * 1024 >= (1 << 60):
+            raise ValueError("composite base overflow: widen the "
+                             "score bases for this corpus")
+        code = np.searchsorted(
+            lg, t["lang"].to_numpy(zero_copy_only=False).astype(np.str_))
+        lab = labs_s[np.searchsorted(nodes_s, did)]
+        score = (nch * 1024 + (1023 - did)) * 8 + code
+        return pa.table({"component": pa.array(lab),
+                         "score": pa.array(score)})
+
+    from ray.data.aggregate import Max
+    best = (docs.map_batches(score_rows, batch_format="pyarrow",
+                             zero_copy_batch=True)
+            .groupby("component").aggregate(Max("score",
+                                                alias_name="score"))
+            .to_pandas())
+    v = best["score"].to_numpy().astype(np.int64)
+    code = v % 8
+    rest = v // 8
+    nch = rest // 1024
+    lang = langs[code]
+    ul, inv = np.unique(lang, return_inverse=True)
+    n_kept = np.bincount(inv, minlength=ul.shape[0]).astype(np.int64)
+    sum_chars = np.zeros(ul.shape[0], dtype=np.int64)
+    np.add.at(sum_chars, inv, nch)
+    return pa.table({
+        "lang": pa.array(ul, type=pa.string()),
+        "n_kept": pa.array(n_kept),
+        "sum_chars": pa.array(sum_chars),
+    })

@@ -2514,3 +2514,155 @@ JOIN sz sb ON sb.doc_id = b
 WHERE 2 * i >= sa.n + sb.n - i
 ORDER BY 1, 2
 """
+
+
+def chunk_dedup_stats(sf_dir: str, chunk_tokens: int = 16) -> pa.Table:
+    """PASSAGE-level exact dedup (the C4/RefinedWeb middle tier between
+    whole-document hashes and substring spans): split every document
+    into consecutive ``chunk_tokens``-token chunks (last partial chunk
+    kept), dedup chunks GLOBALLY by content, and report per lang the
+    chunk volume and how many chunks survive as the canonical copy
+    (first occurrence = min (doc_id, chunk_id); a chunk duplicated
+    across languages is credited to the keeper's lang).
+
+    Scale shape: the chunk emit is one vectorized map (list-offset
+    arithmetic + one pc.binary_join per batch -- no per-doc Python);
+    the global dedup is ONE groupby on the chunk string whose combiner
+    rides a composite int64 (keeper rank * 8 + lang code), so the
+    keeper's lang comes out of the same Min() -- no join back to the
+    corpus and nothing O(corpus) on the driver (the only broadcast is
+    the sorted O(#langs) lang array).
+    """
+    from ray.data.aggregate import Count, Min, Sum
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "lang", "text"])
+    langs = np.sort(np.asarray(ds.unique("lang"), dtype=np.str_))
+    langs_ref = ray.put(langs)
+    ct = int(chunk_tokens)
+
+    chunk_empty = pa.table({"chunk": pa.array([], type=pa.string()),
+                            "rank": pa.array([], type=pa.int64())})
+
+    def chunks(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return chunk_empty
+        lg = ray.get(langs_ref)
+        toks = pc.split_pattern(t["text"], pattern=" ")
+        flat = pc.list_flatten(toks).combine_chunks()
+        nper = pc.list_value_length(toks).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        cum = np.concatenate([[0], np.cumsum(nper)])
+        n_chunks = -(-nper // ct)
+        total = int(n_chunks.sum())
+        if total == 0:
+            return chunk_empty
+        doc_of = np.repeat(np.arange(t.num_rows, dtype=np.int64),
+                           n_chunks)
+        cum_c = np.concatenate([[0], np.cumsum(n_chunks)])
+        within = np.arange(total, dtype=np.int64) \
+            - np.repeat(cum_c[:-1], n_chunks)
+        if total and int(within.max()) >= 64:
+            raise ValueError("chunk composite overflow: a document has "
+                             ">= 64 chunks; raise the rank base")
+        starts = cum[doc_of] + ct * within
+        offsets = np.append(starts, cum[-1])
+        lists = pa.ListArray.from_arrays(
+            pa.array(offsets, type=pa.int32()), flat)
+        chunk = pc.binary_join(lists, " ")
+        code = np.searchsorted(
+            lg, t["lang"].to_numpy(zero_copy_only=False).astype(np.str_))
+        did = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        rank = (did[doc_of] * 64 + within) * 8 + code[doc_of]
+        return pa.table({"chunk": pc.cast(chunk, pa.string()),
+                         "rank": pa.array(rank)})
+
+    # global dedup: one string-keyed groupby; each distinct chunk's row
+    # carries its keeper (min composite rank) out of the combiner
+    kept = (ds.map_batches(chunks, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby("chunk").aggregate(Min("rank", alias_name="rank")))
+
+    kept_empty = pa.table({"lang": pa.array([], type=pa.string()),
+                           "n_kept": pa.array([], type=pa.int64())})
+
+    def kept_by_lang(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return kept_empty
+        lg = ray.get(langs_ref)
+        code = t["rank"].to_numpy(zero_copy_only=False) % 8
+        cnt = np.bincount(code, minlength=lg.shape[0]).astype(np.int64)
+        nz = np.nonzero(cnt)[0]
+        return pa.table({"lang": pa.array(lg[nz], type=pa.string()),
+                         "n_kept": pa.array(cnt[nz])})
+
+    kept_agg = (kept.map_batches(kept_by_lang, batch_format="pyarrow")
+                .groupby("lang").aggregate(Sum("n_kept",
+                                               alias_name="n_kept"))
+                .to_pandas())
+
+    # per-lang TOTAL chunk counts need no chunk rows at all:
+    # ceil(tokens/ct) per doc, folded in-batch
+    tot_empty = pa.table({"lang": pa.array([], type=pa.string()),
+                          "n_chunks": pa.array([], type=pa.int64())})
+
+    def totals(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return tot_empty
+        toks = pc.split_pattern(t["text"], pattern=" ")
+        nper = pc.list_value_length(toks).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        n_chunks = -(-nper // ct)
+        lang = t["lang"].to_numpy(zero_copy_only=False)
+        ul, inv = np.unique(lang, return_inverse=True)
+        s = np.zeros(ul.shape[0], dtype=np.int64)
+        np.add.at(s, inv, n_chunks)
+        return pa.table({"lang": pa.array(ul, type=pa.string()),
+                         "n_chunks": pa.array(s)})
+
+    tot_agg = (ds.map_batches(totals, batch_format="pyarrow",
+                              zero_copy_batch=True)
+               .groupby("lang").aggregate(Sum("n_chunks",
+                                              alias_name="n_chunks"))
+               .to_pandas())
+
+    out = tot_agg.merge(kept_agg, on="lang", how="left").fillna(0)
+    out = out.sort_values("lang").reset_index(drop=True)
+    return pa.table({
+        "lang": pa.array(out["lang"], type=pa.string()),
+        "n_chunks": pa.array(out["n_chunks"].astype("int64")),
+        "n_kept": pa.array(out["n_kept"].astype("int64")),
+    })
+
+
+CHUNK_DEDUP_SQL = """
+WITH nums AS (
+  SELECT CAST(range AS BIGINT) AS i FROM range(1, 4096)
+), langs AS (
+  SELECT lang, dense_rank() OVER (ORDER BY lang) - 1 AS code
+  FROM (SELECT DISTINCT lang FROM documents)
+), d AS (
+  SELECT doc_id, lang, string_split(text, ' ') AS l FROM documents
+), toks AS (
+  SELECT d.doc_id, d.lang, nums.i - 1 AS ord, l[nums.i] AS tok
+  FROM d JOIN nums ON nums.i <= len(l)
+), ch AS (
+  SELECT doc_id, lang, ord // 16 AS chunk_id,
+         string_agg(tok, ' ' ORDER BY ord) AS chunk
+  FROM toks GROUP BY 1, 2, 3
+), ranked AS (
+  SELECT ch.chunk,
+         min((ch.doc_id * 64 + ch.chunk_id) * 8 + langs.code)
+           AS keep_rank
+  FROM ch JOIN langs USING (lang) GROUP BY 1
+), kept AS (
+  SELECT langs.lang, CAST(count(*) AS BIGINT) AS n_kept
+  FROM ranked JOIN langs ON langs.code = ranked.keep_rank % 8
+  GROUP BY 1
+), tot AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_chunks FROM ch GROUP BY 1
+)
+SELECT tot.lang, tot.n_chunks, coalesce(kept.n_kept, 0) AS n_kept
+FROM tot LEFT JOIN kept USING (lang)
+ORDER BY tot.lang
+"""

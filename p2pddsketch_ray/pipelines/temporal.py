@@ -77,6 +77,12 @@ def asof_join(left_ds, right_ds, *, left_on: str, right_on: str,
     then keeps the MIN tiebreak per (key, ts) instead of the max,
     mirroring a ``row_number() ... ORDER BY tb ASC`` oracle CTE.
 
+    ``direction="nearest"`` attaches the right row minimizing
+    ``abs(right_ts - left_ts)``; an exact distance tie between a row
+    before and a row after picks the BEFORE row (deterministic, and
+    what a SQL ``ORDER BY abs(gap), gap`` brute-force replicates).
+    Tie-dedup under nearest keeps the max tiebreak (backward's rule).
+
     Returns a Dataset with ``left_cols`` + ``right_cols`` (+ ``_matched``
     bool).  Only the named columns ride the shuffle -- project before
     calling.  ``on``/ts columns must be int64 or timestamp[us].
@@ -91,8 +97,8 @@ def asof_join(left_ds, right_ds, *, left_on: str, right_on: str,
     anyway), replacing what would otherwise be a second full shuffle of
     the right side just to pre-dedupe ties.
     """
-    if direction not in ("backward", "forward"):
-        raise ValueError(f"direction must be backward|forward, "
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"direction must be backward|forward|nearest, "
                          f"got {direction!r}")
     left_cols = list(left_cols)
     right_cols = list(right_cols)
@@ -158,7 +164,7 @@ def asof_join(left_ds, right_ds, *, left_on: str, right_on: str,
             # row of each key)
             tb = pc.fill_null(pc.cast(t[right_tiebreak], pa.int64()),
                               0).to_numpy(zero_copy_only=False)
-            tb_key = -tb[ri] if direction == "backward" else tb[ri]
+            tb_key = (tb[ri] if direction == "forward" else -tb[ri])
             order_d = np.lexsort((tb_key, ts[ri], key[ri]))
             rk_s, rts_s = key[ri][order_d], ts[ri][order_d]
             first = np.ones(order_d.shape[0], dtype=bool)
@@ -178,12 +184,31 @@ def asof_join(left_ds, right_ds, *, left_on: str, right_on: str,
             safe = np.maximum(pos, 0)
             matched = (pos >= 0) & (key_rank[ri[order_r[safe]]]
                                     == key_rank[li])
-        else:
+            src = ri[order_r[safe]]
+        elif direction == "forward":
             pos = np.searchsorted(rc_sorted, comp[li], side="left")
             safe = np.minimum(pos, rc_sorted.shape[0] - 1)
             matched = (pos < rc_sorted.shape[0]) \
                 & (key_rank[ri[order_r[safe]]] == key_rank[li])
-        src = ri[order_r[safe]]
+            src = ri[order_r[safe]]
+        else:
+            # nearest: both neighbors from ONE sorted array, pick the
+            # smaller |ts gap| in VALUE space (ranks only order the
+            # search); exact-distance tie -> the before row
+            pos_b = np.searchsorted(rc_sorted, comp[li], side="right") - 1
+            safe_b = np.maximum(pos_b, 0)
+            src_b = ri[order_r[safe_b]]
+            m_b = (pos_b >= 0) & (key_rank[src_b] == key_rank[li])
+            pos_f = np.searchsorted(rc_sorted, comp[li], side="left")
+            safe_f = np.minimum(pos_f, rc_sorted.shape[0] - 1)
+            src_f = ri[order_r[safe_f]]
+            m_f = (pos_f < rc_sorted.shape[0]) \
+                & (key_rank[src_f] == key_rank[li])
+            gap_b = ts[li] - ts[src_b]
+            gap_f = ts[src_f] - ts[li]
+            use_f = m_f & (~m_b | (gap_f < gap_b))
+            matched = m_b | m_f
+            src = np.where(use_f, src_f, src_b)
         cols = {}
         for name in left_cols:
             cols[name] = t[name].take(pa.array(li))
@@ -4619,4 +4644,107 @@ SELECT CAST(k AS BIGINT) AS lag, CAST(n AS BIGINT) AS n_hours,
                  ELSE -((-num + den - 1) // den) END AS BIGINT)
          AS acf_ppm
 FROM f ORDER BY 1
+"""
+
+
+def events_nearest_order(sf_dir: str) -> pa.Table:
+    """NEAREST-timestamp join: align every event with that user's
+    closest order in EITHER direction (min |order_ts - event_ts|;
+    exact-distance tie prefers the order at-or-before) -- the
+    feature-alignment variant neither backward nor forward as-of can
+    express, e.g. "which order is this event really about".  Rolls up
+    per event_type: matched events, how many matched FORWARD (the
+    order is strictly after the event), and the total absolute gap in
+    integer MILLIseconds (per-row floor us//1000 -- microsecond sums
+    overflow int64 at scale; the oracle floors identically).
+
+    Scale shape: same single co-partition exchange as the other as-of
+    queries -- the nearest kernel reads both neighbors from one
+    searchsorted pass, so direction costs nothing extra; the combiner
+    folds each joined block to O(event types) rows.
+    """
+    events = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                                   columns=["ts", "user_id", "event_type"])
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderdate", "o_orderkey"])
+
+    joined = asof_join(
+        events, orders, left_on="user_id", right_on="o_custkey",
+        left_ts="ts", right_ts="o_orderdate",
+        left_cols=["ts", "event_type"],
+        right_cols=["o_orderdate", "o_orderkey"],
+        right_tiebreak="o_orderkey", direction="nearest")
+
+    empty = pa.table({"event_type": pa.array([], type=pa.string()),
+                      "n": pa.array([], type=pa.int64()),
+                      "n_after": pa.array([], type=pa.int64()),
+                      "sum_abs_gap_ms": pa.array([], type=pa.int64())})
+
+    def combine(t: pa.Table) -> pa.Table:
+        t = t.filter(t["_matched"])
+        if t.num_rows == 0:
+            return empty
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        ets = _as_int64(t["ts"])
+        ots = _as_int64(t["o_orderdate"])
+        gap = np.abs(ets - ots) // 1000
+        after = (ots > ets).astype(np.int64)
+        ut, inv = np.unique(et, return_inverse=True)
+        n = np.bincount(inv, minlength=ut.shape[0]).astype(np.int64)
+        na = np.zeros(ut.shape[0], dtype=np.int64)
+        np.add.at(na, inv, after)
+        # int64 scatter-add (microsecond gaps overflow float53 sums)
+        g = np.zeros(ut.shape[0], dtype=np.int64)
+        np.add.at(g, inv, gap)
+        return pa.table({
+            "event_type": pa.array(ut, type=pa.string()),
+            "n": pa.array(n), "n_after": pa.array(na),
+            "sum_abs_gap_ms": pa.array(g),
+        })
+
+    from ray.data.aggregate import Sum
+    agg = (joined.map_batches(combine, batch_format="pyarrow")
+           .groupby("event_type")
+           .aggregate(Sum("n", alias_name="n"),
+                      Sum("n_after", alias_name="n_after"),
+                      Sum("sum_abs_gap_ms", alias_name="sum_abs_gap_ms"))
+           .to_pandas().sort_values("event_type").reset_index(drop=True))
+    return pa.table({
+        "event_type": pa.array(agg["event_type"], type=pa.string()),
+        "n": pa.array(agg["n"].astype("int64")),
+        "n_after": pa.array(agg["n_after"].astype("int64")),
+        "sum_abs_gap_ms": pa.array(agg["sum_abs_gap_ms"].astype("int64")),
+    })
+
+
+EVENTS_NEAREST_ORDER_SQL = """
+WITH ranked AS (
+  SELECT o_custkey, o_orderdate, o_orderkey,
+         row_number() OVER (PARTITION BY o_custkey, o_orderdate
+                            ORDER BY o_orderkey DESC) AS rn
+  FROM orders
+), uniq AS (
+  SELECT * FROM ranked WHERE rn = 1
+), ev AS (
+  SELECT user_id, ts, event_type, CAST(count(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1, 2, 3
+), cand AS (
+  SELECT ev.event_type, ev.cnt,
+         abs(date_diff('microsecond', o.o_orderdate, ev.ts)) // 1000
+           AS agap,
+         CASE WHEN o.o_orderdate > ev.ts THEN 1 ELSE 0 END AS aft,
+         row_number() OVER (
+           PARTITION BY ev.user_id, ev.ts, ev.event_type
+           ORDER BY abs(date_diff('microsecond', o.o_orderdate, ev.ts)),
+                    CASE WHEN o.o_orderdate > ev.ts THEN 1 ELSE 0 END
+         ) AS rn
+  FROM ev JOIN uniq o ON o.o_custkey = ev.user_id
+)
+SELECT event_type,
+       CAST(sum(cnt) AS BIGINT) AS n,
+       CAST(sum(cnt * aft) AS BIGINT) AS n_after,
+       CAST(sum(cnt * agap) AS BIGINT) AS sum_abs_gap_ms
+FROM cand WHERE rn = 1
+GROUP BY 1 ORDER BY 1
 """

@@ -256,3 +256,30 @@ def test_assortativity_clique_is_degenerate_zero(ray_session,
     out = copresence_assortativity(str(tmp_path)).to_pydict()
     assert out["n_directed_edges"] == [12]
     assert out["assortativity_ppm"] == [0]
+
+
+def test_neardup_keep_best_quality_matches_duckdb(ray_session):
+    """Quality-keep parity with the recursive-CTE oracle at sf0.001,
+    plus the structural invariant: component count is preserved (one
+    keeper per component, whatever the keep rule)."""
+    duckdb = pytest.importorskip("duckdb")
+    import __ray_entry__ as entrymod
+    from p2pddsketch_ray.pipelines.components import (
+        neardup_keep_best_quality, neardup_keep_stats)
+    sf = "/root/testdata/sf0.001"
+    got = neardup_keep_best_quality(sf).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf}/documents.parquet')")
+    want = con.execute(
+        entrymod.oracle_sql()["neardup_keep_best_quality"]).df()
+    assert got["lang"].tolist() == want["lang"].tolist()
+    for c in ("n_kept", "sum_chars"):
+        assert got[c].astype("int64").tolist() \
+            == want[c].astype("int64").tolist(), c
+    # same number of survivors as the min-id keep rule: both keep
+    # exactly one doc per component
+    base = neardup_keep_stats(sf).to_pandas()
+    assert int(got["n_kept"].sum()) == int(base["n_kept"].sum())
+    # quality rule can only hold MORE characters than min-id keep
+    assert int(got["sum_chars"].sum()) >= int(base["sum_chars"].sum())

@@ -592,3 +592,49 @@ def test_ppjoin_matches_bruteforce(ray_session, tmp_path):
         a, b = int(r["doc_a"]), int(r["doc_b"])
         assert int(r["inter"]) == len(sets[a] & sets[b])
         assert int(r["uni"]) == len(sets[a] | sets[b])
+
+
+# ---------------------------------------------------------------------------
+# passage (chunk) dedup
+# ---------------------------------------------------------------------------
+
+def test_chunk_dedup_matches_duckdb(ray_session):
+    import duckdb
+    from p2pddsketch_ray.pipelines.dedup import (CHUNK_DEDUP_SQL,
+                                                 chunk_dedup_stats)
+    sf = "/root/testdata/sf0.001"
+    got = chunk_dedup_stats(sf).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf}/documents.parquet')")
+    want = con.execute(CHUNK_DEDUP_SQL).df()
+    assert got["lang"].tolist() == want["lang"].tolist()
+    for c in ("n_chunks", "n_kept"):
+        assert got[c].astype("int64").tolist() \
+            == want[c].astype("int64").tolist(), c
+    # global sanity: every lang keeps at most what it emitted, and at
+    # least one chunk is deduped away in a token-soup corpus
+    assert (got["n_kept"] <= got["n_chunks"]).all()
+    assert got["n_kept"].sum() < got["n_chunks"].sum()
+
+
+def test_chunk_dedup_keeper_is_first_occurrence(ray_session, tmp_path):
+    """Two docs share an identical chunk: the smaller (doc_id, chunk_id)
+    keeps it and its lang gets the credit."""
+    import pyarrow.parquet as pq
+    from p2pddsketch_ray.pipelines.dedup import chunk_dedup_stats
+    toks = " ".join(f"t{i}" for i in range(16))
+    docs = pa.table({
+        "doc_id": pa.array([0, 1], type=pa.int64()),
+        "lang": pa.array(["de", "en"]),
+        # doc 0: unique 16 tokens + the shared chunk; doc 1: only the
+        # shared chunk -> doc 1 keeps nothing
+        "text": pa.array([" ".join(f"u{i}" for i in range(16))
+                          + " " + toks, toks]),
+    })
+    pq.write_table(docs, tmp_path / "documents.parquet")
+    out = chunk_dedup_stats(str(tmp_path)).to_pandas().set_index("lang")
+    assert int(out.loc["de", "n_chunks"]) == 2
+    assert int(out.loc["de", "n_kept"]) == 2
+    assert int(out.loc["en", "n_chunks"]) == 1
+    assert int(out.loc["en", "n_kept"]) == 0

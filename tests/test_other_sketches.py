@@ -655,3 +655,55 @@ def test_countsketch_unbiased_vs_cms_onesided():
     assert (cm_err >= 0).all()                    # one-sided
     assert (cs_err < 0).any() and (cs_err > 0).any()   # two-sided
     assert abs(float(np.median(cs_err))) <= 2.0   # centred
+
+
+def test_countsketch_topk_confirm_exact_counts(ray_session):
+    """The confirmed column is the TRUE count for every surfaced key,
+    and errors are two-sided (count-sketch, not count-min)."""
+    import duckdb
+    from p2pddsketch_ray.pipelines.approx import countsketch_topk_confirm
+    sf = "/root/testdata/sf0.001"
+    got = countsketch_topk_confirm(sf).to_pandas()
+    con = duckdb.connect()
+    truth = dict(con.execute(
+        f"SELECT user_id, count(*) FROM "
+        f"read_parquet('{sf}/events.parquet') GROUP BY 1").fetchall())
+    for r in got.itertuples():
+        assert int(r.exact_count) == truth[int(r.user_id)]
+        assert int(r.err) == int(r.est_count) - int(r.exact_count)
+
+
+def test_bloom_intersection_estimates_are_close(ray_session):
+    """Fill-count estimates land within 15% of the true distinct user
+    counts at sf0.001 (m=4096 is generously sized for ~50 users)."""
+    import duckdb
+    from p2pddsketch_ray.pipelines.approx import bloom_intersection_estimate
+    sf = "/root/testdata/sf0.001"
+    got = bloom_intersection_estimate(sf).to_pandas().iloc[0]
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{sf}/events.parquet')")
+    na, nb, ni = con.execute("""
+        SELECT (SELECT count(DISTINCT user_id) FROM events
+                WHERE event_type='click'),
+               (SELECT count(DISTINCT user_id) FROM events
+                WHERE event_type='view'),
+               (SELECT count(*) FROM
+                  (SELECT DISTINCT user_id FROM events
+                   WHERE event_type='click'
+                   INTERSECT
+                   SELECT DISTINCT user_id FROM events
+                   WHERE event_type='view'))""").fetchone()
+    assert abs(got["est_a_micro"] / 1e6 - na) <= 0.15 * na
+    assert abs(got["est_b_micro"] / 1e6 - nb) <= 0.15 * nb
+    assert abs(got["est_inter_micro"] / 1e6 - ni) <= 0.25 * max(ni, 1)
+
+
+def test_bloom_intersection_raises_when_saturated(ray_session):
+    """An undersized bitmap (every bit set) must raise a sizing error,
+    not return ln(0)."""
+    import pytest as _pytest
+    from p2pddsketch_ray.pipelines.approx import bloom_intersection_estimate
+    with _pytest.raises(ValueError, match="saturated"):
+        bloom_intersection_estimate("/root/testdata/sf0.001",
+                                    m_bits=4, k=2)

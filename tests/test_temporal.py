@@ -1173,3 +1173,94 @@ def test_conversion_lag_dds_within_alpha(ray_session, tmp_path):
         q = row["q"]
         ex = exact[min(int(q * (exact.size - 1)), exact.size - 1)]
         assert abs(row["est"] - ex) / ex < 0.025   # 2*alpha + rank slop
+
+
+# ---------------------------------------------------------------------------
+# nearest direction
+# ---------------------------------------------------------------------------
+
+def test_asof_nearest_picks_min_abs_gap_before_on_tie(ray_session):
+    """Nearest attaches the right row with min |gap|; an exact-distance
+    tie between a before and an after row picks BEFORE."""
+    import ray.data
+    from p2pddsketch_ray.pipelines.temporal import asof_join
+    lt = pa.table({
+        "k": pa.array([1, 1, 1, 2], type=pa.int64()),
+        "lts": pa.array([10, 95, 50, 7], type=pa.int64()),
+        "tag": pa.array(["near_lo", "near_hi", "tie", "lone"]),
+    })
+    rt = pa.table({
+        "rk": pa.array([1, 1], type=pa.int64()),
+        "rts": pa.array([0, 100], type=pa.int64()),
+        "rid": pa.array([7, 8], type=pa.int64()),
+    })
+    out = asof_join(
+        ray.data.from_arrow(lt), ray.data.from_arrow(rt),
+        left_on="k", right_on="rk", left_ts="lts", right_ts="rts",
+        left_cols=["lts", "tag"], right_cols=["rts", "rid"],
+        direction="nearest",
+    ).to_pandas().set_index("tag")
+    assert int(out.loc["near_lo", "rid"]) == 7     # |10-0| < |10-100|
+    assert int(out.loc["near_hi", "rid"]) == 8     # |95-100| < |95-0|
+    assert int(out.loc["tie", "rid"]) == 7         # 50/50 tie -> before
+    assert not bool(out.loc["lone", "_matched"])   # key 2: no rights
+
+
+def test_asof_nearest_matches_brute_force(ray_session):
+    """Randomized parity: nearest == argmin |gap| (before wins ties)
+    computed by brute force, across keys and partitions."""
+    import ray.data
+    from p2pddsketch_ray.pipelines.temporal import asof_join
+    rng = np.random.default_rng(13)
+    n_l, n_r = 1500, 400
+    lt = pa.table({
+        "eid": pa.array(np.arange(n_l), type=pa.int64()),
+        "k": pa.array(rng.integers(0, 25, n_l), type=pa.int64()),
+        "lts": pa.array(rng.integers(0, 10_000, n_l), type=pa.int64()),
+    })
+    rts = rng.integers(0, 10_000, n_r)
+    rk = rng.integers(0, 30, n_r)
+    # dedupe right (key, ts) so the match is unique without tiebreak
+    _, keep = np.unique(rk * 100_000 + rts, return_index=True)
+    rt = pa.table({
+        "rk": pa.array(rk[keep], type=pa.int64()),
+        "rts": pa.array(rts[keep], type=pa.int64()),
+        "rid": pa.array(np.arange(keep.shape[0]), type=pa.int64()),
+    })
+    out = asof_join(
+        ray.data.from_arrow(lt), ray.data.from_arrow(rt),
+        left_on="k", right_on="rk", left_ts="lts", right_ts="rts",
+        left_cols=["eid", "k", "lts"], right_cols=["rts", "rid"],
+        direction="nearest", num_partitions=5,
+    ).to_pandas().sort_values("eid").reset_index(drop=True)
+    kk, tt = rk[keep], rts[keep]
+    for row in out.itertuples():
+        mask = kk == row.k
+        if not mask.any():
+            assert not row._matched
+            continue
+        gaps = np.abs(tt[mask].astype(np.int64) - row.lts)
+        best = gaps.min()
+        cand = np.nonzero(mask)[0][gaps == best]
+        # before wins exact ties
+        before = [c for c in cand if tt[c] <= row.lts]
+        want = before[0] if before else cand[0]
+        assert row.rid == want, (row.eid, row.k, row.lts)
+
+
+def test_events_nearest_order_matches_duckdb(ray_session):
+    """Driver query parity at sf0.001 against the brute-force SQL."""
+    import duckdb
+    from p2pddsketch_ray.pipelines.temporal import (
+        EVENTS_NEAREST_ORDER_SQL, events_nearest_order)
+    sf = "/root/testdata/sf0.001"
+    got = events_nearest_order(sf).to_pandas()
+    con = duckdb.connect()
+    for t in ("events", "orders"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{sf}/{t}.parquet')")
+    want = con.execute(EVENTS_NEAREST_ORDER_SQL).df()
+    assert got["event_type"].tolist() == want["event_type"].tolist()
+    for c in ("n", "n_after", "sum_abs_gap_ms"):
+        assert got[c].astype("int64").tolist() \
+            == want[c].astype("int64").tolist(), c
