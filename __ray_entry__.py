@@ -512,6 +512,10 @@ from p2pddsketch_ray.pipelines.relational import (  # noqa: E402
     GROUPED_REGRESSION_SQL as _GROUPED_REGRESSION_SQL)
 from p2pddsketch_ray.pipelines.fingerprint import (  # noqa: E402
     WINNOW_FINGERPRINT_SQL as _WINNOW_FINGERPRINT_SQL)
+from p2pddsketch_ray.pipelines.knn import (  # noqa: E402
+    HARD_NEGATIVE_SQL as _HARD_NEGATIVE_SQL)
+from p2pddsketch_ray.pipelines.relational import (  # noqa: E402
+    EPOCH_SHUFFLE_SQL as _EPOCH_SHUFFLE_SQL)
 from p2pddsketch_ray.pipelines.search import (  # noqa: E402
     INVERTED_INDEX_SQL as _INVERTED_INDEX_SQL)
 from p2pddsketch_ray.pipelines.components import (  # noqa: E402
@@ -722,6 +726,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Bloom set-cardinality algebra: |A|, |B|, |A n B| from fill
         # counts + the OR-merge union filter (Swamidass-Baldi)
         "bloom_intersection_estimate": A.bloom_intersection_estimate,
+        # time-decayed heavy hitters: weighted CMS, weight 1e6 >> age_d
+        "decayed_cms_user_scores": A.decayed_cms_user_scores,
         "bloom_semijoin_orders": A.bloom_semijoin_orders,
         # bit-level empirical Bloom false-positive audit (MD5 double
         # hashing so DuckDB reproduces every position)
@@ -737,6 +743,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_unpivot_stats": R.lineitem_unpivot_stats,
         # deterministic train/val/test split (hash-stable 90/5/5)
         "split_assign_stats": R.split_assign_stats,
+        # per-epoch deterministic reshard audit (hash(d XOR seed_e)%S)
+        "epoch_shuffle_stats": R.epoch_shuffle_stats,
         # equi-depth histogram / range-partition plan (exact boundaries
         # via histogram bisection + one broadcast count pass)
         "equi_depth_buckets": R.equi_depth_buckets,
@@ -775,6 +783,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the WRITTEN on-disk IVF index (cluster-partitioned parquet,
         # pruned partition reads) under the same brute-force oracle
         "ivf_knn_written": _ivf_knn_written,
+        # contrastive hard-negative mining: top-k most-similar vectors
+        # with a DIFFERENT label per anchor (integer 1e4-unit ranking)
+        "hard_negative_topk": _hard_negative_topk,
         # mutual top-1 matches, exact integer-quantized inner products
         "reciprocal_nn_pairs": _reciprocal_nn_pairs,
         # sorted-neighborhood blocking with cross-block window stitch
@@ -1855,6 +1866,11 @@ def _ivf_knn_exhaustive(sf_dir: str):
     return index.search(query, k=10, n_probe=8)
 
 
+def _hard_negative_topk(sf_dir: str):
+    from p2pddsketch_ray.pipelines.knn import hard_negative_topk
+    return hard_negative_topk(sf_dir)
+
+
 def _ivf_knn_written(sf_dir: str):
     import shutil
     import numpy as np
@@ -2757,6 +2773,30 @@ FROM counts c CROSS JOIN seeds s
 JOIN cells ON cells.d = s.d
           AND cells.cell = hash(xor(c.k, CAST(s.s AS BIGINT))) % 8192
 GROUP BY c.k""",
+        # weighted-CMS replica with integer half-life weights
+        "decayed_cms_user_scores": """
+WITH mx AS (SELECT max(ts) AS m FROM events),
+ev AS (SELECT CAST(user_id AS BIGINT) AS k,
+              1000000 >> CAST(least(
+                  date_diff('microsecond', ts, mx.m) // 86400000000,
+                  40) AS BIGINT) AS w
+       FROM events CROSS JOIN mx),
+wsum AS (SELECT k, CAST(sum(w) AS BIGINT) AS c FROM ev GROUP BY 1),
+seeds(d, s) AS (VALUES (0, 461845907), (1, 3432918353),
+                       (2, 2246822507), (3, 3266489909)),
+cells AS (SELECT s.d AS d,
+                 hash(xor(w.k, CAST(s.s AS BIGINT))) % 8192 AS cell,
+                 CAST(sum(w.c) AS BIGINT) AS tot
+          FROM wsum w CROSS JOIN seeds s GROUP BY 1, 2),
+est AS (SELECT w.k AS user_id,
+               CAST(min(cells.tot) AS BIGINT) AS est_decayed_micro
+        FROM wsum w CROSS JOIN seeds s
+        JOIN cells ON cells.d = s.d
+                  AND cells.cell =
+                      hash(xor(w.k, CAST(s.s AS BIGINT))) % 8192
+        GROUP BY 1)
+SELECT user_id, est_decayed_micro FROM est
+ORDER BY est_decayed_micro DESC, user_id LIMIT 20""",
         # the Bloom prefilter is exact-confirmed, so the result equals the
         # plain semi-join
         "bloom_fpr_audit": _BLOOM_FPR_SQL,
@@ -2787,6 +2827,7 @@ scored AS (
              AS cos_sim
   FROM embeddings CROSS JOIN q)
 SELECT vec_id, cos_sim FROM scored ORDER BY cos_sim DESC, vec_id LIMIT 10""",
+        "hard_negative_topk": _HARD_NEGATIVE_SQL,
         "ivf_knn_written": """
 WITH q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
            FROM embeddings WHERE vec_id = 0),
@@ -3219,6 +3260,7 @@ ORDER BY 1""",
         "token_explode_sample": _TOKEN_EXPLODE_SQL,
         "lineitem_unpivot_stats": _LINEITEM_UNPIVOT_SQL,
         "split_assign_stats": _SPLIT_ASSIGN_SQL,
+        "epoch_shuffle_stats": _EPOCH_SHUFFLE_SQL,
         "equi_depth_buckets": _EQUI_DEPTH_SQL,
         "source_vocab_overlap": _SOURCE_VOCAB_OVERLAP_SQL,
         "value_hour_sufficient_stats": _VALUE_HOUR_STATS_SQL,

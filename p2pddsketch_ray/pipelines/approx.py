@@ -1204,3 +1204,52 @@ def bloom_intersection_estimate(sf_dir: str, type_a: str = "click",
         "est_union_micro": pa.array([eu], type=pa.int64()),
         "est_inter_micro": pa.array([ea + eb - eu], type=pa.int64()),
     })
+
+
+def decayed_cms_user_scores(sf_dir: str, width: int = 8192,
+                            depth: int = 4, k: int = 20) -> pa.Table:
+    """TIME-DECAYED heavy hitters from a weighted count-min: each event
+    adds ``1e6 >> age_days`` micro-units (half-life one day, ages
+    measured from the stream's max ts by exact integer floor division),
+    so the sketch answers "who is heavy NOW" from the same fixed-size
+    linear state -- decay without per-key timestamps and without
+    rescanning (the classic turnstile alternative to a sliding window
+    when staleness may fade instead of expiring).
+
+    Determinism: weights are integer bit-shifts of 1e6, the max ts is
+    an exact aggregate, and the cells are the DuckDB-replicable
+    hash(xor(key, seed)) % width -- every estimate hash-matches.
+
+    Scale shape: one tiny max(ts) pass broadcast as a scalar, then the
+    usual per-block partial counters + elementwise tree merge.
+    """
+    from ray.data.aggregate import Max
+
+    ds = _read(sf_dir, "events", ["ts", "user_id"])
+    mx = ds.aggregate(Max("ts"))["max(ts)"]
+    # pin to MICROseconds whatever scalar flavor the aggregate returns
+    max_us = int(pa.scalar(mx).cast(pa.timestamp("us"))
+                 .cast(pa.int64()).as_py())
+    DAY_US = 86_400_000_000
+
+    def add(s: CountMinSketch, t: pa.Table) -> None:
+        keys = t["user_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        ts = t["ts"].combine_chunks() if isinstance(
+            t["ts"], pa.ChunkedArray) else t["ts"]
+        if pa.types.is_timestamp(ts.type):
+            ts = ts.cast(pa.int64())
+        age_d = np.minimum((max_us - ts.to_numpy(zero_copy_only=False)
+                            .astype(np.int64)) // DAY_US, 40)
+        w = (np.int64(1_000_000) >> age_d).astype(np.int64)
+        s.add_batch(keys, w)
+
+    cms = build_and_merge(ds, ["ts", "user_id"],
+                          lambda: CountMinSketch(width, depth), add)
+    keys = np.asarray(sorted(ds.unique("user_id")), dtype=np.int64)
+    est = cms.estimate(keys).astype(np.int64)
+    order = np.lexsort((keys, -est))[:k]
+    return pa.table({
+        "user_id": pa.array(keys[order], type=pa.int64()),
+        "est_decayed_micro": pa.array(est[order], type=pa.int64()),
+    })

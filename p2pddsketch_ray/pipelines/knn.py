@@ -602,3 +602,143 @@ SELECT CAST(label AS BIGINT), n, n_correct,
        CAST(n_correct * 1000000 // n AS BIGINT)
 FROM c ORDER BY 1
 """
+
+
+def hard_negative_topk(sf_dir: str, n_anchors: int = 20,
+                       k: int = 3) -> pa.Table:
+    """HARD-NEGATIVE mining for contrastive training: for each anchor
+    vector (vec_id < n_anchors), the k most-similar vectors whose label
+    DIFFERS from the anchor's -- the negatives that actually teach the
+    margin.  Similarities are rounded-to-4 cosine (the same
+    DuckDB-parity contract as knn_cosine_topk) and ranked in integer
+    1e4 units (floor(round4 * 1e4 + 0.5)) so the selection is
+    hash-replicable end to end.
+
+    Scale shape: the anchor matrix (n_anchors x d) + labels broadcast
+    once; each block does one gemv per anchor (float64, same op order
+    as the green knn path -- NOT one gemm, whose different summation
+    order could flip a rounded 4th decimal) and keeps k partial rows
+    per anchor, so the shuffle moves O(anchors x k x blocks) tiny rows;
+    one single-partition pass ranks the partials.
+    """
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    at = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                       columns=["vec_id", "embedding", "label"],
+                       filters=[("vec_id", "<", n_anchors)])
+    at = at.sort_by([("vec_id", "ascending")])
+    from ..functions.vectors import list_to_matrix
+    amat = list_to_matrix(at["embedding"]).astype(np.float64)
+    anorm = np.linalg.norm(amat, axis=1)
+    anorm[anorm == 0] = 1.0
+    amat = amat / anorm[:, None]
+    a_ids = at["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    a_lab = at["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+    a_ref = ray.put((a_ids, a_lab, amat))
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding", "label"])
+
+    empty = pa.table({"anchor_id": pa.array([], type=pa.int64()),
+                      "neg_id": pa.array([], type=pa.int64()),
+                      "neg_label": pa.array([], type=pa.int64()),
+                      "sim_units": pa.array([], type=pa.int64())})
+
+    def partials(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        ids, labs, A = ray.get(a_ref)
+        mat = list_to_matrix(t["embedding"]).astype(np.float64)
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        vid = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        vlab = t["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        out_a, out_n, out_l, out_s = [], [], [], []
+        for j in range(ids.shape[0]):
+            sims = (mat @ A[j]) / norms      # gemv: knn-parity op order
+            units = np.floor(np.round(sims, 4) * 10000 + 0.5) \
+                .astype(np.int64)
+            mask = vlab != labs[j]
+            if not mask.any():
+                continue
+            mi = np.nonzero(mask)[0]
+            order = mi[np.lexsort((vid[mi], -units[mi]))[:k]]
+            out_a.append(np.full(order.shape[0], ids[j], dtype=np.int64))
+            out_n.append(vid[order])
+            out_l.append(vlab[order])
+            out_s.append(units[order])
+        if not out_a:
+            return empty
+        return pa.table({
+            "anchor_id": pa.array(np.concatenate(out_a)),
+            "neg_id": pa.array(np.concatenate(out_n)),
+            "neg_label": pa.array(np.concatenate(out_l)),
+            "sim_units": pa.array(np.concatenate(out_s)),
+        })
+
+    def final_rank(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"anchor_id": pa.array([], type=pa.int64()),
+                             "rnk": pa.array([], type=pa.int64()),
+                             "neg_id": pa.array([], type=pa.int64()),
+                             "neg_label": pa.array([], type=pa.int64()),
+                             "sim_units": pa.array([], type=pa.int64())})
+        aid = t["anchor_id"].to_numpy(zero_copy_only=False)
+        nid = t["neg_id"].to_numpy(zero_copy_only=False)
+        nlab = t["neg_label"].to_numpy(zero_copy_only=False)
+        su = t["sim_units"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((nid, -su, aid))
+        a_s = aid[order]
+        new_grp = np.ones(order.shape[0], dtype=bool)
+        new_grp[1:] = a_s[1:] != a_s[:-1]
+        starts = np.nonzero(new_grp)[0]
+        first = np.repeat(starts,
+                          np.diff(np.append(starts, order.shape[0])))
+        rank = np.arange(order.shape[0]) - first
+        sel = rank < k
+        keep = order[sel]
+        return pa.table({
+            "anchor_id": pa.array(a_s[sel]),
+            "rnk": pa.array((rank[sel] + 1).astype(np.int64)),
+            "neg_id": pa.array(nid[keep]),
+            "neg_label": pa.array(nlab[keep]),
+            "sim_units": pa.array(su[keep]),
+        })
+
+    out = (ds.map_batches(partials, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .repartition(1)
+           .map_batches(final_rank, batch_format="pyarrow")
+           .to_pandas().sort_values(["anchor_id", "rnk"])
+           .reset_index(drop=True))
+    return pa.table({
+        "anchor_id": pa.array(out["anchor_id"].astype("int64")),
+        "rnk": pa.array(out["rnk"].astype("int64")),
+        "neg_id": pa.array(out["neg_id"].astype("int64")),
+        "neg_label": pa.array(out["neg_label"].astype("int64")),
+        "sim_units": pa.array(out["sim_units"].astype("int64")),
+    })
+
+
+HARD_NEGATIVE_SQL = """
+WITH a AS (
+  SELECT vec_id AS anchor_id, label AS alabel,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS av
+  FROM embeddings WHERE vec_id < 20
+), s AS (
+  SELECT a.anchor_id, e.vec_id AS neg_id,
+         CAST(e.label AS BIGINT) AS neg_label,
+         CAST(FLOOR(round(list_cosine_similarity(
+                list_transform(e.embedding, x -> CAST(x AS DOUBLE)),
+                a.av), 4) * 10000 + 0.5e0) AS BIGINT) AS sim_units
+  FROM embeddings e JOIN a ON e.label <> a.alabel
+), r AS (
+  SELECT *, row_number() OVER (PARTITION BY anchor_id
+                               ORDER BY sim_units DESC, neg_id) AS rnk
+  FROM s
+)
+SELECT anchor_id, CAST(rnk AS BIGINT) AS rnk, neg_id, neg_label,
+       sim_units
+FROM r WHERE rnk <= 3 ORDER BY anchor_id, rnk
+"""

@@ -20625,3 +20625,90 @@ SELECT CAST(count(*) AS BIGINT) AS n_rows,
          AS avg_yearly_cents
 FROM hit
 """
+
+
+def epoch_shuffle_stats(sf_dir: str, n_shards: int = 8) -> pa.Table:
+    """DETERMINISTIC epoch resharding audit -- the training-loader
+    contract that every epoch is a different but REPRODUCIBLE global
+    shuffle: epoch e assigns doc d to shard hash(d XOR seed_e) % S.
+    Reports per (epoch, shard) the doc count, a doc-id checksum and a
+    placement checksum (sum of hash % 1000003), so two runs -- or the
+    Ray pipeline and the DuckDB replica -- can assert byte-equal
+    placement without comparing row sets.
+
+    Scale shape: one streamed pass; each block folds to
+    O(epochs x shards) partial rows (all Sum-foldable integers), one
+    tiny groupby finishes.  Nothing key-shaped leaves the blocks.
+    """
+    from ray.data.aggregate import Sum
+    from ..hashing import murmur64
+
+    EPOCH_SEEDS = (0, 6364136223846793005, 2862933555777941757)
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    empty = pa.table({"epoch": pa.array([], type=pa.int64()),
+                      "shard": pa.array([], type=pa.int64()),
+                      "n_docs": pa.array([], type=pa.int64()),
+                      "sum_doc_id": pa.array([], type=pa.int64()),
+                      "hash_check": pa.array([], type=pa.int64())})
+
+    def fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        did = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        eps, shs, ns, sds, hcs = [], [], [], [], []
+        for e, seed in enumerate(EPOCH_SEEDS):
+            h = murmur64(did ^ np.int64(seed))
+            shard = (h % np.uint64(n_shards)).astype(np.int64)
+            chk = (h % np.uint64(1_000_003)).astype(np.int64)
+            n = np.bincount(shard, minlength=n_shards).astype(np.int64)
+            sd = np.zeros(n_shards, dtype=np.int64)
+            np.add.at(sd, shard, did)
+            hc = np.zeros(n_shards, dtype=np.int64)
+            np.add.at(hc, shard, chk)
+            nz = np.nonzero(n)[0]
+            eps.append(np.full(nz.shape[0], e, dtype=np.int64))
+            shs.append(nz.astype(np.int64))
+            ns.append(n[nz])
+            sds.append(sd[nz])
+            hcs.append(hc[nz])
+        return pa.table({
+            "epoch": pa.array(np.concatenate(eps)),
+            "shard": pa.array(np.concatenate(shs)),
+            "n_docs": pa.array(np.concatenate(ns)),
+            "sum_doc_id": pa.array(np.concatenate(sds)),
+            "hash_check": pa.array(np.concatenate(hcs)),
+        })
+
+    agg = (ds.map_batches(fold, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby(["epoch", "shard"])
+           .aggregate(Sum("n_docs", alias_name="n_docs"),
+                      Sum("sum_doc_id", alias_name="sum_doc_id"),
+                      Sum("hash_check", alias_name="hash_check"))
+           .to_pandas().sort_values(["epoch", "shard"])
+           .reset_index(drop=True))
+    return pa.table({
+        "epoch": pa.array(agg["epoch"].astype("int64")),
+        "shard": pa.array(agg["shard"].astype("int64")),
+        "n_docs": pa.array(agg["n_docs"].astype("int64")),
+        "sum_doc_id": pa.array(agg["sum_doc_id"].astype("int64")),
+        "hash_check": pa.array(agg["hash_check"].astype("int64")),
+    })
+
+
+EPOCH_SHUFFLE_SQL = """
+WITH seeds(epoch, s) AS (VALUES (0, 0),
+                                (1, 6364136223846793005),
+                                (2, 2862933555777941757)),
+h AS (SELECT seeds.epoch,
+             hash(xor(d.doc_id, CAST(seeds.s AS BIGINT))) AS hv,
+             d.doc_id
+      FROM documents d CROSS JOIN seeds)
+SELECT CAST(epoch AS BIGINT) AS epoch,
+       CAST(hv % 8 AS BIGINT) AS shard,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(doc_id) AS BIGINT) AS sum_doc_id,
+       CAST(sum(hv % 1000003) AS BIGINT) AS hash_check
+FROM h GROUP BY 1, 2 ORDER BY 1, 2
+"""

@@ -707,3 +707,26 @@ def test_bloom_intersection_raises_when_saturated(ray_session):
     with _pytest.raises(ValueError, match="saturated"):
         bloom_intersection_estimate("/root/testdata/sf0.001",
                                     m_bits=4, k=2)
+
+
+def test_decayed_cms_matches_duckdb_and_prefers_recent(ray_session):
+    import duckdb
+    import __ray_entry__ as entrymod
+    from p2pddsketch_ray.pipelines.approx import decayed_cms_user_scores
+    sf = "/root/testdata/sf0.001"
+    got = decayed_cms_user_scores(sf).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{sf}/events.parquet')")
+    want = con.execute(
+        entrymod.oracle_sql()["decayed_cms_user_scores"]).df()
+    assert got["user_id"].tolist() == want["user_id"].tolist()
+    assert got["est_decayed_micro"].astype("int64").tolist() \
+        == want["est_decayed_micro"].astype("int64").tolist()
+    # decay sanity: the top decayed score can't exceed 1e6 x the user's
+    # raw event count (every weight <= 1e6), and is positive
+    truth = dict(con.execute(
+        "SELECT user_id, count(*) FROM events GROUP BY 1").fetchall())
+    top = got.iloc[0]
+    assert 0 < int(top["est_decayed_micro"]) \
+        <= 1_000_000 * max(truth.values()) * 2  # CMS one-sided slack

@@ -4504,3 +4504,51 @@ def test_cms_sliding_window_subtracts(ray_session, tmp_path):
     assert est[(0, 9)] == 1
     assert est[(23, 9)] == 24
     assert est[(30, 9)] == 24
+
+
+def test_epoch_shuffle_stats_deterministic_and_balanced(ray_session):
+    """Each epoch reshards ALL docs (per-epoch counts sum to the corpus),
+    epochs place docs differently, and the whole table is bit-stable
+    across runs and matches the DuckDB replica."""
+    import duckdb
+    from p2pddsketch_ray.pipelines.relational import (EPOCH_SHUFFLE_SQL,
+                                                      epoch_shuffle_stats)
+    sf = "/root/testdata/sf0.001"
+    a = epoch_shuffle_stats(sf).to_pandas()
+    b = epoch_shuffle_stats(sf).to_pandas()
+    assert a.equals(b)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf}/documents.parquet')")
+    want = con.execute(EPOCH_SHUFFLE_SQL).df()
+    for c in a.columns:
+        assert a[c].astype("int64").tolist() \
+            == want[c].astype("int64").tolist(), c
+    n_docs = con.execute("SELECT count(*) FROM documents").fetchone()[0]
+    per_epoch = a.groupby("epoch")["n_docs"].sum()
+    assert (per_epoch == n_docs).all()
+    # different epochs -> different placement checksums
+    chk = a.groupby("epoch")["hash_check"].sum()
+    assert len(set(chk.tolist())) == 3
+
+
+def test_hard_negative_topk_excludes_own_label(ray_session):
+    import duckdb
+    from p2pddsketch_ray.pipelines.knn import (HARD_NEGATIVE_SQL,
+                                               hard_negative_topk)
+    sf = "/root/testdata/sf0.001"
+    got = hard_negative_topk(sf).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM "
+                f"read_parquet('{sf}/embeddings.parquet')")
+    want = con.execute(HARD_NEGATIVE_SQL).df()
+    for c in got.columns:
+        assert got[c].astype("int64").tolist() \
+            == want[c].astype("int64").tolist(), c
+    labels = dict(con.execute(
+        "SELECT vec_id, label FROM embeddings").fetchall())
+    for r in got.itertuples():
+        assert labels[int(r.anchor_id)] != int(r.neg_label)
+        assert int(r.neg_label) == labels[int(r.neg_id)]
+    # every anchor present with exactly k=3 negatives
+    assert got.groupby("anchor_id").size().eq(3).all()
