@@ -52,6 +52,7 @@ from p2pddsketch_ray.pipelines.temporal import (  # noqa: E402
     ORDERS_EVENT_WINDOW_SQL as _ORDERS_EVENT_WINDOW_SQL,
     USER_EVENT_LAG_SQL as _USER_EVENT_LAG_SQL,
     EVENTS_NEAREST_ORDER_SQL as _EVENTS_NEAREST_ORDER_SQL,
+    SCD2_SNAPSHOT_SQL as _SCD2_SNAPSHOT_SQL,
     USER_RUNNING_TOTALS_SQL as _USER_RUNNING_TOTALS_SQL,
     USER_MOVING_WINDOW_SQL as _USER_MOVING_WINDOW_SQL,
     USER_EVENT_SEQUENCES_SQL as _USER_EVENT_SEQUENCES_SQL,
@@ -513,9 +514,11 @@ from p2pddsketch_ray.pipelines.relational import (  # noqa: E402
 from p2pddsketch_ray.pipelines.fingerprint import (  # noqa: E402
     WINNOW_FINGERPRINT_SQL as _WINNOW_FINGERPRINT_SQL)
 from p2pddsketch_ray.pipelines.knn import (  # noqa: E402
-    HARD_NEGATIVE_SQL as _HARD_NEGATIVE_SQL)
+    HARD_NEGATIVE_SQL as _HARD_NEGATIVE_SQL,
+    CONTRASTIVE_MARGIN_SQL as _CONTRASTIVE_MARGIN_SQL)
 from p2pddsketch_ray.pipelines.relational import (  # noqa: E402
-    EPOCH_SHUFFLE_SQL as _EPOCH_SHUFFLE_SQL)
+    EPOCH_SHUFFLE_SQL as _EPOCH_SHUFFLE_SQL,
+    PERCENTILE_NORM_SQL as _PERCENTILE_NORM_SQL)
 from p2pddsketch_ray.pipelines.search import (  # noqa: E402
     INVERTED_INDEX_SQL as _INVERTED_INDEX_SQL)
 from p2pddsketch_ray.pipelines.components import (  # noqa: E402
@@ -637,6 +640,79 @@ def _conversion_lag_dds(sf_dir: str):
                               bin_limit=BIN_LIMIT)
 
 
+def _percentile_norm_by_source(sf_dir: str):
+    from p2pddsketch_ray.pipelines.relational import \
+        percentile_norm_by_source
+    return percentile_norm_by_source(sf_dir)
+
+
+def _contrastive_margin_report(sf_dir: str):
+    from p2pddsketch_ray.pipelines.knn import contrastive_margin_report
+    return contrastive_margin_report(sf_dir)
+
+
+def _scd2_snapshot_counts(sf_dir: str):
+    from p2pddsketch_ray.pipelines.temporal import scd2_snapshot_counts
+    return scd2_snapshot_counts(sf_dir)
+
+
+def _dds_incremental_update(sf_dir: str):
+    """INCREMENTAL sketch-view maintenance: the DDSketch over all event
+    values is kept up to date by building a sketch over ONLY the new
+    partition (ts >= cutoff) and merging it into the existing view
+    (ts < cutoff) -- the linear-state property that makes sketches the
+    right materialized-view primitive for append-only logs (no rescan).
+    The query ALSO rebuilds from scratch and asserts bucket-level
+    bit-identity (merge invariance); at 100 TB the rebuild is the
+    verification harness, not the production path -- production only
+    ever builds the delta.
+
+    Output/oracle: identical to dds_event_value_global (the final
+    state IS the full-data sketch, that is the point)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.dataset as pads
+    import ray.data
+    from ray.data.aggregate import Max, Min
+    from p2pddsketch_ray.pipelines.quantiles import dds_sketch_global
+
+    tsds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                                 columns=["ts"])
+    agg = tsds.aggregate(Min("ts"), Max("ts"))
+    mn = int(pa.scalar(agg["min(ts)"]).cast(pa.timestamp("us"))
+             .cast(pa.int64()).as_py())
+    mx = int(pa.scalar(agg["max(ts)"]).cast(pa.timestamp("us"))
+             .cast(pa.int64()).as_py())
+    cut = pa.scalar((mn + mx) // 2, type=pa.int64())         .cast(pa.timestamp("us"))
+
+    def read(flt):
+        return ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                                     columns=["value"], filter=flt)
+
+    kw = dict(alpha=ALPHA, bin_limit=BIN_LIMIT)
+    s_old = dds_sketch_global(read(pads.field("ts") < cut), "value",
+                              **kw)
+    s_new = dds_sketch_global(read(pads.field("ts") >= cut), "value",
+                              **kw)
+    merged = s_old.merge(s_new)
+
+    full = dds_sketch_global(
+        ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                              columns=["value"]), "value", **kw)
+    a, b = merged.to_row(), full.to_row()
+    if not (np.array_equal(np.asarray(a["keys"]),
+                           np.asarray(b["keys"]))
+            and np.array_equal(np.asarray(a["counts"]),
+                               np.asarray(b["counts"]))):
+        raise AssertionError("incremental merge diverged from rebuild")
+
+    keys = [merged.quantile_key(q) for q in QS]
+    ests = [round(merged._bucket_estimate(k), 6) for k in keys]
+    return pa.table({"q": pa.array(list(QS), type=pa.float64()),
+                     "bucket_key": pa.array(keys, type=pa.int64()),
+                     "est": pa.array(ests, type=pa.float64())})
+
+
 def _dds_event_value_actor_pool(sf_dir: str):
     import ray.data
     import pyarrow as pa
@@ -680,6 +756,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (n long-lived actors over streaming splits) -- shares the
         # stateless path's oracle: bit-identical by merge invariance
         "dds_event_value_actor_pool": _dds_event_value_actor_pool,
+        # incremental view maintenance: delta build + merge == rebuild
+        # (bucket-level bit-identity asserted in-pipeline)
+        "dds_incremental_update": _dds_incremental_update,
         # relational / dataflow operators (exact)
         "pricing_summary": R.pricing_summary,
         "topk_orders": R.topk_orders,
@@ -728,6 +807,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_intersection_estimate": A.bloom_intersection_estimate,
         # time-decayed heavy hitters: weighted CMS, weight 1e6 >> age_d
         "decayed_cms_user_scores": A.decayed_cms_user_scores,
+        # join-size estimation from two CMS states (min inner product)
+        "cms_join_size_estimate": A.cms_join_size_estimate,
         "bloom_semijoin_orders": A.bloom_semijoin_orders,
         # bit-level empirical Bloom false-positive audit (MD5 double
         # hashing so DuckDB reproduces every position)
@@ -745,6 +826,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "split_assign_stats": R.split_assign_stats,
         # per-epoch deterministic reshard audit (hash(d XOR seed_e)%S)
         "epoch_shuffle_stats": R.epoch_shuffle_stats,
+        # within-lang percent-rank (quantile normalization) per source
+        "percentile_norm_by_source": _percentile_norm_by_source,
         # equi-depth histogram / range-partition plan (exact boundaries
         # via histogram bisection + one broadcast count pass)
         "equi_depth_buckets": R.equi_depth_buckets,
@@ -786,6 +869,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # contrastive hard-negative mining: top-k most-similar vectors
         # with a DIFFERENT label per anchor (integer 1e4-unit ranking)
         "hard_negative_topk": _hard_negative_topk,
+        # hardest-positive minus hardest-negative margin per anchor
+        "contrastive_margin_report": _contrastive_margin_report,
         # mutual top-1 matches, exact integer-quantized inner products
         "reciprocal_nn_pairs": _reciprocal_nn_pairs,
         # sorted-neighborhood blocking with cross-block window stitch
@@ -1092,6 +1177,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # SCD type-2 validity intervals from the event log: one row
         # per run of equal consecutive per-user states
         "scd2_state_history": _scd2_state_history,
+        # point-in-time state census at the stream midpoint
+        "scd2_snapshot_counts": _scd2_snapshot_counts,
         # per-(lang, source) quota: hash-ordered deterministic cap,
         # the class-balancing step of a corpus mix
         "corpus_quota_sample": _corpus_quota_sample,
@@ -2160,6 +2247,7 @@ def oracle_sql() -> dict[str, str]:
         "hourly_backfill_stats": _HOURLY_BACKFILL_SQL,
         "impute_value_hourly": _IMPUTE_VALUE_SQL,
         "scd2_state_history": _SCD2_STATE_HISTORY_SQL,
+        "scd2_snapshot_counts": _SCD2_SNAPSHOT_SQL,
         "corpus_quota_sample": _CORPUS_QUOTA_SQL,
         "pq_encode_stats": _PQ_ENCODE_SQL,
         "hybrid_rrf_topk": _HYBRID_RRF_SQL,
@@ -2386,6 +2474,7 @@ FROM base JOIN per USING (lang) ORDER BY 1
                                       "l_returnflag"),
         "dds_nchars_by_lang": _dds_sql("documents", "n_chars", "lang"),
         "dds_event_value_global": _dds_sql("events", "value"),
+        "dds_incremental_update": _dds_sql("events", "value"),
         "dds_event_value_actor_pool": _dds_sql("events", "value"),
         # NOTE: every bare sum(BIGINT) is CAST back to BIGINT -- DuckDB's
         # sum over integers returns HUGEINT, which .df() converts to
@@ -2773,6 +2862,29 @@ FROM counts c CROSS JOIN seeds s
 JOIN cells ON cells.d = s.d
           AND cells.cell = hash(xor(c.k, CAST(s.s AS BIGINT))) % 8192
 GROUP BY c.k""",
+        # two cell tables + min inner product + exact probe-side sum
+        "cms_join_size_estimate": """
+WITH seeds(d, s) AS (VALUES (0, 461845907), (1, 3432918353),
+                            (2, 2246822507), (3, 3266489909)),
+ca AS (SELECT s.d AS d,
+              hash(xor(CAST(user_id AS BIGINT),
+                       CAST(s.s AS BIGINT))) % 8192 AS cell,
+              CAST(count(*) AS BIGINT) AS c
+       FROM events CROSS JOIN seeds s GROUP BY 1, 2),
+cb AS (SELECT s.d AS d,
+              hash(xor(CAST(o_custkey AS BIGINT),
+                       CAST(s.s AS BIGINT))) % 8192 AS cell,
+              CAST(count(*) AS BIGINT) AS c
+       FROM orders CROSS JOIN seeds s GROUP BY 1, 2),
+ip AS (SELECT ca.d, CAST(sum(ca.c * cb.c) AS BIGINT) AS v
+       FROM ca JOIN cb ON cb.d = ca.d AND cb.cell = ca.cell
+       GROUP BY 1),
+ex AS (SELECT CAST(count(*) AS BIGINT) AS n
+       FROM orders JOIN events ON o_custkey = user_id)
+SELECT (SELECT min(v) FROM ip) AS est_join_size,
+       ex.n AS exact_join_size,
+       (SELECT min(v) FROM ip) - ex.n AS overestimate
+FROM ex""",
         # weighted-CMS replica with integer half-life weights
         "decayed_cms_user_scores": """
 WITH mx AS (SELECT max(ts) AS m FROM events),
@@ -2828,6 +2940,7 @@ scored AS (
   FROM embeddings CROSS JOIN q)
 SELECT vec_id, cos_sim FROM scored ORDER BY cos_sim DESC, vec_id LIMIT 10""",
         "hard_negative_topk": _HARD_NEGATIVE_SQL,
+        "contrastive_margin_report": _CONTRASTIVE_MARGIN_SQL,
         "ivf_knn_written": """
 WITH q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
            FROM embeddings WHERE vec_id = 0),
@@ -3261,6 +3374,7 @@ ORDER BY 1""",
         "lineitem_unpivot_stats": _LINEITEM_UNPIVOT_SQL,
         "split_assign_stats": _SPLIT_ASSIGN_SQL,
         "epoch_shuffle_stats": _EPOCH_SHUFFLE_SQL,
+        "percentile_norm_by_source": _PERCENTILE_NORM_SQL,
         "equi_depth_buckets": _EQUI_DEPTH_SQL,
         "source_vocab_overlap": _SOURCE_VOCAB_OVERLAP_SQL,
         "value_hour_sufficient_stats": _VALUE_HOUR_STATS_SQL,

@@ -1253,3 +1253,58 @@ def decayed_cms_user_scores(sf_dir: str, width: int = 8192,
         "user_id": pa.array(keys[order], type=pa.int64()),
         "est_decayed_micro": pa.array(est[order], type=pa.int64()),
     })
+
+
+def cms_join_size_estimate(sf_dir: str, width: int = 8192,
+                           depth: int = 4) -> pa.Table:
+    """JOIN-SIZE estimation from two count-min sketches (the classic
+    inner-product bound, Cormode & Muthukrishnan 2005 s4.2): the
+    equi-join cardinality |orders JOIN events ON o_custkey = user_id|
+    is Sum_k f_o(k) * f_e(k), estimated as min over depth rows of the
+    cellwise inner product <cms_o[d], cms_e[d]> -- one-sided
+    (never underestimates), computed from two fixed-size states without
+    touching the join.  The exact size rides along for the error panel
+    (same philosophy as cms_error_report): one broadcast of the
+    O(users) event-count census probed per orders block -- the join is
+    never materialized even for the exact side.
+
+    Both sketches use the same seeds/width so the DuckDB replica
+    rebuilds both cell tables and the identical min-of-inner-products.
+    """
+    from ray.data.aggregate import Count, Sum
+
+    events = _read(sf_dir, "events", ["user_id"])
+    orders = _read(sf_dir, "orders", ["o_custkey"])
+    cms_e = cms_build(events, "user_id", width=width, depth=depth)
+    cms_o = cms_build(orders, "o_custkey", width=width, depth=depth)
+    est = int(min(int(np.dot(cms_o.table[d], cms_e.table[d]))
+                  for d in range(depth)))
+
+    # exact join size WITHOUT the join: per-user event counts (bounded
+    # census) broadcast; each orders block sums its rows' frequencies
+    per_user = (events.groupby("user_id")
+                .aggregate(Count(alias_name="n"))
+                .to_pandas())
+    uk = per_user["user_id"].to_numpy(dtype=np.int64)
+    un = per_user["n"].to_numpy(dtype=np.int64)
+    order = np.argsort(uk)
+    lut_ref = ray.put((uk[order], un[order]))
+
+    def fold(t: pa.Table) -> pa.Table:
+        k, n = ray.get(lut_ref)
+        ck = t["o_custkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        pos = np.searchsorted(k, ck)
+        pos[pos == k.shape[0]] = 0
+        hit = k[pos] == ck
+        return pa.table({"s": pa.array(
+            [int(n[pos[hit]].sum())], type=pa.int64())})
+
+    exact = int(orders.map_batches(fold, batch_format="pyarrow",
+                                   zero_copy_batch=True)
+                .aggregate(Sum("s"))["sum(s)"])
+    return pa.table({
+        "est_join_size": pa.array([est], type=pa.int64()),
+        "exact_join_size": pa.array([exact], type=pa.int64()),
+        "overestimate": pa.array([est - exact], type=pa.int64()),
+    })

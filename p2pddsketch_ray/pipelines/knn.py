@@ -742,3 +742,154 @@ SELECT anchor_id, CAST(rnk AS BIGINT) AS rnk, neg_id, neg_label,
        sim_units
 FROM r WHERE rnk <= 3 ORDER BY anchor_id, rnk
 """
+
+
+def contrastive_margin_report(sf_dir: str,
+                              n_anchors: int = 20) -> pa.Table:
+    """EMBEDDING-quality margin audit: for each anchor (vec_id <
+    n_anchors), the best SAME-label similarity (its hardest positive,
+    itself excluded) minus the best DIFFERENT-label similarity (its
+    hardest negative) in integer 1e4 units -- negative margins flag
+    anchors whose nearest neighbor crosses the class boundary, the
+    per-sample readout contrastive training monitors.
+
+    Scale shape: same broadcast + per-block gemv + O(anchors) partial
+    rows as hard_negative_topk, except each block keeps ONE best
+    positive and ONE best negative per anchor; a single-partition pass
+    folds the partials (max by (units, -neg_id) composite per side).
+    """
+    import pyarrow.parquet as pq
+
+    at = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                       columns=["vec_id", "embedding", "label"],
+                       filters=[("vec_id", "<", n_anchors)])
+    at = at.sort_by([("vec_id", "ascending")])
+    from ..functions.vectors import list_to_matrix
+    amat = list_to_matrix(at["embedding"]).astype(np.float64)
+    anorm = np.linalg.norm(amat, axis=1)
+    anorm[anorm == 0] = 1.0
+    amat = amat / anorm[:, None]
+    a_ids = at["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    a_lab = at["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+    a_ref = ray.put((a_ids, a_lab, amat))
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding", "label"])
+
+    empty = pa.table({"anchor_id": pa.array([], type=pa.int64()),
+                      "side": pa.array([], type=pa.int64()),
+                      "cand_id": pa.array([], type=pa.int64()),
+                      "sim_units": pa.array([], type=pa.int64())})
+
+    def partials(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        ids, labs, A = ray.get(a_ref)
+        mat = list_to_matrix(t["embedding"]).astype(np.float64)
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        vid = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        vlab = t["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        out_a, out_side, out_c, out_s = [], [], [], []
+        for j in range(ids.shape[0]):
+            sims = (mat @ A[j]) / norms
+            units = np.floor(np.round(sims, 4) * 10000 + 0.5) \
+                .astype(np.int64)
+            for side, mask in ((0, (vlab == labs[j]) & (vid != ids[j])),
+                               (1, vlab != labs[j])):
+                if not mask.any():
+                    continue
+                mi = np.nonzero(mask)[0]
+                best = mi[np.lexsort((vid[mi], -units[mi]))[0]]
+                out_a.append(ids[j])
+                out_side.append(side)
+                out_c.append(vid[best])
+                out_s.append(units[best])
+        if not out_a:
+            return empty
+        return pa.table({
+            "anchor_id": pa.array(np.asarray(out_a, dtype=np.int64)),
+            "side": pa.array(np.asarray(out_side, dtype=np.int64)),
+            "cand_id": pa.array(np.asarray(out_c, dtype=np.int64)),
+            "sim_units": pa.array(np.asarray(out_s, dtype=np.int64)),
+        })
+
+    def final(t: pa.Table) -> pa.Table:
+        cols = {"anchor_id": pa.array([], type=pa.int64()),
+                "pos_id": pa.array([], type=pa.int64()),
+                "neg_id": pa.array([], type=pa.int64()),
+                "pos_units": pa.array([], type=pa.int64()),
+                "neg_units": pa.array([], type=pa.int64()),
+                "margin_units": pa.array([], type=pa.int64())}
+        if t.num_rows == 0:
+            return pa.table(cols)
+        aid = t["anchor_id"].to_numpy(zero_copy_only=False)
+        side = t["side"].to_numpy(zero_copy_only=False)
+        cid = t["cand_id"].to_numpy(zero_copy_only=False)
+        su = t["sim_units"].to_numpy(zero_copy_only=False)
+        res = {}
+        for s_want in (0, 1):
+            m = side == s_want
+            a_m, c_m, u_m = aid[m], cid[m], su[m]
+            order = np.lexsort((c_m, -u_m, a_m))
+            a_s = a_m[order]
+            first = np.ones(order.shape[0], dtype=bool)
+            first[1:] = a_s[1:] != a_s[:-1]
+            res[s_want] = dict(zip(a_s[first].tolist(),
+                                   zip(c_m[order][first].tolist(),
+                                       u_m[order][first].tolist())))
+        common = sorted(set(res[0]) & set(res[1]))
+        return pa.table({
+            "anchor_id": pa.array(common, type=pa.int64()),
+            "pos_id": pa.array([res[0][a][0] for a in common],
+                               type=pa.int64()),
+            "neg_id": pa.array([res[1][a][0] for a in common],
+                               type=pa.int64()),
+            "pos_units": pa.array([res[0][a][1] for a in common],
+                                  type=pa.int64()),
+            "neg_units": pa.array([res[1][a][1] for a in common],
+                                  type=pa.int64()),
+            "margin_units": pa.array(
+                [res[0][a][1] - res[1][a][1] for a in common],
+                type=pa.int64()),
+        })
+
+    out = (ds.map_batches(partials, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .repartition(1)
+           .map_batches(final, batch_format="pyarrow")
+           .to_pandas().sort_values("anchor_id").reset_index(drop=True))
+    return pa.table({c: pa.array(out[c].astype("int64"))
+                     for c in ("anchor_id", "pos_id", "neg_id",
+                               "pos_units", "neg_units",
+                               "margin_units")})
+
+
+CONTRASTIVE_MARGIN_SQL = """
+WITH a AS (
+  SELECT vec_id AS anchor_id, label AS alabel,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS av
+  FROM embeddings WHERE vec_id < 20
+), s AS (
+  SELECT a.anchor_id, a.alabel, e.vec_id AS cand_id, e.label,
+         CAST(FLOOR(round(list_cosine_similarity(
+                list_transform(e.embedding, x -> CAST(x AS DOUBLE)),
+                a.av), 4) * 10000 + 0.5e0) AS BIGINT) AS sim_units
+  FROM embeddings e JOIN a ON e.vec_id <> a.anchor_id
+), pos AS (
+  SELECT anchor_id, cand_id AS pos_id, sim_units AS pos_units,
+         row_number() OVER (PARTITION BY anchor_id
+                            ORDER BY sim_units DESC, cand_id) AS rn
+  FROM s WHERE label = alabel
+), neg AS (
+  SELECT anchor_id, cand_id AS neg_id, sim_units AS neg_units,
+         row_number() OVER (PARTITION BY anchor_id
+                            ORDER BY sim_units DESC, cand_id) AS rn
+  FROM s WHERE label <> alabel
+)
+SELECT p.anchor_id, p.pos_id, n.neg_id, p.pos_units, n.neg_units,
+       p.pos_units - n.neg_units AS margin_units
+FROM pos p JOIN neg n ON n.anchor_id = p.anchor_id
+WHERE p.rn = 1 AND n.rn = 1
+ORDER BY p.anchor_id
+"""

@@ -20712,3 +20712,109 @@ SELECT CAST(epoch AS BIGINT) AS epoch,
        CAST(sum(hv % 1000003) AS BIGINT) AS hash_check
 FROM h GROUP BY 1, 2 ORDER BY 1, 2
 """
+
+
+def percentile_norm_by_source(sf_dir: str) -> pa.Table:
+    """QUANTILE NORMALIZATION of a quality signal: each document's
+    n_chars is mapped to its within-LANGUAGE percent rank (integer ppm,
+    rank()-semantics: ties share the count of strictly-smaller rows),
+    then rolled up per source -- the scale-free "is this feed long for
+    its language" score a mixed-language curation pipeline compares
+    across sources.  percent_rank = count_lt * 1e6 // max(n_lang-1, 1),
+    all integers, hash-replicable.
+
+    Scale shape: ranks come from a (lang, value) HISTOGRAM groupby --
+    O(langs x distinct values) rows, a value distribution, never the
+    corpus -- broadcast as sorted arrays (values + cumulative
+    below-counts per lang segment); one streamed combiner pass probes
+    it with two searchsorteds per batch and folds to O(sources) rows.
+    """
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "documents", ["lang", "source", "n_chars"])
+
+    hist = (ds.groupby(["lang", "n_chars"])
+            .aggregate(Count(alias_name="c")).to_pandas())
+    langs = np.sort(hist["lang"].unique().astype(np.str_))
+    lcode = np.searchsorted(langs, hist["lang"].to_numpy(dtype=np.str_))
+    vals = hist["n_chars"].to_numpy(dtype=np.int64)
+    cnts = hist["c"].to_numpy(dtype=np.int64)
+    order = np.lexsort((vals, lcode))
+    lcode, vals, cnts = lcode[order], vals[order], cnts[order]
+    # per-lang segment offsets + strictly-below cumulative counts
+    seg_starts = np.searchsorted(lcode, np.arange(langs.shape[0]))
+    cum = np.cumsum(cnts)
+    below = cum - cnts           # count of rows before this value row
+    seg_base = np.concatenate([[0], cum])[seg_starts]
+    below = below - seg_base[lcode]  # within-lang strictly-below count
+    n_lang_rows = np.zeros(langs.shape[0], dtype=np.int64)
+    for j in range(langs.shape[0]):
+        lo, hi = seg_starts[j], (seg_starts[j + 1]
+                                 if j + 1 < langs.shape[0]
+                                 else lcode.shape[0])
+        n_lang_rows[j] = int(cnts[lo:hi].sum())
+    lut_ref = ray.put((langs, seg_starts, vals, below, n_lang_rows))
+
+    empty = pa.table({"source": pa.array([], type=pa.string()),
+                      "n_docs": pa.array([], type=pa.int64()),
+                      "sum_pr_ppm": pa.array([], type=pa.int64())})
+
+    def fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        lg, starts, v, bl, nl = ray.get(lut_ref)
+        code = np.searchsorted(
+            lg, t["lang"].to_numpy(zero_copy_only=False)
+            .astype(np.str_))
+        x = t["n_chars"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        ends = np.append(starts[1:], v.shape[0])
+        # segment-local searchsorted via a composite key: values are
+        # sorted within each lang segment, so offset probes by segment
+        pos = np.empty(x.shape[0], dtype=np.int64)
+        for j in np.unique(code):
+            m = code == j
+            pos[m] = starts[j] + np.searchsorted(
+                v[starts[j]:ends[j]], x[m], side="left")
+        count_lt = bl[np.minimum(pos, bl.shape[0] - 1)]
+        denom = np.maximum(nl[code] - 1, 1)
+        ppm = count_lt * np.int64(1_000_000) // denom
+        src = t["source"].to_numpy(zero_copy_only=False)
+        us, inv = np.unique(src, return_inverse=True)
+        n = np.bincount(inv, minlength=us.shape[0]).astype(np.int64)
+        sm = np.zeros(us.shape[0], dtype=np.int64)
+        np.add.at(sm, inv, ppm)
+        return pa.table({"source": pa.array(us, type=pa.string()),
+                         "n_docs": pa.array(n),
+                         "sum_pr_ppm": pa.array(sm)})
+
+    agg = (ds.map_batches(fold, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("source")
+           .aggregate(Sum("n_docs", alias_name="n_docs"),
+                      Sum("sum_pr_ppm", alias_name="sum_pr_ppm"))
+           .to_pandas().sort_values("source").reset_index(drop=True))
+    n = agg["n_docs"].to_numpy(dtype=np.int64)
+    sm = agg["sum_pr_ppm"].to_numpy(dtype=np.int64)
+    return pa.table({
+        "source": pa.array(agg["source"], type=pa.string()),
+        "n_docs": pa.array(n),
+        "sum_pr_ppm": pa.array(sm),
+        "mean_pr_ppm": pa.array(sm // n),
+    })
+
+
+PERCENTILE_NORM_SQL = """
+WITH r AS (
+  SELECT source,
+         ((rank() OVER (PARTITION BY lang ORDER BY n_chars) - 1)
+          * 1000000)
+           // greatest(count(*) OVER (PARTITION BY lang) - 1, 1)
+           AS ppm
+  FROM documents
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(ppm) AS BIGINT) AS sum_pr_ppm,
+       CAST(sum(ppm) // count(*) AS BIGINT) AS mean_pr_ppm
+FROM r GROUP BY 1 ORDER BY 1
+"""

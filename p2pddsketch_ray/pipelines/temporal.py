@@ -4748,3 +4748,92 @@ SELECT event_type,
 FROM cand WHERE rn = 1
 GROUP BY 1 ORDER BY 1
 """
+
+
+def scd2_snapshot_counts(sf_dir: str) -> pa.Table:
+    """POINT-IN-TIME query over the SCD2 history: how many users were
+    in each state at the stream's midpoint instant T = (min_ts +
+    max_ts) // 2 (exact integer microseconds) -- the "state of the
+    world as of T" read that is the whole purpose of building validity
+    intervals.  A user is in state s at T iff the run covering T is s
+    (valid_from <= T and (open run or valid_to > T)).
+
+    Dataflow: composes scd2_state_history (already O(state changes),
+    streamed) with one filtered in-batch combiner; two scalar ts
+    aggregates fix T deterministically on both sides.
+    """
+    from ray.data.aggregate import Max, Min, Sum
+
+    tsds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                                 columns=["ts"])
+    agg = tsds.aggregate(Min("ts"), Max("ts"))
+    mn = int(pa.scalar(agg["min(ts)"]).cast(pa.timestamp("us"))
+             .cast(pa.int64()).as_py())
+    mx = int(pa.scalar(agg["max(ts)"]).cast(pa.timestamp("us"))
+             .cast(pa.int64()).as_py())
+    t_us = (mn + mx) // 2
+
+    hist = scd2_state_history(sf_dir)
+
+    empty = pa.table({"state": pa.array([], type=pa.string()),
+                      "n_users": pa.array([], type=pa.int64())})
+
+    def at_t(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        vf = t["valid_from_us"].to_numpy(zero_copy_only=False)
+        vt = t["valid_to_us"].to_numpy(zero_copy_only=False)
+        live = (vf <= t_us) & ((vt == -1) | (vt > t_us))
+        if not live.any():
+            return empty
+        st = t["state"].to_numpy(zero_copy_only=False)[live]
+        us, cnt = np.unique(st, return_counts=True)
+        return pa.table({"state": pa.array(us, type=pa.string()),
+                         "n_users": pa.array(cnt.astype(np.int64))})
+
+    out = (hist.map_batches(at_t, batch_format="pyarrow")
+           .groupby("state").aggregate(Sum("n_users",
+                                           alias_name="n_users"))
+           .to_pandas().sort_values("state").reset_index(drop=True))
+    return pa.table({
+        "state": pa.array(out["state"], type=pa.string()),
+        "n_users": pa.array(out["n_users"].astype("int64")),
+    })
+
+
+SCD2_SNAPSHOT_SQL = """
+WITH v AS (
+  SELECT user_id, event_id, event_type,
+         CAST(epoch_us(ts) AS BIGINT) AS ts_us
+  FROM events
+), cutoff AS (
+  SELECT (min(ts_us) + max(ts_us)) // 2 AS t FROM v
+), marked AS (
+  SELECT user_id, event_id, event_type, ts_us,
+         CASE WHEN lag(event_type) OVER w IS NULL
+                OR lag(event_type) OVER w <> event_type
+              THEN 1 ELSE 0 END AS chg
+  FROM v WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+), grp AS (
+  SELECT user_id, event_type, ts_us,
+         sum(chg) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                        ROWS UNBOUNDED PRECEDING) AS seg
+  FROM marked
+), segs AS (
+  SELECT user_id, seg, min(event_type) AS state,
+         min(ts_us) AS valid_from_us,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM grp GROUP BY 1, 2
+), hist AS (
+  SELECT user_id, state, valid_from_us,
+         coalesce(lead(valid_from_us) OVER (PARTITION BY user_id
+                                            ORDER BY seg), -1)
+           AS valid_to_us
+  FROM segs
+)
+SELECT state, CAST(count(*) AS BIGINT) AS n_users
+FROM hist CROSS JOIN cutoff
+WHERE valid_from_us <= cutoff.t
+  AND (valid_to_us = -1 OR valid_to_us > cutoff.t)
+GROUP BY 1 ORDER BY 1
+"""

@@ -203,3 +203,18 @@ def test_quantile_bounds_validation():
         s.quantile(1.1)
     with pytest.raises(ValueError):
         DDSketch(alpha=PRACTICAL_ALPHA).quantile(0.5)  # empty
+
+
+def test_dds_incremental_update_is_bit_identical(ray_session):
+    """The driver query asserts merge(old, delta) == rebuild internally
+    and returns the full-data quantiles; check it against the plain
+    global query (same sketch state -> identical table)."""
+    import __ray_entry__ as entrymod
+    got = entrymod.queries()["dds_incremental_update"](
+        "/root/testdata/sf0.001")
+    base = entrymod.queries()["dds_event_value_global"](
+        "/root/testdata/sf0.001")
+    got = got.to_pandas() if hasattr(got, "to_pandas") else got
+    base = base.to_pandas() if hasattr(base, "to_pandas") else base
+    assert got["bucket_key"].tolist() == base["bucket_key"].tolist()
+    assert got["est"].tolist() == base["est"].tolist()

@@ -730,3 +730,25 @@ def test_decayed_cms_matches_duckdb_and_prefers_recent(ray_session):
     top = got.iloc[0]
     assert 0 < int(top["est_decayed_micro"]) \
         <= 1_000_000 * max(truth.values()) * 2  # CMS one-sided slack
+
+
+def test_cms_join_size_never_underestimates(ray_session):
+    import duckdb
+    import __ray_entry__ as entrymod
+    from p2pddsketch_ray.pipelines.approx import cms_join_size_estimate
+    sf = "/root/testdata/sf0.001"
+    got = cms_join_size_estimate(sf).to_pandas().iloc[0]
+    con = duckdb.connect()
+    for t in ("events", "orders"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{sf}/{t}.parquet')")
+    want = con.execute(
+        entrymod.oracle_sql()["cms_join_size_estimate"]).df().iloc[0]
+    for c in ("est_join_size", "exact_join_size", "overestimate"):
+        assert int(got[c]) == int(want[c]), c
+    # inner-product bound is one-sided and the exact side is the
+    # true join cardinality
+    true = con.execute("SELECT count(*) FROM orders JOIN events "
+                       "ON o_custkey = user_id").fetchone()[0]
+    assert int(got["exact_join_size"]) == true
+    assert int(got["est_join_size"]) >= true

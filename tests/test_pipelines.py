@@ -4552,3 +4552,39 @@ def test_hard_negative_topk_excludes_own_label(ray_session):
         assert int(r.neg_label) == labels[int(r.neg_id)]
     # every anchor present with exactly k=3 negatives
     assert got.groupby("anchor_id").size().eq(3).all()
+
+
+def test_percentile_norm_matches_duckdb(ray_session):
+    import duckdb
+    from p2pddsketch_ray.pipelines.relational import (
+        PERCENTILE_NORM_SQL, percentile_norm_by_source)
+    sf = "/root/testdata/sf0.001"
+    got = percentile_norm_by_source(sf).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf}/documents.parquet')")
+    want = con.execute(PERCENTILE_NORM_SQL).df()
+    assert got["source"].tolist() == want["source"].tolist()
+    for c in ("n_docs", "sum_pr_ppm", "mean_pr_ppm"):
+        assert got[c].astype("int64").tolist() \
+            == want[c].astype("int64").tolist(), c
+    # percent ranks live in [0, 1e6]
+    assert (got["mean_pr_ppm"] >= 0).all()
+    assert (got["mean_pr_ppm"] <= 1_000_000).all()
+
+
+def test_contrastive_margin_matches_duckdb(ray_session):
+    import duckdb
+    from p2pddsketch_ray.pipelines.knn import (CONTRASTIVE_MARGIN_SQL,
+                                               contrastive_margin_report)
+    sf = "/root/testdata/sf0.001"
+    got = contrastive_margin_report(sf).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM "
+                f"read_parquet('{sf}/embeddings.parquet')")
+    want = con.execute(CONTRASTIVE_MARGIN_SQL).df()
+    for c in got.columns:
+        assert got[c].astype("int64").tolist() \
+            == want[c].astype("int64").tolist(), c
+    assert (got["margin_units"]
+            == got["pos_units"] - got["neg_units"]).all()

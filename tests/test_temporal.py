@@ -1264,3 +1264,22 @@ def test_events_nearest_order_matches_duckdb(ray_session):
     for c in ("n", "n_after", "sum_abs_gap_ms"):
         assert got[c].astype("int64").tolist() \
             == want[c].astype("int64").tolist(), c
+
+
+def test_scd2_snapshot_matches_duckdb_and_counts_users(ray_session):
+    import duckdb
+    from p2pddsketch_ray.pipelines.temporal import (SCD2_SNAPSHOT_SQL,
+                                                    scd2_snapshot_counts)
+    sf = "/root/testdata/sf0.001"
+    got = scd2_snapshot_counts(sf).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{sf}/events.parquet')")
+    want = con.execute(SCD2_SNAPSHOT_SQL).df()
+    assert got["state"].tolist() == want["state"].tolist()
+    assert got["n_users"].astype("int64").tolist() \
+        == want["n_users"].astype("int64").tolist()
+    # at most one live state per user -> totals bounded by user count
+    n_users = con.execute(
+        "SELECT count(DISTINCT user_id) FROM events").fetchone()[0]
+    assert 0 < got["n_users"].sum() <= n_users
