@@ -518,7 +518,11 @@ from p2pddsketch_ray.pipelines.knn import (  # noqa: E402
     CONTRASTIVE_MARGIN_SQL as _CONTRASTIVE_MARGIN_SQL)
 from p2pddsketch_ray.pipelines.relational import (  # noqa: E402
     EPOCH_SHUFFLE_SQL as _EPOCH_SHUFFLE_SQL,
-    PERCENTILE_NORM_SQL as _PERCENTILE_NORM_SQL)
+    PERCENTILE_NORM_SQL as _PERCENTILE_NORM_SQL,
+    HHH_TYPE_USER_SQL as _HHH_TYPE_USER_SQL,
+    FEATURE_INFO_GAIN_SQL as _FEATURE_INFO_GAIN_SQL)
+from p2pddsketch_ray.pipelines.approx import (  # noqa: E402
+    UNIVERSE_JOIN_SAMPLE_SQL as _UNIVERSE_JOIN_SAMPLE_SQL)
 from p2pddsketch_ray.pipelines.search import (  # noqa: E402
     INVERTED_INDEX_SQL as _INVERTED_INDEX_SQL)
 from p2pddsketch_ray.pipelines.components import (  # noqa: E402
@@ -809,6 +813,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decayed_cms_user_scores": A.decayed_cms_user_scores,
         # join-size estimation from two CMS states (min inner product)
         "cms_join_size_estimate": A.cms_join_size_estimate,
+        # correlated key-universe join sampling (hash(key)%16 both sides)
+        "universe_join_sample": A.universe_join_sample,
+        # hierarchical heavy hitters with descendant-discounted counts
+        "hhh_type_user": R.hhh_type_user,
+        # one-pass information-gain feature ranking (exact micro-nats)
+        "feature_info_gain": R.feature_info_gain,
         "bloom_semijoin_orders": A.bloom_semijoin_orders,
         # bit-level empirical Bloom false-positive audit (MD5 double
         # hashing so DuckDB reproduces every position)
@@ -3375,6 +3385,9 @@ ORDER BY 1""",
         "split_assign_stats": _SPLIT_ASSIGN_SQL,
         "epoch_shuffle_stats": _EPOCH_SHUFFLE_SQL,
         "percentile_norm_by_source": _PERCENTILE_NORM_SQL,
+        "universe_join_sample": _UNIVERSE_JOIN_SAMPLE_SQL,
+        "hhh_type_user": _HHH_TYPE_USER_SQL,
+        "feature_info_gain": _FEATURE_INFO_GAIN_SQL,
         "equi_depth_buckets": _EQUI_DEPTH_SQL,
         "source_vocab_overlap": _SOURCE_VOCAB_OVERLAP_SQL,
         "value_hour_sufficient_stats": _VALUE_HOUR_STATS_SQL,

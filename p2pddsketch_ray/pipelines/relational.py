@@ -20818,3 +20818,253 @@ SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
        CAST(sum(ppm) // count(*) AS BIGINT) AS mean_pr_ppm
 FROM r GROUP BY 1 ORDER BY 1
 """
+
+
+def hhh_type_user(sf_dir: str, phi_den: int = 200) -> pa.Table:
+    """HIERARCHICAL HEAVY HITTERS over the (event_type -> user_id)
+    hierarchy (Cormode et al., the exact reference semantics): level 0
+    reports every (type, user) pair with count >= ceil(N/phi_den);
+    level 1 reports each event_type with its raw count AND its
+    DISCOUNTED count (raw minus the counts already claimed by its
+    level-0 heavy descendants) -- the discount is what separates "this
+    type is hot" from "one user inside it is hot", the triage signal
+    behind DDoS/abuse rollups and skew diagnosis before a shuffle.
+
+    Scale shape: per-block (type, user) bincount partials -> one
+    groupby sum; only rows >= threshold leave the exchange at level 0
+    (<= phi_den of them by definition), and level 1 is O(types).
+    Nothing unbounded ever reaches the driver.
+    """
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        staged = pa.table({
+            "event_type": t["event_type"], "user_id": t["user_id"],
+            "n": pa.array(np.ones(t.num_rows, dtype=np.int64))})
+        g = staged.group_by(["event_type", "user_id"]).aggregate(
+            [("n", "sum")])
+        return pa.table({"event_type": g["event_type"],
+                         "user_id": g["user_id"],
+                         "n": pc.cast(g["n_sum"], pa.int64())})
+
+    pairs = (ds.map_batches(partial, batch_format="pyarrow",
+                            zero_copy_batch=True)
+             .groupby(["event_type", "user_id"])
+             .aggregate(Sum("n", alias_name="n")))
+    type_tot = (pairs.groupby("event_type")
+                .aggregate(Sum("n", alias_name="raw"))
+                .to_pandas())
+    n_total = int(type_tot["raw"].sum())
+    thresh = (n_total + phi_den - 1) // phi_den
+
+    hh = pairs.filter(expr=f"n >= {thresh}").to_pandas()
+    if len(hh):
+        hh = hh.sort_values(["event_type", "user_id"])
+    claimed = (hh.groupby("event_type")["n"].sum() if len(hh)
+               else None)
+    rows = {c: [] for c in ("level", "event_type", "user_id",
+                            "raw_cnt", "disc_cnt", "is_hhh")}
+    for _, r in hh.iterrows():
+        rows["level"].append(0)
+        rows["event_type"].append(r["event_type"])
+        rows["user_id"].append(int(r["user_id"]))
+        rows["raw_cnt"].append(int(r["n"]))
+        rows["disc_cnt"].append(int(r["n"]))
+        rows["is_hhh"].append(1)
+    for _, r in type_tot.sort_values("event_type").iterrows():
+        raw = int(r["raw"])
+        sub = int(claimed.get(r["event_type"], 0)) if claimed is not None else 0
+        disc = raw - sub
+        rows["level"].append(1)
+        rows["event_type"].append(r["event_type"])
+        rows["user_id"].append(-1)
+        rows["raw_cnt"].append(raw)
+        rows["disc_cnt"].append(disc)
+        rows["is_hhh"].append(1 if disc >= thresh else 0)
+    return pa.table({
+        "level": pa.array(rows["level"], type=pa.int64()),
+        "event_type": pa.array(rows["event_type"], type=pa.string()),
+        "user_id": pa.array(rows["user_id"], type=pa.int64()),
+        "raw_cnt": pa.array(rows["raw_cnt"], type=pa.int64()),
+        "disc_cnt": pa.array(rows["disc_cnt"], type=pa.int64()),
+        "is_hhh": pa.array(rows["is_hhh"], type=pa.int64()),
+    })
+
+
+HHH_TYPE_USER_SQL = """
+WITH p AS (
+  SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+), tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n FROM events
+), th AS (
+  SELECT CAST((n + 199) // 200 AS BIGINT) AS t FROM tot
+), hp AS (
+  SELECT p.* FROM p CROSS JOIN th WHERE p.c >= th.t
+), tc AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS raw
+  FROM events GROUP BY 1
+), cl AS (
+  SELECT event_type, CAST(sum(c) AS BIGINT) AS claimed
+  FROM hp GROUP BY 1
+)
+SELECT CAST(0 AS BIGINT) AS level, event_type, user_id,
+       c AS raw_cnt, c AS disc_cnt, CAST(1 AS BIGINT) AS is_hhh
+FROM hp
+UNION ALL
+SELECT CAST(1 AS BIGINT), tc.event_type, CAST(-1 AS BIGINT),
+       tc.raw, tc.raw - coalesce(cl.claimed, 0),
+       CASE WHEN tc.raw - coalesce(cl.claimed, 0) >= th.t
+            THEN 1 ELSE 0 END
+FROM tc LEFT JOIN cl USING (event_type) CROSS JOIN th
+ORDER BY level, event_type, user_id
+"""
+
+
+def feature_info_gain(sf_dir: str) -> pa.Table:
+    """INFORMATION-GAIN feature ranking: which categorical feature of a
+    lineitem best predicts the return label (l_returnflag = 'R') --
+    IG(F) = H(Y) - H(Y|F) in exact micro-nats (every entropy term
+    individually floor((n/N)*ln(.)*1e6), the mirrored ln-parity
+    pattern), over four derived features: line status, ship month,
+    quantity decade, discount band.  The feature-selection pass a
+    labeling/curation pipeline runs before training a filter model.
+
+    Scale shape: ONE streaming pass emits per-block (feature, value,
+    label) count partials for all four features at once (in-batch
+    bincount on a composite code); one groupby folds them; the entropy
+    algebra runs on O(sum of feature arities) rows on the driver.
+    """
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_shipdate",
+                "l_quantity", "l_discount"])
+
+    empty = pa.table({"feature": pa.array([], type=pa.string()),
+                      "val": pa.array([], type=pa.string()),
+                      "y": pa.array([], type=pa.int64()),
+                      "n": pa.array([], type=pa.int64())})
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        y = (t["l_returnflag"].to_numpy(zero_copy_only=False)
+             == "R").astype(np.int64)
+        month = pc.month(t["l_shipdate"]).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        qty = np.floor(t["l_quantity"].to_numpy(
+            zero_copy_only=False)).astype(np.int64) // 10
+        disc = np.round(t["l_discount"].to_numpy(
+            zero_copy_only=False) * 100.0).astype(np.int64) // 2
+        feats = {
+            "linestatus": t["l_linestatus"].to_numpy(
+                zero_copy_only=False).astype(np.str_),
+            "ship_month": month.astype(np.str_),
+            "qty_decade": qty.astype(np.str_),
+            "disc_band": disc.astype(np.str_),
+        }
+        fs, vs, ys, ns = [], [], [], []
+        for fname, vals in feats.items():
+            uv, inv = np.unique(vals, return_inverse=True)
+            code = inv * 2 + y
+            cnt = np.bincount(code, minlength=uv.shape[0] * 2)
+            nz = np.flatnonzero(cnt)
+            fs.extend([fname] * nz.shape[0])
+            vs.extend(uv[nz // 2].tolist())
+            ys.extend((nz % 2).tolist())
+            ns.extend(cnt[nz].tolist())
+        return pa.table({
+            "feature": pa.array(fs, type=pa.string()),
+            "val": pa.array(vs, type=pa.string()),
+            "y": pa.array(np.asarray(ys, dtype=np.int64)),
+            "n": pa.array(np.asarray(ns, dtype=np.int64)),
+        })
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby(["feature", "val", "y"])
+           .aggregate(Sum("n", alias_name="n"))
+           .to_pandas())
+
+    n_total = float(agg["n"].sum() / 4)  # each row counted once per feature
+    # label entropy from any one feature's marginals
+    lab = agg[agg["feature"] == "linestatus"].groupby("y")["n"].sum()
+    h_y = int(sum(np.floor((c / n_total)
+                           * np.log(n_total / c) * 1_000_000.0)
+                  for c in lab.to_numpy(dtype=np.float64)))
+
+    out = {c: [] for c in ("feature", "n_values",
+                           "h_cond_micronats", "info_gain_micronats")}
+    for fname, g in agg.groupby("feature", sort=True):
+        vt = g.groupby("val")["n"].sum()
+        cond = 0
+        for _, r in g.iterrows():
+            nvy = float(r["n"])
+            nv = float(vt[r["val"]])
+            cond += int(np.floor((nvy / n_total)
+                                 * np.log(nv / nvy) * 1_000_000.0))
+        out["feature"].append(fname)
+        out["n_values"].append(int(len(vt)))
+        out["h_cond_micronats"].append(cond)
+        out["info_gain_micronats"].append(h_y - cond)
+    return pa.table({
+        "feature": pa.array(out["feature"], type=pa.string()),
+        "n_values": pa.array(out["n_values"], type=pa.int64()),
+        "h_label_micronats": pa.array([h_y] * len(out["feature"]),
+                                      type=pa.int64()),
+        "h_cond_micronats": pa.array(out["h_cond_micronats"],
+                                     type=pa.int64()),
+        "info_gain_micronats": pa.array(out["info_gain_micronats"],
+                                        type=pa.int64()),
+    })
+
+
+FEATURE_INFO_GAIN_SQL = """
+WITH base AS (
+  SELECT CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y,
+         l_linestatus,
+         CAST(month(l_shipdate) AS VARCHAR) AS ship_month,
+         CAST(CAST(floor(l_quantity) AS BIGINT) // 10 AS VARCHAR)
+           AS qty_decade,
+         CAST(CAST(round(l_discount * 100.0, 0) AS BIGINT) // 2
+              AS VARCHAR) AS disc_band
+  FROM lineitem
+), fv AS (
+  SELECT 'linestatus' AS feature, l_linestatus AS val, y FROM base
+  UNION ALL SELECT 'ship_month', ship_month, y FROM base
+  UNION ALL SELECT 'qty_decade', qty_decade, y FROM base
+  UNION ALL SELECT 'disc_band', disc_band, y FROM base
+), c AS (
+  SELECT feature, val, y, CAST(count(*) AS BIGINT) AS n
+  FROM fv GROUP BY 1, 2, 3
+), tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n FROM base
+), lab AS (
+  SELECT y, CAST(count(*) AS BIGINT) AS n FROM base GROUP BY 1
+), hy AS (
+  SELECT CAST(sum(CAST(floor((CAST(lab.n AS DOUBLE)
+                              / CAST(tot.n AS DOUBLE))
+                             * ln(CAST(tot.n AS DOUBLE)
+                                  / CAST(lab.n AS DOUBLE))
+                             * 1000000.0) AS BIGINT)) AS BIGINT) AS h
+  FROM lab CROSS JOIN tot
+), vt AS (
+  SELECT feature, val, CAST(sum(n) AS BIGINT) AS nv
+  FROM c GROUP BY 1, 2
+), cond AS (
+  SELECT c.feature,
+         CAST(sum(CAST(floor((CAST(c.n AS DOUBLE)
+                              / CAST(tot.n AS DOUBLE))
+                             * ln(CAST(vt.nv AS DOUBLE)
+                                  / CAST(c.n AS DOUBLE))
+                             * 1000000.0) AS BIGINT)) AS BIGINT)
+           AS h_cond,
+         CAST(count(DISTINCT c.val) AS BIGINT) AS n_values
+  FROM c JOIN vt ON vt.feature = c.feature AND vt.val = c.val
+  CROSS JOIN tot
+  GROUP BY 1
+)
+SELECT cond.feature, cond.n_values, hy.h AS h_label_micronats,
+       cond.h_cond AS h_cond_micronats,
+       hy.h - cond.h_cond AS info_gain_micronats
+FROM cond CROSS JOIN hy ORDER BY 1
+"""

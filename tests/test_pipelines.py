@@ -4588,3 +4588,71 @@ def test_contrastive_margin_matches_duckdb(ray_session):
             == want[c].astype("int64").tolist(), c
     assert (got["margin_units"]
             == got["pos_units"] - got["neg_units"]).all()
+
+
+def test_universe_join_sample_matches_duckdb(ray_session):
+    import duckdb
+    import __ray_entry__ as entrymod
+    from p2pddsketch_ray.pipelines.approx import universe_join_sample
+    sf = "/root/testdata/sf0.001"
+    got = universe_join_sample(sf).to_pandas().iloc[0]
+    con = duckdb.connect()
+    for t in ("events", "orders"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{sf}/{t}.parquet')")
+    want = con.execute(
+        entrymod.oracle_sql()["universe_join_sample"]).df().iloc[0]
+    for c in ("sampled_join_size", "est_join_size",
+              "exact_join_size", "est_error"):
+        assert int(got[c]) == int(want[c]), c
+    # the estimator is sampled * buckets and internally consistent
+    assert int(got["est_join_size"]) \
+        == int(got["sampled_join_size"]) * 16
+    assert int(got["est_error"]) \
+        == int(got["est_join_size"]) - int(got["exact_join_size"])
+
+
+def test_hhh_type_user_discount_algebra(ray_session):
+    import duckdb
+    from p2pddsketch_ray.pipelines.relational import (
+        HHH_TYPE_USER_SQL, hhh_type_user)
+    sf = "/root/testdata/sf0.001"
+    got = hhh_type_user(sf).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{sf}/events.parquet')")
+    want = con.execute(HHH_TYPE_USER_SQL).df()
+    assert len(got) == len(want)
+    for c in got.columns:
+        if got[c].dtype == object:
+            assert got[c].tolist() == want[c].tolist(), c
+        else:
+            assert got[c].astype("int64").tolist() \
+                == want[c].astype("int64").tolist(), c
+    # discount algebra: type raw == disc + claimed pair counts
+    pairs = got[got["level"] == 0]
+    types = got[got["level"] == 1]
+    for _, r in types.iterrows():
+        claimed = int(pairs[pairs["event_type"]
+                            == r["event_type"]]["raw_cnt"].sum())
+        assert int(r["raw_cnt"]) == int(r["disc_cnt"]) + claimed
+
+
+def test_feature_info_gain_matches_duckdb_and_nonneg(ray_session):
+    import duckdb
+    from p2pddsketch_ray.pipelines.relational import (
+        FEATURE_INFO_GAIN_SQL, feature_info_gain)
+    sf = "/root/testdata/sf0.001"
+    got = feature_info_gain(sf).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW lineitem AS SELECT * FROM "
+                f"read_parquet('{sf}/lineitem.parquet')")
+    want = con.execute(FEATURE_INFO_GAIN_SQL).df()
+    assert got["feature"].tolist() == want["feature"].tolist()
+    for c in ("n_values", "h_label_micronats", "h_cond_micronats",
+              "info_gain_micronats"):
+        assert got[c].astype("int64").tolist() \
+            == want[c].astype("int64").tolist(), c
+    # IG >= 0 up to the per-term floor slack (bounded by term count)
+    slack = int(got["n_values"].max()) * 2 + 2
+    assert (got["info_gain_micronats"] >= -slack).all()
