@@ -119,6 +119,10 @@ from p2pddsketch_ray.pipelines.approx import (  # noqa: E402
     join_size_estimate as _join_size_estimate,
     bloom_fpr_audit as _bloom_fpr_audit,
     BLOOM_FPR_SQL as _BLOOM_FPR_SQL,
+    linear_counting_users as _linear_counting_users,
+    LINEAR_COUNTING_SQL as _LINEAR_COUNTING_SQL,
+    counting_bloom_delete_audit as _counting_bloom_delete_audit,
+    COUNTING_BLOOM_SQL as _COUNTING_BLOOM_SQL,
     cms_error_report as _cms_error_report,
     CMS_ERROR_SQL as _CMS_ERROR_SQL,
     KMV_ANOTB_SQL as _KMV_ANOTB_SQL,
@@ -823,6 +827,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # bit-level empirical Bloom false-positive audit (MD5 double
         # hashing so DuckDB reproduces every position)
         "bloom_fpr_audit": _bloom_fpr_audit,
+        # linear probabilistic counting (Whang TODS'90): bitmap distinct
+        # estimator, md5 cells replicated bit-exactly by the oracle
+        "linear_counting_users": _linear_counting_users,
+        # counting Bloom (Fan ToN'00): turnstile membership with deletes,
+        # cell state + false-stay probes oracle-verified
+        "counting_bloom_delete_audit": _counting_bloom_delete_audit,
         # CMS overestimate report on the exact top-k heavy hitters
         "cms_error_report": _cms_error_report,
         # Misra-Gries frequent items (deterministic counter summary ->
@@ -2922,6 +2932,8 @@ ORDER BY est_decayed_micro DESC, user_id LIMIT 20""",
         # the Bloom prefilter is exact-confirmed, so the result equals the
         # plain semi-join
         "bloom_fpr_audit": _BLOOM_FPR_SQL,
+        "linear_counting_users": _LINEAR_COUNTING_SQL,
+        "counting_bloom_delete_audit": _COUNTING_BLOOM_SQL,
         "cms_error_report": _CMS_ERROR_SQL,
         "bloom_semijoin_orders": """
 SELECT o_orderstatus, count(*) AS n_orders

@@ -1393,3 +1393,237 @@ SELECT s.n AS sampled_join_size,
        CAST(s.n * 16 - ex.n AS BIGINT) AS est_error
 FROM s CROSS JOIN ex
 """
+
+
+class _LinearCounter:
+    """Linear probabilistic counting bitmap (Whang/Vander-Zanden/Taylor,
+    TODS 1990): one bit per md5-derived cell, distinct-count estimated
+    from the zero-cell fraction, n_hat = -m * ln(V_n).  Mergeable by
+    bitwise OR (order-independent), and -- unlike HLL -- every cell is
+    SQL-replicable bit-for-bit from ``md5(CAST(key AS VARCHAR))``, so
+    the oracle rebuilds the whole bitmap, not just the estimate.
+
+    The reference's mergeable-accumulator dataflow
+    (/root/reference/ddsketch.cc DDS_MergeCollapse) applied to the
+    simplest distinct sketch in the literature."""
+
+    def __init__(self, m: int):
+        self.m = int(m)
+        self.bits = np.zeros(self.m, dtype=bool)
+
+    def add_batch(self, keys: np.ndarray) -> None:
+        if len(keys):
+            from ..hashing import md5_pair_uint64
+            h1, _ = md5_pair_uint64([str(int(v)) for v in keys])
+            self.bits[(h1 % np.uint64(self.m)).astype(np.int64)] = True
+
+    def merge(self, other: "_LinearCounter") -> "_LinearCounter":
+        self.bits |= other.bits
+        return self
+
+
+def linear_counting_users(sf_dir: str, m: int = 4096) -> pa.Table:
+    """LINEAR-COUNTING distinct users: per-block partial bitmaps
+    (m/8 bytes each) tree-merge by OR; the estimate -m*ln(zeros/m) and
+    the exact distinct ride side by side with the signed error.
+
+    Scale shape: the bitmap is a fixed 512-byte blob regardless of
+    input rows -- the whole shuffle is O(blocks * m/8) bytes; the exact
+    count reuses the per-block distinct + groupby path.  At 10^12 rows
+    the accuracy collapses once fill approaches 1 (the documented
+    regime bound: keep n <~ m * ln(m)); the query surfaces fill so a
+    caller can see saturation.
+    """
+    ds = _read(sf_dir, "events", ["user_id"])
+
+    def add(s: _LinearCounter, t: pa.Table) -> None:
+        c = t["user_id"]
+        if c.null_count:
+            c = c.drop_null()
+        s.add_batch(c.to_numpy(zero_copy_only=False))
+
+    lc = build_and_merge(ds, ["user_id"], lambda: _LinearCounter(m), add)
+    nonzero = int(lc.bits.sum())
+    zeros = m - nonzero
+    est = round(-m * float(np.log(zeros / m)), 6) if zeros else float("inf")
+
+    exact = int(ds.groupby("user_id").count().count())
+    return pa.table({
+        "m": pa.array([m], type=pa.int64()),
+        "nonzero_bits": pa.array([nonzero], type=pa.int64()),
+        "lc_estimate": pa.array([est], type=pa.float64()),
+        "exact_distinct": pa.array([exact], type=pa.int64()),
+        "err_x1000000": pa.array(
+            [int(round(est * 1_000_000)) - exact * 1_000_000],
+            type=pa.int64()),
+    })
+
+
+LINEAR_COUNTING_SQL = """
+WITH pos AS (
+  SELECT DISTINCT
+         CAST(CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 16))
+              AS UBIGINT) % 4096 AS BIGINT) AS p
+  FROM events WHERE user_id IS NOT NULL
+), s AS (
+  SELECT CAST(count(*) AS BIGINT) AS nonzero,
+         CAST(4096 - count(*) AS BIGINT) AS zeros
+  FROM pos
+), ex AS (
+  SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct
+  FROM events WHERE user_id IS NOT NULL
+)
+SELECT CAST(4096 AS BIGINT) AS m,
+       nonzero AS nonzero_bits,
+       round(-4096 * ln(CAST(zeros AS DOUBLE) / 4096.0), 6) AS lc_estimate,
+       exact_distinct,
+       CAST(round(round(-4096 * ln(CAST(zeros AS DOUBLE) / 4096.0), 6)
+                  * 1000000) AS BIGINT)
+         - exact_distinct * 1000000 AS err_x1000000
+FROM s CROSS JOIN ex
+"""
+
+
+class _CountingBloom:
+    """Counting Bloom filter (Fan/Cao/Almeida/Broder, ToN 2000):
+    int32 cells instead of bits so deletions are supported -- the
+    turnstile analogue of the plain Bloom, mirroring the reference's
+    DDS_DeleteCollapse turnstile path (/root/reference/ddsketch.cc) on
+    a membership sketch.  Positions are the same SQL-replicable
+    Kirsch-Mitzenmacher md5 double hashing as _OracleBloom; cells add
+    under merge (order-independent), deletes subtract.
+    """
+
+    def __init__(self, m: int, k: int):
+        self.m, self.k = int(m), int(k)
+        self.cells = np.zeros(self.m, dtype=np.int64)
+
+    def _positions(self, keys: np.ndarray) -> np.ndarray:
+        from ..hashing import md5_pair_uint64
+        h1, h2 = md5_pair_uint64([str(int(v)) for v in keys])
+        a = (h1 % np.uint64(self.m)).astype(np.int64)
+        b = (h2 % np.uint64(self.m)).astype(np.int64)
+        return np.stack([(a + i * b) % self.m for i in range(self.k)])
+
+    def update_batch(self, keys: np.ndarray, delta: int) -> None:
+        if len(keys):
+            np.add.at(self.cells, self._positions(keys).ravel(), delta)
+
+    def contains_batch(self, keys: np.ndarray) -> np.ndarray:
+        if not len(keys):
+            return np.zeros(0, dtype=bool)
+        return (self.cells[self._positions(keys)] > 0).all(axis=0)
+
+    def merge(self, other: "_CountingBloom") -> "_CountingBloom":
+        self.cells += other.cells
+        return self
+
+
+def counting_bloom_delete_audit(sf_dir: str, m: int = 4096, k: int = 2,
+                                cut: float = 7000.0) -> pa.Table:
+    """COUNTING-BLOOM deletion audit: insert every customer key, delete
+    the low-balance tier, then probe both sides of the cut against the
+    post-delete filter.  Reports the two numbers that matter for any
+    deletable membership structure: remaining members must ALL still
+    test present (no false negatives -- asserted, not assumed), and the
+    deleted keys that still test present (false-stay collisions) are
+    counted.  Cell state (sum/nonzero) is oracle-verified bit-exactly.
+
+    Scale shape: inserts and deletes build in one pass as two signed
+    partial cell arrays that tree-merge by addition (turnstile, like
+    the reference's delete path); probes stream with the merged filter
+    broadcast once via ray.put.
+    """
+    ds = _read(sf_dir, "customer", ["c_custkey", "c_acctbal"])
+
+    def add(s: _CountingBloom, t: pa.Table) -> None:
+        keys = t["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        s.update_batch(keys, +1)
+        low = t.filter(pc.less_equal(t["c_acctbal"], cut))[
+            "c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        s.update_batch(low, -1)
+
+    cbf = build_and_merge(ds, ["c_custkey", "c_acctbal"],
+                          lambda: _CountingBloom(m, k), add)
+    assert (cbf.cells >= 0).all(), "counting-bloom cell went negative"
+    cbf_ref = ray.put(cbf)
+
+    empty = pa.table({c: pa.array([], type=pa.int64())
+                      for c in ["n_del", "n_stay", "n_rem", "n_rem_hit"]})
+
+    def probe(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        b = ray.get(cbf_ref)
+        low_m = pc.less_equal(t["c_acctbal"], cut)
+        dele = t.filter(low_m)["c_custkey"].to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        rem = t.filter(pc.invert(low_m))["c_custkey"].to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "n_del": pa.array([len(dele)]),
+            "n_stay": pa.array([int(b.contains_batch(dele).sum())]),
+            "n_rem": pa.array([len(rem)]),
+            "n_rem_hit": pa.array([int(b.contains_batch(rem).sum())]),
+        })
+
+    from ray.data.aggregate import Sum
+    agg = (ds.map_batches(probe, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .aggregate(Sum("n_del"), Sum("n_stay"),
+                      Sum("n_rem"), Sum("n_rem_hit")))
+    n_rem, n_rem_hit = int(agg["sum(n_rem)"]), int(agg["sum(n_rem_hit)"])
+    assert n_rem_hit == n_rem, "counting bloom false negative"
+    return pa.table({
+        "m": pa.array([m], type=pa.int64()),
+        "k": pa.array([k], type=pa.int64()),
+        "sum_cells": pa.array([int(cbf.cells.sum())], type=pa.int64()),
+        "nonzero_cells": pa.array([int((cbf.cells > 0).sum())],
+                                  type=pa.int64()),
+        "n_deleted": pa.array([int(agg["sum(n_del)"])], type=pa.int64()),
+        "n_false_stay": pa.array([int(agg["sum(n_stay)"])],
+                                 type=pa.int64()),
+        "n_remaining": pa.array([n_rem], type=pa.int64()),
+        "n_remaining_present": pa.array([n_rem_hit], type=pa.int64()),
+    })
+
+
+COUNTING_BLOOM_SQL = """
+WITH keyed AS (
+  SELECT c_custkey AS key,
+         CASE WHEN c_acctbal <= 7000.0 THEN -1 ELSE 0 END AS del_f,
+         CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 16))
+              AS UBIGINT) % 4096 AS h1,
+         CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 17, 16))
+              AS UBIGINT) % 4096 AS h2
+  FROM customer
+), incr AS (
+  -- +1 at both positions for every key, -1 for the deleted tier
+  SELECT CAST((h1 + i.range * h2) % 4096 AS BIGINT) AS pos,
+         CAST(1 + del_f AS BIGINT) AS w
+  FROM keyed CROSS JOIN range(0, 2) i
+), cells AS (
+  SELECT pos, CAST(sum(w) AS BIGINT) AS c FROM incr GROUP BY pos
+), probes AS (
+  SELECT key, del_f,
+         CAST((h1 + i.range * h2) % 4096 AS BIGINT) AS pos
+  FROM keyed CROSS JOIN range(0, 2) i
+), hits AS (
+  SELECT p.key, p.del_f, min(coalesce(c.c, 0)) AS mn
+  FROM probes p LEFT JOIN cells c USING (pos)
+  GROUP BY 1, 2
+)
+SELECT CAST(4096 AS BIGINT) AS m, CAST(2 AS BIGINT) AS k,
+       (SELECT CAST(sum(c) AS BIGINT) FROM cells) AS sum_cells,
+       (SELECT CAST(count(*) AS BIGINT) FROM cells WHERE c > 0)
+         AS nonzero_cells,
+       CAST(sum(CASE WHEN del_f = -1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_deleted,
+       CAST(sum(CASE WHEN del_f = -1 AND mn > 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_false_stay,
+       CAST(sum(CASE WHEN del_f = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_remaining,
+       CAST(sum(CASE WHEN del_f = 0 AND mn > 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_remaining_present
+FROM hits
+"""

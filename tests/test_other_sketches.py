@@ -752,3 +752,65 @@ def test_cms_join_size_never_underestimates(ray_session):
                        "ON o_custkey = user_id").fetchone()[0]
     assert int(got["exact_join_size"]) == true
     assert int(got["est_join_size"]) >= true
+
+
+# -- Linear counting / counting Bloom ---------------------------------------
+
+def test_linear_counter_merge_and_accuracy():
+    from p2pddsketch_ray.pipelines.approx import _LinearCounter
+    rng = np.random.default_rng(7)
+    keys = rng.integers(0, 900, 20_000)
+    true = len(np.unique(keys))
+    whole = _LinearCounter(4096)
+    whole.add_batch(keys)
+    # split/merge in any order == bulk (OR is commutative+idempotent)
+    parts = []
+    for chunk in np.array_split(keys, 5):
+        s = _LinearCounter(4096)
+        s.add_batch(chunk)
+        parts.append(s)
+    for order in ([0, 1, 2, 3, 4], [4, 2, 0, 3, 1]):
+        acc = _LinearCounter(4096)
+        for i in order:
+            acc.merge(parts[i])
+        assert (acc.bits == whole.bits).all()
+    zeros = 4096 - int(whole.bits.sum())
+    est = -4096 * np.log(zeros / 4096)
+    # published regime: std err ~ sqrt(m*(exp(t)-t-1))/n with t=n/m
+    assert abs(est - true) / true < 0.05
+
+
+def test_counting_bloom_delete_restores_empty_and_membership():
+    from p2pddsketch_ray.pipelines.approx import _CountingBloom
+    keys = np.arange(500, dtype=np.int64)
+    b = _CountingBloom(2048, 2)
+    b.update_batch(keys, +1)
+    assert b.contains_batch(keys).all()          # no false negatives
+    b.update_batch(keys, -1)
+    assert (b.cells == 0).all()                  # full delete restores zero
+    # partial delete: remaining keys still all present
+    b.update_batch(keys, +1)
+    b.update_batch(keys[:250], -1)
+    assert b.contains_batch(keys[250:]).all()
+    # merge is additive and order-independent
+    p1, p2 = _CountingBloom(2048, 2), _CountingBloom(2048, 2)
+    p1.update_batch(keys[:250], +1)
+    p2.update_batch(keys[250:], +1)
+    merged = _CountingBloom(2048, 2)
+    merged.merge(p2).merge(p1)
+    whole = _CountingBloom(2048, 2)
+    whole.update_batch(keys, +1)
+    assert (merged.cells == whole.cells).all()
+
+
+def test_linear_counting_and_counting_bloom_queries(ray_session):
+    sf_dir = "/root/testdata/sf0.001"
+    from p2pddsketch_ray.pipelines.approx import (
+        counting_bloom_delete_audit, linear_counting_users)
+    lc = linear_counting_users(sf_dir).to_pydict()
+    assert lc["nonzero_bits"][0] > 0
+    assert abs(lc["lc_estimate"][0] - lc["exact_distinct"][0]) \
+        <= 0.1 * lc["exact_distinct"][0] + 3
+    cb = counting_bloom_delete_audit(sf_dir).to_pydict()
+    assert cb["n_remaining_present"][0] == cb["n_remaining"][0]
+    assert cb["sum_cells"][0] == cb["k"][0] * cb["n_remaining"][0]
