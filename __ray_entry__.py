@@ -524,7 +524,9 @@ from p2pddsketch_ray.pipelines.relational import (  # noqa: E402
     EPOCH_SHUFFLE_SQL as _EPOCH_SHUFFLE_SQL,
     PERCENTILE_NORM_SQL as _PERCENTILE_NORM_SQL,
     HHH_TYPE_USER_SQL as _HHH_TYPE_USER_SQL,
-    FEATURE_INFO_GAIN_SQL as _FEATURE_INFO_GAIN_SQL)
+    FEATURE_INFO_GAIN_SQL as _FEATURE_INFO_GAIN_SQL,
+    DP_NOISY_COUNTS_SQL as _DP_NOISY_COUNTS_SQL,
+    HUBER_LOCATION_SQL as _HUBER_LOCATION_SQL)
 from p2pddsketch_ray.pipelines.approx import (  # noqa: E402
     UNIVERSE_JOIN_SAMPLE_SQL as _UNIVERSE_JOIN_SAMPLE_SQL)
 from p2pddsketch_ray.pipelines.search import (  # noqa: E402
@@ -823,6 +825,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hhh_type_user": R.hhh_type_user,
         # one-pass information-gain feature ranking (exact micro-nats)
         "feature_info_gain": R.feature_info_gain,
+        # Laplace-mechanism DP count release with md5-seeded noise the
+        # oracle replays draw-for-draw (Dwork TCC'06)
+        "dp_noisy_counts": R.dp_noisy_counts,
+        # Huber M-estimator location per flag: 3 IRLS passes, integer
+        # milli-weight quantization so the trajectory is order-free
+        "huber_location_by_flag": R.huber_location_by_flag,
         "bloom_semijoin_orders": A.bloom_semijoin_orders,
         # bit-level empirical Bloom false-positive audit (MD5 double
         # hashing so DuckDB reproduces every position)
@@ -1129,6 +1137,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "model_score_stats": _model_score_stats,
         # lift/gains table of the broadcast linear scorer (binned)
         "score_lift_report": _score_lift_report,
+        # Murphy decomposition of the scorer's Brier score: per-bin
+        # reliability/resolution in exact integer micro units
+        "brier_decomposition": _brier_decomposition,
         # collocation extraction: top bigrams by PMI in exact integer
         # micro-nats (phrase-mining / tokenizer-merge statistic)
         "pmi_bigrams_topk": R.pmi_bigrams_topk,
@@ -1697,6 +1708,11 @@ def _score_lift_report(sf_dir: str):
     return score_lift_report(sf_dir)
 
 
+def _brier_decomposition(sf_dir: str):
+    from p2pddsketch_ray.pipelines.inference import brier_decomposition
+    return brier_decomposition(sf_dir)
+
+
 def _multimodal_resize(sf_dir: str):
     import ray.data
     from p2pddsketch_ray.stages.multimodal import resize_stats_by_group
@@ -2235,13 +2251,15 @@ FROM tot, pe"""
 
 def oracle_sql() -> dict[str, str]:
     from p2pddsketch_ray.functions.text import STOPWORDS
-    from p2pddsketch_ray.pipelines.inference import (MODEL_SCORE_SQL,
+    from p2pddsketch_ray.pipelines.inference import (BRIER_DECOMP_SQL,
+                                                     MODEL_SCORE_SQL,
                                                      SCORE_LIFT_SQL)
     stoplist = ",".join(f"'{w}'" for w in STOPWORDS)
 
     return {
         "model_score_stats": MODEL_SCORE_SQL,
         "score_lift_report": SCORE_LIFT_SQL,
+        "brier_decomposition": BRIER_DECOMP_SQL,
         "pmi_bigrams_topk": _PMI_BIGRAMS_SQL,
         "bigram_lm_by_lang": _BIGRAM_LM_BY_LANG_SQL,
         "embedding_covariance_topk": _EMBEDDING_COVARIANCE_SQL,
@@ -3400,6 +3418,8 @@ ORDER BY 1""",
         "universe_join_sample": _UNIVERSE_JOIN_SAMPLE_SQL,
         "hhh_type_user": _HHH_TYPE_USER_SQL,
         "feature_info_gain": _FEATURE_INFO_GAIN_SQL,
+        "dp_noisy_counts": _DP_NOISY_COUNTS_SQL,
+        "huber_location_by_flag": _HUBER_LOCATION_SQL,
         "equi_depth_buckets": _EQUI_DEPTH_SQL,
         "source_vocab_overlap": _SOURCE_VOCAB_OVERLAP_SQL,
         "value_hour_sufficient_stats": _VALUE_HOUR_STATS_SQL,

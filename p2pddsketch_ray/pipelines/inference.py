@@ -271,3 +271,122 @@ SELECT bin, n_docs, n_pos,
 FROM cell
 ORDER BY bin DESC
 """
+
+
+def brier_decomposition(sf_dir: str, n_bins: int = 10,
+                        pos_chars: int = 200) -> pa.Table:
+    """MURPHY (1973) decomposition of the Brier score for the broadcast
+    linear scorer: per probability-bin reliability (calibration gap)
+    and resolution (how far the bin's hit rate sits from the base
+    rate), plus the raw squared-error mass -- the calibration report a
+    ranking/quality model gets before its scores gate a data pipeline.
+
+    The logit is squashed to an integer micro-probability by clamping
+    to [CLS_LO, CLS_HI] then linear rescale (deterministic ints, no
+    sigmoid float), label y = n_chars >= ``pos_chars`` -- every column
+    is exact integer math the DuckDB twin replays.
+
+    Scale shape: the actor pool scores each batch once (weights fetched
+    per actor), a per-batch combiner folds to O(bins) rows, and the
+    decomposition terms are driver math over the bounded bin table.
+    """
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["text", "n_chars"])
+    weights_ref = ray.put(dict(MODEL_WEIGHTS))
+    span = CLS_HI - CLS_LO
+
+    class _BinStage(LinearDocScorer):
+        def __call__(self, t: pa.Table) -> pa.Table:
+            logit = self.predict(t)
+            lc = np.clip(logit, CLS_LO, CLS_HI)
+            p = (lc - CLS_LO) * np.int64(1_000_000) // span
+            y = (pc.cast(t["n_chars"], pa.int64())
+                 .to_numpy(zero_copy_only=False)
+                 >= pos_chars).astype(np.int64)
+            bins = np.minimum(p * n_bins // 1_000_000, n_bins - 1)
+            n = np.bincount(bins, minlength=n_bins).astype(np.int64)
+            # int64 scatter-adds (not float-weighted bincount): the
+            # micro^2 sums must stay exact past 2^53
+            npos = np.zeros(n_bins, dtype=np.int64)
+            sp = np.zeros(n_bins, dtype=np.int64)
+            sse = np.zeros(n_bins, dtype=np.int64)
+            np.add.at(npos, bins, y)
+            np.add.at(sp, bins, p)
+            err = p - y * np.int64(1_000_000)
+            np.add.at(sse, bins, err * err)
+            return pa.table({
+                "bin": pa.array(np.arange(n_bins, dtype=np.int64)),
+                "n": pa.array(n), "n_pos": pa.array(npos),
+                "sum_p": pa.array(sp), "sse": pa.array(sse),
+            })
+
+    agg = (ds.map_batches(_BinStage, batch_format="pyarrow",
+                          zero_copy_batch=True, concurrency=2,
+                          fn_constructor_kwargs={
+                              "weights_ref": weights_ref})
+           .groupby("bin")
+           .aggregate(Sum("n", alias_name="n"),
+                      Sum("n_pos", alias_name="n_pos"),
+                      Sum("sum_p", alias_name="sum_p"),
+                      Sum("sse", alias_name="sse"))
+           .to_pandas().sort_values("bin"))
+    agg = agg[agg["n"] > 0]
+    n = agg["n"].to_numpy(dtype=np.int64)
+    npos = agg["n_pos"].to_numpy(dtype=np.int64)
+    sp = agg["sum_p"].to_numpy(dtype=np.int64)
+    ybar = int(npos.sum()) * 1_000_000 // int(n.sum())
+    mean_p = sp // n
+    rate = npos * np.int64(1_000_000) // n
+    return pa.table({
+        "bin": pa.array(agg["bin"].to_numpy(dtype=np.int64)),
+        "n_docs": pa.array(n),
+        "n_pos": pa.array(npos),
+        "mean_p_micro": pa.array(mean_p),
+        "pos_rate_micro": pa.array(rate),
+        "sse_micro2": pa.array(agg["sse"].to_numpy(dtype=np.int64)),
+        "rel_contrib": pa.array(n * (mean_p - rate) ** 2),
+        "res_contrib": pa.array(n * (rate - ybar) ** 2),
+    })
+
+
+BRIER_DECOMP_SQL = f"""
+WITH feat AS (
+  SELECT n_chars,
+         {MODEL_WEIGHTS['bias']}
+         + {MODEL_WEIGHTS['w_chars']} * n_chars
+         + {MODEL_WEIGHTS['w_toks']} * len(string_split(text, ' '))
+         + {MODEL_WEIGHTS['w_a']} *
+             (length(text) - length(replace(text, 'a', '')))
+         + {MODEL_WEIGHTS['w_e']} *
+             (length(text) - length(replace(text, 'e', '')))
+         AS logit
+  FROM documents
+), p AS (
+  SELECT (least({CLS_HI}, greatest({CLS_LO}, logit)) - {CLS_LO})
+           * 1000000 // {CLS_HI - CLS_LO} AS pm,
+         CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END AS y
+  FROM feat
+), b AS (
+  SELECT least(pm * 10 // 1000000, 9) AS bin,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(y) AS BIGINT) AS n_pos,
+         CAST(sum(pm) AS BIGINT) AS sum_p,
+         CAST(sum((pm - y * 1000000) * (pm - y * 1000000)) AS BIGINT)
+           AS sse_micro2
+  FROM p GROUP BY 1
+), tot AS (
+  SELECT CAST(sum(n_pos) * 1000000 // sum(n_docs) AS BIGINT) AS ybar
+  FROM b
+)
+SELECT CAST(bin AS BIGINT) AS bin, n_docs, n_pos,
+       sum_p // n_docs AS mean_p_micro,
+       n_pos * 1000000 // n_docs AS pos_rate_micro,
+       sse_micro2,
+       n_docs * (sum_p // n_docs - n_pos * 1000000 // n_docs)
+              * (sum_p // n_docs - n_pos * 1000000 // n_docs)
+         AS rel_contrib,
+       n_docs * (n_pos * 1000000 // n_docs - ybar)
+              * (n_pos * 1000000 // n_docs - ybar) AS res_contrib
+FROM b CROSS JOIN tot
+WHERE n_docs > 0 ORDER BY bin
+"""

@@ -21068,3 +21068,181 @@ SELECT cond.feature, cond.n_values, hy.h AS h_label_micronats,
        hy.h - cond.h_cond AS info_gain_micronats
 FROM cond CROSS JOIN hy ORDER BY 1
 """
+
+
+def dp_noisy_counts(sf_dir: str, eps_x1000: int = 100,
+                    seed_tag: str = "dpseed1") -> pa.Table:
+    """DIFFERENTIALLY-PRIVATE release of per-event-type counts via the
+    Laplace mechanism (Dwork et al., TCC 2006): count + Lap(1/eps)
+    noise, sensitivity 1 (one event changes one count by 1).  The noise
+    is SEEDED -- u = md5(event_type || tag) as a uniform in (0,1),
+    noise = -b * sgn(u - 1/2) * ln(1 - 2|u - 1/2|) -- so the release is
+    reproducible and the DuckDB oracle replays the exact same draw
+    (a real deployment would use a fresh CSPRNG draw per release; the
+    mechanism, sensitivity math, and post-processing are identical).
+
+    Scale shape: the exact counts are a per-block combiner + tiny
+    groupby (O(types) rows); noise is O(groups) driver math on the
+    bounded result.
+    """
+    ds = _read(sf_dir, "events", ["event_type"])
+    counts = (ds.groupby("event_type").count()
+              .rename_columns({"count()": "n_exact"}).to_pandas())
+    b = 1000.0 / eps_x1000  # b = 1/eps
+    from ..hashing import md5_pair_uint64
+    keys = [f"{t}:{seed_tag}" for t in counts["event_type"]]
+    h1, _ = md5_pair_uint64(keys)
+    u = h1.astype(np.float64) / 18446744073709551616.0
+    noise = -b * np.sign(u - 0.5) * np.log(1.0 - 2.0 * np.abs(u - 0.5))
+    noisy = np.round(counts["n_exact"].to_numpy() + noise, 6)
+    out = pa.table({
+        "event_type": pa.array(counts["event_type"], type=pa.string()),
+        "n_exact": pa.array(counts["n_exact"].astype(np.int64)),
+        "n_noisy": pa.array(noisy, type=pa.float64()),
+        "eps_x1000": pa.array(np.full(len(counts), eps_x1000,
+                                      dtype=np.int64)),
+    })
+    return out.sort_by("event_type")
+
+
+DP_NOISY_COUNTS_SQL = """
+WITH c AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_exact
+  FROM events GROUP BY 1
+), u AS (
+  SELECT event_type, n_exact,
+         CAST(CAST(('0x' || substr(md5(event_type || ':dpseed1'), 1, 16))
+              AS UBIGINT) AS DOUBLE) / 18446744073709551616.0 AS u
+  FROM c
+)
+SELECT event_type, n_exact,
+       round(n_exact + (-10.0) * sign(u - 0.5)
+             * ln(1.0 - 2.0 * abs(u - 0.5)), 6) AS n_noisy,
+       CAST(100 AS BIGINT) AS eps_x1000
+FROM u ORDER BY event_type
+"""
+
+
+def huber_location_by_flag(sf_dir: str, k_cents: int = 20000,
+                           iters: int = 3) -> pa.Table:
+    """HUBER M-estimator of location per returnflag via IRLS (Huber
+    1964): weights w = min(1, k/|x - mu|) downweight tail prices so the
+    estimate sits between mean (outlier-dragged) and median (discards
+    magnitude).  Fixed-point iterated ``iters`` times from the exact
+    integer mean.
+
+    Every iteration is one distributed pass: per-block partial
+    (flag, sum(w_milli * x), sum(w_milli)) with weights quantized to
+    integer milli-units, folded by a tiny groupby -- the update is
+    order-independent integer math, so the DuckDB twin replays the
+    exact trajectory.  Driver holds only O(flags) state between
+    iterations (broadcast back into the next pass).
+    """
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_extendedprice"])
+
+    def cents_stage(t: pa.Table) -> pa.Table:
+        g = pa.table({
+            "flag": t["l_returnflag"],
+            "cents": _int_units(t["l_extendedprice"], 100),
+        }).group_by("flag").aggregate([("cents", "sum"),
+                                       ("cents", "count")])
+        return pa.table({"flag": g["flag"],
+                         "s": pc.cast(g["cents_sum"], pa.int64()),
+                         "n": pc.cast(g["cents_count"], pa.int64())})
+
+    base = (ds.map_batches(cents_stage, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby("flag").aggregate(Sum("s", alias_name="s"),
+                                       Sum("n", alias_name="n"))
+            .to_pandas().sort_values("flag"))
+    flags = base["flag"].tolist()
+    mu = {f: int(s) // int(n)
+          for f, s, n in zip(flags, base["s"], base["n"])}
+    n_by = {f: int(n) for f, n in zip(flags, base["n"])}
+
+    for _ in range(iters):
+        mu_ref = ray.put(dict(mu))
+
+        def wstage(t: pa.Table, _ref=mu_ref) -> pa.Table:
+            m = ray.get(_ref)
+            flag = np.asarray(t["l_returnflag"].to_pylist(),
+                              dtype=np.str_)
+            x = _int_units(t["l_extendedprice"], 100).to_numpy(
+                zero_copy_only=False)
+            uf, inv = np.unique(flag, return_inverse=True)
+            mu_row = np.array([m[f] for f in uf], dtype=np.int64)[inv]
+            dev = np.abs(x - mu_row)
+            # w_milli = min(1000, k*1000 // dev)  (w=1 inside the knee)
+            w = np.where(dev <= k_cents, np.int64(1000),
+                         (np.int64(k_cents) * 1000)
+                         // np.maximum(dev, 1))
+            sw = np.zeros(uf.shape[0], dtype=np.int64)
+            swx = np.zeros(uf.shape[0], dtype=np.int64)
+            np.add.at(sw, inv, w)
+            np.add.at(swx, inv, w * x)
+            return pa.table({"flag": pa.array(uf.tolist(),
+                                              type=pa.string()),
+                             "swx": pa.array(swx), "sw": pa.array(sw)})
+
+        it = (ds.map_batches(wstage, batch_format="pyarrow",
+                             zero_copy_batch=True)
+              .groupby("flag").aggregate(Sum("swx", alias_name="swx"),
+                                         Sum("sw", alias_name="sw"))
+              .to_pandas())
+        mu = {f: int(swx) // int(sw)
+              for f, swx, sw in zip(it["flag"], it["swx"], it["sw"])}
+
+    mean_cents = {f: int(s) // int(n)
+                  for f, s, n in zip(flags, base["s"], base["n"])}
+    return pa.table({
+        "l_returnflag": pa.array(flags, type=pa.string()),
+        "n_rows": pa.array([n_by[f] for f in flags], type=pa.int64()),
+        "mean_cents": pa.array([mean_cents[f] for f in flags],
+                               type=pa.int64()),
+        "huber_cents": pa.array([mu[f] for f in flags],
+                                type=pa.int64()),
+    })
+
+
+HUBER_LOCATION_SQL = """
+WITH x AS (
+  SELECT l_returnflag AS flag,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS c
+  FROM lineitem
+), m0 AS (
+  SELECT flag, CAST(sum(c) AS BIGINT) // CAST(count(*) AS BIGINT) AS mu,
+         CAST(sum(c) AS BIGINT) // CAST(count(*) AS BIGINT) AS mean_c,
+         CAST(count(*) AS BIGINT) AS n
+  FROM x GROUP BY 1
+), m1 AS (
+  SELECT x.flag,
+         CAST(sum(CASE WHEN abs(x.c - m0.mu) <= 20000 THEN 1000
+                       ELSE 20000000 // greatest(abs(x.c - m0.mu), 1)
+                  END * x.c) AS BIGINT)
+           // CAST(sum(CASE WHEN abs(x.c - m0.mu) <= 20000 THEN 1000
+                            ELSE 20000000 // greatest(abs(x.c - m0.mu), 1)
+                       END) AS BIGINT) AS mu
+  FROM x JOIN m0 USING (flag) GROUP BY 1
+), m2 AS (
+  SELECT x.flag,
+         CAST(sum(CASE WHEN abs(x.c - m1.mu) <= 20000 THEN 1000
+                       ELSE 20000000 // greatest(abs(x.c - m1.mu), 1)
+                  END * x.c) AS BIGINT)
+           // CAST(sum(CASE WHEN abs(x.c - m1.mu) <= 20000 THEN 1000
+                            ELSE 20000000 // greatest(abs(x.c - m1.mu), 1)
+                       END) AS BIGINT) AS mu
+  FROM x JOIN m1 ON m1.flag = x.flag GROUP BY 1
+), m3 AS (
+  SELECT x.flag,
+         CAST(sum(CASE WHEN abs(x.c - m2.mu) <= 20000 THEN 1000
+                       ELSE 20000000 // greatest(abs(x.c - m2.mu), 1)
+                  END * x.c) AS BIGINT)
+           // CAST(sum(CASE WHEN abs(x.c - m2.mu) <= 20000 THEN 1000
+                            ELSE 20000000 // greatest(abs(x.c - m2.mu), 1)
+                       END) AS BIGINT) AS mu
+  FROM x JOIN m2 ON m2.flag = x.flag GROUP BY 1
+)
+SELECT m0.flag AS l_returnflag, m0.n AS n_rows,
+       m0.mean_c AS mean_cents, m3.mu AS huber_cents
+FROM m0 JOIN m3 ON m3.flag = m0.flag ORDER BY 1
+"""

@@ -200,3 +200,56 @@ def test_connected_components_stress_random_graph(ray_session):
     assert len(got) == n
     assert all(lab[int(r.node)] == int(r.component)
                for r in got.itertuples())
+
+
+def test_dp_noisy_counts_noise_is_laplace_shaped(ray_session):
+    from p2pddsketch_ray.pipelines.relational import dp_noisy_counts
+    sf = "/root/testdata/sf0.001"
+    t = dp_noisy_counts(sf).to_pydict()
+    # deterministic across calls (seeded release)
+    t2 = dp_noisy_counts(sf).to_pydict()
+    assert t == t2
+    # noise magnitude: |Lap(b=10)| < b * 50 with overwhelming margin
+    for ex, noisy in zip(t["n_exact"], t["n_noisy"]):
+        assert abs(noisy - ex) < 500.0
+    # different seed tag -> different draw
+    t3 = dp_noisy_counts(sf, seed_tag="other").to_pydict()
+    assert t3["n_noisy"] != t["n_noisy"]
+
+
+def test_huber_location_between_quartiles_and_robust(ray_session):
+    import numpy as np
+    import pyarrow.parquet as pq
+    from p2pddsketch_ray.pipelines.relational import huber_location_by_flag
+    sf = "/root/testdata/sf0.001"
+    got = huber_location_by_flag(sf).to_pydict()
+    li = pq.read_table(f"{sf}/lineitem.parquet",
+                       columns=["l_returnflag", "l_extendedprice"])
+    flag = np.asarray(li["l_returnflag"].to_pylist())
+    cents = np.round(li["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+    for f, hub, mean_c in zip(got["l_returnflag"], got["huber_cents"],
+                              got["mean_cents"]):
+        x = cents[flag == f]
+        assert np.quantile(x, 0.2) <= hub <= np.quantile(x, 0.8)
+    # with the knee beyond the data range every weight is 1 and the
+    # IRLS fixed point IS the integer mean
+    wide = huber_location_by_flag(sf, k_cents=10**10).to_pydict()
+    assert wide["huber_cents"] == wide["mean_cents"]
+
+
+def test_brier_decomposition_terms_consistent(ray_session):
+    from p2pddsketch_ray.pipelines.inference import brier_decomposition
+    sf = "/root/testdata/sf0.001"
+    t = brier_decomposition(sf).to_pydict()
+    import pyarrow.parquet as pq
+    n_docs = pq.read_table(f"{sf}/documents.parquet",
+                           columns=["doc_id"]).num_rows
+    assert sum(t["n_docs"]) == n_docs
+    for i in range(len(t["bin"])):
+        assert 0 <= t["mean_p_micro"][i] <= 1_000_000
+        assert 0 <= t["pos_rate_micro"][i] <= 1_000_000
+        assert t["rel_contrib"][i] >= 0 and t["res_contrib"][i] >= 0
+        # sse >= n * (calibration gap)^2 (Jensen)
+        gap = t["mean_p_micro"][i] - t["pos_rate_micro"][i]
+        assert t["sse_micro2"][i] >= t["n_docs"][i] * gap * gap \
+            - 2_000_000 * t["n_docs"][i]
