@@ -534,7 +534,8 @@ from p2pddsketch_ray.pipelines.search import (  # noqa: E402
 from p2pddsketch_ray.pipelines.components import (  # noqa: E402
     PAGERANK_SQL as _PAGERANK_SQL,
     COPRESENCE_TRIANGLES_SQL as _COPRESENCE_TRIANGLES_SQL,
-    COPRESENCE_ASSORTATIVITY_SQL as _COPRESENCE_ASSORT_SQL)
+    COPRESENCE_ASSORTATIVITY_SQL as _COPRESENCE_ASSORT_SQL,
+    KCORE_SQL as _KCORE_SQL)
 from p2pddsketch_ray.pipelines.dedup import (  # noqa: E402
     DECONTAMINATION_SQL as _DECONTAMINATION_SQL,
     DUP_SPAN_SQL as _DUP_SPAN_SQL,
@@ -996,6 +997,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "benchmark_decontamination": _benchmark_decontamination,
         # iterative integer PageRank + Pareto-frontier skyline
         "pagerank_part_supplier": _pagerank_part_supplier,
+        # k-core peel trajectory (Seidman '83): fixed-round distributed
+        # degree-peeling over the co-purchase graph, survivor set
+        # broadcast as a sorted catalog-bounded array
+        "kcore_part_graph": _kcore_part_graph,
         # triangle census of the user co-presence graph (degree-
         # oriented wedge closure; exact count + clustering coefficient)
         "copresence_triangles": _copresence_triangles,
@@ -1742,6 +1747,11 @@ def _neardup_components(sf_dir: str):
 def _pagerank_part_supplier(sf_dir: str):
     from p2pddsketch_ray.pipelines.components import pagerank_part_supplier
     return pagerank_part_supplier(sf_dir)
+
+
+def _kcore_part_graph(sf_dir: str):
+    from p2pddsketch_ray.pipelines.components import kcore_part_graph
+    return kcore_part_graph(sf_dir)
 
 
 def _copresence_triangles(sf_dir: str):
@@ -3034,6 +3044,7 @@ SELECT l_returnflag, unnest([0.25, 0.5, 0.75]) AS q,
         "user_churn_sets": _USER_CHURN_SQL,
         "benchmark_decontamination": _DECONTAMINATION_SQL,
         "pagerank_part_supplier": _PAGERANK_SQL,
+        "kcore_part_graph": _KCORE_SQL,
         "copresence_triangles": _COPRESENCE_TRIANGLES_SQL,
         "copresence_assortativity": _COPRESENCE_ASSORT_SQL,
         "order_skyline": _ORDER_SKYLINE_SQL,

@@ -1114,3 +1114,152 @@ def neardup_keep_best_quality(sf_dir: str, k: int = 9,
         "n_kept": pa.array(n_kept),
         "sum_chars": pa.array(sum_chars),
     })
+
+
+def kcore_part_graph(sf_dir: str, k: int = 80,
+                     rounds: int = 6) -> pa.Table:
+    """K-CORE peeling trajectory of the part co-purchase graph
+    (Seidman 1983; distributed peel per Montresor et al., TPDS 2013):
+    repeatedly delete nodes with degree < k and the edges touching
+    them.  Runs EXACTLY ``rounds`` peel rounds (a fixed unrolling, so
+    the DuckDB twin replays the identical trajectory whether or not
+    the fixpoint lands early) and reports (round, n_nodes, n_edges)
+    after each -- the curve a graph-size/robustness audit reads.
+
+    Scale shape: the distinct-edge build is the co-purchase
+    co-partition kernel (pair expansion bounded by order fanout, never
+    corpus-quadratic); each round is one per-block degree partial +
+    O(|V|) groupby -- the node set is CATALOG-bounded (parts), so the
+    survivor set broadcasts via ray.put as a sorted int64 array probed
+    with np.isin, the same dimension-broadcast contract as
+    pagerank_part_supplier above.  Edges stay distributed throughout.
+    """
+    li = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_orderkey", "l_partkey"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        staged = pa.table({
+            "okey": pc.cast(t["l_orderkey"], pa.int64()),
+            "part": pc.cast(t["l_partkey"], pa.int64()),
+        })
+        return staged.group_by(["okey", "part"]).aggregate([])
+
+    def expand(t: pa.Table) -> pa.Table:
+        okey = t["okey"].to_numpy(zero_copy_only=False)
+        part = t["part"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((part, okey))
+        o_s, p_s = okey[order], part[order]
+        n = o_s.size
+        new = np.ones(n, dtype=bool)
+        new[1:] = o_s[1:] != o_s[:-1]
+        starts = np.flatnonzero(new)
+        rlen = np.diff(np.append(starts, n))
+        rank = np.arange(n) - np.repeat(starts, rlen)
+        cnt = np.repeat(rlen, rlen) - rank - 1
+        total = int(cnt.sum())
+        if total == 0:
+            return _EMPTY_EDGES
+        a_idx = np.repeat(np.arange(n), cnt)
+        excl = np.concatenate([[0], np.cumsum(cnt)[:-1]])
+        b_idx = a_idx + (np.arange(total) - np.repeat(excl, cnt)) + 1
+        return _canonical_dedup(p_s[a_idx], p_s[b_idx])
+
+    def dedup_block(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _EMPTY_EDGES
+        return _canonical_dedup(t["a"].to_numpy(zero_copy_only=False),
+                                t["b"].to_numpy(zero_copy_only=False))
+
+    edges = partition_by(
+        li.map_batches(prep, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["okey"], fit_partitions(16), expand, _EMPTY_EDGES)
+    # pair-keyed co-partition -> block-local unique is a global distinct
+    edges = partition_by(edges, ["a", "b"], fit_partitions(16),
+                         dedup_block, _EMPTY_EDGES).materialize()
+
+    deg_empty = pa.table({"v": pa.array([], type=pa.int64()),
+                          "d": pa.array([], type=pa.int64())})
+
+    def deg_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return deg_empty
+        both = np.concatenate([t["a"].to_numpy(zero_copy_only=False),
+                               t["b"].to_numpy(zero_copy_only=False)])
+        u, c = np.unique(both, return_counts=True)
+        return pa.table({"v": pa.array(u),
+                         "d": pa.array(c.astype(np.int64))})
+
+    from ray.data.aggregate import Sum
+    out_round, out_nodes, out_edges = [], [], []
+
+    def record(r: int, ed) -> "pa.Table":
+        deg = (ed.map_batches(deg_partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+               .groupby("v").aggregate(Sum("d", alias_name="d"))
+               .to_pandas())  # O(|V|): catalog-bounded (parts)
+        if "d" not in deg.columns:  # fully peeled: empty frame
+            import pandas as pd
+            deg = pd.DataFrame({"v": [], "d": []})
+        out_round.append(r)
+        out_nodes.append(len(deg))
+        out_edges.append(ed.count())
+        return deg
+
+    deg = record(0, edges)
+    for r in range(1, rounds + 1):
+        surv = np.sort(deg.loc[deg["d"] >= k, "v"]
+                       .to_numpy(dtype=np.int64))
+        surv_ref = ray.put(surv)
+
+        def keep(t: pa.Table, _ref=surv_ref) -> pa.Table:
+            if t.num_rows == 0:
+                return _EMPTY_EDGES
+            s = ray.get(_ref)
+            a = t["a"].to_numpy(zero_copy_only=False)
+            b = t["b"].to_numpy(zero_copy_only=False)
+            m = np.isin(a, s, assume_unique=False) \
+                & np.isin(b, s, assume_unique=False)
+            return pa.table({"a": pa.array(a[m]), "b": pa.array(b[m])})
+
+        edges = edges.map_batches(keep, batch_format="pyarrow",
+                                  zero_copy_batch=True).materialize()
+        deg = record(r, edges)
+
+    return pa.table({
+        "round": pa.array(out_round, type=pa.int64()),
+        "n_nodes": pa.array(out_nodes, type=pa.int64()),
+        "n_edges": pa.array(out_edges, type=pa.int64()),
+    })
+
+
+def _kcore_sql(k: int = 80, rounds: int = 6) -> str:
+    cte = """
+WITH m AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+), e0 AS MATERIALIZED (
+  SELECT DISTINCT a.p AS a, b.p AS b
+  FROM m a JOIN m b ON a.o = b.o AND a.p < b.p
+)"""
+    for r in range(1, rounds + 1):
+        cte += f""", d{r} AS MATERIALIZED (
+  SELECT v, count(*) AS c FROM (
+    SELECT a AS v FROM e{r-1} UNION ALL SELECT b AS v FROM e{r-1}
+  ) GROUP BY 1
+), n{r} AS MATERIALIZED (
+  SELECT v FROM d{r} WHERE c >= {k}
+), e{r} AS MATERIALIZED (
+  SELECT e.a, e.b FROM e{r-1} e
+  JOIN n{r} x ON x.v = e.a JOIN n{r} y ON y.v = e.b
+)"""
+    rows = "\nUNION ALL\n".join(
+        f"""SELECT CAST({r} AS BIGINT) AS round,
+       (SELECT CAST(count(DISTINCT v) AS BIGINT) FROM
+         (SELECT a AS v FROM e{r} UNION ALL SELECT b AS v FROM e{r}))
+         AS n_nodes,
+       (SELECT CAST(count(*) AS BIGINT) FROM e{r}) AS n_edges"""
+        for r in range(0, rounds + 1))
+    return cte + "\n" + rows + "\nORDER BY round"
+
+
+KCORE_SQL = _kcore_sql()

@@ -283,3 +283,36 @@ def test_neardup_keep_best_quality_matches_duckdb(ray_session):
     assert int(got["n_kept"].sum()) == int(base["n_kept"].sum())
     # quality rule can only hold MORE characters than min-id keep
     assert int(got["sum_chars"].sum()) >= int(base["sum_chars"].sum())
+
+
+def test_kcore_matches_bruteforce_peel(ray_session):
+    import duckdb
+    import numpy as np
+    from p2pddsketch_ray.pipelines.components import kcore_part_graph
+    sf = "/root/testdata/sf0.001"
+    k, rounds = 8, 6
+    got = kcore_part_graph(sf, k=k, rounds=rounds).to_pydict()
+    # brute force: same distinct-pair graph, python peel
+    con = duckdb.connect()
+    e = con.execute(f"""
+      WITH m AS (SELECT DISTINCT l_orderkey o, l_partkey p
+                 FROM read_parquet('{sf}/lineitem.parquet')) 
+      SELECT DISTINCT a.p, b.p FROM m a JOIN m b
+      ON a.o = b.o AND a.p < b.p""").fetchnumpy()
+    a = e["p"].astype(np.int64)
+    b = e["p_1"].astype(np.int64)
+    exp_nodes, exp_edges = [], []
+    for r in range(rounds + 1):
+        nodes, counts = np.unique(np.concatenate([a, b]),
+                                  return_counts=True)
+        exp_nodes.append(len(nodes))
+        exp_edges.append(len(a))
+        surv = set(nodes[counts >= k].tolist())
+        keep = np.array([x in surv and y in surv
+                         for x, y in zip(a.tolist(), b.tolist())],
+                        dtype=bool) if len(a) else np.zeros(0, bool)
+        a, b = a[keep], b[keep]
+    assert got["n_nodes"] == exp_nodes
+    assert got["n_edges"] == exp_edges
+    # peeling is monotone
+    assert all(x >= y for x, y in zip(exp_nodes, exp_nodes[1:]))
