@@ -526,7 +526,9 @@ from p2pddsketch_ray.pipelines.relational import (  # noqa: E402
     HHH_TYPE_USER_SQL as _HHH_TYPE_USER_SQL,
     FEATURE_INFO_GAIN_SQL as _FEATURE_INFO_GAIN_SQL,
     DP_NOISY_COUNTS_SQL as _DP_NOISY_COUNTS_SQL,
-    HUBER_LOCATION_SQL as _HUBER_LOCATION_SQL)
+    HUBER_LOCATION_SQL as _HUBER_LOCATION_SQL,
+    TEMPLATE_PREFIX_SQL as _TEMPLATE_PREFIX_SQL,
+    DOC_NOVELTY_SQL as _DOC_NOVELTY_SQL)
 from p2pddsketch_ray.pipelines.approx import (  # noqa: E402
     UNIVERSE_JOIN_SAMPLE_SQL as _UNIVERSE_JOIN_SAMPLE_SQL)
 from p2pddsketch_ray.pipelines.search import (  # noqa: E402
@@ -832,6 +834,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Huber M-estimator location per flag: 3 IRLS passes, integer
         # milli-weight quantization so the trajectory is order-free
         "huber_location_by_flag": R.huber_location_by_flag,
+        # boilerplate screen: top repeated opening prefixes + source spread
+        "template_prefix_clusters": R.template_prefix_clusters,
+        # per-source shingle novelty (share of globally unique 3-grams)
+        "doc_novelty_stats": R.doc_novelty_stats,
         "bloom_semijoin_orders": A.bloom_semijoin_orders,
         # bit-level empirical Bloom false-positive audit (MD5 double
         # hashing so DuckDB reproduces every position)
@@ -3431,6 +3437,8 @@ ORDER BY 1""",
         "feature_info_gain": _FEATURE_INFO_GAIN_SQL,
         "dp_noisy_counts": _DP_NOISY_COUNTS_SQL,
         "huber_location_by_flag": _HUBER_LOCATION_SQL,
+        "template_prefix_clusters": _TEMPLATE_PREFIX_SQL,
+        "doc_novelty_stats": _DOC_NOVELTY_SQL,
         "equi_depth_buckets": _EQUI_DEPTH_SQL,
         "source_vocab_overlap": _SOURCE_VOCAB_OVERLAP_SQL,
         "value_hour_sufficient_stats": _VALUE_HOUR_STATS_SQL,

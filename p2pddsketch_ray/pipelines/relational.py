@@ -21246,3 +21246,225 @@ SELECT m0.flag AS l_returnflag, m0.n AS n_rows,
        m0.mean_c AS mean_cents, m3.mu AS huber_cents
 FROM m0 JOIN m3 ON m3.flag = m0.flag ORDER BY 1
 """
+
+
+def template_prefix_clusters(sf_dir: str, n_tokens: int = 2,
+                             k: int = 15) -> pa.Table:
+    """TEMPLATE detection by opening-prefix clustering: group documents
+    on their first ``n_tokens`` tokens and report the top-k most
+    repeated prefixes with document counts and distinct-source spread
+    -- the boilerplate screen a Common-Crawl curation pass runs to find
+    mirrored/templated pages before content dedup.
+
+    Scale shape: prefix extraction is zero-copy Arrow kernels (split ->
+    list_slice -> binary_join); a per-block (prefix, source) combiner
+    bounds the shuffle at O(distinct prefixes x sources) rows per
+    block; the final top-k sort runs on the aggregated prefix table.
+    """
+    ds = _read(sf_dir, "documents", ["text", "source"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t["text"], pattern=" ")
+        pre = pc.binary_join(pc.list_slice(toks, 0, n_tokens), " ")
+        g = pa.table({"prefix": pre, "source": t["source"]}) \
+            .group_by(["prefix", "source"]).aggregate([([], "count_all")])
+        return pa.table({"prefix": g["prefix"], "source": g["source"],
+                         "n": pc.cast(g["count_all"], pa.int64())})
+
+    per_src = (ds.map_batches(prep, batch_format="pyarrow",
+                              zero_copy_batch=True)
+               .groupby(["prefix", "source"])
+               .aggregate(Sum("n", alias_name="n")))
+
+    def fold(t: pa.Table) -> pa.Table:
+        g = pa.table({"prefix": t["prefix"],
+                      "n": pc.cast(t["n"], pa.int64()),
+                      "one": pa.array(np.ones(t.num_rows,
+                                              dtype=np.int64))}) \
+            .group_by("prefix").aggregate([("n", "sum"), ("one", "sum")])
+        return pa.table({"prefix": g["prefix"],
+                         "n_docs": pc.cast(g["n_sum"], pa.int64()),
+                         "n_sources": pc.cast(g["one_sum"], pa.int64())})
+
+    agg = (per_src.map_batches(fold, batch_format="pyarrow")
+           .groupby("prefix")
+           .aggregate(Sum("n_docs", alias_name="n_docs"),
+                      Sum("n_sources", alias_name="n_sources"))
+           .to_pandas())
+    agg = agg.sort_values(["n_docs", "prefix"],
+                          ascending=[False, True]).head(k)
+    return pa.table({
+        "prefix": pa.array(agg["prefix"], type=pa.string()),
+        "n_docs": pa.array(agg["n_docs"].astype(np.int64)),
+        "n_sources": pa.array(agg["n_sources"].astype(np.int64)),
+    })
+
+
+TEMPLATE_PREFIX_SQL = """
+WITH p AS (
+  SELECT array_to_string(list_slice(string_split(text, ' '), 1, 2), ' ')
+           AS prefix,
+         source
+  FROM documents
+)
+SELECT prefix, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+FROM p GROUP BY 1
+ORDER BY n_docs DESC, prefix LIMIT 15
+"""
+
+
+def doc_novelty_stats(sf_dir: str, shingle_n: int = 3) -> pa.Table:
+    """SHINGLE-NOVELTY per source: for each document, the share of its
+    distinct token ``shingle_n``-grams that occur in NO other document
+    (global document frequency 1), averaged per source in exact integer
+    micro units -- the memorization/novelty complement of the
+    duplication metrics: sources full of template shingles score low,
+    genuinely novel text scores high.
+
+    Dataflow (all vectorized): per block, distinct (doc, shingle-fp)
+    rows via token fingerprints combined through a splitmix chain; a
+    shingle-fp co-partition attaches global document frequency as a
+    run length IN PLACE (no vocabulary groupby, nothing driver-side --
+    the same rarity trick as ppjoin); per-block (doc, source) partials
+    fold to per-doc (n_shingles, n_unique); the per-source mean is a
+    tiny final groupby.  Fp64 tier: grouping by 64-bit shingle
+    fingerprints equals the SQL twin's group-by-string as long as the
+    fingerprint is collision-free on the observed shingle set (the
+    tier contract asserted by the dedup tests).
+    """
+    from ..functions.text import fingerprint64
+    from ..hashing import splitmix64
+    from ..stages.partition import fit_partitions, partition_by
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source", "text"])
+
+    row_empty = pa.table({"doc_id": pa.array([], type=pa.int64()),
+                          "src": pa.array([], type=pa.string()),
+                          "fp": pa.array([], type=pa.int64())})
+
+    def shingles(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return row_empty
+        toks = pc.split_pattern(t["text"], pattern=" ")
+        flat = pc.list_flatten(toks).combine_chunks()
+        if len(flat) == 0:
+            return row_empty
+        f = fingerprint64(flat).to_numpy(zero_copy_only=False)
+        nper = pc.list_value_length(toks).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        doc_row = np.repeat(np.arange(t.num_rows, dtype=np.int64), nper)
+        n = f.shape[0]
+        w = shingle_n
+        if n < w:
+            return row_empty
+        valid = doc_row[: n - w + 1] == doc_row[w - 1:]
+        # splitmix chain over the window's token fps: the leading fp is
+        # hashed FIRST so every chain step is non-commutative
+        # (sm(sm(f0)+f1) != sm(sm(f1)+f0)); injective w.h.p., one
+        # vectorized pass per window position
+        h = splitmix64(f[: n - w + 1].astype(np.uint64))
+        for j in range(1, w):
+            h = splitmix64(h + f[j: n - w + 1 + j].astype(np.uint64))
+        h = (h >> np.uint64(1)).astype(np.int64)[valid]
+        docs = doc_row[: n - w + 1][valid]
+        order = np.lexsort((h, docs))
+        d_s, h_s = docs[order], h[order]
+        keep = np.ones(d_s.size, dtype=bool)
+        keep[1:] = (d_s[1:] != d_s[:-1]) | (h_s[1:] != h_s[:-1])
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        src = np.asarray(t["source"].to_pylist(), dtype=np.str_)
+        return pa.table({
+            "doc_id": pa.array(ids[d_s[keep]].astype(np.int64)),
+            "src": pa.array(src[d_s[keep]].tolist(), type=pa.string()),
+            "fp": pa.array(h_s[keep]),
+        })
+
+    rows = ds.map_batches(shingles, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+    part_empty = pa.table({"doc_id": pa.array([], type=pa.int64()),
+                           "src": pa.array([], type=pa.string()),
+                           "n_sh": pa.array([], type=pa.int64()),
+                           "n_uniq": pa.array([], type=pa.int64())})
+
+    def attach_df(t: pa.Table) -> pa.Table:
+        # fp co-partition: every row of a shingle is here, so df is a
+        # run length; fold straight to per-(doc, src) partials
+        if t.num_rows == 0:
+            return part_empty
+        fp = t["fp"].to_numpy(zero_copy_only=False)
+        order = np.argsort(fp, kind="stable")
+        f_s = fp[order]
+        new = np.ones(f_s.size, dtype=bool)
+        new[1:] = f_s[1:] != f_s[:-1]
+        rlen = np.diff(np.append(np.flatnonzero(new), f_s.size))
+        uniq = (np.repeat(rlen, rlen) == 1).astype(np.int64)
+        g = pa.table({
+            "doc_id": pc.take(t["doc_id"], pa.array(order)),
+            "src": pc.take(t["src"], pa.array(order)),
+            "one": pa.array(np.ones(f_s.size, dtype=np.int64)),
+            "uniq": pa.array(uniq),
+        }).group_by(["doc_id", "src"]).aggregate([("one", "sum"),
+                                                  ("uniq", "sum")])
+        return pa.table({"doc_id": g["doc_id"], "src": g["src"],
+                         "n_sh": pc.cast(g["one_sum"], pa.int64()),
+                         "n_uniq": pc.cast(g["uniq_sum"], pa.int64())})
+
+    per_doc = partition_by(rows, ["fp"], fit_partitions(16),
+                           attach_df, part_empty) \
+        .groupby(["doc_id", "src"]) \
+        .aggregate(Sum("n_sh", alias_name="n_sh"),
+                   Sum("n_uniq", alias_name="n_uniq"))
+
+    def src_fold(t: pa.Table) -> pa.Table:
+        share = (pc.cast(t["n_uniq"], pa.int64()).to_numpy(
+            zero_copy_only=False) * np.int64(1_000_000)) \
+            // pc.cast(t["n_sh"], pa.int64()).to_numpy(
+                zero_copy_only=False)
+        g = pa.table({
+            "source": t["src"],
+            "share": pa.array(share),
+            "one": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+        }).group_by("source").aggregate([("share", "sum"),
+                                         ("one", "sum")])
+        return pa.table({"source": g["source"],
+                         "s": pc.cast(g["share_sum"], pa.int64()),
+                         "n": pc.cast(g["one_sum"], pa.int64())})
+
+    agg = (per_doc.map_batches(src_fold, batch_format="pyarrow")
+           .groupby("source").aggregate(Sum("s", alias_name="s"),
+                                        Sum("n", alias_name="n"))
+           .to_pandas().sort_values("source"))
+    return pa.table({
+        "source": pa.array(agg["source"], type=pa.string()),
+        "n_docs": pa.array(agg["n"].astype(np.int64)),
+        "mean_novelty_micro": pa.array(
+            (agg["s"].astype(np.int64) // agg["n"].astype(np.int64))
+            .astype(np.int64)),
+    })
+
+
+DOC_NOVELTY_SQL = """
+WITH toks AS (
+  SELECT doc_id, source, string_split(text, ' ') AS l FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, source,
+         array_to_string(list_slice(l, i, i + 2), ' ') AS s
+  FROM (SELECT doc_id, source, l,
+               unnest(generate_series(1, len(l) - 2)) AS i
+        FROM toks)
+), df AS (
+  SELECT s, CAST(count(*) AS BIGINT) AS d FROM sh GROUP BY 1
+), per_doc AS (
+  SELECT sh.doc_id, sh.source,
+         CAST(count(*) AS BIGINT) AS n_sh,
+         CAST(sum(CASE WHEN df.d = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_uniq
+  FROM sh JOIN df USING (s) GROUP BY 1, 2
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_uniq * 1000000 // n_sh) // count(*) AS BIGINT)
+         AS mean_novelty_micro
+FROM per_doc GROUP BY 1 ORDER BY 1
+"""

@@ -4656,3 +4656,51 @@ def test_feature_info_gain_matches_duckdb_and_nonneg(ray_session):
     # IG >= 0 up to the per-term floor slack (bounded by term count)
     slack = int(got["n_values"].max()) * 2 + 2
     assert (got["info_gain_micronats"] >= -slack).all()
+
+
+def test_template_prefix_clusters_counts(ray_session):
+    import duckdb
+    from p2pddsketch_ray.pipelines.relational import (
+        template_prefix_clusters)
+    got = template_prefix_clusters(SF).to_pydict()
+    assert len(got["prefix"]) <= 15
+    # counts are non-increasing and sources bounded by docs
+    assert all(a >= b for a, b in zip(got["n_docs"], got["n_docs"][1:]))
+    assert all(s <= d for s, d in zip(got["n_sources"], got["n_docs"]))
+    # cross-check the top row against duckdb
+    con = duckdb.connect()
+    top = con.execute(f"""
+      SELECT array_to_string(list_slice(string_split(text,' '),1,2),' ')
+               AS p, count(*) AS n
+      FROM read_parquet('{SF}/documents.parquet')
+      GROUP BY 1 ORDER BY n DESC, p LIMIT 1""").fetchone()
+    assert (got["prefix"][0], got["n_docs"][0]) == (top[0], top[1])
+
+
+def test_doc_novelty_matches_bruteforce(ray_session):
+    import numpy as np
+    import pyarrow.parquet as pq
+    from collections import Counter, defaultdict
+    from p2pddsketch_ray.pipelines.relational import doc_novelty_stats
+    got = doc_novelty_stats(SF).to_pydict()
+    t = pq.read_table(f"{SF}/documents.parquet",
+                      columns=["doc_id", "source", "text"]).to_pydict()
+    df = Counter()
+    per_doc = {}
+    for did, src, txt in zip(t["doc_id"], t["source"], t["text"]):
+        toks = txt.split(" ")
+        sh = {" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)}
+        per_doc[did] = (src, sh)
+        df.update(sh)
+    agg = defaultdict(lambda: [0, 0])
+    for src, sh in per_doc.values():
+        if not sh:
+            continue
+        uniq = sum(1 for s in sh if df[s] == 1)
+        a = agg[src]
+        a[0] += uniq * 1_000_000 // len(sh)
+        a[1] += 1
+    for src, n, m in zip(got["source"], got["n_docs"],
+                         got["mean_novelty_micro"]):
+        assert agg[src][1] == n
+        assert agg[src][0] // agg[src][1] == m
