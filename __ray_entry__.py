@@ -916,6 +916,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kll_quantiles_price": _kll_quantiles_price,
         # t-digest quantiles (interpolated centroids: rows-only)
         "tdigest_quantiles_price": _tdigest_quantiles_price,
+        # Frequent Directions covariance sketch (rows-only, float
+        # spectral): the published ||A'A-B'B||_2 <= ||A||_F^2/ell bound
+        # is ASSERTED in-pipeline against the exact Gram
+        "frequent_directions_embed": _frequent_directions_embed,
         # multimodal binary-payload stage (plumbing oracle-checked via
         # byte counts; decoder features verified in unit tests)
         "multimodal_doc_features": _multimodal_doc_features,
@@ -1758,6 +1762,11 @@ def _pagerank_part_supplier(sf_dir: str):
 def _kcore_part_graph(sf_dir: str):
     from p2pddsketch_ray.pipelines.components import kcore_part_graph
     return kcore_part_graph(sf_dir)
+
+
+def _frequent_directions_embed(sf_dir: str):
+    from p2pddsketch_ray.pipelines.knn import frequent_directions_embed
+    return frequent_directions_embed(sf_dir)
 
 
 def _copresence_triangles(sf_dir: str):

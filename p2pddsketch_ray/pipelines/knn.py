@@ -893,3 +893,74 @@ FROM pos p JOIN neg n ON n.anchor_id = p.anchor_id
 WHERE p.rn = 1 AND n.rn = 1
 ORDER BY p.anchor_id
 """
+
+
+def frequent_directions_embed(sf_dir: str, ell: int = 16,
+                              top_k: int = 8) -> pa.Table:
+    """FREQUENT-DIRECTIONS covariance sketch of the embedding table
+    (Liberty KDD'13; Ghashami et al. SICOMP'16): per-block FD partials
+    tree-merge (append + re-shrink -- the bound survives ANY merge
+    order), then the sketched spectrum is audited against the exact
+    Gram matrix: the published guarantee
+    ||A^T A - B^T B||_2 <= ||A||_F^2 / ell is ASSERTED in-pipeline, so
+    a green run certifies the sketch, not just produces it.
+
+    Rows-only query (randomized-free but float-spectral: no
+    deterministic SQL twin); the audit replaces the oracle, like
+    KLL / t-digest.
+
+    Scale shape: each partial is an (ell x d) float64 block --
+    kilobytes -- regardless of input rows; the exact Gram used by the
+    audit is a per-block d x d partial sum (exact at any scale, d^2
+    floats through the shuffle), NOT a data pull.
+    """
+    from ..sketches.freqdirs import FrequentDirections
+    from ..stages.generic_build import build_and_merge
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["embedding"])
+    d = len(ds.take(1)[0]["embedding"])
+
+    def add(s: FrequentDirections, t: pa.Table) -> None:
+        emb = t["embedding"]
+        if t.num_rows == 0:
+            return
+        flat = pc.list_flatten(emb).to_numpy(zero_copy_only=False)
+        s.add_batch(flat.reshape(t.num_rows, d).astype(np.float64))
+
+    fd = build_and_merge(ds, ["embedding"],
+                         lambda: FrequentDirections(ell, d), add)
+
+    gram_empty = pa.table({"g": pa.array([], type=pa.binary())})
+
+    def gram_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return gram_empty
+        x = pc.list_flatten(t["embedding"]).to_numpy(
+            zero_copy_only=False).reshape(t.num_rows, d).astype(
+            np.float64)
+        return pa.table({"g": pa.array([(x.T @ x).tobytes()],
+                                       type=pa.binary())})
+
+    parts = ds.map_batches(gram_partial, batch_format="pyarrow",
+                           zero_copy_batch=True).take_all()
+    gram_exact = np.zeros((d, d))
+    for row in parts:  # O(blocks) d x d partials -- kilobytes each
+        gram_exact += np.frombuffer(row["g"], dtype=np.float64) \
+            .reshape(d, d)
+
+    err, bound = fd.cov_error_vs(gram_exact)
+    assert err <= bound + 1e-9, \
+        f"FD covariance guarantee violated: {err} > {bound}"
+
+    eig_sk = np.sort(np.linalg.eigvalsh(fd.gram()))[::-1][:top_k]
+    eig_ex = np.sort(np.linalg.eigvalsh(gram_exact))[::-1][:top_k]
+    return pa.table({
+        "component": pa.array(np.arange(top_k, dtype=np.int64)),
+        "exact_eig": pa.array(np.round(eig_ex, 6)),
+        "sketched_eig": pa.array(np.round(eig_sk, 6)),
+        "n_rows": pa.array(np.full(top_k, fd.n_rows, dtype=np.int64)),
+        "ell": pa.array(np.full(top_k, ell, dtype=np.int64)),
+        "spectral_err": pa.array(np.full(top_k, round(err, 6))),
+        "err_bound": pa.array(np.full(top_k, round(bound, 6))),
+    })

@@ -814,3 +814,58 @@ def test_linear_counting_and_counting_bloom_queries(ray_session):
     cb = counting_bloom_delete_audit(sf_dir).to_pydict()
     assert cb["n_remaining_present"][0] == cb["n_remaining"][0]
     assert cb["sum_cells"][0] == cb["k"][0] * cb["n_remaining"][0]
+
+
+# -- Frequent Directions -----------------------------------------------------
+
+def test_frequent_directions_bound_any_merge_order():
+    from p2pddsketch_ray.sketches.freqdirs import FrequentDirections
+    rng = np.random.default_rng(11)
+    A = rng.normal(size=(3000, 32)) @ np.diag(np.linspace(4, 0.05, 32))
+    gram = A.T @ A
+    whole = FrequentDirections(8, 32)
+    whole.add_batch(A)
+    err, bound = whole.cov_error_vs(gram)
+    assert 0 < err <= bound
+    import random
+    parts = []
+    for c in np.array_split(A, 9):
+        p = FrequentDirections(8, 32)
+        p.add_batch(c)
+        parts.append(p)
+    for seed in (0, 1, 2):
+        order = list(range(9))
+        random.Random(seed).shuffle(order)
+        acc = FrequentDirections(8, 32)
+        for i in order:
+            q = FrequentDirections(8, 32)
+            q.rows = parts[i].rows.copy()
+            q.n_rows, q.fro2 = parts[i].n_rows, parts[i].fro2
+            acc.merge(q)
+        err, bound = acc.cov_error_vs(gram)
+        assert err <= bound
+        assert acc.n_rows == 3000
+        assert acc.rows.shape[0] <= 8 + 1  # post-merge shrink to ell
+
+
+def test_frequent_directions_sketch_dominated_by_exact():
+    # B^T B <= A^T A in the PSD order: x'(A'A - B'B)x >= 0
+    from p2pddsketch_ray.sketches.freqdirs import FrequentDirections
+    rng = np.random.default_rng(12)
+    A = rng.normal(size=(800, 16))
+    fd = FrequentDirections(6, 16)
+    fd.add_batch(A)
+    diff = A.T @ A - fd.gram()
+    eig = np.linalg.eigvalsh(diff)
+    assert eig.min() >= -1e-6
+
+
+def test_frequent_directions_query_runs(ray_session):
+    from p2pddsketch_ray.pipelines.knn import frequent_directions_embed
+    t = frequent_directions_embed("/root/testdata/sf0.001").to_pydict()
+    assert len(t["component"]) == 8
+    assert all(t["spectral_err"][i] <= t["err_bound"][i]
+               for i in range(8))
+    # sketched spectrum never exceeds exact by more than fp noise
+    assert all(s <= e + 1e-3
+               for s, e in zip(t["sketched_eig"], t["exact_eig"]))
