@@ -920,6 +920,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # spectral): the published ||A'A-B'B||_2 <= ||A||_F^2/ell bound
         # is ASSERTED in-pipeline against the exact Gram
         "frequent_directions_embed": _frequent_directions_embed,
+        # DGIM sliding-window count (rows-only): canonical bucket state
+        # from N + rank-selected boundaries; <=50% guarantee ASSERTED
+        # per window against the exact windowed count
+        "dgim_sliding_count": _dgim_sliding_count,
         # multimodal binary-payload stage (plumbing oracle-checked via
         # byte counts; decoder features verified in unit tests)
         "multimodal_doc_features": _multimodal_doc_features,
@@ -1767,6 +1771,11 @@ def _kcore_part_graph(sf_dir: str):
 def _frequent_directions_embed(sf_dir: str):
     from p2pddsketch_ray.pipelines.knn import frequent_directions_embed
     return frequent_directions_embed(sf_dir)
+
+
+def _dgim_sliding_count(sf_dir: str):
+    from p2pddsketch_ray.pipelines.sliding import dgim_sliding_count
+    return dgim_sliding_count(sf_dir)
 
 
 def _copresence_triangles(sf_dir: str):

@@ -1180,3 +1180,46 @@ def dds_alpha_error_sweep(sf_dir: str, q: float = 0.95,
         "within_alpha": pa.array([r[5] for r in rows],
                                  type=pa.int64()),
     })
+
+
+def exact_rank_select(ds: "ray.data.Dataset", value_col: str,
+                      ranks: Sequence[int], *, bins: int = 4096,
+                      collect_limit: int = 2_000_000,
+                      max_rounds: int = 8) -> list[float]:
+    """Value at each explicit 0-based rank (ascending order) -- the
+    rank-select primitive under exact_quantiles, exposed for callers
+    that know positions rather than fractions (e.g. the DGIM bucket
+    boundary lookup).  Same bisection dataflow: no global sort, tiny
+    histogram blobs, one pruned collect."""
+    import numpy as np
+    from ray.data.aggregate import Max, Min, Sum
+
+    def block_stats(t: pa.Table) -> pa.Table:
+        v = t[value_col].to_numpy(zero_copy_only=False)
+        v = v[~np.isnan(v)]
+        if v.shape[0] == 0:
+            return pa.table({"cnt": pa.array([0], type=pa.int64()),
+                             "kmin": pa.array([None], type=pa.uint64()),
+                             "kmax": pa.array([None], type=pa.uint64())})
+        keys = _float_order_keys(v)
+        return pa.table({"cnt": pa.array([v.shape[0]], type=pa.int64()),
+                         "kmin": pa.array([keys.min()], type=pa.uint64()),
+                         "kmax": pa.array([keys.max()], type=pa.uint64())})
+
+    stats = (ds.select_columns([value_col])
+             .map_batches(block_stats, batch_format="pyarrow",
+                          zero_copy_batch=True)
+             .aggregate(Sum("cnt", alias_name="n"),
+                        Min("kmin", alias_name="kmin"),
+                        Max("kmax", alias_name="kmax")))
+    n = int(stats["n"] or 0)
+    if n == 0:
+        raise ValueError("exact_rank_select: empty input")
+    kmin, kmax = int(stats["kmin"]), int(stats["kmax"])
+    targets = [{"rank": min(max(int(r), 0), n - 1), "lo": kmin,
+                "hi": kmax, "below": 0, "in_interval": n,
+                "value": None} for r in ranks]
+    _resolve_exact_targets(ds, value_col, targets, bins=bins,
+                           collect_limit=collect_limit,
+                           max_rounds=max_rounds)
+    return [t["value"] for t in targets]

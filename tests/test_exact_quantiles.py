@@ -284,3 +284,53 @@ def test_alpha_sweep_errors_within_bounds(ray_session, tmp_path):
     r = max(0, int(np.ceil(0.95 * n)) - 1)
     assert abs(out["exact"].iloc[0] - np.sort(vals)[r]) < 1e-9
     assert (out["rel_err_micro"] <= out["alpha_micro"]).all()
+
+
+def test_exact_rank_select_matches_sort(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+    from p2pddsketch_ray.pipelines.quantiles import exact_rank_select
+    rng = np.random.default_rng(21)
+    vals = rng.normal(1000, 50, 20_000)
+    ds = ray.data.from_arrow(pa.table({"v": vals})).repartition(8)
+    s = np.sort(vals)
+    ranks = [0, 1, 17, 4_000, 19_998, 19_999]
+    got = exact_rank_select(ds, "v", ranks)
+    assert got == [float(s[r]) for r in ranks]
+
+
+def test_dgim_closed_form_equals_simulation():
+    from collections import defaultdict
+
+    def sim(n, r=2):
+        digits = defaultdict(int)
+        for _ in range(n):
+            digits[0] += 1
+            j = 0
+            while digits[j] > r:
+                digits[j] -= 2
+                digits[j + 1] += 1
+                j += 1
+        out = [digits[j] for j in range(max(digits) + 1)]
+        while out and out[-1] == 0:
+            out.pop()
+        return out
+
+    def closed(n):
+        m = 1
+        while not ((1 << m) - 1 <= n <= 2 * ((1 << m) - 1)):
+            m += 1
+        extra = n - ((1 << m) - 1)
+        return [1 + ((extra >> j) & 1) for j in range(m)]
+
+    for n in list(range(1, 300)) + [1023, 1024, 4097, 99_999]:
+        assert sim(n) == closed(n), n
+
+
+def test_dgim_sliding_count_bound(ray_session):
+    from p2pddsketch_ray.pipelines.sliding import dgim_sliding_count
+    t = dgim_sliding_count("/root/testdata/sf0.001").to_pydict()
+    assert t["bound_ok"] == [True] * len(t["window_hours"])
+    for est, ex in zip(t["dgim_estimate"], t["exact_count"]):
+        assert abs(est - ex) <= ex // 2 + 1
