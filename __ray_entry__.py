@@ -528,7 +528,8 @@ from p2pddsketch_ray.pipelines.relational import (  # noqa: E402
     DP_NOISY_COUNTS_SQL as _DP_NOISY_COUNTS_SQL,
     HUBER_LOCATION_SQL as _HUBER_LOCATION_SQL,
     TEMPLATE_PREFIX_SQL as _TEMPLATE_PREFIX_SQL,
-    DOC_NOVELTY_SQL as _DOC_NOVELTY_SQL)
+    DOC_NOVELTY_SQL as _DOC_NOVELTY_SQL,
+    MEDIAN_POLISH_SQL as _MEDIAN_POLISH_SQL)
 from p2pddsketch_ray.pipelines.approx import (  # noqa: E402
     UNIVERSE_JOIN_SAMPLE_SQL as _UNIVERSE_JOIN_SAMPLE_SQL)
 from p2pddsketch_ray.pipelines.search import (  # noqa: E402
@@ -838,6 +839,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "template_prefix_clusters": R.template_prefix_clusters,
         # per-source shingle novelty (share of globally unique 3-grams)
         "doc_novelty_stats": R.doc_novelty_stats,
+        # Tukey median polish of (lang x source) median doc lengths:
+        # integer low-median sweeps, full trajectory oracle-replayed
+        "median_polish_doclen": R.median_polish_doclen,
         "bloom_semijoin_orders": A.bloom_semijoin_orders,
         # bit-level empirical Bloom false-positive audit (MD5 double
         # hashing so DuckDB reproduces every position)
@@ -3457,6 +3461,7 @@ ORDER BY 1""",
         "huber_location_by_flag": _HUBER_LOCATION_SQL,
         "template_prefix_clusters": _TEMPLATE_PREFIX_SQL,
         "doc_novelty_stats": _DOC_NOVELTY_SQL,
+        "median_polish_doclen": _MEDIAN_POLISH_SQL,
         "equi_depth_buckets": _EQUI_DEPTH_SQL,
         "source_vocab_overlap": _SOURCE_VOCAB_OVERLAP_SQL,
         "value_hour_sufficient_stats": _VALUE_HOUR_STATS_SQL,

@@ -21468,3 +21468,112 @@ SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
          AS mean_novelty_micro
 FROM per_doc GROUP BY 1 ORDER BY 1
 """
+
+
+def median_polish_doclen(sf_dir: str, sweeps: int = 2) -> pa.Table:
+    """TUKEY MEDIAN POLISH of the (lang x source) table of median
+    document lengths: alternately subtract row and column low-medians
+    for ``sweeps`` sweeps, decomposing each cell into
+    cell = row_effect + col_effect + residual -- the classic robust
+    two-way ANOVA screen (Tukey, EDA 1977).  A residual that stays
+    large flags a (lang, source) pocket whose length distribution no
+    additive model explains -- the kind of cell a curation pass
+    investigates.
+
+    Scale shape: the per-cell low-medians come from the exact
+    distributed quantile machinery (histogram bisection, one data pass
+    per round for ALL cells together); the polish itself is driver
+    arithmetic on the langs x sources matrix -- dimension-bounded.
+    Low-median (quantile_disc 0.5) keeps every step integer-exact, so
+    the DuckDB twin replays the full sweep trajectory.
+    """
+    from .quantiles import exact_quantiles_grouped
+
+    ds = _read(sf_dir, "documents", ["lang", "source", "n_chars"])
+
+    def cellify(t: pa.Table) -> pa.Table:
+        cell = pc.binary_join_element_wise(t["lang"], t["source"], "|")
+        return pa.table({"cell": cell,
+                         "v": pc.cast(t["n_chars"], pa.float64())})
+
+    cells = exact_quantiles_grouped(
+        ds.map_batches(cellify, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        "v", "cell", [0.5]).to_pydict()
+
+    import pandas as pd
+    rows = []
+    for cell, v in zip(cells["cell"], cells["value"]):
+        lang, source = cell.split("|", 1)
+        rows.append((lang, source, int(v)))
+    df = pd.DataFrame(rows, columns=["lang", "source", "med"])
+    df["resid"] = df["med"]
+    row_eff = {l: 0 for l in df["lang"].unique()}
+    col_eff = {s: 0 for s in df["source"].unique()}
+
+    def lowmed(v: "pd.Series") -> int:
+        s = sorted(int(x) for x in v)
+        return s[(len(s) + 1) // 2 - 1]
+
+    for _ in range(sweeps):
+        r = df.groupby("lang")["resid"].apply(lowmed)
+        for l, x in r.items():
+            row_eff[l] += int(x)
+        df["resid"] = df["resid"] - df["lang"].map(r).astype(int)
+        c = df.groupby("source")["resid"].apply(lowmed)
+        for s, x in c.items():
+            col_eff[s] += int(x)
+        df["resid"] = df["resid"] - df["source"].map(c).astype(int)
+
+    df = df.sort_values(["lang", "source"]).reset_index(drop=True)
+    return pa.table({
+        "lang": pa.array(df["lang"], type=pa.string()),
+        "source": pa.array(df["source"], type=pa.string()),
+        "cell_med": pa.array(df["med"].astype(np.int64)),
+        "row_eff": pa.array(df["lang"].map(row_eff).astype(np.int64)),
+        "col_eff": pa.array(df["source"].map(col_eff).astype(np.int64)),
+        "residual": pa.array(df["resid"].astype(np.int64)),
+    })
+
+
+MEDIAN_POLISH_SQL = """
+WITH cells AS (
+  SELECT lang, source,
+         CAST(quantile_disc(n_chars, 0.5) AS BIGINT) AS v
+  FROM documents GROUP BY 1, 2
+), r1 AS (
+  SELECT lang, CAST(quantile_disc(v, 0.5) AS BIGINT) AS r
+  FROM cells GROUP BY 1
+), m1 AS (
+  SELECT c.lang, c.source, c.v - r1.r AS v
+  FROM cells c JOIN r1 USING (lang)
+), c1 AS (
+  SELECT source, CAST(quantile_disc(v, 0.5) AS BIGINT) AS c
+  FROM m1 GROUP BY 1
+), m2 AS (
+  SELECT m1.lang, m1.source, m1.v - c1.c AS v
+  FROM m1 JOIN c1 USING (source)
+), r2 AS (
+  SELECT lang, CAST(quantile_disc(v, 0.5) AS BIGINT) AS r
+  FROM m2 GROUP BY 1
+), m3 AS (
+  SELECT m2.lang, m2.source, m2.v - r2.r AS v
+  FROM m2 JOIN r2 USING (lang)
+), c2 AS (
+  SELECT source, CAST(quantile_disc(v, 0.5) AS BIGINT) AS c
+  FROM m3 GROUP BY 1
+), m4 AS (
+  SELECT m3.lang, m3.source, m3.v - c2.c AS v
+  FROM m3 JOIN c2 USING (source)
+)
+SELECT cells.lang, cells.source, cells.v AS cell_med,
+       r1.r + r2.r AS row_eff, c1.c + c2.c AS col_eff,
+       m4.v AS residual
+FROM cells
+JOIN r1 ON r1.lang = cells.lang
+JOIN r2 ON r2.lang = cells.lang
+JOIN c1 ON c1.source = cells.source
+JOIN c2 ON c2.source = cells.source
+JOIN m4 ON m4.lang = cells.lang AND m4.source = cells.source
+ORDER BY 1, 2
+"""

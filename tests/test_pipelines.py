@@ -4704,3 +4704,17 @@ def test_doc_novelty_matches_bruteforce(ray_session):
                          got["mean_novelty_micro"]):
         assert agg[src][1] == n
         assert agg[src][0] // agg[src][1] == m
+
+
+def test_median_polish_decomposition_identity(ray_session):
+    from p2pddsketch_ray.pipelines.relational import median_polish_doclen
+    t = median_polish_doclen(SF).to_pydict()
+    for i in range(len(t["lang"])):
+        assert t["cell_med"][i] == (t["row_eff"][i] + t["col_eff"][i]
+                                    + t["residual"][i])
+    # after the final row sweep + col sweep, residual col-medians are 0
+    import pandas as pd
+    df = pd.DataFrame(t)
+    for _, grp in df.groupby("source"):
+        s = sorted(grp["residual"])
+        assert s[(len(s) + 1) // 2 - 1] == 0
