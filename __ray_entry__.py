@@ -123,6 +123,8 @@ from p2pddsketch_ray.pipelines.approx import (  # noqa: E402
     LINEAR_COUNTING_SQL as _LINEAR_COUNTING_SQL,
     counting_bloom_delete_audit as _counting_bloom_delete_audit,
     COUNTING_BLOOM_SQL as _COUNTING_BLOOM_SQL,
+    bloom_partition_pruning_audit as _bloom_partition_pruning_audit,
+    BLOOM_PRUNING_SQL as _BLOOM_PRUNING_SQL,
     cms_error_report as _cms_error_report,
     CMS_ERROR_SQL as _CMS_ERROR_SQL,
     KMV_ANOTB_SQL as _KMV_ANOTB_SQL,
@@ -852,6 +854,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # counting Bloom (Fan ToN'00): turnstile membership with deletes,
         # cell state + false-stay probes oracle-verified
         "counting_bloom_delete_audit": _counting_bloom_delete_audit,
+        # Bloom-per-partition data skipping: hash-partitioned write,
+        # per-partition filter, path-pruned point lookup, FP accounting
+        # bit-replayed by the oracle
+        "bloom_partition_pruning_audit": _bloom_partition_pruning_audit,
         # CMS overestimate report on the exact top-k heavy hitters
         "cms_error_report": _cms_error_report,
         # Misra-Gries frequent items (deterministic counter summary ->
@@ -2990,6 +2996,7 @@ ORDER BY est_decayed_micro DESC, user_id LIMIT 20""",
         "bloom_fpr_audit": _BLOOM_FPR_SQL,
         "linear_counting_users": _LINEAR_COUNTING_SQL,
         "counting_bloom_delete_audit": _COUNTING_BLOOM_SQL,
+        "bloom_partition_pruning_audit": _BLOOM_PRUNING_SQL,
         "cms_error_report": _CMS_ERROR_SQL,
         "bloom_semijoin_orders": """
 SELECT o_orderstatus, count(*) AS n_orders

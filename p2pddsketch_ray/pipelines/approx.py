@@ -1627,3 +1627,188 @@ SELECT CAST(4096 AS BIGINT) AS m, CAST(2 AS BIGINT) AS k,
             AS BIGINT) AS n_remaining_present
 FROM hits
 """
+
+
+def bloom_partition_pruning_audit(sf_dir: str, n_parts: int = 16,
+                                  m_bits: int = 4096, k: int = 2,
+                                  probe_mod: int = 797,
+                                  out_dir: str | None = None) -> pa.Table:
+    """BLOOM-PER-PARTITION pruning audit -- the data-skipping index every
+    lake table format (Parquet bloom pages, Iceberg/Delta file skipping)
+    hangs point lookups on, built and MEASURED end to end:
+
+      1. events are written as hash-partitioned parquet
+         (p = user_id % n_parts, one directory per partition);
+      2. one distributed pass builds a per-partition Bloom filter over
+         event_id (md5 double hashing -- _OracleBloom cells, so DuckDB
+         replays every bit);
+      3. a deterministic probe set (event_id % probe_mod == 0) asks
+         each filter "might this id be here?"; the pruned read then
+         opens ONLY the claiming partitions' paths and fetches the rows;
+      4. the audit reports partitions touched vs the single true
+         partition per probe (false partition hits = Bloom FPs) and
+         row-verifies the pruned read against the full-scan answer
+         (asserted -- no false negatives is the guarantee, measured,
+         not assumed).
+
+    Scale shape: filters are m_bits/8-byte blobs merged per partition
+    key through a tiny groupby (never the data); the pruned read is
+    path-level (zero foreign bytes); probes stream once.
+    """
+    import shutil
+
+    from ray.data.aggregate import Sum
+
+    out_dir = out_dir or "/tmp/p2pdds_gate/events_bloom_parts"
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "event_type"])
+
+    def with_p(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "event_id": pc.cast(t["event_id"], pa.int64()),
+            "user_id": pc.cast(t["user_id"], pa.int64()),
+            "event_type": t["event_type"],
+            "p": pa.array(uid % n_parts),
+        })
+
+    staged = ds.map_batches(with_p, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    staged.write_parquet(out_dir, partition_cols=["p"])
+
+    # per-partition Bloom partials: one blob row per (block, partition)
+    def bloom_partial(t: pa.Table) -> pa.Table:
+        import pickle
+        if t.num_rows == 0:
+            return pa.table({"p": pa.array([], type=pa.int64()),
+                             "blob": pa.array([], type=pa.binary())})
+        pv = t["p"].to_numpy(zero_copy_only=False)
+        ev = t["event_id"].to_numpy(zero_copy_only=False)
+        ps, blobs = [], []
+        for p in np.unique(pv):
+            b = _OracleBloom(m_bits, k)
+            b.add_batch(ev[pv == p])
+            ps.append(int(p))
+            blobs.append(pickle.dumps(b))
+        return pa.table({"p": pa.array(ps, type=pa.int64()),
+                         "blob": pa.array(blobs, type=pa.binary())})
+
+    def fold(group: pa.Table) -> pa.Table:
+        import pickle
+        merged = None
+        for blob in group["blob"].to_pylist():
+            s = pickle.loads(blob)
+            merged = s if merged is None else merged.merge(s)
+        return pa.table({"p": group["p"][:1],
+                         "blob": pa.array([pickle.dumps(merged)],
+                                          type=pa.binary())})
+
+    reread = ray.data.read_parquet(out_dir)
+    blooms_t = (reread.map_batches(bloom_partial, batch_format="pyarrow",
+                                   zero_copy_batch=True)
+                .groupby("p").map_groups(fold, batch_format="pyarrow")
+                .to_pandas())
+    import pickle as _pickle
+    blooms = {int(r.p): _pickle.loads(r.blob)
+              for r in blooms_t.itertuples()}
+
+    # deterministic probe set + its true partitions (one scan)
+    def probe_rows(t: pa.Table) -> pa.Table:
+        ev = t["event_id"].to_numpy(zero_copy_only=False)
+        m = ev % probe_mod == 0
+        return pa.table({"event_id": pa.array(ev[m]),
+                         "p_true": pa.array(
+                             t["p"].to_numpy(zero_copy_only=False)[m])})
+
+    probes = (reread.map_batches(probe_rows, batch_format="pyarrow",
+                                 zero_copy_batch=True).to_pandas()
+              .sort_values("event_id").reset_index(drop=True))
+    probe_ids = probes["event_id"].to_numpy(dtype=np.int64)
+
+    touched = 0
+    touched_paths: set[int] = set()
+    per_probe_hits = np.zeros(len(probe_ids), dtype=np.int64)
+    for p, b in sorted(blooms.items()):
+        hits = b.contains_batch(probe_ids)
+        per_probe_hits += hits.astype(np.int64)
+        touched += int(hits.sum())
+        if hits.any():
+            touched_paths.add(p)
+    # no false negatives: every probe's true partition claims it
+    for pid, pt in zip(probe_ids, probes["p_true"]):
+        assert blooms[int(pt)].contains_batch(
+            np.array([pid], dtype=np.int64))[0]
+
+    # pruned read: ONLY the claiming partitions' files leave storage
+    import glob
+    files = [f for p in sorted(touched_paths)
+             for f in sorted(glob.glob(f"{out_dir}/p={p}/*.parquet"))]
+    pruned = ray.data.read_parquet(files)
+
+    def fetch(t: pa.Table) -> pa.Table:
+        m = pc.is_in(t["event_id"], value_set=pa.array(probe_ids))
+        return t.filter(m).select(["event_id", "user_id", "event_type"])
+
+    found = pruned.map_batches(fetch, batch_format="pyarrow") \
+        .to_pandas().sort_values("event_id").reset_index(drop=True)
+    assert found["event_id"].tolist() == probes["event_id"].tolist(), \
+        "pruned read lost rows"
+
+    return pa.table({
+        "n_partitions": pa.array([n_parts], type=pa.int64()),
+        "n_probes": pa.array([len(probe_ids)], type=pa.int64()),
+        "partitions_claiming": pa.array([touched], type=pa.int64()),
+        "false_partition_hits": pa.array(
+            [touched - len(probe_ids)], type=pa.int64()),
+        "max_claims_one_probe": pa.array(
+            [int(per_probe_hits.max()) if len(probe_ids) else 0],
+            type=pa.int64()),
+        "rows_found": pa.array([len(found)], type=pa.int64()),
+    })
+
+
+BLOOM_PRUNING_SQL = """
+WITH mem AS (
+  SELECT user_id % 16 AS p, event_id AS key FROM events
+), hs AS (
+  SELECT p, key,
+         CAST(('0x' || substr(md5(CAST(key AS VARCHAR)), 1, 16))
+              AS UBIGINT) % 4096 AS h1,
+         CAST(('0x' || substr(md5(CAST(key AS VARCHAR)), 17, 16))
+              AS UBIGINT) % 4096 AS h2
+  FROM mem
+), bits AS (
+  SELECT DISTINCT p, CAST((h1 + i.range * h2) % 4096 AS BIGINT) AS pos
+  FROM hs CROSS JOIN range(0, 2) i
+), probes AS (
+  SELECT key FROM (SELECT event_id AS key FROM events)
+  WHERE key % 797 = 0
+), ph AS (
+  SELECT pr.key, pt.p,
+         CAST((CAST(('0x' || substr(md5(CAST(pr.key AS VARCHAR)), 1, 16))
+              AS UBIGINT) % 4096
+              + i.range
+              * (CAST(('0x' || substr(md5(CAST(pr.key AS VARCHAR)), 17, 16))
+                 AS UBIGINT) % 4096)) % 4096 AS BIGINT) AS pos,
+         i.range AS i
+  FROM probes pr
+  CROSS JOIN (SELECT DISTINCT p FROM mem) pt
+  CROSS JOIN range(0, 2) i
+), claim AS (
+  SELECT ph.key, ph.p, count(*) AS c
+  FROM ph JOIN bits ON bits.p = ph.p AND bits.pos = ph.pos
+  GROUP BY 1, 2 HAVING count(*) = 2
+), per_probe AS (
+  SELECT key, CAST(count(*) AS BIGINT) AS hits FROM claim GROUP BY 1
+)
+SELECT CAST(16 AS BIGINT) AS n_partitions,
+       (SELECT CAST(count(*) AS BIGINT) FROM probes) AS n_probes,
+       (SELECT CAST(count(*) AS BIGINT) FROM claim) AS partitions_claiming,
+       (SELECT CAST(count(*) AS BIGINT) FROM claim)
+         - (SELECT CAST(count(*) AS BIGINT) FROM probes)
+         AS false_partition_hits,
+       (SELECT CAST(coalesce(max(hits), 0) AS BIGINT) FROM per_probe)
+         AS max_claims_one_probe,
+       (SELECT CAST(count(*) AS BIGINT) FROM probes) AS rows_found
+"""

@@ -869,3 +869,16 @@ def test_frequent_directions_query_runs(ray_session):
     # sketched spectrum never exceeds exact by more than fp noise
     assert all(s <= e + 1e-3
                for s, e in zip(t["sketched_eig"], t["exact_eig"]))
+
+
+def test_bloom_partition_pruning_audit(ray_session, tmp_path):
+    from p2pddsketch_ray.pipelines.approx import (
+        bloom_partition_pruning_audit)
+    t = bloom_partition_pruning_audit(
+        "/root/testdata/sf0.001",
+        out_dir=str(tmp_path / "parts")).to_pydict()
+    # every probe is claimed at least by its true partition
+    assert t["partitions_claiming"][0] >= t["n_probes"][0]
+    assert t["false_partition_hits"][0] >= 0
+    assert t["rows_found"][0] == t["n_probes"][0]
+    assert 1 <= t["max_claims_one_probe"][0] <= t["n_partitions"][0]
