@@ -521,7 +521,9 @@ from p2pddsketch_ray.pipelines.fingerprint import (  # noqa: E402
     WINNOW_FINGERPRINT_SQL as _WINNOW_FINGERPRINT_SQL)
 from p2pddsketch_ray.pipelines.knn import (  # noqa: E402
     HARD_NEGATIVE_SQL as _HARD_NEGATIVE_SQL,
-    CONTRASTIVE_MARGIN_SQL as _CONTRASTIVE_MARGIN_SQL)
+    CONTRASTIVE_MARGIN_SQL as _CONTRASTIVE_MARGIN_SQL,
+    srp_cosine_hamming as _srp_cosine_hamming,
+    SRP_COSINE_SQL as _SRP_COSINE_SQL)
 from p2pddsketch_ray.pipelines.relational import (  # noqa: E402
     EPOCH_SHUFFLE_SQL as _EPOCH_SHUFFLE_SQL,
     PERCENTILE_NORM_SQL as _PERCENTILE_NORM_SQL,
@@ -533,7 +535,9 @@ from p2pddsketch_ray.pipelines.relational import (  # noqa: E402
     DOC_NOVELTY_SQL as _DOC_NOVELTY_SQL,
     MEDIAN_POLISH_SQL as _MEDIAN_POLISH_SQL)
 from p2pddsketch_ray.pipelines.approx import (  # noqa: E402
-    UNIVERSE_JOIN_SAMPLE_SQL as _UNIVERSE_JOIN_SAMPLE_SQL)
+    UNIVERSE_JOIN_SAMPLE_SQL as _UNIVERSE_JOIN_SAMPLE_SQL,
+    priority_sample_revenue as _priority_sample_revenue,
+    PRIORITY_SAMPLE_SQL as _PRIORITY_SAMPLE_SQL)
 from p2pddsketch_ray.pipelines.search import (  # noqa: E402
     INVERTED_INDEX_SQL as _INVERTED_INDEX_SQL)
 from p2pddsketch_ray.pipelines.components import (  # noqa: E402
@@ -542,6 +546,8 @@ from p2pddsketch_ray.pipelines.components import (  # noqa: E402
     COPRESENCE_ASSORTATIVITY_SQL as _COPRESENCE_ASSORT_SQL,
     KCORE_SQL as _KCORE_SQL)
 from p2pddsketch_ray.pipelines.dedup import (  # noqa: E402
+    bbit_minhash_jaccard as _bbit_minhash_jaccard,
+    BBIT_MINHASH_SQL as _BBIT_MINHASH_SQL,
     DECONTAMINATION_SQL as _DECONTAMINATION_SQL,
     DUP_SPAN_SQL as _DUP_SPAN_SQL,
     dup_span_stats as _dup_span_stats,
@@ -1654,6 +1660,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # last-touch attribution: conversions credited to the most
         # recent in-window prior touch, deterministic under ts ties
         "last_touch_attribution": _last_touch_attribution,
+        # Duffield-Lund-Thorup priority sample: one weighted sample,
+        # unbiased subset-sum estimates per priority segment
+        "priority_sample_revenue": _priority_sample_revenue,
+        # b-bit minwise hashing: masked-register Jaccard estimator
+        # audited against the exact shingle Jaccard per pair
+        "bbit_minhash_jaccard": _bbit_minhash_jaccard,
+        # signed-random-projection (SimHash-for-cosine) angle estimate
+        # vs exact cosine over integer-quantized embeddings
+        "srp_cosine_hamming": _srp_cosine_hamming,
     }
     # The driver's correctness sweep samples the FIRST 50 entries
     # (VERDICT r3 item 4): order them so every operator family is in
@@ -3616,4 +3631,7 @@ SELECT st.ta AS type_a, st.tb AS type_b, st.nl AS n_l,
              END)) + 0.5) AS BIGINT) AS est_intersection
 FROM st LEFT JOIN cm ON cm.ta = st.ta AND cm.tb = st.tb
 ORDER BY 1, 2""",
+        "priority_sample_revenue": _PRIORITY_SAMPLE_SQL,
+        "bbit_minhash_jaccard": _BBIT_MINHASH_SQL,
+        "srp_cosine_hamming": _SRP_COSINE_SQL,
     }

@@ -9,6 +9,7 @@ estimator, wired into __ray_entry__ as oracle-matched queries.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -1811,4 +1812,137 @@ SELECT CAST(16 AS BIGINT) AS n_partitions,
        (SELECT CAST(coalesce(max(hits), 0) AS BIGINT) FROM per_probe)
          AS max_claims_one_probe,
        (SELECT CAST(count(*) AS BIGINT) FROM probes) AS rows_found
+"""
+
+
+def priority_sample_revenue(sf_dir: str, k: int = 200) -> pa.Table:
+    """PRIORITY SAMPLING (Duffield, Lund & Thorup, JACM 2007): one
+    weighted sample of k orders that answers ANY subset-sum query over
+    order value with near-optimal variance.  Each order draws a
+    deterministic uniform u from hash(orderkey) and gets priority
+    q = w / u; the k highest-priority orders are kept, tau is the
+    (k+1)-th priority, and the subset-sum estimator sums max(w, tau)
+    over sampled members of the subset -- unbiased for every subset
+    simultaneously, which is why a single priority sample replaces a
+    stratified design.  Reported per o_orderpriority segment: sampled
+    count, estimated vs exact revenue (cents), and the error in ppm.
+
+    All arithmetic is int64 (w in cents, u in 1..1e6, priority
+    w * 1e6 // u), so the DuckDB window-function replica hash-matches
+    bit-for-bit; hash(o_orderkey) is the murmur64 parity tier.
+
+    Scale shape (100 TB): the ONLY exchange is each block's local
+    top-(k+1) rows -- the classic distributed top-k prereduce -- so the
+    driver folds O(blocks * k) kilobyte rows, never the order stream;
+    the exact per-segment totals ride the same pass as an int64
+    combiner (segment cardinality is 5).  Contrast with
+    monetary_unit_sample (per-item Bernoulli, no subset-sum guarantee):
+    priority sampling gives the tau-threshold estimator its variance
+    optimality at the same single-pass cost.
+    """
+    from ..hashing import murmur64
+
+    ds = _read(sf_dir, "orders",
+               ["o_orderkey", "o_orderpriority", "o_totalprice"])
+    M = 1_000_000
+
+    empty = pa.table({
+        "seg": pa.array([], type=pa.string()),
+        "w": pa.array([], type=pa.int64()),
+        "pri": pa.array([], type=pa.int64()),
+        "key": pa.array([], type=pa.int64()),
+        "exact": pa.array([], type=pa.int64()),
+        "n": pa.array([], type=pa.int64()),
+    })
+
+    def partial(t: pa.Table) -> pa.Table:
+        # one pass: block-local top-(k+1) candidate rows by priority
+        # (anything below a block's (k+1)-th priority can never enter
+        # the global sample NOR set tau) + per-segment exact sums.
+        if t.num_rows == 0:
+            return empty
+        keys = t["o_orderkey"].to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        w = np.floor(t["o_totalprice"].to_numpy(zero_copy_only=False)
+                     * 100.0 + 0.5).astype(np.int64)
+        seg = t["o_orderpriority"]
+        u = (murmur64(keys) % np.uint64(M)).astype(np.int64) + 1
+        pri = w * M // u
+        top = min(k + 1, pri.size)
+        cand = np.lexsort((keys, -pri))[:top]
+        exact = pa.table({"seg": seg, "w": pa.array(w)}).group_by(
+            ["seg"]).aggregate([("w", "sum")])
+        n_c, n_e = cand.size, exact.num_rows
+        z_c = np.zeros(n_c, dtype=np.int64)
+        z_e = np.zeros(n_e, dtype=np.int64)
+        cand_t = pa.table({
+            "seg": seg.take(pa.array(cand)),
+            "w": pa.array(w[cand]), "pri": pa.array(pri[cand]),
+            "key": pa.array(keys[cand]), "exact": pa.array(z_c),
+            "n": pa.array(z_c)})
+        exact_t = pa.table({
+            "seg": exact["seg"], "w": pa.array(z_e),
+            "pri": pa.array(z_e), "key": pa.array(z_e),
+            "exact": pc.cast(exact["w_sum"], pa.int64()),
+            "n": pa.array(np.ones(n_e, dtype=np.int64))})
+        return pa.concat_tables([cand_t, exact_t]).combine_chunks()
+
+    f = ds.map_batches(partial, batch_format="pyarrow",
+                       zero_copy_batch=True).to_pandas()
+    samp = f[f["n"] == 0]
+    exact = (f[f["n"] == 1].groupby("seg", as_index=False)["exact"]
+             .sum().sort_values("seg"))
+
+    pri = samp["pri"].to_numpy()
+    order = np.lexsort((samp["key"].to_numpy(), -pri))
+    tau = int(pri[order[k]]) if order.size > k else 0
+    chosen = samp.iloc[order[:k]]
+    est_w = np.maximum(chosen["w"].to_numpy(), tau)
+
+    est = (pd.DataFrame({"seg": chosen["seg"].to_numpy(), "est": est_w,
+                         "ns": np.ones(len(chosen), dtype=np.int64)})
+           .groupby("seg", as_index=False).sum())
+    out = exact.merge(est, on="seg", how="left").fillna(0)
+    err = (np.abs(out["est"].to_numpy().astype(np.int64)
+                  - out["exact"].to_numpy())
+           * 1_000_000 // out["exact"].to_numpy())
+    return pa.table({
+        "o_orderpriority": pa.array(out["seg"].astype(str)),
+        "n_sampled": pa.array(out["ns"].to_numpy().astype(np.int64)),
+        "est_cents": pa.array(out["est"].to_numpy().astype(np.int64)),
+        "exact_cents": pa.array(out["exact"].to_numpy().astype(np.int64)),
+        "err_ppm": pa.array(err.astype(np.int64)),
+    })
+
+
+PRIORITY_SAMPLE_SQL = """
+WITH o AS (
+  SELECT o_orderpriority AS seg, o_orderkey AS key,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS w,
+         CAST(hash(o_orderkey) % 1000000 AS BIGINT) + 1 AS u
+  FROM orders
+), p AS (
+  SELECT seg, key, w, w * 1000000 // u AS pri FROM o
+), r AS (
+  SELECT *, row_number() OVER (ORDER BY pri DESC, key) AS rn FROM p
+), tau AS (
+  SELECT pri AS t FROM r WHERE rn = 201
+), s AS (
+  SELECT seg, greatest(w, (SELECT t FROM tau)) AS est_w
+  FROM r WHERE rn <= 200
+), ex AS (
+  SELECT seg, CAST(sum(w) AS BIGINT) AS exact_cents FROM o GROUP BY 1
+), est AS (
+  SELECT seg, CAST(count(*) AS BIGINT) AS n_sampled,
+         CAST(sum(est_w) AS BIGINT) AS est_cents
+  FROM s GROUP BY 1
+)
+SELECT ex.seg AS o_orderpriority,
+       coalesce(est.n_sampled, 0) AS n_sampled,
+       coalesce(est.est_cents, 0) AS est_cents,
+       ex.exact_cents,
+       CAST(abs(coalesce(est.est_cents, 0) - ex.exact_cents) * 1000000
+            // ex.exact_cents AS BIGINT) AS err_ppm
+FROM ex LEFT JOIN est ON est.seg = ex.seg
+ORDER BY 1
 """

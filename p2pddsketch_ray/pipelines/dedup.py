@@ -2666,3 +2666,158 @@ SELECT tot.lang, tot.n_chunks, coalesce(kept.n_kept, 0) AS n_kept
 FROM tot LEFT JOIN kept USING (lang)
 ORDER BY tot.lang
 """
+
+
+def bbit_minhash_jaccard(sf_dir: str, num_perm: int = 64, b: int = 2,
+                         k: int = 9, max_doc_id: int = 24) -> pa.Table:
+    """b-BIT MINWISE HASHING (Li & Konig, WWW 2010): store only the
+    lowest b bits of each of the num_perm minhash registers -- a 32x
+    storage cut at b=2 -- and recover Jaccard from the masked-register
+    match rate via the collision-corrected estimator
+    J_hat = (m/P - 2^-b) / (1 - 2^-b) (matches among unequal minima
+    happen at rate 2^-b and are subtracted out).  Emitted per bounded
+    doc pair: the masked match count, the estimate (ppm, clamped at 0
+    so the floor division stays in the numpy==DuckDB positive regime),
+    and the EXACT k-shingle Jaccard (ppm) it approximates, so the
+    estimator's bias/variance is audited in-query.
+
+    The masked registers are pure functions of the text (the same
+    multiply-add permutation tier proven SQL-replicable by
+    minhash_signature_stats), so the DuckDB twin recomputes the whole
+    signature matrix, masks to b bits, and hash-matches exactly.
+
+    Verification-tier pair query (doc_id < max_doc_id) like
+    ngram_jaccard_pairs; the UNBOUNDED scale path stays
+    minhash_near_dups (LSH banding + semi-joins) -- b-bit masking slots
+    into its signature matrix unchanged, shrinking the band shuffle by
+    64/b without touching the dataflow.
+    """
+    import pyarrow.dataset as pads
+
+    from ..sketches.minhash import minhash_signatures, shingle_hashes
+
+    mask = np.uint64((1 << b) - 1)
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"],
+        filter=(pads.field("doc_id") < max_doc_id))
+
+    sig_empty = pa.table({
+        "doc_id": pa.array([], type=pa.int64()),
+        **{f"r{i}": pa.array([], type=pa.int64())
+           for i in range(num_perm)},
+        "sh": pa.array([], type=pa.list_(pa.int64())),
+    })
+
+    def sigs(t: pa.Table) -> pa.Table:
+        # per block: masked registers + the doc's DISTINCT shingle-hash
+        # set, carried as (count, split halves checksum) -- exactness
+        # of the Jaccard needs the actual sets, so this bounded tier
+        # ships them whole in a list column instead
+        lens = pc.utf8_length(t["text"])
+        t = t.filter(pc.greater_equal(lens, pa.scalar(k)))
+        if t.num_rows == 0:
+            return sig_empty
+        sig = minhash_signatures(t["text"], num_perm=num_perm, k=k)
+        masked = (sig & mask).astype(np.int64)
+        hv, offs = shingle_hashes(t["text"], k)
+        # distinct shingle hashes per doc, shipped as a list column
+        sets = []
+        for i in range(t.num_rows):
+            sets.append(np.unique(hv[offs[i]:offs[i + 1]])
+                        .view(np.int64))
+        return pa.table({
+            "doc_id": pa.array(t["doc_id"].to_numpy(
+                zero_copy_only=False).astype(np.int64)),
+            **{f"r{i}": pa.array(masked[:, i])
+               for i in range(num_perm)},
+            "sh": pa.array([s.tolist() for s in sets],
+                           type=pa.list_(pa.int64())),
+        })
+
+    rows = ds.map_batches(
+        sigs, batch_format="pyarrow",
+        zero_copy_batch=True).take_all()
+    # bounded driver pull: < max_doc_id rows by construction
+    rows.sort(key=lambda r: r["doc_id"])
+    n = len(rows)
+    reg = np.array([[r[f"r{i}"] for i in range(num_perm)]
+                    for r in rows], dtype=np.int64)
+    sets = [np.asarray(r["sh"], dtype=np.int64) for r in rows]
+    ids = np.array([r["doc_id"] for r in rows], dtype=np.int64)
+
+    P = num_perm
+    da, db, m_arr, est, jac = [], [], [], [], []
+    for i in range(n):
+        for j in range(i + 1, n):
+            m = int((reg[i] == reg[j]).sum())
+            inter = np.intersect1d(sets[i], sets[j],
+                                   assume_unique=True).size
+            uni = sets[i].size + sets[j].size - inter
+            da.append(int(ids[i])); db.append(int(ids[j]))
+            m_arr.append(m)
+            est.append(max(0, m * (1 << b) - P) * 1_000_000
+                       // (P * ((1 << b) - 1)))
+            jac.append(inter * 1_000_000 // uni if uni else 0)
+    return pa.table({
+        "doc_a": pa.array(da, type=pa.int64()),
+        "doc_b": pa.array(db, type=pa.int64()),
+        "matches": pa.array(m_arr, type=pa.int64()),
+        "est_jaccard_ppm": pa.array(est, type=pa.int64()),
+        "exact_jaccard_ppm": pa.array(jac, type=pa.int64()),
+    })
+
+
+def _bbit_minhash_sql(num_perm: int = 64, b: int = 2, k: int = 9,
+                      max_doc_id: int = 24) -> str:
+    from ..sketches.minhash import _perm_constants
+    a, bb = _perm_constants(num_perm)
+    rows = ", ".join(f"({i}, {int(x) >> 32}, {int(x) & 0xFFFFFFFF}, "
+                     f"{int(y)})"
+                     for i, (x, y) in enumerate(zip(a, bb)))
+    horner = "0"
+    for j in range(k):
+        horner = (f"(({horner}) * 1099511628211 + "
+                  f"ord(substr(text, i + {j}, 1))) % 18446744073709551616")
+    two_b = 1 << b
+    return f"""
+WITH nums AS (SELECT CAST(range AS BIGINT) AS i FROM range(1, 1048576)),
+w AS (SELECT doc_id, CAST(({horner}) AS HUGEINT) AS hv
+      FROM documents JOIN nums ON nums.i <= length(text) - {k - 1}
+      WHERE doc_id < {max_doc_id} AND length(text) >= {k}),
+perms(perm, a_hi, a_lo, b) AS (VALUES {rows}),
+g AS (SELECT doc_id, perm,
+             ((hv * a_lo) % 18446744073709551616
+              + ((hv * a_hi) % 4294967296) * 4294967296
+              + b) % 18446744073709551616 AS pv
+      FROM w CROSS JOIN perms),
+mins AS (SELECT doc_id, perm, CAST(min(pv) % {two_b} AS BIGINT) AS reg
+         FROM g GROUP BY 1, 2),
+dw AS (SELECT DISTINCT doc_id, hv FROM w),
+sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM dw GROUP BY 1),
+pairs AS (
+  SELECT a.doc_id AS doc_a, c.doc_id AS doc_b,
+         CAST(sum(CASE WHEN a.reg = c.reg THEN 1 ELSE 0 END) AS BIGINT)
+           AS matches
+  FROM mins a JOIN mins c ON a.perm = c.perm AND a.doc_id < c.doc_id
+  GROUP BY 1, 2),
+inter AS (
+  SELECT a.doc_id AS doc_a, c.doc_id AS doc_b,
+         CAST(count(*) AS BIGINT) AS i
+  FROM dw a JOIN dw c ON a.hv = c.hv AND a.doc_id < c.doc_id
+  GROUP BY 1, 2)
+SELECT p.doc_a, p.doc_b, p.matches,
+       greatest(p.matches * {two_b} - {num_perm}, 0) * 1000000
+         // ({num_perm} * {two_b - 1}) AS est_jaccard_ppm,
+       CASE WHEN sa.n + sb.n - coalesce(inter.i, 0) > 0
+            THEN coalesce(inter.i, 0) * 1000000
+                 // (sa.n + sb.n - coalesce(inter.i, 0))
+            ELSE 0 END AS exact_jaccard_ppm
+FROM pairs p
+JOIN sz sa ON sa.doc_id = p.doc_a
+JOIN sz sb ON sb.doc_id = p.doc_b
+LEFT JOIN inter ON inter.doc_a = p.doc_a AND inter.doc_b = p.doc_b
+ORDER BY 1, 2
+"""
+
+
+BBIT_MINHASH_SQL = _bbit_minhash_sql()

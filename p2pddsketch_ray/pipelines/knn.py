@@ -964,3 +964,125 @@ def frequent_directions_embed(sf_dir: str, ell: int = 16,
         "spectral_err": pa.array(np.full(top_k, round(err, 6))),
         "err_bound": pa.array(np.full(top_k, round(bound, 6))),
     })
+
+
+def srp_cosine_hamming(sf_dir: str, n_planes: int = 64,
+                       max_vec_id: int = 40) -> pa.Table:
+    """SIGNED RANDOM PROJECTIONS (Charikar, STOC 2002 s3; the
+    hyperplane-LSH estimator SimHash generalizes): each embedding is
+    compressed to n_planes sign bits -- bit p is the sign of the dot
+    product with a pseudo-random hyperplane whose +/-1 coordinates come
+    from the murmur64 parity of (dim * 256 + plane), so the planes are
+    a pure hash function both numpy and DuckDB evaluate identically.
+    P(bits agree) = 1 - theta/pi, so the Hamming distance h between two
+    signatures estimates the angle, and cos(pi * h / P) estimates the
+    cosine.  Emitted per bounded pair: h, the SRP cosine estimate, and
+    the exact cosine it approximates (both rounded to 4 decimals, the
+    knn_cosine_topk float-compare tier).
+
+    Embeddings are quantized to int64 micro-units BEFORE the sign dot
+    products (floor(v * 1e6 + 0.5)), so every sign bit and the exact
+    cosine's numerator/norms are integer-exact across engines -- the
+    only floats are the two final cos/sqrt calls on identical doubles.
+
+    Verification-tier pair query (vec_id < max_vec_id).  The scale
+    path: the 64-bit signature IS the LSH key -- lsh_ann_topk buckets
+    by signature prefix, and the estimator here prices its candidate
+    pairs without touching the raw vectors (8 bytes vs 256 per row on
+    the shuffle).
+    """
+    import pyarrow.dataset as pads
+
+    from ..functions.vectors import list_to_matrix
+    from ..hashing import murmur64
+
+    P = n_planes
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"],
+        filter=(pads.field("vec_id") < max_vec_id))
+
+    def encode(t: pa.Table) -> pa.Table:
+        mat = list_to_matrix(t["embedding"])          # (n, d) float
+        q = np.floor(mat.astype(np.float64) * 1e6 + 0.5).astype(np.int64)
+        d = q.shape[1]
+        # +/-1 planes from hash parity: signs[dim, plane]
+        idx = (np.arange(d, dtype=np.int64)[:, None] * 256
+               + np.arange(P, dtype=np.int64)[None, :])
+        signs = (murmur64(idx.ravel()) % np.uint64(2)).astype(
+            np.int64).reshape(d, P) * 2 - 1
+        proj = q @ signs                               # int64 exact
+        bits = (proj > 0).astype(np.int64)
+        n2 = (q * q).sum(axis=1)                       # int64 exact
+        return pa.table({
+            "vec_id": pa.array(t["vec_id"].to_numpy(
+                zero_copy_only=False).astype(np.int64)),
+            **{f"b{i}": pa.array(bits[:, i]) for i in range(P)},
+            "n2": pa.array(n2),
+            "q": pa.array(list(q), type=pa.list_(pa.int64())),
+        })
+
+    rows = ds.map_batches(encode, batch_format="pyarrow",
+                          zero_copy_batch=True).take_all()
+    rows.sort(key=lambda r: r["vec_id"])               # bounded pull
+    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    bits = np.array([[r[f"b{i}"] for i in range(P)] for r in rows],
+                    dtype=np.int64)
+    n2 = np.array([r["n2"] for r in rows], dtype=np.int64)
+    qm = np.array([r["q"] for r in rows], dtype=np.int64)
+
+    n = ids.size
+    ia, ib = np.triu_indices(n, k=1)
+    h = (bits[ia] != bits[ib]).sum(axis=1).astype(np.int64)
+    est = np.round(np.cos(np.pi * h / P), 4)
+    dot = (qm[ia] * qm[ib]).sum(axis=1)                # int64 exact
+    exact = np.round(dot / (np.sqrt(n2[ia].astype(np.float64))
+                            * np.sqrt(n2[ib].astype(np.float64))), 4)
+    return pa.table({
+        "vec_a": pa.array(ids[ia]),
+        "vec_b": pa.array(ids[ib]),
+        "hamming": pa.array(h),
+        "est_cos": pa.array(est, type=pa.float64()),
+        "exact_cos": pa.array(exact, type=pa.float64()),
+    })
+
+
+SRP_COSINE_SQL = """
+WITH e AS (
+  SELECT vec_id, unnest(embedding) AS v,
+         generate_subscripts(embedding, 1) - 1 AS d
+  FROM embeddings WHERE vec_id < 40
+), q AS (
+  SELECT vec_id, d, CAST(floor(v * 1000000 + 0.5) AS BIGINT) AS qv
+  FROM e
+), planes AS (
+  SELECT CAST(p.range AS BIGINT) AS p FROM range(0, 64) p
+), proj AS (
+  SELECT q.vec_id, planes.p,
+         sum(q.qv * (CAST(hash(q.d * 256 + planes.p) % 2 AS BIGINT)
+                     * 2 - 1)) AS s
+  FROM q CROSS JOIN planes GROUP BY 1, 2
+), bits AS (
+  SELECT vec_id, p, CASE WHEN s > 0 THEN 1 ELSE 0 END AS bit FROM proj
+), n2 AS (
+  SELECT vec_id, sum(qv * qv) AS n2 FROM q GROUP BY 1
+), ham AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         CAST(sum(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) AS BIGINT)
+           AS hamming
+  FROM bits a JOIN bits b ON a.p = b.p AND a.vec_id < b.vec_id
+  GROUP BY 1, 2
+), dots AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         sum(a.qv * b.qv) AS dot
+  FROM q a JOIN q b ON a.d = b.d AND a.vec_id < b.vec_id
+  GROUP BY 1, 2
+)
+SELECT ham.vec_a, ham.vec_b, ham.hamming,
+       round(cos(pi() * ham.hamming / 64), 4) AS est_cos,
+       round(dots.dot / (sqrt(na.n2) * sqrt(nb.n2)), 4) AS exact_cos
+FROM ham
+JOIN dots ON dots.vec_a = ham.vec_a AND dots.vec_b = ham.vec_b
+JOIN n2 na ON na.vec_id = ham.vec_a
+JOIN n2 nb ON nb.vec_id = ham.vec_b
+ORDER BY 1, 2
+"""

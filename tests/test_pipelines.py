@@ -4718,3 +4718,105 @@ def test_median_polish_decomposition_identity(ray_session):
     for _, grp in df.groupby("source"):
         s = sorted(grp["residual"])
         assert s[(len(s) + 1) // 2 - 1] == 0
+
+
+def test_priority_sample_matches_duckdb(ray_session):
+    import duckdb
+    from p2pddsketch_ray.pipelines.approx import (PRIORITY_SAMPLE_SQL,
+                                                  priority_sample_revenue)
+    sf = "/root/testdata/sf0.001"
+    got = priority_sample_revenue(sf).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW orders AS SELECT * FROM "
+                f"read_parquet('{sf}/orders.parquet')")
+    want = con.execute(PRIORITY_SAMPLE_SQL).df()
+    assert len(got) == len(want)
+    for c in ("n_sampled", "est_cents", "exact_cents", "err_ppm"):
+        assert got[c].astype("int64").tolist() \
+            == want[c].astype("int64").tolist(), c
+    # the whole sample is exactly k rows across segments
+    assert int(got["n_sampled"].sum()) == 200
+    # tau-threshold estimator: every sampled weight is >= its own w,
+    # so per-segment estimates are >= the sampled segment mass
+    assert (got["est_cents"] >= 0).all()
+
+
+def test_priority_sample_merge_order_invariance(ray_session):
+    # block-local top-(k+1) prereduce is lossless: the global top-k +
+    # tau computed from block candidates equals the single-pass answer
+    import numpy as np
+    from p2pddsketch_ray.hashing import murmur64
+    rng = np.random.default_rng(11)
+    w = rng.integers(1, 10_000_000, 5_000).astype(np.int64)
+    keys = np.arange(5_000, dtype=np.int64)
+    M = 1_000_000
+    u = (murmur64(keys) % np.uint64(M)).astype(np.int64) + 1
+    pri = w * M // u
+    k = 64
+
+    def topk_tau(order_idx):
+        cand = []
+        for part in np.array_split(order_idx, 7):
+            pp = pri[part]
+            loc = np.lexsort((keys[part], -pp))[:k + 1]
+            cand.append(part[loc])
+        cand = np.concatenate(cand)
+        glob = cand[np.lexsort((keys[cand], -pri[cand]))]
+        return set(keys[glob[:k]].tolist()), int(pri[glob[k]])
+
+    base_sample, base_tau = topk_tau(np.arange(5_000))
+    perm_sample, perm_tau = topk_tau(rng.permutation(5_000))
+    assert base_sample == perm_sample and base_tau == perm_tau
+
+
+def test_bbit_minhash_matches_duckdb(ray_session):
+    import duckdb
+    from p2pddsketch_ray.pipelines.dedup import (BBIT_MINHASH_SQL,
+                                                 bbit_minhash_jaccard)
+    sf = "/root/testdata/sf0.001"
+    got = bbit_minhash_jaccard(sf).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf}/documents.parquet')")
+    want = con.execute(BBIT_MINHASH_SQL).df()
+    assert len(got) == len(want) > 0
+    for c in got.columns:
+        assert got[c].astype("int64").tolist() \
+            == want[c].astype("int64").tolist(), c
+    # estimator sanity: identical docs would give matches == 64;
+    # the clamped estimator never exceeds 1
+    assert (got["est_jaccard_ppm"] <= 1_000_000).all()
+    assert (got["matches"] <= 64).all()
+
+
+def test_bbit_estimator_exact_on_identical_and_disjoint():
+    # closed-form check of the Li-Konig correction at the extremes
+    P, b = 64, 2
+    est = lambda m: max(0, m * (1 << b) - P) * 1_000_000 \
+        // (P * ((1 << b) - 1))
+    assert est(P) == 1_000_000          # all registers match -> J=1
+    assert est(P // (1 << b)) == 0      # pure-collision rate -> J=0
+    assert est(0) == 0                  # clamp below collision floor
+
+
+def test_srp_cosine_matches_duckdb(ray_session):
+    import duckdb
+    import numpy as np
+    from p2pddsketch_ray.pipelines.knn import (SRP_COSINE_SQL,
+                                               srp_cosine_hamming)
+    sf = "/root/testdata/sf0.001"
+    got = srp_cosine_hamming(sf).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM "
+                f"read_parquet('{sf}/embeddings.parquet')")
+    want = con.execute(SRP_COSINE_SQL).df()
+    assert len(got) == len(want) > 0
+    for c in ("vec_a", "vec_b", "hamming"):
+        assert got[c].astype("int64").tolist() \
+            == want[c].astype("int64").tolist(), c
+    for c in ("est_cos", "exact_cos"):
+        assert np.array_equal(got[c].to_numpy(), want[c].to_numpy()), c
+    # Goemans-Williamson style sanity: the SRP estimate tracks the
+    # exact cosine (correlation over pairs is strongly positive)
+    r = np.corrcoef(got["est_cos"], got["exact_cos"])[0, 1]
+    assert r > 0.3, r
