@@ -548,6 +548,8 @@ from p2pddsketch_ray.pipelines.components import (  # noqa: E402
 from p2pddsketch_ray.pipelines.dedup import (  # noqa: E402
     bbit_minhash_jaccard as _bbit_minhash_jaccard,
     BBIT_MINHASH_SQL as _BBIT_MINHASH_SQL,
+    oph_minhash_densified as _oph_minhash_densified,
+    OPH_MINHASH_SQL as _OPH_MINHASH_SQL,
     DECONTAMINATION_SQL as _DECONTAMINATION_SQL,
     DUP_SPAN_SQL as _DUP_SPAN_SQL,
     dup_span_stats as _dup_span_stats,
@@ -1669,6 +1671,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # signed-random-projection (SimHash-for-cosine) angle estimate
         # vs exact cosine over integer-quantized embeddings
         "srp_cosine_hamming": _srp_cosine_hamming,
+        # densified one-permutation hashing: one-pass MinHash (the
+        # 64x hash-work cut for the 100 TB signature stage), register
+        # vector replayed bit-exactly incl. cyclic borrow offsets
+        "oph_minhash_densified": _oph_minhash_densified,
     }
     # The driver's correctness sweep samples the FIRST 50 entries
     # (VERDICT r3 item 4): order them so every operator family is in
@@ -3634,4 +3640,5 @@ ORDER BY 1, 2""",
         "priority_sample_revenue": _PRIORITY_SAMPLE_SQL,
         "bbit_minhash_jaccard": _BBIT_MINHASH_SQL,
         "srp_cosine_hamming": _SRP_COSINE_SQL,
+        "oph_minhash_densified": _OPH_MINHASH_SQL,
     }

@@ -2821,3 +2821,168 @@ ORDER BY 1, 2
 
 
 BBIT_MINHASH_SQL = _bbit_minhash_sql()
+
+
+def oph_minhash_densified(sf_dir: str, n_bins: int = 64, k: int = 9,
+                          max_doc_id: int = 24) -> pa.Table:
+    """DENSIFIED ONE-PERMUTATION HASHING (Li, Owen & Zhang NIPS'12;
+    Shrivastava & Li ICML'14): the 100 TB answer to MinHash's cost --
+    instead of num_perm independent permutation passes over every
+    shingle, ONE hash pass buckets the shingle universe into n_bins
+    bins and keeps the min per bin; empty bins borrow (densify) from
+    the nearest non-empty bin to the right (cyclic), offset by the
+    borrow distance so borrowed registers never spuriously collide.
+    The match rate across the n_bins registers is an unbiased Jaccard
+    estimator with accuracy comparable to n_bins true permutations at
+    1/n_bins of the hashing work -- a direct drop-in that would cut
+    this repo's own minhash signature-build phase (the slowest scaling
+    phase in BASELINE.md's runs) by ~64x of hash work at equal bins.
+
+    The whole register vector is a pure function of the shingle-hash
+    SET (bin mins + deterministic rightward borrow), so the DuckDB twin
+    replays it exactly: bin = hv % n_bins, min per (doc, bin), borrow
+    via first_value(... IGNORE NULLS) over a doubled cyclic bin axis.
+    Emitted per bounded pair: register matches, the matches/n_bins
+    estimate (ppm), and the exact shingle Jaccard (ppm).
+
+    Verification-tier pair query (doc_id < max_doc_id), same contract
+    as bbit_minhash_jaccard; the unbounded scale path is
+    minhash_near_dups with this kernel swapped into its signature
+    stage.
+    """
+    import pyarrow.dataset as pads
+
+    from ..sketches.minhash import shingle_hashes
+
+    P = n_bins
+    U = np.uint64(0xFFFFFFFFFFFFFFFF)  # empty-bin sentinel (max u64)
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"],
+        filter=(pads.field("doc_id") < max_doc_id))
+
+    def encode(t: pa.Table) -> pa.Table:
+        lens = pc.utf8_length(t["text"])
+        t = t.filter(pc.greater_equal(lens, pa.scalar(k)))
+        if t.num_rows == 0:
+            return pa.table({
+                "doc_id": pa.array([], type=pa.int64()),
+                **{f"h{i}": pa.array([], type=pa.int64())
+                   for i in range(P)},
+                "sh": pa.array([], type=pa.list_(pa.int64())),
+            })
+        hv, offs = shingle_hashes(t["text"], k)
+        n = t.num_rows
+        regs = np.full((n, P), U, dtype=np.uint64)
+        sets = []
+        for i in range(n):
+            h = np.unique(hv[offs[i]:offs[i + 1]])
+            sets.append(h.view(np.int64))
+            b = (h % np.uint64(P)).astype(np.int64)
+            np.minimum.at(regs[i], b, h)
+        # rightward cyclic densification: empty bin j takes the value
+        # of the nearest non-empty bin j+t, plus t (mod 2^64) so equal
+        # borrows at different distances stay distinct
+        filled = regs != U
+        dbl = np.concatenate([filled, filled], axis=1)
+        idx = np.where(dbl, np.tile(np.arange(2 * P), (n, 1)),
+                       np.int64(1 << 30))
+        nxt = np.minimum.accumulate(idx[:, ::-1], axis=1)[:, ::-1][:, :P]
+        assert (nxt < (1 << 30)).all(), "document with zero shingles"
+        src = nxt % P
+        tdist = (nxt - np.arange(P)[None, :]).astype(np.uint64)
+        dense = np.take_along_axis(regs, src, axis=1) + tdist  # wraps
+        out = np.where(filled, regs, dense).view(np.int64)
+        return pa.table({
+            "doc_id": pa.array(t["doc_id"].to_numpy(
+                zero_copy_only=False).astype(np.int64)),
+            **{f"h{i}": pa.array(out[:, i]) for i in range(P)},
+            "sh": pa.array([s.tolist() for s in sets],
+                           type=pa.list_(pa.int64())),
+        })
+
+    rows = ds.map_batches(encode, batch_format="pyarrow",
+                          zero_copy_batch=True).take_all()
+    rows.sort(key=lambda r: r["doc_id"])  # bounded driver pull
+    ids = np.array([r["doc_id"] for r in rows], dtype=np.int64)
+    regs = np.array([[r[f"h{i}"] for i in range(P)] for r in rows],
+                    dtype=np.int64)
+    sets = [np.asarray(r["sh"], dtype=np.int64) for r in rows]
+
+    n = ids.size
+    ia, ib = np.triu_indices(n, k=1)
+    m = (regs[ia] == regs[ib]).sum(axis=1).astype(np.int64)
+    jac = np.empty(ia.size, dtype=np.int64)
+    for x, (i, j) in enumerate(zip(ia, ib)):
+        inter = np.intersect1d(sets[i], sets[j],
+                               assume_unique=True).size
+        uni = sets[i].size + sets[j].size - inter
+        jac[x] = inter * 1_000_000 // uni if uni else 0
+    return pa.table({
+        "doc_a": pa.array(ids[ia]),
+        "doc_b": pa.array(ids[ib]),
+        "matches": pa.array(m),
+        "est_jaccard_ppm": pa.array(m * 1_000_000 // P),
+        "exact_jaccard_ppm": pa.array(jac),
+    })
+
+
+def _oph_minhash_sql(n_bins: int = 64, k: int = 9,
+                     max_doc_id: int = 24) -> str:
+    horner = "0"
+    for j in range(k):
+        horner = (f"(({horner}) * 1099511628211 + "
+                  f"ord(substr(text, i + {j}, 1))) % 18446744073709551616")
+    return f"""
+WITH nums AS (SELECT CAST(range AS BIGINT) AS i FROM range(1, 1048576)),
+w AS (SELECT doc_id, CAST(({horner}) AS HUGEINT) AS hv
+      FROM documents JOIN nums ON nums.i <= length(text) - {k - 1}
+      WHERE doc_id < {max_doc_id} AND length(text) >= {k}),
+dw AS (SELECT DISTINCT doc_id, hv FROM w),
+sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM dw GROUP BY 1),
+mins AS (SELECT doc_id, CAST(hv % {n_bins} AS BIGINT) AS b,
+                min(hv) AS v
+         FROM dw GROUP BY 1, 2),
+axis AS (SELECT sz.doc_id, CAST(r.range AS BIGINT) AS b2
+         FROM sz CROSS JOIN range(0, {2 * n_bins}) r),
+-- doubled cyclic bin axis; first non-empty bin at-or-right of each b2
+j AS (SELECT axis.doc_id, axis.b2, mins.v,
+             CASE WHEN mins.v IS NOT NULL THEN axis.b2 END AS occ
+      FROM axis LEFT JOIN mins
+        ON mins.doc_id = axis.doc_id AND mins.b = axis.b2 % {n_bins}),
+f AS (SELECT doc_id, b2, v,
+             first_value(occ IGNORE NULLS) OVER (
+               PARTITION BY doc_id ORDER BY b2
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nxt
+      FROM j),
+regs AS (SELECT a.doc_id, a.b2 AS b,
+                CAST((s.v + (a.nxt - a.b2)) % 18446744073709551616
+                     AS HUGEINT) AS reg
+         FROM f a JOIN f s
+           ON s.doc_id = a.doc_id AND s.b2 = a.nxt
+         WHERE a.b2 < {n_bins}),
+pairs AS (
+  SELECT a.doc_id AS doc_a, c.doc_id AS doc_b,
+         CAST(sum(CASE WHEN a.reg = c.reg THEN 1 ELSE 0 END) AS BIGINT)
+           AS matches
+  FROM regs a JOIN regs c ON a.b = c.b AND a.doc_id < c.doc_id
+  GROUP BY 1, 2),
+inter AS (
+  SELECT a.doc_id AS doc_a, c.doc_id AS doc_b,
+         CAST(count(*) AS BIGINT) AS i
+  FROM dw a JOIN dw c ON a.hv = c.hv AND a.doc_id < c.doc_id
+  GROUP BY 1, 2)
+SELECT p.doc_a, p.doc_b, p.matches,
+       p.matches * 1000000 // {n_bins} AS est_jaccard_ppm,
+       CASE WHEN sa.n + sb.n - coalesce(inter.i, 0) > 0
+            THEN coalesce(inter.i, 0) * 1000000
+                 // (sa.n + sb.n - coalesce(inter.i, 0))
+            ELSE 0 END AS exact_jaccard_ppm
+FROM pairs p
+JOIN sz sa ON sa.doc_id = p.doc_a
+JOIN sz sb ON sb.doc_id = p.doc_b
+LEFT JOIN inter ON inter.doc_a = p.doc_a AND inter.doc_b = p.doc_b
+ORDER BY 1, 2
+"""
+
+
+OPH_MINHASH_SQL = _oph_minhash_sql()

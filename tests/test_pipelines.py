@@ -4820,3 +4820,50 @@ def test_srp_cosine_matches_duckdb(ray_session):
     # exact cosine (correlation over pairs is strongly positive)
     r = np.corrcoef(got["est_cos"], got["exact_cos"])[0, 1]
     assert r > 0.3, r
+
+
+def test_oph_minhash_matches_duckdb(ray_session):
+    import duckdb
+    from p2pddsketch_ray.pipelines.dedup import (OPH_MINHASH_SQL,
+                                                 oph_minhash_densified)
+    sf = "/root/testdata/sf0.001"
+    got = oph_minhash_densified(sf).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf}/documents.parquet')")
+    want = con.execute(OPH_MINHASH_SQL).df()
+    assert len(got) == len(want) > 0
+    for c in got.columns:
+        assert got[c].astype("int64").tolist() \
+            == want[c].astype("int64").tolist(), c
+
+
+def test_oph_densification_identical_docs_match_everywhere():
+    # two docs with the same shingle set produce IDENTICAL densified
+    # register vectors (borrow offsets included), and a disjoint doc
+    # does not accidentally match on borrowed registers
+    import numpy as np
+    import pyarrow as pa
+    from p2pddsketch_ray.sketches.minhash import shingle_hashes
+
+    P = 64
+    U = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+    def registers(text: str) -> np.ndarray:
+        hv, offs = shingle_hashes(pa.array([text]), 9)
+        h = np.unique(hv[offs[0]:offs[1]])
+        regs = np.full(P, U, dtype=np.uint64)
+        np.minimum.at(regs, (h % np.uint64(P)).astype(np.int64), h)
+        filled = regs != U
+        dbl = np.concatenate([filled, filled])
+        idx = np.where(dbl, np.arange(2 * P), np.int64(1 << 30))
+        nxt = np.minimum.accumulate(idx[::-1])[::-1][:P]
+        src = nxt % P
+        t = (nxt - np.arange(P)).astype(np.uint64)
+        return np.where(filled, regs, regs[src] + t)
+
+    a = registers("the quick brown fox jumps over the lazy dog")
+    b = registers("the quick brown fox jumps over the lazy dog")
+    c = registers("zzzzyyyyxxxxwwwwvvvvuuuuttttssss")
+    assert (a == b).all()
+    assert (a == c).sum() < P // 4
