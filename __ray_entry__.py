@@ -537,7 +537,9 @@ from p2pddsketch_ray.pipelines.relational import (  # noqa: E402
 from p2pddsketch_ray.pipelines.approx import (  # noqa: E402
     UNIVERSE_JOIN_SAMPLE_SQL as _UNIVERSE_JOIN_SAMPLE_SQL,
     priority_sample_revenue as _priority_sample_revenue,
-    PRIORITY_SAMPLE_SQL as _PRIORITY_SAMPLE_SQL)
+    PRIORITY_SAMPLE_SQL as _PRIORITY_SAMPLE_SQL,
+    hyperminhash_type_jaccard as _hyperminhash_type_jaccard,
+    HYPERMINHASH_SQL as _HYPERMINHASH_SQL)
 from p2pddsketch_ray.pipelines.search import (  # noqa: E402
     INVERTED_INDEX_SQL as _INVERTED_INDEX_SQL)
 from p2pddsketch_ray.pipelines.components import (  # noqa: E402
@@ -1675,6 +1677,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # 64x hash-work cut for the 100 TB signature stage), register
         # vector replayed bit-exactly incl. cyclic borrow offsets
         "oph_minhash_densified": _oph_minhash_densified,
+        # HyperMinHash: direct Jaccard between big sets at loglog
+        # space (2 bytes/bucket), exact Jaccard audited on the row
+        "hyperminhash_type_jaccard": _hyperminhash_type_jaccard,
     }
     # The driver's correctness sweep samples the FIRST 50 entries
     # (VERDICT r3 item 4): order them so every operator family is in
@@ -3641,4 +3646,5 @@ ORDER BY 1, 2""",
         "bbit_minhash_jaccard": _BBIT_MINHASH_SQL,
         "srp_cosine_hamming": _SRP_COSINE_SQL,
         "oph_minhash_densified": _OPH_MINHASH_SQL,
+        "hyperminhash_type_jaccard": _HYPERMINHASH_SQL,
     }

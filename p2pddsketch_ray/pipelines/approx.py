@@ -1946,3 +1946,199 @@ SELECT ex.seg AS o_orderpriority,
 FROM ex LEFT JOIN est ON est.seg = ex.seg
 ORDER BY 1
 """
+
+
+def hyperminhash_type_jaccard(sf_dir: str, r_bits: int = 10) -> pa.Table:
+    """HYPERMINHASH (Yu & Weber, IEEE TKDE 2020): Jaccard similarity
+    between BIG sets at loglog space -- each of 256 buckets stores the
+    quantized minimum hash as (HLL exponent, r-bit mantissa), so the
+    sketch costs ~2 bytes/bucket yet the matched-register fraction
+    estimates Jaccard directly, where plain MinHash would need one
+    permutation pass per register and plain HLL can only reach overlap
+    through inclusion-exclusion (hll_type_overlap) whose error scales
+    with the UNION.  Registers merge by elementwise MIN, so the build
+    is the same mergeable-accumulator tree as every other sketch here.
+
+    Register encoding (the floor(log2) float path is exact because the
+    mantissa word keeps only the low 52 bits -- the proven HLL-oracle
+    tier): bucket = h >> 56, w = h & (2^52-1), e = floor(log2(w)),
+    D = (e+1) * 2^r + (w - 2^e) * 2^r // 2^e  (w == 0 -> D = 0);
+    smaller D == smaller hash fraction, min-mergeable, and every step
+    is integer-exact in DuckDB, so the twin replays all registers.
+
+    Estimator: matched buckets over buckets occupied in EITHER sketch
+    (the sparse-regime denominator -- identical sets estimate exactly
+    1.0 even when the 256 buckets are undersaturated), collision-
+    corrected by the paper's expected random-collision rate ~1.47/2^r
+    (ppm-integer algebra, clamped at 0).  The EXACT per-type-pair Jaccard rides the
+    same output row: distinct (type, user) combiner, user
+    co-partition, <= C(5,2) integer pair partials per partition -- so
+    the estimator's error is audited in-query.
+
+    Scale shape: per-block distinct combiner -> (type, bucket) min
+    groupby (kilobytes), driver folds 5 x 256 registers; exact side
+    shuffles only distinct int64 pairs and emits 10-row partials.
+    """
+    from ..hashing import murmur64
+    from ..stages.partition import fit_partitions, partition_by
+
+    R = 1 << r_bits
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+
+    reg_empty = pa.table({"ty": pa.array([], type=pa.string()),
+                          "idx": pa.array([], type=pa.int64()),
+                          "d": pa.array([], type=pa.int64())})
+
+    def reg_partial(t: pa.Table) -> pa.Table:
+        # block-local distinct (type, user) then per-(type, bucket) min
+        if t.num_rows == 0:
+            return reg_empty
+        grp = pa.table({"ty": t["event_type"],
+                        "u": t["user_id"]}).group_by(
+            ["ty", "u"]).aggregate([])
+        uid = grp["u"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = murmur64(uid)
+        idx = (h >> np.uint64(56)).astype(np.int64)
+        w = (h & np.uint64((1 << 52) - 1)).astype(np.int64)
+        nz = w > 0
+        e = np.zeros(w.size, dtype=np.int64)
+        e[nz] = np.floor(np.log2(w[nz].astype(np.float64))).astype(
+            np.int64)                      # exact: w < 2^53
+        msb = np.int64(1) << e
+        d = np.where(nz, (e + 1) * R + (w - msb) * R // msb,
+                     np.int64(0))
+        out = pa.table({"ty": grp["ty"], "idx": pa.array(idx),
+                        "d": pa.array(d)}).group_by(
+            ["ty", "idx"]).aggregate([("d", "min")])
+        return pa.table({"ty": out["ty"], "idx": out["idx"],
+                         "d": pc.cast(out["d_min"], pa.int64())})
+
+    regs = (ds.map_batches(reg_partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby(["ty", "idx"]).min("d").to_pandas())
+    # driver folds <= n_types x 256 rows
+    types = sorted(regs["ty"].unique())
+    mat = {ty: np.full(256, -1, dtype=np.int64) for ty in types}
+    for ty, idx, d in zip(regs["ty"], regs["idx"], regs["min(d)"]):
+        mat[ty][idx] = d
+
+    # exact side: distinct (user, type) -> user co-partition -> pair
+    # partial counts; partitions emit <= C(types, 2) + types rows each
+    pair_empty = pa.table({"ta": pa.array([], type=pa.string()),
+                           "tb": pa.array([], type=pa.string()),
+                           "inter": pa.array([], type=pa.int64()),
+                           "na": pa.array([], type=pa.int64())})
+
+    def mem_partial(t: pa.Table) -> pa.Table:
+        return pa.table({"u": t["user_id"],
+                         "ty": t["event_type"]}).group_by(
+            ["u", "ty"]).aggregate([])
+
+    def pair_counts(t: pa.Table) -> pa.Table:
+        # user co-partitioned: each user's full type set is local
+        if t.num_rows == 0:
+            return pair_empty
+        df = pa.table({"u": t["u"], "ty": t["ty"]}).group_by(
+            ["u", "ty"]).aggregate([]).to_pandas()
+        piv = df.assign(one=1).pivot_table(index="u", columns="ty",
+                                           values="one", fill_value=0)
+        cols = list(piv.columns)
+        m = piv.to_numpy(dtype=np.int64)
+        ta, tb, inter, na = [], [], [], []
+        for i, ca in enumerate(cols):
+            ta.append(ca); tb.append(ca)
+            inter.append(0); na.append(int(m[:, i].sum()))
+            for j in range(i + 1, len(cols)):
+                ta.append(ca); tb.append(cols[j])
+                inter.append(int((m[:, i] & m[:, j]).sum())); na.append(0)
+        return pa.table({"ta": pa.array(ta, type=pa.string()),
+                         "tb": pa.array(tb, type=pa.string()),
+                         "inter": pa.array(inter, type=pa.int64()),
+                         "na": pa.array(na, type=pa.int64())})
+
+    mem = ds.map_batches(mem_partial, batch_format="pyarrow",
+                         zero_copy_batch=True)
+    pairs = partition_by(mem, ["u"], fit_partitions(8),
+                         pair_counts, pair_empty).to_pandas()
+    agg = pairs.groupby(["ta", "tb"], as_index=False).sum()
+    sizes = {r["ta"]: int(r["na"]) for _, r in agg.iterrows()
+             if r["ta"] == r["tb"]}
+    inters = {(r["ta"], r["tb"]): int(r["inter"])
+              for _, r in agg.iterrows() if r["ta"] != r["tb"]}
+
+    c_ppm = int(1.47 * 1_000_000) // R       # paper's collision rate
+    ta_o, tb_o, m_o, est_o, ex_o = [], [], [], [], []
+    for i, a in enumerate(types):
+        for b in types[i + 1:]:
+            da, db = mat[a], mat[b]
+            m = int(((da == db) & (da >= 0) & (db >= 0)).sum())
+            occ = int(((da >= 0) | (db >= 0)).sum())
+            m_ppm = m * 1_000_000 // occ if occ else 0
+            est = max(0, (m_ppm - c_ppm) * 1_000_000
+                      // (1_000_000 - c_ppm))
+            inter = inters[(a, b)]
+            uni = sizes[a] + sizes[b] - inter
+            ta_o.append(a); tb_o.append(b); m_o.append(m)
+            est_o.append(est)
+            ex_o.append(inter * 1_000_000 // uni if uni else 0)
+    return pa.table({
+        "type_a": pa.array(ta_o, type=pa.string()),
+        "type_b": pa.array(tb_o, type=pa.string()),
+        "matches": pa.array(m_o, type=pa.int64()),
+        "est_jaccard_ppm": pa.array(est_o, type=pa.int64()),
+        "exact_jaccard_ppm": pa.array(ex_o, type=pa.int64()),
+    })
+
+
+HYPERMINHASH_SQL = """
+WITH ev AS (SELECT DISTINCT event_type AS ty, user_id AS u FROM events),
+h AS (SELECT ty, CAST(hash(u) AS UBIGINT) AS hv FROM ev),
+q AS (SELECT ty, CAST(hv >> 56 AS BIGINT) AS idx,
+             CAST(hv & 4503599627370495::UBIGINT AS BIGINT) AS w
+      FROM h),
+d AS (SELECT ty, idx,
+             CASE WHEN w = 0 THEN 0
+                  ELSE (CAST(floor(log2(CAST(w AS DOUBLE))) AS BIGINT)
+                        + 1) * 1024
+                       + (w - (1::BIGINT << CAST(floor(log2(CAST(w AS
+                            DOUBLE))) AS BIGINT))) * 1024
+                         // (1::BIGINT << CAST(floor(log2(CAST(w AS
+                            DOUBLE))) AS BIGINT))
+             END AS dd
+      FROM q),
+regs AS (SELECT ty, idx, min(dd) AS d FROM d GROUP BY 1, 2),
+m AS (SELECT a.ty AS ta, b.ty AS tb,
+             CAST(count(*) AS BIGINT) AS matches
+      FROM regs a JOIN regs b
+        ON a.idx = b.idx AND a.d = b.d AND a.ty < b.ty
+      GROUP BY 1, 2),
+rocc AS (SELECT ty, CAST(count(*) AS BIGINT) AS nb FROM regs
+         GROUP BY 1),
+bocc AS (SELECT a.ty AS ta, b.ty AS tb, CAST(count(*) AS BIGINT) AS c
+         FROM regs a JOIN regs b ON a.idx = b.idx AND a.ty < b.ty
+         GROUP BY 1, 2),
+sz AS (SELECT ty, CAST(count(*) AS BIGINT) AS n FROM ev GROUP BY 1),
+ix AS (SELECT a.ty AS ta, b.ty AS tb, CAST(count(*) AS BIGINT) AS i
+       FROM ev a JOIN ev b ON a.u = b.u AND a.ty < b.ty
+       GROUP BY 1, 2),
+allp AS (SELECT sa.ty AS ta, sb.ty AS tb FROM sz sa JOIN sz sb
+         ON sa.ty < sb.ty)
+SELECT allp.ta AS type_a, allp.tb AS type_b,
+       coalesce(m.matches, 0) AS matches,
+       greatest(coalesce(m.matches, 0) * 1000000
+                // (ra.nb + rb.nb - coalesce(bocc.c, 0)) - 1435, 0)
+         * 1000000 // (1000000 - 1435) AS est_jaccard_ppm,
+       CASE WHEN sa.n + sb.n - coalesce(ix.i, 0) > 0
+            THEN coalesce(ix.i, 0) * 1000000
+                 // (sa.n + sb.n - coalesce(ix.i, 0))
+            ELSE 0 END AS exact_jaccard_ppm
+FROM allp
+LEFT JOIN m ON m.ta = allp.ta AND m.tb = allp.tb
+LEFT JOIN ix ON ix.ta = allp.ta AND ix.tb = allp.tb
+LEFT JOIN bocc ON bocc.ta = allp.ta AND bocc.tb = allp.tb
+JOIN rocc ra ON ra.ty = allp.ta
+JOIN rocc rb ON rb.ty = allp.tb
+JOIN sz sa ON sa.ty = allp.ta
+JOIN sz sb ON sb.ty = allp.tb
+ORDER BY 1, 2
+"""

@@ -4867,3 +4867,62 @@ def test_oph_densification_identical_docs_match_everywhere():
     c = registers("zzzzyyyyxxxxwwwwvvvvuuuuttttssss")
     assert (a == b).all()
     assert (a == c).sum() < P // 4
+
+
+def test_hyperminhash_matches_duckdb(ray_session):
+    import duckdb
+    from p2pddsketch_ray.pipelines.approx import (HYPERMINHASH_SQL,
+                                                  hyperminhash_type_jaccard)
+    sf = "/root/testdata/sf0.001"
+    got = hyperminhash_type_jaccard(sf).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{sf}/events.parquet')")
+    want = con.execute(HYPERMINHASH_SQL).df()
+    assert len(got) == len(want) > 0
+    for c in ("matches", "est_jaccard_ppm", "exact_jaccard_ppm"):
+        assert got[c].astype("int64").tolist() \
+            == want[c].astype("int64").tolist(), c
+    assert got["type_a"].tolist() == want["type_a"].tolist()
+    # identical sets must estimate exactly 1.0 even though the 256
+    # buckets are undersaturated (the sparse-denominator regression)
+    full = got[got["exact_jaccard_ppm"] == 1_000_000]
+    assert (full["est_jaccard_ppm"] == 1_000_000).all()
+
+
+def test_hyperminhash_register_estimator_tracks_jaccard():
+    # pure-kernel check on synthetic sets with known Jaccard: encode
+    # registers exactly as the pipeline does, estimate, compare
+    import numpy as np
+    from p2pddsketch_ray.hashing import murmur64
+
+    R = 1024
+
+    def sketch(users: np.ndarray) -> np.ndarray:
+        h = murmur64(users.astype(np.int64))
+        idx = (h >> np.uint64(56)).astype(np.int64)
+        w = (h & np.uint64((1 << 52) - 1)).astype(np.int64)
+        nz = w > 0
+        e = np.zeros(w.size, dtype=np.int64)
+        e[nz] = np.floor(np.log2(w[nz].astype(np.float64))).astype(
+            np.int64)
+        msb = np.int64(1) << e
+        d = np.where(nz, (e + 1) * R + (w - msb) * R // msb,
+                     np.int64(0))
+        regs = np.full(256, np.iinfo(np.int64).max, dtype=np.int64)
+        np.minimum.at(regs, idx, d)
+        regs[regs == np.iinfo(np.int64).max] = -1
+        return regs
+
+    def est(a, b):
+        da, db = sketch(a), sketch(b)
+        m = int(((da == db) & (da >= 0) & (db >= 0)).sum())
+        occ = int(((da >= 0) | (db >= 0)).sum())
+        return m / occ
+
+    base = np.arange(1, 20_001)
+    assert est(base, base) == 1.0
+    half = est(base, np.arange(10_001, 30_001))        # J = 1/3
+    assert abs(half - 1 / 3) < 0.12, half
+    disj = est(base, np.arange(50_001, 70_001))        # J = 0
+    assert disj < 0.02, disj
