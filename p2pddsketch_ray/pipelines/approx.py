@@ -1815,6 +1815,55 @@ SELECT CAST(16 AS BIGINT) AS n_partitions,
 """
 
 
+_PRIORITY_EMPTY = pa.table({
+    "seg": pa.array([], type=pa.string()),
+    "w": pa.array([], type=pa.int64()),
+    "pri": pa.array([], type=pa.int64()),
+    "key": pa.array([], type=pa.int64()),
+    "exact": pa.array([], type=pa.int64()),
+    "n": pa.array([], type=pa.int64()),
+})
+
+_PRIORITY_M = 1_000_000
+
+
+def _priority_block_partial(t: pa.Table, k: int) -> pa.Table:
+    """One pass over an orders block: its top-(k+1) candidate rows by
+    priority (anything below a block's (k+1)-th priority can never
+    enter the global sample NOR set tau) + per-segment exact sums --
+    the ONLY rows that ever leave the block (scale-contract-tested)."""
+    from ..hashing import murmur64
+
+    M = _PRIORITY_M
+    if t.num_rows == 0:
+        return _PRIORITY_EMPTY
+    keys = t["o_orderkey"].to_numpy(zero_copy_only=False).astype(
+        np.int64)
+    w = np.floor(t["o_totalprice"].to_numpy(zero_copy_only=False)
+                 * 100.0 + 0.5).astype(np.int64)
+    seg = t["o_orderpriority"]
+    u = (murmur64(keys) % np.uint64(M)).astype(np.int64) + 1
+    pri = w * M // u
+    top = min(k + 1, pri.size)
+    cand = np.lexsort((keys, -pri))[:top]
+    exact = pa.table({"seg": seg, "w": pa.array(w)}).group_by(
+        ["seg"]).aggregate([("w", "sum")])
+    n_c, n_e = cand.size, exact.num_rows
+    z_c = np.zeros(n_c, dtype=np.int64)
+    z_e = np.zeros(n_e, dtype=np.int64)
+    cand_t = pa.table({
+        "seg": seg.take(pa.array(cand)),
+        "w": pa.array(w[cand]), "pri": pa.array(pri[cand]),
+        "key": pa.array(keys[cand]), "exact": pa.array(z_c),
+        "n": pa.array(z_c)})
+    exact_t = pa.table({
+        "seg": exact["seg"], "w": pa.array(z_e),
+        "pri": pa.array(z_e), "key": pa.array(z_e),
+        "exact": pc.cast(exact["w_sum"], pa.int64()),
+        "n": pa.array(np.ones(n_e, dtype=np.int64))})
+    return pa.concat_tables([cand_t, exact_t]).combine_chunks()
+
+
 def priority_sample_revenue(sf_dir: str, k: int = 200) -> pa.Table:
     """PRIORITY SAMPLING (Duffield, Lund & Thorup, JACM 2007): one
     weighted sample of k orders that answers ANY subset-sum query over
@@ -1840,55 +1889,12 @@ def priority_sample_revenue(sf_dir: str, k: int = 200) -> pa.Table:
     priority sampling gives the tau-threshold estimator its variance
     optimality at the same single-pass cost.
     """
-    from ..hashing import murmur64
-
     ds = _read(sf_dir, "orders",
                ["o_orderkey", "o_orderpriority", "o_totalprice"])
-    M = 1_000_000
 
-    empty = pa.table({
-        "seg": pa.array([], type=pa.string()),
-        "w": pa.array([], type=pa.int64()),
-        "pri": pa.array([], type=pa.int64()),
-        "key": pa.array([], type=pa.int64()),
-        "exact": pa.array([], type=pa.int64()),
-        "n": pa.array([], type=pa.int64()),
-    })
-
-    def partial(t: pa.Table) -> pa.Table:
-        # one pass: block-local top-(k+1) candidate rows by priority
-        # (anything below a block's (k+1)-th priority can never enter
-        # the global sample NOR set tau) + per-segment exact sums.
-        if t.num_rows == 0:
-            return empty
-        keys = t["o_orderkey"].to_numpy(zero_copy_only=False).astype(
-            np.int64)
-        w = np.floor(t["o_totalprice"].to_numpy(zero_copy_only=False)
-                     * 100.0 + 0.5).astype(np.int64)
-        seg = t["o_orderpriority"]
-        u = (murmur64(keys) % np.uint64(M)).astype(np.int64) + 1
-        pri = w * M // u
-        top = min(k + 1, pri.size)
-        cand = np.lexsort((keys, -pri))[:top]
-        exact = pa.table({"seg": seg, "w": pa.array(w)}).group_by(
-            ["seg"]).aggregate([("w", "sum")])
-        n_c, n_e = cand.size, exact.num_rows
-        z_c = np.zeros(n_c, dtype=np.int64)
-        z_e = np.zeros(n_e, dtype=np.int64)
-        cand_t = pa.table({
-            "seg": seg.take(pa.array(cand)),
-            "w": pa.array(w[cand]), "pri": pa.array(pri[cand]),
-            "key": pa.array(keys[cand]), "exact": pa.array(z_c),
-            "n": pa.array(z_c)})
-        exact_t = pa.table({
-            "seg": exact["seg"], "w": pa.array(z_e),
-            "pri": pa.array(z_e), "key": pa.array(z_e),
-            "exact": pc.cast(exact["w_sum"], pa.int64()),
-            "n": pa.array(np.ones(n_e, dtype=np.int64))})
-        return pa.concat_tables([cand_t, exact_t]).combine_chunks()
-
-    f = ds.map_batches(partial, batch_format="pyarrow",
-                       zero_copy_batch=True).to_pandas()
+    f = ds.map_batches(
+        lambda t: _priority_block_partial(t, k),
+        batch_format="pyarrow", zero_copy_batch=True).to_pandas()
     samp = f[f["n"] == 0]
     exact = (f[f["n"] == 1].groupby("seg", as_index=False)["exact"]
              .sum().sort_values("seg"))

@@ -172,3 +172,32 @@ def test_minhash_candidates_stay_in_cluster(ray_session, tmp_path):
     # planted near-dups at i%37==1 (see sources/webpages.py) must be found
     assert len(out) > 0
     assert (out["doc_a"] < out["doc_b"]).all()
+
+
+def test_priority_sample_exchange_is_topk_bounded(ray_session):
+    # the ONLY rows that leave a block are its top-(k+1) priority
+    # candidates plus one exact-sum row per segment -- never the order
+    # stream (the distributed top-k prereduce contract), and folding
+    # block partials reproduces the single-pass answer
+    import pyarrow as pa
+
+    from p2pddsketch_ray.pipelines.approx import (_priority_block_partial,
+                                                  priority_sample_revenue)
+
+    rng = np.random.default_rng(3)
+    n = 20_000
+    segs = np.array(["1-URGENT", "2-HIGH", "3-MEDIUM"])
+    big = pa.table({
+        "o_orderkey": pa.array(np.arange(n, dtype=np.int64)),
+        "o_orderpriority": pa.array(segs[rng.integers(0, 3, n)]),
+        "o_totalprice": pa.array(rng.uniform(1.0, 500_000.0, n)),
+    })
+    out = _priority_block_partial(big, 50)
+    # 51 candidates + <= 3 segment rows from a 20k-row block
+    assert out.num_rows <= 51 + 3, out.num_rows
+    assert out.num_rows < big.num_rows
+
+    # end-to-end: the real pipeline still matches its own kernel math
+    res = priority_sample_revenue(SF, k=50).to_pandas()
+    assert int(res["n_sampled"].sum()) == 50
+    assert (res["exact_cents"] > 0).all()
