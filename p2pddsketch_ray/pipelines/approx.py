@@ -1908,20 +1908,28 @@ def priority_sample_revenue(sf_dir: str, k: int = 200) -> pa.Table:
     est = (pd.DataFrame({"seg": chosen["seg"].to_numpy(), "est": est_w,
                          "ns": np.ones(len(chosen), dtype=np.int64)})
            .groupby("seg", as_index=False).sum())
-    out = exact.merge(est, on="seg", how="left").fillna(0)
-    err = (np.abs(out["est"].to_numpy().astype(np.int64)
-                  - out["exact"].to_numpy())
-           * 1_000_000 // out["exact"].to_numpy())
+    # nullable Int64 keeps unsampled segments integer end-to-end: a
+    # plain left-merge would promote est/ns to float64 the moment any
+    # segment has zero sampled rows, silently capping exactness at 2^53
+    est = est.astype({"est": "Int64", "ns": "Int64"})
+    out = exact.merge(est, on="seg", how="left")
+    est_i = out["est"].fillna(0).to_numpy(dtype=np.int64)
+    ns_i = out["ns"].fillna(0).to_numpy(dtype=np.int64)
+    exact_i = out["exact"].to_numpy().astype(np.int64)
+    err = np.abs(est_i - exact_i) * 1_000_000 // exact_i
     return pa.table({
         "o_orderpriority": pa.array(out["seg"].astype(str)),
-        "n_sampled": pa.array(out["ns"].to_numpy().astype(np.int64)),
-        "est_cents": pa.array(out["est"].to_numpy().astype(np.int64)),
-        "exact_cents": pa.array(out["exact"].to_numpy().astype(np.int64)),
+        "n_sampled": pa.array(ns_i),
+        "est_cents": pa.array(est_i),
+        "exact_cents": pa.array(exact_i),
         "err_ppm": pa.array(err.astype(np.int64)),
     })
 
 
-PRIORITY_SAMPLE_SQL = """
+def _priority_sample_sql(k: int = 200) -> str:
+    """SQL twin builder parameterized on the same default as the
+    Python kernel, so non-default k keeps oracle parity (ADVICE r4)."""
+    return f"""
 WITH o AS (
   SELECT o_orderpriority AS seg, o_orderkey AS key,
          CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS w,
@@ -1932,10 +1940,10 @@ WITH o AS (
 ), r AS (
   SELECT *, row_number() OVER (ORDER BY pri DESC, key) AS rn FROM p
 ), tau AS (
-  SELECT pri AS t FROM r WHERE rn = 201
+  SELECT pri AS t FROM r WHERE rn = {k + 1}
 ), s AS (
-  SELECT seg, greatest(w, (SELECT t FROM tau)) AS est_w
-  FROM r WHERE rn <= 200
+  SELECT seg, greatest(w, coalesce((SELECT t FROM tau), 0)) AS est_w
+  FROM r WHERE rn <= {k}
 ), ex AS (
   SELECT seg, CAST(sum(w) AS BIGINT) AS exact_cents FROM o GROUP BY 1
 ), est AS (
@@ -1952,6 +1960,9 @@ SELECT ex.seg AS o_orderpriority,
 FROM ex LEFT JOIN est ON est.seg = ex.seg
 ORDER BY 1
 """
+
+
+PRIORITY_SAMPLE_SQL = _priority_sample_sql()
 
 
 def hyperminhash_type_jaccard(sf_dir: str, r_bits: int = 10) -> pa.Table:
@@ -2082,8 +2093,10 @@ def hyperminhash_type_jaccard(sf_dir: str, r_bits: int = 10) -> pa.Table:
             m_ppm = m * 1_000_000 // occ if occ else 0
             est = max(0, (m_ppm - c_ppm) * 1_000_000
                       // (1_000_000 - c_ppm))
-            inter = inters[(a, b)]
-            uni = sizes[a] + sizes[b] - inter
+            # .get: two types may never co-occur in any partition's
+            # pivot (a rare type whose users all lack the other type)
+            inter = inters.get((a, b), 0)
+            uni = sizes.get(a, 0) + sizes.get(b, 0) - inter
             ta_o.append(a); tb_o.append(b); m_o.append(m)
             est_o.append(est)
             ex_o.append(inter * 1_000_000 // uni if uni else 0)
@@ -2096,7 +2109,12 @@ def hyperminhash_type_jaccard(sf_dir: str, r_bits: int = 10) -> pa.Table:
     })
 
 
-HYPERMINHASH_SQL = """
+def _hyperminhash_sql(r_bits: int = 10) -> str:
+    """SQL twin builder parameterized on the same default as the
+    Python kernel, so non-default r_bits keeps parity (ADVICE r4)."""
+    R = 1 << r_bits
+    c_ppm = int(1.47 * 1_000_000) // R
+    return f"""
 WITH ev AS (SELECT DISTINCT event_type AS ty, user_id AS u FROM events),
 h AS (SELECT ty, CAST(hash(u) AS UBIGINT) AS hv FROM ev),
 q AS (SELECT ty, CAST(hv >> 56 AS BIGINT) AS idx,
@@ -2105,9 +2123,9 @@ q AS (SELECT ty, CAST(hv >> 56 AS BIGINT) AS idx,
 d AS (SELECT ty, idx,
              CASE WHEN w = 0 THEN 0
                   ELSE (CAST(floor(log2(CAST(w AS DOUBLE))) AS BIGINT)
-                        + 1) * 1024
+                        + 1) * {R}
                        + (w - (1::BIGINT << CAST(floor(log2(CAST(w AS
-                            DOUBLE))) AS BIGINT))) * 1024
+                            DOUBLE))) AS BIGINT))) * {R}
                          // (1::BIGINT << CAST(floor(log2(CAST(w AS
                             DOUBLE))) AS BIGINT))
              END AS dd
@@ -2132,8 +2150,8 @@ allp AS (SELECT sa.ty AS ta, sb.ty AS tb FROM sz sa JOIN sz sb
 SELECT allp.ta AS type_a, allp.tb AS type_b,
        coalesce(m.matches, 0) AS matches,
        greatest(coalesce(m.matches, 0) * 1000000
-                // (ra.nb + rb.nb - coalesce(bocc.c, 0)) - 1435, 0)
-         * 1000000 // (1000000 - 1435) AS est_jaccard_ppm,
+                // (ra.nb + rb.nb - coalesce(bocc.c, 0)) - {c_ppm}, 0)
+         * 1000000 // (1000000 - {c_ppm}) AS est_jaccard_ppm,
        CASE WHEN sa.n + sb.n - coalesce(ix.i, 0) > 0
             THEN coalesce(ix.i, 0) * 1000000
                  // (sa.n + sb.n - coalesce(ix.i, 0))
@@ -2148,3 +2166,6 @@ JOIN sz sa ON sa.ty = allp.ta
 JOIN sz sb ON sb.ty = allp.tb
 ORDER BY 1, 2
 """
+
+
+HYPERMINHASH_SQL = _hyperminhash_sql()

@@ -591,12 +591,16 @@ def ngram_jaccard_pairs(sf_dir: str, k: int = 9,
     rows = ds.map_batches(shingle_rows, batch_format="pyarrow",
                           zero_copy_batch=True).materialize()
 
-    # per-doc distinct-shingle sizes: tiny aggregate (<= max_doc_id rows)
+    # per-doc distinct-shingle sizes: tiny aggregate (<= max_doc_id
+    # rows) held as SORTED ARRAYS probed by searchsorted — the repo's
+    # broadcast contract (never a dict probed row-at-a-time)
     from ray.data.aggregate import Count
     sizes_t = (rows.groupby("doc_id").aggregate(Count(alias_name="n"))
                .to_pandas())
-    size_of = dict(zip(sizes_t["doc_id"].astype(int),
-                       sizes_t["n"].astype(int)))
+    sz_ids = sizes_t["doc_id"].to_numpy().astype(np.int64)
+    sz_n = sizes_t["n"].to_numpy().astype(np.int64)
+    o = np.argsort(sz_ids)
+    sz_ids, sz_n = sz_ids[o], sz_n[o]
 
     span = np.int64(max(max_doc_id, 2))
     empty = pa.table({"pair": pa.array([], type=pa.int64()),
@@ -637,8 +641,8 @@ def ngram_jaccard_pairs(sf_dir: str, k: int = 9,
     pair = agg["pair"].to_numpy().astype(np.int64)
     inter = agg["inter"].to_numpy().astype(np.int64)
     doc_a, doc_b = pair // span, pair % span
-    n_a = np.array([size_of[int(x)] for x in doc_a], dtype=np.int64)
-    n_b = np.array([size_of[int(x)] for x in doc_b], dtype=np.int64)
+    n_a = sz_n[np.searchsorted(sz_ids, doc_a)]
+    n_b = sz_n[np.searchsorted(sz_ids, doc_b)]
     order = np.lexsort((doc_b, doc_a))
     return pa.table({
         "doc_a": pa.array(doc_a[order]),
@@ -2668,6 +2672,33 @@ ORDER BY tot.lang
 """
 
 
+def _distinct_shingles_per_doc(
+        hv: np.ndarray, offs: np.ndarray,
+        nr: int) -> tuple[np.ndarray, np.ndarray, pa.ListArray]:
+    """Per-doc DISTINCT shingle hashes, vectorized: ONE lexsort +
+    run-dedup over the whole batch (the ppjoin_pairs.mems kernel)
+    instead of a per-doc np.unique Python loop (VERDICT r4 item 4).
+
+    Returns (doc_idx, hashes, list_column): the deduped rows sorted by
+    (doc, hash-as-int64), plus the same sets packed as an Arrow
+    list<int64> column with one entry per input doc.
+    """
+    counts = np.diff(offs)
+    doc_idx = np.repeat(np.arange(nr, dtype=np.int64), counts)
+    h = hv.view(np.int64)
+    order = np.lexsort((h, doc_idx))
+    d_s, h_s = doc_idx[order], h[order]
+    keep = np.ones(d_s.size, dtype=bool)
+    keep[1:] = (d_s[1:] != d_s[:-1]) | (h_s[1:] != h_s[:-1])
+    d_u, h_u = d_s[keep], h_s[keep]
+    new_counts = np.bincount(d_u, minlength=nr)
+    new_offs = np.concatenate(
+        [[0], np.cumsum(new_counts)]).astype(np.int32)
+    col = pa.ListArray.from_arrays(pa.array(new_offs),
+                                   pa.array(h_u, type=pa.int64()))
+    return d_u, h_u, col
+
+
 def bbit_minhash_jaccard(sf_dir: str, num_perm: int = 64, b: int = 2,
                          k: int = 9, max_doc_id: int = 24) -> pa.Table:
     """b-BIT MINWISE HASHING (Li & Konig, WWW 2010): store only the
@@ -2721,17 +2752,14 @@ def bbit_minhash_jaccard(sf_dir: str, num_perm: int = 64, b: int = 2,
         masked = (sig & mask).astype(np.int64)
         hv, offs = shingle_hashes(t["text"], k)
         # distinct shingle hashes per doc, shipped as a list column
-        sets = []
-        for i in range(t.num_rows):
-            sets.append(np.unique(hv[offs[i]:offs[i + 1]])
-                        .view(np.int64))
+        # (vectorized lexsort run-dedup, no per-doc Python loop)
+        _, _, sh_col = _distinct_shingles_per_doc(hv, offs, t.num_rows)
         return pa.table({
             "doc_id": pa.array(t["doc_id"].to_numpy(
                 zero_copy_only=False).astype(np.int64)),
             **{f"r{i}": pa.array(masked[:, i])
                for i in range(num_perm)},
-            "sh": pa.array([s.tolist() for s in sets],
-                           type=pa.list_(pa.int64())),
+            "sh": sh_col,
         })
 
     rows = ds.map_batches(
@@ -2872,13 +2900,14 @@ def oph_minhash_densified(sf_dir: str, n_bins: int = 64, k: int = 9,
             })
         hv, offs = shingle_hashes(t["text"], k)
         n = t.num_rows
-        regs = np.full((n, P), U, dtype=np.uint64)
-        sets = []
-        for i in range(n):
-            h = np.unique(hv[offs[i]:offs[i + 1]])
-            sets.append(h.view(np.int64))
-            b = (h % np.uint64(P)).astype(np.int64)
-            np.minimum.at(regs[i], b, h)
+        # batch-wide lexsort run-dedup (no per-doc loop); register
+        # mins via one flat scatter-min over (doc, bin) cells
+        d_u, h_i, sh_col = _distinct_shingles_per_doc(hv, offs, n)
+        h_u = h_i.view(np.uint64)
+        b = (h_u % np.uint64(P)).astype(np.int64)
+        flat = np.full(n * P, U, dtype=np.uint64)
+        np.minimum.at(flat, d_u * P + b, h_u)
+        regs = flat.reshape(n, P)
         # rightward cyclic densification: empty bin j takes the value
         # of the nearest non-empty bin j+t, plus t (mod 2^64) so equal
         # borrows at different distances stay distinct
@@ -2896,8 +2925,7 @@ def oph_minhash_densified(sf_dir: str, n_bins: int = 64, k: int = 9,
             "doc_id": pa.array(t["doc_id"].to_numpy(
                 zero_copy_only=False).astype(np.int64)),
             **{f"h{i}": pa.array(out[:, i]) for i in range(P)},
-            "sh": pa.array([s.tolist() for s in sets],
-                           type=pa.list_(pa.int64())),
+            "sh": sh_col,
         })
 
     rows = ds.map_batches(encode, batch_format="pyarrow",

@@ -1046,16 +1046,19 @@ def srp_cosine_hamming(sf_dir: str, n_planes: int = 64,
     })
 
 
-SRP_COSINE_SQL = """
+def _srp_cosine_sql(n_planes: int = 64, max_vec_id: int = 40) -> str:
+    """SQL twin builder parameterized on the same defaults as the
+    Python kernel, so non-default args keep parity (ADVICE r4)."""
+    return f"""
 WITH e AS (
   SELECT vec_id, unnest(embedding) AS v,
          generate_subscripts(embedding, 1) - 1 AS d
-  FROM embeddings WHERE vec_id < 40
+  FROM embeddings WHERE vec_id < {max_vec_id}
 ), q AS (
   SELECT vec_id, d, CAST(floor(v * 1000000 + 0.5) AS BIGINT) AS qv
   FROM e
 ), planes AS (
-  SELECT CAST(p.range AS BIGINT) AS p FROM range(0, 64) p
+  SELECT CAST(p.range AS BIGINT) AS p FROM range(0, {n_planes}) p
 ), proj AS (
   SELECT q.vec_id, planes.p,
          sum(q.qv * (CAST(hash(q.d * 256 + planes.p) % 2 AS BIGINT)
@@ -1078,7 +1081,7 @@ WITH e AS (
   GROUP BY 1, 2
 )
 SELECT ham.vec_a, ham.vec_b, ham.hamming,
-       round(cos(pi() * ham.hamming / 64), 4) AS est_cos,
+       round(cos(pi() * ham.hamming / {n_planes}), 4) AS est_cos,
        round(dots.dot / (sqrt(na.n2) * sqrt(nb.n2)), 4) AS exact_cos
 FROM ham
 JOIN dots ON dots.vec_a = ham.vec_a AND dots.vec_b = ham.vec_b
@@ -1086,3 +1089,6 @@ JOIN n2 na ON na.vec_id = ham.vec_a
 JOIN n2 nb ON nb.vec_id = ham.vec_b
 ORDER BY 1, 2
 """
+
+
+SRP_COSINE_SQL = _srp_cosine_sql()

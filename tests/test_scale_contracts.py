@@ -201,3 +201,40 @@ def test_priority_sample_exchange_is_topk_bounded(ray_session):
     res = priority_sample_revenue(SF, k=50).to_pandas()
     assert int(res["n_sampled"].sum()) == 50
     assert (res["exact_cents"] > 0).all()
+
+
+def test_verify_tier_kernels_have_no_row_loops():
+    """VERDICT r4 item 4: the batch kernels of the bounded verify-tier
+    dedup queries must be vectorized — no per-row Python loop over
+    t.num_rows and no corpus-derived dict probed row-at-a-time.  A
+    source-level contract so regressions fail loudly."""
+    import inspect
+
+    from p2pddsketch_ray.pipelines import dedup
+
+    for fn in (dedup.ngram_jaccard_pairs, dedup.bbit_minhash_jaccard,
+               dedup.oph_minhash_densified,
+               dedup._distinct_shingles_per_doc):
+        src = inspect.getsource(fn)
+        assert "for i in range(t.num_rows)" not in src, fn.__name__
+        assert "size_of = dict(" not in src, fn.__name__
+        assert "dict(zip(" not in src, fn.__name__
+
+
+def test_distinct_shingles_per_doc_matches_np_unique():
+    """The lexsort run-dedup kernel must produce exactly the per-doc
+    np.unique sets it replaced (as sets; int64-view order)."""
+    from p2pddsketch_ray.pipelines.dedup import _distinct_shingles_per_doc
+    from p2pddsketch_ray.sketches.minhash import shingle_hashes
+
+    texts = pa.array(["abcabcabc", "zzzzzzzzzzz", "the quick brown fox",
+                      "abcabcabc", "ab"])
+    hv, offs = shingle_hashes(texts, 3)
+    d_u, h_u, col = _distinct_shingles_per_doc(hv, offs, len(texts))
+    assert col.to_pylist() is not None
+    for d in range(len(texts)):
+        want = sorted(np.unique(hv[offs[d]:offs[d + 1]])
+                      .view(np.int64).tolist())
+        got = sorted(col[d].as_py())
+        assert got == want, d
+        assert sorted(h_u[d_u == d].tolist()) == want, d
