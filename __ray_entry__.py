@@ -540,6 +540,11 @@ from p2pddsketch_ray.pipelines.approx import (  # noqa: E402
     PRIORITY_SAMPLE_SQL as _PRIORITY_SAMPLE_SQL,
     hyperminhash_type_jaccard as _hyperminhash_type_jaccard,
     HYPERMINHASH_SQL as _HYPERMINHASH_SQL)
+from p2pddsketch_ray.pipelines.sliding import (  # noqa: E402
+    DGIM_SLIDING_SQL as _DGIM_SLIDING_SQL,
+    DGIM_BY_TYPE_SQL as _DGIM_BY_TYPE_SQL)
+from p2pddsketch_ray.pipelines.approx import (  # noqa: E402
+    PRIORITY_SAMPLE_BY_SEG_SQL as _PRIORITY_SAMPLE_BY_SEG_SQL)
 from p2pddsketch_ray.pipelines.search import (  # noqa: E402
     INVERTED_INDEX_SQL as _INVERTED_INDEX_SQL)
 from p2pddsketch_ray.pipelines.components import (  # noqa: E402
@@ -940,10 +945,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # spectral): the published ||A'A-B'B||_2 <= ||A||_F^2/ell bound
         # is ASSERTED in-pipeline against the exact Gram
         "frequent_directions_embed": _frequent_directions_embed,
-        # DGIM sliding-window count (rows-only): canonical bucket state
-        # from N + rank-selected boundaries; <=50% guarantee ASSERTED
-        # per window against the exact windowed count
+        # DGIM sliding-window count: canonical bucket state from N +
+        # rank-selected boundaries; fully deterministic, so it now has
+        # a window-function SQL twin (plus the in-pipeline <=50% audit)
         "dgim_sliding_count": _dgim_sliding_count,
+        # grouped DGIM: one canonical bucket state per event type, all
+        # boundary lookups resolved in shared bisection rounds
+        "dgim_sliding_count_by_type": _dgim_sliding_count_by_type,
+        # stratified priority sampling: independent DLT sample + tau
+        # per o_orderpriority segment (grouped window-matrix member)
+        "priority_sample_by_segment": _priority_sample_by_segment,
         # multimodal binary-payload stage (plumbing oracle-checked via
         # byte counts; decoder features verified in unit tests)
         "multimodal_doc_features": _multimodal_doc_features,
@@ -1812,6 +1823,18 @@ def _frequent_directions_embed(sf_dir: str):
 def _dgim_sliding_count(sf_dir: str):
     from p2pddsketch_ray.pipelines.sliding import dgim_sliding_count
     return dgim_sliding_count(sf_dir)
+
+
+def _dgim_sliding_count_by_type(sf_dir: str):
+    from p2pddsketch_ray.pipelines.sliding import (
+        dgim_sliding_count_by_type)
+    return dgim_sliding_count_by_type(sf_dir)
+
+
+def _priority_sample_by_segment(sf_dir: str):
+    from p2pddsketch_ray.pipelines.approx import (
+        priority_sample_by_segment)
+    return priority_sample_by_segment(sf_dir)
 
 
 def _copresence_triangles(sf_dir: str):
@@ -3647,4 +3670,7 @@ ORDER BY 1, 2""",
         "srp_cosine_hamming": _SRP_COSINE_SQL,
         "oph_minhash_densified": _OPH_MINHASH_SQL,
         "hyperminhash_type_jaccard": _HYPERMINHASH_SQL,
+        "dgim_sliding_count": _DGIM_SLIDING_SQL,
+        "dgim_sliding_count_by_type": _DGIM_BY_TYPE_SQL,
+        "priority_sample_by_segment": _PRIORITY_SAMPLE_BY_SEG_SQL,
     }

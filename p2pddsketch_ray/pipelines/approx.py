@@ -1965,6 +1965,143 @@ ORDER BY 1
 PRIORITY_SAMPLE_SQL = _priority_sample_sql()
 
 
+def _priority_block_partial_by_seg(t: pa.Table, k: int) -> pa.Table:
+    """Per-SEGMENT top-(k+1) candidates from one orders block (plus the
+    per-segment exact sums): the stratified variant of
+    _priority_block_partial -- anything below its segment's block-local
+    (k+1)-th priority can never enter that segment's sample nor set its
+    tau, so blocks emit O(segments * k) rows, never the order stream."""
+    from ..hashing import murmur64
+
+    M = _PRIORITY_M
+    if t.num_rows == 0:
+        return _PRIORITY_EMPTY
+    keys = t["o_orderkey"].to_numpy(zero_copy_only=False).astype(
+        np.int64)
+    w = np.floor(t["o_totalprice"].to_numpy(zero_copy_only=False)
+                 * 100.0 + 0.5).astype(np.int64)
+    seg = t["o_orderpriority"]
+    u = (murmur64(keys) % np.uint64(M)).astype(np.int64) + 1
+    pri = w * M // u
+    enc = seg.combine_chunks().dictionary_encode()
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    # sort (segment, -priority, key); within-run rank by run arithmetic
+    order = np.lexsort((keys, -pri, codes))
+    c_s = codes[order]
+    new_run = np.ones(c_s.size, dtype=bool)
+    new_run[1:] = c_s[1:] != c_s[:-1]
+    starts = np.nonzero(new_run)[0]
+    rlen = np.diff(np.append(starts, c_s.size))
+    rank = np.arange(c_s.size) - np.repeat(starts, rlen)
+    cand = order[rank <= k]
+    exact = pa.table({"seg": seg, "w": pa.array(w)}).group_by(
+        ["seg"]).aggregate([("w", "sum")])
+    n_c, n_e = cand.size, exact.num_rows
+    z_c = np.zeros(n_c, dtype=np.int64)
+    z_e = np.zeros(n_e, dtype=np.int64)
+    cand_t = pa.table({
+        "seg": seg.take(pa.array(cand)),
+        "w": pa.array(w[cand]), "pri": pa.array(pri[cand]),
+        "key": pa.array(keys[cand]), "exact": pa.array(z_c),
+        "n": pa.array(z_c)})
+    exact_t = pa.table({
+        "seg": exact["seg"], "w": pa.array(z_e),
+        "pri": pa.array(z_e), "key": pa.array(z_e),
+        "exact": pc.cast(exact["w_sum"], pa.int64()),
+        "n": pa.array(np.ones(n_e, dtype=np.int64))})
+    return pa.concat_tables([cand_t, exact_t]).combine_chunks()
+
+
+def priority_sample_by_segment(sf_dir: str, k: int = 60) -> pa.Table:
+    """STRATIFIED PRIORITY SAMPLING: one independent Duffield-Lund-
+    Thorup sample of k orders PER o_orderpriority segment, each with
+    its own threshold tau -- the per-stratum design the single global
+    sample (priority_sample_revenue) replaces when every segment is
+    queried, kept here as the grouped member of the window x sketch x
+    group matrix (VERDICT r4 item 7).  Same all-int64 bit-exact
+    arithmetic (w in cents, u in 1..1e6, priority w * 1e6 // u), so
+    the DuckDB twin with a PARTITION BY seg window hash-matches.
+
+    Scale shape: the only exchange is each block's per-segment
+    top-(k+1) rows + per-segment exact sums (O(segments * k) per
+    block); the driver folds kilobyte partials and re-ranks per
+    segment over <= blocks * (k+1) candidates.
+    """
+    ds = _read(sf_dir, "orders",
+               ["o_orderkey", "o_orderpriority", "o_totalprice"])
+
+    f = ds.map_batches(
+        lambda t: _priority_block_partial_by_seg(t, k),
+        batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    samp = f[f["n"] == 0]
+    exact = (f[f["n"] == 1].groupby("seg", as_index=False)["exact"]
+             .sum().sort_values("seg", ignore_index=True))
+
+    segs, n_s, tau_s, est_s = [], [], [], []
+    for s in exact["seg"]:
+        g = samp[samp["seg"] == s]
+        pri = g["pri"].to_numpy()
+        order = np.lexsort((g["key"].to_numpy(), -pri))
+        tau = int(pri[order[k]]) if order.size > k else 0
+        chosen_w = g["w"].to_numpy()[order[:k]]
+        segs.append(s)
+        n_s.append(int(min(k, order.size)))
+        tau_s.append(tau)
+        est_s.append(int(np.maximum(chosen_w, tau).sum()))
+    exact_i = exact["exact"].to_numpy().astype(np.int64)
+    est_i = np.array(est_s, dtype=np.int64)
+    err = np.abs(est_i - exact_i) * 1_000_000 // exact_i
+    return pa.table({
+        "o_orderpriority": pa.array([str(s) for s in segs]),
+        "n_sampled": pa.array(np.array(n_s, dtype=np.int64)),
+        "tau": pa.array(np.array(tau_s, dtype=np.int64)),
+        "est_cents": pa.array(est_i),
+        "exact_cents": pa.array(exact_i),
+        "err_ppm": pa.array(err.astype(np.int64)),
+    })
+
+
+def _priority_sample_by_segment_sql(k: int = 60) -> str:
+    return f"""
+WITH o AS (
+  SELECT o_orderpriority AS seg, o_orderkey AS key,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS w,
+         CAST(hash(o_orderkey) % 1000000 AS BIGINT) + 1 AS u
+  FROM orders
+), p AS (
+  SELECT seg, key, w, w * 1000000 // u AS pri FROM o
+), r AS (
+  SELECT *, row_number() OVER (PARTITION BY seg
+                               ORDER BY pri DESC, key) AS rn FROM p
+), tau AS (
+  SELECT seg, pri AS t FROM r WHERE rn = {k + 1}
+), s AS (
+  SELECT r.seg, greatest(r.w, coalesce(tau.t, 0)) AS est_w
+  FROM r LEFT JOIN tau ON tau.seg = r.seg WHERE r.rn <= {k}
+), ex AS (
+  SELECT seg, CAST(sum(w) AS BIGINT) AS exact_cents FROM o GROUP BY 1
+), est AS (
+  SELECT seg, CAST(count(*) AS BIGINT) AS n_sampled,
+         CAST(sum(est_w) AS BIGINT) AS est_cents
+  FROM s GROUP BY 1
+)
+SELECT ex.seg AS o_orderpriority,
+       coalesce(est.n_sampled, 0) AS n_sampled,
+       coalesce(tau.t, 0) AS tau,
+       coalesce(est.est_cents, 0) AS est_cents,
+       ex.exact_cents,
+       CAST(abs(coalesce(est.est_cents, 0) - ex.exact_cents) * 1000000
+            // ex.exact_cents AS BIGINT) AS err_ppm
+FROM ex
+LEFT JOIN est ON est.seg = ex.seg
+LEFT JOIN tau ON tau.seg = ex.seg
+ORDER BY 1
+"""
+
+
+PRIORITY_SAMPLE_BY_SEG_SQL = _priority_sample_by_segment_sql()
+
+
 def hyperminhash_type_jaccard(sf_dir: str, r_bits: int = 10) -> pa.Table:
     """HYPERMINHASH (Yu & Weber, IEEE TKDE 2020): Jaccard similarity
     between BIG sets at loglog space -- each of 256 buckets stores the

@@ -4926,3 +4926,65 @@ def test_hyperminhash_register_estimator_tracks_jaccard():
     assert abs(half - 1 / 3) < 0.12, half
     disj = est(base, np.arange(50_001, 70_001))        # J = 0
     assert disj < 0.02, disj
+
+
+def test_priority_sample_by_segment_matches_duckdb(ray_session):
+    import duckdb
+    from p2pddsketch_ray.pipelines.approx import (
+        PRIORITY_SAMPLE_BY_SEG_SQL, priority_sample_by_segment)
+    sf = "/root/testdata/sf0.001"
+    got = priority_sample_by_segment(sf).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW orders AS SELECT * FROM "
+                f"read_parquet('{sf}/orders.parquet')")
+    want = con.execute(PRIORITY_SAMPLE_BY_SEG_SQL).df()
+    assert len(got) == len(want)
+    for c in ("n_sampled", "tau", "est_cents", "exact_cents",
+              "err_ppm"):
+        assert got[c].astype("int64").tolist() \
+            == want[c].astype("int64").tolist(), c
+    # every segment draws its own k-sample with its own threshold
+    assert (got["n_sampled"] <= 60).all()
+    assert (got["tau"] >= 0).all()
+
+
+def test_dgim_sql_twin_matches_simulation(ray_session):
+    # the closed-form SQL replica and the Ray rebuild must agree with a
+    # literal single-stream DGIM simulation (two buckets per size,
+    # merge-two-oldest-on-third) on the bucket inventory
+    import duckdb
+    from p2pddsketch_ray.pipelines.sliding import (DGIM_SLIDING_SQL,
+                                                   dgim_sliding_count)
+    sf = "/root/testdata/sf0.001"
+    got = dgim_sliding_count(sf).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{sf}/events.parquet')")
+    want = con.execute(DGIM_SLIDING_SQL).df()
+    assert got["dgim_estimate"].tolist() \
+        == want["dgim_estimate"].astype("int64").tolist()
+    assert got["n_buckets"].tolist() \
+        == want["n_buckets"].astype("int64").tolist()
+    assert got["exact_count"].tolist() \
+        == want["exact_count"].astype("int64").tolist()
+    assert want["bound_ok"].all()
+
+
+def test_dgim_by_type_matches_duckdb(ray_session):
+    import duckdb
+    from p2pddsketch_ray.pipelines.sliding import (
+        DGIM_BY_TYPE_SQL, dgim_sliding_count_by_type)
+    sf = "/root/testdata/sf0.001"
+    got = (dgim_sliding_count_by_type(sf).to_pandas()
+           .sort_values(["event_type", "window_hours"],
+                        ignore_index=True))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{sf}/events.parquet')")
+    want = con.execute(DGIM_BY_TYPE_SQL).df()
+    assert got["event_type"].tolist() == want["event_type"].tolist()
+    for c in ("window_hours", "n_buckets", "dgim_estimate",
+              "exact_count"):
+        assert got[c].tolist() == want[c].astype("int64").tolist(), c
+    # per-type state stays logarithmic
+    assert (got["n_buckets"] <= 64).all()
