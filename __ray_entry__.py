@@ -545,6 +545,10 @@ from p2pddsketch_ray.pipelines.sliding import (  # noqa: E402
     DGIM_BY_TYPE_SQL as _DGIM_BY_TYPE_SQL)
 from p2pddsketch_ray.pipelines.approx import (  # noqa: E402
     PRIORITY_SAMPLE_BY_SEG_SQL as _PRIORITY_SAMPLE_BY_SEG_SQL)
+from p2pddsketch_ray.stages.multimodal import (  # noqa: E402
+    BMP_DECODE_SQL as _BMP_DECODE_SQL,
+    WAV_DECODE_SQL as _WAV_DECODE_SQL,
+    PPM_RESIZE_SQL as _PPM_RESIZE_SQL)
 from p2pddsketch_ray.pipelines.search import (  # noqa: E402
     INVERTED_INDEX_SQL as _INVERTED_INDEX_SQL)
 from p2pddsketch_ray.pipelines.components import (  # noqa: E402
@@ -955,6 +959,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # stratified priority sampling: independent DLT sample + tau
         # per o_orderpriority segment (grouped window-matrix member)
         "priority_sample_by_segment": _priority_sample_by_segment,
+        # REAL uncompressed-container decode queries: deterministic
+        # BMP/WAV/PPM fixtures, pure-numpy parsers, generator-replay
+        # SQL twins (a green hash proves byte-exact decode)
+        "bmp_decode_stats": _bmp_decode_stats,
+        "wav_decode_stats": _wav_decode_stats,
+        "ppm_resize_checksum": _ppm_resize_checksum,
         # multimodal binary-payload stage (plumbing oracle-checked via
         # byte counts; decoder features verified in unit tests)
         "multimodal_doc_features": _multimodal_doc_features,
@@ -2175,6 +2185,21 @@ def _sliding_window_quantiles_by_type(sf_dir: str):
 def _hll_sliding_users_by_type(sf_dir: str):
     from p2pddsketch_ray.pipelines.sliding import hll_sliding_users_grouped
     return hll_sliding_users_grouped(sf_dir, "event_type")
+
+
+def _bmp_decode_stats(sf_dir: str):
+    from p2pddsketch_ray.stages.multimodal import bmp_decode_stats
+    return bmp_decode_stats(sf_dir)
+
+
+def _wav_decode_stats(sf_dir: str):
+    from p2pddsketch_ray.stages.multimodal import wav_decode_stats
+    return wav_decode_stats(sf_dir)
+
+
+def _ppm_resize_checksum(sf_dir: str):
+    from p2pddsketch_ray.stages.multimodal import ppm_resize_checksum
+    return ppm_resize_checksum(sf_dir)
 
 
 def _multimodal_doc_features(sf_dir: str):
@@ -3673,4 +3698,7 @@ ORDER BY 1, 2""",
         "dgim_sliding_count": _DGIM_SLIDING_SQL,
         "dgim_sliding_count_by_type": _DGIM_BY_TYPE_SQL,
         "priority_sample_by_segment": _PRIORITY_SAMPLE_BY_SEG_SQL,
+        "bmp_decode_stats": _BMP_DECODE_SQL,
+        "wav_decode_stats": _WAV_DECODE_SQL,
+        "ppm_resize_checksum": _PPM_RESIZE_SQL,
     }

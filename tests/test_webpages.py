@@ -116,9 +116,13 @@ def test_multimodal_binary_features(ray_session, tmp_path):
     out2 = ds.map_batches(BinaryFeatureExtract, batch_format="pyarrow",
                           batch_size=64, concurrency=2, num_cpus=1).to_pandas()
     assert np.array_equal(feats, np.stack(out2["features"].to_numpy()))
-    # the real-decoder path is stubbed
-    with pytest.raises(NotImplementedError):
-        BinaryFeatureExtract(decode="real")
+    # decode="real" constructs (uncompressed-container parsers) but
+    # rejects payloads that would need codec libraries
+    with pytest.raises(ValueError):
+        BinaryFeatureExtract(decode="nope")
+    ext = BinaryFeatureExtract(column="html", decode="real")
+    with pytest.raises(ValueError):
+        ext(t.select(["html"]).slice(0, 4))     # html is not BMP/PPM
 
 
 def test_multimodal_grouped_pipeline_matches_numpy(ray_session):
@@ -197,13 +201,21 @@ def test_frame_sample_matches_naive():
         assert out["sampled"][i].as_py() == sampled
 
 
-def test_frame_sample_real_decode_is_gated():
+def test_frame_sample_real_decode_rejects_codec_formats():
     import pytest
     from p2pddsketch_ray.stages.multimodal import FrameSample, Resize
-    with pytest.raises(NotImplementedError):
-        FrameSample(decode="real")
-    with pytest.raises(NotImplementedError):
-        Resize(decode="real")
+    # real mode constructs (pure-numpy WAV/raster parsers) but raises
+    # for payloads that genuinely need codec libraries
+    junk = pa.table({"payload": pa.array([b"\x89PNG\r\n\x1a\nxxxx"],
+                                         type=pa.large_binary())})
+    with pytest.raises(ValueError):
+        FrameSample(decode="real")(junk)
+    with pytest.raises(ValueError):
+        Resize(decode="real")(junk)
+    with pytest.raises(ValueError):
+        FrameSample(decode="bogus")
+    with pytest.raises(ValueError):
+        Resize(decode="bogus")
 
 
 def test_resize_matches_naive():
