@@ -1709,29 +1709,37 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # tier, ANN incl. the written IVF index, HLL/KMV/CMS/Bloom/MG,
     # exact distributed quantiles, sessionization-split, curation,
     # model inference, index search, components, multimodal.
+    # Round-5 rotation (VERDICT r4 item 8): 13 slots differ from the
+    # r04 window -- grouped-window variants replace their globals, the
+    # new DGIM/priority/decode queries enter, and several families
+    # rotate to a different member (CMS->decayed, count-sketch->topk
+    # confirm, KMV->overlap, MinHash->blocking report, IVF->LSH ANN,
+    # range join->nearest order, HLL overlap->HyperMinHash) so
+    # successive CORRECTNESS_rN files cumulatively cover the registry.
     head = [
         "dds_price_global", "dds_price_by_flag",
-        "dds_event_value_actor_pool", "sliding_window_quantiles",
+        "dds_event_value_actor_pool", "sliding_window_quantiles_by_type",
         "pricing_summary", "customer_nation_rollup",
-        "events_hourly_window", "hll_sliding_users",
-        "events_asof_orders", "orders_event_window_stats",
+        "events_hourly_window", "hll_sliding_users_by_type",
+        "events_asof_orders", "events_nearest_order",
         "orders_customer_join_agg", "bloom_semijoin_orders",
-        "exact_quantiles_price", "exact_quantiles_by_flag",
-        "distinct_user_count", "hll_distinct_users", "hll_type_overlap",
-        "kmv_distinct_users", "cms_user_counts", "countsketch_user_freq",
+        "exact_quantiles_price", "weighted_median_by_flag",
+        "distinct_user_count", "hll_distinct_users",
+        "hyperminhash_type_jaccard", "kmv_user_overlap",
+        "decayed_cms_user_scores", "countsketch_topk_confirm",
         "mg_heavy_users", "top_users_exact",
         "events_sessionized", "events_sessionized_split",
-        "sampled_events_by_type", "props_extract_stats",
+        "priority_sample_by_segment", "props_extract_stats",
         "token_stats_by_lang", "quality_filter_by_lang",
         "lang_id_counts", "dedup_exact_docs", "dedup_exact_keep",
-        "minhash_neardup_docs", "simhash_neardup_docs",
+        "minhash_blocking_report", "simhash_neardup_docs",
         "dup_span_stats", "ppjoin_pairs", "embedding_neardup_pairs",
-        "neardup_keep_stats", "knn_cosine_topk", "ivf_knn_exhaustive",
+        "neardup_keep_stats", "knn_cosine_topk", "lsh_ann_topk",
         "ivf_knn_written", "sorted_neighborhood_stats",
         "split_assign_stats", "corpus_quota_sample", "token_budget_mix",
         "benchmark_decontamination", "model_score_stats",
-        "keyword_search_topk", "multimodal_doc_features",
-        "chunk_dedup_stats", "quantile_error_report",
+        "keyword_search_topk", "bmp_decode_stats",
+        "wav_decode_stats", "dgim_sliding_count",
     ]
     assert len(head) == 50 and all(k in q for k in head), \
         [k for k in head if k not in q]

@@ -162,6 +162,53 @@ def run_tpch_suite(sf_dir: str) -> dict[str, float]:
     return timings
 
 
+def run_sf1_suite() -> dict:
+    """Fourth recorded tier (VERDICT r4 item 1): the heavy-tier
+    pipelines + minhash_near_dups at ~sf1 -- 10 deterministic
+    key-shifted replicas of sf0.1 (tools/gen_sf.py), ~6M lineitem /
+    1M events / 50k decorrelated documents split across 10 files per
+    table.  This is the high-block-count regime where the
+    sort-exchange fan-in cliff class (stages/partition.py) would
+    first reappear; the pass criterion is no pipeline going
+    superlinear vs its sf0.1 time (<= ~15x wall for 10x data).
+    Timed once per query (the tier exists to probe the regime, not
+    to land in a min-of-N headline series)."""
+    import ray.data
+    from p2pddsketch_ray.pipelines import relational as R
+    from p2pddsketch_ray.pipelines.components import neardup_keep_stats
+    from p2pddsketch_ray.pipelines.dedup import minhash_near_dups
+    from p2pddsketch_ray.pipelines.quantiles import exact_quantiles
+    from p2pddsketch_ray.pipelines.sliding import hll_sliding_users
+    from p2pddsketch_ray.pipelines.temporal import events_asof_orders
+    from tools.gen_sf import ensure_scaled_sf
+
+    sf_dir = ensure_scaled_sf(10)
+    timings: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.perf_counter()
+        res = fn()
+        if hasattr(res, "to_pandas"):
+            res.to_pandas()
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    timed("returned_revenue_top_customers",
+          lambda: R.returned_revenue_top_customers(sf_dir))
+    timed("neardup_keep_stats", lambda: neardup_keep_stats(sf_dir))
+    timed("hll_sliding_users", lambda: hll_sliding_users(sf_dir))
+    timed("events_asof_orders", lambda: events_asof_orders(sf_dir))
+    timed("exact_quantiles_price", lambda: exact_quantiles(
+        ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                              columns=["l_extendedprice"]),
+        "l_extendedprice", (0.01, 0.25, 0.5, 0.75, 0.99),
+        collect_limit=5000))
+    timed("minhash_near_dups", lambda: minhash_near_dups(
+        ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                              columns=["doc_id", "text"]),
+        "doc_id", "text", threshold=0.7))
+    return timings
+
+
 def run_once() -> dict:
     import ray
     if not ray.is_initialized():
@@ -177,6 +224,9 @@ def run_once() -> dict:
     timings, headline_rows = run_suite(SF_DIR)
     heavy = run_heavy_suite(SF_DIR)
     tpch = run_tpch_suite(SF_DIR)
+    # sf1 regime tier: skippable via env for quick local iteration
+    sf1 = ({} if os.environ.get("GRAFT_SKIP_SF1") == "1"
+           else run_sf1_suite())
     total = round(sum(timings.values()), 4)
     result = {
         "metric": "headline pipeline suite wall-clock (DDSketch build/merge/"
@@ -188,6 +238,11 @@ def run_once() -> dict:
         "value_heavy": round(sum(heavy.values()), 4),
         "queries_tpch": tpch,
         "value_tpch": round(sum(tpch.values()), 4),
+        "queries_sf1": sf1,
+        "value_sf1": round(sum(sf1.values()), 4),
+        "sf1_factor_vs_sf01": {
+            k: round(sf1[k] / heavy[k], 2)
+            for k in sf1 if k in heavy and heavy[k] > 0},
         "sf": _sf_label(SF_DIR),
         "num_cpus": NUM_CPUS,
         "headline_rows": headline_rows,
@@ -262,15 +317,17 @@ def run_scaling_child() -> dict:
     # valuable than within-child best-of); the parent's pooled median
     # over >= 10 reps absorbs blips
     passes = int(os.environ.get("GRAFT_SCALING_PASSES", "1"))
+    tier = os.environ.get("GRAFT_SIGNATURE_TIER", "classic")
     best_sec, best = float("inf"), None
     for _ in range(max(1, passes)):
         t0 = time.perf_counter()
-        res = fused_sketch_build(SCALING_DIR)
+        res = fused_sketch_build(SCALING_DIR, signature_tier=tier)
         dt = time.perf_counter() - t0
         if dt < best_sec:
             best_sec, best = dt, res
     ray.shutdown()
     return {"num_cpus": NUM_CPUS, "docs": best["docs"],
+            "signature_tier": tier,
             "sec_total": round(best_sec, 3),
             "cpu_sec": round(best["cpu_sec"], 3),
             "band_checksum": best["band_checksum"],
@@ -342,6 +399,8 @@ def run_scaling() -> dict:
                   "sketch-build (verified extraction + text metrics + "
                   "DDSketch + MinHash kernels, one execution); pooled "
                   f"median of {SCALING_REPS} order-alternated paired reps",
+        "signature_tier": os.environ.get("GRAFT_SIGNATURE_TIER",
+                                         "classic"),
         "docs": SCALING_DOCS,
         "lo_cpus": lo_cpus, "hi_cpus": hi_cpus,
         "scaling_efficiency": round(_median(effs), 3),

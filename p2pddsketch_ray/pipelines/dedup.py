@@ -25,7 +25,22 @@ import ray
 import ray.data
 
 from ..sketches.minhash import (band_hashes, estimate_jaccard, hamming64,
-                                minhash_signatures, simhash64)
+                                minhash_signatures, oph_signatures,
+                                simhash64)
+
+#: signature builders for minhash_near_dups' ``signature_tier`` flag:
+#: "classic" = num_perm permutation passes (default, the r1-r4 path);
+#: "oph" = ONE-pass densified one-permutation hashing -- same
+#: (n_docs, num_perm) register contract and unbiased match-rate
+#: estimator, so banding and verification are tier-agnostic.  The
+#: 100 TB motivation: BASELINE.md's scaling runs show the signature
+#: build dominated by the 64 permutation passes; OPH removes 63.
+_SIGNATURE_TIERS = {
+    "classic": lambda texts, num_perm, k: minhash_signatures(
+        texts, num_perm=num_perm, k=k),
+    "oph": lambda texts, num_perm, k: oph_signatures(
+        texts, n_bins=num_perm, k=k),
+}
 from ..stages.partition import fit_partitions as _fit_partitions
 from ..stages.partition import partition_by as _partition_by
 
@@ -40,7 +55,8 @@ SHINGLE_BATCH = 512
 
 def minhash_band_rows(batch: pa.Table, *, id_col: str, text_col: str,
                       num_perm: int = 64, bands: int = 16,
-                      k: int = 5) -> pa.Table:
+                      k: int = 5,
+                      signature_tier: str = "classic") -> pa.Table:
     """(band_hash, doc_id) rows -- the candidate-generation shuffle
     payload (16 bytes/row).
 
@@ -49,7 +65,7 @@ def minhash_band_rows(batch: pa.Table, *, id_col: str, text_col: str,
     docs.  band_id is omitted: band hashes are seeded per band, so a
     cross-band bucket collision is ~2^-64 and would only yield a duplicate
     candidate pair, which dedup removes."""
-    sig = minhash_signatures(batch[text_col], num_perm=num_perm, k=k)
+    sig = _SIGNATURE_TIERS[signature_tier](batch[text_col], num_perm, k)
     bh = band_hashes(sig, bands)
     ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
     return pa.table({
@@ -139,8 +155,9 @@ def _blob_matrix(col: pa.Array | pa.ChunkedArray,
 
 def minhash_near_dups(ds: "ray.data.Dataset", id_col: str, text_col: str,
                       *, num_perm: int = 64, bands: int = 16, k: int = 9,
-                      threshold: float = 0.7,
-                      num_partitions: int = 64) -> "ray.data.Dataset":
+                      threshold: float = 0.7, num_partitions: int = 64,
+                      signature_tier: str = "classic"
+                      ) -> "ray.data.Dataset":
     """Near-duplicate pairs via MinHash + LSH banding, two-pass:
 
     1. Candidates: one map computes signatures and emits 16-byte
@@ -163,11 +180,19 @@ def minhash_near_dups(ds: "ray.data.Dataset", id_col: str, text_col: str,
 
     Returns a Dataset (doc_a, doc_b, est_jaccard), pairs with
     est >= threshold.
+
+    ``signature_tier="oph"`` swaps the 64-pass permutation build for the
+    one-pass densified-OPH register build (same register contract; the
+    banding, candidate shuffle, and verification are tier-agnostic).
     """
     from functools import partial
+    if signature_tier not in _SIGNATURE_TIERS:
+        raise ValueError(f"unknown signature_tier {signature_tier!r}; "
+                         f"expected one of {sorted(_SIGNATURE_TIERS)}")
     band_rows = ds.map_batches(
         partial(minhash_band_rows, id_col=id_col, text_col=text_col,
-                num_perm=num_perm, bands=bands, k=k),
+                num_perm=num_perm, bands=bands, k=k,
+                signature_tier=signature_tier),
         batch_format="pyarrow", batch_size=SHINGLE_BATCH,
         zero_copy_batch=True)
 
@@ -226,7 +251,7 @@ def minhash_near_dups(ds: "ray.data.Dataset", id_col: str, text_col: str,
         if t.num_rows == 0:
             return pa.table({"doc_id": pa.array([], type=pa.int64()),
                              "sig": pa.array([], type=pa.binary())})
-        sig = minhash_signatures(t[text_col], num_perm=num_perm, k=k)
+        sig = _SIGNATURE_TIERS[signature_tier](t[text_col], num_perm, k)
         return pa.table({
             "doc_id": pa.compute.cast(t[id_col], pa.int64()),
             "sig": pa.array([s.tobytes() for s in sig], type=pa.binary()),

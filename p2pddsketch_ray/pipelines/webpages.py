@@ -61,7 +61,8 @@ def fused_sketch_build(paths, quantiles: Sequence[float] = HEADLINE_QUANTILES,
                        *, alpha: float = PRACTICAL_ALPHA,
                        bin_limit: int = 2048, verify: bool = True,
                        num_perm: int = 64, bands: int = 16, k: int = 9,
-                       batch_size: int = 512) -> dict:
+                       batch_size: int = 512,
+                       signature_tier: str = "classic") -> dict:
     """The flagship sketch-build workload as ONE dataset execution -- the
     scaling-bench pipeline (BASELINE.md): per batch of webpages, one map
 
@@ -89,7 +90,8 @@ def fused_sketch_build(paths, quantiles: Sequence[float] = HEADLINE_QUANTILES,
     import time as _time
 
     from ..sketches.ddsketch import DDSketch
-    from ..sketches.minhash import band_hashes, minhash_signatures
+    from ..sketches.minhash import (band_hashes, minhash_signatures,
+                                    oph_signatures)
     from ..functions.text import (punct_count, quality_score_from_counts,
                                   stopword_count, token_count)
     from ..stages.sketch_build import (SKETCH_FIELDS, merge_sketch_table,
@@ -111,7 +113,11 @@ def fused_sketch_build(paths, quantiles: Sequence[float] = HEADLINE_QUANTILES,
                 punct.to_numpy(zero_copy_only=False),
                 stops.to_numpy(zero_copy_only=False)),
             pa.scalar(1e6)), pa.scalar(0.5))), pa.int64())
-        sig = minhash_signatures(texts, num_perm=num_perm, k=k)
+        # signature_tier="oph": ONE-pass densified OPH registers in
+        # place of the num_perm permutation passes (same band contract)
+        sig = (oph_signatures(texts, n_bins=num_perm, k=k)
+               if signature_tier == "oph"
+               else minhash_signatures(texts, num_perm=num_perm, k=k))
         bh = band_hashes(sig, bands)
         checksum = int(bh.sum(dtype=np.uint64) & np.uint64(0x3FFFFFFF))
 

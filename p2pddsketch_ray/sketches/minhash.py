@@ -164,6 +164,59 @@ def minhash_signatures(texts, num_perm: int = 64, k: int = 5) -> np.ndarray:
     return sig
 
 
+def oph_signatures(texts, n_bins: int = 64, k: int = 5) -> np.ndarray:
+    """Densified one-permutation-hashing register matrix -- the ONE-pass
+    drop-in for minhash_signatures' num_perm-pass build (Li, Owen &
+    Zhang NIPS'12; densification: Shrivastava & Li ICML'14).
+
+    Same (n_docs, n_bins) uint64 contract as minhash_signatures: the
+    fraction of equal registers is an unbiased Jaccard estimate, so
+    estimate_jaccard and band_hashes work unchanged.  One hash pass
+    buckets each shingle into bin h % n_bins keeping the min per bin;
+    empty bins borrow from the nearest non-empty bin to the right
+    (cyclic), offset by the borrow distance so borrowed registers never
+    spuriously collide.  Register math is bit-identical to the
+    oracle-verified pipelines.dedup.oph_minhash_densified kernel
+    (its DuckDB twin replays this exact cyclic borrow).
+
+    Empty docs keep all-max registers, mirroring minhash_signatures.
+    """
+    hashes, doc_offsets = shingle_hashes(texts, k)
+    n_docs = doc_offsets.shape[0] - 1
+    P = n_bins
+    U = np.uint64(0xFFFFFFFFFFFFFFFF)
+    regs_flat = np.full(n_docs * P, U, dtype=np.uint64)
+    if hashes.shape[0]:
+        lengths = np.diff(doc_offsets)
+        doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), lengths)
+        cell = doc_idx * P + (hashes % np.uint64(P)).astype(np.int64)
+        # min per (doc, bin) cell: lexsort + first-of-run (vectorized;
+        # np.minimum.at is an order slower on multi-million-row batches)
+        order = np.lexsort((hashes, cell))
+        c_s, h_s = cell[order], hashes[order]
+        first = np.ones(c_s.size, dtype=bool)
+        first[1:] = c_s[1:] != c_s[:-1]
+        regs_flat[c_s[first]] = h_s[first]
+    regs = regs_flat.reshape(n_docs, P)
+    filled = regs != U
+    nonempty = filled.any(axis=1)
+    if not nonempty.any():
+        return regs
+    sub = np.ascontiguousarray(regs[nonempty])
+    subf = filled[nonempty]
+    n = sub.shape[0]
+    dbl = np.concatenate([subf, subf], axis=1)
+    idx = np.where(dbl, np.tile(np.arange(2 * P), (n, 1)),
+                   np.int64(1 << 30))
+    nxt = np.minimum.accumulate(idx[:, ::-1], axis=1)[:, ::-1][:, :P]
+    src = nxt % P
+    tdist = (nxt - np.arange(P)[None, :]).astype(np.uint64)
+    with np.errstate(over="ignore"):
+        dense = np.take_along_axis(sub, src, axis=1) + tdist  # wraps
+    regs[nonempty] = np.where(subf, sub, dense)
+    return regs
+
+
 def estimate_jaccard(sig_a: np.ndarray, sig_b: np.ndarray) -> np.ndarray:
     """Fraction of equal signature coordinates (rowwise)."""
     return (np.asarray(sig_a) == np.asarray(sig_b)).mean(axis=-1)

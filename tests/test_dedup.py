@@ -638,3 +638,82 @@ def test_chunk_dedup_keeper_is_first_occurrence(ray_session, tmp_path):
     assert int(out.loc["de", "n_kept"]) == 2
     assert int(out.loc["en", "n_chunks"]) == 1
     assert int(out.loc["en", "n_kept"]) == 0
+
+
+def test_oph_signatures_match_reference_kernel():
+    """oph_signatures (batch-vectorized) must be bit-identical to a
+    per-doc replay of the oracle-verified densified-OPH register math
+    (pipelines.dedup.oph_minhash_densified's encode)."""
+    from p2pddsketch_ray.sketches.minhash import (oph_signatures,
+                                                  shingle_hashes)
+    texts = pa.array(["the quick brown fox jumps over the lazy dog",
+                      "the quick brown fox jumps over the lazy cat",
+                      "completely different content here entirely",
+                      "", "tiny", "aaaaaaaaaaaaaaaaaaaaaa"])
+    P = 16
+    got = oph_signatures(texts, n_bins=P, k=5)
+    hv, offs = shingle_hashes(texts, 5)
+    U = np.uint64(0xFFFFFFFFFFFFFFFF)
+    for d in range(len(texts)):
+        h = np.unique(hv[offs[d]:offs[d + 1]])
+        regs = np.full(P, U, dtype=np.uint64)
+        if h.size == 0:
+            assert (got[d] == U).all()
+            continue
+        b = (h % np.uint64(P)).astype(np.int64)
+        np.minimum.at(regs, b, h)
+        filled = regs != U
+        want = regs.copy()
+        for j in range(P):
+            if not filled[j]:
+                t = 1
+                while not filled[(j + t) % P]:
+                    t += 1
+                with np.errstate(over="ignore"):
+                    want[j] = regs[(j + t) % P] + np.uint64(t)
+        assert np.array_equal(got[d], want), d
+
+
+def test_oph_signatures_batching_invariance():
+    """Register rows are per-doc functions: one batch == many batches."""
+    from p2pddsketch_ray.sketches.minhash import oph_signatures
+    from p2pddsketch_ray.sources.webpages import generate_webpages_local
+    t = generate_webpages_local(64)["text"]
+    whole = oph_signatures(t, n_bins=64, k=9)
+    parts = [oph_signatures(t.slice(i, 16), n_bins=64, k=9)
+             for i in range(0, 64, 16)]
+    assert np.array_equal(whole, np.vstack(parts))
+
+
+def test_minhash_near_dups_oph_tier_finds_planted_dups(ray_session,
+                                                       tmp_path):
+    """The oph signature tier must find the fixture's planted near-dups
+    end-to-end, with candidate/verify plumbing unchanged."""
+    import pyarrow.parquet as pq
+    import ray.data
+    from p2pddsketch_ray.pipelines.dedup import minhash_near_dups
+    from p2pddsketch_ray.sources.webpages import generate_webpages_local
+
+    pages = generate_webpages_local(400)
+    p = tmp_path / "pages.parquet"
+    pq.write_table(pages.append_column(
+        "doc_id", pa.array(np.arange(pages.num_rows), type=pa.int64())),
+        str(p))
+    ds = ray.data.read_parquet(str(p), columns=["doc_id", "text"],
+                               override_num_blocks=4)
+    out = minhash_near_dups(ds, "doc_id", "text", threshold=0.7,
+                            signature_tier="oph").to_pandas()
+    classic = minhash_near_dups(ds, "doc_id", "text",
+                                threshold=0.7).to_pandas()
+    assert len(out) > 0
+    assert (out["doc_a"] < out["doc_b"]).all()
+    # both tiers estimate the same Jaccard; their >=0.7 pair sets agree
+    # on the overwhelming majority (estimator variance differs slightly)
+    po = set(zip(out["doc_a"], out["doc_b"]))
+    pc_ = set(zip(classic["doc_a"], classic["doc_b"]))
+    inter = len(po & pc_)
+    assert inter / max(len(po | pc_), 1) >= 0.8, (len(po), len(pc_), inter)
+
+    import pytest
+    with pytest.raises(ValueError):
+        minhash_near_dups(ds, "doc_id", "text", signature_tier="nope")
