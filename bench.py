@@ -427,5 +427,20 @@ if __name__ == "__main__":
         print(json.dumps(run_scaling_child()))
     elif "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
+    elif "--sf1" in sys.argv:
+        # standalone sf1 regime tier (same queries run_once records)
+        import ray
+        ray.init(address="local", num_cpus=NUM_CPUS,
+                 include_dashboard=False, ignore_reinit_error=True,
+                 logging_level="ERROR")
+        import p2pddsketch_ray
+        p2pddsketch_ray.configure_for_cluster(NUM_CPUS)
+        from ray.data import DataContext
+        DataContext.get_current().enable_progress_bars = False
+        sf1 = run_sf1_suite()
+        ray.shutdown()
+        print(json.dumps({"queries_sf1": sf1,
+                          "value_sf1": round(sum(sf1.values()), 4),
+                          "num_cpus": NUM_CPUS}))
     else:
         print(json.dumps(run_once()))

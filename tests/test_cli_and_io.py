@@ -156,3 +156,57 @@ def test_read_scalar_csv_and_jsonl_match_text(ray_session, tmp_path):
     c = np.sort(read_scalar_jsonl(str(jf)).to_pandas()["value"].to_numpy())
     assert np.array_equal(a, b) and np.array_equal(b, c)
     assert np.array_equal(a, np.sort(vals))
+
+
+def test_gen_sf_replicas_preserve_join_structure(tmp_path):
+    """tools/gen_sf: replica r of each fact joins exactly within
+    itself (same spans on both sides of every join key), replica 0 is
+    byte-identical to the source, and document replicas are
+    decorrelated at the shingle level."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from tools.gen_sf import generate
+
+    src = "/root/testdata/sf0.001"
+    out = str(tmp_path / "scaled")
+    generate(3, src, out)
+
+    # replica 0 identical to source
+    for t in ("orders", "documents", "events"):
+        a = pq.read_table(f"{src}/{t}.parquet")
+        b = pq.read_table(f"{out}/{t}.parquet/part-0.parquet")
+        assert a.equals(b), t
+
+    # per-replica join closure: every shifted l_orderkey has its
+    # shifted o_orderkey in the SAME replica file
+    o1 = pq.read_table(f"{out}/orders.parquet/part-1.parquet",
+                       columns=["o_orderkey"])["o_orderkey"].to_numpy()
+    l1 = pq.read_table(f"{out}/lineitem.parquet/part-1.parquet",
+                       columns=["l_orderkey"])["l_orderkey"].to_numpy()
+    assert np.isin(np.unique(l1), o1).all()
+    o2 = pq.read_table(f"{out}/orders.parquet/part-2.parquet",
+                       columns=["o_orderkey"])["o_orderkey"].to_numpy()
+    assert not np.isin(np.unique(l1), o2).any()
+
+    # determinism: regeneration is byte-for-byte stable
+    out2 = str(tmp_path / "scaled2")
+    generate(3, src, out2)
+    for r in range(3):
+        a = open(f"{out}/orders.parquet/part-{r}.parquet", "rb").read()
+        b = open(f"{out2}/orders.parquet/part-{r}.parquet", "rb").read()
+        assert a == b, r
+
+    # text decorrelation: same doc across replicas is NOT a near-dup
+    from p2pddsketch_ray.sketches.minhash import shingle_hashes
+    d1 = pq.read_table(f"{out}/documents.parquet/part-1.parquet",
+                       columns=["text"])["text"]
+    d2 = pq.read_table(f"{out}/documents.parquet/part-2.parquet",
+                       columns=["text"])["text"]
+    h1, f1 = shingle_hashes(d1.slice(0, 10), 9)
+    h2, f2 = shingle_hashes(d2.slice(0, 10), 9)
+    for i in range(10):
+        sa = set(h1[f1[i]:f1[i + 1]].tolist())
+        sb = set(h2[f2[i]:f2[i + 1]].tolist())
+        j = len(sa & sb) / max(len(sa | sb), 1)
+        assert j < 0.5, (i, j)
