@@ -229,9 +229,19 @@ def events_asof_orders(sf_dir: str) -> pa.Table:
     """Driver query: align every event with that user's most recent order
     at event time (inclusive), then roll up per (event_type,
     o_orderpriority): match count, order value in integer cents, and the
-    total event-to-order lag in integer microseconds.  Integer sums keep
-    the aggregate associative, so the result hash-matches the DuckDB
-    ASOF JOIN oracle regardless of merge order."""
+    total event-to-order lag.  Integer sums keep the aggregate
+    associative, so the result hash-matches the DuckDB ASOF JOIN oracle
+    regardless of merge order.
+
+    The lag total is carried as TWO bounded int64 limbs -- whole
+    seconds (sum_lag_s) and the microsecond remainder (lag_rem_us,
+    0..999999 after the finalize carry) -- because a single int64
+    microsecond sum overflows in the 10x regime already (the sf1 tier
+    caught exactly this: 2.8e19 us > 2^63), let alone at 10^12 rows.
+    Per-row split floor(lag/1e6) + lag%1e6 is exact for the
+    non-negative as-of lags, each limb's global sum stays in int64
+    through the shuffle, and one carry normalization at finalize
+    recovers the exact total; DuckDB replays it from its HUGEINT sum."""
     events = ray.data.read_parquet(f"{sf_dir}/events.parquet",
                                    columns=["ts", "user_id", "event_type"])
     orders = ray.data.read_parquet(
@@ -270,15 +280,19 @@ def events_asof_orders(sf_dir: str) -> pa.Table:
         # float64 and microsecond lags overflow exact-integer range 2^53
         c = np.zeros(upair.shape[0], dtype=np.int64)
         np.add.at(c, inv, cents)
-        lg = np.zeros(upair.shape[0], dtype=np.int64)
-        np.add.at(lg, inv, lag)
+        # two-limb lag split: each limb's GLOBAL sum stays in int64
+        # (a single microsecond sum does not -- sf1-regime overflow)
+        lg_s = np.zeros(upair.shape[0], dtype=np.int64)
+        np.add.at(lg_s, inv, lag // 1_000_000)
+        lg_r = np.zeros(upair.shape[0], dtype=np.int64)
+        np.add.at(lg_r, inv, lag % 1_000_000)
         parts = [p.split("\x1f") for p in upair.tolist()]
         return pa.table({
             "event_type": pa.array([p[0] for p in parts], type=pa.string()),
             "o_orderpriority": pa.array([p[1] for p in parts],
                                         type=pa.string()),
             "n": pa.array(n), "sum_price_cents": pa.array(c),
-            "sum_lag_us": pa.array(lg),
+            "lag_s": pa.array(lg_s), "lag_r": pa.array(lg_r),
         })
 
     from ray.data.aggregate import Sum
@@ -287,15 +301,20 @@ def events_asof_orders(sf_dir: str) -> pa.Table:
            .groupby(["event_type", "o_orderpriority"])
            .aggregate(Sum("n", alias_name="n"),
                       Sum("sum_price_cents", alias_name="sum_price_cents"),
-                      Sum("sum_lag_us", alias_name="sum_lag_us")))
+                      Sum("lag_s", alias_name="lag_s"),
+                      Sum("lag_r", alias_name="lag_r")))
 
     def finalize(t: pa.Table) -> pa.Table:
+        # carry normalization: exact total = lag_s * 1e6 + lag_r
+        s = t["lag_s"].to_numpy(zero_copy_only=False).astype(np.int64)
+        r = t["lag_r"].to_numpy(zero_copy_only=False).astype(np.int64)
         return pa.table({
             "event_type": t["event_type"],
             "o_orderpriority": t["o_orderpriority"],
             "n": pc.cast(t["n"], pa.int64()),
             "sum_price_cents": pc.cast(t["sum_price_cents"], pa.int64()),
-            "sum_lag_us": pc.cast(t["sum_lag_us"], pa.int64()),
+            "sum_lag_s": pa.array(s + r // 1_000_000),
+            "lag_rem_us": pa.array(r % 1_000_000),
         })
 
     return agg.map_batches(finalize, batch_format="pyarrow")
@@ -316,7 +335,9 @@ SELECT e.event_type,
        CAST(sum(CAST(floor(o.o_totalprice * 100.0 + 0.5) AS BIGINT))
             AS BIGINT) AS sum_price_cents,
        CAST(sum(date_diff('microsecond', o.o_orderdate, e.ts))
-            AS BIGINT) AS sum_lag_us
+            // 1000000 AS BIGINT) AS sum_lag_s,
+       CAST(sum(date_diff('microsecond', o.o_orderdate, e.ts))
+            % 1000000 AS BIGINT) AS lag_rem_us
 FROM events e
 ASOF JOIN uniq o
   ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
