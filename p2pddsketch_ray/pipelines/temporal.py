@@ -384,8 +384,13 @@ def orders_asof_next_event(sf_dir: str) -> pa.Table:
         n = np.bincount(inv, minlength=upair.shape[0]).astype(np.int64)
         c = np.zeros(upair.shape[0], dtype=np.int64)
         np.add.at(c, inv, cents)
-        lg = np.zeros(upair.shape[0], dtype=np.int64)
-        np.add.at(lg, inv, lead)
+        # two-limb lead split (same int64-overflow class the sf1 tier
+        # caught in events_asof_orders: one microsecond sum does not
+        # survive the 10x regime, let alone 10^12 rows)
+        lg_s = np.zeros(upair.shape[0], dtype=np.int64)
+        np.add.at(lg_s, inv, lead // 1_000_000)
+        lg_r = np.zeros(upair.shape[0], dtype=np.int64)
+        np.add.at(lg_r, inv, lead % 1_000_000)
         parts = [p.split("\x1f") for p in upair.tolist()]
         return pa.table({
             "event_type": pa.array([p[0] for p in parts],
@@ -393,7 +398,7 @@ def orders_asof_next_event(sf_dir: str) -> pa.Table:
             "o_orderpriority": pa.array([p[1] for p in parts],
                                         type=pa.string()),
             "n": pa.array(n), "sum_price_cents": pa.array(c),
-            "sum_lead_us": pa.array(lg),
+            "lead_s": pa.array(lg_s), "lead_r": pa.array(lg_r),
         })
 
     from ray.data.aggregate import Sum
@@ -403,16 +408,20 @@ def orders_asof_next_event(sf_dir: str) -> pa.Table:
            .aggregate(Sum("n", alias_name="n"),
                       Sum("sum_price_cents",
                           alias_name="sum_price_cents"),
-                      Sum("sum_lead_us", alias_name="sum_lead_us")))
+                      Sum("lead_s", alias_name="lead_s"),
+                      Sum("lead_r", alias_name="lead_r")))
 
     def finalize(t: pa.Table) -> pa.Table:
+        s = t["lead_s"].to_numpy(zero_copy_only=False).astype(np.int64)
+        r = t["lead_r"].to_numpy(zero_copy_only=False).astype(np.int64)
         return pa.table({
             "event_type": t["event_type"],
             "o_orderpriority": t["o_orderpriority"],
             "n": pc.cast(t["n"], pa.int64()),
             "sum_price_cents": pc.cast(t["sum_price_cents"],
                                        pa.int64()),
-            "sum_lead_us": pc.cast(t["sum_lead_us"], pa.int64()),
+            "sum_lead_s": pa.array(s + r // 1_000_000),
+            "lead_rem_us": pa.array(r % 1_000_000),
         })
 
     out = (agg.map_batches(finalize, batch_format="pyarrow")
@@ -426,8 +435,10 @@ def orders_asof_next_event(sf_dir: str) -> pa.Table:
         "n": pa.array(out["n"].to_numpy(dtype=np.int64)),
         "sum_price_cents": pa.array(
             out["sum_price_cents"].to_numpy(dtype=np.int64)),
-        "sum_lead_us": pa.array(
-            out["sum_lead_us"].to_numpy(dtype=np.int64)),
+        "sum_lead_s": pa.array(
+            out["sum_lead_s"].to_numpy(dtype=np.int64)),
+        "lead_rem_us": pa.array(
+            out["lead_rem_us"].to_numpy(dtype=np.int64)),
     })
 
 
@@ -446,7 +457,9 @@ SELECT e.event_type,
        CAST(sum(CAST(floor(o.o_totalprice * 100.0 + 0.5) AS BIGINT))
             AS BIGINT) AS sum_price_cents,
        CAST(sum(date_diff('microsecond', o.o_orderdate, e.ts))
-            AS BIGINT) AS sum_lead_us
+            // 1000000 AS BIGINT) AS sum_lead_s,
+       CAST(sum(date_diff('microsecond', o.o_orderdate, e.ts))
+            % 1000000 AS BIGINT) AS lead_rem_us
 FROM orders o
 ASOF JOIN uniq e
   ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
@@ -642,7 +655,8 @@ def user_event_lag_stats(sf_dir: str) -> "ray.data.Dataset":
     empty = pa.table({"event_type": pa.array([], type=pa.string()),
                       "n_with_prev": pa.array([], type=pa.int64()),
                       "sum_dvalue_units": pa.array([], type=pa.int64()),
-                      "sum_gap_us": pa.array([], type=pa.int64())})
+                      "gap_s": pa.array([], type=pa.int64()),
+                      "gap_r": pa.array([], type=pa.int64())})
 
     def prep(t: pa.Table) -> pa.Table:
         units = np.floor(
@@ -675,13 +689,17 @@ def user_event_lag_stats(sf_dir: str) -> "ray.data.Dataset":
         np.add.at(n, inv[has_prev], 1)
         sdu = np.zeros(ue.shape[0], dtype=np.int64)
         np.add.at(sdu, inv[has_prev], du[has_prev])
-        sgap = np.zeros(ue.shape[0], dtype=np.int64)
-        np.add.at(sgap, inv[has_prev], gap[has_prev])
+        # two-limb gap split (the sf1-caught int64-overflow class:
+        # one microsecond sum dies at scale; seconds + remainder don't)
+        sg_s = np.zeros(ue.shape[0], dtype=np.int64)
+        np.add.at(sg_s, inv[has_prev], gap[has_prev] // 1_000_000)
+        sg_r = np.zeros(ue.shape[0], dtype=np.int64)
+        np.add.at(sg_r, inv[has_prev], gap[has_prev] % 1_000_000)
         return pa.table({
             "event_type": pa.array(ue.tolist(), type=pa.string()),
             "n_with_prev": pa.array(n),
             "sum_dvalue_units": pa.array(sdu),
-            "sum_gap_us": pa.array(sgap),
+            "gap_s": pa.array(sg_s), "gap_r": pa.array(sg_r),
         })
 
     prepped = events.map_batches(prep, batch_format="pyarrow",
@@ -692,14 +710,18 @@ def user_event_lag_stats(sf_dir: str) -> "ray.data.Dataset":
     agg = (partials.groupby("event_type")
            .aggregate(Sum("n_with_prev", alias_name="n_with_prev"),
                       Sum("sum_dvalue_units", alias_name="sum_dvalue_units"),
-                      Sum("sum_gap_us", alias_name="sum_gap_us")))
+                      Sum("gap_s", alias_name="gap_s"),
+                      Sum("gap_r", alias_name="gap_r")))
 
     def finalize(t: pa.Table) -> pa.Table:
+        s = t["gap_s"].to_numpy(zero_copy_only=False).astype(np.int64)
+        r = t["gap_r"].to_numpy(zero_copy_only=False).astype(np.int64)
         return pa.table({
             "event_type": t["event_type"],
             "n_with_prev": pc.cast(t["n_with_prev"], pa.int64()),
             "sum_dvalue_units": pc.cast(t["sum_dvalue_units"], pa.int64()),
-            "sum_gap_us": pc.cast(t["sum_gap_us"], pa.int64()),
+            "sum_gap_s": pa.array(s + r // 1_000_000),
+            "gap_rem_us": pa.array(r % 1_000_000),
         })
 
     return agg.map_batches(finalize, batch_format="pyarrow")
@@ -722,7 +744,8 @@ WITH v AS (
 SELECT event_type,
        count(du) AS n_with_prev,
        CAST(coalesce(sum(du), 0) AS BIGINT) AS sum_dvalue_units,
-       CAST(coalesce(sum(gap), 0) AS BIGINT) AS sum_gap_us
+       CAST(coalesce(sum(gap), 0) // 1000000 AS BIGINT) AS sum_gap_s,
+       CAST(coalesce(sum(gap), 0) % 1000000 AS BIGINT) AS gap_rem_us
 FROM w
 GROUP BY 1
 ORDER BY 1
@@ -2174,7 +2197,8 @@ def last_touch_attribution(sf_dir: str,
 
     empty = pa.table({"touch_type": pa.array([], type=pa.string()),
                       "n_conversions": pa.array([], type=pa.int64()),
-                      "sum_gap_us": pa.array([], type=pa.int64())})
+                      "gap_s": pa.array([], type=pa.int64()),
+                      "gap_r": pa.array([], type=pa.int64())})
 
     def prep(t: pa.Table) -> pa.Table:
         keep = pc.is_in(t["event_type"],
@@ -2218,12 +2242,15 @@ def last_touch_attribution(sf_dir: str,
         g[hit] = gap[conv_idx[hit]]
         ulab, inv = np.unique(lab.astype(str), return_inverse=True)
         cnt = np.bincount(inv).astype(np.int64)
-        sg = np.zeros(ulab.shape[0], dtype=np.int64)
-        np.add.at(sg, inv, g)
+        # two-limb gap split (the sf1-caught int64-overflow class)
+        sg_s = np.zeros(ulab.shape[0], dtype=np.int64)
+        np.add.at(sg_s, inv, g // 1_000_000)
+        sg_r = np.zeros(ulab.shape[0], dtype=np.int64)
+        np.add.at(sg_r, inv, g % 1_000_000)
         return pa.table({
             "touch_type": pa.array(ulab.tolist(), type=pa.string()),
             "n_conversions": pa.array(cnt),
-            "sum_gap_us": pa.array(sg),
+            "gap_s": pa.array(sg_s), "gap_r": pa.array(sg_r),
         })
 
     prepped = events.map_batches(prep, batch_format="pyarrow",
@@ -2233,13 +2260,17 @@ def last_touch_attribution(sf_dir: str,
     from ray.data.aggregate import Sum
     agg = (partials.groupby("touch_type")
            .aggregate(Sum("n_conversions", alias_name="n_conversions"),
-                      Sum("sum_gap_us", alias_name="sum_gap_us")))
+                      Sum("gap_s", alias_name="gap_s"),
+                      Sum("gap_r", alias_name="gap_r")))
 
     def finalize(t: pa.Table) -> pa.Table:
+        s = t["gap_s"].to_numpy(zero_copy_only=False).astype(np.int64)
+        r = t["gap_r"].to_numpy(zero_copy_only=False).astype(np.int64)
         return pa.table({
             "touch_type": t["touch_type"],
             "n_conversions": pc.cast(t["n_conversions"], pa.int64()),
-            "sum_gap_us": pc.cast(t["sum_gap_us"], pa.int64()),
+            "sum_gap_s": pa.array(s + r // 1_000_000),
+            "gap_rem_us": pa.array(r % 1_000_000),
         })
 
     return (agg.map_batches(finalize, batch_format="pyarrow")
@@ -2273,7 +2304,8 @@ WITH p AS (
   FROM p LEFT JOIN best ON best.pe = p.event_id
 )
 SELECT touch_type, CAST(count(*) AS BIGINT) AS n_conversions,
-       CAST(sum(gap) AS BIGINT) AS sum_gap_us
+       CAST(sum(gap) // 1000000 AS BIGINT) AS sum_gap_s,
+       CAST(sum(gap) % 1000000 AS BIGINT) AS gap_rem_us
 FROM labeled GROUP BY 1 ORDER BY 1
 """
 
@@ -2510,7 +2542,8 @@ def ooo_lateness_stats(sf_dir: str, chunk_bits: int = 12) -> "ray.data.Dataset":
     empty = pa.table({"event_type": pa.array([], type=pa.string()),
                       "n_events": pa.array([], type=pa.int64()),
                       "n_late": pa.array([], type=pa.int64()),
-                      "late_us": pa.array([], type=pa.int64()),
+                      "late_s": pa.array([], type=pa.int64()),
+                      "late_r": pa.array([], type=pa.int64()),
                       "max_late_us": pa.array([], type=pa.int64())})
 
     def add_chunk(t: pa.Table) -> pa.Table:
@@ -2532,32 +2565,52 @@ def ooo_lateness_stats(sf_dir: str, chunk_bits: int = 12) -> "ray.data.Dataset":
         prev = np.concatenate(([-(2 ** 62)], run[:-1]))
         prev = np.maximum(prev, seed_row)
         late = np.maximum(prev - ts_s, 0)
+        # two-limb lateness split (the sf1-caught int64-overflow
+        # class: a single microsecond sum dies at stream scale)
         staged = pa.table({
             "event_type": pc.take(t["event_type"],
                                   pa.array(order, type=pa.int64())),
             "one": pa.array(np.ones(t.num_rows, dtype=np.int64)),
             "is_late": pa.array((late > 0).astype(np.int64)),
+            "late_s": pa.array(late // 1_000_000),
+            "late_r": pa.array(late % 1_000_000),
             "late_us": pa.array(late),
         })
         g = staged.group_by("event_type").aggregate(
-            [("one", "sum"), ("is_late", "sum"), ("late_us", "sum"),
-             ("late_us", "max")])
+            [("one", "sum"), ("is_late", "sum"), ("late_s", "sum"),
+             ("late_r", "sum"), ("late_us", "max")])
         return pa.table({
             "event_type": g["event_type"],
             "n_events": pc.cast(g["one_sum"], pa.int64()),
             "n_late": pc.cast(g["is_late_sum"], pa.int64()),
-            "late_us": pc.cast(g["late_us_sum"], pa.int64()),
+            "late_s": pc.cast(g["late_s_sum"], pa.int64()),
+            "late_r": pc.cast(g["late_r_sum"], pa.int64()),
             "max_late_us": pc.cast(g["late_us_max"], pa.int64()),
         })
 
     parts = partition_by(
         ds.map_batches(add_chunk, batch_format="pyarrow"),
         ["chunk"], fit_partitions(32), late_partition, empty)
-    return (parts.groupby("event_type")
-            .aggregate(Sum("n_events", alias_name="n_events"),
-                       Sum("n_late", alias_name="n_late"),
-                       Sum("late_us", alias_name="late_us"),
-                       Max("max_late_us", alias_name="max_late_us")))
+    agg = (parts.groupby("event_type")
+           .aggregate(Sum("n_events", alias_name="n_events"),
+                      Sum("n_late", alias_name="n_late"),
+                      Sum("late_s", alias_name="late_s"),
+                      Sum("late_r", alias_name="late_r"),
+                      Max("max_late_us", alias_name="max_late_us")))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        s = t["late_s"].to_numpy(zero_copy_only=False).astype(np.int64)
+        r = t["late_r"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "event_type": t["event_type"],
+            "n_events": pc.cast(t["n_events"], pa.int64()),
+            "n_late": pc.cast(t["n_late"], pa.int64()),
+            "sum_late_s": pa.array(s + r // 1_000_000),
+            "late_rem_us": pa.array(r % 1_000_000),
+            "max_late_us": pc.cast(t["max_late_us"], pa.int64()),
+        })
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
 
 
 OOO_LATENESS_SQL = """
@@ -2572,7 +2625,9 @@ SELECT event_type,
        CAST(sum(CASE WHEN rmax > ts_us THEN 1 ELSE 0 END) AS BIGINT)
          AS n_late,
        CAST(sum(CASE WHEN rmax > ts_us THEN rmax - ts_us ELSE 0 END)
-            AS BIGINT) AS late_us,
+            // 1000000 AS BIGINT) AS sum_late_s,
+       CAST(sum(CASE WHEN rmax > ts_us THEN rmax - ts_us ELSE 0 END)
+            % 1000000 AS BIGINT) AS late_rem_us,
        CAST(max(CASE WHEN rmax > ts_us THEN rmax - ts_us ELSE 0 END)
             AS BIGINT) AS max_late_us
 FROM w GROUP BY 1

@@ -2016,7 +2016,9 @@ def test_ooo_lateness_matches_sequential_walk(ray_session, tmp_path):
         "props": pa.array([""] * n),
     }), str(tmp_path / "events.parquet"))
     out = ooo_lateness_stats(str(tmp_path)).to_pandas()
-    got = {r.event_type: (r.n_events, r.n_late, r.late_us, r.max_late_us)
+    got = {r.event_type: (r.n_events, r.n_late,
+                          r.sum_late_s * 1_000_000 + r.late_rem_us,
+                          r.max_late_us)
            for r in out.itertuples()}
     # sequential reference
     run = np.maximum.accumulate(ts_us)

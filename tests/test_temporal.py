@@ -635,7 +635,8 @@ def test_last_touch_attribution_edges(ray_session, tmp_path):
     pq.write_table(t, str(tmp_path / "events.parquet"))
     out = last_touch_attribution(str(tmp_path),
                                  window_us=300 * us).to_pandas()
-    got = {r.touch_type: (int(r.n_conversions), int(r.sum_gap_us))
+    got = {r.touch_type: (int(r.n_conversions),
+                          int(r.sum_gap_s) * us + int(r.gap_rem_us))
            for r in out.itertuples()}
     # credited: u1 purchase@110 (click, 10s); u2 purchase@200 (view, 0);
     # u2 purchase@300 (view@200, 100s -- click@300 has larger event_id)
