@@ -545,6 +545,8 @@ from p2pddsketch_ray.pipelines.sliding import (  # noqa: E402
     DGIM_BY_TYPE_SQL as _DGIM_BY_TYPE_SQL)
 from p2pddsketch_ray.pipelines.approx import (  # noqa: E402
     PRIORITY_SAMPLE_BY_SEG_SQL as _PRIORITY_SAMPLE_BY_SEG_SQL)
+from p2pddsketch_ray.pipelines.dedup import (  # noqa: E402
+    WEIGHTED_MINHASH_SQL as _WEIGHTED_MINHASH_SQL)
 from p2pddsketch_ray.stages.multimodal import (  # noqa: E402
     BMP_DECODE_SQL as _BMP_DECODE_SQL,
     WAV_DECODE_SQL as _WAV_DECODE_SQL,
@@ -1701,6 +1703,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # HyperMinHash: direct Jaccard between big sets at loglog
         # space (2 bytes/bucket), exact Jaccard audited on the row
         "hyperminhash_type_jaccard": _hyperminhash_type_jaccard,
+        # weighted-Jaccard MinHash via integer-weight expansion (the
+        # bit-replayable alternative to ICWS float gammas); exact
+        # capped weighted Jaccard audited on the same row
+        "weighted_minhash_pairs": _weighted_minhash_pairs,
     }
     # The driver's correctness sweep samples the FIRST 50 entries
     # (VERDICT r3 item 4): order them so every operator family is in
@@ -2208,6 +2214,11 @@ def _wav_decode_stats(sf_dir: str):
 def _ppm_resize_checksum(sf_dir: str):
     from p2pddsketch_ray.stages.multimodal import ppm_resize_checksum
     return ppm_resize_checksum(sf_dir)
+
+
+def _weighted_minhash_pairs(sf_dir: str):
+    from p2pddsketch_ray.pipelines.dedup import weighted_minhash_pairs
+    return weighted_minhash_pairs(sf_dir)
 
 
 def _multimodal_doc_features(sf_dir: str):
@@ -3706,6 +3717,7 @@ ORDER BY 1, 2""",
         "dgim_sliding_count": _DGIM_SLIDING_SQL,
         "dgim_sliding_count_by_type": _DGIM_BY_TYPE_SQL,
         "priority_sample_by_segment": _PRIORITY_SAMPLE_BY_SEG_SQL,
+        "weighted_minhash_pairs": _WEIGHTED_MINHASH_SQL,
         "bmp_decode_stats": _BMP_DECODE_SQL,
         "wav_decode_stats": _WAV_DECODE_SQL,
         "ppm_resize_checksum": _PPM_RESIZE_SQL,

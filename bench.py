@@ -206,6 +206,12 @@ def run_sf1_suite() -> dict:
         ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                               columns=["doc_id", "text"]),
         "doc_id", "text", threshold=0.7))
+    # headline-family probes: scan+combiner, window+combiner, and the
+    # text kernel in the 10x regime (ratios read against `queries`)
+    timed("pricing_summary", lambda: R.pricing_summary(sf_dir))
+    timed("events_hourly_window",
+          lambda: R.events_hourly_window(sf_dir))
+    timed("token_stats_by_lang", lambda: R.token_stats_by_lang(sf_dir))
     return timings
 
 
@@ -241,8 +247,9 @@ def run_once() -> dict:
         "queries_sf1": sf1,
         "value_sf1": round(sum(sf1.values()), 4),
         "sf1_factor_vs_sf01": {
-            k: round(sf1[k] / heavy[k], 2)
-            for k in sf1 if k in heavy and heavy[k] > 0},
+            k: round(sf1[k] / {**timings, **heavy}[k], 2)
+            for k in sf1
+            if {**timings, **heavy}.get(k, 0) > 0},
         "sf": _sf_label(SF_DIR),
         "num_cpus": NUM_CPUS,
         "headline_rows": headline_rows,

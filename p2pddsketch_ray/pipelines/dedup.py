@@ -3039,3 +3039,201 @@ ORDER BY 1, 2
 
 
 OPH_MINHASH_SQL = _oph_minhash_sql()
+
+
+_WMH_P53 = 9007199254740881          # prime < 2^53: fpm * 1024 fits int64
+_WMH_CAP = 1024                      # per-token weight cap (expansion bound)
+
+
+def weighted_minhash_pairs(sf_dir: str, num_hashes: int = 64,
+                           max_doc_id: int = 24) -> pa.Table:
+    """WEIGHTED-JACCARD MinHash by integer-weight expansion (the
+    classic unweighted reduction, e.g. Gollapudi & Panigrahy CIKM'06
+    s3; cf. Ioffe ICML'10 s1 which it baselines): for integer weights,
+    J_w(A, B) = sum_t min(a_t, b_t) / sum_t max(a_t, b_t) equals the
+    PLAIN Jaccard of the expanded multisets {(t, 1..w_t)}, so ordinary
+    MinHash over expanded elements estimates weighted Jaccard with the
+    usual matches/num_hashes estimator.  Chosen over Ioffe's
+    consistent weighted sampling deliberately: ICWS draws continuous
+    gammas (exp/ln float math that cannot be replayed bit-exactly
+    across engines), while the expansion is pure integer hashing --
+    the whole register matrix replays in DuckDB.
+
+    Tokens are whitespace words weighted by their in-doc counts
+    (capped at 1024; both engines cap identically).  Element encoding:
+    fpm = md5_64(token) % P53, v = fpm * 1024 + copy_index (fits
+    int64 by the P53 choice), element hash = murmur64(v) == DuckDB
+    hash(v); registers are the multiply-add permutations shared with
+    minhash_signatures, replayed via the bbit HUGEINT formula.  The
+    EXACT capped weighted Jaccard rides the same row.
+
+    Verification-tier pair query (doc_id < max_doc_id); the scale
+    path is minhash_near_dups with this expansion slotted into its
+    signature stage (expansion factor = mean token multiplicity).
+    """
+    import pyarrow.dataset as pads
+
+    from ..hashing import md5_uint64, murmur64
+    from ..sketches.minhash import _perm_constants
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"],
+        filter=(pads.field("doc_id") < max_doc_id))
+    a_c, b_c = _perm_constants(num_hashes)
+
+    sig_empty = pa.table({
+        "doc_id": pa.array([], type=pa.int64()),
+        **{f"r{i}": pa.array([], type=pa.int64())
+           for i in range(num_hashes)},
+        "fpm": pa.array([], type=pa.list_(pa.int64())),
+        "c": pa.array([], type=pa.list_(pa.int64())),
+    })
+
+    def encode(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return sig_empty
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        n = t.num_rows
+        # per-doc (token, count): bounded tier, python split per doc
+        # is fine -- the md5 string tier is per-distinct-token anyway
+        fpm_lists, c_lists = [], []
+        elems, starts = [], []
+        pos = 0
+        for s in t["text"].to_pylist():
+            toks, cnts = np.unique(np.array(s.split(" "), dtype=object),
+                                   return_counts=True)
+            fp = md5_uint64(toks.tolist())
+            fpm = (fp % np.uint64(_WMH_P53)).astype(np.int64)
+            c = np.minimum(cnts.astype(np.int64), _WMH_CAP)
+            order = np.argsort(fpm)
+            fpm, c = fpm[order], c[order]
+            fpm_lists.append(fpm.tolist())
+            c_lists.append(c.tolist())
+            # expanded elements v = fpm * 1024 + copy
+            total = int(c.sum())
+            rank = (np.arange(total, dtype=np.int64)
+                    - np.repeat(np.cumsum(c) - c, c))
+            v = np.repeat(fpm, c) * np.int64(_WMH_CAP) + rank
+            elems.append(v)
+            starts.append(pos)
+            pos += total
+        hv = murmur64(np.concatenate(elems))
+        starts_a = np.array(starts, dtype=np.int64)
+        sig = np.empty((n, num_hashes), dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            for j in range(num_hashes):
+                g = hv * a_c[j] + b_c[j]
+                sig[:, j] = np.minimum.reduceat(g, starts_a)
+        return pa.table({
+            "doc_id": pa.array(ids),
+            **{f"r{i}": pa.array(sig[:, i].view(np.int64))
+               for i in range(num_hashes)},
+            "fpm": pa.array(fpm_lists, type=pa.list_(pa.int64())),
+            "c": pa.array(c_lists, type=pa.list_(pa.int64())),
+        })
+
+    rows = ds.map_batches(encode, batch_format="pyarrow",
+                          zero_copy_batch=True).take_all()
+    rows.sort(key=lambda r: r["doc_id"])        # bounded driver pull
+    n = len(rows)
+    ids = np.array([r["doc_id"] for r in rows], dtype=np.int64)
+    regs = np.array([[r[f"r{i}"] for i in range(num_hashes)]
+                     for r in rows], dtype=np.int64)
+
+    da, db, m_arr, est, wj = [], [], [], [], []
+    for i in range(n):
+        fa = np.asarray(rows[i]["fpm"], dtype=np.int64)
+        ca = np.asarray(rows[i]["c"], dtype=np.int64)
+        for j in range(i + 1, n):
+            fb = np.asarray(rows[j]["fpm"], dtype=np.int64)
+            cb = np.asarray(rows[j]["c"], dtype=np.int64)
+            m = int((regs[i] == regs[j]).sum())
+            # exact capped weighted Jaccard over the fpm union
+            common, ia, ib = np.intersect1d(fa, fb, assume_unique=True,
+                                            return_indices=True)
+            smin = int(np.minimum(ca[ia], cb[ib]).sum())
+            smax = int(ca.sum() + cb.sum()
+                       - np.minimum(ca[ia], cb[ib]).sum())
+            da.append(int(ids[i])); db.append(int(ids[j]))
+            m_arr.append(m)
+            est.append(m * 1_000_000 // num_hashes)
+            wj.append(smin * 1_000_000 // smax if smax else 0)
+    return pa.table({
+        "doc_a": pa.array(da, type=pa.int64()),
+        "doc_b": pa.array(db, type=pa.int64()),
+        "matches": pa.array(m_arr, type=pa.int64()),
+        "est_wjaccard_ppm": pa.array(est, type=pa.int64()),
+        "exact_wjaccard_ppm": pa.array(wj, type=pa.int64()),
+    })
+
+
+def _weighted_minhash_sql(num_hashes: int = 64,
+                          max_doc_id: int = 24) -> str:
+    from ..sketches.minhash import _perm_constants
+    a, b = _perm_constants(num_hashes)
+    rows = ", ".join(f"({i}, {int(x) >> 32}, {int(x) & 0xFFFFFFFF}, "
+                     f"{int(y)})"
+                     for i, (x, y) in enumerate(zip(a, b)))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, tok, CAST(least(count(*), {_WMH_CAP}) AS BIGINT) AS c
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        FROM documents WHERE doc_id < {max_doc_id})
+  GROUP BY 1, 2
+), fp AS (
+  SELECT doc_id, c,
+         CAST(('0x' || substr(md5(tok), 1, 16))::UBIGINT
+              % {_WMH_P53} AS BIGINT) AS fpm
+  FROM toks
+), elems AS (
+  SELECT fp.doc_id,
+         fp.fpm * {_WMH_CAP} + CAST(i.range AS BIGINT) AS v
+  FROM fp, range(0, {_WMH_CAP}) i WHERE i.range < fp.c
+), eh AS (
+  SELECT doc_id, CAST(hash(v) AS UBIGINT) AS hv FROM elems
+), perms(perm, a_hi, a_lo, b) AS (VALUES {rows}),
+g AS (
+  SELECT doc_id, perm,
+         ((hv * a_lo) % 18446744073709551616
+          + ((hv * a_hi) % 4294967296) * 4294967296
+          + b) % 18446744073709551616 AS pv
+  FROM eh CROSS JOIN perms
+), mins AS (
+  SELECT doc_id, perm, min(pv) AS reg FROM g GROUP BY 1, 2
+), pairs AS (
+  SELECT a.doc_id AS doc_a, c.doc_id AS doc_b,
+         CAST(sum(CASE WHEN a.reg = c.reg THEN 1 ELSE 0 END) AS BIGINT)
+           AS matches
+  FROM mins a JOIN mins c ON a.perm = c.perm AND a.doc_id < c.doc_id
+  GROUP BY 1, 2
+), pd AS (
+  SELECT DISTINCT a.doc_id AS da, c.doc_id AS db
+  FROM fp a, fp c WHERE a.doc_id < c.doc_id
+), u AS (
+  SELECT pd.da, pd.db, f.fpm FROM pd
+  JOIN fp f ON f.doc_id = pd.da OR f.doc_id = pd.db
+  GROUP BY 1, 2, 3
+), wj AS (
+  SELECT u.da, u.db,
+         CAST(sum(least(coalesce(fa.c, 0), coalesce(fb.c, 0)))
+              AS BIGINT) AS smin,
+         CAST(sum(greatest(coalesce(fa.c, 0), coalesce(fb.c, 0)))
+              AS BIGINT) AS smax
+  FROM u
+  LEFT JOIN fp fa ON fa.doc_id = u.da AND fa.fpm = u.fpm
+  LEFT JOIN fp fb ON fb.doc_id = u.db AND fb.fpm = u.fpm
+  GROUP BY 1, 2
+)
+SELECT p.doc_a, p.doc_b, p.matches,
+       p.matches * 1000000 // {num_hashes} AS est_wjaccard_ppm,
+       CASE WHEN wj.smax > 0
+            THEN wj.smin * 1000000 // wj.smax ELSE 0
+       END AS exact_wjaccard_ppm
+FROM pairs p
+JOIN wj ON wj.da = p.doc_a AND wj.db = p.doc_b
+ORDER BY 1, 2
+"""
+
+
+WEIGHTED_MINHASH_SQL = _weighted_minhash_sql()

@@ -717,3 +717,45 @@ def test_minhash_near_dups_oph_tier_finds_planted_dups(ray_session,
     import pytest
     with pytest.raises(ValueError):
         minhash_near_dups(ds, "doc_id", "text", signature_tier="nope")
+
+
+def test_weighted_minhash_matches_duckdb(ray_session):
+    import duckdb
+    from p2pddsketch_ray.pipelines.dedup import (WEIGHTED_MINHASH_SQL,
+                                                 weighted_minhash_pairs)
+    sf = "/root/testdata/sf0.001"
+    got = weighted_minhash_pairs(sf).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf}/documents.parquet')")
+    want = con.execute(WEIGHTED_MINHASH_SQL).df()
+    assert len(got) == len(want)
+    for c in got.columns:
+        assert (got[c].to_numpy()
+                == want[c].to_numpy().astype(got[c].dtype)).all(), c
+
+
+def test_weighted_minhash_estimator_semantics():
+    """Identical docs estimate 1.0; the expansion reduction is exact:
+    a doc vs itself-with-doubled-counts has weighted Jaccard 1/2."""
+    import pyarrow.parquet as pq
+    import tempfile, os
+    from p2pddsketch_ray.pipelines.dedup import weighted_minhash_pairs
+    with tempfile.TemporaryDirectory() as d:
+        text = "alpha beta beta gamma gamma gamma"
+        double = "alpha alpha beta beta beta beta " \
+                 "gamma gamma gamma gamma gamma gamma"
+        pq.write_table(pa.table({
+            "doc_id": pa.array([0, 1, 2], type=pa.int64()),
+            "text": pa.array([text, text, double]),
+        }), os.path.join(d, "documents.parquet"))
+        out = weighted_minhash_pairs(d, num_hashes=256).to_pandas()
+        by_pair = {(r.doc_a, r.doc_b): r for r in out.itertuples()}
+        # identical docs: every register matches, exact wj = 1
+        assert by_pair[(0, 1)].matches == 256
+        assert by_pair[(0, 1)].exact_wjaccard_ppm == 1_000_000
+        # doubled counts: exact weighted Jaccard = 6/12 = 0.5, and the
+        # 256-register estimate lands near it
+        assert by_pair[(0, 2)].exact_wjaccard_ppm == 500_000
+        est = by_pair[(0, 2)].est_wjaccard_ppm
+        assert 350_000 <= est <= 650_000, est
