@@ -542,7 +542,8 @@ from p2pddsketch_ray.pipelines.approx import (  # noqa: E402
     HYPERMINHASH_SQL as _HYPERMINHASH_SQL)
 from p2pddsketch_ray.pipelines.sliding import (  # noqa: E402
     DGIM_SLIDING_SQL as _DGIM_SLIDING_SQL,
-    DGIM_BY_TYPE_SQL as _DGIM_BY_TYPE_SQL)
+    DGIM_BY_TYPE_SQL as _DGIM_BY_TYPE_SQL,
+    CMS_BY_TYPE_SQL as _CMS_BY_TYPE_SQL)
 from p2pddsketch_ray.pipelines.approx import (  # noqa: E402
     PRIORITY_SAMPLE_BY_SEG_SQL as _PRIORITY_SAMPLE_BY_SEG_SQL)
 from p2pddsketch_ray.pipelines.dedup import (  # noqa: E402
@@ -1000,6 +1001,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # sliding-window COUNT-MIN: linear sketch, so the window merge
         # is a prefix-sum difference; only probed cell series shuffle
         "cms_sliding_user_est": _cms_sliding_user_est,
+        # grouped sliding CMS: one cell series per event type, per-type
+        # top-k probes and per-type hour anchors (linear-sketch member
+        # of the window x sketch x group matrix)
+        "cms_sliding_by_type": _cms_sliding_by_type,
         # distributed as-of join (vectorized rank-composite kernel over
         # coarse hash co-partitions; oracle = DuckDB ASOF JOIN)
         "events_asof_orders": _events_asof_orders,
@@ -1905,6 +1910,12 @@ def _hll_sliding_users(sf_dir: str):
 def _cms_sliding_user_est(sf_dir: str):
     from p2pddsketch_ray.pipelines.sliding import cms_sliding_user_est
     return cms_sliding_user_est(sf_dir)
+
+
+def _cms_sliding_by_type(sf_dir: str):
+    from p2pddsketch_ray.pipelines.sliding import (
+        cms_sliding_user_est_by_type)
+    return cms_sliding_user_est_by_type(sf_dir)
 
 
 def _sliding_anomaly_counts(sf_dir: str):
@@ -3716,6 +3727,7 @@ ORDER BY 1, 2""",
         "hyperminhash_type_jaccard": _HYPERMINHASH_SQL,
         "dgim_sliding_count": _DGIM_SLIDING_SQL,
         "dgim_sliding_count_by_type": _DGIM_BY_TYPE_SQL,
+        "cms_sliding_by_type": _CMS_BY_TYPE_SQL,
         "priority_sample_by_segment": _PRIORITY_SAMPLE_BY_SEG_SQL,
         "weighted_minhash_pairs": _WEIGHTED_MINHASH_SQL,
         "bmp_decode_stats": _BMP_DECODE_SQL,

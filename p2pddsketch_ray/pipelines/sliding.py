@@ -1196,3 +1196,251 @@ ORDER BY 1
 
 
 DGIM_SLIDING_SQL = _dgim_sliding_sql()
+
+
+def cms_sliding_user_est_by_type(sf_dir: str, *, window_hours: int = 24,
+                                 width: int = 1024, depth: int = 4,
+                                 topk: int = 5) -> pa.Table:
+    """Grouped sliding COUNT-MIN: one independent CMS cell series PER
+    event_type, probing each type's own exact top-``topk`` users over
+    that type's trailing-``window_hours`` window -- the linear-sketch
+    member of the window x sketch x group matrix
+    (sliding_window_quantiles_by_type / hll_sliding_users_by_type /
+    dgim_sliding_count_by_type are the quantile / register-max /
+    bucket-state members).
+
+    Same dataflow as cms_sliding_user_est with a type dimension folded
+    into the composite cell id (ty * depth*width + d*width + cell):
+    the stateless map emits only probed-cell partials, the hour
+    co-partition merge leaves O(hours x types x depth x topk) rows,
+    and the driver walks one prefix-sum matrix per type over that
+    type's own hour span (per-type stream-end anchors, mirroring the
+    grouped DGIM).  Probe sets come from one exact distributed census
+    with a per-type block top-k prereduce.
+    """
+    from ray.data.aggregate import Sum
+
+    from ..hashing import murmur64
+    from ..sketches.countmin import DEFAULT_SEEDS
+    from ..stages.partition import fit_partitions, partition_by
+
+    seeds = DEFAULT_SEEDS[:depth]
+    dw = depth * width
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["ts", "user_id", "event_type"])
+
+    def user_partial(t: pa.Table) -> pa.Table:
+        g = pa.table({"ty": t["event_type"], "u": t["user_id"]}) \
+            .group_by(["ty", "u"]).aggregate([([], "count_all")])
+        return pa.table({"ty": g["ty"], "u": g["u"],
+                         "n": pc.cast(g["count_all"], pa.int64())})
+
+    def local_top(t: pa.Table) -> pa.Table:
+        # per-type block top-k prereduce (run-rank arithmetic)
+        ty = t["ty"].combine_chunks().dictionary_encode()
+        codes = ty.indices.to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        u = t["u"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((u, -n, codes))
+        c_s = codes[order]
+        new_run = np.ones(c_s.size, dtype=bool)
+        new_run[1:] = c_s[1:] != c_s[:-1]
+        starts = np.nonzero(new_run)[0]
+        rlen = np.diff(np.append(starts, c_s.size))
+        rank = np.arange(c_s.size) - np.repeat(starts, rlen)
+        keep = order[rank < topk]
+        return pa.table({"ty": t["ty"].take(pa.array(keep)),
+                         "u": pa.array(u[keep]),
+                         "n": pa.array(n[keep])})
+
+    census = (events.map_batches(user_partial, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+              .groupby(["ty", "u"]).aggregate(Sum("n", alias_name="n"))
+              .map_batches(local_top, batch_format="pyarrow")
+              .to_pandas())
+    types = sorted(census["ty"].unique())
+    tcode = {ty: i for i, ty in enumerate(types)}
+
+    probe_users: dict = {}
+    comp_cells = []
+    user_col: dict = {}
+    for ty in types:
+        g = census[census["ty"] == ty]
+        uid = g["u"].to_numpy(dtype=np.int64)
+        n = g["n"].to_numpy(dtype=np.int64)
+        order = np.lexsort((uid, -n))[:topk]
+        pu = np.sort(uid[order])
+        probe_users[ty] = pu
+        ucol = np.empty((pu.shape[0], depth), dtype=np.int64)
+        cells = []
+        for d, seed in enumerate(seeds):
+            cell = (murmur64(pu ^ np.int64(seed))
+                    % np.uint64(width)).astype(np.int64)
+            ucol[:, d] = tcode[ty] * dw + d * width + cell
+            cells.append(tcode[ty] * dw + d * width + np.unique(cell))
+        user_col[ty] = ucol
+        comp_cells.append(np.concatenate(cells))
+    dcells = np.unique(np.concatenate(comp_cells))
+    ty_arr = pa.array(types)
+    lut_ref = ray.put((dcells, np.asarray(seeds, dtype=np.int64)))
+
+    sp_empty = pa.table({"hour": pa.array([], type=pa.int64()),
+                         "comp": pa.array([], type=pa.int64()),
+                         "c": pa.array([], type=pa.int64())})
+
+    def partials(t: pa.Table) -> pa.Table:
+        dc_lut, sds = ray.get(lut_ref)
+        us = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        hour = us // 3_600_000_000
+        u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        tc = pc.fill_null(pc.index_in(t["event_type"],
+                                      value_set=ty_arr), -1).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        hs, cs = [], []
+        for d, seed in enumerate(sds):
+            comp = tc * dw + d * width + (
+                murmur64(u ^ np.int64(seed))
+                % np.uint64(width)).astype(np.int64)
+            pos = np.minimum(np.searchsorted(dc_lut, comp),
+                             dc_lut.shape[0] - 1)
+            hit = (dc_lut[pos] == comp) & (tc >= 0)
+            hs.append(hour[hit])
+            cs.append(comp[hit])
+        h = np.concatenate(hs)
+        c = np.concatenate(cs)
+        if h.size == 0:
+            return sp_empty
+        key = h * np.int64(len(types) * dw) + c
+        uk, cnts = np.unique(key, return_counts=True)
+        return pa.table({
+            "hour": pa.array(uk // (len(types) * dw)),
+            "comp": pa.array(uk % (len(types) * dw)),
+            "c": pa.array(cnts.astype(np.int64)),
+        })
+
+    def merge_cells(t: pa.Table) -> pa.Table:
+        h = t["hour"].to_numpy(zero_copy_only=False)
+        comp = t["comp"].to_numpy(zero_copy_only=False)
+        c = t["c"].to_numpy(zero_copy_only=False)
+        key = h * np.int64(len(types) * dw) + comp
+        order = np.argsort(key, kind="stable")
+        key, c = key[order], c[order]
+        starts = np.flatnonzero(np.concatenate(
+            ([True], key[1:] != key[:-1])))
+        key = key[starts]
+        return pa.table({
+            "hour": pa.array(key // (len(types) * dw)),
+            "comp": pa.array(key % (len(types) * dw)),
+            "c": pa.array(np.add.reduceat(c, starts)),
+        })
+
+    # per-type hour spans (stream-end anchors per group): one tiny agg
+    from ray.data.aggregate import Max, Min
+
+    def hour_partial(t: pa.Table) -> pa.Table:
+        us = pc.cast(t["ts"], pa.int64())
+        return pa.table({"ty": t["event_type"],
+                         "hr": pc.divide(us, pa.scalar(3_600_000_000))})
+
+    spans = (events.map_batches(hour_partial, batch_format="pyarrow",
+                                zero_copy_batch=True)
+             .groupby("ty").aggregate(Min("hr", alias_name="mn"),
+                                      Max("hr", alias_name="mx"))
+             .take_all())
+    span_of = {r["ty"]: (int(r["mn"]), int(r["mx"])) for r in spans}
+
+    sparse = partition_by(
+        events.map_batches(partials, batch_format="pyarrow",
+                           zero_copy_batch=True),
+        ["hour"], fit_partitions(16), merge_cells, sp_empty
+    ).to_pandas()
+    hrs = sparse["hour"].to_numpy(dtype=np.int64)
+    comp = sparse["comp"].to_numpy(dtype=np.int64)
+    cnt = sparse["c"].to_numpy(dtype=np.int64)
+
+    out_ty, out_ws, out_u, out_e = [], [], [], []
+    for ty in types:
+        mn, mx = span_of[ty]
+        span = mx - mn + 1
+        sel = (comp // dw) == tcode[ty]
+        # this type's cell columns within the global dcell list
+        my_cells = dcells[(dcells // dw) == tcode[ty]]
+        mat = np.zeros((span, my_cells.shape[0]), dtype=np.int64)
+        h_in = np.clip(hrs[sel] - mn, 0, span - 1)
+        mat[h_in, np.searchsorted(my_cells, comp[sel])] = cnt[sel]
+        cum = np.cumsum(mat, axis=0)
+        win = cum.copy()
+        if span > window_hours:
+            win[window_hours:] -= cum[:-window_hours]
+        ucols = np.searchsorted(my_cells, user_col[ty])
+        ests = win[:, ucols].min(axis=2)           # span x users
+        pu = probe_users[ty]
+        out_ty.extend([ty] * span * pu.shape[0])
+        out_ws.extend((np.repeat(np.arange(mn, mx + 1, dtype=np.int64),
+                                 pu.shape[0]) * 3600).tolist())
+        out_u.extend(np.tile(pu, span).tolist())
+        out_e.extend(ests.reshape(-1).tolist())
+    return pa.table({
+        "event_type": pa.array(out_ty, type=pa.string()),
+        "window_start": pa.array(out_ws, type=pa.int64()),
+        "user_id": pa.array(out_u, type=pa.int64()),
+        "est_count": pa.array(out_e, type=pa.int64()),
+    })
+
+
+def _cms_by_type_sql(window_hours: int = 24, width: int = 1024,
+                     depth: int = 4, topk: int = 5) -> str:
+    """Grouped DuckDB replica: the cms_sliding_user_est twin with every
+    stage partitioned by event_type and per-type hour anchors."""
+    from ..sketches.countmin import DEFAULT_SEEDS
+    seeds = ", ".join(f"({d}, {s})"
+                      for d, s in enumerate(DEFAULT_SEEDS[:depth]))
+    return f"""
+WITH seeds(d, s) AS (VALUES {seeds}),
+tu AS (SELECT ty, u FROM (
+         SELECT event_type AS ty, CAST(user_id AS BIGINT) AS u,
+                row_number() OVER (PARTITION BY event_type
+                                   ORDER BY count(*) DESC, user_id)
+                  AS rn
+         FROM events GROUP BY event_type, user_id)
+       WHERE rn <= {topk}),
+pcell AS (SELECT DISTINCT tu.ty, s.d,
+                 hash(xor(tu.u, CAST(s.s AS BIGINT))) % {width} AS cell
+          FROM tu CROSS JOIN seeds s),
+hourly AS (SELECT event_type AS ty,
+                  CAST(epoch_us(ts) AS BIGINT)//3600000000 AS hr, s.d,
+                  hash(xor(CAST(user_id AS BIGINT),
+                           CAST(s.s AS BIGINT))) % {width} AS cell,
+                  CAST(count(*) AS BIGINT) AS c
+           FROM events CROSS JOIN seeds s GROUP BY 1, 2, 3, 4),
+bounds AS (SELECT event_type AS ty,
+                  min(CAST(epoch_us(ts) AS BIGINT)//3600000000) AS mn,
+                  max(CAST(epoch_us(ts) AS BIGINT)//3600000000) AS mx
+           FROM events GROUP BY 1),
+nums AS (SELECT CAST(range AS BIGINT) AS i FROM range(0, 1048576)),
+hrs AS (SELECT b.ty, b.mn + i AS hr FROM bounds b
+        JOIN nums ON i <= b.mx - b.mn),
+series AS (SELECT h2.ty, h2.hr, p.d, p.cell, COALESCE(hh.c, 0) AS c
+           FROM hrs h2 JOIN pcell p ON p.ty = h2.ty
+           LEFT JOIN hourly hh ON hh.ty = h2.ty AND hh.hr = h2.hr
+                              AND hh.d = p.d AND hh.cell = p.cell),
+w AS (SELECT ty, hr, d, cell,
+             CAST(sum(c) OVER (PARTITION BY ty, d, cell ORDER BY hr
+                  ROWS BETWEEN {window_hours - 1} PRECEDING
+                  AND CURRENT ROW) AS BIGINT) AS wc
+      FROM series),
+est AS (SELECT w.ty, w.hr, tu.u, min(w.wc) AS est_count
+        FROM tu CROSS JOIN seeds s
+        JOIN w ON w.ty = tu.ty AND w.d = s.d
+              AND w.cell = hash(xor(tu.u, CAST(s.s AS BIGINT)))
+                           % {width}
+        GROUP BY 1, 2, 3)
+SELECT ty AS event_type, CAST(hr * 3600 AS BIGINT) AS window_start,
+       u AS user_id, CAST(est_count AS BIGINT) AS est_count
+FROM est ORDER BY 1, 2, 3
+"""
+
+
+CMS_BY_TYPE_SQL = _cms_by_type_sql()

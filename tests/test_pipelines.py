@@ -4990,3 +4990,23 @@ def test_dgim_by_type_matches_duckdb(ray_session):
         assert got[c].tolist() == want[c].astype("int64").tolist(), c
     # per-type state stays logarithmic
     assert (got["n_buckets"] <= 64).all()
+
+
+def test_cms_sliding_by_type_matches_duckdb(ray_session):
+    import duckdb
+    from p2pddsketch_ray.pipelines.sliding import (
+        CMS_BY_TYPE_SQL, cms_sliding_user_est_by_type)
+    sf = "/root/testdata/sf0.001"
+    got = (cms_sliding_user_est_by_type(sf).to_pandas()
+           .sort_values(["event_type", "window_start", "user_id"],
+                        ignore_index=True))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{sf}/events.parquet')")
+    want = con.execute(CMS_BY_TYPE_SQL).df()
+    assert len(got) == len(want)
+    for c in got.columns:
+        assert (got[c].to_numpy() == want[c].to_numpy()).all(), c
+    # CMS one-sided error: estimates never undercount -- each type's
+    # top user appears at least once with a positive windowed count
+    assert (got.groupby("event_type")["est_count"].max() > 0).all()
