@@ -1284,3 +1284,43 @@ def test_scd2_snapshot_matches_duckdb_and_counts_users(ray_session):
     n_users = con.execute(
         "SELECT count(DISTINCT user_id) FROM events").fetchone()[0]
     assert 0 < got["n_users"].sum() <= n_users
+
+
+def test_events_asof_lag_total_beyond_int64(ray_session, tmp_path):
+    """The two-limb lag representation must stay exact when the TOTAL
+    microsecond lag exceeds 2^63 (the sf1-caught overflow class): three
+    events each ~4.6e18 us after their order sum to ~1.4e19 us, which
+    no single int64 can hold."""
+    import pyarrow.parquet as pq
+
+    from p2pddsketch_ray.pipelines.temporal import events_asof_orders
+
+    lag_us = 4_600_000_000_000_000_000          # ~145,000 years in us
+    order_ts = 1_000_000
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([1], type=pa.int64()),
+        "o_custkey": pa.array([7], type=pa.int64()),
+        "o_orderstatus": pa.array(["O"]),
+        "o_totalprice": pa.array([100.0]),
+        "o_orderdate": pa.array([order_ts], type=pa.int64()).cast(
+            pa.timestamp("us")),
+        "o_orderpriority": pa.array(["1-URGENT"]),
+    }), str(tmp_path / "orders.parquet"))
+    pq.write_table(pa.table({
+        "event_id": pa.array([1, 2, 3], type=pa.int64()),
+        "ts": pa.array([order_ts + lag_us] * 3,
+                       type=pa.int64()).cast(pa.timestamp("us")),
+        "user_id": pa.array([7, 7, 7], type=pa.int64()),
+        "event_type": pa.array(["click"] * 3),
+        "value": pa.array([0.0] * 3),
+        "props": pa.array([""] * 3),
+    }), str(tmp_path / "events.parquet"))
+
+    out = events_asof_orders(str(tmp_path)).to_pandas()
+    assert len(out) == 1
+    total = 3 * lag_us                           # 1.38e19 > 2^63
+    assert total > 2 ** 63
+    got = (int(out["sum_lag_s"][0]) * 1_000_000
+           + int(out["lag_rem_us"][0]))
+    assert got == total
+    assert int(out["n"][0]) == 3
