@@ -545,7 +545,8 @@ from p2pddsketch_ray.pipelines.sliding import (  # noqa: E402
     DGIM_BY_TYPE_SQL as _DGIM_BY_TYPE_SQL,
     CMS_BY_TYPE_SQL as _CMS_BY_TYPE_SQL)
 from p2pddsketch_ray.pipelines.approx import (  # noqa: E402
-    PRIORITY_SAMPLE_BY_SEG_SQL as _PRIORITY_SAMPLE_BY_SEG_SQL)
+    PRIORITY_SAMPLE_BY_SEG_SQL as _PRIORITY_SAMPLE_BY_SEG_SQL,
+    CMM_USER_COUNTS_SQL as _CMM_USER_COUNTS_SQL)
 from p2pddsketch_ray.pipelines.dedup import (  # noqa: E402
     WEIGHTED_MINHASH_SQL as _WEIGHTED_MINHASH_SQL)
 from p2pddsketch_ray.stages.multimodal import (  # noqa: E402
@@ -834,6 +835,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # HLL inclusion-exclusion audience overlap of two types
         "hll_type_overlap": A.hll_type_overlap,
         "cms_user_counts": A.cms_user_counts,
+        # count-mean-min (Deng-Rafiei): noise-debiased median-row CMS
+        # estimator from the same mergeable sketch, integer-exact
+        "cmm_user_counts": _cmm_user_counts,
         # count-SKETCH: signed cells, unbiased exact-median estimator
         "countsketch_user_freq": A.countsketch_user_freq,
         # sketch-shortlist + exact-confirm heavy hitters (the Charikar
@@ -1858,6 +1862,11 @@ def _dgim_sliding_count_by_type(sf_dir: str):
     from p2pddsketch_ray.pipelines.sliding import (
         dgim_sliding_count_by_type)
     return dgim_sliding_count_by_type(sf_dir)
+
+
+def _cmm_user_counts(sf_dir: str):
+    from p2pddsketch_ray.pipelines.approx import cmm_user_counts
+    return cmm_user_counts(sf_dir)
 
 
 def _priority_sample_by_segment(sf_dir: str):
@@ -3728,6 +3737,7 @@ ORDER BY 1, 2""",
         "dgim_sliding_count": _DGIM_SLIDING_SQL,
         "dgim_sliding_count_by_type": _DGIM_BY_TYPE_SQL,
         "cms_sliding_by_type": _CMS_BY_TYPE_SQL,
+        "cmm_user_counts": _CMM_USER_COUNTS_SQL,
         "priority_sample_by_segment": _PRIORITY_SAMPLE_BY_SEG_SQL,
         "weighted_minhash_pairs": _WEIGHTED_MINHASH_SQL,
         "bmp_decode_stats": _BMP_DECODE_SQL,

@@ -2306,3 +2306,122 @@ ORDER BY 1, 2
 
 
 HYPERMINHASH_SQL = _hyperminhash_sql()
+
+
+def cmm_user_counts(sf_dir: str, width: int = 2048, depth: int = 4,
+                    topk: int = 20) -> pa.Table:
+    """COUNT-MEAN-MIN (Deng & Rafiei, SIGMOD 2007): debias each
+    count-min row by its expected collision noise (N - cell)/(w - 1)
+    and take the median of the row estimates -- an (almost) unbiased
+    frequency estimator from the SAME mergeable CMS whose plain min
+    is a one-sided upper bound.  Pure deterministic post-processing of
+    the sketch state, so unlike conservative-update variants (whose
+    cell values depend on arrival order) it stays merge-order-
+    invariant and hash-replayable.
+
+    Integer contract: row estimates in milli-units (cell * 1000 -
+    (N - cell) * 1000 // (w - 1), exact in int64), median = the LOWER
+    median (row_number 2 of the depth=4 sorted row estimates,
+    tie-broken by row index -- both engines pick the identical cell).
+    Reported for the exact top-``topk`` users: exact count, the
+    count-min upper bound, and the count-mean-min milli estimate.
+
+    Scale shape: the CMS build is the standard mergeable-accumulator
+    tree (depth x width int64 cells ride the merge); the exact census
+    is the distributed top-k prereduce; the driver folds one sketch +
+    topk rows.
+    """
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", ["user_id"])
+    cms = cms_build(ds, "user_id", width=width, depth=depth)
+    N = cms.n
+
+    def user_partial(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        uk, cnts = np.unique(uid, return_counts=True)
+        return pa.table({"user_id": pa.array(uk),
+                         "n": pa.array(cnts.astype(np.int64))})
+
+    def local_top(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        n = t["n"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((uid, -n))[:topk]
+        return pa.table({"user_id": pa.array(uid[order]),
+                         "n": pa.array(n[order])})
+
+    census = (ds.map_batches(user_partial, batch_format="pyarrow",
+                             zero_copy_batch=True)
+              .groupby("user_id").aggregate(Sum("n", alias_name="n"))
+              .map_batches(local_top, batch_format="pyarrow")
+              .to_pandas())
+    uid = census["user_id"].to_numpy(dtype=np.int64)
+    n = census["n"].to_numpy(dtype=np.int64)
+    order = np.lexsort((uid, -n))[:topk]
+    probes, exact = uid[order], n[order]
+    o2 = np.argsort(probes)
+    probes, exact = probes[o2], exact[o2]
+
+    cells = np.empty((probes.shape[0], depth), dtype=np.int64)
+    for d in range(depth):
+        cells[:, d] = cms.table[d][cms._cells(probes, d)]
+    cm = cells.min(axis=1)
+    row_est = cells * 1000 - (N - cells) * 1000 // (width - 1)
+    # lower median with row-index tie-break (depth=4 -> 2nd smallest):
+    # combined key (est * depth + d) orders by (est, d) lexicographic
+    d_idx = np.broadcast_to(np.arange(depth), row_est.shape)
+    pick = (depth - 1) // 2
+    cmm = np.take_along_axis(
+        row_est, np.argsort(row_est * depth + d_idx, axis=1),
+        axis=1)[:, pick]
+    return pa.table({
+        "user_id": pa.array(probes),
+        "exact_count": pa.array(exact),
+        "cm_est": pa.array(cm),
+        "cmm_est_milli": pa.array(cmm),
+    })
+
+
+def _cmm_user_counts_sql(width: int = 2048, depth: int = 4,
+                         topk: int = 20) -> str:
+    from ..sketches.countmin import DEFAULT_SEEDS
+    seeds = ", ".join(f"({d}, {s})"
+                      for d, s in enumerate(DEFAULT_SEEDS[:depth]))
+    return f"""
+WITH counts AS (
+  SELECT CAST(user_id AS BIGINT) AS k, CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1
+), tu AS (
+  SELECT k, c FROM counts ORDER BY c DESC, k LIMIT {topk}
+), seeds(d, s) AS (VALUES {seeds}),
+cells AS (
+  SELECT s.d, hash(xor(counts.k, CAST(s.s AS BIGINT))) % {width}
+           AS cell,
+         CAST(sum(counts.c) AS BIGINT) AS tot
+  FROM counts CROSS JOIN seeds s GROUP BY 1, 2
+), nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM events),
+probes AS (
+  SELECT tu.k, tu.c, s.d, cells.tot
+  FROM tu CROSS JOIN seeds s
+  JOIN cells ON cells.d = s.d
+            AND cells.cell = hash(xor(tu.k, CAST(s.s AS BIGINT)))
+                             % {width}
+), ests AS (
+  SELECT k, c, d, tot,
+         tot * 1000 - (nn.n - tot) * 1000 // ({width} - 1) AS row_est
+  FROM probes, nn
+), ranked AS (
+  SELECT k, c, tot, row_est,
+         row_number() OVER (PARTITION BY k ORDER BY row_est, d) AS rn
+  FROM ests
+)
+SELECT k AS user_id, any_value(c) AS exact_count,
+       CAST(min(tot) AS BIGINT) AS cm_est,
+       CAST(min(CASE WHEN rn = {(depth - 1) // 2 + 1} THEN row_est
+                END) AS BIGINT) AS cmm_est_milli
+FROM ranked GROUP BY 1 ORDER BY 1
+"""
+
+
+CMM_USER_COUNTS_SQL = _cmm_user_counts_sql()

@@ -882,3 +882,22 @@ def test_bloom_partition_pruning_audit(ray_session, tmp_path):
     assert t["false_partition_hits"][0] >= 0
     assert t["rows_found"][0] == t["n_probes"][0]
     assert 1 <= t["max_claims_one_probe"][0] <= t["n_partitions"][0]
+
+
+def test_cmm_user_counts_matches_duckdb(ray_session):
+    import duckdb
+    from p2pddsketch_ray.pipelines.approx import (CMM_USER_COUNTS_SQL,
+                                                  cmm_user_counts)
+    sf = "/root/testdata/sf0.001"
+    got = cmm_user_counts(sf).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{sf}/events.parquet')")
+    want = con.execute(CMM_USER_COUNTS_SQL).df()
+    assert len(got) == len(want)
+    for c in got.columns:
+        assert (got[c].to_numpy()
+                == want[c].to_numpy().astype("int64")).all(), c
+    # count-min never undercounts; count-mean-min debiases downward
+    assert (got["cm_est"] >= got["exact_count"]).all()
+    assert (got["cmm_est_milli"] <= got["cm_est"] * 1000).all()
