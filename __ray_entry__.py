@@ -1005,6 +1005,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # sliding-window COUNT-MIN: linear sketch, so the window merge
         # is a prefix-sum difference; only probed cell series shuffle
         "cms_sliding_user_est": _cms_sliding_user_est,
+        # half-life-decayed DDSketch quantiles: exact power-of-two
+        # decay weights (time-decay member of the window x sketch
+        # matrix), weighted rank walk bit-replayed in SQL
+        "dds_decayed_value": _dds_decayed_value,
         # grouped sliding CMS: one cell series per event type, per-type
         # top-k probes and per-type hour anchors (linear-sketch member
         # of the window x sketch x group matrix)
@@ -1919,6 +1923,11 @@ def _hll_sliding_users(sf_dir: str):
 def _cms_sliding_user_est(sf_dir: str):
     from p2pddsketch_ray.pipelines.sliding import cms_sliding_user_est
     return cms_sliding_user_est(sf_dir)
+
+
+def _dds_decayed_value(sf_dir: str):
+    from p2pddsketch_ray.pipelines.sliding import dds_decayed_value
+    return dds_decayed_value(sf_dir)
 
 
 def _cms_sliding_by_type(sf_dir: str):
@@ -3738,6 +3747,37 @@ ORDER BY 1, 2""",
         "dgim_sliding_count_by_type": _DGIM_BY_TYPE_SQL,
         "cms_sliding_by_type": _CMS_BY_TYPE_SQL,
         "cmm_user_counts": _CMM_USER_COUNTS_SQL,
+        "dds_decayed_value": f"""
+WITH mx AS (
+  SELECT max(CAST(epoch_us(ts) AS BIGINT) // 3600000000) AS m
+  FROM events
+), src AS (
+  SELECT CAST(value AS DOUBLE) AS x,
+         CAST(CASE WHEN (mx.m - CAST(epoch_us(ts) AS BIGINT)
+                         // 3600000000) // 12 <= 20
+                   THEN 1::BIGINT << CAST(20 - (mx.m
+                        - CAST(epoch_us(ts) AS BIGINT) // 3600000000)
+                        // 12 AS INT)
+                   ELSE 0 END AS DOUBLE) AS w
+  FROM events, mx WHERE value IS NOT NULL
+), keyed AS (
+  SELECT CASE WHEN x > 0 THEN CAST(ceil(ln(x)/ln({GAMMA_SQL})) AS BIGINT) + {OFFSET}
+              WHEN x < 0 THEN -CAST(ceil(ln(-x)/ln({GAMMA_SQL})) AS BIGINT) - {OFFSET}
+              ELSE 0 END AS k, w FROM src
+), bins AS (SELECT k, sum(w) AS c FROM keyed GROUP BY k),
+tot AS (SELECT sum(c) AS n FROM bins),
+walk AS (SELECT k, sum(c) OVER (ORDER BY k) AS cum FROM bins),
+qs(q) AS (VALUES (0.5), (0.9), (0.99)),
+pick AS (SELECT qs.q AS q, min(walk.k) AS bucket_key
+         FROM qs CROSS JOIN walk CROSS JOIN tot
+         WHERE walk.cum > qs.q * (tot.n - 1) GROUP BY qs.q)
+SELECT q, bucket_key,
+       round(CASE WHEN bucket_key > 0
+                  THEN 2*pow({GAMMA_SQL}, bucket_key - {OFFSET})/({GAMMA_SQL}+1)
+                  WHEN bucket_key < 0
+                  THEN -2*pow({GAMMA_SQL}, -bucket_key - {OFFSET})/({GAMMA_SQL}+1)
+                  ELSE 0.0 END, 6) AS est
+FROM pick""",
         "priority_sample_by_segment": _PRIORITY_SAMPLE_BY_SEG_SQL,
         "weighted_minhash_pairs": _WEIGHTED_MINHASH_SQL,
         "bmp_decode_stats": _BMP_DECODE_SQL,

@@ -230,9 +230,16 @@ def run_once() -> dict:
     timings, headline_rows = run_suite(SF_DIR)
     heavy = run_heavy_suite(SF_DIR)
     tpch = run_tpch_suite(SF_DIR)
-    # sf1 regime tier: skippable via env for quick local iteration
-    sf1 = ({} if os.environ.get("GRAFT_SKIP_SF1") == "1"
-           else run_sf1_suite())
+    # sf1 regime tier: skippable via env for quick local iteration;
+    # never allowed to break the headline JSON line (generation is
+    # cached under /tmp, ~35 s cold, ~0 s warm)
+    sf1: dict[str, float] = {}
+    if os.environ.get("GRAFT_SKIP_SF1") != "1":
+        try:
+            sf1 = run_sf1_suite()
+        except Exception as exc:              # pragma: no cover
+            sf1 = {"_error": 0.0}
+            print(f"sf1 tier skipped: {exc!r}", file=sys.stderr)
     total = round(sum(timings.values()), 4)
     result = {
         "metric": "headline pipeline suite wall-clock (DDSketch build/merge/"

@@ -1444,3 +1444,57 @@ FROM est ORDER BY 1, 2, 3
 
 
 CMS_BY_TYPE_SQL = _cms_by_type_sql()
+
+
+def dds_decayed_value(sf_dir: str, *, halflife_hours: int = 12,
+                      kcap: int = 20,
+                      quantiles: Sequence[float] = (0.5, 0.9, 0.99),
+                      alpha: float = PRACTICAL_ALPHA,
+                      bin_limit: int = DEFAULT_BIN_LIMIT) -> pa.Table:
+    """HALF-LIFE-DECAYED DDSketch quantiles: the time-decay member of
+    the window x sketch matrix -- recent events dominate, each event's
+    weight halving every ``halflife_hours`` of age relative to the
+    stream end.  The power-of-two half-life makes the decay EXACT in
+    integers: age k half-lives => weight 2^(kcap - k) (0 beyond kcap,
+    a deterministic cutoff both engines apply), so the weighted bucket
+    counts, the rank rule cum > q * (W - 1), and the picked bucket
+    keys hash-match the DuckDB replica bit-for-bit -- no float decay
+    drift, unlike exp(-lambda * age) weighting.
+
+    Composition, not new machinery: one tiny max-hour aggregate, a
+    stateless weight map, then the standard weighted DDSketch build
+    (per-block partials, distributed tree merge -- kilobyte sketch
+    rows are the only exchange).  Weight sums stay exact in float64's
+    integer range for N * 2^kcap < 2^53 (10^12 rows at kcap=20 needs
+    the limb treatment documented in BASELINE.md).
+    """
+    from ray.data.aggregate import Max
+
+    from .quantiles import dds_quantiles_global
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["ts", "value"])
+
+    def hr_col(t: pa.Table) -> pa.Table:
+        us = pc.cast(t["ts"], pa.int64())
+        return pa.table({"hr": pc.divide(us, pa.scalar(3_600_000_000))})
+
+    mx = ev.map_batches(hr_col, batch_format="pyarrow",
+                        zero_copy_batch=True).aggregate(
+        Max("hr", alias_name="m"))
+    hr_max = int(mx["m"])
+
+    def weighted(t: pa.Table) -> pa.Table:
+        us = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        k = (hr_max - us // 3_600_000_000) // halflife_hours
+        w = np.where(k <= kcap,
+                     np.int64(1) << np.minimum(np.maximum(kcap - k, 0),
+                                               np.int64(62)),
+                     np.int64(0)).astype(np.float64)
+        return pa.table({"value": t["value"], "w": pa.array(w)})
+
+    return dds_quantiles_global(
+        ev.map_batches(weighted, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        "value", quantiles, weight_col="w", alpha=alpha,
+        bin_limit=bin_limit, round_digits=6)

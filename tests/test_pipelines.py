@@ -5010,3 +5010,45 @@ def test_cms_sliding_by_type_matches_duckdb(ray_session):
     # CMS one-sided error: estimates never undercount -- each type's
     # top user appears at least once with a positive windowed count
     assert (got.groupby("event_type")["est_count"].max() > 0).all()
+
+
+def test_dds_decayed_value_matches_duckdb_and_decay_semantics(
+        ray_session, tmp_path):
+    import duckdb
+    import pyarrow.parquet as pq
+    from p2pddsketch_ray.pipelines.sliding import dds_decayed_value
+
+    # oracle parity at sf0.001 through the registry SQL
+    import __ray_entry__ as e
+    sql = e.oracle_sql()["dds_decayed_value"]
+    sf = "/root/testdata/sf0.001"
+    got = dds_decayed_value(sf).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{sf}/events.parquet')")
+    want = (con.execute(sql).df().sort_values("q")
+            .reset_index(drop=True))
+    got = got.sort_values("q").reset_index(drop=True)
+    assert got["bucket_key"].tolist() \
+        == want["bucket_key"].astype("int64").tolist()
+    assert got["est"].tolist() == want["est"].tolist()
+
+    # decay semantics: recent half of the stream dominates -- with old
+    # events at value 1 and recent at value 1000 separated by many
+    # half-lives, the decayed median is the RECENT value
+    us = 3_600_000_000
+    n = 200
+    ts = ([i * us for i in range(n)]                 # old, value 1
+          + [1000 * us + i * us for i in range(n)])  # recent, value 1000
+    vals = [1.0] * n + [1000.0] * n
+    pq.write_table(pa.table({
+        "event_id": pa.array(range(2 * n), type=pa.int64()),
+        "ts": pa.array(ts, type=pa.int64()).cast(pa.timestamp("us")),
+        "user_id": pa.array([0] * (2 * n), type=pa.int64()),
+        "event_type": pa.array(["click"] * (2 * n)),
+        "value": pa.array(vals),
+        "props": pa.array([""] * (2 * n)),
+    }), str(tmp_path / "events.parquet"))
+    out = dds_decayed_value(str(tmp_path)).to_pandas()
+    med = out[out["q"] == 0.5]["est"].iloc[0]
+    assert abs(med - 1000.0) / 1000.0 < 0.05, med
