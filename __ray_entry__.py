@@ -1927,7 +1927,9 @@ def _cms_sliding_user_est(sf_dir: str):
 
 def _dds_decayed_value(sf_dir: str):
     from p2pddsketch_ray.pipelines.sliding import dds_decayed_value
-    return dds_decayed_value(sf_dir)
+    # BIN_LIMIT=2048 keeps the no-collapse convention every dds_*
+    # oracle assumes (the SQL twin emulates no bucket collapse)
+    return dds_decayed_value(sf_dir, alpha=ALPHA, bin_limit=BIN_LIMIT)
 
 
 def _cms_sliding_by_type(sf_dir: str):

@@ -830,24 +830,8 @@ def dgim_sliding_count(sf_dir: str, event_type: str = "click",
         raise ValueError("dgim_sliding_count: empty stream")
     max_us = int(agg["mx"])
 
-    # canonical DGIM digit vector for N (two-bucket-per-size variant):
-    # the intervals [2^m - 1, 2(2^m - 1)] tile the integers, so the
-    # scan always lands on exactly one m
-    m = 1
-    while not ((1 << m) - 1 <= n <= 2 * ((1 << m) - 1)):
-        m += 1
-    extra = n - ((1 << m) - 1)
-    digits = [1 + ((extra >> j) & 1) for j in range(m)]
-    assert sum(d << j for j, d in enumerate(digits)) == n
-
-    # bucket list newest -> oldest; newest-element 1-based pos from end
-    sizes, pos = [], []
-    cum = 0
-    for j in range(m):
-        for _ in range(digits[j]):
-            sizes.append(1 << j)
-            pos.append(cum + 1)
-            cum += 1 << j
+    # canonical DGIM bucket state in closed form (shared helper)
+    sizes, pos = _dgim_canonical_buckets(n)
     ranks = [n - p for p in pos]  # 0-based rank from the start
     newest_ts = exact_rank_select(stream, "us", ranks)
     newest_ts = [int(v) for v in newest_ts]
@@ -891,6 +875,30 @@ def dgim_sliding_count(sf_dir: str, event_type: str = "click",
     })
 
 
+def _dgim_canonical_buckets(n: int) -> tuple[list[int], list[int]]:
+    """Canonical DGIM end state for an append-only stream of length n
+    (two-bucket-per-size variant): with m the unique integer such that
+    2^m - 1 <= n <= 2(2^m - 1), size 2^j occurs 1 + bit_j(n - (2^m-1))
+    times.  Returns (sizes, pos) newest -> oldest, pos = 1-based
+    newest-element position from the stream end.  Shared by the global
+    and grouped queries (and mirrored by both SQL twins' mm/buckets/
+    posed CTEs) so the closed form exists in exactly one place."""
+    m = 1
+    while not ((1 << m) - 1 <= n <= 2 * ((1 << m) - 1)):
+        m += 1
+    extra = n - ((1 << m) - 1)
+    digits = [1 + ((extra >> j) & 1) for j in range(m)]
+    assert sum(d << j for j, d in enumerate(digits)) == n
+    sizes, pos = [], []
+    cum = 0
+    for j in range(m):
+        for _ in range(digits[j]):
+            sizes.append(1 << j)
+            pos.append(cum + 1)
+            cum += 1 << j
+    return sizes, pos
+
+
 def dgim_sliding_count_by_type(sf_dir: str,
                                window_hours: Sequence[int] = (6, 24, 72)
                                ) -> pa.Table:
@@ -914,8 +922,7 @@ def dgim_sliding_count_by_type(sf_dir: str,
     """
     from ray.data.aggregate import Max, Min, Sum
 
-    from .quantiles import (_float_order_keys, _key_to_float,
-                            _resolve_exact_targets)
+    from .quantiles import _float_order_keys, _resolve_exact_targets
 
     ds = ray.data.read_parquet(
         f"{sf_dir}/events.parquet", columns=["ts", "event_type"])
@@ -958,25 +965,12 @@ def dgim_sliding_count_by_type(sf_dir: str,
              .take_all())
     stats.sort(key=lambda r: r["ty"])
 
-    # driver math per type: canonical digits -> bucket sizes/positions
+    # driver math per type: canonical bucket state (shared helper;
+    # groupby rows always have n >= 1)
     targets, meta = [], {}
     for row in stats:
         ty, n = row["ty"], int(row["n"])
-        if n == 0:
-            continue
-        m = 1
-        while not ((1 << m) - 1 <= n <= 2 * ((1 << m) - 1)):
-            m += 1
-        extra = n - ((1 << m) - 1)
-        digits = [1 + ((extra >> j) & 1) for j in range(m)]
-        assert sum(d << j for j, d in enumerate(digits)) == n
-        sizes, pos = [], []
-        cum = 0
-        for j in range(m):
-            for _ in range(digits[j]):
-                sizes.append(1 << j)
-                pos.append(cum + 1)
-                cum += 1 << j
+        sizes, pos = _dgim_canonical_buckets(n)
         meta[ty] = {"n": n, "max_us": int(row["mx"]), "sizes": sizes}
         for p in pos:
             targets.append({"group": ty, "rank": n - p,

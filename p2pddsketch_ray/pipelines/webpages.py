@@ -97,6 +97,9 @@ def fused_sketch_build(paths, quantiles: Sequence[float] = HEADLINE_QUANTILES,
     from ..stages.sketch_build import (SKETCH_FIELDS, merge_sketch_table,
                                        sketch_rows_to_table)
 
+    if signature_tier not in ("classic", "oph"):
+        raise ValueError(f"unknown signature_tier {signature_tier!r}; "
+                         "expected 'classic' or 'oph'")
     qs = tuple(quantiles)
 
     def fused(batch: pa.Table) -> pa.Table:

@@ -154,6 +154,8 @@ def decode_wav(buf: np.ndarray) -> tuple[np.ndarray, int, int]:
     while pos + 8 <= len(raw):
         cid = raw[pos:pos + 4]
         sz = int.from_bytes(raw[pos + 4:pos + 8], "little")
+        if pos + 8 + sz > len(raw):              # declared > remaining
+            raise ValueError("truncated WAV chunk")
         body = raw[pos + 8:pos + 8 + sz]
         if cid == b"fmt ":
             fmt = body
@@ -170,9 +172,10 @@ def decode_wav(buf: np.ndarray) -> tuple[np.ndarray, int, int]:
     if audio_fmt != 1 or bits != 16 or channels < 1 or block != 2 * channels:
         raise ValueError(
             "only 16-bit PCM WAV decodes without codec libraries")
+    if len(data) % block:
+        raise ValueError("truncated WAV data chunk (partial PCM block)")
     n = len(data) // block
-    samples = np.frombuffer(data[:n * block], dtype="<i2").reshape(
-        n, channels)
+    samples = np.frombuffer(data, dtype="<i2").reshape(n, channels)
     return samples, rate, block
 
 

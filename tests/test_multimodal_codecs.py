@@ -138,3 +138,13 @@ def test_resize_real_nearest_neighbor():
     ri = (np.arange(t) * 9) // t
     ci = (np.arange(t) * 12) // t
     assert np.array_equal(thumb, gray[ri[:, None], ci[None, :]])
+
+
+def test_wav_rejects_truncation():
+    """Truncated containers must raise, not silently shorten -- the
+    same contract as the raster decoders."""
+    s = np.arange(0, 8, dtype=np.int16)
+    raw = encode_wav(s, 8000)
+    # cut mid-data-chunk: declared chunk size exceeds remaining bytes
+    with pytest.raises(ValueError):
+        decode_wav(np.frombuffer(raw[:-3], dtype=np.uint8))

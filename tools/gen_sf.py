@@ -86,6 +86,11 @@ def _replica(table: pa.Table, name: str, r: int) -> pa.Table:
             cols[field.name] = _salt_texts(col.combine_chunks(), r)
         else:
             cols[field.name] = col
+    if name == "documents" and r != 0:
+        # salting lengthens words: keep n_chars consistent with text
+        import pyarrow.compute as pc
+        cols["n_chars"] = pc.cast(pc.utf8_length(cols["text"]),
+                                  pa.int64())
     return pa.table(cols)
 
 
@@ -112,7 +117,7 @@ def ensure_scaled_sf(factor: int = 10,
     from an older generator layout is rebuilt."""
     out_dir = f"{OUT_ROOT}/sf_x{factor}"
     marker = f"{out_dir}/.complete"
-    key = f"v1:{factor}:{src_dir}"
+    key = f"v2:{factor}:{src_dir}"
     if os.path.exists(marker) and open(marker).read() == key:
         return out_dir
     generate(factor, src_dir, out_dir)
@@ -128,5 +133,5 @@ if __name__ == "__main__":
            else f"{OUT_ROOT}/sf_x{factor}")
     generate(factor, src, out)
     with open(f"{out}/.complete", "w") as f:
-        f.write(f"v1:{factor}:{src}")
+        f.write(f"v2:{factor}:{src}")
     print(out)
